@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries.{RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -10,15 +11,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
-  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
-
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
+    RelationalQueries.queries ++ TextQueries.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: TPC-H Q1-style pricing summary — partial (map-side) aggregation
     // then one shuffle on the two low-cardinality group keys; AQE
     // coalesces post-shuffle partitions at scale.
     "q01_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
@@ -40,5 +42,5 @@ object SparkEntry {
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  )
+  ) ++ RelationalQueries.oracle ++ TextQueries.oracle
 }

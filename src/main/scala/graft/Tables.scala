@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables.
   *
@@ -15,7 +16,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      // map to its µs TimestampType. Read nanos as long, then integer-
+      // divide (`div`, not double /: ns epochs exceed double's 53-bit
+      // mantissa) down to µs — same truncation DuckDB applies comparing
+      // ns to µs timestamps.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

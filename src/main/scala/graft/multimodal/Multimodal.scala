@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal asset columns: image/audio/video as opaque `binary` plus
+  * typed metadata, with the Spark-side plumbing (schema, partition-wise
+  * batch decode, feature schema) real and tested.
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries — behind `decodeStub`, a deterministic fake keyed on the
+  * bytes' hash. Swapping in a real decoder changes ONE function; the
+  * distributed shape (mapPartitions batching, no driver collect, stable
+  * output schema) is what this module pins down.
+  */
+object Multimodal {
+
+  /** Canonical asset schema for 100 TB-scale multimodal tables: assets
+    * partitioned by modality; bytes kept out of every plan that doesn't
+    * decode (column pruning does this for free when metadata lives in
+    * its own columns, NOT inside the blob).
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Deterministic fake "decode → feature vector" used in place of a
+    * real codec (??? in this container). Per-partition batch loop via
+    * mapPartitions — the same shape a JNI/arrow decoder would use; one
+    * task = one batch of blobs, nothing returns to the driver.
+    */
+  def decodeStub(assets: DataFrame, dim: Int = 8): DataFrame = {
+    val session = assets.sparkSession
+    val outSchema = StructType(
+      assetSchema.fields.filterNot(_.name == "bytes") :+
+        StructField("features", ArrayType(FloatType), nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("modality"), col("bytes"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          // ??? real decoder goes here; fake = seeded hash features.
+          val seed = if (bytes == null) 0L else bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+          val feats = Array.tabulate(dim)(i => (((seed >>> (i % 48)) & 0xFFFF).toFloat / 65535f))
+          Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"), r.getAs[Row]("meta"), feats)
+        }
+      }(enc)
+  }
+
+  /** Resize metadata transform — pure projection; a real implementation
+    * would pair this with a decode/encode in the partition loop.
+    */
+  def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h).cast("double"))
+    assets
+      .withColumn("target_width", ceil(w * scale).cast("int"))
+      .withColumn("target_height", ceil(h * scale).cast("int"))
+  }
+
+  /** Frame sampling plan for video rows: one output row per sampled
+    * frame timestamp (explode of a bounded sequence — output size is
+    * n_frames per asset, never unbounded).
+    */
+  def frameSamplePlan(assets: DataFrame, everyMs: Long): DataFrame =
+    assets.where(col("modality") === "video")
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
+
+  /** Synthetic asset table for tests/demo — deterministic bytes from
+    * the id, no external data needed.
+    */
+  def syntheticAssets(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    spark.range(n.toLong).select(
+      col("id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), (col("id") % 3 + 1).cast("int")).as("modality"),
+      sha2(col("id").cast("string"), 256).cast("binary").as("bytes"),
+      struct(
+        lit("synthetic").as("format"),
+        (col("id") % 1920 + 16).cast("int").as("width"),
+        (col("id") % 1080 + 16).cast("int").as("height"),
+        (col("id") * 40 + 1000).as("duration_ms")).as("meta"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as single calls, composed from
+  * shuffle-efficient primitives (union + window instead of range joins
+  * or per-row subqueries).
+  */
+object Relational {
+
+  /** As-of join: for each left row, attach the most recent right row
+    * with rightTime ≤ leftTime for the same key.
+    *
+    * Implementation: tag and union both sides, then one window sorted by
+    * (key, time, tag) carries the last-seen right payload forward
+    * (`last(ignoreNulls)`), and left rows are filtered back out. ONE
+    * shuffle+sort on the key — contrast the naive range join
+    * (`l.key = r.key AND r.t <= l.t` + argmax), which Spark executes as
+    * a broadcast-nested-loop or an exploding theta-join at scale.
+    *
+    * Right side must be unique per (key, time) — pre-dedupe if not.
+    * `payload` columns are carried from the right side.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1)) // events sort after same-instant right rows (inclusive ≤)
+      .withColumn("__payload", lit(null).cast(
+        right.select(struct(payload.map(col): _*)).schema.head.dataType))
+    val rTagged = right
+      .select(col(key), col(rightTime).as("__t"), lit(0).as("__tag"),
+        struct(payload.map(col): _*).as("__payload"))
+    val unioned = lTagged.select((col(key) +: left.columns.filterNot(_ == key).map(col).toSeq
+        :+ col("__t") :+ col("__tag") :+ col("__payload")): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__carry", last(col("__payload"), ignoreNulls = true).over(w))
+    val leftCols = left.columns.map(col).toSeq
+    payload.foldLeft(carried.where(col("__tag") === 1)) { (d, p) =>
+      d.withColumn(p, col(s"__carry.$p"))
+    }.select((leftCols ++ payload.map(col)): _*)
+  }
+
+  /** Sessionization: a new session starts when the gap to the previous
+    * event for the same user exceeds `gapSeconds`. Window lag + running
+    * sum — one shuffle+sort per user key.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieBreak: String = "event_id",
+      gapSeconds: Long = 1800): DataFrame = {
+    val order = Seq(col(tsCol), col(tieBreak))
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_id", concat_ws("_", col(userCol), col("session_seq")))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Upsert semantics without IO (drune writer.py _merge_standard read
+    * side): source rows win on key; unmatched base rows survive. One
+    * anti-join shuffle co-partitioned with the union.
+    */
+  def upsert(base: DataFrame, source: DataFrame, key: Seq[String]): DataFrame =
+    base.join(source.select(key.map(col): _*), key, "left_anti")
+      .unionByName(source, allowMissingColumns = true)
+
+  /** Numeric histogram via width_bucket-style bucketing: one
+    * aggregation, bucket count fixed ⇒ output bounded regardless of
+    * input size.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val v = col(valueCol)
+    val bucket = when(v < lo, 0)
+      .when(v >= hi, buckets + 1)
+      .otherwise(floor((v - lo) / ((hi - lo) / buckets)).cast("int") + 1)
+    df.where(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 4).as("min_v"),
+        round(max(v), 4).as("max_v"))
+  }
+
+  /** Latest record per key — the read-side of merge/upsert semantics
+    * (drune writer.py merge: last write wins). Window row_number, one
+    * shuffle. Use max_by-style aggregation when the payload is small.
+    */
+  def latestByKey(df: DataFrame, key: Seq[String], orderCol: String, tieBreak: Seq[String]): DataFrame = {
+    val ord = (col(orderCol).desc +: tieBreak.map(col(_).desc))
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(key.map(col): _*).orderBy(ord: _*)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Vector math uses Spark higher-order functions (`zip_with` /
+  * `aggregate`) in double precision — codegen'd expressions, no UDF
+  * serialization, deterministic left-to-right summation (which the
+  * DuckDB oracle can reproduce exactly).
+  *
+  * Scale shape: the probe set is always the broadcast side; the corpus
+  * is scanned once. Top-k is taken per (probe, partition) implicitly by
+  * the window over rank — with AQE the post-join partitioning keeps one
+  * probe's candidates co-located, so the rank window shuffles only
+  * (probes × corpus-partition winners), not the full score matrix.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
+
+  /** Brute-force cosine top-k: exact baseline. `probes` must be small
+    * (it is broadcast); corpus side stays partition-local until the
+    * final per-probe rank.
+    */
+  def knnBrute(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val scored = p.crossJoin(c)
+      .where(col("probe_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `planes` random
+    * projections packed into a long. Deterministic in `seed`; the plane
+    * matrix is a literal array-of-arrays baked into the plan (fine for
+    * ≤ 64 planes × dim few hundred; broadcast otherwise).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeCols = (0 until planes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }
+    planeCols.zipWithIndex.map { case (plane, i) =>
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate NN: probes and corpus bucketed by
+    * hyperplane signature; candidates share a bucket (multi-probe via
+    * sign-flip neighbors of the probe bucket); exact cosine rank within
+    * candidates. Corpus bucketing is a pure projection — at 100 TB the
+    * bucket id would be precomputed/partitioned at ingest so a query
+    * touches only matching partitions.
+    */
+  def annLsh(
+      corpus: DataFrame,
+      probes: DataFrame,
+      dim: Int,
+      k: Int = 10,
+      planes: Int = 12,
+      multiProbeBits: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+    // Multi-probe: the probe's own bucket plus every bucket at hamming
+    // distance 1 (flip each bit) — recovers most neighbors lost to a
+    // single sign flip without widening the scan.
+    val probeBuckets = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        hyperplaneBucket(col(vecCol), dim, planes).as("b0"))
+      .withColumn("bucket", explode(array(
+        col("b0") +: (0 until (if (multiProbeBits > 0) planes else 0)).map(i =>
+          col("b0").bitwiseXOR(shiftleft(lit(1L), i))): _*)))
+      .drop("b0")
+    val scored = broadcast(probeBuckets).join(bucketed, Seq("bucket"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus once,
+    * pair within buckets (skew-capped), keep cosine ≥ threshold.
+    */
+  def embeddingNearDup(
+      corpus: DataFrame,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      maxBucket: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("bucket_n") <= maxBucket)
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

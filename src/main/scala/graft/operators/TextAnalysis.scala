@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything here is built from codegen'd native functions (length /
+  * regexp / split / transform / aggregate) — no UDFs — so each operator
+  * is a pure projection: zero shuffles, scales linearly with input
+  * bytes, and fuses with surrounding projections in one
+  * whole-stage-codegen pass.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited tokens (regexp keeps DuckDB-oracle parity). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, or single non-space
+    * symbols — a cheap proxy for tokenizer load.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"), lit(0)))
+
+  /** Matched-char count via length difference — no per-char arrays. */
+  def countMatches(text: Column, regex: String): Column =
+    length(text) - length(regexp_replace(text, regex, ""))
+
+  /** Quality-score feature columns (length / punctuation / digit /
+    * uppercase / whitespace ratios, mean word length). Ratios guard
+    * against empty text with nullif.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val chars = length(text).cast("double")
+    val toks = tokens(text)
+    def ratio(n: Column) = round(n.cast("double") / nullif(chars, lit(0.0)), 4)
+    Seq(
+      "n_chars_obs" -> length(text).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_word_len" -> round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          nullif(size(toks).cast("double"), lit(0.0)), 4),
+      "punct_ratio" -> ratio(countMatches(text, "[!-/:-@\\[-`{-~]")),
+      "digit_ratio" -> ratio(countMatches(text, "[0-9]")),
+      "upper_ratio" -> ratio(countMatches(text, "[A-Z]")),
+      "space_ratio" -> ratio(countMatches(text, "\\s")))
+  }
+
+  /** Tiny per-language stopword lists for the heuristic language ID.
+    * Deliberately small, public-knowledge words; the mechanism (not the
+    * list) is the operator.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "dans", "une"),
+    "es" -> Seq("el", "los", "las", "es", "en", "que", "por", "una"),
+    "pt" -> Seq("o", "os", "das", "em", "que", "uma", "para", "com"))
+
+  /** Count of tokens hitting a stopword list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword hits,
+    * ties to the lexicographically larger language code; "und" when
+    * nothing hits. Pure projection.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lg, ws) =>
+      struct(stopwordHits(text, ws).as("hits"), lit(lg).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Normalized text used by dedup + fingerprints: lowercase, collapsed
+    * whitespace, trimmed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 64-bit fingerprint of normalized text. xxhash64 is Spark-native,
+    * codegen'd, 8 bytes/doc — the right dedup key at 100 TB (vs 32-byte
+    * hex sha strings).
+    */
+  def fingerprint(text: Column): Column = xxhash64(normalize(text))
+
+  /** Hex md5 fingerprint (oracle-comparable across engines). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Word n-grams (default bigrams) of normalized text. */
+  def wordNgrams(text: Column, n: Int = 2): Column = {
+    val toks = tokens(normalize(text))
+    filter(
+      transform(toks, (_, i) => when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      g => g.isNotNull)
+  }
+
+  /** Distinct 64-bit hashes of the k-char shingles of normalized text —
+    * the MinHash input. Computed by hashing substrings directly inside
+    * one projection: no explode, no shingle strings kept around.
+    */
+  def shingleHashes(text: Column, k: Int = 5): Column = {
+    val t = normalize(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+        i => xxhash64(t.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.quality.{Validator, ColumnConstraints}
+
+/** Pipeline runner — graft's equivalent of drune's Pipeline +
+  * StepManager (reference: src/drune/core/pipeline.py,
+  * core/steps/step_manager.py). The target DataFrame threads through the
+  * step list; everything stays a lazy logical plan until the sink (or
+  * the caller) triggers an action, so Catalyst optimizes ACROSS steps —
+  * e.g. a Filter step's predicate pushes down through a prior Transform
+  * into the parquet scan, which drune's eager per-step execution can
+  * never do.
+  */
+final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
+
+  /** Read all sources; first source becomes the initial target
+    * (pipeline.py read()). Each is registered as a temp view for Join /
+    * Sql steps.
+    */
+  def readSources(): Map[String, DataFrame] = {
+    val loaded = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    spec.sources.foreach { src =>
+      val df = src match {
+        case FileSource(_, path, format, options) =>
+          spark.read.format(format).options(options).load(path)
+        case TableSource(_, table) => spark.table(table)
+        case SqlSource(_, sql)     => spark.sql(sql)
+      }
+      df.createOrReplaceTempView(src.name)
+      loaded += src.name -> df
+    }
+    loaded.toMap
+  }
+
+  /** Run all steps; returns the final target DataFrame (lazy). */
+  def run(): DataFrame = {
+    val sources = readSources()
+    require(sources.nonEmpty, s"pipeline ${spec.name}: no sources")
+    val result = spec.steps.foldLeft(sources.values.head)(applyStep)
+    spec.sink.foreach(sink => Writer.write(spark, result, sink))
+    result
+  }
+
+  def applyStep(df: DataFrame, step: Step): DataFrame = step match {
+    case t: Transform => Pipeline.transform(df, t)
+    case Filter(where) => df.where(where)
+    case Join(other, on, how, bc, cond) =>
+      val rhs0 = spark.table(other)
+      val rhs = if (bc) broadcast(rhs0) else rhs0
+      cond match {
+        // Expression joins reference the sides as l.* / r.*.
+        case Some(c) => df.as("l").join(rhs.as("r"), expr(c), how)
+        case None    => df.join(rhs, on, how)
+      }
+    case Pivot(index, pivotCol, valueCol, agg, values) =>
+      val g = df.groupBy(index.map(col): _*)
+      // Explicit pivot values skip the extra distinct-values job AND
+      // make the output schema static — mandatory at scale.
+      val p = if (values.nonEmpty) g.pivot(pivotCol, values) else g.pivot(pivotCol)
+      p.agg(expr(s"$agg(`$valueCol`)"))
+    case Sql(sql, viewName) =>
+      val out = spark.sql(sql)
+      if (viewName.nonEmpty) out.createOrReplaceTempView(viewName)
+      out
+    case Validate(columns, tableRules) =>
+      val specs = columns.filter(_.constraints.nonEmpty)
+        .map(c => ColumnConstraints(c.name, c.constraints))
+      val res = Validator.validate(df, spec.name, specs)
+      Validator.enforce(res)
+      tableRules.foreach { tr =>
+        val bad = Validator.checkTable(res.valid, tr)
+        if (bad.limit(1).count() > 0)
+          throw new graft.quality.ValidationException(s"table rule ${tr.name} failed")
+      }
+      res.valid
+  }
+}
+
+object Pipeline {
+  def apply(spark: SparkSession, spec: PipelineSpec): Pipeline = new Pipeline(spark, spec)
+
+  /** Silver transform (spark/steps/transformer.py:362-431): one
+    * `select()` projection builds every output column — rename, SQL
+    * expression with `{col}` placeholder, cast/try_cast, optional-column
+    * NULL fill — so the whole transform is a single codegen'd stage.
+    */
+  def transform(df: DataFrame, t: Transform): DataFrame = {
+    val sourceCols = df.columns.toSet
+    val projected = t.columns.map(c => columnExpression(c, sourceCols))
+    val out = df.select(projected: _*)
+    if (t.addControlColumns) addControlColumns(out, t) else out
+  }
+
+  /** Build one output column from its spec (transformer.py
+    * _build_column_expression:378-398).
+    */
+  private[pipeline] def columnExpression(c: ColumnSpec, sourceCols: Set[String]): Column = {
+    val origin = c.sourceName
+    val base: String = c.expression match {
+      case Some(e) => e.replace("{col}", s"`$origin`")
+      case None if !sourceCols.contains(origin) =>
+        if (c.optional) "NULL"
+        else throw new IllegalArgumentException(s"required column '$origin' not in source")
+      case None => s"`$origin`"
+    }
+    val casted = c.dataType match {
+      case Some(dt) if c.tryCast => s"try_cast($base AS $dt)"
+      case Some(dt)              => s"cast($base AS $dt)"
+      case None                  => base
+    }
+    expr(casted).as(c.name)
+  }
+
+  /** Control columns (transformer.py _add_control_columns:400-416):
+    * hash_key = sha2 of "||"-joined sorted PK columns; data_hash over
+    * SCD2 track columns; updated_at timestamp. Pure projections — no
+    * shuffle, stays in codegen.
+    */
+  def addControlColumns(df: DataFrame, t: Transform): DataFrame = {
+    val withHash =
+      if (t.primaryKey.nonEmpty)
+        df.withColumn("hash_key",
+          sha2(concat_ws("||", t.primaryKey.sorted.map(c => col(c).cast("string")): _*), 256))
+      else df
+    withHash.withColumn("updated_at", current_timestamp())
+  }
+
+  def dataHash(df: DataFrame, trackColumns: Seq[String]): DataFrame =
+    df.withColumn("data_hash",
+      sha2(concat_ws("||", trackColumns.sorted.map(c => col(c).cast("string")): _*), 256))
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink writer — graft's equivalent of drune's WriterStep
+  * (reference: src/drune/engines/spark/steps/writer.py:578-673).
+  *
+  * Drune's merge paths require Delta; graft targets plain parquet/orc
+  * paths, so merge-like modes are expressed as distributed
+  * read-join-rewrite plans: one co-partitioned shuffle on `hash_key`,
+  * never a driver-side loop. On a lakehouse the same plans bolt onto a
+  * format with real MERGE support unchanged.
+  */
+object Writer {
+
+  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    def basic(mode: SaveMode, data: DataFrame): Unit = {
+      val w = data.write.format(sink.format).mode(mode)
+      (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
+        .save(sink.path)
+    }
+    sink.mode match {
+      case Append    => basic(SaveMode.Append, df)
+      case Overwrite => basic(SaveMode.Overwrite, df)
+      case OverwritePartition =>
+        // Dynamic partition overwrite: only partitions present in df are
+        // replaced (writer.py 'overwrite_partition').
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try basic(SaveMode.Overwrite, df)
+        finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      case OverwriteWhere(cond) =>
+        // replaceWhere on parquet: keep base rows NOT matching cond.
+        val merged = readBase(spark, sink) match {
+          case Some(base) => base.where(s"NOT ($cond)").unionByName(df.where(cond), allowMissingColumns = true)
+          case None => df
+        }
+        rewrite(spark, merged, sink)
+      case MergeUpsert =>
+        rewrite(spark, upsert(spark, df, sink), sink)
+      case Scd2(track) =>
+        rewrite(spark, Scd2Merge(spark, df, readBase(spark, sink), track), sink)
+    }
+  }
+
+  private def readBase(spark: SparkSession, sink: SinkSpec): Option[DataFrame] = {
+    val p = new Path(sink.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.format(sink.format).load(sink.path)) else None
+  }
+
+  /** Upsert on hash_key (writer.py _merge_standard:610-626): source rows
+    * win; unmatched base rows survive; created_at preserved from base.
+    */
+  private def upsert(spark: SparkSession, source: DataFrame, sink: SinkSpec): DataFrame =
+    readBase(spark, sink) match {
+      case None => source
+      case Some(base) =>
+        val kept = base.join(source.select("hash_key"), Seq("hash_key"), "left_anti")
+        val withCreated =
+          if (base.columns.contains("created_at"))
+            source.drop("created_at")
+              .join(base.select(col("hash_key"), col("created_at")), Seq("hash_key"), "left")
+              .withColumn("created_at", coalesce(col("created_at"), col("updated_at")))
+          else source
+        kept.unionByName(withCreated, allowMissingColumns = true)
+    }
+
+  /** Full-path rewrite via tmp dir + rename: parquet has no ACID, so
+    * read-modify-write must land elsewhere then swap.
+    */
+  private def rewrite(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    val p = new Path(sink.path)
+    val tmp = new Path(sink.path + "__tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = df.write.format(sink.format).mode(SaveMode.Overwrite)
+    (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
+      .save(tmp.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+}
+
+/** SCD Type 2 merge (writer.py _merge_scd2:628-673), as one declarative
+  * plan over (base, source):
+  *   - base history rows (is_current=false) pass through untouched;
+  *   - current rows whose key reappears with a different data_hash are
+  *     expired (is_current=false, end_date=now);
+  *   - source rows that are new keys or changed versions are inserted
+  *     current (start_date=now, end_date=null);
+  *   - idempotent: a source row whose (hash_key, data_hash) already
+  *     exists current is a no-op.
+  * One shuffle on hash_key covers the join + anti-join (same key).
+  */
+object Scd2Merge {
+  def apply(spark: SparkSession, source: DataFrame, baseOpt: Option[DataFrame], track: Seq[String],
+            now: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+    val trackCols = if (track.nonEmpty) track else source.columns.filterNot(Seq("hash_key", "updated_at").contains).toSeq
+    val src = (if (source.columns.contains("data_hash")) source
+               else Pipeline.dataHash(source, trackCols))
+    val srcStamped = src
+      .withColumn("is_current", lit(true))
+      .withColumn("start_date", now)
+      .withColumn("end_date", lit(null).cast("timestamp"))
+    baseOpt match {
+      case None => srcStamped
+      case Some(base) =>
+        val history = base.where(!col("is_current"))
+        val current = base.where(col("is_current"))
+        val srcKeys = src.select(col("hash_key"), col("data_hash").as("__src_hash"))
+        val cur = current.join(srcKeys, Seq("hash_key"), "left")
+        val unchangedOrAbsent = cur.where(col("__src_hash").isNull || col("__src_hash") === col("data_hash")).drop("__src_hash")
+        val expired = cur.where(col("__src_hash").isNotNull && col("__src_hash") =!= col("data_hash"))
+          .drop("__src_hash")
+          .withColumn("is_current", lit(false))
+          .withColumn("end_date", now)
+        val existing = current.select(col("hash_key").as("__k"), col("data_hash").as("__h"))
+        val inserts = srcStamped.join(existing,
+          srcStamped("hash_key") === col("__k") && srcStamped("data_hash") === col("__h"),
+          "left_anti")
+        history.unionByName(unchangedOrAbsent).unionByName(expired).unionByName(inserts, allowMissingColumns = true)
+    }
+  }
+}

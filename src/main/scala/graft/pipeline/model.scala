@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.quality.{Constraint, TableRule}
+
+/** Typed pipeline spec — graft's equivalent of drune's YAML models
+  * (reference: src/drune/core/models/pipeline_model.py:1-220). Where
+  * drune parses YAML into pydantic models, graft uses a Scala ADT: the
+  * compiler enforces what drune checks at runtime. A YAML front-end can
+  * be layered on (snakeyaml ships with Spark) without touching this.
+  */
+
+sealed trait SourceSpec { def name: String }
+/** File source (pipeline_model.py SourceSpec type='file'). */
+final case class FileSource(
+    name: String,
+    path: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends SourceSpec
+/** Catalog-table source (type='table'). */
+final case class TableSource(name: String, table: String) extends SourceSpec
+/** SQL source (type='sql') — runs against already-registered views. */
+final case class SqlSource(name: String, sql: String) extends SourceSpec
+
+/** Column spec (pipeline_model.py ColumnSpec): rename (`from`→`name`),
+  * cast to `dataType` (try_cast if `tryCast`), optional SQL `expression`
+  * with `{col}` placeholder, `optional` missing-column tolerance,
+  * plus quality constraints (applied by ValidateStep).
+  */
+final case class ColumnSpec(
+    name: String,
+    from: Option[String] = None,
+    dataType: Option[String] = None,
+    expression: Option[String] = None,
+    optional: Boolean = false,
+    tryCast: Boolean = false,
+    description: Option[String] = None,
+    constraints: Seq[Constraint] = Nil) {
+  def sourceName: String = from.getOrElse(name)
+}
+
+/** Write modes (pipeline_model.py TargetSpec.mode + writer.py). */
+sealed trait WriteMode
+case object Append extends WriteMode
+case object Overwrite extends WriteMode
+/** Dynamic partition overwrite (writer.py 'overwrite_partition'). */
+case object OverwritePartition extends WriteMode
+/** Overwrite only rows matching `condition` (writer.py replaceWhere). */
+final case class OverwriteWhere(condition: String) extends WriteMode
+/** Upsert on the primary-key hash (writer.py _merge_standard). */
+case object MergeUpsert extends WriteMode
+/** SCD Type 2 versioning (writer.py _merge_scd2). */
+final case class Scd2(trackColumns: Seq[String] = Nil) extends WriteMode
+
+final case class SinkSpec(
+    path: String,
+    format: String = "parquet",
+    mode: WriteMode = Append,
+    partitionBy: Seq[String] = Nil)
+
+/** Pipeline steps (core/steps + engines/&lt;engine&gt;/steps.py). Sealed so the
+  * runner's match is exhaustive — adding a step type is a compile error
+  * until every engine handles it (drune finds out at runtime).
+  */
+sealed trait Step
+/** Silver transform (spark/steps/transformer.py:418-431): ONE select()
+  * projection for all columns — a single codegen stage, vs per-column
+  * withColumn chains which grow the plan linearly.
+  */
+final case class Transform(
+    columns: Seq[ColumnSpec],
+    primaryKey: Seq[String] = Nil,
+    addControlColumns: Boolean = false) extends Step
+/** Row filter (duckdb/steps.py FilterStep). */
+final case class Filter(where: String) extends Step
+/** Join against another registered source (duckdb/steps.py JoinStep).
+  * `broadcastOther=true` hints the dimension side — at 100 TB a missed
+  * broadcast on a small dim is a full shuffle of the fact table.
+  */
+final case class Join(
+    other: String,
+    on: Seq[String] = Nil,
+    how: String = "inner",
+    broadcastOther: Boolean = false,
+    condition: Option[String] = None) extends Step
+/** Pivot (pandas/steps.py PivotStep): groupBy(index).pivot(col).agg. */
+final case class Pivot(
+    index: Seq[String],
+    pivotColumn: String,
+    valueColumn: String,
+    agg: String = "sum",
+    values: Seq[String] = Nil) extends Step
+/** Free-form SQL over registered views; result becomes view `viewName`
+  * for later steps (spark_engine.py execute_gold_transformation).
+  */
+final case class Sql(sql: String, viewName: String = "") extends Step
+/** Validation step (spark/steps/validator.py): single-pass rule
+  * evaluation; see graft.quality.Validator for the scale notes.
+  */
+final case class Validate(
+    columns: Seq[ColumnSpec] = Nil,
+    tableRules: Seq[TableRule] = Nil) extends Step
+
+final case class PipelineSpec(
+    name: String,
+    sources: Seq[SourceSpec],
+    steps: Seq[Step],
+    sink: Option[SinkSpec] = None,
+    description: Option[String] = None)

@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+import graft.quality._
+import graft.operators.Relational
+
+/** Relational / pipeline-core operator queries (SURVEY.md §2,
+  * q02–q23). Every query exercises library code (Pipeline steps,
+  * Validator, Scd2Merge, Relational ops) and has a DuckDB oracle with a
+  * fully deterministic ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  private def file(dir: String, name: String) = FileSource(name, s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q02: filter step + aggregation (TPC-H Q6 shape). The Filter step's
+    // predicate pushes into the parquet scan (PushedFilters) because the
+    // pipeline stays one lazy plan.
+    "q02_filter" -> ((s, dir) => {
+      val spec = PipelineSpec("filter_revenue", Seq(file(dir, "lineitem")), Seq(
+        Filter("l_shipdate >= timestamp'1995-01-01' AND l_shipdate < timestamp'1996-01-01' " +
+          "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")))
+      Pipeline(s, spec).run()
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // q03: fact ⋈ three dims via Join steps; dims broadcast — at scale
+    // the orders fact never shuffles for these joins.
+    "q03_join" -> ((s, dir) => {
+      val spec = PipelineSpec("revenue_by_nation",
+        Seq(file(dir, "orders"), file(dir, "customer"), file(dir, "nation"), file(dir, "region")),
+        Seq(
+          Join("customer", how = "inner", broadcastOther = true, condition = Some("l.o_custkey = r.c_custkey")),
+          Join("nation", how = "inner", broadcastOther = true, condition = Some("l.c_nationkey = r.n_nationkey")),
+          Join("region", how = "inner", broadcastOther = true, condition = Some("l.n_regionkey = r.r_regionkey"))))
+      Pipeline(s, spec).run()
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // q04: gold SQL chain — step 1 registers a view consumed by step 2
+    // (drune execute_gold_transformation).
+    "q04_sql_chain" -> ((s, dir) => {
+      val spec = PipelineSpec("gold_monthly", Seq(file(dir, "orders")), Seq(
+        Sql("SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS month, " +
+          "round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders FROM orders GROUP BY 1",
+          "monthly_rev"),
+        Sql("SELECT month, revenue, n_orders, " +
+          "round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg FROM monthly_rev")))
+      Pipeline(s, spec).run().orderBy("month")
+    }),
+
+    // q05: pivot step with explicit values (no distinct-scan job).
+    "q05_pivot" -> ((s, dir) => {
+      val spec = PipelineSpec("pivot_qty", Seq(file(dir, "lineitem")), Seq(
+        Pivot(Seq("l_returnflag"), "l_linestatus", "l_quantity", "sum", Seq("F", "O"))))
+      Pipeline(s, spec).run()
+        .select(col("l_returnflag"), round(col("F"), 2).as("F"), round(col("O"), 2).as("O"))
+        .orderBy("l_returnflag")
+    }),
+
+    // q06: silver transform — rename / SQL expression / cast / hash_key
+    // control column, all in ONE select projection.
+    "q06_silver_transform" -> ((s, dir) => {
+      val cols = Seq(
+        ColumnSpec("customer_id", from = Some("c_custkey"), dataType = Some("bigint")),
+        ColumnSpec("customer_name", from = Some("c_name"), dataType = Some("string"),
+          expression = Some("upper(trim({col}))")),
+        ColumnSpec("segment", from = Some("c_mktsegment"), dataType = Some("string")),
+        ColumnSpec("balance", from = Some("c_acctbal"), dataType = Some("double")),
+        ColumnSpec("nation_key", from = Some("c_nationkey"), dataType = Some("bigint")),
+        ColumnSpec("loyalty_tier", optional = true, dataType = Some("string")))
+      Pipeline.transform(t(s, dir, "customer"),
+          Transform(cols, primaryKey = Seq("customer_id"), addControlColumns = true))
+        .drop("updated_at")
+        .orderBy("customer_id")
+    }),
+
+    // q07: window functions — rank within key + running sum.
+    "q07_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val cum = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          rank().over(byPrice).as("price_rank"),
+          round(sum("o_totalprice").over(cum), 2).as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // q08: top-k by value with deterministic tiebreak.
+    "q08_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))),
+
+    // q09: distinct aggregation.
+    "q09_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_orderstatus")),
+
+    // q10: conformed union of two sources.
+    "q10_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(lit("customer").as("party_type"), col("c_custkey").as("party_id"), col("c_name").as("party_name"))
+      val sup = t(s, dir, "supplier")
+        .select(lit("supplier").as("party_type"), col("s_suppkey").as("party_id"), col("s_name").as("party_name"))
+      c.unionByName(sup).orderBy("party_type", "party_id")
+    }),
+
+    // q11: latest record per key (merge read-side semantics).
+    "q11_latest_by_key" -> ((s, dir) =>
+      Relational.latestByKey(t(s, dir, "orders"), Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey")),
+
+    // q12: validation violation summary — all rules in ONE scan
+    // (Validator), vs drune's 2-jobs-per-rule.
+    "q12_validate_counts" -> ((s, dir) => {
+      val specs = Seq(
+        ColumnConstraints("c_name", Seq(Constraint(NotNull, WarnAction))),
+        ColumnConstraints("c_acctbal", Seq(
+          Constraint(Gte(0.0), WarnAction),
+          Constraint(Between(-1000.0, 10000.0), WarnAction))),
+        ColumnConstraints("c_mktsegment", Seq(
+          Constraint(IsIn(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")), WarnAction),
+          Constraint(MinLength(3), WarnAction))))
+      Validator.validate(t(s, dir, "customer"), "customer_quality", specs)
+        .summary
+        .orderBy("failed_column", "validation_rule")
+    }),
+
+    // q13: surviving rows after drop-mode rules (nulls pass non-null
+    // rules — see Validator scaladoc).
+    "q13_validate_drop" -> ((s, dir) => {
+      val specs = Seq(
+        ColumnConstraints("c_name", Seq(Constraint(NotNull, DropAction))),
+        ColumnConstraints("c_acctbal", Seq(Constraint(Gte(0.0), DropAction))))
+      Validator.validate(t(s, dir, "customer"), "customer_drop", specs)
+        .valid
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("balance"))
+        .orderBy("c_custkey")
+    }),
+
+    // q14: column profiling — one aggregation pass for every column.
+    "q14_profile" -> ((s, dir) =>
+      Profiler.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
+        .orderBy("column_name")),
+
+    // q15: upsert (merge) semantics without IO: corrections win on key.
+    "q15_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"), lit("base").as("src"))
+      val fixes = orders.where(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 1.05, 2).as("price"), lit("fix").as("src"))
+      Relational.upsert(base, fixes, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // q16: table-level duplicate_check rule.
+    "q16_dupcheck" -> ((s, dir) =>
+      Validator.checkTable(t(s, dir, "lineitem"), DuplicateCheck(Seq("l_partkey", "l_suppkey")))
+        .orderBy("l_partkey", "l_suppkey")),
+
+    // q17: SCD2 merge — base snapshot + changed source rows produce
+    // expire+insert version chains. Fixed timestamps keep it
+    // oracle-comparable.
+    "q17_scd2" -> ((s, dir) => {
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2024-06-01 00:00:00").cast("timestamp")
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+      def keyed(df: DataFrame) = Pipeline.dataHash(
+        df.withColumn("hash_key", sha2(col("customer_id").cast("string"), 256)),
+        Seq("balance", "segment"))
+      val base = keyed(c)
+        .withColumn("is_current", lit(true))
+        .withColumn("start_date", t0)
+        .withColumn("end_date", lit(null).cast("timestamp"))
+      val source = keyed(c.withColumn("balance",
+        when(col("segment") === "BUILDING", col("balance") + 100).otherwise(col("balance"))))
+      Scd2Merge(s, source, Some(base), Seq("balance", "segment"), now = t1)
+        .select(col("customer_id"), col("balance"), col("segment"), col("is_current"),
+          date_format(col("start_date"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(col("end_date"), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+        .orderBy("customer_id", "start_ts")
+    }),
+
+    // q18: rollup aggregation (grouping sets).
+    "q18_rollup" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // q19: anti join — customers with no orders.
+    "q19_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // q20: sessionization — 30 min gap splits sessions.
+    "q20_sessionize" -> ((s, dir) =>
+      Relational.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", 1800)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy("user_id", "event_id")),
+
+    // q21: fixed-bucket histogram — bounded output at any input size.
+    "q21_histogram" -> ((s, dir) =>
+      Relational.histogram(t(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 20)
+        .orderBy("bucket")),
+
+    // q22: tumbling time-window aggregation.
+    "q22_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // q23: as-of join — most recent order ≤ event time per user; ONE
+    // shuffle via union+window, no range join.
+    "q23_asof_join" -> ((s, dir) => {
+      val orders = Relational.latestByKey(
+          t(s, dir, "orders"), Seq("o_custkey", "o_orderdate"), "o_orderkey", Nil)
+        .withColumnRenamed("o_custkey", "user_id")
+      Relational.asOf(t(s, dir, "events"), orders,
+          key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("matched_price"))
+        .orderBy("event_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q02_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_join" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_sql_chain" ->
+      """WITH monthly_rev AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        |       round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg
+        |FROM monthly_rev ORDER BY month""".stripMargin,
+
+    "q05_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS "F",
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_silver_transform" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+        |  upper(trim(c_name)) AS customer_name,
+        |  c_mktsegment AS segment,
+        |  CAST(c_acctbal AS DOUBLE) AS balance,
+        |  CAST(c_nationkey AS BIGINT) AS nation_key,
+        |  CAST(NULL AS VARCHAR) AS loyalty_tier,
+        |  sha256(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)) AS hash_key
+        |FROM customer ORDER BY customer_id""".stripMargin,
+
+    "q07_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q08_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_union" ->
+      """SELECT 'customer' AS party_type, c_custkey AS party_id, c_name AS party_name FROM customer
+        |UNION ALL
+        |SELECT 'supplier', s_suppkey, s_name FROM supplier
+        |ORDER BY party_type, party_id""".stripMargin,
+
+    "q11_latest_by_key" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q12_validate_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'c_name' AS failed_column, 'not_null' AS validation_rule, 'warn' AS action,
+        |         count(*) AS violations FROM customer WHERE c_name IS NULL
+        |  UNION ALL
+        |  SELECT 'c_acctbal', 'greater_than_or_equal_to:0.0', 'warn', count(*)
+        |  FROM customer WHERE c_acctbal IS NOT NULL AND NOT coalesce(c_acctbal >= 0, false)
+        |  UNION ALL
+        |  SELECT 'c_acctbal', 'isbetween:[-1000.0,10000.0]', 'warn', count(*)
+        |  FROM customer WHERE c_acctbal IS NOT NULL AND NOT coalesce(c_acctbal BETWEEN -1000 AND 10000, false)
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', 'isin:AUTOMOBILE,BUILDING,FURNITURE,MACHINERY', 'warn', count(*)
+        |  FROM customer WHERE c_mktsegment IS NOT NULL
+        |    AND NOT coalesce(c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY'), false)
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', 'min_length:3', 'warn', count(*)
+        |  FROM customer WHERE c_mktsegment IS NOT NULL AND NOT coalesce(length(c_mktsegment) >= 3, false)
+        |) WHERE violations > 0 ORDER BY failed_column, validation_rule""".stripMargin,
+
+    "q13_validate_drop" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance FROM customer
+        |WHERE c_name IS NOT NULL AND (c_acctbal IS NULL OR c_acctbal >= 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS column_name, count(*) AS n_rows, count(c_custkey) AS n_nonnull,
+        |    count(DISTINCT c_custkey) AS n_distinct, CAST(min(c_custkey) AS VARCHAR) AS min_value,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_value FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_acctbal', count(*), count(c_acctbal), count(DISTINCT c_acctbal),
+        |    CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
+        |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |) ORDER BY column_name""".stripMargin,
+
+    "q15_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 0 THEN round(o_totalprice * 1.05, 2)
+        |       ELSE round(o_totalprice, 2) END AS price,
+        |  CASE WHEN o_custkey % 10 = 0 THEN 'fix' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_dupcheck" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
+
+    "q17_scd2" ->
+      """WITH c AS (SELECT c_custkey AS customer_id, c_acctbal AS balance, c_mktsegment AS segment FROM customer)
+        |SELECT * FROM (
+        |  SELECT customer_id, balance, segment, true AS is_current,
+        |    '2024-01-01 00:00:00' AS start_ts, CAST(NULL AS VARCHAR) AS end_ts
+        |  FROM c WHERE segment <> 'BUILDING'
+        |  UNION ALL
+        |  SELECT customer_id, balance, segment, false,
+        |    '2024-01-01 00:00:00', '2024-06-01 00:00:00' FROM c WHERE segment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT customer_id, balance + 100, segment, true,
+        |    '2024-06-01 00:00:00', NULL FROM c WHERE segment = 'BUILDING'
+        |) ORDER BY customer_id, start_ts""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q19_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        |x AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)
+        |SELECT event_id, user_id,
+        |  sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |FROM x ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_histogram" ->
+      """SELECT bucket, count(*) AS n, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v FROM (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |              WHEN o_totalprice >= 600000 THEN 21
+        |              ELSE CAST(floor((o_totalprice - 0) / 30000.0) AS INT) + 1 END AS bucket,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n, round(sum("value"), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q23_asof_join" ->
+      """WITH ord AS (
+        |  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, round(o.o_totalprice, 2) AS matched_price
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Text analysis, deduplication and similarity-search queries
+  * (SURVEY.md §2, q24–q35) over the `documents` and `embeddings`
+  * tables. Oracles exist where DuckDB can express the same semantics;
+  * LSH-based operators are rows-only checked (driver records the
+  * weaker check) and covered by ScalaTest instead.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q24: token counting — whitespace + BPE-ish subword proxy.
+    "q24_tokencount" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // q25: quality-score features, all in one projection.
+    "q25_textquality" -> ((s, dir) => {
+      val feats = TA.qualityFeatures(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // q26: heuristic language ID — per-language stopword hits + argmax.
+    "q26_langid" -> ((s, dir) => {
+      val hits = TA.stopwords.toSeq.sortBy(_._1).map { case (lg, ws) =>
+        TA.stopwordHits(col("text"), ws).as(s"${lg}_hits")
+      }
+      t(s, dir, "documents")
+        .select((col("doc_id") +: hits) :+ TA.langId(col("text")).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // q27: md5 document fingerprint of normalized text.
+    "q27_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // q28: top-50 word bigrams. explode → ONE count shuffle → top-k.
+    "q28_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TA.wordNgrams(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(50)),
+
+    // q29: exact dedup on normalized-text fingerprint (md5 variant for
+    // oracle parity; the engine path uses 8-byte xxhash64).
+    "q29_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TA.fingerprintMd5(col("text")).as("fingerprint"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
+        .orderBy("keeper_id")),
+
+    // q30: MinHash + LSH banding near-dup candidate pairs (rows-only:
+    // the permutation family is not SQL-portable).
+    "q30_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // q31: SimHash near-dup pairs via 16-bit band buckets + hamming.
+    "q31_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // q32: exact n-gram Jaccard verification of the LSH candidates.
+    "q32_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minhashLsh(docs, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.jaccardVerify(docs, candidates, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q33: embedding-cosine near-dup pairs within hyperplane buckets.
+    "q33_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDup(t(s, dir, "embeddings"), dim = 64,
+        threshold = 0.30, planes = 6)
+        .orderBy("id_a", "id_b")),
+
+    // q34: brute-force cosine top-k (exact ANN baseline) for a 10-probe
+    // set; probe side broadcast, corpus scanned once.
+    "q34_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBrute(emb, emb.where(col("vec_id") < 10), k = 10)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q35: LSH-bucketed approximate NN with multi-probe (rows-only:
+    // approximate recall is verified against brute force in ScalaTest).
+    "q35_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10, planes = 12)
+        .orderBy("probe_id", "rank")
+    }))
+
+  private val toksSql = """regexp_extract_all(text, '\S+')"""
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  private def hitsSql(lang: String): String = {
+    val words = TextQueries.wordsList(lang)
+    s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> list_contains([$words], x)))"
+  }
+  private def wordsList(lang: String): String =
+    graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "q24_tokencount" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_textquality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_obs,
+         |  len($toksSql) AS n_tokens,
+         |  round(list_sum(list_transform($toksSql, x -> length(x)))::DOUBLE
+         |        / nullif(len($toksSql)::DOUBLE, 0), 4) AS mean_word_len,
+         |  round((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
+         |        / nullif(length(text)::DOUBLE, 0), 4) AS punct_ratio,
+         |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |        / nullif(length(text)::DOUBLE, 0), 4) AS digit_ratio,
+         |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+         |        / nullif(length(text)::DOUBLE, 0), 4) AS upper_ratio,
+         |  round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE
+         |        / nullif(length(text)::DOUBLE, 0), 4) AS space_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_langid" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${hitsSql("de")} AS de_hits,
+         |    ${hitsSql("en")} AS en_hits,
+         |    ${hitsSql("es")} AS es_hits,
+         |    ${hitsSql("fr")} AS fr_hits,
+         |    ${hitsSql("pt")} AS pt_hits
+         |  FROM documents),
+         |b AS (SELECT *, list_max([
+         |    {'hits': de_hits, 'lang': 'de'}, {'hits': en_hits, 'lang': 'en'},
+         |    {'hits': es_hits, 'lang': 'es'}, {'hits': fr_hits, 'lang': 'fr'},
+         |    {'hits': pt_hits, 'lang': 'pt'}]) AS best FROM h)
+         |SELECT doc_id, de_hits, en_hits, es_hits, fr_hits, pt_hits,
+         |  CASE WHEN struct_extract(best, 'hits') > 0
+         |       THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q27_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_ngrams" ->
+      s"""WITH toks AS (SELECT regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |grams AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram FROM toks)
+         |SELECT gram, count(*) AS cnt FROM grams GROUP BY 1
+         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    "q29_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "q34_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT probe_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / nullif(sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * pv[i]::DOUBLE)))
+        |             * sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 0), 4) AS sim
+        |  FROM probes, e WHERE probe_id <> e.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents of the batch operators — the same
+  * `events(event_id, ts, user_id, event_type, value)` schema consumed
+  * as an unbounded stream (`readStream` file source, MemoryStream in
+  * tests).
+  *
+  * All operators are watermark-bounded so state is evictable — the
+  * difference between a stream job that runs forever at 100 TB/day and
+  * one whose state store grows without bound.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds both
+    * late data and state retention.
+    */
+  def tumblingStats(events: DataFrame, windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Exactly-once-style dedup on event_id within the watermark horizon
+    * (drune has no streaming story; this is the streaming face of
+    * Dedup.exact).
+    */
+  def dedupByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int)
+  final case class SessionState(seq: Int, lastSec: Long)
+
+  /** Stateful sessionization via mapGroupsWithState: per-user session
+    * counter that increments when the gap exceeds `gapSeconds`.
+    * ProcessingTimeTimeout + explicit state removal keeps per-key state
+    * O(1). Batch equivalent: operators.Relational.sessionize.
+    */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+            val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              val sec = e.ts.getTime / 1000
+              st = if (st.lastSec == Long.MinValue || sec - st.lastSec > gapSeconds)
+                SessionState(st.seq + 1, sec)
+              else SessionState(st.seq, sec)
+              SessionAssignment(user, e.event_id, st.seq)
+            }
+            state.update(st)
+            state.setTimeoutDuration(gapSeconds * 2 * 1000)
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("exact dedup: constructed duplicates collapse to one keeper") {
+    val dups = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(dups).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.8).collect()
+    assert(pairs.length >= 10, s"expected >=10 near-dup pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("est_jaccard") >= 0.8))
+  }
+
+  test("jaccard verify agrees with minhash estimate on candidates") {
+    val cands = Dedup.minhashLsh(docs, threshold = 0.5)
+    val verified = Dedup.jaccardVerify(docs, cands, threshold = 0.9)
+    assert(verified.count() >= 10)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+    assert(pairs.count() >= 5)
+  }
+}
+
+class SimilaritySuite extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("cosine: orthogonal and identical vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(-1f, -1f), -1.0)).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("knn brute: k rows per probe, ranks contiguous, sims descending") {
+    val out = Similarity.knnBrute(emb, emb.where(col("vec_id") < 5), k = 7).collect()
+    assert(out.length == 35)
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 7))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("ann lsh achieves reasonable recall vs brute force") {
+    val probes = emb.where(col("vec_id") < 20)
+    val brute = Similarity.knnBrute(emb, probes, k = 10).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = Similarity.annLsh(emb, probes, dim = 64, k = 10, planes = 12).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall too low for multi-probe LSH")
+  }
+}
+
+class RelationalSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: picks most recent right row at or before left time") {
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 09:00:00"), 50.0)).toDF("key", "qts", "price")
+    val trades = Seq((1L, ts("2024-01-01 10:30:00"), "t1"),
+      (1L, ts("2024-01-01 11:00:00"), "t2"), // equal instant → inclusive
+      (1L, ts("2024-01-01 09:00:00"), "t0"), // before any quote
+      (3L, ts("2024-01-01 12:00:00"), "t3")).toDF("key", "ts", "trade")
+    val out = Relational.asOf(trades, quotes, "key", "ts", "qts", Seq("price"))
+      .collect().map(r => r.getAs[String]("trade") -> Option(r.getAs[Any]("price"))).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("t2").contains(110.0))
+    assert(out("t0").isEmpty)
+    assert(out("t3").isEmpty)
+  }
+
+  test("sessionize: gap splits sessions, ordering deterministic") {
+    val ev = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),
+      (3L, 10L, ts("2024-01-01 11:30:00")),
+      (4L, 11L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val out = Relational.sessionize(ev, gapSeconds = 1800).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+    assert(out(1L) == 1 && out(2L) == 1 && out(3L) == 2 && out(4L) == 1)
+  }
+
+  test("upsert: source wins, base survives") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val src = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val out = Relational.upsert(base, src, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+  }
+
+  test("histogram: bounds and overflow buckets") {
+    val df = Seq(-1.0, 0.0, 5.0, 9.9, 10.0, 99.0).toDF("v")
+    val out = Relational.histogram(df, "v", 0, 10, 2).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(out(0) == 1) // -1 underflow
+    assert(out(1) == 2) // 0, 5 → [0,5)
+    assert(out(2) == 1) // 9.9
+    assert(out(3) == 2) // 10, 99 overflow
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
+
+class TextSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting and normalization") {
+    val df = Seq("  Héllo   WORLD  x1  ", "").toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.normalize(col("text")).as("norm")).collect()
+    assert(out(0).getAs[Int]("n") == 3)
+    assert(out(0).getAs[String]("norm") == "héllo world x1")
+    assert(out(1).getAs[Int]("n") == 0)
+  }
+
+  test("langId: picks dominant stopword language") {
+    val df = Seq("the cat and the dog is in the house",
+      "der Hund ist nicht ein Katze und das Haus",
+      "xyzzy plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("shingles + fingerprints stable under whitespace noise") {
+    val df = Seq(("a b  c", "a b c")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("eq"),
+      (TextAnalysis.shingleHashes(col("t1"), 3) === TextAnalysis.shingleHashes(col("t2"), 3)).as("sh")).collect()
+    assert(r(0).getBoolean(0) && r(0).getBoolean(1))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.quality._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class PipelineSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def customers = Seq(
+    (1L, "  Ann ", "BUILDING", 10.5),
+    (2L, "bob", "AUTO", -3.0),
+    (3L, null, "BUILDING", 7.0)
+  ).toDF("id", "name", "segment", "balance")
+
+  test("transform: rename, expression, cast, optional, hash_key in one projection") {
+    val t = Transform(Seq(
+      ColumnSpec("customer_id", from = Some("id"), dataType = Some("bigint")),
+      ColumnSpec("customer_name", from = Some("name"), expression = Some("upper(trim({col}))")),
+      ColumnSpec("tier", optional = true, dataType = Some("string")),
+      ColumnSpec("balance", dataType = Some("int"), tryCast = true)),
+      primaryKey = Seq("customer_id"), addControlColumns = true)
+    val out = Pipeline.transform(customers, t)
+    assert(out.columns.toSeq == Seq("customer_id", "customer_name", "tier", "balance", "hash_key", "updated_at"))
+    val r = out.orderBy("customer_id").collect()
+    assert(r(0).getAs[String]("customer_name") == "ANN")
+    assert(r(0).isNullAt(r(0).fieldIndex("tier")))
+    assert(r(2).isNullAt(r(2).fieldIndex("customer_name"))) // null propagates
+    assert(r(0).getAs[String]("hash_key").length == 64)
+  }
+
+  test("transform: missing required column throws; missing optional is null") {
+    val bad = Transform(Seq(ColumnSpec("nope", from = Some("missing"))))
+    intercept[IllegalArgumentException](Pipeline.transform(customers, bad))
+    val ok = Pipeline.transform(customers,
+      Transform(Seq(ColumnSpec("maybe", from = Some("missing"), optional = true))))
+    assert(ok.where(col("maybe").isNull).count() == 3)
+  }
+
+  test("filter/join/pivot/sql steps run as one lazy plan") {
+    customers.createOrReplaceTempView("cust_src")
+    val ref = Seq(("BUILDING", "b"), ("AUTO", "a")).toDF("segment", "code")
+    ref.createOrReplaceTempView("seg_ref")
+    val p = Pipeline(spark, PipelineSpec("steps", Seq(SqlSource("c", "SELECT * FROM cust_src")), Nil))
+    val joined = p.applyStep(p.applyStep(spark.table("cust_src"), Filter("balance > 0")),
+      Join("seg_ref", on = Seq("segment"), broadcastOther = true))
+    assert(joined.count() == 2)
+    val piv = p.applyStep(customers, Pivot(Seq("segment"), "name", "balance", "sum", Seq("bob")))
+    assert(piv.columns.contains("bob"))
+  }
+
+  test("validate step: fail action aborts the pipeline") {
+    val cc = Seq(ColumnConstraints("balance", Seq(Constraint(Gte(0.0), FailAction))))
+    val res = Validator.validate(customers, "p", cc)
+    intercept[ValidationException](Validator.enforce(res))
+  }
+
+  test("writer: overwrite + append + upsert merge round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w").toString + "/t"
+    Writer.write(spark, customers, SinkSpec(dir, mode = Overwrite))
+    Writer.write(spark, customers.where("id = 1"), SinkSpec(dir, mode = Append))
+    assert(spark.read.parquet(dir).count() == 4)
+
+    // upsert: id 1 corrected, id 9 new (keyed on hash_key)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("hash_key", sha2(col("id").cast("string"), 256))
+        .withColumn("updated_at", current_timestamp())
+    Writer.write(spark, keyed(customers), SinkSpec(dir, mode = Overwrite))
+    val src = keyed(Seq((1L, "ann2", "BUILDING", 99.0), (9L, "new", "AUTO", 1.0))
+      .toDF("id", "name", "segment", "balance"))
+    Writer.write(spark, src, SinkSpec(dir, mode = MergeUpsert))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 4)
+    assert(out.where("id = 1").select("name").as[String].head() == "ann2")
+  }
+
+  test("writer: scd2 expires changed rows and versions them") {
+    val t0 = lit("2024-01-01").cast("timestamp")
+    val t1 = lit("2024-02-01").cast("timestamp")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.dataHash(df.withColumn("hash_key", sha2(col("id").cast("string"), 256)),
+        Seq("balance"))
+    val base = keyed(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "balance"))
+      .withColumn("is_current", lit(true)).withColumn("start_date", t0)
+      .withColumn("end_date", lit(null).cast("timestamp"))
+    val src = keyed(Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("id", "balance"))
+    val out = Scd2Merge(spark, src, Some(base), Seq("balance"), now = t1)
+    // id1: expired + new current; id2 unchanged; id3 brand new
+    assert(out.count() == 4)
+    assert(out.where("id = 1 AND is_current").select("balance").as[Double].head() == 11.0)
+    assert(out.where("id = 1 AND NOT is_current").count() == 1)
+    assert(out.where("id = 3 AND is_current").count() == 1)
+    // idempotent: re-merging same source changes nothing
+    val again = Scd2Merge(spark, src, Some(out), Seq("balance"), now = t1)
+    assert(again.count() == 4)
+  }
+}

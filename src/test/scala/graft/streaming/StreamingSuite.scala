@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSuite extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling stats over a memory stream honors windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStreams.Ev(2, ts("2024-01-01 10:55:00"), 1, "click", 2.0),
+      EventStreams.Ev(3, ts("2024-01-01 11:05:00"), 2, "view", 5.0))
+    val q = EventStreams.tumblingStats(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString, r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "click")) == 2)
+      assert(rows(("2024-01-01 11:00:00.0", "view")) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreams.Ev(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0),
+      EventStreams.Ev(2, ts("2024-01-01 10:00:02"), 1, "view", 2.0))
+    val q = EventStreams.dedupByKey(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize assigns increasing session ids per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 7, "a", 0),
+      EventStreams.Ev(2, ts("2024-01-01 10:10:00"), 7, "a", 0),
+      EventStreams.Ev(3, ts("2024-01-01 12:00:00"), 7, "a", 0))
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val m = spark.table("sess_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("session_seq")).toMap
+      assert(m(1L) == 1 && m(2L) == 1 && m(3L) == 2)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSuite extends SparkSpec {
+
+  test("decode stub: deterministic features, bytes pruned from output") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val a = Multimodal.decodeStub(assets, dim = 8)
+    val b = Multimodal.decodeStub(assets, dim = 8)
+    assert(!a.columns.contains("bytes"))
+    val fa = a.orderBy("asset_id").collect().map(_.getAs[Seq[Float]]("features"))
+    val fb = b.orderBy("asset_id").collect().map(_.getAs[Seq[Float]]("features"))
+    assert(fa.zip(fb).forall { case (x, y) => x == y })
+    assert(fa.forall(_.length == 8))
+  }
+
+  test("resize plan caps the long side, preserves aspect") {
+    val out = Multimodal.resizePlan(Multimodal.syntheticAssets(spark, 10), 256).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("target_width") <= 256 || r.getAs[Int]("target_height") <= 256)
+      assert(math.max(r.getAs[Int]("target_width"), r.getAs[Int]("target_height")) <= 256)
+    }
+  }
+
+  test("frame sampling: bounded rows per video") {
+    val vids = Multimodal.syntheticAssets(spark, 9).where(col("modality") === "video")
+    val frames = Multimodal.frameSamplePlan(vids, everyMs = 500)
+    val n = frames.groupBy("asset_id").count().collect()
+    assert(n.nonEmpty)
+    n.foreach(r => assert(r.getAs[Long]("count") >= 1))
+  }
+}
