@@ -241,6 +241,18 @@ object RelationalQueries {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("hour", "event_type")),
 
+    // q36: semi-structured extraction — JSON props field to typed
+    // column, aggregated. get_json_object is codegen'd (Jackson under
+    // the hood), no UDF.
+    "q36_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
     // q23: as-of join — most recent order ≤ event time per user; ONE
     // shuffle via union+window, no range join.
     "q23_asof_join" -> ((s, dir) => {
@@ -424,6 +436,12 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, round(sum("value"), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH ord AS (

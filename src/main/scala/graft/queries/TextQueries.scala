@@ -102,7 +102,7 @@ object TextQueries {
     // approximate recall is verified against brute force in ScalaTest).
     "q35_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10, planes = 12)
+      Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10, planes = 8)
         .orderBy("probe_id", "rank")
     }))
 

@@ -36,17 +36,21 @@ object EventStreams {
   final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int)
   final case class SessionState(seq: Int, lastSec: Long)
 
-  /** Stateful sessionization via mapGroupsWithState: per-user session
-    * counter that increments when the gap exceeds `gapSeconds`.
-    * ProcessingTimeTimeout + explicit state removal keeps per-key state
-    * O(1). Batch equivalent: operators.Relational.sessionize.
+  /** Stateful sessionization via flatMapGroupsWithState: per-user
+    * session counter that increments when the gap exceeds `gapSeconds`.
+    * EventTimeTimeout bound to the watermark evicts idle users' state —
+    * a ProcessingTimeTimeout here would schedule micro-batches
+    * continuously (and unbounded state would OOM a long-running job).
+    * Batch equivalent: operators.Relational.sessionize.
     */
-  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionAssignment] = {
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800,
+                 watermark: String = "2 hours"): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAssignment](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, evs, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -59,7 +63,8 @@ object EventStreams {
               SessionAssignment(user, e.event_id, st.seq)
             }
             state.update(st)
-            state.setTimeoutDuration(gapSeconds * 2 * 1000)
+            // Evict once the watermark passes the session-close horizon.
+            state.setTimeoutTimestamp(st.lastSec * 1000 + gapSeconds * 2 * 1000)
             out.iterator
           }
       }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 class StreamingSuite extends SparkSpec {
@@ -70,8 +70,8 @@ class MultimodalSuite extends SparkSpec {
     val a = Multimodal.decodeStub(assets, dim = 8)
     val b = Multimodal.decodeStub(assets, dim = 8)
     assert(!a.columns.contains("bytes"))
-    val fa = a.orderBy("asset_id").collect().map(_.getAs[Seq[Float]]("features"))
-    val fb = b.orderBy("asset_id").collect().map(_.getAs[Seq[Float]]("features"))
+    val fa = a.orderBy("asset_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")).toList)
+    val fb = b.orderBy("asset_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")).toList)
     assert(fa.zip(fb).forall { case (x, y) => x == y })
     assert(fa.forall(_.length == 8))
   }
