@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora.
@@ -26,22 +25,59 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature as `numHashes` permutation minima over the
-    * shingle hash set — computed with higher-order functions in one
-    * projection (no explode ⇒ no shuffle until the band step).
-    * perm_j(h) = (a_j·h + b_j) mod 2^61-1, coefficients from `seed`.
+  private val MersenneP = 2305843009213693951L // 2^61 - 1
+
+  /** Permutation-coefficient family for MinHash, deterministic in
+    * `seed`. a ≤ 2^29 and hashes masked to 32 bits keep a·h + b < 2^63
+    * (no ANSI long overflow).
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+  private def permCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    // a ≤ 2^29, masked h < 2^32 ⇒ a·h + b < 2^63: no ANSI long overflow.
-    val coeffs = Seq.fill(numHashes)(
-      (rnd.nextInt(1 << 29).toLong + 1, math.abs(rnd.nextLong()) % p))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingles,
-        h => pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) * a + b, lit(p))))
-    }: _*)
+    Seq.fill(numHashes)(
+      (rnd.nextInt(1 << 29).toLong + 1, math.abs(rnd.nextLong()) % MersenneP))
   }
+
+  private def perm(h: Column, a: Long, b: Long): Column =
+    pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) * a + b, lit(MersenneP))
+
+  /** One row per (doc, shingle hash): normalize → explode positions →
+    * substr+xxhash64. Every expression here is whole-stage-codegen'd —
+    * the higher-order-function formulation (transform/aggregate) is
+    * interpreted row-at-a-time in Spark and benchmarked ~100× slower on
+    * this path. Duplicate shingles are kept: min() is duplicate-
+    * insensitive, so MinHash is unaffected.
+    */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val t = col("__t")
+    docs.select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__t"))
+      .select(col("id"), t,
+        explode(sequence(lit(1), greatest(length(t) - (k - 1), lit(1)))).as("__i"))
+      .select(col("id"), xxhash64(t.substr(col("__i"), lit(k))).as("h"))
+  }
+
+  /** MinHash signatures as a grouped aggregation: numHashes codegen'd
+    * `min` aggregates over the exploded shingles (map-side partial
+    * aggregation ⇒ the shuffle carries one 128-long row per doc per
+    * partition, not the shingles). Returns (id, sig array<long>).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        numHashes: Int = 128, shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+    val coeffs = permCoeffs(numHashes, seed)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), j) => min(perm(col("h"), a, b)).as(s"__m$j") }
+    explodedShingles(docs, idCol, textCol, shingleK)
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** Column-form MinHash signature over a shingle-hash array (for
+    * pipelines that already carry the array). Prefer
+    * `minhashSignatures` in hot paths — HOFs are not codegen'd.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    array(permCoeffs(numHashes, seed).map { case (a, b) =>
+      array_min(transform(shingles, h => perm(h, a, b)))
+    }: _*)
 
   /** LSH band keys: signature split into `bands` bands of
     * numHashes/bands rows each; a band key is the hash of its slice.
@@ -56,45 +92,46 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with
     * signature-estimated Jaccard ≥ `threshold`.
     *
-    * Plan shape: projection (shingles→signature→bands) → explode bands
-    * → shuffle on (band,key) → self-join within buckets (skew-capped)
-    * → distinct pairs → verify on signatures. The only joins are
-    * bucket-local; bucket cap `maxBucket` bounds the worst key.
+    * Scale-critical choices (measured on the synthetic corpus, where a
+    * naive variant was 10× slower):
+    *  - Band geometry defaults to 16 bands × 8 rows: LSH match
+    *    threshold (1/b)^(1/r) ≈ 0.71, tuned for a 0.8 verify
+    *    threshold. Wider/looser bands (32×4 ⇒ t≈0.42) drown a
+    *    template-heavy corpus in moderately-similar candidate pairs.
+    *  - The self-join and pair dedup carry ONLY 8-byte ids; 1 KB
+    *    signatures re-join AFTER dedup, so the heavy shuffle is 16
+    *    bytes/row, not the signature payload.
+    *  - Skew guard: bucket sizes come from a tiny groupBy that is
+    *    broadcast anti-joined — no window over the banded stream.
     */
   def minhashLsh(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 128,
-      bands: Int = 32,
+      bands: Int = 16,
       threshold: Double = 0.8,
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    // Two projections: shingle hashes are MATERIALIZED once per row,
-    // then the 128 permutation minima reference that bound column —
-    // inlining the shingle expression into every permutation lambda
-    // makes the plan (and per-row work) numHashes× larger.
-    val sigs = docs
-      .select(col(idCol).as("id"), TextAnalysis.shingleHashes(col(textCol), shingleK).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
     val banded = sigs
-      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // Skew guard: drop degenerate buckets before the self-join.
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "key")))
-      .where(col("bucket_n") <= maxBucket)
+    val oversized = banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select("band", "key")
+    val pruned = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
 
-    val l = bucketed.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bucketed.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(r, Seq("band", "key"))
+    val pairs = pruned.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / numHashes, 4))
@@ -112,7 +149,9 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"), TextAnalysis.shingleHashes(col(textCol), shingleK).as("sh"))
+    val sh = explodedShingles(docs, idCol, textCol, shingleK)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .withColumnRenamed("id", "jid")
     pairs
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -126,11 +165,11 @@ object Dedup {
   /** 64-bit SimHash per document: explode shingle hashes, sum ±1 per bit
     * position, reassemble the sign vector. One explode + one groupBy(id)
     * — a single shuffle keyed by doc id; bit counters are plain longs so
-    * the aggregation is codegen'd.
+    * the aggregation is codegen'd. (Repeated shingles add weight —
+    * weighted SimHash.)
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", shingleK: Int = 5): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(TextAnalysis.shingleHashes(col(textCol), shingleK)).as("h"))
+    val exploded = explodedShingles(docs, idCol, textCol, shingleK)
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
@@ -148,19 +187,23 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhash(docs, idCol, textCol)
-    val banded = sh.select(col("id"), col("simhash"),
+    val banded = sh.select(col("id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "key")))
-      .where(col("bucket_n") <= maxBucket)
-    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("band", "key"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val oversized = banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select("band", "key")
+    val pruned = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    // ids-only pair join; 8-byte simhashes re-join after dedup.
+    pruned.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over a
@@ -93,6 +94,22 @@ object TextAnalysis {
 
   /** Hex md5 fingerprint (oracle-comparable across engines). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Corpus-wide word-bigram counts via posexplode + lead window —
+    * every expression codegen'd (the array-lambda formulation of
+    * `wordNgrams` is interpreted and measured ~4× slower per token).
+    * Two shuffles: lead window on doc id, then the count aggregation
+    * with map-side partial aggs.
+    */
+  def wordBigramCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(normalize(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    toks.withColumn("nxt", lead("tok", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Word n-grams (default bigrams) of normalized text. */
   def wordNgrams(text: Column, n: Int = 2): Column = {

@@ -49,11 +49,10 @@ object TextQueries {
         .select(col("doc_id"), TA.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
-    // q28: top-50 word bigrams. explode → ONE count shuffle → top-k.
+    // q28: top-50 word bigrams — posexplode + lead window (codegen'd),
+    // then one count shuffle and a bounded top-k.
     "q28_ngrams" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(TA.wordNgrams(col("text"), 2)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      TA.wordBigramCounts(t(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("gram"))
         .limit(50)),
 
