@@ -114,6 +114,12 @@ object Dedup {
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // The signature table feeds the band explode, the skew check and
+    // both verify joins. No persist: the repeated subtrees share the
+    // aggregation's shuffle files across jobs (measured faster than a
+    // MEMORY_AND_DISK cache, which costs a full materialization and
+    // breaks operator pipelining). At warehouse scale the signature
+    // table would be checkpointed storage instead.
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
@@ -149,10 +155,21 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, shingleK)
+    // The candidate pair set is tiny (LSH construction) but its lineage
+    // is the whole LSH pipeline — persist it so the three references
+    // below (id extraction + both shingle joins) don't re-execute
+    // candidate generation.
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only docs that appear in a candidate pair need shingle SETS —
+    // semi-join first so the collect_set aggregation runs over the
+    // candidate subset, not the corpus.
+    val candIds = cached.select(col("id_a").as(idCol))
+      .unionByName(cached.select(col("id_b").as(idCol))).distinct()
+    val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val sh = explodedShingles(candDocs, idCol, textCol, shingleK)
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
       .withColumnRenamed("id", "jid")
-    pairs
+    cached
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn("jaccard",

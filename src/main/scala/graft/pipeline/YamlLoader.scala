@@ -32,13 +32,11 @@ object YamlLoader {
     // drune puts the silver column spec under sources[i].schema.columns;
     // surface the first source's columns as an implicit Transform step
     // when no explicit transform step exists.
-    val srcColumns = root.get("sources").toSeq.flatMap(asList).headOption
-      .map(asMap).flatMap(m => Option(m.get("schema")).map(s => asMap(s)))
-      .flatMap(s => Option(s.get("columns")).map(asList))
+    val schemaSpec = root.get("sources").toSeq.flatMap(asList).headOption
+      .map(asMap).flatMap(_.get("schema")).map(asMap)
+    val srcColumns = schemaSpec.flatMap(_.get("columns")).map(asList)
       .map(_.map(c => parseColumn(asMap(c)))).getOrElse(Nil)
-    val pk = root.get("sources").toSeq.flatMap(asList).headOption
-      .map(asMap).flatMap(m => Option(m.get("schema")).map(asMap))
-      .flatMap(s => Option(s.get("primary_key")).map(asList))
+    val pk = schemaSpec.flatMap(_.get("primary_key")).map(asList)
       .map(_.map(_.toString)).getOrElse(Nil)
 
     val implicitSteps =
