@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDotProduct}
+
+/** Column facade over graft's native vector expressions
+  * (org.apache.spark.sql.graftbridge.FloatDotProduct — codegen'd
+  * primitive loops instead of interpreted higher-order functions).
+  */
+object VectorFunctions {
+
+  /** Codegen'd dot product of two `array<float>` columns (double). */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2normF(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Codegen'd cosine similarity for `array<float>` columns. */
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / nullif(l2normF(a) * l2normF(b), lit(0.0))
+}

@@ -115,11 +115,11 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // The signature table feeds the band explode, the skew check and
-    // both verify joins. No persist: the repeated subtrees share the
-    // aggregation's shuffle files across jobs (measured faster than a
-    // MEMORY_AND_DISK cache, which costs a full materialization and
-    // breaks operator pipelining). At warehouse scale the signature
-    // table would be checkpointed storage instead.
+    // both verify joins. Deliberately NOT persisted: the repeated
+    // subtrees share the aggregation's shuffle files across jobs, and a
+    // MEMORY_AND_DISK cache measured slower both times it was tried
+    // (materialization barrier + lost pipelining). At warehouse scale
+    // the signature table would be checkpointed storage instead.
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))

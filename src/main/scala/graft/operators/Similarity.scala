@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Vector math uses Spark higher-order functions (`zip_with` /
-  * `aggregate`) in double precision — codegen'd expressions, no UDF
-  * serialization, deterministic left-to-right summation (which the
-  * DuckDB oracle can reproduce exactly).
+  * Vector math goes through graft's native Catalyst expression
+  * (functions.FloatDotProduct): whole-stage-codegen'd primitive loops,
+  * no UDF serialization, no interpreted higher-order functions, and
+  * deterministic left-to-right double summation (which the DuckDB
+  * oracle reproduces exactly).
   *
   * Scale shape: the probe set is always the broadcast side; the corpus
   * is scanned once. Top-k is taken per (probe, partition) implicitly by
@@ -19,9 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotF(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -58,7 +57,7 @@ object Similarity {
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planeCols = (0 until planes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+      array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)
     }
     planeCols.zipWithIndex.map { case (plane, i) =>
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
