@@ -23,8 +23,13 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
     val loaded = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     spec.sources.foreach { src =>
       val df = src match {
-        case FileSource(_, path, format, options) =>
-          spark.read.format(format).options(options).load(path)
+        case FileSource(name, path, format, options, expected) =>
+          val d = spark.read.format(format).options(options).load(path)
+          expected.foreach { n =>
+            require(d.columns.length == n,
+              s"source '$name': read ${d.columns.length} columns, expected $n — check the delimiter/options")
+          }
+          d
         case TableSource(_, table) => spark.table(table)
         case SqlSource(_, sql)     => spark.sql(sql)
       }
@@ -64,10 +69,12 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       val out = spark.sql(sql)
       if (viewName.nonEmpty) out.createOrReplaceTempView(viewName)
       out
-    case Validate(columns, tableRules) =>
+    case Validate(columns, tableRules, logPath) =>
       val specs = columns.filter(_.constraints.nonEmpty)
         .map(c => ColumnConstraints(c.name, c.constraints))
       val res = Validator.validate(df, spec.name, specs)
+      logPath.foreach(p =>
+        res.failureLog.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(p))
       Validator.enforce(res)
       tableRules.foreach { tr =>
         val bad = Validator.checkTable(res.valid, tr)

@@ -59,7 +59,8 @@ object YamlLoader {
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)
           .map { case (k, v) => k -> v.toString }
         FileSource(name, str(m, "path").getOrElse(""),
-          str(m, "format").getOrElse("parquet"), opts)
+          str(m, "format").getOrElse("parquet"), opts,
+          str(m, "expected_columns").map(_.toInt))
     }
   }
 

@@ -10,12 +10,16 @@ import graft.quality.{Constraint, TableRule}
   */
 
 sealed trait SourceSpec { def name: String }
-/** File source (pipeline_model.py SourceSpec type='file'). */
+/** File source (pipeline_model.py SourceSpec type='file');
+  * `expectedColumns` replicates reader.py:297-307's delimiter sanity
+  * check — fail fast when a mis-parsed CSV yields the wrong width.
+  */
 final case class FileSource(
     name: String,
     path: String,
     format: String = "parquet",
-    options: Map[String, String] = Map.empty) extends SourceSpec
+    options: Map[String, String] = Map.empty,
+    expectedColumns: Option[Int] = None) extends SourceSpec
 /** Catalog-table source (type='table'). */
 final case class TableSource(name: String, table: String) extends SourceSpec
 /** SQL source (type='sql') — runs against already-registered views. */
@@ -98,7 +102,9 @@ final case class Sql(sql: String, viewName: String = "") extends Step
   */
 final case class Validate(
     columns: Seq[ColumnSpec] = Nil,
-    tableRules: Seq[TableRule] = Nil) extends Step
+    tableRules: Seq[TableRule] = Nil,
+    /** Append warn-rule failures here (validator.py validation_log_table). */
+    logPath: Option[String] = None) extends Step
 
 final case class PipelineSpec(
     name: String,

@@ -50,6 +50,32 @@ class PipelineSuite extends SparkSpec {
     assert(piv.columns.contains("bob"))
   }
 
+  test("expected-columns source check fails fast on width mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ec")
+    val csv = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(csv, "a,b,c\n1,2,3\n")
+    val ok = PipelineSpec("ec", Seq(FileSource("d", csv.toString, "csv",
+      Map("header" -> "true"), expectedColumns = Some(3))), Nil)
+    assert(Pipeline(spark, ok).run().columns.length == 3)
+    val bad = PipelineSpec("ec", Seq(FileSource("d", csv.toString, "csv",
+      Map("header" -> "true"), expectedColumns = Some(5))), Nil)
+    intercept[IllegalArgumentException](Pipeline(spark, bad).run())
+  }
+
+  test("validate step writes the warn failure log to the configured path") {
+    customers.createOrReplaceTempView("cust_log_src")
+    val logDir = java.nio.file.Files.createTempDirectory("graft_vlog").toString + "/log"
+    val spec = PipelineSpec("logged",
+      Seq(SqlSource("c", "SELECT * FROM cust_log_src")),
+      Seq(Validate(
+        Seq(ColumnSpec("balance", constraints = Seq(Constraint(Gte(0.0), WarnAction)))),
+        logPath = Some(logDir))))
+    Pipeline(spark, spec).run()
+    val log = spark.read.parquet(logDir)
+    assert(log.count() == 1)
+    assert(log.select("failed_column").head().getString(0) == "balance")
+  }
+
   test("validate step: fail action aborts the pipeline") {
     val cc = Seq(ColumnConstraints("balance", Seq(Constraint(Gte(0.0), FailAction))))
     val res = Validator.validate(customers, "p", cc)
