@@ -111,6 +111,27 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Top-k TF-IDF terms per document: token explode → (doc, token) tf
+    * → token document-frequency → score = tf · ln(N/df) → per-doc rank
+    * window. Ranking uses the ROUNDED score (+token tiebreak) so the
+    * ordering is reproducible across engines/libm implementations. Two
+    * aggregations + one window, all keyed shuffles; the corpus size N
+    * rides along as a broadcast one-row cross join (no driver action).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(normalize(col(textCol)))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("dfc")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("tok"))))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("tok"), col("score"))
+  }
+
   /** Word n-grams (default bigrams) of normalized text. */
   def wordNgrams(text: Column, n: Int = 2): Column = {
     val toks = tokens(normalize(text))

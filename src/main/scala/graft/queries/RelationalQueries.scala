@@ -214,12 +214,12 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
-    // q19: anti join — customers with no orders.
+    // q19: anti join — orders with no lineitems (orphan detection).
     "q19_antijoin" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey")),
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")),
 
     // q20: sessionization — 30 min gap splits sessions.
     "q20_sessionize" -> ((s, dir) =>
@@ -410,9 +410,9 @@ object RelationalQueries {
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
     "q19_antijoin" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q20_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, ts,

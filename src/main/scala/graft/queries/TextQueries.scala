@@ -56,6 +56,12 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("gram"))
         .limit(50)),
 
+    // q37: top-3 TF-IDF terms per document.
+    "q37_tfidf" -> ((s, dir) =>
+      TA.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+
     // q29: exact dedup on normalized-text fingerprint (md5 variant for
     // oracle parity; the engine path uses 8-byte xxhash64).
     "q29_dedup_exact" -> ((s, dir) =>
@@ -167,6 +173,22 @@ object TextQueries {
     "q29_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "q37_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all($normSql, '\\S+')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.tok AS tok, round(tf * ln(n.n::DOUBLE / dfc), 4) AS score
+         |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, tok, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "q34_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
