@@ -125,14 +125,17 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val oversized = banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket).select("band", "key")
-    val pruned = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
-
-    val pairs = pruned.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+    // Pairs WITHOUT a self-join: one aggregation collects each bucket's
+    // member ids (skew guard = size filter on the bucket array), then a
+    // double explode emits the in-bucket combinations. The banded
+    // stream — and the signature subtree under it — is executed once
+    // here instead of three times (skew-check + both join sides).
+    val buckets = banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     pairs
@@ -210,14 +213,13 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val oversized = banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket).select("band", "key")
-    val pruned = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
-    // ids-only pair join; 8-byte simhashes re-join after dedup.
-    pruned.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+    // Same no-self-join pair generation as minhashLsh: bucket member
+    // lists + double explode; 8-byte simhashes re-join after dedup.
+    banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
       .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
