@@ -19,8 +19,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def cell(v):
+    # Floats get a type-marking suffix so an int64 Spark column never
+    # hash-matches a float64 oracle column (DuckDB sum() is HUGEINT →
+    # pandas float64; %.6g alone made 1 and 1.0 collide in round 1).
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return f"{v:.6g}f"
     return str(v)
 
 def df_hash(df: pd.DataFrame) -> str:

@@ -15,7 +15,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Print the bare line AND persist it: under sbt every stdout line is
+    // prefixed with "[info] ", which left round 1's bench unparseable.
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

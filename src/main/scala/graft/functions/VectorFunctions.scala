@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDotProduct}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDotProduct, LongArrayMatchCount}
 
 /** Column facade over graft's native vector expressions
   * (org.apache.spark.sql.graftbridge.FloatDotProduct — codegen'd
@@ -19,4 +19,10 @@ object VectorFunctions {
   /** Codegen'd cosine similarity for `array<float>` columns. */
   def cosineF(a: Column, b: Column): Column =
     dotF(a, b) / nullif(l2normF(a) * l2normF(b), lit(0.0))
+
+  /** Codegen'd count of positions where two `array<long>` columns agree
+    * (MinHash signature-agreement kernel).
+    */
+  def matchCountL(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

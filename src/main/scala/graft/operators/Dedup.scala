@@ -89,6 +89,33 @@ object Dedup {
         xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("key"))
     }): _*)
 
+  /** Candidate pairs from a bucketed stream `(bucket cols..., id)` —
+    * the shared LSH pair generator (MinHash bands, SimHash bands,
+    * hyperplane tables).
+    *
+    * No self-join: each bucket's member ids are collected once and a
+    * double explode emits the in-bucket combinations, so the heavy
+    * stream is aggregated a single time and only 8-byte ids shuffle.
+    * Skew guard runs BEFORE the collect: bucket sizes come from a tiny
+    * groupBy-count (16-byte rows, map-side combined) whose oversized
+    * keys are broadcast anti-joined away — a degenerate bucket (e.g.
+    * the empty document) never materializes a giant array in an
+    * aggregation buffer, which matters at 100 TB where one hot bucket
+    * can hold millions of members.
+    */
+  def bucketPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val oversized = banded.groupBy(keys: _*).count()
+      .where(col("count") > maxBucket).drop("count")
+    banded.join(broadcast(oversized), bucketCols, "left_anti")
+      .groupBy(keys: _*).agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with
     * signature-estimated Jaccard ≥ `threshold`.
     *
@@ -114,13 +141,13 @@ object Dedup {
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    // The signature table feeds the band explode, the skew check and
-    // both verify joins. Deliberately NOT persisted: the repeated
-    // subtrees share the aggregation's shuffle files across jobs, and a
-    // MEMORY_AND_DISK cache measured slower both times it was tried
-    // (materialization barrier + lost pipelining). At warehouse scale
-    // the signature table would be checkpointed storage instead.
+    // The signature table feeds the band explode and both verify joins
+    // (3 references). It is tiny (numHashes longs per doc) but its
+    // lineage — the exploded-shingle aggregation — is the most expensive
+    // subtree in the pipeline, so persist it; at warehouse scale it
+    // would be checkpointed storage instead.
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -141,8 +168,11 @@ object Dedup {
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      // Signature agreement via a codegen'd native expression — the
+      // zip_with/filter HOF formulation is interpreted per element and
+      // was the verify-stage bottleneck at high candidate volumes.
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+        round(graft.functions.VectorFunctions.matchCountL(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes, 4))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

@@ -419,8 +419,8 @@ object RelationalQueries {
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
         |x AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)
         |SELECT event_id, user_id,
-        |  sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM x ORDER BY user_id, event_id""".stripMargin,
 
     "q21_histogram" ->
@@ -439,7 +439,7 @@ object RelationalQueries {
 
     "q36_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -72,8 +72,11 @@ object TextQueries {
 
     // q30: MinHash + LSH banding near-dup candidate pairs (rows-only:
     // the permutation family is not SQL-portable).
+    // Band geometry stays at the tuned 16×8 default (LSH threshold
+    // ≈0.71): overriding to 32×4 (t≈0.42) blew candidate volume up
+    // ~1000× on this template-heavy corpus in round 1.
     "q30_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), numHashes = 128, bands = 32, threshold = 0.8)
+      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // q31: SimHash near-dup pairs via 16-bit band buckets + hamming.
@@ -84,7 +87,7 @@ object TextQueries {
     // q32: exact n-gram Jaccard verification of the LSH candidates.
     "q32_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val candidates = Dedup.minhashLsh(docs, numHashes = 128, bands = 32, threshold = 0.5)
+      val candidates = Dedup.minhashLsh(docs, threshold = 0.5)
       Dedup.jaccardVerify(docs, candidates, threshold = 0.7)
         .orderBy("id_a", "id_b")
     }),
