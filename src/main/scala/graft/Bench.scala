@@ -7,17 +7,26 @@ object Bench {
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A crashed query must be distinguishable from a fast one: record
+      // the exception class instead of silently timing the failure.
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Measurements must be independent: drop anything a query cached
+      // so no run pays (or profits from) a predecessor's memory.
+      spark.catalog.clearCache()
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Print the bare line AND persist it: under sbt every stdout line is
-    // prefixed with "[info] ", which left round 1's bench unparseable.
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The bare line goes to stdout (build.sbt routes forked output
+    // straight through, so no sbt "[info] " prefix) AND to a file.
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -25,6 +25,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Materialize `result` eagerly (local checkpoint: runs the job,
+    * caches only the — small — result rows, truncates lineage) and THEN
+    * release the temporary caches that fed it. Operators that persist
+    * an expensive intermediate use this so no MEMORY_AND_DISK cache
+    * outlives the operator call: in a long-lived session (or a 100 TB
+    * warehouse job) leaked caches accumulate until eviction thrash
+    * starves every later query. On a real cluster a reliable
+    * `checkpoint`/table write would replace the local checkpoint.
+    */
+  private[operators] def materializeAndRelease(result: DataFrame, temps: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    temps.foreach(_.unpersist(false))
+    out
+  }
+
   private val MersenneP = 2305843009213693951L // 2^61 - 1
 
   /** Permutation-coefficient family for MinHash, deterministic in
@@ -144,8 +159,9 @@ object Dedup {
     // The signature table feeds the band explode and both verify joins
     // (3 references). It is tiny (numHashes longs per doc) but its
     // lineage — the exploded-shingle aggregation — is the most expensive
-    // subtree in the pipeline, so persist it; at warehouse scale it
-    // would be checkpointed storage instead.
+    // subtree in the pipeline, so persist it FOR THE DURATION OF THIS
+    // CALL ONLY (released via materializeAndRelease below); at warehouse
+    // scale it would be checkpointed storage instead.
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
@@ -165,7 +181,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    val verified = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       // Signature agreement via a codegen'd native expression — the
@@ -176,10 +192,20 @@ object Dedup {
           .cast("double") / numHashes, 4))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    materializeAndRelease(verified, sigs)
   }
 
   /** Exact n-gram Jaccard verification for a candidate pair set —
     * used after LSH candidate generation (never on the cross product).
+    *
+    * The shingle sets are never materialized as per-doc arrays: Jaccard
+    * is computed on the EXPLODED (id, hash) stream — candidate pairs
+    * (tiny; broadcast) attach to the left doc's shingles, a keyed join
+    * on (id_b, hash) counts the shared hashes, and |A∪B| falls out of
+    * |A|+|B|−|A∩B| using per-doc distinct-shingle counts. Every shuffle
+    * row is two 8-byte longs; the multi-KB per-doc `collect_set` arrays
+    * a naive formulation ships through both joins (measured 5× slower
+    * and the dominant shuffle payload at scale) never exist.
     */
   def jaccardVerify(
       docs: DataFrame,
@@ -189,27 +215,35 @@ object Dedup {
       shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
     // The candidate pair set is tiny (LSH construction) but its lineage
-    // is the whole LSH pipeline — persist it so the three references
-    // below (id extraction + both shingle joins) don't re-execute
-    // candidate generation.
+    // is the whole LSH pipeline — persist it (released below) so the
+    // references that follow don't re-execute candidate generation.
     val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Only docs that appear in a candidate pair need shingle SETS —
-    // semi-join first so the collect_set aggregation runs over the
-    // candidate subset, not the corpus.
+    // Only docs that appear in a candidate pair need shingles —
+    // semi-join first so the explode runs over the candidate subset,
+    // not the corpus. Jaccard is over shingle SETS → distinct (id, h).
     val candIds = cached.select(col("id_a").as(idCol))
       .unionByName(cached.select(col("id_b").as(idCol))).distinct()
     val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
     val sh = explodedShingles(candDocs, idCol, textCol, shingleK)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
-      .withColumnRenamed("id", "jid")
-    cached
-      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .dropDuplicates("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-doc distinct-shingle counts: candidate-set-sized, broadcastable.
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // |A∩B|: attach each pair to doc A's shingle stream (broadcast the
+    // pairs — the stream side never shuffles here), then count how many
+    // (id_b, h) rows exist on doc B's side.
+    val inter = broadcast(cached).join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("h"))
+      .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("n_b"))), Seq("id_b"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(verified, cached, sh)
   }
 
   /** 64-bit SimHash per document: explode shingle hashes, sum ±1 per bit
@@ -236,7 +270,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // `sh` feeds the band explode and both verify joins (3 references);
+    // its lineage is the exploded-shingle bit-sum aggregation — persist
+    // for this call so the aggregation executes once, release before
+    // returning (same hygiene as minhashLsh).
     val sh = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -245,7 +284,7 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // Same no-self-join pair generation as minhashLsh: bucket member
     // lists + double explode; 8-byte simhashes re-join after dedup.
-    banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+    val verified = banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -256,5 +295,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    materializeAndRelease(verified, sh)
   }
 }

@@ -103,6 +103,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus once,
     * pair within buckets (skew-capped), keep cosine ≥ threshold.
+    *
+    * Pair generation goes through `Dedup.bucketPairs` — the shared
+    * ids-only generator (tiny groupBy-count + broadcast anti-join as
+    * the skew guard; no window over the vector stream). Float vectors
+    * re-join AFTER pair dedup, so the heavy shuffle carries 16-byte id
+    * pairs, never two vector payloads per candidate row.
     */
   def embeddingNearDup(
       corpus: DataFrame,
@@ -112,17 +118,14 @@ object Similarity {
       maxBucket: Int = 2000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("bucket_n") <= maxBucket)
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = corpus.select(col(idCol).as("id"),
+      hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+    Dedup.bucketPairs(bucketed, Seq("bucket"), "id", maxBucket)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .dropDuplicates("id_a", "id_b")
   }
 }

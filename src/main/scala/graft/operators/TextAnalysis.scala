@@ -123,7 +123,12 @@ object TextAnalysis {
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+    // dfreq is vocabulary-sized (sublinear in corpus bytes) — broadcast
+    // it so the full (doc, token, tf) table never shuffles on the
+    // token key, where "the"/"and" are pathologically hot. (If the
+    // vocabulary ever outgrew the broadcast threshold, salt the hot
+    // tokens instead — never hash-partition raw text tokens.)
+    val scored = tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("dfc")), 4))
     scored
       .withColumn("rank", row_number().over(
