@@ -1,27 +1,74 @@
 package graft
 
-import graft.pipeline.{Pipeline, YamlLoader}
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefaults, ProjectConfig, YamlLoader}
 
-/** Minimal CLI — graft's equivalent of drune's `drune run <pipeline>`
-  * (reference: src/drune/cli/main.py): load a YAML pipeline spec and
-  * run it on a local session.
+/** CLI — graft's equivalent of drune's `drune run/create/update/test`
+  * (reference: src/drune/cli/main.py:34-75): load a YAML pipeline spec
+  * (optionally with a drune.yml-style project config for defaults/vars
+  * merging) and run the chosen action on a local session.
   *
-  * Usage: graft.Cli run /path/to/pipeline.yml [--cores N]
+  * Usage:
+  *   graft.Cli run    <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]
+  *   graft.Cli create <pipeline.yml> ...   # DDL: target + validation-log tables
+  *   graft.Cli update <pipeline.yml> ...   # schema evolution + hash_key reprocess
+  *   graft.Cli test   <pipeline.yml> ...   # fixture run vs expected dataset
+  *
+  * (The reference also registers an `init` command, but its
+  * Pipeline.init target does not exist — cli/main.py:81-89 calls an
+  * undefined method — so there is nothing to mirror.)
   */
 object Cli {
+
   def main(args: Array[String]): Unit = args.toList match {
-    case "run" :: path :: rest =>
-      val cores = rest.sliding(2).collectFirst { case List("--cores", n) => n.toInt }
+    case action :: path :: rest if Set("run", "create", "update", "test")(action) =>
+      val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
-      val spark = GraftSession.local(cores)
+      // Hive support gives the CLI a PERSISTENT catalog (derby
+      // metastore in the working directory), so `create` in one
+      // invocation is visible to `update`/`run` in the next — without
+      // it the in-memory catalog dies with each JVM. On a cluster the
+      // same code binds to the real metastore via spark-submit conf.
+      val spark = GraftSession.tune(
+        SparkSession.builder().master(s"local[$cores]").enableHiveSupport(), cores)
+        .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        val spec = YamlLoader.load(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-        val out = Pipeline(spark, spec).run()
-        println(s"[graft] pipeline '${spec.name}' finished; ${out.columns.length} output columns")
+        val spec = loadSpec(path, opt(rest, "--project"), opt(rest, "--profile"))
+        execute(spark, action, spec)
       } finally spark.stop()
     case _ =>
-      System.err.println("usage: graft.Cli run <pipeline.yml> [--cores N]")
+      System.err.println(
+        "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]")
       sys.exit(2)
   }
+
+  private def loadSpec(path: String, project: Option[String], profile: Option[String]): PipelineSpec = {
+    val yaml = read(path)
+    val defaults = project.map(p => ProjectConfig.load(read(p)).resolved(profile))
+      .getOrElse(ProjectDefaults.empty)
+    YamlLoader.load(yaml, defaults)
+  }
+
+  private[graft] def execute(spark: SparkSession, action: String, spec: PipelineSpec): Unit =
+    action match {
+      case "run" =>
+        val out = Pipeline(spark, spec).run()
+        println(s"[graft] pipeline '${spec.name}' finished; ${out.columns.length} output columns")
+      case "create" =>
+        Ddl.create(spark, spec)
+        println(s"[graft] pipeline '${spec.name}' resources created")
+      case "update" =>
+        Ddl.update(spark, spec)
+        println(s"[graft] pipeline '${spec.name}' resources updated")
+      case "test" =>
+        PipelineTest.runTestMode(spark, spec)
+        println(s"[graft] pipeline '${spec.name}' test passed")
+    }
+
+  private def read(path: String): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+
+  private def opt(args: List[String], flag: String): Option[String] =
+    args.sliding(2).collectFirst { case List(`flag`, v) => v }
 }

@@ -112,18 +112,25 @@ object Pipeline {
         else throw new IllegalArgumentException(s"required column '$origin' not in source")
       case None => s"`$origin`"
     }
-    val casted = c.dataType match {
-      case Some(dt) if c.tryCast => s"try_cast($base AS $dt)"
-      case Some(dt)              => s"cast($base AS $dt)"
-      case None                  => base
+    val casted = (c.dataType, c.format) match {
+      // Explicit parse pattern for temporal types (drune
+      // TypeDefault.format): to_date/to_timestamp instead of a blind
+      // cast, so "03/01/2024"-style sources parse deterministically.
+      case (Some("date"), Some(f))      => s"to_date($base, '$f')"
+      case (Some("timestamp"), Some(f)) => s"to_timestamp($base, '$f')"
+      case (Some(dt), _) if c.tryCast   => s"try_cast($base AS $dt)"
+      case (Some(dt), _)                => s"cast($base AS $dt)"
+      case (None, _)                    => base
     }
     expr(casted).as(c.name)
   }
 
-  /** Control columns (transformer.py _add_control_columns:400-416):
-    * hash_key = sha2 of "||"-joined sorted PK columns; data_hash over
-    * SCD2 track columns; updated_at timestamp. Pure projections — no
-    * shuffle, stays in codegen.
+  /** Control columns (transformer.py _add_control_columns:400-416 +
+    * _transform_gold:92): hash_key = sha2 of "||"-joined sorted PK
+    * columns; updated_at timestamp; created_at stamped equal to
+    * updated_at for fresh rows — Writer.upsert preserves the BASE row's
+    * created_at on merge, so the pair gives insert-time vs last-touch
+    * time. Pure projections — no shuffle, stays in codegen.
     */
   def addControlColumns(df: DataFrame, t: Transform): DataFrame = {
     val withHash =
@@ -132,6 +139,7 @@ object Pipeline {
           sha2(concat_ws("||", t.primaryKey.sorted.map(c => col(c).cast("string")): _*), 256))
       else df
     withHash.withColumn("updated_at", current_timestamp())
+      .withColumn("created_at", col("updated_at"))
   }
 
   def dataHash(df: DataFrame, trackColumns: Seq[String]): DataFrame =

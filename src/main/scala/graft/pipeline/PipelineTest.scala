@@ -31,6 +31,22 @@ object PipelineTest {
     Diff(missing = e.exceptAll(a), unexpected = a.exceptAll(e))
   }
 
+  /** Test mode (`drune test`, tester.py:10-45): re-point the primary
+    * file source at the fixture path from the spec's `test:` section,
+    * run the pipeline sink-less, and diff against the expected dataset.
+    */
+  def runTestMode(spark: org.apache.spark.sql.SparkSession, spec: PipelineSpec): Unit = {
+    val ts = spec.test.getOrElse(throw new IllegalArgumentException(
+      s"pipeline ${spec.name}: no test: section in the spec"))
+    val primary = spec.sources.headOption.map(_.name)
+    val fixtured = spec.copy(sources = spec.sources.map {
+      case f: FileSource if primary.contains(f.name) => f.copy(path = ts.sourcePath)
+      case s => s
+    })
+    val expected = spark.read.format(ts.expectedFormat).load(ts.expectedPath)
+    assertMatches(spark, fixtured, expected)
+  }
+
   /** Run the pipeline spec and assert its output equals `expected`
     * (tester.py execute flow). Throws with the differing rows rendered.
     */

@@ -12,54 +12,107 @@ import graft.quality._
   *
   * Supported keys: `pipeline_name`, `description`, `sources` (name/
   * type/format/path/query/options + `schema.columns` with from/type/
-  * expression/optional/try_cast/constraints), `steps` (filter/join/
-  * pivot/sql/transform/validate), `target` (path/format/mode/
-  * partition_by/scd). Constraint strings use drune's rule grammar:
-  * `not_null`, `unique`, `pattern:<re>`, `isin:[a,b]`,
-  * `greater_than_or_equal_to:<v>`, `less_than_or_equal_to:<v>`,
-  * `isbetween:[lo,hi]`, `min_length:<n>`.
+  * format/expression/optional/try_cast/constraints), `steps` (filter/
+  * join/pivot/sql/transform/validate), `target` (path/table/format/
+  * mode/partition_by/scd), `validation_log_table`, `test`
+  * (source_data.path + expected_results_data.path). Constraint strings
+  * use drune's rule grammar: `not_null`, `unique`, `pattern:<re>`,
+  * `isin:[a,b]`, `greater_than_or_equal_to:<v>`,
+  * `less_than_or_equal_to:<v>`, `isbetween:[lo,hi]`, `min_length:<n>`.
+  *
+  * Project-level defaults (core/pipeline.py:194-238): pass the
+  * `ProjectDefaults` resolved from a drune.yml — `${var}`/`{var}`
+  * placeholders substitute for DECLARED vars only (the `{col}`
+  * expression placeholder is untouched), per-type column defaults fill
+  * unset format/try_cast/expression, and source/target kind defaults
+  * fill unset format/mode/options. Explicit pipeline values always win.
   */
 object YamlLoader {
 
-  def load(yaml: String): PipelineSpec = {
+  def load(yaml: String): PipelineSpec = load(yaml, ProjectDefaults.empty)
+
+  def load(yaml: String, defaults: ProjectDefaults): PipelineSpec = {
+    // Vars substitute textually before parsing, so they work in paths,
+    // SQL, expressions and table names alike. Only declared var names
+    // are replaced — `{col}` survives for the expression placeholder.
+    val substituted = defaults.vars.foldLeft(yaml) { case (y, (k, v)) =>
+      y.replace(s"$${$k}", v).replace(s"{$k}", v)
+    }
     val root = new org.yaml.snakeyaml.Yaml()
-      .load[JMap[String, Object]](yaml).asScala.toMap
+      .load[JMap[String, Object]](substituted).asScala.toMap
     val name = str(root, "pipeline_name").getOrElse("pipeline")
 
-    val sources = root.get("sources").toSeq.flatMap(asList).map(m => parseSource(asMap(m)))
-    val steps = root.get("steps").toSeq.flatMap(asList).map(m => parseStep(asMap(m)))
+    val sources = root.get("sources").toSeq.flatMap(asList)
+      .map(m => parseSource(asMap(m), defaults))
 
     // drune puts the silver column spec under sources[i].schema.columns;
-    // surface the first source's columns as an implicit Transform step
-    // when no explicit transform step exists.
+    // these columns (and the PK) feed both the implicit transform and
+    // any explicit transform/validate step that names no columns of its
+    // own (reference ValidateStep iterates config.columns).
     val schemaSpec = root.get("sources").toSeq.flatMap(asList).headOption
       .map(asMap).flatMap(_.get("schema")).map(asMap)
     val srcColumns = schemaSpec.flatMap(_.get("columns")).map(asList)
-      .map(_.map(c => parseColumn(asMap(c)))).getOrElse(Nil)
+      .map(_.map(c => applyTypeDefaults(parseColumn(asMap(c)), defaults)).toSeq)
+      .getOrElse(Nil)
     val pk = schemaSpec.flatMap(_.get("primary_key")).map(asList)
-      .map(_.map(_.toString)).getOrElse(Nil)
+      .map(_.map(_.toString).toSeq).getOrElse(Nil)
 
-    val implicitSteps =
+    val steps = root.get("steps").toSeq.flatMap(asList)
+      .map(m => parseStep(asMap(m), srcColumns, pk))
+
+    // Implicit steps mirror drune's fixed read→transform→validate
+    // order: added only when no explicit step of that kind exists.
+    val implicitTransform =
       if (srcColumns.nonEmpty && !steps.exists(_.isInstanceOf[Transform]))
-        Seq(Transform(srcColumns.toSeq, pk.toSeq, addControlColumns = pk.nonEmpty),
-          Validate(srcColumns.toSeq))
+        Seq(Transform(srcColumns, pk, addControlColumns = pk.nonEmpty))
+      else Nil
+    val implicitValidate =
+      if (srcColumns.nonEmpty && !steps.exists(_.isInstanceOf[Validate]))
+        Seq(Validate(srcColumns))
       else Nil
 
-    val sink = root.get("target").map(asMap).map(parseSink)
-    PipelineSpec(name, sources.toSeq, (implicitSteps ++ steps).toSeq, sink,
-      str(root, "description"))
+    val sink = root.get("target").map(asMap).map(m => parseSink(m, defaults))
+    PipelineSpec(name, sources.toSeq,
+      (implicitTransform ++ implicitValidate ++ steps).toSeq, sink,
+      str(root, "description"),
+      validationLogTable = str(root, "validation_log_table"),
+      test = root.get("test").map(asMap).map(parseTest))
   }
 
-  private def parseSource(m: Map[String, Object]): SourceSpec = {
+  /** Load a pipeline alongside its project config (drune.py:18-43):
+    * resolve the project profile, then parse with merged defaults.
+    */
+  def loadWithProject(pipelineYaml: String, projectYaml: String,
+                      profile: Option[String] = None): PipelineSpec =
+    load(pipelineYaml, ProjectConfig.load(projectYaml).resolved(profile))
+
+  /** Fill unset column fields from the per-type defaults
+    * (pipeline_model.py _apply_type_defaults_to_column:147-157); the
+    * lookup key is the DRUNE type name, which mapType normalized — so
+    * match on either spelling.
+    */
+  private def applyTypeDefaults(c: ColumnSpec, defaults: ProjectDefaults): ColumnSpec =
+    c.dataType.flatMap(dt =>
+        defaults.types.get(dt).orElse(defaults.types.find(t => mapType(t._1) == dt).map(_._2))) match {
+      case None => c
+      case Some(d) => c.copy(
+        format = c.format.orElse(d.format),
+        tryCast = c.tryCast || d.tryCast,
+        expression = c.expression.orElse(d.expression))
+    }
+
+  private def parseSource(m: Map[String, Object], defaults: ProjectDefaults): SourceSpec = {
     val name = str(m, "name").getOrElse("source")
     str(m, "type").getOrElse("file") match {
       case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(""))
       case "table" => TableSource(name, str(m, "table_name").orElse(str(m, "table")).getOrElse(name))
-      case _ =>
+      case kind =>
+        val d = defaults.sources.getOrElse(kind, SourceDefault())
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)
           .map { case (k, v) => k -> v.toString }
         FileSource(name, str(m, "path").getOrElse(""),
-          str(m, "format").getOrElse("parquet"), opts,
+          str(m, "format").orElse(d.format).getOrElse("parquet"),
+          d.options ++ opts,
           str(m, "expected_columns").map(_.toInt))
     }
   }
@@ -83,7 +136,8 @@ object YamlLoader {
       optional = bool(m, "optional"),
       tryCast = bool(m, "try_cast"),
       description = str(m, "description"),
-      constraints = constraints.toSeq)
+      constraints = constraints.toSeq,
+      format = str(m, "format"))
   }
 
   /** drune type names → Spark SQL types (engines apply their own
@@ -119,7 +173,12 @@ object YamlLoader {
     }
   }
 
-  private def parseStep(m: Map[String, Object]): Step = {
+  /** Explicit steps. A `transform`/`validate` step with no columns of
+    * its own operates on the source schema columns — drune's semantics,
+    * where TransformStep/ValidateStep always read config.columns
+    * (transformer.py:64-77, validator.py:30-124).
+    */
+  private def parseStep(m: Map[String, Object], srcColumns: Seq[ColumnSpec], pk: Seq[String]): Step = {
     val params = m.get("params").map(asMap).getOrElse(Map.empty)
     str(m, "type").getOrElse("") match {
       case "filter" => Filter(str(params, "where").getOrElse("true"))
@@ -136,26 +195,42 @@ object YamlLoader {
         pivotColumn = str(params, "columns").getOrElse(""),
         valueColumn = str(params, "values").getOrElse(""),
         agg = str(params, "agg").getOrElse("sum"))
-      case "validate" => Validate()
-      case "transform" => Transform(Nil)
+      case "validate" => Validate(
+        columns = srcColumns,
+        tableRules = params.get("duplicate_check").map(asList)
+          .map(cols => Seq[TableRule](DuplicateCheck(cols.map(_.toString).toSeq))).getOrElse(Nil),
+        logPath = str(params, "log_path"))
+      case "transform" => Transform(srcColumns, pk, addControlColumns = pk.nonEmpty)
       case other => throw new IllegalArgumentException(s"unknown step type '$other'")
     }
   }
 
-  private def parseSink(m: Map[String, Object]): SinkSpec = {
-    val mode = str(m, "mode").getOrElse("append") match {
+  private def parseSink(m: Map[String, Object], defaults: ProjectDefaults): SinkSpec = {
+    val kind = str(m, "type").getOrElse("file")
+    val d = defaults.targets.getOrElse(kind, TargetDefault())
+    val mode = str(m, "mode").orElse(d.mode).getOrElse("append") match {
       case "overwrite" => Overwrite
       case "merge" => MergeUpsert
       case "overwrite_partition" => OverwritePartition
       case "overwrite_where" => OverwriteWhere(str(m, "overwrite_condition").getOrElse("true"))
-      case _ if m.contains("scd") => Scd2()
       case _ => Append
     }
     SinkSpec(
       path = str(m, "path").getOrElse(""),
-      format = str(m, "format").getOrElse("parquet"),
+      format = str(m, "format").orElse(d.format).getOrElse("parquet"),
       mode = if (m.contains("scd")) Scd2() else mode,
-      partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil))
+      partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
+      table = str(m, "table").orElse(str(m, "name")).filter(_ => kind == "table"))
+  }
+
+  /** Test section (pipeline_model.py test + tester.py:18-31). */
+  private def parseTest(m: Map[String, Object]): TestSpec = {
+    val src = m.get("source_data").map(asMap).getOrElse(Map.empty)
+    val exp = m.get("expected_results_data").map(asMap).getOrElse(Map.empty)
+    TestSpec(
+      sourcePath = str(src, "path").getOrElse(""),
+      expectedPath = str(exp, "path").orElse(str(exp, "table")).getOrElse(""),
+      expectedFormat = str(exp, "format").getOrElse("parquet"))
   }
 
   private def str(m: Map[String, Object], k: String): Option[String] =

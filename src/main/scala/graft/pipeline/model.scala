@@ -38,7 +38,10 @@ final case class ColumnSpec(
     optional: Boolean = false,
     tryCast: Boolean = false,
     description: Option[String] = None,
-    constraints: Seq[Constraint] = Nil) {
+    constraints: Seq[Constraint] = Nil,
+    /** Parse pattern for date/timestamp types (drune TypeDefault.format,
+      * e.g. "yyyy-MM-dd") — applied via to_date/to_timestamp. */
+    format: Option[String] = None) {
   def sourceName: String = from.getOrElse(name)
 }
 
@@ -55,11 +58,24 @@ case object MergeUpsert extends WriteMode
 /** SCD Type 2 versioning (writer.py _merge_scd2). */
 final case class Scd2(trackColumns: Seq[String] = Nil) extends WriteMode
 
+/** Sink (pipeline_model.py TargetSpec): a file path and/or a catalog
+  * table name (`table` drives the DDL layer — create/update/evolve).
+  */
 final case class SinkSpec(
     path: String,
     format: String = "parquet",
     mode: WriteMode = Append,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    table: Option[String] = None)
+
+/** Test-mode config (pipeline_model.py test section + tester.py):
+  * run the pipeline against fixture input and diff the result with an
+  * expected dataset, ignoring volatile control columns.
+  */
+final case class TestSpec(
+    sourcePath: String,
+    expectedPath: String,
+    expectedFormat: String = "parquet")
 
 /** Pipeline steps (core/steps + engines/&lt;engine&gt;/steps.py). Sealed so the
   * runner's match is exhaustive — adding a step type is a compile error
@@ -111,4 +127,13 @@ final case class PipelineSpec(
     sources: Seq[SourceSpec],
     steps: Seq[Step],
     sink: Option[SinkSpec] = None,
-    description: Option[String] = None)
+    description: Option[String] = None,
+    /** Catalog table receiving warn-rule failures (drune
+      * validation_log_table); created by the DDL layer. */
+    validationLogTable: Option[String] = None,
+    /** Test-mode fixtures (`drune test`). */
+    test: Option[TestSpec] = None) {
+  /** The silver transform carrying the column spec + PK, if any. */
+  def transformStep: Option[Transform] =
+    steps.collectFirst { case t: Transform => t }
+}

@@ -71,19 +71,27 @@ object Validator {
         ok(c, k.rule).as("ok"))
     }
 
+    // Reference log schema (validator.py:47-58, spark_engine.py:188-197):
+    // the consolidated log carries a timestamp and the offending row's
+    // hash_key so a warn-log sink can be joined back to bad rows.
     val failureLog =
       if (violStructs.isEmpty)
         df.sparkSession.emptyDataFrame
-      else
+      else {
+        val hk = if (df.columns.contains("hash_key")) col("hash_key")
+                 else lit(null).cast("string")
         working
-          .select(explode(array(violStructs: _*)).as("v"))
+          .select(hk.as("__hk"), explode(array(violStructs: _*)).as("v"))
           .where(!col("v.ok"))
           .select(
             lit(pipelineName).as("pipeline_name"),
             col("v.validation_rule"),
             col("v.failed_column"),
             col("v.failed_value"),
-            col("v.action"))
+            col("v.action"),
+            current_timestamp().as("log_timestamp"),
+            col("__hk").as("hash_key"))
+      }
 
     val summary =
       if (violStructs.isEmpty) df.sparkSession.emptyDataFrame

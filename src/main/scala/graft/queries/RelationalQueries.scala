@@ -81,7 +81,11 @@ object RelationalQueries {
         ColumnSpec("loyalty_tier", optional = true, dataType = Some("string")))
       Pipeline.transform(t(s, dir, "customer"),
           Transform(cols, primaryKey = Seq("customer_id"), addControlColumns = true))
-        .drop("updated_at")
+        // created_at/updated_at are wall-clock stamps — assert their
+        // contract (equal on fresh rows) as a deterministic boolean
+        // instead of hashing timestamps.
+        .withColumn("created_eq", col("created_at") === col("updated_at"))
+        .drop("updated_at", "created_at")
         .orderBy("customer_id")
     }),
 
@@ -141,6 +145,24 @@ object RelationalQueries {
       Validator.validate(t(s, dir, "customer"), "customer_quality", specs)
         .summary
         .orderBy("failed_column", "validation_rule")
+    }),
+
+    // q38: warn-rule failure log — reference log schema parity: each
+    // bad row carries the rule, the offending value, its hash_key (so
+    // the log joins back to the row) and a log timestamp (asserted as a
+    // deterministic non-null flag; wall-clock stamps don't hash).
+    "q38_failure_log" -> ((s, dir) => {
+      val withKey = Pipeline.addControlColumns(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        Transform(Nil, primaryKey = Seq("c_custkey"), addControlColumns = true))
+      val specs = Seq(
+        ColumnConstraints("c_acctbal", Seq(Constraint(Gte(0.0), WarnAction))),
+        ColumnConstraints("c_mktsegment", Seq(Constraint(MinLength(3), WarnAction))))
+      Validator.validate(withKey, "customer_quality", specs)
+        .failureLog
+        .withColumn("has_ts", col("log_timestamp").isNotNull)
+        .drop("log_timestamp")
+        .orderBy("failed_column", "hash_key")
     }),
 
     // q13: surviving rows after drop-mode rules (nulls pass non-null
@@ -303,8 +325,22 @@ object RelationalQueries {
         |  CAST(c_acctbal AS DOUBLE) AS balance,
         |  CAST(c_nationkey AS BIGINT) AS nation_key,
         |  CAST(NULL AS VARCHAR) AS loyalty_tier,
-        |  sha256(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)) AS hash_key
+        |  sha256(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)) AS hash_key,
+        |  true AS created_eq
         |FROM customer ORDER BY customer_id""".stripMargin,
+
+    "q38_failure_log" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_quality' AS pipeline_name,
+        |    'greater_than_or_equal_to:0.0' AS validation_rule,
+        |    'c_acctbal' AS failed_column, CAST(c_acctbal AS VARCHAR) AS failed_value,
+        |    'warn' AS action, sha256(CAST(c_custkey AS VARCHAR)) AS hash_key, true AS has_ts
+        |  FROM customer WHERE c_acctbal IS NOT NULL AND NOT coalesce(c_acctbal >= 0, false)
+        |  UNION ALL
+        |  SELECT 'customer_quality', 'min_length:3', 'c_mktsegment', c_mktsegment, 'warn',
+        |    sha256(CAST(c_custkey AS VARCHAR)), true
+        |  FROM customer WHERE c_mktsegment IS NOT NULL AND NOT coalesce(length(c_mktsegment) >= 3, false)
+        |) ORDER BY failed_column, hash_key""".stripMargin,
 
     "q07_window" ->
       """SELECT o_orderkey, o_custkey,

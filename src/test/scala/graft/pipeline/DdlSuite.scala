@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.quality._
+import org.apache.spark.sql.functions._
+
+class DdlSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def spec(table: String, cols: Seq[ColumnSpec], pk: Seq[String],
+                   scd: Boolean = false, logTable: Option[String] = None) =
+    PipelineSpec("ddl_test", Nil,
+      Seq(Transform(cols, pk, addControlColumns = true)),
+      sink = Some(SinkSpec(path = "", mode = if (scd) Scd2() else Append, table = Some(table))),
+      description = Some("ddl test table"),
+      validationLogTable = logTable)
+
+  private val baseCols = Seq(
+    ColumnSpec("id", dataType = Some("bigint"), description = Some("surrogate id")),
+    ColumnSpec("name", dataType = Some("string")))
+
+  test("create: columns + control columns + pk table property, idempotent") {
+    val t = "ddl_create_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Ddl.create(spark, spec(t, baseCols, Seq("id")))
+    assert(spark.table(t).schema.fieldNames.toSeq ==
+      Seq("id", "name", "created_at", "hash_key", "updated_at"))
+    assert(Ddl.primaryKeys(spark, t) == Seq("id"))
+    Ddl.create(spark, spec(t, baseCols, Seq("id"))) // second call is a no-op
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("create: scd2 sink emits lifecycle columns instead of created_at") {
+    val t = "ddl_create_scd2"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Ddl.create(spark, spec(t, baseCols, Seq("id"), scd = true))
+    val fields = spark.table(t).schema.fieldNames.toSeq
+    assert(fields.containsSlice(Seq("data_hash", "is_current", "start_date", "end_date")))
+    assert(!fields.contains("created_at"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("create → write → evolve → read round-trip; pk change reprocesses hash_key") {
+    val t = "ddl_evolve_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Ddl.create(spark, spec(t, baseCols, Seq("id")))
+
+    // Write through the pipeline transform (hash_key over pk=id).
+    val tr = Transform(baseCols, Seq("id"), addControlColumns = true)
+    Pipeline.transform(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), tr)
+      .select(spark.table(t).columns.map(col): _*)
+      .write.insertInto(t)
+    assert(spark.table(t).count() == 2)
+    val oldHash = spark.table(t).where("id = 1").select("hash_key").as[String].head()
+    assert(oldHash == sha2Hex("1"))
+
+    // Evolve: new column + pk change (id) → (id, name).
+    val cols2 = baseCols :+ ColumnSpec("segment", dataType = Some("string"),
+      description = Some("market segment"))
+    Ddl.update(spark, spec(t, cols2, Seq("id", "name")))
+    assert(spark.table(t).schema.fieldNames.contains("segment"))
+    assert(Ddl.primaryKeys(spark, t) == Seq("id", "name"))
+    // hash_key reprocessed for EXISTING rows from the new pk set.
+    val newHash = spark.table(t).where("id = 1").select("hash_key").as[String].head()
+    assert(newHash == sha2Hex("1||a"))
+    // pre-evolution rows read null for the added column
+    assert(spark.table(t).where("segment IS NULL").count() == 2)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("update without prior create throws") {
+    intercept[IllegalStateException] {
+      Ddl.update(spark, spec("ddl_never_created", baseCols, Seq("id")))
+    }
+  }
+
+  test("validation log table accepts the Validator failure log") {
+    val t = "ddl_target_t2"; val logT = "ddl_vlog_t2"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS $logT")
+    Ddl.create(spark, spec(t, baseCols, Seq("id"), logTable = Some(logT)))
+    val df = Pipeline.addControlColumns(
+      Seq((1L, "ok"), (2L, null.asInstanceOf[String])).toDF("id", "name"),
+      Transform(Nil, Seq("id"), addControlColumns = true))
+    val log = Validator.validate(df, "p", Seq(
+      ColumnConstraints("name", Seq(Constraint(NotNull, WarnAction))))).failureLog
+    log.write.insertInto(logT)
+    val rows = spark.table(logT).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("hash_key") == sha2Hex("2"))
+    assert(rows(0).getAs[java.sql.Timestamp]("log_timestamp") != null)
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $logT")
+  }
+
+  test("cli create/update/run/test actions execute against a spec") {
+    val t = "ddl_cli_t3"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val s = spec(t, baseCols, Seq("id"))
+    graft.Cli.execute(spark, "create", s)
+    assert(Ddl.tableExists(spark, t))
+    graft.Cli.execute(spark, "update",
+      spec(t, baseCols :+ ColumnSpec("extra", dataType = Some("bigint")), Seq("id")))
+    assert(spark.table(t).schema.fieldNames.contains("extra"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  private def sha2Hex(s: String): String = {
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -22,7 +22,7 @@ class PipelineSuite extends SparkSpec {
       ColumnSpec("balance", dataType = Some("int"), tryCast = true)),
       primaryKey = Seq("customer_id"), addControlColumns = true)
     val out = Pipeline.transform(customers, t)
-    assert(out.columns.toSeq == Seq("customer_id", "customer_name", "tier", "balance", "hash_key", "updated_at"))
+    assert(out.columns.toSeq == Seq("customer_id", "customer_name", "tier", "balance", "hash_key", "updated_at", "created_at"))
     val r = out.orderBy("customer_id").collect()
     assert(r(0).getAs[String]("customer_name") == "ANN")
     assert(r(0).isNullAt(r(0).fieldIndex("tier")))

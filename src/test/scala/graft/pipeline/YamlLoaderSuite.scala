@@ -92,6 +92,133 @@ class YamlLoaderSuite extends SparkSpec {
     assert(PipelineTest.compare(withTs, a).isEmpty)
   }
 
+  test("explicit validate step carries the schema rules (not a no-op)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_yaml_v")
+    val csv = dir.resolve("cust.csv")
+    java.nio.file.Files.writeString(csv,
+      "customer_id,name,vl_balance\n1,ann,10.5\n2,bob,-3\n")
+    val explicit = yaml.replace("__PATH__", csv.toString) +
+      "  - name: explicit_validate\n    type: validate\n"
+    val spec = YamlLoader.load(explicit)
+    // the explicit step parses WITH the schema columns; no implicit twin
+    val validates = spec.steps.collect { case v: Validate => v }
+    assert(validates.length == 1)
+    assert(validates.head.columns.nonEmpty)
+    // and it enforces: bob's negative balance is a drop rule
+    val out = Pipeline(spark, spec).run()
+    assert(out.where("cd_customer = 2").count() == 0)
+    assert(out.where("cd_customer = 1").count() == 1)
+  }
+
+  private val projectYaml =
+    """project_name: graft_example
+      |profile: dev
+      |defaults:
+      |  vars:
+      |    env_name: "default"
+      |  types:
+      |    str:
+      |      expression: upper(trim({col}))
+      |    int:
+      |      try_cast: true
+      |  sources:
+      |    file:
+      |      format: csv
+      |      options:
+      |        header: "true"
+      |  targets:
+      |    file:
+      |      format: parquet
+      |      mode: overwrite
+      |profiles:
+      |  dev:
+      |    vars:
+      |      env_name: "dev"
+      |    targets:
+      |      file:
+      |        format: csv
+      |  prd: {}
+      |""".stripMargin
+
+  test("project defaults: type/source/target defaults + profile deep-merge") {
+    val pipelineYaml =
+      """pipeline_name: defaults_pipe
+        |sources:
+        |  - name: src
+        |    type: file
+        |    path: /tmp/in_${env_name}.csv
+        |    schema:
+        |      primary_key: [pid]
+        |      columns:
+        |        - name: pid
+        |          from: id
+        |          type: int
+        |        - name: label
+        |          type: str
+        |target:
+        |  name: out
+        |  type: file
+        |  path: /tmp/out
+        |""".stripMargin
+    val spec = YamlLoader.loadWithProject(pipelineYaml, projectYaml)
+    val src = spec.sources.head.asInstanceOf[FileSource]
+    assert(src.format == "csv")                      // source kind default
+    assert(src.options("header") == "true")          // source options default
+    assert(src.path == "/tmp/in_dev.csv")            // profile var beat default var
+    val t = spec.steps.collectFirst { case t: Transform => t }.get
+    assert(t.columns.find(_.name == "pid").get.tryCast)              // int type default
+    assert(t.columns.find(_.name == "label").get.expression.contains("upper(trim({col}))"))
+    assert(spec.sink.get.format == "csv")            // dev profile overrode parquet
+    assert(spec.sink.get.mode == Overwrite)          // mode default survived merge
+    // explicit profile override: prd inherits the parquet default
+    val prd = YamlLoader.loadWithProject(pipelineYaml, projectYaml, profile = Some("prd"))
+    assert(prd.sink.get.format == "parquet")
+    assert(prd.sources.head.asInstanceOf[FileSource].path == "/tmp/in_default.csv")
+    intercept[IllegalArgumentException] {
+      YamlLoader.loadWithProject(pipelineYaml, projectYaml, profile = Some("nope"))
+    }
+  }
+
+  test("explicit pipeline values beat project defaults") {
+    val pipelineYaml =
+      """pipeline_name: explicit_pipe
+        |sources:
+        |  - name: src
+        |    type: file
+        |    format: json
+        |    path: /tmp/in.json
+        |    schema:
+        |      columns:
+        |        - name: label
+        |          type: str
+        |          expression: lower({col})
+        |""".stripMargin
+    val spec = YamlLoader.loadWithProject(pipelineYaml, projectYaml)
+    assert(spec.sources.head.asInstanceOf[FileSource].format == "json")
+    val t = spec.steps.collectFirst { case t: Transform => t }.get
+    assert(t.columns.head.expression.contains("lower({col})"))
+  }
+
+  test("test-mode runs the pipeline on fixtures and diffs vs expected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_testmode")
+    val fixture = dir.resolve("fixture.csv")
+    java.nio.file.Files.writeString(fixture, "customer_id,name,vl_balance\n7,gail,1.5\n")
+    val expectedPath = dir.resolve("expected").toString
+    val spec0 = YamlLoader.load(yaml.replace("__PATH__", fixture.toString))
+    val expected = Pipeline(spark, spec0.copy(sink = None)).run()
+    expected.write.parquet(expectedPath)
+
+    val spec = spec0.copy(test = Some(TestSpec(fixture.toString, expectedPath)))
+    PipelineTest.runTestMode(spark, spec) // passes
+
+    val badExpected = dir.resolve("expected_bad").toString
+    expected.withColumn("nm_name", lit("WRONG")).write.parquet(badExpected)
+    intercept[AssertionError] {
+      PipelineTest.runTestMode(spark,
+        spec.copy(test = Some(TestSpec(fixture.toString, badExpected))))
+    }
+  }
+
   test("word bigram counts match the array formulation") {
     val docs = Seq((1L, "a b c a b"), (2L, "a b")).toDF("doc_id", "text")
     val m = graft.operators.TextAnalysis.wordBigramCounts(docs).collect()
