@@ -25,4 +25,18 @@ object VectorFunctions {
     */
   def matchCountL(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One-pass MinHash signature (array<long>) of a string column — a
+    * pure projection; see graftbridge.MinHashSig.
+    */
+  def minhashSig(text: Column, numHashes: Int, shingleK: Int, seed: Long): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.MinHashSig(ColumnBridge.expression(text), numHashes, shingleK, seed))
+
+  /** One-pass 64-bit SimHash of a string column — a pure projection;
+    * see graftbridge.SimHash64.
+    */
+  def simhash64(text: Column, shingleK: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.SimHash64(ColumnBridge.expression(text), shingleK))
 }

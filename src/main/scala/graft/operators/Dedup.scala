@@ -70,13 +70,28 @@ object Dedup {
       .select(col("id"), xxhash64(t.substr(col("__i"), lit(k))).as("h"))
   }
 
-  /** MinHash signatures as a grouped aggregation: numHashes codegen'd
-    * `min` aggregates over the exploded shingles (map-side partial
-    * aggregation ⇒ the shuffle carries one 128-long row per doc per
-    * partition, not the shingles). Returns (id, sig array<long>).
+  /** MinHash signatures as a PURE PROJECTION: the codegen'd
+    * graftbridge.MinHashSig expression computes all numHashes
+    * permutation minima in one pass over each document's shingle
+    * stream — no exploded rows, no shuffle, no aggregation hash map;
+    * the signature pass fuses with the scan. Returns (id, sig
+    * array<long>), bit-identical to the exploded-aggregation
+    * formulation (equivalence is ScalaTested against
+    * [[minhashSignaturesExploded]]).
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        numHashes: Int = 128, shingleK: Int = 5, seed: Long = 42L): DataFrame = {
+                        numHashes: Int = 128, shingleK: Int = 5, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.minhashSig(
+        TextAnalysis.normalize(col(textCol)), numHashes, shingleK, seed).as("sig"))
+
+  /** Reference formulation of [[minhashSignatures]] — explode + numHashes
+    * codegen'd `min` aggregates (one keyed shuffle). Kept for the
+    * equivalence test; the projection path replaces it in hot paths.
+    */
+  private[graft] def minhashSignaturesExploded(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 128, shingleK: Int = 5, seed: Long = 42L): DataFrame = {
     val coeffs = permCoeffs(numHashes, seed)
     val aggs = coeffs.zipWithIndex.map { case ((a, b), j) => min(perm(col("h"), a, b)).as(s"__m$j") }
     explodedShingles(docs, idCol, textCol, shingleK)
@@ -246,13 +261,23 @@ object Dedup {
     materializeAndRelease(verified, cached, sh)
   }
 
-  /** 64-bit SimHash per document: explode shingle hashes, sum ±1 per bit
-    * position, reassemble the sign vector. One explode + one groupBy(id)
-    * — a single shuffle keyed by doc id; bit counters are plain longs so
-    * the aggregation is codegen'd. (Repeated shingles add weight —
-    * weighted SimHash.)
+  /** 64-bit weighted SimHash per document as a PURE PROJECTION — the
+    * codegen'd graftbridge.SimHash64 expression runs the per-bit ±1
+    * counters in one pass over the shingle stream (repeated shingles
+    * add weight). No explode, no shuffle; bit-identical to the
+    * exploded-aggregation formulation ([[simhashExploded]], kept for
+    * the equivalence test).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", shingleK: Int = 5): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", shingleK: Int = 5): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.simhash64(
+        TextAnalysis.normalize(col(textCol)), shingleK).as("simhash"))
+
+  /** Reference formulation of [[simhash]]: explode shingle hashes, sum
+    * ±1 per bit position over one keyed shuffle, reassemble the sign
+    * vector.
+    */
+  private[graft] def simhashExploded(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", shingleK: Int = 5): DataFrame = {
     val exploded = explodedShingles(docs, idCol, textCol, shingleK)
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")

@@ -32,6 +32,26 @@ class DedupSuite extends SparkSpec {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
     assert(pairs.count() >= 5)
   }
+
+  test("one-pass MinHashSig expression equals the exploded aggregation, incl. edge strings") {
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld €dge"), (9004L, "exact"))
+      .toDF("doc_id", "text")
+    val input = docs.select("doc_id", "text").unionByName(edge)
+    val a = Dedup.minhashSignatures(input).withColumnRenamed("sig", "sig_new")
+    val b = Dedup.minhashSignaturesExploded(input).withColumnRenamed("sig", "sig_old")
+    val diff = a.join(b, "id").where(col("sig_new") =!= col("sig_old"))
+    assert(diff.count() == 0)
+  }
+
+  test("one-pass SimHash64 expression equals the exploded aggregation") {
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld €dge"))
+      .toDF("doc_id", "text")
+    val input = docs.select("doc_id", "text").unionByName(edge)
+    val a = Dedup.simhash(input).withColumnRenamed("simhash", "h_new")
+    val b = Dedup.simhashExploded(input).withColumnRenamed("simhash", "h_old")
+    val diff = a.join(b, "id").where(col("h_new") =!= col("h_old"))
+    assert(diff.count() == 0)
+  }
 }
 
 class SimilaritySuite extends SparkSpec {
