@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDotProduct, LongArrayMatchCount}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDotProduct, LongArrayMatchCount, SortedLongArrayIntersectCount}
 
 /** Column facade over graft's native vector expressions
   * (org.apache.spark.sql.graftbridge.FloatDotProduct — codegen'd
@@ -25,6 +25,13 @@ object VectorFunctions {
     */
   def matchCountL(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd merge-scan intersection size of two SORTED ascending
+    * `array<long>` columns (exact-Jaccard verify kernel).
+    */
+  def sortedIntersectCountL(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongArrayIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** One-pass MinHash signature (array<long>) of a string column — a
     * pure projection; see graftbridge.MinHashSig.

@@ -213,14 +213,18 @@ object Dedup {
   /** Exact n-gram Jaccard verification for a candidate pair set —
     * used after LSH candidate generation (never on the cross product).
     *
-    * The shingle sets are never materialized as per-doc arrays: Jaccard
-    * is computed on the EXPLODED (id, hash) stream — candidate pairs
-    * (tiny; broadcast) attach to the left doc's shingles, a keyed join
-    * on (id_b, hash) counts the shared hashes, and |A∪B| falls out of
-    * |A|+|B|−|A∩B| using per-doc distinct-shingle counts. Every shuffle
-    * row is two 8-byte longs; the multi-KB per-doc `collect_set` arrays
-    * a naive formulation ships through both joins (measured 5× slower
-    * and the dominant shuffle payload at scale) never exist.
+    * Plan shape, chosen by measurement at 625k candidate pairs: the
+    * candidate DOC set is small (LSH-bounded) while the candidate PAIR
+    * set can be large on a template-heavy corpus, so per-doc SORTED
+    * distinct-shingle arrays are broadcast to both pair joins and each
+    * pair is verified by one codegen'd merge scan
+    * (SortedLongArrayIntersectCount). The pair stream never shuffles
+    * and never explodes. The alternatives measured 6–8× slower:
+    * joining pairs to the exploded (id, hash) stream multiplies pairs
+    * by ~200 shingles/doc (a 145M-row shuffle+sort), and unsorted
+    * `array_intersect`/`array_union` builds hash sets per pair. If the
+    * candidate-doc set ever outgrew the broadcast budget, shard the
+    * pairs and co-partition the sets table — same kernel per pair.
     */
   def jaccardVerify(
       docs: DataFrame,
@@ -229,36 +233,33 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
-    // The candidate pair set is tiny (LSH construction) but its lineage
-    // is the whole LSH pipeline — persist it (released below) so the
-    // references that follow don't re-execute candidate generation.
+    // The candidate pair set's lineage is the whole LSH pipeline —
+    // persist it (released below) so the id extraction and verify join
+    // don't re-execute candidate generation.
     val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Only docs that appear in a candidate pair need shingles —
+    // Only docs that appear in a candidate pair need shingle sets —
     // semi-join first so the explode runs over the candidate subset,
-    // not the corpus. Jaccard is over shingle SETS → distinct (id, h).
+    // not the corpus. Jaccard is over shingle SETS → collect_set,
+    // SORTED so the verify kernel is a merge scan.
     val candIds = cached.select(col("id_a").as(idCol))
       .unionByName(cached.select(col("id_b").as(idCol))).distinct()
     val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val sh = explodedShingles(candDocs, idCol, textCol, shingleK)
-      .dropDuplicates("id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Per-doc distinct-shingle counts: candidate-set-sized, broadcastable.
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // |A∩B|: attach each pair to doc A's shingle stream (broadcast the
-    // pairs — the stream side never shuffles here), then count how many
-    // (id_b, h) rows exist on doc B's side.
-    val inter = broadcast(cached).join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .select(col("id_a"), col("id_b"), col("h"))
-      .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val verified = inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("n_a"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("n_b"))), Seq("id_b"))
+    val sets = explodedShingles(candDocs, idCol, textCol, shingleK)
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
+    // Both set joins BROADCAST: the candidate-doc table is small by LSH
+    // construction (~2 KB/doc), so the pair stream is verified map-side
+    // — it never shuffles and never explodes. |A∪B| = |A|+|B|−|A∩B|.
+    val verified = cached
+      .join(broadcast(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.VectorFunctions.sortedIntersectCountL(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(verified, cached, sh)
+    materializeAndRelease(verified, cached)
   }
 
   /** 64-bit weighted SimHash per document as a PURE PROJECTION — the
