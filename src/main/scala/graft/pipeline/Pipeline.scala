@@ -75,6 +75,11 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       val res = Validator.validate(df, spec.name, specs)
       logPath.foreach(p =>
         res.failureLog.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(p))
+      // Warn failures also append to the catalog validation-log table
+      // when the pipeline declares one (writer.py:21-22; table created
+      // by Ddl.create with the failureLog's exact schema).
+      spec.validationLogTable.filter(_ => res.failureLog.schema.nonEmpty).foreach(t =>
+        res.failureLog.write.insertInto(t))
       Validator.enforce(res)
       tableRules.foreach { tr =>
         val bad = Validator.checkTable(res.valid, tr)

@@ -91,6 +91,26 @@ class DdlSuite extends SparkSpec {
     spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $logT")
   }
 
+  test("validate step appends warn failures to the declared catalog log table") {
+    val logT = "ddl_vlog_step"
+    spark.sql(s"DROP TABLE IF EXISTS $logT")
+    Ddl.createValidationLog(spark, logT)
+    val cols = Seq(
+      ColumnSpec("id", dataType = Some("bigint")),
+      ColumnSpec("name", dataType = Some("string"),
+        constraints = Seq(Constraint(NotNull, WarnAction))))
+    val p = PipelineSpec("vlog_pipe", Nil,
+      Seq(Transform(cols, Seq("id"), addControlColumns = true), Validate(cols)),
+      validationLogTable = Some(logT))
+    val df = Seq((1L, "ok"), (2L, null.asInstanceOf[String])).toDF("id", "name")
+    p.steps.foldLeft(df)(Pipeline(spark, p).applyStep)
+    val rows = spark.table(logT).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("pipeline_name") == "vlog_pipe")
+    assert(rows(0).getAs[String]("hash_key") == sha2Hex("2"))
+    spark.sql(s"DROP TABLE $logT")
+  }
+
   test("cli create/update/run/test actions execute against a spec") {
     val t = "ddl_cli_t3"
     spark.sql(s"DROP TABLE IF EXISTS $t")
