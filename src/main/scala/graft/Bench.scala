@@ -7,6 +7,12 @@ object Bench {
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session outside any per-query timing (executor threads,
+    // codegen compiler, parquet footers) so the first measured query
+    // isn't charged for JVM startup.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try Tables.load(spark, sfDir, "documents").count() catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashed query must be distinguishable from a fast one: record
