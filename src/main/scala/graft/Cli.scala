@@ -45,8 +45,15 @@ object Cli {
 
   private def loadSpec(path: String, project: Option[String], profile: Option[String]): PipelineSpec = {
     val yaml = read(path)
-    val defaults = project.map(p => ProjectConfig.load(read(p)).resolved(profile))
-      .getOrElse(ProjectDefaults.empty)
+    val defaults = project.map { p =>
+      val d = ProjectConfig.load(read(p)).resolved(profile)
+      // Project-relative layout dirs resolve against the project file's
+      // directory (core/pipeline.py:127 joins project_dir first).
+      val projDir = java.nio.file.Paths.get(p).toAbsolutePath.getParent
+      d.copy(paths = d.paths.map { case (k, v) =>
+        k -> (if (java.nio.file.Paths.get(v).isAbsolute) v else projDir.resolve(v).normalize.toString)
+      })
+    }.getOrElse(ProjectDefaults.empty)
     YamlLoader.load(yaml, defaults)
   }
 

@@ -41,6 +41,9 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
 
   /** Run all steps; returns the final target DataFrame (lazy). */
   def run(): DataFrame = {
+    // Dialect shims (codegen'd Catalyst builders for duckdb spellings)
+    // let reference example YAMLs run their expression strings verbatim.
+    org.apache.spark.sql.graftbridge.DialectShims.register(spark)
     val sources = readSources()
     require(sources.nonEmpty, s"pipeline ${spec.name}: no sources")
     val result = spec.steps.foldLeft(sources.values.head)(applyStep)

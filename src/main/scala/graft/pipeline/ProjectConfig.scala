@@ -36,13 +36,19 @@ final case class ProjectDefaults(
     vars: Map[String, String] = Map.empty,
     types: Map[String, TypeDefault] = Map.empty,
     sources: Map[String, SourceDefault] = Map.empty,
-    targets: Map[String, TargetDefault] = Map.empty) {
+    targets: Map[String, TargetDefault] = Map.empty,
+    /** Project directory layout (project_model.py Paths): keys
+      * `sources`/`targets`/`pipelines`; relative pipeline file paths
+      * resolve against these (core/pipeline.py:119-141).
+      */
+    paths: Map[String, String] = Map.empty) {
 
   /** Deep merge: `other`'s set fields win (project_model.py
     * deep_merge_dicts — override takes precedence, key-wise).
     */
   def merged(other: ProjectDefaults): ProjectDefaults = ProjectDefaults(
     vars = vars ++ other.vars,
+    paths = paths ++ other.paths,
     types = mergeMap(types, other.types)((b, o) => TypeDefault(
       o.format.orElse(b.format), o.tryCast || b.tryCast, o.expression.orElse(b.expression))),
     sources = mergeMap(sources, other.sources)((b, o) => SourceDefault(
@@ -97,8 +103,10 @@ object ProjectConfig {
         .map { case (k, v) => k -> parseDefaults(asMap(v)) })
   }
 
-  private def parseDefaults(m: Map[String, Object]): ProjectDefaults = ProjectDefaults(
+  private[pipeline] def parseDefaults(m: Map[String, Object]): ProjectDefaults = ProjectDefaults(
     vars = m.get("vars").map(asMap).getOrElse(Map.empty)
+      .map { case (k, v) => k -> v.toString },
+    paths = m.get("paths").map(asMap).getOrElse(Map.empty)
       .map { case (k, v) => k -> v.toString },
     types = m.get("types").map(asMap).getOrElse(Map.empty).map { case (k, v) =>
       val tm = asMap(v)

@@ -42,8 +42,15 @@ object YamlLoader {
       .load[JMap[String, Object]](substituted).asScala.toMap
     val name = str(root, "pipeline_name").getOrElse("pipeline")
 
+    // A pipeline document may carry its own `defaults:` block
+    // (pipeline_model.py PipelineDefaults) — more specific than the
+    // project's, so it wins the merge.
+    val eff = root.get("defaults").map(asMap)
+      .map(m => defaults.merged(ProjectConfig.parseDefaults(m).copy(vars = Map.empty, paths = Map.empty)))
+      .getOrElse(defaults)
+
     val sources = root.get("sources").toSeq.flatMap(asList)
-      .map(m => parseSource(asMap(m), defaults))
+      .map(m => parseSource(asMap(m), eff))
 
     // drune puts the silver column spec under sources[i].schema.columns;
     // these columns (and the PK) feed both the implicit transform and
@@ -52,7 +59,7 @@ object YamlLoader {
     val schemaSpec = root.get("sources").toSeq.flatMap(asList).headOption
       .map(asMap).flatMap(_.get("schema")).map(asMap)
     val srcColumns = schemaSpec.flatMap(_.get("columns")).map(asList)
-      .map(_.map(c => applyTypeDefaults(parseColumn(asMap(c)), defaults)).toSeq)
+      .map(_.map(c => applyTypeDefaults(parseColumn(asMap(c)), eff)).toSeq)
       .getOrElse(Nil)
     val pk = schemaSpec.flatMap(_.get("primary_key")).map(asList)
       .map(_.map(_.toString).toSeq).getOrElse(Nil)
@@ -71,7 +78,7 @@ object YamlLoader {
         Seq(Validate(srcColumns))
       else Nil
 
-    val sink = root.get("target").map(asMap).map(m => parseSink(m, defaults))
+    val sink = root.get("target").map(asMap).map(m => parseSink(m, eff))
     PipelineSpec(name, sources.toSeq,
       (implicitTransform ++ implicitValidate ++ steps).toSeq, sink,
       str(root, "description"),
@@ -109,24 +116,47 @@ object YamlLoader {
       case kind =>
         val d = defaults.sources.getOrElse(kind, SourceDefault())
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)
-          .map { case (k, v) => k -> v.toString }
-        FileSource(name, str(m, "path").getOrElse(""),
+          .map { case (k, v) => k -> normalizeOption(k, v.toString) }
+        FileSource(name, resolvePath(str(m, "path").getOrElse(""), defaults, "sources"),
           str(m, "format").orElse(d.format).getOrElse("parquet"),
           d.options ++ opts,
           str(m, "expected_columns").map(_.toInt))
     }
   }
 
+  /** drune's pandas-backed examples write `header: 0` meaning "the
+    * header is AT row 0" (pandas read_csv semantics) — Spark's csv
+    * reader wants a boolean. Translate the pandas spelling; booleans
+    * pass through.
+    */
+  private def normalizeOption(key: String, value: String): String =
+    if (key.equalsIgnoreCase("header") && value == "0") "true" else value
+
+  /** Relative file paths resolve against the project's `paths` layout
+    * (core/pipeline.py:119-141 joins project_dir / paths.sources /
+    * path); absolute paths and pathless specs pass through.
+    */
+  private def resolvePath(path: String, defaults: ProjectDefaults, kind: String): String =
+    defaults.paths.get(kind) match {
+      case Some(base) if path.nonEmpty && !java.nio.file.Paths.get(path).isAbsolute =>
+        java.nio.file.Paths.get(base, path).toString
+      case _ => path
+    }
+
   private def parseColumn(m: Map[String, Object]): ColumnSpec = {
-    val constraints = m.get("constraints").toSeq.flatMap(asList).map { c =>
+    val constraints = m.get("constraints").toSeq.flatMap(asList).flatMap { c =>
       val cm = asMap(c)
-      Constraint(parseRule(str(cm, "rule").getOrElse("not_null")),
-        str(cm, "on_fail").getOrElse("fail") match {
-          case "drop" => DropAction
-          case "warn" => WarnAction
-          case "set_null" => SetNullAction
-          case _ => FailAction
-        })
+      val onFail = str(cm, "on_fail").getOrElse("fail") match {
+        case "drop" => DropAction
+        case "warn" => WarnAction
+        case "set_null" => SetNullAction
+        case _ => FailAction
+      }
+      // drune's rule grammar chains functions with '|' in ONE string
+      // (utils/parsers.py parse_function_string): "not_null|min_length:3"
+      // is two rules sharing the on_fail action.
+      splitRules(str(cm, "rule").getOrElse("not_null"))
+        .map(r => Constraint(parseRule(r), onFail))
     }
     ColumnSpec(
       name = str(m, "name").getOrElse(""),
@@ -149,6 +179,26 @@ object YamlLoader {
     case "float" => "double"
     case "bool" => "boolean"
     case other => other
+  }
+
+  /** Quote-aware split on '|' (utils/parsers.py split_with_quotes):
+    * a '|' inside a quoted parameter — e.g. a regex alternation in
+    * `pattern:"a|b"` — does not separate rules.
+    */
+  private[pipeline] def splitRules(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote == 0 && (ch == '"' || ch == '\'')) quote = ch
+      else if (ch == quote) quote = 0
+      else if (ch == '|' && quote == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Rule grammar `name[:param]` (utils/parsers.py parse_function_string,
@@ -216,7 +266,7 @@ object YamlLoader {
       case _ => Append
     }
     SinkSpec(
-      path = str(m, "path").getOrElse(""),
+      path = resolvePath(str(m, "path").getOrElse(""), defaults, "targets"),
       format = str(m, "format").orElse(d.format).getOrElse("parquet"),
       mode = if (m.contains("scd")) Scd2() else mode,
       partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),

@@ -80,6 +80,48 @@ class YamlLoaderSuite extends SparkSpec {
     intercept[IllegalArgumentException](YamlLoader.parseRule("bogus:1"))
   }
 
+  test("pipe-chained rule strings split into multiple rules, quotes respected") {
+    assert(YamlLoader.splitRules("not_null|min_length:3") == Seq("not_null", "min_length:3"))
+    assert(YamlLoader.splitRules("pattern:\"^(a|b)$\"|not_null") ==
+      Seq("pattern:\"^(a|b)$\"", "not_null"))
+    assert(YamlLoader.splitRules("not_null") == Seq("not_null"))
+    val yamlChained =
+      """sources:
+        |  - name: s
+        |    type: file
+        |    path: /tmp/x.csv
+        |    schema:
+        |      columns:
+        |        - name: c
+        |          type: str
+        |          constraints:
+        |            - rule: "not_null|min_length:3"
+        |              on_fail: warn
+        |""".stripMargin
+    val t = YamlLoader.load(yamlChained).steps.collectFirst { case t: Transform => t }.get
+    assert(t.columns.head.constraints.map(_.rule) == Seq(NotNull, MinLength(3)))
+  }
+
+  test("relative source/target paths resolve against project paths layout") {
+    val d = ProjectDefaults(paths = Map("sources" -> "/proj/data", "targets" -> "/proj/out"))
+    val spec = YamlLoader.load(
+      """sources:
+        |  - name: s
+        |    type: file
+        |    path: in/cust.csv
+        |target:
+        |  name: t
+        |  type: file
+        |  path: result
+        |""".stripMargin, d)
+    assert(spec.sources.head.asInstanceOf[FileSource].path == "/proj/data/in/cust.csv")
+    assert(spec.sink.get.path == "/proj/out/result")
+    // absolute paths pass through untouched
+    val abs = YamlLoader.load(
+      "sources:\n  - name: s\n    type: file\n    path: /abs/x.csv\n", d)
+    assert(abs.sources.head.asInstanceOf[FileSource].path == "/abs/x.csv")
+  }
+
   test("pipeline test compare: equal, missing and unexpected rows") {
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
     assert(PipelineTest.compare(a, a).isEmpty)
