@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis => TA}
 
 /** Text analysis, deduplication and similarity-search queries
   * (SURVEY.md §2, q24–q35) over the `documents` and `embeddings`
@@ -61,6 +61,12 @@ object TextQueries {
       TA.tfidfTopTerms(t(s, dir, "documents"), k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
+
+    // q39: composed corpus curation — quality gate + language filter +
+    // exact-dedup keeper as one operator (the pretraining-data filter).
+    "q39_curate" -> ((s, dir) =>
+      Curation.curate(t(s, dir, "documents"), minTokens = 20)
+        .orderBy("doc_id")),
 
     // q29: exact dedup on normalized-text fingerprint (md5 variant for
     // oracle parity; the engine path uses 8-byte xxhash64).
@@ -176,6 +182,29 @@ object TextQueries {
     "q29_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "q39_curate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS fp,
+         |    ${hitsSql("de")} AS de_hits, ${hitsSql("en")} AS en_hits,
+         |    ${hitsSql("es")} AS es_hits, ${hitsSql("fr")} AS fr_hits,
+         |    ${hitsSql("pt")} AS pt_hits
+         |  FROM documents),
+         |lp AS (SELECT *, list_max([
+         |    {'hits': de_hits, 'lang': 'de'}, {'hits': en_hits, 'lang': 'en'},
+         |    {'hits': es_hits, 'lang': 'es'}, {'hits': fr_hits, 'lang': 'fr'},
+         |    {'hits': pt_hits, 'lang': 'pt'}]) AS best FROM f),
+         |feats AS (SELECT doc_id, n_tokens, fp,
+         |    CASE WHEN struct_extract(best, 'hits') > 0
+         |         THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred FROM lp),
+         |flt AS (SELECT * FROM feats
+         |  WHERE n_tokens BETWEEN 20 AND 1000000
+         |    AND lang_pred IN ('de', 'en', 'es', 'fr', 'pt')),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY 1)
+         |SELECT flt.doc_id, n_tokens, lang_pred
+         |FROM flt JOIN k ON flt.fp = k.fp AND flt.doc_id = k.doc_id
+         |ORDER BY flt.doc_id""".stripMargin,
 
     "q37_tfidf" ->
       s"""WITH toks AS (

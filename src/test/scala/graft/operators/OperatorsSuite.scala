@@ -180,4 +180,18 @@ class TextSuite extends SparkSpec {
       (TextAnalysis.shingleHashes(col("t1"), 3) === TextAnalysis.shingleHashes(col("t2"), 3)).as("sh")).collect()
     assert(r(0).getBoolean(0) && r(0).getBoolean(1))
   }
+
+  test("curation: drops short / unknown-language / duplicate docs, keeps the smallest id") {
+    val en = "the cat and the dog is in the house with that other dog " * 2
+    val docs = Seq(
+      (1L, en),                     // keeper of the dup pair
+      (2L, en.toUpperCase),         // normalized duplicate of 1 → dropped
+      (3L, "xyzzy plugh " * 20),    // lang 'und' → dropped
+      (4L, "the cat"),              // too short → dropped
+      (5L, en + " extra tokens appended here for distinctness"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, minTokens = 10).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 5L))
+    assert(out.forall(_.getAs[String]("lang_pred") == "en"))
+  }
 }
