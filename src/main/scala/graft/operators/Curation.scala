@@ -40,4 +40,85 @@ object Curation {
     filtered.join(keepers, Seq("fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
   }
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with an evaluation set (the standard n-gram-overlap
+    * decontamination a pretraining pipeline runs before training).
+    * Returns one row per contaminated training doc with the number of
+    * distinct contaminated n-grams and of distinct eval docs hit.
+    *
+    * Shape at scale: the eval side is benchmarks — thousands of docs,
+    * not billions — so its distinct (gram, eval_id) table is BROADCAST
+    * and the training corpus joins map-side: the n-gram stream of the
+    * 100 TB side never shuffles. Per-doc distinct grams keep the join
+    * input at one row per (doc, gram), and the final count-distinct
+    * aggregation is keyed on the training doc id.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      .dropDuplicates("id", "gram")
+    grams(train)
+      .join(broadcast(grams(eval).withColumnRenamed("id", "eval_id")), Seq("gram"))
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("gram")).as("n_bad_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Passage-level exact dedup: split each document into fixed-size
+    * token chunks and collapse identical chunks across the corpus
+    * (the chunk-granularity pass pipelines run after doc-level dedup —
+    * boilerplate headers/footers repeat across otherwise-distinct
+    * docs). Returns duplicated chunks only: (chunk_hash, n_occurrences,
+    * first_doc).
+    *
+    * One explode + one hash aggregation on the 16-byte chunk hash;
+    * map-side partial aggregation applies, chunk text never shuffles.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 20): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    val chunks = transform(
+      sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    docs.select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .where(col("chunk") =!= "")
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("id")).as("first_doc"))
+      .where(col("n_occurrences") > 1)
+  }
+
+  /** Deterministic hash-based stratified sampling — the training-mix
+    * downsampler: each language keeps `rates(lang)` percent of its
+    * documents, selected by a multiplicative hash of the id (Knuth's
+    * 2654435761 mod 2^32, high bits → bucket 0–99), so the sample is
+    * reproducible across runs and engines with NO rand() and no
+    * per-group shuffling: the operator is a pure filter that fuses with
+    * the scan and preserves partitioning.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Map[String, Int],
+      idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    // id folded below 2^20 BEFORE the multiply so a·id stays < 2^52:
+    // no long overflow at any id scale (ANSI-safe), same bucket on any
+    // engine. High bits of the 32-bit product → bucket (low bits of a
+    // multiplicative hash are the weak ones).
+    val bucket = ((pmod(col(idCol), lit(1000003L)) * lit(2654435761L))
+      .mod(lit(4294967296L)) / lit(42949673L)).cast("long")
+    val rate = rates.foldLeft(lit(0)) { case (acc, (lg, r)) =>
+      when(col(langCol) === lg, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).where(col("bucket") < rate)
+  }
 }

@@ -262,6 +262,47 @@ object Dedup {
     materializeAndRelease(verified, cached)
   }
 
+  /** Resolve near-dup PAIRS into GROUPS: connected components by
+    * iterative min-label propagation ("hash-to-min"): every vertex
+    * starts labelled with its own id; each round it takes the min of
+    * its label and its neighbours' labels; convergence in O(log
+    * diameter) rounds (near-dup components are cliques-ish, so
+    * typically 2–3). Returns (doc_id, group_id = min id in component)
+    * for every doc that appears in a pair — the keeper set for
+    * corpus-level near-dedup is then "group_id rows plus all unpaired
+    * docs".
+    *
+    * Scale shape: each round is ONE shuffle keyed on the 8-byte id
+    * (edges join labels + min aggregation); the edge list carries ids
+    * only. Intermediate label tables are localCheckpoint'd (small —
+    * one row per paired doc) and released each round; convergence is
+    * detected with a limit(1) existence probe, not a full count.
+    */
+  def nearDupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).limit(1).count() == 0
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** 64-bit weighted SimHash per document as a PURE PROJECTION — the
     * codegen'd graftbridge.SimHash64 expression runs the per-bit ±1
     * counters in one pass over the shingle stream (repeated shingles

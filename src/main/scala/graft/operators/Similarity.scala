@@ -101,6 +101,93 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** IVF coarse-quantizer centroids: deterministic sample init (first
+    * `nlist` vectors by id) refined by `iters` Lloyd rounds, each round
+    * one distributed pass — assignment is a pure codegen'd projection
+    * (centroids baked as literals), the mean-update a posexplode +
+    * (list, pos) aggregation with map-side partial aggs. Only
+    * nlist × dim floats ever reach the driver, per round — the corpus
+    * never does. Clusters that lose all members keep their previous
+    * centroid.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
+    var cents: Seq[(Int, Array[Float])] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).toArray
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(ivfAssign(col(vecCol), cents).as("list_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      cents = cents.map { case (lid, old) => lid -> means.getOrElse(lid, old) }
+    }
+    cents
+  }
+
+  /** Nearest-centroid list id as a pure projection (argmax over a
+    * literal struct array — whole-stage codegen, fuses with the scan;
+    * ties go to the larger list id via struct ordering).
+    */
+  def ivfAssign(vec: Column, cents: Seq[(Int, Array[Float])]): Column =
+    array_max(array(cents.map { case (lid, c) =>
+      struct(cosine(vec, array(c.map(lit(_)): _*)).as("sim"), lit(lid).as("list_id"))
+    }: _*)).getField("list_id")
+
+  /** The probe's `nprobe` nearest centroid lists, best-first. */
+  def ivfProbeLists(vec: Column, cents: Seq[(Int, Array[Float])], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(cents.map { case (lid, c) =>
+        struct(cosine(vec, array(c.map(lit(_)): _*)).as("sim"), lit(lid).as("list_id"))
+      }: _*))), 1, nprobe),
+      p => p.getField("list_id"))
+
+  /** IVF-Flat approximate NN — the classic scale path next to
+    * hyperplane LSH ([[annLsh]]): partition the corpus into `nlist`
+    * inverted lists by nearest coarse centroid, search only the
+    * `nprobe` lists nearest each probe, exact cosine rank within them.
+    *
+    * Scale shape: corpus list assignment is a projection (at 100 TB it
+    * would be precomputed at ingest and used as the table's partition
+    * key, so a query reads only nprobe/nlist of the data); probes
+    * explode to nprobe rows and BROADCAST onto the lists; the rank
+    * window sees only candidate rows. Centroid training touches
+    * nlist × dim floats on the driver — never the corpus.
+    */
+  def ivfAnn(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val lists = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      ivfAssign(col(vecCol), cents).as("list_id"))
+    val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      explode(ivfProbeLists(col(vecCol), cents, nprobe)).as("list_id"))
+    broadcast(probed).join(lists, Seq("list_id"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus once,
     * pair within buckets (skew-capped), keep cosine ≥ threshold.
     *

@@ -80,6 +80,33 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII scrub patterns → replacement tags, applied in order. Kept to
+    * portable character-class regexes (no lookarounds) so the same
+    * patterns run on any engine.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\-. ]{7,}[0-9]" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Redact emails / phone-like runs / long digit strings. A pure
+    * codegen'd projection (chained regexp_replace) — the standard
+    * pre-training PII scrub pass, linear in input bytes.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (re, tag)) => regexp_replace(acc, re, tag) }
+
+  /** Count of PII matches removed by [[redactPii]] (tag occurrences in
+    * the redacted text).
+    */
+  def piiCount(text: Column): Column = {
+    val red = redactPii(text)
+    piiPatterns.map { case (_, tag) =>
+      (length(red) - length(regexp_replace(red, java.util.regex.Pattern.quote(tag), ""))) /
+        lit(tag.length)
+    }.reduce(_ + _).cast("long")
+  }
+
   /** Normalized text used by dedup + fingerprints: lowercase, collapsed
     * whitespace, trimmed.
     */
@@ -143,6 +170,36 @@ object TextAnalysis {
     filter(
       transform(toks, (_, i) => when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
       g => g.isNotNull)
+  }
+
+  /** Repetition signals (Gopher-style quality filters): per-document
+    * duplicate-token ratio and the fraction of all bigrams taken by the
+    * single most frequent bigram — high values mark boilerplate /
+    * keyword-stuffed documents a pretraining filter drops.
+    *
+    * Token-level stats are a pure projection on the token array; the
+    * top-bigram fraction is the posexplode + lead pipeline of
+    * [[wordBigramCounts]] aggregated per document (keyed shuffles on
+    * the doc id only — bigram strings never shuffle corpus-wide).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val proj = docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        nullif(size(toks).cast("double"), lit(0.0)), 4).as("dup_token_ratio"))
+    val tk = docs.select(col(idCol).as("id"),
+      posexplode(tokens(normalize(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bi = tk.withColumn("nxt", lead("tok", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        round(max("cnt").cast("double") / sum("cnt"), 4).as("top_bigram_frac"))
+    proj.join(bi, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("dup_token_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Distinct 64-bit hashes of the k-char shingles of normalized text —

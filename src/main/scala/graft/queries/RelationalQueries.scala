@@ -287,7 +287,27 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("matched_price"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // q43: distribution stats — exact interpolated percentiles (the
+    // `percentile` aggregate, ANSI percentile_cont semantics) + stddev
+    // of order value per nation. Dims broadcast onto the orders fact;
+    // one keyed aggregation. At 100 TB exact percentiles on a hot key
+    // would switch to approx_percentile (same plan shape) — exact kept
+    // here for cross-engine oracle equality.
+    "q43_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          round(avg("o_totalprice"), 2).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"))
+        .orderBy("n_name")))
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
@@ -488,5 +508,16 @@ object RelationalQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, round(o.o_totalprice, 2) AS matched_price
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  round(stddev_samp(o_totalprice), 2) AS sd_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

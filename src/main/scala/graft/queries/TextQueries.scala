@@ -118,7 +118,52 @@ object TextQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10, planes = 8)
         .orderBy("probe_id", "rank")
-    }))
+    }),
+
+    // q44: IVF-Flat ANN — coarse-quantizer lists + nprobe search
+    // (rows-only: Lloyd means are float-order dependent; recall is
+    // verified against brute force in ScalaTest).
+    "q44_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10),
+          k = 10, nlist = 8, nprobe = 4, iters = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q46: near-dup pair set resolved to connected-component groups
+    // (min-label propagation over the verified MinHash/LSH pairs).
+    "q46_dedup_groups" -> ((s, dir) =>
+      Dedup.nearDupGroups(
+          Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.8))
+        .orderBy("doc_id")),
+
+    // q40: benchmark decontamination — training docs sharing any word
+    // 8-gram with the (deterministic doc_id % 7 = 0) eval split.
+    "q40_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(7)) === 0))
+        .orderBy("doc_id")
+    }),
+
+    // q41: Gopher-style repetition signals per document.
+    "q41_repetition" -> ((s, dir) =>
+      TA.repetitionSignals(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // q45: passage-level exact dedup — duplicated 20-token chunks.
+    "q45_chunk_dedup" -> ((s, dir) =>
+      Curation.chunkDedup(t(s, dir, "documents"), chunkTokens = 20)
+        .orderBy("chunk_hash")),
+
+    // q47: deterministic hash-based stratified sampling per language
+    // (training-mix downsampling; multiplicative hash, no rand()).
+    "q47_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"),
+          rates = Map("en" -> 10, "de" -> 25, "es" -> 25, "fr" -> 25, "zh" -> 50))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -235,5 +280,52 @@ object TextQueries {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
-        |ORDER BY probe_id, rank""".stripMargin)
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    "q40_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 6),
+         |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
+         |  FROM tk),
+         |tr AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0)
+         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_bad_grams,
+         |  count(DISTINCT ev.eval_id) AS n_eval_docs
+         |FROM tr JOIN ev ON tr.gram = ev.gram
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |proj AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |    round(1 - len(list_distinct(tk))::DOUBLE / nullif(len(tk)::DOUBLE, 0), 4) AS dup_token_ratio
+         |  FROM tk),
+         |bi AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM tk),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+         |top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+         |  FROM cnt GROUP BY 1)
+         |SELECT p.doc_id, n_tokens, dup_token_ratio,
+         |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+         |FROM proj p LEFT JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    "q45_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |ch AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, (len(tk) + 19) // 20),
+         |      i -> array_to_string(list_slice(tk, i * 20 + 1, i * 20 + 20), ' '))) AS chunk
+         |  FROM tk)
+         |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, min(doc_id) AS first_doc
+         |FROM ch WHERE chunk <> ''
+         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q47_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    ((doc_id % 1000003) * 2654435761) % 4294967296 // 42949673 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50
+        |  WHEN 'de' THEN 25 WHEN 'es' THEN 25 WHEN 'fr' THEN 25 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -52,6 +52,24 @@ class DedupSuite extends SparkSpec {
     val diff = a.join(b, "id").where(col("h_new") =!= col("h_old"))
     assert(diff.count() == 0)
   }
+
+  test("nearDupGroups: min-label propagation resolves chains and separate components") {
+    // chain 1-2, 2-3 (one component) plus 10-11: labels must reach the
+    // chain's far end (requires >1 propagation round).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupGroups(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupGroups on LSH pairs: every group id is the group's min member") {
+    val groups = Dedup.nearDupGroups(Dedup.minhashLsh(docs, threshold = 0.8)).collect()
+    assert(groups.nonEmpty)
+    val byGroup = groups.groupBy(_.getAs[Long]("group_id"))
+    byGroup.foreach { case (g, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == g)
+    }
+  }
 }
 
 class SimilaritySuite extends SparkSpec {
@@ -99,6 +117,26 @@ class SimilaritySuite extends SparkSpec {
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall $recall too low for planted clusters")
+  }
+
+  test("ivf ann: k rows per probe and high recall on planted clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until 10; i <- 0 until 12) yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 12 + i).toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") % 12 === 0)
+    val brute = Similarity.knnBrute(df, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfAnn(df, probes, k = 5, nlist = 8, nprobe = 3, iters = 2).collect()
+    assert(ivf.length == 50)
+    val got = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low for planted clusters")
   }
 }
 
@@ -179,6 +217,67 @@ class TextSuite extends SparkSpec {
       (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("eq"),
       (TextAnalysis.shingleHashes(col("t1"), 3) === TextAnalysis.shingleHashes(col("t2"), 3)).as("sh")).collect()
     assert(r(0).getBoolean(0) && r(0).getBoolean(1))
+  }
+
+  test("repetitionSignals: constructed repetitive doc scores high") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one token repeated
+      (2L, "alpha beta gamma delta epsilon zeta"))    // all distinct
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup_token_ratio") > 0.8)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 1.0) // every bigram is "spam spam"
+    assert(out(1).getAs[Double]("dup_token_ratio") == 0.0)
+    assert(out(1).getAs[Double]("top_bigram_frac") == 0.2) // 5 distinct bigrams
+  }
+
+  test("decontaminate: flags only docs sharing a full n-gram with eval") {
+    val base = "one two three four five six seven eight nine ten"
+    val train = Seq(
+      (1L, s"prefix words here $base"),     // contains the eval 8-gram run
+      (2L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, n = 8).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(out(0).getAs[Long]("n_eval_docs") == 1L)
+    assert(out(0).getAs[Long]("n_bad_grams") == 3L) // 10-token run → 3 shared 8-grams
+  }
+
+  test("chunkDedup: repeated 20-token chunk found across docs, short tails kept distinct") {
+    val chunk = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, chunk + " tail one"),
+      (2L, chunk + " tail two"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, chunkTokens = 20).collect()
+    assert(out.length == 1) // only the shared leading chunk repeats
+    assert(out(0).getAs[Long]("n_occurrences") == 2L)
+    assert(out(0).getAs[Long]("first_doc") == 1L)
+  }
+
+  test("stratifiedSample: deterministic, respects per-language rates") {
+    val docs = (0L until 2000L).map(i => (i, s"text $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 10, "zh" -> 50)
+    val a = Curation.stratifiedSample(docs, rates).collect()
+    val b = Curation.stratifiedSample(docs, rates).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // reproducible
+    val byLang = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("en") > 50 && byLang("en") < 150)   // ~10% of 1000
+    assert(byLang("zh") > 400 && byLang("zh") < 600)  // ~50% of 1000
+    assert(a.forall(_.getAs[Long]("bucket") < 50))
+  }
+
+  test("redactPii: emails, phones and long digit runs are tagged and counted") {
+    val df = Seq(
+      ("contact me at jane.doe@example.com or +1 (555) 123-4567 ref 123456", 3L),
+      ("no pii here", 0L)).toDF("text", "want")
+    val out = df.select(
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCount(col("text")).as("n"), col("want")).collect()
+    assert(out(0).getAs[String]("red") == "contact me at <EMAIL> or <PHONE> ref <NUM>")
+    out.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("want")))
   }
 
   test("curation: drops short / unknown-language / duplicate docs, keeps the smallest id") {
