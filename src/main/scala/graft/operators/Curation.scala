@@ -60,14 +60,29 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8): DataFrame = {
-    def grams(df: DataFrame) = df.select(
-        col(idCol).as("id"),
-        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
-      .dropDuplicates("id", "gram")
-    grams(train)
-      .join(broadcast(grams(eval).withColumnRenamed("id", "eval_id")), Seq("gram"))
+    // (id, xxhash64(n-gram)) — posexplode + lead window, every
+    // expression codegen'd (the array-HOF formulation was measured ~6×
+    // slower and shuffled ~50-byte gram strings; hashes are 8 bytes).
+    // Joining on the 64-bit hash instead of the string admits a
+    // collision only at p ≈ |grams|²/2^65 — immaterial below ~10^8
+    // distinct grams per doc pair comparison.
+    def gramHashes(df: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val toked = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+          .as(Seq("pos", "tok")))
+      val w = Window.partitionBy("id").orderBy("pos")
+      val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
+      toked.select(col("id"), parts.last.as("__last"),
+          concat_ws(" ", parts: _*).as("gram"))
+        .where(col("__last").isNotNull) // drop short tail windows
+        .select(col("id"), xxhash64(col("gram")).as("gh"))
+        .dropDuplicates("id", "gh")
+    }
+    gramHashes(train)
+      .join(broadcast(gramHashes(eval).withColumnRenamed("id", "eval_id")), Seq("gh"))
       .groupBy(col("id").as(idCol))
-      .agg(countDistinct(col("gram")).as("n_bad_grams"),
+      .agg(countDistinct(col("gh")).as("n_bad_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 

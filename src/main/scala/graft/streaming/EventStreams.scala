@@ -36,6 +36,34 @@ object EventStreams {
   final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int)
   final case class SessionState(seq: Int, lastSec: Long)
 
+  /** Stream-static enrichment: join the unbounded stream to a bounded
+    * dimension, dimension broadcast — each micro-batch is enriched
+    * map-side, no stream-side shuffle and no streaming state. The
+    * static side is re-resolved per micro-batch, so a dim refresh (new
+    * parquet files) is picked up without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String], how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), on, how)
+
+  /** Streaming merge sink: every micro-batch UPSERTS into the target
+    * path through the batch Writer (hash_key semantics identical to the
+    * batch MergeUpsert mode) — the streaming face of drune's merge
+    * write. foreachBatch is the documented pattern for sinks Spark has
+    * no native streaming writer for; exactly-once comes from the
+    * checkpoint + idempotent merge (re-running a batch re-upserts the
+    * same keys).
+    */
+  def upsertSink(stream: DataFrame, path: String, checkpointDir: String,
+                 format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Writer.write(batch.sparkSession, batch,
+          graft.pipeline.SinkSpec(path, format, graft.pipeline.MergeUpsert))
+      }
+      .start()
+
   /** Stateful sessionization via flatMapGroupsWithState: per-user
     * session counter that increments when the gap exceeds `gapSeconds`.
     * EventTimeTimeout bound to the watermark evicts idle users' state —

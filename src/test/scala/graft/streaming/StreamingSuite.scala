@@ -44,6 +44,47 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink merges micro-batches by hash_key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val stream = mem.toDF().withColumn("hash_key", xxhash64(col("event_id")))
+    val q = EventStreams.upsertSink(stream, s"$dir/target", s"$dir/ckpt")
+    try {
+      mem.addData(
+        EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventStreams.Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventStreams.Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 9.0), // key 1 updated
+        EventStreams.Ev(3, ts("2024-01-01 10:03:00"), 2, "click", 3.0)) // new key
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/target").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+      assert(out == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich: dimension columns appear, stream rows preserved") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreams.Ev(2, ts("2024-01-01 10:01:00"), 9, "view", 2.0)) // no dim row
+    val q = EventStreams.enrich(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(2L).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionize assigns increasing session ids per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
