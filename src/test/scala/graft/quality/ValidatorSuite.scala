@@ -62,4 +62,18 @@ class ValidatorSuite extends SparkSpec {
     assert(p("id").getAs[Long]("n_distinct") == 4)
     assert(p("score").getAs[String]("min_value") == "-5.0")
   }
+
+  test("sketch profile: approx ndv within rsd bound, quantiles near exact") {
+    val wide = spark.range(10000L).toDF("id")
+      .withColumn("v", (col("id") % 1000).cast("double"))
+      .withColumn("s", concat(lit("cat_"), col("id") % 7))
+    val p = Profiler.profileApprox(wide, Seq("id", "v", "s"), rsd = 0.05).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(math.abs(p("id").getAs[Long]("approx_ndv") - 10000L) <= 10000 * 0.15)
+    assert(math.abs(p("v").getAs[Long]("approx_ndv") - 1000L) <= 1000 * 0.15)
+    assert(p("s").getAs[Long]("approx_ndv") == 7L) // small NDV is exact in HLL++
+    val p50 = p("v").getAs[Double]("approx_p50")
+    assert(p50 >= 400 && p50 <= 600, s"p50 $p50 far from 499.5")
+    assert(p("s").isNullAt(p("s").fieldIndex("approx_p50"))) // non-numeric → null
+  }
 }
