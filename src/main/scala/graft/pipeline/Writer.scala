@@ -45,6 +45,22 @@ object Writer {
     }
   }
 
+  /** Bucketed catalog-table write: pay the shuffle ONCE at write time —
+    * hash-partition into `numBuckets` files by `keys` (sorted within
+    * buckets) — and every later equi-join or aggregation on those keys
+    * is exchange-free (Spark matches bucket specs instead of
+    * re-shuffling). The 100 TB pattern for fact⋈fact joins two big
+    * tables share: bucket both on the join key at ingest; see the
+    * DdlSuite plan assertion.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], numBuckets: Int,
+                    format: String = "parquet", overwrite: Boolean = true): Unit =
+    df.write.format(format)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   private def readBase(spark: SparkSession, sink: SinkSpec): Option[DataFrame] = {
     val p = new Path(sink.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

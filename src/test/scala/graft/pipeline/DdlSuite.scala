@@ -123,6 +123,27 @@ class DdlSuite extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    val (ta, tb) = ("bk_orders", "bk_cust")
+    spark.sql(s"DROP TABLE IF EXISTS $ta"); spark.sql(s"DROP TABLE IF EXISTS $tb")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+    Writer.writeBucketed(orders, ta, Seq("o_custkey"), 8)
+    Writer.writeBucketed(cust, tb, Seq("c_custkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      val j = spark.table(ta).join(spark.table(tb), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not re-shuffle:\n$plan")
+      assert(j.count() == orders.count()) // every order has a customer
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE $ta"); spark.sql(s"DROP TABLE $tb")
+    }
+  }
+
   private def sha2Hex(s: String): String = {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
