@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Skew-safe equi-join: salt the left (skewed, large) side's key with
+    * a deterministic per-row salt in [0, saltFactor) and replicate each
+    * right row saltFactor times, then join on (key, salt). A hot key
+    * that would land its entire shuffle partition on one reducer is
+    * spread over saltFactor reducers; results are identical to the
+    * plain join (inner/left semantics). Use when the right side is too
+    * big to broadcast and AQE's skew-join split isn't available (e.g.
+    * the key feeds a later aggregation that must stay co-partitioned).
+    * Cost: right side shuffles saltFactor× its size — keep saltFactor
+    * at the skew ratio, not higher.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      saltFactor: Int,
+      how: String = "inner"): DataFrame = {
+    // xxhash64 over the whole left row: deterministic, no rand() (a
+    // retried task must re-salt identically or rows are lost/doubled).
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedR = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedL.join(saltedR, on :+ "__salt", how).drop("__salt")
+  }
+
   /** As-of join: for each left row, attach the most recent right row
     * with rightTime ≤ leftTime for the same key.
     *

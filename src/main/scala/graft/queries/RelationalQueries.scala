@@ -307,7 +307,20 @@ object RelationalQueries {
           round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
           round(avg("o_totalprice"), 2).as("avg_price"),
           round(stddev_samp(col("o_totalprice")), 2).as("sd_price"))
-        .orderBy("n_name")))
+        .orderBy("n_name")),
+
+    // q48: correlation / covariance aggregates per group — one keyed
+    // aggregation with map-side co-moment partials (Pearson via
+    // corr/covar_samp, both codegen'd; no second pass over the data).
+    "q48_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(corr(col("l_discount"), col("l_extendedprice")), 4).as("corr_disc_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+        .orderBy("l_returnflag")))
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
@@ -519,5 +532,12 @@ object RelationalQueries {
         |  round(stddev_samp(o_totalprice), 2) AS sd_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

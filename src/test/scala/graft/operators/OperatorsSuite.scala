@@ -177,6 +177,22 @@ class RelationalSuite extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
   }
 
+  test("saltedJoin: identical results to the plain join, both join types") {
+    // 1000 rows of one hot key + a long tail; dim has hits and misses.
+    val left = ((1 to 1000).map(_ => (7L, "hot")) ++ (1 to 50).map(i => (i.toLong, s"t$i")))
+      .toDF("k", "lv")
+    val right = Seq((7L, "dim7"), (3L, "dim3"), (999L, "unused")).toDF("k", "rv")
+    for (how <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), how)
+        .groupBy("k", "rv").count().collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+      val salted = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 8, how = how)
+        .groupBy("k", "rv").count().collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+      assert(salted == plain, s"mismatch for $how join")
+    }
+  }
+
   test("histogram: bounds and overflow buckets") {
     val df = Seq(-1.0, 0.0, 5.0, 9.9, 10.0, 99.0).toDF("v")
     val out = Relational.histogram(df, "v", 0, 10, 2).collect()
