@@ -50,6 +50,18 @@ class PipelineSuite extends SparkSpec {
     assert(piv.columns.contains("bob"))
   }
 
+  test("partitioned sink: read with a partition predicate prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders_by_year"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    Writer.write(spark, orders, SinkSpec(dir, mode = Overwrite, partitionBy = Seq("yr")))
+    val read = spark.read.parquet(dir).where(col("yr") === 1995)
+    val plan = read.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("yr"),
+      s"partition predicate must reach the scan as a PartitionFilter:\n$plan")
+    assert(read.count() == orders.where(col("yr") === 1995).count())
+  }
+
   test("expected-columns source check fails fast on width mismatch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ec")
     val csv = dir.resolve("d.csv")
