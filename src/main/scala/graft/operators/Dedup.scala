@@ -210,6 +210,34 @@ object Dedup {
     materializeAndRelease(verified, sigs)
   }
 
+  /** LSH candidate pairs WITHOUT the signature-estimate verify — for
+    * consumers that exact-verify anyway ([[jaccardVerify]]): the
+    * signature table has a single consumer here, so there is no
+    * persist, no signature re-join and no estimate filter (which could,
+    * rarely, drop a pair whose exact Jaccard passes). One projection
+    * pass + one bucket aggregation + pair dedup; only 8-byte ids
+    * shuffle after banding.
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleK: Int = 5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val banded = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact n-gram Jaccard verification for a candidate pair set —
     * used after LSH candidate generation (never on the cross product).
     *

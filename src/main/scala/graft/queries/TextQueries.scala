@@ -90,10 +90,12 @@ object TextQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
-    // q32: exact n-gram Jaccard verification of the LSH candidates.
+    // q32: exact n-gram Jaccard verification of the raw LSH candidates
+    // (candidates-only path: no signature re-join or estimate
+    // pre-filter — the exact verify subsumes it).
     "q32_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val candidates = Dedup.minhashLsh(docs, threshold = 0.5)
+      val candidates = Dedup.minhashCandidatePairs(docs)
       Dedup.jaccardVerify(docs, candidates, threshold = 0.7)
         .orderBy("id_a", "id_b")
     }),
