@@ -136,4 +136,25 @@ object Curation {
     }
     docs.withColumn("bucket", bucket).where(col("bucket") < rate)
   }
+
+  /** Token-budget selection: keep documents per group (language /
+    * source), in deterministic id order, until the group's token
+    * budget is exhausted — how a training mix is assembled to a target
+    * size. One window (running token sum partitioned by group) — a
+    * single shuffle keyed on the group column; the cumulative sum is
+    * computed stream-wise within each partition, no second pass.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      budgetPerGroup: Long,
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    docs.select(col(idCol), col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .where(col("cum_tokens") <= budgetPerGroup)
+  }
 }

@@ -169,6 +169,14 @@ object TextQueries {
       Curation.stratifiedSample(t(s, dir, "documents"),
           rates = Map("en" -> 10, "de" -> 25, "es" -> 25, "fr" -> 25, "zh" -> 50))
         .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // q49: token-budget selection — keep documents per language (in
+    // deterministic id order) until the language's token budget is
+    // exhausted: one running-sum window per language partition. The
+    // "assemble a training mix to a token budget" primitive.
+    "q49_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(t(s, dir, "documents"), budgetPerGroup = 2000)
         .orderBy("doc_id")))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
@@ -325,6 +333,15 @@ object TextQueries {
          |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, min(doc_id) AS first_doc
          |FROM ch WHERE chunk <> ''
          |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q49_token_budget" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
 
     "q47_sample" ->
       """WITH b AS (SELECT doc_id, lang,

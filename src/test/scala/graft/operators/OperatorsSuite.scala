@@ -285,6 +285,15 @@ class TextSuite extends SparkSpec {
     assert(a.forall(_.getAs[Long]("bucket") < 50))
   }
 
+  test("tokenBudget: cuts each group at the running-sum boundary") {
+    val docs = Seq(
+      (1L, "a b c d e", "en"), (2L, "a b c d e", "en"), (3L, "a b c d e", "en"),
+      (10L, "x y", "de")).toDF("doc_id", "text", "lang")
+    val out = Curation.tokenBudget(docs, budgetPerGroup = 12).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    assert(out == Map(1L -> 5L, 2L -> 10L, 10L -> 2L)) // doc 3 would exceed 12
+  }
+
   test("redactPii: emails, phones and long digit runs are tagged and counted") {
     val df = Seq(
       ("contact me at jane.doe@example.com or +1 (555) 123-4567 ref 123456", 3L),
