@@ -34,7 +34,20 @@ object Cli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        val spec = loadSpec(path, opt(rest, "--project"), opt(rest, "--profile"))
+        val spec0 = loadSpec(path, opt(rest, "--project"), opt(rest, "--profile"))
+        // --input <file>: drune's dynamic path (core/pipeline.py:130-139)
+        // — a source whose path is empty or a directory gets the runtime
+        // file joined on; an absolute input replaces the path outright.
+        val spec = opt(rest, "--input").map { in =>
+          spec0.copy(sources = spec0.sources.map {
+            case fs: pipeline.FileSource
+                if fs.path.isEmpty || !fs.path.matches(".*\\.[A-Za-z0-9]+$") =>
+              val p = java.nio.file.Paths.get(in)
+              fs.copy(path = if (p.isAbsolute || fs.path.isEmpty) in
+                             else java.nio.file.Paths.get(fs.path, in).toString)
+            case s => s
+          })
+        }.getOrElse(spec0)
         execute(spark, action, spec)
       } finally spark.stop()
     case _ =>
@@ -44,7 +57,6 @@ object Cli {
   }
 
   private def loadSpec(path: String, project: Option[String], profile: Option[String]): PipelineSpec = {
-    val yaml = read(path)
     val defaults = project.map { p =>
       val d = ProjectConfig.load(read(p)).resolved(profile)
       // Project-relative layout dirs resolve against the project file's
@@ -54,7 +66,11 @@ object Cli {
         k -> (if (java.nio.file.Paths.get(v).isAbsolute) v else projDir.resolve(v).normalize.toString)
       })
     }.getOrElse(ProjectDefaults.empty)
-    YamlLoader.load(yaml, defaults)
+    // A pipeline may be a single YAML file or a reference-layout
+    // directory (model.yml + steps.yml).
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      YamlLoader.loadDirectory(path, defaults)
+    else YamlLoader.load(read(path), defaults)
   }
 
   private[graft] def execute(spark: SparkSession, action: String, spec: PipelineSpec): Unit =

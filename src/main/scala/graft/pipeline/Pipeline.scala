@@ -72,6 +72,14 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       val out = spark.sql(sql)
       if (viewName.nonEmpty) out.createOrReplaceTempView(viewName)
       out
+    case TargetProject(excl, add) =>
+      val dropped = df.drop(excl.filter(df.columns.contains): _*)
+      add.foldLeft(dropped) { (d, c) =>
+        val base = c.expression.map(_.replace("{col}", s"`${c.sourceName}`"))
+          .getOrElse("NULL")
+        val casted = c.dataType.map(dt => s"cast(($base) AS $dt)").getOrElse(base)
+        d.withColumn(c.name, expr(casted))
+      }
     case Validate(columns, tableRules, logPath) =>
       val specs = columns.filter(_.constraints.nonEmpty)
         .map(c => ColumnConstraints(c.name, c.constraints))
@@ -96,15 +104,21 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
 object Pipeline {
   def apply(spark: SparkSession, spec: PipelineSpec): Pipeline = new Pipeline(spark, spec)
 
-  /** Silver transform (spark/steps/transformer.py:362-431): one
-    * `select()` projection builds every output column — rename, SQL
-    * expression with `{col}` placeholder, cast/try_cast, optional-column
-    * NULL fill — so the whole transform is a single codegen'd stage.
+  /** Silver transform (spark/steps/transformer.py:362-431): rename,
+    * SQL expression with `{col}` placeholder, cast/try_cast,
+    * optional-column NULL fill. Columns build SEQUENTIALLY (a
+    * withColumn fold) so a later expression may reference an earlier
+    * output column — the reference's semantics (transformer.py builds
+    * column-by-column; examples/pipelines/customer ds_login reads
+    * ds_email). Catalyst's ProjectCollapsing folds the chain back into
+    * ONE projection, so this still executes as a single codegen stage.
     */
   def transform(df: DataFrame, t: Transform): DataFrame = {
-    val sourceCols = df.columns.toSet
-    val projected = t.columns.map(c => columnExpression(c, sourceCols))
-    val out = df.select(projected: _*)
+    val (built, _) = t.columns.foldLeft((df, df.columns.toSet)) {
+      case ((d, scope), c) =>
+        (d.withColumn(c.name, columnExpression(c, scope)), scope + c.name)
+    }
+    val out = built.select(t.columns.map(c => col(c.name)): _*)
     if (t.addControlColumns) addControlColumns(out, t) else out
   }
 

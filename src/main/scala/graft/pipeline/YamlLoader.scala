@@ -78,12 +78,62 @@ object YamlLoader {
         Seq(Validate(srcColumns))
       else Nil
 
+    // target.schema (pipeline_model.py TargetSpec.schema): inherits/
+    // exclude + extra columns become a final TargetProject step;
+    // schema-level partition_by feeds the sink when the target itself
+    // declares none. Exclusions name SOURCE-file columns — map them
+    // through the silver rename (from → name) before dropping.
+    val targetSchema = root.get("target").map(asMap).flatMap(_.get("schema")).map(asMap)
+    val targetStep = targetSchema.toSeq.flatMap { ts =>
+      val excludeFrom = ts.get("inherits").toSeq.flatMap(asList).map(asMap)
+        .flatMap(_.get("exclude").toSeq.flatMap(asList).map(_.toString))
+      val excl = excludeFrom.map(e =>
+        srcColumns.find(c => c.sourceName == e || c.name == e).map(_.name).getOrElse(e))
+      val add = ts.get("columns").toSeq.flatMap(asList).map(c => parseColumn(asMap(c)))
+      if (excl.isEmpty && add.isEmpty) Nil else Seq(TargetProject(excl.toSeq, add.toSeq))
+    }
+    val schemaPartitions = targetSchema.flatMap(_.get("partition_by")).map(asList)
+      .map(_.map(_.toString).toSeq).getOrElse(Nil)
+
     val sink = root.get("target").map(asMap).map(m => parseSink(m, eff))
+      .map(s => if (s.partitionBy.isEmpty) s.copy(partitionBy = schemaPartitions) else s)
     PipelineSpec(name, sources.toSeq,
-      (implicitTransform ++ implicitValidate ++ steps).toSeq, sink,
+      (implicitTransform ++ implicitValidate ++ steps ++ targetStep).toSeq, sink,
       str(root, "description"),
       validationLogTable = str(root, "validation_log_table"),
       test = root.get("test").map(asMap).map(parseTest))
+  }
+
+  /** Load a reference-layout pipeline DIRECTORY: `model.yml` holds the
+    * document; an optional `steps.yml` holds only a `steps:` list that
+    * appends to the model's (reference examples/pipelines/<name>/
+    * layout, loaded by core/pipeline.py). The two documents are merged
+    * at the YAML level, then parsed as one.
+    */
+  def loadDirectory(dir: String, defaults: ProjectDefaults = ProjectDefaults.empty): PipelineSpec = {
+    import java.nio.file.{Files, Paths}
+    def read(n: String): Option[String] = {
+      val p = Paths.get(dir, n)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val model = read("model.yml").orElse(read("model.yaml"))
+      .getOrElse(throw new IllegalArgumentException(s"no model.yml under $dir"))
+    val steps = read("steps.yml").orElse(read("steps.yaml"))
+      // steps.yml's `steps:` block concatenates under the model doc —
+      // snakeyaml keeps the last duplicate key, so indent-splice the
+      // list by parsing both and re-serializing is avoided: the model
+      // examples carry no steps of their own, but merge defensively.
+      .map { st =>
+        val y = new org.yaml.snakeyaml.Yaml()
+        val modelMap = y.load[JMap[String, Object]](model)
+        val stepsMap = y.load[JMap[String, Object]](st)
+        modelMap.merge("steps", stepsMap.getOrDefault("steps", new java.util.ArrayList[Object]()),
+          (a, b) => { val l = new java.util.ArrayList[Object](a.asInstanceOf[JList[Object]]);
+            l.addAll(b.asInstanceOf[JList[Object]]); l })
+        y.dump(modelMap)
+      }
+      .getOrElse(model)
+    load(steps, defaults)
   }
 
   /** Load a pipeline alongside its project config (drune.py:18-43):

@@ -113,6 +113,13 @@ final case class Pivot(
   * for later steps (spark_engine.py execute_gold_transformation).
   */
 final case class Sql(sql: String, viewName: String = "") extends Step
+/** Final target projection (pipeline_model.py TargetSpec.schema:
+  * `inherits` with `exclude` drops carried columns; extra `columns`
+  * are appended — expression-backed or NULL-typed placeholders).
+  */
+final case class TargetProject(
+    exclude: Seq[String] = Nil,
+    add: Seq[ColumnSpec] = Nil) extends Step
 /** Validation step (spark/steps/validator.py): single-pass rule
   * evaluation; see graft.quality.Validator for the scale notes.
   */

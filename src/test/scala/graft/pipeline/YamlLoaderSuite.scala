@@ -267,4 +267,49 @@ class YamlLoaderSuite extends SparkSpec {
       .map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
     assert(m == Map("a b" -> 3, "b c" -> 1, "c a" -> 1))
   }
+
+  test("transform: a later column expression may reference an earlier output column") {
+    val df = Seq(("  A@B.Co  ", 1L)).toDF("email", "id")
+    val t = Transform(Seq(
+      ColumnSpec("ds_email", from = Some("email"), expression = Some("lower(trim({col}))")),
+      ColumnSpec("ds_domain", expression = Some("split(ds_email, '@')[1]"))))
+    val r = Pipeline.transform(df, t).collect()(0)
+    assert(r.getAs[String]("ds_email") == "a@b.co")
+    assert(r.getAs[String]("ds_domain") == "b.co")
+  }
+
+  test("the shipped reference customer example loads and runs unmodified") {
+    val refDir = "/root/reference/examples/pipelines/customer"
+    assume(new java.io.File(refDir + "/model.yml").exists)
+    val dir = java.nio.file.Files.createTempDirectory("graft_refex")
+    val csv = dir.resolve("customers.csv")
+    java.nio.file.Files.writeString(csv,
+      """customer_id,first_name,last_name,email,document
+        |1, john , doe ,John.Doe@Example.COM,11122
+        |2,jane,row,jane@x.org,33344
+        |""".stripMargin)
+    val spec0 = YamlLoader.loadDirectory(refDir)
+    // Only runtime bindings change: the source file (the example ships
+    // no path — drune passes it at run time) and a writable sink.
+    val spec = spec0.copy(
+      sources = spec0.sources.map {
+        case f: FileSource => f.copy(path = csv.toString)
+        case s => s
+      },
+      sink = spec0.sink.map(_.copy(path = dir.resolve("out").toString)))
+    // steps.yml appended its filter + validate to the model's implicit steps.
+    assert(spec.steps.exists { case Filter(w) => w.contains("JOHN"); case _ => false })
+    val out = Pipeline(spark, spec).run()
+    // target.schema: document excluded (via its renamed column), new_column added.
+    assert(!out.columns.contains("nu_document"))
+    assert(out.columns.contains("new_column"))
+    val rows = out.collect()
+    assert(rows.length == 1) // filter nm_first_name='JOHN' after trim+upper
+    val r = rows(0)
+    assert(r.getAs[String]("nm_first_name") == "JOHN")
+    assert(r.getAs[String]("ds_email") == "john.doe@example.com")
+    // string_split shim: Spark subscripts are 0-based (documented
+    // caveat) — [1] is the domain here.
+    assert(r.getAs[String]("ds_login") == "example.com")
+  }
 }
