@@ -74,6 +74,26 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
 
+  /** Exact content dedup: one hash aggregation on the 8-byte
+    * xxhash64 of the blob — bytes never shuffle, only their hash.
+    * The first multimodal curation pass (identical re-crawled assets).
+    */
+  def dedupByContent(assets: DataFrame, idCol: String = "asset_id"): DataFrame =
+    assets.groupBy(xxhash64(col("bytes")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Perceptual near-dup pairs over decoded feature vectors — composes
+    * [[decodeStub]] (swap in a real decoder) with the LSH-bucketed
+    * embedding near-dup operator: decode is a partition-local batch
+    * pass, candidate pairing is bucketed (never all-pairs), ids-only
+    * shuffles. The multimodal face of Similarity.embeddingNearDup.
+    */
+  def nearDupByFeatures(assets: DataFrame, dim: Int = 8,
+                        threshold: Double = 0.95, planes: Int = 8): DataFrame =
+    graft.operators.Similarity.embeddingNearDup(
+      decodeStub(assets, dim), dim = dim, threshold = threshold, planes = planes,
+      idCol = "asset_id", vecCol = "features")
+
   /** Synthetic asset table for tests/demo — deterministic bytes from
     * the id, no external data needed.
     */

@@ -125,6 +125,25 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("content dedup: identical blobs collapse to one keeper") {
+    import spark.implicits._
+    val a = Multimodal.syntheticAssets(spark, 10)
+    // duplicate asset 3's bytes under a new id
+    val dup = a.where(col("asset_id") === 3).withColumn("asset_id", lit(99L))
+    val out = Multimodal.dedupByContent(a.unionByName(dup)).collect()
+    assert(out.length == 10) // 11 assets, one shared blob
+    val dupRow = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupRow.getAs[Long]("keeper_id") == 3L)
+  }
+
+  test("feature near-dup flags byte-identical assets via the decode path") {
+    val a = Multimodal.syntheticAssets(spark, 12)
+    val dup = a.where(col("asset_id") === 5).withColumn("asset_id", lit(100L))
+    val pairs = Multimodal.nearDupByFeatures(a.unionByName(dup), threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((5L, 100L)))
+  }
+
   test("frame sampling: bounded rows per video") {
     val vids = Multimodal.syntheticAssets(spark, 9).where(col("modality") === "video")
     val frames = Multimodal.frameSamplePlan(vids, everyMs = 500)
