@@ -278,6 +278,27 @@ class YamlLoaderSuite extends SparkSpec {
     assert(r.getAs[String]("ds_domain") == "b.co")
   }
 
+  test("the repo's own examples/ project runs end-to-end with project defaults") {
+    val proj = "examples/graft.yml"
+    assume(new java.io.File(proj).exists)
+    val defaults0 = ProjectConfig.load(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(proj))).resolved(Some("dev"))
+    val projDir = java.nio.file.Paths.get(proj).toAbsolutePath.getParent
+    val outDir = java.nio.file.Files.createTempDirectory("graft_example_out")
+    val defaults = defaults0.copy(paths = defaults0.paths.map {
+      case ("targets", _) => "targets" -> outDir.toString
+      case (k, v) => k -> projDir.resolve(v).normalize.toString
+    })
+    val spec = YamlLoader.loadDirectory(projDir.resolve("pipelines/customers").toString, defaults)
+    val out = Pipeline(spark, spec).run()
+    val rows = out.orderBy("cd_customer").collect()
+    // id=2 duplicated → both dropped by the unique rule; 1 and 3 remain.
+    assert(rows.map(_.getAs[Long]("cd_customer")).toSeq == Seq(1L, 3L))
+    assert(rows(0).getAs[String]("nm_name") == "ANN") // type default upper(trim)
+    assert(rows(0).getAs[String]("ds_env") == "dev")  // profile var substitution
+    assert(spark.read.parquet(outDir.resolve("customers_silver").toString).count() == 2)
+  }
+
   test("the shipped reference customer example loads and runs unmodified") {
     val refDir = "/root/reference/examples/pipelines/customer"
     assume(new java.io.File(refDir + "/model.yml").exists)
