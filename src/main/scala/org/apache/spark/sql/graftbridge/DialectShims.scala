@@ -1,7 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, StringSplit}
 
 /** SQL-dialect compatibility shims for reference pipeline YAMLs.
   *
@@ -18,10 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, StringSpl
   * separators like '@' behave identically).
   */
 object DialectShims {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("string_split",
-      (args: Seq[Expression]) => StringSplit(args(0), args(1), Literal(-1)),
-      "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    // The full graft SQL surface (which includes the duckdb-dialect
+    // string_split shim) — pipeline SQL steps and column expressions
+    // can call the native kernels directly.
+    GraftFunctions.register(spark)
 }

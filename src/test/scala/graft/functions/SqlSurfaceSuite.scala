@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class SqlSurfaceSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions equal the Column API (same native expressions)") {
+    org.apache.spark.sql.graftbridge.GraftFunctions.register(spark)
+    Seq((1L, "hello world text", Array(1f, 2f, 3f), Array(0.5f, 0.25f, 2f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("sql_surface_t")
+    val r = spark.sql(
+      """SELECT minhash_sig(text, 16, 5, 42) AS sig, simhash64(text, 5) AS sh,
+        |       float_dot(a, b) AS dot, string_split(text, ' ')[1] AS tok1
+        |FROM sql_surface_t""".stripMargin).collect()(0)
+    val c = spark.table("sql_surface_t").select(
+      VectorFunctions.minhashSig(col("text"), 16, 5, 42L).as("sig"),
+      VectorFunctions.simhash64(col("text"), 5).as("sh"),
+      VectorFunctions.dotF(col("a"), col("b")).as("dot")).collect()(0)
+    assert(r.getSeq[Long](0) == c.getSeq[Long](0))
+    assert(r.getLong(1) == c.getLong(1))
+    assert(math.abs(r.getDouble(2) - 7.0) < 1e-9) // 0.5 + 0.5 + 6
+    assert(r.getString(3) == "world")
+  }
+
+  test("GraftExtensions injects the functions into a fresh session") {
+    // getOrCreate returns the shared test session (ignoring extensions)
+    // unless the active/default session is cleared first; restore after.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new org.apache.spark.sql.graftbridge.GraftExtensions)
+        .getOrCreate()
+      val n = s.sql("SELECT simhash64('abcdef abcdef', 5) AS h").collect()(0).getLong(0)
+      assert(n != 0L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
