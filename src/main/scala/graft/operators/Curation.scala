@@ -137,6 +137,30 @@ object Curation {
     docs.withColumn("bucket", bucket).where(col("bucket") < rate)
   }
 
+  /** Full corpus curation including NEAR-duplicate removal: the exact
+    * [[curate]] pass first (quality gate + language filter + exact-dup
+    * keeper), then MinHash/LSH near-dup pairs are resolved to
+    * connected components ([[Dedup.nearDupGroups]]) and only each
+    * group's minimal id survives. The complete pretraining-corpus
+    * filter: every stage is bucketed/keyed — no all-pairs step at any
+    * scale.
+    */
+  def curateNearDup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Long = 20,
+      maxTokens: Long = 1000000,
+      langs: Seq[String] = defaultLangs,
+      threshold: Double = 0.8): DataFrame = {
+    val kept = curate(docs, idCol, textCol, minTokens, maxTokens, langs)
+    val keptDocs = docs.join(kept.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+    val losers = Dedup.nearDupGroups(Dedup.minhashLsh(keptDocs, idCol, textCol, threshold = threshold))
+      .where(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    kept.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Token-budget selection: keep documents per group (language /
     * source), in deterministic id order, until the group's token
     * budget is exhausted — how a training mix is assembled to a target

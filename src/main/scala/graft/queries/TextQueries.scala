@@ -171,6 +171,13 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
 
+    // q50: full curation incl. near-dup removal — exact curate pass,
+    // then LSH near-dup groups collapse to their minimal id (rows-only:
+    // the group structure is LSH-derived).
+    "q50_curate_neardup" -> ((s, dir) =>
+      Curation.curateNearDup(t(s, dir, "documents"), minTokens = 20)
+        .orderBy("doc_id")),
+
     // q49: token-budget selection — keep documents per language (in
     // deterministic id order) until the language's token budget is
     // exhausted: one running-sum window per language partition. The

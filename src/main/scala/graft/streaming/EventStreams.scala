@@ -36,6 +36,26 @@ object EventStreams {
   final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int)
   final case class SessionState(seq: Int, lastSec: Long)
 
+  /** Streaming corpus intake — the curation gate as a stream: quality
+    * (token bounds) + language allow-list are one codegen'd projection
+    * on the unbounded document stream; exact-duplicate drop keys on
+    * the normalized-text fingerprint with watermark-bounded state
+    * (dropDuplicatesWithinWatermark), so a re-crawled page arriving
+    * within the horizon is dropped and state stays evictable.
+    */
+  def curateDocs(docs: DataFrame, minTokens: Long = 20,
+                 langs: Seq[String] = graft.operators.Curation.defaultLangs,
+                 watermark: String = "1 hour"): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    docs
+      .withColumn("n_tokens", ta.tokenCount(col("text")).cast("long"))
+      .withColumn("lang_pred", ta.langId(col("text")))
+      .where(col("n_tokens") >= minTokens && col("lang_pred").isin(langs: _*))
+      .withColumn("fp", ta.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Stream-static enrichment: join the unbounded stream to a bounded
     * dimension, dimension broadcast — each micro-batch is enriched
     * map-side, no stream-side shuffle and no streaming state. The

@@ -305,6 +305,19 @@ class TextSuite extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("want")))
   }
 
+  test("curateNearDup also collapses near-duplicate groups to the minimal id") {
+    val en = "the cat and the dog is in the house with that other dog " * 4
+    val docs = Seq(
+      (1L, en),                                  // group keeper
+      (2L, en + "extra"),                        // near-dup of 1 (J≈0.9) → dropped
+      (3L, "the quick brown fox is with the " * 8), // distinct doc, kept
+      (4L, "xyzzy plugh " * 20))                 // lang 'und' → dropped by gate
+      .toDF("doc_id", "text")
+    val out = Curation.curateNearDup(docs, minTokens = 10, threshold = 0.7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("curation: drops short / unknown-language / duplicate docs, keeps the smallest id") {
     val en = "the cat and the dog is in the house with that other dog " * 2
     val docs = Seq(

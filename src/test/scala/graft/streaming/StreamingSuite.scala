@@ -44,6 +44,26 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: quality/lang gate + fingerprint dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val en = "the cat and the dog is in the house with that other dog near the door again today"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(
+      (1L, en, ts("2024-01-01 10:00:00")),
+      (2L, en.toUpperCase, ts("2024-01-01 10:00:05")), // normalized dup of 1
+      (3L, "too short", ts("2024-01-01 10:00:10")),    // fails token gate
+      (4L, en + " plus distinct tail words", ts("2024-01-01 10:00:15")))
+    val q = EventStreams.curateDocs(
+        mem.toDF().toDF("doc_id", "text", "ts"), minTokens = 10)
+      .writeStream.format("memory").queryName("curate_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("curate_stream_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("upsert sink merges micro-batches by hash_key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
