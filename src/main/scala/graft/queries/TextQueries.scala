@@ -158,6 +158,19 @@ object TextQueries {
       TA.repetitionSignals(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // q42: PII redaction — the corpus carries no PII, so a
+    // deterministic contact line is appended per doc and the scrub
+    // (email/phone/digit-run → tags, chained codegen'd regexp_replace)
+    // is verified by count + redacted-text hash.
+    "q42_pii" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.piiCount(aug).as("n_pii"),
+          md5(TA.redactPii(aug).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q45: passage-level exact dedup — duplicated 20-token chunks.
     "q45_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDedup(t(s, dir, "documents"), chunkTokens = 20)
@@ -330,6 +343,20 @@ object TextQueries {
          |SELECT p.doc_id, n_tokens, dup_token_ratio,
          |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
          |FROM proj p LEFT JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    "q42_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact: user' || doc_id || '@example.com' AS t FROM documents),
+        |red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS r FROM aug)
+        |SELECT doc_id,
+        |  CAST((length(r) - length(replace(r, '<EMAIL>', ''))) / 7 AS BIGINT) +
+        |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) / 7 AS BIGINT) +
+        |  CAST((length(r) - length(replace(r, '<NUM>', ''))) / 5 AS BIGINT) AS n_pii,
+        |  md5(r) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "q45_chunk_dedup" ->
       s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
