@@ -320,7 +320,21 @@ object RelationalQueries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
           round(corr(col("l_discount"), col("l_extendedprice")), 4).as("corr_disc_price"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // q51: GROUPING SETS — explicit aggregation lattice (finer control
+    // than ROLLUP/CUBE: only the requested groupings materialize; one
+    // expand + one keyed aggregation, same shuffle count as a plain
+    // groupBy).
+    "q51_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }))
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
@@ -539,5 +553,12 @@ object RelationalQueries {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
 }
