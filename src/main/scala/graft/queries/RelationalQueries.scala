@@ -294,17 +294,22 @@ object RelationalQueries {
     // of order value per nation. Dims broadcast onto the orders fact;
     // one keyed aggregation. At 100 TB exact percentiles on a hot key
     // would switch to approx_percentile (same plan shape) — exact kept
-    // here for cross-engine oracle equality.
+    // here for cross-engine oracle equality. Percentiles are computed
+    // over integer CENTS (round-then-cast, since Spark's double→bigint
+    // cast truncates while DuckDB's rounds): integer lerp endpoints make
+    // the interpolation bit-identical across engines, where raw-double
+    // inputs flipped a round(…,2) cell on a .005 boundary.
     "q43_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("price_cents", expr("cast(round(o_totalprice * 100) as bigint)"))
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          round(expr("percentile(price_cents, 0.5) / 100.0"), 2).as("p50"),
+          round(expr("percentile(price_cents, 0.9) / 100.0"), 2).as("p90"),
+          round(expr("percentile(price_cents, 0.99) / 100.0"), 2).as("p99"),
           round(avg("o_totalprice"), 2).as("avg_price"),
           round(stddev_samp(col("o_totalprice")), 2).as("sd_price"))
         .orderBy("n_name")),
@@ -539,9 +544,9 @@ object RelationalQueries {
 
     "q43_percentiles" ->
       """SELECT n_name, count(*) AS n_orders,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0, 2) AS p50,
+        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100.0, 2) AS p90,
+        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) / 100.0, 2) AS p99,
         |  round(avg(o_totalprice), 2) AS avg_price,
         |  round(stddev_samp(o_totalprice), 2) AS sd_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
