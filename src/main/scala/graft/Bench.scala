@@ -38,7 +38,11 @@ object Bench {
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
         // Measurements must be independent: drop anything a query
         // cached so no run pays (or profits from) another's memory.
+        // clearCache misses localCheckpoint blocks (they back
+        // LogicalRDDs, not cacheManager entries) — operator RESULTS are
+        // checkpointed, so sweep the persistent-RDD map too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (s1, e1) = once()

@@ -46,4 +46,11 @@ object VectorFunctions {
   def simhash64(text: Column, shingleK: Int): Column =
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.SimHash64(ColumnBridge.expression(text), shingleK))
+
+  /** One-pass sorted distinct shingle-hash array (array<long>) of a
+    * string column — a pure projection; see graftbridge.ShingleSet.
+    */
+  def shingleSet(text: Column, shingleK: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.ShingleSet(ColumnBridge.expression(text), shingleK))
 }

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * skew guard (a degenerate bucket — e.g. the empty document — would
   * otherwise quadratically explode on a 100 TB corpus).
   */
+/** A persisted-but-not-yet-released operator result. `df` is persisted
+  * (lazily — the first downstream action materializes it); the consumer
+  * calls `release()` exactly once after its own result is materialized.
+  * This is the hand-off contract between chained dedup stages (LSH
+  * candidates → exact verify): the intermediate pair set materializes
+  * ONCE into the persist cache instead of localCheckpoint-then-
+  * re-persist (two materializations of the same rows).
+  */
+final case class Materialized(df: DataFrame, release: () => Unit)
+
 object Dedup {
 
   /** Exact dedup on normalized text: keep the smallest id per
@@ -39,6 +49,17 @@ object Dedup {
     temps.foreach(_.unpersist(false))
     out
   }
+
+  /** Free the block-manager storage behind a localCheckpoint'd Dataset.
+    * `Dataset.unpersist` is a no-op for checkpoint blocks — they back a
+    * `LogicalRDD`, not a cacheManager entry — so iterative operators
+    * that checkpoint per round must unpersist the underlying RDD
+    * directly or the rounds' blocks accumulate until ContextCleaner GC.
+    */
+  private[graft] def releaseCheckpoint(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false)))
 
   private val MersenneP = 2305843009213693951L // 2^61 - 1
 
@@ -170,6 +191,46 @@ object Dedup {
       threshold: Double = 0.8,
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
+    val (verified, sigs) =
+      minhashLshPlan(docs, idCol, textCol, numHashes, bands, threshold, shingleK, maxBucket)
+    materializeAndRelease(verified, sigs)
+  }
+
+  /** [[minhashLsh]] that returns its verified pairs PERSISTED instead of
+    * checkpointed — for consumers that immediately re-scan them
+    * ([[jaccardVerifyPersisted]]): the pair set materializes once into
+    * the persist cache on the consumer's first action, not twice.
+    * The caller owns the release handle.
+    */
+  def minhashLshRaw(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      maxBucket: Int = 1000): Materialized = {
+    val (verified, sigs) =
+      minhashLshPlan(docs, idCol, textCol, numHashes, bands, threshold, shingleK, maxBucket)
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialized(out, () => { out.unpersist(false); sigs.unpersist(false) })
+  }
+
+  /** Shared plan for [[minhashLsh]]/[[minhashLshRaw]]: returns the lazy
+    * verified-pair plan plus the persisted signature table it references
+    * (3 times — band explode and both verify joins), which the caller
+    * releases once the result is materialized.
+    */
+  private def minhashLshPlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      shingleK: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     // The signature table feeds the band explode and both verify joins
     // (3 references). It is tiny (numHashes longs per doc) but its
@@ -207,7 +268,7 @@ object Dedup {
           .cast("double") / numHashes, 4))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    materializeAndRelease(verified, sigs)
+    (verified, sigs)
   }
 
   /** LSH candidate pairs WITHOUT the signature-estimate verify — for
@@ -250,9 +311,16 @@ object Dedup {
     * and never explodes. The alternatives measured 6–8× slower:
     * joining pairs to the exploded (id, hash) stream multiplies pairs
     * by ~200 shingles/doc (a 145M-row shuffle+sort), and unsorted
-    * `array_intersect`/`array_union` builds hash sets per pair. If the
-    * candidate-doc set ever outgrew the broadcast budget, shard the
-    * pairs and co-partition the sets table — same kernel per pair.
+    * `array_intersect`/`array_union` builds hash sets per pair.
+    *
+    * Broadcast escape hatch: candidate-doc volume is LSH-bounded but not
+    * constant-bounded — a template-heavy corpus at 100× could push the
+    * shingle-set table past the broadcast budget. When the candidate-doc
+    * count exceeds `maxBroadcastDocs` (default 100k ≈ 200 MB at
+    * ~2 KB/doc), the verify joins switch to shuffled hash/sort-merge:
+    * pairs co-partitioned with the sets table on each id — same
+    * merge-scan kernel per pair, two id-keyed shuffles instead of an
+    * OOM'd broadcast. Output is identical (ScalaTested both paths).
     */
   def jaccardVerify(
       docs: DataFrame,
@@ -260,26 +328,79 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleK: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
     // The candidate pair set's lineage is the whole LSH pipeline —
     // persist it (released below) so the id extraction and verify join
     // don't re-execute candidate generation.
     val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (verified, sets) =
+      jaccardVerifyPlan(cached, docs, idCol, textCol, shingleK, threshold, maxBroadcastDocs)
+    materializeAndRelease(verified, cached, sets)
+  }
+
+  /** [[jaccardVerify]] over an ALREADY-PERSISTED pair set (e.g. from
+    * [[minhashLshRaw]]): skips the re-persist, so the LSH→verify chain
+    * materializes the candidate pairs exactly once. Releases the pair
+    * set before returning.
+    */
+  def jaccardVerifyPersisted(
+      docs: DataFrame,
+      pairs: Materialized,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      threshold: Double = 0.7,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
+    val (verified, sets) =
+      jaccardVerifyPlan(pairs.df, docs, idCol, textCol, shingleK, threshold, maxBroadcastDocs)
+    val out = materializeAndRelease(verified, sets)
+    pairs.release()
+    out
+  }
+
+  /** Shared verify plan: returns the lazy verified plan plus the
+    * persisted shingle-set table (two join references), which the
+    * caller releases after materializing. `cached` must be persisted by
+    * the caller; the candidate count probe here is its first action.
+    */
+  private def jaccardVerifyPlan(
+      cached: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      threshold: Double,
+      maxBroadcastDocs: Long): (DataFrame, DataFrame) = {
     // Only docs that appear in a candidate pair need shingle sets —
-    // semi-join first so the explode runs over the candidate subset,
-    // not the corpus. Jaccard is over shingle SETS → collect_set,
-    // SORTED so the verify kernel is a merge scan.
+    // semi-join first so the set build runs over the candidate subset,
+    // not the corpus. Jaccard is over shingle SETS, SORTED so the
+    // verify kernel is a merge scan. The set build is the one-pass
+    // codegen'd ShingleSet projection — no exploded rows, no
+    // aggregation shuffle (the explode + collect_set formulation was
+    // the dominant verify cost: ~20M exploded rows at sf0.1).
     val candIds = cached.select(col("id_a").as(idCol))
       .unionByName(cached.select(col("id_b").as(idCol))).distinct()
-    val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val sets = explodedShingles(candDocs, idCol, textCol, shingleK)
-      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
-    // Both set joins BROADCAST: the candidate-doc table is small by LSH
-    // construction (~2 KB/doc), so the pair stream is verified map-side
-    // — it never shuffles and never explodes. |A∪B| = |A|+|B|−|A∩B|.
+    // One cheap action on the (persisted) pair set decides the join
+    // strategy; it also materializes the pairs for the joins below.
+    val nCand = candIds.count()
+    val small = nCand <= maxBroadcastDocs
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val candDocs = docs.join(hint(candIds), Seq(idCol), "left_semi")
+    // The set table feeds both verify joins — persist so the projection
+    // and semi-join run once (released by caller).
+    val sets = candDocs.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.shingleSet(
+        TextAnalysis.normalize(col(textCol)), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small path: both set joins BROADCAST — the pair stream is verified
+    // map-side, never shuffles, never explodes. Large path: shuffled
+    // joins co-partition pairs with sets on each id (ids-only pair rows
+    // shuffle; one set array rides along between the joins).
+    // |A∪B| = |A|+|B|−|A∩B|.
     val verified = cached
-      .join(broadcast(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
       .withColumn("inter",
         graft.functions.VectorFunctions.sortedIntersectCountL(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
@@ -287,7 +408,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(verified, cached)
+    (verified, sets)
   }
 
   /** Resolve near-dup PAIRS into GROUPS: connected components by
@@ -303,8 +424,10 @@ object Dedup {
     * Scale shape: each round is ONE shuffle keyed on the 8-byte id
     * (edges join labels + min aggregation); the edge list carries ids
     * only. Intermediate label tables are localCheckpoint'd (small —
-    * one row per paired doc) and released each round; convergence is
-    * detected with a limit(1) existence probe, not a full count.
+    * one row per paired doc) and their BLOCKS released each round via
+    * [[releaseCheckpoint]] (Dataset.unpersist is a no-op on checkpoint
+    * blocks); convergence is detected with a limit(1) existence probe,
+    * not a full count.
     */
   def nearDupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -323,12 +446,18 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).limit(1).count() == 0
-      labels.unpersist(false)
+      releaseCheckpoint(labels)
       labels = next
       i += 1
     }
     edges.unpersist(false)
-    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    // Materialize the (renamed) result into its own checkpoint, then
+    // free the last round's label blocks — nothing from the iteration
+    // outlives the call.
+    val out = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+      .localCheckpoint(true)
+    releaseCheckpoint(labels)
+    out
   }
 
   /** 64-bit weighted SimHash per document as a PURE PROJECTION — the

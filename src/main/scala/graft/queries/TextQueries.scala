@@ -90,16 +90,18 @@ object TextQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
-    // q32: exact n-gram Jaccard verification of LSH candidates,
-    // pre-filtered by the signature estimate at 0.5. Measured: feeding
-    // the RAW candidate set (Dedup.minhashCandidatePairs) to the
-    // verifier is 2–3× slower at sf0.1 — every candidate pair then
-    // materializes both multi-KB shingle arrays for the merge-scan
-    // kernel, and the est≥0.5 pre-filter (two cheap 8-byte-sig joins)
-    // prunes most of that volume first.
+    // q32: exact n-gram Jaccard verification of RAW LSH candidates.
+    // Measured at sf0.1 (round 4): the former est≥0.5 signature
+    // prefilter kept ALL 625k candidate pairs (the 16×8 band geometry
+    // already selects at t≈0.71, so every banded pair estimates ≥0.5) —
+    // it cost two signature joins and pruned nothing. Raw candidates
+    // (2.4 s vs 4.4 s for the filtered set) feed the merge-scan
+    // verifier directly and cannot drop a pair whose exact Jaccard
+    // passes. jaccardVerify persists the pair set once (candIds probe +
+    // verify join) and releases it before returning.
     "q32_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val candidates = Dedup.minhashLsh(docs, threshold = 0.5)
+      val candidates = Dedup.minhashCandidatePairs(docs)
       Dedup.jaccardVerify(docs, candidates, threshold = 0.7)
         .orderBy("id_a", "id_b")
     }),

@@ -45,6 +45,10 @@ object GraftFunctions {
       require(args.length == 2, "simhash64(text, shingleK)")
       SimHash64(args(0), intLit(args(1), "shingleK"))
     },
+    "shingle_set" -> { args =>
+      require(args.length == 2, "shingle_set(text, shingleK)")
+      ShingleSet(args(0), intLit(args(1), "shingleK"))
+    },
     "float_dot" -> { args =>
       require(args.length == 2, "float_dot(a, b)")
       FloatDotProduct(args(0), args(1))

@@ -28,6 +28,38 @@ class DedupSuite extends SparkSpec {
     assert(verified.count() >= 10)
   }
 
+  test("jaccardVerify fallback (non-broadcast) path matches the broadcast path exactly") {
+    val cands = Dedup.minhashCandidatePairs(docs)
+    val bcast = Dedup.jaccardVerify(docs, cands, threshold = 0.7)
+      .orderBy("id_a", "id_b").collect()
+    // maxBroadcastDocs = 0 forces the sharded/co-partitioned join path.
+    val shuffled = Dedup.jaccardVerify(docs, cands, threshold = 0.7, maxBroadcastDocs = 0L)
+      .orderBy("id_a", "id_b").collect()
+    assert(bcast.nonEmpty)
+    assert(bcast.toSeq == shuffled.toSeq)
+  }
+
+  test("persisted LSH->verify chain matches the checkpointed chain and leaves no storage behind") {
+    val viaCheckpoint = Dedup.jaccardVerify(docs, Dedup.minhashLsh(docs, threshold = 0.5),
+      threshold = 0.7).orderBy("id_a", "id_b").collect()
+    val viaPersisted = Dedup.jaccardVerifyPersisted(docs, Dedup.minhashLshRaw(docs, threshold = 0.5),
+      threshold = 0.7).orderBy("id_a", "id_b").collect()
+    assert(viaPersisted.toSeq == viaCheckpoint.toSeq)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("nearDupGroups frees its per-round checkpoint blocks") {
+    import org.apache.spark.storage.StorageLevel
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.nearDupGroups(pairs).count()
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, r) => !before.contains(id) && r.getStorageLevel != StorageLevel.NONE }
+    // Only the returned result's own checkpoint may remain (1 RDD); the
+    // iteration's per-round label tables and the edge cache must be gone.
+    assert(leaked.size <= 1, s"leaked RDDs: ${leaked.keys.toSeq.sorted}")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
     assert(pairs.count() >= 5)
@@ -41,6 +73,21 @@ class DedupSuite extends SparkSpec {
     val b = Dedup.minhashSignaturesExploded(input).withColumnRenamed("sig", "sig_old")
     val diff = a.join(b, "id").where(col("sig_new") =!= col("sig_old"))
     assert(diff.count() == 0)
+  }
+
+  test("one-pass ShingleSet expression equals sort_array(collect_set) over exploded shingles") {
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld €dge"),
+      (9004L, "aaaaaaaaaa"), (9005L, "exact"))
+      .toDF("doc_id", "text")
+    val input = docs.select("doc_id", "text").unionByName(edge)
+    val a = input.select(col("doc_id").as("id"),
+      graft.functions.VectorFunctions.shingleSet(
+        TextAnalysis.normalize(col("text")), 5).as("sh_new"))
+    val b = Dedup.explodedShingles(input, "doc_id", "text", 5)
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh_old"))
+    val joined = a.join(b, "id")
+    assert(joined.count() == input.count())
+    assert(joined.where(col("sh_new") =!= col("sh_old")).count() == 0)
   }
 
   test("one-pass SimHash64 expression equals the exploded aggregation") {
