@@ -35,25 +35,46 @@ object Cli {
       spark.sparkContext.setLogLevel("WARN")
       try {
         val spec0 = loadSpec(path, opt(rest, "--project"), opt(rest, "--profile"))
-        // --input <file>: drune's dynamic path (core/pipeline.py:130-139)
-        // — a source whose path is empty or a directory gets the runtime
-        // file joined on; an absolute input replaces the path outright.
-        val spec = opt(rest, "--input").map { in =>
-          spec0.copy(sources = spec0.sources.map {
-            case fs: pipeline.FileSource
-                if fs.path.isEmpty || !fs.path.matches(".*\\.[A-Za-z0-9]+$") =>
-              val p = java.nio.file.Paths.get(in)
-              fs.copy(path = if (p.isAbsolute || fs.path.isEmpty) in
-                             else java.nio.file.Paths.get(fs.path, in).toString)
-            case s => s
-          })
-        }.getOrElse(spec0)
+        val spec = if (action == "run") applyInput(spec0, opt(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]")
       sys.exit(2)
+  }
+
+  /** `--input <file>`: drune's dynamic path (core/pipeline.py:119-141).
+    * Mirrors `_read_file` exactly: an extension-less source path is a
+    * DIRECTORY — the runtime file joins onto it, and its absence is a
+    * configuration error (not a downstream read failure); an
+    * extension-bearing source path is a FILE — a runtime input REPLACES
+    * the file name (`source_path.with_name(dynamic_path)`), no input
+    * leaves it untouched. An absolute input always wins outright.
+    */
+  private[graft] def applyInput(spec: PipelineSpec, input: Option[String]): PipelineSpec = {
+    def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
+    spec.copy(sources = spec.sources.map {
+      case fs: pipeline.FileSource =>
+        input match {
+          case None if fs.path.isEmpty || isDirectoryPath(fs.path) =>
+            throw new IllegalArgumentException(
+              s"source '${fs.name}' points to a directory ('${fs.path}') " +
+                "but no specific file was provided at runtime (--input <file>)")
+          case None => fs
+          case Some(in) =>
+            val p = java.nio.file.Paths.get(in)
+            val resolved =
+              if (p.isAbsolute || fs.path.isEmpty) in
+              else if (isDirectoryPath(fs.path)) java.nio.file.Paths.get(fs.path, in).toString
+              else { // file path: replace the file name with the input
+                val parent = java.nio.file.Paths.get(fs.path).getParent
+                if (parent == null) in else parent.resolve(in).toString
+              }
+            fs.copy(path = resolved)
+        }
+      case s => s
+    })
   }
 
   private def loadSpec(path: String, project: Option[String], profile: Option[String]): PipelineSpec = {

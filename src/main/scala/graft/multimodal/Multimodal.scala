@@ -74,12 +74,15 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
 
-  /** Exact content dedup: one hash aggregation on the 8-byte
-    * xxhash64 of the blob — bytes never shuffle, only their hash.
-    * The first multimodal curation pass (identical re-crawled assets).
+  /** Exact content dedup: one hash aggregation on a 256-bit sha2 digest
+    * of the blob — bytes never shuffle, only their digest. A 64-bit key
+    * would birthday-collide at billions of assets (~n²/2⁶⁵ expected
+    * silent merges); 256 bits keeps the collision odds negligible at any
+    * corpus size. The first multimodal curation pass (identical
+    * re-crawled assets).
     */
   def dedupByContent(assets: DataFrame, idCol: String = "asset_id"): DataFrame =
-    assets.groupBy(xxhash64(col("bytes")).as("content_hash"))
+    assets.groupBy(sha2(col("bytes"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
   /** Perceptual near-dup pairs over decoded feature vectors — composes

@@ -288,13 +288,23 @@ object YamlLoader {
         how = str(params, "how").getOrElse("inner"),
         broadcastOther = bool(params, "broadcast"),
         condition = str(params, "condition"))
-      case "sql" => Sql(str(params, "sql").getOrElse("SELECT 1"),
+      case "sql" => Sql(
+        // A missing query is a config error, not `SELECT 1` — fail at
+        // load time like the unknown-step case (the reference's pandas
+        // PivotStep models the same fail-fast pattern for params).
+        str(params, "sql").getOrElse(throw new IllegalArgumentException(
+          "sql step requires a 'sql' param")),
         str(params, "view").getOrElse(""))
       case "pivot" => Pivot(
         index = params.get("index").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
         pivotColumn = str(params, "columns").getOrElse(""),
         valueColumn = str(params, "values").getOrElse(""),
-        agg = str(params, "agg").getOrElse("sum"))
+        agg = str(params, "agg").getOrElse("sum"),
+        // graft extension: declaring the output columns up front skips
+        // the distinct-scan job Spark otherwise runs to discover them
+        // (one full pass saved — at 100 TB, the difference between one
+        // scan and two).
+        values = params.get("pivot_values").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil))
       case "validate" => Validate(
         columns = srcColumns,
         tableRules = params.get("duplicate_check").map(asList)

@@ -299,6 +299,80 @@ class YamlLoaderSuite extends SparkSpec {
     assert(spark.read.parquet(outDir.resolve("customers_silver").toString).count() == 2)
   }
 
+  test("pivot step: explicit pivot_values pin the output schema without a discovery scan") {
+    val y =
+      """pipeline_name: pv
+        |sources:
+        |  - name: s
+        |    type: file
+        |steps:
+        |  - type: pivot
+        |    params:
+        |      index: [id]
+        |      columns: cat
+        |      values: amount
+        |      agg: sum
+        |      pivot_values: [a, b]
+        |""".stripMargin
+    val spec = YamlLoader.load(y)
+    val p = spec.steps.collectFirst { case p: Pivot => p }.get
+    assert(p.values == Seq("a", "b"))
+    // The data carries a third category; the declared list (not a
+    // distinct scan) drives the output schema, and no Spark job runs
+    // while the pivot plan is BUILT (discovery pivots collect the
+    // distinct values eagerly at plan-construction time).
+    val df = Seq((1L, "a", 10.0), (1L, "b", 5.0), (2L, "c", 7.0)).toDF("id", "cat", "amount")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Pipeline(spark, spec).applyStep(df, p) // lazy — no action yet
+      Thread.sleep(200) // let any eagerly-submitted discovery job surface
+      assert(jobs == 0, "explicit pivot_values must not run a distinct-scan job")
+      assert(plan.columns.toSeq == Seq("id", "a", "b")) // 'c' excluded: values were used
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sql step without a sql param fails at load time") {
+    val y =
+      """pipeline_name: badsql
+        |sources:
+        |  - name: s
+        |    type: file
+        |steps:
+        |  - type: sql
+        |    params:
+        |      view: v
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException] { YamlLoader.load(y) }
+    assert(e.getMessage.contains("sql step requires"))
+  }
+
+  test("cli --input dynamic path mirrors the reference's _read_file semantics") {
+    def src(path: String) = PipelineSpec("p",
+      Seq(FileSource("s", path, "csv")), Nil)
+    def pathOf(s: PipelineSpec) = s.sources.head.asInstanceOf[FileSource].path
+    // file path + input: the input REPLACES the file name (with_name)
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Some("2024-06-01.csv")))
+      == "/data/landing/2024-06-01.csv")
+    // directory path + input: the input joins on
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing"), Some("f.csv")))
+      == "/data/landing/f.csv")
+    // absolute input wins outright
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Some("/tmp/x.csv")))
+      == "/tmp/x.csv")
+    // file path, no input: untouched
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), None))
+      == "/data/landing/customers.csv")
+    // directory (or empty) path with no input: fail fast, clear error
+    val e = intercept[IllegalArgumentException] { graft.Cli.applyInput(src("/data/landing"), None) }
+    assert(e.getMessage.contains("points to a directory"))
+    intercept[IllegalArgumentException] { graft.Cli.applyInput(src(""), None) }
+  }
+
   test("the shipped reference customer example loads and runs unmodified") {
     val refDir = "/root/reference/examples/pipelines/customer"
     assume(new java.io.File(refDir + "/model.yml").exists)
