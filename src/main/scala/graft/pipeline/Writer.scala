@@ -16,6 +16,58 @@ import org.apache.spark.sql.functions._
 object Writer {
 
   def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    sink.table match {
+      case Some(t) if sink.path.isEmpty => writeTable(spark, df, sink, t)
+      case _                            => writePath(spark, df, sink)
+    }
+  }
+
+  /** Catalog-table sink — drune's table targets (writer.py:40-100 merge
+    * via `DeltaTable.forName`). The session catalog's parquet tables
+    * have no ACID MERGE, so merge-like modes compute the merged table as
+    * ONE distributed plan, eagerly materialize it off the table's own
+    * files (the local checkpoint cuts lineage so the INSERT OVERWRITE
+    * doesn't read what it rewrites — same pattern as
+    * Ddl.reprocessHashKey), then insert-overwrite the named table. On a
+    * lakehouse format the identical merged plan feeds a native MERGE
+    * with no other change; concurrent-writer safety is the format's job,
+    * not this planner's.
+    */
+  private def writeTable(spark: SparkSession, df: DataFrame, sink: SinkSpec, table: String): Unit = {
+    // insertInto matches by POSITION: align the pipeline output to the
+    // table's declared column order by name, failing fast on a gap.
+    def aligned(d: DataFrame): DataFrame = {
+      val cols = spark.table(table).columns
+      val missing = cols.filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"table '$table': pipeline output lacks columns ${missing.mkString(", ")}")
+      d.select(cols.map(col): _*)
+    }
+    def overwriteMerged(merged: DataFrame): Unit = {
+      val snap = aligned(merged).localCheckpoint(true)
+      try snap.write.mode(SaveMode.Overwrite).insertInto(table)
+      finally graft.operators.Dedup.releaseCheckpoint(snap)
+    }
+    def base: DataFrame = spark.table(table)
+    sink.mode match {
+      case Append    => aligned(df).write.mode(SaveMode.Append).insertInto(table)
+      case Overwrite => aligned(df).write.mode(SaveMode.Overwrite).insertInto(table)
+      case OverwritePartition =>
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try aligned(df).write.mode(SaveMode.Overwrite).insertInto(table)
+        finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      case OverwriteWhere(cond) =>
+        overwriteMerged(base.where(s"NOT ($cond)")
+          .unionByName(df.where(cond), allowMissingColumns = true))
+      case MergeUpsert =>
+        overwriteMerged(upsert(df, Some(base)))
+      case Scd2(track) =>
+        overwriteMerged(Scd2Merge(spark, df, Some(base), track))
+    }
+  }
+
+  private def writePath(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     def basic(mode: SaveMode, data: DataFrame): Unit = {
       val w = data.write.format(sink.format).mode(mode)
       (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
@@ -39,7 +91,7 @@ object Writer {
         }
         rewrite(spark, merged, sink)
       case MergeUpsert =>
-        rewrite(spark, upsert(spark, df, sink), sink)
+        rewrite(spark, upsert(df, readBase(spark, sink)), sink)
       case Scd2(track) =>
         rewrite(spark, Scd2Merge(spark, df, readBase(spark, sink), track), sink)
     }
@@ -70,8 +122,8 @@ object Writer {
   /** Upsert on hash_key (writer.py _merge_standard:610-626): source rows
     * win; unmatched base rows survive; created_at preserved from base.
     */
-  private def upsert(spark: SparkSession, source: DataFrame, sink: SinkSpec): DataFrame =
-    readBase(spark, sink) match {
+  private def upsert(source: DataFrame, baseOpt: Option[DataFrame]): DataFrame =
+    baseOpt match {
       case None => source
       case Some(base) =>
         val kept = base.join(source.select("hash_key"), Seq("hash_key"), "left_anti")

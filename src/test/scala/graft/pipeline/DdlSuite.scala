@@ -123,6 +123,69 @@ class DdlSuite extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("catalog-table merge: cli create → run merge → re-run upserts in place") {
+    val t = "ddl_merge_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_tblmerge")
+    def specFor(csv: String) = PipelineSpec("tbl_merge_pipe",
+      Seq(FileSource("src", csv, "csv", Map("header" -> "true"))),
+      Seq(Transform(baseCols, Seq("id"), addControlColumns = true)),
+      sink = Some(SinkSpec(path = "", mode = MergeUpsert, table = Some(t))))
+
+    val snap1 = csvDir.resolve("s1.csv")
+    java.nio.file.Files.writeString(snap1, "id,name\n1,ann\n2,bob\n")
+    graft.Cli.execute(spark, "create", specFor(snap1.toString))
+    assert(Ddl.tableExists(spark, t))
+    graft.Cli.execute(spark, "run", specFor(snap1.toString))
+    assert(spark.table(t).count() == 2)
+    val created1 = spark.table(t).where("id = 1")
+      .select("created_at").as[java.sql.Timestamp].head()
+
+    // Second snapshot: id=2 changed, id=3 new, id=1 absent (survives).
+    Thread.sleep(5) // created_at strictly earlier than the second run
+    val snap2 = csvDir.resolve("s2.csv")
+    java.nio.file.Files.writeString(snap2, "id,name\n2,bobby\n3,cyd\n")
+    graft.Cli.execute(spark, "run", specFor(snap2.toString))
+    val rows = spark.table(t).orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("ann", "bobby", "cyd"))
+    // untouched base row keeps its created_at; so does the UPDATED row
+    // (upsert preserves base created_at through the merge)
+    assert(spark.table(t).where("id = 1")
+      .select("created_at").as[java.sql.Timestamp].head() == created1)
+    assert(spark.table(t).where("id = 2")
+      .select("created_at").as[java.sql.Timestamp].head() == created1)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("catalog-table scd2: changed rows expire and version in the named table") {
+    val t = "ddl_scd2_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tblscd2")
+    def specFor(csv: String) = PipelineSpec("tbl_scd2_pipe",
+      Seq(FileSource("src", csv, "csv", Map("header" -> "true"))),
+      Seq(Transform(baseCols, Seq("id"), addControlColumns = true)),
+      sink = Some(SinkSpec(path = "", mode = Scd2(Seq("name")), table = Some(t))))
+
+    val s1 = dir.resolve("s1.csv")
+    java.nio.file.Files.writeString(s1, "id,name\n1,ann\n2,bob\n")
+    graft.Cli.execute(spark, "create", specFor(s1.toString))
+    graft.Cli.execute(spark, "run", specFor(s1.toString))
+    assert(spark.table(t).where("is_current").count() == 2)
+
+    val s2 = dir.resolve("s2.csv")
+    java.nio.file.Files.writeString(s2, "id,name\n1,annie\n2,bob\n")
+    graft.Cli.execute(spark, "run", specFor(s2.toString))
+    val all = spark.table(t)
+    assert(all.count() == 3) // 2 current + 1 expired version of id=1
+    assert(all.where("is_current").count() == 2)
+    val expired = all.where("NOT is_current").collect()
+    assert(expired.length == 1 && expired(0).getAs[String]("name") == "ann")
+    assert(expired(0).getAs[java.sql.Timestamp]("end_date") != null)
+    assert(all.where("is_current AND id = 1").select("name").as[String].head() == "annie")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val (ta, tb) = ("bk_orders", "bk_cust")
     spark.sql(s"DROP TABLE IF EXISTS $ta"); spark.sql(s"DROP TABLE IF EXISTS $tb")
