@@ -105,6 +105,52 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: planted dups pair across micro-batches, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carry heavy wooden crates across the old stone bridge " +
+      "under a pale winter moon toward the distant harbor lights"
+    val other = "completely different subject matter entirely about numeric " +
+      "linear algebra kernels and cache oblivious matrix layouts on modern " +
+      "vector hardware with wide registers and deep pipelines throughout"
+    val third = "yet another unrelated passage describing rainfall patterns " +
+      "across coastal basins and the seasonal migration of shore birds over " +
+      "tidal flats near the estuary mouth during early autumn weeks"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val bands = 16
+    val pairs = StreamingDedup.nearDupPairs(
+      mem.toDF().toDF("doc_id", "text", "ts"), bands = bands, watermark = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: the original + an unrelated doc
+      mem.addData((1L, base, ts("2024-01-01 10:00:00")), (10L, other, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 arrives in a LATER micro-batch —
+      // only bucket state can pair it with doc 1
+      mem.addData((2L, base, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // batch 3: far-future unrelated doc advances the watermark past
+      // every earlier member (1h delay → horizon 11:30)
+      mem.addData((11L, third, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      // batch 4: another copy of doc 1's text — its former bucket
+      // members are evicted, so NO pair may surface
+      mem.addData((3L, base, ts("2024-01-01 12:31:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("neardup_out").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).distinct
+      assert(got.toSet == Set((1L, 2L)), s"expected exactly the planted pair, got ${got.toSet}")
+      assert(spark.table("neardup_out").collect().forall(_.getAs[Double]("est") >= 0.8))
+      // bounded state: only the two live docs' buckets remain (≤ bands
+      // rows each; evicted/timed-out buckets are gone)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3L * bands, s"state not bounded: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionize assigns increasing session ids per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
