@@ -124,6 +124,40 @@ object Relational {
         round(max(v), 4).as("max_v"))
   }
 
+  /** Point-in-interval join WITHOUT an equi key — the shape Spark
+    * executes as a BroadcastNestedLoopJoin (every point against every
+    * interval) if written naively, which is O(n·m) and a non-starter at
+    * scale.
+    *
+    * Bucketize instead: an interval [lo, hi] is exploded to the
+    * fixed-width buckets it covers, a point lands in exactly ONE bucket,
+    * and the join becomes an equi-join on bucket id followed by the
+    * exact range filter. Each (point, interval) match surfaces exactly
+    * once (the point's bucket), so no dedup pass is needed. Candidate
+    * volume is O(m·(len/width + 1) + n) shuffled rows instead of n·m
+    * compared pairs; pick `bucketWidth` near the typical interval length
+    * so intervals explode to ~2 buckets.
+    *
+    * Inner-join semantics; both inputs keep their columns (names must
+    * not collide).
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
   /** Latest record per key — the read-side of merge/upsert semantics
     * (drune writer.py merge: last write wins). Window row_number, one
     * shuffle. Use max_by-style aggregation when the payload is small.

@@ -327,6 +327,89 @@ object RelationalQueries {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
         .orderBy("l_returnflag")),
 
+    // q52: distribution window functions — quartile assignment +
+    // percent_rank/cume_dist per status. One shuffle+sort on the
+    // partition key; the rank family shares a single window frame.
+    // The divisions are small-integer rationals — deterministic across
+    // engines (no FP-order sensitivity).
+    "q52_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
+    // q53: CUBE — the full 2^k grouping lattice (complements q18
+    // ROLLUP / q51 GROUPING SETS). One expand + one keyed aggregation;
+    // revenue summed in integer cents so every lattice cell is exact.
+    "q53_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cube(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("cents") / 100.0, 2).as("revenue"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))),
+
+    // q54: time-range join aggregation — per event, the same user's
+    // orders in the trailing 30 days. The equi key (user) makes this a
+    // plain co-partitioned join with the range as a join-time filter —
+    // ONE shuffle on user_id, never a nested loop. (For range joins
+    // with NO equi key, see Relational.intervalJoin.) Spend summed in
+    // integer cents: per-event groups are small but a double sum's
+    // order still isn't deterministic across engines.
+    "q54_range_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      e.join(o,
+          e("user_id") === o("user_id") &&
+            col("o_orderdate").cast("timestamp") <= col("ts") &&
+            col("o_orderdate").cast("timestamp") >= col("ts") - expr("INTERVAL 30 DAYS"),
+          "left")
+        .groupBy(col("event_id"), e("user_id").as("user_id"))
+        .agg(count(col("o_orderdate")).as("n_orders_30d"),
+          round(coalesce(sum("cents"), lit(0L)) / 100.0, 2).as("spend_30d"))
+        .orderBy("event_id")
+    }),
+
+    // q55: sliding (overlapping) time windows — each event lands in
+    // duration/slide windows; Spark's window() expands rows then runs
+    // ONE keyed aggregation (same shuffle count as tumbling, output
+    // ×(duration/slide)).
+    "q55_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(expr("cast(round(value * 100) as bigint)")) / 100.0, 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")),
+
+    // q56: per-group feature scaling for training pipelines — min-max
+    // scaled price + deviation from the group mean, over integer cents
+    // so min/max/sum are exact and the divisions are deterministic
+    // across engines (a windowed avg of raw doubles is FP-order-
+    // sensitive). One window over the status partition, no joins.
+    "q56_scaling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+      t(s, dir, "orders")
+        .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((col("cents") - min("cents").over(w)).cast("double") /
+            (max("cents").over(w) - min("cents").over(w)), 6).as("scaled"),
+          round((col("cents") - sum("cents").over(w).cast("double") /
+            count(lit(1)).over(w)) / 100.0, 2).as("dev_from_mean"))
+        .orderBy("o_orderkey")
+    }),
+
     // q51: GROUPING SETS — explicit aggregation lattice (finer control
     // than ROLLUP/CUBE: only the requested groupings materialize; one
     // expand + one keyed aggregation, same shuffle count as a plain
@@ -565,5 +648,52 @@ object RelationalQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q52_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q53_cube" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderstatus)
+        |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q54_range_agg" ->
+      """SELECT e.event_id, e.user_id,
+        |  count(o.o_orderdate) AS n_orders_30d,
+        |  round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS spend_30d
+        |FROM events e LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+        | AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 30 DAY
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q55_sliding" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, "value" FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, "value" FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n,
+        |  round(sum(CAST(round("value" * 100) AS BIGINT)) / 100.0, 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q56_scaling" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(CAST(cents - min(cents) OVER w AS DOUBLE)
+        |    / (max(cents) OVER w - min(cents) OVER w), 6) AS scaled,
+        |  round((cents - CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w) / 100.0, 2) AS dev_from_mean
+        |FROM o WINDOW w AS (PARTITION BY o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -264,6 +264,24 @@ class RelationalSuite extends SparkSpec {
     }
   }
 
+  test("intervalJoin: matches the naive cross filter, no nested-loop join") {
+    // points 0..199 (with fractional offsets), intervals of assorted
+    // widths incl. boundary-inclusive endpoints and an empty-match one.
+    val points = (0 until 200).map(i => (i.toLong, i * 1.0 + (i % 3) * 0.25)).toDF("p_id", "v")
+    val intervals = Seq(
+      (1L, 0.0, 10.0), (2L, 9.5, 9.75), (3L, 50.0, 120.0),
+      (4L, 181.25, 181.25), (5L, 500.0, 600.0)).toDF("iv_id", "lo", "hi")
+    val fast = Relational.intervalJoin(points, "v", intervals, "lo", "hi", bucketWidth = 16.0)
+    val naive = points.crossJoin(intervals)
+      .where(col("v") >= col("lo") && col("v") <= col("hi"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(fast) == key(naive))
+    assert(key(fast).nonEmpty && key(fast).exists(_._2 == 4L)) // point-width interval matched
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"interval join fell back to BNLJ:\n$plan")
+  }
+
   test("histogram: bounds and overflow buckets") {
     val df = Seq(-1.0, 0.0, 5.0, 9.9, 10.0, 99.0).toDF("v")
     val out = Relational.histogram(df, "v", 0, 10, 2).collect()
