@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: features + language ID + fingerprint are ONE
   * codegen'd projection fused with the scan (no UDFs); the dedup
-  * keeper is a single hash aggregation on the fingerprint plus a
-  * co-keyed semi-join (AQE broadcasts the keeper side when small) —
-  * two shuffles total regardless of corpus size, both keyed on the
-  * fingerprint. Near-dup removal composes on top via
-  * [[Dedup.minhashLsh]] output ids when the corpus warrants it.
+  * keeper is a row_number window over the narrow (fp, id, features)
+  * rows — ONE evaluation of the text kernels and ONE shuffle keyed on
+  * the fingerprint. (The earlier groupBy+semi-join formulation was
+  * also one shuffle round, but evaluated the heavy projection twice —
+  * at 100 TB that is a second full pass of the text kernels over the
+  * corpus.) Near-dup removal composes on top via [[Dedup.minhashLsh]]
+  * output ids when the corpus warrants it.
   */
 object Curation {
 
@@ -27,6 +29,7 @@ object Curation {
       minTokens: Long = 20,
       maxTokens: Long = 1000000,
       langs: Seq[String] = defaultLangs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
     val featured = docs.select(
       col(idCol).as("doc_id"),
@@ -36,8 +39,9 @@ object Curation {
     val filtered = featured.where(
       col("n_tokens").between(minTokens, maxTokens) &&
         col("lang_pred").isin(langs: _*))
-    val keepers = filtered.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    filtered.join(keepers, Seq("fp", "doc_id"), "left_semi")
+    filtered
+      .withColumn("__rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("__rn") === 1)
       .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
   }
 
@@ -144,6 +148,14 @@ object Curation {
     * group's minimal id survives. The complete pretraining-corpus
     * filter: every stage is bucketed/keyed — no all-pairs step at any
     * scale.
+    *
+    * The curate result is PERSISTED for the composition (it feeds the
+    * LSH corpus filter, and the final anti-join) — without it the
+    * text-kernel projection re-runs once per consumer, which at 100 TB
+    * is two extra full corpus passes. Released before returning
+    * (materialize-then-unpersist, the repo-wide operator contract); the
+    * returned result is eagerly materialized like the other Dedup
+    * operators'.
     */
   def curateNearDup(
       docs: DataFrame,
@@ -154,11 +166,15 @@ object Curation {
       langs: Seq[String] = defaultLangs,
       threshold: Double = 0.8): DataFrame = {
     val kept = curate(docs, idCol, textCol, minTokens, maxTokens, langs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptDocs = docs.join(kept.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-    val losers = Dedup.nearDupGroups(Dedup.minhashLsh(keptDocs, idCol, textCol, threshold = threshold))
-      .where(col("doc_id") =!= col("group_id"))
-      .select(col("doc_id"))
-    kept.join(losers, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashLsh(keptDocs, idCol, textCol, threshold = threshold)
+    val groups = Dedup.nearDupGroups(pairs) // eager — pairs releasable now
+    Dedup.releaseCheckpoint(pairs)
+    val losers = groups.where(col("doc_id") =!= col("group_id")).select(col("doc_id"))
+    val out = Dedup.materializeAndRelease(kept.join(losers, Seq("doc_id"), "left_anti"), kept)
+    Dedup.releaseCheckpoint(groups)
+    out
   }
 
   /** Token-budget selection: keep documents per group (language /
