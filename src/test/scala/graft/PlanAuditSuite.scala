@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan audits for the scale-critical queries: these pin the
+  * plan shapes that make the operators viable at 100 TB — filter
+  * pushdown reaching the parquet scan, column pruning, broadcast joins
+  * on dimension sides, equi-join extraction from mixed range
+  * predicates, codegen'd kernels in the hot path. A regression here
+  * (e.g. a refactor that re-orders a filter past a non-deterministic
+  * projection, or widens a scan) passes every correctness test and
+  * silently 10×es the cluster bill — so the plans themselves are under
+  * test.
+  */
+class PlanAuditSuite extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+
+  /** Count physical nodes of a kind via their detail headers —
+    * FormattedMode prints each node once in the tree and once as a
+    * `(n) NodeName` detail block, so raw substring counts double-count.
+    */
+  private def count(hay: String, node: String): Int =
+    hay.linesIterator.count(_.trim.matches(s"""\\(\\d+\\) $node(\\s.*)?"""))
+
+  test("q02: predicates push into the parquet scan; scan is column-pruned") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // projection needs 4 columns — the 16-column lineitem scan must not
+    // read the rest (ReadSchema shows the pruned set)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"), read)
+  }
+
+  test("q03: all three dims broadcast — the fact side never shuffles for the joins") {
+    val p = plan("q03_join")
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q54: equi key extracted from the mixed range condition — no nested loop") {
+    val p = plan("q54_range_agg")
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q34: knn scans the corpus once with the codegen'd dot-product kernel") {
+    val p = plan("q34_knn_brute")
+    assert(p.toLowerCase.contains("float_dot"), p)
+    // the probe side is the broadcast side (tiny), corpus streamed once
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q37: document-frequency side is broadcast, corpus side never re-shuffles for it") {
+    val p = plan("q37_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation is map-side partial then final — one shuffle on the group keys") {
+    val p = plan("q01_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(count(p, "Exchange") <= 2, p) // group-key exchange + top-level sort
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("q30 signature stage is a shuffle-free projection (minhash_sig in a Project)") {
+    import org.apache.spark.sql.functions._
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      Tables.load(spark, sfDir, "documents"))
+    val p = sigs.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("minhash_sig"), p)
+    assert(!p.contains("Exchange"), p) // projection fuses with the scan
+  }
+
+  test("q52: the three window functions share one shuffle+sort") {
+    val p = plan("q52_ntile")
+    // one exchange for the window partition key, one for the output sort
+    assert(count(p, "Exchange") <= 2, p)
+    assert(count(p, "Window") <= 2, p) // rank family + ntile may split frames
+  }
+}
