@@ -164,6 +164,48 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** BM25 retrieval scores for a fixed query-term set — the ranking
+    * function a corpus-search / data-selection pipeline uses where
+    * TF-IDF ([[tfidfTopTerms]]) is the per-document profile. Okapi
+    * BM25 with the standard robust idf: ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: one token explode feeds BOTH the doc-length and the
+    * query-term-frequency aggregations (keyed on doc id — the token
+    * stream never shuffles on the token key); per-term document
+    * frequencies and the corpus scalars (N, Σdl) are broadcast; the
+    * final per-document sum is a FIXED-ORDER sum over per-term columns
+    * — a plain `sum` over a (doc, term) stream accumulates doubles in
+    * partition order and is not reproducible across engines or runs.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(normalize(col(textCol)))).as("tok"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+    val scored = tf.join(dl, Seq("id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n")))))
+    val termCols = terms.zipWithIndex.map { case (tm, i) =>
+      max(when(col("tok") === tm, col("s"))).as(s"__s$i")
+    }
+    val agged = scored.groupBy("id").agg(termCols.head, termCols.tail: _*)
+    val total = terms.indices.map(i => coalesce(col(s"__s$i"), lit(0.0))).reduceLeft(_ + _)
+    agged.select(col("id"), round(total, 4).as("bm25"))
+  }
+
   /** Word n-grams (default bigrams) of normalized text. */
   def wordNgrams(text: Column, n: Int = 2): Column = {
     val toks = tokens(normalize(text))

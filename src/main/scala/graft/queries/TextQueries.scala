@@ -197,6 +197,15 @@ object TextQueries {
       Curation.curateNearDup(t(s, dir, "documents"), minTokens = 20)
         .orderBy("doc_id")),
 
+    // q57: BM25 retrieval scoring against a fixed query — the
+    // corpus-search/selection ranking primitive (idf broadcast, one
+    // token explode, fixed-order per-term sum for engine-reproducible
+    // doubles).
+    "q57_bm25" -> ((s, dir) =>
+      TA.bm25(t(s, dir, "documents"), Seq("spark", "stream", "vector"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))),
+
     // q49: token-budget selection — keep documents per language (in
     // deterministic id order) until the language's token budget is
     // exhausted: one running-sum window per language partition. The
@@ -382,6 +391,29 @@ object TextQueries {
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+
+    "q57_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(regexp_extract_all($normSql, '\\S+')) AS tok FROM documents),
+         |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+         |tf AS (SELECT id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('spark', 'stream', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |                 (SELECT sum(dl) FROM dl) AS sum_dl),
+         |scored AS (
+         |  SELECT id, tok,
+         |    ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * (tf * 2.2)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl::DOUBLE / n))) AS s
+         |  FROM tf JOIN dl USING (id) JOIN dfreq USING (tok) CROSS JOIN stats),
+         |p AS (SELECT id,
+         |    max(CASE WHEN tok = 'spark' THEN s END) AS s0,
+         |    max(CASE WHEN tok = 'stream' THEN s END) AS s1,
+         |    max(CASE WHEN tok = 'vector' THEN s END) AS s2
+         |  FROM scored GROUP BY 1)
+         |SELECT id AS doc_id,
+         |  round(coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0), 4) AS bm25
+         |FROM p ORDER BY bm25 DESC, doc_id""".stripMargin,
 
     "q47_sample" ->
       """WITH b AS (SELECT doc_id, lang,

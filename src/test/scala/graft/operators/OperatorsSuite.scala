@@ -298,6 +298,21 @@ class RelationalSuite extends SparkSpec {
 class TextSuite extends SparkSpec {
   import spark.implicits._
 
+  test("bm25: term-hit docs rank by tf with length normalization, no-hit docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark data table"),         // tf=3, short
+      (2L, "spark data table row column"),          // tf=1
+      (3L, "data table row column value"),          // no query terms
+      (4L, "spark " + ("filler " * 50).trim)        // tf=1, long doc → penalized
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("spark"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    assert(!out.contains(3L)) // no query term → not scored
+    assert(out(1L) > out(2L), s"higher tf must score higher: $out")
+    assert(out(2L) > out(4L), s"longer doc must be length-penalized: $out")
+    assert(out.values.forall(_ > 0))
+  }
+
   test("token counting and normalization") {
     val df = Seq("  Héllo   WORLD  x1  ", "").toDF("text")
     val out = df.select(
