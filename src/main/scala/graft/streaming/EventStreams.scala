@@ -84,6 +84,30 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream interval join — funnel detection: for each
+    * `firstType` event, the same user's `thenType` events within
+    * `within` afterwards. Both sides carry watermarks and the join
+    * condition bounds BOTH event-time columns, so Spark derives a state
+    * eviction horizon for each side — the stream-stream join state is
+    * watermark-bounded, not unbounded (the difference between a funnel
+    * query that runs forever and one that OOMs its state store).
+    * Append-mode inner join: a row emits as soon as both sides arrive.
+    */
+  def followedWithin(events: DataFrame, firstType: String, thenType: String,
+                     within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val first = events.where(col("event_type") === firstType)
+      .select(col("user_id"), col("event_id").as("first_id"), col("ts").as("first_ts"))
+      .withWatermark("first_ts", watermark)
+    val follow = events.where(col("event_type") === thenType)
+      .select(col("user_id").as("__u"), col("event_id").as("then_id"), col("ts").as("then_ts"))
+      .withWatermark("then_ts", watermark)
+    first.join(follow,
+        col("user_id") === col("__u") &&
+          col("then_ts") >= col("first_ts") &&
+          col("then_ts") <= col("first_ts") + expr(s"INTERVAL $within"))
+      .drop("__u")
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: per-user
     * session counter that increments when the gap exceeds `gapSeconds`.
     * EventTimeTimeout bound to the watermark evicts idle users' state —

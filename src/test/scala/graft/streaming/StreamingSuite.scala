@@ -105,6 +105,26 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: funnel pairs within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0),    // first
+      EventStreams.Ev(2, ts("2024-01-01 10:20:00"), 1, "purchase", 0), // within 30m → pair
+      EventStreams.Ev(3, ts("2024-01-01 10:00:00"), 2, "click", 0),    // first
+      EventStreams.Ev(4, ts("2024-01-01 11:00:00"), 2, "purchase", 0), // outside 30m
+      EventStreams.Ev(5, ts("2024-01-01 10:10:00"), 3, "purchase", 0)) // no preceding click
+    val q = EventStreams.followedWithin(mem.toDF(), "click", "purchase")
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("then_id"))).toSet
+      assert(got == Set((1L, 2L)), s"expected only the in-window funnel pair, got $got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: planted dups pair across micro-batches, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
