@@ -114,6 +114,24 @@ class GroundTruthSuite extends SparkSpec {
     }
   }
 
+  test("simhashPairs at maxHamming<=3 equals brute-force popcount pairs (pigeonhole exact)") {
+    // 4 bands × 16 bits: ≤3 differing bits leave at least one band
+    // intact, so banding is EXACT at maxHamming ≤ 3 — the operator's
+    // output must equal all-pairs popcount over the signatures, not
+    // merely approximate it. (q31 ships maxHamming=8, where banding is
+    // a recall trade; this pins the regime with a hard guarantee.)
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "corpus should plant at least one simhash-near pair")
+  }
+
   test("nearDupGroups equals naive union-find components on the brute pair set") {
     val pairs = brutePairs(0.8).toSeq
     // naive union-find
