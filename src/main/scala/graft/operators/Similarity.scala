@@ -190,6 +190,27 @@ object Similarity {
     trainedQuantizers.computeIfAbsent(s"$key:$nlist:$iters",
       _ => ivfCentroids(corpus, nlist, iters, idCol, vecCol))
 
+  /** Catalog-table quantizer persistence — the durable cross-session
+    * form of [[ivfCentroidsCached]]: loads the stored centroids if the
+    * table exists, otherwise trains once and saves them. The table IS
+    * the at-ingest artifact: later sessions (or other jobs) run ANN
+    * queries with zero Lloyd passes and zero training scans.
+    */
+  def ivfCentroidsTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
+    if (spark.catalog.tableExists(table)) centroidsFromDF(spark.table(table))
+    else {
+      val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+      centroidsToDF(spark, cents).write.saveAsTable(table)
+      cents
+    }
+
   /** IVF-Flat approximate NN — the classic scale path next to
     * hyperplane LSH ([[annLsh]]): partition the corpus into `nlist`
     * inverted lists by nearest coarse centroid, search only the

@@ -208,6 +208,18 @@ class SimilaritySuite extends SparkSpec {
     val c1 = Similarity.ivfCentroidsCached("test-corpus", df, nlist = 4)
     val c2 = Similarity.ivfCentroidsCached("test-corpus", df.limit(1), nlist = 4)
     assert(c1 eq c2)
+    // Catalog-table persistence: first call trains + saves; the second
+    // LOADS (an empty corpus proves no training pass runs) and returns
+    // identical centroids.
+    val t = "ivf_cents_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      val saved = Similarity.ivfCentroidsTable(spark, t, df, nlist = 4)
+      assert(spark.catalog.tableExists(t))
+      val reloaded = Similarity.ivfCentroidsTable(spark, t, df.limit(0), nlist = 4)
+      assert(reloaded.map(_._1) == saved.map(_._1))
+      assert(reloaded.zip(saved).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
 
