@@ -206,6 +206,33 @@ object TextAnalysis {
     agged.select(col("id"), round(total, 4).as("bm25"))
   }
 
+  /** Character-level Shannon entropy per document (bits/char) plus
+    * distinct-char stats — the "is this real prose or noise/binary
+    * spill" quality signal (very low entropy = repeated filler, very
+    * high = random bytes). H = log2(n) − (Σ c·log2 c)/n over the
+    * normalized text's char frequencies.
+    *
+    * Scale shape: one explode + two aggregations, both keyed on the doc
+    * id (char frequencies are per-doc — nothing shuffles on the char
+    * key). The Σ c·log2 c accumulation is summed as DECIMAL(38,18):
+    * a double sum's result depends on accumulation order (partition
+    * races, engine differences) — the decimal sum is exact and
+    * order-independent, so the query hashes identically across engines.
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chars = docs.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), "")).as("ch"))
+      .where(col("ch") =!= "")
+    chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum((col("c") * log2(col("c"))).cast("decimal(38,18)")).as("__sum_clog"))
+      .select(col("id"), col("n_chars"), col("n_distinct_chars"),
+        round(log2(col("n_chars").cast("double")) -
+          col("__sum_clog").cast("double") / col("n_chars"), 4).as("entropy_bits"))
+  }
+
   /** Word n-grams (default bigrams) of normalized text. */
   def wordNgrams(text: Column, n: Int = 2): Column = {
     val toks = tokens(normalize(text))

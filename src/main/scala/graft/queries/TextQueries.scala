@@ -197,6 +197,15 @@ object TextQueries {
       Curation.curateNearDup(t(s, dir, "documents"), minTokens = 20)
         .orderBy("doc_id")),
 
+    // q58: char-entropy quality signal — low-entropy (filler) and
+    // high-entropy (noise) docs are what a corpus filter drops; the
+    // Σ c·log2(c) term sums as decimal so the result is
+    // accumulation-order-independent (hashable cross-engine).
+    "q58_entropy" -> ((s, dir) =>
+      TA.charEntropy(t(s, dir, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // q57: BM25 retrieval scoring against a fixed query — the
     // corpus-search/selection ranking primitive (idf broadcast, one
     // token explode, fixed-order per-term sum for engine-reproducible
@@ -391,6 +400,18 @@ object TextQueries {
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+
+    "q58_entropy" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i FROM n),
+         |ch AS (SELECT doc_id, substr(t, i, 1) AS ch FROM pos),
+         |freq AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars,
+         |    sum(CAST(c * log2(c) AS DECIMAL(38,18))) AS sum_clog
+         |  FROM freq GROUP BY 1)
+         |SELECT doc_id, n_chars, n_distinct_chars,
+         |  round(log2(n_chars::DOUBLE) - sum_clog::DOUBLE / n_chars, 4) AS entropy_bits
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q57_bm25" ->
       s"""WITH toks AS (
