@@ -177,6 +177,35 @@ object Curation {
     out
   }
 
+  /** Temperature-rebalanced language mix (the UNIMAX/mC4-style
+    * resampling a multilingual pretraining run uses): sampling weight
+    * p_l ∝ (tokens_l)^α, α<1 up-weighting low-resource languages.
+    * Returns per-language doc/token counts and the normalized weight.
+    *
+    * One aggregation keyed on language (token counts sum exactly as
+    * longs); the denominator Σ(tokens_l)^α is a FIXED-ORDER sum over
+    * the declared language columns — pow() doubles summed in row order
+    * would differ across engines/partitionings.
+    */
+  def languageMix(
+      docs: DataFrame,
+      langs: Seq[String],
+      alpha: Double = 0.3,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val stats = docs.where(col(langCol).isin(langs: _*))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val denomTerms = langs.sorted.map { lg =>
+      pow(coalesce(max(when(col(langCol) === lg, col("n_tokens"))), lit(0L)).cast("double"), lit(alpha))
+    }
+    val denom = stats.agg(denomTerms.reduceLeft(_ + _).as("__denom"))
+    stats.crossJoin(broadcast(denom))
+      .select(col(langCol), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("__denom"), 6).as("sample_weight"))
+  }
+
   /** Token-budget selection: keep documents per group (language /
     * source), in deterministic id order, until the group's token
     * budget is exhausted — how a training mix is assembled to a target

@@ -197,6 +197,14 @@ object TextQueries {
       Curation.curateNearDup(t(s, dir, "documents"), minTokens = 20)
         .orderBy("doc_id")),
 
+    // q59: temperature-rebalanced language mix (α=0.3) — per-language
+    // sampling weights for a multilingual training run; fixed-order
+    // denominator keeps the pow() sum engine-reproducible.
+    "q59_lang_mix" -> ((s, dir) =>
+      Curation.languageMix(t(s, dir, "documents"),
+          langs = Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("lang")),
+
     // q58: char-entropy quality signal — low-entropy (filler) and
     // high-entropy (noise) docs are what a corpus filter drops; the
     // Σ c·log2(c) term sums as decimal so the result is
@@ -400,6 +408,21 @@ object TextQueries {
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+
+    "q59_lang_mix" ->
+      s"""WITH s AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE lang IN ('de','en','es','fr','zh') GROUP BY 1),
+         |d AS (SELECT
+         |    pow(coalesce(max(CASE WHEN lang='de' THEN n_tokens END), 0)::DOUBLE, 0.3)
+         |  + pow(coalesce(max(CASE WHEN lang='en' THEN n_tokens END), 0)::DOUBLE, 0.3)
+         |  + pow(coalesce(max(CASE WHEN lang='es' THEN n_tokens END), 0)::DOUBLE, 0.3)
+         |  + pow(coalesce(max(CASE WHEN lang='fr' THEN n_tokens END), 0)::DOUBLE, 0.3)
+         |  + pow(coalesce(max(CASE WHEN lang='zh' THEN n_tokens END), 0)::DOUBLE, 0.3) AS denom
+         |  FROM s)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(pow(n_tokens::DOUBLE, 0.3) / denom, 6) AS sample_weight
+         |FROM s CROSS JOIN d ORDER BY lang""".stripMargin,
 
     "q58_entropy" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),

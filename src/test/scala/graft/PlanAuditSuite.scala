@@ -77,6 +77,21 @@ class PlanAuditSuite extends SparkSpec {
     assert(!p.contains("Exchange"), p) // projection fuses with the scan
   }
 
+  test("q12: all validation rules evaluate in ONE scan of the table") {
+    // drune runs 2 Spark jobs per rule; graft's Validator compiles k
+    // rules into one flag struct — the plan must read customer once.
+    val p = plan("q12_validate_counts")
+    assert(count(p, "Scan parquet customer") + count(p, "Scan parquet") == 1, p)
+  }
+
+  test("q40: the eval-set gram table broadcasts; the training stream never shuffles on gram") {
+    val p = plan("q40_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges allowed are doc-id-keyed (dedup/window/agg) —
+    // never on the gram hash of the training side
+    assert(!p.contains("hashpartitioning(gh"), p)
+  }
+
   test("q52: the three window functions share one shuffle+sort") {
     val p = plan("q52_ntile")
     // one exchange for the window partition key, one for the output sort
