@@ -91,5 +91,27 @@ class PropertySuite extends SparkSpec {
     assert(Similarity.embeddingNearDup(emb, dim = 4).count() == 0)
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.nearDupGroups(pairs).count() == 0)
+    // round-4 operators
+    assert(TextAnalysis.bm25(docs, Seq("spark")).count() == 0)
+    assert(TextAnalysis.charEntropy(docs).count() == 0)
+    assert(Curation.languageMix(docs.withColumn("lang", lit("en")), Seq("en")).count() == 0)
+    val noPts = Seq.empty[(Long, Double)].toDF("p_id", "v")
+    val noIvs = Seq.empty[(Long, Double, Double)].toDF("iv_id", "lo", "hi")
+    assert(Relational.intervalJoin(noPts, "v", noIvs, "lo", "hi", 10.0).count() == 0)
+  }
+
+  test("null/degenerate text rows drop cleanly from the text operators") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "spark data engine spark")).toDF("doc_id", "text")
+    // null/empty/whitespace docs contribute no tokens or chars — only
+    // doc 4 survives each operator, with no NPE or negative counts.
+    val bm = TextAnalysis.bm25(docs, Seq("spark")).collect()
+    assert(bm.map(_.getAs[Long]("id")).toSeq == Seq(4L))
+    val ent = TextAnalysis.charEntropy(docs).collect()
+    assert(ent.map(_.getAs[Long]("id")).toSeq == Seq(4L))
+    assert(ent.head.getAs[Double]("entropy_bits") > 0)
+    val rep = TextAnalysis.repetitionSignals(docs).collect()
+    assert(rep.length == 4) // projection-level op keeps all rows
+    assert(rep.forall(r => r.getAs[Long]("n_tokens") >= 0))
   }
 }
