@@ -80,12 +80,16 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` injector: permanent, catalog-visible
   * registration of the graft SQL functions for every session built
-  * with these extensions.
+  * with these extensions, plus the opt-in [[RangeJoinBucketing]]
+  * optimizer rule (active only when
+  * `spark.graft.rangeJoin.bucketWidth` is set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    ext.injectOptimizerRule(session => RangeJoinBucketing(session))
+  }
 }

@@ -1,6 +1,47 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinBucketingSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("optimizer rule: range-only theta join rewrites to a hash join, identical results") {
+    val rule = org.apache.spark.sql.graftbridge.RangeJoinBucketing(spark)
+    val points = (0 until 300).map(i => (i.toLong, i * 1.0 + (i % 4) * 0.2)).toDF("p_id", "v")
+    val intervals = Seq((1L, 0.0, 25.0), (2L, 24.8, 25.2), (3L, 100.0, 260.0),
+      (4L, 500.0, 501.0)).toDF("iv_id", "lo", "hi")
+    def thetaJoin() = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val naive = keys(thetaJoin()) // conf unset: rule dormant, BNLJ plan
+    assert(thetaJoin().queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ rule
+    spark.conf.set(rule.confKey, "16.0")
+    try {
+      val rewritten = thetaJoin()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), s"rewrite did not fire:\n$plan")
+      assert(keys(rewritten) == naive, "bucketed rewrite changed the result set")
+      // orientation flip (lo <= v AND hi >= v) matches too
+      val flipped = points.join(intervals, col("lo") <= col("v") && col("hi") >= col("v"))
+      assert(!flipped.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      assert(keys(flipped) == naive)
+      // equi-key joins and non-interval conditions are left untouched
+      val equi = points.join(intervals, col("p_id") === col("iv_id"))
+      assert(keys(equi) == keys(equi)) // sanity: still executes
+    } finally {
+      spark.conf.unset(rule.confKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+}
+
+import graft.SparkSpec
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
