@@ -98,7 +98,13 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
     val gen = Generate(
       // Sequence is TimeZoneAware — without an explicit zone the node
       // is unresolved and the optimizer-batch validator rejects it.
-      Explode(new Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)),
+      // Step stays INFERRED (stepOpt = None): an explicit +1 step makes
+      // sequence() throw on an inverted interval (lo > hi), where the
+      // nested-loop plan would simply emit no rows — with the inferred
+      // step an inverted interval yields a descending bucket list whose
+      // matches the exact range filter then rejects, preserving
+      // empty-result semantics instead of crashing.
+      Explode(new Sequence(bucketOf(lo), bucketOf(hi), None,
         Some(conf.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(ivBucket), child = ivSide)

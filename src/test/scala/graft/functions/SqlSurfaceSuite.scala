@@ -34,6 +34,10 @@ class RangeJoinBucketingSuite extends SparkSpec {
       // equi-key joins and non-interval conditions are left untouched
       val equi = points.join(intervals, col("p_id") === col("iv_id"))
       assert(keys(equi) == keys(equi)) // sanity: still executes
+      // inverted interval (lo > hi): empty result, NOT a sequence error
+      val inverted = Seq((9L, 50.0, 10.0)).toDF("iv_id", "lo", "hi")
+      assert(points.join(inverted,
+        col("v") >= col("lo") && col("v") <= col("hi")).count() == 0)
     } finally {
       spark.conf.unset(rule.confKey)
       spark.experimental.extraOptimizations = prev
