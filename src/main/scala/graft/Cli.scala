@@ -51,6 +51,14 @@ object Cli {
     * extension-bearing source path is a FILE — a runtime input REPLACES
     * the file name (`source_path.with_name(dynamic_path)`), no input
     * leaves it untouched. An absolute input always wins outright.
+    *
+    * Note the fail-fast applies to CLI `run` only and is deliberate
+    * reference parity (drune raises ConfigurationError there too):
+    * a drune directory source is a landing zone expecting a per-run
+    * file. A pipeline that genuinely reads a whole directory-backed
+    * dataset (e.g. another pipeline's parquet sink) should use a
+    * `type: table` source or the library API, where no dynamic-path
+    * contract applies.
     */
   private[graft] def applyInput(spec: PipelineSpec, input: Option[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")

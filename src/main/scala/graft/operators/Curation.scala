@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: features + language ID + fingerprint are ONE
   * codegen'd projection fused with the scan (no UDFs); the dedup
-  * keeper is a row_number window over the narrow (fp, id, features)
-  * rows — ONE evaluation of the text kernels and ONE shuffle keyed on
-  * the fingerprint. (The earlier groupBy+semi-join formulation was
-  * also one shuffle round, but evaluated the heavy projection twice —
-  * at 100 TB that is a second full pass of the text kernels over the
-  * corpus.) Near-dup removal composes on top via [[Dedup.minhashLsh]]
-  * output ids when the corpus warrants it.
+  * keeper is a `min_by(struct(...), doc_id)` hash aggregation on the
+  * fingerprint — ONE evaluation of the text kernels, ONE shuffle, and
+  * map-side partial aggregation, so a mass-duplicated boilerplate
+  * fingerprint collapses to one row per map task instead of funneling
+  * every duplicate to a single reducer (the skew a row_number window
+  * would create, and exactly the corpus shape — template-heavy crawl
+  * data — this operator targets). The earlier groupBy+semi-join
+  * formulation evaluated the heavy projection twice. Near-dup removal
+  * composes on top via [[Dedup.minhashLsh]] output ids when the
+  * corpus warrants it.
   */
 object Curation {
 
@@ -29,7 +32,6 @@ object Curation {
       minTokens: Long = 20,
       maxTokens: Long = 1000000,
       langs: Seq[String] = defaultLangs): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
     val featured = docs.select(
       col(idCol).as("doc_id"),
@@ -40,9 +42,11 @@ object Curation {
       col("n_tokens").between(minTokens, maxTokens) &&
         col("lang_pred").isin(langs: _*))
     filtered
-      .withColumn("__rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
-      .where(col("__rn") === 1)
-      .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("n_tokens"), col("lang_pred")), col("doc_id")).as("__keep"))
+      .select(col("__keep.doc_id").as("doc_id"),
+        col("__keep.n_tokens").as("n_tokens"),
+        col("__keep.lang_pred").as("lang_pred"))
   }
 
   /** Benchmark decontamination: flag training documents that share any
@@ -193,11 +197,12 @@ object Curation {
       alpha: Double = 0.3,
       langCol: String = "lang",
       textCol: String = "text"): DataFrame = {
-    val stats = docs.where(col(langCol).isin(langs: _*))
+    val ls = langs.distinct.sorted // a duplicated entry would double-count in the denominator
+    val stats = docs.where(col(langCol).isin(ls: _*))
       .groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-    val denomTerms = langs.sorted.map { lg =>
+    val denomTerms = ls.map { lg =>
       pow(coalesce(max(when(col(langCol) === lg, col("n_tokens"))), lit(0L)).cast("double"), lit(alpha))
     }
     val denom = stats.agg(denomTerms.reduceLeft(_ + _).as("__denom"))

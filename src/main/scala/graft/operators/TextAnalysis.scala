@@ -169,41 +169,45 @@ object TextAnalysis {
     * TF-IDF ([[tfidfTopTerms]]) is the per-document profile. Okapi
     * BM25 with the standard robust idf: ln(1 + (N − df + ½)/(df + ½)).
     *
-    * Scale shape: one token explode feeds BOTH the doc-length and the
-    * query-term-frequency aggregations (keyed on doc id — the token
-    * stream never shuffles on the token key); per-term document
-    * frequencies and the corpus scalars (N, Σdl) are broadcast; the
-    * final per-document sum is a FIXED-ORDER sum over per-term columns
-    * — a plain `sum` over a (doc, term) stream accumulates doubles in
-    * partition order and is not reproducible across engines or runs.
+    * Scale shape: ONE token explode + ONE doc-keyed aggregation
+    * computes the doc length and every query-term frequency together
+    * (per-term conditional sums — separate dl/tf subtrees would scan
+    * and explode the corpus twice, since the differing filters defeat
+    * exchange reuse); per-term document frequencies and Σdl reduce
+    * from that per-doc table and broadcast back; the final score is a
+    * FIXED-ORDER sum over per-term columns — a plain `sum` over a
+    * (doc, term) stream accumulates doubles in partition order and is
+    * not reproducible across engines or runs.
     */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.distinct.sorted
+    def tfCol(i: Int) = s"__tf$i"
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(normalize(col(textCol)))).as("tok"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val tf = toks.where(col("tok").isin(terms: _*))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
-    val scored = tf.join(dl, Seq("id"))
-      .join(broadcast(dfreq), Seq("tok"))
+    val perDoc = toks.groupBy("id").agg(
+      count(lit(1)).as("dl"),
+      terms.zipWithIndex.map { case (tm, i) =>
+        sum(when(col("tok") === tm, 1L).otherwise(0L)).as(tfCol(i))
+      }: _*)
+    val statAggs = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum((col(tfCol(i)) > 0).cast("long")).as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(docs.agg(count(lit(1)).as("n"))) // pruned count-only scan
+    val scored = perDoc
+      .where(terms.indices.map(i => col(tfCol(i)) > 0).reduceLeft(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log(lit(1.0) + (col("n") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n")))))
-    val termCols = terms.zipWithIndex.map { case (tm, i) =>
-      max(when(col("tok") === tm, col("s"))).as(s"__s$i")
+    def termScore(i: Int) = {
+      val tf = col(tfCol(i)); val dfc = col(s"__df$i")
+      log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+        (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n"))))
     }
-    val agged = scored.groupBy("id").agg(termCols.head, termCols.tail: _*)
-    val total = terms.indices.map(i => coalesce(col(s"__s$i"), lit(0.0))).reduceLeft(_ + _)
-    agged.select(col("id"), round(total, 4).as("bm25"))
+    val total = terms.indices.map(termScore).reduceLeft(_ + _)
+    scored.select(col("id"), round(total, 4).as("bm25"))
   }
 
   /** Character-level Shannon entropy per document (bits/char) plus

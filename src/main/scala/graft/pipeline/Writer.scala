@@ -38,7 +38,10 @@ object Writer {
     // table's declared column order by name, failing fast on a gap.
     def aligned(d: DataFrame): DataFrame = {
       val cols = spark.table(table).columns
-      val missing = cols.filterNot(d.columns.contains)
+      // case-INsensitive presence check to match the analyzer's default
+      // resolution — a case-mismatched column would otherwise fail here
+      // despite resolving fine in the select below
+      val missing = cols.filterNot(c => d.columns.exists(_.equalsIgnoreCase(c)))
       require(missing.isEmpty,
         s"table '$table': pipeline output lacks columns ${missing.mkString(", ")}")
       d.select(cols.map(col): _*)

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
@@ -28,11 +28,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * to the nested loop. Candidate volume is O(m·(len/width + 1) + n)
   * instead of n·m comparisons.
   *
+  * Intervals spanning more than `spark.graft.rangeJoin.maxBuckets`
+  * buckets (default 10k — a width far below the interval scale, or one
+  * outlier row) take a nested-loop FALLBACK branch instead: exploding
+  * them would materialize a per-row bucket array up to Spark's array
+  * limit and fail a query the slow plan would have completed. Each
+  * interval row lands in exactly one branch (and rows with a NULL
+  * bound land in neither — they can match nothing), so the union stays
+  * duplicate-free and result-identical.
+  *
   * The rule is a no-op unless the conf is set: a bucket width is a
   * data-dependent choice (≈ the typical interval length), so it is
-  * explicit opt-in rather than a guess. Idempotent by construction —
-  * the rewritten condition has three conjuncts and no longer matches
-  * the two-conjunct pattern.
+  * explicit opt-in rather than a guess. Idempotent under the
+  * fixed-point optimizer batch: the bucketed branch's condition grows
+  * a third conjunct (no longer matches the two-conjunct pattern), and
+  * the fallback branch is recognized STRUCTURALLY — its interval side
+  * is this rule's own span Filter (a floor-based predicate directly on
+  * the join input), which the matcher refuses to rewrite again. A
+  * cosmetic marker conjunct would not survive BooleanSimplification in
+  * the same batch and would loop.
   *
   * Registered via [[GraftExtensions]] (`injectOptimizerRule`) and
   * usable imperatively through `spark.experimental.extraOptimizations`.
@@ -42,7 +56,12 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
   val confKey = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.conf.getOption(confKey).map(_.toDouble).getOrElse(0.0)
+    // A malformed conf must produce ONE clear error, not an opaque
+    // NumberFormatException from inside the optimizer on every query.
+    val width = spark.conf.getOption(confKey).map { v =>
+      v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"$confKey must be numeric, got '$v'"))
+    }.getOrElse(0.0)
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _) =>
@@ -80,36 +99,67 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
         if (ok) Some((p1, lo, hi, pointLeft)) else None
       case _ => None
     }
-    cond match {
+    if (isOwnRewrite(left) || isOwnRewrite(right)) None
+    else cond match {
       case And(c1, c2) => tryPair(c1, c2).orElse(tryPair(c2, c1))
       case _ => None
     }
   }
 
+  /** Recognize a join side this rule itself produced: the fallback
+    * branch's interval side is our span Filter (floor-based predicate
+    * directly on the input), the bucketed branch's is our Generate.
+    * A floor-filtered side someone else built is merely skipped — a
+    * false negative costs the optimization, never correctness.
+    */
+  private def isOwnRewrite(side: LogicalPlan): Boolean = side match {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[Floor])
+    case g: Generate => g.generatorOutput.exists(_.name == "__graft_bucket_iv")
+    case Project(projectList, _) =>
+      projectList.exists(_.name == "__graft_bucket_p")
+    case _ => false
+  }
+
   private def rewrite(j: Join, p: Attribute, lo: Attribute, hi: Attribute,
                       pointLeft: Boolean, width: Double): LogicalPlan = {
+    val maxBuckets = spark.conf.getOption("spark.graft.rangeJoin.maxBuckets")
+      .flatMap(_.toLongOption).getOrElse(10000L)
     def bucketOf(e: Expression): Expression =
       Cast(Floor(Divide(Cast(e, DoubleType), Literal(width, DoubleType))), LongType)
     val pointSide = if (pointLeft) j.left else j.right
     val ivSide = if (pointLeft) j.right else j.left
+
+    // Branch split on bucket span. NULL spans satisfy neither filter —
+    // correct, since a NULL bound can never satisfy the range test.
+    val span = Subtract(bucketOf(hi), bucketOf(lo))
+    val narrowIv = Filter(And(GreaterThanOrEqual(span, Literal(0L)),
+      LessThanOrEqual(span, Literal(maxBuckets))), ivSide)
+    val wideIv = Filter(GreaterThan(span, Literal(maxBuckets)), ivSide)
+
     val pBucket = Alias(bucketOf(p), "__graft_bucket_p")()
     val pointProj = Project(pointSide.output :+ pBucket, pointSide)
     val ivBucket = AttributeReference("__graft_bucket_iv", LongType)()
     val gen = Generate(
       // Sequence is TimeZoneAware — without an explicit zone the node
       // is unresolved and the optimizer-batch validator rejects it.
-      // Step stays INFERRED (stepOpt = None): an explicit +1 step makes
-      // sequence() throw on an inverted interval (lo > hi), where the
-      // nested-loop plan would simply emit no rows — with the inferred
-      // step an inverted interval yields a descending bucket list whose
-      // matches the exact range filter then rejects, preserving
-      // empty-result semantics instead of crashing.
-      Explode(new Sequence(bucketOf(lo), bucketOf(hi), None,
+      // (Inverted intervals — lo > hi — never reach the explode: the
+      // narrow filter requires span >= 0, and such rows can match
+      // nothing, so dropping them preserves semantics.)
+      Explode(new Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)),
         Some(conf.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(ivBucket), child = ivSide)
+      generatorOutput = Seq(ivBucket), child = narrowIv)
     val eq = EqualTo(pBucket.toAttribute, ivBucket)
-    val (newLeft, newRight) = if (pointLeft) (pointProj, gen) else (gen, pointProj)
-    Project(j.output, Join(newLeft, newRight, Inner, Some(And(eq, j.condition.get)), j.hint))
+    val (nl, nr) = if (pointLeft) (pointProj, gen) else (gen, pointProj)
+    val bucketed =
+      Project(j.output, Join(nl, nr, Inner, Some(And(eq, j.condition.get)), j.hint))
+
+    // Oversized intervals keep the nested-loop path; `isOwnRewrite`
+    // recognizes the span Filter so this rule never re-matches it.
+    val (fl, fr) = if (pointLeft) (pointSide, wideIv) else (wideIv, pointSide)
+    val fallback =
+      Project(j.output, Join(fl, fr, Inner, Some(j.condition.get), j.hint))
+
+    Union(Seq(bucketed, fallback))
   }
 }

@@ -18,6 +18,8 @@ class RangeJoinBucketingSuite extends SparkSpec {
 
     val naive = keys(thetaJoin()) // conf unset: rule dormant, BNLJ plan
     assert(thetaJoin().queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    def equiJoin() = points.join(intervals, col("p_id") === col("iv_id"))
+    val equiBaseline = keys(equiJoin())
 
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ rule
@@ -25,19 +27,29 @@ class RangeJoinBucketingSuite extends SparkSpec {
     try {
       val rewritten = thetaJoin()
       val plan = rewritten.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoop"), s"rewrite did not fire:\n$plan")
+      // the bucketed branch fires: bucket projection + an equi join on
+      // it (the wide-interval fallback branch legitimately remains as
+      // a runtime-empty nested loop that AQE eliminates)
+      assert(plan.contains("__graft_bucket"), s"rewrite did not fire:\n$plan")
       assert(keys(rewritten) == naive, "bucketed rewrite changed the result set")
       // orientation flip (lo <= v AND hi >= v) matches too
       val flipped = points.join(intervals, col("lo") <= col("v") && col("hi") >= col("v"))
-      assert(!flipped.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      assert(flipped.queryExecution.executedPlan.toString.contains("__graft_bucket"))
       assert(keys(flipped) == naive)
-      // equi-key joins and non-interval conditions are left untouched
-      val equi = points.join(intervals, col("p_id") === col("iv_id"))
-      assert(keys(equi) == keys(equi)) // sanity: still executes
+      // equi-key joins pass through untouched (no bucket rewrite)
+      val equi = equiJoin()
+      assert(!equi.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+      assert(keys(equi) == equiBaseline)
       // inverted interval (lo > hi): empty result, NOT a sequence error
       val inverted = Seq((9L, 50.0, 10.0)).toDF("iv_id", "lo", "hi")
       assert(points.join(inverted,
         col("v") >= col("lo") && col("v") <= col("hi")).count() == 0)
+      // an interval spanning billions of buckets takes the fallback
+      // branch instead of exploding a giant array — same results
+      val withWide = intervals.unionByName(Seq((10L, -1e7, 1e7)).toDF("iv_id", "lo", "hi"))
+      val wideJoined = points.join(withWide, col("v") >= col("lo") && col("v") <= col("hi"))
+      val expectWide = naive ++ (0 until 300).map(i => (i.toLong, 10L))
+      assert(keys(wideJoined) == expectWide, "wide-interval fallback lost or duplicated rows")
     } finally {
       spark.conf.unset(rule.confKey)
       spark.experimental.extraOptimizations = prev
