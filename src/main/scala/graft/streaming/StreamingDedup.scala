@@ -33,6 +33,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `dropDuplicates("id_a","id_b")` before the sink) — the duplication
   * factor is bounded by `bands`, the output stream is ids+estimate
   * only.
+  *
+  * State sizing: each live document stores its full signature
+  * (numHashes × 8 B) in each of its `bands` buckets — ≈ bands ×
+  * numHashes × 8 B per doc within the watermark horizon (16 KiB at
+  * the 16×128 defaults). The full signature is what lets the bucket
+  * verify the estimate WITHOUT a second stateful stage or an external
+  * store; shrink `numHashes` (wider error band) or the watermark
+  * horizon to trade memory, and keep RocksDB state store backing for
+  * horizons beyond executor memory.
   */
 object StreamingDedup {
 
