@@ -127,12 +127,19 @@ object Curation {
     * reproducible across runs and engines with NO rand() and no
     * per-group shuffling: the operator is a pure filter that fuses with
     * the scan and preserves partitioning.
+    *
+    * Output contract: the input columns PLUS `bucket` (the 0–99 hash
+    * bucket the row landed in) — kept deliberately as the sampling
+    * diagnostic/audit column. Fails fast if the input already has a
+    * `bucket` column rather than silently overwriting it.
     */
   def stratifiedSample(
       docs: DataFrame,
       rates: Map[String, Int],
       idCol: String = "doc_id",
       langCol: String = "lang"): DataFrame = {
+    require(!docs.columns.map(_.toLowerCase).contains("bucket"),
+      "input already has a 'bucket' column — rename it before sampling")
     // id folded below 2^20 BEFORE the multiply so a·id stays < 2^52:
     // no long overflow at any id scale (ANSI-safe), same bucket on any
     // engine. High bits of the 32-bit product → bucket (low bits of a
@@ -197,6 +204,7 @@ object Curation {
       alpha: Double = 0.3,
       langCol: String = "lang",
       textCol: String = "text"): DataFrame = {
+    require(langs.nonEmpty, "languageMix needs at least one language")
     val ls = langs.distinct.sorted // a duplicated entry would double-count in the denominator
     val stats = docs.where(col(langCol).isin(ls: _*))
       .groupBy(col(langCol))

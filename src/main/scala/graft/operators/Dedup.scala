@@ -237,7 +237,7 @@ object Dedup {
       threshold: Double,
       shingleK: Int,
       maxBucket: Int): (DataFrame, DataFrame) = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     // The signature table feeds the band explode and both verify joins
     // (3 references). It is tiny (numHashes longs per doc) but its
     // lineage — the exploded-shingle aggregation — is the most expensive
@@ -250,18 +250,14 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // Pairs WITHOUT a self-join: one aggregation collects each bucket's
-    // member ids (skew guard = size filter on the bucket array), then a
-    // double explode emits the in-bucket combinations. The banded
-    // stream — and the signature subtree under it — is executed once
-    // here instead of three times (skew-check + both join sides).
-    val buckets = banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Pairs via the shared guarded generator: the skew pre-count
+    // re-scans `banded`, which derives from the PERSISTED signature
+    // table, so the extra pass is a cheap projection — and a
+    // degenerate bucket (millions of identical boilerplate docs) is
+    // anti-joined away BEFORE collect_list ever builds its array,
+    // instead of materializing a multi-million-element aggregation
+    // buffer that a post-hoc size filter would only discard.
+    val pairs = bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
 
     val verified = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -293,16 +289,28 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
+    // The skew pre-count in bucketPairs re-executes this banded
+    // projection once (signatures are not persisted here — the single
+    // downstream consumer exact-verifies anyway): one extra
+    // shuffle-free projection pass buys the guarantee that a
+    // degenerate bucket never materializes its member array.
     val banded = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
+  }
+
+  /** Validated band geometry: `bands` must evenly divide `numHashes` —
+    * otherwise rowsPerBand truncates (to 0 when numHashes < bands) and
+    * every document hashes the SAME empty band slice, silently
+    * producing one corpus-wide bucket that the skew guard then drops:
+    * an empty pair set with no error.
+    */
+  private def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    numHashes / bands
   }
 
   /** Exact n-gram Jaccard verification for a candidate pair set —
@@ -512,14 +520,10 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Same no-self-join pair generation as minhashLsh: bucket member
-    // lists + double explode; 8-byte simhashes re-join after dedup.
-    val verified = banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Shared guarded pair generation (skew pre-count re-scans `banded`,
+    // a cheap projection over the persisted simhash table); 8-byte
+    // simhashes re-join after pair dedup.
+    val verified = bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
       .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))

@@ -27,6 +27,12 @@ object Relational {
       on: Seq[String],
       saltFactor: Int,
       how: String = "inner"): DataFrame = {
+    // The replicated right side is only transparent for joins keyed on
+    // the LEFT rows: right/full outer would emit saltFactor copies of
+    // every unmatched right row — reject loudly rather than corrupt.
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti")(how.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$how'")
     // xxhash64 over the whole left row: deterministic, no rand() (a
     // retried task must re-salt identically or rows are lost/doubled).
     val saltedL = left.withColumn("__salt",

@@ -80,16 +80,25 @@ object Similarity {
       multiProbeBits: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(multiProbeBits >= 0 && multiProbeBits <= 2,
+      s"multiProbeBits supports hamming distance 0..2, got $multiProbeBits")
     val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
-    // Multi-probe: the probe's own bucket plus every bucket at hamming
-    // distance 1 (flip each bit) — recovers most neighbors lost to a
-    // single sign flip without widening the scan.
+    // Multi-probe: the probe's own bucket plus every bucket within
+    // hamming distance `multiProbeBits` (single-bit flips at 1,
+    // + all bit-pair flips at 2 — planes·(planes−1)/2 extra probes per
+    // row, bounded and broadcast-side only) — recovers neighbors lost
+    // to sign flips without widening the corpus scan.
+    val flips1 = (0 until (if (multiProbeBits >= 1) planes else 0)).map(i =>
+      col("b0").bitwiseXOR(shiftleft(lit(1L), i)))
+    val flips2 =
+      if (multiProbeBits >= 2)
+        for { i <- 0 until planes; jj <- (i + 1) until planes }
+          yield col("b0").bitwiseXOR(shiftleft(lit(1L), i)).bitwiseXOR(shiftleft(lit(1L), jj))
+      else Seq.empty
     val probeBuckets = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         hyperplaneBucket(col(vecCol), dim, planes).as("b0"))
-      .withColumn("bucket", explode(array(
-        col("b0") +: (0 until (if (multiProbeBits > 0) planes else 0)).map(i =>
-          col("b0").bitwiseXOR(shiftleft(lit(1L), i))): _*)))
+      .withColumn("bucket", explode(array(col("b0") +: (flips1 ++ flips2): _*)))
       .drop("b0")
     val scored = broadcast(probeBuckets).join(bucketed, Seq("bucket"))
       .where(col("probe_id") =!= col("vec_id"))
@@ -187,7 +196,9 @@ object Similarity {
       iters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
-    trainedQuantizers.computeIfAbsent(s"$key:$nlist:$iters",
+    // idCol/vecCol belong in the key: the same corpus trained on a
+    // different vector column is a different quantizer.
+    trainedQuantizers.computeIfAbsent(s"$key:$nlist:$iters:$idCol:$vecCol",
       _ => ivfCentroids(corpus, nlist, iters, idCol, vecCol))
 
   /** Catalog-table quantizer persistence — the durable cross-session

@@ -73,8 +73,12 @@ object Validator {
 
     // Reference log schema (validator.py:47-58, spark_engine.py:188-197):
     // the consolidated log carries a timestamp and the offending row's
-    // hash_key so a warn-log sink can be joined back to bad rows.
-    val failureLog =
+    // hash_key so a warn-log sink can be joined back to bad rows. The
+    // reference consolidates ONLY warn-rule failures (validator.py:39
+    // filters on_fail == 'warn' before appending to the log list) —
+    // drop/fail/set_null violations are acted on, not logged — so the
+    // log filters on action; `summary` below still counts every action.
+    val violations =
       if (violStructs.isEmpty)
         df.sparkSession.emptyDataFrame
       else {
@@ -93,9 +97,13 @@ object Validator {
             col("__hk").as("hash_key"))
       }
 
+    val failureLog =
+      if (violStructs.isEmpty) violations
+      else violations.where(col("action") === "warn")
+
     val summary =
       if (violStructs.isEmpty) df.sparkSession.emptyDataFrame
-      else failureLog
+      else violations
         .groupBy("failed_column", "validation_rule", "action")
         .agg(count(lit(1)).as("violations"))
 

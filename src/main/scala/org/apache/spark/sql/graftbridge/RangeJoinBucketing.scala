@@ -107,16 +107,23 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Recognize a join side this rule itself produced: the fallback
-    * branch's interval side is our span Filter (floor-based predicate
-    * directly on the input), the bucketed branch's is our Generate.
-    * A floor-filtered side someone else built is merely skipped — a
-    * false negative costs the optimization, never correctness.
+    * branch's interval side is our span Filter (floor-based predicate),
+    * the bucketed branch's is our Generate / bucket projection. The
+    * walk follows the whole Project/Filter chain — sibling rules in the
+    * same fixed-point batch (ColumnPruning, CombineFilters,
+    * PushDownPredicates) freely insert Projects or merge Filters above
+    * our nodes, and a top-node-only check would stop recognizing the
+    * rewrite and loop. A floor-filtered side someone else built is
+    * merely skipped — a false negative costs the optimization, never
+    * correctness.
     */
   private def isOwnRewrite(side: LogicalPlan): Boolean = side match {
-    case Filter(cond, _) => cond.exists(_.isInstanceOf[Floor])
-    case g: Generate => g.generatorOutput.exists(_.name == "__graft_bucket_iv")
-    case Project(projectList, _) =>
-      projectList.exists(_.name == "__graft_bucket_p")
+    case Filter(cond, child) =>
+      cond.exists(_.isInstanceOf[Floor]) || isOwnRewrite(child)
+    case Project(projectList, child) =>
+      projectList.exists(_.name.startsWith("__graft_bucket")) || isOwnRewrite(child)
+    case g: Generate =>
+      g.generatorOutput.exists(_.name == "__graft_bucket_iv")
     case _ => false
   }
 

@@ -55,6 +55,31 @@ class RangeJoinBucketingSuite extends SparkSpec {
       spark.experimental.extraOptimizations = prev
     }
   }
+
+  test("rule is idempotent after sibling rules insert Projects above its branches") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Union}
+    val rule = org.apache.spark.sql.graftbridge.RangeJoinBucketing(spark)
+    val points = Seq((1L, 5.0)).toDF("p_id", "v")
+    val intervals = Seq((1L, 0.0, 10.0)).toDF("iv_id", "lo", "hi")
+    val analyzed = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi")).queryExecution.analyzed
+    spark.conf.set(rule.confKey, "16.0")
+    try {
+      val once = rule(analyzed)
+      def unions(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect { case u: Union => u }.size
+      assert(unions(once) == 1, "first application should produce the branch union")
+      // Simulate ColumnPruning/CombineFilters reshaping inside the same
+      // fixed-point batch: wrap every Filter in a no-op Project, then
+      // re-apply. A top-node-only self-recognition would rewrite the
+      // fallback join again and grow a second Union.
+      val reshaped = once.transformUp { case f: Filter => Project(f.output, f) }
+      assert(unions(rule(reshaped)) == unions(reshaped),
+        "rule re-rewrote its own fallback branch after a plan reshape")
+      // and a plain second application is a no-op too
+      assert(unions(rule(once)) == 1)
+    } finally spark.conf.unset(rule.confKey)
+  }
 }
 
 import graft.SparkSpec
