@@ -67,12 +67,18 @@ object Multimodal {
 
   /** Frame sampling plan for video rows: one output row per sampled
     * frame timestamp (explode of a bounded sequence — output size is
-    * n_frames per asset, never unbounded).
+    * n_frames per asset, never unbounded). A null/unknown duration
+    * still yields the t=0 frame (explode of a null sequence would
+    * silently DROP the whole asset); everyMs must be positive or the
+    * sequence step fails inside every executor task — rejected here.
     */
-  def frameSamplePlan(assets: DataFrame, everyMs: Long): DataFrame =
+  def frameSamplePlan(assets: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     assets.where(col("modality") === "video")
       .withColumn("frame_ts_ms",
-        explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
+        explode(sequence(lit(0L),
+          greatest(coalesce(col("meta.duration_ms"), lit(1L)) - 1, lit(0L)), lit(everyMs))))
+  }
 
   /** Exact content dedup: one hash aggregation on a 256-bit sha2 digest
     * of the blob — bytes never shuffle, only their digest. A 64-bit key
@@ -82,7 +88,12 @@ object Multimodal {
     * re-crawled assets).
     */
   def dedupByContent(assets: DataFrame, idCol: String = "asset_id"): DataFrame =
-    assets.groupBy(sha2(col("bytes"), 256).as("content_hash"))
+    assets
+      // null bytes (failed fetches, metadata-only rows) share no
+      // content — without this filter they'd all hash to the null key
+      // and collapse into one bogus "duplicate" cluster
+      .where(col("bytes").isNotNull)
+      .groupBy(sha2(col("bytes"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
   /** Perceptual near-dup pairs over decoded feature vectors — composes

@@ -36,7 +36,11 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       df.createOrReplaceTempView(src.name)
       loaded += src.name -> df
     }
-    loaded.toMap
+    // VectorMap preserves insertion order at ANY size — a plain .toMap
+    // switches to hash order above 4 entries, and `run()` takes
+    // `.values.head` as the initial target: a 5-source pipeline would
+    // silently fold its steps over an arbitrary source.
+    scala.collection.immutable.VectorMap(loaded.toSeq: _*)
   }
 
   /** Run all steps; returns the final target DataFrame (lazy). */
@@ -83,21 +87,35 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
     case Validate(columns, tableRules, logPath) =>
       val specs = columns.filter(_.constraints.nonEmpty)
         .map(c => ColumnConstraints(c.name, c.constraints))
-      val res = Validator.validate(df, spec.name, specs)
-      logPath.foreach(p =>
-        res.failureLog.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(p))
-      // Warn failures also append to the catalog validation-log table
-      // when the pipeline declares one (writer.py:21-22; table created
-      // by Ddl.create with the failureLog's exact schema).
-      spec.validationLogTable.filter(_ => res.failureLog.schema.nonEmpty).foreach(t =>
-        res.failureLog.write.insertInto(t))
-      Validator.enforce(res)
-      tableRules.foreach { tr =>
-        val bad = Validator.checkTable(res.valid, tr)
-        if (bad.limit(1).count() > 0)
-          throw new graft.quality.ValidationException(s"table rule ${tr.name} failed")
-      }
-      res.valid
+      // The step runs up to four EAGER actions (two log writes, the
+      // enforce count, the table-rule probe) before `valid` flows on to
+      // the sink — each would re-execute the whole upstream pipeline.
+      // Persist the step input for the duration of the eager actions
+      // (first action fills the cache, the rest reuse it), release
+      // before returning: the sink's later scan recomputes once from
+      // source, for 2 upstream passes total instead of ~5.
+      val actions = 1 /* enforce */ + tableRules.size +
+        logPath.size + spec.validationLogTable.size
+      val input =
+        if (actions > 1) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      val res = Validator.validate(input, spec.name, specs)
+      try {
+        logPath.foreach(p =>
+          res.failureLog.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(p))
+        // Warn failures also append to the catalog validation-log table
+        // when the pipeline declares one (writer.py:21-22; table created
+        // by Ddl.create with the failureLog's exact schema).
+        spec.validationLogTable.filter(_ => res.failureLog.schema.nonEmpty).foreach(t =>
+          res.failureLog.write.insertInto(t))
+        Validator.enforce(res)
+        tableRules.foreach { tr =>
+          val bad = Validator.checkTable(res.valid, tr)
+          if (bad.limit(1).count() > 0)
+            throw new graft.quality.ValidationException(s"table rule ${tr.name} failed")
+        }
+      } finally if (actions > 1) input.unpersist(false)
+      res.valid // lazy — recomputes from source at the sink's action
   }
 }
 

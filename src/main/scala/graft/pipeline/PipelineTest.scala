@@ -38,6 +38,15 @@ object PipelineTest {
   def runTestMode(spark: org.apache.spark.sql.SparkSession, spec: PipelineSpec): Unit = {
     val ts = spec.test.getOrElse(throw new IllegalArgumentException(
       s"pipeline ${spec.name}: no test: section in the spec"))
+    // The fixture can only re-point a FILE primary; silently leaving a
+    // table/sql primary in place would run the "test" against live
+    // data with the fixture ignored.
+    spec.sources.headOption match {
+      case Some(_: FileSource) => ()
+      case other => throw new IllegalArgumentException(
+        s"pipeline ${spec.name}: test mode requires a file primary source, " +
+          s"got ${other.map(_.getClass.getSimpleName).getOrElse("none")}")
+    }
     val primary = spec.sources.headOption.map(_.name)
     val fixtured = spec.copy(sources = spec.sources.map {
       case f: FileSource if primary.contains(f.name) => f.copy(path = ts.sourcePath)

@@ -139,18 +139,37 @@ object Writer {
         kept.unionByName(withCreated, allowMissingColumns = true)
     }
 
-  /** Full-path rewrite via tmp dir + rename: parquet has no ACID, so
-    * read-modify-write must land elsewhere then swap.
+  /** Full-path rewrite via tmp dir + swap: parquet has no ACID, so
+    * read-modify-write must land elsewhere then swap. The old dataset
+    * is renamed ASIDE (not deleted) until the new one is in place, and
+    * every Hadoop `rename` — which reports most failures via its
+    * boolean, not an exception — is CHECKED: an unchecked
+    * delete-then-rename would destroy the base data and return
+    * normally when the rename fails, with the output orphaned in the
+    * tmp dir. On rename failure the old data is restored. (A lakehouse
+    * format replaces this whole dance with an atomic commit.)
     */
   private def rewrite(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     val p = new Path(sink.path)
     val tmp = new Path(sink.path + "__tmp")
+    val bak = new Path(sink.path + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustRename(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed; data left at $from")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
     val w = df.write.format(sink.format).mode(SaveMode.Overwrite)
     (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
       .save(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+    val hadBase = fs.exists(p)
+    if (hadBase) mustRename(p, bak)
+    try mustRename(tmp, p)
+    catch {
+      case e: Throwable =>
+        if (hadBase && !fs.exists(p)) fs.rename(bak, p) // restore
+        throw e
+    }
+    if (hadBase) fs.delete(bak, true)
   }
 }
 

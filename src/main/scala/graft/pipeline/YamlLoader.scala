@@ -127,7 +127,12 @@ object YamlLoader {
         val y = new org.yaml.snakeyaml.Yaml()
         val modelMap = y.load[JMap[String, Object]](model)
         val stepsMap = y.load[JMap[String, Object]](st)
-        modelMap.merge("steps", stepsMap.getOrDefault("steps", new java.util.ArrayList[Object]()),
+        // A bare `steps:` key (all steps commented out) maps to null —
+        // getOrDefault returns the mapped null and Map.merge rejects
+        // null values with an NPE, so normalize to an empty list first.
+        val stepList = Option(stepsMap.get("steps"))
+          .getOrElse(new java.util.ArrayList[Object]())
+        modelMap.merge("steps", stepList,
           (a, b) => { val l = new java.util.ArrayList[Object](a.asInstanceOf[JList[Object]]);
             l.addAll(b.asInstanceOf[JList[Object]]); l })
         y.dump(modelMap)
@@ -255,9 +260,16 @@ object YamlLoader {
     * simplified to the forms the reference examples use).
     */
   private[pipeline] def parseRule(rule: String): Rule = {
+    // Strip one layer of EITHER quote style — splitRules honors single
+    // quotes too, and leaving them on (e.g. pattern:'^a$') would embed
+    // literal apostrophes in the regex so nothing ever matches.
+    def unquote(s: String): String =
+      if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+        s.substring(1, s.length - 1)
+      else s
     val (name, param) = rule.split(":", 2) match {
       case Array(n) => (n.trim, "")
-      case Array(n, p) => (n.trim, p.trim.stripPrefix("\"").stripSuffix("\""))
+      case Array(n, p) => (n.trim, unquote(p.trim))
     }
     def nums = param.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toDouble)
     name match {

@@ -33,8 +33,18 @@ object EventStreams {
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
-  final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int)
-  final case class SessionState(seq: Int, lastSec: Long)
+  /** `session_seq` counts sessions WITHIN one state lifetime — after an
+    * event-time timeout evicts an idle user's state the counter
+    * restarts, so it is not unique across long gaps. `session_start_sec`
+    * (epoch seconds of the session's first event) is the STABLE session
+    * key: `(user_id, session_start_sec)` identifies a session across
+    * evictions, and is what downstream aggregation should group on.
+    * (The batch equivalent `Relational.sessionize` sees all history at
+    * once and its seq never restarts — keying on the start time makes
+    * both outputs join-compatible.)
+    */
+  final case class SessionAssignment(user_id: Long, event_id: Long, session_seq: Int, session_start_sec: Long)
+  final case class SessionState(seq: Int, lastSec: Long, startSec: Long)
 
   /** Streaming corpus intake — the curation gate as a stream: quality
     * (token bounds) + language allow-list are one codegen'd projection
@@ -103,6 +113,9 @@ object EventStreams {
       .withWatermark("then_ts", watermark)
     first.join(follow,
         col("user_id") === col("__u") &&
+          // identity guard: with firstType == thenType every event
+          // would otherwise pair with itself (then_ts == first_ts)
+          col("first_id") =!= col("then_id") &&
           col("then_ts") >= col("first_ts") &&
           col("then_ts") <= col("first_ts") + expr(s"INTERVAL $within"))
       .drop("__u")
@@ -126,13 +139,13 @@ object EventStreams {
         case (user, evs, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, Long.MinValue))
             val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
               val sec = e.ts.getTime / 1000
               st = if (st.lastSec == Long.MinValue || sec - st.lastSec > gapSeconds)
-                SessionState(st.seq + 1, sec)
-              else SessionState(st.seq, sec)
-              SessionAssignment(user, e.event_id, st.seq)
+                SessionState(st.seq + 1, sec, sec)
+              else SessionState(st.seq, sec, st.startSec)
+              SessionAssignment(user, e.event_id, st.seq, st.startSec)
             }
             state.update(st)
             // Evict once the watermark passes the session-close horizon.
