@@ -351,6 +351,44 @@ class YamlLoaderSuite extends SparkSpec {
     assert(e.getMessage.contains("sql step requires"))
   }
 
+  test("five-source pipeline: the FIRST source stays the initial target (order preserved)") {
+    // regression: .toMap over 4+ entries switches to hash order and
+    // run() would fold steps over an arbitrary source
+    val dir = java.nio.file.Files.createTempDirectory("graft_5src")
+    val names = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    names.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.writeString(dir.resolve(s"$n.csv"), s"id,src\n$i,$n\n")
+    }
+    val spec = PipelineSpec("five_src",
+      names.map(n => FileSource(n, dir.resolve(s"$n.csv").toString, "csv",
+        Map("header" -> "true"))),
+      Nil)
+    val out = Pipeline(spark, spec).run().collect()
+    assert(out.length == 1 && out(0).getAs[String]("src") == "alpha",
+      s"initial target must be the first declared source, got ${out.toSeq}")
+  }
+
+  test("single-quoted rule params parse like double-quoted ones") {
+    assert(YamlLoader.parseRule("pattern:'^a.*$'") == Pattern("^a.*$"))
+    assert(YamlLoader.parseRule("pattern:\"^a.*$\"") == Pattern("^a.*$"))
+  }
+
+  test("steps.yml with a bare steps: key falls back to the model's steps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_barestep")
+    java.nio.file.Files.writeString(dir.resolve("model.yml"),
+      """pipeline_name: bare
+        |sources:
+        |  - name: s
+        |    type: file
+        |steps:
+        |  - type: filter
+        |    params: { where: "1 = 1" }
+        |""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("steps.yml"), "steps:\n")
+    val spec = YamlLoader.loadDirectory(dir.toString)
+    assert(spec.steps.exists(_.isInstanceOf[Filter])) // no NPE, model steps kept
+  }
+
   test("cli --input dynamic path mirrors the reference's _read_file semantics") {
     def src(path: String) = PipelineSpec("p",
       Seq(FileSource("s", path, "csv")), Nil)

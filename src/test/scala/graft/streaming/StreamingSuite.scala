@@ -125,6 +125,23 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-type funnel does not self-pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 0),
+      EventStreams.Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 0)) // repeat within 30m
+    val q = EventStreams.followedWithin(mem.toDF(), "purchase", "purchase")
+      .writeStream.format("memory").queryName("repeat_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("repeat_out").collect()
+        .map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("then_id"))).toSet
+      assert(got == Set((1L, 2L)), s"self-pairs must be excluded, got $got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: planted dups pair across micro-batches, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -220,6 +237,12 @@ class MultimodalSuite extends SparkSpec {
     assert(out.length == 10) // 11 assets, one shared blob
     val dupRow = out.find(_.getAs[Long]("dup_count") == 2L).get
     assert(dupRow.getAs[Long]("keeper_id") == 3L)
+    // null-bytes assets share no content: they must not cluster
+    val withNulls = a.unionByName(
+      a.limit(3).withColumn("asset_id", col("asset_id") + 200)
+        .withColumn("bytes", lit(null).cast("binary")))
+    assert(Multimodal.dedupByContent(withNulls).collect()
+      .forall(_.getAs[Long]("dup_count") == 1L))
   }
 
   test("feature near-dup flags byte-identical assets via the decode path") {
