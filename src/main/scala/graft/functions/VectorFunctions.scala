@@ -53,4 +53,12 @@ object VectorFunctions {
   def shingleSet(text: Column, shingleK: Int): Column =
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.ShingleSet(ColumnBridge.expression(text), shingleK))
+
+  /** collect_list capped at limit+1 elements per group — the bounded
+    * bucket-member collector; see graftbridge.BoundedCollectList.
+    */
+  def boundedCollectList(c: Column, limit: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.BoundedCollectList(ColumnBridge.expression(c), limit)
+        .toAggregateExpression())
 }

@@ -153,20 +153,22 @@ object Dedup {
     * No self-join: each bucket's member ids are collected once and a
     * double explode emits the in-bucket combinations, so the heavy
     * stream is aggregated a single time and only 8-byte ids shuffle.
-    * Skew guard runs BEFORE the collect: bucket sizes come from a tiny
-    * groupBy-count (16-byte rows, map-side combined) whose oversized
-    * keys are broadcast anti-joined away — a degenerate bucket (e.g.
-    * the empty document) never materializes a giant array in an
-    * aggregation buffer, which matters at 100 TB where one hot bucket
-    * can hold millions of members.
+    * Skew guard is built INTO the collect: the native
+    * `bounded_collect_list` aggregate keeps at most maxBucket+1
+    * elements per bucket, so a degenerate bucket (e.g. the empty
+    * document, a boilerplate template shared by millions of docs)
+    * never materializes a giant array in an aggregation buffer — it
+    * surfaces capped and the size filter drops it wholesale. One pass,
+    * O(maxBucket) memory per bucket; same output as pre-counting
+    * bucket sizes and anti-joining the oversized keys away, without
+    * that second pass over the banded stream.
     */
   def bucketPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
     val keys = bucketCols.map(col)
-    val oversized = banded.groupBy(keys: _*).count()
-      .where(col("count") > maxBucket).drop("count")
-    banded.join(broadcast(oversized), bucketCols, "left_anti")
-      .groupBy(keys: _*).agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) >= 2)
+    banded
+      .groupBy(keys: _*)
+      .agg(graft.functions.VectorFunctions.boundedCollectList(col(idCol), maxBucket).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -250,13 +252,8 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // Pairs via the shared guarded generator: the skew pre-count
-    // re-scans `banded`, which derives from the PERSISTED signature
-    // table, so the extra pass is a cheap projection — and a
-    // degenerate bucket (millions of identical boilerplate docs) is
-    // anti-joined away BEFORE collect_list ever builds its array,
-    // instead of materializing a multi-million-element aggregation
-    // buffer that a post-hoc size filter would only discard.
+    // Pairs via the shared guarded generator — one pass over `banded`,
+    // degenerate buckets capped inside the bounded-collect aggregate.
     val pairs = bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
 
     val verified = pairs
@@ -290,11 +287,6 @@ object Dedup {
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = bandRows(numHashes, bands)
-    // The skew pre-count in bucketPairs re-executes this banded
-    // projection once (signatures are not persisted here — the single
-    // downstream consumer exact-verifies anyway): one extra
-    // shuffle-free projection pass buys the guarantee that a
-    // degenerate bucket never materializes its member array.
     val banded = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -520,9 +512,8 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Shared guarded pair generation (skew pre-count re-scans `banded`,
-    // a cheap projection over the persisted simhash table); 8-byte
-    // simhashes re-join after pair dedup.
+    // Shared guarded pair generation (bounded collect, one pass);
+    // 8-byte simhashes re-join after pair dedup.
     val verified = bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
       .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))

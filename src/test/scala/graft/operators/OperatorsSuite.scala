@@ -16,6 +16,22 @@ class DedupSuite extends SparkSpec {
     assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("dup_count") == 2L)
   }
 
+  test("bounded collect: small groups complete, oversized groups surface capped") {
+    import graft.functions.VectorFunctions.boundedCollectList
+    // group 1: 3 members; group 2: 50 members (over the limit of 10)
+    val rows = (1 to 3).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong))
+    val df = rows.toDF("bucket", "id")
+    val got = df.groupBy("bucket").agg(boundedCollectList(col("id"), 10).as("ids"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getSeq[Long](1)).toMap
+    assert(got(1L).sorted == Seq(1L, 2L, 3L)) // under the cap: complete
+    assert(got(2L).length == 11) // capped at limit+1 — the drop signal
+    // bucketPairs built on it matches the naive unguarded pair set for
+    // in-cap buckets and drops the oversized bucket wholesale
+    val pairs = Dedup.bucketPairs(df, Seq("bucket"), "id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("minhash LSH finds the planted near-dup pairs") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.8).collect()
     assert(pairs.length >= 10, s"expected >=10 near-dup pairs, got ${pairs.length}")
