@@ -64,6 +64,10 @@ object GraftFunctions {
     "string_split" -> { args =>
       require(args.length == 2, "string_split(s, sep)")
       org.apache.spark.sql.catalyst.expressions.StringSplit(args(0), args(1), Literal(-1))
+    },
+    "bounded_collect_list" -> { args =>
+      require(args.length == 2, "bounded_collect_list(expr, limit)")
+      BoundedCollectList(args(0), intLit(args(1), "limit")).toAggregateExpression()
     })
 
   private def info(name: String): ExpressionInfo =

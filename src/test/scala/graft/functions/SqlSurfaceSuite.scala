@@ -105,6 +105,14 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(r.getLong(1) == c.getLong(1))
     assert(math.abs(r.getDouble(2) - 7.0) < 1e-9) // 0.5 + 0.5 + 6
     assert(r.getString(3) == "world")
+    // the bounded-collect aggregate is on the SQL surface too
+    val bc = spark.sql(
+      """SELECT k, bounded_collect_list(v, 2) AS ids FROM VALUES
+        |  (1, 10), (1, 11), (2, 20), (2, 21), (2, 22), (2, 23) AS t(k, v)
+        |GROUP BY k""".stripMargin).collect()
+      .map(row => row.getInt(0) -> row.getSeq[Int](1)).toMap
+    assert(bc(1).sorted == Seq(10, 11)) // under cap: complete
+    assert(bc(2).length == 3)           // capped at limit+1
   }
 
   test("GraftExtensions injects the functions into a fresh session") {
