@@ -433,12 +433,48 @@ object Dedup {
     * one row per paired doc) and their BLOCKS released each round via
     * [[releaseCheckpoint]] (Dataset.unpersist is a no-op on checkpoint
     * blocks); convergence is detected with a limit(1) existence probe,
-    * not a full count.
+    * not a full count. Below `localMaxPairs` the components resolve in
+    * a driver-side union-find instead — identical output, one job
+    * instead of rounds (see the inline note).
     */
-  def nearDupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupGroups(pairs: DataFrame, maxIters: Int = 20,
+                    localMaxPairs: Long = 500000L): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-adaptive: a verified near-dup pair set is LSH-bounded and
+    // usually orders of magnitude smaller than the corpus; below
+    // `localMaxPairs` (≤ ~16 MB of ids — the same driver-payload class
+    // as the IVF centroids) a driver-side union-find resolves the
+    // components in one job instead of ~3 jobs × O(diameter) rounds of
+    // label propagation. Identical output (GroundTruthSuite asserts
+    // equality with naive union-find); the iterative path below
+    // remains the scale route and kicks in automatically past the
+    // threshold.
+    val nEdges = edges.count() // materializes the persisted edge list
+    if (nEdges / 2 <= localMaxPairs) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val members = scala.collection.mutable.HashSet.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("id_a", "id_b").collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        members += a; members += b
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root, so every component's label is its minimal
+        // id — the hash-to-min invariant of the distributed path
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val rowsOut = members.toSeq.map(id => (id, find(id)))
+      edges.unpersist(false)
+      import pairs.sparkSession.implicits._
+      return rowsOut.toDF("doc_id", "group_id").localCheckpoint(true)
+    }
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

@@ -132,6 +132,36 @@ class GroundTruthSuite extends SparkSpec {
     assert(brute.nonEmpty, "corpus should plant at least one simhash-near pair")
   }
 
+  test("nearDupGroups distributed path equals the local union-find path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    val local = asMap(Dedup.nearDupGroups(pairs)) // under the threshold
+    val dist = asMap(Dedup.nearDupGroups(pairs, localMaxPairs = 0L)) // force label propagation
+    assert(local == dist)
+    assert(local(3L) == 1L && local(5L) == 1L && local(11L) == 10L && local(22L) == 20L)
+  }
+
+  test("degenerate hot bucket: identical docs cap out instead of exploding pairs") {
+    import spark.implicits._
+    // 200 byte-identical docs + 2 genuine near-dups; maxBucket=50 caps
+    // the identical-doc bucket (its members are exact dups — the
+    // documented pipeline handles those in Dedup.exact BEFORE LSH), so
+    // pair volume stays tiny and the run completes instantly instead
+    // of emitting ~20k pairs from one bucket.
+    val boiler = (0 until 200).map(i => (i.toLong, "identical boilerplate template text body"))
+    val real = Seq((500L, "a genuinely unique document about rivers and dams flowing"),
+      (501L, "a genuinely unique document about rivers and dams flowing on"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.8, maxBucket = 50).collect()
+    val ids = pairs.flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!ids.exists(_ < 200L), "capped boilerplate bucket must emit no pairs")
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 500L && r.getAs[Long]("id_b") == 501L),
+      "genuine near-dup pair must survive the cap")
+  }
+
   test("nearDupGroups equals naive union-find components on the brute pair set") {
     val pairs = brutePairs(0.8).toSeq
     // naive union-find
