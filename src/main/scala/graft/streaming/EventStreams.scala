@@ -94,6 +94,48 @@ object EventStreams {
       }
       .start()
 
+  /** Cross-run exact dedup against a durable fingerprint store — the
+    * piece `curateDocs`' watermark-bounded dedup cannot cover: a page
+    * re-crawled MONTHS later is outside any affordable watermark
+    * horizon, so its fingerprint must live in storage, not in stream
+    * state. Each micro-batch (1) drops rows whose fingerprint already
+    * exists in the store via a LEFT ANTI join (fingerprints are 8-byte
+    * ids — at scale the store is a bucketed table and the anti-join is
+    * exchange-free), (2) dedups within the batch keeping the smallest
+    * id, and (3) appends the survivors' fingerprints. A replayed batch
+    * whose previous run COMPLETED is a no-op (its fingerprints are in
+    * the store). The out-append runs before the store-append, so a
+    * crash between the two can duplicate that batch's docs on replay —
+    * the no-data-loss side of a trade plain parquet cannot avoid with
+    * two sinks; on a lakehouse both appends share one transaction.
+    */
+  def dedupAgainstStore(docs: DataFrame, storePath: String, outPath: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ta = graft.operators.TextAnalysis
+    docs.withColumn("fp", ta.fingerprint(col("text")))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store = new org.apache.hadoop.fs.Path(storePath)
+        val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val known: DataFrame =
+          if (fs.exists(store)) spark.read.parquet(storePath)
+          else spark.range(0).select(col("id").as("fp"))
+        val fresh = batch
+          .join(known.select(col("fp")), Seq("fp"), "left_anti")
+          .groupBy(col("fp"))
+          .agg(min_by(struct(batch.columns.map(col): _*), col("doc_id")).as("__r"))
+          .select(col("__r.*"))
+          .localCheckpoint(true) // the store append must not re-read what the out append wrote
+        fresh.drop("fp").write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        fresh.select(col("fp")).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+        graft.operators.Dedup.releaseCheckpoint(fresh)
+      }
+      .start()
+  }
+
   /** Stream-stream interval join — funnel detection: for each
     * `firstType` event, the same user's `thenType` events within
     * `within` afterwards. Both sides carry watermarks and the join

@@ -186,6 +186,20 @@ class DdlSuite extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("catalog-table dynamic partition overwrite replaces only touched partitions") {
+    val t = "ddl_dynpart_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING, part STRING) USING parquet PARTITIONED BY (part)")
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      Writer.write(spark, rows.toDF("id", "v", "part"),
+        SinkSpec(path = "", mode = OverwritePartition, table = Some(t)))
+    write(Seq((1L, "a", "p1"), (2L, "b", "p2")))
+    write(Seq((3L, "c", "p2"))) // only p2 replaced; p1 survives
+    val got = spark.table(t).collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part"))).toSet
+    assert(got == Set((1L, "p1"), (3L, "p2")), s"got $got")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val (ta, tb) = ("bk_orders", "bk_cust")
     spark.sql(s"DROP TABLE IF EXISTS $ta"); spark.sql(s"DROP TABLE IF EXISTS $tb")

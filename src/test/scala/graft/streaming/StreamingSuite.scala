@@ -105,6 +105,31 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup against a durable fingerprint store spans query restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fp_store").toString
+    val text = "a sufficiently long body of document text for fingerprinting"
+    def run(data: Seq[(Long, String, java.sql.Timestamp)], ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData(data: _*)
+      val q = EventStreams.dedupAgainstStore(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        s"$dir/store", s"$dir/out", s"$dir/$ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: doc 1 + an in-batch duplicate (keep min id)
+    run(Seq((1L, text, ts("2024-01-01 10:00:00")),
+      (2L, text, ts("2024-01-01 10:00:01")),
+      (3L, text + " distinct", ts("2024-01-01 10:00:02"))), "ck1")
+    // run 2 (NEW query, new checkpoint — far outside any watermark):
+    // the re-crawl of doc 1's text must be dropped by the store
+    run(Seq((9L, text, ts("2024-06-01 10:00:00")),
+      (10L, text + " brand new", ts("2024-06-01 10:00:01"))), "ck2")
+    val ids = spark.read.parquet(s"$dir/out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 3L, 10L), s"expected cross-run dedup, got $ids")
+  }
+
   test("stream-stream interval join: funnel pairs within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
