@@ -21,9 +21,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def cell(v):
     # Floats get a type-marking suffix so an int64 Spark column never
     # hash-matches a float64 oracle column (DuckDB sum() is HUGEINT →
-    # pandas float64; %.6g alone made 1 and 1.0 collide in round 1).
+    # pandas float64; a bare str() made 1 and 1.0 collide in round 1).
+    # FULL precision (%.17g): the driver hashes full values, and the
+    # round-4 verdict showed %.6g masked last-cent diffs in 6-figure
+    # averages — the dev gate said green while the driver said red.
     if isinstance(v, float):
-        return f"{v:.6g}f"
+        return f"{v:.17g}f"
     return str(v)
 
 def df_hash(df: pd.DataFrame) -> str:

@@ -299,6 +299,12 @@ object RelationalQueries {
     // cast truncates while DuckDB's rounds): integer lerp endpoints make
     // the interpolation bit-identical across engines, where raw-double
     // inputs flipped a round(…,2) cell on a .005 boundary.
+    // avg/sd are ALSO derived from the exact integer sums (sum(c),
+    // sum(c*c), n): raw-double avg/stddev aggregates are accumulation-
+    // order dependent across engines, so the last cent of a 6-figure
+    // average flips between Spark and DuckDB. Integer sums are exact;
+    // both engines cast them to DOUBLE at the same points and then run
+    // the identical IEEE expression, so the hashes agree bit-for-bit.
     "q43_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
@@ -307,11 +313,28 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(expr("percentile(price_cents, 0.5) / 100.0"), 2).as("p50"),
-          round(expr("percentile(price_cents, 0.9) / 100.0"), 2).as("p90"),
-          round(expr("percentile(price_cents, 0.99) / 100.0"), 2).as("p99"),
-          round(avg("o_totalprice"), 2).as("avg_price"),
-          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"))
+          // Interpolated percentile recovered as an EXACT integer in
+          // cents*100 (frac at p=.5/.9/.99 is a multiple of 0.01 cents;
+          // FP interpolation error ~1e-10 << 0.5, so round() recovers
+          // the exact value), then HALF_UP to cents in integer math.
+          // round(double, 2) on a half-cent (x.225) flips between
+          // engines — this formulation never rounds an ambiguous double.
+          expr("cast(round(percentile(price_cents, 0.5) * 100) as bigint)").as("p50_raw"),
+          expr("cast(round(percentile(price_cents, 0.9) * 100) as bigint)").as("p90_raw"),
+          expr("cast(round(percentile(price_cents, 0.99) * 100) as bigint)").as("p99_raw"),
+          sum(col("price_cents")).as("sum_c"),
+          sum(col("price_cents").cast("decimal(38,0)") * col("price_cents")).as("sumsq_c"))
+        .select(
+          col("n_name"), col("n_orders"),
+          expr("((p50_raw + 50) div 100) / 100.0D").as("p50"),
+          expr("((p90_raw + 50) div 100) / 100.0D").as("p90"),
+          expr("((p99_raw + 50) div 100) / 100.0D").as("p99"),
+          expr("round(cast(sum_c as double) / cast(n_orders as double) / 100.0D, 2)")
+            .as("avg_price"),
+          expr("""round(sqrt((cast(sumsq_c as double)
+                 - cast(sum_c as double) * cast(sum_c as double) / cast(n_orders as double))
+                 / cast(n_orders - 1 as double)) / 100.0D, 2)""")
+            .as("sd_price"))
         .orderBy("n_name")),
 
     // q48: correlation / covariance aggregates per group — one keyed
@@ -626,15 +649,19 @@ object RelationalQueries {
         |ORDER BY e.event_id""".stripMargin,
 
     "q43_percentiles" ->
-      """SELECT n_name, count(*) AS n_orders,
-        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0, 2) AS p50,
-        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100.0, 2) AS p90,
-        |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) / 100.0, 2) AS p99,
-        |  round(avg(o_totalprice), 2) AS avg_price,
-        |  round(stddev_samp(o_totalprice), 2) AS sd_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH j AS (
+        |  SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, count(*) AS n_orders,
+        |  ((CAST(round(quantile_cont(c, 0.5) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p50,
+        |  ((CAST(round(quantile_cont(c, 0.9) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p90,
+        |  ((CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p99,
+        |  round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 2) AS avg_price,
+        |  round(sqrt((CAST(sum(c * c) AS DOUBLE)
+        |    - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / CAST(count(*) - 1 AS DOUBLE)) / 100.0, 2) AS sd_price
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,
