@@ -25,6 +25,28 @@ object Bench {
       graft.operators.TextAnalysis.repetitionSignals(d.limit(64)).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head
+      catch { case _: Throwable => "-1" }
+    // Cleanup runs OUTSIDE the timed window and BLOCKS until the blocks
+    // are gone: with async unpersist inside the window (rounds ≤4), a
+    // heavy query's checkpoint-removal I/O landed in whichever window
+    // came next — q02 "regressed" 4× in round 4 purely because the map
+    // order put it after the two heaviest operators. The trailing no-op
+    // job is a barrier for stragglers on the cleaner queue, and the
+    // forced GC pays each query's allocation debt in ITS OWN gap — not
+    // as a major-GC pause inside the next query's measurement (the
+    // residual q02 inflation after the two allocation-heavy dedup
+    // queries).
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.range(2L).count()
+      System.gc()
+    }
+
+    val wallStart = System.currentTimeMillis()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // min of two runs: single-run times on a shared VM carry ±2×
       // scheduler/GC noise; the min is the steady-state compute cost
@@ -36,25 +58,31 @@ object Bench {
         // record the exception class instead of silently timing it.
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        // Measurements must be independent: drop anything a query
-        // cached so no run pays (or profits from) another's memory.
-        // clearCache misses localCheckpoint blocks (they back
-        // LogicalRDDs, not cacheManager entries) — operator RESULTS are
-        // checkpointed, so sweep the persistent-RDD map too.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        ((System.nanoTime() - t0) / 1e9, err)
+        val sec = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        (sec, err)
       }
+      val startMs = System.currentTimeMillis()
+      val load0 = loadavg()
       val (s1, e1) = once()
       val (s2, e2) = if (e1.isEmpty) once() else (s1, e1)
-      (name, math.min(s1, s2), e1.orElse(e2))
+      val endMs = System.currentTimeMillis()
+      (name, math.min(s1, s2), e1.orElse(e2),
+        s"""{"start_ms":$startMs,"end_ms":$endMs,"run1":$s1,"run2":$s2,"load1m":$load0}""")
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    // Per-query wall-clock timestamps, both raw runs, and a 1-minute
+    // loadavg sample: a contaminated driver-VM run (round 4's 89 s
+    // phantom) is then self-evident from the artifact — inflated
+    // queries show high ambient load and BOTH runs slow, where a code
+    // regression shows normal load and reproducible per-run cost.
+    val timing = results.map { case (k, _, _, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"timing":$timing}"""
     // The bare line goes to stdout (build.sbt routes forked output
     // straight through, so no sbt "[info] " prefix) AND to a file.
     println(json)

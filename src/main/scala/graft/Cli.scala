@@ -35,7 +35,7 @@ object Cli {
       spark.sparkContext.setLogLevel("WARN")
       try {
         val spec0 = loadSpec(path, opt(rest, "--project"), opt(rest, "--profile"))
-        val spec = if (action == "run") applyInput(spec0, opt(rest, "--input")) else spec0
+        val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
     case _ =>
@@ -44,13 +44,20 @@ object Cli {
       sys.exit(2)
   }
 
-  /** `--input <file>`: drune's dynamic path (core/pipeline.py:119-141).
+  /** `--input <file>` / `--input name=<file>`: drune's dynamic paths
+    * (core/pipeline.py:119-141, src_paths keyed by source NAME).
     * Mirrors `_read_file` exactly: an extension-less source path is a
     * DIRECTORY — the runtime file joins onto it, and its absence is a
     * configuration error (not a downstream read failure); an
     * extension-bearing source path is a FILE — a runtime input REPLACES
     * the file name (`source_path.with_name(dynamic_path)`), no input
     * leaves it untouched. An absolute input always wins outright.
+    *
+    * The bare form applies ONLY to the pipeline's FIRST file source
+    * (the primary landing-zone source); a static secondary file source
+    * (e.g. a /ref/countries.csv lookup) keeps its configured path.
+    * Additional sources are addressed by name, mirroring drune's
+    * src_paths dict: `--input orders=2024-06-01.csv`.
     *
     * Note the fail-fast applies to CLI `run` only and is deliberate
     * reference parity (drune raises ConfigurationError there too):
@@ -60,10 +67,21 @@ object Cli {
     * `type: table` source or the library API, where no dynamic-path
     * contract applies.
     */
-  private[graft] def applyInput(spec: PipelineSpec, input: Option[String]): PipelineSpec = {
+  private[graft] def applyInput(spec: PipelineSpec, inputs: Seq[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
+    val (named, bare) = inputs.partition(_.contains("="))
+    require(bare.size <= 1,
+      "at most one bare --input; address further sources by name (--input name=path)")
+    val byName = named.map { s =>
+      val Array(k, v) = s.split("=", 2); k -> v
+    }.toMap
+    val unknown = byName.keySet -- spec.sources.collect { case f: pipeline.FileSource => f.name }
+    require(unknown.isEmpty, s"--input names no file source: ${unknown.mkString(", ")}")
+    val primary = spec.sources.collectFirst { case f: pipeline.FileSource => f.name }
     spec.copy(sources = spec.sources.map {
       case fs: pipeline.FileSource =>
+        val input = byName.get(fs.name)
+          .orElse(if (primary.contains(fs.name)) bare.headOption else None)
         input match {
           case None if fs.path.isEmpty || isDirectoryPath(fs.path) =>
             throw new IllegalArgumentException(
@@ -123,4 +141,7 @@ object Cli {
 
   private def opt(args: List[String], flag: String): Option[String] =
     args.sliding(2).collectFirst { case List(`flag`, v) => v }
+
+  private def optAll(args: List[String], flag: String): Seq[String] =
+    args.sliding(2).collect { case List(`flag`, v) => v }.toSeq
 }

@@ -61,4 +61,13 @@ object VectorFunctions {
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.BoundedCollectList(ColumnBridge.expression(c), limit)
         .toAggregateExpression())
+
+  /** Space-saving heavy-hitters summary: at most `capacity` counters
+    * per group, one pass, `array<struct<item,cnt,err>>`; see
+    * graftbridge.SpaceSavingTopK.
+    */
+  def spaceSavingTopK(c: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.SpaceSavingTopK(ColumnBridge.expression(c), capacity)
+        .toAggregateExpression())
 }

@@ -153,15 +153,28 @@ object Relational {
       intervals: DataFrame,
       loCol: String,
       hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      maxBuckets: Long = 10000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Span guard, mirroring RangeJoinBucketing: an inverted interval
+    // (lo > hi) can match nothing — two-arg sequence() would otherwise
+    // generate a DESCENDING bucket range for it — and one wide outlier
+    // interval would explode to span+1 rows (or fail on Spark's array
+    // limit). Wide intervals take a nested-loop fallback branch instead;
+    // each interval lands in exactly one branch (NULL bounds in neither),
+    // so the union stays duplicate-free.
+    val span = floor(col(hiCol) / bucketWidth).cast("long") -
+      floor(col(loCol) / bucketWidth).cast("long")
+    val rangeOk = col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
-    val iv = intervals.withColumn("__bucket",
+    val iv = intervals.where(span >= 0 && span <= maxBuckets).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor(col(hiCol) / bucketWidth).cast("long"))))
-    p.join(iv, Seq("__bucket"))
-      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+    val bucketed = p.join(iv, Seq("__bucket"))
+      .where(rangeOk)
       .drop("__bucket")
+    val fallback = points.join(intervals.where(span > maxBuckets), rangeOk)
+    bucketed.unionByName(fallback)
   }
 
   /** Latest record per key — the read-side of merge/upsert semantics

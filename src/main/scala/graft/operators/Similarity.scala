@@ -218,9 +218,49 @@ object Similarity {
     if (spark.catalog.tableExists(table)) centroidsFromDF(spark.table(table))
     else {
       val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
-      centroidsToDF(spark, cents).write.saveAsTable(table)
-      cents
+      // Two jobs can race past the tableExists check; whoever loses the
+      // saveAsTable falls back to READING the winner's centroids — both
+      // callers then quantize with the same stored quantizer (mixing
+      // two trainings' centroids across jobs would corrupt list
+      // assignments).
+      try {
+        centroidsToDF(spark, cents).write.saveAsTable(table)
+        cents
+      } catch {
+        case e: Throwable if spark.catalog.tableExists(table) =>
+          centroidsFromDF(spark.table(table))
+      }
     }
+
+  /** Path-backed quantizer persistence — the form that survives a JVM
+    * restart WITHOUT a persistent metastore: the parquet directory is
+    * the durable at-ingest artifact, so a FRESH session (in-memory
+    * catalog, where a previous JVM's saveAsTable is not resolvable as a
+    * table) still runs ANN queries with zero Lloyd passes. Same
+    * concurrent-writer contract as [[ivfCentroidsTable]]: the loser of
+    * the write race reads the winner's centroids.
+    */
+  def ivfCentroidsPath(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read() = centroidsFromDF(spark.read.parquet(path))
+    if (fs.exists(p)) read()
+    else {
+      val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+      try {
+        centroidsToDF(spark, cents).write
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(path)
+        cents
+      } catch { case e: Throwable if fs.exists(p) => read() }
+    }
+  }
 
   /** IVF-Flat approximate NN — the classic scale path next to
     * hyperplane LSH ([[annLsh]]): partition the corpus into `nlist`

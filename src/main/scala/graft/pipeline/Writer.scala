@@ -71,6 +71,12 @@ object Writer {
   }
 
   private def writePath(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    // Crash recovery FIRST — before any readBase builds a plan over the
+    // (possibly missing) target: a previous rewrite() that died between
+    // its two swap renames left the only copy of the base at __old with
+    // the target path missing. Restore it; a leftover __old is garbage
+    // only when the target also exists.
+    recoverSwap(spark, sink)
     def basic(mode: SaveMode, data: DataFrame): Unit = {
       val w = data.write.format(sink.format).mode(mode)
       (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
@@ -116,6 +122,17 @@ object Writer {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Restore `__old` -> target if a crashed rewrite() left the base
+    * renamed aside with the target missing (see writePath).
+    */
+  private def recoverSwap(spark: SparkSession, sink: SinkSpec): Unit = {
+    val p = new Path(sink.path)
+    val bak = new Path(sink.path + "__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bak) && !fs.exists(p))
+      require(fs.rename(bak, p), s"crash recovery: rename $bak -> $p failed")
+  }
+
   private def readBase(spark: SparkSession, sink: SinkSpec): Option[DataFrame] = {
     val p = new Path(sink.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,6 +174,9 @@ object Writer {
     def mustRename(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"rename $from -> $to failed; data left at $from")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // Stale __old from a COMPLETED prior swap (target exists — the
+    // missing-target case was restored by recoverSwap before the merge
+    // plan was built).
     if (fs.exists(bak)) fs.delete(bak, true)
     val w = df.write.format(sink.format).mode(SaveMode.Overwrite)
     (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)

@@ -445,7 +445,23 @@ object RelationalQueries {
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
-    }))
+    }),
+
+    // q60: approximate top-k frequency via the native space-saving
+    // aggregate (graftbridge.SpaceSavingTopK) — bounded O(capacity)
+    // state per group however many distinct values stream through; the
+    // 100 TB shape for "most frequent URLs/tokens/types". Capacity 256
+    // exceeds p_type's distinct count, so every count is EXACT and the
+    // DuckDB count(*) oracle hash-matches; the approximate regime's
+    // bounds are pinned in SpaceSavingSuite. Ranking stays declarative
+    // (explode + total order + limit) so tie-breaks match the oracle.
+    "q60_topk_sketch" -> ((s, dir) =>
+      t(s, dir, "part")
+        .agg(graft.functions.VectorFunctions.spaceSavingTopK(col("p_type"), 256).as("sketch"))
+        .select(explode(col("sketch")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+        .limit(10)))
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
@@ -662,6 +678,10 @@ object RelationalQueries {
         |    - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    / CAST(count(*) - 1 AS DOUBLE)) / 100.0, 2) AS sd_price
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q60_topk_sketch" ->
+      """SELECT p_type AS item, count(*) AS cnt FROM part
+        |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,

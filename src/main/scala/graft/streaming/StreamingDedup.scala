@@ -79,6 +79,10 @@ object StreamingDedup {
     val rowsPerBand = numHashes / bands
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val wmMs = watermarkMs(watermark)
+    // A zero-delay watermark ("0 seconds") would make the timeout below
+    // equal the current watermark, which Spark rejects inside the state
+    // function (timeout must be strictly beyond the watermark).
+    require(wmMs > 0, s"watermark delay must be positive, got '$watermark'")
 
     val banded = docs
       .withWatermark("ts", watermark)

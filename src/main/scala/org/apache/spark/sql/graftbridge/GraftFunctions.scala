@@ -68,6 +68,10 @@ object GraftFunctions {
     "bounded_collect_list" -> { args =>
       require(args.length == 2, "bounded_collect_list(expr, limit)")
       BoundedCollectList(args(0), intLit(args(1), "limit")).toAggregateExpression()
+    },
+    "space_saving_topk" -> { args =>
+      require(args.length == 2, "space_saving_topk(expr, capacity)")
+      SpaceSavingTopK(args(0), intLit(args(1), "capacity")).toAggregateExpression()
     })
 
   private def info(name: String): ExpressionInfo =

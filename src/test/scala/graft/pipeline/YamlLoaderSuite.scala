@@ -394,21 +394,42 @@ class YamlLoaderSuite extends SparkSpec {
       Seq(FileSource("s", path, "csv")), Nil)
     def pathOf(s: PipelineSpec) = s.sources.head.asInstanceOf[FileSource].path
     // file path + input: the input REPLACES the file name (with_name)
-    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Some("2024-06-01.csv")))
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Seq("2024-06-01.csv")))
       == "/data/landing/2024-06-01.csv")
     // directory path + input: the input joins on
-    assert(pathOf(graft.Cli.applyInput(src("/data/landing"), Some("f.csv")))
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing"), Seq("f.csv")))
       == "/data/landing/f.csv")
     // absolute input wins outright
-    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Some("/tmp/x.csv")))
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Seq("/tmp/x.csv")))
       == "/tmp/x.csv")
     // file path, no input: untouched
-    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), None))
+    assert(pathOf(graft.Cli.applyInput(src("/data/landing/customers.csv"), Nil))
       == "/data/landing/customers.csv")
     // directory (or empty) path with no input: fail fast, clear error
-    val e = intercept[IllegalArgumentException] { graft.Cli.applyInput(src("/data/landing"), None) }
+    val e = intercept[IllegalArgumentException] { graft.Cli.applyInput(src("/data/landing"), Nil) }
     assert(e.getMessage.contains("points to a directory"))
-    intercept[IllegalArgumentException] { graft.Cli.applyInput(src(""), None) }
+    intercept[IllegalArgumentException] { graft.Cli.applyInput(src(""), Nil) }
+  }
+
+  test("cli --input targets the primary source only; named form addresses the rest") {
+    val spec = PipelineSpec("p", Seq(
+      FileSource("orders", "/landing/orders.csv", "csv"),
+      FileSource("countries", "/ref/countries.csv", "csv")), Nil)
+    def paths(s: PipelineSpec) = s.sources.collect { case f: FileSource => f.name -> f.path }.toMap
+    // bare input rewrites ONLY the first file source; the static
+    // secondary lookup keeps its configured path (round-4 advice: every
+    // extension-bearing source was being re-pointed).
+    val bare = paths(graft.Cli.applyInput(spec, Seq("2024-06-01.csv")))
+    assert(bare("orders") == "/landing/2024-06-01.csv")
+    assert(bare("countries") == "/ref/countries.csv")
+    // named form (drune src_paths dict): address any source by name
+    val named = paths(graft.Cli.applyInput(spec, Seq("a.csv", "countries=eu.csv")))
+    assert(named("orders") == "/landing/a.csv")
+    assert(named("countries") == "/ref/eu.csv")
+    // unknown name fails fast
+    intercept[IllegalArgumentException] {
+      graft.Cli.applyInput(spec, Seq("nope=x.csv"))
+    }
   }
 
   test("the shipped reference customer example loads and runs unmodified") {
