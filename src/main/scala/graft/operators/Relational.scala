@@ -82,6 +82,23 @@ object Relational {
     }.select((leftCols ++ payload.map(col)): _*)
   }
 
+  /** As-of join on the NATIVE physical operator
+    * (graftbridge.AsOfJoinPlan/Exec/Strategy): same semantics and
+    * contract as [[asOf]], but each side shuffles once on its own key
+    * (elidable for pre-clustered inputs, where the union formulation
+    * always re-shuffles both sides together), no tag/null-padded union
+    * rows, and O(1) state per partition instead of a window frame.
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftbridge.AsOfJoinPlan.of(
+      left, right, key, leftTime, rightTime, payload)
+
   /** Sessionization: a new session starts when the gap to the previous
     * event for the same user exceeds `gapSeconds`. Window lag + running
     * sum — one shuffle+sort per user key.

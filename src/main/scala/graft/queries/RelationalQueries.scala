@@ -275,13 +275,15 @@ object RelationalQueries {
           round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")),
 
-    // q23: as-of join — most recent order ≤ event time per user; ONE
-    // shuffle via union+window, no range join.
+    // q23: as-of join — most recent order ≤ event time per user, on
+    // the NATIVE physical operator (one shuffle per side, single merge
+    // pass, no range join; AsOfJoinSuite pins equality with the
+    // union+window formulation).
     "q23_asof_join" -> ((s, dir) => {
       val orders = Relational.latestByKey(
           t(s, dir, "orders"), Seq("o_custkey", "o_orderdate"), "o_orderkey", Nil)
         .withColumnRenamed("o_custkey", "user_id")
-      Relational.asOf(t(s, dir, "events"), orders,
+      Relational.asOfNative(t(s, dir, "events"), orders,
           key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
           payload = Seq("o_orderkey", "o_totalprice"))
         .select(col("event_id"), col("user_id"), col("o_orderkey"),

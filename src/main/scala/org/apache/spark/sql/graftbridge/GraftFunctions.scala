@@ -99,5 +99,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), b))
     }
     ext.injectOptimizerRule(session => RangeJoinBucketing(session))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -98,4 +98,20 @@ class PlanAuditSuite extends SparkSpec {
     assert(count(p, "Exchange") <= 2, p)
     assert(count(p, "Window") <= 2, p) // rank family + ntile may split frames
   }
+
+  test("q23: as-of join plans as the native exec — no union/window/nested loop") {
+    val p = plan("q23_asof_join")
+    assert(count(p, "AsOfJoin") == 1, p)
+    assert(!p.contains("BroadcastNestedLoop") && count(p, "Union") == 0, p)
+    // right-side dedup window (latestByKey) is expected; the JOIN
+    // itself must not add one — so at most that single Window node
+    assert(count(p, "Window") <= 1, p)
+  }
+
+  test("q60: the space-saving sketch aggregates partially map-side (object hash path)") {
+    val p = plan("q60_topk_sketch")
+    assert(p.toLowerCase.contains("space_saving_topk"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_space_saving_topk"), p)
+  }
 }
