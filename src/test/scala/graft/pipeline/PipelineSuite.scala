@@ -113,6 +113,29 @@ class PipelineSuite extends SparkSpec {
     assert(out.where("id = 1").select("name").as[String].head() == "ann2")
   }
 
+  test("writer: crash recovery restores __old into the merge when the target is missing") {
+    // Simulate a rewrite() that died between its two swap renames: the
+    // only copy of the base sits at <path>__old, the target is gone.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wr").toString + "/t"
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("hash_key", sha2(col("id").cast("string"), 256))
+        .withColumn("updated_at", current_timestamp())
+    Writer.write(spark, keyed(customers), SinkSpec(dir, mode = Overwrite))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__old"))) // the crash state
+    // Next run's upsert must first restore __old -> target (NOT delete
+    // it), then merge against the restored base.
+    val src = keyed(Seq((1L, "ann2", "BUILDING", 99.0), (9L, "new", "AUTO", 1.0))
+      .toDF("id", "name", "segment", "balance"))
+    Writer.write(spark, src, SinkSpec(dir, mode = MergeUpsert))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 4) // 3 surviving base rows + corrected id1 + new id9
+    assert(out.where("id = 1").select("name").as[String].head() == "ann2")
+    assert(out.where("id = 2").count() == 1) // base history survived the crash
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+  }
+
   test("writer: scd2 expires changed rows and versions them") {
     val t0 = lit("2024-01-01").cast("timestamp")
     val t1 = lit("2024-02-01").cast("timestamp")
