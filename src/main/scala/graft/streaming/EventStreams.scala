@@ -32,6 +32,27 @@ object EventStreams {
   def dedupByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Trending values per tumbling window — the space-saving sketch
+    * (graftbridge.SpaceSavingTopK, q60's aggregate) as a STREAMING
+    * aggregate: per-window state stays O(capacity) counters no matter
+    * how many distinct values stream through, where an exact
+    * `groupBy(window, value).count()` would hold one state row per
+    * distinct value per window. Watermark bounds window state as
+    * usual; the sketch bounds the per-window width.
+    */
+  def windowedTopK(events: DataFrame,
+                   valueCol: String = "event_type",
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours",
+                   capacity: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.VectorFunctions.spaceSavingTopK(col(valueCol), capacity).as("sketch"))
+      .select(col("w.start").as("window_start"), explode(col("sketch")).as("e"))
+      .select(col("window_start"), col("e.item").as("item"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"))
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
   /** `session_seq` counts sessions WITHIN one state lifetime — after an
     * event-time timeout evicts an idle user's state the counter

@@ -236,6 +236,14 @@ class SimilaritySuite extends SparkSpec {
       assert(reloaded.map(_._1) == saved.map(_._1))
       assert(reloaded.zip(saved).forall { case ((_, a), (_, b)) => a.sameElements(b) })
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    // Path persistence (the form that survives a fresh JVM without a
+    // metastore — q44's at-ingest artifact): first call trains + writes;
+    // the second LOADS (empty corpus proves no training pass).
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/cents"
+    val saved2 = Similarity.ivfCentroidsPath(spark, p, df, nlist = 4)
+    val reloaded2 = Similarity.ivfCentroidsPath(spark, p, df.limit(0), nlist = 4)
+    assert(reloaded2.map(_._1) == saved2.map(_._1))
+    assert(reloaded2.zip(saved2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
 }
 

@@ -28,6 +28,31 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k: sketch counts per window, exact in small-domain regime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStreams.Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 1.0),
+      EventStreams.Ev(3, ts("2024-01-01 10:15:00"), 3, "view", 1.0),
+      EventStreams.Ev(4, ts("2024-01-01 11:05:00"), 1, "view", 1.0),
+      EventStreams.Ev(5, ts("2024-01-01 11:06:00"), 1, "view", 1.0))
+    val q = EventStreams.windowedTopK(mem.toDF(), capacity = 8)
+      .writeStream.format("memory").queryName("topk_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("topk_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[String]("item")) -> r.getAs[Long]("cnt")).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "click")) == 2)
+      assert(rows(("2024-01-01 10:00:00.0", "view")) == 1)
+      assert(rows(("2024-01-01 11:00:00.0", "view")) == 2)
+      // distinct <= capacity: every count exact, so err is absent risk
+      assert(spark.table("topk_out").where("err != 0").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -211,6 +236,20 @@ class StreamingSuite extends SparkSpec {
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows <= 3L * bands, s"state not bounded: $stateRows rows")
     } finally q.stop()
+  }
+
+  test("streaming near-dup rejects a zero watermark delay up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // a 0-delay watermark would make the event-time timeout equal the
+    // watermark inside the state function — Spark throws there, deep in
+    // a task; the operator must fail at construction instead
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.nearDupPairs(
+        mem.toDF().toDF("doc_id", "text", "ts"), watermark = "0 seconds")
+    }
+    assert(e.getMessage.contains("watermark"))
   }
 
   test("stateful sessionize assigns increasing session ids per user") {
