@@ -158,17 +158,27 @@ object AsOfJoinPlan {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
     val lPlan = left.queryExecution.analyzed
-    // Re-alias the right side so a self-join (same table both sides)
-    // cannot alias expression ids across the two children.
-    val rAliased = right.select(right.columns.map(c =>
-      org.apache.spark.sql.functions.col(c).as(c)): _*)
-    val rPlan = rAliased.queryExecution.analyzed
 
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
 
+    // The merge comparator runs ONE ordering over both sides' (key,
+    // time) projections, so the right side's key/time are cast to the
+    // left's types when they differ (e.g. TIMESTAMP vs TIMESTAMP_NTZ —
+    // the union+window formulation coerces the same way through its
+    // union). The re-select also re-aliases every column so a
+    // self-join (same table both sides) cannot share expression ids
+    // across the two children.
+    val (lkT, ltT) = (resolve(lPlan, key).dataType, resolve(lPlan, leftTime).dataType)
+    val rAliased = right.select(right.columns.map { c =>
+      val base = org.apache.spark.sql.functions.col(c)
+      if (c.equalsIgnoreCase(key)) base.cast(lkT).as(c)
+      else if (c.equalsIgnoreCase(rightTime)) base.cast(ltT).as(c)
+      else base.as(c)
+    }: _*)
+    val rPlan = rAliased.queryExecution.analyzed
     org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       resolve(lPlan, key), resolve(rPlan, key),

@@ -77,10 +77,12 @@ case class SpaceSavingTopK(
     new GenericArrayData(rows)
   }
 
-  private lazy val entryProj =
-    UnsafeProjection.create(Array[DataType](child.dataType, LongType, LongType))
-
   override def serialize(buffer: Buffer): Array[Byte] = {
+    // fresh projection per call — UnsafeProjection is not thread-safe
+    // and this expression instance is shared across tasks in local
+    // mode (same pattern as Spark's own Collect.serialize)
+    val entryProj =
+      UnsafeProjection.create(Array[DataType](child.dataType, LongType, LongType))
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)

@@ -100,6 +100,38 @@ class PropertySuite extends SparkSpec {
     assert(Relational.intervalJoin(noPts, "v", noIvs, "lo", "hi", 10.0).count() == 0)
   }
 
+  test("property: native as-of == union+window as-of on random inputs") {
+    // rights unique per (key, time) — both formulations' documented
+    // contract (ties among equal (k,t) right rows are otherwise
+    // formulation-dependent)
+    val lefts = Gen.listOfN(15, Gen.zip(smallKeys, Gen.chooseNum(0L, 40L)))
+    val rights = Gen.listOfN(10, Gen.zip(smallKeys, Gen.chooseNum(0L, 40L)))
+    check(Prop.forAll(lefts, rights) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.distinct.map { case (k, t) => (k, t, s"p$k-$t") }
+        .toDF("k", "rt", "p")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "p").collect()
+          .map(x => (x.getLong(0), Option(x.getString(1)))).sorted.toSeq
+      rows(Relational.asOfNative(left, right, "k", "t", "rt", Seq("p"))) ==
+        rows(Relational.asOf(left, right, "k", "t", "rt", Seq("p")))
+    })
+  }
+
+  test("property: space-saving sketch == exact counts when distinct <= capacity") {
+    val values = Gen.listOfN(60, Gen.chooseNum(0, 11))
+    check(Prop.forAll(values) { vs =>
+      val df = vs.map(_.toString).toDF("v").repartition(3)
+      val got = df.agg(graft.functions.VectorFunctions.spaceSavingTopK(col("v"), 16).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.cnt"), col("e.err"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = vs.groupBy(_.toString).view.mapValues(_.size.toLong).toMap
+      got.view.mapValues(_._1).toMap == want && got.values.forall(_._2 == 0L)
+    })
+  }
+
   test("null/degenerate text rows drop cleanly from the text operators") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
       (4L, "spark data engine spark")).toDF("doc_id", "text")
