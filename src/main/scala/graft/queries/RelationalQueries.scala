@@ -453,6 +453,22 @@ object RelationalQueries {
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     }),
 
+    // q61: the SAME as-of semantics as q23, planned through the NATIVE
+    // AsOfJoinExec (merge-scan physical operator) — the driver's oracle
+    // hash-checks the custom exec end-to-end, where q23 pins the
+    // union+window formulation. Two implementations, one oracle.
+    "q61_asof_native" -> ((s, dir) => {
+      val orders = Relational.latestByKey(
+          t(s, dir, "orders"), Seq("o_custkey", "o_orderdate"), "o_orderkey", Nil)
+        .withColumnRenamed("o_custkey", "user_id")
+      Relational.asOfNative(t(s, dir, "events"), orders,
+          key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("matched_price"))
+        .orderBy("event_id")
+    }),
+
     // q60: approximate top-k frequency via the native space-saving
     // aggregate (graftbridge.SpaceSavingTopK) — bounded O(capacity)
     // state per group however many distinct values stream through; the
@@ -688,6 +704,17 @@ object RelationalQueries {
     "q60_topk_sketch" ->
       """SELECT p_type AS item, count(*) AS cnt FROM part
         |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q61_asof_native" ->
+      """WITH ord AS (
+        |  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, round(o.o_totalprice, 2) AS matched_price
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,
