@@ -184,13 +184,18 @@ object RelationalQueries {
         .orderBy("column_name")),
 
     // q15: upsert (merge) semantics without IO: corrections win on key.
+    // Prices flow through exact integer cents (the +5% adjustment as
+    // (cents*105+50) div 100, integer HALF_UP): round(x*1.05, 2) on
+    // raw doubles flips a half-cent boundary cell between engines at
+    // sf0.1 — same failure class the q43 fix closed.
     "q15_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
       val base = orders.select(col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice"), 2).as("price"), lit("base").as("src"))
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
       val fixes = orders.where(col("o_custkey") % 10 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice") * 1.05, 2).as("price"), lit("fix").as("src"))
+          expr("((__cents * 105 + 50) div 100) / 100.0D").as("price"), lit("fix").as("src"))
       Relational.upsert(base, fixes, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
@@ -610,8 +615,9 @@ object RelationalQueries {
 
     "q15_merge_upsert" ->
       """SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_custkey % 10 = 0 THEN round(o_totalprice * 1.05, 2)
-        |       ELSE round(o_totalprice, 2) END AS price,
+        |  CASE WHEN o_custkey % 10 = 0
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
         |  CASE WHEN o_custkey % 10 = 0 THEN 'fix' ELSE 'base' END AS src
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
