@@ -69,7 +69,17 @@ object Cli {
     */
   private[graft] def applyInput(spec: PipelineSpec, inputs: Seq[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
-    val (named, bare) = inputs.partition(_.contains("="))
+    // An '=' marks the named form ONLY when the prefix is a plausible
+    // source name (no path separators or dots): a bare path with a
+    // Hive-partition segment (/landing/ds=2024-06-01/f.csv) must stay
+    // a bare input, while a typo'd name (--input ordes=x.csv) must
+    // fail fast below instead of silently becoming a path.
+    def namedKey(s: String): Option[String] = {
+      val i = s.indexOf('=')
+      if (i <= 0) None
+      else Some(s.substring(0, i)).filterNot(_.exists(c => c == '/' || c == '\\' || c == '.'))
+    }
+    val (named, bare) = inputs.partition(namedKey(_).isDefined)
     require(bare.size <= 1,
       "at most one bare --input; address further sources by name (--input name=path)")
     val byName = named.map { s =>

@@ -190,8 +190,14 @@ object Relational {
     val bucketed = p.join(iv, Seq("__bucket"))
       .where(rangeOk)
       .drop("__bucket")
-    val fallback = points.join(intervals.where(span > maxBuckets), rangeOk)
-    bucketed.unionByName(fallback)
+    // Probe the (small) interval side before planning the fallback:
+    // without the probe the union's nested-loop branch re-scans the
+    // ENTIRE points side even when no wide interval exists — AQE's
+    // empty-relation propagation hides that locally, but the operator
+    // must not depend on it. One cheap action against intervals only.
+    val wide = intervals.where(span > maxBuckets)
+    if (wide.isEmpty) bucketed
+    else bucketed.unionByName(points.join(wide, rangeOk))
   }
 
   /** Latest record per key — the read-side of merge/upsert semantics

@@ -222,13 +222,16 @@ object Similarity {
       // saveAsTable falls back to READING the winner's centroids — both
       // callers then quantize with the same stored quantizer (mixing
       // two trainings' centroids across jobs would corrupt list
-      // assignments).
+      // assignments). The fallback read must itself succeed — a write
+      // that died AFTER creating the table metadata must surface ITS
+      // error, not a confusing read failure over partial output.
       try {
         centroidsToDF(spark, cents).write.saveAsTable(table)
         cents
       } catch {
         case e: Throwable if spark.catalog.tableExists(table) =>
-          centroidsFromDF(spark.table(table))
+          try centroidsFromDF(spark.table(table))
+          catch { case _: Throwable => throw e }
       }
     }
 
@@ -250,15 +253,26 @@ object Similarity {
       vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // _SUCCESS distinguishes a COMMITTED artifact (a healthy race
+    // winner) from this writer's own aborted partial output — without
+    // it the catch would swallow the real write error and read back a
+    // half-written directory.
+    def committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     def read() = centroidsFromDF(spark.read.parquet(path))
-    if (fs.exists(p)) read()
+    if (committed) read()
     else {
+      // a directory without _SUCCESS is a crashed writer's leftovers —
+      // clear it so ErrorIfExists doesn't refuse the retrain forever
+      if (fs.exists(p)) fs.delete(p, true)
       val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
       try {
         centroidsToDF(spark, cents).write
           .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(path)
         cents
-      } catch { case e: Throwable if fs.exists(p) => read() }
+      } catch {
+        case e: Throwable if committed =>
+          try read() catch { case _: Throwable => throw e }
+      }
     }
   }
 

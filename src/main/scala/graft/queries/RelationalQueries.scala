@@ -340,7 +340,12 @@ object RelationalQueries {
           expr("((p50_raw + 50) div 100) / 100.0D").as("p50"),
           expr("((p90_raw + 50) div 100) / 100.0D").as("p90"),
           expr("((p99_raw + 50) div 100) / 100.0D").as("p99"),
-          expr("round(cast(sum_c as double) / cast(n_orders as double) / 100.0D, 2)")
+          // avg to the cent in INTEGER HALF_UP too: sum_c/n is a small-
+          // denominator rational, so exact half-cents occur and
+          // round(double,2) flips them between engines. (sd keeps the
+          // double round: a sqrt output's shortest decimal repr landing
+          // exactly on x.xx5 is not a reachable case.)
+          expr("((2 * sum_c + n_orders) div (2 * n_orders)) / 100.0D")
             .as("avg_price"),
           expr("""round(sqrt((cast(sumsq_c as double)
                  - cast(sum_c as double) * cast(sum_c as double) / cast(n_orders as double))
@@ -701,7 +706,7 @@ object RelationalQueries {
         |  ((CAST(round(quantile_cont(c, 0.5) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p50,
         |  ((CAST(round(quantile_cont(c, 0.9) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p90,
         |  ((CAST(round(quantile_cont(c, 0.99) * 100) AS BIGINT) + 50) // 100) / 100.0 AS p99,
-        |  round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 2) AS avg_price,
+        |  ((2 * sum(c) + count(*)) // (2 * count(*))) / 100.0 AS avg_price,
         |  round(sqrt((CAST(sum(c * c) AS DOUBLE)
         |    - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    / CAST(count(*) - 1 AS DOUBLE)) / 100.0, 2) AS sd_price

@@ -137,8 +137,19 @@ object TextQueries {
     // one corpus scan for the nprobe-list search.
     "q44_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val artifact = "spark-warehouse/graft_ivf_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_embeddings_nlist8"
+      // Artifact keyed by the source dataset's (length, mtime)
+      // fingerprint and rooted at the ABSOLUTE warehouse dir:
+      // regenerated test data must invalidate the stored quantizer
+      // (stale centroids would silently degrade recall past the
+      // rows-only gate), and a cwd-relative path would split the
+      // artifact across working directories.
+      val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val sum = fs.getContentSummary(src)
+      val fp = java.lang.Long.toHexString(
+        sum.getLength ^ fs.getFileStatus(src).getModificationTime)
+      val artifact = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_${fp}_nlist8"
       val cents = Similarity.ivfCentroidsPath(s, artifact, emb, nlist = 8, iters = 2)
       Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), cents,
           k = 10, nprobe = 4, idCol = "vec_id", vecCol = "embedding")

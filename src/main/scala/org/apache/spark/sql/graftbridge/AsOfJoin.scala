@@ -157,32 +157,46 @@ object AsOfJoinPlan {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-    val lPlan = left.queryExecution.analyzed
-
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
 
     // The merge comparator runs ONE ordering over both sides' (key,
-    // time) projections, so the right side's key/time are cast to the
-    // left's types when they differ (e.g. TIMESTAMP vs TIMESTAMP_NTZ —
-    // the union+window formulation coerces the same way through its
-    // union). The re-select also re-aliases every column so a
-    // self-join (same table both sides) cannot share expression ids
-    // across the two children.
-    val (lkT, ltT) = (resolve(lPlan, key).dataType, resolve(lPlan, leftTime).dataType)
-    val rAliased = right.select(right.columns.map { c =>
-      val base = org.apache.spark.sql.functions.col(c)
-      if (c.equalsIgnoreCase(key)) base.cast(lkT).as(c)
-      else if (c.equalsIgnoreCase(rightTime)) base.cast(ltT).as(c)
-      else base.as(c)
-    }: _*)
-    val rPlan = rAliased.queryExecution.analyzed
+    // time) projections, so mismatched types coerce to the WIDER type
+    // — the same coercion the union+window formulation gets from its
+    // union (narrowing the right to the left's type would truncate,
+    // e.g. TIMESTAMP right against DATE left, and silently diverge
+    // from asOf). The left's cast columns ride as shadow columns and
+    // are dropped from the final output; the right side is also PRUNED
+    // to (key, time, payload) here — no optimizer rule knows this node,
+    // so unused right columns would otherwise ride its whole
+    // shuffle+sort. The fresh select also re-aliases the right side so
+    // a self-join cannot share expression ids across the two children.
+    import org.apache.spark.sql.functions.col
+    def wider(a: org.apache.spark.sql.types.DataType,
+              b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      if (a == b) a
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of columns have incompatible types: $a vs $b"))
+    val l0 = left.queryExecution.analyzed
+    val r0 = right.queryExecution.analyzed
+    val keyT = wider(resolve(l0, key).dataType, resolve(r0, key).dataType)
+    val timeT = wider(resolve(l0, leftTime).dataType, resolve(r0, rightTime).dataType)
+
+    val lPrepared = left.withColumn("__asof_k", col(key).cast(keyT))
+      .withColumn("__asof_t", col(leftTime).cast(timeT))
+    val rPruned = right.select(
+      (Seq(col(key).cast(keyT).as(key), col(rightTime).cast(timeT).as(rightTime)) ++
+        payload.map(c => col(c).as(c))): _*)
+    val lPlan = lPrepared.queryExecution.analyzed
+    val rPlan = rPruned.queryExecution.analyzed
     org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      resolve(lPlan, key), resolve(rPlan, key),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      resolve(lPlan, "__asof_k"), resolve(rPlan, key),
+      resolve(lPlan, "__asof_t"), resolve(rPlan, rightTime),
       payload.map(resolve(rPlan, _))))
+      .drop("__asof_k", "__asof_t")
   }
 }

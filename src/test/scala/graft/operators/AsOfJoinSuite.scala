@@ -53,6 +53,26 @@ class AsOfJoinSuite extends SparkSpec {
     assert(got.toSeq == Seq((5L, Some("p5")), (6L, None)))
   }
 
+  test("mismatched time types widen like the union formulation (DATE left vs TIMESTAMP right)") {
+    // left DATE 2024-01-02 vs right TIMESTAMP same-day 10:00 — widening
+    // to timestamp makes the left midnight PRECEDE the right row (no
+    // match); narrowing the right to DATE would truncate and falsely
+    // match. Native must agree with the union+window formulation.
+    val left = Seq((1L, "2024-01-02"), (2L, "2024-01-03"))
+      .toDF("lid", "d").select(col("lid"), col("d").cast("date").as("t"))
+    val right = Seq(("2024-01-02 10:00:00", "p1"))
+      .toDF("rt", "p").select(col("rt").cast("timestamp").as("t2"), col("p"))
+      .withColumn("k", lit(1)).select(col("k"), col("t2"), col("p"))
+    val leftK = left.withColumn("k", lit(1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "p").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val native = rows(AsOfJoinPlan.of(leftK, right, "k", "t", "t2", Seq("p")))
+    val window = rows(Relational.asOf(leftK, right, "k", "t", "t2", Seq("p")))
+    assert(native == window)
+    assert(native == Seq((1L, None), (2L, Some("p1"))))
+  }
+
   test("self-join: same table on both sides resolves without expr-id conflicts") {
     val df = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)).toDF("k", "t", "v")
     val got = AsOfJoinPlan.of(df, df, "k", "t", "t", Seq("v"))

@@ -430,6 +430,11 @@ class YamlLoaderSuite extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.Cli.applyInput(spec, Seq("nope=x.csv"))
     }
+    // a bare path with a Hive-partition '=' segment is NOT the named
+    // form — it must apply verbatim to the primary source
+    val hive = paths(graft.Cli.applyInput(spec, Seq("/lz/ds=2024-06-01/orders.csv")))
+    assert(hive("orders") == "/lz/ds=2024-06-01/orders.csv")
+    assert(hive("countries") == "/ref/countries.csv")
   }
 
   test("the shipped reference customer example loads and runs unmodified") {
