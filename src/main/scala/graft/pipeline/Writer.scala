@@ -106,6 +106,20 @@ object Writer {
     }
   }
 
+  /** Z-order clustered path write: repartition + sort by the Morton
+    * interleave of `cols`' rank buckets, so every output file covers a
+    * compact hyper-rectangle of the clustered key space and parquet
+    * min/max stats prune files for filters on ANY clustered column
+    * (see [[graft.operators.ZOrder]]). The multi-dimensional
+    * complement to [[writeBucketed]]: bucketing kills the JOIN
+    * shuffle, z-ordering kills the SCAN for selective multi-column
+    * filters.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String], numFiles: Int,
+                    format: String = "parquet"): Unit =
+    graft.operators.ZOrder.cluster(df, cols, numFiles)
+      .write.format(format).mode(SaveMode.Overwrite).save(path)
+
   /** Bucketed catalog-table write: pay the shuffle ONCE at write time —
     * hash-partition into `numBuckets` files by `keys` (sorted within
     * buckets) — and every later equi-join or aggregation on those keys

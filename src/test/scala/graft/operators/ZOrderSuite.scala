@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Z-order clustering: the layout must make per-file min/max ranges
+  * narrow on EVERY clustered dimension (that is the whole point — the
+  * parquet footer stats then prune files for filters on any of them),
+  * and the clustered write must lose no rows.
+  */
+class ZOrderSuite extends SparkSpec {
+
+  /** Mean per-file (max-min) range of `c`, as a fraction of the global
+    * range — ~1.0 for a random layout, small for a clustered one.
+    */
+  private def meanFileRangeFrac(dir: String, c: String, globalRange: Double): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    val fracs = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        (max(col(c)) - min(col(c))).cast("double")).head()
+      (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / globalRange
+    }
+    fracs.sum / fracs.length
+  }
+
+  test("z-ordered layout narrows per-file ranges on BOTH dimensions; no rows lost") {
+    import spark.implicits._
+    // two independent uniform dims — the worst case for single-column
+    // sorting (sorting by x leaves y's per-file range at ~100%)
+    val n = 20000L
+    val df = spark.range(n).select(
+      (xxhash64(col("id")) % 10000).as("x"),
+      (xxhash64(col("id"), lit(7)) % 10000).as("y"))
+      .select(abs(col("x")).as("x"), abs(col("y")).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val zDir = dir + "/z"
+    val plainDir = dir + "/plain"
+    val files = 16
+    graft.pipeline.Writer.writeZOrdered(df, zDir, Seq("x", "y"), files)
+    df.repartition(files).write.parquet(plainDir) // round-robin baseline
+
+    assert(spark.read.parquet(zDir).count() == n)
+    val zx = meanFileRangeFrac(zDir, "x", 10000.0)
+    val zy = meanFileRangeFrac(zDir, "y", 10000.0)
+    val px = meanFileRangeFrac(plainDir, "x", 10000.0)
+    val py = meanFileRangeFrac(plainDir, "y", 10000.0)
+    // random layout: every file spans ~the full range on both dims
+    assert(px > 0.9 && py > 0.9, s"baseline not random: $px / $py")
+    // z-order: 16 files over a 2-D grid → each file spans ~1/4 of each
+    // dimension (sqrt(16)); allow slack for quantile error + boundaries
+    assert(zx < 0.55, s"x per-file range frac $zx not clustered")
+    assert(zy < 0.55, s"y per-file range frac $zy not clustered")
+    // a filter-shaped probe: files whose x-range misses the predicate
+    // could be skipped — count how many files even CONTAIN the slice
+    val touching = new java.io.File(zDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("x").cast("double"), max("x").cast("double")).head()
+        r.getDouble(0) <= 1000.0 && r.getDouble(1) >= 0.0
+      }
+    assert(touching <= files / 2, s"$touching of $files files touch x<=1000 — no skipping possible")
+  }
+
+  test("zvalue is a pure projection (no shuffle, no UDF) once cuts are computed") {
+    import spark.implicits._
+    val df = spark.range(1000L).select(col("id").as("x"), (col("id") * 3 % 997).as("y"))
+    val z = df.withColumn("z", ZOrder.zvalue(df, Seq("x", "y")))
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(z.select(countDistinct(col("z"))).head().getLong(0) > 100)
+  }
+}
