@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bits per dimension — 2 dims × 16 bits interleave into a 32-bit
-    * Z-value; 3+ dims split the budget (64 total bits available).
+  /** Bits per dimension. 8 bits = 256 rank buckets per dimension —
+    * plenty of grid resolution for any realistic file count (a file
+    * covers ≥ 1/256 of each dimension only beyond 256^nDims files),
+    * while keeping the cut-point array the bucket expression folds
+    * over small (255 literals; 2^16 buckets made the projection and
+    * the quantile pass dominate the whole write).
     */
-  private def bitsPerDim(nDims: Int): Int = math.min(16, 63 / math.max(nDims, 1))
+  private def bitsPerDim(nDims: Int): Int = math.min(8, 63 / math.max(nDims, 1))
 
   /** Rank-bucket expression: value → [0, 2^bits) via the column's
     * approximate quantile cut points (computed by [[zvalue]]).
