@@ -69,15 +69,17 @@ object Cli {
     */
   private[graft] def applyInput(spec: PipelineSpec, inputs: Seq[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
-    // An '=' marks the named form ONLY when the prefix is a plausible
-    // source name (no path separators or dots): a bare path with a
-    // Hive-partition segment (/landing/ds=2024-06-01/f.csv) must stay
-    // a bare input, while a typo'd name (--input ordes=x.csv) must
-    // fail fast below instead of silently becoming a path.
+    // An '=' marks the named form when the prefix is a DECLARED source
+    // name (dotted names included), or failing that a plausible one
+    // (no path separators or dots — catches typos below). A bare path
+    // with a Hive-partition segment (/landing/ds=2024-06-01/f.csv)
+    // stays a bare input.
+    val srcNames = spec.sources.collect { case f: pipeline.FileSource => f.name }.toSet
     def namedKey(s: String): Option[String] = {
       val i = s.indexOf('=')
       if (i <= 0) None
-      else Some(s.substring(0, i)).filterNot(_.exists(c => c == '/' || c == '\\' || c == '.'))
+      else Some(s.substring(0, i)).filter(k =>
+        srcNames(k) || !k.exists(c => c == '/' || c == '\\' || c == '.'))
     }
     val (named, bare) = inputs.partition(namedKey(_).isDefined)
     require(bare.size <= 1,

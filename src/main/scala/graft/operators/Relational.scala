@@ -171,7 +171,8 @@ object Relational {
       loCol: String,
       hiCol: String,
       bucketWidth: Double,
-      maxBuckets: Long = 10000L): DataFrame = {
+      maxBuckets: Long = 10000L,
+      probeWide: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     // Span guard, mirroring RangeJoinBucketing: an inverted interval
     // (lo > hi) can match nothing — two-arg sequence() would otherwise
@@ -194,9 +195,13 @@ object Relational {
     // without the probe the union's nested-loop branch re-scans the
     // ENTIRE points side even when no wide interval exists — AQE's
     // empty-relation propagation hides that locally, but the operator
-    // must not depend on it. One cheap action against intervals only.
+    // must not depend on it. The probe is an EAGER action over the
+    // intervals lineage (run once here, recomputed at execution) —
+    // pass probeWide=false to keep the call fully lazy when the
+    // intervals side is expensive/uncached or snapshot-sensitive and
+    // AQE can be relied on to prune the empty branch.
     val wide = intervals.where(span > maxBuckets)
-    if (wide.isEmpty) bucketed
+    if (probeWide && wide.isEmpty) bucketed
     else bucketed.unionByName(points.join(wide, rangeOk))
   }
 

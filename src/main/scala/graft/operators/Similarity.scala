@@ -253,25 +253,41 @@ object Similarity {
       vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // _SUCCESS distinguishes a COMMITTED artifact (a healthy race
-    // winner) from this writer's own aborted partial output — without
-    // it the catch would swallow the real write error and read back a
-    // half-written directory.
-    def committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    def read() = centroidsFromDF(spark.read.parquet(path))
-    if (committed) read()
-    else {
-      // a directory without _SUCCESS is a crashed writer's leftovers —
-      // clear it so ErrorIfExists doesn't refuse the retrain forever
-      if (fs.exists(p)) fs.delete(p, true)
-      val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    // Artifact integrity = "reads back with exactly nlist centroids":
+    // no _SUCCESS dependence (clusters can disable the marker), and a
+    // crashed writer's partial directory — which can read back a
+    // SUBSET of part-files without erroring — fails the count check.
+    def tryRead(): Option[Seq[(Int, Array[Float])]] =
       try {
-        centroidsToDF(spark, cents).write
-          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(path)
-        cents
-      } catch {
-        case e: Throwable if committed =>
-          try read() catch { case _: Throwable => throw e }
+        val c = centroidsFromDF(spark.read.parquet(path))
+        if (c.length == nlist) Some(c) else None
+      } catch { case _: Throwable => None }
+    tryRead().getOrElse {
+      val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+      // Publish via ATOMIC RENAME of a private tmp dir: concurrent
+      // trainers never write the same directory, so no one can delete
+      // or read another writer's in-flight output; losers adopt the
+      // winner's artifact. A crashed run's garbage at the target (not
+      // readable, blocks the rename) is replaced once, then one more
+      // rename race is tolerated before giving up to a read.
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + "__train_" + java.util.UUID.randomUUID.toString.take(8))
+      centroidsToDF(spark, cents).write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp.toString)
+      // exists-guard: Hadoop rename onto an EXISTING directory nests
+      // the source inside it instead of failing
+      def publish(): Boolean = !fs.exists(p) && fs.rename(tmp, p)
+      if (publish()) cents
+      else tryRead() match {
+        case Some(winner) => fs.delete(tmp, true); winner
+        case None =>
+          fs.delete(p, true) // unreadable garbage from a crashed writer
+          if (publish()) cents
+          else {
+            fs.delete(tmp, true)
+            tryRead().getOrElse(throw new IllegalStateException(
+              s"quantizer artifact at $path is unreadable and could not be replaced"))
+          }
       }
     }
   }

@@ -47,6 +47,27 @@ object ZOrder {
     least(cnt, lit((1 << bits) - 1)).cast("long")
   }
 
+  /** The dimension's numeric ranking expression. Numerics rank
+    * directly; dates/timestamps through their epoch value (range
+    * locality preserved); strings through xxhash64 — lexicographic
+    * locality is NOT preserved, but equal values cluster into the same
+    * files, so footer min/max on the string column still prunes
+    * equality filters. Anything else fails loudly — a silent cast to
+    * null would quietly disable clustering for that dimension.
+    */
+  private def rankExpr(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(df.schema.fieldIndex(c)).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case DateType => col(c).cast("timestamp").cast("double")
+      case _: TimestampType | _: TimestampNTZType => col(c).cast("double")
+      case BooleanType => col(c).cast("int").cast("double")
+      case StringType => xxhash64(col(c)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"cannot z-order on column '$c' of type $other")
+    }
+  }
+
   /** The Z-value column for `cols` over `df`'s value distribution.
     * One `approxQuantile` pass computes the rank grids; the returned
     * expression is a pure codegen'd projection (bit interleave).
@@ -58,11 +79,11 @@ object ZOrder {
     // evenly spaced quantiles; relativeError trades the extra scan cost
     // against grid skew — 1/(4*nCuts) keeps buckets within ~25% of even
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-    val castCols = cols.map(c => col(c).cast("double").as(c))
+    val castCols = cols.map(c => rankExpr(df, c).as(c))
     val cutsPerCol = df.select(castCols: _*).stat
       .approxQuantile(cols.toArray, probs, 1.0 / (4.0 * nCuts))
     val buckets = cols.zip(cutsPerCol).map { case (c, cuts) =>
-      bucketExpr(col(c), cuts.distinct.sorted, bits)
+      bucketExpr(rankExpr(df, c), cuts.distinct.sorted, bits)
     }
     // interleave: bit i of dimension d lands at position i*nDims + d
     val n = cols.length
@@ -77,6 +98,14 @@ object ZOrder {
     * `numFiles` range partitions — ready for a parquet write where
     * every file covers a compact hyper-rectangle of the clustered
     * key space.
+    *
+    * Cost shape: one approxQuantile pass (rank grids), one
+    * repartitionByRange sampling pass (z-value boundaries — sampled,
+    * not a full scan), then the shuffle+write. Contiguous z-ranges
+    * per file are what keep every file a compact hyper-rectangle;
+    * hash-assigning precomputed z-blocks would save the sampling pass
+    * but scatter distant blocks into the same file, widening its
+    * min/max span.
     */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame =
     df.withColumn("__zvalue", zvalue(df, cols))

@@ -344,7 +344,10 @@ object RelationalQueries {
           // denominator rational, so exact half-cents occur and
           // round(double,2) flips them between engines. (sd keeps the
           // double round: a sqrt output's shortest decimal repr landing
-          // exactly on x.xx5 is not a reachable case.)
+          // exactly on x.xx5 is not a reachable case. The integer form
+          // assumes sum_c >= 0 — Spark `div` truncates while DuckDB
+          // `//` floors, so NEGATIVE totals would disagree; prices are
+          // positive by domain.)
           expr("((2 * sum_c + n_orders) div (2 * n_orders)) / 100.0D")
             .as("avg_price"),
           expr("""round(sqrt((cast(sumsq_c as double)

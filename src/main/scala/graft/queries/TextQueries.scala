@@ -148,8 +148,17 @@ object TextQueries {
       val sum = fs.getContentSummary(src)
       val fp = java.lang.Long.toHexString(
         sum.getLength ^ fs.getFileStatus(src).getModificationTime)
-      val artifact = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        "/graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_${fp}_nlist8"
+      val prefix = "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val artifact = s"$wh/${prefix}_${fp}_nlist8"
+      // GC superseded fingerprints: each data regeneration would
+      // otherwise orphan the previous artifact in the warehouse forever
+      val whPath = new org.apache.hadoop.fs.Path(wh)
+      val whFs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (whFs.exists(whPath)) whFs.listStatus(whPath)
+        .filter(st => st.getPath.getName.startsWith(prefix + "_") &&
+          st.getPath.toString != artifact)
+        .foreach(st => whFs.delete(st.getPath, true))
       val cents = Similarity.ivfCentroidsPath(s, artifact, emb, nlist = 8, iters = 2)
       Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), cents,
           k = 10, nprobe = 4, idCol = "vec_id", vecCol = "embedding")

@@ -184,19 +184,31 @@ object AsOfJoinPlan {
     val r0 = right.queryExecution.analyzed
     val keyT = wider(resolve(l0, key).dataType, resolve(r0, key).dataType)
     val timeT = wider(resolve(l0, leftTime).dataType, resolve(r0, rightTime).dataType)
+    val leftNeedsCast = keyT != resolve(l0, key).dataType ||
+      timeT != resolve(l0, leftTime).dataType
 
-    val lPrepared = left.withColumn("__asof_k", col(key).cast(keyT))
-      .withColumn("__asof_t", col(leftTime).cast(timeT))
+    // Shadow cast columns on the left ONLY when widening is actually
+    // needed: the exec declares its output ordering on its key/time
+    // attributes, and dropping shadows would discard that ordering
+    // from the common (type-matched) case where downstream operators
+    // can elide their sorts.
+    val lPrepared =
+      if (leftNeedsCast)
+        left.withColumn("__asof_k", col(key).cast(keyT))
+          .withColumn("__asof_t", col(leftTime).cast(timeT))
+      else left
+    val (lKeyName, lTimeName) =
+      if (leftNeedsCast) ("__asof_k", "__asof_t") else (key, leftTime)
     val rPruned = right.select(
       (Seq(col(key).cast(keyT).as(key), col(rightTime).cast(timeT).as(rightTime)) ++
         payload.map(c => col(c).as(c))): _*)
     val lPlan = lPrepared.queryExecution.analyzed
     val rPlan = rPruned.queryExecution.analyzed
-    org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoinPlan(
+    val joined = org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      resolve(lPlan, "__asof_k"), resolve(rPlan, key),
-      resolve(lPlan, "__asof_t"), resolve(rPlan, rightTime),
+      resolve(lPlan, lKeyName), resolve(rPlan, key),
+      resolve(lPlan, lTimeName), resolve(rPlan, rightTime),
       payload.map(resolve(rPlan, _))))
-      .drop("__asof_k", "__asof_t")
+    if (leftNeedsCast) joined.drop("__asof_k", "__asof_t") else joined
   }
 }
