@@ -80,6 +80,26 @@ class AsOfJoinSuite extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 2.0))
   }
 
+  test("output ordering propagates: a downstream (key,time) window adds no exchange or sort") {
+    // the exec declares clustering on the key and ordering on
+    // (key, time); a window over exactly that shape must reuse both —
+    // this pins the type-matched path keeping the ORIGINAL attributes
+    // (shadow-cast columns would be dropped and lose the ordering)
+    import org.apache.spark.sql.expressions.Window
+    val left = spark.range(2000L).select(col("id").as("k"), (col("id") * 2).as("t"))
+    val right = spark.range(100L).select(col("id").as("k"), col("id").as("rt"),
+      (col("id") * 10).as("v"))
+    val joined = AsOfJoinPlan.of(left, right, "k", "t", "rt", Seq("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("t")))
+    assert(joined.count() == 2000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    val sorts = "Sort ".r.findAllIn(plan).length
+    // the as-of itself costs 2 exchanges + 2 sorts; the window must add NONE
+    assert(exchanges <= 2, s"window added an exchange:\n$plan")
+    assert(sorts <= 2, s"window added a sort:\n$plan")
+  }
+
   test("plan shape: one AsOfJoinExec, two exchanges, no union/window/BNLJ") {
     val left = spark.range(1000L).select(col("id").as("k"), (col("id") * 2).as("t"))
     val right = spark.range(100L).select(col("id").as("k"), col("id").as("rt"),
