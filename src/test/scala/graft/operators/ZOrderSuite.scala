@@ -62,6 +62,27 @@ class ZOrderSuite extends SparkSpec {
     assert(touching <= files / 2, s"$touching of $files files touch x<=1000 — no skipping possible")
   }
 
+  test("non-numeric dimensions: dates rank by epoch, strings by hash, others fail loudly") {
+    import spark.implicits._
+    val df = spark.range(2000L).select(
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 365).cast("int")).as("d"),
+      concat(lit("cat_"), (xxhash64(col("id")) % 50).cast("string")).as("s"),
+      encode(col("id").cast("string"), "utf-8").as("b"))
+    // date + string dimensions build a z-value with real spread
+    val z = df.withColumn("z", ZOrder.zvalue(df, Seq("d", "s")))
+    assert(z.select(countDistinct(col("z"))).head().getLong(0) > 50)
+    // equal strings land in equal buckets: grouping by s, the z-value's
+    // string-dimension bits must be constant per group
+    val nDims = 2
+    val sBits = z.select(col("s"), (col("z")/2).cast("long").mod(2).as("bit1"))
+    // (cheap sanity: no exception and some clustering signal)
+    assert(sBits.groupBy("s").agg(countDistinct("bit1").as("nb"))
+      .where(col("nb") > 1).count() == 0)
+    // unsupported type: loud failure, not a silent constant dimension
+    val e = intercept[IllegalArgumentException] { ZOrder.zvalue(df, Seq("b")) }
+    assert(e.getMessage.contains("cannot z-order"))
+  }
+
   test("zvalue is a pure projection (no shuffle, no UDF) once cuts are computed") {
     import spark.implicits._
     val df = spark.range(1000L).select(col("id").as("x"), (col("id") * 3 % 997).as("y"))
