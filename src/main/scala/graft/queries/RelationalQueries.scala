@@ -482,6 +482,62 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // q62: funnel conversion — view→purchase by the same user within
+    // one hour, grouped by day. Equi-join on user_id (the range test
+    // rides the hash join as a post-filter, never a nested loop);
+    // timestamps truncate to SECONDS on both engines first, erasing
+    // the ns(DuckDB)-vs-µs(Spark) storage difference at the window
+    // boundary.
+    "q62_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"))
+      views.join(buys, views("user_id") === buys("user_id") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(date_format(col("view_ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(views("user_id")).as("converting_users"),
+          count(lit(1)).as("n_conversions"))
+        .orderBy("day")
+    }),
+
+    // q63: cohort retention — users bucketed by first-event day,
+    // counted distinct per (cohort day, activity day). Two keyed
+    // aggregations + one equi-join on user_id; all-integer output.
+    "q63_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.select(col("user_id"), col("day")).distinct()
+        .join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"), col("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_day", "day")
+    }),
+
+    // q64: argmin join — per part, the supplier with the lowest
+    // observed price (TPC-H Q2's min-cost-supplier shape). Min in
+    // integer cents per (part, supplier), then ONE window row_number
+    // with a total tie-break order — deterministic where min_by/
+    // arg_min across engines is not.
+    "q64_argmin_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val best = t(s, dir, "lineitem")
+        .withColumn("cents", expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("cents")).as("min_cents"))
+      val w = Window.partitionBy("l_partkey").orderBy(col("min_cents"), col("l_suppkey"))
+      best.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_partkey"), col("l_suppkey").as("best_supplier"),
+          expr("min_cents / 100.0D").as("min_price"))
+        .orderBy("l_partkey")
+    }),
+
     // q60: approximate top-k frequency via the native space-saving
     // aggregate (graftbridge.SpaceSavingTopK) — bounded O(capacity)
     // state per group however many distinct values stream through; the
@@ -718,6 +774,38 @@ object RelationalQueries {
     "q60_topk_sketch" ->
       """SELECT p_type AS item, count(*) AS cnt FROM part
         |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q62_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts FROM events),
+        |v AS (SELECT user_id, ts AS view_ts FROM ev WHERE event_type = 'view'),
+        |b AS (SELECT user_id, ts AS buy_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT strftime(view_ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT v.user_id) AS converting_users,
+        |  count(*) AS n_conversions
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, day, count(DISTINCT user_id) AS active_users
+        |FROM (SELECT DISTINCT user_id, day FROM ev) JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q64_argmin_join" ->
+      """WITH best AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT l_partkey, l_suppkey, min_cents,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY min_cents, l_suppkey) AS rn
+        |  FROM best)
+        |SELECT l_partkey, l_suppkey AS best_supplier, min_cents / 100.0 AS min_price
+        |FROM ranked WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
 
     "q61_asof_native" ->
       """WITH ord AS (

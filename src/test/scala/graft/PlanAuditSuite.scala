@@ -125,6 +125,13 @@ class PlanAuditSuite extends SparkSpec {
     assert(count(p, "Exchange") <= 3, p) // 2 repartitions + latestByKey window
   }
 
+  test("q62: the funnel's time window rides the user_id hash join, never a nested loop") {
+    val p = plan("q62_funnel")
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q60: the space-saving sketch aggregates partially map-side (object hash path)") {
     val p = plan("q60_topk_sketch")
     assert(p.toLowerCase.contains("space_saving_topk"), p)
