@@ -78,7 +78,15 @@ object Writer {
     // only when the target also exists.
     recoverSwap(spark, sink)
     def basic(mode: SaveMode, data: DataFrame): Unit = {
-      val w = data.write.format(sink.format).mode(mode)
+      // zorder_by clusters the files at write time (see ZOrder):
+      // orthogonal to partitionBy (clusters WITHIN partitions if both
+      // are set, since the partition columns split the directory tree
+      // first and the sort composes under it).
+      val clustered =
+        if (sink.zorderBy.nonEmpty)
+          graft.operators.ZOrder.cluster(data, sink.zorderBy, sink.zorderFiles)
+        else data
+      val w = clustered.write.format(sink.format).mode(mode)
       (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
         .save(sink.path)
     }

@@ -342,7 +342,9 @@ object YamlLoader {
       format = str(m, "format").orElse(d.format).getOrElse("parquet"),
       mode = if (m.contains("scd")) Scd2() else mode,
       partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
-      table = str(m, "table").orElse(str(m, "name")).filter(_ => kind == "table"))
+      table = str(m, "table").orElse(str(m, "name")).filter(_ => kind == "table"),
+      zorderBy = m.get("zorder_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
+      zorderFiles = str(m, "zorder_files").map(_.toInt).getOrElse(64))
   }
 
   /** Test section (pipeline_model.py test + tester.py:18-31). */

@@ -66,7 +66,13 @@ final case class SinkSpec(
     format: String = "parquet",
     mode: WriteMode = Append,
     partitionBy: Seq[String] = Nil,
-    table: Option[String] = None)
+    table: Option[String] = None,
+    // Z-order clustering columns (graft extension; YAML `zorder_by`):
+    // files cover compact hyper-rectangles of these columns' key space
+    // so min/max stats prune scans on any of them. Append/Overwrite
+    // path sinks only; `zorder_files` caps the output file count.
+    zorderBy: Seq[String] = Nil,
+    zorderFiles: Int = 64)
 
 /** Test-mode config (pipeline_model.py test section + tester.py):
   * run the pipeline against fixture input and diff the result with an

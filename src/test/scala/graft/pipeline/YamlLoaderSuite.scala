@@ -122,6 +122,30 @@ class YamlLoaderSuite extends SparkSpec {
     assert(abs.sources.head.asInstanceOf[FileSource].path == "/abs/x.csv")
   }
 
+  test("zorder_by sink: parses from YAML and the write round-trips clustered") {
+    val spec = YamlLoader.load(
+      """sources:
+        |  - name: s
+        |    type: file
+        |    path: /tmp/in.parquet
+        |target:
+        |  name: t
+        |  type: file
+        |  path: /tmp/out
+        |  zorder_by: [x, y]
+        |  zorder_files: 4
+        |""".stripMargin)
+    assert(spec.sink.get.zorderBy == Seq("x", "y"))
+    assert(spec.sink.get.zorderFiles == 4)
+    // the write path applies the clustering and loses no rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsink").toString + "/t"
+    val df = spark.range(500L).select(col("id").as("x"), (col("id") * 7 % 501).as("y"))
+    Writer.write(spark, df, SinkSpec(dir, mode = Overwrite, zorderBy = Seq("x", "y"), zorderFiles = 4))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500L)
+    assert(back.agg(sum("x")).head().getLong(0) == df.agg(sum("x")).head().getLong(0))
+  }
+
   test("pipeline test compare: equal, missing and unexpected rows") {
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
     assert(PipelineTest.compare(a, a).isEmpty)
