@@ -254,41 +254,53 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Artifact integrity = "reads back with exactly nlist centroids":
-    // no _SUCCESS dependence (clusters can disable the marker), and a
+    // no _SUCCESS dependence (clusters can disable the marker); a
     // crashed writer's partial directory — which can read back a
-    // SUBSET of part-files without erroring — fails the count check.
+    // SUBSET of part-files without erroring — and a rename race that
+    // nested a tmp dir inside the artifact both fail the check.
     def tryRead(): Option[Seq[(Int, Array[Float])]] =
       try {
         val c = centroidsFromDF(spark.read.parquet(path))
         if (c.length == nlist) Some(c) else None
       } catch { case _: Throwable => None }
+    // Sweep ORPHANED tmp dirs from crashed trainers (>1h old — a live
+    // concurrent trainer's tmp is seconds old and must not be touched).
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      fs.listStatus(parent)
+        .filter(st => st.getPath.getName.startsWith(p.getName + "__train_") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     tryRead().getOrElse {
       val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
-      // Publish via ATOMIC RENAME of a private tmp dir: concurrent
-      // trainers never write the same directory, so no one can delete
-      // or read another writer's in-flight output; losers adopt the
-      // winner's artifact. A crashed run's garbage at the target (not
-      // readable, blocks the rename) is replaced once, then one more
-      // rename race is tolerated before giving up to a read.
-      val tmp = new org.apache.hadoop.fs.Path(
-        path + "__train_" + java.util.UUID.randomUUID.toString.take(8))
-      centroidsToDF(spark, cents).write
-        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp.toString)
-      // exists-guard: Hadoop rename onto an EXISTING directory nests
-      // the source inside it instead of failing
-      def publish(): Boolean = !fs.exists(p) && fs.rename(tmp, p)
-      if (publish()) cents
-      else tryRead() match {
-        case Some(winner) => fs.delete(tmp, true); winner
-        case None =>
-          fs.delete(p, true) // unreadable garbage from a crashed writer
-          if (publish()) cents
-          else {
-            fs.delete(tmp, true)
-            tryRead().getOrElse(throw new IllegalStateException(
-              s"quantizer artifact at $path is unreadable and could not be replaced"))
-          }
+      // Publish via RENAME of a private tmp dir: concurrent trainers
+      // never write the same directory, so no one deletes or reads
+      // another's in-flight output; losers adopt the winner's
+      // artifact. Rename-onto-existing-directory NESTS on Hadoop, so
+      // every publish is validated by tryRead() and an invalid target
+      // is deleted and retried — the loop self-heals both crashed-
+      // writer garbage and nesting races, bounded at 3 attempts.
+      var result: Option[Seq[(Int, Array[Float])]] = None
+      var attempts = 0
+      while (result.isEmpty && attempts < 3) {
+        attempts += 1
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + "__train_" + java.util.UUID.randomUUID.toString.take(8))
+        centroidsToDF(spark, cents).write
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp.toString)
+        if (!fs.exists(p) && fs.rename(tmp, p)) {
+          result = tryRead() // validate own publish (nesting race)
+          if (result.isEmpty) fs.delete(p, true)
+        } else {
+          fs.delete(tmp, true)
+          result = tryRead() // adopt the winner
+          if (result.isEmpty && fs.exists(p)) fs.delete(p, true) // garbage
+        }
       }
+      result.getOrElse(throw new IllegalStateException(
+        s"quantizer artifact at $path could not be published or read after $attempts attempts"))
     }
   }
 

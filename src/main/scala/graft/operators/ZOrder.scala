@@ -107,9 +107,18 @@ object ZOrder {
     * but scatter distant blocks into the same file, widening its
     * min/max span.
     */
-  def cluster(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame =
+  def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
+              within: Seq[String] = Nil): DataFrame = {
+    // `within` = directory-partition columns: range-partitioning on
+    // (partition cols, zvalue) keeps each task inside few partition
+    // values with a contiguous z-range — one clustered file per
+    // (task, partition) instead of the zorderFiles × |partitions|
+    // explosion that z-only ranges would hand the dynamic-partition
+    // writer.
+    val keys = within.map(col) :+ col("__zvalue")
     df.withColumn("__zvalue", zvalue(df, cols))
-      .repartitionByRange(numFiles, col("__zvalue"))
-      .sortWithinPartitions("__zvalue")
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("__zvalue")
+  }
 }

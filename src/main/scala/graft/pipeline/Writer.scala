@@ -34,6 +34,11 @@ object Writer {
     * not this planner's.
     */
   private def writeTable(spark: SparkSession, df: DataFrame, sink: SinkSpec, table: String): Unit = {
+    // insertInto cannot control file layout — fail loudly rather than
+    // silently ignore a requested clustering (use writeBucketed or a
+    // path sink for layout-managed tables)
+    require(sink.zorderBy.isEmpty,
+      s"zorder_by is not supported for catalog-table sink '$table' — use a file sink")
     // insertInto matches by POSITION: align the pipeline output to the
     // table's declared column order by name, failing fast on a gap.
     def aligned(d: DataFrame): DataFrame = {
@@ -78,17 +83,27 @@ object Writer {
     // only when the target also exists.
     recoverSwap(spark, sink)
     def basic(mode: SaveMode, data: DataFrame): Unit = {
-      // zorder_by clusters the files at write time (see ZOrder):
-      // orthogonal to partitionBy (clusters WITHIN partitions if both
-      // are set, since the partition columns split the directory tree
-      // first and the sort composes under it).
-      val clustered =
-        if (sink.zorderBy.nonEmpty)
-          graft.operators.ZOrder.cluster(data, sink.zorderBy, sink.zorderFiles)
-        else data
-      val w = clustered.write.format(sink.format).mode(mode)
-      (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
-        .save(sink.path)
+      if (sink.zorderBy.nonEmpty) {
+        // Clustering makes three passes over the input (quantile grid,
+        // range-boundary sampling, write) — materialize the pipeline
+        // output once so an expensive upstream plan isn't recomputed
+        // three times (repo pattern: materialize-then-unpersist).
+        // `within = partitionBy` keeps each task inside few partition
+        // values so the dynamic-partition writer emits one clustered
+        // file per (task, partition), not zorderFiles × |partitions|.
+        val m = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val clustered = graft.operators.ZOrder.cluster(
+            m, sink.zorderBy, sink.zorderFiles, within = sink.partitionBy)
+          val w = clustered.write.format(sink.format).mode(mode)
+          (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
+            .save(sink.path)
+        } finally m.unpersist(blocking = false)
+      } else {
+        val w = data.write.format(sink.format).mode(mode)
+        (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
+          .save(sink.path)
+      }
     }
     sink.mode match {
       case Append    => basic(SaveMode.Append, df)
@@ -200,7 +215,14 @@ object Writer {
     // missing-target case was restored by recoverSwap before the merge
     // plan was built).
     if (fs.exists(bak)) fs.delete(bak, true)
-    val w = df.write.format(sink.format).mode(SaveMode.Overwrite)
+    // merge-mode rewrites honor zorder_by too — a clustering request
+    // must never be silently dropped by the write mode
+    val out =
+      if (sink.zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(df, sink.zorderBy, sink.zorderFiles,
+          within = sink.partitionBy)
+      else df
+    val w = out.write.format(sink.format).mode(SaveMode.Overwrite)
     (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
       .save(tmp.toString)
     val hadBase = fs.exists(p)

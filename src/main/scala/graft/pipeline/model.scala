@@ -69,8 +69,9 @@ final case class SinkSpec(
     table: Option[String] = None,
     // Z-order clustering columns (graft extension; YAML `zorder_by`):
     // files cover compact hyper-rectangles of these columns' key space
-    // so min/max stats prune scans on any of them. Append/Overwrite
-    // path sinks only; `zorder_files` caps the output file count.
+    // so min/max stats prune scans on any of them. Applies to every
+    // PATH write mode (incl. merge/scd rewrites); catalog-table sinks
+    // reject it loudly. `zorder_files` caps the output file count.
     zorderBy: Seq[String] = Nil,
     zorderFiles: Int = 64)
 

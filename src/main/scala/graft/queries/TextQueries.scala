@@ -152,12 +152,18 @@ object TextQueries {
       val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
       val artifact = s"$wh/${prefix}_${fp}_nlist8"
       // GC superseded fingerprints: each data regeneration would
-      // otherwise orphan the previous artifact in the warehouse forever
+      // otherwise orphan the previous artifact in the warehouse
+      // forever. Match the EXACT artifact name shape by basename —
+      // a loose prefix match would sweep concurrent trainers' live
+      // __train_ tmp dirs (breaking ivfCentroidsPath's race protocol),
+      // and comparing full qualified path strings is scheme-fragile.
+      val artifactName = s"${prefix}_${fp}_nlist8"
+      val artifactRe = s"^${java.util.regex.Pattern.quote(prefix)}_[0-9a-f]+_nlist8$$".r
       val whPath = new org.apache.hadoop.fs.Path(wh)
       val whFs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (whFs.exists(whPath)) whFs.listStatus(whPath)
-        .filter(st => st.getPath.getName.startsWith(prefix + "_") &&
-          st.getPath.toString != artifact)
+        .filter(st => artifactRe.matches(st.getPath.getName) &&
+          st.getPath.getName != artifactName)
         .foreach(st => whFs.delete(st.getPath, true))
       val cents = Similarity.ivfCentroidsPath(s, artifact, emb, nlist = 8, iters = 2)
       Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), cents,

@@ -72,8 +72,8 @@ class ZOrderSuite extends SparkSpec {
     val z = df.withColumn("z", ZOrder.zvalue(df, Seq("d", "s")))
     assert(z.select(countDistinct(col("z"))).head().getLong(0) > 50)
     // equal strings land in equal buckets: grouping by s, the z-value's
-    // string-dimension bits must be constant per group
-    val nDims = 2
+    // string-dimension bit (dim index 1 of 2 → bit position 1) must be
+    // constant per group
     val sBits = z.select(col("s"), (col("z")/2).cast("long").mod(2).as("bit1"))
     // (cheap sanity: no exception and some clustering signal)
     assert(sBits.groupBy("s").agg(countDistinct("bit1").as("nb"))
