@@ -88,6 +88,12 @@ object Bench {
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       (json + "\n").getBytes("UTF-8"))
+    // The full artifact line above can exceed a tail-capture window (it
+    // did in round 5: a 2000-char tail cut it before "metric":"total"
+    // and the round's official wall-time was lost). Emit the headline
+    // number again as a compact LAST line so any capture >=200 chars
+    // from the end contains it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,9 +23,16 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantity is integer-valued — its sum/avg are exact in double
+          // at any scale. Money sums go through exact integer units:
+          // round(sum(double),2) erodes once sqrt(N)*ulp(total) nears a
+          // half-cent (~sf10 for these tables, SURVEY §5). Base price is
+          // 2dp -> cents; the discounted product is 4dp -> 1e-4 units,
+          // HALF_UP to cents in integer math so both engines round the
+          // same direction on exact half-cent totals.
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(expr("cast(round(l_extendedprice * 100) as bigint)")) / 100.0, 2).as("sum_base_price"),
+          expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50) div 100) / 100.0D").as("sum_disc_price"),
           round(avg("l_quantity"), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))
@@ -37,8 +44,8 @@ object SparkEntry {
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+        |  ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -28,7 +28,9 @@ object RelationalQueries {
         Filter("l_shipdate >= timestamp'1995-01-01' AND l_shipdate < timestamp'1996-01-01' " +
           "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")))
       Pipeline(s, spec).run()
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        // 4dp product summed in exact 1e-4 units, integer HALF_UP to
+        // cents — immune to the ~sf10 round(sum(double),2) erosion.
+        .agg(expr("((sum(cast(round(l_extendedprice * l_discount * 10000) as bigint)) + 50) div 100) / 100.0D").as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -43,7 +45,8 @@ object RelationalQueries {
           Join("region", how = "inner", broadcastOther = true, condition = Some("l.n_regionkey = r.r_regionkey"))))
       Pipeline(s, spec).run()
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(round(sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0, 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -52,7 +55,10 @@ object RelationalQueries {
     "q04_sql_chain" -> ((s, dir) => {
       val spec = PipelineSpec("gold_monthly", Seq(file(dir, "orders")), Seq(
         Sql("SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS month, " +
-          "round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders FROM orders GROUP BY 1",
+          // 100.0D: a bare 100.0 literal parses as DECIMAL in Spark SQL
+          // and would change the division's result type vs the oracle.
+          "round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0D, 2) AS revenue, " +
+          "count(*) AS n_orders FROM orders GROUP BY 1",
           "monthly_rev"),
         Sql("SELECT month, revenue, n_orders, " +
           "round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg FROM monthly_rev")))
@@ -98,7 +104,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           rank().over(byPrice).as("price_rank"),
-          round(sum("o_totalprice").over(cum), 2).as("cum_spend"))
+          round(sum(expr("cast(round(o_totalprice * 100) as bigint)")).over(cum) / 100.0, 2).as("cum_spend"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -237,7 +243,8 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       joined.rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0, 2).as("revenue"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
@@ -263,7 +270,8 @@ object RelationalQueries {
     "q22_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(expr("cast(round(value * 100) as bigint)")) / 100.0, 2).as("total_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("hour", "event_type")),
@@ -460,7 +468,8 @@ object RelationalQueries {
       t(s, dir, "orders").createOrReplaceTempView("orders_gs")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+               count(*) AS n,
+               round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0D, 2) AS revenue
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
@@ -492,15 +501,19 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           date_trunc("second", col("ts")).as("ts"))
+      // Both sides descend from the same `ev` plan; rename the buy-side
+      // key so the join condition is lineage-unambiguous (a shared-
+      // lineage views("user_id") === buys("user_id") makes Spark log a
+      // trivially-true-predicate warning and silently rewrite it).
       val views = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("view_ts"))
       val buys = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("buy_ts"))
-      views.join(buys, views("user_id") === buys("user_id") &&
+        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+      views.join(buys, col("user_id") === col("buy_user") &&
           col("buy_ts") >= col("view_ts") &&
           col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
         .groupBy(date_format(col("view_ts"), "yyyy-MM-dd").as("day"))
-        .agg(countDistinct(views("user_id")).as("converting_users"),
+        .agg(countDistinct(col("user_id")).as("converting_users"),
           count(lit(1)).as("n_conversions"))
         .orderBy("day")
     }),
@@ -511,9 +524,13 @@ object RelationalQueries {
     "q63_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      // Rename the cohort-side key: both inputs share the `ev` lineage,
+      // and a using-column self-join logs the trivially-true-predicate
+      // warning (same issue as q62).
       val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        .withColumnRenamed("user_id", "cohort_user")
       ev.select(col("user_id"), col("day")).distinct()
-        .join(cohorts, Seq("user_id"))
+        .join(cohorts, col("user_id") === col("cohort_user"))
         .groupBy(col("cohort_day"), col("day"))
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy("cohort_day", "day")
@@ -556,13 +573,15 @@ object RelationalQueries {
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+      """SELECT ((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q03_join" ->
-      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT r_name, n_name,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+        |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -571,7 +590,8 @@ object RelationalQueries {
     "q04_sql_chain" ->
       """WITH monthly_rev AS (
         |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-        |         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |         round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+        |         count(*) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT month, revenue, n_orders,
         |       round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg
@@ -610,8 +630,9 @@ object RelationalQueries {
     "q07_window" ->
       """SELECT o_orderkey, o_custkey,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS cum_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q08_topk" ->
@@ -704,7 +725,8 @@ object RelationalQueries {
         |) ORDER BY customer_id, start_ts""".stripMargin,
 
     "q18_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -736,7 +758,8 @@ object RelationalQueries {
 
     "q22_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-        |  count(*) AS n, round(sum("value"), 2) AS total_value
+        |  count(*) AS n,
+        |  round(sum(CAST(round("value" * 100) AS BIGINT)) / 100.0, 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q36_json" ->
@@ -827,7 +850,8 @@ object RelationalQueries {
 
     "q51_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |  count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
