@@ -69,17 +69,28 @@ object Cli {
     */
   private[graft] def applyInput(spec: PipelineSpec, inputs: Seq[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
-    // An '=' marks the named form when the prefix is a DECLARED source
-    // name (dotted names included), or failing that a plausible one
-    // (no path separators or dots — catches typos below). A bare path
-    // with a Hive-partition segment (/landing/ds=2024-06-01/f.csv)
-    // stays a bare input.
+    // An '=' marks the named form only when the prefix is a DECLARED
+    // source name AND the value carries no path separator: a declared
+    // name in front of a Hive-style segment ('ds=2024-06-01/f.csv'
+    // with a source named 'ds') is a BARE path, not a rewrite of that
+    // source. An undeclared prefix is read as a (typo'd) name — to
+    // fail fast below — only when it is itself name-shaped (no
+    // slashes/dots) and the value looks like a file (contains a dot);
+    // a bare filename such as 'run=1_data' passes through as a bare
+    // input instead of hard-failing as an unknown name.
     val srcNames = spec.sources.collect { case f: pipeline.FileSource => f.name }.toSet
     def namedKey(s: String): Option[String] = {
       val i = s.indexOf('=')
       if (i <= 0) None
-      else Some(s.substring(0, i)).filter(k =>
-        srcNames(k) || !k.exists(c => c == '/' || c == '\\' || c == '.'))
+      else {
+        val k = s.substring(0, i)
+        val v = s.substring(i + 1)
+        val vPathless = !v.exists(c => c == '/' || c == '\\')
+        val kNameish = !k.exists(c => c == '/' || c == '\\' || c == '.')
+        if (srcNames(k) && vPathless) Some(k)
+        else if (!srcNames(k) && kNameish && vPathless && v.contains('.')) Some(k)
+        else None
+      }
     }
     val (named, bare) = inputs.partition(namedKey(_).isDefined)
     require(bare.size <= 1,

@@ -185,22 +185,28 @@ object Relational {
       floor(col(loCol) / bucketWidth).cast("long")
     val rangeOk = col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
-    val iv = intervals.where(span >= 0 && span <= maxBuckets).withColumn("__bucket",
+    // Probe the (small) interval side before planning the fallback:
+    // without the probe the union's nested-loop branch re-scans the
+    // ENTIRE points side even when no wide interval exists — AQE's
+    // empty-relation propagation hides that locally, but the operator
+    // must not depend on it. The probe is an eager action, so probe
+    // and execution MUST see the same rows: a non-deterministic or
+    // file-churning intervals lineage re-evaluated at execution could
+    // grow wide intervals that the probe declared absent, silently
+    // dropping their matches. localCheckpoint pins one snapshot for
+    // both (intervals is the small side by contract; blocks are
+    // released by the ContextCleaner once the plan is unreachable) —
+    // pass probeWide=false to keep the call fully lazy when even one
+    // materialization of the intervals side is too expensive and AQE
+    // can be relied on to prune the empty branch.
+    val ivStable = if (probeWide) intervals.localCheckpoint() else intervals
+    val iv = ivStable.where(span >= 0 && span <= maxBuckets).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor(col(hiCol) / bucketWidth).cast("long"))))
     val bucketed = p.join(iv, Seq("__bucket"))
       .where(rangeOk)
       .drop("__bucket")
-    // Probe the (small) interval side before planning the fallback:
-    // without the probe the union's nested-loop branch re-scans the
-    // ENTIRE points side even when no wide interval exists — AQE's
-    // empty-relation propagation hides that locally, but the operator
-    // must not depend on it. The probe is an EAGER action over the
-    // intervals lineage (run once here, recomputed at execution) —
-    // pass probeWide=false to keep the call fully lazy when the
-    // intervals side is expensive/uncached or snapshot-sensitive and
-    // AQE can be relied on to prune the empty branch.
-    val wide = intervals.where(span > maxBuckets)
+    val wide = ivStable.where(span > maxBuckets)
     if (probeWide && wide.isEmpty) bucketed
     else bucketed.unionByName(points.join(wide, rangeOk))
   }

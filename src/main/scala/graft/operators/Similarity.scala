@@ -282,6 +282,18 @@ object Similarity {
       // every publish is validated by tryRead() and an invalid target
       // is deleted and retried — the loop self-heals both crashed-
       // writer garbage and nesting races, bounded at 3 attempts.
+      // Deleting the SHARED artifact is only safe on POSITIVE corruption
+      // — a rename race that nested a tmp dir inside it, or the wrong
+      // centroid count on a stable re-read after backoff. A transient
+      // read failure (FS hiccup, racing a winner's in-flight rename)
+      // must never destroy an artifact another job just published or is
+      // actively reading; back off and re-read instead.
+      def nestedTmp(): Boolean =
+        try fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.contains("__train_"))
+        catch { case _: Throwable => false }
+      def wrongShape(): Boolean =
+        try centroidsFromDF(spark.read.parquet(path)).length != nlist
+        catch { case _: Throwable => false } // unreadable != provably corrupt
       var result: Option[Seq[(Int, Array[Float])]] = None
       var attempts = 0
       while (result.isEmpty && attempts < 3) {
@@ -292,11 +304,18 @@ object Similarity {
           .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp.toString)
         if (!fs.exists(p) && fs.rename(tmp, p)) {
           result = tryRead() // validate own publish (nesting race)
-          if (result.isEmpty) fs.delete(p, true)
+          if (result.isEmpty) { Thread.sleep(250L); result = tryRead() }
+          if (result.isEmpty) fs.delete(p, true) // own publish, still invalid
         } else {
           fs.delete(tmp, true)
           result = tryRead() // adopt the winner
-          if (result.isEmpty && fs.exists(p)) fs.delete(p, true) // garbage
+          if (result.isEmpty && fs.exists(p)) {
+            Thread.sleep(250L * attempts)
+            result = tryRead()
+            if (result.isEmpty &&
+                (nestedTmp() || (wrongShape() && { Thread.sleep(250L); wrongShape() })))
+              fs.delete(p, true) // positively corrupt — clear for retry
+          }
         }
       }
       result.getOrElse(throw new IllegalStateException(

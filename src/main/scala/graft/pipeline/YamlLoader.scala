@@ -344,7 +344,16 @@ object YamlLoader {
       partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
       table = str(m, "table").orElse(str(m, "name")).filter(_ => kind == "table"),
       zorderBy = m.get("zorder_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
-      zorderFiles = str(m, "zorder_files").map(_.toInt).getOrElse(64))
+      zorderFiles = str(m, "zorder_files").map { v =>
+        // fail-fast with the offending key and sink named, mirroring the
+        // loader's other diagnostics — a raw NumberFormatException (or a
+        // stringified YAML list) would surface with no YAML context
+        try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"sink '${str(m, "path").orElse(str(m, "table")).orElse(str(m, "name"))
+              .getOrElse(kind)}': zorder_files must be an integer file count, got '$v'")
+        }
+      }.getOrElse(64))
   }
 
   /** Test section (pipeline_model.py test + tester.py:18-31). */

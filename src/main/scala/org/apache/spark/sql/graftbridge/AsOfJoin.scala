@@ -184,8 +184,21 @@ object AsOfJoinPlan {
     val r0 = right.queryExecution.analyzed
     val keyT = wider(resolve(l0, key).dataType, resolve(r0, key).dataType)
     val timeT = wider(resolve(l0, leftTime).dataType, resolve(r0, rightTime).dataType)
+    // Float/double keys match by raw UnsafeRow bytes in the exec and
+    // hash-partition on the raw value, so -0.0 and 0.0 would neither
+    // co-partition nor compare equal (UnsafeRowWriter canonicalizes NaN
+    // but NOT negative zero — Spark's own joins insert
+    // NormalizeFloatingNumbers for this; no rule knows this node, so
+    // normalize at the source projection instead).
+    val keyNeedsNorm = keyT == org.apache.spark.sql.types.DoubleType ||
+      keyT == org.apache.spark.sql.types.FloatType
+    def normKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (keyNeedsNorm)
+        org.apache.spark.sql.functions.when(c === 0, org.apache.spark.sql.functions.lit(0))
+          .otherwise(c)
+      else c
     val leftNeedsCast = keyT != resolve(l0, key).dataType ||
-      timeT != resolve(l0, leftTime).dataType
+      timeT != resolve(l0, leftTime).dataType || keyNeedsNorm
 
     // Shadow cast columns on the left ONLY when widening is actually
     // needed: the exec declares its output ordering on its key/time
@@ -194,13 +207,14 @@ object AsOfJoinPlan {
     // can elide their sorts.
     val lPrepared =
       if (leftNeedsCast)
-        left.withColumn("__asof_k", col(key).cast(keyT))
+        left.withColumn("__asof_k", normKey(col(key).cast(keyT)).cast(keyT))
           .withColumn("__asof_t", col(leftTime).cast(timeT))
       else left
     val (lKeyName, lTimeName) =
       if (leftNeedsCast) ("__asof_k", "__asof_t") else (key, leftTime)
     val rPruned = right.select(
-      (Seq(col(key).cast(keyT).as(key), col(rightTime).cast(timeT).as(rightTime)) ++
+      (Seq(normKey(col(key).cast(keyT)).cast(keyT).as(key),
+        col(rightTime).cast(timeT).as(rightTime)) ++
         payload.map(c => col(c).as(c))): _*)
     val lPlan = lPrepared.queryExecution.analyzed
     val rPlan = rPruned.queryExecution.analyzed

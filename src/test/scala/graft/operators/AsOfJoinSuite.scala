@@ -43,6 +43,19 @@ class AsOfJoinSuite extends SparkSpec {
       (3L, 9L, None)))        // key absent from right entirely
   }
 
+  test("double keys: -0.0 left vs 0.0 right matches like the window formulation") {
+    // raw UnsafeRow bytes distinguish -0.0 from 0.0 (and murmur3 hashes
+    // them to different partitions); the source-projection normalization
+    // must make them co-partition and compare equal, as the window
+    // formulation's NormalizeFloatingNumbers does.
+    val left = Seq((-0.0, 10L, "a"), (0.0, 20L, "b"), (1.5, 5L, "c")).toDF("k", "t", "tag")
+    val right = Seq((0.0, 8L, "p0"), (1.5, 1L, "p1")).toDF("k", "rt", "p")
+    val native = AsOfJoinPlan.of(left, right, "k", "t", "rt", Seq("p"))
+    val window = Relational.asOf(left, right, "k", "t", "rt", Seq("p"))
+    assert(native.where(col("p").isNotNull).count() == 3)
+    assert(sortedRows(native) == sortedRows(window))
+  }
+
   test("right rows from a smaller key never leak into the next key") {
     val left = Seq((5L, 100L), (6L, 1L)).toDF("k", "t")
     val right = Seq((5L, 50L, "p5")).toDF("k", "rt", "p")

@@ -146,6 +146,26 @@ class YamlLoaderSuite extends SparkSpec {
     assert(back.agg(sum("x")).head().getLong(0) == df.agg(sum("x")).head().getLong(0))
   }
 
+  test("zorder_files: a non-numeric value fails naming the key and sink") {
+    val e = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """sources:
+          |  - name: s
+          |    type: file
+          |    path: /tmp/in.parquet
+          |target:
+          |  name: t
+          |  type: file
+          |  path: /tmp/out
+          |  zorder_by: [x]
+          |  zorder_files: lots
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("zorder_files"))
+    assert(e.getMessage.contains("/tmp/out"))
+    assert(e.getMessage.contains("lots"))
+  }
+
   test("pipeline test compare: equal, missing and unexpected rows") {
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
     assert(PipelineTest.compare(a, a).isEmpty)
@@ -459,6 +479,30 @@ class YamlLoaderSuite extends SparkSpec {
     val hive = paths(graft.Cli.applyInput(spec, Seq("/lz/ds=2024-06-01/orders.csv")))
     assert(hive("orders") == "/lz/ds=2024-06-01/orders.csv")
     assert(hive("countries") == "/ref/countries.csv")
+  }
+
+  test("cli --input '=' edge cases: declared-name hive prefix, filename with '='") {
+    val spec = PipelineSpec("p", Seq(
+      FileSource("ds", "/landing/ds.csv", "csv"),
+      FileSource("countries", "/ref/countries.csv", "csv")), Nil)
+    def paths(s: PipelineSpec) = s.sources.collect { case f: FileSource => f.name -> f.path }.toMap
+    // a RELATIVE hive-style path whose prefix collides with a declared
+    // source name ('ds') carries a path separator in the value — it is
+    // a bare input for the primary source, not a rewrite of source 'ds'
+    val hive = paths(graft.Cli.applyInput(spec, Seq("ds=2024-06-01/f.csv")))
+    assert(hive("ds") == "/landing/ds=2024-06-01/f.csv")
+    assert(hive("countries") == "/ref/countries.csv")
+    // a bare filename containing '=' with a dot-free prefix AND a
+    // dot-free value is a bare input, not an unknown-name hard failure
+    val eq = paths(graft.Cli.applyInput(spec, Seq("run=1_data")))
+    assert(eq("ds") == "/landing/run=1_data")
+    // the named form still addresses a declared source by name
+    val named = paths(graft.Cli.applyInput(spec, Seq("ds=2024-06-01.csv")))
+    assert(named("ds") == "/landing/2024-06-01.csv")
+    // and a typo'd name in front of a file-like value still fails fast
+    intercept[IllegalArgumentException] {
+      graft.Cli.applyInput(spec, Seq("oders=x.csv"))
+    }
   }
 
   test("the shipped reference customer example loads and runs unmodified") {
