@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic-concurrency table commits over plain parquet — the
+  * lakehouse-free answer to drune's `DeltaTable.forName(...).merge`
+  * table sinks (reference: src/drune/engines/spark/steps/writer.py:
+  * 40-100): the reference delegates concurrent-writer safety to Delta's
+  * transaction log; graft's plain-path merge modes were a checkpoint +
+  * full rewrite with last-writer-wins. This module gives path sinks a
+  * real commit protocol with no format dependency:
+  *
+  * {{{
+  * <root>/_manifest/v0000000042   # pointer file: names the data dir
+  * <root>/data-0000000042-ab12cd34/  # immutable version directories
+  * }}}
+  *
+  * Commit = read the current snapshot, compute the merged result as one
+  * distributed plan, write it to a PRIVATE data directory, then publish
+  * by atomically creating the next manifest pointer (compare-and-swap
+  * on the version number). Exactly one concurrent committer wins a
+  * version; losers delete their private directory, re-read the winner's
+  * snapshot, RE-MERGE, and retry — no lost updates, serialized history.
+  *
+  * Because version directories are immutable, the merge plan streams
+  * straight from the old files into the new directory: no
+  * read-what-you-overwrite hazard, so no checkpoint materialization
+  * and no rename-swap window (the two costs of Writer.rewrite). Readers
+  * always see a complete snapshot: the pointer is created only after
+  * the data write finishes, and old versions stay readable until
+  * [[vacuum]] retires them.
+  *
+  * The CAS primitive is scheme-aware: HDFS-like stores use
+  * `create(overwrite = false)` (an atomic namenode op); the local
+  * filesystem CANNOT use that (check-then-create race) nor Hadoop
+  * rename (POSIX rename(2) replaces an existing destination), so it
+  * publishes via hard-link creation — O_EXCL-atomic AND the content is
+  * complete at the instant the link appears. Same family of protocol as
+  * Similarity.ivfCentroidsPath's tmp+rename artifact publish, upgraded
+  * from "losers adopt the winner" to "losers re-merge on the winner".
+  */
+object VersionedTable {
+
+  final case class Snapshot(version: Long, dataDir: String)
+
+  private val ManifestDir = "_manifest"
+  private val ManifestName = """v(\d{10})""".r
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim)
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Newest committed snapshot, or None for an empty/absent table.
+    * A pointer file that reads back empty is an in-flight HDFS publish
+    * (created, content not yet visible): re-read once, then fall back
+    * to the next-lower version rather than failing the read.
+    */
+  def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val mdir = new Path(rootP, ManifestDir)
+    if (!fs.exists(mdir)) None
+    else {
+      val versions = fs.listStatus(mdir).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case ManifestName(n) => Some(n.toLong -> st.getPath)
+          case _ => None
+        })
+        .sortBy(-_._1)
+      versions.iterator.flatMap { case (v, p) =>
+        readSmall(fs, p).filter(_.nonEmpty)
+          .orElse { Thread.sleep(50); readSmall(fs, p).filter(_.nonEmpty) }
+          .map(Snapshot(v, _))
+      }.nextOption()
+    }
+  }
+
+  /** Read the newest committed version (a stable snapshot — later
+    * commits land in new directories and do not disturb this plan).
+    */
+  def read(spark: SparkSession, root: String, format: String = "parquet"): DataFrame =
+    readVersion(spark, root,
+      currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version")).version, format)
+
+  /** Time-travel read of a specific committed version. */
+  def readVersion(spark: SparkSession, root: String, version: Long,
+                  format: String = "parquet"): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
+    val dir = readSmall(fs, p).filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version $version"))
+    spark.read.format(format).load(new Path(rootP, dir).toString)
+  }
+
+  /** Atomically create `manifest` with `content`; false = another
+    * committer won this version.
+    */
+  private def casPublish(fs: FileSystem, manifest: Path, content: String): Boolean = {
+    val bytes = content.getBytes("UTF-8")
+    if (Option(manifest.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
+      // POSIX rename(2) (under Hadoop's local rename) REPLACES an
+      // existing destination and create(overwrite=false) is
+      // check-then-act locally — hard-link creation is the atomic
+      // primitive that also publishes complete content in one step.
+      val dir = java.nio.file.Paths.get(manifest.getParent.toUri.getPath)
+      val tmp = dir.resolve(".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(dir.resolve(manifest.getName), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(manifest, false) // atomic on HDFS-like stores
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(manifest) => false
+      }
+    }
+  }
+
+  /** Commit `merge(currentBase)` as the next version. The merge
+    * function receives the current snapshot's DataFrame (None for an
+    * empty table) and MUST be re-computable: a committer that loses the
+    * CAS race re-invokes it against the winner's snapshot, which is
+    * what makes concurrent commits serialize without lost updates.
+    * Returns the committed version number.
+    */
+  def commit(
+      spark: SparkSession,
+      root: String,
+      format: String,
+      merge: Option[DataFrame] => DataFrame,
+      partitionBy: Seq[String] = Nil,
+      maxAttempts: Int = 5): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(new Path(rootP, ManifestDir))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = currentSnapshot(spark, root)
+      val next = snap.map(_.version + 1).getOrElse(1L)
+      val base = snap.map(s => spark.read.format(format).load(new Path(rootP, s.dataDir).toString))
+      val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
+      val dataDir = new Path(rootP, dirName)
+      val w = merge(base).write.format(format)
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .save(dataDir.toString)
+      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"), dirName))
+        return next
+      // lost the race: discard the private directory (vacuum would also
+      // sweep it) and re-merge against the winner's snapshot
+      fs.delete(dataDir, true)
+    }
+    throw new IllegalStateException(
+      s"versioned commit at $root lost the publish race $maxAttempts times — " +
+        "writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** Retire history: keep the newest `keep` versions' pointers and data
+    * directories; delete older pointers, then any `data-*` directory
+    * that no surviving pointer references and whose modification time
+    * is older than `graceMs` (the grace period protects a LIVE
+    * committer's private directory, which has no pointer yet).
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 3,
+             graceMs: Long = 3600L * 1000): Unit = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val (fs, rootP) = fsFor(spark, root)
+    val mdir = new Path(rootP, ManifestDir)
+    if (!fs.exists(mdir)) return
+    val manifests = fs.listStatus(mdir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong -> st.getPath)
+        case _ => None
+      })
+      .sortBy(-_._1)
+    val (kept, retired) = manifests.splitAt(keep)
+    val referenced = kept.flatMap { case (_, p) => readSmall(fs, p) }.toSet
+    retired.foreach { case (_, p) => fs.delete(p, false) }
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(rootP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-") &&
+        !referenced(st.getPath.getName) && st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+}

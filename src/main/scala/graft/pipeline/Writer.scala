@@ -76,6 +76,11 @@ object Writer {
   }
 
   private def writePath(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    // Versioned sinks commit through the manifest CAS — a different
+    // layout (immutable data dirs + pointer files), crash-safe by
+    // construction, so none of the swap/recovery machinery below
+    // applies.
+    if (sink.versioned) { versionedWrite(spark, df, sink); return }
     // Crash recovery FIRST — before any readBase builds a plan over the
     // (possibly missing) target: a previous rewrite() that died between
     // its two swap renames left the only copy of the base at __old with
@@ -127,6 +132,50 @@ object Writer {
       case Scd2(track) =>
         rewrite(spark, Scd2Merge(spark, df, readBase(spark, sink), track), sink)
     }
+  }
+
+  /** Versioned path sink: every write mode becomes a merge function
+    * over the current snapshot, committed through
+    * [[VersionedTable.commit]]'s optimistic-concurrency loop. The merge
+    * plans are the SAME distributed formulations as the in-place path
+    * modes; what changes is the commit: concurrent writers serialize
+    * (the loser re-merges against the winner's snapshot — drune gets
+    * this from Delta's transaction log, writer.py:40-100), and because
+    * version directories are immutable there is no
+    * read-what-you-overwrite hazard — no checkpoint materialization,
+    * no rename-swap window.
+    */
+  private def versionedWrite(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    def clustered(d: DataFrame): DataFrame =
+      if (sink.zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(d, sink.zorderBy, sink.zorderFiles,
+          within = sink.partitionBy)
+      else d
+    val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
+      case Append => base =>
+        base.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df)
+      case Overwrite => _ => df
+      case OverwritePartition => base =>
+        base match {
+          case None => df
+          case Some(b) =>
+            require(sink.partitionBy.nonEmpty,
+              "overwrite_partition on a versioned sink needs partition_by")
+            // dynamic-partition-overwrite semantics: base rows in any
+            // partition present in df are replaced; others survive
+            val parts = df.select(sink.partitionBy.map(col): _*).distinct()
+            b.join(parts, sink.partitionBy, "left_anti")
+              .unionByName(df, allowMissingColumns = true)
+        }
+      case OverwriteWhere(cond) => base =>
+        base.map(_.where(s"NOT ($cond)")
+            .unionByName(df.where(cond), allowMissingColumns = true))
+          .getOrElse(df)
+      case MergeUpsert => base => upsert(df, base)
+      case Scd2(track) => base => Scd2Merge(spark, df, base, track)
+    }
+    VersionedTable.commit(spark, sink.path, sink.format,
+      base => clustered(mergeFn(base)), partitionBy = sink.partitionBy)
   }
 
   /** Z-order clustered path write: repartition + sort by the Morton

@@ -344,6 +344,7 @@ object YamlLoader {
       partitionBy = m.get("partition_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
       table = str(m, "table").orElse(str(m, "name")).filter(_ => kind == "table"),
       zorderBy = m.get("zorder_by").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
+      versioned = bool(m, "versioned"),
       zorderFiles = str(m, "zorder_files").map { v =>
         // fail-fast with the offending key and sink named, mirroring the
         // loader's other diagnostics — a raw NumberFormatException (or a

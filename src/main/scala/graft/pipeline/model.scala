@@ -73,7 +73,15 @@ final case class SinkSpec(
     // PATH write mode (incl. merge/scd rewrites); catalog-table sinks
     // reject it loudly. `zorder_files` caps the output file count.
     zorderBy: Seq[String] = Nil,
-    zorderFiles: Int = 64)
+    zorderFiles: Int = 64,
+    // Versioned path sink (graft extension; YAML `versioned: true`):
+    // every write commits an immutable data directory through
+    // VersionedTable's manifest-pointer CAS, so concurrent merges
+    // serialize (losers re-merge and retry — no lost updates), readers
+    // always see a complete snapshot, and old versions stay readable
+    // until vacuum. The plain-parquet answer to the reference's Delta
+    // table sinks (writer.py:40-100).
+    versioned: Boolean = false)
 
 /** Test-mode config (pipeline_model.py test section + tester.py):
   * run the pipeline against fixture input and diff the result with an
