@@ -100,5 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(session => RangeJoinBucketing(session))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectParser((session, delegate) => new GraftSqlParser(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], delegate))
   }
 }
+

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The pure-SQL surface injected by GraftExtensions (applied to every
+  * GraftSession-built session): the GRAFT_ASOF statement form must
+  * plan the native AsOfJoinExec, everything else must pass through to
+  * Spark's parser untouched.
+  */
+class SqlSurfaceSuite extends SparkSpec {
+
+  private lazy val s2 = spark
+
+  test("GRAFT_ASOF statement plans the native exec from pure SQL") {
+    import s2.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "t", "tag")
+      .createOrReplaceTempView("asof_l")
+    Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 6L, 60.0)).toDF("k", "rt", "v")
+      .createOrReplaceTempView("asof_r")
+    val df = s2.sql("GRAFT_ASOF(asof_l, asof_r, k, t, rt, v)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec not planned:\n$plan")
+    assert(!plan.contains("WindowExec"), s"fell back to the window form:\n$plan")
+    val got = df.orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(100.0)), (1L, 20L, Some(150.0)), (2L, 5L, None)))
+    // composes into larger SQL through a temp view, like any relation
+    df.createOrReplaceTempView("asof_out")
+    assert(s2.sql("SELECT count(*) FROM asof_out WHERE v IS NOT NULL")
+      .head().getLong(0) == 2L)
+  }
+
+  test("non-GRAFT_ASOF statements pass through to Spark's parser") {
+    assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    // a look-alike with string-literal args is NOT the statement form:
+    // it must fall through and fail with Spark's own diagnostics
+    intercept[Exception] { s2.sql("GRAFT_ASOF('a', 'b', k, t, rt, v)") }
+  }
+
+  test("graft native functions are SQL-callable in the extensions session") {
+    val r = s2.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+    assert(math.abs(r.head().getDouble(0) - 9.0) < 1e-6)
+  }
+}
