@@ -42,7 +42,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  final case class Snapshot(version: Long, dataDir: String)
+  /** A committed version = an ordered list of immutable data dirs
+    * (manifest pointer content, one per line). Merge-style commits
+    * write one full directory; APPEND commits reuse the base's
+    * directories and add only their delta — O(delta) I/O instead of a
+    * full copy — until [[commitDelta]]'s `compactAfter` threshold
+    * triggers a compacting rewrite.
+    */
+  final case class Snapshot(version: Long, dataDirs: Seq[String])
 
   private val ManifestDir = "_manifest"
   private val ManifestName = """v(\d{10})""".r
@@ -63,6 +70,9 @@ object VersionedTable {
       } finally in.close()
     } catch { case _: Throwable => None }
 
+  private def parseDirs(content: String): Seq[String] =
+    content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Newest committed snapshot, or None for an empty/absent table.
     * A pointer file that reads back empty is an in-flight HDFS publish
     * (created, content not yet visible): re-read once, then fall back
@@ -82,9 +92,19 @@ object VersionedTable {
       versions.iterator.flatMap { case (v, p) =>
         readSmall(fs, p).filter(_.nonEmpty)
           .orElse { Thread.sleep(50); readSmall(fs, p).filter(_.nonEmpty) }
-          .map(Snapshot(v, _))
+          .map(c => Snapshot(v, parseDirs(c)))
       }.nextOption()
     }
+  }
+
+  private def load(spark: SparkSession, rootP: Path, format: String,
+                   dirs: Seq[String]): DataFrame = {
+    val paths = dirs.map(d => new Path(rootP, d).toString)
+    // mergeSchema: delta directories may carry evolved (additive)
+    // schemas; footer reconciliation unions them by name
+    val r = spark.read.format(format)
+    (if (format == "parquet" && paths.length > 1) r.option("mergeSchema", "true") else r)
+      .load(paths: _*)
   }
 
   /** Read the newest committed version (a stable snapshot — later
@@ -100,9 +120,10 @@ object VersionedTable {
                   format: String = "parquet"): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
     val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
-    val dir = readSmall(fs, p).filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
-      s"versioned table at $root has no committed version $version"))
-    spark.read.format(format).load(new Path(rootP, dir).toString)
+    val dirs = readSmall(fs, p).filter(_.nonEmpty).map(parseDirs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $version"))
+    load(spark, rootP, format, dirs)
   }
 
   /** Atomically create `manifest` with `content`; false = another
@@ -154,7 +175,7 @@ object VersionedTable {
       attempt += 1
       val snap = currentSnapshot(spark, root)
       val next = snap.map(_.version + 1).getOrElse(1L)
-      val base = snap.map(s => spark.read.format(format).load(new Path(rootP, s.dataDir).toString))
+      val base = snap.map(s => load(spark, rootP, format, s.dataDirs))
       val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
       val dataDir = new Path(rootP, dirName)
       val w = merge(base).write.format(format)
@@ -169,6 +190,65 @@ object VersionedTable {
     }
     throw new IllegalStateException(
       s"versioned commit at $root lost the publish race $maxAttempts times — " +
+        "writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** Append-only commit: write ONLY the delta rows to a private
+    * directory and publish a pointer listing the base's directories
+    * plus the new one — O(delta) I/O however large the table, which is
+    * the only append cost model that survives 100 TB. Once a version
+    * would reference more than `compactAfter` directories, the commit
+    * compacts instead (one full rewrite into a single directory), so
+    * read-side file counts stay bounded without a separate maintenance
+    * job. Losing the CAS race is CHEAP here: the delta directory is
+    * reused unchanged and only the pointer content is recomputed
+    * against the winner's snapshot.
+    */
+  def commitDelta(
+      spark: SparkSession,
+      root: String,
+      format: String,
+      delta: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      maxAttempts: Int = 5,
+      compactAfter: Int = 16): Long = {
+    require(compactAfter >= 1, "compactAfter must be >= 1")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(new Path(rootP, ManifestDir))
+    val deltaName = "data-delta-" + java.util.UUID.randomUUID.toString.take(8)
+    val wd = delta.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) wd.partitionBy(partitionBy: _*) else wd)
+      .save(new Path(rootP, deltaName).toString)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = currentSnapshot(spark, root)
+      val next = snap.map(_.version + 1).getOrElse(1L)
+      val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
+      val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
+      if (baseDirs.length + 1 <= compactAfter) {
+        if (casPublish(fs, manifest, (baseDirs :+ deltaName).mkString("\n")))
+          return next
+        // pointer-only race loss: the delta directory is still private
+        // and valid — just recompute the dir list against the winner
+      } else {
+        val compactName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
+        val all = load(spark, rootP, format, baseDirs :+ deltaName)
+        val wc = all.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        (if (partitionBy.nonEmpty) wc.partitionBy(partitionBy: _*) else wc)
+          .save(new Path(rootP, compactName).toString)
+        if (casPublish(fs, manifest, compactName)) {
+          // the delta's rows now live in the compacted dir; the delta
+          // dir is unreferenced and swept here (or by vacuum on crash)
+          fs.delete(new Path(rootP, deltaName), true)
+          return next
+        }
+        fs.delete(new Path(rootP, compactName), true)
+      }
+    }
+    fs.delete(new Path(rootP, deltaName), true)
+    throw new IllegalStateException(
+      s"versioned append at $root lost the publish race $maxAttempts times — " +
         "writer contention is pathological; retry with backoff or shard the table")
   }
 
@@ -191,7 +271,7 @@ object VersionedTable {
       })
       .sortBy(-_._1)
     val (kept, retired) = manifests.splitAt(keep)
-    val referenced = kept.flatMap { case (_, p) => readSmall(fs, p) }.toSet
+    val referenced = kept.flatMap { case (_, p) => readSmall(fs, p).toSeq.flatMap(parseDirs) }.toSet
     retired.foreach { case (_, p) => fs.delete(p, false) }
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootP)

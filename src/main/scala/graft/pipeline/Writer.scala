@@ -151,8 +151,18 @@ object Writer {
         graft.operators.ZOrder.cluster(d, sink.zorderBy, sink.zorderFiles,
           within = sink.partitionBy)
       else d
+    sink.mode match {
+      case Append =>
+        // appends never copy the base: the delta lands in its own
+        // directory and the commit is a pointer update (compaction
+        // kicks in past VersionedTable's directory threshold)
+        VersionedTable.commitDelta(spark, sink.path, sink.format,
+          clustered(df), partitionBy = sink.partitionBy)
+        return
+      case _ => ()
+    }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
-      case Append => base =>
+      case Append => base => // unreachable (routed to commitDelta above)
         base.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df)
       case Overwrite => _ => df
       case OverwritePartition => base =>

@@ -272,6 +272,51 @@ class DdlSuite extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 3L)
   }
 
+  test("versioned sink: appends are O(delta) pointer commits; compaction bounds dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt4").toString + "/t"
+    def snk(mode: WriteMode) = SinkSpec(root, mode = mode, versioned = true)
+    Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk(Append))
+    Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk(Append))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    // the second append did NOT rewrite: its version references the
+    // first append's directory plus its own delta
+    assert(s2.version == 2L && s2.dataDirs.length == 2)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    // a merge reads the multi-directory base and lands one directory
+    Writer.write(spark, Seq((1L, "a2")).toDF("hash_key", "v"), snk(MergeUpsert))
+    val s3 = VersionedTable.currentSnapshot(spark, root).get
+    assert(s3.version == 3L && s3.dataDirs.length == 1)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a2", 2L -> "b"))
+    // past compactAfter the append compacts back to one directory
+    import spark.implicits._
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((3L, "c")).toDF("hash_key", "v"), compactAfter = 2)
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs.length == 2)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((4L, "d")).toDF("hash_key", "v"), compactAfter = 2)
+    val s5 = VersionedTable.currentSnapshot(spark, root).get
+    assert(s5.version == 5L && s5.dataDirs.length == 1)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
+  test("versioned sink: concurrent appends race on the pointer only, both land") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt5").toString + "/t"
+    def snk = SinkSpec(root, mode = Append, versioned = true)
+    Writer.write(spark, Seq((0L, "seed")).toDF("hash_key", "v"), snk)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = Seq(1L, 2L, 3L).map(k => Future {
+      Writer.write(spark, Seq((k, s"v$k")).toDF("hash_key", "v"), snk)
+    })
+    Await.result(Future.sequence(done), scala.concurrent.duration.Duration(300, "s"))
+    val s = VersionedTable.currentSnapshot(spark, root).get
+    assert(s.version == 4L) // serialized: one version per committer
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+  }
+
   test("versioned sink: YAML `versioned: true` routes the manifest commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vt3").toString
     val spec = YamlLoader.load(
