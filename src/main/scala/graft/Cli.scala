@@ -69,12 +69,14 @@ object Cli {
     */
   private[graft] def applyInput(spec: PipelineSpec, inputs: Seq[String]): PipelineSpec = {
     def isDirectoryPath(p: String): Boolean = !p.matches(".*\\.[A-Za-z0-9]+$")
-    // An '=' marks the named form only when the prefix is a DECLARED
-    // source name AND the value carries no path separator: a declared
-    // name in front of a Hive-style segment ('ds=2024-06-01/f.csv'
-    // with a source named 'ds') is a BARE path, not a rewrite of that
-    // source. An undeclared prefix is read as a (typo'd) name — to
-    // fail fast below — only when it is itself name-shaped (no
+    // An '=' marks the named form when the prefix is a DECLARED source
+    // name and the value is a file name or an ABSOLUTE path ('an
+    // absolute input always wins outright', so 'countries=/abs/x.csv'
+    // is unambiguously the named form). A declared name in front of a
+    // RELATIVE path-bearing segment ('ds=2024-06-01/f.csv' with a
+    // source named 'ds') is a BARE Hive-style path, not a rewrite of
+    // that source. An undeclared prefix is read as a (typo'd) name —
+    // to fail fast below — only when it is itself name-shaped (no
     // slashes/dots) and the value looks like a file (contains a dot);
     // a bare filename such as 'run=1_data' passes through as a bare
     // input instead of hard-failing as an unknown name.
@@ -85,9 +87,10 @@ object Cli {
       else {
         val k = s.substring(0, i)
         val v = s.substring(i + 1)
+        val vAbsolute = v.startsWith("/") || v.startsWith("\\")
         val vPathless = !v.exists(c => c == '/' || c == '\\')
         val kNameish = !k.exists(c => c == '/' || c == '\\' || c == '.')
-        if (srcNames(k) && vPathless) Some(k)
+        if (srcNames(k) && (vPathless || vAbsolute)) Some(k)
         else if (!srcNames(k) && kNameish && vPathless && v.contains('.')) Some(k)
         else None
       }

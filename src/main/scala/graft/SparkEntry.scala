@@ -28,11 +28,13 @@ object SparkEntry {
           // round(sum(double),2) erodes once sqrt(N)*ulp(total) nears a
           // half-cent (~sf10 for these tables, SURVEY §5). Base price is
           // 2dp -> cents; the discounted product is 4dp -> 1e-4 units,
-          // HALF_UP to cents in integer math so both engines round the
-          // same direction on exact half-cent totals.
+          // rounded to cents as floor((x+50)/100) in integer math — the
+          // pmod term makes Spark's truncating `div` a FLOOR division,
+          // matching DuckDB's `//` on negative totals too.
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum(expr("cast(round(l_extendedprice * 100) as bigint)")) / 100.0, 2).as("sum_base_price"),
-          expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50) div 100) / 100.0D").as("sum_disc_price"),
+          expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50" +
+            " - pmod(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50, 100)) div 100) / 100.0D").as("sum_disc_price"),
           round(avg("l_quantity"), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))

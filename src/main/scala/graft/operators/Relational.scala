@@ -195,10 +195,15 @@ object Relational {
     // grow wide intervals that the probe declared absent, silently
     // dropping their matches. localCheckpoint pins one snapshot for
     // both (intervals is the small side by contract; blocks are
-    // released by the ContextCleaner once the plan is unreachable) —
-    // pass probeWide=false to keep the call fully lazy when even one
-    // materialization of the intervals side is too expensive and AQE
-    // can be relied on to prune the empty branch.
+    // released by the ContextCleaner once the plan is unreachable, and
+    // unlike Dataset.persist it does not occupy the session
+    // CacheManager — the library's no-cache-left-behind invariant).
+    // Tradeoff: checkpoint blocks are not fault-tolerant — losing an
+    // executor's blocks later (dynamic allocation, spot nodes) fails
+    // the downstream action instead of recomputing. Under those
+    // conditions, or when even one materialization of the intervals
+    // side is too expensive, pass probeWide=false: fully lazy, AQE
+    // prunes the empty fallback branch.
     val ivStable = if (probeWide) intervals.localCheckpoint() else intervals
     val iv = ivStable.where(span >= 0 && span <= maxBuckets).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),

@@ -127,7 +127,10 @@ object VersionedTable {
   }
 
   /** Atomically create `manifest` with `content`; false = another
-    * committer won this version.
+    * committer won this version. Both branches publish COMPLETE
+    * content in one atomic step — never create-then-write, which on a
+    * committer crash would leave a permanently empty pointer wedging
+    * every later commit at that version.
     */
   private def casPublish(fs: FileSystem, manifest: Path, content: String): Boolean = {
     val bytes = content.getBytes("UTF-8")
@@ -143,14 +146,20 @@ object VersionedTable {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      try {
-        val out = fs.create(manifest, false) // atomic on HDFS-like stores
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(manifest) => false
-      }
+      // HDFS-like: write a private tmp FULLY, then rename — HDFS
+      // rename fails when the destination exists, which is the CAS,
+      // and the content is complete at the instant the name appears.
+      // (create(overwrite=false) alone is atomic for the name but not
+      // the content: a crash between create and close leaves a torn
+      // pointer.) A crash before the rename leaves only an orphan tmp,
+      // swept by vacuum.
+      val tmp = new Path(manifest.getParent,
+        ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val won = try fs.rename(tmp, manifest) catch { case _: java.io.IOException => false }
+      if (!won) fs.delete(tmp, false)
+      won
     }
   }
 
@@ -271,12 +280,25 @@ object VersionedTable {
       })
       .sortBy(-_._1)
     val (kept, retired) = manifests.splitAt(keep)
-    val referenced = kept.flatMap { case (_, p) => readSmall(fs, p).toSeq.flatMap(parseDirs) }.toSet
+    // Every kept pointer MUST read back: a transient failure here would
+    // silently shrink the referenced set and the sweep below would
+    // delete LIVE data directories — abort instead; vacuum is always
+    // safe to re-run later.
+    val referenced = kept.flatMap { case (v, p) =>
+      readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
+        s"vacuum aborted: manifest v$v at $root is unreadable — " +
+          "re-run when the store is healthy (nothing was deleted)")).toSet
+    }.toSet
     retired.foreach { case (_, p) => fs.delete(p, false) }
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootP)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-") &&
         !referenced(st.getPath.getName) && st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // orphan publish tmps from crashed committers (same grace period)
+    fs.listStatus(mdir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 }

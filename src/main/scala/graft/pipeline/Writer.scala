@@ -39,6 +39,11 @@ object Writer {
     // path sink for layout-managed tables)
     require(sink.zorderBy.isEmpty,
       s"zorder_by is not supported for catalog-table sink '$table' — use a file sink")
+    // same loud-failure contract: a requested commit protocol must
+    // never silently degrade to last-writer-wins insertInto
+    require(!sink.versioned,
+      s"versioned: true is not supported for catalog-table sink '$table' — " +
+        "use a path sink (VersionedTable manages its own layout)")
     // insertInto matches by POSITION: align the pipeline output to the
     // table's declared column order by name, failing fast on a gap.
     def aligned(d: DataFrame): DataFrame = {
@@ -146,11 +151,40 @@ object Writer {
     * no rename-swap window.
     */
   private def versionedWrite(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    // Flipping `versioned: true` on a path that already holds PLAIN
+    // (non-manifest) data would silently start from empty — the old
+    // rows are invisible to the manifest protocol. Fail loudly; the
+    // migration is an explicit one-time versioned overwrite/merge of
+    // the old data read back by the caller.
+    if (VersionedTable.currentSnapshot(spark, sink.path).isEmpty) {
+      val p = new Path(sink.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith("data-") && !n.startsWith(".")
+          })
+        throw new IllegalStateException(
+          s"versioned sink '${sink.path}' already holds non-versioned data; " +
+            "bootstrap it explicitly (read the old data and write it as the " +
+            "first versioned commit) instead of silently ignoring it")
+    }
+    // Clustering makes three passes over its input (see basic()) — the
+    // merge plan must be materialized once per commit attempt, not
+    // recomputed per pass; released after the commit lands.
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def clustered(d: DataFrame): DataFrame =
-      if (sink.zorderBy.nonEmpty)
-        graft.operators.ZOrder.cluster(d, sink.zorderBy, sink.zorderFiles,
+      if (sink.zorderBy.nonEmpty) {
+        val m = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toRelease += m
+        graft.operators.ZOrder.cluster(m, sink.zorderBy, sink.zorderFiles,
           within = sink.partitionBy)
-      else d
+      } else d
+    try versionedWriteInner(spark, df, sink, clustered)
+    finally toRelease.foreach(_.unpersist(blocking = false))
+  }
+
+  private def versionedWriteInner(spark: SparkSession, df: DataFrame, sink: SinkSpec,
+                                  clustered: DataFrame => DataFrame): Unit = {
     sink.mode match {
       case Append =>
         // appends never copy the base: the delta lands in its own
@@ -162,8 +196,8 @@ object Writer {
       case _ => ()
     }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
-      case Append => base => // unreachable (routed to commitDelta above)
-        base.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df)
+      case Append => _ => throw new IllegalStateException(
+        "unreachable: Append commits through commitDelta")
       case Overwrite => _ => df
       case OverwritePartition => base =>
         base match {

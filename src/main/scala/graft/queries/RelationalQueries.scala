@@ -28,9 +28,12 @@ object RelationalQueries {
         Filter("l_shipdate >= timestamp'1995-01-01' AND l_shipdate < timestamp'1996-01-01' " +
           "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")))
       Pipeline(s, spec).run()
-        // 4dp product summed in exact 1e-4 units, integer HALF_UP to
-        // cents — immune to the ~sf10 round(sum(double),2) erosion.
-        .agg(expr("((sum(cast(round(l_extendedprice * l_discount * 10000) as bigint)) + 50) div 100) / 100.0D").as("revenue"),
+        // 4dp product summed in exact 1e-4 units, floor((x+50)/100) to
+        // cents — immune to the ~sf10 round(sum(double),2) erosion; the
+        // pmod term turns Spark's truncating `div` into floor division
+        // so a NEGATIVE total would also match DuckDB's flooring `//`.
+        .agg(expr("((sum(cast(round(l_extendedprice * l_discount * 10000) as bigint)) + 50" +
+          " - pmod(sum(cast(round(l_extendedprice * l_discount * 10000) as bigint)) + 50, 100)) div 100) / 100.0D").as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 

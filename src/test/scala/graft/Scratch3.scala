@@ -44,8 +44,10 @@ object Scratch3 {
           // OLD: double sum rounded at the end
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("old_disc"),
-          // NEW: exact 1e-4-unit integer sum, integer HALF_UP to cents
-          expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50) div 100) / 100.0D")
+          // NEW: exact 1e-4-unit integer sum, floor((x+50)/100) to cents
+          // (pmod makes `div` floor — the shipped q01/q02 formula)
+          expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50" +
+            " - pmod(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50, 100)) div 100) / 100.0D")
             .as("new_disc"),
           // EXACT reference: decimal arithmetic end to end
           sum((col("l_extendedprice").cast("decimal(18,2)") *
@@ -70,7 +72,8 @@ object Scratch3 {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             round(sum(expr("cast(round(l_extendedprice * 100) as bigint)")) / 100.0, 2).as("sum_base_price"),
-            expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50) div 100) / 100.0D").as("sum_disc_price"),
+            expr("((sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50" +
+              " - pmod(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) + 50, 100)) div 100) / 100.0D").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
           .coalesce(1).write.mode("overwrite").parquet("/tmp/sf1rep/q01_spark.parquet")

@@ -499,6 +499,11 @@ class YamlLoaderSuite extends SparkSpec {
     // the named form still addresses a declared source by name
     val named = paths(graft.Cli.applyInput(spec, Seq("ds=2024-06-01.csv")))
     assert(named("ds") == "/landing/2024-06-01.csv")
+    // a declared name with an ABSOLUTE value is the named form (the
+    // absolute input wins outright for THAT source)
+    val abs = paths(graft.Cli.applyInput(spec, Seq("countries=/ref/v2/eu.csv")))
+    assert(abs("countries") == "/ref/v2/eu.csv")
+    assert(abs("ds") == "/landing/ds.csv")
     // and a typo'd name in front of a file-like value still fails fast
     intercept[IllegalArgumentException] {
       graft.Cli.applyInput(spec, Seq("oders=x.csv"))
