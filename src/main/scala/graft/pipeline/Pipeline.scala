@@ -32,6 +32,12 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
           d
         case TableSource(_, table) => spark.table(table)
         case SqlSource(_, sql)     => spark.sql(sql)
+        case VersionedSource(_, path, format, version, since) =>
+          (version, since) match {
+            case (Some(v), _) => VersionedTable.readVersion(spark, path, v, format)
+            case (_, Some(s)) => VersionedTable.changesSince(spark, path, s, format)
+            case _            => VersionedTable.read(spark, path, format)
+          }
       }
       df.createOrReplaceTempView(src.name)
       loaded += src.name -> df

@@ -126,6 +126,33 @@ object VersionedTable {
     load(spark, rootP, format, dirs)
   }
 
+  /** Incremental read: the rows of data directories that joined the
+    * manifest AFTER `sinceVersion` — for an APPEND-ONLY history
+    * (commitDelta) this is exactly the data committed since that
+    * version, at O(new data) read cost, which is how a downstream
+    * pipeline consumes a growing corpus without rescanning it. A
+    * merge/overwrite/compaction commit REWRITES directories, so the
+    * rows after such a commit read as entirely new (there is no
+    * row-level diff on plain parquet — run incremental consumers
+    * against append-only tables, or diff snapshots explicitly).
+    * `sinceVersion` must still be in the manifest (not vacuumed).
+    */
+  def changesSince(spark: SparkSession, root: String, sinceVersion: Long,
+                   format: String = "parquet"): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version"))
+    val p = new Path(new Path(rootP, ManifestDir), f"v$sinceVersion%010d")
+    val oldDirs = readSmall(fs, p).filter(_.nonEmpty).map(parseDirs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $sinceVersion " +
+          "(never committed, or already vacuumed — incremental readers must " +
+          "keep up within the vacuum retention)")).toSet
+    val newDirs = cur.dataDirs.filterNot(oldDirs)
+    if (newDirs.isEmpty) load(spark, rootP, format, cur.dataDirs).limit(0)
+    else load(spark, rootP, format, newDirs)
+  }
+
   /** Atomically create `manifest` with `content`; false = another
     * committer won this version. Both branches publish COMPLETE
     * content in one atomic step — never create-then-write, which on a

@@ -168,6 +168,11 @@ object YamlLoader {
     str(m, "type").getOrElse("file") match {
       case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(""))
       case "table" => TableSource(name, str(m, "table_name").orElse(str(m, "table")).getOrElse(name))
+      case "versioned" => VersionedSource(name,
+        resolvePath(str(m, "path").getOrElse(""), defaults, "sources"),
+        str(m, "format").getOrElse("parquet"),
+        str(m, "version").map(_.toLong),
+        str(m, "since_version").map(_.toLong))
       case kind =>
         val d = defaults.sources.getOrElse(kind, SourceDefault())
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)

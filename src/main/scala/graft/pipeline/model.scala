@@ -24,6 +24,18 @@ final case class FileSource(
 final case class TableSource(name: String, table: String) extends SourceSpec
 /** SQL source (type='sql') — runs against already-registered views. */
 final case class SqlSource(name: String, sql: String) extends SourceSpec
+/** Versioned-table source (type='versioned', graft extension): reads a
+  * [[VersionedTable]] root — newest committed snapshot by default, a
+  * pinned `version` for reproducible reprocessing, or only the data
+  * added after `sinceVersion` (incremental consumption of an
+  * append-only history).
+  */
+final case class VersionedSource(
+    name: String,
+    path: String,
+    format: String = "parquet",
+    version: Option[Long] = None,
+    sinceVersion: Option[Long] = None) extends SourceSpec
 
 /** Column spec (pipeline_model.py ColumnSpec): rename (`from`→`name`),
   * cast to `dataType` (try_cast if `tryCast`), optional SQL `expression`

@@ -105,13 +105,19 @@ object EventStreams {
     * same keys).
     */
   def upsertSink(stream: DataFrame, path: String, checkpointDir: String,
-                 format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+                 format: String = "parquet",
+                 versioned: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // versioned=true commits each micro-batch through the manifest
+        // CAS: concurrent batch writers to the same table serialize,
+        // and downstream readers always see a complete snapshot
+        // instead of a mid-rewrite swap window
         graft.pipeline.Writer.write(batch.sparkSession, batch,
-          graft.pipeline.SinkSpec(path, format, graft.pipeline.MergeUpsert))
+          graft.pipeline.SinkSpec(path, format, graft.pipeline.MergeUpsert,
+            versioned = versioned))
       }
       .start()
 

@@ -317,6 +317,52 @@ class DdlSuite extends SparkSpec {
       Set(0L, 1L, 2L, 3L))
   }
 
+  test("versioned sink: changesSince reads only appended deltas") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt6").toString + "/t"
+    def snk = SinkSpec(root, mode = Append, versioned = true)
+    Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk)
+    Writer.write(spark, Seq((2L, "b"), (3L, "c")).toDF("hash_key", "v"), snk)
+    // incremental consumption: only version 2's delta directory
+    assert(VersionedTable.changesSince(spark, root, 1L).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // caught up: empty (schema preserved)
+    val upToDate = VersionedTable.changesSince(spark, root, 2L)
+    assert(upToDate.count() == 0L && upToDate.columns.toSeq == Seq("hash_key", "v"))
+    // a merge REWRITES directories — everything reads as new after it
+    Writer.write(spark, Seq((1L, "a2")).toDF("hash_key", "v"),
+      SinkSpec(root, mode = MergeUpsert, versioned = true))
+    assert(VersionedTable.changesSince(spark, root, 2L).count() == 3L)
+    // vacuumed-away since-version fails loudly, not silently-full
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changesSince(spark, root, 1L)
+    }
+  }
+
+  test("versioned source: YAML type=versioned reads snapshot, pinned version, and delta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt7").toString
+    val root = dir + "/t"
+    def snk = SinkSpec(root, mode = Append, versioned = true)
+    Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk)
+    Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk)
+    def run(extra: String): Long = {
+      val spec = YamlLoader.load(
+        s"""sources:
+           |  - name: s
+           |    type: versioned
+           |    path: $root
+           |$extra
+           |steps:
+           |  - type: filter
+           |    params: { where: "1 = 1" }
+           |""".stripMargin)
+      Pipeline(spark, spec).run().count()
+    }
+    assert(run("") == 2L)                       // newest snapshot
+    assert(run("    version: 1") == 1L)         // time travel
+    assert(run("    since_version: 1") == 1L)   // incremental
+  }
+
   test("versioned sink: YAML `versioned: true` routes the manifest commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vt3").toString
     val spec = YamlLoader.load(

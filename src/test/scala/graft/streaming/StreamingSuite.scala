@@ -111,6 +111,32 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versioned upsert sink: micro-batches land as manifest commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val dir = java.nio.file.Files.createTempDirectory("upsert_vsink").toString
+    val stream = mem.toDF().withColumn("hash_key", xxhash64(col("event_id")))
+    val q = EventStreams.upsertSink(stream, s"$dir/target", s"$dir/ckpt", versioned = true)
+    try {
+      mem.addData(
+        EventStreams.Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventStreams.Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventStreams.Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      import graft.pipeline.VersionedTable
+      val snap = VersionedTable.currentSnapshot(spark, s"$dir/target").get
+      assert(snap.version == 2L) // one manifest commit per micro-batch
+      val out = VersionedTable.read(spark, s"$dir/target").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+      assert(out == Map(1L -> 9.0, 2L -> 2.0))
+      // the pre-merge snapshot is still readable (time travel)
+      assert(VersionedTable.readVersion(spark, s"$dir/target", 1L).count() == 2L)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: dimension columns appear, stream rows preserved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
