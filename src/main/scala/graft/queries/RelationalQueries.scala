@@ -494,6 +494,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // q65: q61's exact semantics reached through the PURE-SQL surface —
+    // the GraftExtensions-injected parser plans GRAFT_ASOF(...) onto
+    // AsOfJoinExec, and the driver's oracle hash-checks that whole
+    // parser -> plan -> exec path end-to-end (q23 pins union+window,
+    // q61 the DataFrame facade, q65 the SQL statement: three routes,
+    // one oracle).
+    "q65_asof_sql" -> ((s, dir) => {
+      Relational.latestByKey(
+          t(s, dir, "orders"), Seq("o_custkey", "o_orderdate"), "o_orderkey", Nil)
+        .withColumnRenamed("o_custkey", "user_id")
+        .createOrReplaceTempView("asof65_ord")
+      t(s, dir, "events").createOrReplaceTempView("asof65_events")
+      s.sql("GRAFT_ASOF(asof65_events, asof65_ord, user_id, ts, o_orderdate, o_orderkey, o_totalprice)")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("matched_price"))
+        .orderBy("event_id")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -834,6 +852,17 @@ object RelationalQueries {
         |FROM ranked WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
 
     "q61_asof_native" ->
+      """WITH ord AS (
+        |  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, round(o.o_totalprice, 2) AS matched_price
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q65_asof_sql" ->
       """WITH ord AS (
         |  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
         |    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
