@@ -45,7 +45,14 @@ object Ddl {
     */
   def create(spark: SparkSession, spec: PipelineSpec): Unit = {
     val table = targetTable(spec)
-    if (!tableExists(spark, table)) createTarget(spark, spec, table)
+    // A VERSIONED catalog table has no physical table to create: its
+    // catalog face is a view over the current manifest snapshot,
+    // published by the first versioned commit (Writer →
+    // VersionedTable.syncCatalogView). Creating a managed table here
+    // would wedge that publish (CREATE OR REPLACE VIEW refuses to
+    // replace a table).
+    if (!spec.sink.exists(_.versioned) && !tableExists(spark, table))
+      createTarget(spark, spec, table)
     spec.validationLogTable
       .filterNot(tableExists(spark, _))
       .foreach(createValidationLog(spark, _))
@@ -119,6 +126,15 @@ object Ddl {
     */
   def update(spark: SparkSession, spec: PipelineSpec): Unit = {
     val table = targetTable(spec)
+    // Versioned catalog tables have no ALTER-able physical table: new
+    // columns ride the next versioned commit (the re-published view
+    // picks them up), and a PK change re-derives hash_key inside the
+    // next merge. Refuse rather than ALTER the view and corrupt it.
+    if (spec.sink.exists(_.versioned))
+      throw new IllegalStateException(
+        s"update does not apply to versioned catalog table '$table' — " +
+          "schema evolves through versioned commits (write with the new " +
+          "columns; the catalog view re-publishes per commit)")
     if (!tableExists(spark, table))
       throw new IllegalStateException(
         s"table '$table' does not exist — run create first")

@@ -288,6 +288,40 @@ object VersionedTable {
         "writer contention is pathological; retry with backoff or shard the table")
   }
 
+  /** Publish the CURRENT snapshot under a catalog name: `CREATE OR
+    * REPLACE VIEW name` over the snapshot's data directories, so
+    * `spark.table(name)` and pure SQL read the versioned table without
+    * knowing the manifest protocol — the catalog face of a versioned
+    * sink (reference table targets read back via the metastore,
+    * writer.py:40-100; graft's pointer lives in the view text instead
+    * of a Delta log). The replace is one metastore op, so readers flip
+    * between complete snapshots, never a partial directory list.
+    *
+    * Called after every versioned commit by [[Writer]]; each call
+    * re-reads the manifest, so concurrent committers syncing out of
+    * order leave the view at most transiently stale (the next commit
+    * re-syncs — exact-latest readers use [[read]], which consults the
+    * manifest directly). Multi-directory (append-delta) snapshots
+    * resolve through a `{d1,d2}` path glob; NOTE the plain view read
+    * infers its schema without parquet mergeSchema, so an ADDITIVE
+    * schema change in a delta becomes visible in the view after the
+    * next compaction or full-merge commit (readers needing it sooner
+    * set `spark.sql.parquet.mergeSchema=true` or use [[read]]).
+    */
+  def syncCatalogView(spark: SparkSession, name: String, root: String,
+                      format: String = "parquet"): Unit = {
+    val (_, rootP) = fsFor(spark, root)
+    val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalStateException(
+      s"cannot publish catalog view '$name': versioned table at $root has no committed version"))
+    val pathExpr =
+      if (snap.dataDirs.length == 1) s"$rootP/${snap.dataDirs.head}"
+      else s"$rootP/{${snap.dataDirs.mkString(",")}}"
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $name " +
+        s"COMMENT 'graft versioned table v${snap.version} at $root' " +
+        s"AS SELECT * FROM $format.`$pathExpr`")
+  }
+
   /** Retire history: keep the newest `keep` versions' pointers and data
     * directories; delete older pointers, then any `data-*` directory
     * that no surviving pointer references and whose modification time

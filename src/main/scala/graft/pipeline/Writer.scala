@@ -17,6 +17,17 @@ object Writer {
 
   def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     sink.table match {
+      // Versioned CATALOG table: the data commits through the path
+      // protocol (manifest CAS — concurrent merges serialize), then the
+      // snapshot is published under the catalog name as a view, so
+      // `spark.table(t)` / pure SQL read it like any table. This is the
+      // OCC story the plain insertInto table sink can't have.
+      case Some(t) if sink.versioned =>
+        require(sink.path.nonEmpty,
+          s"versioned catalog table '$t' needs a path (the storage root " +
+            "for its immutable version directories)")
+        versionedWrite(spark, df, sink)
+        VersionedTable.syncCatalogView(spark, t, sink.path, sink.format)
       case Some(t) if sink.path.isEmpty => writeTable(spark, df, sink, t)
       case _                            => writePath(spark, df, sink)
     }
@@ -38,12 +49,9 @@ object Writer {
     // silently ignore a requested clustering (use writeBucketed or a
     // path sink for layout-managed tables)
     require(sink.zorderBy.isEmpty,
-      s"zorder_by is not supported for catalog-table sink '$table' — use a file sink")
-    // same loud-failure contract: a requested commit protocol must
-    // never silently degrade to last-writer-wins insertInto
-    require(!sink.versioned,
-      s"versioned: true is not supported for catalog-table sink '$table' — " +
-        "use a path sink (VersionedTable manages its own layout)")
+      s"zorder_by is not supported for plain catalog-table sink '$table' — " +
+        "use a file sink, or add versioned: true + path (versioned catalog " +
+        "tables manage their own layout and support clustering)")
     // insertInto matches by POSITION: align the pipeline output to the
     // table's declared column order by name, failing fast on a gap.
     def aligned(d: DataFrame): DataFrame = {

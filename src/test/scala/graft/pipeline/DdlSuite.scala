@@ -385,6 +385,54 @@ class DdlSuite extends SparkSpec {
     assert(VersionedTable.read(spark, dir + "/out").count() == 1L)
   }
 
+  test("versioned catalog table: snapshot published as a view; merges serialize; DDL guards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vtc").toString + "/t"
+    val name = "vt_catalog_t1"
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    def snk(mode: WriteMode) =
+      SinkSpec(root, mode = mode, table = Some(name), versioned = true)
+    val pspec = PipelineSpec("vtc", Nil,
+      Seq(Transform(baseCols, Seq("id"), addControlColumns = true)),
+      sink = Some(snk(MergeUpsert)))
+    try {
+      // create is a no-op for the target: the catalog face is the view
+      // the first commit publishes, not a pre-made physical table
+      Ddl.create(spark, pspec)
+      assert(!spark.catalog.tableExists(name))
+      // seed commit → spark.table and pure SQL read v1 through the view
+      Writer.write(spark, Seq((1L, "a"), (2L, "b")).toDF("hash_key", "v"), snk(Overwrite))
+      assert(spark.table(name).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a", 2L -> "b"))
+      assert(spark.sql(s"SELECT v FROM $name WHERE hash_key = 2").as[String].head() == "b")
+      // merge re-publishes; the view follows the new snapshot
+      Writer.write(spark, Seq((2L, "b2"), (3L, "c")).toDF("hash_key", "v"), snk(MergeUpsert))
+      assert(spark.table(name).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+      // append = multi-directory snapshot → the view resolves the glob
+      Writer.write(spark, Seq((4L, "d")).toDF("hash_key", "v"), snk(Append))
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+      // concurrent merges through the CATALOG sink: all land, serialized,
+      // and the view ends at the final snapshot
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val done = Seq((1L, "a2"), (5L, "e")).map { case (k, v) => Future {
+        Writer.write(spark, Seq((k, v)).toDF("hash_key", "v"), snk(MergeUpsert))
+      }}
+      Await.result(Future.sequence(done), scala.concurrent.duration.Duration(300, "s"))
+      assert(spark.table(name).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d", 5L -> "e"))
+      // versions stay time-travelable underneath the view
+      assert(VersionedTable.readVersion(spark, root, 1L).count() == 2L)
+      // DDL guards: update refuses (no ALTER-able table); a versioned
+      // catalog sink without a storage path fails loudly
+      intercept[IllegalStateException] { Ddl.update(spark, pspec) }
+      intercept[IllegalArgumentException] {
+        Writer.write(spark, Seq((9L, "z")).toDF("hash_key", "v"),
+          SinkSpec("", table = Some(name), versioned = true))
+      }
+    } finally spark.sql(s"DROP VIEW IF EXISTS $name")
+  }
+
   private def sha2Hex(s: String): String = {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
