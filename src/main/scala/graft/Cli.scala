@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefaults, ProjectConfig, YamlLoader}
+import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefaults, ProjectConfig, VersionedTable, YamlLoader}
 
 /** CLI — graft's equivalent of drune's `drune run/create/update/test`
   * (reference: src/drune/cli/main.py:34-75): load a YAML pipeline spec
@@ -13,6 +13,14 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli create <pipeline.yml> ...   # DDL: target + validation-log tables
   *   graft.Cli update <pipeline.yml> ...   # schema evolution + hash_key reprocess
   *   graft.Cli test   <pipeline.yml> ...   # fixture run vs expected dataset
+  *
+  * Versioned-table maintenance (the lakehouse DESCRIBE HISTORY /
+  * VACUUM / OPTIMIZE triple, over the manifest protocol — no pipeline
+  * spec involved, the argument is the table's storage root):
+  *   graft.Cli history <root> [--cores N]
+  *   graft.Cli vacuum  <root> [--keep N] [--grace-hours H] [--cores N]
+  *   graft.Cli compact <root> [--format f] [--partition-by a,b]
+  *                            [--table name] [--cores N]
   *
   * (The reference also registers an `init` command, but its
   * Pipeline.init target does not exist — cli/main.py:81-89 calls an
@@ -38,11 +46,48 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
+    case action :: root :: rest if Set("history", "vacuum", "compact")(action) =>
+      val cores = opt(rest, "--cores").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors())
+      // Hive support for the same reason as the pipeline actions: a
+      // `compact --table` re-publish must reach the persistent catalog.
+      val spark = GraftSession.tune(
+        SparkSession.builder().master(s"local[$cores]").enableHiveSupport(), cores)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try executeTable(spark, action, root, rest)
+      finally spark.stop()
     case _ =>
       System.err.println(
-        "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]")
+        "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
+          "       graft.Cli history|vacuum|compact <versioned-table-root> [options]")
       sys.exit(2)
   }
+
+  /** Versioned-table maintenance actions (see the usage block). */
+  private[graft] def executeTable(spark: SparkSession, action: String,
+                                  root: String, rest: List[String]): Unit =
+    action match {
+      case "history" =>
+        val h = VersionedTable.history(spark, root)
+        if (h.isEmpty) println(s"[graft] no committed versions at $root")
+        else h.foreach(v => println(
+          s"[graft] v${v.version}  ${v.committedAt}  ${v.dataDirs.length} dir(s)  " +
+            v.dataDirs.mkString(", ")))
+      case "vacuum" =>
+        val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
+        val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)
+        VersionedTable.vacuum(spark, root, keep, (grace * 3600 * 1000).toLong)
+        println(s"[graft] vacuumed $root (kept newest $keep version(s))")
+      case "compact" =>
+        val fmt = opt(rest, "--format").getOrElse("parquet")
+        val parts = opt(rest, "--partition-by").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val v = VersionedTable.compact(spark, root, fmt, parts)
+        // keep the catalog face (if any) on the compacted snapshot
+        opt(rest, "--table").foreach(VersionedTable.syncCatalogView(spark, _, root, fmt))
+        println(s"[graft] compacted $root at v$v")
+    }
 
   /** `--input <file>` / `--input name=<file>`: drune's dynamic paths
     * (core/pipeline.py:119-141, src_paths keyed by source NAME).

@@ -288,6 +288,54 @@ object VersionedTable {
         "writer contention is pathological; retry with backoff or shard the table")
   }
 
+  /** One committed version in [[history]]: its number, the manifest
+    * pointer's modification time (= publish instant), and the data
+    * directories it references.
+    */
+  final case class VersionInfo(version: Long, committedAt: java.sql.Timestamp,
+                               dataDirs: Seq[String])
+
+  /** Commit history, oldest first — the time-travel index (what
+    * `DESCRIBE HISTORY` is on a lakehouse table). Reads only manifest
+    * pointers (O(versions), no data I/O); versions already vacuumed
+    * away do not appear.
+    */
+  def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val mdir = new Path(rootP, ManifestDir)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case ManifestName(n) =>
+            readSmall(fs, st.getPath).filter(_.nonEmpty).map(c =>
+              VersionInfo(n.toLong, new java.sql.Timestamp(st.getModificationTime),
+                parseDirs(c)))
+          case _ => None
+        }
+      }
+      .sortBy(_.version)
+  }
+
+  /** Compact the current snapshot into ONE data directory, committed as
+    * a new version through the same CAS loop (OPTIMIZE for the
+    * append-delta layout): read-side file/directory counts reset
+    * without blocking writers — a concurrent append either lands before
+    * (its delta is folded in) or after (it references the compacted
+    * dir). No-op (returns the current version) when the snapshot is
+    * already a single directory.
+    */
+  def compact(spark: SparkSession, root: String, format: String = "parquet",
+              partitionBy: Seq[String] = Nil): Long = {
+    val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version to compact"))
+    if (snap.dataDirs.length <= 1) snap.version
+    else commit(spark, root, format,
+      base => base.getOrElse(throw new IllegalStateException(
+        s"versioned table at $root vanished mid-compaction")),
+      partitionBy)
+  }
+
   /** Publish the CURRENT snapshot under a catalog name: `CREATE OR
     * REPLACE VIEW name` over the snapshot's data directories, so
     * `spark.table(name)` and pure SQL read the versioned table without

@@ -433,6 +433,36 @@ class DdlSuite extends SparkSpec {
     } finally spark.sql(s"DROP VIEW IF EXISTS $name")
   }
 
+  test("versioned maintenance: history lists commits, compact folds deltas, cli actions drive both") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vtm").toString + "/t"
+    def snk = SinkSpec(root, mode = Append, versioned = true)
+    Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk)
+    Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk)
+    val h = VersionedTable.history(spark, root)
+    assert(h.map(_.version) == Seq(1L, 2L))
+    assert(h.last.dataDirs.length == 2) // append referenced both dirs
+    assert(h.forall(_.committedAt.getTime > 0))
+    // compact folds the two delta dirs into one, as a NEW version
+    val cv = VersionedTable.compact(spark, root)
+    assert(cv == 3L)
+    val afterCompact = VersionedTable.currentSnapshot(spark, root).get
+    assert(afterCompact.dataDirs.length == 1)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // single-dir snapshot: compact is a no-op, same version back
+    assert(VersionedTable.compact(spark, root) == 3L)
+    // vacuumed versions drop out of history
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(VersionedTable.history(spark, root).map(_.version) == Seq(3L))
+    // the CLI actions drive the same paths (arg parsing + output)
+    graft.Cli.executeTable(spark, "history", root, Nil)
+    Writer.write(spark, Seq((3L, "c")).toDF("hash_key", "v"), snk)
+    graft.Cli.executeTable(spark, "compact", root, List("--format", "parquet"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs.length == 1)
+    graft.Cli.executeTable(spark, "vacuum", root, List("--keep", "1", "--grace-hours", "0"))
+    assert(VersionedTable.history(spark, root).length == 1)
+    assert(VersionedTable.read(spark, root).count() == 3L)
+  }
+
   private def sha2Hex(s: String): String = {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
