@@ -50,8 +50,20 @@ object Ddl {
     // published by the first versioned commit (Writer →
     // VersionedTable.syncCatalogView). Creating a managed table here
     // would wedge that publish (CREATE OR REPLACE VIEW refuses to
-    // replace a table).
-    if (!spec.sink.exists(_.versioned) && !tableExists(spark, table))
+    // replace a table). And if the name ALREADY holds a physical table
+    // (a plain sink being migrated to versioned: true), fail here —
+    // not after the first commit's data has already landed.
+    if (spec.sink.exists(_.versioned)) {
+      if (tableExists(spark, table) &&
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(table)
+          ).tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+        throw new IllegalStateException(
+          s"'$table' exists as a physical table but the sink is versioned — " +
+            "migrate explicitly: read the old table, write it as the first " +
+            "versioned commit to the sink path, then DROP the table so the " +
+            "catalog view can take the name")
+    } else if (!tableExists(spark, table))
       createTarget(spark, spec, table)
     spec.validationLogTable
       .filterNot(tableExists(spark, _))

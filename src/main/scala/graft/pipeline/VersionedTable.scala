@@ -73,28 +73,40 @@ object VersionedTable {
   private def parseDirs(content: String): Seq[String] =
     content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** All manifest pointers under the root, unordered: (version, path,
+    * modification time). The single place that knows the pointer
+    * naming scheme — every reader (snapshot, history, vacuum) walks
+    * through here.
+    */
+  private def listManifests(fs: FileSystem, rootP: Path): Seq[(Long, Path, Long)] = {
+    val mdir = new Path(rootP, ManifestDir)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestName(n) => Some((n.toLong, st.getPath, st.getModificationTime))
+      case _ => None
+    })
+  }
+
+  /** Data dirs a specific version's pointer references, with the
+    * in-flight-publish retry (a pointer that reads back empty is an
+    * HDFS create whose content isn't visible yet: re-read once).
+    */
+  private def dirsOf(fs: FileSystem, rootP: Path, version: Long): Option[Seq[String]] = {
+    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
+    readSmall(fs, p).filter(_.nonEmpty)
+      .orElse { Thread.sleep(50); readSmall(fs, p).filter(_.nonEmpty) }
+      .map(parseDirs)
+  }
+
   /** Newest committed snapshot, or None for an empty/absent table.
-    * A pointer file that reads back empty is an in-flight HDFS publish
-    * (created, content not yet visible): re-read once, then fall back
-    * to the next-lower version rather than failing the read.
+    * An unreadable newest pointer falls back to the next-lower version
+    * rather than failing the read.
     */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    val mdir = new Path(rootP, ManifestDir)
-    if (!fs.exists(mdir)) None
-    else {
-      val versions = fs.listStatus(mdir).toSeq
-        .flatMap(st => st.getPath.getName match {
-          case ManifestName(n) => Some(n.toLong -> st.getPath)
-          case _ => None
-        })
-        .sortBy(-_._1)
-      versions.iterator.flatMap { case (v, p) =>
-        readSmall(fs, p).filter(_.nonEmpty)
-          .orElse { Thread.sleep(50); readSmall(fs, p).filter(_.nonEmpty) }
-          .map(c => Snapshot(v, parseDirs(c)))
-      }.nextOption()
-    }
+    listManifests(fs, rootP).sortBy(-_._1).iterator
+      .flatMap { case (v, _, _) => dirsOf(fs, rootP, v).map(Snapshot(v, _)) }
+      .nextOption()
   }
 
   private def load(spark: SparkSession, rootP: Path, format: String,
@@ -119,8 +131,7 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, version: Long,
                   format: String = "parquet"): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
-    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
-    val dirs = readSmall(fs, p).filter(_.nonEmpty).map(parseDirs)
+    val dirs = dirsOf(fs, rootP, version)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $version"))
     load(spark, rootP, format, dirs)
@@ -142,14 +153,17 @@ object VersionedTable {
     val (fs, rootP) = fsFor(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version"))
-    val p = new Path(new Path(rootP, ManifestDir), f"v$sinceVersion%010d")
-    val oldDirs = readSmall(fs, p).filter(_.nonEmpty).map(parseDirs)
+    val oldDirs = dirsOf(fs, rootP, sinceVersion)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $sinceVersion " +
           "(never committed, or already vacuumed — incremental readers must " +
           "keep up within the vacuum retention)")).toSet
     val newDirs = cur.dataDirs.filterNot(oldDirs)
-    if (newDirs.isEmpty) load(spark, rootP, format, cur.dataDirs).limit(0)
+    // caught up: an empty frame whose schema comes from the NEWEST dir
+    // only — a polling consumer hits this branch every cycle, and
+    // loading all dirs with mergeSchema here would read every footer in
+    // the table per no-op poll
+    if (newDirs.isEmpty) load(spark, rootP, format, Seq(cur.dataDirs.last)).limit(0)
     else load(spark, rootP, format, newDirs)
   }
 
@@ -302,19 +316,16 @@ object VersionedTable {
     */
   def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
     val (fs, rootP) = fsFor(spark, root)
-    val mdir = new Path(rootP, ManifestDir)
-    if (!fs.exists(mdir)) Nil
-    else fs.listStatus(mdir).toSeq
-      .flatMap { st =>
-        st.getPath.getName match {
-          case ManifestName(n) =>
-            readSmall(fs, st.getPath).filter(_.nonEmpty).map(c =>
-              VersionInfo(n.toLong, new java.sql.Timestamp(st.getModificationTime),
-                parseDirs(c)))
-          case _ => None
-        }
-      }
-      .sortBy(_.version)
+    listManifests(fs, rootP).sortBy(_._1).map { case (v, _, mtime) =>
+      // a hole in an audit listing must be LOUD: silently skipping an
+      // unreadable pointer would be indistinguishable from a vacuumed
+      // version (vacuum aborts on the same condition for the same
+      // reason); dirsOf already retried the in-flight-publish case
+      val dirs = dirsOf(fs, rootP, v).getOrElse(throw new IllegalStateException(
+        s"history at $root: manifest v$v is unreadable — transient store " +
+          "failure or an in-flight publish; retry"))
+      VersionInfo(v, new java.sql.Timestamp(mtime), dirs)
+    }
   }
 
   /** Compact the current snapshot into ONE data directory, committed as
@@ -330,11 +341,39 @@ object VersionedTable {
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version to compact"))
     if (snap.dataDirs.length <= 1) snap.version
-    else commit(spark, root, format,
-      base => base.getOrElse(throw new IllegalStateException(
-        s"versioned table at $root vanished mid-compaction")),
-      partitionBy)
+    else {
+      val v = commit(spark, root, format,
+        base => base.getOrElse(throw new IllegalStateException(
+          s"versioned table at $root vanished mid-compaction")),
+        partitionBy)
+      // a table with a catalog face keeps it current automatically —
+      // otherwise a later vacuum would delete directories the stale
+      // view still globs, breaking spark.table(name) until the next
+      // pipeline write
+      catalogName(spark, root).foreach(syncCatalogView(spark, _, root, format))
+      v
+    }
   }
+
+  private val CatalogMarker = "_catalog"
+
+  /** The catalog view name recorded for this table (written by
+    * [[syncCatalogView]]), if any — how maintenance operations that are
+    * given only the storage root (CLI compact/vacuum) find the view
+    * they must keep in sync.
+    */
+  def catalogName(spark: SparkSession, root: String): Option[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    catalogFace(fs, rootP).map(_._1)
+  }
+
+  /** Marker content: view name + newline + format. */
+  private def catalogFace(fs: FileSystem, rootP: Path): Option[(String, String)] =
+    readSmall(fs, new Path(new Path(rootP, ManifestDir), CatalogMarker)).flatMap { c =>
+      val lines = c.split("\n").map(_.trim)
+      lines.headOption.filter(_.nonEmpty)
+        .map(_ -> lines.drop(1).headOption.filter(_.nonEmpty).getOrElse("parquet"))
+    }
 
   /** Publish the CURRENT snapshot under a catalog name: `CREATE OR
     * REPLACE VIEW name` over the snapshot's data directories, so
@@ -358,16 +397,31 @@ object VersionedTable {
     */
   def syncCatalogView(spark: SparkSession, name: String, root: String,
                       format: String = "parquet"): Unit = {
-    val (_, rootP) = fsFor(spark, root)
+    val (fs, rootP) = fsFor(spark, root)
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalStateException(
       s"cannot publish catalog view '$name': versioned table at $root has no committed version"))
     val pathExpr =
       if (snap.dataDirs.length == 1) s"$rootP/${snap.dataDirs.head}"
       else s"$rootP/{${snap.dataDirs.mkString(",")}}"
+    // quote/escape everything interpolated into the statement: the view
+    // name goes through backticks per part (a dotted name is a
+    // db-qualified identifier), literals double their quotes — a root
+    // path with an apostrophe must not fail the publish AFTER the data
+    // commit landed
+    val quotedName = name.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val comment = s"graft versioned table v${snap.version} at $root".replace("'", "''")
     spark.sql(
-      s"CREATE OR REPLACE VIEW $name " +
-        s"COMMENT 'graft versioned table v${snap.version} at $root' " +
-        s"AS SELECT * FROM $format.`$pathExpr`")
+      s"CREATE OR REPLACE VIEW $quotedName " +
+        s"COMMENT '$comment' " +
+        s"AS SELECT * FROM $format.`${pathExpr.replace("`", "``")}`")
+    // record the catalog face next to the manifest so maintenance ops
+    // given only the root (compact/vacuum) can keep the view current;
+    // plain overwrite — last published name wins, it's metadata, not a
+    // commit
+    val marker = new Path(new Path(rootP, ManifestDir), CatalogMarker)
+    val out = fs.create(marker, true)
+    try out.write(s"$name\n$format".getBytes("UTF-8")) finally out.close()
   }
 
   /** Retire history: keep the newest `keep` versions' pointers and data
@@ -379,15 +433,14 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, keep: Int = 3,
              graceMs: Long = 3600L * 1000): Unit = {
     require(keep >= 1, "vacuum must keep at least the current version")
+    // grace 0 is legitimate ONLY when no writer can be concurrent (a
+    // negative grace would even delete dirs committed in the future of
+    // a skewed clock — always a bug)
+    require(graceMs >= 0, "vacuum grace must be >= 0")
     val (fs, rootP) = fsFor(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     if (!fs.exists(mdir)) return
-    val manifests = fs.listStatus(mdir).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestName(n) => Some(n.toLong -> st.getPath)
-        case _ => None
-      })
-      .sortBy(-_._1)
+    val manifests = listManifests(fs, rootP).map(m => (m._1, m._2)).sortBy(-_._1)
     val (kept, retired) = manifests.splitAt(keep)
     // Every kept pointer MUST read back: a transient failure here would
     // silently shrink the referenced set and the sweep below would
@@ -398,6 +451,13 @@ object VersionedTable {
         s"vacuum aborted: manifest v$v at $root is unreadable — " +
           "re-run when the store is healthy (nothing was deleted)")).toSet
     }.toSet
+    // a stale catalog view may still glob directories this sweep is
+    // about to delete (e.g. a compact ran without knowing the view, or
+    // the marker was written by a later writer): re-publish it onto the
+    // CURRENT snapshot first so readers never resolve deleted paths
+    catalogFace(fs, rootP).foreach { case (name, fmt) =>
+      syncCatalogView(spark, name, root, fmt)
+    }
     retired.foreach { case (_, p) => fs.delete(p, false) }
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootP)

@@ -168,11 +168,22 @@ object YamlLoader {
     str(m, "type").getOrElse("file") match {
       case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(""))
       case "table" => TableSource(name, str(m, "table_name").orElse(str(m, "table")).getOrElse(name))
-      case "versioned" => VersionedSource(name,
-        resolvePath(str(m, "path").getOrElse(""), defaults, "sources"),
-        str(m, "format").getOrElse("parquet"),
-        str(m, "version").map(_.toLong),
-        str(m, "since_version").map(_.toLong))
+      case "versioned" =>
+        // fail at LOAD time with the source named — an empty path would
+        // otherwise surface as a context-free Hadoop error from deep
+        // inside the manifest read, and version + since_version together
+        // would silently read a full snapshot where the user expected a
+        // delta (the conflicting-config contract everywhere else is a
+        // loud require)
+        val vPath = resolvePath(str(m, "path").getOrElse(throw new IllegalArgumentException(
+          s"versioned source '$name': path is required (the table's storage root)")),
+          defaults, "sources")
+        val pin = str(m, "version").map(_.toLong)
+        val since = str(m, "since_version").map(_.toLong)
+        require(pin.isEmpty || since.isEmpty,
+          s"versioned source '$name': version and since_version are mutually " +
+            "exclusive (pin a snapshot OR read a delta, not both)")
+        VersionedSource(name, vPath, str(m, "format").getOrElse("parquet"), pin, since)
       case kind =>
         val d = defaults.sources.getOrElse(kind, SourceDefault())
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)

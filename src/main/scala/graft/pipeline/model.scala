@@ -35,7 +35,11 @@ final case class VersionedSource(
     path: String,
     format: String = "parquet",
     version: Option[Long] = None,
-    sinceVersion: Option[Long] = None) extends SourceSpec
+    sinceVersion: Option[Long] = None) extends SourceSpec {
+  require(path.nonEmpty, s"versioned source '$name': path is required")
+  require(version.isEmpty || sinceVersion.isEmpty,
+    s"versioned source '$name': version and sinceVersion are mutually exclusive")
+}
 
 /** Column spec (pipeline_model.py ColumnSpec): rename (`from`→`name`),
   * cast to `dataType` (try_cast if `tryCast`), optional SQL `expression`

@@ -433,6 +433,52 @@ class DdlSuite extends SparkSpec {
     } finally spark.sql(s"DROP VIEW IF EXISTS $name")
   }
 
+  test("versioned catalog table: maintenance keeps the view readable; migration + config guards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vtg").toString + "/t"
+    val name = "vt_catalog_t2"
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    def snk(mode: WriteMode) =
+      SinkSpec(root, mode = mode, table = Some(name), versioned = true)
+    try {
+      // two appends → multi-dir snapshot behind the view
+      Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk(Append))
+      Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk(Append))
+      assert(VersionedTable.catalogName(spark, root).contains(name))
+      // compact given ONLY the root finds the view via the marker and
+      // re-publishes it; vacuum then retires the old dirs — the view
+      // must keep reading (a stale glob over deleted dirs would throw)
+      VersionedTable.compact(spark, root)
+      VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // migration guard: a physical table occupying the name fails
+      // create BEFORE any data commits
+      val tbl = "vt_catalog_phys"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT) USING parquet")
+      val pspec = PipelineSpec("vtg", Nil,
+        Seq(Transform(baseCols, Seq("id"), addControlColumns = true)),
+        sink = Some(SinkSpec(root, mode = MergeUpsert, table = Some(tbl), versioned = true)))
+      intercept[IllegalStateException] { Ddl.create(spark, pspec) }
+      spark.sql(s"DROP TABLE $tbl")
+      // config guards: version/since_version conflict and missing path
+      // fail at construction, not mid-read
+      intercept[IllegalArgumentException] {
+        VersionedSource("s", root, version = Some(1L), sinceVersion = Some(1L))
+      }
+      intercept[IllegalArgumentException] { VersionedSource("s", "") }
+      intercept[IllegalArgumentException] {
+        YamlLoader.load(
+          s"""sources:
+             |  - name: s
+             |    type: versioned
+             |""".stripMargin)
+      }
+      intercept[IllegalArgumentException] {
+        VersionedTable.vacuum(spark, root, keep = 1, graceMs = -1L)
+      }
+    } finally spark.sql(s"DROP VIEW IF EXISTS $name")
+  }
+
   test("versioned maintenance: history lists commits, compact folds deltas, cli actions drive both") {
     val root = java.nio.file.Files.createTempDirectory("graft_vtm").toString + "/t"
     def snk = SinkSpec(root, mode = Append, versioned = true)
