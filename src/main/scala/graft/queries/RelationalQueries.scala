@@ -512,6 +512,48 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // q66: the VERSIONED COMMIT PROTOCOL under the oracle gate — q15's
+    // exact upsert semantics, but run as two real manifest commits
+    // (overwrite seed → CAS publish v1, merge fixes → re-merge plan +
+    // CAS publish v2) against a scratch root, then read back through
+    // the manifest. The driver's hash check covers the whole
+    // write→commit→snapshot-read loop, the way q61 covers the native
+    // exec. (Commits run at plan-construction; the returned frame reads
+    // the committed snapshot lazily — the scratch root must outlive the
+    // query, so it lives in the JVM temp dir, not a deleted-on-return
+    // directory.)
+    "q66_versioned_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q66").toString + "/t"
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      val fixes = orders.where(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+          expr("((__cents * 105 + 50) div 100) / 100.0D").as("price"), lit("fix").as("src"))
+      Writer.write(s, base, SinkSpec(root, mode = Overwrite, versioned = true))
+      Writer.write(s, fixes, SinkSpec(root, mode = MergeUpsert, versioned = true))
+      VersionedTable.read(s, root)
+        .select(col("hash_key").as("o_orderkey"), col("o_custkey"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
+    // q67: O(delta) APPENDS + INCREMENTAL READ under the oracle gate —
+    // two append commits land in their own directories (pointer-only
+    // publishes), and changesSince(v1) must return EXACTLY the second
+    // batch: the incremental-consumption contract a downstream pipeline
+    // relies on to avoid rescanning a growing corpus.
+    "q67_versioned_delta" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q67").toString + "/t"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(root, mode = Append, versioned = true))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(root, mode = Append, versioned = true))
+      VersionedTable.changesSince(s, root, 1L).orderBy("o_orderkey")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -872,6 +914,18 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q66_versioned_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 0
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_custkey % 10 = 0 THEN 'fix' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q67_versioned_delta" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,
