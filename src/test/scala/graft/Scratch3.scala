@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *  3. streaming windowed top-k state: 10M events through
   *     EventStreams.windowedTopK with out-of-order data — state rows
   *     must stay O(open windows), not O(events) or O(distinct).
+  *  4. versioned-table cost model at 10M rows: append commits must be
+  *     O(delta) in both time and bytes (vs the O(table) full-copy
+  *     merge), the caught-up changesSince poll must cost O(1)
+  *     directories, and compact folds the delta dirs back into one.
   */
 object Scratch3 {
   def main(args: Array[String]): Unit = {
@@ -165,6 +169,56 @@ object Scratch3 {
       q.stop()
       assert(so.numRowsTotal <= batches + 10,
         s"state must be O(open windows), got ${so.numRowsTotal} rows")
+    }
+
+    // ---------- probe 4: versioned-table cost model ----------
+    if (which == "all" || which == "versioned") {
+      import graft.pipeline.{Append, Overwrite, SinkSpec, VersionedTable, Writer}
+      val root = "/tmp/zprobe/vt_" + System.nanoTime() + "/t"
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val big = ev.crossJoin(spark.range(100).select(col("id").as("__r")))
+        .select((col("event_id") * 100 + col("__r")).as("event_id"),
+          col("user_id"), col("value"))
+      val delta = ev.where(col("event_id") % 100 === 0) // ~0.01% of the table
+      def bytesUnder(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(hp).getLength
+      }
+      time(s"seed overwrite, 10M rows") {
+        Writer.write(spark, big, SinkSpec(root, mode = Overwrite, versioned = true)); "ok"
+      }
+      val tableBytes = bytesUnder(root)
+      val nAppends = 5
+      val t0 = System.nanoTime()
+      (1 to nAppends).foreach { _ =>
+        Writer.write(spark, delta, SinkSpec(root, mode = Append, versioned = true))
+      }
+      val perAppend = (System.nanoTime() - t0) / 1e9 / nAppends
+      val afterAppends = bytesUnder(root)
+      println(f"[scratch3] versioned: table ${tableBytes / 1e6}%.0f MB; $nAppends%d appends " +
+        f"of ~1k rows: ${perAppend}%.2f s each, +${(afterAppends - tableBytes) / 1e3}%.0f KB total " +
+        f"(delta bytes only — a full-copy append would add ${tableBytes / 1e6}%.0f MB EACH)")
+      // compact while the snapshot is still multi-directory (the merge
+      // below would fold it implicitly and turn this into a no-op)
+      println(s"[scratch3] versioned: dirs before compact = " +
+        VersionedTable.currentSnapshot(spark, root).get.dataDirs.length)
+      time("compact (folds all dirs into one)") {
+        VersionedTable.compact(spark, root)
+      }
+      println(s"[scratch3] versioned: dirs after compact = " +
+        VersionedTable.currentSnapshot(spark, root).get.dataDirs.length)
+      // contrast: the same delta as a full-copy merge commit (O(table))
+      time("same delta as full-copy merge commit (O(table) contrast)") {
+        VersionedTable.commit(spark, root, "parquet",
+          base => base.get.unionByName(delta)); "ok"
+      }
+      // caught-up incremental poll: O(1) directories, no table scan
+      val curV = VersionedTable.currentSnapshot(spark, root).get.version
+      time("changesSince caught-up poll (count)") {
+        VersionedTable.changesSince(spark, root, curV).count()
+      }
     }
 
     spark.stop()
