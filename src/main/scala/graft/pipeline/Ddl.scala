@@ -54,10 +54,16 @@ object Ddl {
     // (a plain sink being migrated to versioned: true), fail here —
     // not after the first commit's data has already landed.
     if (spec.sink.exists(_.versioned)) {
-      if (tableExists(spark, table) &&
-          spark.sessionState.catalog.getTableMetadata(
-            spark.sessionState.sqlParser.parseTableIdentifier(table)
-          ).tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      // metastore lookup, not tableExists: a TEMP view under this name
+      // satisfies tableExists but has no metastore entry — it shadows
+      // reads but does not block the persistent-view publish, so it
+      // must not trip (or crash) this guard
+      val physicalTable =
+        try spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)
+        ).tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (physicalTable)
         throw new IllegalStateException(
           s"'$table' exists as a physical table but the sink is versioned — " +
             "migrate explicitly: read the old table, write it as the first " +

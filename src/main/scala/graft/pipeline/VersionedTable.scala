@@ -93,7 +93,11 @@ object VersionedTable {
     */
   private def dirsOf(fs: FileSystem, rootP: Path, version: Long): Option[Seq[String]] = {
     val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
-    readSmall(fs, p).filter(_.nonEmpty)
+    // the retry is for a pointer that EXISTS but reads empty (in-flight
+    // HDFS publish) — a missing pointer is just missing; don't tax every
+    // no-such-version error path with a sleep and a second read
+    if (!fs.exists(p)) None
+    else readSmall(fs, p).filter(_.nonEmpty)
       .orElse { Thread.sleep(50); readSmall(fs, p).filter(_.nonEmpty) }
       .map(parseDirs)
   }
@@ -162,7 +166,10 @@ object VersionedTable {
     // caught up: an empty frame whose schema comes from the NEWEST dir
     // only — a polling consumer hits this branch every cycle, and
     // loading all dirs with mergeSchema here would read every footer in
-    // the table per no-op poll
+    // the table per no-op poll. This matches the DELTA-read contract: a
+    // non-caught-up read's schema is the union of the NEW dirs only, so
+    // a consumer depending on a column that exists only in older dirs
+    // fails the same way on both branches (not just the caught-up one)
     if (newDirs.isEmpty) load(spark, rootP, format, Seq(cur.dataDirs.last)).limit(0)
     else load(spark, rootP, format, newDirs)
   }
@@ -316,15 +323,19 @@ object VersionedTable {
     */
   def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
     val (fs, rootP) = fsFor(spark, root)
-    listManifests(fs, rootP).sortBy(_._1).map { case (v, _, mtime) =>
-      // a hole in an audit listing must be LOUD: silently skipping an
-      // unreadable pointer would be indistinguishable from a vacuumed
-      // version (vacuum aborts on the same condition for the same
-      // reason); dirsOf already retried the in-flight-publish case
-      val dirs = dirsOf(fs, rootP, v).getOrElse(throw new IllegalStateException(
-        s"history at $root: manifest v$v is unreadable — transient store " +
-          "failure or an in-flight publish; retry"))
-      VersionInfo(v, new java.sql.Timestamp(mtime), dirs)
+    listManifests(fs, rootP).sortBy(_._1).flatMap { case (v, p, mtime) =>
+      // a pointer that DISAPPEARED since the listing is a concurrent
+      // vacuum retiring it — drop it from the listing like vacuum
+      // itself would have; a pointer that exists but is unreadable is a
+      // hole in the audit trail and must be LOUD (vacuum aborts on the
+      // same condition for the same reason)
+      dirsOf(fs, rootP, v) match {
+        case Some(dirs) => Some(VersionInfo(v, new java.sql.Timestamp(mtime), dirs))
+        case None if !fs.exists(p) => None
+        case None => throw new IllegalStateException(
+          s"history at $root: manifest v$v is unreadable — transient store " +
+            "failure or an in-flight publish; retry")
+      }
     }
   }
 
@@ -346,11 +357,11 @@ object VersionedTable {
         base => base.getOrElse(throw new IllegalStateException(
           s"versioned table at $root vanished mid-compaction")),
         partitionBy)
-      // a table with a catalog face keeps it current automatically —
+      // a table with a LIVE catalog face keeps it current automatically —
       // otherwise a later vacuum would delete directories the stale
       // view still globs, breaking spark.table(name) until the next
       // pipeline write
-      catalogName(spark, root).foreach(syncCatalogView(spark, _, root, format))
+      syncIfLinked(spark, root)
       v
     }
   }
@@ -416,12 +427,38 @@ object VersionedTable {
         s"COMMENT '$comment' " +
         s"AS SELECT * FROM $format.`${pathExpr.replace("`", "``")}`")
     // record the catalog face next to the manifest so maintenance ops
-    // given only the root (compact/vacuum) can keep the view current;
-    // plain overwrite — last published name wins, it's metadata, not a
-    // commit
+    // given only the root (compact/vacuum) can keep the view current.
+    // Last published name wins (metadata, not a commit), but the write
+    // is still tmp + rename: create-then-write could crash into a
+    // permanently EMPTY marker, silently disabling the maintenance sync
+    // this marker exists for (and casPublish's doc forbids torn
+    // pointers for the same reason)
     val marker = new Path(new Path(rootP, ManifestDir), CatalogMarker)
-    val out = fs.create(marker, true)
+    val tmp = new Path(marker.getParent, ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    val out = fs.create(tmp, true)
     try out.write(s"$name\n$format".getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false) // POSIX rename replaces; HDFS rename needs the target gone
+    if (!fs.rename(tmp, marker)) fs.delete(tmp, false) // racer published — theirs wins
+  }
+
+  /** Re-publish the catalog view iff the marker names one AND the
+    * catalog still holds it as a view. Self-healing: a marker whose
+    * name was since DROPped (or now names a physical table) is STALE
+    * user intent — remove it and stop tracking, rather than resurrect
+    * a deliberately-dropped view or wedge every future vacuum on a
+    * CREATE OR REPLACE VIEW that can never succeed.
+    */
+  private def syncIfLinked(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = fsFor(spark, root)
+    catalogFace(fs, rootP).foreach { case (name, fmt) =>
+      val isView =
+        try spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(name)
+        ).tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (isView) syncCatalogView(spark, name, root, fmt)
+      else fs.delete(new Path(new Path(rootP, ManifestDir), CatalogMarker), false)
+    }
   }
 
   /** Retire history: keep the newest `keep` versions' pointers and data
@@ -455,9 +492,8 @@ object VersionedTable {
     // about to delete (e.g. a compact ran without knowing the view, or
     // the marker was written by a later writer): re-publish it onto the
     // CURRENT snapshot first so readers never resolve deleted paths
-    catalogFace(fs, rootP).foreach { case (name, fmt) =>
-      syncCatalogView(spark, name, root, fmt)
-    }
+    // (no-op + marker cleanup when the view was since dropped)
+    syncIfLinked(spark, root)
     retired.foreach { case (_, p) => fs.delete(p, false) }
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootP)

@@ -169,21 +169,15 @@ object YamlLoader {
       case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(""))
       case "table" => TableSource(name, str(m, "table_name").orElse(str(m, "table")).getOrElse(name))
       case "versioned" =>
-        // fail at LOAD time with the source named — an empty path would
-        // otherwise surface as a context-free Hadoop error from deep
-        // inside the manifest read, and version + since_version together
-        // would silently read a full snapshot where the user expected a
-        // delta (the conflicting-config contract everywhere else is a
-        // loud require)
+        // the missing-path check must precede resolvePath (an empty
+        // path would surface as a context-free Hadoop error from deep
+        // inside the manifest read); the version/since_version
+        // exclusivity invariant lives on the case class itself
         val vPath = resolvePath(str(m, "path").getOrElse(throw new IllegalArgumentException(
           s"versioned source '$name': path is required (the table's storage root)")),
           defaults, "sources")
-        val pin = str(m, "version").map(_.toLong)
-        val since = str(m, "since_version").map(_.toLong)
-        require(pin.isEmpty || since.isEmpty,
-          s"versioned source '$name': version and since_version are mutually " +
-            "exclusive (pin a snapshot OR read a delta, not both)")
-        VersionedSource(name, vPath, str(m, "format").getOrElse("parquet"), pin, since)
+        VersionedSource(name, vPath, str(m, "format").getOrElse("parquet"),
+          str(m, "version").map(_.toLong), str(m, "since_version").map(_.toLong))
       case kind =>
         val d = defaults.sources.getOrElse(kind, SourceDefault())
         val opts = m.get("options").map(asMap).getOrElse(Map.empty)

@@ -16,6 +16,25 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** Scratch root for queries that materialize real commits (q66/q67):
+    * unique per call (a reused root would accumulate versions and
+    * change changesSince's answer on re-run), must outlive the RETURNED
+    * lazy frame, and is deleted on JVM exit so repeated gate/bench runs
+    * don't fill /tmp with table copies.
+    */
+  private def scratchRoot(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }))
+    d.toString + "/t"
+  }
+
   private def file(dir: String, name: String) = FileSource(name, s"$dir/$name.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,7 +542,7 @@ object RelationalQueries {
     // query, so it lives in the JVM temp dir, not a deleted-on-return
     // directory.)
     "q66_versioned_merge" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q66").toString + "/t"
+      val root = scratchRoot("graft_q66")
       val orders = t(s, dir, "orders")
         .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
       val base = orders.select(col("o_orderkey").as("hash_key"), col("o_custkey"),
@@ -544,7 +563,7 @@ object RelationalQueries {
     // batch: the incremental-consumption contract a downstream pipeline
     // relies on to avoid rescanning a growing corpus.
     "q67_versioned_delta" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q67").toString + "/t"
+      val root = scratchRoot("graft_q67")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),

@@ -450,6 +450,18 @@ class DdlSuite extends SparkSpec {
       VersionedTable.compact(spark, root)
       VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
       assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // deliberately dropped view: maintenance must neither resurrect
+      // it nor wedge on it — the stale marker is removed instead
+      spark.sql(s"DROP VIEW $name")
+      Writer.write(spark, Seq((3L, "c")).toDF("hash_key", "v"),
+        SinkSpec(root, mode = Append, versioned = true)) // path-only write, no re-publish
+      VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+      assert(!spark.catalog.tableExists(name))
+      assert(VersionedTable.catalogName(spark, root).isEmpty)
+      // a catalog write re-links the face
+      Writer.write(spark, Seq((4L, "d")).toDF("hash_key", "v"), snk(Append))
+      assert(VersionedTable.catalogName(spark, root).contains(name))
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
       // migration guard: a physical table occupying the name fails
       // create BEFORE any data commits
       val tbl = "vt_catalog_phys"
