@@ -6,40 +6,61 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** SQL surface for the native as-of join: a delegating parser that
-  * recognizes the statement form
+/** SQL surface for graft's native operators: a delegating parser that
+  * recognizes the statement forms
   *
   * {{{
   * GRAFT_ASOF(left_rel, right_rel, key, left_time, right_time, p1[, p2...])
+  * GRAFT_READ('/path/to/versioned/table')             -- newest snapshot
+  * GRAFT_READ('/path', 3)                             -- time travel to v3
+  * GRAFT_READ('/path', SINCE 3)                       -- delta committed after v3
+  * GRAFT_VERSIONS('/path')                            -- commit history
   * }}}
   *
-  * and plans it straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec), so a
-  * pure-SQL user reaches the merge-scan operator without touching the
-  * DataFrame API — compose it into larger SQL by capturing the result
-  * as a temp view, the same chaining the pipeline Sql step uses. Every
-  * other statement passes through to Spark's parser unchanged.
+  * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
+  * the GRAFT_READ family exposes [[graft.pipeline.VersionedTable]]'s
+  * snapshot / time-travel / incremental reads (parquet format) and
+  * GRAFT_VERSIONS its commit index, so a pure-SQL user gets the whole
+  * versioned-table read surface without the DataFrame API — compose
+  * results into larger SQL by capturing them as temp views, the same
+  * chaining the pipeline Sql step uses. Every other statement passes
+  * through to Spark's parser unchanged.
   *
-  * Relation arguments resolve through the session catalog (temp views
-  * and catalog tables, dotted names allowed); the remaining arguments
-  * are bare column names. Semantics, type widening, pruning and the
-  * float-key normalization all come from [[AsOfJoinPlan.of]] — this
-  * class is syntax only.
+  * GRAFT_ASOF's relation arguments resolve through the session catalog
+  * (temp views and catalog tables, dotted names allowed); the remaining
+  * arguments are bare column names. Semantics, type widening, pruning
+  * and the float-key normalization all come from [[AsOfJoinPlan.of]] —
+  * this class is syntax only.
   */
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.AsOfStmt
+  import GraftSqlParser.{AsOfStmt, ReadStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
       val payloadCols = payload.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       AsOfJoinPlan.of(session.table(l), session.table(r), key, lt, rt, payloadCols)
         .queryExecution.logical
+    case ReadStmt(path, since, version) =>
+      import graft.pipeline.VersionedTable
+      val df =
+        if (version == null) VersionedTable.read(session, path)
+        else if (since == null) VersionedTable.readVersion(session, path, version.toLong)
+        else VersionedTable.changesSince(session, path, version.toLong)
+      df.queryExecution.logical
+    case VersionsStmt(path) =>
+      import session.implicits._
+      graft.pipeline.VersionedTable.history(session, path)
+        .map(v => (v.version, v.committedAt, v.dataDirs.length))
+        .toDF("version", "committed_at", "num_dirs")
+        .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case AsOfStmt(_, _, _, _, _, _) => parsePlan(sqlText)
+    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) =>
+      parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
 
@@ -67,4 +88,15 @@ object GraftSqlParser {
     */
   private val AsOfStmt =
     """(?is)^\s*GRAFT_ASOF\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*,\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*$""".r
+
+  /** Path is a single-quoted literal (no embedded quotes — a path that
+    * needs one should use the DataFrame API); the optional second
+    * argument is a bare version number, `SINCE <n>` selecting the
+    * incremental read instead of time travel.
+    */
+  private val ReadStmt =
+    """(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*(?:,\s*(?:(SINCE)\s+)?(\d+)\s*)?\)\s*;?\s*$""".r
+
+  private val VersionsStmt =
+    """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
 }
