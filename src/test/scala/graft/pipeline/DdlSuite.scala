@@ -462,6 +462,15 @@ class DdlSuite extends SparkSpec {
       Writer.write(spark, Seq((4L, "d")).toDF("hash_key", "v"), snk(Append))
       assert(VersionedTable.catalogName(spark, root).contains(name))
       assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+      // the view + multi-dir glob must not cost the optimizer anything:
+      // a filter on the view still pushes into the parquet scan and the
+      // scan is column-pruned — the properties that make a 100 TB scan
+      // survivable must survive the catalog indirection
+      val p = spark.table(name).where(col("hash_key") === 2L).select("v")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(hash_key), EqualTo(hash_key,2)"), p)
+      val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(read.contains("hash_key") && read.contains("v"), read)
       // migration guard: a physical table occupying the name fails
       // create BEFORE any data commits
       val tbl = "vt_catalog_phys"
