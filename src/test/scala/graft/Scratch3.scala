@@ -219,6 +219,27 @@ object Scratch3 {
       time("changesSince caught-up poll (count)") {
         VersionedTable.changesSince(spark, root, curV).count()
       }
+      // contention: 8 concurrent APPEND committers race on the pointer;
+      // every delta must land, versions must serialize, and wall time
+      // should track the slowest writer + retry pointer costs — not
+      // 8 × a full table copy
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val v0 = VersionedTable.currentSnapshot(spark, root).get.version
+        val writers = 8
+        val t1 = System.nanoTime()
+        Await.result(Future.sequence((1 to writers).map(i => Future {
+          VersionedTable.commitDelta(spark, root, "parquet",
+            delta.withColumn("__w", lit(i)), compactAfter = 64)
+        })), Duration(600, "s"))
+        val wall = (System.nanoTime() - t1) / 1e9
+        val vN = VersionedTable.currentSnapshot(spark, root).get
+        println(f"[scratch3] versioned: $writers%d concurrent appends in ${wall}%.1f s " +
+          f"(serialized v${v0}%d -> v${vN.version}%d, ${vN.dataDirs.length}%d dirs, all landed: " +
+          (vN.version == v0 + writers) + ")")
+      }
     }
 
     spark.stop()
