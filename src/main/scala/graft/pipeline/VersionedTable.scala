@@ -227,6 +227,7 @@ object VersionedTable {
       maxAttempts: Int = 5): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
+    recordFormat(fs, rootP, format)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -272,6 +273,7 @@ object VersionedTable {
     require(compactAfter >= 1, "compactAfter must be >= 1")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
+    recordFormat(fs, rootP, format)
     val deltaName = "data-delta-" + java.util.UUID.randomUUID.toString.take(8)
     val wd = delta.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) wd.partitionBy(partitionBy: _*) else wd)
@@ -367,6 +369,32 @@ object VersionedTable {
   }
 
   private val CatalogMarker = "_catalog"
+  private val FormatMarker = "_format"
+
+  /** The storage format this table's commits were written with, if
+    * recorded (every commit since the marker existed records it) — how
+    * format-agnostic entry points (the GRAFT_READ SQL statement) avoid
+    * hard-coding parquet against a json/orc table.
+    */
+  def tableFormat(spark: SparkSession, root: String): Option[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    readSmall(fs, new Path(new Path(rootP, ManifestDir), FormatMarker))
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Record the commit format once (first committer wins; the format of
+    * a table is invariant — mixed-format commits would already fail at
+    * read time). Atomic tmp+rename like the catalog marker.
+    */
+  private def recordFormat(fs: FileSystem, rootP: Path, format: String): Unit = {
+    val marker = new Path(new Path(rootP, ManifestDir), FormatMarker)
+    if (!fs.exists(marker)) {
+      val tmp = new Path(marker.getParent, ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      val out = fs.create(tmp, true)
+      try out.write(format.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+    }
+  }
 
   /** The catalog view name recorded for this table (written by
     * [[syncCatalogView]]), if any — how maintenance operations that are

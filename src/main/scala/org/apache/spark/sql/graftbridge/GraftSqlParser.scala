@@ -44,15 +44,24 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         .queryExecution.logical
     case ReadStmt(path, since, version) =>
       import graft.pipeline.VersionedTable
+      // honor the format the table's commits recorded — hard-coding
+      // parquet would misread a json/orc versioned table that the
+      // DataFrame/YAML routes read fine
+      val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
       val df =
-        if (version == null) VersionedTable.read(session, path)
-        else if (since == null) VersionedTable.readVersion(session, path, version.toLong)
-        else VersionedTable.changesSince(session, path, version.toLong)
+        if (version == null) VersionedTable.read(session, path, fmt)
+        else if (since == null) VersionedTable.readVersion(session, path, version.toLong, fmt)
+        else VersionedTable.changesSince(session, path, version.toLong, fmt)
       df.queryExecution.logical
     case VersionsStmt(path) =>
       import session.implicits._
-      graft.pipeline.VersionedTable.history(session, path)
-        .map(v => (v.version, v.committedAt, v.dataDirs.length))
+      val h = graft.pipeline.VersionedTable.history(session, path)
+      // an absent/typo'd table must be LOUD like GRAFT_READ's, not an
+      // empty result the user reads as "no commits yet" (a committed
+      // versioned table always has >= 1 version)
+      if (h.isEmpty) throw new IllegalArgumentException(
+        s"versioned table at $path has no committed version")
+      h.map(v => (v.version, v.committedAt, v.dataDirs.length))
         .toDF("version", "committed_at", "num_dirs")
         .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
@@ -91,11 +100,13 @@ object GraftSqlParser {
 
   /** Path is a single-quoted literal (no embedded quotes — a path that
     * needs one should use the DataFrame API); the optional second
-    * argument is a bare version number, `SINCE <n>` selecting the
-    * incremental read instead of time travel.
+    * argument is a bare version number (≤18 digits, so `.toLong` cannot
+    * overflow — a wider literal falls through to Spark's parser and its
+    * normal diagnostics, per the strict-fallthrough contract above),
+    * `SINCE <n>` selecting the incremental read instead of time travel.
     */
   private val ReadStmt =
-    """(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*(?:,\s*(?:(SINCE)\s+)?(\d+)\s*)?\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*)?\)\s*;?\s*$""".r
 
   private val VersionsStmt =
     """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r

@@ -63,8 +63,21 @@ class SqlSurfaceSuite extends SparkSpec {
     val h = s2.sql(s"GRAFT_VERSIONS('$root')").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(h.forall(_.getInt(2) >= 1))
-    // an unversioned path fails with the library's loud diagnostic
+    // an unversioned path fails with the library's loud diagnostic —
+    // GRAFT_VERSIONS included (an empty result would read as "no
+    // commits yet")
     intercept[IllegalArgumentException] { s2.sql("GRAFT_READ('/tmp/nope_vt')") }
+    intercept[IllegalArgumentException] { s2.sql("GRAFT_VERSIONS('/tmp/nope_vt')") }
+    // a version literal too wide for Long is NOT the statement form:
+    // strict fallthrough to Spark's parser and its own diagnostics
+    intercept[Exception] { s2.sql(s"GRAFT_READ('$root', 99999999999999999999)") }
+    // the commit-time format record is honored: a json table reads
+    // through the SQL surface without naming its format
+    val jroot = java.nio.file.Files.createTempDirectory("graft_sqljt").toString + "/t"
+    Writer.write(s2, Seq((7L, "j")).toDF("hash_key", "v"),
+      SinkSpec(jroot, mode = Append, versioned = true, format = "json"))
+    assert(s2.sql(s"GRAFT_READ('$jroot')").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(7L -> "j"))
   }
 
   test("graft native functions are SQL-callable in the extensions session") {

@@ -440,9 +440,11 @@ class DdlSuite extends SparkSpec {
     def snk(mode: WriteMode) =
       SinkSpec(root, mode = mode, table = Some(name), versioned = true)
     try {
-      // two appends → multi-dir snapshot behind the view
-      Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk(Append))
-      Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk(Append))
+      // two appends → multi-dir snapshot behind the view (the third
+      // column exists so the pruning assertion below can detect an
+      // unpruned scan — a 2-column table makes it vacuous)
+      Writer.write(spark, Seq((1L, "a", 1.5)).toDF("hash_key", "v", "extra"), snk(Append))
+      Writer.write(spark, Seq((2L, "b", 2.5)).toDF("hash_key", "v", "extra"), snk(Append))
       assert(VersionedTable.catalogName(spark, root).contains(name))
       // compact given ONLY the root finds the view via the marker and
       // re-publishes it; vacuum then retires the old dirs — the view
@@ -453,24 +455,25 @@ class DdlSuite extends SparkSpec {
       // deliberately dropped view: maintenance must neither resurrect
       // it nor wedge on it — the stale marker is removed instead
       spark.sql(s"DROP VIEW $name")
-      Writer.write(spark, Seq((3L, "c")).toDF("hash_key", "v"),
+      Writer.write(spark, Seq((3L, "c", 3.5)).toDF("hash_key", "v", "extra"),
         SinkSpec(root, mode = Append, versioned = true)) // path-only write, no re-publish
       VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
       assert(!spark.catalog.tableExists(name))
       assert(VersionedTable.catalogName(spark, root).isEmpty)
       // a catalog write re-links the face
-      Writer.write(spark, Seq((4L, "d")).toDF("hash_key", "v"), snk(Append))
+      Writer.write(spark, Seq((4L, "d", 4.5)).toDF("hash_key", "v", "extra"), snk(Append))
       assert(VersionedTable.catalogName(spark, root).contains(name))
       assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
       // the view + multi-dir glob must not cost the optimizer anything:
       // a filter on the view still pushes into the parquet scan and the
-      // scan is column-pruned — the properties that make a 100 TB scan
-      // survivable must survive the catalog indirection
+      // never-selected column is pruned out of the read — the
+      // properties that make a 100 TB scan survivable must survive the
+      // catalog indirection
       val p = spark.table(name).where(col("hash_key") === 2L).select("v")
         .queryExecution.executedPlan.toString
       assert(p.contains("PushedFilters: [IsNotNull(hash_key), EqualTo(hash_key,2)"), p)
       val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-      assert(read.contains("hash_key") && read.contains("v"), read)
+      assert(read.contains("hash_key") && !read.contains("extra"), read)
       // migration guard: a physical table occupying the name fails
       // create BEFORE any data commits
       val tbl = "vt_catalog_phys"
