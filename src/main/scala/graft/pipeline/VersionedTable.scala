@@ -174,6 +174,36 @@ object VersionedTable {
     else load(spark, rootP, format, newDirs)
   }
 
+  /** Structured-Streaming source over an APPEND-ONLY versioned table:
+    * every [[commitDelta]] lands its rows in a `data-delta-*` directory
+    * and never moves them (compaction rewrites into `data-<version>-*`
+    * dirs, which this glob EXCLUDES — the rows there were already
+    * streamed from their original delta dir), so Spark's file source
+    * over the delta glob delivers each appended row exactly once,
+    * compaction- and vacuum-safe, with all the stock machinery
+    * (checkpointed file tracking, maxFilesPerTrigger, watermarks
+    * downstream). Schema comes from the current snapshot.
+    *
+    * Honest semantics note: delta FILES become visible as they are
+    * written, slightly BEFORE the manifest CAS commits them — a reader
+    * here is "read uncommitted" by up to one publish latency, and a
+    * committer that crashes permanently between write and publish
+    * leaves orphan rows that may already have streamed (vacuum sweeps
+    * the directory, but the file source has consumed it). For
+    * exactly-committed consumption, poll [[changesSince]] in a batch
+    * loop instead — this source trades that strictness for the stock
+    * streaming integration. Merge/overwrite/compaction commits are NOT
+    * streamable row-wise (no row diff on plain parquet) — same
+    * contract as [[changesSince]]: stream append-only tables.
+    */
+  def readStream(spark: SparkSession, root: String,
+                 format: String = "parquet"): DataFrame = {
+    val (_, rootP) = fsFor(spark, root)
+    val schema = read(spark, root, format).schema
+    spark.readStream.format(format).schema(schema)
+      .load(new Path(rootP, "data-delta-*").toString)
+  }
+
   /** Atomically create `manifest` with `content`; false = another
     * committer won this version. Both branches publish COMPLETE
     * content in one atomic step — never create-then-write, which on a

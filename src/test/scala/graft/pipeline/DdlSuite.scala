@@ -533,6 +533,34 @@ class DdlSuite extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 3L)
   }
 
+  test("versioned readStream: appends stream exactly once, compaction does not re-deliver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vts").toString
+    val root = dir + "/t"
+    def snk = SinkSpec(root, mode = Append, versioned = true)
+    Writer.write(spark, Seq((1L, "a")).toDF("hash_key", "v"), snk)
+    val q = VersionedTable.readStream(spark, root)
+      .writeStream.format("memory").queryName("vt_stream_t").outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vt_stream_t").count() == 1L)
+      Writer.write(spark, Seq((2L, "b")).toDF("hash_key", "v"), snk)
+      q.processAllAvailable()
+      assert(spark.table("vt_stream_t").count() == 2L)
+      // compaction rewrites rows into a data-<version> dir the delta
+      // glob excludes — nothing re-delivers; the next append still does
+      VersionedTable.compact(spark, root)
+      Writer.write(spark, Seq((3L, "c")).toDF("hash_key", "v"), snk)
+      q.processAllAvailable()
+      assert(spark.table("vt_stream_t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("vt_stream_t")
+    }
+  }
+
   private def sha2Hex(s: String): String = {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
