@@ -80,7 +80,10 @@ object Cli {
         VersionedTable.vacuum(spark, root, keep, (grace * 3600 * 1000).toLong)
         println(s"[graft] vacuumed $root (kept newest $keep version(s))")
       case "compact" =>
-        val fmt = opt(rest, "--format").getOrElse("parquet")
+        // default "": VersionedTable auto-resolves the table's recorded
+        // format (an operator guessing parquet against a json table
+        // used to poison the format marker)
+        val fmt = opt(rest, "--format").getOrElse("")
         val parts = opt(rest, "--partition-by").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val v = VersionedTable.compact(spark, root, fmt, parts)

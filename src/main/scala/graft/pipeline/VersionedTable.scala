@@ -179,28 +179,36 @@ object VersionedTable {
     * and never moves them (compaction rewrites into `data-<version>-*`
     * dirs, which this glob EXCLUDES — the rows there were already
     * streamed from their original delta dir), so Spark's file source
-    * over the delta glob delivers each appended row exactly once,
-    * compaction- and vacuum-safe, with all the stock machinery
-    * (checkpointed file tracking, maxFilesPerTrigger, watermarks
-    * downstream). Schema comes from the current snapshot.
+    * over the delta glob delivers each appended row exactly once, with
+    * all the stock machinery (checkpointed file tracking,
+    * maxFilesPerTrigger, watermarks downstream). Schema comes from the
+    * current snapshot; format "" auto-resolves from the recorded
+    * marker.
     *
-    * Honest semantics note: delta FILES become visible as they are
-    * written, slightly BEFORE the manifest CAS commits them — a reader
-    * here is "read uncommitted" by up to one publish latency, and a
-    * committer that crashes permanently between write and publish
-    * leaves orphan rows that may already have streamed (vacuum sweeps
-    * the directory, but the file source has consumed it). For
-    * exactly-committed consumption, poll [[changesSince]] in a batch
-    * loop instead — this source trades that strictness for the stock
-    * streaming integration. Merge/overwrite/compaction commits are NOT
-    * streamable row-wise (no row diff on plain parquet) — same
-    * contract as [[changesSince]]: stream append-only tables.
+    * Honest semantics, read before relying on this:
+    *  - delta FILES become visible as they are written, slightly
+    *    BEFORE the manifest CAS commits them — a reader here is "read
+    *    uncommitted" by up to one publish latency, and a committer
+    *    that crashes permanently between write and publish leaves
+    *    orphan rows that may already have streamed. For
+    *    exactly-committed consumption, poll [[changesSince]] in a
+    *    batch loop instead.
+    *  - retention precondition: compaction leaves the folded delta
+    *    dirs in place for VACUUM's grace period to sweep, so a stream
+    *    must stay caught up WITHIN that retention (vacuum keep/grace),
+    *    exactly like an incremental [[changesSince]] reader. A FRESH
+    *    stream started after compaction+vacuum cannot bootstrap the
+    *    swept history — seed it with a batch [[read]] and stream from
+    *    the current state.
+    *  - merge/overwrite commits are NOT streamable row-wise (no row
+    *    diff on plain parquet) — stream append-only tables.
     */
   def readStream(spark: SparkSession, root: String,
-                 format: String = "parquet"): DataFrame = {
+                 format: String = ""): DataFrame = {
     val (_, rootP) = fsFor(spark, root)
-    val schema = read(spark, root, format).schema
-    spark.readStream.format(format).schema(schema)
+    val fmt = resolveFormat(spark, root, format)
+    val schema = read(spark, root, fmt).schema
+    spark.readStream.format(fmt).schema(schema)
       .load(new Path(rootP, "data-delta-*").toString)
   }
 
@@ -257,7 +265,6 @@ object VersionedTable {
       maxAttempts: Int = 5): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
-    recordFormat(fs, rootP, format)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -270,8 +277,10 @@ object VersionedTable {
         .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .save(dataDir.toString)
-      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"), dirName))
+      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"), dirName)) {
+        recordFormat(fs, rootP, format) // only a PUBLISHED format is recorded
         return next
+      }
       // lost the race: discard the private directory (vacuum would also
       // sweep it) and re-merge against the winner's snapshot
       fs.delete(dataDir, true)
@@ -303,7 +312,6 @@ object VersionedTable {
     require(compactAfter >= 1, "compactAfter must be >= 1")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
-    recordFormat(fs, rootP, format)
     val deltaName = "data-delta-" + java.util.UUID.randomUUID.toString.take(8)
     val wd = delta.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) wd.partitionBy(partitionBy: _*) else wd)
@@ -316,8 +324,10 @@ object VersionedTable {
       val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
       val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
       if (baseDirs.length + 1 <= compactAfter) {
-        if (casPublish(fs, manifest, (baseDirs :+ deltaName).mkString("\n")))
+        if (casPublish(fs, manifest, (baseDirs :+ deltaName).mkString("\n"))) {
+          recordFormat(fs, rootP, format)
           return next
+        }
         // pointer-only race loss: the delta directory is still private
         // and valid — just recompute the dir list against the winner
       } else {
@@ -328,8 +338,12 @@ object VersionedTable {
           .save(new Path(rootP, compactName).toString)
         if (casPublish(fs, manifest, compactName)) {
           // the delta's rows now live in the compacted dir; the delta
-          // dir is unreferenced and swept here (or by vacuum on crash)
-          fs.delete(new Path(rootP, deltaName), true)
+          // dir is unreferenced and left for vacuum's grace period to
+          // sweep — deleting it HERE would yank the freshest rows out
+          // from under a readStream consumer mid-listing (streams read
+          // delta dirs, never compacted dirs; the vacuum grace is their
+          // retention window)
+          recordFormat(fs, rootP, format)
           return next
         }
         fs.delete(new Path(rootP, compactName), true)
@@ -379,13 +393,17 @@ object VersionedTable {
     * dir). No-op (returns the current version) when the snapshot is
     * already a single directory.
     */
-  def compact(spark: SparkSession, root: String, format: String = "parquet",
+  def compact(spark: SparkSession, root: String, format: String = "",
               partitionBy: Seq[String] = Nil): Long = {
+    // "" = auto: maintenance callers rarely know the table's format,
+    // and compacting a json table as parquet would fail (worse, it
+    // used to record the wrong format before failing)
+    val fmt = resolveFormat(spark, root, format)
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version to compact"))
     if (snap.dataDirs.length <= 1) snap.version
     else {
-      val v = commit(spark, root, format,
+      val v = commit(spark, root, fmt,
         base => base.getOrElse(throw new IllegalStateException(
           s"versioned table at $root vanished mid-compaction")),
         partitionBy)
@@ -403,27 +421,41 @@ object VersionedTable {
 
   /** The storage format this table's commits were written with, if
     * recorded (every commit since the marker existed records it) — how
-    * format-agnostic entry points (the GRAFT_READ SQL statement) avoid
-    * hard-coding parquet against a json/orc table.
+    * format-agnostic entry points (GRAFT_READ, compact, readStream)
+    * avoid hard-coding parquet against a json/orc table. A marker that
+    * EXISTS but fails to read is a transient store failure and must be
+    * loud — silently degrading to parquet would misread the table with
+    * a "corrupt file" error pointing the user at healthy data.
     */
   def tableFormat(spark: SparkSession, root: String): Option[String] = {
     val (fs, rootP) = fsFor(spark, root)
-    readSmall(fs, new Path(new Path(rootP, ManifestDir), FormatMarker))
-      .map(_.trim).filter(_.nonEmpty)
+    val marker = new Path(new Path(rootP, ManifestDir), FormatMarker)
+    val v = readSmall(fs, marker).map(_.trim).filter(_.nonEmpty)
+    if (v.isEmpty && fs.exists(marker)) throw new IllegalStateException(
+      s"format marker at $root exists but is unreadable — transient store " +
+        "failure; retry (refusing to guess the storage format)")
+    v
   }
 
-  /** Record the commit format once (first committer wins; the format of
-    * a table is invariant — mixed-format commits would already fail at
-    * read time). Atomic tmp+rename like the catalog marker.
+  /** Resolve an entry point's format argument: "" (auto) reads the
+    * recorded marker, defaulting to parquet for pre-marker tables.
+    */
+  private def resolveFormat(spark: SparkSession, root: String, format: String): String =
+    if (format.nonEmpty) format
+    else tableFormat(spark, root).getOrElse("parquet")
+
+  /** Record the commit format once — genuinely first-committer-wins via
+    * the same atomic create-no-overwrite CAS the manifest pointers use
+    * (a bare exists-then-rename would be last-wins on local rename
+    * semantics). The format of a table is invariant, so one record
+    * suffices; called only AFTER a successful publish, so a failed
+    * commit with a WRONG format claim (e.g. a maintenance call
+    * defaulting to parquet against a json table) cannot poison the
+    * marker.
     */
   private def recordFormat(fs: FileSystem, rootP: Path, format: String): Unit = {
     val marker = new Path(new Path(rootP, ManifestDir), FormatMarker)
-    if (!fs.exists(marker)) {
-      val tmp = new Path(marker.getParent, ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
-      val out = fs.create(tmp, true)
-      try out.write(format.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
-    }
+    if (!fs.exists(marker)) casPublish(fs, marker, format)
   }
 
   /** The catalog view name recorded for this table (written by

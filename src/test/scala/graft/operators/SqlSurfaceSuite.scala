@@ -69,8 +69,12 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_READ('/tmp/nope_vt')") }
     intercept[IllegalArgumentException] { s2.sql("GRAFT_VERSIONS('/tmp/nope_vt')") }
     // a version literal too wide for Long is NOT the statement form:
-    // strict fallthrough to Spark's parser and its own diagnostics
-    intercept[Exception] { s2.sql(s"GRAFT_READ('$root', 99999999999999999999)") }
+    // strict fallthrough to SPARK'S parser and its own diagnostics —
+    // pinned to ParseException so a regression back to toLong inside
+    // graft's parser (NumberFormatException) cannot pass
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      s2.sql(s"GRAFT_READ('$root', 99999999999999999999)")
+    }
     // the commit-time format record is honored: a json table reads
     // through the SQL surface without naming its format
     val jroot = java.nio.file.Files.createTempDirectory("graft_sqljt").toString + "/t"

@@ -555,6 +555,14 @@ class DdlSuite extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("vt_stream_t").collect().map(_.getLong(0)).sorted.toSeq ==
         Seq(1L, 2L, 3L))
+      // THRESHOLD compaction (commitDelta folding inline) must not yank
+      // the triggering delta out from under the stream: the folded
+      // delta dirs stay until vacuum's grace sweeps them
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq((4L, "d")).toDF("hash_key", "v"), compactAfter = 1)
+      q.processAllAvailable()
+      assert(spark.table("vt_stream_t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
     } finally {
       q.stop()
       spark.catalog.dropTempView("vt_stream_t")
