@@ -22,7 +22,7 @@ object RelationalQueries {
     * lazy frame, and is deleted on JVM exit so repeated gate/bench runs
     * don't fill /tmp with table copies.
     */
-  private def scratchRoot(prefix: String): String = {
+  private[queries] def scratchRoot(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.nio.file.Path): Unit = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, IncrementalDedup, Similarity, TextAnalysis => TA}
 
 /** Text analysis, deduplication and similarity-search queries
   * (SURVEY.md §2, q24–q35) over the `documents` and `embeddings`
@@ -258,7 +258,38 @@ object TextQueries {
     // "assemble a training mix to a token budget" primitive.
     "q49_token_budget" -> ((s, dir) =>
       Curation.tokenBudget(t(s, dir, "documents"), budgetPerGroup = 2000)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // q68: INCREMENTAL exact dedup through the persisted fingerprint
+    // store — the 90% corpus initializes the store once, the 10% delta
+    // batch anti-joins it (thin hash column only, never corpus text),
+    // survivors append as ONE O(delta) versioned commit, and the
+    // oracle-checked output is the STORE's own answer to "what did
+    // this batch admit" (changesSince) — the full cross-batch ingest
+    // loop under the hash gate.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val root = RelationalQueries.scratchRoot("graft_q68")
+      val docs = t(s, dir, "documents")
+      val v1 = IncrementalDedup.initExactStore(s, docs.where(col("doc_id") % 10 =!= 0), root)
+      IncrementalDedup.exactDelta(s, docs.where(col("doc_id") % 10 === 0), root)
+      graft.pipeline.VersionedTable.changesSince(s, root, v1)
+        .select(col("keeper_id").as("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // q69: INCREMENTAL near-dup dedup against the persisted MinHash
+    // signature store (rows-only: the permutation family is not
+    // SQL-portable; IncrementalDedupSuite pins exact equivalence to
+    // the batch operator restricted to delta-touching pairs). The
+    // delta's text is the only text scanned — the corpus side is two
+    // columnar passes over its stored 1 KB signatures.
+    "q69_incremental_neardup" -> ((s, dir) => {
+      val root = RelationalQueries.scratchRoot("graft_q69")
+      val docs = t(s, dir, "documents")
+      IncrementalDedup.initStore(s, docs.where(col("doc_id") % 10 =!= 0), root)
+      IncrementalDedup.dedupeDelta(s, docs.where(col("doc_id") % 10 === 0), root)
+        .pairs.orderBy("id_a", "id_b")
+    }))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -271,6 +302,15 @@ object TextQueries {
     graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "q68_incremental_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
+         |keep AS (SELECT fingerprint, min(doc_id) AS doc_id
+         |         FROM fp WHERE doc_id % 10 = 0 GROUP BY 1)
+         |SELECT k.doc_id, k.fingerprint FROM keep k
+         |WHERE NOT EXISTS (SELECT 1 FROM fp c
+         |                  WHERE c.doc_id % 10 <> 0 AND c.fingerprint = k.fingerprint)
+         |ORDER BY doc_id""".stripMargin,
+
     "q24_tokencount" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subwords
