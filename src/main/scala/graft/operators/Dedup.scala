@@ -146,6 +146,16 @@ object Dedup {
         xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("key"))
     }): _*)
 
+  /** `(id, sig)` → `(id, band, key)`: the band-explode projection every
+    * banded consumer shares (batch LSH, candidate-only generator,
+    * incremental delta dedup) — one definition so band-key derivation
+    * can never diverge between the batch and incremental paths.
+    */
+  private[operators] def bandExplode(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** Candidate pairs from a bucketed stream `(bucket cols..., id)` —
     * the shared LSH pair generator (MinHash bands, SimHash bands,
     * hyperplane tables).
@@ -248,9 +258,7 @@ object Dedup {
     // scale it would be checkpointed storage instead.
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandExplode(sigs, bands, rows)
 
     // Pairs via the shared guarded generator — one pass over `banded`,
     // degenerate buckets capped inside the bounded-collect aggregate.
@@ -287,9 +295,8 @@ object Dedup {
       shingleK: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = bandRows(numHashes, bands)
-    val banded = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandExplode(minhashSignatures(docs, idCol, textCol, numHashes, shingleK),
+      bands, rows)
     bucketPairs(banded, Seq("band", "key"), "id", maxBucket)
   }
 
@@ -299,7 +306,7 @@ object Dedup {
     * producing one corpus-wide bucket that the skew guard then drops:
     * an empty pair set with no error.
     */
-  private def bandRows(numHashes: Int, bands: Int): Int = {
+  private[operators] def bandRows(numHashes: Int, bands: Int): Int = {
     require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     numHashes / bands

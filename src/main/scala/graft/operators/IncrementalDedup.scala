@@ -19,10 +19,19 @@ import graft.pipeline.VersionedTable
   * magnitude less I/O than the text). Surviving delta signatures are
   * appended to the store as an O(delta) versioned commit
   * ([[graft.pipeline.VersionedTable.commitDelta]]), so the store rides
-  * the same manifest protocol as every other graft table: concurrent
-  * ingest batches serialize via the pointer CAS, history/compact/vacuum
-  * apply, and `changesSince` exposes "which docs were admitted by batch
-  * N" to downstream consumers.
+  * the same manifest protocol as every other graft table:
+  * history/compact/vacuum apply, and `changesSince` exposes "which docs
+  * were admitted by batch N" to downstream consumers.
+  *
+  * Concurrency: ingest batches running in parallel serialize through
+  * the manifest's pointer CAS, and the DEDUP INVARIANT survives the
+  * race — a commit is attempted against the exact store version the
+  * batch was deduped against (`expectedVersion`); when another batch
+  * won, the loser re-checks its survivors against ONLY the rows the
+  * winner admitted ([[VersionedTable.changesBetween]] — O(conflict
+  * delta), signatures only, no text), drops fresh matches, and retries.
+  * Two racing batches carrying copies of the same new document
+  * therefore admit exactly one copy, whichever order they land in.
   *
   * Reference analog: drune dedups only within one materialization
   * (steps/writer.py merge modes); a persistent cross-batch signature
@@ -35,17 +44,19 @@ import graft.pipeline.VersionedTable
   *    parameters are pinned in a `_sig_params` file at the store root
   *    and re-used for every delta (signatures from different
   *    parameters are incomparable — mixing them is a silent-wrong-
-  *    answer bug, hence the loud fail on mismatch).
+  *    answer bug, hence the loud fail on mismatch, the params-first
+  *    retraction on re-init, and the stored-width probe in
+  *    `dedupeDelta`).
   *  - Exact store (`initExactStore`/`exactDelta`): exact dedup. Store
   *    rows are `(fingerprint string, keeper_id long)` over the
   *    md5-of-normalized-text fingerprint (TextAnalysis.fingerprintMd5,
   *    the q29 semantics).
   *
-  * Id discipline: document ids must be unique ACROSS corpus and delta
-  * (they are join keys and keeper labels). Delta-internal keeper
-  * semantics match the batch operators: lowest id wins; any corpus
-  * match drops the delta doc regardless of id order (the corpus doc is
-  * already committed).
+  * Id discipline: document ids must be unique ACROSS corpus and all
+  * delta batches (they are join keys and keeper labels). Delta-internal
+  * keeper semantics match the batch operators: lowest id wins; any
+  * corpus match drops the delta doc regardless of id order (the corpus
+  * doc is already committed).
   */
 object IncrementalDedup {
 
@@ -58,6 +69,13 @@ object IncrementalDedup {
 
   private val ParamsFile = "_sig_params"
 
+  /** Conflict-retry cap for the optimistic commit loop. Every retry
+    * means another writer made progress (the version strictly
+    * advances), so hitting this indicates pathological contention, not
+    * livelock.
+    */
+  private val MaxCommitAttempts = 10
+
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -66,32 +84,41 @@ object IncrementalDedup {
   private def writeParams(spark: SparkSession, root: String, p: SigParams): Unit = {
     val (fs, rootP) = fsFor(spark, root)
     val f = new Path(rootP, ParamsFile)
+    // sweep tmp orphans from crashed publishes — VersionedTable.vacuum
+    // knows nothing about params files, so nothing else ever would;
+    // the grace window keeps us off a concurrent writer's live tmp
+    val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+    Option(fs.globStatus(new Path(rootP, ParamsFile + ".tmp*"))).getOrElse(Array.empty)
+      .foreach(st => if (st.getModificationTime < cutoff) fs.delete(st.getPath, false))
     val tmp = new Path(rootP, ParamsFile + ".tmp" + java.util.UUID.randomUUID.toString.take(8))
-    val out = fs.create(tmp, true)
-    try out.write(s"numHashes=${p.numHashes}\nshingleK=${p.shingleK}\nseed=${p.seed}\n"
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(f, false)
-    if (!fs.rename(tmp, f)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"could not publish $f")
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(s"numHashes=${p.numHashes}\nshingleK=${p.shingleK}\nseed=${p.seed}\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(f, false)
+      if (!fs.rename(tmp, f)) throw new IllegalStateException(s"could not publish $f")
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
     }
   }
 
   /** The store's pinned MinHash parameters, or None if `root` has no
-    * `_sig_params` (not an IncrementalDedup store, or pre-init).
+    * `_sig_params` (not an IncrementalDedup store, pre-init, or a
+    * re-init crashed mid-publish — in which case deltas fail loudly
+    * until `initStore` completes). A params file that EXISTS but cannot
+    * be read is a transient store failure and throws rather than
+    * reporting "no params".
     */
   def storeParams(spark: SparkSession, root: String): Option[SigParams] = {
     val (fs, rootP) = fsFor(spark, root)
     val f = new Path(rootP, ParamsFile)
     if (!fs.exists(f)) None
     else {
-      val in = fs.open(f)
-      val content = try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
-      } finally in.close()
+      val content = VersionedTable.readSmall(fs, f).getOrElse(throw new IllegalStateException(
+        s"$ParamsFile at $root exists but could not be read — transient " +
+          "filesystem failure or an in-flight publish; retry"))
       val kv = content.linesIterator.flatMap { l =>
         l.split("=", 2) match { case Array(k, v) => Some(k.trim -> v.trim); case _ => None }
       }.toMap
@@ -107,6 +134,16 @@ object IncrementalDedup {
     * versioned-table v1 (or a new full-copy version on an existing
     * store), parameters pinned alongside. This is the once-per-corpus
     * cost every later delta avoids.
+    *
+    * Re-initializing an existing store with a DIFFERENT family
+    * retracts `_sig_params` FIRST, so a crash anywhere before the
+    * final params publish leaves the store loudly unusable ("no
+    * _sig_params") instead of silently pairing one family's
+    * signatures with the other's parameters. Do not run `dedupeDelta`
+    * concurrently with a re-init — a delta that read the old params
+    * before the retraction could still commit old-family signatures
+    * (the stored-width probe in `dedupeDelta` catches the mix on the
+    * next delta when `numHashes` changed).
     */
   def initStore(
       spark: SparkSession,
@@ -115,6 +152,10 @@ object IncrementalDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       params: SigParams = SigParams()): Long = {
+    if (storeParams(spark, root).exists(_ != params)) {
+      val (fs, rootP) = fsFor(spark, root)
+      fs.delete(new Path(rootP, ParamsFile), false)
+    }
     val sigs = Dedup.minhashSignatures(
       docs, idCol, textCol, params.numHashes, params.shingleK, params.seed)
     val v = VersionedTable.commit(spark, root, "parquet", _ => sigs)
@@ -127,7 +168,9 @@ object IncrementalDedup {
     * "delta" for delta-internal; `id_a < id_b`); `survivors` are the
     * delta rows admitted to the corpus; `version` is the store version
     * the survivor signatures were committed as (-1 when `append` was
-    * false). Both frames are materialized (safe after temp release).
+    * false; when the batch admitted NOTHING, no version is minted and
+    * `version` is the base version the delta was deduped against).
+    * Both frames are materialized (safe after temp release).
     */
   final case class DeltaDedup(pairs: DataFrame, survivors: DataFrame, version: Long)
 
@@ -155,7 +198,10 @@ object IncrementalDedup {
     *     pairs the fetch switches to a shuffled join).
     *  7. Survivors = delta minus dropped (any corpus match, or a
     *     lower-id delta match); their signatures append to the store
-    *     as ONE O(delta) versioned commit.
+    *     as ONE O(delta) versioned commit, attempted against the
+    *     EXACT base version of step 3 — on a concurrency conflict the
+    *     survivors re-check against just the winner's admitted rows
+    *     and the commit retries (class doc, "Concurrency").
     *
     * Equivalence (ScalaTested): with a common `maxBucket`, the pair
     * set equals `Dedup.minhashLsh(corpus ∪ delta)` restricted to
@@ -171,30 +217,150 @@ object IncrementalDedup {
       threshold: Double = 0.8,
       maxBucket: Int = 1000,
       maxBroadcastPairs: Long = 1000000L,
-      append: Boolean = true): DeltaDedup = {
+      append: Boolean = true): DeltaDedup =
+    dedupeDeltaHooked(spark, delta, root, idCol, textCol, bands, threshold,
+      maxBucket, maxBroadcastPairs, append, () => ())
+
+  /** [[dedupeDelta]] with a test seam: `beforeCommit` runs after the
+    * survivors are computed and before the first commit attempt, so a
+    * test can interleave a competing batch deterministically.
+    */
+  private[graft] def dedupeDeltaHooked(
+      spark: SparkSession,
+      delta: DataFrame,
+      root: String,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      maxBroadcastPairs: Long,
+      append: Boolean,
+      beforeCommit: () => Unit): DeltaDedup = {
     val p = storeParams(spark, root).getOrElse(throw new IllegalStateException(
       s"no $ParamsFile at $root — initStore must create the signature store first"))
-    require(bands > 0 && p.numHashes >= bands && p.numHashes % bands == 0,
-      s"numHashes (${p.numHashes}) must be a positive multiple of bands ($bands)")
-    val rows = p.numHashes / bands
+    val rows = Dedup.bandRows(p.numHashes, bands)
 
-    val corpusSigs = VersionedTable.read(spark, root) // (id, sig) — no text
+    // Pin the snapshot: the data read and the version the commit is
+    // attempted against must be the SAME snapshot, or a concurrent
+    // append between the two reads silently widens the race window.
+    val baseVersion = VersionedTable.currentSnapshot(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"signature store at $root has no committed version")).version
+    val corpusSigs = VersionedTable.readVersion(spark, root, baseVersion) // (id, sig) — no text
+    // Belt against param/signature mixing (a crashed re-init is loud by
+    // construction, but a torn re-init that DID publish params can
+    // still leave old-width rows): probe one stored signature's width.
+    corpusSigs.select(size(col("sig")).as("n")).limit(1).collect().foreach { r =>
+      if (r.getInt(0) != p.numHashes) throw new IllegalStateException(
+        s"signature store at $root holds ${r.getInt(0)}-hash signatures but " +
+          s"$ParamsFile pins numHashes=${p.numHashes} — the store mixes MinHash " +
+          "families; re-run initStore over the full corpus")
+    }
     val deltaSigs = Dedup.minhashSignatures(
         delta, idCol, textCol, p.numHashes, p.shingleK, p.seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    def banded(sigs: DataFrame): DataFrame = sigs
-      .select(col("id"), explode(Dedup.bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val (verified, pairsRaw, nPairs) = verifiedDeltaPairs(
+      deltaSigs, corpusSigs, p.numHashes, bands, rows, threshold,
+      maxBucket, maxBroadcastPairs, includeInternal = true)
+    val verifiedMat = Dedup.materializeAndRelease(verified, pairsRaw)
 
+    val dropped = verifiedMat.select(col("delta_id").as("__drop")).distinct()
+    val droppedK = if (nPairs <= maxBroadcastPairs) broadcast(dropped) else dropped
+    var survivors = Dedup.materializeAndRelease(
+      delta.join(droppedK, delta(idCol) === dropped("__drop"), "left_anti"))
+    var pairFrames = List(
+      verifiedMat.select(col("id_a"), col("id_b"), col("est_jaccard"), col("src")))
+
+    beforeCommit()
+
+    var curVersion = baseVersion
+    var version = -1L
+    if (append) {
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        attempts += 1
+        if (survivors.isEmpty) {
+          // no-op ingest: minting an empty version would churn
+          // changesSince consumers and march the dir count toward a
+          // pointless full-store compaction
+          version = curVersion
+          committed = true
+        } else {
+          val survivorSigs = deltaSigs.join(
+            survivors.select(col(idCol).as("__keep")),
+            deltaSigs("id") === col("__keep"), "left_semi")
+          try {
+            version = VersionedTable.commitDelta(spark, root, "parquet", survivorSigs,
+              expectedVersion = Some(curVersion))
+            committed = true
+          } catch {
+            case c: VersionedTable.VersionConflictException =>
+              if (attempts >= MaxCommitAttempts) throw new IllegalStateException(
+                s"incremental dedup at $root lost the commit race $attempts times — " +
+                  "writer contention is pathological; retry with backoff", c)
+              // Re-check survivors against ONLY the span the winner(s)
+              // admitted: signatures on both sides, no text, O(conflict
+              // delta). Internal pairs were already emitted — cross only.
+              val newSigs = VersionedTable.changesBetween(spark, root, curVersion, c.actual)
+                .select(col("id"), col("sig"))
+              val survivorSide = deltaSigs.join(
+                survivors.select(col(idCol).as("__keep")),
+                deltaSigs("id") === col("__keep"), "left_semi")
+              val (vp, praw, nP) = verifiedDeltaPairs(
+                survivorSide, newSigs, p.numHashes, bands, rows, threshold,
+                maxBucket, maxBroadcastPairs, includeInternal = false)
+              val newVerified = Dedup.materializeAndRelease(vp, praw)
+              val newDropped = newVerified.select(col("delta_id").as("__drop")).distinct()
+              val newDroppedK =
+                if (nP <= maxBroadcastPairs) broadcast(newDropped) else newDropped
+              survivors = Dedup.materializeAndRelease(
+                survivors.join(newDroppedK,
+                  survivors(idCol) === newDropped("__drop"), "left_anti"))
+              pairFrames :+= newVerified.select(
+                col("id_a"), col("id_b"), col("est_jaccard"), col("src"))
+              curVersion = c.actual
+          }
+        }
+      }
+    }
+    deltaSigs.unpersist(false)
+    // the checkpoint blocks behind pairFrames back the RETURNED pairs
+    // frame — they are NOT released here (same contract as minhashLsh's
+    // result).
+
+    DeltaDedup(pairFrames.reduce(_ unionByName _), survivors, version)
+  }
+
+  /** Verified near-dup pairs between the (persisted) `deltaSigs` and a
+    * corpus-signature frame — steps 2-6 of [[dedupeDelta]]'s plan,
+    * shared by the main pass and the conflict re-check. Returns the
+    * LAZY verified frame, the persisted raw-candidate frame backing it
+    * (caller materializes the result, then releases it), and the
+    * candidate-pair count (the broadcast probe for downstream
+    * anti-joins). `includeInternal=false` skips delta-internal
+    * combinations (the re-check emitted them already).
+    */
+  private def verifiedDeltaPairs(
+      deltaSigs: DataFrame,
+      corpusSigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucket: Int,
+      maxBroadcastPairs: Long,
+      includeInternal: Boolean): (DataFrame, DataFrame, Long) = {
     // Per-key delta members; bounded like the batch generator.
-    val deltaBuckets = banded(deltaSigs)
+    val deltaBuckets = Dedup.bandExplode(deltaSigs, bands, rows)
       .groupBy(col("band"), col("key"))
       .agg(graft.functions.VectorFunctions.boundedCollectList(col("id"), maxBucket).as("d_ids"))
 
     // ONE corpus-sig scan: band keys are a projection, the join
     // broadcasts the delta's keys, so only collisions come back.
-    val collisions = banded(corpusSigs)
+    val collisions = Dedup.bandExplode(corpusSigs, bands, rows)
       .join(broadcast(deltaBuckets.select(col("band"), col("key"))), Seq("band", "key"))
       .groupBy(col("band"), col("key"))
       .agg(graft.functions.VectorFunctions.boundedCollectList(col("id"), maxBucket).as("c_ids"))
@@ -219,7 +385,7 @@ object IncrementalDedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("id_b").as("delta_id"), lit("delta").as("src"))
 
-    val pairsRaw = cross.unionByName(internal)
+    val pairsRaw = (if (includeInternal) cross.unionByName(internal) else cross)
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairsRaw.count()
@@ -239,33 +405,18 @@ object IncrementalDedup {
     val crossV = crossWithCorpusSig
       .join(dsA, col("delta_id") === col("__did"))
       .select(col("id_a"), col("id_b"), col("delta_id"), col("src"),
-        agreement(col("sig_c"), col("sig_d"), p.numHashes).as("est_jaccard"))
-    val internalV = pairsRaw.where(col("src") === "delta")
-      .join(deltaSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(deltaSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("delta_id"), col("src"),
-        agreement(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
-    val verified = crossV.unionByName(internalV).where(col("est_jaccard") >= threshold)
-
-    val verifiedMat = Dedup.materializeAndRelease(verified, pairsRaw)
-
-    val dropped = verifiedMat.select(col("delta_id").as("__drop")).distinct()
-    val survivors = Dedup.materializeAndRelease(
-      delta.join(broadcast(dropped), delta(idCol) === dropped("__drop"), "left_anti"))
-
-    val version =
-      if (append) {
-        val survivorSigs = deltaSigs.join(
-          survivors.select(col(idCol).as("__keep")), deltaSigs("id") === col("__keep"), "left_semi")
-        VersionedTable.commitDelta(spark, root, "parquet", survivorSigs)
-      } else -1L
-    deltaSigs.unpersist(false)
-    // verifiedMat's checkpoint blocks back the RETURNED pairs frame —
-    // they are NOT released here (same contract as minhashLsh's result).
-
-    DeltaDedup(
-      verifiedMat.select(col("id_a"), col("id_b"), col("est_jaccard"), col("src")),
-      survivors, version)
+        agreement(col("sig_c"), col("sig_d"), numHashes).as("est_jaccard"))
+    val verified =
+      if (!includeInternal) crossV.where(col("est_jaccard") >= threshold)
+      else {
+        val internalV = pairsRaw.where(col("src") === "delta")
+          .join(deltaSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(deltaSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("delta_id"), col("src"),
+            agreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+        crossV.unionByName(internalV).where(col("est_jaccard") >= threshold)
+      }
+    (verified, pairsRaw, nPairs)
   }
 
   private def agreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
@@ -292,10 +443,13 @@ object IncrementalDedup {
     VersionedTable.commit(spark, root, "parquet", _ => fp)
   }
 
-  /** `survivors` = delta rows admitted (fingerprint unseen in the
-    * store AND lowest delta id for that fingerprint); `version` is the
-    * store version their fingerprints were appended as (-1 when
-    * `append` was false).
+  /** `survivors` holds the ADMITTED `(fingerprint, keeper_id)` rows —
+    * one row per distinct fingerprint unseen in the store, keeper = the
+    * lowest delta id carrying it (several delta docs can share one
+    * row). To recover the admitted documents, semi-join the delta on
+    * `keeper_id`. `version` follows the [[DeltaDedup]] convention: the
+    * store version the rows were appended as, the base version when the
+    * batch admitted nothing, -1 when `append` was false.
     */
   final case class ExactDelta(survivors: DataFrame, version: Long)
 
@@ -303,8 +457,11 @@ object IncrementalDedup {
     * one fingerprint projection + one small aggregate; the corpus
     * contributes a single scan of the store's thin
     * (fingerprint, keeper_id) table for the anti join — never the
-    * corpus text. New fingerprints append as ONE O(delta) commit, so
-    * `changesSince` answers "which documents did batch N admit".
+    * corpus text. New fingerprints append as ONE O(delta) commit
+    * attempted against the base version (conflict → anti-join the
+    * winner's admitted fingerprints, retry — class doc,
+    * "Concurrency"), so `changesSince` answers "which documents did
+    * batch N admit".
     */
   def exactDelta(
       spark: SparkSession,
@@ -312,16 +469,58 @@ object IncrementalDedup {
       root: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      append: Boolean = true): ExactDelta = {
+      append: Boolean = true): ExactDelta =
+    exactDeltaHooked(spark, delta, root, idCol, textCol, append, () => ())
+
+  /** [[exactDelta]] with the same test seam as [[dedupeDeltaHooked]]. */
+  private[graft] def exactDeltaHooked(
+      spark: SparkSession,
+      delta: DataFrame,
+      root: String,
+      idCol: String,
+      textCol: String,
+      append: Boolean,
+      beforeCommit: () => Unit): ExactDelta = {
     val keep = delta
       .groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"))
-    val store = VersionedTable.read(spark, root).select(col("fingerprint"))
-    val fresh = Dedup.materializeAndRelease(
+    var curVersion = VersionedTable.currentSnapshot(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"exact-dedup store at $root has no committed version")).version
+    val store = VersionedTable.readVersion(spark, root, curVersion).select(col("fingerprint"))
+    var fresh = Dedup.materializeAndRelease(
       keep.join(store, Seq("fingerprint"), "left_anti"))
-    val version =
-      if (append) VersionedTable.commitDelta(spark, root, "parquet", fresh)
-      else -1L
+
+    beforeCommit()
+
+    var version = -1L
+    if (append) {
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        attempts += 1
+        if (fresh.isEmpty) {
+          version = curVersion // no-op ingest: don't mint an empty version
+          committed = true
+        } else {
+          try {
+            version = VersionedTable.commitDelta(spark, root, "parquet", fresh,
+              expectedVersion = Some(curVersion))
+            committed = true
+          } catch {
+            case c: VersionedTable.VersionConflictException =>
+              if (attempts >= MaxCommitAttempts) throw new IllegalStateException(
+                s"incremental exact dedup at $root lost the commit race $attempts " +
+                  "times — writer contention is pathological; retry with backoff", c)
+              val winnerFps = VersionedTable.changesBetween(spark, root, curVersion, c.actual)
+                .select(col("fingerprint"))
+              fresh = Dedup.materializeAndRelease(
+                fresh.join(winnerFps, Seq("fingerprint"), "left_anti"))
+              curVersion = c.actual
+          }
+        }
+      }
+    }
     ExactDelta(fresh, version)
   }
 }

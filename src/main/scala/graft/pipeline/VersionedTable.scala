@@ -60,7 +60,7 @@ object VersionedTable {
     (fs, fs.makeQualified(p))
   }
 
-  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+  private[graft] def readSmall(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try {
@@ -171,6 +171,30 @@ object VersionedTable {
     // a consumer depending on a column that exists only in older dirs
     // fails the same way on both branches (not just the caught-up one)
     if (newDirs.isEmpty) load(spark, rootP, format, Seq(cur.dataDirs.last)).limit(0)
+    else load(spark, rootP, format, newDirs)
+  }
+
+  /** [[changesSince]] with a PINNED upper bound: rows of the data
+    * directories that joined the manifest after `fromVersion`, as of
+    * `toVersion` — for readers that must not race commits landing while
+    * they plan (e.g. an optimistic-concurrency writer re-deriving its
+    * delta after a [[VersionConflictException]] has to cover exactly
+    * the span `(from, to]` it will retry against, not whatever is
+    * newest at execution time). Both versions must still be in the
+    * manifest (not vacuumed).
+    */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long,
+                     format: String = "parquet"): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $v " +
+          "(never committed, or already vacuumed)"))
+    val oldDirs = dirs(fromVersion).toSet
+    val toDirs = dirs(toVersion)
+    val newDirs = toDirs.filterNot(oldDirs)
+    // same caught-up contract as changesSince: schema from one dir only
+    if (newDirs.isEmpty) load(spark, rootP, format, Seq(toDirs.last)).limit(0)
     else load(spark, rootP, format, newDirs)
   }
 
@@ -308,10 +332,20 @@ object VersionedTable {
       delta: DataFrame,
       partitionBy: Seq[String] = Nil,
       maxAttempts: Int = 5,
-      compactAfter: Int = 16): Long = {
+      compactAfter: Int = 16,
+      expectedVersion: Option[Long] = None): Long = {
     require(compactAfter >= 1, "compactAfter must be >= 1")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
+    // Optimistic-concurrency early exit: when the caller's delta was
+    // DERIVED from a specific base version (e.g. IncrementalDedup's
+    // survivors are "new relative to version N"), a moved table means
+    // the delta itself may be stale — don't even write it; the caller
+    // re-derives against the winner and retries.
+    expectedVersion.foreach { exp =>
+      val cur = currentSnapshot(spark, root).map(_.version).getOrElse(0L)
+      if (cur != exp) throw VersionConflictException(root, exp, cur)
+    }
     val deltaName = "data-delta-" + java.util.UUID.randomUUID.toString.take(8)
     val wd = delta.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) wd.partitionBy(partitionBy: _*) else wd)
@@ -320,6 +354,18 @@ object VersionedTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val snap = currentSnapshot(spark, root)
+      // expectedVersion re-check inside the loop: a writer that lands
+      // between the early exit above and this read makes our delta
+      // stale — discard the written dir and surface the conflict (the
+      // CAS alone would silently append a delta derived from the wrong
+      // base)
+      expectedVersion.foreach { exp =>
+        val cur = snap.map(_.version).getOrElse(0L)
+        if (cur != exp) {
+          fs.delete(new Path(rootP, deltaName), true)
+          throw VersionConflictException(root, exp, cur)
+        }
+      }
       val next = snap.map(_.version + 1).getOrElse(1L)
       val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
       val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
@@ -354,6 +400,16 @@ object VersionedTable {
       s"versioned append at $root lost the publish race $maxAttempts times — " +
         "writer contention is pathological; retry with backoff or shard the table")
   }
+
+  /** Thrown by [[commitDelta]] when `expectedVersion` was given and the
+    * table has moved past it: the caller's delta was derived from a
+    * stale base and must be re-derived against `actual` before retrying
+    * (the delta directory was NOT published — nothing to clean up).
+    */
+  final case class VersionConflictException(root: String, expected: Long, actual: Long)
+    extends RuntimeException(
+      s"versioned table at $root moved: delta was derived from v$expected but the " +
+        s"table is at v$actual — re-derive the delta against the current version and retry")
 
   /** One committed version in [[history]]: its number, the manifest
     * pointer's modification time (= publish instant), and the data

@@ -82,11 +82,96 @@ class IncrementalDedupSuite extends SparkSpec {
     assert(store.count() === corpus.count() + expectedSurvivors.size)
 
     // a re-ingest of the admitted docs under fresh ids is fully deduped
-    // against the updated store: zero survivors, nothing appended
+    // against the updated store: zero survivors, nothing appended, and
+    // — critically — NO empty version minted (an empty commit would
+    // churn changesSince consumers and creep toward compaction)
     val reIngest = res.survivors.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val res2 = IncrementalDedup.dedupeDelta(spark, reIngest, root)
     assert(res2.survivors.count() === 0L)
+    assert(res2.version === res.version)
+    assert(VersionedTable.history(spark, root).map(_.version) === Seq(1L, 2L))
     assert(VersionedTable.read(spark, root).count() === store.count())
+  }
+
+  test("concurrent deltas with the same new doc admit exactly one copy") {
+    val root = tmpRoot("incdedup_race")
+    IncrementalDedup.initStore(spark, corpus, root)
+    val newText = "entirely fresh document text that matches no template " * 4
+    val deltaA = Seq((9001L, newText)).toDF("doc_id", "text")
+    val deltaB = Seq((9002L, newText)).toDF("doc_id", "text")
+
+    // B runs fully inside A's read→commit window: A deduped against v1,
+    // B commits v2, A's expectedVersion=1 commit conflicts, A re-checks
+    // against ONLY B's admitted rows and drops its copy.
+    var resB: IncrementalDedup.DeltaDedup = null
+    val resA = IncrementalDedup.dedupeDeltaHooked(
+      spark, deltaA, root, "doc_id", "text", 16, 0.8, 1000, 1000000L, true,
+      () => { resB = IncrementalDedup.dedupeDelta(spark, deltaB, root) })
+
+    assert(resB.survivors.select("doc_id").as[Long].collect().toSet === Set(9002L))
+    assert(resB.version === 2L)
+    // A's copy was dropped by the conflict re-check; no version minted
+    assert(resA.survivors.count() === 0L)
+    assert(resA.version === 2L)
+    // the re-check emitted the cross pair against the winner's doc
+    val racePairs = resA.pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(racePairs.contains((9001L, 9002L, "corpus")))
+    // dedup invariant: exactly ONE copy of the new doc in the store
+    val ids = VersionedTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids.contains(9002L) && !ids.contains(9001L))
+    assert(VersionedTable.history(spark, root).map(_.version) === Seq(1L, 2L))
+  }
+
+  test("concurrent exact deltas with the same fingerprint admit one row") {
+    val root = tmpRoot("incdedup_exact_race")
+    IncrementalDedup.initExactStore(
+      spark, Seq((1L, "base doc")).toDF("doc_id", "text"), root)
+    val deltaA = Seq((9001L, "shared new text")).toDF("doc_id", "text")
+    val deltaB = Seq((9002L, "shared NEW  text")).toDF("doc_id", "text") // same normalized fp
+
+    var resB: IncrementalDedup.ExactDelta = null
+    val resA = IncrementalDedup.exactDeltaHooked(
+      spark, deltaA, root, "doc_id", "text", true,
+      () => { resB = IncrementalDedup.exactDelta(spark, deltaB, root) })
+
+    assert(resB.survivors.select("keeper_id").as[Long].collect().toSet === Set(9002L))
+    assert(resB.version === 2L)
+    assert(resA.survivors.count() === 0L)
+    assert(resA.version === 2L)
+    val store = VersionedTable.read(spark, root)
+    assert(store.count() === 2L) // base + ONE row for the shared fingerprint
+    assert(VersionedTable.history(spark, root).map(_.version) === Seq(1L, 2L))
+  }
+
+  test("stored-width probe fails loudly on a params/signature family mix") {
+    val root = tmpRoot("incdedup_mix")
+    IncrementalDedup.initStore(spark, corpus, root,
+      params = IncrementalDedup.SigParams(numHashes = 64, shingleK = 4, seed = 7L))
+    // simulate a torn re-init that published params but not signatures
+    // (write through the Hadoop FS so the CRC sidecar stays consistent)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_sig_params"), true)
+    out.write("numHashes=128\nshingleK=5\nseed=42\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.dedupeDelta(spark, delta.limit(5), root, append = false)
+    }
+    assert(e.getMessage.contains("mixes MinHash families"))
+  }
+
+  test("re-init with a different family repins params and rewrites the store") {
+    val root = tmpRoot("incdedup_reinit")
+    IncrementalDedup.initStore(spark, corpus, root)
+    val custom = IncrementalDedup.SigParams(numHashes = 64, shingleK = 4, seed = 7L)
+    val v2 = IncrementalDedup.initStore(spark, corpus, root, params = custom)
+    assert(v2 === 2L)
+    assert(IncrementalDedup.storeParams(spark, root) === Some(custom))
+    // the new snapshot holds new-family signatures only — deltas run
+    // green against the repinned geometry
+    val res = IncrementalDedup.dedupeDelta(spark, delta.limit(10), root,
+      bands = 8, append = false)
+    assert(res.version === -1L)
   }
 
   test("exact store: anti-join survivors, O(delta) append, changesSince contract") {
@@ -114,6 +199,9 @@ class IncrementalDedupSuite extends SparkSpec {
     val res2 = IncrementalDedup.exactDelta(spark,
       deltaX.select((col("doc_id") + 1000L).as("doc_id"), col("text")), root)
     assert(res2.survivors.count() === 0L)
+    // nothing admitted → no version minted
+    assert(res2.version === res.version)
+    assert(VersionedTable.history(spark, root).map(_.version) === Seq(1L, 2L))
   }
 
   test("store params: pinned at init, loudly required for deltas") {
