@@ -116,11 +116,19 @@ object VersionedTable {
   private def load(spark: SparkSession, rootP: Path, format: String,
                    dirs: Seq[String]): DataFrame = {
     val paths = dirs.map(d => new Path(rootP, d).toString)
-    // mergeSchema: delta directories may carry evolved (additive)
-    // schemas; footer reconciliation unions them by name
-    val r = spark.read.format(format)
-    (if (format == "parquet" && paths.length > 1) r.option("mergeSchema", "true") else r)
-      .load(paths: _*)
+    if (paths.length == 1) spark.read.format(format).load(paths.head)
+    else
+      // One read PER DIRECTORY, unioned by name — not a single
+      // multi-path read: each committed dir is its own table root, so
+      // hive-partitioned layouts (e.g. IncrementalAnn's list_id dirs)
+      // infer their partition columns per branch (a multi-path read
+      // fails with CONFLICTING_DIRECTORY_STRUCTURES across
+      // differently-named delta dirs), partition pruning applies per
+      // branch, and additive schema evolution keeps mergeSchema's
+      // semantics via the null-filling union (a column absent in an
+      // older dir reads as null there, same as footer reconciliation).
+      paths.map(p => spark.read.format(format).load(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read the newest committed version (a stable snapshot — later

@@ -289,10 +289,49 @@ object TextQueries {
       IncrementalDedup.initStore(s, docs.where(col("doc_id") % 10 =!= 0), root)
       IncrementalDedup.dedupeDelta(s, docs.where(col("doc_id") % 10 === 0), root)
         .pairs.orderBy("id_a", "id_b")
+    }),
+
+    // q70: INCREMENTAL ANN index — 90% of the embeddings build the
+    // IVF index (quantizer trained + persisted, lists committed as a
+    // list_id-partitioned versioned table), the 10% delta appends by
+    // centroid assignment only (O(delta) commit, no Lloyd pass, no
+    // index read), and the search runs against the PERSISTED index.
+    // nprobe = nlist makes the search exhaustive, so the whole
+    // init → append → search loop must reproduce brute-force cosine
+    // top-k exactly — which the driver hash-checks against the same
+    // DuckDB oracle as q34.
+    "q70_incremental_ann" -> ((s, dir) => {
+      val root = RelationalQueries.scratchRoot("graft_q70")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.IncrementalAnn.initIndex(
+        s, emb.where(col("vec_id") % 10 =!= 0), root, nlist = 16, iters = 2)
+      graft.operators.IncrementalAnn.appendDelta(
+        s, emb.where(col("vec_id") % 10 === 0), root)
+      graft.operators.IncrementalAnn.search(
+        s, root, emb.where(col("vec_id") < 10), k = 10, nprobe = 16)
+        .orderBy("probe_id", "rank")
     }))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Brute-force cosine top-k oracle, shared by q34 (direct brute
+    * force) and q70 (incremental IVF index searched exhaustively).
+    */
+  private val knnBruteSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT probe_id, e.vec_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * embedding[i]::DOUBLE))
+      |      / nullif(sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * pv[i]::DOUBLE)))
+      |             * sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 0), 4) AS sim
+      |  FROM probes, e WHERE probe_id <> e.vec_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
 
   private def hitsSql(lang: String): String = {
     val words = TextQueries.wordsList(lang)
@@ -402,20 +441,13 @@ object TextQueries {
          |SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
 
-    "q34_knn_brute" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT probe_id, e.vec_id,
-        |    round(
-        |      list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * embedding[i]::DOUBLE))
-        |      / nullif(sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i]::DOUBLE * pv[i]::DOUBLE)))
-        |             * sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 0), 4) AS sim
-        |  FROM probes, e WHERE probe_id <> e.vec_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
-        |ORDER BY probe_id, rank""".stripMargin,
+    "q34_knn_brute" -> knnBruteSql,
+
+    // same oracle as q34: with nprobe = nlist the incremental index's
+    // search is exhaustive, so init → append → search must land on the
+    // identical brute-force answer (third execution route, like
+    // q23/q61/q65 sharing the as-of oracle)
+    "q70_incremental_ann" -> knnBruteSql,
 
     "q40_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
