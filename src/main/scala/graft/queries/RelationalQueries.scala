@@ -37,6 +37,26 @@ object RelationalQueries {
 
   private def file(dir: String, name: String) = FileSource(name, s"$dir/$name.parquet")
 
+  /** The q71/q72 snapshot pair: deterministic adds (%5==4 keys absent
+    * from base), deletes (%7==3 keys absent from next) and in-place
+    * changes (price fix for customers %10==0 through exact integer
+    * cents, status case-flip for %20==0) over the orders table.
+    */
+  private def diffSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = t(s, dir, "orders")
+      .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+    val base = all.where(col("o_orderkey") % 5 =!= 4)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("__cents / 100.0D").as("price"), col("o_orderstatus").as("status"))
+    val next = all.where(col("o_orderkey") % 7 =!= 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_custkey") % 10 === 0, expr("((__cents * 105 + 50) div 100) / 100.0D"))
+          .otherwise(expr("__cents / 100.0D")).as("price"),
+        when(col("o_custkey") % 20 === 0, lower(col("o_orderstatus")))
+          .otherwise(col("o_orderstatus")).as("status"))
+    (base, next)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q02: filter step + aggregation (TPC-H Q6 shape). The Filter step's
@@ -573,6 +593,35 @@ object RelationalQueries {
       VersionedTable.changesSince(s, root, 1L).orderBy("o_orderkey")
     }),
 
+    // q71: keyed snapshot reconciliation (CDC diff) — base loses keys
+    // %7==3, gains keys %5==4, and customers %10==0 get a price fix
+    // (%20==0 additionally a status change, exercising the multi-column
+    // changed_cols list). ONE full-outer sort-merge shuffle; every
+    // classification is a codegen'd null-safe comparison.
+    "q71_snapshot_diff" -> ((s, dir) => {
+      val (base, next) = diffSnapshots(s, dir)
+      Relational.snapshotDiff(base, next, Seq("o_orderkey"), Seq("o_custkey", "price", "status"))
+        .orderBy("o_orderkey")
+    }),
+
+    // q72: the SAME reconciliation across two REAL versioned commits —
+    // v1 and v2 are manifest snapshots on disk, read back via time
+    // travel, so the oracle checks the full CDC story: commit protocol
+    // → time travel → keyed diff. Overwrite commits are pointer-only
+    // (no table rewrite beyond the new data), so "diff two versions"
+    // never rescans history.
+    "q72_versioned_cdc" -> ((s, dir) => {
+      val root = scratchRoot("graft_q72")
+      val (base, next) = diffSnapshots(s, dir)
+      Writer.write(s, base, SinkSpec(root, mode = Overwrite, versioned = true))
+      Writer.write(s, next, SinkSpec(root, mode = Overwrite, versioned = true))
+      Relational.snapshotDiff(
+          VersionedTable.readVersion(s, root, 1L),
+          VersionedTable.readVersion(s, root, 2L),
+          Seq("o_orderkey"), Seq("o_custkey", "price", "status"))
+        .orderBy("o_orderkey")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -652,6 +701,47 @@ object RelationalQueries {
         .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))
         .limit(10)))
+
+  /** Shared by q71 (pure relational) and q72 (through two real
+    * versioned commits + time travel): the keyed diff of
+    * [[diffSnapshots]], with DuckDB's IS NOT DISTINCT FROM standing in
+    * for Spark's null-safe `<=>` and concat_ws skipping the
+    * unchanged-column NULLs identically in both engines.
+    */
+  private val snapshotDiffSql: String =
+    """WITH allr AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderstatus AS status
+      |  FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, cents / 100.0 AS price, status
+      |  FROM allr WHERE o_orderkey % 5 <> 4),
+      |nxt AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_custkey % 10 = 0 THEN ((cents * 105 + 50) // 100) / 100.0
+      |              ELSE cents / 100.0 END AS price,
+      |         CASE WHEN o_custkey % 20 = 0 THEN lower(status) ELSE status END AS status
+      |  FROM allr WHERE o_orderkey % 7 <> 3)
+      |SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |       WHEN n.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+      |    concat_ws(',',
+      |      CASE WHEN NOT (b.o_custkey IS NOT DISTINCT FROM n.o_custkey) THEN 'o_custkey' END,
+      |      CASE WHEN NOT (b.price IS NOT DISTINCT FROM n.price) THEN 'price' END,
+      |      CASE WHEN NOT (b.status IS NOT DISTINCT FROM n.status) THEN 'status' END)
+      |  END AS changed_cols,
+      |  b.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+      |  b.price AS old_price, n.price AS new_price,
+      |  b.status AS old_status, n.status AS new_status
+      |FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+      |WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |   OR NOT (b.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+      |   OR NOT (b.price IS NOT DISTINCT FROM n.price)
+      |   OR NOT (b.status IS NOT DISTINCT FROM n.status)
+      |ORDER BY o_orderkey""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q02_filter" ->
@@ -945,6 +1035,9 @@ object RelationalQueries {
     "q67_versioned_delta" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q71_snapshot_diff" -> snapshotDiffSql,
+    "q72_versioned_cdc" -> snapshotDiffSql,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,
