@@ -310,6 +310,25 @@ object TextQueries {
       graft.operators.IncrementalAnn.search(
         s, root, emb.where(col("vec_id") < 10), k = 10, nprobe = 16)
         .orderBy("probe_id", "rank")
+    }),
+
+    // q73: IVF-PQ compressed-scan ANN — the corpus is searched from
+    // m-byte PQ codes (32× less scan I/O than the float vectors) via
+    // per-probe ADC lookup tables, then the ADC top-`rerank` re-ranked
+    // exactly by id. Both quantizers train once per session (cache
+    // keyed by the corpus dir — the at-ingest artifact stand-in, as
+    // for q44/q70). Rows-only: quantization is approximate by design;
+    // recall floors and an exact-mode equivalence are pinned in
+    // PqSuite.
+    "q73_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.ivfCentroidsCached(s"$dir/q73", emb, nlist = 8, iters = 2)
+      val cb = graft.operators.ProductQuantizer.trainCached(
+        s"$dir/q73", emb, dim = 64, m = 8, ksub = 16, iters = 2)
+      graft.operators.ProductQuantizer.ivfPqAnn(
+          emb, emb.where(col("vec_id") < 10), coarse, cb,
+          k = 10, nprobe = 4, rerank = 80)
+        .orderBy("probe_id", "rank")
     }))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
