@@ -206,6 +206,48 @@ object VersionedTable {
     else load(spark, rootP, format, newDirs)
   }
 
+  /** Keyed CDC between two committed versions — what changed from
+    * `fromVersion` to `toVersion`, classified added/removed/changed
+    * with changed-column attribution (Relational.snapshotDiff's output
+    * shape).
+    *
+    * Cost model: when `toVersion`'s directory set contains all of
+    * `fromVersion`'s, every intervening commit was an append — the
+    * diff IS the appended rows, emitted straight off
+    * [[changesBetween]] at O(delta) read cost with no join at all. Any
+    * rewrite in between (merge/overwrite/compact) drops to the general
+    * path: one full-outer sort-merge reconciliation of the two
+    * snapshots. The manifest decides; callers never guess.
+    *
+    * Keys must be unique per snapshot (snapshotDiff's primary-key
+    * contract) — which for the append fast path means appended rows
+    * carry NEW keys, as any keyed append-only table guarantees.
+    */
+  def diffVersions(spark: SparkSession, root: String,
+                   fromVersion: Long, toVersion: Long,
+                   keys: Seq[String], compare: Seq[String],
+                   format: String = "parquet"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, rootP) = fsFor(spark, root)
+    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $v " +
+          "(never committed, or already vacuumed)"))
+    val appendOnly = dirs(fromVersion).toSet.subsetOf(dirs(toVersion).toSet)
+    if (appendOnly) {
+      val delta = changesBetween(spark, root, fromVersion, toVersion, format)
+      delta.select(keys.map(col) ++
+        Seq(lit("added").as("change_type"), lit(null).cast("string").as("changed_cols")) ++
+        compare.flatMap(c =>
+          Seq(lit(null).cast(delta.schema(c).dataType).as(s"old_$c"), col(c).as(s"new_$c"))): _*)
+    }
+    else
+      graft.operators.Relational.snapshotDiff(
+        readVersion(spark, root, fromVersion, format),
+        readVersion(spark, root, toVersion, format),
+        keys, compare)
+  }
+
   /** Structured-Streaming source over an APPEND-ONLY versioned table:
     * every [[commitDelta]] lands its rows in a `data-delta-*` directory
     * and never moves them (compaction rewrites into `data-<version>-*`

@@ -605,19 +605,19 @@ object RelationalQueries {
     }),
 
     // q72: the SAME reconciliation across two REAL versioned commits —
-    // v1 and v2 are manifest snapshots on disk, read back via time
-    // travel, so the oracle checks the full CDC story: commit protocol
-    // → time travel → keyed diff. Overwrite commits are pointer-only
-    // (no table rewrite beyond the new data), so "diff two versions"
-    // never rescans history.
+    // v1 and v2 are manifest snapshots on disk, diffed via
+    // VersionedTable.diffVersions, so the oracle checks the full CDC
+    // story: commit protocol → manifest-driven path choice → time
+    // travel → keyed diff. The v2 overwrite REWRITES directories, so
+    // the manifest routes this to the general full-outer
+    // reconciliation (the O(delta) append fast path is pinned in
+    // DiffVersionsSuite).
     "q72_versioned_cdc" -> ((s, dir) => {
       val root = scratchRoot("graft_q72")
       val (base, next) = diffSnapshots(s, dir)
       Writer.write(s, base, SinkSpec(root, mode = Overwrite, versioned = true))
       Writer.write(s, next, SinkSpec(root, mode = Overwrite, versioned = true))
-      Relational.snapshotDiff(
-          VersionedTable.readVersion(s, root, 1L),
-          VersionedTable.readVersion(s, root, 2L),
+      VersionedTable.diffVersions(s, root, 1L, 2L,
           Seq("o_orderkey"), Seq("o_custkey", "price", "status"))
         .orderBy("o_orderkey")
     }),
