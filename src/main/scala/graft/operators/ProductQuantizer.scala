@@ -200,10 +200,43 @@ object ProductQuantizer {
       nprobe: Int = 4,
       rerank: Int = 50,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val coded = corpus.select(col(idCol).as("vec_id"),
+      vecCol: String = "embedding"): DataFrame =
+    ivfPqAnnCoded(encodeCorpus(corpus, coarse, cb, idCol, vecCol),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+      probes, coarse, cb, k, nprobe, rerank, idCol, vecCol)
+
+  /** `(vec_id, list_id, codes)` for the whole corpus — one projection.
+    * This is the column set a deployment PERSISTS at ingest (written
+    * list_id-partitioned, it is the IVF-PQ index: a search scans
+    * nprobe/nlist of the m-byte codes and nothing else); [[ivfPqAnn]]
+    * computes it inline only for one-shot use.
+    */
+  def encodeCorpus(
+      corpus: DataFrame,
+      coarse: Seq[(Int, Array[Float])],
+      cb: PqCodebook,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"),
       Similarity.ivfAssign(col(vecCol), coarse).as("list_id"),
       encodeExpr(col(vecCol), cb).as("codes"))
+
+  /** [[ivfPqAnn]] over a PRE-ENCODED corpus: `coded` as produced by
+    * [[encodeCorpus]] (usually read back from its persisted,
+    * list-partitioned form), `vecs` = `(vec_id, vec)` for the exact
+    * re-rank's point reads.
+    */
+  def ivfPqAnnCoded(
+      coded: DataFrame,
+      vecs: DataFrame,
+      probes: DataFrame,
+      coarse: Seq[(Int, Array[Float])],
+      cb: PqCodebook,
+      k: Int,
+      nprobe: Int,
+      rerank: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       lutExpr(col(vecCol), cb).as("lut"),
       Similarity.l2norm(col(vecCol)).as("probe_norm"),
@@ -215,7 +248,6 @@ object ProductQuantizer {
         Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))))
       .where(col("adc_rank") <= rerank)
       .select(col("probe_id"), col("probe_vec"), col("vec_id"))
-    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     cand.join(vecs, Seq("vec_id"))
       .withColumn("sim", round(Similarity.cosine(col("probe_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_READ('/path', 3)                             -- time travel to v3
   * GRAFT_READ('/path', SINCE 3)                       -- delta committed after v3
   * GRAFT_VERSIONS('/path')                            -- commit history
+  * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
+  * GRAFT_DIFF('/path', 1, 3, KEY k, COMPARE a, b)     -- compare only a, b
   * }}}
   *
   * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
@@ -35,7 +37,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AsOfStmt, ReadStmt, VersionsStmt}
+  import GraftSqlParser.{AsOfStmt, DiffStmt, ReadStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -53,6 +55,19 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         else if (since == null) VersionedTable.readVersion(session, path, version.toLong, fmt)
         else VersionedTable.changesSince(session, path, version.toLong, fmt)
       df.queryExecution.logical
+    case DiffStmt(path, from, to, keys, compareOpt) =>
+      import graft.pipeline.VersionedTable
+      val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
+      val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // COMPARE omitted -> every non-key column of the `to` snapshot
+      // (the schema of record for what the diff is ABOUT)
+      val compare = Option(compareOpt)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(VersionedTable.readVersion(session, path, to.toLong, fmt)
+          .columns.toSeq.filterNot(keyCols.contains))
+      VersionedTable.diffVersions(session, path, from.toLong, to.toLong,
+          keyCols, compare, fmt)
+        .queryExecution.logical
     case VersionsStmt(path) =>
       import session.implicits._
       val h = graft.pipeline.VersionedTable.history(session, path)
@@ -68,7 +83,8 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) =>
+    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
+         DiffStmt(_, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -110,4 +126,13 @@ object GraftSqlParser {
 
   private val VersionsStmt =
     """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+
+  /** Keyed CDC between two committed versions: path literal, two bare
+    * version numbers (≤18 digits like ReadStmt's), a KEY column list,
+    * and an optional COMPARE column list (defaults to all non-key
+    * columns). The key list is non-greedy so the optional COMPARE
+    * clause is not swallowed into it.
+    */
+  private val DiffStmt =
+    """(?is)^\s*GRAFT_DIFF\s*\(\s*'([^']+)'\s*,\s*(\d{1,18})\s*,\s*(\d{1,18})\s*,\s*KEY\s+(\w+(?:\s*,\s*\w+)*?)(?:\s*,\s*COMPARE\s+(\w+(?:\s*,\s*\w+)*))?\s*\)\s*;?\s*$""".r
 }

@@ -48,6 +48,18 @@ class PqSuite extends SparkSpec {
     assert(got == brute)
   }
 
+  test("persisted list-partitioned codes search identically to the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString + "/codes"
+    ProductQuantizer.encodeCorpus(emb, coarse, cb)
+      .write.partitionBy("list_id").parquet(dir)
+    val inline = topk(ProductQuantizer.ivfPqAnn(emb, probes, coarse, cb,
+      k = 10, nprobe = 4, rerank = 80))
+    val viaDisk = topk(ProductQuantizer.ivfPqAnnCoded(spark.read.parquet(dir),
+      emb.select(col("vec_id"), col("embedding").as("vec")),
+      probes, coarse, cb, k = 10, nprobe = 4, rerank = 80))
+    assert(viaDisk == inline)
+  }
+
   test("compressed mode holds a recall floor at a 32x smaller scan") {
     // Measured decomposition on this (synthetic, near-uniform — the
     // hard case for PQ) corpus: coarse-only recall at nprobe=4 is

@@ -84,6 +84,39 @@ class SqlSurfaceSuite extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(7L -> "j"))
   }
 
+  test("GRAFT_DIFF exposes keyed versioned CDC to pure SQL") {
+    import graft.pipeline.{Append, Overwrite, SinkSpec, Writer}
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldiff").toString + "/t"
+    Writer.write(s2, Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      SinkSpec(root, mode = Overwrite, versioned = true))
+    Writer.write(s2, Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30)).toDF("k", "s", "v"),
+      SinkSpec(root, mode = Overwrite, versioned = true))
+    Writer.write(s2, Seq((9L, "z", 90)).toDF("k", "s", "v"),
+      SinkSpec(root, mode = Append, versioned = true))
+    // general path (v2 is a rewrite): full classification, COMPARE
+    // defaulting to all non-key columns
+    val got = s2.sql(s"GRAFT_DIFF('$root', 1, 2, KEY k)").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("changed_cols"))).toMap
+    assert(got == Map(2L -> (("changed", "s,v")), 3L -> (("added", null))))
+    // explicit COMPARE list narrows the attribution
+    val narrowed = s2.sql(s"GRAFT_DIFF('$root', 1, 2, KEY k, COMPARE s)").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("changed_cols")).toMap
+    assert(narrowed == Map(2L -> "s", 3L -> null))
+    // append-only span: O(delta) fast path, no join in the plan
+    val fast = s2.sql(s"GRAFT_DIFF('$root', 2, 3, KEY k)")
+    assert(!fast.queryExecution.executedPlan.toString.contains("Join"))
+    assert(fast.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+      .toSeq == Seq((9L, "added")))
+    // composes into larger SQL through a temp view
+    fast.createOrReplaceTempView("diff_sql_out")
+    assert(s2.sql("SELECT count(*) FROM diff_sql_out WHERE change_type = 'added'")
+      .head().getLong(0) == 1L)
+    // absent table: the library's loud diagnostic
+    intercept[IllegalArgumentException] { s2.sql("GRAFT_DIFF('/tmp/nope_vt', 1, 2, KEY k)") }
+  }
+
   test("graft native functions are SQL-callable in the extensions session") {
     val r = s2.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
