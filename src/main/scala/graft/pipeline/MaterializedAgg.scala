@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained rollups over versioned tables — the
+  * materialized-view half of the lakehouse story: a `groupBy` aggregate
+  * of a 100 TB append-only fact table stays fresh by folding in ONLY
+  * the rows committed since the last refresh, never rescanning history.
+  *
+  * Design:
+  *  - The rollup itself is a versioned table (same CAS commit protocol,
+  *    time travel, vacuum). Every refresh commits the FULL merged
+  *    rollup — it is bounded by group cardinality, orders of magnitude
+  *    smaller than the fact — stamped with a `__src_version` column
+  *    recording exactly which source version it reflects.
+  *  - The watermark therefore travels ATOMICALLY with the data: a crash
+  *    between "read delta" and "commit" leaves the previous rollup +
+  *    previous watermark intact, and the retry reprocesses the same
+  *    delta. No side-channel state file, no double counting.
+  *  - Only decomposable aggregates are supported (count / sum / min /
+  *    max — avg derives as sum/count at read time): their partials over
+  *    the delta merge with the stored rollup by a small outer join, so
+  *    refresh cost is O(delta + |rollup|), independent of fact history.
+  *
+  * Reference scope: drune materializes gold tables by full recompute
+  * per run (spark_engine.py:232-255 executes the SQL chain over the
+  * whole dependency); this replaces the recompute with delta
+  * maintenance once the dependency is a versioned append table.
+  */
+object MaterializedAgg {
+
+  /** A decomposable aggregate: `name` is the output column, `expr` a
+    * SQL expression over the source rows, `kind` ∈ count | sum | min |
+    * max. For `count`, `expr` is ignored (row count).
+    */
+  final case class MAgg(name: String, expr: String, kind: String) {
+    require(Set("count", "sum", "min", "max")(kind),
+      s"unsupported aggregate kind '$kind' — decomposable kinds: count, sum, min, max")
+  }
+
+  private val SrcVersionCol = "__src_version"
+
+  /** The current rollup (without the watermark column). */
+  def read(spark: SparkSession, aggRoot: String, format: String = "parquet"): DataFrame =
+    VersionedTable.read(spark, aggRoot, format).drop(SrcVersionCol)
+
+  /** The source version the stored rollup reflects, if any. */
+  def watermark(spark: SparkSession, aggRoot: String, format: String = "parquet"): Option[Long] =
+    if (VersionedTable.currentSnapshot(spark, aggRoot).isEmpty) None
+    else {
+      val r = VersionedTable.read(spark, aggRoot, format)
+        .select(max(col(SrcVersionCol))).head()
+      // an empty-but-committed rollup (empty source at first refresh)
+      // has no rows to carry the watermark — treat as never refreshed;
+      // the recompute over the still-empty source is the correct fold
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+
+  private def partial(df: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame =
+    df.groupBy(groupBy.map(col): _*).agg(
+      aggs.head.toColumn, aggs.tail.map(_.toColumn): _*)
+
+  private implicit class MAggOps(private val a: MAgg) extends AnyVal {
+    def toColumn: Column = (a.kind match {
+      case "count" => count(lit(1))
+      case "sum"   => sum(expr(a.expr))
+      case "min"   => min(expr(a.expr))
+      case "max"   => max(expr(a.expr))
+    }).as(a.name)
+    /** Merge a stored value with a delta partial (null-safe: a group
+      * absent from one side contributes only the other side).
+      */
+    def merge(stored: Column, delta: Column): Column = a.kind match {
+      case "count" | "sum" =>
+        when(stored.isNull, delta).when(delta.isNull, stored).otherwise(stored + delta)
+      case "min" => least(stored, delta)    // least/greatest skip nulls
+      case "max" => greatest(stored, delta)
+    }
+  }
+
+  /** Fold everything the source committed since the stored watermark
+    * into the rollup and commit the result as the rollup's next
+    * version. Returns the source version the rollup now reflects.
+    * No-op (no new commit) when already caught up.
+    *
+    * First refresh (no rollup yet) aggregates the full source snapshot
+    * — the one unavoidable full pass, the same one that builds any
+    * index. Precondition for every later refresh: the source history
+    * between watermark and head is APPEND-ONLY (commitDelta); a
+    * merge/overwrite/compact in that span makes delta maintenance
+    * unsound, detected via the manifest like diffVersions does, and
+    * reported as an error telling the caller to rebuild.
+    */
+  def refresh(spark: SparkSession, srcRoot: String, aggRoot: String,
+              groupBy: Seq[String], aggs: Seq[MAgg],
+              srcFormat: String = "parquet", aggFormat: String = "parquet"): Long = {
+    require(groupBy.nonEmpty, "refresh needs at least one group column")
+    require(aggs.nonEmpty, "refresh needs at least one aggregate")
+    val srcHead = VersionedTable.currentSnapshot(spark, srcRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"source at $srcRoot has no committed version")).version
+    watermark(spark, aggRoot, aggFormat) match {
+      case Some(w) if w == srcHead => w // caught up — nothing to commit
+      case Some(w) =>
+        val delta = VersionedTable.changesBetween(spark, srcRoot, w, srcHead, srcFormat)
+        // unsound-history guard: changesBetween returns REWRITTEN rows
+        // as "new" after a merge/overwrite — folding them would double
+        // count. Append-only means the old dirs all survive into head.
+        val dirsByV = VersionedTable.history(spark, srcRoot)
+          .map(v => v.version -> v.dataDirs.toSet).toMap
+        require(dirsByV(w).subsetOf(dirsByV(srcHead)),
+          s"source history at $srcRoot between v$w and v$srcHead contains a " +
+            "rewrite (merge/overwrite/compact) — delta maintenance is unsound; " +
+            "rebuild the rollup from scratch (drop the agg table and refresh)")
+        val stored = VersionedTable.read(spark, aggRoot, aggFormat).drop(SrcVersionCol)
+        val partials = partial(delta, groupBy, aggs)
+        // rename the delta side wholesale (shared-lineage ambiguity —
+        // same pattern as Relational.snapshotDiff)
+        val d = partials.select(partials.columns.map(c => col(c).as(s"__d_$c")): _*)
+        val cond = groupBy.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+        val merged = stored.join(d, cond, "full_outer")
+          .select(groupBy.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
+            aggs.map(a => a.merge(col(a.name), col(s"__d_${a.name}")).as(a.name)): _*)
+        commit(spark, aggRoot, merged, srcHead, aggFormat)
+      case None =>
+        val full = partial(VersionedTable.readVersion(spark, srcRoot, srcHead, srcFormat),
+          groupBy, aggs)
+        commit(spark, aggRoot, full, srcHead, aggFormat)
+    }
+  }
+
+  private def commit(spark: SparkSession, aggRoot: String, rollup: DataFrame,
+                     srcVersion: Long, format: String): Long = {
+    Writer.write(spark, rollup.withColumn(SrcVersionCol, lit(srcVersion)),
+      SinkSpec(aggRoot, mode = Overwrite, versioned = true, format = format))
+    srcVersion
+  }
+}

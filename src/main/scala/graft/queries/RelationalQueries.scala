@@ -622,6 +622,39 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q75: INCREMENTALLY-MAINTAINED rollup under the oracle gate — the
+    // source lands as two real append commits, and the rollup is
+    // refreshed after EACH: refresh #2 folds only the second commit's
+    // rows into the stored rollup (O(delta + |rollup|), the fact's
+    // history is never rescanned). The final rollup must equal a flat
+    // GROUP BY over everything — which is exactly what the DuckDB
+    // oracle computes.
+    "q75_incremental_rollup" -> ((s, dir) => {
+      import graft.pipeline.MaterializedAgg
+      import graft.pipeline.MaterializedAgg.MAgg
+      val srcRoot = scratchRoot("graft_q75src")
+      val aggRoot = scratchRoot("graft_q75agg")
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val groups = Seq("o_orderstatus", "month")
+      val aggs = Seq(MAgg("n_orders", "", "count"), MAgg("cents_sum", "cents", "sum"),
+        MAgg("min_cents", "cents", "min"), MAgg("max_cents", "cents", "max"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      MaterializedAgg.read(s, aggRoot)
+        .select(col("o_orderstatus"), col("month"), col("n_orders"),
+          expr("cents_sum / 100.0D").as("revenue"),
+          expr("min_cents / 100.0D").as("min_price"),
+          expr("max_cents / 100.0D").as("max_price"))
+        .orderBy("o_orderstatus", "month")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1038,6 +1071,14 @@ object RelationalQueries {
 
     "q71_snapshot_diff" -> snapshotDiffSql,
     "q72_versioned_cdc" -> snapshotDiffSql,
+
+    "q75_incremental_rollup" ->
+      """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+        |  min(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS min_price,
+        |  max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q48_corr" ->
       """SELECT l_returnflag, count(*) AS n,

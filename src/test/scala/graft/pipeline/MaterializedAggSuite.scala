@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.pipeline.MaterializedAgg.MAgg
+import org.apache.spark.sql.functions._
+
+/** MaterializedAgg — incrementally-maintained rollups: delta folding
+  * equals full recompute, refreshes are idempotent and watermarked
+  * atomically, and unsound (rewritten) source history is refused.
+  */
+class MaterializedAggSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  private val groups = Seq("g")
+  private val aggs = Seq(MAgg("n", "", "count"), MAgg("s", "v", "sum"),
+    MAgg("lo", "v", "min"), MAgg("hi", "v", "max"))
+
+  private def write(rows: Seq[(String, Long)], root: String, mode: WriteMode) =
+    Writer.write(spark, rows.toDF("g", "v"),
+      SinkSpec(root, mode = mode, versioned = true))
+
+  private def rollupMap(aggRoot: String): Map[String, (Long, Long, Long, Long)] =
+    MaterializedAgg.read(spark, aggRoot).collect().map(r =>
+      r.getAs[String]("g") -> ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+
+  test("incremental refreshes equal the flat aggregate; new groups appear, old merge") {
+    val src = tmpRoot("graft_magg_src"); val agg = tmpRoot("graft_magg_agg")
+    write(Seq(("a", 1L), ("a", 5L), ("b", 2L)), src, Append)
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 1L)
+    write(Seq(("a", 10L), ("c", 7L)), src, Append)
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 2L)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((3L, 16L, 1L, 10L)), "b" -> ((1L, 2L, 2L, 2L)), "c" -> ((1L, 7L, 7L, 7L))))
+    // the rollup is itself a versioned table: refresh #1's state is
+    // still time-travelable
+    assert(VersionedTable.readVersion(spark, agg, 1L).count() == 2L)
+  }
+
+  test("caught-up and repeated refreshes are no-ops (watermark travels with the commit)") {
+    val src = tmpRoot("graft_magg_src2"); val agg = tmpRoot("graft_magg_agg2")
+    write(Seq(("a", 1L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    val before = rollupMap(agg)
+    val vBefore = VersionedTable.history(spark, agg).last.version
+    // two more refreshes with no new source commits: same watermark,
+    // no new rollup version, identical contents
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 1L)
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 1L)
+    assert(VersionedTable.history(spark, agg).last.version == vBefore)
+    assert(rollupMap(agg) == before)
+    assert(MaterializedAgg.watermark(spark, agg).contains(1L))
+  }
+
+  test("a rewrite in the unprocessed span is refused (double-count guard)") {
+    val src = tmpRoot("graft_magg_src3"); val agg = tmpRoot("graft_magg_agg3")
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    // an overwrite rewrites the table's directories: folding its
+    // "delta" (= everything) onto the stored rollup would double count
+    write(Seq(("a", 99L), ("b", 2L)), src, Overwrite)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    }
+    assert(e.getMessage.contains("rewrite"))
+  }
+
+  test("first refresh with appends already stacked aggregates the full snapshot once") {
+    val src = tmpRoot("graft_magg_src4"); val agg = tmpRoot("graft_magg_agg4")
+    write(Seq(("a", 1L)), src, Append)
+    write(Seq(("a", 2L)), src, Append)
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 2L)
+    assert(rollupMap(agg) == Map("a" -> ((2L, 3L, 1L, 2L))))
+  }
+}
