@@ -47,15 +47,18 @@ object MaterializedAgg {
 
   /** The source version the stored rollup reflects, if any. */
   def watermark(spark: SparkSession, aggRoot: String, format: String = "parquet"): Option[Long] =
-    if (VersionedTable.currentSnapshot(spark, aggRoot).isEmpty) None
-    else {
-      val r = VersionedTable.read(spark, aggRoot, format)
-        .select(max(col(SrcVersionCol))).head()
-      // an empty-but-committed rollup (empty source at first refresh)
-      // has no rows to carry the watermark — treat as never refreshed;
-      // the recompute over the still-empty source is the correct fold
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
+    VersionedTable.currentSnapshot(spark, aggRoot)
+      .flatMap(s => watermarkOf(spark, aggRoot, s.version, format))
+
+  private def watermarkOf(spark: SparkSession, aggRoot: String, aggVersion: Long,
+                          format: String): Option[Long] = {
+    val r = VersionedTable.readVersion(spark, aggRoot, aggVersion, format)
+      .select(max(col(SrcVersionCol))).head()
+    // an empty-but-committed rollup (empty source at first refresh)
+    // has no rows to carry the watermark — treat as never refreshed;
+    // the recompute over the still-empty source is the correct fold
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
 
   private def partial(df: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame =
     df.groupBy(groupBy.map(col): _*).agg(
@@ -86,54 +89,83 @@ object MaterializedAgg {
     *
     * First refresh (no rollup yet) aggregates the full source snapshot
     * — the one unavoidable full pass, the same one that builds any
-    * index. Precondition for every later refresh: the source history
-    * between watermark and head is APPEND-ONLY (commitDelta); a
-    * merge/overwrite/compact in that span makes delta maintenance
-    * unsound, detected via the manifest like diffVersions does, and
-    * reported as an error telling the caller to rebuild.
+    * index. Later refreshes read ONLY the dirs the manifest proves
+    * were appended in the span (fold markers let the read set survive
+    * commitDelta's bounded auto-compaction; maintenance compactions
+    * contribute nothing). A genuine rewrite (merge/overwrite) in the
+    * span makes delta maintenance unsound and is refused with a
+    * rebuild instruction; a fold dir already swept by vacuum means the
+    * rollup outlived the retention window — same remedy.
+    *
+    * Concurrency: the watermark and the stored rollup are read from
+    * ONE pinned rollup version, and the commit carries that version as
+    * its CAS expectation — two racing refreshes serialize, the loser
+    * re-reads and retries, and the delta can never fold twice.
     */
   def refresh(spark: SparkSession, srcRoot: String, aggRoot: String,
               groupBy: Seq[String], aggs: Seq[MAgg],
-              srcFormat: String = "parquet", aggFormat: String = "parquet"): Long = {
+              srcFormat: String = "parquet", aggFormat: String = "parquet",
+              maxAttempts: Int = 5): Long = {
     require(groupBy.nonEmpty, "refresh needs at least one group column")
     require(aggs.nonEmpty, "refresh needs at least one aggregate")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return refreshOnce(spark, srcRoot, aggRoot, groupBy, aggs, srcFormat, aggFormat)
+      catch {
+        case e: VersionedTable.VersionConflictException =>
+          if (attempt >= maxAttempts) throw e // pathological contention
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def refreshOnce(spark: SparkSession, srcRoot: String, aggRoot: String,
+                          groupBy: Seq[String], aggs: Seq[MAgg],
+                          srcFormat: String, aggFormat: String): Long = {
     val srcHead = VersionedTable.currentSnapshot(spark, srcRoot)
       .getOrElse(throw new IllegalArgumentException(
         s"source at $srcRoot has no committed version")).version
-    watermark(spark, aggRoot, aggFormat) match {
+    // Pin ONE rollup version: watermark and stored contents must come
+    // from the same snapshot, and the commit below expects exactly it.
+    val aggSnap = VersionedTable.currentSnapshot(spark, aggRoot)
+    aggSnap.flatMap(s => watermarkOf(spark, aggRoot, s.version, aggFormat)) match {
       case Some(w) if w == srcHead => w // caught up — nothing to commit
       case Some(w) =>
-        val delta = VersionedTable.changesBetween(spark, srcRoot, w, srcHead, srcFormat)
-        // unsound-history guard: changesBetween returns REWRITTEN rows
-        // as "new" after a merge/overwrite — folding them would double
-        // count. Append-only means the old dirs all survive into head.
-        val dirsByV = VersionedTable.history(spark, srcRoot)
-          .map(v => v.version -> v.dataDirs.toSet).toMap
-        require(dirsByV(w).subsetOf(dirsByV(srcHead)),
-          s"source history at $srcRoot between v$w and v$srcHead contains a " +
-            "rewrite (merge/overwrite/compact) — delta maintenance is unsound; " +
-            "rebuild the rollup from scratch (drop the agg table and refresh)")
-        val stored = VersionedTable.read(spark, aggRoot, aggFormat).drop(SrcVersionCol)
-        val partials = partial(delta, groupBy, aggs)
-        // rename the delta side wholesale (shared-lineage ambiguity —
-        // same pattern as Relational.snapshotDiff)
-        val d = partials.select(partials.columns.map(c => col(c).as(s"__d_$c")): _*)
-        val cond = groupBy.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
-        val merged = stored.join(d, cond, "full_outer")
-          .select(groupBy.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
-            aggs.map(a => a.merge(col(a.name), col(s"__d_${a.name}")).as(a.name)): _*)
-        commit(spark, aggRoot, merged, srcHead, aggFormat)
+        val deltaDirs = VersionedTable.appendedDirsBetween(spark, srcRoot, w, srcHead)
+          .getOrElse(throw new IllegalArgumentException(
+            s"source history at $srcRoot between v$w and v$srcHead contains a " +
+              "rewrite (merge/overwrite) — delta maintenance is unsound; " +
+              "rebuild the rollup from scratch (drop the agg table and refresh)"))
+        val stored = VersionedTable.readVersion(spark, aggRoot, aggSnap.get.version, aggFormat)
+          .drop(SrcVersionCol)
+        val merged =
+          if (deltaDirs.isEmpty) stored // compact-only span: rows unchanged
+          else {
+            val delta = VersionedTable.loadDirs(spark, srcRoot, srcFormat, deltaDirs)
+            val partials = partial(delta, groupBy, aggs)
+            // rename the delta side wholesale (shared-lineage ambiguity
+            // — same pattern as Relational.snapshotDiff)
+            val d = partials.select(partials.columns.map(c => col(c).as(s"__d_$c")): _*)
+            val cond = groupBy.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+            stored.join(d, cond, "full_outer")
+              .select(groupBy.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
+                aggs.map(a => a.merge(col(a.name), col(s"__d_${a.name}")).as(a.name)): _*)
+          }
+        commit(spark, aggRoot, merged, srcHead, aggFormat, aggSnap.map(_.version))
       case None =>
         val full = partial(VersionedTable.readVersion(spark, srcRoot, srcHead, srcFormat),
           groupBy, aggs)
-        commit(spark, aggRoot, full, srcHead, aggFormat)
+        commit(spark, aggRoot, full, srcHead, aggFormat, aggSnap.map(_.version))
     }
   }
 
   private def commit(spark: SparkSession, aggRoot: String, rollup: DataFrame,
-                     srcVersion: Long, format: String): Long = {
-    Writer.write(spark, rollup.withColumn(SrcVersionCol, lit(srcVersion)),
-      SinkSpec(aggRoot, mode = Overwrite, versioned = true, format = format))
+                     srcVersion: Long, format: String,
+                     expectedAggVersion: Option[Long]): Long = {
+    VersionedTable.commit(spark, aggRoot, format,
+      _ => rollup.withColumn(SrcVersionCol, lit(srcVersion)),
+      expectedVersion = Some(expectedAggVersion.getOrElse(0L)))
     srcVersion
   }
 }

@@ -70,8 +70,31 @@ object VersionedTable {
       } finally in.close()
     } catch { case _: Throwable => None }
 
+  // Manifest pointers are newline-separated data-dir names, optionally
+  // followed by metadata lines starting with '#'. The one in use:
+  //   #kind=append            commitDelta's pointer-only append
+  //   #kind=fold:<deltaDir>   commitDelta's bounded auto-compaction —
+  //                           <deltaDir> is the (now unreferenced, but
+  //                           on-disk until vacuum) dir holding the
+  //                           rows this commit APPENDED
+  //   #kind=compact           maintenance compaction (no new rows)
+  //   #kind=rewrite           merge/overwrite (arbitrary row changes)
+  // Pre-marker manifests have no '#' line; kind readers treat them
+  // conservatively (append-shaped commits are still classifiable by
+  // dir-set shape, anything else is an unknown rewrite).
   private def parseDirs(content: String): Seq[String] =
-    content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    content.split("\n").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  private def parseKind(content: String): Option[String] =
+    content.split("\n").map(_.trim).find(_.startsWith("#kind=")).map(_.stripPrefix("#kind="))
+
+  /** The recorded commit kind of `version`, if the manifest carries one. */
+  private[pipeline] def commitKindOf(spark: SparkSession, root: String,
+                                     version: Long): Option[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
+    if (!fs.exists(p)) None else readSmall(fs, p).flatMap(parseKind)
+  }
 
   /** All manifest pointers under the root, unordered: (version, path,
     * modification time). The single place that knows the pointer
@@ -206,18 +229,71 @@ object VersionedTable {
     else load(spark, rootP, format, newDirs)
   }
 
+  /** Data dirs carrying the rows APPENDED in the span `(from, to]` —
+    * the delta-maintenance read set. Walks the consecutive manifest
+    * versions: an `append` commit contributes its new delta dir, a
+    * `fold` (commitDelta's bounded auto-compaction) contributes the
+    * delta dir its marker recorded (unreferenced but on disk until
+    * vacuum), a maintenance `compact` contributes nothing (pure
+    * repackaging), and a `rewrite` — or a rewrite-SHAPED commit from a
+    * pre-marker table — makes delta maintenance unsound: None.
+    *
+    * Missing manifests in the span throw (the caller outlived the
+    * vacuum retention, same contract as [[changesBetween]]); returned
+    * dirs are NOT existence-checked — a fold dir swept by vacuum
+    * surfaces when loaded, and callers wanting a friendlier error
+    * pre-check.
+    */
+  private[pipeline] def appendedDirsBetween(spark: SparkSession, root: String,
+                                            from: Long, to: Long): Option[Seq[String]] = {
+    val (fs, rootP) = fsFor(spark, root)
+    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $v " +
+          "(never committed, or already vacuumed)"))
+    var prev = dirs(from).toSet
+    val acc = Seq.newBuilder[String]
+    var v = from + 1
+    while (v <= to) {
+      val cur = dirs(v).toSet
+      val added = cur -- prev
+      commitKindOf(spark, root, v) match {
+        case Some("append") => acc ++= added
+        case Some(k) if k.startsWith("fold:") => acc += k.stripPrefix("fold:")
+        case Some("compact") => ()
+        case Some(_) => return None // rewrite (or an unknown future kind)
+        case None =>
+          // pre-marker manifest: append-shaped (nothing removed) is
+          // still safely classifiable; anything else is opaque
+          if ((prev -- cur).isEmpty) acc ++= added else return None
+      }
+      prev = cur
+      v += 1
+    }
+    Some(acc.result())
+  }
+
+  /** Load specific data dirs of this table (same per-dir union
+    * semantics as snapshot reads).
+    */
+  private[pipeline] def loadDirs(spark: SparkSession, root: String,
+                                 format: String, dirs: Seq[String]): DataFrame = {
+    val (_, rootP) = fsFor(spark, root)
+    load(spark, rootP, format, dirs)
+  }
+
   /** Keyed CDC between two committed versions — what changed from
     * `fromVersion` to `toVersion`, classified added/removed/changed
     * with changed-column attribution (Relational.snapshotDiff's output
     * shape).
     *
-    * Cost model: when `toVersion`'s directory set contains all of
-    * `fromVersion`'s, every intervening commit was an append — the
-    * diff IS the appended rows, emitted straight off
-    * [[changesBetween]] at O(delta) read cost with no join at all. Any
-    * rewrite in between (merge/overwrite/compact) drops to the general
-    * path: one full-outer sort-merge reconciliation of the two
-    * snapshots. The manifest decides; callers never guess.
+    * Cost model: when every commit in the span appended (including
+    * through commitDelta's bounded auto-compaction, whose fold marker
+    * preserves the append lineage), the diff IS the appended rows —
+    * O(delta) read, no join at all. A genuine rewrite (merge /
+    * overwrite / maintenance compact from a pre-marker table) drops to
+    * the general path: one full-outer sort-merge reconciliation of the
+    * two snapshots. The manifest decides; callers never guess.
     *
     * Keys must be unique per snapshot (snapshotDiff's primary-key
     * contract) — which for the append fast path means appended rows
@@ -229,23 +305,29 @@ object VersionedTable {
                    format: String = "parquet"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val (fs, rootP) = fsFor(spark, root)
-    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
-      .getOrElse(throw new IllegalArgumentException(
-        s"versioned table at $root has no committed version $v " +
-          "(never committed, or already vacuumed)"))
-    val appendOnly = dirs(fromVersion).toSet.subsetOf(dirs(toVersion).toSet)
-    if (appendOnly) {
-      val delta = changesBetween(spark, root, fromVersion, toVersion, format)
-      delta.select(keys.map(col) ++
-        Seq(lit("added").as("change_type"), lit(null).cast("string").as("changed_cols")) ++
-        compare.flatMap(c =>
-          Seq(lit(null).cast(delta.schema(c).dataType).as(s"old_$c"), col(c).as(s"new_$c"))): _*)
+    val fastDirs = appendedDirsBetween(spark, root, fromVersion, toVersion)
+      // a fold dir already swept by vacuum: fall back to the general
+      // path (both snapshots are still fully readable) instead of
+      // failing the read
+      .filter(_.forall(d => fs.exists(new Path(rootP, d))))
+    fastDirs match {
+      case Some(dirs) =>
+        // nothing appended (caught up, or a compact-only span): empty
+        // frame, schema from the newest dir — changesSince's contract
+        val delta =
+          if (dirs.nonEmpty) load(spark, rootP, format, dirs)
+          else load(spark, rootP, format,
+            Seq(dirsOf(fs, rootP, toVersion).get.last)).limit(0)
+        delta.select(keys.map(col) ++
+          Seq(lit("added").as("change_type"), lit(null).cast("string").as("changed_cols")) ++
+          compare.flatMap(c =>
+            Seq(lit(null).cast(delta.schema(c).dataType).as(s"old_$c"), col(c).as(s"new_$c"))): _*)
+      case None =>
+        graft.operators.Relational.snapshotDiff(
+          readVersion(spark, root, fromVersion, format),
+          readVersion(spark, root, toVersion, format),
+          keys, compare)
     }
-    else
-      graft.operators.Relational.snapshotDiff(
-        readVersion(spark, root, fromVersion, format),
-        readVersion(spark, root, toVersion, format),
-        keys, compare)
   }
 
   /** Structured-Streaming source over an APPEND-ONLY versioned table:
@@ -336,13 +418,24 @@ object VersionedTable {
       format: String,
       merge: Option[DataFrame] => DataFrame,
       partitionBy: Seq[String] = Nil,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5,
+      expectedVersion: Option[Long] = None,
+      commitKind: String = "rewrite"): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val snap = currentSnapshot(spark, root)
+      // Optimistic-concurrency guard (same contract as commitDelta's):
+      // a caller whose merged result was DERIVED from a specific base
+      // version must not clobber a concurrent commit it never saw —
+      // surface the conflict before writing anything so the caller can
+      // re-derive and retry.
+      expectedVersion.foreach { exp =>
+        val cur = snap.map(_.version).getOrElse(0L)
+        if (cur != exp) throw VersionConflictException(root, exp, cur)
+      }
       val next = snap.map(_.version + 1).getOrElse(1L)
       val base = snap.map(s => load(spark, rootP, format, s.dataDirs))
       val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
@@ -351,7 +444,8 @@ object VersionedTable {
         .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .save(dataDir.toString)
-      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"), dirName)) {
+      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+          dirName + s"\n#kind=$commitKind")) {
         recordFormat(fs, rootP, format) // only a PUBLISHED format is recorded
         return next
       }
@@ -420,7 +514,8 @@ object VersionedTable {
       val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
       val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
       if (baseDirs.length + 1 <= compactAfter) {
-        if (casPublish(fs, manifest, (baseDirs :+ deltaName).mkString("\n"))) {
+        if (casPublish(fs, manifest,
+            ((baseDirs :+ deltaName) :+ "#kind=append").mkString("\n"))) {
           recordFormat(fs, rootP, format)
           return next
         }
@@ -432,7 +527,12 @@ object VersionedTable {
         val wc = all.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
         (if (partitionBy.nonEmpty) wc.partitionBy(partitionBy: _*) else wc)
           .save(new Path(rootP, compactName).toString)
-        if (casPublish(fs, manifest, compactName)) {
+        // fold: this commit both APPENDS the delta dir's rows and
+        // repackages the whole table — record WHICH dir carries the
+        // new rows so delta-maintenance readers (MaterializedAgg,
+        // diffVersions) survive the bounded auto-compaction instead of
+        // treating it as an opaque rewrite
+        if (casPublish(fs, manifest, compactName + s"\n#kind=fold:$deltaName")) {
           // the delta's rows now live in the compacted dir; the delta
           // dir is unreferenced and left for vacuum's grace period to
           // sweep — deleting it HERE would yank the freshest rows out
@@ -512,7 +612,7 @@ object VersionedTable {
       val v = commit(spark, root, fmt,
         base => base.getOrElse(throw new IllegalStateException(
           s"versioned table at $root vanished mid-compaction")),
-        partitionBy)
+        partitionBy, commitKind = "compact")
       // a table with a LIVE catalog face keeps it current automatically —
       // otherwise a later vacuum would delete directories the stale
       // view still globs, breaking spark.table(name) until the next

@@ -60,11 +60,15 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
       val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       // COMPARE omitted -> every non-key column of the `to` snapshot
-      // (the schema of record for what the diff is ABOUT)
+      // (the schema of record for what the diff is ABOUT). Key
+      // exclusion is case-INSENSITIVE, matching Spark's identifier
+      // resolution — a `KEY K` over column `k` must not leave the key
+      // in the compare list (it would project the key attribute twice
+      // and break the diff's column references).
       val compare = Option(compareOpt)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(VersionedTable.readVersion(session, path, to.toLong, fmt)
-          .columns.toSeq.filterNot(keyCols.contains))
+          .columns.toSeq.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c))))
       VersionedTable.diffVersions(session, path, from.toLong, to.toLong,
           keyCols, compare, fmt)
         .queryExecution.logical

@@ -47,6 +47,21 @@ class DiffVersionsSuite extends SparkSpec {
       4L -> (("added", null))))
   }
 
+  test("bounded auto-compaction keeps the fast path: fold marker recovers the delta dir") {
+    val root = tmpRoot("graft_diffv_fold")
+    def append(rows: Seq[(Long, String, Int)]) =
+      VersionedTable.commitDelta(spark, root, "parquet", rows.toDF("k", "s", "v"),
+        compactAfter = 2)
+    append(Seq((1L, "a", 10)))
+    append(Seq((2L, "b", 20))) // v2: two dirs
+    append(Seq((3L, "c", 30))) // v3: FOLD (compactAfter=2 exceeded)
+    val diff = VersionedTable.diffVersions(spark, root, 1L, 3L, Seq("k"), Seq("s", "v"))
+    assert(!diff.queryExecution.executedPlan.toString.contains("Join"))
+    assert(diff.orderBy("k").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSeq ==
+      Seq((2L, "added"), (3L, "added")))
+  }
+
   test("fast path and general path agree on an append-only span") {
     val root = tmpRoot("graft_diffv_eq")
     write(Seq((1L, "a", 10)).toDF("k", "s", "v"), root, Overwrite)

@@ -68,6 +68,48 @@ class MaterializedAggSuite extends SparkSpec {
     assert(e.getMessage.contains("rewrite"))
   }
 
+  test("refresh survives commitDelta's bounded auto-compaction (fold marker)") {
+    val src = tmpRoot("graft_magg_src5"); val agg = tmpRoot("graft_magg_agg5")
+    def append(rows: Seq[(String, Long)]) =
+      VersionedTable.commitDelta(spark, src, "parquet", rows.toDF("g", "v"),
+        compactAfter = 2)
+    append(Seq(("a", 1L)))
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs) // watermark v1
+    append(Seq(("a", 2L))) // v2: second dir, still under the bound
+    append(Seq(("b", 3L))) // v3: exceeds compactAfter=2 → FOLD commit
+    // span v1→v3 crosses the fold; the marker recovers v3's delta dir
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 3L)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((2L, 3L, 1L, 2L)), "b" -> ((1L, 3L, 3L, 3L))))
+  }
+
+  test("maintenance compaction in the span contributes no rows and stays sound") {
+    val src = tmpRoot("graft_magg_src6"); val agg = tmpRoot("graft_magg_agg6")
+    write(Seq(("a", 1L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs) // watermark v1
+    write(Seq(("a", 4L)), src, Append)            // v2 append
+    VersionedTable.compact(spark, src)            // v3 compact (repackage)
+    write(Seq(("b", 5L)), src, Append)            // v4 append
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 4L)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((2L, 5L, 1L, 4L)), "b" -> ((1L, 5L, 5L, 5L))))
+  }
+
+  test("concurrent refreshes serialize: the delta never folds twice") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val src = tmpRoot("graft_magg_src7"); val agg = tmpRoot("graft_magg_agg7")
+    write(Seq(("a", 1L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    write(Seq(("a", 10L)), src, Append)
+    // both see watermark v1 and race to fold the same delta; the CAS
+    // expectation makes exactly one fold land
+    val fs = Seq.fill(2)(Future(MaterializedAgg.refresh(spark, src, agg, groups, aggs)))
+    fs.foreach(f => Await.result(f, 120.seconds))
+    assert(rollupMap(agg) == Map("a" -> ((2L, 11L, 1L, 10L))))
+  }
+
   test("first refresh with appends already stacked aggregates the full snapshot once") {
     val src = tmpRoot("graft_magg_src4"); val agg = tmpRoot("graft_magg_agg4")
     write(Seq(("a", 1L)), src, Append)
