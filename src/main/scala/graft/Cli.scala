@@ -19,7 +19,7 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   * spec involved, the argument is the table's storage root):
   *   graft.Cli history <root> [--cores N]
   *   graft.Cli vacuum  <root> [--keep N] [--grace-hours H] [--cores N]
-  *   graft.Cli compact <root> [--format f] [--partition-by a,b]
+  *   graft.Cli compact <root> [--format f] [--partition-by a,b] [--zorder-by a,b] [--zorder-files n]
   *                            [--table name] [--cores N]
   *
   * (The reference also registers an `init` command, but its
@@ -86,7 +86,10 @@ object Cli {
         val fmt = opt(rest, "--format").getOrElse("")
         val parts = opt(rest, "--partition-by").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val v = VersionedTable.compact(spark, root, fmt, parts)
+        val zorder = opt(rest, "--zorder-by").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val zfiles = opt(rest, "--zorder-files").map(_.toInt).getOrElse(8)
+        val v = VersionedTable.compact(spark, root, fmt, parts, zorder, zfiles)
         // keep the catalog face (if any) on the compacted snapshot
         opt(rest, "--table").foreach(VersionedTable.syncCatalogView(spark, _, root, fmt))
         println(s"[graft] compacted $root at v$v")

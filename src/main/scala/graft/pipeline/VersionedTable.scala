@@ -96,6 +96,21 @@ object VersionedTable {
     if (!fs.exists(p)) None else readSmall(fs, p).flatMap(parseKind)
   }
 
+  /** The committed version carrying `#tag=tag`, if any — how an
+    * exactly-once producer (e.g. a streaming micro-batch committer)
+    * detects that a replayed unit of work already landed. Scans the
+    * surviving manifest pointers (O(versions) tiny reads); a tag
+    * vacuumed away with its manifest is older than any replayable
+    * unit, so the miss is safe.
+    */
+  def taggedVersion(spark: SparkSession, root: String, tag: String): Option[Long] = {
+    val (fs, rootP) = fsFor(spark, root)
+    listManifests(fs, rootP).sortBy(-_._1).iterator.flatMap { case (v, p, _) =>
+      readSmall(fs, p).flatMap(c =>
+        c.split("\n").map(_.trim).find(_ == s"#tag=$tag").map(_ => v))
+    }.nextOption()
+  }
+
   /** All manifest pointers under the root, unordered: (version, path,
     * modification time). The single place that knows the pointer
     * naming scheme — every reader (snapshot, history, vacuum) walks
@@ -477,7 +492,10 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil,
       maxAttempts: Int = 5,
       compactAfter: Int = 16,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      tag: Option[String] = None): Long = {
+    tag.foreach(t => require(!t.contains("\n") && t.trim.nonEmpty,
+      s"commit tag must be a non-empty single line, got '$t'"))
     require(compactAfter >= 1, "compactAfter must be >= 1")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
@@ -513,9 +531,10 @@ object VersionedTable {
       val next = snap.map(_.version + 1).getOrElse(1L)
       val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
       val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
+      val tagLine = tag.map(t => s"\n#tag=$t").getOrElse("")
       if (baseDirs.length + 1 <= compactAfter) {
         if (casPublish(fs, manifest,
-            ((baseDirs :+ deltaName) :+ "#kind=append").mkString("\n"))) {
+            ((baseDirs :+ deltaName) :+ "#kind=append").mkString("\n") + tagLine)) {
           recordFormat(fs, rootP, format)
           return next
         }
@@ -532,7 +551,7 @@ object VersionedTable {
         // new rows so delta-maintenance readers (MaterializedAgg,
         // diffVersions) survive the bounded auto-compaction instead of
         // treating it as an opaque rewrite
-        if (casPublish(fs, manifest, compactName + s"\n#kind=fold:$deltaName")) {
+        if (casPublish(fs, manifest, compactName + s"\n#kind=fold:$deltaName" + tagLine)) {
           // the delta's rows now live in the compacted dir; the delta
           // dir is unreferenced and left for vacuum's grace period to
           // sweep — deleting it HERE would yank the freshest rows out
@@ -597,21 +616,32 @@ object VersionedTable {
     * without blocking writers — a concurrent append either lands before
     * (its delta is folded in) or after (it references the compacted
     * dir). No-op (returns the current version) when the snapshot is
-    * already a single directory.
+    * already a single directory and no re-clustering was asked for.
+    *
+    * `zorderBy` turns the rewrite into OPTIMIZE-with-ZORDER: the
+    * compacted directory is written as `zorderFiles` Morton-clustered
+    * files (operators.ZOrder), so parquet min/max stats prune files
+    * for filters on ANY clustered column — the one moment the table is
+    * being rewritten anyway is exactly when clustering is free.
     */
   def compact(spark: SparkSession, root: String, format: String = "",
-              partitionBy: Seq[String] = Nil): Long = {
+              partitionBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil, zorderFiles: Int = 8): Long = {
     // "" = auto: maintenance callers rarely know the table's format,
     // and compacting a json table as parquet would fail (worse, it
     // used to record the wrong format before failing)
     val fmt = resolveFormat(spark, root, format)
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version to compact"))
-    if (snap.dataDirs.length <= 1) snap.version
+    if (snap.dataDirs.length <= 1 && zorderBy.isEmpty) snap.version
     else {
       val v = commit(spark, root, fmt,
-        base => base.getOrElse(throw new IllegalStateException(
-          s"versioned table at $root vanished mid-compaction")),
+        base => {
+          val b = base.getOrElse(throw new IllegalStateException(
+            s"versioned table at $root vanished mid-compaction"))
+          if (zorderBy.isEmpty) b
+          else graft.operators.ZOrder.cluster(b, zorderBy, zorderFiles, within = partitionBy)
+        },
         partitionBy, commitKind = "compact")
       // a table with a LIVE catalog face keeps it current automatically —
       // otherwise a later vacuum would delete directories the stale

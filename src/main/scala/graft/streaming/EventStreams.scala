@@ -121,6 +121,58 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingestion with an EXACTLY-ONCE incrementally-maintained
+    * rollup: each micro-batch (1) appends to the versioned source table
+    * as one O(delta) manifest commit TAGGED with the batch id, and (2)
+    * advances the MaterializedAgg rollup by folding exactly that delta.
+    *
+    * Exactly-once on BOTH sides, including crash replay:
+    *  - a replayed batch finds its tag already in the source manifest
+    *    (VersionedTable.taggedVersion) and skips the append — the tag
+    *    travels INSIDE the atomically-CAS'd pointer, so there is no
+    *    window where the rows landed but the tag didn't;
+    *  - the refresh is idempotent by construction (the watermark rides
+    *    in the rollup commit), so re-running it after a crash between
+    *    append and refresh simply folds the not-yet-folded delta.
+    *
+    * The streaming face of the lakehouse ingest loop: raw rows land
+    * append-only, the rollup stays fresh at O(delta + |rollup|) per
+    * batch, and history is never rescanned.
+    */
+  def rollupSink(stream: DataFrame, srcRoot: String, aggRoot: String,
+                 checkpointDir: String, groupBy: Seq[String],
+                 aggs: Seq[graft.pipeline.MaterializedAgg.MAgg],
+                 format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the tag namespaces by checkpoint: two independent streams
+        // appending to the same table must not mistake each other's
+        // batch 0 for their own replay
+        rollupBatch(batch, batchId, srcRoot, aggRoot, groupBy, aggs, format,
+          tagPrefix = s"stream-${Integer.toHexString(checkpointDir.hashCode)}")
+      }
+      .start()
+
+  /** One micro-batch of [[rollupSink]] — separated so the replay
+    * contract is directly testable.
+    */
+  private[streaming] def rollupBatch(batch: DataFrame, batchId: Long,
+                                     srcRoot: String, aggRoot: String,
+                                     groupBy: Seq[String],
+                                     aggs: Seq[graft.pipeline.MaterializedAgg.MAgg],
+                                     format: String = "parquet",
+                                     tagPrefix: String = "stream"): Unit = {
+    import graft.pipeline.{MaterializedAgg, VersionedTable}
+    val spark = batch.sparkSession
+    val tag = s"$tagPrefix-batch-$batchId"
+    if (VersionedTable.taggedVersion(spark, srcRoot, tag).isEmpty)
+      VersionedTable.commitDelta(spark, srcRoot, format, batch, tag = Some(tag))
+    MaterializedAgg.refresh(spark, srcRoot, aggRoot, groupBy, aggs,
+      srcFormat = format, aggFormat = format)
+  }
+
   /** Cross-run exact dedup against a durable fingerprint store — the
     * piece `curateDocs`' watermark-bounded dedup cannot cover: a page
     * re-crawled MONTHS later is outside any affordable watermark

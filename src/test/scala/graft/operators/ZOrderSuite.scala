@@ -62,6 +62,33 @@ class ZOrderSuite extends SparkSpec {
     assert(touching <= files / 2, s"$touching of $files files touch x<=1000 — no skipping possible")
   }
 
+  test("z-ordered versioned compaction: clustered rewrite, rows intact, CDC still sound") {
+    import spark.implicits._
+    import graft.pipeline.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_zvt").toString + "/t"
+    val n = 20000L
+    val df = spark.range(n).select(
+      abs(xxhash64(col("id")) % 10000).as("x"),
+      abs(xxhash64(col("id"), lit(7)) % 10000).as("y"))
+    VersionedTable.commitDelta(spark, root, "parquet", df.where(col("x") % 2 === 0))
+    VersionedTable.commitDelta(spark, root, "parquet", df.where(col("x") % 2 =!= 0))
+    val v = VersionedTable.compact(spark, root, zorderBy = Seq("x", "y"), zorderFiles = 16)
+    assert(v == 3L)
+    assert(VersionedTable.read(spark, root).count() == n)
+    val snapDirs = VersionedTable.history(spark, root).last.dataDirs
+    assert(snapDirs.length == 1)
+    val dir = root + "/" + snapDirs.head
+    // OPTIMIZE-with-ZORDER did cluster: per-file ranges narrow on both
+    // dimensions (same bound as the direct writeZOrdered test)
+    assert(meanFileRangeFrac(dir, "x", 10000.0) < 0.55)
+    assert(meanFileRangeFrac(dir, "y", 10000.0) < 0.55)
+    // the rewrite is kind=compact: delta maintenance across it sees NO
+    // row changes (fast path, empty diff — not a spurious full rewrite)
+    val diff = VersionedTable.diffVersions(spark, root, 2L, 3L, Seq("x"), Seq("y"))
+    assert(!diff.queryExecution.executedPlan.toString.contains("Join"))
+    assert(diff.count() == 0L)
+  }
+
   test("non-numeric dimensions: dates rank by epoch, strings by hash, others fail loudly") {
     import spark.implicits._
     val df = spark.range(2000L).select(
