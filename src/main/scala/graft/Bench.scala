@@ -84,16 +84,25 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"timing":$timing}"""
     // The bare line goes to stdout (build.sbt routes forked output
-    // straight through, so no sbt "[info] " prefix) AND to a file.
+    // straight through, so no sbt "[info] " prefix) AND to files. The
+    // repo copy is the durable per-query artifact: round 6's 2000-char
+    // stdout tail preserved only 15 of 75 per-query timings, so the
+    // full map now lives where a tail capture can't truncate it.
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+    for (p <- Seq("/tmp/bench.json", "/root/repo/BENCH_DETAIL.json"))
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // The full artifact line above can exceed a tail-capture window (it
     // did in round 5: a 2000-char tail cut it before "metric":"total"
-    // and the round's official wall-time was lost). Emit the headline
-    // number again as a compact LAST line so any capture >=200 chars
-    // from the end contains it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // and the round's official wall-time was lost). Emit a compact LAST
+    // line carrying the headline AND the whole per-query map at 3-dp
+    // (~18 bytes/query — all 75 fit comfortably inside a 2000-char
+    // tail) so the capture window alone reconstructs every timing.
+    val qs3 = results.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs3}""")
     spark.stop()
   }
 }

@@ -89,9 +89,16 @@ object Cli {
         val zorder = opt(rest, "--zorder-by").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val zfiles = opt(rest, "--zorder-files").map(_.toInt).getOrElse(8)
-        val v = VersionedTable.compact(spark, root, fmt, parts, zorder, zfiles)
+        // resolve "" BEFORE the view sync: compact auto-resolves
+        // internally, but syncCatalogView interpolates the format into
+        // `FROM $format.\`path\`` — an empty one would parse-fail AFTER
+        // the compaction commit landed, never publishing the view link
+        val resolved =
+          if (fmt.isEmpty) VersionedTable.tableFormat(spark, root).getOrElse("parquet")
+          else fmt
+        val v = VersionedTable.compact(spark, root, resolved, parts, zorder, zfiles)
         // keep the catalog face (if any) on the compacted snapshot
-        opt(rest, "--table").foreach(VersionedTable.syncCatalogView(spark, _, root, fmt))
+        opt(rest, "--table").foreach(VersionedTable.syncCatalogView(spark, _, root, resolved))
         println(s"[graft] compacted $root at v$v")
     }
 

@@ -137,6 +137,15 @@ object MaterializedAgg {
             s"source history at $srcRoot between v$w and v$srcHead contains a " +
               "rewrite (merge/overwrite) — delta maintenance is unsound; " +
               "rebuild the rollup from scratch (drop the agg table and refresh)"))
+        // same pre-check diffVersions performs: a fold delta dir already
+        // swept by vacuum must surface as the rebuild instruction, not a
+        // raw path-not-found out of the Spark load below
+        val swept = VersionedTable.missingDirs(spark, srcRoot, deltaDirs)
+        if (swept.nonEmpty) throw new IllegalArgumentException(
+          s"source history at $srcRoot between v$w and v$srcHead references " +
+            s"vacuumed delta dir(s) ${swept.mkString(", ")} — the delta span is " +
+            "no longer readable; rebuild the rollup from scratch (drop the agg " +
+            "table and refresh)")
         val stored = VersionedTable.readVersion(spark, aggRoot, aggSnap.get.version, aggFormat)
           .drop(SrcVersionCol)
         val merged =

@@ -297,6 +297,17 @@ object VersionedTable {
     load(spark, rootP, format, dirs)
   }
 
+  /** Which of `dirs` no longer exist on storage (e.g. a fold delta dir
+    * already swept by vacuum). Delta-maintenance callers pre-check with
+    * this so a swept span surfaces as their documented rebuild
+    * instruction, not a raw path-not-found from the Spark load.
+    */
+  private[pipeline] def missingDirs(spark: SparkSession, root: String,
+                                    dirs: Seq[String]): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    dirs.filterNot(d => fs.exists(new Path(rootP, d)))
+  }
+
   /** Keyed CDC between two committed versions — what changed from
     * `fromVersion` to `toVersion`, classified added/removed/changed
     * with changed-column attribution (Relational.snapshotDiff's output
@@ -400,7 +411,19 @@ object VersionedTable {
       val tmp = dir.resolve(".tmp-" + java.util.UUID.randomUUID.toString.take(8))
       java.nio.file.Files.write(tmp, bytes)
       try { java.nio.file.Files.createLink(dir.resolve(manifest.getName), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // a file:// mount without hard-link support (some NFS/SMB/FUSE
+        // filesystems): name the requirement instead of surfacing an
+        // opaque FS error from deep inside a commit
+        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+          throw new IllegalStateException(
+            s"versioned-table commit needs hard-link support on local storage " +
+              s"(atomic manifest CAS via Files.createLink) but the filesystem at " +
+              s"$dir refused it — move the table root to a POSIX filesystem with " +
+              "hard links, or mount it under a non-file:// scheme (hdfs/s3) where " +
+              "the rename-based CAS path applies", e)
+      }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       // HDFS-like: write a private tmp FULLY, then rename — HDFS

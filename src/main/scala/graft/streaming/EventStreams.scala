@@ -149,9 +149,14 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the tag namespaces by checkpoint: two independent streams
         // appending to the same table must not mistake each other's
-        // batch 0 for their own replay
+        // batch 0 for their own replay. Collision-resistant digest, not
+        // String.hashCode — a 32-bit collision between two checkpoint
+        // paths would silently skip an append (data loss).
+        val ns = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(checkpointDir.getBytes("UTF-8"))
+          .take(12).map("%02x".format(_)).mkString
         rollupBatch(batch, batchId, srcRoot, aggRoot, groupBy, aggs, format,
-          tagPrefix = s"stream-${Integer.toHexString(checkpointDir.hashCode)}")
+          tagPrefix = s"stream-$ns")
       }
       .start()
 
