@@ -89,10 +89,14 @@ object Bench {
     // stdout tail preserved only 15 of 75 per-query timings, so the
     // full map now lives where a tail capture can't truncate it.
     println(json)
-    for (p <- Seq("/tmp/bench.json", "/root/repo/BENCH_DETAIL.json"))
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    // repo copy derived from the launch cwd (sbt forks with user.dir =
+    // the project root), not a hardcoded machine path; a failed write
+    // warns loudly instead of silently losing the durable artifact
+    val detail = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json")
+    for (p <- Seq(java.nio.file.Paths.get("/tmp/bench.json"), detail))
+      try java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"WARN: bench artifact write failed at $p: $e") }
     // The full artifact line above can exceed a tail-capture window (it
     // did in round 5: a 2000-char tail cut it before "metric":"total"
     // and the round's official wall-time was lost). Emit a compact LAST

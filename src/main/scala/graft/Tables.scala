@@ -17,14 +17,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // map to its µs TimestampType. Read nanos as long, then integer-
-      // divide (`div`, not double /: ns epochs exceed double's 53-bit
-      // mantissa) down to µs — same truncation DuckDB applies comparing
-      // ns to µs timestamps.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early
+      // driver generations) and TIMESTAMP(MICROS, ntz) (later ones), so
+      // the loader adapts to the footer instead of assuming either:
+      //  - NANOS: Spark 4 refuses to map ns to its µs TimestampType, so
+      //    read nanos as long, then integer-divide (`div`, not double /:
+      //    ns epochs exceed double's 53-bit mantissa) down to µs — the
+      //    same truncation DuckDB applies comparing ns to µs timestamps.
+      //  - MICROS ntz (read back as TIMESTAMP_NTZ): cast to the
+      //    session-TZ TimestampType — the session is pinned UTC, so the
+      //    wall-clock field values are unchanged and downstream window/
+      //    as-of arithmetic and the DuckDB oracle see identical values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

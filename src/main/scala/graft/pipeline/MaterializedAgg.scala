@@ -139,19 +139,33 @@ object MaterializedAgg {
               "rebuild the rollup from scratch (drop the agg table and refresh)"))
         // same pre-check diffVersions performs: a fold delta dir already
         // swept by vacuum must surface as the rebuild instruction, not a
-        // raw path-not-found out of the Spark load below
+        // raw path-not-found out of the Spark load below. The check is
+        // check-then-act (a vacuum racing this refresh can sweep a dir
+        // between exists() and the load), so the load below ALSO maps
+        // its path-not-found to the same instruction — the friendly
+        // error is guaranteed, not best-effort.
+        def sweptError(dirs: Seq[String], cause: Throwable = null) =
+          new IllegalArgumentException(
+            s"source history at $srcRoot between v$w and v$srcHead references " +
+              s"vacuumed delta dir(s) ${dirs.mkString(", ")} — the delta span is " +
+              "no longer readable; rebuild the rollup from scratch (drop the agg " +
+              "table and refresh)", cause)
         val swept = VersionedTable.missingDirs(spark, srcRoot, deltaDirs)
-        if (swept.nonEmpty) throw new IllegalArgumentException(
-          s"source history at $srcRoot between v$w and v$srcHead references " +
-            s"vacuumed delta dir(s) ${swept.mkString(", ")} — the delta span is " +
-            "no longer readable; rebuild the rollup from scratch (drop the agg " +
-            "table and refresh)")
+        if (swept.nonEmpty) throw sweptError(swept)
         val stored = VersionedTable.readVersion(spark, aggRoot, aggSnap.get.version, aggFormat)
           .drop(SrcVersionCol)
         val merged =
           if (deltaDirs.isEmpty) stored // compact-only span: rows unchanged
           else {
-            val delta = VersionedTable.loadDirs(spark, srcRoot, srcFormat, deltaDirs)
+            val delta =
+              try VersionedTable.loadDirs(spark, srcRoot, srcFormat, deltaDirs)
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if Option(e.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) ||
+                      e.getMessage.contains("Path does not exist") =>
+                  throw sweptError(
+                    VersionedTable.missingDirs(spark, srcRoot, deltaDirs), e)
+              }
             val partials = partial(delta, groupBy, aggs)
             // rename the delta side wholesale (shared-lineage ambiguity
             // — same pattern as Relational.snapshotDiff)

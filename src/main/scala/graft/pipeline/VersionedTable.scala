@@ -415,14 +415,22 @@ object VersionedTable {
         case _: java.nio.file.FileAlreadyExistsException => false
         // a file:// mount without hard-link support (some NFS/SMB/FUSE
         // filesystems): name the requirement instead of surfacing an
-        // opaque FS error from deep inside a commit
-        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+        // opaque FS error from deep inside a commit. Only the FS's own
+        // "not supported" signal gets this diagnosis — an
+        // AccessDeniedException / NoSuchFileException / disk-full is a
+        // different failure and must not point users at the wrong
+        // remedy, so those get a neutral wrap with the cause chained.
+        case e: UnsupportedOperationException =>
           throw new IllegalStateException(
             s"versioned-table commit needs hard-link support on local storage " +
               s"(atomic manifest CAS via Files.createLink) but the filesystem at " +
               s"$dir refused it — move the table root to a POSIX filesystem with " +
               "hard links, or mount it under a non-file:// scheme (hdfs/s3) where " +
               "the rename-based CAS path applies", e)
+        case e: java.nio.file.FileSystemException =>
+          throw new IllegalStateException(
+            s"manifest CAS publish failed at $dir " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
       }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {

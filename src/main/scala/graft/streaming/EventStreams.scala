@@ -155,8 +155,12 @@ object EventStreams {
         val ns = java.security.MessageDigest.getInstance("SHA-256")
           .digest(checkpointDir.getBytes("UTF-8"))
           .take(12).map("%02x".format(_)).mkString
+        // streams checkpointed before the SHA-256 switch tagged with
+        // String.hashCode — a resumed stream must still recognize its
+        // last batch's old-prefix tag or it appends that batch twice
+        val legacyNs = Integer.toHexString(checkpointDir.hashCode)
         rollupBatch(batch, batchId, srcRoot, aggRoot, groupBy, aggs, format,
-          tagPrefix = s"stream-$ns")
+          tagPrefix = s"stream-$ns", legacyTagPrefix = Some(s"stream-$legacyNs"))
       }
       .start()
 
@@ -168,11 +172,15 @@ object EventStreams {
                                      groupBy: Seq[String],
                                      aggs: Seq[graft.pipeline.MaterializedAgg.MAgg],
                                      format: String = "parquet",
-                                     tagPrefix: String = "stream"): Unit = {
+                                     tagPrefix: String = "stream",
+                                     legacyTagPrefix: Option[String] = None): Unit = {
     import graft.pipeline.{MaterializedAgg, VersionedTable}
     val spark = batch.sparkSession
     val tag = s"$tagPrefix-batch-$batchId"
-    if (VersionedTable.taggedVersion(spark, srcRoot, tag).isEmpty)
+    val replayed = VersionedTable.taggedVersion(spark, srcRoot, tag).nonEmpty ||
+      legacyTagPrefix.exists(p =>
+        VersionedTable.taggedVersion(spark, srcRoot, s"$p-batch-$batchId").nonEmpty)
+    if (!replayed)
       VersionedTable.commitDelta(spark, srcRoot, format, batch, tag = Some(tag))
     MaterializedAgg.refresh(spark, srcRoot, aggRoot, groupBy, aggs,
       srcFormat = format, aggFormat = format)

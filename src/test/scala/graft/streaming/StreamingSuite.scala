@@ -350,4 +350,31 @@ class MultimodalSuite extends SparkSpec {
     assert(n.nonEmpty)
     n.foreach(r => assert(r.getAs[Long]("count") >= 1))
   }
+
+  test("rollupBatch replay recognizes pre-SHA-256 legacy checkpoint tags") {
+    import spark.implicits._
+    import graft.pipeline.{MaterializedAgg, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_legacy_tag").toString
+    val src = base + "/src"; val agg = base + "/agg"
+    val checkpointDir = base + "/ckpt"
+    val groups = Seq("g")
+    val aggs = Seq(MaterializedAgg.MAgg("n", "", "count"))
+    val batch = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    // batch 0 committed by a pre-upgrade stream: tag uses String.hashCode
+    val legacy = s"stream-${Integer.toHexString(checkpointDir.hashCode)}"
+    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs, tagPrefix = legacy)
+    assert(VersionedTable.read(spark, src).count() == 2L)
+    // post-upgrade replay of the SAME batch: new SHA-256 prefix misses,
+    // the legacy fallback must catch it — no second append
+    val sha = "stream-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs,
+      tagPrefix = sha, legacyTagPrefix = Some(legacy))
+    assert(VersionedTable.read(spark, src).count() == 2L,
+      "legacy-tagged batch was appended a second time after the prefix upgrade")
+    // a genuinely NEW batch under the new prefix still lands
+    EventStreams.rollupBatch(Seq(("c", 3L)).toDF("g", "v"), 1L, src, agg,
+      groups, aggs, tagPrefix = sha, legacyTagPrefix = Some(legacy))
+    assert(VersionedTable.read(spark, src).count() == 3L)
+  }
 }
