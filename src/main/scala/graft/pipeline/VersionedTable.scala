@@ -253,36 +253,52 @@ object VersionedTable {
     * repackaging), and a `rewrite` — or a rewrite-SHAPED commit from a
     * pre-marker table — makes delta maintenance unsound: None.
     *
-    * Missing manifests in the span throw (the caller outlived the
-    * vacuum retention, same contract as [[changesBetween]]); returned
-    * dirs are NOT existence-checked — a fold dir swept by vacuum
-    * surfaces when loaded, and callers wanting a friendlier error
-    * pre-check.
+    * Manifests INSIDE the span `(from, to]` must exist (a missing one
+    * throws: the caller outlived the vacuum retention, same contract
+    * as [[changesBetween]]). The `from` manifest itself MAY already be
+    * vacuumed — commit-kind markers make the walk independent of it
+    * (an `append` pointer's delta dir is always its last data-dir
+    * line, a `fold`'s travels in the marker, a `compact` contributes
+    * nothing); only a pre-marker manifest still needs its
+    * predecessor's dir set. This matters for a CAUGHT-UP reader (e.g.
+    * the streaming source committed at HEAD) racing `vacuum(keep=1)`:
+    * its next span starts at a version whose manifest was just swept.
+    * Returned dirs are NOT existence-checked — a fold dir swept by
+    * vacuum surfaces when loaded, and callers wanting a friendlier
+    * error pre-check.
     */
-  private[pipeline] def appendedDirsBetween(spark: SparkSession, root: String,
+  private[graft] def appendedDirsBetween(spark: SparkSession, root: String,
                                             from: Long, to: Long): Option[Seq[String]] = {
     val (fs, rootP) = fsFor(spark, root)
     def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $v " +
           "(never committed, or already vacuumed)"))
-    var prev = dirs(from).toSet
+    var prev: Option[Set[String]] = dirsOf(fs, rootP, from).map(_.toSet)
     val acc = Seq.newBuilder[String]
     var v = from + 1
     while (v <= to) {
-      val cur = dirs(v).toSet
-      val added = cur -- prev
+      val curSeq = dirs(v)
+      val cur = curSeq.toSet
       commitKindOf(spark, root, v) match {
-        case Some("append") => acc ++= added
+        case Some("append") => prev match {
+          case Some(p) => acc ++= (cur -- p)
+          case None => acc += curSeq.last // append pointer = base dirs :+ delta
+        }
         case Some(k) if k.startsWith("fold:") => acc += k.stripPrefix("fold:")
         case Some("compact") => ()
         case Some(_) => return None // rewrite (or an unknown future kind)
-        case None =>
+        case None => prev match {
           // pre-marker manifest: append-shaped (nothing removed) is
           // still safely classifiable; anything else is opaque
-          if ((prev -- cur).isEmpty) acc ++= added else return None
+          case Some(p) => if ((p -- cur).isEmpty) acc ++= (cur -- p) else return None
+          case None => throw new IllegalArgumentException(
+            s"versioned table at $root has no committed version $from and " +
+              s"v$v carries no commit-kind marker — the span is not classifiable " +
+              "(pre-marker history outlived the vacuum retention)")
+        }
       }
-      prev = cur
+      prev = Some(cur)
       v += 1
     }
     Some(acc.result())
@@ -291,7 +307,7 @@ object VersionedTable {
   /** Load specific data dirs of this table (same per-dir union
     * semantics as snapshot reads).
     */
-  private[pipeline] def loadDirs(spark: SparkSession, root: String,
+  private[graft] def loadDirs(spark: SparkSession, root: String,
                                  format: String, dirs: Seq[String]): DataFrame = {
     val (_, rootP) = fsFor(spark, root)
     load(spark, rootP, format, dirs)
@@ -356,42 +372,32 @@ object VersionedTable {
     }
   }
 
-  /** Structured-Streaming source over an APPEND-ONLY versioned table:
-    * every [[commitDelta]] lands its rows in a `data-delta-*` directory
-    * and never moves them (compaction rewrites into `data-<version>-*`
-    * dirs, which this glob EXCLUDES — the rows there were already
-    * streamed from their original delta dir), so Spark's file source
-    * over the delta glob delivers each appended row exactly once, with
-    * all the stock machinery (checkpointed file tracking,
-    * maxFilesPerTrigger, watermarks downstream). Schema comes from the
-    * current snapshot; format "" auto-resolves from the recorded
-    * marker.
+  /** Structured-Streaming source over an APPEND-ONLY versioned table —
+    * EXACTLY-COMMITTED reads via the manifest-gated
+    * [[graft.streaming.VersionedStreamProvider]]: stream offsets are
+    * committed manifest versions, each micro-batch is precisely the
+    * rows appended in the offset span, so an unpublished delta dir
+    * (including a crashed committer's orphan) never streams, restarts
+    * resume at the checkpointed version, and maintenance compaction in
+    * the span contributes nothing. The first batch delivers the full
+    * snapshot as of the first trigger (override with
+    * `startingVersion = Some("latest")` or `Some("<n>")`).
     *
-    * Honest semantics, read before relying on this:
-    *  - delta FILES become visible as they are written, slightly
-    *    BEFORE the manifest CAS commits them — a reader here is "read
-    *    uncommitted" by up to one publish latency, and a committer
-    *    that crashes permanently between write and publish leaves
-    *    orphan rows that may already have streamed. For
-    *    exactly-committed consumption, poll [[changesSince]] in a
-    *    batch loop instead.
-    *  - retention precondition: compaction leaves the folded delta
-    *    dirs in place for VACUUM's grace period to sweep, so a stream
-    *    must stay caught up WITHIN that retention (vacuum keep/grace),
-    *    exactly like an incremental [[changesSince]] reader. A FRESH
-    *    stream started after compaction+vacuum cannot bootstrap the
-    *    swept history — seed it with a batch [[read]] and stream from
-    *    the current state.
+    * Remaining contracts:
+    *  - retention: the stream must stay caught up within vacuum's
+    *    keep/grace retention — a span whose manifest (or
+    *    fold-recovered delta dir) was swept fails loudly rather than
+    *    skipping data.
     *  - merge/overwrite commits are NOT streamable row-wise (no row
-    *    diff on plain parquet) — stream append-only tables.
+    *    diff on plain parquet) — a rewrite in the span fails the
+    *    stream; stream append-only tables.
     */
-  def readStream(spark: SparkSession, root: String,
-                 format: String = ""): DataFrame = {
-    val (_, rootP) = fsFor(spark, root)
+  def readStream(spark: SparkSession, root: String, format: String = "",
+                 startingVersion: Option[String] = None): DataFrame = {
     val fmt = resolveFormat(spark, root, format)
-    val schema = read(spark, root, fmt).schema
-    spark.readStream.format(fmt).schema(schema)
-      .load(new Path(rootP, "data-delta-*").toString)
+    val r = spark.readStream.format("graft-versioned").option("format", fmt)
+    startingVersion.foreach(v => r.option("startingVersion", v))
+    r.load(root)
   }
 
   /** Atomically create `manifest` with `content`; false = another
@@ -707,7 +713,7 @@ object VersionedTable {
   /** Resolve an entry point's format argument: "" (auto) reads the
     * recorded marker, defaulting to parquet for pre-marker tables.
     */
-  private def resolveFormat(spark: SparkSession, root: String, format: String): String =
+  private[graft] def resolveFormat(spark: SparkSession, root: String, format: String): String =
     if (format.nonEmpty) format
     else tableFormat(spark, root).getOrElse("parquet")
 
