@@ -40,6 +40,109 @@ object MaterializedAgg {
   }
 
   private val SrcVersionCol = "__src_version"
+  private val DefName = "_matview"
+
+  /** A materialized view's durable definition — written next to the
+    * rollup's manifest on first refresh, so maintenance needs only the
+    * rollup root: `GRAFT_REFRESH('/aggRoot')`, the YAML `materialized`
+    * sink, and [[refresh(spark:org\.apache\.spark\.sql\.SparkSession,aggRoot:String)* refresh(spark, aggRoot)]]
+    * all read it back instead of re-stating group/agg shape (and a
+    * re-statement that DISAGREES with the stored one is refused — two
+    * shapes folding into one rollup is silent corruption).
+    */
+  final case class MatViewDef(srcRoot: String, groupBy: Seq[String], aggs: Seq[MAgg],
+                              srcFormat: String = "parquet",
+                              aggFormat: String = "parquet")
+
+  /** The stored definition at `aggRoot`, if a refresh has written one. */
+  def viewDef(spark: SparkSession, aggRoot: String): Option[MatViewDef] = {
+    val p = new org.apache.hadoop.fs.Path(aggRoot, DefName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.readSmall(fs, p).map(parseDef(_, aggRoot))
+  }
+
+  // Line format, one key per line (the manifest-pointer convention —
+  // no JSON library in the dependency budget): src/srcFormat/aggFormat
+  // are single values, groupBy tab-separated, one agg=<name>\t<kind>\t
+  // <expr> line per aggregate. Tabs/newlines are refused at write time.
+  private def renderDef(d: MatViewDef): String = {
+    def clean(s: String, what: String): String = {
+      require(!s.contains("\t") && !s.contains("\n"),
+        s"materialized-view $what must not contain tabs or newlines: '$s'")
+      s
+    }
+    (Seq(
+      s"src=${clean(d.srcRoot, "source root")}",
+      s"srcFormat=${clean(d.srcFormat, "source format")}",
+      s"aggFormat=${clean(d.aggFormat, "agg format")}",
+      s"groupBy=${d.groupBy.map(clean(_, "group column")).mkString("\t")}") ++
+      d.aggs.map(a =>
+        s"agg=${clean(a.name, "agg name")}\t${clean(a.kind, "agg kind")}\t${clean(a.expr, "agg expr")}"))
+      .mkString("\n")
+  }
+
+  private def parseDef(content: String, aggRoot: String): MatViewDef = {
+    val kv = content.split("\n").map(_.trim).filter(_.nonEmpty)
+    def one(k: String): String = kv.collectFirst { case l if l.startsWith(s"$k=") =>
+      l.stripPrefix(s"$k=") }.getOrElse(throw new IllegalStateException(
+      s"materialized-view definition at $aggRoot/$DefName is unreadable (missing '$k='); " +
+        s"delete the file and re-run a full refresh(srcRoot, aggRoot, groupBy, aggs) to rewrite it"))
+    MatViewDef(
+      srcRoot = one("src"),
+      groupBy = one("groupBy").split("\t").toSeq,
+      aggs = kv.toSeq.collect { case l if l.startsWith("agg=") =>
+        l.stripPrefix("agg=").split("\t", 3) match {
+          case Array(n, k, e) => MAgg(n, e, k)
+          // count's expr is empty and the line-level trim eats its
+          // trailing tab — the two-field form is that same agg line
+          case Array(n, k) => MAgg(n, "", k)
+          case other => throw new IllegalStateException(
+            s"materialized-view definition at $aggRoot/$DefName has a malformed agg " +
+              s"line '${other.mkString("\t")}' — delete the file and re-run a full refresh")
+        }
+      },
+      srcFormat = one("srcFormat"), aggFormat = one("aggFormat"))
+  }
+
+  private def persistDef(spark: SparkSession, aggRoot: String, d: MatViewDef): Unit = {
+    val p = new org.apache.hadoop.fs.Path(aggRoot, DefName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rendered = renderDef(d)
+    viewDef(spark, aggRoot) match {
+      case Some(existing) =>
+        require(renderDef(existing) == rendered,
+          s"materialized view at $aggRoot is defined as $existing but this refresh " +
+            s"was called with $d — two shapes folding into one rollup would corrupt " +
+            "it; use the stored definition (refresh(spark, aggRoot)) or rebuild the " +
+            "rollup from scratch under the new shape")
+      case None =>
+        // create(overwrite=false): one racing first-refresh wins the
+        // name; the loser re-reads and validates (both derived the same
+        // def from the same call site in the common case)
+        try {
+          val out = fs.create(p, false)
+          try out.write(rendered.getBytes("UTF-8")) finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            viewDef(spark, aggRoot).foreach(existing =>
+              require(renderDef(existing) == rendered,
+                s"materialized view at $aggRoot was concurrently defined as $existing, " +
+                  s"which disagrees with $d"))
+        }
+    }
+  }
+
+  /** Refresh by the rollup root alone, using the definition persisted
+    * by the first full-signature refresh — the maintenance entry point
+    * for schedulers and the `GRAFT_REFRESH('/aggRoot')` SQL statement,
+    * which need not know the view's shape.
+    */
+  def refresh(spark: SparkSession, aggRoot: String): Long = {
+    val d = viewDef(spark, aggRoot).getOrElse(throw new IllegalArgumentException(
+      s"no materialized-view definition at $aggRoot/$DefName — run the full " +
+        "refresh(spark, srcRoot, aggRoot, groupBy, aggs) once to define it"))
+    refresh(spark, d.srcRoot, aggRoot, d.groupBy, d.aggs, d.srcFormat, d.aggFormat)
+  }
 
   /** The current rollup (without the watermark column). */
   def read(spark: SparkSession, aggRoot: String, format: String = "parquet"): DataFrame =
@@ -108,11 +211,21 @@ object MaterializedAgg {
               maxAttempts: Int = 5): Long = {
     require(groupBy.nonEmpty, "refresh needs at least one group column")
     require(aggs.nonEmpty, "refresh needs at least one aggregate")
+    val d = MatViewDef(srcRoot, groupBy, aggs, srcFormat, aggFormat)
+    // a stored definition that DISAGREES with this call must refuse
+    // BEFORE anything folds (mixed shapes corrupt the rollup silently)
+    viewDef(spark, aggRoot).foreach(existing => require(renderDef(existing) == renderDef(d),
+      s"materialized view at $aggRoot is defined as $existing but this refresh " +
+        s"was called with $d — use the stored definition (refresh(spark, aggRoot)) " +
+        "or rebuild the rollup from scratch under the new shape"))
     var attempt = 0
     while (true) {
       attempt += 1
-      try return refreshOnce(spark, srcRoot, aggRoot, groupBy, aggs, srcFormat, aggFormat)
-      catch {
+      try {
+        val v = refreshOnce(spark, srcRoot, aggRoot, groupBy, aggs, srcFormat, aggFormat)
+        persistDef(spark, aggRoot, d) // definition rides with the first success
+        return v
+      } catch {
         case e: VersionedTable.VersionConflictException =>
           if (attempt >= maxAttempts) throw e // pathological contention
       }

@@ -54,11 +54,42 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
     // Dialect shims (codegen'd Catalyst builders for duckdb spellings)
     // let reference example YAMLs run their expression strings verbatim.
     org.apache.spark.sql.graftbridge.DialectShims.register(spark)
+    spec.sink.flatMap(s => s.materialized.map((s, _))) match {
+      case Some((sink, mv)) => return runMaterialized(sink, mv)
+      case None => ()
+    }
     val sources = readSources()
     require(sources.nonEmpty, s"pipeline ${spec.name}: no sources")
     val result = spec.steps.foldLeft(sources.values.head)(applyStep)
     spec.sink.foreach(sink => Writer.write(spark, result, sink))
     result
+  }
+
+  /** A materialized sink: running the pipeline IS one incremental
+    * refresh — fold only the source commits since the last run into
+    * the rollup at the sink path, and return the refreshed rollup.
+    * The source must be a single versioned table (the manifest is what
+    * proves which rows are new), and steps are refused: delta
+    * maintenance cannot see through arbitrary transforms — row-local
+    * computation belongs in the aggregates' `expr`s.
+    */
+  private def runMaterialized(sink: SinkSpec, mv: MaterializedSpec): DataFrame = {
+    val src = spec.sources match {
+      case Seq(v: VersionedSource) => v
+      case _ => throw new IllegalArgumentException(
+        s"pipeline ${spec.name}: a materialized target needs exactly one " +
+          "versioned source (the manifest drives the incremental fold)")
+    }
+    require(spec.steps.isEmpty,
+      s"pipeline ${spec.name}: steps are not supported with a materialized " +
+        "target — put row-local computation in the aggregate exprs")
+    require(src.version.isEmpty && src.sinceVersion.isEmpty,
+      s"pipeline ${spec.name}: a materialized target reads the source's live " +
+        "history itself — version/since_version pins are not applicable")
+    require(sink.path.nonEmpty, s"pipeline ${spec.name}: materialized target needs a path")
+    MaterializedAgg.refresh(spark, src.path, sink.path, mv.groupBy, mv.aggs,
+      srcFormat = src.format, aggFormat = sink.format)
+    MaterializedAgg.read(spark, sink.path, sink.format)
   }
 
   def applyStep(df: DataFrame, step: Step): DataFrame = step match {

@@ -364,7 +364,30 @@ object YamlLoader {
             s"sink '${str(m, "path").orElse(str(m, "table")).orElse(str(m, "name"))
               .getOrElse(kind)}': zorder_files must be an integer file count, got '$v'")
         }
-      }.getOrElse(64))
+      }.getOrElse(64),
+      materialized = m.get("materialized").map(asMap).map(parseMaterialized))
+  }
+
+  /** `materialized:` block on a target — group_by list + aggregates
+    * (name/kind, optional expr; count ignores expr). Running the
+    * pipeline then performs one incremental [[MaterializedAgg]]
+    * refresh of the sink path from the single versioned source.
+    */
+  private def parseMaterialized(m: Map[String, Object]): MaterializedSpec = {
+    val groupBy = m.get("group_by").map(asList).map(_.map(_.toString).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "materialized target: group_by is required"))
+    val aggs = m.get("aggregates").map(asList).map(_.map(a => {
+      val am = asMap(a.asInstanceOf[Object])
+      MaterializedAgg.MAgg(
+        str(am, "name").getOrElse(throw new IllegalArgumentException(
+          "materialized aggregate: name is required")),
+        str(am, "expr").getOrElse(""),
+        str(am, "kind").getOrElse(throw new IllegalArgumentException(
+          "materialized aggregate: kind is required (count|sum|min|max)")))
+    }).toSeq).getOrElse(throw new IllegalArgumentException(
+      "materialized target: aggregates list is required"))
+    MaterializedSpec(groupBy, aggs)
   }
 
   /** Test section (pipeline_model.py test + tester.py:18-31). */

@@ -74,6 +74,23 @@ case object MergeUpsert extends WriteMode
 /** SCD Type 2 versioning (writer.py _merge_scd2). */
 final case class Scd2(trackColumns: Seq[String] = Nil) extends WriteMode
 
+/** Materialized-view sink config (graft extension; YAML `materialized:`
+  * block on the target): the sink path becomes an incrementally-
+  * maintained rollup of the pipeline's single versioned source —
+  * running the pipeline = one [[MaterializedAgg.refresh]] folding only
+  * the source commits since the last run, never rescanning history.
+  * Row-local computation belongs in the aggregates' `expr`s; pipeline
+  * steps are refused (delta maintenance cannot see through them).
+  * Replaces drune's full gold recompute per run
+  * (reference: src/drune/engines/spark/spark_engine.py:232-255).
+  */
+final case class MaterializedSpec(
+    groupBy: Seq[String],
+    aggs: Seq[MaterializedAgg.MAgg]) {
+  require(groupBy.nonEmpty, "materialized sink: group_by is required")
+  require(aggs.nonEmpty, "materialized sink: at least one aggregate is required")
+}
+
 /** Sink (pipeline_model.py TargetSpec): a file path and/or a catalog
   * table name (`table` drives the DDL layer — create/update/evolve).
   */
@@ -97,7 +114,10 @@ final case class SinkSpec(
     // always see a complete snapshot, and old versions stay readable
     // until vacuum. The plain-parquet answer to the reference's Delta
     // table sinks (writer.py:40-100).
-    versioned: Boolean = false)
+    versioned: Boolean = false,
+    // Incrementally-maintained rollup sink (graft extension; YAML
+    // `materialized:` block) — see [[MaterializedSpec]].
+    materialized: Option[MaterializedSpec] = None)
 
 /** Test-mode config (pipeline_model.py test section + tester.py):
   * run the pipeline against fixture input and diff the result with an

@@ -655,6 +655,68 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "month")
     }),
 
+    // q77: GRAFT_DIFF over an APPEND-ONLY span, through the SQL
+    // statement surface — the manifest's commit-kind markers prove no
+    // rewrite happened, so diffVersions SKIPS the full-outer
+    // reconciliation entirely and emits the appended delta as 'added'
+    // rows: O(delta) with no shuffle join (DiffVersionsSuite pins the
+    // plan join-free; this puts the fast path's ROWS under the
+    // driver's hash — q72 covers the general rewrite route).
+    "q77_cdc_append_sql" -> ((s, dir) => {
+      val root = scratchRoot("graft_q77")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus").as("status"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(root, mode = Append, versioned = true))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(root, mode = Append, versioned = true))
+      s.sql(s"GRAFT_DIFF('$root', 1, 2, KEY o_orderkey, COMPARE o_custkey, status)")
+        .orderBy("o_orderkey")
+    }),
+
+    // q78: the DECLARATIVE materialized-view surface under the oracle
+    // — the rollup is declared in YAML (`materialized:` block on a
+    // versioned target), refresh #1 runs by executing the pipeline,
+    // and refresh #2 — after a second real source commit — runs
+    // through the GRAFT_REFRESH('/aggRoot') SQL statement using the
+    // definition the first refresh persisted (_matview sidecar). Same
+    // O(delta + |rollup|) maintenance as q75, reached with zero Scala
+    // API calls: the route a migrating drune gold-step user takes.
+    "q78_matview_yaml" -> ((s, dir) => {
+      val srcRoot = scratchRoot("graft_q78src")
+      val aggRoot0 = scratchRoot("graft_q78agg")
+      // the YAML target path must not pre-exist as a plain directory
+      // (createTempDirectory makes the parent; the rollup root is /t)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      val yaml =
+        s"""pipeline_name: q78_matview
+           |sources:
+           |  - name: fact
+           |    type: versioned
+           |    path: $srcRoot
+           |target:
+           |  path: $aggRoot0
+           |  materialized:
+           |    group_by: [o_orderstatus]
+           |    aggregates:
+           |      - {name: n_orders, kind: count}
+           |      - {name: cents_sum, kind: sum, expr: cents}
+           |      - {name: max_cents, kind: max, expr: cents}
+           |""".stripMargin
+      Pipeline(s, YamlLoader.load(yaml)).run() // refresh #1: full snapshot fold
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      s.sql(s"GRAFT_REFRESH('$aggRoot0')") // refresh #2: O(delta) fold by stored def
+        .select(col("o_orderstatus"), col("n_orders"),
+          expr("cents_sum / 100.0D").as("revenue"),
+          expr("max_cents / 100.0D").as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1071,6 +1133,21 @@ object RelationalQueries {
 
     "q71_snapshot_diff" -> snapshotDiffSql,
     "q72_versioned_cdc" -> snapshotDiffSql,
+
+    // the append-only fast path emits the delta as 'added' rows with
+    // null old-sides — closed-form from the odd-key delta commit
+    "q77_cdc_append_sql" ->
+      """SELECT o_orderkey, 'added' AS change_type, CAST(NULL AS VARCHAR) AS changed_cols,
+        |  CAST(NULL AS BIGINT) AS old_o_custkey, o_custkey AS new_o_custkey,
+        |  CAST(NULL AS VARCHAR) AS old_status, o_orderstatus AS new_status
+        |FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // the YAML/GRAFT_REFRESH route must land on the same flat GROUP BY
+    "q78_matview_yaml" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+        |  max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q75_incremental_rollup" ->
       """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,

@@ -393,6 +393,32 @@ object TextQueries {
           emb.where(col("vec_id") < 10), coarse, cb,
           k = 10, nprobe = 4, rerank = 80)
         .orderBy("probe_id", "rank")
+    }),
+
+    // q76: the SAME persisted IVF-PQ index as q73, searched in exact
+    // mode (nprobe = nlist, rerank = corpus size) — every list probed,
+    // every ADC candidate re-ranked from the float vectors, so the
+    // encode → ADC → re-rank chain must reproduce brute-force cosine
+    // top-k EXACTLY and sits under the driver's q34 oracle hash (the
+    // q70 conversion trick applied to PQ). This pins the whole PQ
+    // plumbing — centroid assignment, code layout, LUT arithmetic
+    // ordering, tie-breaks — not just the recall floor PqSuite checks.
+    "q76_ivfpq_exact" -> ((s, dir) => {
+      import graft.operators.ProductQuantizer
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.ivfCentroidsCached(s"$dir/q73", emb, nlist = 8, iters = 2)
+      val cb = ProductQuantizer.trainCached(
+        s"$dir/q73", emb, dim = 64, m = 8, ksub = 16, iters = 2)
+      val codesPath = ingestArtifact(s"$dir/q73codes", "graft_q73") { r =>
+        ProductQuantizer.encodeCorpus(emb, coarse, cb)
+          .write.partitionBy("list_id").parquet(r)
+      }
+      ProductQuantizer.ivfPqAnnCoded(
+          s.read.parquet(codesPath),
+          emb.select(col("vec_id"), col("embedding").as("vec")),
+          emb.where(col("vec_id") < 10), coarse, cb,
+          k = 10, nprobe = 8, rerank = emb.count().toInt)
+        .orderBy("probe_id", "rank")
     }))
 
   private val toksSql = """regexp_extract_all(text, '\S+')"""
@@ -531,6 +557,11 @@ object TextQueries {
     // identical brute-force answer (third execution route, like
     // q23/q61/q65 sharing the as-of oracle)
     "q70_incremental_ann" -> knnBruteSql,
+
+    // fourth route to the same oracle: q73's persisted IVF-PQ index in
+    // exact mode (nprobe=nlist, rerank=n) — the PQ encode/ADC/re-rank
+    // chain itself under the driver's hash
+    "q76_ivfpq_exact" -> knnBruteSql,
 
     // q74: DuckDB rebuilds the synthetic asset table from range() —
     // the query reads no parquet, so the oracle derives everything

@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_VERSIONS('/path')                            -- commit history
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
   * GRAFT_DIFF('/path', 1, 3, KEY k, COMPARE a, b)     -- compare only a, b
+  * GRAFT_REFRESH('/aggRoot')                          -- incremental matview refresh
   * }}}
   *
   * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
@@ -37,7 +38,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AsOfStmt, DiffStmt, ReadStmt, VersionsStmt}
+  import GraftSqlParser.{AsOfStmt, DiffStmt, ReadStmt, RefreshStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -72,6 +73,14 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       VersionedTable.diffVersions(session, path, from.toLong, to.toLong,
           keyCols, compare, fmt)
         .queryExecution.logical
+    case RefreshStmt(path) =>
+      import graft.pipeline.MaterializedAgg
+      // the refresh ACTS at parse time (the statement's whole point),
+      // same eager-commit contract as the versioned write queries; the
+      // returned plan reads the rollup the refresh just committed
+      MaterializedAgg.refresh(session, path)
+      val fmt = MaterializedAgg.viewDef(session, path).map(_.aggFormat).getOrElse("parquet")
+      MaterializedAgg.read(session, path, fmt).queryExecution.logical
     case VersionsStmt(path) =>
       import session.implicits._
       val h = graft.pipeline.VersionedTable.history(session, path)
@@ -88,7 +97,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
-         DiffStmt(_, _, _, _, _) =>
+         DiffStmt(_, _, _, _, _) | RefreshStmt(_) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -139,4 +148,11 @@ object GraftSqlParser {
     */
   private val DiffStmt =
     """(?is)^\s*GRAFT_DIFF\s*\(\s*'([^']+)'\s*,\s*(\d{1,18})\s*,\s*(\d{1,18})\s*,\s*KEY\s+(\w+(?:\s*,\s*\w+)*?)(?:\s*,\s*COMPARE\s+(\w+(?:\s*,\s*\w+)*))?\s*\)\s*;?\s*$""".r
+
+  /** Incremental materialized-view maintenance by rollup root alone —
+    * the view's shape comes from the `_matview` definition its first
+    * refresh persisted; returns the freshly-refreshed rollup.
+    */
+  private val RefreshStmt =
+    """(?is)^\s*GRAFT_REFRESH\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
 }

@@ -110,6 +110,51 @@ class MaterializedAggSuite extends SparkSpec {
     assert(rollupMap(agg) == Map("a" -> ((2L, 11L, 1L, 10L))))
   }
 
+  test("definition persists with first refresh; refresh-by-root folds; mismatched shape refused") {
+    val src = tmpRoot("graft_magg_src8"); val agg = tmpRoot("graft_magg_agg8")
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    // the sidecar round-trips the full shape
+    val d = MaterializedAgg.viewDef(spark, agg).get
+    assert(d.srcRoot == src && d.groupBy == groups && d.aggs == aggs)
+    // maintenance by root alone: no shape restated anywhere
+    write(Seq(("a", 10L)), src, Append)
+    assert(MaterializedAgg.refresh(spark, agg) == 2L)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((2L, 11L, 1L, 10L)), "b" -> ((1L, 2L, 2L, 2L))))
+    // a refresh restating a DIFFERENT shape must refuse before folding
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, groups,
+        Seq(MAgg("n", "", "count")))
+    }
+    assert(e.getMessage.contains("defined as"))
+    // refresh-by-root on an undefined rollup points at the full call
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, tmpRoot("graft_magg_nodef"))
+    }
+    assert(e2.getMessage.contains("no materialized-view definition"))
+  }
+
+  test("refresh #2 reads ONLY the delta dirs: v1's data can vanish and the fold still lands") {
+    val src = tmpRoot("graft_magg_src9"); val agg = tmpRoot("graft_magg_agg9")
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    write(Seq(("a", 10L), ("c", 7L)), src, Append)
+    // I/O proof of O(delta): physically remove the FIRST commit's data
+    // dir — a refresh that rescanned history would fail here, the
+    // manifest-driven fold must not even notice
+    val v1Dir = VersionedTable.history(spark, src).head.dataDirs.head
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(src, v1Dir))
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 2L)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((2L, 11L, 1L, 10L)), "b" -> ((1L, 2L, 2L, 2L)), "c" -> ((1L, 7L, 7L, 7L))))
+  }
+
   test("first refresh with appends already stacked aggregates the full snapshot once") {
     val src = tmpRoot("graft_magg_src4"); val agg = tmpRoot("graft_magg_agg4")
     write(Seq(("a", 1L)), src, Append)

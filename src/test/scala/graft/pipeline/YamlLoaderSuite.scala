@@ -544,4 +544,46 @@ class YamlLoaderSuite extends SparkSpec {
     // caveat) — [1] is the domain here.
     assert(r.getAs[String]("ds_login") == "example.com")
   }
+
+  test("materialized target block parses: group_by + aggregates, missing keys are loud") {
+    val spec = YamlLoader.load(
+      """pipeline_name: mv
+        |sources:
+        |  - name: fact
+        |    type: versioned
+        |    path: /data/fact
+        |target:
+        |  path: /data/rollup
+        |  materialized:
+        |    group_by: [status, month]
+        |    aggregates:
+        |      - {name: n, kind: count}
+        |      - {name: revenue, kind: sum, expr: cents}
+        |""".stripMargin)
+    val mv = spec.sink.get.materialized.get
+    assert(mv.groupBy == Seq("status", "month"))
+    assert(mv.aggs == Seq(
+      MaterializedAgg.MAgg("n", "", "count"),
+      MaterializedAgg.MAgg("revenue", "cents", "sum")))
+    def bad(block: String, expect: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        YamlLoader.load(
+          s"""pipeline_name: mv
+             |sources:
+             |  - name: fact
+             |    type: versioned
+             |    path: /data/fact
+             |target:
+             |  path: /data/rollup
+             |  materialized:
+             |$block
+             |""".stripMargin)
+      }
+      assert(e.getMessage.contains(expect), e.getMessage)
+    }
+    bad("    aggregates: [{name: n, kind: count}]", "group_by is required")
+    bad("    group_by: [status]", "aggregates list is required")
+    bad("    group_by: [status]\n    aggregates: [{kind: count}]", "name is required")
+    bad("    group_by: [status]\n    aggregates: [{name: n}]", "kind is required")
+  }
 }
