@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata, with the Spark-side plumbing (schema, partition-wise
   * batch decode, feature schema) real and tested.
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`, a deterministic fake keyed on the
-  * bytes' hash. Swapping in a real decoder changes ONE function; the
-  * distributed shape (mapPartitions batching, no driver collect, stable
-  * output schema) is what this module pins down.
+  * The actual codec work hides behind the pluggable [[Multimodal.Codec]]
+  * trait; this container has no image/audio libraries, so the shipped
+  * implementation is [[Multimodal.SeededHashCodec]], a deterministic
+  * fake keyed on the bytes' hash. A real JNI/FFmpeg decoder implements
+  * the same three methods and drops in; the distributed shape
+  * (mapPartitions batching, per-partition codec lifecycle, no driver
+  * collect, stable output schema) is what this module pins down.
   */
 object Multimodal {
 
@@ -31,28 +33,72 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** Deterministic fake "decode → feature vector" used in place of a
-    * real codec (??? in this container). Per-partition batch loop via
-    * mapPartitions — the same shape a JNI/arrow decoder would use; one
-    * task = one batch of blobs, nothing returns to the driver.
+  /** The pluggable decode boundary: one blob in, `dim` features out.
+    * Implementations ship to executors (must be Serializable) and run
+    * inside a per-partition batch loop — a real JNI/FFmpeg/arrow codec
+    * drops in without touching any pipeline plumbing (schema,
+    * partitioning, batch shape are [[decode]]'s job, not the codec's).
+    * `open()` runs once per partition before the batch (native context
+    * acquisition); `close()` after it, crash or not.
     */
-  def decodeStub(assets: DataFrame, dim: Int = 8): DataFrame = {
-    val session = assets.sparkSession
+  trait Codec extends Serializable {
+    def dim: Int
+    /** Decode one asset's bytes (null = failed fetch / metadata-only
+      * row) into exactly `dim` features.
+      */
+    def decode(modality: String, bytes: Array[Byte]): Array[Float]
+    def open(): Unit = ()
+    def close(): Unit = ()
+  }
+
+  /** Deterministic seeded-hash fake — the test implementation for a
+    * container with no codec libraries (the real decoder is the one
+    * absent piece; everything around it is real and tested). Features
+    * are a pure function of the bytes, so dedup/near-dup semantics
+    * behave like a perceptual codec's on identical content.
+    */
+  final case class SeededHashCodec(dim: Int = 8) extends Codec {
+    def decode(modality: String, bytes: Array[Byte]): Array[Float] = {
+      val seed =
+        if (bytes == null) 0L
+        else bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      Array.tabulate(dim)(i => (((seed >>> (i % 48)) & 0xFFFF).toFloat / 65535f))
+    }
+  }
+
+  /** Decode → feature vectors through a pluggable [[Codec]]: a
+    * per-partition batch loop via mapPartitions — one task = one batch
+    * of blobs, codec context opened once per partition, nothing
+    * returns to the driver, output schema fixed regardless of codec.
+    */
+  def decode(assets: DataFrame, codec: Codec): DataFrame = {
     val outSchema = StructType(
       assetSchema.fields.filterNot(_.name == "bytes") :+
         StructField("features", ArrayType(FloatType), nullable = false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     assets.select(col("asset_id"), col("modality"), col("bytes"), col("meta"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          // ??? real decoder goes here; fake = seeded hash features.
-          val seed = if (bytes == null) 0L else bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-          val feats = Array.tabulate(dim)(i => (((seed >>> (i % 48)) & 0xFFFF).toFloat / 65535f))
+        codec.open()
+        val out = rows.map { r =>
+          val feats = codec.decode(r.getAs[String]("modality"), r.getAs[Array[Byte]]("bytes"))
+          require(feats.length == codec.dim,
+            s"codec returned ${feats.length} features, declared dim=${codec.dim}")
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"), r.getAs[Row]("meta"), feats)
+        }
+        // close when the task drains the iterator OR dies — a native
+        // codec's context must not leak on task failure
+        org.apache.spark.TaskContext.get() match {
+          case null => out // driver-side (local testing): nothing to hook
+          case tc => tc.addTaskCompletionListener[Unit](_ => codec.close()); out
         }
       }(enc)
   }
+
+  /** [[decode]] with the deterministic fake — kept as the named entry
+    * the queries/tests use in this codec-less container.
+    */
+  def decodeStub(assets: DataFrame, dim: Int = 8): DataFrame =
+    decode(assets, SeededHashCodec(dim))
 
   /** Resize metadata transform — pure projection; a real implementation
     * would pair this with a decode/encode in the partition loop.
@@ -97,16 +143,20 @@ object Multimodal {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
   /** Perceptual near-dup pairs over decoded feature vectors — composes
-    * [[decodeStub]] (swap in a real decoder) with the LSH-bucketed
-    * embedding near-dup operator: decode is a partition-local batch
-    * pass, candidate pairing is bucketed (never all-pairs), ids-only
-    * shuffles. The multimodal face of Similarity.embeddingNearDup.
+    * a [[Codec]] (the seeded-hash fake by default; pass a real one)
+    * with the LSH-bucketed embedding near-dup operator: decode is a
+    * partition-local batch pass, candidate pairing is bucketed (never
+    * all-pairs), ids-only shuffles. The multimodal face of
+    * Similarity.embeddingNearDup.
     */
   def nearDupByFeatures(assets: DataFrame, dim: Int = 8,
-                        threshold: Double = 0.95, planes: Int = 8): DataFrame =
+                        threshold: Double = 0.95, planes: Int = 8,
+                        codec: Codec = null): DataFrame = {
+    val c = Option(codec).getOrElse(SeededHashCodec(dim))
     graft.operators.Similarity.embeddingNearDup(
-      decodeStub(assets, dim), dim = dim, threshold = threshold, planes = planes,
+      decode(assets, c), dim = c.dim, threshold = threshold, planes = planes,
       idCol = "asset_id", vecCol = "features")
+  }
 
   /** Synthetic asset table for tests/demo — deterministic bytes from
     * the id, no external data needed.

@@ -297,6 +297,14 @@ class StreamingSuite extends SparkSpec {
   }
 }
 
+/** Cross-task probe counters for the codec-lifecycle test (local mode:
+  * executor threads share this JVM, so statics observe them).
+  */
+object CodecProbe {
+  val open = new java.util.concurrent.atomic.AtomicInteger(0)
+  val close = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MultimodalSuite extends SparkSpec {
 
   test("decode stub: deterministic features, bytes pruned from output") {
@@ -308,6 +316,39 @@ class MultimodalSuite extends SparkSpec {
     val fb = b.orderBy("asset_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")).toList)
     assert(fa.zip(fb).forall { case (x, y) => x == y })
     assert(fa.forall(_.length == 8))
+  }
+
+  test("a custom Codec plugs into the same pipeline: lifecycle runs, output schema fixed") {
+    // a stand-in for a real JNI decoder: constant features + a
+    // partition-lifecycle counter proving open/close bracket the batch
+    val codec = new Multimodal.Codec {
+      val dim = 4
+      def decode(modality: String, bytes: Array[Byte]): Array[Float] = {
+        require(CodecProbe.open.get() > 0, "decode ran before open()")
+        Array.fill(4)(if (modality == "video") 1f else 0.5f)
+      }
+      override def open(): Unit = CodecProbe.open.incrementAndGet()
+      override def close(): Unit = CodecProbe.close.incrementAndGet()
+    }
+    CodecProbe.open.set(0); CodecProbe.close.set(0)
+    val out = Multimodal.decode(Multimodal.syntheticAssets(spark, 30), codec)
+      .orderBy("asset_id").collect()
+    assert(out.forall(_.getSeq[Float](3).length == 4))
+    assert(out.filter(_.getAs[String]("modality") == "video")
+      .forall(_.getSeq[Float](3).forall(_ == 1f)))
+    assert(CodecProbe.open.get() > 0, "open() never ran")
+    assert(CodecProbe.close.get() == CodecProbe.open.get(),
+      s"codec context leak: ${CodecProbe.open.get()} opens, ${CodecProbe.close.get()} closes")
+    // a codec lying about its dim fails loudly, not with silent schema drift
+    val bad = new Multimodal.Codec {
+      val dim = 4
+      def decode(m: String, b: Array[Byte]): Array[Float] = Array.fill(3)(0f)
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(Multimodal.syntheticAssets(spark, 5), bad).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("declared dim"))))
   }
 
   test("resize plan caps the long side, preserves aspect") {
