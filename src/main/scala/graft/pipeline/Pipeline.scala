@@ -24,7 +24,15 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
     spec.sources.foreach { src =>
       val df = src match {
         case FileSource(name, path, format, options, expected) =>
-          val d = spark.read.format(format).options(options).load(path)
+          // `format: delta` = interop read of an EXISTING Delta Lake
+          // table through the log-protocol reader (the reference's
+          // sources accept it, reader.py:25-30); honors delta-spark's
+          // versionAsOf option spelling for time travel
+          val d =
+            if (format.equalsIgnoreCase("delta"))
+              graft.sources.DeltaRead.read(spark, path,
+                options.get("versionAsOf").map(_.trim.toLong))
+            else spark.read.format(format).options(options).load(path)
           expected.foreach { n =>
             require(d.columns.length == n,
               s"source '$name': read ${d.columns.length} columns, expected $n — check the delimiter/options")

@@ -1,0 +1,218 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Read-only interop with EXISTING Delta Lake tables — the reference's
+  * sources accept `format: delta` (reference: src/drune/engines/spark/
+  * steps/reader.py:25-30 passes the format straight to spark.read, and
+  * its merge sinks are DeltaTable writes, writer.py:40-100), so a
+  * migrating user points graft at Delta tables on day one. Graft's own
+  * table protocol is [[graft.pipeline.VersionedTable]]; this reader
+  * exists so those EXISTING tables remain readable without the
+  * delta-spark dependency (not in the budget) — it parses the PUBLIC
+  * Delta transaction-log protocol (github.com/delta-io/delta
+  * PROTOCOL.md) directly:
+  *
+  *  - `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`: one JSON action per
+  *    line — `metaData` (schemaString + partitionColumns), `add`
+  *    (file joins the snapshot), `remove` (file leaves it),
+  *    `protocol` (reader feature gate).
+  *  - `NNN...N.checkpoint.parquet` under `_delta_log` (+ the
+  *    `_last_checkpoint` pointer): the
+  *    compacted form of all actions ≤ checkpoint version; snapshot
+  *    reconstruction starts at the newest checkpoint ≤ the requested
+  *    version and replays the JSON commits after it.
+  *
+  * Supported: snapshot read, time travel by version, partitioned
+  * tables (partition values come from the log, not the directory
+  * names). Refused loudly: minReaderVersion > 1 feature tables
+  * (column mapping, deletion vectors — silently wrong answers
+  * otherwise) and writes (graft writes land in VersionedTable; a
+  * Delta-FORMAT writer needs the real connector).
+  *
+  * Scale note: log replay is driver-side and O(actions since last
+  * checkpoint) — same cost shape as delta-spark's own Snapshot build.
+  * The DATA read is a normal distributed parquet scan over the live
+  * file list with pushdown/pruning intact; partitioned tables read
+  * one scan branch per live partition value (fine for the dimension/
+  * medallion tables this interop targets; a million-partition fact
+  * migration should land in VersionedTable, not stay in Delta).
+  */
+object DeltaRead {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Snapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      /** live data files: path -> partition values (null for unpartitioned) */
+      files: Map[String, Map[String, String]])
+
+  /** Is `path` a Delta table root (has a transaction log)? */
+  def isDeltaTable(spark: SparkSession, path: String): Boolean = {
+    val log = new Path(path, "_delta_log")
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(log) && fs.listStatus(log).exists { st =>
+      val n = st.getPath.getName
+      n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+    }
+  }
+
+  /** Read the newest committed snapshot (or `version` for time travel). */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, version)
+    val rootP = qualifiedRoot(spark, path)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
+    if (snap.partitionColumns.isEmpty) {
+      spark.read.schema(StructType(dataCols)).parquet(
+        snap.files.keys.toSeq.map(rel => new Path(rootP, rel).toString): _*)
+        .select(snap.schema.fieldNames.map(col): _*)
+    } else {
+      // Partition values are LOG metadata, not file content — rebuild
+      // them as literal columns per distinct partition tuple (one scan
+      // branch per live partition value; see the scale note above).
+      val byPartition = snap.files.groupBy(_._2)
+      byPartition.toSeq.map { case (pvals, fs) =>
+        val base = spark.read.schema(StructType(dataCols)).parquet(
+          fs.keys.toSeq.map(rel => new Path(rootP, rel).toString): _*)
+        snap.partitionColumns.foldLeft(base) { (df, pc) =>
+          val dt = snap.schema(pc).dataType
+          // null partition value = Delta's __HIVE_DEFAULT_PARTITION__
+          val v = pvals.getOrElse(pc, null)
+          df.withColumn(pc, (if (v == null) lit(null) else lit(v)).cast(dt))
+        }.select(snap.schema.fieldNames.map(col): _*)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Reconstruct the file-list snapshot at `version` (newest if None). */
+  def snapshot(spark: SparkSession, path: String,
+               version: Option[Long] = None): Snapshot = {
+    val rootP = qualifiedRoot(spark, path)
+    val logP = new Path(rootP, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
+    val commits = fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
+      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong
+    }.sorted
+    val checkpoints = fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
+      // single-file checkpoints only (multi-part is a large-table
+      // optimization delta writes with .checkpoint.NNN.NNN.parquet)
+      case n if n.endsWith(".checkpoint.parquet") &&
+          n.stripSuffix(".checkpoint.parquet").forall(_.isDigit) =>
+        n.stripSuffix(".checkpoint.parquet").toLong
+    }.sorted
+    require(commits.nonEmpty || checkpoints.nonEmpty,
+      s"$path has an empty _delta_log — no committed version")
+    val latest = (commits ++ checkpoints).max
+    val target = version.getOrElse(latest)
+    require(target <= latest, s"Delta table at $path has no version $target (latest: $latest)")
+
+    var files = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    var schemaJson: String = null
+    var partCols: Seq[String] = Nil
+
+    val ckpt = checkpoints.filter(_ <= target).lastOption
+    ckpt.foreach { cv =>
+      val rows = spark.read.parquet(new Path(logP, f"$cv%020d.checkpoint.parquet").toString)
+      // checkpoint rows: one action per row in struct columns
+      val cols = rows.columns.toSet
+      if (cols("metaData")) rows.select("metaData.schemaString", "metaData.partitionColumns")
+        .collect().filter(!_.isNullAt(0)).foreach { r =>
+          schemaJson = r.getString(0); partCols = r.getSeq[String](1)
+        }
+      require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
+      val hasPv = rows.select("add.*").columns.contains("partitionValues")
+      val adds =
+        if (hasPv) rows.select(col("add.path"), col("add.partitionValues")).where(col("add.path").isNotNull)
+        else rows.select(col("add.path"), lit(null).as("partitionValues")).where(col("add.path").isNotNull)
+      adds.collect().foreach { r =>
+        val pv = if (r.isNullAt(1)) Map.empty[String, String]
+          else r.getMap[String, String](1).toMap
+        files.put(r.getString(0), pv)
+      }
+      // protocol gate can live in the checkpoint too
+      if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
+        .filter(!_.isNullAt(0)).foreach(r => gateReaderVersion(path, r.getInt(0)))
+    }
+
+    val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
+    for (v <- replayFrom to target) {
+      val p = new Path(logP, f"$v%020d.json")
+      if (!fs.exists(p)) {
+        // commits below the newest checkpoint may be legitimately
+        // vacuumed (delta log cleanup); a HOLE after the replay start
+        // is an unreadable table
+        throw new IllegalStateException(
+          s"Delta log at $path is missing commit $v (log cleaned past the " +
+            s"requested version?) — cannot reconstruct version $target")
+      }
+      val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
+        throw new IllegalStateException(s"Delta commit $v at $path is unreadable"))
+      content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol"))
+          gateReaderVersion(path, node.get("protocol").path("minReaderVersion").asInt(1))
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          schemaJson = md.path("schemaString").asText(null)
+          partCols = md.path("partitionColumns").elements().asScala
+            .map(_.asText()).toSeq
+        }
+        if (node.has("add")) {
+          val add = node.get("add")
+          val pv = Option(add.get("partitionValues")).map(n =>
+            n.properties().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          files.put(decodePath(add.get("path").asText()), pv)
+        }
+        if (node.has("remove"))
+          files.remove(decodePath(node.get("remove").path("path").asText()))
+      }
+    }
+    require(schemaJson != null,
+      s"Delta log at $path carries no metaData action — cannot derive a schema")
+    Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partCols, files.toMap)
+  }
+
+  /** Committed versions visible in the log (for GRAFT_VERSIONS-style
+    * introspection of foreign tables).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val logP = new Path(qualifiedRoot(spark, path), "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logP)) Nil
+    else fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
+      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong
+    }.sorted
+  }
+
+  private def gateReaderVersion(path: String, minReader: Int): Unit =
+    require(minReader <= 1,
+      s"Delta table at $path requires minReaderVersion=$minReader (column " +
+        "mapping / deletion vectors / newer reader features) — this interop " +
+        "reader supports protocol reader version 1; read it with the real " +
+        "delta-spark connector or migrate it to a graft versioned table")
+
+  private def decodePath(rel: String): String =
+    java.net.URLDecoder.decode(rel, "UTF-8") // log paths are URL-encoded
+
+  private def qualifiedRoot(spark: SparkSession, path: String): Path = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+}

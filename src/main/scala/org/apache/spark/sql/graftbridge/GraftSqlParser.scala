@@ -47,14 +47,23 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         .queryExecution.logical
     case ReadStmt(path, since, version) =>
       import graft.pipeline.VersionedTable
-      // honor the format the table's commits recorded — hard-coding
-      // parquet would misread a json/orc versioned table that the
-      // DataFrame/YAML routes read fine
-      val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
-      val df =
+      val df = if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
+        // foreign Delta Lake table: same statement, interop reader —
+        // snapshot + version time travel; SINCE has no committed-delta
+        // meaning on a foreign log, refuse rather than approximate
+        if (since != null) throw new IllegalArgumentException(
+          s"GRAFT_READ(... SINCE n) is for graft versioned tables; $path is a " +
+            "Delta table — read a pinned version and diff, or migrate the table")
+        graft.sources.DeltaRead.read(session, path, Option(version).map(_.toLong))
+      } else {
+        // honor the format the table's commits recorded — hard-coding
+        // parquet would misread a json/orc versioned table that the
+        // DataFrame/YAML routes read fine
+        val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
         if (version == null) VersionedTable.read(session, path, fmt)
         else if (since == null) VersionedTable.readVersion(session, path, version.toLong, fmt)
         else VersionedTable.changesSince(session, path, version.toLong, fmt)
+      }
       df.queryExecution.logical
     case DiffStmt(path, from, to, keys, compareOpt) =>
       import graft.pipeline.VersionedTable

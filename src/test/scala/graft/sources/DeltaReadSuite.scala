@@ -1,0 +1,184 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta Lake interop reader against HAND-CRAFTED transaction logs —
+  * built line-by-line to the public PROTOCOL.md action shapes (this
+  * container has no delta-spark to write real ones, which is exactly
+  * why the reader exists). Covers: snapshot add/remove replay, time
+  * travel, partition-value reconstruction from log metadata,
+  * checkpoint + post-checkpoint replay with cleaned commits, the
+  * reader-version feature gate, and the YAML `format: delta` route.
+  */
+class DeltaReadSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_delta").toString
+
+  /** Write `df` as ONE parquet file named `name` under `root`. */
+  private def writeDataFile(df: DataFrame, root: String, name: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_delta_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(root, name)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(part, dst)
+  }
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  private def commit(root: String, version: Long, lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(root, "_delta_log", f"$version%020d.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def metaDataLine(s: StructType, partCols: Seq[String] = Nil): String =
+    s"""{"metaData":{"id":"test-table","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(s.json)},""" +
+      s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],"configuration":{}}}"""
+
+  private val protocolLine = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def addLine(path: String, pv: Map[String, String] = null): String = {
+    val pvJson = Option(pv).map(_.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")).getOrElse("{}")
+    s"""{"add":{"path":${jstr(path)},"partitionValues":$pvJson,"size":1,""" +
+      s""""modificationTime":1,"dataChange":true}}"""
+  }
+
+  private def removeLine(path: String): String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":1,"dataChange":true}}"""
+
+  test("snapshot replay: adds accumulate, removes drop files, time travel works") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((4L, "d")).toDF("id", "v"), root, "f3.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema),
+      addLine("f1.parquet"), addLine("f2.parquet")))
+    commit(root, 1, Seq(removeLine("f1.parquet"), addLine("f3.parquet")))
+    assert(DeltaRead.isDeltaTable(spark, root))
+    assert(DeltaRead.versions(spark, root) == Seq(0L, 1L))
+    val latest = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
+    assert(latest.toSeq == Seq(3L, 4L), "remove must drop f1, add must bring f3")
+    val v0 = DeltaRead.read(spark, root, Some(0L)).collect().map(_.getLong(0)).sorted
+    assert(v0.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaRead.read(spark, root).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("partitioned table: partition values come from the log, typed by the schema") {
+    val root = tmp()
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("day", IntegerType)))
+    // data files carry ONLY the data column — day exists just in the log
+    writeDataFile(Seq(Tuple1(1L)).toDF("id"), root, "day=7/p1.parquet")
+    writeDataFile(Seq(Tuple1(2L)).toDF("id"), root, "day=8/p2.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(pSchema, Seq("day")),
+      addLine("day=7/p1.parquet", Map("day" -> "7")),
+      addLine("day=8/p2.parquet", Map("day" -> "8"))))
+    val rows = DeltaRead.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(rows.toSeq == Seq((1L, 7), (2L, 8)))
+    assert(DeltaRead.read(spark, root).schema("day").dataType == IntegerType)
+  }
+
+  test("checkpoint + replay: reconstruction starts at the checkpoint, cleaned commits ok") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f3.parquet")
+    // checkpoint at v1 holds the compacted state: metaData + live adds
+    // (f1 was added in v0 and removed in v1 — absent from the checkpoint)
+    val ckptRows = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("f2.parquet", Map.empty[String, String]), null, null),
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(schema.json, Seq.empty[String]), null),
+      org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(1))),
+      StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType)))))))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    ckptRows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.move(part, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+    // commits 0 and 1 were CLEANED (delta log cleanup); only v2 remains
+    commit(root, 2, Seq(addLine("f3.parquet")))
+    val rows = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(2L, 3L),
+      "checkpoint state (f2) + replayed commit (f3), cleaned commits untouched")
+  }
+
+  test("newer reader features are refused loudly, not silently misread") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaDataLine(schema), addLine("f1.parquet")))
+    val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e.getMessage.contains("minReaderVersion=3"))
+  }
+
+  test("YAML `format: delta` source routes through the interop reader") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((9L, "z")).toDF("id", "v"), root, "f2.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    commit(root, 1, Seq(addLine("f2.parquet")))
+    val spec = graft.pipeline.YamlLoader.load(
+      s"""pipeline_name: delta_in
+         |sources:
+         |  - name: d
+         |    type: file
+         |    format: delta
+         |    path: $root
+         |steps:
+         |  - type: filter
+         |    params:
+         |      where: id < 5
+         |""".stripMargin)
+    val out = graft.pipeline.Pipeline(spark, spec).run().collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L))
+    // versionAsOf option = delta-spark's time-travel spelling
+    val spec0 = graft.pipeline.YamlLoader.load(
+      s"""pipeline_name: delta_tt
+         |sources:
+         |  - name: d
+         |    type: file
+         |    format: delta
+         |    path: $root
+         |    options:
+         |      versionAsOf: "0"
+         |""".stripMargin)
+    assert(graft.pipeline.Pipeline(spark, spec0).run().count() == 2L)
+    // GRAFT_READ auto-detects a foreign Delta root: same SQL surface
+    assert(spark.sql(s"GRAFT_READ('$root')").count() == 3L)
+    assert(spark.sql(s"GRAFT_READ('$root', 0)").count() == 2L)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT_READ('$root', SINCE 0)")
+    }
+    assert(e.getMessage.contains("Delta table"))
+  }
+}
