@@ -106,13 +106,22 @@ object DeltaRead {
       case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
         n.stripSuffix(".json").toLong
     }.sorted
-    val checkpoints = fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
-      // single-file checkpoints only (multi-part is a large-table
-      // optimization delta writes with .checkpoint.NNN.NNN.parquet)
-      case n if n.endsWith(".checkpoint.parquet") &&
-          n.stripSuffix(".checkpoint.parquet").forall(_.isDigit) =>
-        n.stripSuffix(".checkpoint.parquet").toLong
-    }.sorted
+    // checkpoint forms: single-file vNNN.checkpoint.parquet, or the
+    // large-table multi-part vNNN.checkpoint.AAAAAAAAAA.BBBBBBBBBB
+    // .parquet (part A of B) — a multi-part version is usable only
+    // when ALL its parts are present (a half-written one is not a
+    // checkpoint yet, per the protocol)
+    val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
+    val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
+    val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
+    val multis = names.collect { case MultiPart(v, a, b) => (v.toLong, b.toInt, a.toInt) }
+      .groupBy { case (v, b, _) => (v, b) }
+      .collect { case ((v, b), parts) if parts.map(_._3).toSet == (1 to b).toSet =>
+        v -> (1 to b).map(a => f"$v%020d.checkpoint.$a%010d.$b%010d.parquet")
+      }.toSeq
+    val checkpointFiles: Map[Long, Seq[String]] = (singles ++ multis).toMap
+    val checkpoints = checkpointFiles.keys.toSeq.sorted
     require(commits.nonEmpty || checkpoints.nonEmpty,
       s"$path has an empty _delta_log — no committed version")
     val latest = (commits ++ checkpoints).max
@@ -125,7 +134,8 @@ object DeltaRead {
 
     val ckpt = checkpoints.filter(_ <= target).lastOption
     ckpt.foreach { cv =>
-      val rows = spark.read.parquet(new Path(logP, f"$cv%020d.checkpoint.parquet").toString)
+      val rows = spark.read.parquet(
+        checkpointFiles(cv).map(n => new Path(logP, n).toString): _*)
       // checkpoint rows: one action per row in struct columns
       val cols = rows.columns.toSet
       if (cols("metaData")) rows.select("metaData.schemaString", "metaData.partitionColumns")

@@ -138,4 +138,27 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.toLowerCase.contains("partial_space_saving_topk"), p)
   }
+
+  test("q77: the append-only CDC span plans with NO join — the manifest fast path") {
+    val p = plan("q77_cdc_append_sql")
+    assert(!p.contains("Join"), p) // no full-outer reconciliation anywhere
+    assert(!p.contains("Exchange") || count(p, "Exchange") <= 1, p) // sort for orderBy only
+  }
+
+  test("q76: exact-mode PQ still reads codes via the broadcast probe join, corpus once") {
+    val p = plan("q76_ivfpq_exact")
+    // probe side broadcast (tiny), codes side scanned — never the reverse
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q78: the YAML matview read is a bounded rollup scan, no join, no fact rescan") {
+    val p = plan("q78_matview_yaml")
+    // the RETURNED plan reads the committed rollup (group cardinality
+    // bounded), not the fact — refresh work happened at build time as
+    // manifest commits
+    assert(!p.contains("Join"), p)
+    val read = p.linesIterator.find(_.contains("Location")).getOrElse("")
+    assert(!read.contains("orders.parquet"), read)
+  }
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
@@ -129,6 +131,44 @@ class DeltaReadSuite extends SparkSpec {
     val rows = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
     assert(rows.toSeq == Seq(2L, 3L),
       "checkpoint state (f2) + replayed commit (f3), cleaned commits untouched")
+  }
+
+  test("multi-part checkpoint: all parts read; an incomplete one is not a checkpoint") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))))))
+    def writeCkptPart(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_mckpt").toString
+      spark.createDataFrame(rows.asJava, ckptSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.move(part, logDir.resolve(name))
+    }
+    import org.apache.spark.sql.Row
+    // complete 2-part checkpoint at v1: metaData in part 1, adds split
+    writeCkptPart(Seq(
+      Row(null, Row(schema.json, Seq.empty[String])),
+      Row(Row("f1.parquet", Map.empty[String, String]), null)),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeCkptPart(Seq(Row(Row("f2.parquet", Map.empty[String, String]), null)),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    // INCOMPLETE multi-part at v5 (part 1 of 2 only): must be ignored —
+    // treating it as a checkpoint would silently drop f2
+    writeCkptPart(Seq(Row(Row("f1.parquet", Map.empty[String, String]), null)),
+      f"${5L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    val rows = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L), "both checkpoint parts must contribute")
   }
 
   test("newer reader features are refused loudly, not silently misread") {
