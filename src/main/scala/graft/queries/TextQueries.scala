@@ -145,6 +145,18 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
+    // multi-probe covers all 2^2 buckets, so the hyperplane bucketing,
+    // probe expansion (single + pair bit flips) and bucket join must
+    // reproduce brute-force top-k exactly under q34's oracle hash (the
+    // q70/q76 conversion trick applied to LSH).
+    "q79_lsh_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10,
+          planes = 2, multiProbeBits = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     // q44: IVF-Flat ANN — coarse-quantizer lists + nprobe search
     // (rows-only: Lloyd means are float-order dependent; recall is
     // verified against brute force in ScalaTest). The quantizer is the
@@ -562,6 +574,9 @@ object TextQueries {
     // exact mode (nprobe=nlist, rerank=n) — the PQ encode/ADC/re-rank
     // chain itself under the driver's hash
     "q76_ivfpq_exact" -> knnBruteSql,
+
+    // fifth route: q35's LSH in exact mode (all buckets probed)
+    "q79_lsh_exact" -> knnBruteSql,
 
     // q74: DuckDB rebuilds the synthetic asset table from range() —
     // the query reads no parquet, so the oracle derives everything
