@@ -23,11 +23,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    line — `metaData` (schemaString + partitionColumns), `add`
   *    (file joins the snapshot), `remove` (file leaves it),
   *    `protocol` (reader feature gate).
-  *  - `NNN...N.checkpoint.parquet` under `_delta_log` (+ the
-  *    `_last_checkpoint` pointer): the
+  *  - `NNN...N.checkpoint.parquet` (and the multi-part
+  *    `NNN.checkpoint.A.B.parquet` form) under `_delta_log`: the
   *    compacted form of all actions ≤ checkpoint version; snapshot
-  *    reconstruction starts at the newest checkpoint ≤ the requested
-  *    version and replays the JSON commits after it.
+  *    reconstruction starts at the newest COMPLETE checkpoint ≤ the
+  *    requested version and replays the JSON commits after it.
+  *    Checkpoints are discovered by listing the log directory, which
+  *    subsumes the `_last_checkpoint` fast-path pointer.
   *
   * Supported: snapshot read, time travel by version, partitioned
   * tables (partition values come from the log, not the directory

@@ -92,15 +92,23 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       MaterializedAgg.read(session, path, fmt).queryExecution.logical
     case VersionsStmt(path) =>
       import session.implicits._
-      val h = graft.pipeline.VersionedTable.history(session, path)
-      // an absent/typo'd table must be LOUD like GRAFT_READ's, not an
-      // empty result the user reads as "no commits yet" (a committed
-      // versioned table always has >= 1 version)
-      if (h.isEmpty) throw new IllegalArgumentException(
-        s"versioned table at $path has no committed version")
-      h.map(v => (v.version, v.committedAt, v.dataDirs.length))
-        .toDF("version", "committed_at", "num_dirs")
-        .queryExecution.logical
+      if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
+        // foreign Delta root: surface its commit versions with the
+        // same statement (file counts via snapshot would replay the
+        // whole log per version — version list only)
+        graft.sources.DeltaRead.versions(session, path).toDF("version")
+          .queryExecution.logical
+      } else {
+        val h = graft.pipeline.VersionedTable.history(session, path)
+        // an absent/typo'd table must be LOUD like GRAFT_READ's, not an
+        // empty result the user reads as "no commits yet" (a committed
+        // versioned table always has >= 1 version)
+        if (h.isEmpty) throw new IllegalArgumentException(
+          s"versioned table at $path has no committed version")
+        h.map(v => (v.version, v.committedAt, v.dataDirs.length))
+          .toDF("version", "committed_at", "num_dirs")
+          .queryExecution.logical
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 

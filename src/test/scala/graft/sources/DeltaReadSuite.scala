@@ -220,5 +220,7 @@ class DeltaReadSuite extends SparkSpec {
       spark.sql(s"GRAFT_READ('$root', SINCE 0)")
     }
     assert(e.getMessage.contains("Delta table"))
+    assert(spark.sql(s"GRAFT_VERSIONS('$root')").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 }
