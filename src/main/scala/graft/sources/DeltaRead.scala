@@ -200,6 +200,26 @@ object DeltaRead {
       partCols, files.toMap)
   }
 
+  /** One-shot migration of a Delta table into graft's versioned-table
+    * protocol: reads the requested snapshot through the log and
+    * commits it as one manifest version at `graftRoot` (after which
+    * appends are O(delta) pointer commits, streams are
+    * exactly-committed, and matviews can maintain incrementally —
+    * none of which this read-only interop can offer on the foreign
+    * log). The source table is untouched.
+    */
+  def importDelta(spark: SparkSession, deltaRoot: String, graftRoot: String,
+                  version: Option[Long] = None,
+                  format: String = "parquet"): Long = {
+    val snap = read(spark, deltaRoot, version)
+    graft.pipeline.VersionedTable.commit(spark, graftRoot, format, base => {
+      require(base.isEmpty,
+        s"importDelta targets a FRESH graft root; $graftRoot already has commits — " +
+          "merge through the normal write path instead")
+      snap
+    })
+  }
+
   /** Committed versions visible in the log (for GRAFT_VERSIONS-style
     * introspection of foreign tables).
     */

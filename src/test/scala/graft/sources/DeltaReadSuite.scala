@@ -223,4 +223,25 @@ class DeltaReadSuite extends SparkSpec {
     assert(spark.sql(s"GRAFT_VERSIONS('$root')").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
+
+  test("importDelta migrates a snapshot into a fresh graft versioned table") {
+    import graft.pipeline.VersionedTable
+    val root = tmp()
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f2.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    commit(root, 1, Seq(addLine("f2.parquet")))
+    val dst = tmp() + "/t"
+    assert(DeltaRead.importDelta(spark, root, dst) == 1L)
+    assert(VersionedTable.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // migrated table gets the full graft surface: O(delta) appends
+    VersionedTable.commitDelta(spark, dst, "parquet", Seq((9L, "z")).toDF("id", "v"))
+    assert(VersionedTable.read(spark, dst).count() == 4L)
+    // a non-fresh target refuses (migration is not a merge)
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.importDelta(spark, root, dst)
+    }
+    assert(e.getMessage.contains("FRESH graft root"))
+  }
 }
