@@ -118,16 +118,24 @@ object MaterializedAgg {
       case None =>
         // create(overwrite=false): one racing first-refresh wins the
         // name; the loser re-reads and validates (both derived the same
-        // def from the same call site in the common case)
+        // def from the same call site in the common case). Any OTHER
+        // IOException must surface — swallowing it would report a
+        // successful refresh that silently failed to persist the
+        // definition, wedging every later refresh-by-root.
         try {
           val out = fs.create(p, false)
           try out.write(rendered.getBytes("UTF-8")) finally out.close()
         } catch {
-          case _: java.io.IOException =>
-            viewDef(spark, aggRoot).foreach(existing =>
-              require(renderDef(existing) == rendered,
-                s"materialized view at $aggRoot was concurrently defined as $existing, " +
-                  s"which disagrees with $d"))
+          case e: java.io.IOException =>
+            viewDef(spark, aggRoot) match {
+              case Some(existing) =>
+                require(renderDef(existing) == rendered,
+                  s"materialized view at $aggRoot was concurrently defined as $existing, " +
+                    s"which disagrees with $d")
+              case None => throw new IllegalStateException(
+                s"cannot persist the materialized-view definition at $p " +
+                  "(the rollup committed, but refresh-by-root would not find it)", e)
+            }
         }
     }
   }
@@ -212,9 +220,13 @@ object MaterializedAgg {
     require(groupBy.nonEmpty, "refresh needs at least one group column")
     require(aggs.nonEmpty, "refresh needs at least one aggregate")
     val d = MatViewDef(srcRoot, groupBy, aggs, srcFormat, aggFormat)
+    // render EAGERLY: a shape the sidecar can't serialize (tab/newline
+    // in a name or expr) must refuse here, before the first fold
+    // commits a rollup that refresh-by-root could never maintain
+    val renderedD = renderDef(d)
     // a stored definition that DISAGREES with this call must refuse
     // BEFORE anything folds (mixed shapes corrupt the rollup silently)
-    viewDef(spark, aggRoot).foreach(existing => require(renderDef(existing) == renderDef(d),
+    viewDef(spark, aggRoot).foreach(existing => require(renderDef(existing) == renderedD,
       s"materialized view at $aggRoot is defined as $existing but this refresh " +
         s"was called with $d — use the stored definition (refresh(spark, aggRoot)) " +
         "or rebuild the rollup from scratch under the new shape"))

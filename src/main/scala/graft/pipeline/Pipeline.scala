@@ -27,12 +27,25 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
           // `format: delta` = interop read of an EXISTING Delta Lake
           // table through the log-protocol reader (the reference's
           // sources accept it, reader.py:25-30); honors delta-spark's
-          // versionAsOf option spelling for time travel
+          // versionAsOf option spelling for time travel. Any OTHER
+          // option would be silently ignored (incl. timestampAsOf,
+          // which needs commit-timestamp resolution this reader
+          // doesn't do) — refuse loudly instead of reading the wrong
+          // snapshot.
           val d =
-            if (format.equalsIgnoreCase("delta"))
-              graft.sources.DeltaRead.read(spark, path,
-                options.get("versionAsOf").map(_.trim.toLong))
-            else spark.read.format(format).options(options).load(path)
+            if (format.equalsIgnoreCase("delta")) {
+              val unknown = options.keySet.filterNot(_.equalsIgnoreCase("versionAsOf"))
+              require(unknown.isEmpty,
+                s"source '$name': delta interop supports only the versionAsOf " +
+                  s"option; got ${unknown.mkString(", ")} (for timestampAsOf, " +
+                  "resolve the version with GRAFT_VERSIONS and pin it)")
+              val v = options.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v }
+                .map(s => try s.trim.toLong catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"source '$name': versionAsOf must be a version number, got '$s'")
+                })
+              graft.sources.DeltaRead.read(spark, path, v)
+            } else spark.read.format(format).options(options).load(path)
           expected.foreach { n =>
             require(d.columns.length == n,
               s"source '$name': read ${d.columns.length} columns, expected $n — check the delimiter/options")

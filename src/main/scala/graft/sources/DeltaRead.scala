@@ -104,7 +104,10 @@ object DeltaRead {
     val logP = new Path(rootP, "_delta_log")
     val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
-    val commits = fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
+    // ONE listing serves both the commit scan and the checkpoint scan —
+    // on object stores a LIST is among the most expensive metadata ops
+    val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
+    val commits = names.collect {
       case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
         n.stripSuffix(".json").toLong
     }.sorted
@@ -115,7 +118,6 @@ object DeltaRead {
     // checkpoint yet, per the protocol)
     val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
     val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-    val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
     val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
     val multis = names.collect { case MultiPart(v, a, b) => (v.toLong, b.toInt, a.toInt) }
       .groupBy { case (v, b, _) => (v, b) }
@@ -152,7 +154,10 @@ object DeltaRead {
       adds.collect().foreach { r =>
         val pv = if (r.isNullAt(1)) Map.empty[String, String]
           else r.getMap[String, String](1).toMap
-        files.put(r.getString(0), pv)
+        // checkpoint paths are the same URI-encoded form as JSON ones —
+        // decoding BOTH keeps the key space consistent, so a
+        // post-checkpoint remove actually matches its checkpointed add
+        files.put(decodePath(r.getString(0)), pv)
       }
       // protocol gate can live in the checkpoint too
       if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
@@ -240,8 +245,15 @@ object DeltaRead {
         "reader supports protocol reader version 1; read it with the real " +
         "delta-spark connector or migrate it to a graft versioned table")
 
+  /** Log paths are RFC-2396 percent-encoded URIs (delta-spark decodes
+    * via `new URI(p).getPath`) — NOT form-encoding: URLDecoder would
+    * turn a literal '+' in a file or partition-dir name into a space
+    * and the resolved path would miss on disk.
+    */
   private def decodePath(rel: String): String =
-    java.net.URLDecoder.decode(rel, "UTF-8") // log paths are URL-encoded
+    try new java.net.URI(rel).getPath
+    catch { case _: java.net.URISyntaxException =>
+      throw new IllegalStateException(s"Delta log references an unparseable path '$rel'") }
 
   private def qualifiedRoot(spark: SparkSession, path: String): Path = {
     val p = new Path(path)

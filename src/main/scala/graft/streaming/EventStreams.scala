@@ -142,7 +142,14 @@ object EventStreams {
   def rollupSink(stream: DataFrame, srcRoot: String, aggRoot: String,
                  checkpointDir: String, groupBy: Seq[String],
                  aggs: Seq[graft.pipeline.MaterializedAgg.MAgg],
-                 format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+                 format: String = "parquet"): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Bound the legacy-tag window to the FIRST batch of this run: the
+    // only batch a resumed pre-SHA-256 stream can replay is its last
+    // committed one, which is the first this closure sees. Consulting
+    // the 32-bit legacy namespace for every future batch would
+    // reinstate exactly the collision skip-append (data loss) the
+    // SHA-256 switch removed.
+    val firstBatchOfRun = new java.util.concurrent.atomic.AtomicBoolean(true)
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -158,11 +165,15 @@ object EventStreams {
         // streams checkpointed before the SHA-256 switch tagged with
         // String.hashCode — a resumed stream must still recognize its
         // last batch's old-prefix tag or it appends that batch twice
-        val legacyNs = Integer.toHexString(checkpointDir.hashCode)
+        val legacy =
+          if (firstBatchOfRun.getAndSet(false))
+            Some(s"stream-${Integer.toHexString(checkpointDir.hashCode)}")
+          else None
         rollupBatch(batch, batchId, srcRoot, aggRoot, groupBy, aggs, format,
-          tagPrefix = s"stream-$ns", legacyTagPrefix = Some(s"stream-$legacyNs"))
+          tagPrefix = s"stream-$ns", legacyTagPrefix = legacy)
       }
       .start()
+  }
 
   /** One micro-batch of [[rollupSink]] — separated so the replay
     * contract is directly testable.

@@ -94,8 +94,7 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     // first batch then reads the full snapshot at its end version
     val initialFrom = parameters.get("startingVersion") match {
       case None => 0L
-      case Some("latest") =>
-        VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(0L)
+      case Some("latest") => resolveLatestOnce(spark, metadataPath, root)
       case Some(n) => try n.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"startingVersion must be a version number or 'latest', got '$n'")
@@ -103,11 +102,45 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     }
     new VersionedTableSource(spark, root, fmt, declared, initialFrom)
   }
+
+  /** 'latest' must resolve ONCE per stream, not once per (re)start: the
+    * engine can log an offset for batch 0 and crash before the batch
+    * commits, and a restart that re-resolved 'latest' against a table
+    * that moved meanwhile would silently skip the span in between. The
+    * resolved version is persisted in the source's checkpoint-scoped
+    * metadataPath on first creation (the same durability contract
+    * delta-spark's DeltaSourceOffset uses) and read back on restart.
+    */
+  private def resolveLatestOnce(spark: SparkSession, metadataPath: String,
+                                root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.readSmall(fs, p).map(_.trim.toLong).getOrElse {
+      val v = VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(0L)
+      fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        v
+      } catch {
+        case e: java.io.IOException =>
+          // lost a creation race -> read the winner; a genuine write
+          // failure must NOT fall back to per-start re-resolution
+          // (that re-opens the skip window this file exists to close)
+          VersionedTable.readSmall(fs, p).map(_.trim.toLong).getOrElse(
+            throw new IllegalStateException(
+              s"cannot persist resolved startingVersion=latest at $p", e))
+      }
+    }
+  }
 }
 
 class VersionedTableSource(spark: SparkSession, root: String, format: String,
                            override val schema: StructType,
                            initialFrom: Long) extends Source {
+
+  /** The resolved pre-history bound (testing seam: 'latest' pinning). */
+  private[streaming] def startFrom: Long = initialFrom
 
   private def versionOf(o: OffsetV1): Long = o match {
     case LongOffset(v) => v

@@ -171,6 +171,45 @@ class DeltaReadSuite extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L), "both checkpoint parts must contribute")
   }
 
+  test("log paths decode as URIs: %20 = space, literal '+' stays plus, checkpoint adds match later removes") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "x y.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "a+b.parquet")
+    // JSON route: encoded space + literal plus (URLDecoder would turn
+    // the '+' into a space and miss the file on disk)
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema),
+      addLine("x%20y.parquet"), addLine("a+b.parquet")))
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // checkpoint route: the SAME encoded form in a checkpoint add must
+    // land in the same key space, so the post-checkpoint remove matches
+    val root2 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "x y.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root2, "f3.parquet")
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))))))
+    val stage = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(schema.json, Seq.empty[String])),
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("x%20y.parquet", Map.empty[String, String]), null)).asJava,
+      ckptSchema).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = java.nio.file.Paths.get(root2, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.move(part, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    commit(root2, 1, Seq(removeLine("x%20y.parquet"), addLine("f3.parquet")))
+    assert(DeltaRead.read(spark, root2).collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "a remove after the checkpoint must drop the checkpointed encoded add")
+  }
+
   test("newer reader features are refused loudly, not silently misread") {
     val root = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")

@@ -136,6 +136,30 @@ class VersionedStreamSuite extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
+  test("startingVersion=latest pins at FIRST resolution — a restart must not re-resolve") {
+    val dir = tmp("graft_vss_pin"); val root = dir + "/t"
+    append(root, 1L)
+    append(root, 2L)
+    val provider = new VersionedStreamProvider
+    val params = Map("path" -> root, "format" -> "parquet", "startingVersion" -> "latest")
+    val meta = dir + "/ck/sources/0"
+    val s1 = provider.createSource(spark.sqlContext, meta, None, "graft-versioned", params)
+      .asInstanceOf[VersionedTableSource]
+    assert(s1.startFrom == 2L)
+    // the table moves while the stream is down; if batch 0's offset was
+    // logged but never committed, a restart that re-resolved 'latest'
+    // would skip (2, 3] silently — the persisted resolution prevents it
+    append(root, 3L)
+    val s2 = provider.createSource(spark.sqlContext, meta, None, "graft-versioned", params)
+      .asInstanceOf[VersionedTableSource]
+    assert(s2.startFrom == 2L,
+      s"restart re-resolved 'latest' to ${s2.startFrom} — the skip window is open")
+    // a DIFFERENT stream (its own metadata dir) resolves fresh
+    val s3 = provider.createSource(spark.sqlContext, dir + "/ck2/sources/0", None,
+      "graft-versioned", params).asInstanceOf[VersionedTableSource]
+    assert(s3.startFrom == 3L)
+  }
+
   test("startingVersion=latest skips history; a number streams strictly after it") {
     val dir = tmp("graft_vss_latest"); val root = dir + "/t"
     append(root, 1L)
