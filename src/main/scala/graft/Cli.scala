@@ -46,7 +46,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -60,7 +60,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh <versioned-table-root> [options]")
       sys.exit(2)
   }
 
@@ -74,6 +74,12 @@ object Cli {
         else h.foreach(v => println(
           s"[graft] v${v.version}  ${v.committedAt}  ${v.dataDirs.length} dir(s)  " +
             v.dataDirs.mkString(", ")))
+      case "refresh" =>
+        // incremental materialized-view maintenance by rollup root —
+        // the shape comes from the _matview definition the first full
+        // refresh persisted (same contract as GRAFT_REFRESH)
+        val w = graft.pipeline.MaterializedAgg.refresh(spark, root)
+        println(s"[graft] refreshed rollup at $root (now reflects source v$w)")
       case "vacuum" =>
         val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
         val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)

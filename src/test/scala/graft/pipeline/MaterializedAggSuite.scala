@@ -133,6 +133,10 @@ class MaterializedAggSuite extends SparkSpec {
       MaterializedAgg.refresh(spark, tmpRoot("graft_magg_nodef"))
     }
     assert(e2.getMessage.contains("no materialized-view definition"))
+    // the CLI maintenance action drives the same path
+    write(Seq(("b", 7L)), src, Append)
+    graft.Cli.executeTable(spark, "refresh", agg, Nil)
+    assert(rollupMap(agg)("b") == ((2L, 9L, 2L, 7L)))
   }
 
   test("refresh #2 reads ONLY the delta dirs: v1's data can vanish and the fold still lands") {
