@@ -136,6 +136,32 @@ class VersionedStreamSuite extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
+  test("additive source schema evolution: extra columns drop, missing ones null-fill") {
+    import spark.implicits._
+    val dir = tmp("graft_vss_evolve"); val root = dir + "/t"
+    append(root, 1L) // schema (id, v) — the stream's declared schema
+    val sink = freshSink()
+    val q = start(root, sink, dir + "/ck")
+    try {
+      q.processAllAvailable()
+      // a later delta grows a column: the checkpointed stream schema
+      // must keep working — the extra column is dropped
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq((2L, "r2", 3.14)).toDF("id", "v", "extra"))
+      q.processAllAvailable()
+      assert(ids(sink) == Seq(1L, 2L))
+      // a delta missing a declared column null-fills it
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq(Tuple1(3L)).toDF("id"))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("v"))).toMap
+      assert(rows(3L).isEmpty, "missing declared column must read as null")
+      assert(rows(2L).contains("r2"))
+      assert(spark.table(sink).columns.toSeq == Seq("id", "v"))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
   test("startingVersion=latest pins at FIRST resolution — a restart must not re-resolve") {
     val dir = tmp("graft_vss_pin"); val root = dir + "/t"
     append(root, 1L)
