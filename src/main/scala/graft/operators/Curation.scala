@@ -67,31 +67,65 @@ object Curation {
       eval: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 8): DataFrame = {
-    // (id, xxhash64(n-gram)) — posexplode + lead window, every
-    // expression codegen'd (the array-HOF formulation was measured ~6×
-    // slower and shuffled ~50-byte gram strings; hashes are 8 bytes).
-    // Joining on the 64-bit hash instead of the string admits a
-    // collision only at p ≈ |grams|²/2^65 — immaterial below ~10^8
-    // distinct grams per doc pair comparison.
-    def gramHashes(df: DataFrame) = {
-      import org.apache.spark.sql.expressions.Window
-      val toked = df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
-          .as(Seq("pos", "tok")))
-      val w = Window.partitionBy("id").orderBy("pos")
-      val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
-      toked.select(col("id"), parts.last.as("__last"),
-          concat_ws(" ", parts: _*).as("gram"))
-        .where(col("__last").isNotNull) // drop short tail windows
-        .select(col("id"), xxhash64(col("gram")).as("gh"))
-        .dropDuplicates("id", "gh")
-    }
-    gramHashes(train)
-      .join(broadcast(gramHashes(eval).withColumnRenamed("id", "eval_id")), Seq("gh"))
+      n: Int = 8): DataFrame =
+    gramHashes(train, idCol, textCol, n)
+      .join(broadcast(gramHashes(eval, idCol, textCol, n).withColumnRenamed("id", "eval_id")),
+        Seq("gh"))
       .groupBy(col("id").as(idCol))
       .agg(countDistinct(col("gh")).as("n_bad_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+
+  /** (id, xxhash64(n-gram)) — posexplode + lead window, every
+    * expression codegen'd (the array-HOF formulation was measured ~6×
+    * slower and shuffled ~50-byte gram strings; hashes are 8 bytes).
+    * Joining on the 64-bit hash instead of the string admits a
+    * collision only at p ≈ |grams|²/2^65 — immaterial below ~10^8
+    * distinct grams per doc pair comparison.
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
+    toked.select(col("id"), parts.last.as("__last"),
+        concat_ws(" ", parts: _*).as("gram"))
+      .where(col("__last").isNotNull) // drop short tail windows
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .dropDuplicates("id", "gh")
+  }
+
+  /** [[decontaminate]]'s 100 TB-shape variant: the eval side becomes a
+    * BLOOM FILTER instead of a broadcast hash table — ~10 bits per
+    * eval gram at 1% fpp vs 8+ bytes per key for the exact join's
+    * broadcast, which is the difference between shipping ~125 MB and
+    * ~1 GB per executor once the eval suite reaches 10^8 grams. The
+    * trade is one-sided: NO false negatives (every truly contaminated
+    * doc is flagged — the property decontamination must not lose),
+    * false flags at ≤ fpp per clean gram. Returns (id, n_flagged
+    * grams); treat flagged docs as drop candidates, or pipe them into
+    * the exact [[decontaminate]] for confirmation at a fraction of the
+    * corpus.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.BloomFunctions
+    val evalG = gramHashes(eval, idCol, textCol, n)
+    // sizing needs the distinct-gram count — one aggregation over the
+    // (small) eval side; the corpus pays nothing for it
+    val nGrams = evalG.count().max(1L)
+    val bloom = evalG.agg(
+      BloomFunctions.bloomAgg(col("gh"), nGrams, fpp).as("bf")).head().getAs[Array[Byte]](0)
+    gramHashes(train, idCol, textCol, n)
+      .where(BloomFunctions.mightContain(lit(bloom), col("gh")))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_flagged_grams"))
   }
 
   /** Passage-level exact dedup: split each document into fixed-size

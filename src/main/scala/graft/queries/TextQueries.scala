@@ -217,6 +217,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q80: q40's decontamination at the 100 TB broadcast shape — a
+    // BLOOM prefilter (~10 bits/gram at 1% fpp vs 8+ bytes/key for the
+    // exact broadcast table) flags candidate docs with NO false
+    // negatives, then the exact operator confirms on just the flagged
+    // fraction of the corpus. Because the bloom's error is one-sided,
+    // the composition must EQUAL the exact q40 answer — which is
+    // exactly what the shared oracle hashes. The raw prefilter's
+    // fp-rate bound is pinned separately in TextSuite.
+    "q80_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val eval = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      val flagged = Curation.decontaminateBloom(train, eval, fpp = 0.01)
+        .select(col("doc_id"))
+      Curation.decontaminate(train.join(flagged, Seq("doc_id"), "left_semi"), eval)
+        .orderBy("doc_id")
+    }),
+
     // q41: Gopher-style repetition signals per document.
     "q41_repetition" -> ((s, dir) =>
       TA.repetitionSignals(t(s, dir, "documents"))
@@ -436,6 +454,23 @@ object TextQueries {
   private val toksSql = """regexp_extract_all(text, '\S+')"""
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** Exact n-gram decontamination, shared by q40 (exact broadcast
+    * join) and q80 (bloom prefilter + exact confirm — identical
+    * answer because the bloom's error is one-sided).
+    */
+  private lazy val decontaminateSql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 6),
+       |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
+       |  FROM tk),
+       |tr AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+       |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0)
+       |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_bad_grams,
+       |  count(DISTINCT ev.eval_id) AS n_eval_docs
+       |FROM tr JOIN ev ON tr.gram = ev.gram
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by q34 (direct brute
     * force) and q70 (incremental IVF index searched exhaustively).
     */
@@ -611,18 +646,11 @@ object TextQueries {
         |WHERE r.modality = 'video'
         |ORDER BY r.asset_id""".stripMargin,
 
-    "q40_decontaminate" ->
-      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
-         |grams AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(tk) - 6),
-         |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
-         |  FROM tk),
-         |tr AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
-         |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0)
-         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_bad_grams,
-         |  count(DISTINCT ev.eval_id) AS n_eval_docs
-         |FROM tr JOIN ev ON tr.gram = ev.gram
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_decontaminate" -> decontaminateSql,
+
+    // the bloom prefilter has no false negatives, so prefilter + exact
+    // confirm must equal the exact answer — SAME oracle as q40
+    "q80_decontaminate_bloom" -> decontaminateSql,
 
     "q41_repetition" ->
       s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),

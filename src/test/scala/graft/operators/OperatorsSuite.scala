@@ -418,6 +418,31 @@ class TextSuite extends SparkSpec {
     assert(out(0).getAs[Long]("n_bad_grams") == 3L) // 10-token run → 3 shared 8-grams
   }
 
+  test("decontaminateBloom: no false negatives vs exact; clean-corpus false flags bounded") {
+    // contaminated docs carry a full eval 8-gram; clean docs are
+    // random-ish distinct text (the fp-rate denominator)
+    val base = "one two three four five six seven eight nine ten"
+    val clean = (10L until 210L).map(i =>
+      i -> s"clean doc $i with words ${(0 until 12).map(j => s"t${i}_$j").mkString(" ")}")
+    val train = (Seq(
+      1L -> s"prefix words here $base",
+      2L -> s"$base and then a suffix") ++ clean).toDF("doc_id", "text")
+    val eval = Seq(100L -> base).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, eval, n = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val flagged = Curation.decontaminateBloom(train, eval, n = 8, fpp = 0.01)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged_grams")).toMap
+    // one-sided error: everything exactly-contaminated MUST be flagged
+    assert(exact.subsetOf(flagged.keySet),
+      s"bloom missed truly contaminated docs: ${exact -- flagged.keySet}")
+    // flagged gram counts can only exceed the exact ones (fp direction)
+    assert(flagged(1L) >= 3L)
+    // false flags on the 200 clean docs stay near fpp (generous bound:
+    // the test corpus has ~5 grams/doc, so E[false flags] ≈ 10)
+    val falseFlags = flagged.keySet -- exact
+    assert(falseFlags.size <= 40, s"fp rate implausibly high: ${falseFlags.size}/200")
+  }
+
   test("chunkDedup: repeated 20-token chunk found across docs, short tails kept distinct") {
     val chunk = (1 to 20).map(i => s"w$i").mkString(" ")
     val docs = Seq(
