@@ -230,13 +230,21 @@ object MaterializedAgg {
       s"materialized view at $aggRoot is defined as $existing but this refresh " +
         s"was called with $d — use the stored definition (refresh(spark, aggRoot)) " +
         "or rebuild the rollup from scratch under the new shape"))
+    // persist (claim) the definition BEFORE the first fold commits:
+    // persistDef's create(overwrite=false) is the CAS that decides
+    // which of two RACING first refreshes with different shapes owns
+    // the rollup — deciding it after the fold would let the loser
+    // commit one rollup version under the wrong shape first (needing
+    // the from-scratch rebuild its error prescribes). An aborted
+    // refresh can leave a definition sidecar with no rollup commit;
+    // that is harmless — the next refresh validates against it and
+    // performs the same first full fold.
+    persistDef(spark, aggRoot, d)
     var attempt = 0
     while (true) {
       attempt += 1
       try {
-        val v = refreshOnce(spark, srcRoot, aggRoot, groupBy, aggs, srcFormat, aggFormat)
-        persistDef(spark, aggRoot, d) // definition rides with the first success
-        return v
+        return refreshOnce(spark, srcRoot, aggRoot, groupBy, aggs, srcFormat, aggFormat)
       } catch {
         case e: VersionedTable.VersionConflictException =>
           if (attempt >= maxAttempts) throw e // pathological contention

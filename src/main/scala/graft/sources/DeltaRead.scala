@@ -107,24 +107,8 @@ object DeltaRead {
     // ONE listing serves both the commit scan and the checkpoint scan —
     // on object stores a LIST is among the most expensive metadata ops
     val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
-    val commits = names.collect {
-      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
-        n.stripSuffix(".json").toLong
-    }.sorted
-    // checkpoint forms: single-file vNNN.checkpoint.parquet, or the
-    // large-table multi-part vNNN.checkpoint.AAAAAAAAAA.BBBBBBBBBB
-    // .parquet (part A of B) — a multi-part version is usable only
-    // when ALL its parts are present (a half-written one is not a
-    // checkpoint yet, per the protocol)
-    val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
-    val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-    val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
-    val multis = names.collect { case MultiPart(v, a, b) => (v.toLong, b.toInt, a.toInt) }
-      .groupBy { case (v, b, _) => (v, b) }
-      .collect { case ((v, b), parts) if parts.map(_._3).toSet == (1 to b).toSet =>
-        v -> (1 to b).map(a => f"$v%020d.checkpoint.$a%010d.$b%010d.parquet")
-      }.toSeq
-    val checkpointFiles: Map[Long, Seq[String]] = (singles ++ multis).toMap
+    val commits = commitVersionsOf(names)
+    val checkpointFiles = checkpointFilesOf(names)
     val checkpoints = checkpointFiles.keys.toSeq.sorted
     require(commits.nonEmpty || checkpoints.nonEmpty,
       s"$path has an empty _delta_log — no committed version")
@@ -226,16 +210,42 @@ object DeltaRead {
   }
 
   /** Committed versions visible in the log (for GRAFT_VERSIONS-style
-    * introspection of foreign tables).
+    * introspection of foreign tables). A log-cleaned table may hold a
+    * version ONLY as a checkpoint (no surviving NNN.json) — snapshot()/
+    * read() can serve such a version, so it must be listed here too
+    * (same single/multi-part discovery logic as snapshot()).
     */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val logP = new Path(qualifiedRoot(spark, path), "_delta_log")
     val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logP)) Nil
-    else fs.listStatus(logP).toSeq.map(_.getPath.getName).collect {
-      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
-        n.stripSuffix(".json").toLong
-    }.sorted
+    else {
+      val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
+      (commitVersionsOf(names) ++ checkpointFilesOf(names).keys).distinct.sorted
+    }
+  }
+
+  private def commitVersionsOf(names: Seq[String]): Seq[Long] = names.collect {
+    case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+      n.stripSuffix(".json").toLong
+  }.sorted
+
+  /** Checkpoint forms: single-file vNNN.checkpoint.parquet, or the
+    * large-table multi-part vNNN.checkpoint.AAAAAAAAAA.BBBBBBBBBB
+    * .parquet (part A of B) — a multi-part version is usable only
+    * when ALL its parts are present (a half-written one is not a
+    * checkpoint yet, per the protocol).
+    */
+  private def checkpointFilesOf(names: Seq[String]): Map[Long, Seq[String]] = {
+    val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
+    val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
+    val multis = names.collect { case MultiPart(v, a, b) => (v.toLong, b.toInt, a.toInt) }
+      .groupBy { case (v, b, _) => (v, b) }
+      .collect { case ((v, b), parts) if parts.map(_._3).toSet == (1 to b).toSet =>
+        v -> (1 to b).map(a => f"$v%020d.checkpoint.$a%010d.$b%010d.parquet")
+      }.toSeq
+    (singles ++ multis).toMap
   }
 
   private def gateReaderVersion(path: String, minReader: Int): Unit =
@@ -249,11 +259,27 @@ object DeltaRead {
     * via `new URI(p).getPath`) — NOT form-encoding: URLDecoder would
     * turn a literal '+' in a file or partition-dir name into a space
     * and the resolved path would miss on disk.
+    *
+    * The protocol ALSO allows `add.path` to be an absolute URI (shallow
+    * clones, absolute-path writers). Resolving such an entry against
+    * THIS table root's filesystem would silently read from the wrong
+    * location (or fail with an opaque path error), so it is refused
+    * loudly — same contract as the minReaderVersion gate.
     */
-  private def decodePath(rel: String): String =
-    try new java.net.URI(rel).getPath
-    catch { case _: java.net.URISyntaxException =>
-      throw new IllegalStateException(s"Delta log references an unparseable path '$rel'") }
+  private def decodePath(rel: String): String = {
+    val uri =
+      try new java.net.URI(rel)
+      catch { case _: java.net.URISyntaxException =>
+        throw new IllegalStateException(s"Delta log references an unparseable path '$rel'") }
+    val p = uri.getPath
+    if (uri.getScheme != null || uri.getAuthority != null || (p != null && p.startsWith("/")))
+      throw new IllegalStateException(
+        s"Delta log references an ABSOLUTE file path '$rel' (shallow clone or " +
+          "absolute-path writer) — this interop reader resolves add entries " +
+          "against the table root only; read the table with delta-spark or " +
+          "migrate it to a graft versioned table")
+    p
+  }
 
   private def qualifiedRoot(spark: SparkSession, path: String): Path = {
     val p = new Path(path)

@@ -153,11 +153,30 @@ class VersionedTableSource(spark: SparkSession, root: String, format: String,
     * null-fill ones a (pre-evolution) delta dir lacks, drop ones added
     * after the stream started — a restarted stream's checkpoint schema
     * must keep working across additive source evolution.
+    *
+    * The pinned contract is ADDITIVE evolution only (column add/drop).
+    * A column present in BOTH schemas with a different type is a
+    * non-additive source change: silently casting would coerce values
+    * per Spark cast semantics (string↔long, long→int truncation…)
+    * instead of surfacing the break — fail the stream like Delta's
+    * source does on schema change. (The cast below is therefore only a
+    * nullability/metadata normalizer, never a value conversion.)
     */
   private def conform(df: DataFrame): DataFrame = {
-    val present = df.columns.toSet
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      present.get(f.name).foreach { dt =>
+        if (!org.apache.spark.sql.graftbridge.ColumnBridge.sameType(dt, f.dataType))
+          throw new IllegalStateException(
+          s"versioned stream at $root: column '${f.name}' changed type from " +
+            s"${f.dataType.simpleString} (checkpointed stream schema) to " +
+            s"${dt.simpleString} in the source — non-additive schema evolution " +
+            "is not streamable; restart the stream with a fresh checkpoint " +
+            "(only column add/drop is supported across restarts)")
+      }
+    }
     df.select(schema.fields.toSeq.map(f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 

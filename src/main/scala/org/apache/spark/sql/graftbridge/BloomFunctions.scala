@@ -18,13 +18,35 @@ object BloomFunctions {
 
   /** Aggregate `hashCol` (LongType) into a serialized Bloom filter
     * sized for `expectedItems` at roughly `fpp`.
+    *
+    * Spark's BloomFilterAggregate SILENTLY clamps both arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
+    * (defaults ~4M items / 67M bits) — a 10^8-item request would quietly
+    * degrade to a far higher false-positive rate than asked for. A
+    * one-sided-error caller with an exact confirm stage survives that,
+    * but a drop-candidate caller would over-flag clean rows, so the
+    * clamp is refused loudly here: raise both confs (they are plain
+    * session confs) when the sizing is intentional.
     */
   def bloomAgg(hashCol: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val bits = numBits(expectedItems, fpp)
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"bloomAgg($expectedItems items, fpp=$fpp → $bits bits) exceeds the session's " +
+        s"runtime-bloom-filter caps (maxNumItems=$maxItems, maxNumBits=$maxBits) and " +
+        "Spark would SILENTLY clamp it to a higher false-positive rate — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits to cover " +
+        "the requested sizing, or shard the filter (Curation.decontaminateBloom " +
+        "sharded mode) so each shard fits the caps")
     ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(hashCol),
-        Literal(expectedItems), Literal(numBits(expectedItems, fpp)))
+        Literal(expectedItems), Literal(bits))
         .toAggregateExpression())
   }
 

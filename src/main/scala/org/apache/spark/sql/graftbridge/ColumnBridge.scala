@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `DataType.sameType` (equality ignoring nullability) is
+    * private[sql] — re-exported for schema-evolution checks outside the
+    * sql package.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 }

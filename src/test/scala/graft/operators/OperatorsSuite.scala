@@ -443,6 +443,23 @@ class TextSuite extends SparkSpec {
     assert(falseFlags.size <= 40, s"fp rate implausibly high: ${falseFlags.size}/200")
   }
 
+  test("bloomAgg refuses sizings Spark would silently clamp past the session caps") {
+    import org.apache.spark.sql.graftbridge.BloomFunctions
+    val maxItems = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    // over the item cap: BloomFilterAggregate would clamp silently and
+    // the realized fpp would blow past the requested one — must refuse
+    val e = intercept[IllegalArgumentException] {
+      BloomFunctions.bloomAgg(org.apache.spark.sql.functions.col("x"), maxItems + 1, 0.01)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+    // within the caps: builds fine
+    import spark.implicits._
+    val bf = Seq(1L, 2L, 3L).toDF("x")
+      .agg(BloomFunctions.bloomAgg(org.apache.spark.sql.functions.col("x"), 1000L, 0.01))
+      .head().getAs[Array[Byte]](0)
+    assert(bf.nonEmpty)
+  }
+
   test("chunkDedup: repeated 20-token chunk found across docs, short tails kept distinct") {
     val chunk = (1 to 20).map(i => s"w$i").mkString(" ")
     val docs = Seq(

@@ -139,6 +139,31 @@ class MaterializedAggSuite extends SparkSpec {
     assert(rollupMap(agg)("b") == ((2L, 9L, 2L, 7L)))
   }
 
+  test("the definition claim lands BEFORE the first fold: an aborted first refresh still owns the shape") {
+    val src = tmpRoot("graft_magg_claim"); val agg = tmpRoot("graft_magg_claim_agg")
+    // first refresh aborts mid-flight (source has no committed version)
+    // — but the definition claim must already be durable, so a racing
+    // first refresh with a DIFFERENT shape is refused before it can
+    // commit a rollup version under the wrong shape
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    }
+    assert(MaterializedAgg.viewDef(spark, agg).exists(_.groupBy == groups),
+      "definition must persist before the first fold, not after it")
+    val other = Seq(MAgg("n2", "", "count"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, Seq("g"), other)
+    }
+    assert(e.getMessage.contains("defined as"))
+    assert(VersionedTable.currentSnapshot(spark, agg).isEmpty,
+      "the losing shape must never commit a rollup version")
+    // the claimed shape proceeds normally once the source exists
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 1L)
+    assert(rollupMap(agg) ==
+      Map("a" -> ((1L, 1L, 1L, 1L)), "b" -> ((1L, 2L, 2L, 2L))))
+  }
+
   test("refresh #2 reads ONLY the delta dirs: v1's data can vanish and the fold still lands") {
     val src = tmpRoot("graft_magg_src9"); val agg = tmpRoot("graft_magg_agg9")
     write(Seq(("a", 1L), ("b", 2L)), src, Append)

@@ -210,6 +210,54 @@ class DeltaReadSuite extends SparkSpec {
       "a remove after the checkpoint must drop the checkpointed encoded add")
   }
 
+  test("absolute-path add entries are refused loudly (shallow clones / absolute writers)") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    // PROTOCOL.md allows add.path to be an absolute URI; resolving it
+    // against THIS root would read the wrong location — must refuse
+    for (abs <- Seq("file:///other/table/f9.parquet", "s3://bucket/t/f9.parquet",
+                    "/other/table/f9.parquet")) {
+      val r = tmp()
+      writeDataFile(Seq((1L, "a")).toDF("id", "v"), r, "f1.parquet")
+      commit(r, 0, Seq(protocolLine, metaDataLine(schema), addLine(abs)))
+      val e = intercept[IllegalStateException] { DeltaRead.read(spark, r) }
+      assert(e.getMessage.contains("ABSOLUTE"), s"for $abs: ${e.getMessage}")
+    }
+    // relative encoded paths keep working
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    assert(DeltaRead.read(spark, root).count() == 1L)
+  }
+
+  test("versions() lists checkpoint-only versions a cleaned log can still serve") {
+    val root = tmp()
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f3.parquet")
+    val ckptRows = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("f2.parquet", Map.empty[String, String]), null),
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(schema.json, Seq.empty[String]))),
+      StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType))))))))
+    val stage = java.nio.file.Files.createTempDirectory("graft_vck").toString
+    ckptRows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.move(part, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+    // commits 0/1 cleaned: v1 survives ONLY as the checkpoint, v2 as json
+    commit(root, 2, Seq(addLine("f3.parquet")))
+    assert(DeltaRead.versions(spark, root) == Seq(1L, 2L),
+      "a checkpoint-only version is readable (snapshot starts there) so it must be listed")
+    assert(DeltaRead.read(spark, root, Some(1L)).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("newer reader features are refused loudly, not silently misread") {
     val root = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")

@@ -162,6 +162,29 @@ class VersionedStreamSuite extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
+  test("non-additive type change fails the stream instead of silently casting") {
+    import spark.implicits._
+    val dir = tmp("graft_vss_typechg"); val root = dir + "/t"
+    append(root, 1L) // declared stream schema: (id long, v string)
+    val sink = freshSink()
+    val q = start(root, sink, dir + "/ck")
+    try {
+      q.processAllAvailable()
+      // the source narrows v from string to a long — Spark cast
+      // semantics would silently coerce; the pinned contract is
+      // add/drop only, so the stream must fail with the remedy
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq((2L, 42L)).toDF("id", "v"))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("changed type"))),
+        s"expected the type-change refusal, got: ${e.getMessage}")
+      assert(ids(sink) == Seq(1L), "no coerced rows may reach the sink")
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
   test("startingVersion=latest pins at FIRST resolution — a restart must not re-resolve") {
     val dir = tmp("graft_vss_pin"); val root = dir + "/t"
     append(root, 1L)
