@@ -42,14 +42,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  /** A committed version = an ordered list of immutable data dirs
-    * (manifest pointer content, one per line). Merge-style commits
-    * write one full directory; APPEND commits reuse the base's
-    * directories and add only their delta — O(delta) I/O instead of a
-    * full copy — until [[commitDelta]]'s `compactAfter` threshold
-    * triggers a compacting rewrite.
+  /** A committed version = an ordered list of immutable data ENTRIES
+    * (manifest pointer content, one per line). An entry is either a
+    * whole data directory (`data-...`) or — after a file-pruned
+    * [[commitMerge]] — a single FILE inside one (`data-.../part-...`,
+    * distinguished by the '/'): the carried-over untouched files of a
+    * partially-rewritten directory. Merge-style commits write one full
+    * directory; APPEND commits reuse the base's entries and add only
+    * their delta — O(delta) I/O instead of a full copy — until
+    * [[commitDelta]]'s `compactAfter` threshold triggers a compacting
+    * rewrite.
     */
   final case class Snapshot(version: Long, dataDirs: Seq[String])
+
+  /** Is this manifest entry a single-file reference? */
+  private[pipeline] def isFileRef(entry: String): Boolean = entry.contains("/")
+
+  /** The data DIRECTORY an entry keeps alive (itself, or a file ref's
+    * parent) — the unit vacuum reasons about.
+    */
+  private[pipeline] def entryDir(entry: String): String =
+    if (isFileRef(entry)) entry.substring(0, entry.indexOf('/')) else entry
 
   private val ManifestDir = "_manifest"
   private val ManifestName = """v(\d{10})""".r
@@ -153,8 +166,16 @@ object VersionedTable {
 
   private def load(spark: SparkSession, rootP: Path, format: String,
                    dirs: Seq[String]): DataFrame = {
-    val paths = dirs.map(d => new Path(rootP, d).toString)
-    if (paths.length == 1) spark.read.format(format).load(paths.head)
+    val (fileRefs, dirRefs) = dirs.partition(isFileRef)
+    val dirReads = dirRefs.map(d => spark.read.format(format).load(new Path(rootP, d).toString))
+    // File refs (commitMerge carry-overs) group by their parent dir —
+    // files of one immutable dir share a schema — and read as ONE
+    // multi-path scan per dir (schema from the first file's footer).
+    val fileReads = fileRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (_, refs) =>
+      spark.read.format(format).load(refs.map(r => new Path(rootP, r).toString): _*)
+    }
+    val reads = dirReads ++ fileReads
+    if (reads.length == 1) reads.head
     else
       // One read PER DIRECTORY, unioned by name — not a single
       // multi-path read: each committed dir is its own table root, so
@@ -165,8 +186,7 @@ object VersionedTable {
       // branch, and additive schema evolution keeps mergeSchema's
       // semantics via the null-filling union (a column absent in an
       // older dir reads as null there, same as footer reconciliation).
-      paths.map(p => spark.read.format(format).load(p))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      reads.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read the newest committed version (a stable snapshot — later
@@ -193,9 +213,11 @@ object VersionedTable {
     * version, at O(new data) read cost, which is how a downstream
     * pipeline consumes a growing corpus without rescanning it. A
     * merge/overwrite/compaction commit REWRITES directories, so the
-    * rows after such a commit read as entirely new (there is no
-    * row-level diff on plain parquet — run incremental consumers
-    * against append-only tables, or diff snapshots explicitly).
+    * rows of every rewritten/new directory read as new — for a
+    * file-pruned [[commitMerge]] that is the touched subset (untouched
+    * entries carry over and do not re-read); either way a rewrite span
+    * is not a row-level diff (use [[diffVersions]]; run incremental
+    * consumers against append-only tables).
     * `sinceVersion` must still be in the manifest (not vacuumed).
     */
   def changesSince(spark: SparkSession, root: String, sinceVersion: Long,
@@ -496,6 +518,7 @@ object VersionedTable {
         .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .save(dataDir.toString)
+      FileStats.writeSidecar(spark, fs, dataDir, format)
       if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
           dirName + s"\n#kind=$commitKind")) {
         recordFormat(fs, rootP, format) // only a PUBLISHED format is recorded
@@ -549,6 +572,7 @@ object VersionedTable {
     val wd = delta.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) wd.partitionBy(partitionBy: _*) else wd)
       .save(new Path(rootP, deltaName).toString)
+    FileStats.writeSidecar(spark, fs, new Path(rootP, deltaName), format)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -583,6 +607,7 @@ object VersionedTable {
         val wc = all.write.format(format).mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
         (if (partitionBy.nonEmpty) wc.partitionBy(partitionBy: _*) else wc)
           .save(new Path(rootP, compactName).toString)
+        FileStats.writeSidecar(spark, fs, new Path(rootP, compactName), format)
         // fold: this commit both APPENDS the delta dir's rows and
         // repackages the whole table — record WHICH dir carries the
         // new rows so delta-maintenance readers (MaterializedAgg,
@@ -605,6 +630,227 @@ object VersionedTable {
     throw new IllegalStateException(
       s"versioned append at $root lost the publish race $maxAttempts times — " +
         "writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** FILE-PRUNED keyed merge — the commit that keeps MERGE O(touched
+    * data) instead of O(table) at 100 TB. Classic [[commit]] merges
+    * rewrite every file of the snapshot; this one consults the
+    * per-file min/max stats ([[FileStats]] sidecars written by every
+    * commit) and rewrites ONLY the files whose `keys.head` range can
+    * contain a source key. Everything else carries over in the next
+    * manifest BY REFERENCE (file-level entries) — zero data I/O for
+    * untouched files, which at a 1000-executor scale is the difference
+    * between a merge that moves gigabytes and one that moves the whole
+    * table.
+    *
+    * Soundness: a file whose key range provably contains NO source key
+    * (binary search of the sorted distinct source keys against the
+    * file's [min,max]) cannot hold a row the upsert would replace, so
+    * carrying it over byte-identical IS the merge for that file. Files
+    * without usable stats (missing sidecar, unsupported key type,
+    * all-null chunks) are conservatively rewritten. When the source
+    * key set is too large to collect (> `maxCollectedKeys` distinct),
+    * pruning falls back to the [min,max] interval of the source keys —
+    * coarser, still sound.
+    *
+    * `merge(touchedBase, source)` computes the replacement rows for
+    * the touched subset (default: upsert — source rows win, unmatched
+    * touched-base rows survive). It must be re-computable: a CAS race
+    * loser re-derives against the winner's snapshot.
+    *
+    * Hive-partitioned snapshots (directories with subdirectories)
+    * fall back to a full [[commit]] rewrite — file references cannot
+    * carry partition-directory columns.
+    *
+    * The commit publishes `#kind=merge`: delta-maintenance readers
+    * (streams, matviews, diffVersions' fast path) correctly treat the
+    * span as a rewrite.
+    */
+  def commitMerge(
+      spark: SparkSession,
+      root: String,
+      format: String,
+      source: DataFrame,
+      keys: Seq[String],
+      merge: (DataFrame, DataFrame) => DataFrame = null,
+      partitionBy: Seq[String] = Nil,
+      maxAttempts: Int = 5,
+      maxCollectedKeys: Int = 4000000): Long = {
+    require(keys.nonEmpty, "commitMerge needs at least one key column")
+    val mergeFn: (DataFrame, DataFrame) => DataFrame =
+      if (merge != null) merge
+      else (touched, src) => src.unionByName(
+        touched.join(src.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti"),
+        allowMissingColumns = true)
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(new Path(rootP, ManifestDir))
+
+    // The source key set is collected ONCE (it prices the pruning for
+    // every attempt); the per-file classification reruns per attempt
+    // against the current snapshot.
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val keyCol = keys.head
+    val distinctKeys = source.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val keyRows = distinctKeys.limit(maxCollectedKeys + 1).collect()
+    val pruner: FileStats.ColStat => Boolean =
+      if (keyRows.length <= maxCollectedKeys) {
+        val sorted = keyRows.map(r => normalizeKey(r.get(0))).sortWith(FileStats.cmp(_, _) < 0)
+        if (sorted.isEmpty) _ => false // empty source: nothing touches
+        else st => FileStats.rangeHitsKeys(st, scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted))
+      } else {
+        val mm = source.agg(smin(col(keyCol)), smax(col(keyCol))).head()
+        val (lo, hi) = (normalizeKey(mm.get(0)), normalizeKey(mm.get(1)))
+        st => FileStats.rangeOverlaps(st, lo, hi)
+      }
+
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = currentSnapshot(spark, root)
+      snap match {
+        case None =>
+          // empty table: the merge IS the source — a plain first commit
+          return commit(spark, root, format, _ => source,
+            partitionBy = partitionBy, commitKind = "merge")
+        case Some(s) =>
+          classifyEntries(spark, fs, rootP, s.dataDirs, keyCol, pruner) match {
+            case None =>
+              // hive layout (or a non-parquet table): no file-level
+              // carry-over — full rewrite preserves semantics
+              return commit(spark, root, format,
+                base => mergeFn(base.getOrElse(source.limit(0)), source),
+                partitionBy = partitionBy, commitKind = "merge")
+            case Some((untouchedEntries, touchedFiles)) =>
+              val next = s.version + 1
+              val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
+              val dataDir = new Path(rootP, dirName)
+              val touchedBase =
+                if (touchedFiles.nonEmpty)
+                  load(spark, rootP, format, touchedFiles)
+                else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
+              mergeFn(touchedBase, source).write.format(format)
+                .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                .save(dataDir.toString)
+              FileStats.writeSidecar(spark, fs, dataDir, format)
+              val pointer = (untouchedEntries :+ dirName) :+ "#kind=merge"
+              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+                  pointer.mkString("\n"))) {
+                recordFormat(fs, rootP, format)
+                return next
+              }
+              fs.delete(dataDir, true) // lost the race: re-derive
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"versioned merge at $root lost the publish race $maxAttempts times — " +
+        "writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** Widen a collected key to the stats value domain (int→long,
+    * float→double — [[FileStats]] stores widened values).
+    */
+  private def normalizeKey(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long    => l.longValue()
+    case f: java.lang.Float   => f.doubleValue()
+    case d: java.lang.Double  => d.doubleValue()
+    case s: String            => s
+    case other => throw new IllegalArgumentException(
+      s"commitMerge/readPruned key type ${if (other == null) "null" else other.getClass.getSimpleName} " +
+        "has no file-stats support (long/int/double/string only)")
+  }
+
+  /** Split a snapshot's entries into (untouched entries to carry over,
+    * touched file refs to rewrite). None = the snapshot is not
+    * file-prunable (hive-partitioned dir). A dir whose every file is
+    * untouched carries over as the original DIR entry (compact,
+    * classifiable); a partially-touched dir decomposes into file refs.
+    */
+  private def classifyEntries(
+      spark: SparkSession, fs: FileSystem, rootP: Path, entries: Seq[String],
+      keyCol: String, touches: FileStats.ColStat => Boolean)
+      : Option[(Seq[String], Seq[String])] = {
+    val untouched = Seq.newBuilder[String]
+    val touched = Seq.newBuilder[String]
+    for (entry <- entries) {
+      val dir = entryDir(entry)
+      val dirP = new Path(rootP, dir)
+      val statsByFile: Map[String, FileStats.FileStat] =
+        FileStats.readSidecar(fs, dirP)
+          .map(_.map(st => st.file -> st).toMap).getOrElse(Map.empty)
+      def fileTouched(name: String): Boolean =
+        statsByFile.get(name).flatMap(_.cols.get(keyCol)) match {
+          case Some(cs) => touches(cs)
+          case None => true // no usable stats: conservatively rewrite
+        }
+      if (isFileRef(entry)) {
+        val name = entry.substring(entry.indexOf('/') + 1)
+        if (fileTouched(name)) touched += entry else untouched += entry
+      } else {
+        FileStats.listDataFiles(fs, dirP) match {
+          case None => return None // hive layout
+          case Some(files) =>
+            val (t, u) = files.partition(fileTouched)
+            if (t.isEmpty) untouched += entry // whole dir survives as-is
+            else {
+              untouched ++= u.map(f => s"$dir/$f")
+              touched ++= t.map(f => s"$dir/$f")
+            }
+        }
+      }
+    }
+    Some((untouched.result(), touched.result()))
+  }
+
+  /** Read the newest snapshot OPENING ONLY the files whose `col`
+    * min/max range intersects [lower, upper] — manifest-level data
+    * skipping: one sidecar read per directory instead of one footer
+    * open per file, before any Spark job starts. The result still
+    * contains every row of the surviving files, so apply the actual
+    * filter on top; rows outside surviving files provably fail it.
+    * Files/dirs without usable stats are read (conservative).
+    */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+                 lower: Any, upper: Any, format: String = "parquet"): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version"))
+    val (lo, hi) = (normalizeKey(lower), normalizeKey(upper))
+    prunedEntries(spark, fs, rootP, snap.dataDirs, colName, lo, hi) match {
+      case Seq() => load(spark, rootP, format, Seq(snap.dataDirs.last)).limit(0)
+      case kept  => load(spark, rootP, format, kept)
+    }
+  }
+
+  /** The entries [[readPruned]] would open (exposed for IO audits). */
+  private[graft] def prunedEntries(
+      spark: SparkSession, fs: FileSystem, rootP: Path, entries: Seq[String],
+      colName: String, lo: Any, hi: Any): Seq[String] = {
+    val kept = Seq.newBuilder[String]
+    for (entry <- entries) {
+      val dirP = new Path(rootP, entryDir(entry))
+      FileStats.readSidecar(fs, dirP).map(_.map(st => st.file -> st).toMap) match {
+        case None => kept += entry // no sidecar: read it all
+        case Some(statsByFile) =>
+          def hits(name: String): Boolean =
+            statsByFile.get(name).flatMap(_.cols.get(colName)) match {
+              case Some(cs) => FileStats.rangeOverlaps(cs, lo, hi)
+              case None => true
+            }
+          if (isFileRef(entry)) {
+            if (hits(entry.substring(entry.indexOf('/') + 1))) kept += entry
+          } else FileStats.listDataFiles(fs, dirP) match {
+            case None => kept += entry // hive dir: partition pruning's job
+            case Some(files) =>
+              val keep = files.filter(hits)
+              if (keep.length == files.length) kept += entry
+              else kept ++= keep.map(f => s"${entryDir(entry)}/$f")
+          }
+      }
+    }
+    kept.result()
   }
 
   /** Thrown by [[commitDelta]] when `expectedVersion` was given and the
@@ -670,7 +916,11 @@ object VersionedTable {
     val fmt = resolveFormat(spark, root, format)
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version to compact"))
-    if (snap.dataDirs.length <= 1 && zorderBy.isEmpty) snap.version
+    // a snapshot holding FILE references (commitMerge carry-overs) is
+    // always worth compacting: it pins whole parent dirs alive in
+    // vacuum for the sake of a subset of their files
+    if (snap.dataDirs.length <= 1 && zorderBy.isEmpty && !snap.dataDirs.exists(isFileRef))
+      snap.version
     else {
       val v = commit(spark, root, fmt,
         base => {
@@ -849,7 +1099,11 @@ object VersionedTable {
     val referenced = kept.flatMap { case (v, p) =>
       readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
         s"vacuum aborted: manifest v$v at $root is unreadable — " +
-          "re-run when the store is healthy (nothing was deleted)")).toSet
+          "re-run when the store is healthy (nothing was deleted)"))
+        // a FILE reference (commitMerge carry-over) keeps its whole
+        // parent directory alive: vacuum's unit is the directory, and
+        // partially-referenced dirs are reclaimed by the next compact
+        .map(entryDir).toSet
     }.toSet
     // a stale catalog view may still glob directories this sweep is
     // about to delete (e.g. a compact ran without knowing the view, or

@@ -201,11 +201,26 @@ object Writer {
         VersionedTable.commitDelta(spark, sink.path, sink.format,
           clustered(df), partitionBy = sink.partitionBy)
         return
+      case MergeUpsert =>
+        // FILE-PRUNED merge: per-file hash_key stats classify which of
+        // the snapshot's files can contain a source key; only those are
+        // rewritten (through the same upsert plan, so created_at
+        // preservation still applies — matched base rows are by
+        // definition in touched files), the rest carry over in the
+        // manifest by reference. O(touched + source) instead of
+        // O(table) — the commit-cost shape a 100 TB merge requires.
+        // Unprunable layouts (hive-partitioned, stats-less) fall back
+        // to the full rewrite inside commitMerge.
+        VersionedTable.commitMerge(spark, sink.path, sink.format, df,
+          keys = Seq("hash_key"),
+          merge = (touched, src) => clustered(upsert(src, Some(touched))),
+          partitionBy = sink.partitionBy)
+        return
       case _ => ()
     }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
-      case Append => _ => throw new IllegalStateException(
-        "unreachable: Append commits through commitDelta")
+      case Append | MergeUpsert => _ => throw new IllegalStateException(
+        "unreachable: Append commits through commitDelta, MergeUpsert through commitMerge")
       case Overwrite => _ => df
       case OverwritePartition => base =>
         base match {
@@ -223,7 +238,6 @@ object Writer {
         base.map(_.where(s"NOT ($cond)")
             .unionByName(df.where(cond), allowMissingColumns = true))
           .getOrElse(df)
-      case MergeUpsert => base => upsert(df, base)
       case Scd2(track) => base => Scd2Merge(spark, df, base, track)
     }
     VersionedTable.commit(spark, sink.path, sink.format,

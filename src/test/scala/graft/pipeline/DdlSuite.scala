@@ -282,21 +282,27 @@ class DdlSuite extends SparkSpec {
     // first append's directory plus its own delta
     assert(s2.version == 2L && s2.dataDirs.length == 2)
     assert(VersionedTable.read(spark, root).count() == 2L)
-    // a merge reads the multi-directory base and lands one directory
+    // a merge is FILE-PRUNED: only the directory whose hash_key stats
+    // intersect the source (key 1) rewrites; the other carries over in
+    // the pointer untouched — O(touched), not O(table)
     Writer.write(spark, Seq((1L, "a2")).toDF("hash_key", "v"), snk(MergeUpsert))
     val s3 = VersionedTable.currentSnapshot(spark, root).get
-    assert(s3.version == 3L && s3.dataDirs.length == 1)
+    assert(s3.version == 3L && s3.dataDirs.length == 2, s3.dataDirs)
+    // the dir holding hash_key 2 (the second append) is untouched and
+    // must carry over by reference; key 1's dir is the rewritten one
+    assert(s3.dataDirs.contains(s2.dataDirs(1)),
+      s"the untouched key-2 dir must carry over by reference: $s3 vs $s2")
     assert(VersionedTable.read(spark, root).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a2", 2L -> "b"))
     // past compactAfter the append compacts back to one directory
     import spark.implicits._
     VersionedTable.commitDelta(spark, root, "parquet",
       Seq((3L, "c")).toDF("hash_key", "v"), compactAfter = 2)
-    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs.length == 2)
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs.length == 1)
     VersionedTable.commitDelta(spark, root, "parquet",
       Seq((4L, "d")).toDF("hash_key", "v"), compactAfter = 2)
     val s5 = VersionedTable.currentSnapshot(spark, root).get
-    assert(s5.version == 5L && s5.dataDirs.length == 1)
+    assert(s5.version == 5L && s5.dataDirs.length == 2)
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 4L))
   }
@@ -328,10 +334,13 @@ class DdlSuite extends SparkSpec {
     // caught up: empty (schema preserved)
     val upToDate = VersionedTable.changesSince(spark, root, 2L)
     assert(upToDate.count() == 0L && upToDate.columns.toSeq == Seq("hash_key", "v"))
-    // a merge REWRITES directories — everything reads as new after it
+    // a merge rewrites only the key-intersecting directories (file
+    // pruning): their replacement rows read as new; the untouched
+    // directory carried over by reference does NOT re-read
     Writer.write(spark, Seq((1L, "a2")).toDF("hash_key", "v"),
       SinkSpec(root, mode = MergeUpsert, versioned = true))
-    assert(VersionedTable.changesSince(spark, root, 2L).count() == 3L)
+    assert(VersionedTable.changesSince(spark, root, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "a2"))
     // vacuumed-away since-version fails loudly, not silently-full
     VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
     intercept[IllegalArgumentException] {

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** File-pruned MERGE ([[VersionedTable.commitMerge]]) and manifest-level
+  * data skipping ([[VersionedTable.readPruned]]): per-file min/max
+  * stats classify files as touched/untouched, untouched files carry
+  * over in the next manifest BY REFERENCE (byte-identical, zero data
+  * I/O), and reads open only range-intersecting files.
+  */
+class PrunedMergeSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  /** md5 of a file's bytes. */
+  private def digest(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.file.Files.readAllBytes(p))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(root: String, dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(root, dir)).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  private def base8 = spark.range(0, 8000)
+    .select(col("id").as("k"), (col("id") * 2).as("v"), lit("base").as("src"))
+
+  /** v1 = 8 range-clustered files over k ∈ [0, 8000). */
+  private def seedTable(root: String): String = {
+    VersionedTable.commit(spark, root, "parquet",
+      _ => base8.repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    VersionedTable.currentSnapshot(spark, root).get.dataDirs.head
+  }
+
+  test("commitMerge rewrites only key-intersecting files; the rest carry over byte-identical") {
+    val root = tmpRoot("graft_pm")
+    val v1dir = seedTable(root)
+    val before = dataFiles(root, v1dir).map(p => p.getFileName.toString -> digest(p)).toMap
+    assert(before.size == 8, s"seed should write 8 files, got ${before.size}")
+
+    // updates hit only keys < 500 (the lowest file); inserts are brand-new keys
+    val source = (0L until 500L).map(k => (k, k * 10, "fix")).toDF("k", "v", "src")
+      .union((100000L until 100010L).map(k => (k, -k, "new")).toDF("k", "v", "src"))
+    val v2 = VersionedTable.commitMerge(spark, root, "parquet", source, Seq("k"))
+    assert(v2 == 2L)
+
+    val snap2 = VersionedTable.currentSnapshot(spark, root).get
+    val carried = snap2.dataDirs.filter(VersionedTable.isFileRef)
+    val newDirs = snap2.dataDirs.filterNot(VersionedTable.isFileRef)
+    assert(newDirs.size == 1, s"exactly one rewritten dir expected: ${snap2.dataDirs}")
+    assert(carried.size == 7,
+      s"7 of 8 range-clustered files must carry over untouched: $carried")
+    // carried refs point into the ORIGINAL v1 directory, bytes unchanged
+    carried.foreach { ref =>
+      assert(ref.startsWith(v1dir + "/"), s"carry-over must reference the v1 dir: $ref")
+      val name = ref.substring(ref.indexOf('/') + 1)
+      assert(digest(java.nio.file.Paths.get(root, v1dir, name)) == before(name),
+        s"carried file $name must be byte-identical")
+    }
+
+    // read-back equals the upsert semantics exactly
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("src")))
+      .sortBy(_._1)
+    val expected = ((500L until 8000L).map(k => (k, k * 2, "base")) ++
+      (0L until 500L).map(k => (k, k * 10, "fix")) ++
+      (100000L until 100010L).map(k => (k, -k, "new"))).sortBy(_._1)
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected)
+
+    // time travel to v1 still intact
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 8000L)
+
+    // vacuum keep=1 must NOT reclaim the v1 dir — its files are still
+    // referenced at file granularity
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, v1dir)))
+    assert(VersionedTable.read(spark, root).count() == 8010L)
+
+    // a merge span is a rewrite for delta-maintenance readers
+    assert(VersionedTable.appendedDirsBetween(spark, root, 1L, 2L).isEmpty ||
+      VersionedTable.commitKindOf(spark, root, 2L).contains("merge"))
+    assert(VersionedTable.commitKindOf(spark, root, 2L).contains("merge"))
+
+    // compact folds the file refs into one dir; a later vacuum then
+    // reclaims the partially-dead v1 dir
+    VersionedTable.compact(spark, root)
+    val snap3 = VersionedTable.currentSnapshot(spark, root).get
+    assert(!snap3.dataDirs.exists(VersionedTable.isFileRef))
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, v1dir)),
+      "after compaction nothing references v1's dir — vacuum must reclaim it")
+    assert(VersionedTable.read(spark, root).count() == 8010L)
+  }
+
+  test("inserts-only merge touches zero files; repeated merges stack file refs correctly") {
+    val root = tmpRoot("graft_pm_ins")
+    val v1dir = seedTable(root)
+    // all source keys beyond every file's max: nothing to rewrite
+    val inserts = (900000L until 900005L).map(k => (k, k, "new")).toDF("k", "v", "src")
+    VersionedTable.commitMerge(spark, root, "parquet", inserts, Seq("k"))
+    val snap2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap2.dataDirs.contains(v1dir),
+      "an untouched dir carries over as the ORIGINAL dir entry, not file refs")
+    assert(VersionedTable.read(spark, root).count() == 8005L)
+    // second merge updates one old key: the v1 dir now decomposes
+    val fix = Seq((42L, 0L, "fix2")).toDF("k", "v", "src")
+    VersionedTable.commitMerge(spark, root, "parquet", fix, Seq("k"))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 8005L)
+    assert(got.where(col("k") === 42L).head().getAs[String]("src") == "fix2")
+    assert(got.where(col("src") === "new").count() == 5L)
+  }
+
+  test("missing sidecar degrades to full rewrite, never wrong answers") {
+    val root = tmpRoot("graft_pm_nostats")
+    val v1dir = seedTable(root)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, v1dir, FileStats.SidecarName))
+    val source = Seq((1L, 111L, "fix")).toDF("k", "v", "src")
+    VersionedTable.commitMerge(spark, root, "parquet", source, Seq("k"))
+    val snap2 = VersionedTable.currentSnapshot(spark, root).get
+    // without stats every file is conservatively touched → no carry-over
+    assert(!snap2.dataDirs.exists(_.startsWith(v1dir + "/")))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 8000L)
+    assert(got.where(col("k") === 1L).head().getAs[Long]("v") == 111L)
+  }
+
+  test("hive-partitioned snapshot falls back to a full rewrite commit") {
+    val root = tmpRoot("graft_pm_hive")
+    VersionedTable.commit(spark, root, "parquet",
+      _ => Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "a", 3L)).toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    val source = Seq((2L, "b", 20L)).toDF("k", "part", "v")
+    VersionedTable.commitMerge(spark, root, "parquet", source, Seq("k"))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(!snap.dataDirs.exists(VersionedTable.isFileRef))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 20L), (3L, 3L)))
+  }
+
+  test("readPruned opens only range-intersecting files; filtered result matches a full scan") {
+    val root = tmpRoot("graft_pm_skip")
+    seedTable(root)
+    // one appended delta too: pruning must work across entry kinds
+    VersionedTable.commitDelta(spark, root, "parquet",
+      (20000L until 21000L).map(k => (k, k, "late")).toDF("k", "v", "src"))
+    val full = VersionedTable.read(spark, root).where(col("k").between(1000L, 1999L))
+    val pruned = VersionedTable.readPruned(spark, root, "k", 1000L, 1999L)
+      .where(col("k").between(1000L, 1999L))
+    assert(pruned.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      full.collect().map(_.getAs[Long]("k")).sorted.toSeq)
+    // audit: far fewer files opened than exist
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (f, f.makeQualified(p))
+    }
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val kept = VersionedTable.prunedEntries(spark, fs, rootP, snap.dataDirs, "k", 1000L, 1999L)
+    // range-partition boundaries are SAMPLED, so the 1000-wide range can
+    // straddle a boundary or two — but never most of the table
+    assert(kept.size <= 3, s"range [1000,1999] should hit ≤3 of 9 files, got $kept")
+    // a range hitting nothing reads an empty (schema-correct) frame
+    assert(VersionedTable.readPruned(spark, root, "k", 5000000L, 6000000L)
+      .where(col("k") >= 5000000L).count() == 0L)
+  }
+}
