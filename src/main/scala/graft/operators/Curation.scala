@@ -75,26 +75,21 @@ object Curation {
       .agg(countDistinct(col("gh")).as("n_bad_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
 
-  /** (id, xxhash64(n-gram)) — posexplode + lead window, every
-    * expression codegen'd (the array-HOF formulation was measured ~6×
-    * slower and shuffled ~50-byte gram strings; hashes are 8 bytes).
-    * Joining on the 64-bit hash instead of the string admits a
-    * collision only at p ≈ |grams|²/2^65 — immaterial below ~10^8
-    * distinct grams per doc pair comparison.
+  /** (id, xxhash64(n-gram)) distinct per doc — ONE codegen'd
+    * projection ([[TextAnalysis.wordGramHashArray]] computes the
+    * sorted distinct gram-hash set in a single byte-level pass) plus
+    * an explode: no lead-window shuffle of the exploded token stream,
+    * no dropDuplicates aggregation — the gram stage fuses with the
+    * scan, so the 100 TB side of a decontamination join is a map-only
+    * pass until the (broadcast) join itself. Joining on the 64-bit
+    * hash instead of the string admits a collision only at
+    * p ≈ |grams|²/2^65 — immaterial below ~10^8 distinct grams per doc
+    * pair comparison.
     */
-  private def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int) = {
-    import org.apache.spark.sql.expressions.Window
-    val toked = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
-        .as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
-    toked.select(col("id"), parts.last.as("__last"),
-        concat_ws(" ", parts: _*).as("gram"))
-      .where(col("__last").isNotNull) // drop short tail windows
-      .select(col("id"), xxhash64(col("gram")).as("gh"))
-      .dropDuplicates("id", "gh")
-  }
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wordGramHashArray(
+        TextAnalysis.normalize(col(textCol)), n)).as("gh"))
 
   /** [[decontaminate]]'s 100 TB-shape variant: the eval side becomes a
     * BLOOM FILTER instead of a broadcast hash table — ~10 bits per

@@ -122,21 +122,35 @@ object TextAnalysis {
   /** Hex md5 fingerprint (oracle-comparable across engines). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Corpus-wide word-bigram counts via posexplode + lead window —
-    * every expression codegen'd (the array-lambda formulation of
-    * `wordNgrams` is interpreted and measured ~4× slower per token).
-    * Two shuffles: lead window on doc id, then the count aggregation
-    * with map-side partial aggs.
+  /** All word n-grams of `text` (duplicates kept, token order) as ONE
+    * codegen'd projection — [[org.apache.spark.sql.graftbridge.WordGrams]]
+    * computes every n-window join in a single byte-level pass, so the
+    * gram stage fuses with the scan: no posexplode + lead-window (which
+    * shuffled the exploded token stream on the doc id) and no
+    * interpreted array lambdas ([[wordNgrams]], measured ~4× slower
+    * per token).
     */
-  def wordBigramCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(tokens(normalize(col(textCol)))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    toks.withColumn("nxt", lead("tok", 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(concat_ws(" ", col("tok"), col("nxt")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  def wordGramArray(text: Column, n: Int = 2): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordGrams}
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n))
   }
+
+  /** Sorted DISTINCT xxhash64 values of `text`'s word n-grams — the
+    * decontamination join key stage as a pure projection (one 8-byte
+    * hash per distinct gram, no gram strings kept, no dedup shuffle).
+    */
+  def wordGramHashArray(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WordGramHashes}
+    ColumnBridge.column(WordGramHashes(ColumnBridge.expression(text), n))
+  }
+
+  /** Corpus-wide word-bigram counts: the gram stage is the codegen'd
+    * [[wordGramArray]] projection (shuffle-free), leaving ONE keyed
+    * shuffle — the count aggregation with map-side partial aggs.
+    */
+  def wordBigramCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(explode(wordGramArray(normalize(col(textCol)), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
 
   /** Top-k TF-IDF terms per document: token explode → (doc, token) tf
     * → token document-frequency → score = tf · ln(N/df) → per-doc rank
@@ -251,9 +265,10 @@ object TextAnalysis {
     * keyword-stuffed documents a pretraining filter drops.
     *
     * Token-level stats are a pure projection on the token array; the
-    * top-bigram fraction is the posexplode + lead pipeline of
-    * [[wordBigramCounts]] aggregated per document (keyed shuffles on
-    * the doc id only — bigram strings never shuffle corpus-wide).
+    * top-bigram fraction explodes the codegen'd [[wordGramArray]]
+    * projection and aggregates per document (keyed shuffles on the doc
+    * id only — bigram strings never shuffle corpus-wide, and the
+    * former lead-window shuffle is gone).
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokens(normalize(col(textCol)))
@@ -261,12 +276,9 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"),
       round(lit(1.0) - size(array_distinct(toks)).cast("double") /
         nullif(size(toks).cast("double"), lit(0.0)), 4).as("dup_token_ratio"))
-    val tk = docs.select(col(idCol).as("id"),
-      posexplode(tokens(normalize(col(textCol)))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val bi = tk.withColumn("nxt", lead("tok", 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(col("id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+    val bi = docs
+      .select(col(idCol).as("id"),
+        explode(wordGramArray(normalize(col(textCol)), 2)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
         round(max("cnt").cast("double") / sum("cnt"), 4).as("top_bigram_frac"))

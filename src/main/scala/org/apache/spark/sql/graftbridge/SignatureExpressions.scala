@@ -208,6 +208,188 @@ object ShingleSet {
   }
 }
 
+/** Shared token-span scan for the word-gram expressions: byte-level
+  * tokenization of a UTF8String into maximal runs of non-whitespace,
+  * where whitespace is Java regex `\s` = [ \t\n\x0B\f\r] (ASCII-only,
+  * matching `regexp_extract_all(text, '\\S+', 0)` exactly — those six
+  * bytes never occur inside a UTF-8 multi-byte sequence, so the scan
+  * is correct for all inputs without decoding).
+  */
+private[graftbridge] object WordGramSupport {
+  @inline def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** (starts, ends, count): token i spans bytes [starts(i), ends(i)). */
+  def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(n) = i
+        n += 1
+      }
+    }
+    (starts, ends, n)
+  }
+
+  /** Is the window of tokens [i, i+n) a contiguous single-space run in
+    * the source bytes (the always-true case for normalize()d text)?
+    * Then the joined gram IS the byte range — no assembly needed.
+    */
+  @inline def contiguous(bytes: Array[Byte], starts: Array[Int], ends: Array[Int],
+                         i: Int, n: Int): Boolean = {
+    var j = i
+    while (j < i + n - 1) {
+      if (starts(j + 1) != ends(j) + 1 || bytes(ends(j)) != 0x20) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Join tokens [i, i+n) with single spaces into a fresh array. */
+  def assemble(bytes: Array[Byte], starts: Array[Int], ends: Array[Int],
+               i: Int, n: Int): Array[Byte] = {
+    var size = n - 1
+    var j = i
+    while (j < i + n) { size += ends(j) - starts(j); j += 1 }
+    val out = new Array[Byte](size)
+    var w = 0
+    j = i
+    while (j < i + n) {
+      val l = ends(j) - starts(j)
+      System.arraycopy(bytes, starts(j), out, w, l)
+      w += l
+      if (j < i + n - 1) { out(w) = 0x20; w += 1 }
+      j += 1
+    }
+    out
+  }
+}
+
+/** Sorted distinct xxhash64 values of a string's word n-grams in ONE
+  * projection pass — bit-identical to exploding `\S+` tokens, joining
+  * each n-window with single spaces (`concat_ws(' ', ...)`) and
+  * hashing with `xxhash64`, but with no exploded rows, no lead-window
+  * shuffle and no dropDuplicates aggregation: the decontamination /
+  * bigram gram stage becomes a scan-fused projection. On normalized
+  * text every gram is a contiguous byte range of the input (tokens are
+  * single-space separated), hashed in place with zero copies; general
+  * input falls back to a per-window join buffer with identical
+  * results.
+  */
+case class WordGramHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WordGramHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  import org.apache.spark.unsafe.Platform
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nTok) = WordGramSupport.tokenSpans(bytes)
+    val m = nTok - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val buf = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      buf(i) =
+        if (WordGramSupport.contiguous(bytes, starts, ends, i, n))
+          XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + starts(i),
+            ends(i + n - 1) - starts(i), ShingleHashing.SqlXxhashSeed)
+        else {
+          val g = WordGramSupport.assemble(bytes, starts, ends, i, n)
+          XXH64.hashUnsafeBytes(g, Platform.BYTE_ARRAY_OFFSET, g.length,
+            ShingleHashing.SqlXxhashSeed)
+        }
+      i += 1
+    }
+    java.util.Arrays.sort(buf)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || buf(r) != buf(r - 1)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == m) buf else java.util.Arrays.copyOf(buf, w))
+  }
+}
+
+/** All word n-grams of a string as strings, in token order (duplicates
+  * kept — corpus-wide and per-doc gram COUNTS need every occurrence),
+  * in one projection pass: replaces the posexplode + lead-window
+  * formulation (whose window shuffles the exploded token stream on the
+  * doc id) with a scan-fused projection + explode.
+  */
+case class WordGrams(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WordGrams.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nTok) = WordGramSupport.tokenSpans(bytes)
+    val m = nTok - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) =
+        if (WordGramSupport.contiguous(bytes, starts, ends, i, n))
+          UTF8String.fromBytes(bytes, starts(i), ends(i + n - 1) - starts(i))
+        else
+          UTF8String.fromBytes(WordGramSupport.assemble(bytes, starts, ends, i, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHash64 {
   def compute(s: UTF8String, k: Int): Long = {
     val counts = new Array[Int](64)

@@ -90,6 +90,22 @@ class PlanAuditSuite extends SparkSpec {
     // the only exchanges allowed are doc-id-keyed (dedup/window/agg) —
     // never on the gram hash of the training side
     assert(!p.contains("hashpartitioning(gh"), p)
+    // the gram stage is the codegen'd word_gram_hashes projection: the
+    // training side reaches the broadcast join with ZERO upstream
+    // exchanges (no lead-window shuffle, no dropDuplicates) — the only
+    // exchanges are the two of the count-distinct expand aggregation
+    // (doc-keyed) and the final orderBy
+    assert(p.toLowerCase.contains("word_gram_hashes"), p)
+    assert(count(p, "Exchange") <= 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q28: the bigram stage is a scan-fused projection — one count shuffle, no window") {
+    val p = plan("q28_ngrams")
+    assert(p.toLowerCase.contains("word_grams"), p)
+    assert(!p.contains("Window"), p)
+    // gram-key aggregation exchange + top-k sort only
+    assert(count(p, "Exchange") <= 2, p)
   }
 
   test("q52: the three window functions share one shuffle+sort") {

@@ -106,6 +106,44 @@ class DedupSuite extends SparkSpec {
     assert(joined.where(col("sh_new") =!= col("sh_old")).count() == 0)
   }
 
+  test("one-pass WordGramHashes/WordGrams equal the exploded + windowed formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "héllo wörld €dge tökens here"),
+      (9004L, "a a a a a a"), (9005L, "  raw\ttext \n with   messywhitespace  "),
+      (9006L, "exactly two")).toDF("doc_id", "text")
+    val input = docs.select("doc_id", "text").unionByName(edge)
+    for (n <- Seq(2, 3, 8)) {
+      // reference: the former posexplode + lead-window pipeline over
+      // RAW (un-normalized) text — the expression must match it on any
+      // input, not just single-space-separated text
+      val toked = input.select(col("doc_id").as("id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("id").orderBy("pos")
+      val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
+      val ref = toked.select(col("id"), parts.last.as("__last"),
+          concat_ws(" ", parts: _*).as("gram"))
+        .where(col("__last").isNotNull)
+      val refHashes = ref.select(col("id"), xxhash64(col("gram")).as("gh"))
+        .groupBy("id").agg(sort_array(collect_set(col("gh"))).as("ghs"))
+      val refGrams = ref.groupBy("id")
+        .agg(count(lit(1)).as("n_grams"), sort_array(collect_list(col("gram"))).as("grams"))
+      val gotH = input.select(col("doc_id").as("id"),
+        TextAnalysis.wordGramHashArray(col("text"), n).as("ghs_new"))
+        .where(size(col("ghs_new")) > 0)
+      val gotG = input.select(col("doc_id").as("id"),
+        TextAnalysis.wordGramArray(col("text"), n).as("grams_raw"))
+        .where(size(col("grams_raw")) > 0)
+        .select(col("id"), size(col("grams_raw")).as("n_new"),
+          sort_array(col("grams_raw")).as("grams_new"))
+      assert(gotH.count() == refHashes.count(), s"n=$n doc coverage")
+      assert(gotH.join(refHashes, "id").where(col("ghs_new") =!= col("ghs")).count() == 0,
+        s"n=$n hash sets diverge")
+      val gj = gotG.join(refGrams, "id")
+      assert(gj.where(col("n_new") =!= col("n_grams")).count() == 0, s"n=$n gram counts")
+      assert(gj.where(col("grams_new") =!= col("grams")).count() == 0, s"n=$n gram strings")
+    }
+  }
+
   test("one-pass SimHash64 expression equals the exploded aggregation") {
     val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld €dge"))
       .toDF("doc_id", "text")
