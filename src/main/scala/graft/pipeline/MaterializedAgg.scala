@@ -32,11 +32,20 @@ object MaterializedAgg {
 
   /** A decomposable aggregate: `name` is the output column, `expr` a
     * SQL expression over the source rows, `kind` ∈ count | sum | min |
-    * max. For `count`, `expr` is ignored (row count).
+    * max | avg. For `count`, `expr` is ignored (row count). `avg`
+    * decomposes as sum+count partials (stored as hidden `__<name>_sum`
+    * / `__<name>_cnt` columns; the quotient is derived at read time) —
+    * a stored quotient could not fold with a delta's. Genuinely
+    * non-decomposable aggregates (median/percentiles, count-distinct)
+    * are refused here: their partials do not merge, so incremental
+    * maintenance would be silently wrong — recompute those per query
+    * (or via a sketch operator) instead.
     */
   final case class MAgg(name: String, expr: String, kind: String) {
-    require(Set("count", "sum", "min", "max")(kind),
-      s"unsupported aggregate kind '$kind' — decomposable kinds: count, sum, min, max")
+    require(Set("count", "sum", "min", "max", "avg")(kind),
+      s"unsupported aggregate kind '$kind' — decomposable kinds: count, sum, min, " +
+        "max, avg (sum/count fold); median/percentile/distinct aggregates have " +
+        "no mergeable partials and cannot be incrementally maintained")
   }
 
   private val SrcVersionCol = "__src_version"
@@ -152,9 +161,33 @@ object MaterializedAgg {
     refresh(spark, d.srcRoot, aggRoot, d.groupBy, d.aggs, d.srcFormat, d.aggFormat)
   }
 
-  /** The current rollup (without the watermark column). */
-  def read(spark: SparkSession, aggRoot: String, format: String = "parquet"): DataFrame =
-    VersionedTable.read(spark, aggRoot, format).drop(SrcVersionCol)
+  /** The current rollup (without the watermark column). When the
+    * stored definition is available, derived aggregates materialize
+    * here: `avg` columns are computed from their stored sum/count
+    * partials and the hidden partial columns are dropped.
+    */
+  def read(spark: SparkSession, aggRoot: String, format: String = "parquet"): DataFrame = {
+    val raw = VersionedTable.read(spark, aggRoot, format).drop(SrcVersionCol)
+    viewDef(spark, aggRoot) match {
+      case Some(d) => deriveOutput(raw, d.groupBy, d.aggs)
+      case None    => raw
+    }
+  }
+
+  /** Project the STORED rollup columns to the declared output: group
+    * keys, then each aggregate — plain kinds pass through, `avg`
+    * derives sum/cnt (null for an all-null group, matching SQL AVG).
+    */
+  private def deriveOutput(stored: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame =
+    stored.select(groupBy.map(col) ++ aggs.map { a =>
+      if (a.kind == "avg")
+        when(col(cntCol(a)) === 0L, lit(null))
+          .otherwise(col(sumCol(a)).cast("double") / col(cntCol(a))).as(a.name)
+      else col(a.name)
+    }: _*)
+
+  private def sumCol(a: MAgg) = s"__${a.name}_sum"
+  private def cntCol(a: MAgg) = s"__${a.name}_cnt"
 
   /** The source version the stored rollup reflects, if any. */
   def watermark(spark: SparkSession, aggRoot: String, format: String = "parquet"): Option[Long] =
@@ -171,26 +204,40 @@ object MaterializedAgg {
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
-  private def partial(df: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame =
-    df.groupBy(groupBy.map(col): _*).agg(
-      aggs.head.toColumn, aggs.tail.map(_.toColumn): _*)
+  private def partial(df: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame = {
+    val cols = aggs.flatMap(_.toColumns)
+    df.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** The STORED columns an aggregate folds through, with the fold kind
+    * of each: plain kinds store themselves; `avg` stores its sum and
+    * count partials (both additive folds).
+    */
+  private def storedParts(a: MAgg): Seq[(String, String)] = a.kind match {
+    case "avg" => Seq(sumCol(a) -> "sum", cntCol(a) -> "count")
+    case k     => Seq(a.name -> k)
+  }
 
   private implicit class MAggOps(private val a: MAgg) extends AnyVal {
-    def toColumn: Column = (a.kind match {
-      case "count" => count(lit(1))
-      case "sum"   => sum(expr(a.expr))
-      case "min"   => min(expr(a.expr))
-      case "max"   => max(expr(a.expr))
-    }).as(a.name)
-    /** Merge a stored value with a delta partial (null-safe: a group
-      * absent from one side contributes only the other side).
-      */
-    def merge(stored: Column, delta: Column): Column = a.kind match {
-      case "count" | "sum" =>
-        when(stored.isNull, delta).when(delta.isNull, stored).otherwise(stored + delta)
-      case "min" => least(stored, delta)    // least/greatest skip nulls
-      case "max" => greatest(stored, delta)
+    def toColumns: Seq[Column] = a.kind match {
+      case "count" => Seq(count(lit(1)).as(a.name))
+      case "sum"   => Seq(sum(expr(a.expr)).as(a.name))
+      case "min"   => Seq(min(expr(a.expr)).as(a.name))
+      case "max"   => Seq(max(expr(a.expr)).as(a.name))
+      case "avg"   => Seq(sum(expr(a.expr)).as(sumCol(a)),
+        // count(expr): non-null values only — SQL AVG semantics
+        count(expr(a.expr)).as(cntCol(a)))
     }
+  }
+
+  /** Merge a stored value with a delta partial (null-safe: a group
+    * absent from one side contributes only the other side).
+    */
+  private def mergePart(kind: String, stored: Column, delta: Column): Column = kind match {
+    case "count" | "sum" =>
+      when(stored.isNull, delta).when(delta.isNull, stored).otherwise(stored + delta)
+    case "min" => least(stored, delta)    // least/greatest skip nulls
+    case "max" => greatest(stored, delta)
   }
 
   /** Fold everything the source committed since the stored watermark
@@ -306,7 +353,9 @@ object MaterializedAgg {
             val cond = groupBy.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
             stored.join(d, cond, "full_outer")
               .select(groupBy.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
-                aggs.map(a => a.merge(col(a.name), col(s"__d_${a.name}")).as(a.name)): _*)
+                aggs.flatMap(a => storedParts(a).map { case (sc, kind) =>
+                  mergePart(kind, col(sc), col(s"__d_$sc")).as(sc)
+                }): _*)
           }
         commit(spark, aggRoot, merged, srcHead, aggFormat, aggSnap.map(_.version))
       case None =>

@@ -717,6 +717,68 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q82: MATVIEW WITH AVG under the oracle gate — avg is not
+    // mergeable as a stored quotient, so MaterializedAgg decomposes it
+    // into sum+count partials (hidden __avg_cents_sum/_cnt columns)
+    // that fold additively across refreshes; the read derives the
+    // quotient. Two real append commits + two refreshes: refresh #2
+    // folds ONLY the second commit's partials, and the derived avg
+    // must equal DuckDB's flat sum/count over everything.
+    "q82_matview_avg" -> ((s, dir) => {
+      import graft.pipeline.MaterializedAgg
+      import graft.pipeline.MaterializedAgg.MAgg
+      val srcRoot = scratchRoot("graft_q82src")
+      val aggRoot = scratchRoot("graft_q82agg")
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val groups = Seq("o_orderstatus", "month")
+      val aggs = Seq(MAgg("n_orders", "", "count"), MAgg("avg_cents", "cents", "avg"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      MaterializedAgg.read(s, aggRoot)
+        .select(col("o_orderstatus"), col("month"), col("n_orders"),
+          round(col("avg_cents") / 100.0, 4).as("avg_price"))
+        .orderBy("o_orderstatus", "month")
+    }),
+
+    // q81: FILE-PRUNED MERGE under the oracle gate — the snapshot is
+    // committed as 8 range-clustered files on the merge key, and the
+    // merge (price fixes confined to o_orderkey < 1000, plus pure
+    // inserts at key+10M) commits through commitMerge: the per-file
+    // min/max stats written at commit time prove ~7 of 8 files cannot
+    // contain a source key, so they carry over in the next manifest BY
+    // REFERENCE — zero data I/O — and only the key-intersecting file(s)
+    // rewrite (PrunedMergeSuite pins the carried files byte-identical;
+    // the driver's hash covers stats → classification → partial
+    // rewrite → file-ref manifest → snapshot read). The O(touched)
+    // commit shape that replaces round 8's O(table) merge at 100 TB.
+    "q81_merge_pruned" -> ((s, dir) => {
+      val root = scratchRoot("graft_q81")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      VersionedTable.commit(s, root, "parquet",
+        _ => base.repartitionByRange(8, col("hash_key")).sortWithinPartitions("hash_key"))
+      val fixes = orders.where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+          expr("((__cents * 105 + 50) div 100) / 100.0D").as("price"), lit("fix").as("src"))
+      val inserts = orders.where(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("hash_key"), col("o_custkey"),
+          expr("__cents / 100.0D").as("price"), lit("new").as("src"))
+      VersionedTable.commitMerge(s, root, "parquet",
+        fixes.unionByName(inserts), Seq("hash_key"))
+      VersionedTable.read(s, root)
+        .select(col("hash_key").as("o_orderkey"), col("o_custkey"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1130,6 +1192,31 @@ object RelationalQueries {
     "q67_versioned_delta" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // the derived avg must equal the flat sum/count quotient (spelled
+    // out rather than AVG() so both engines divide the same exact
+    // integer sum by the same count)
+    "q82_matview_avg" ->
+      """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 1.0
+        |         / count(*)) / 100.0, 4) AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, month""".stripMargin,
+
+    // upsert closed form: fixes win for o_orderkey < 1000, the rest
+    // stay base, and the shifted insert keys append on top
+    "q81_merge_pruned" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey < 1000
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderkey < 1000 THEN 'fix' ELSE 'base' END AS src
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
+        |FROM orders WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q71_snapshot_diff" -> snapshotDiffSql,
     "q72_versioned_cdc" -> snapshotDiffSql,

@@ -139,6 +139,32 @@ class MaterializedAggSuite extends SparkSpec {
     assert(rollupMap(agg)("b") == ((2L, 9L, 2L, 7L)))
   }
 
+  test("avg folds as sum+count partials; nulls excluded; non-decomposable kinds refused") {
+    val src = tmpRoot("graft_magg_avg"); val agg = tmpRoot("graft_magg_avg_agg")
+    val avgAggs = Seq(MAgg("n", "", "count"), MAgg("m", "v", "avg"))
+    def writeRows(rows: Seq[(String, java.lang.Long)]): Unit =
+      Writer.write(spark, rows.toDF("g", "v"),
+        SinkSpec(src, mode = Append, versioned = true))
+    writeRows(Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", null)))
+    MaterializedAgg.refresh(spark, src, agg, groups, avgAggs)
+    writeRows(Seq(("a", 12L), ("c", 7L), ("a", null)))
+    MaterializedAgg.refresh(spark, src, agg, groups, avgAggs)
+    val got = MaterializedAgg.read(spark, agg).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("m")))).toMap
+    // avg over non-null v only (SQL AVG), count over all rows —
+    // exactly the flat aggregate over both commits
+    assert(got == Map(
+      "a" -> ((4L, 6.0)),   // (1+5+12)/3
+      "b" -> ((2L, 2.0)),   // null excluded
+      "c" -> ((1L, 7.0))))
+    // hidden partials never leak through read()
+    assert(!MaterializedAgg.read(spark, agg).columns.exists(_.startsWith("__")))
+    // a genuinely non-decomposable kind is refused at construction
+    val e = intercept[IllegalArgumentException] { MAgg("p50", "v", "median") }
+    assert(e.getMessage.contains("no mergeable partials"))
+  }
+
   test("the definition claim lands BEFORE the first fold: an aborted first refresh still owns the shape") {
     val src = tmpRoot("graft_magg_claim"); val agg = tmpRoot("graft_magg_claim_agg")
     // first refresh aborts mid-flight (source has no committed version)
