@@ -102,6 +102,12 @@ object Curation {
     * grams); treat flagged docs as drop candidates, or pipe them into
     * the exact [[decontaminate]] for confirmation at a fraction of the
     * corpus.
+    *
+    * `shards` (0 = auto): eval suites past the session's
+    * runtime-bloom caps build SHARDED — one cap-compliant filter per
+    * `pmod(gh, k)` bucket (auto picks the smallest power-of-two k that
+    * fits; explicit values force it). Same total bits, same one-sided
+    * error; the probe dispatches on the shard of each gram hash.
     */
   def decontaminateBloom(
       train: DataFrame,
@@ -109,18 +115,87 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.BloomFunctions
     val evalG = gramHashes(eval, idCol, textCol, n)
     // sizing needs the distinct-gram count — one aggregation over the
     // (small) eval side; the corpus pays nothing for it
     val nGrams = evalG.count().max(1L)
-    val bloom = evalG.agg(
-      BloomFunctions.bloomAgg(col("gh"), nGrams, fpp).as("bf")).head().getAs[Array[Byte]](0)
-    gramHashes(train, idCol, textCol, n)
-      .where(BloomFunctions.mightContain(lit(bloom), col("gh")))
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_flagged_grams"))
+    val k = if (shards > 0) shards else autoShards(train.sparkSession, nGrams, fpp)
+    if (k <= 1) {
+      val bloom = evalG.agg(
+        BloomFunctions.bloomAgg(col("gh"), nGrams, fpp).as("bf")).head().getAs[Array[Byte]](0)
+      gramHashes(train, idCol, textCol, n)
+        .where(BloomFunctions.mightContain(lit(bloom), col("gh")))
+        .groupBy(col("id").as(idCol))
+        .agg(count(lit(1)).as("n_flagged_grams"))
+    } else {
+      // SHARDED build for eval suites past the session's runtime-bloom
+      // caps (Spark SILENTLY degrades fpp past them — BloomFunctions
+      // refuses instead): shard grams by pmod(gh, k), build one
+      // cap-compliant filter per shard in a SINGLE aggregation (each
+      // executor partial holds k small filters; total serialized bytes
+      // equal the unsharded sizing), probe through the matching shard.
+      // xxhash64 grams spread uniformly, so each shard sees ~n/k items;
+      // the 1.2 headroom keeps a shard's realized fpp at the target
+      // even at ±20% imbalance, and the 64-item floor keeps tiny shards
+      // out of the saturation regime (a filter sized for ~1 item gets
+      // ~44 hash functions — a couple of extra items then sets nearly
+      // every bit and the shard flags everything). One-sided error is
+      // preserved per shard: no false negatives, composition with the
+      // exact confirm stage still equals the exact answer.
+      val perShard = perShardSizing(nGrams, k)
+      val built = evalG.groupBy(pmod(col("gh"), lit(k.toLong)).as("shard"))
+        .agg(BloomFunctions.bloomAgg(col("gh"), perShard, fpp).as("bf"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      // a shard with NO eval grams has no filter: nothing can match it
+      val probe = (0L until k.toLong).foldLeft(lit(false)) { (acc, s) =>
+        built.get(s) match {
+          case Some(bytes) => when(pmod(col("gh"), lit(k.toLong)) === s,
+            BloomFunctions.mightContain(lit(bytes), col("gh"))).otherwise(acc)
+          case None => acc
+        }
+      }
+      gramHashes(train, idCol, textCol, n)
+        .where(probe)
+        .groupBy(col("id").as(idCol))
+        .agg(count(lit(1)).as("n_flagged_grams"))
+    }
+  }
+
+  /** Smallest shard count whose per-shard sizing fits the session's
+    * runtime-bloom-filter caps (with the build's 1.2 headroom), so the
+    * default call path NEVER hits Spark's silent clamp: 1 below the
+    * caps (identical to the historical single-filter build), growing
+    * only when the eval suite genuinely exceeds them. Bounded at 1024
+    * shards — past that (≳4·10^9 grams under default caps) raise the
+    * caps instead of deepening the probe's shard dispatch.
+    */
+  /** Per-shard expectedItems: mean load + 20% imbalance headroom,
+    * floored at 64 (see the saturation note in the sharded build). */
+  private def perShardSizing(nGrams: Long, k: Int): Long =
+    ((nGrams / k + 1) * 6 / 5).max(64L)
+
+  private def autoShards(spark: org.apache.spark.sql.SparkSession,
+                         nGrams: Long, fpp: Double): Int = {
+    import org.apache.spark.sql.graftbridge.BloomFunctions
+    val conf = spark.sessionState.conf
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    def fits(k: Int): Boolean = {
+      val perShard = perShardSizing(nGrams, k)
+      perShard <= maxItems && BloomFunctions.numBits(perShard, fpp) <= maxBits
+    }
+    var k = 1
+    while (!fits(k) && k < 1024) k *= 2
+    require(fits(k),
+      s"decontaminateBloom: $nGrams eval grams at fpp=$fpp cannot fit the session's " +
+        "runtime-bloom-filter caps even at 1024 shards — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits")
+    k
   }
 
   /** Passage-level exact dedup: split each document into fixed-size

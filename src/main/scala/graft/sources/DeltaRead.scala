@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Read-only interop with EXISTING Delta Lake tables — the reference's
@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    compacted form of all actions ≤ checkpoint version; snapshot
   *    reconstruction starts at the newest COMPLETE checkpoint ≤ the
   *    requested version and replays the JSON commits after it.
-  *    Checkpoints are discovered by listing the log directory, which
-  *    subsumes the `_last_checkpoint` fast-path pointer.
+  *  - `_last_checkpoint`: pointer to the newest checkpoint — honored
+  *    as a fast path for latest-version reads (no log listing at
+  *    all); time travel and stale pointers fall back to a listing.
   *
   * Supported: snapshot read, time travel by version, partitioned
   * tables (partition values come from the log, not the directory
@@ -38,8 +39,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * otherwise) and writes (graft writes land in VersionedTable; a
   * Delta-FORMAT writer needs the real connector).
   *
-  * Scale note: log replay is driver-side and O(actions since last
-  * checkpoint) — same cost shape as delta-spark's own Snapshot build.
+  * Scale note: driver-side parsing is O(actions since last checkpoint)
+  * — the checkpointed state itself (the unbounded part) replays as a
+  * distributed job, and only the LIVE file list lands on the driver
+  * (for scan planning; same residency as delta-spark's prepared scan).
   * The DATA read is a normal distributed parquet scan over the live
   * file list with pushdown/pruning intact; partitioned tables read
   * one scan branch per live partition value (fine for the dimension/
@@ -97,30 +100,58 @@ object DeltaRead {
     }
   }
 
-  /** Reconstruct the file-list snapshot at `version` (newest if None). */
+  /** Reconstruct the file-list snapshot at `version` (newest if None).
+    *
+    * Log discovery has two paths:
+    *  - `_last_checkpoint` FAST PATH (latest-version reads only): the
+    *    pointer names the newest checkpoint directly, so checkpoint
+    *    file names derive from it and the commit tail is discovered by
+    *    probing `NNN.json` forward (commit versions are contiguous per
+    *    the protocol) — no listing of the log directory at all. On an
+    *    object store that turns the most expensive metadata op (LIST
+    *    over an unbounded log dir) into O(tail) HEAD calls.
+    *  - full listing (time travel, no/stale pointer): one LIST serves
+    *    both the commit scan and the checkpoint scan, as before. A
+    *    stale or half-written pointer falls back here rather than
+    *    failing — same tolerance as delta-spark's.
+    *
+    * Checkpoint replay is DISTRIBUTED: the checkpointed `add` set (the
+    * entire table state — millions of rows on a large table) stays a
+    * DataFrame; only the post-checkpoint tail commits (bounded by the
+    * writer's checkpoint interval) are parsed on the driver, and the
+    * live-file set is resolved as `checkpoint adds ANTI-JOIN
+    * tail-touched paths UNION tail's final adds`. Only the final LIVE
+    * list is collected — for scan planning, the same driver residency
+    * delta-spark's own prepared scan has — so a heavily-churned log
+    * never materializes its dead files on the driver.
+    */
   def snapshot(spark: SparkSession, path: String,
                version: Option[Long] = None): Snapshot = {
     val rootP = qualifiedRoot(spark, path)
     val logP = new Path(rootP, "_delta_log")
     val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
-    // ONE listing serves both the commit scan and the checkpoint scan —
-    // on object stores a LIST is among the most expensive metadata ops
-    val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
-    val commits = commitVersionsOf(names)
-    val checkpointFiles = checkpointFilesOf(names)
-    val checkpoints = checkpointFiles.keys.toSeq.sorted
-    require(commits.nonEmpty || checkpoints.nonEmpty,
-      s"$path has an empty _delta_log — no committed version")
-    val latest = (commits ++ checkpoints).max
-    val target = version.getOrElse(latest)
-    require(target <= latest, s"Delta table at $path has no version $target (latest: $latest)")
 
-    var files = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    val fast = if (version.isEmpty) fastDiscovery(fs, logP) else None
+    val (target, ckpt, checkpointFiles) = fast match {
+      case Some((latest, cp, cpFiles)) => (latest, cp, cpFiles)
+      case None =>
+        val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
+        val commits = commitVersionsOf(names)
+        val cpFiles = checkpointFilesOf(names)
+        val checkpoints = cpFiles.keys.toSeq.sorted
+        require(commits.nonEmpty || checkpoints.nonEmpty,
+          s"$path has an empty _delta_log — no committed version")
+        val latest = (commits ++ checkpoints).max
+        val t = version.getOrElse(latest)
+        require(t <= latest, s"Delta table at $path has no version $t (latest: $latest)")
+        (t, checkpoints.filter(_ <= t).lastOption, cpFiles)
+    }
+
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
+    var ckptAdds: Option[DataFrame] = None
 
-    val ckpt = checkpoints.filter(_ <= target).lastOption
     ckpt.foreach { cv =>
       val rows = spark.read.parquet(
         checkpointFiles(cv).map(n => new Path(logP, n).toString): _*)
@@ -132,22 +163,22 @@ object DeltaRead {
         }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
       val hasPv = rows.select("add.*").columns.contains("partitionValues")
-      val adds =
+      // paths stay URI-ENCODED inside the frame; decoding happens once,
+      // post-replay, so checkpoint adds and tail removes meet in the
+      // same (encoded) key space — exactly as the driver replay did
+      ckptAdds = Some(
         if (hasPv) rows.select(col("add.path"), col("add.partitionValues")).where(col("add.path").isNotNull)
-        else rows.select(col("add.path"), lit(null).as("partitionValues")).where(col("add.path").isNotNull)
-      adds.collect().foreach { r =>
-        val pv = if (r.isNullAt(1)) Map.empty[String, String]
-          else r.getMap[String, String](1).toMap
-        // checkpoint paths are the same URI-encoded form as JSON ones —
-        // decoding BOTH keeps the key space consistent, so a
-        // post-checkpoint remove actually matches its checkpointed add
-        files.put(decodePath(r.getString(0)), pv)
-      }
+        else rows.select(col("add.path"), lit(null).cast("map<string,string>").as("partitionValues"))
+          .where(col("add.path").isNotNull))
       // protocol gate can live in the checkpoint too
       if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
         .filter(!_.isNullAt(0)).foreach(r => gateReaderVersion(path, r.getInt(0)))
     }
 
+    // Tail replay (driver-side, bounded by the checkpoint interval):
+    // last action per ENCODED path wins — Some(pv) = live add, None =
+    // removed. Insertion order is irrelevant once reduced to last-wins.
+    val tail = scala.collection.mutable.LinkedHashMap[String, Option[Map[String, String]]]()
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     for (v <- replayFrom to target) {
       val p = new Path(logP, f"$v%020d.json")
@@ -177,16 +208,65 @@ object DeltaRead {
             n.properties().asScala.map(e =>
               e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
             .getOrElse(Map.empty[String, String])
-          files.put(decodePath(add.get("path").asText()), pv)
+          tail.put(add.get("path").asText(), Some(pv))
         }
         if (node.has("remove"))
-          files.remove(decodePath(node.get("remove").path("path").asText()))
+          tail.put(node.get("remove").path("path").asText(), None)
       }
     }
+
+    val files: Map[String, Map[String, String]] = ckptAdds match {
+      case None =>
+        // no checkpoint: the tail IS the whole history
+        tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }.toMap
+      case Some(adds) =>
+        import spark.implicits._
+        val carried =
+          if (tail.isEmpty) adds
+          else {
+            val touched = broadcast(tail.keys.toSeq.toDF("path"))
+            adds.join(touched, Seq("path"), "left_anti")
+          }
+        val live = carried.collect().map { r =>
+          val pv = if (r.isNullAt(1)) Map.empty[String, String]
+            else r.getMap[String, String](1).toMap
+          decodePath(r.getString(0)) -> pv
+        }.toMap
+        live ++ tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }
+    }
+
     require(schemaJson != null,
       s"Delta log at $path carries no metaData action — cannot derive a schema")
     Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, files.toMap)
+      partCols, files)
+  }
+
+  /** `_last_checkpoint` fast path for latest-version reads: returns
+    * (latest version, checkpoint version, its file names) with NO log
+    * listing, or None when the pointer is absent/stale/half-written
+    * (→ caller falls back to the listing path). The commit tail is
+    * probed forward from the checkpoint — protocol commit versions are
+    * contiguous, so the first missing NNN.json is the end of the log.
+    */
+  private def fastDiscovery(fs: FileSystem, logP: Path)
+      : Option[(Long, Option[Long], Map[Long, Seq[String]])] = {
+    val ptr = new Path(logP, "_last_checkpoint")
+    val content = graft.pipeline.VersionedTable.readSmall(fs, ptr).getOrElse(return None)
+    val (cpV, parts) =
+      try {
+        val node = mapper.readTree(content.trim)
+        if (!node.has("version")) return None
+        (node.get("version").asLong(),
+          if (node.has("parts")) Some(node.get("parts").asInt()) else None)
+      } catch { case _: Exception => return None }
+    val cpNames = parts match {
+      case Some(b) => (1 to b).map(a => f"$cpV%020d.checkpoint.$a%010d.$b%010d.parquet")
+      case None => Seq(f"$cpV%020d.checkpoint.parquet")
+    }
+    if (!cpNames.forall(n => fs.exists(new Path(logP, n)))) return None // stale pointer
+    var latest = cpV
+    while (fs.exists(new Path(logP, f"${latest + 1}%020d.json"))) latest += 1
+    Some((latest, Some(cpV), Map(cpV -> cpNames)))
   }
 
   /** One-shot migration of a Delta table into graft's versioned-table

@@ -481,6 +481,47 @@ class TextSuite extends SparkSpec {
     assert(falseFlags.size <= 40, s"fp rate implausibly high: ${falseFlags.size}/200")
   }
 
+  test("decontaminateBloom sharded mode: per-shard filters keep the one-sided error") {
+    val base = "one two three four five six seven eight nine ten"
+    val clean = (10L until 210L).map(i =>
+      i -> s"clean doc $i with words ${(0 until 12).map(j => s"t${i}_$j").mkString(" ")}")
+    val train = (Seq(
+      1L -> s"prefix words here $base",
+      2L -> s"$base and then a suffix") ++ clean).toDF("doc_id", "text")
+    val eval = Seq(100L -> base).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, eval, n = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // explicit shard count: same contract as the single filter
+    val sharded = Curation.decontaminateBloom(train, eval, n = 8, fpp = 0.01, shards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged_grams")).toMap
+    assert(exact.subsetOf(sharded.keySet),
+      s"sharded bloom missed truly contaminated docs: ${exact -- sharded.keySet}")
+    assert(sharded(1L) >= 3L)
+    assert((sharded.keySet -- exact).size <= 40,
+      s"fp rate implausibly high in sharded mode: ${(sharded.keySet -- exact).size}/200")
+    // AUTO-sharding: shrink the session caps so one filter can no longer
+    // hold a ~300-gram suite — the build must shard (k=4 under these
+    // caps) instead of tripping bloomAgg's clamp refusal
+    val bigEval = Seq(500L -> (0 until 300).map(j => s"ev$j").mkString(" "))
+      .toDF("doc_id", "text")
+    val bigTrain = (Seq(
+      1L -> ("intro words " + (40 until 60).map(j => s"ev$j").mkString(" ")),
+      2L -> "completely unrelated text with zero overlap whatsoever") ++ clean)
+      .toDF("doc_id", "text")
+    val bigExact = Curation.decontaminate(bigTrain, bigEval, n = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bigExact == Set(1L))
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oi, ob) = (spark.conf.get(items), spark.conf.get(bits))
+    spark.conf.set(items, "128"); spark.conf.set(bits, "100000")
+    try {
+      val auto = Curation.decontaminateBloom(bigTrain, bigEval, n = 8, fpp = 0.01)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(bigExact.subsetOf(auto), s"auto-sharded bloom missed: ${bigExact -- auto}")
+    } finally { spark.conf.set(items, oi); spark.conf.set(bits, ob) }
+  }
+
   test("bloomAgg refuses sizings Spark would silently clamp past the session caps") {
     import org.apache.spark.sql.graftbridge.BloomFunctions
     val maxItems = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong

@@ -331,4 +331,120 @@ class DeltaReadSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("FRESH graft root"))
   }
+
+  /** Write `rows` (add/metaData checkpoint shape) as checkpoint `name`. */
+  private def writeCkpt(root: String, rows: Seq[org.apache.spark.sql.Row],
+                        name: String): Unit = {
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))))))
+    val stage = java.nio.file.Files.createTempDirectory("graft_fck").toString
+    spark.createDataFrame(rows.asJava, ckptSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.move(part, logDir.resolve(name))
+  }
+
+  private def writePointer(root: String, json: String): Unit = {
+    val p = java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+  }
+
+  test("_last_checkpoint fast path: the pointer drives discovery, no log listing") {
+    import org.apache.spark.sql.Row
+    val root = tmp()
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f3.parquet")
+    writeDataFile(Seq((4L, "d")).toDF("id", "v"), root, "f4.parquet")
+    writeCkpt(root, Seq(
+      Row(Row("f2.parquet", Map.empty[String, String]), null),
+      Row(null, Row(schema.json, Seq.empty[String]))),
+      f"${1L}%020d.checkpoint.parquet")
+    commit(root, 2, Seq(addLine("f3.parquet")))
+    commit(root, 3, Seq(addLine("f4.parquet")))
+    // DECOY: a non-contiguous far-future commit. The LISTING path would
+    // take latest=9 and fail on the hole at v4 — so a passing read
+    // proves the pointer (cp=1, probe tail 2,3) drove discovery.
+    commit(root, 9, Seq(addLine("f9.parquet")))
+    writePointer(root, """{"version":1,"size":2}""")
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.version == 3L, "fast path ends the log at the first missing commit")
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L))
+    // time travel bypasses the pointer (full listing) on purpose
+    assert(DeltaRead.read(spark, root, Some(2L)).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L))
+  }
+
+  test("_last_checkpoint fast path: multi-part pointer, stale pointer falls back") {
+    import org.apache.spark.sql.Row
+    // multi-part: pointer carries `parts`, file names derive from it
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    writeCkpt(root, Seq(
+      Row(null, Row(schema.json, Seq.empty[String])),
+      Row(Row("f1.parquet", Map.empty[String, String]), null)),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeCkpt(root, Seq(Row(Row("f2.parquet", Map.empty[String, String]), null)),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    writePointer(root, """{"version":1,"size":3,"parts":2}""")
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // stale: pointer names a checkpoint whose files are GONE (vacuumed
+    // pointer race) — must fall back to the listing, not fail
+    val root2 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")
+    commit(root2, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    writePointer(root2, """{"version":7,"size":1}""")
+    assert(DeltaRead.read(spark, root2).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // unparseable pointer: same fallback
+    val root3 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root3, "f1.parquet")
+    commit(root3, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    writePointer(root3, """not json at all""")
+    assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("churned 10k-file log: checkpoint replay is distributed, only live files surface") {
+    import org.apache.spark.sql.Row
+    // A 10k-add checkpoint + a tail that removes 3 and re-adds 1 of
+    // them plus 2 new files. The checkpointed add set is resolved as a
+    // Spark job (anti-join on tail-touched paths); the driver sees only
+    // the live list. No data files needed — snapshot() is metadata-only.
+    val root = tmp()
+    val adds = (0 until 10000).map(i =>
+      Row(Row(f"part-$i%05d.parquet", Map("day" -> (i % 7).toString)), null))
+    writeCkpt(root, Row(null, Row(schema.json, Seq.empty[String])) +: adds,
+      f"${1L}%020d.checkpoint.parquet")
+    commit(root, 2, Seq(
+      removeLine("part-00000.parquet"),
+      removeLine("part-04999.parquet"),
+      removeLine("part-09999.parquet"),
+      addLine("extra-1.parquet"), addLine("extra-2.parquet")))
+    // same-commit remove→add: the LAST action for a path wins
+    commit(root, 3, Seq(
+      removeLine("part-00001.parquet"), addLine("part-00001.parquet", Map("day" -> "9"))))
+    writePointer(root, """{"version":1,"size":10001}""")
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.version == 3L)
+    assert(snap.files.size == 10000 - 3 + 2)
+    assert(!snap.files.contains("part-00000.parquet"))
+    assert(!snap.files.contains("part-04999.parquet"))
+    assert(!snap.files.contains("part-09999.parquet"))
+    assert(snap.files("extra-1.parquet") == Map.empty)
+    assert(snap.files("part-00001.parquet") == Map("day" -> "9"),
+      "a tail re-add must override the checkpointed partition values")
+    assert(snap.files("part-00002.parquet") == Map("day" -> "2"),
+      "untouched checkpoint adds carry their partition values through the distributed path")
+  }
 }
