@@ -295,6 +295,63 @@ class StreamingSuite extends SparkSpec {
       assert(m(1L) == 1 && m(2L) == 1 && m(3L) == 2)
     } finally q.stop()
   }
+
+  test("rollupBatch replay recognizes pre-SHA-256 legacy checkpoint tags") {
+    import spark.implicits._
+    import graft.pipeline.{MaterializedAgg, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_legacy_tag").toString
+    val src = base + "/src"; val agg = base + "/agg"
+    val checkpointDir = base + "/ckpt"
+    val groups = Seq("g")
+    val aggs = Seq(MaterializedAgg.MAgg("n", "", "count"))
+    val batch = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    // batch 0 committed by a pre-upgrade stream: tag uses String.hashCode
+    val legacy = s"stream-${Integer.toHexString(checkpointDir.hashCode)}"
+    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs, tagPrefix = legacy)
+    assert(VersionedTable.read(spark, src).count() == 2L)
+    // post-upgrade replay of the SAME batch: new SHA-256 prefix misses,
+    // the legacy fallback must catch it — no second append
+    val sha = "stream-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs,
+      tagPrefix = sha, legacyTagPrefix = Some(legacy))
+    assert(VersionedTable.read(spark, src).count() == 2L,
+      "legacy-tagged batch was appended a second time after the prefix upgrade")
+    // a genuinely NEW batch under the new prefix still lands
+    EventStreams.rollupBatch(Seq(("c", 3L)).toDF("g", "v"), 1L, src, agg,
+      groups, aggs, tagPrefix = sha, legacyTagPrefix = Some(legacy))
+    assert(VersionedTable.read(spark, src).count() == 3L)
+  }
+
+  test("rollupSink consults the legacy namespace on the FIRST batch of a run only") {
+    import spark.implicits._
+    import graft.pipeline.{MaterializedAgg, VersionedTable}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_legacy_gate").toString
+    val src = base + "/src"; val agg = base + "/agg"
+    val checkpointDir = base + "/ckpt"
+    val groups = Seq("g"); val aggs = Seq(MaterializedAgg.MAgg("n", "", "count"))
+    // PLANT a legacy-namespace tag for batch 1 (the 32-bit collision
+    // scenario: some other checkpoint path hashing to the same prefix
+    // committed its own batch 1). The SHA-256 switch exists so this
+    // cannot suppress OUR batch 1 — only the first batch of a resumed
+    // run may consult the legacy namespace.
+    val legacy = s"stream-${Integer.toHexString(checkpointDir.hashCode)}"
+    VersionedTable.commitDelta(spark, src, "parquet",
+      Seq(("planted", 99L)).toDF("g", "v"), tag = Some(s"$legacy-batch-1"))
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.rollupSink(mem.toDF().toDF("g", "v"), src, agg,
+      checkpointDir, groups, aggs)
+    try {
+      mem.addData(("a", 1L)); q.processAllAvailable() // batch 0: legacy consulted, no hit
+      mem.addData(("b", 2L)); q.processAllAvailable() // batch 1: legacy MUST be ignored
+      val gs = VersionedTable.read(spark, src).collect().map(_.getString(0)).toSet
+      assert(gs("a"), "first batch must land")
+      assert(gs("b"),
+        "batch 1 was suppressed by a planted legacy tag — the legacy namespace " +
+          "must only be consulted for the first batch of a run")
+    } finally q.stop()
+  }
 }
 
 /** Cross-task probe counters for the codec-lifecycle test (local mode:
@@ -390,32 +447,5 @@ class MultimodalSuite extends SparkSpec {
     val n = frames.groupBy("asset_id").count().collect()
     assert(n.nonEmpty)
     n.foreach(r => assert(r.getAs[Long]("count") >= 1))
-  }
-
-  test("rollupBatch replay recognizes pre-SHA-256 legacy checkpoint tags") {
-    import spark.implicits._
-    import graft.pipeline.{MaterializedAgg, VersionedTable}
-    val base = java.nio.file.Files.createTempDirectory("graft_legacy_tag").toString
-    val src = base + "/src"; val agg = base + "/agg"
-    val checkpointDir = base + "/ckpt"
-    val groups = Seq("g")
-    val aggs = Seq(MaterializedAgg.MAgg("n", "", "count"))
-    val batch = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
-    // batch 0 committed by a pre-upgrade stream: tag uses String.hashCode
-    val legacy = s"stream-${Integer.toHexString(checkpointDir.hashCode)}"
-    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs, tagPrefix = legacy)
-    assert(VersionedTable.read(spark, src).count() == 2L)
-    // post-upgrade replay of the SAME batch: new SHA-256 prefix misses,
-    // the legacy fallback must catch it — no second append
-    val sha = "stream-" + java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
-    EventStreams.rollupBatch(batch, 0L, src, agg, groups, aggs,
-      tagPrefix = sha, legacyTagPrefix = Some(legacy))
-    assert(VersionedTable.read(spark, src).count() == 2L,
-      "legacy-tagged batch was appended a second time after the prefix upgrade")
-    // a genuinely NEW batch under the new prefix still lands
-    EventStreams.rollupBatch(Seq(("c", 3L)).toDF("g", "v"), 1L, src, agg,
-      groups, aggs, tagPrefix = sha, legacyTagPrefix = Some(legacy))
-    assert(VersionedTable.read(spark, src).count() == 3L)
   }
 }
