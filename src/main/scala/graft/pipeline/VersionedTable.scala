@@ -335,6 +335,49 @@ object VersionedTable {
     load(spark, rootP, format, dirs)
   }
 
+  /** Resolve manifest entries to ABSOLUTE data-file paths — the
+    * planning unit of the DSv2 `graft` format face, which hands Spark
+    * an explicit file list instead of directories (a file-pruned
+    * merge's manifest references individual carried-over files inside
+    * dirs whose other files are dead, so directory listing alone would
+    * resurrect them). Refuses hive-partitioned dirs loudly: their
+    * partition columns live in subdirectory NAMES, which a flat file
+    * enumeration would silently drop — those tables read through
+    * [[read]]/GRAFT_READ (per-branch partition discovery).
+    */
+  def entryFiles(spark: SparkSession, root: String, entries: Seq[String]): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val (fileRefs, dirRefs) = entries.partition(isFileRef)
+    val fromDirs = dirRefs.flatMap { d =>
+      val dp = new Path(rootP, d)
+      FileStats.listDataFiles(fs, dp) match {
+        case Some(names) => names.map(n => new Path(dp, n).toString)
+        case None => throw new UnsupportedOperationException(
+          s"data directory $d of versioned table at $root is hive-partitioned — " +
+            "a flat file enumeration would drop its partition columns; read this " +
+            "table with GRAFT_READ / VersionedTable.read instead of format(\"graft\")")
+      }
+    }
+    fromDirs ++ fileRefs.map(r => new Path(rootP, r).toString)
+  }
+
+  /** Absolute data-file paths of `version`'s snapshot (see
+    * [[entryFiles]] for the hive-partitioned refusal).
+    */
+  def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val entries = dirsOf(fs, rootP, version).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version $version"))
+    entryFiles(spark, root, entries)
+  }
+
+  /** [[appendedDirsBetween]] resolved to absolute file paths (None =
+    * the span contains a rewrite and is not streamable row-wise).
+    */
+  private[graft] def appendedFilesBetween(spark: SparkSession, root: String,
+                                          from: Long, to: Long): Option[Seq[String]] =
+    appendedDirsBetween(spark, root, from, to).map(entryFiles(spark, root, _))
+
   /** Which of `dirs` no longer exist on storage (e.g. a fold delta dir
     * already swept by vacuum). Delta-maintenance callers pre-check with
     * this so a swept span surfaces as their documented rebuild

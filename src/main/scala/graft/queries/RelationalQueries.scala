@@ -779,6 +779,31 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q83: the DSv2 `graft` FORMAT FACE under the oracle gate — the
+    // table lands as two real append commits and reads back through
+    // spark.read.format("graft") (Spark's own DSv2 parquet scan over
+    // the manifest-resolved file list: the filter pushes into the
+    // parquet footers and the projection prunes the read schema, both
+    // pinned in PlanAuditSuite). The driver hash proves commit
+    // protocol → DSv2 table resolution → pushed scan → aggregation
+    // equals a flat SQL over the raw rows.
+    "q83_dsv2_read" -> ((s, dir) => {
+      val root = scratchRoot("graft_q83")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      Writer.write(s, li.where(col("l_orderkey") % 2 === 0),
+        SinkSpec(root, mode = Append, versioned = true))
+      Writer.write(s, li.where(col("l_orderkey") % 2 === 1),
+        SinkSpec(root, mode = Append, versioned = true))
+      s.read.format("graft").load(root)
+        .where(col("l_quantity") >= 25)
+        .groupBy(col("l_returnflag"))
+        // quantity is integer-valued: its double sum is exact (q01 note)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1217,6 +1242,14 @@ object RelationalQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the two append commits re-assemble the full lineitem projection,
+    // so the DSv2 read reduces to a flat filtered GROUP BY
+    "q83_dsv2_read" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q71_snapshot_diff" -> snapshotDiffSql,
     "q72_versioned_cdc" -> snapshotDiffSql,

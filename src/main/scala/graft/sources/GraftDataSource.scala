@@ -1,0 +1,353 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import graft.pipeline.VersionedTable
+import graft.streaming.VersionedStreamProvider
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 face of the versioned-table protocol —
+  * `spark.read.format("graft").load(root)` for batch (+
+  * `.option("versionAsOf", N)` time travel) and
+  * `spark.readStream.format("graft")` for the manifest-gated
+  * exactly-committed stream. Ecosystem symmetry with the reference's
+  * `format: delta` routing (reference: src/drune/engines/spark/steps/
+  * reader.py:260-310 resolves `spark.read.format(...)` names); graft
+  * tables get the same spelling users already know.
+  *
+  * Architecture: the scan IS Spark's own DSv2 parquet scan —
+  * [[GraftScanBuilder]] subclasses ParquetScanBuilder over an explicit
+  * file index resolved from the manifest (exact live files, including
+  * a file-pruned merge's carried-over file references), so predicate
+  * pushdown, nested-column pruning, vectorized reading and
+  * whole-stage codegen are all the native parquet path — zero custom
+  * readers to maintain or to slow down. The ONE override is
+  * `toMicroBatchStream`: offsets are manifest versions and each
+  * micro-batch plans exactly the files APPENDED in its offset span
+  * ([[VersionedTable.appendedFilesBetween]]), preserving the DSv1
+  * source's semantics (full-snapshot first batch, `startingVersion`
+  * incl. the persisted-once 'latest', rewrite spans refused loudly,
+  * additive schema evolution null-filled by the parquet reader).
+  *
+  * Scope: parquet-format tables with flat data dirs (the default
+  * layout). Hive-partitioned layouts and csv/json tables keep reading
+  * through GRAFT_READ / [[VersionedTable.read]] — both refuse loudly
+  * here rather than answering wrong.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = GraftDataSource.rootOf(options)
+    val fmt = GraftDataSource.formatOf(spark, root, options)
+    GraftDataSource.versionOf(options) match {
+      case Some(v) => VersionedTable.readVersion(spark, root, v, fmt).schema
+      case None => VersionedTable.read(spark, root, fmt).schema
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object GraftDataSource {
+  def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "the graft format needs a table root: .load(root) or .option(\"path\", root)"))
+
+  def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"versionAsOf must be a version number, got '$s'")
+      }
+    }
+
+  /** Resolve and gate the table format: this face is parquet-only (the
+    * scan machinery IS the parquet one).
+    */
+  def formatOf(spark: SparkSession, root: String,
+               options: CaseInsensitiveStringMap): String = {
+    val fmt = VersionedTable.resolveFormat(spark, root,
+      Option(options.get("format")).getOrElse(""))
+    require(fmt == "parquet",
+      s"versioned table at $root is format '$fmt' — the DSv2 graft face reads " +
+        "parquet tables; use GRAFT_READ / VersionedTable.read for other formats")
+    fmt
+  }
+}
+
+class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val root = GraftDataSource.rootOf(options)
+
+  /** The version a BATCH scan reads, pinned at TABLE construction —
+    * i.e. at `spark.read...load()` time, so the returned DataFrame is
+    * a stable snapshot however many actions run on it and however
+    * many commits land meanwhile (newScanBuilder fires per action;
+    * re-resolving there would make two collects of one DataFrame see
+    * different data — Delta pins its relation snapshot the same way).
+    * None = the table had no commits yet. Streaming ignores this: the
+    * micro-batch stream resolves versions per offset span.
+    */
+  private val pinnedVersion: Option[Long] =
+    GraftDataSource.versionOf(options)
+      .orElse(VersionedTable.currentSnapshot(SparkSession.active, root).map(_.version))
+
+  override def name(): String = s"graft:$root"
+
+  override def schema(): StructType = declaredSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val merged = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala ++ scanOptions.asCaseSensitiveMap().asScala).asJava)
+    val fmt = GraftDataSource.formatOf(spark, root, merged)
+    val files = pinnedVersion
+      .map(v => VersionedTable.snapshotFiles(spark, root, v))
+      .getOrElse(Seq.empty)
+    val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
+      Map.empty[String, String], Some(declaredSchema))
+    new GraftScanBuilder(spark, index, declaredSchema, merged, root, fmt)
+  }
+}
+
+/** ParquetScanBuilder whose build() yields a [[GraftScan]] — identical
+  * batch scan, plus the micro-batch face. Being a FileScanBuilder
+  * subclass keeps Catalyst's pushdown matching (PushDownUtils
+  * dispatches on the class) working unchanged.
+  *
+  * build() additionally applies MANIFEST-STAT DATA SKIPPING: the
+  * pushed data filters are reduced to per-column [lo, hi] intervals
+  * and checked against the `_graft_stats` sidecars the commit path
+  * wrote (one tiny sidecar read per data directory — never a footer
+  * open per file), dropping every file whose recorded min/max cannot
+  * match. The read-path analog of commitMerge's file pruning, and of
+  * Delta's `add.stats` skipping: a selective filter on a clustered
+  * column plans O(matching files), not O(table files), BEFORE any
+  * parquet footer is touched. Conservative throughout — no sidecar,
+  * no column stats, or an unsupported predicate shape just keeps the
+  * file.
+  */
+class GraftScanBuilder(spark: SparkSession,
+                       index: InMemoryFileIndex,
+                       declaredSchema: StructType,
+                       options: CaseInsensitiveStringMap,
+                       root: String,
+                       format: String)
+    extends ParquetScanBuilder(spark, index, declaredSchema, declaredSchema, options) {
+
+  override def build(): ParquetScan = {
+    val s = super.build()
+    val files = index.inputFiles.toSeq
+    val kept = GraftStatSkipping.prune(spark, files, pushedDataFilters)
+    val inner =
+      if (kept.length == files.length) s
+      else s.copy(fileIndex = new InMemoryFileIndex(spark, kept.map(new Path(_)),
+        Map.empty[String, String], Some(declaredSchema)))
+    new GraftScan(inner, root)
+  }
+}
+
+/** File skipping against the commit-time `_graft_stats` sidecars. */
+private[sources] object GraftStatSkipping {
+  import graft.pipeline.FileStats
+  import org.apache.spark.sql.sources._
+
+  /** Widen a literal to the sidecar stat domain (ints→long,
+    * floats→double); None = not a stats-comparable type.
+    */
+  private def widen(v: Any): Option[Any] = v match {
+    case x: Int => Some(x.toLong)
+    case x: Long => Some(x)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case x: Float => Some(x.toDouble)
+    case x: Double => Some(x)
+    case x: String => Some(x)
+    case _ => None // dates/timestamps/decimals record no stats anyway
+  }
+
+  private def sameDomain(a: Any, b: Any): Boolean = (a, b) match {
+    case (_: Long, _: Long) | (_: Double, _: Double) | (_: String, _: String) => true
+    case _ => false
+  }
+
+  /** Reduce the (implicitly ANDed) pushed filters to per-column
+    * closed intervals. Strict bounds relax to inclusive ones — the
+    * check stays sound, at worst one extra file survives.
+    */
+  private[sources] def intervals(filters: Seq[Filter]): Map[String, (Option[Any], Option[Any])] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
+    def tighten(col: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      val (l0, h0) = acc.getOrElse(col, (None, None))
+      val l = (l0 ++ lo).reduceOption((a, b) =>
+        if (sameDomain(a, b) && FileStats.cmp(a, b) >= 0) a else b)
+      val h = (h0 ++ hi).reduceOption((a, b) =>
+        if (sameDomain(a, b) && FileStats.cmp(a, b) <= 0) a else b)
+      acc(col) = (l, h)
+    }
+    filters.foreach {
+      case EqualTo(c, v) => widen(v).foreach(w => tighten(c, Some(w), Some(w)))
+      case GreaterThan(c, v) => widen(v).foreach(w => tighten(c, Some(w), None))
+      case GreaterThanOrEqual(c, v) => widen(v).foreach(w => tighten(c, Some(w), None))
+      case LessThan(c, v) => widen(v).foreach(w => tighten(c, None, Some(w)))
+      case LessThanOrEqual(c, v) => widen(v).foreach(w => tighten(c, None, Some(w)))
+      case In(c, vs) if vs.nonEmpty =>
+        val ws = vs.toSeq.flatMap(widen)
+        if (ws.length == vs.length && ws.forall(sameDomain(_, ws.head)))
+          tighten(c, Some(ws.min(Ordering.fromLessThan[Any](FileStats.cmp(_, _) < 0))),
+            Some(ws.max(Ordering.fromLessThan[Any](FileStats.cmp(_, _) < 0))))
+      case _ => () // IsNotNull, Or, StringStartsWith, ... — no interval
+    }
+    acc.toMap
+  }
+
+  /** Keep only the files whose sidecar stats can satisfy every
+    * interval. Unsupported shapes keep everything (zero-cost exit:
+    * nothing is read when no usable interval exists).
+    */
+  def prune(spark: SparkSession, files: Seq[String],
+            filters: Seq[Filter]): Seq[String] = {
+    val ivs = intervals(filters).filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
+    if (ivs.isEmpty || files.isEmpty) return files
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.groupBy(f => new Path(f).getParent).toSeq.flatMap { case (dir, fs) =>
+      val stats = try FileStats.readSidecar(dir.getFileSystem(conf), dir)
+        catch { case scala.util.control.NonFatal(_) => None }
+      stats match {
+        case None => fs // stats-less dir: scan it all
+        case Some(entries) =>
+          val byName = entries.map(e => e.file -> e).toMap
+          fs.filter { f =>
+            byName.get(new Path(f).getName) match {
+              case None => true // file not in the sidecar: conservative
+              case Some(st) => ivs.forall { case (col, (lo, hi)) =>
+                st.cols.get(col) match {
+                  case None => true // column without stats always matches
+                  case Some(cs) =>
+                    (!lo.exists(l => sameDomain(cs.max, l)) ||
+                      FileStats.cmp(cs.max, lo.get) >= 0) &&
+                    (!hi.exists(h => sameDomain(cs.min, h)) ||
+                      FileStats.cmp(cs.min, hi.get) <= 0)
+                }
+              }
+            }
+          }
+      }
+    }
+  }
+}
+
+/** A ParquetScan (same fields, same batch behavior) that additionally
+  * streams: `toMicroBatchStream` hands back the manifest-offset
+  * micro-batch stream instead of FileScan's UnsupportedOperation.
+  */
+class GraftScan(inner: ParquetScan, root: String)
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters) {
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(this, root, checkpointLocation)
+}
+
+/** DSv2 offset = committed manifest version (0 is the "before any
+  * commit" sentinel, versions start at 1 — same encoding the DSv1
+  * source checkpoints, so the json forms are interchangeable).
+  */
+case class GraftOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** Micro-batch stream over a versioned table: offsets ARE committed
+  * manifest versions; each batch plans exactly the files appended in
+  * `(start, end]`. Orphan delta dirs (crashed committers) never
+  * stream — only manifest-published files are ever enumerated. The
+  * first batch of a fresh stream delivers the full snapshot at its
+  * end version unless `startingVersion` opts out (`"latest"` resolves
+  * once and persists under the checkpoint, surviving restarts).
+  *
+  * The reader factory comes from the template scan — it depends only
+  * on schema/conf/options, not on a file list, so ONE factory decodes
+  * every batch's partitions; per-span planning swaps the file index
+  * (case-class copy) and reuses the native FileScan partitioning
+  * (split by maxPartitionBytes, etc.).
+  */
+class GraftMicroBatchStream(template: GraftScan, root: String,
+                            checkpointLocation: String) extends MicroBatchStream {
+
+  private def spark = template.sparkSession
+
+  private val startFrom: Long =
+    Option(template.options.get("startingVersion")) match {
+      case None => 0L
+      case Some("latest") =>
+        VersionedStreamProvider.resolveLatestOnce(spark, checkpointLocation, root)
+      case Some(n) => try n.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number or 'latest', got '$n'")
+      }
+    }
+
+  /** Testing seam (mirrors the DSv1 source's). */
+  private[sources] def resolvedStart: Long = startFrom
+
+  override def initialOffset(): Offset = GraftOffset(startFrom)
+
+  override def latestOffset(): Offset = GraftOffset(
+    VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(startFrom))
+
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val to = end.asInstanceOf[GraftOffset].version
+    val files: Seq[String] =
+      if (from >= to) Nil
+      else if (from == 0L) VersionedTable.snapshotFiles(spark, root, to)
+      else VersionedTable.appendedFilesBetween(spark, root, from, to).getOrElse(
+        throw new UnsupportedOperationException(
+          s"versioned table at $root has a merge/overwrite commit in the offset " +
+            s"span ($from, $to] — rewrites are not streamable row-wise on plain " +
+            "parquet. Stream append-only tables, or consume rewrites as batch " +
+            "snapshots via diffVersions."))
+    if (files.isEmpty) Array.empty
+    else {
+      val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
+        Map.empty[String, String], Some(template.dataSchema))
+      template.copy(fileIndex = index).toBatch.planInputPartitions()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftMicroBatchStream[$root]"
+}

@@ -103,6 +103,12 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     new VersionedTableSource(spark, root, fmt, declared, initialFrom)
   }
 
+  private def resolveLatestOnce(spark: SparkSession, metadataPath: String,
+                                root: String): Long =
+    VersionedStreamProvider.resolveLatestOnce(spark, metadataPath, root)
+}
+
+object VersionedStreamProvider {
   /** 'latest' must resolve ONCE per stream, not once per (re)start: the
     * engine can log an offset for batch 0 and crash before the batch
     * commits, and a restart that re-resolved 'latest' against a table
@@ -110,9 +116,12 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     * resolved version is persisted in the source's checkpoint-scoped
     * metadataPath on first creation (the same durability contract
     * delta-spark's DeltaSourceOffset uses) and read back on restart.
+    * Shared by the DSv1 source and the DSv2 micro-batch stream — the
+    * same file name, so a checkpoint migrated between faces keeps its
+    * pinned start.
     */
-  private def resolveLatestOnce(spark: SparkSession, metadataPath: String,
-                                root: String): Long = {
+  private[graft] def resolveLatestOnce(spark: SparkSession, metadataPath: String,
+                                       root: String): Long = {
     val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     VersionedTable.readSmall(fs, p).map(_.trim.toLong).getOrElse {

@@ -168,6 +168,17 @@ class PlanAuditSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q83: the DSv2 graft scan pushes the filter and prunes the read schema") {
+    val p = plan("q83_dsv2_read")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_quantity,25") || p.contains("IsNotNull(l_quantity")), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"),
+      s"the DSv2 scan read a column the aggregation never uses: $read")
+    // one BatchScan (DSv2), not a per-directory union of v1 scans
+    assert(count(p, "BatchScan") == 1, p)
+  }
+
   test("q78: the YAML matview read is a bounded rollup scan, no join, no fact rescan") {
     val p = plan("q78_matview_yaml")
     // the RETURNED plan reads the committed rollup (group cardinality

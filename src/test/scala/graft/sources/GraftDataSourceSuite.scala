@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** The DSv2 `graft` format face: batch reads (current + time travel,
+  * file-pruned-merge manifests, pushdown/pruning through the native
+  * parquet scan) and the micro-batch stream (manifest offsets,
+  * full-snapshot bootstrap, restart resume, orphan invisibility,
+  * rewrite refusal) — the same contracts VersionedStreamSuite pins for
+  * the DSv1 face.
+  */
+class GraftDataSourceSuite extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshSink(): String = { n += 1; s"gds_sink_$n" }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(vals: Long*): DataFrame = vals.map(v => (v, s"r$v")).toDF("id", "v")
+
+  private def append(root: String, vals: Long*): Long =
+    VersionedTable.commitDelta(spark, root, "parquet", rows(vals: _*))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.collect().map(_.getAs[Long]("id")).sorted.toSeq
+
+  private def sinkIds(sink: String): Seq[Long] = ids(spark.table(sink))
+
+  test("batch read matches VersionedTable.read; versionAsOf time-travels") {
+    val root = tmp("graft_dsv2_batch") + "/t"
+    append(root, 1L, 2L)
+    append(root, 3L)
+    val df = spark.read.format("graft").load(root)
+    assert(ids(df) == Seq(1L, 2L, 3L))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(ids(spark.read.format("graft").option("versionAsOf", "1").load(root))
+      == Seq(1L, 2L))
+    // a later commit does not disturb an already-planned read
+    val planned = spark.read.format("graft").load(root)
+    append(root, 4L)
+    assert(ids(planned) == Seq(1L, 2L, 3L))
+    assert(ids(spark.read.format("graft").load(root)) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("filters push into the parquet scan; projection prunes the read schema") {
+    val root = tmp("graft_dsv2_push") + "/t"
+    append(root, (1L to 50L): _*)
+    val df = spark.read.format("graft").load(root)
+      .where(col("id") === 7L).select("id")
+    assert(ids(df) == Seq(7L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,7)"),
+      s"filter did not push into the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection did not prune the read schema:\n$plan")
+  }
+
+  test("manifest-stat data skipping: a selective filter plans only matching files") {
+    val root = tmp("graft_dsv2_skip") + "/t"
+    VersionedTable.commit(spark, root, "parquet",
+      _ => spark.range(0, 800).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    def plannedFiles(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val all = spark.read.format("graft").load(root)
+    assert(plannedFiles(all) == 8, "baseline: 8 range-clustered files")
+    val eq = spark.read.format("graft").load(root).where(col("id") === 7L)
+    assert(plannedFiles(eq) == 1, "point lookup must plan exactly the one matching file")
+    assert(ids(eq) == Seq(7L))
+    val range = spark.read.format("graft").load(root)
+      .where(col("id") >= 100L && col("id") < 300L)
+    val rf = plannedFiles(range)
+    assert(rf >= 1 && rf <= 3, s"range filter planned $rf of 8 files")
+    assert(range.count() == 200L)
+    val none = spark.read.format("graft").load(root).where(col("id") === -5L)
+    assert(plannedFiles(none) == 0, "an impossible key must plan zero files")
+    assert(none.count() == 0L)
+    // string column skipping through the same sidecars
+    val sEq = spark.read.format("graft").load(root).where(col("v") === "r7")
+    assert(ids(sEq) == Seq(7L))
+  }
+
+  test("file-pruned merge manifests read correctly (carried file references)") {
+    val root = tmp("graft_dsv2_merge") + "/t"
+    // range-clustered multi-file base so the merge carries most files
+    VersionedTable.commit(spark, root, "parquet",
+      _ => spark.range(0, 80).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartitionByRange(8, col("id")))
+    VersionedTable.commitMerge(spark, root, "parquet",
+      Seq((5L, "UPD")).toDF("id", "v"), keys = Seq("id"))
+    val viaV1 = VersionedTable.read(spark, root)
+    val viaV2 = spark.read.format("graft").load(root)
+    assert(viaV2.count() == 80L)
+    assert(viaV2.where(col("id") === 5L).select("v").head().getString(0) == "UPD")
+    assert(ids(viaV2) == ids(viaV1))
+  }
+
+  test("hive-partitioned and non-parquet tables refuse loudly") {
+    val root = tmp("graft_dsv2_hive") + "/t"
+    VersionedTable.commit(spark, root, "parquet",
+      _ => Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(root).collect()
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    val csvRoot = tmp("graft_dsv2_csv") + "/t"
+    VersionedTable.commit(spark, csvRoot, "csv", _ => rows(1L))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").load(csvRoot).collect()
+    }
+    assert(e2.getMessage.contains("parquet"), e2.getMessage)
+  }
+
+  test("micro-batch stream: snapshot bootstrap, appends stream once, orphans never") {
+    val dir = tmp("graft_dsv2_stream"); val root = dir + "/t"
+    append(root, 1L, 2L)
+    rows(99L).write.parquet(root + "/data-delta-orphanbb") // unpublished committer
+    val sink = freshSink()
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L, 2L),
+        s"orphan rows leaked into the stream: ${sinkIds(sink)}")
+      append(root, 3L)
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L, 2L, 3L))
+      append(root, 4L); append(root, 5L)
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L, 2L, 3L, 4L, 5L))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  test("restart from checkpoint resumes at the committed version: no skip, no replay") {
+    val dir = tmp("graft_dsv2_restart"); val root = dir + "/t"
+    val out = dir + "/out"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", dir + "/ck").outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    append(root, 1L, 2L)
+    run()
+    assert(ids(spark.read.parquet(out)) == Seq(1L, 2L))
+    append(root, 3L)
+    append(root, 4L)
+    run()
+    assert(ids(spark.read.parquet(out)) == Seq(1L, 2L, 3L, 4L),
+      "restart must deliver exactly the missed versions, once each")
+  }
+
+  test("a merge commit in the offset span fails the stream with instructions") {
+    val dir = tmp("graft_dsv2_rewrite"); val root = dir + "/t"
+    append(root, 1L)
+    val sink = freshSink()
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.commit(spark, root, "parquet", _ => rows(7L, 8L))
+      append(root, 9L)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msg.contains("not streamable"), s"unexpected failure: $msg")
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  test("startingVersion: a number streams strictly after it; latest pins at resolution") {
+    val dir = tmp("graft_dsv2_startv"); val root = dir + "/t"
+    append(root, 1L) // v1
+    append(root, 2L) // v2
+    append(root, 3L) // v3
+    val sink = freshSink()
+    val q = spark.readStream.format("graft").option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(3L), s"expected only post-v2 rows: ${sinkIds(sink)}")
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+    val sink2 = freshSink()
+    val q2 = spark.readStream.format("graft").option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName(sink2).outputMode("append")
+      .option("checkpointLocation", dir + "/ck2")
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(sinkIds(sink2) == Seq(), "latest must skip all history")
+      append(root, 4L)
+      q2.processAllAvailable()
+      assert(sinkIds(sink2) == Seq(4L))
+    } finally { q2.stop(); spark.catalog.dropTempView(sink2) }
+  }
+
+  test("additive schema evolution: a pre-evolution delta dir null-fills new columns") {
+    val dir = tmp("graft_dsv2_evolve"); val root = dir + "/t"
+    append(root, 1L) // (id, v)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "r2", 7.5)).toDF("id", "v", "score"))
+    val sink = freshSink()
+    // stream declares the EVOLVED schema; the v1 dir lacks `score`
+    val q = spark.readStream.format("graft")
+      .schema(VersionedTable.read(spark, root).schema)
+      .load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      val m = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+      assert(m(1L).isEmpty, "pre-evolution rows must null-fill the new column")
+      assert(m(2L).contains(7.5))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+}
