@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -297,7 +297,8 @@ case class GraftOffset(version: Long) extends Offset {
   * (split by maxPartitionBytes, etc.).
   */
 class GraftMicroBatchStream(template: GraftScan, root: String,
-                            checkpointLocation: String) extends MicroBatchStream {
+                            checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = template.sparkSession
 
@@ -312,13 +313,48 @@ class GraftMicroBatchStream(template: GraftScan, root: String,
       }
     }
 
+  /** Admission control: at most this many manifest VERSIONS advance
+    * per trigger (Delta's maxFilesPerTrigger analog at the commit
+    * granularity graft offsets use). Without it, a stream restarted
+    * after a long outage — or bootstrapping against a year of
+    * commits — must swallow the whole backlog as ONE micro-batch,
+    * which at 100 TB is an unplannable unit of work; with it the
+    * backlog drains as bounded, checkpointed increments. The cap also
+    * applies to the bootstrap batch (the snapshot lands at version
+    * `start + cap`, appends continue from there) — note a rewrite
+    * commit inside the capped range still refuses as usual.
+    */
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(template.options.get("maxVersionsPerTrigger")).map { s =>
+      val v = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive number, got '$s'")
+      }
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
+
+  private def head: Long =
+    VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(startFrom)
+
   /** Testing seam (mirrors the DSv1 source's). */
   private[sources] def resolvedStart: Long = startFrom
 
   override def initialOffset(): Offset = GraftOffset(startFrom)
 
-  override def latestOffset(): Offset = GraftOffset(
-    VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(startFrom))
+  override def latestOffset(): Offset = GraftOffset(head)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersionsPerTrigger match {
+      case Some(cap) => math.min(head, from + cap)
+      case None => head
+    })
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(head)
 
   override def deserializeOffset(json: String): Offset = GraftOffset(json.trim.toLong)
 

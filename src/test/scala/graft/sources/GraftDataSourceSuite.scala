@@ -90,6 +90,47 @@ class GraftDataSourceSuite extends SparkSpec {
     assert(ids(sEq) == Seq(7L))
   }
 
+  test("Z-ordered compaction + stat skipping: filters on EITHER clustered column prune") {
+    val root = tmp("graft_dsv2_zorder") + "/t"
+    VersionedTable.commit(spark, root, "parquet",
+      _ => spark.range(0, 4096).select(
+        (col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("payload")))
+    VersionedTable.compact(spark, root, zorderBy = Seq("a", "b"), zorderFiles = 16)
+    def plannedFiles(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val base = spark.read.format("graft").load(root)
+    val total = plannedFiles(base)
+    assert(total == 16, s"expected the 16 z-ordered files, got $total")
+    val onA = plannedFiles(base.where(col("a") === 3L))
+    val onB = plannedFiles(base.where(col("b") === 3L))
+    assert(onA < total && onB < total,
+      s"z-order must let BOTH clustered columns prune: a→$onA, b→$onB of $total")
+    assert(base.where(col("a") === 3L).count() == 64L)
+    assert(base.where(col("b") === 3L).count() == 64L)
+  }
+
+  test("aggregate pushdown reaches the parquet footers through the graft face") {
+    val root = tmp("graft_dsv2_aggpush") + "/t"
+    append(root, (1L to 100L): _*)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val orig = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 1L, 100L)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") && plan.contains("COUNT(*)"),
+        s"aggregation did not push into the footer scan:\n$plan")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("file-pruned merge manifests read correctly (carried file references)") {
     val root = tmp("graft_dsv2_merge") + "/t"
     // range-clustered multi-file base so the merge carries most files
@@ -209,6 +250,28 @@ class GraftDataSourceSuite extends SparkSpec {
       q2.processAllAvailable()
       assert(sinkIds(sink2) == Seq(4L))
     } finally { q2.stop(); spark.catalog.dropTempView(sink2) }
+  }
+
+  test("maxVersionsPerTrigger: the backlog drains as bounded increments, not one batch") {
+    val dir = tmp("graft_dsv2_admission"); val root = dir + "/t"
+    append(root, 1L) // v1
+    append(root, 2L) // v2
+    append(root, 3L) // v3
+    val sink = freshSink()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L, 2L, 3L), "the full backlog must still arrive")
+      // one version per trigger: bootstrap lands at v1, then v2, then v3
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"expected 3 single-version batches, saw $dataBatches: " +
+          q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}").mkString(", "))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
   test("additive schema evolution: a pre-evolution delta dir null-fills new columns") {
