@@ -7,14 +7,15 @@ import scala.jdk.CollectionConverters._
 import graft.pipeline.VersionedTable
 import graft.streaming.VersionedStreamProvider
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -55,10 +56,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = GraftDataSource.rootOf(options)
-    val fmt = GraftDataSource.formatOf(spark, root, options)
     GraftDataSource.versionOf(options) match {
-      case Some(v) => VersionedTable.readVersion(spark, root, v, fmt).schema
-      case None => VersionedTable.read(spark, root, fmt).schema
+      case Some(v) => VersionedTable.readVersion(spark, root, v,
+        GraftDataSource.formatOf(spark, root, options)).schema
+      case None => VersionedTable.currentSnapshot(spark, root) match {
+        case Some(s) => VersionedTable.readVersion(spark, root, s.version,
+          GraftDataSource.formatOf(spark, root, options)).schema
+        // fresh root: a WRITE is bootstrapping the table (its schema is
+        // the incoming data's — ACCEPT_ANY_SCHEMA routes it through);
+        // a READ of the empty schema refuses in newScanBuilder
+        case None => new StructType()
+      }
     }
   }
 
@@ -95,7 +103,7 @@ private[sources] object GraftDataSource {
 }
 
 class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private val root = GraftDataSource.rootOf(options)
 
@@ -117,10 +125,15 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = declaredSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
+    require(declaredSchema.nonEmpty,
+      s"versioned table at $root has no committed version yet — commit first " +
+        "(or bootstrap it with df.write.format(\"graft\").save(root))")
     val merged = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala ++ scanOptions.asCaseSensitiveMap().asScala).asJava)
     val fmt = GraftDataSource.formatOf(spark, root, merged)
@@ -130,6 +143,62 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
     val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
       Map.empty[String, String], Some(declaredSchema))
     new GraftScanBuilder(spark, index, declaredSchema, merged, root, fmt)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, declaredSchema)
+}
+
+/** `df.write.format("graft").mode("append"|"overwrite").save(root)` —
+  * each save is ONE manifest commit through the versioned-table
+  * protocol (append = O(delta) pointer publish via commitDelta,
+  * overwrite = a rewrite commit), via the V1Write fallback the way
+  * delta-spark routes its DSv2 writes: the protocol's commit path IS
+  * the writer, so CAS serialization, stats sidecars, bounded
+  * auto-compaction and vacuum semantics all apply unchanged. A fresh
+  * root bootstraps (the first commit defines the schema); appends to
+  * an existing table may add or omit columns (the read-side additive
+  * union covers both) but a TYPE change on a present column refuses —
+  * the same non-additive contract the streaming source pins.
+  * ErrorIfExists/Ignore modes are refused by Spark for TableProvider
+  * sources; merges stay on Writer/commitMerge where keys are explicit.
+  */
+class GraftWriteBuilder(root: String, tableSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: Dataset[Row], overwriteFlag: Boolean): Unit = {
+        val spark = data.sparkSession
+        GraftDataSource.formatOf(spark, root, CaseInsensitiveStringMap.empty())
+        // The additive-only gate must compare against the TABLE's
+        // schema read from the manifest — the schema Spark hands
+        // getTable on a write path is the incoming DATA's, so a check
+        // against it would always pass and a long→int append would
+        // land and break every subsequent read of the union.
+        if (!overwrite) {
+          VersionedTable.currentSnapshot(spark, root).foreach { s =>
+            val existing = VersionedTable.readVersion(spark, root, s.version, "parquet")
+              .schema.fields.map(f => f.name -> f.dataType).toMap
+            data.schema.fields.foreach { f =>
+              existing.get(f.name).foreach { dt =>
+                require(org.apache.spark.sql.graftbridge.ColumnBridge.sameType(dt, f.dataType),
+                  s"append to versioned table at $root: column '${f.name}' is " +
+                    s"${dt.simpleString} in the table but ${f.dataType.simpleString} " +
+                    "in the data — non-additive schema changes need an explicit " +
+                    "overwrite (column add/drop is fine)")
+              }
+            }
+          }
+        }
+        if (overwrite) VersionedTable.commit(spark, root, "parquet", _ => data.toDF())
+        else VersionedTable.commitDelta(spark, root, "parquet", data.toDF())
+      }
+    }
   }
 }
 

@@ -274,6 +274,39 @@ class GraftDataSourceSuite extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
+  test("df.write.format(graft): saves are manifest commits, appends O(delta)") {
+    import graft.pipeline.VersionedTable
+    val root = tmp("graft_dsv2_write") + "/t"
+    // bootstrap a fresh root
+    rows(1L, 2L).write.format("graft").mode("append").save(root)
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 1L)
+    assert(ids(spark.read.format("graft").load(root)) == Seq(1L, 2L))
+    // append = pointer-only O(delta) commit
+    rows(3L).write.format("graft").mode("append").save(root)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.version == 2L)
+    assert(snap.dataDirs.length == 2, "append must reference the base dirs, not rewrite")
+    assert(ids(spark.read.format("graft").load(root)) == Seq(1L, 2L, 3L))
+    // overwrite = rewrite commit, history stays time-travelable
+    rows(9L).write.format("graft").mode("overwrite").save(root)
+    assert(ids(spark.read.format("graft").load(root)) == Seq(9L))
+    assert(ids(spark.read.format("graft").option("versionAsOf", "2").load(root))
+      == Seq(1L, 2L, 3L))
+    // additive append (new column) is fine; a TYPE change refuses
+    Seq((4L, "r4", 1.5)).toDF("id", "v", "score")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 2L)
+    val e = intercept[Exception] {
+      Seq((5L, 42)).toDF("id", "v").write.format("graft").mode("append").save(root)
+    }
+    assert(e.getMessage.contains("non-additive"), e.getMessage)
+    // reading a never-committed root is loud, not an empty frame
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").load(tmp("graft_dsv2_fresh") + "/t").collect()
+    }
+    assert(e2.getMessage.contains("no committed version"), e2.getMessage)
+  }
+
   test("additive schema evolution: a pre-evolution delta dir null-fills new columns") {
     val dir = tmp("graft_dsv2_evolve"); val root = dir + "/t"
     append(root, 1L) // (id, v)
