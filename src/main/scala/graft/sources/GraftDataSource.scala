@@ -47,11 +47,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through GRAFT_READ / [[VersionedTable.read]] — both refuse loudly
   * here rather than answering wrong.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.writeStream.format("graft")` — each micro-batch lands as ONE
+    * tagged append commit, EXACTLY-ONCE across crash replay: a
+    * replayed batch finds its tag already in a manifest pointer (the
+    * tag travels inside the atomically-CAS'd pointer, so there is no
+    * rows-landed-but-tag-didn't window) and skips. The tag namespaces
+    * by a SHA-256 of the checkpoint location, same scheme as
+    * EventStreams.rollupSink. DSv1 Sink on purpose: `addBatch` hands
+    * the driver a DataFrame that commitDelta writes directly — the V2
+    * StreamingWrite path would mean re-implementing a parquet
+    * DataWriter for zero additional capability. (Spark routes
+    * writeStream here because GraftTable deliberately does not
+    * advertise STREAMING_WRITE.)
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft streaming sink is append-only (each batch is one append " +
+        s"commit); got $outputMode — for update-mode upserts use " +
+        "EventStreams.upsertSink (foreachBatch + MergeUpsert)")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "the graft streaming sink needs a table root: .start(root) or .option(\"path\", root)"))
+    val ckpt = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "the graft streaming sink needs .option(\"checkpointLocation\", ...) — " +
+          "its exactly-once batch tags are scoped by the checkpoint identity"))
+    new GraftStreamSink(root, ckpt, partitionColumns)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
@@ -147,6 +178,29 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, declaredSchema)
+}
+
+/** The DSv1 streaming sink behind `writeStream.format("graft")`:
+  * tagged append commits, replay-idempotent (see createSink's doc).
+  */
+class GraftStreamSink(root: String, checkpointLocation: String,
+                      partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val ns = java.security.MessageDigest.getInstance("SHA-256")
+    .digest(checkpointLocation.getBytes("UTF-8"))
+    .take(12).map("%02x".format(_)).mkString
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val spark = data.sparkSession
+    val tag = s"sink-$ns-batch-$batchId"
+    if (VersionedTable.taggedVersion(spark, root, tag).isEmpty)
+      VersionedTable.commitDelta(spark, root, "parquet",
+        org.apache.spark.sql.graftbridge.StreamingShims.asBatch(data.toDF()),
+        partitionBy = partitionColumns, tag = Some(tag))
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
 }
 
 /** `df.write.format("graft").mode("append"|"overwrite").save(root)` —

@@ -26,4 +26,19 @@ object StreamingShims {
     spark.internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse boundary, for a DSv1 streaming SINK: the Dataset
+    * `Sink.addBatch` receives carries the incremental streaming plan —
+    * handing it to a normal batch writer would re-analyze that plan as
+    * a batch query and fail ("streaming source in a batch query"). The
+    * stock pattern (Delta's V1 sink does the same) re-brands the
+    * already-planned RDD as a plain batch DataFrame; rows are copied
+    * because the incremental plan reuses its InternalRow buffers.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    spark.internalCreateDataFrame(classic.queryExecution.toRdd.map(_.copy()), df.schema,
+      isStreaming = false)
+  }
 }

@@ -307,6 +307,39 @@ class GraftDataSourceSuite extends SparkSpec {
     assert(e2.getMessage.contains("no committed version"), e2.getMessage)
   }
 
+  test("writeStream.format(graft): graft→graft replication, exactly-once across restart") {
+    import graft.pipeline.VersionedTable
+    val dir = tmp("graft_dsv2_sink"); val src = dir + "/src"; val dst = dir + "/dst"
+    append(src, 1L, 2L)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", dir + "/ck")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(ids(spark.read.format("graft").load(dst)) == Seq(1L, 2L))
+    // two appends while the stream is down; resume must deliver each ONCE
+    append(src, 3L)
+    append(src, 4L)
+    run()
+    assert(ids(spark.read.format("graft").load(dst)) == Seq(1L, 2L, 3L, 4L),
+      "restart must replicate exactly the missed commits, once each")
+    // a third run with nothing new must not re-commit anything
+    val v = VersionedTable.currentSnapshot(spark, dst).get.version
+    run()
+    assert(VersionedTable.currentSnapshot(spark, dst).get.version == v,
+      "an empty resume must not create commits")
+    // refusals: update mode, and a missing checkpoint location
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("checkpointLocation", dir + "/ck2").start(dst)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("additive schema evolution: a pre-evolution delta dir null-fills new columns") {
     val dir = tmp("graft_dsv2_evolve"); val root = dir + "/t"
     append(root, 1L) // (id, v)
