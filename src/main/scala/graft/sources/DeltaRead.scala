@@ -60,13 +60,19 @@ object DeltaRead {
       /** live data files: path -> partition values (null for unpartitioned) */
       files: Map[String, Map[String, String]])
 
-  /** Is `path` a Delta table root (has a transaction log)? */
+  /** Is `path` a Delta table root (has a transaction log)? A
+    * log-cleaned table may hold its state ONLY as checkpoint parquet
+    * (no surviving NNN.json) — snapshot()/read() can serve it, so it
+    * must be recognized here too or the YAML `format: delta` route
+    * would refuse a readable table.
+    */
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
     val log = new Path(path, "_delta_log")
     val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(log) && fs.listStatus(log).exists { st =>
       val n = st.getPath.getName
-      n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+      (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)) ||
+        (n.endsWith(".parquet") && n.contains(".checkpoint"))
     }
   }
 

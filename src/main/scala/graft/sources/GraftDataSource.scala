@@ -191,8 +191,31 @@ class GraftStreamSink(root: String, checkpointLocation: String,
     .digest(checkpointLocation.getBytes("UTF-8"))
     .take(12).map("%02x".format(_)).mkString
 
+  /** The first batch pins the table schema check; later batches of
+    * the same run keep the stream's (fixed) schema, so re-checking
+    * every batch only costs on restarts. Same additive-only gate as
+    * the batch writer: a TYPE change must refuse BEFORE the mistyped
+    * delta lands and breaks every later read of the union.
+    */
+  private val checkedSchema = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val spark = data.sparkSession
+    if (checkedSchema.compareAndSet(false, true)) {
+      VersionedTable.currentSnapshot(spark, root).foreach { s =>
+        val existing = VersionedTable.readVersion(spark, root, s.version, "parquet")
+          .schema.fields.map(f => f.name -> f.dataType).toMap
+        data.schema.fields.foreach { f =>
+          existing.get(f.name).foreach { dt =>
+            require(org.apache.spark.sql.graftbridge.ColumnBridge.sameType(dt, f.dataType),
+              s"graft streaming sink at $root: column '${f.name}' is " +
+                s"${dt.simpleString} in the table but ${f.dataType.simpleString} " +
+                "in the stream — non-additive schema changes are not appendable " +
+                "(column add/drop is fine)")
+          }
+        }
+      }
+    }
     val tag = s"sink-$ns-batch-$batchId"
     if (VersionedTable.taggedVersion(spark, root, tag).isEmpty)
       VersionedTable.commitDelta(spark, root, "parquet",

@@ -60,9 +60,9 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         // parquet would misread a json/orc versioned table that the
         // DataFrame/YAML routes read fine
         val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
-        if (version == null) VersionedTable.read(session, path, fmt)
-        else if (since == null) VersionedTable.readVersion(session, path, version.toLong, fmt)
-        else VersionedTable.changesSince(session, path, version.toLong, fmt)
+        if (since != null) VersionedTable.changesSince(session, path, version.toLong, fmt)
+        else GraftSqlParser.snapshotRead(session, path,
+          Option(version).map(_.toLong), fmt)
       }
       df.queryExecution.logical
     case DiffStmt(path, from, to, keys, compareOpt) =>
@@ -136,6 +136,35 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
 }
 
 object GraftSqlParser {
+
+  /** GRAFT_READ's snapshot/time-travel reads ROUTE THROUGH THE DSv2
+    * FACE for flat parquet layouts: pure-SQL users then get
+    * manifest-stat data skipping and full native pushdown on the
+    * scan, same as `spark.read.format("graft")` (an outer WHERE on a
+    * clustered column plans only the matching files). Hive-partitioned
+    * layouts are probed EAGERLY (the DSv2 refusal is otherwise lazy,
+    * surfacing at execution) and fall back to the per-branch V1 union
+    * read, as do non-parquet formats and never-committed roots (whose
+    * V1 error message is the canonical loud one).
+    */
+  private def snapshotRead(session: org.apache.spark.sql.SparkSession, path: String,
+                           version: Option[Long], fmt: String): org.apache.spark.sql.DataFrame = {
+    import graft.pipeline.VersionedTable
+    if (fmt == "parquet") {
+      val pinned = version.orElse(VersionedTable.currentSnapshot(session, path).map(_.version))
+      pinned.foreach { v =>
+        try {
+          VersionedTable.snapshotFiles(session, path, v) // flat-layout probe
+          return session.read.format("graft")
+            .option("versionAsOf", v.toString).load(path)
+        } catch { case _: UnsupportedOperationException => () } // hive layout
+      }
+    }
+    version match {
+      case None => VersionedTable.read(session, path, fmt)
+      case Some(v) => VersionedTable.readVersion(session, path, v, fmt)
+    }
+  }
   /** Anchored statement matcher — deliberately strict (identifiers
     * only) so anything else, including look-alike typos with string
     * literals or expressions, falls through to Spark's parser and

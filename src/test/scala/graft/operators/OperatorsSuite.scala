@@ -499,6 +499,12 @@ class TextSuite extends SparkSpec {
     assert(sharded(1L) >= 3L)
     assert((sharded.keySet -- exact).size <= 40,
       s"fp rate implausibly high in sharded mode: ${(sharded.keySet -- exact).size}/200")
+    // deep shard dispatch: 64 nested probe branches must analyze,
+    // codegen and stay one-sided (guards the when-chain depth the
+    // auto-sharder can reach under small caps)
+    val deep = Curation.decontaminateBloom(train, eval, n = 8, fpp = 0.01, shards = 64)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.subsetOf(deep), s"64-shard bloom missed: ${exact -- deep}")
     // AUTO-sharding: shrink the session caps so one filter can no longer
     // hold a ~300-gram suite — the build must shard (k=4 under these
     // caps) instead of tripping bloomAgg's clamp refusal

@@ -84,6 +84,33 @@ class SqlSurfaceSuite extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(7L -> "j"))
   }
 
+  test("GRAFT_READ routes flat parquet tables through the DSv2 face: SQL gets skipping") {
+    import graft.pipeline.VersionedTable
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlskip").toString + "/t"
+    VersionedTable.commit(s2, root, "parquet",
+      _ => s2.range(0, 800).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    s2.sql(s"GRAFT_READ('$root')").createOrReplaceTempView("skip_vt")
+    val df = s2.sql("SELECT v FROM skip_vt WHERE id = 7")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("r7"))
+    val planned = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.length
+    }
+    assert(planned == Seq(1),
+      s"SQL point lookup through GRAFT_READ must plan 1 of 8 files, planned $planned")
+    // hive-partitioned tables still take the per-branch V1 route
+    val hroot = java.nio.file.Files.createTempDirectory("graft_sqlhive").toString + "/t"
+    import s2.implicits._
+    VersionedTable.commit(s2, hroot, "parquet",
+      _ => Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    assert(s2.sql(s"GRAFT_READ('$hroot')").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("GRAFT_DIFF exposes keyed versioned CDC to pure SQL") {
     import graft.pipeline.{Append, Overwrite, SinkSpec, Writer}
     import s2.implicits._
