@@ -227,16 +227,23 @@ object DeltaRead {
         tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }.toMap
       case Some(adds) =>
         import spark.implicits._
+        // decode BEFORE the anti-join: the match key must be the
+        // canonical path, not its encoding — a cross-writer table can
+        // remove "a%28b%29" where the checkpoint added "a(b)" and an
+        // encoded-key join would resurrect the dead file (the driver
+        // replay always matched decoded; so must the distributed one)
+        val dec = org.apache.spark.sql.functions.udf((p: String) => decodePath(p))
+        val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"))
         val carried =
-          if (tail.isEmpty) adds
+          if (tail.isEmpty) addsDec
           else {
-            val touched = broadcast(tail.keys.toSeq.toDF("path"))
-            adds.join(touched, Seq("path"), "left_anti")
+            val touched = broadcast(tail.keys.toSeq.map(decodePath).distinct.toDF("path"))
+            addsDec.join(touched, Seq("path"), "left_anti")
           }
         val live = carried.collect().map { r =>
           val pv = if (r.isNullAt(1)) Map.empty[String, String]
             else r.getMap[String, String](1).toMap
-          decodePath(r.getString(0)) -> pv
+          r.getString(0) -> pv
         }.toMap
         live ++ tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }
     }

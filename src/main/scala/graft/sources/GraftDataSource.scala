@@ -102,8 +102,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
+                        properties: JMap[String, String]): Table = {
+    // a user's .partitionBy(...) would otherwise be SILENTLY dropped
+    // (the manifest protocol manages its own layout); refuse with the
+    // API that does partition
+    require(partitioning.isEmpty,
+      "the graft format does not accept partitionBy — hive-partitioned commits " +
+        "go through VersionedTable.commitDelta/commit(partitionBy = ...), and " +
+        "clustered layouts through compact(zorderBy = ...)")
     new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+  }
 }
 
 private[sources] object GraftDataSource {
@@ -414,7 +422,10 @@ class GraftScan(inner: ParquetScan, root: String)
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
-      inner.partitionFilters, inner.dataFilters) {
+      inner.partitionFilters, inner.dataFilters,
+      // every field carries over — dropping the variant extractions
+      // here would silently discard a pushed variant_get projection
+      inner.pushedVariantExtractions) {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(this, root, checkpointLocation)

@@ -415,6 +415,23 @@ class DeltaReadSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("cross-encoding remove: a tail remove matches a differently-encoded checkpoint add") {
+    import org.apache.spark.sql.Row
+    // checkpoint encodes parens ("a%28b%29"), the later remove uses the
+    // unencoded form — both decode to the same path, so the file is
+    // dead; matching on the ENCODED key would resurrect it
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "a(b).parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "live.parquet")
+    writeCkpt(root, Seq(
+      Row(null, Row(schema.json, Seq.empty[String])),
+      Row(Row("a%28b%29.parquet", Map.empty[String, String]), null),
+      Row(Row("live.parquet", Map.empty[String, String]), null)),
+      f"${0L}%020d.checkpoint.parquet")
+    commit(root, 1, Seq(removeLine("a(b).parquet")))
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("churned 10k-file log: checkpoint replay is distributed, only live files surface") {
     import org.apache.spark.sql.Row
     // A 10k-add checkpoint + a tail that removes 3 and re-adds 1 of
