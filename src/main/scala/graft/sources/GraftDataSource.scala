@@ -320,7 +320,7 @@ class GraftScanBuilder(spark: SparkSession,
       if (kept.length == files.length) s
       else s.copy(fileIndex = new InMemoryFileIndex(spark, kept.map(new Path(_)),
         Map.empty[String, String], Some(declaredSchema)))
-    new GraftScan(inner, root)
+    new GraftScan(inner, root, skippingInfo = s"${kept.length} of ${files.length} files")
   }
 }
 
@@ -378,6 +378,30 @@ private[sources] object GraftStatSkipping {
     acc.toMap
   }
 
+  /** Exact row count of `files` from their sidecars' per-file counts —
+    * None unless EVERY file has an entry (a partial sum would be a
+    * wrong statistic, worse than none). One sidecar read per dir.
+    */
+  def exactRowCount(spark: SparkSession, files: Seq[String]): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var total = 0L
+    for ((dir, fs) <- files.groupBy(f => new Path(f).getParent)) {
+      val stats = try FileStats.readSidecar(dir.getFileSystem(conf), dir)
+        catch { case scala.util.control.NonFatal(_) => None }
+      stats match {
+        case None => return None
+        case Some(entries) =>
+          val byName = entries.map(e => e.file -> e.rows).toMap
+          for (f <- fs) byName.get(new Path(f).getName) match {
+            case Some(n) => total += n
+            case None => return None
+          }
+      }
+    }
+    Some(total)
+  }
+
   /** Keep only the files whose sidecar stats can satisfy every
     * interval. Unsupported shapes keep everything (zero-cost exit:
     * nothing is read when no usable interval exists).
@@ -417,8 +441,14 @@ private[sources] object GraftStatSkipping {
 /** A ParquetScan (same fields, same batch behavior) that additionally
   * streams: `toMicroBatchStream` hands back the manifest-offset
   * micro-batch stream instead of FileScan's UnsupportedOperation.
+  * Statistics and explain output carry the manifest's knowledge:
+  * `numRows` comes from the sidecars' exact per-file row counts (a
+  * join planner that knows the post-skipping cardinality picks
+  * broadcast joins a size-only estimate would miss), and the
+  * formatted explain shows how many files stat-skipping kept.
   */
-class GraftScan(inner: ParquetScan, root: String)
+class GraftScan(inner: ParquetScan, root: String,
+                skippingInfo: String = "")
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
@@ -429,6 +459,27 @@ class GraftScan(inner: ParquetScan, root: String)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(this, root, checkpointLocation)
+
+  // once per scan instance — planning may ask repeatedly
+  private lazy val sidecarRows: Option[Long] =
+    GraftStatSkipping.exactRowCount(sparkSession, fileIndex.inputFiles.toSeq)
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = super.estimateStatistics()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong = sidecarRows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => base.numRows()
+      }
+    }
+  }
+
+  override def getMetaData(): Map[String, String] = {
+    val base = super.getMetaData()
+    if (skippingInfo.isEmpty) base
+    else base + ("GraftStatSkipping" -> skippingInfo)
+  }
 }
 
 /** DSv2 offset = committed manifest version (0 is the "before any

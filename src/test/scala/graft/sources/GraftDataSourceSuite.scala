@@ -88,6 +88,16 @@ class GraftDataSourceSuite extends SparkSpec {
     // string column skipping through the same sidecars
     val sEq = spark.read.format("graft").load(root).where(col("v") === "r7")
     assert(ids(sEq) == Seq(7L))
+    // skipping is visible in the formatted explain
+    val fmt = eq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("GraftStatSkipping") && fmt.contains("1 of 8 files"),
+      s"skipping not surfaced in explain:\n$fmt")
+    // the manifest's exact row counts feed Catalyst statistics — a
+    // size-only estimate would leave rowCount empty
+    val statd = spark.read.format("graft").load(root)
+    assert(statd.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(800)),
+      s"sidecar rowCount missing: ${statd.queryExecution.optimizedPlan.stats}")
   }
 
   test("Z-ordered compaction + stat skipping: filters on EITHER clustered column prune") {
@@ -305,6 +315,28 @@ class GraftDataSourceSuite extends SparkSpec {
       spark.read.format("graft").load(tmp("graft_dsv2_fresh") + "/t").collect()
     }
     assert(e2.getMessage.contains("no committed version"), e2.getMessage)
+  }
+
+  test("concurrent df.write appends serialize through the CAS: all land, none lost") {
+    import graft.pipeline.VersionedTable
+    val root = tmp("graft_dsv2_conc") + "/t"
+    rows(0L).write.format("graft").mode("append").save(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val writes = (1L to 8L).map { i =>
+        scala.concurrent.Future {
+          rows(i).write.format("graft").mode("append").save(root)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes), scala.concurrent.duration.Duration("120s"))
+    } finally pool.shutdown()
+    assert(ids(spark.read.format("graft").load(root)) == (0L to 8L),
+      "a lost CAS race must retry, not drop an append")
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 9L,
+      "9 commits = 9 versions, serialized")
   }
 
   test("writeStream.format(graft): graft→graft replication, exactly-once across restart") {
