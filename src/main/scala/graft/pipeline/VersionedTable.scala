@@ -44,19 +44,32 @@ object VersionedTable {
 
   /** A committed version = an ordered list of immutable data ENTRIES
     * (manifest pointer content, one per line). An entry is either a
-    * whole data directory (`data-...`) or — after a file-pruned
-    * [[commitMerge]] — a single FILE inside one (`data-.../part-...`,
-    * distinguished by the '/'): the carried-over untouched files of a
-    * partially-rewritten directory. Merge-style commits write one full
-    * directory; APPEND commits reuse the base's entries and add only
-    * their delta — O(delta) I/O instead of a full copy — until
+    * whole data directory (`data-...`), or — after a file-pruned
+    * [[commitMerge]] — a single FILE inside one (`data-.../part-...`),
+    * or — after a partition-pruned [[commitPartitionOverwrite]] — a
+    * hive PARTITION SUBTREE (`data-.../p=v[/q=w...]`, every post-dir
+    * segment a `col=value` pair): the carried-over untouched slices of
+    * a partially-rewritten directory. Merge-style commits write one
+    * full directory; APPEND commits reuse the base's entries and add
+    * only their delta — O(delta) I/O instead of a full copy — until
     * [[commitDelta]]'s `compactAfter` threshold triggers a compacting
     * rewrite.
     */
   final case class Snapshot(version: Long, dataDirs: Seq[String])
 
-  /** Is this manifest entry a single-file reference? */
+  /** Is this manifest entry a reference INTO a data directory (file or
+    * partition subtree), as opposed to a whole directory?
+    */
   private[pipeline] def isFileRef(entry: String): Boolean = entry.contains("/")
+
+  /** Is this a hive partition-subtree reference? Every segment after
+    * the data dir has `col=value` form — Spark's partition-path writer
+    * ESCAPES '=' inside values and parquet part-file names never
+    * contain one, so the shape is unambiguous against file refs.
+    */
+  private[pipeline] def isPartitionRef(entry: String): Boolean =
+    isFileRef(entry) &&
+      entry.split('/').drop(1).forall(seg => seg.contains('=') && !seg.startsWith("="))
 
   /** The data DIRECTORY an entry keeps alive (itself, or a file ref's
     * parent) — the unit vacuum reasons about.
@@ -166,7 +179,8 @@ object VersionedTable {
 
   private def load(spark: SparkSession, rootP: Path, format: String,
                    dirs: Seq[String]): DataFrame = {
-    val (fileRefs, dirRefs) = dirs.partition(isFileRef)
+    val (refs, dirRefs) = dirs.partition(isFileRef)
+    val (partRefs, fileRefs) = refs.partition(isPartitionRef)
     val dirReads = dirRefs.map(d => spark.read.format(format).load(new Path(rootP, d).toString))
     // File refs (commitMerge carry-overs) group by their parent dir —
     // files of one immutable dir share a schema — and read as ONE
@@ -174,7 +188,17 @@ object VersionedTable {
     val fileReads = fileRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (_, refs) =>
       spark.read.format(format).load(refs.map(r => new Path(rootP, r).toString): _*)
     }
-    val reads = dirReads ++ fileReads
+    // Partition-subtree refs (commitPartitionOverwrite carry-overs)
+    // group by their parent dir and read as ONE multi-path scan with
+    // basePath = the parent, so Spark derives the partition columns
+    // from the path components BELOW the base — the carried slices
+    // keep their `col=value` columns while only the referenced
+    // subtrees are ever listed or scanned.
+    val partReads = partRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (d, refs) =>
+      spark.read.format(format).option("basePath", new Path(rootP, d).toString)
+        .load(refs.map(r => new Path(rootP, r).toString): _*)
+    }
+    val reads = dirReads ++ fileReads ++ partReads
     if (reads.length == 1) reads.head
     else
       // One read PER DIRECTORY, unioned by name — not a single
@@ -347,6 +371,13 @@ object VersionedTable {
     */
   def entryFiles(spark: SparkSession, root: String, entries: Seq[String]): Seq[String] = {
     val (fs, rootP) = fsFor(spark, root)
+    entries.find(isPartitionRef).foreach { e =>
+      throw new UnsupportedOperationException(
+        s"manifest entry $e of versioned table at $root is a partition-subtree " +
+          "reference — its partition columns live in the path, which a flat file " +
+          "enumeration would drop; read this table with GRAFT_READ / " +
+          "VersionedTable.read instead of format(\"graft\")")
+    }
     val (fileRefs, dirRefs) = entries.partition(isFileRef)
     val fromDirs = dirRefs.flatMap { d =>
       val dp = new Path(rootP, d)
@@ -791,6 +822,180 @@ object VersionedTable {
         "writer contention is pathological; retry with backoff or shard the table")
   }
 
+  /** PARTITION-PRUNED dynamic partition overwrite — the commit that
+    * keeps `overwrite_partition` O(touched partitions) instead of
+    * O(table) at 100 TB. The classic [[commit]] route anti-joins the
+    * whole base and rewrites every byte; this one classifies the
+    * snapshot's hive leaves against the source's partition tuples and
+    * rewrites NOTHING: untouched leaves carry over in the next
+    * manifest as partition-subtree references (`dir/p=v`), touched
+    * leaves are simply dropped, and the source lands as one new
+    * partitioned directory. Data I/O = writing the source — the cost
+    * model of Spark's own dynamic partitionOverwriteMode, plus
+    * snapshot isolation and time travel.
+    *
+    * Matching is by Spark's partition-path value domain: source tuples
+    * render via CAST(col AS STRING) (exactly the value Spark escapes
+    * into the `col=value` path) and directory names decode via
+    * the catalyst unescape — so `p=a%20b` matches the source value
+    * "a b". Null partition values are refused loudly (the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel round-trips ambiguously
+    * with the literal string).
+    *
+    * Layouts this cannot classify — a flat (unpartitioned) data dir, a
+    * dir partitioned by DIFFERENT columns, a flat file ref from an
+    * earlier [[commitMerge]] — fall back to the full-rewrite
+    * anti-join+union commit, which is always sound. Reference analog:
+    * drune's writer.py `overwrite_partition` mode over
+    * `insertInto`-style dynamic overwrite (reference engines/spark/
+    * steps/writer.py:578-673); the manifest carry-over is this repo's
+    * scale re-expression.
+    */
+  def commitPartitionOverwrite(
+      spark: SparkSession,
+      root: String,
+      format: String,
+      source: DataFrame,
+      partitionBy: Seq[String],
+      maxAttempts: Int = 5,
+      maxPartitions: Int = 1000000): Long = {
+    require(partitionBy.nonEmpty, "commitPartitionOverwrite needs partition columns")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(new Path(rootP, ManifestDir))
+    import org.apache.spark.sql.functions.col
+    // The touched tuple set is collected ONCE (it is bounded by the
+    // partition count, not the data volume) and re-used per attempt.
+    val tupleRows = source
+      .select(partitionBy.map(c => col(c).cast("string")): _*)
+      .distinct().limit(maxPartitions + 1).collect()
+    require(tupleRows.length <= maxPartitions,
+      s"commitPartitionOverwrite at $root: source spans more than $maxPartitions " +
+        "distinct partitions — that is a table rewrite, use mode=overwrite")
+    val touched: Set[Seq[String]] = tupleRows.map { r =>
+      partitionBy.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"commitPartitionOverwrite at $root: null value in partition column " +
+            s"'${partitionBy(i)}' — null partitions are not supported on versioned sinks")
+        r.getString(i)
+      }
+    }.toSet
+    if (touched.isEmpty)
+      // dynamic-overwrite of nothing replaces nothing: no-op, like
+      // Spark's own dynamic partitionOverwriteMode with an empty frame
+      return currentSnapshot(spark, root).map(_.version).getOrElse(
+        commit(spark, root, format, _ => source, partitionBy, commitKind = "merge"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      currentSnapshot(spark, root) match {
+        case None =>
+          return commit(spark, root, format, _ => source,
+            partitionBy = partitionBy, commitKind = "merge")
+        case Some(s) =>
+          classifyPartitionEntries(fs, rootP, s.dataDirs, partitionBy, touched) match {
+            case None =>
+              // not partition-classifiable: sound full-rewrite fallback
+              return commit(spark, root, format, {
+                case None => source
+                case Some(b) =>
+                  val parts = source.select(partitionBy.map(col): _*).distinct()
+                  b.join(parts, partitionBy, "left_anti")
+                    .unionByName(source, allowMissingColumns = true)
+              }, partitionBy = partitionBy, commitKind = "merge")
+            case Some(carried) =>
+              val next = s.version + 1
+              val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
+              val dataDir = new Path(rootP, dirName)
+              source.write.format(format).partitionBy(partitionBy: _*)
+                .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                .save(dataDir.toString)
+              val pointer = (carried :+ dirName) :+ "#kind=merge"
+              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+                  pointer.mkString("\n"))) {
+                recordFormat(fs, rootP, format)
+                return next
+              }
+              fs.delete(dataDir, true) // lost the race: re-classify
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"versioned partition overwrite at $root lost the publish race $maxAttempts " +
+        "times — writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** Split a snapshot's entries for a partition overwrite: Some(the
+    * entries to carry over) — untouched whole dirs stay whole-dir
+    * entries, partially-touched dirs decompose into partition-subtree
+    * refs for their untouched leaves, touched leaves drop. None = some
+    * entry is not classifiable against `partitionBy` (flat dir, flat
+    * file ref, different partition columns/depth, stray data files at
+    * a non-leaf level) and the caller must full-rewrite.
+    */
+  private def classifyPartitionEntries(
+      fs: FileSystem, rootP: Path, entries: Seq[String],
+      partitionBy: Seq[String], touched: Set[Seq[String]])
+      : Option[Seq[String]] = {
+    val carried = Seq.newBuilder[String]
+    for (entry <- entries) {
+      if (isPartitionRef(entry)) {
+        val segs = entry.split('/')
+        val names = segs.drop(1).map(_.takeWhile(_ != '='))
+        if (!names.sameElements(partitionBy)) return None
+        val vals = segs.drop(1).zip(partitionBy).map { case (seg, c) =>
+          unescapePartitionValue(seg.substring(c.length + 1))
+        }
+        if (!touched.contains(vals.toSeq)) carried += entry
+      } else if (isFileRef(entry)) {
+        return None // flat file ref: its rows' partitions are unknown
+      } else {
+        partitionLeaves(fs, new Path(rootP, entry), partitionBy) match {
+          case None => return None
+          case Some(leaves) =>
+            val (t, u) = leaves.partition { case (_, vals) => touched.contains(vals) }
+            if (t.isEmpty) carried += entry // whole dir survives as-is
+            else carried ++= u.map { case (rel, _) => s"$entry/$rel" }
+        }
+      }
+    }
+    Some(carried.result())
+  }
+
+  /** Leaf partition subtrees of a hive-partitioned data dir, as
+    * (relative path, decoded value tuple) at exactly `partitionBy`
+    * depth — or None when the layout does not match (flat dir, other
+    * column names, data files at a non-leaf level). O(partitions)
+    * directory listings, zero data I/O.
+    */
+  private def partitionLeaves(fs: FileSystem, dir: Path, partitionBy: Seq[String])
+      : Option[Seq[(String, Seq[String])]] = {
+    def walk(p: Path, rel: String, vals: List[String], depth: Int)
+        : Option[Seq[(String, Seq[String])]] =
+      if (depth == partitionBy.length) Some(Seq((rel, vals.reverse)))
+      else {
+        val entries = fs.listStatus(p).toSeq
+          .filterNot(e => e.getPath.getName.startsWith("_") || e.getPath.getName.startsWith("."))
+        if (entries.exists(e => !e.isDirectory)) None // stray data file above leaf depth
+        else {
+          val expect = partitionBy(depth) + "="
+          if (!entries.forall(_.getPath.getName.startsWith(expect))) None
+          else {
+            val results = entries.map { e =>
+              val name = e.getPath.getName
+              walk(e.getPath, if (rel.isEmpty) name else s"$rel/$name",
+                unescapePartitionValue(name.substring(expect.length)) :: vals, depth + 1)
+            }
+            if (results.exists(_.isEmpty)) None else Some(results.flatMap(_.get))
+          }
+        }
+      }
+    walk(dir, "", Nil, 0)
+  }
+
+  /** Decode one hive partition-path value the way Spark encoded it. */
+  private def unescapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
   /** Widen a collected key to the stats value domain (int→long,
     * float→double — [[FileStats]] stores widened values).
     */
@@ -818,6 +1023,10 @@ object VersionedTable {
     val untouched = Seq.newBuilder[String]
     val touched = Seq.newBuilder[String]
     for (entry <- entries) {
+      // a partition-subtree ref carries hive partition columns in its
+      // path — a file-level rewrite of it would drop them; the parent
+      // layout is hive anyway, so take the full-rewrite fallback
+      if (isPartitionRef(entry)) return None
       val dir = entryDir(entry)
       val dirP = new Path(rootP, dir)
       val statsByFile: Map[String, FileStats.FileStat] =
@@ -873,6 +1082,8 @@ object VersionedTable {
       colName: String, lo: Any, hi: Any): Seq[String] = {
     val kept = Seq.newBuilder[String]
     for (entry <- entries) {
+      if (isPartitionRef(entry)) { kept += entry } // hive slice: no file stats
+      else {
       val dirP = new Path(rootP, entryDir(entry))
       FileStats.readSidecar(fs, dirP).map(_.map(st => st.file -> st).toMap) match {
         case None => kept += entry // no sidecar: read it all
@@ -891,6 +1102,7 @@ object VersionedTable {
               if (keep.length == files.length) kept += entry
               else kept ++= keep.map(f => s"${entryDir(entry)}/$f")
           }
+      }
       }
     }
     kept.result()

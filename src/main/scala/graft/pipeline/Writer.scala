@@ -216,24 +216,25 @@ object Writer {
           merge = (touched, src) => clustered(upsert(src, Some(touched))),
           partitionBy = sink.partitionBy)
         return
+      case OverwritePartition =>
+        require(sink.partitionBy.nonEmpty,
+          "overwrite_partition on a versioned sink needs partition_by")
+        // PARTITION-PRUNED dynamic overwrite: untouched hive leaves
+        // carry over in the manifest as partition-subtree references
+        // (zero data I/O), touched leaves drop, the source lands as
+        // one new partitioned dir — O(source) instead of O(table).
+        // Unclassifiable layouts fall back to the anti-join full
+        // rewrite inside commitPartitionOverwrite.
+        VersionedTable.commitPartitionOverwrite(spark, sink.path, sink.format,
+          clustered(df), partitionBy = sink.partitionBy)
+        return
       case _ => ()
     }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
-      case Append | MergeUpsert => _ => throw new IllegalStateException(
-        "unreachable: Append commits through commitDelta, MergeUpsert through commitMerge")
+      case Append | MergeUpsert | OverwritePartition => _ => throw new IllegalStateException(
+        "unreachable: Append commits through commitDelta, MergeUpsert through " +
+          "commitMerge, OverwritePartition through commitPartitionOverwrite")
       case Overwrite => _ => df
-      case OverwritePartition => base =>
-        base match {
-          case None => df
-          case Some(b) =>
-            require(sink.partitionBy.nonEmpty,
-              "overwrite_partition on a versioned sink needs partition_by")
-            // dynamic-partition-overwrite semantics: base rows in any
-            // partition present in df are replaced; others survive
-            val parts = df.select(sink.partitionBy.map(col): _*).distinct()
-            b.join(parts, sink.partitionBy, "left_anti")
-              .unionByName(df, allowMissingColumns = true)
-        }
       case OverwriteWhere(cond) => base =>
         base.map(_.where(s"NOT ($cond)")
             .unionByName(df.where(cond), allowMissingColumns = true))

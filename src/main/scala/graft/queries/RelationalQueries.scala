@@ -804,6 +804,36 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q84: PARTITION-PRUNED dynamic partition overwrite under the
+    // oracle gate — the base commits as a hive-partitioned snapshot
+    // (partition col o_orderstatus), then overwrite_partition replaces
+    // ONLY the 'F' partition with re-priced rows: the untouched 'O'
+    // and 'P' leaves carry over in the next manifest as
+    // partition-subtree references (zero data I/O, byte-identical —
+    // PartitionOverwriteSuite), the 'F' leaf drops, and the source
+    // lands as one new partitioned dir. O(source) commit instead of
+    // round-8's O(table) anti-join rewrite; the driver hash covers
+    // classification → subtree carry-over → basePath re-read →
+    // dynamic-overwrite semantics end-to-end.
+    "q84_partition_overwrite" -> ((s, dir) => {
+      val root = scratchRoot("graft_q84")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      val po = orders.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("((__cents * 110 + 50) div 100) / 100.0D").as("price"),
+          lit("po").as("src"))
+      Writer.write(s, base, SinkSpec(root, mode = Overwrite, versioned = true,
+        partitionBy = Seq("o_orderstatus")))
+      Writer.write(s, po, SinkSpec(root, mode = OverwritePartition, versioned = true,
+        partitionBy = Seq("o_orderstatus")))
+      VersionedTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1242,6 +1272,16 @@ object RelationalQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // dynamic-overwrite closed form: 'F' rows come from the re-priced
+    // overwrite batch, every other partition keeps its base rows
+    "q84_partition_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'po' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the two append commits re-assemble the full lineitem projection,
     // so the DSv2 read reduces to a flat filtered GROUP BY

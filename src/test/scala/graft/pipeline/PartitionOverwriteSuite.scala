@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partition-pruned dynamic partition overwrite
+  * ([[VersionedTable.commitPartitionOverwrite]]): untouched hive
+  * leaves carry over in the next manifest as partition-subtree
+  * references (zero data I/O, byte-identical), touched leaves drop,
+  * and the source lands as one new partitioned directory — the
+  * O(source) commit shape `overwrite_partition` needs at 100 TB.
+  */
+class PartitionOverwriteSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  private def digest(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.file.Files.readAllBytes(p))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** All data files under dir (recursive), name-relative → md5. */
+  private def treeDigest(root: String, dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root, dir)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => base.relativize(p).toString -> digest(p)).toMap
+  }
+
+  private def seed = Seq(
+    (1L, "US", 10L), (2L, "US", 20L),
+    (3L, "DE", 30L), (4L, "DE", 40L),
+    (5L, "FR", 50L), (6L, "FR", 60L)).toDF("id", "cc", "v")
+
+  test("untouched partitions carry over as subtree refs, byte-identical; touched drop") {
+    val root = tmpRoot("graft_po")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    val v1dir = VersionedTable.currentSnapshot(spark, root).get.dataDirs.head
+    val before = treeDigest(root, v1dir)
+
+    val fix = Seq((7L, "DE", 700L)).toDF("id", "cc", "v")
+    val v2 = VersionedTable.commitPartitionOverwrite(spark, root, "parquet", fix, Seq("cc"))
+    assert(v2 == 2L)
+
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val refs = snap.dataDirs.filter(VersionedTable.isPartitionRef)
+    val dirs = snap.dataDirs.filterNot(VersionedTable.isFileRef)
+    assert(refs.map(_.split('/').last).toSet == Set("cc=US", "cc=FR"),
+      s"US and FR must carry over as partition refs: ${snap.dataDirs}")
+    assert(refs.forall(_.startsWith(v1dir + "/")), s"refs must point into v1's dir: $refs")
+    assert(dirs.size == 1 && dirs.head != v1dir, s"one new dir expected: ${snap.dataDirs}")
+
+    // carried subtrees byte-identical (nothing rewrote them)
+    val after = treeDigest(root, v1dir)
+    assert(after == before, "carried-over partition subtrees must be untouched bytes")
+
+    // read-back = dynamic-overwrite semantics: DE replaced, US/FR intact
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "US", 10L), (2L, "US", 20L), (5L, "FR", 50L),
+      (6L, "FR", 60L), (7L, "DE", 700L)))
+
+    // time travel: v1 reads the full original snapshot
+    val v1got = VersionedTable.readVersion(spark, root, 1L)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(v1got == seed.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("a dir with no touched partition carries over WHOLE; refs re-classify on the next overwrite") {
+    val root = tmpRoot("graft_po2")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    // append lands a second partitioned dir holding only GB
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((8L, "GB", 80L)).toDF("id", "cc", "v"), partitionBy = Seq("cc"))
+
+    val fix = Seq((9L, "US", 900L)).toDF("id", "cc", "v")
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet", fix, Seq("cc"))
+    val snap3 = VersionedTable.currentSnapshot(spark, root).get
+    // GB's dir untouched → whole-dir entry survives; seed dir decomposes
+    assert(snap3.dataDirs.count(e => !VersionedTable.isFileRef(e)) == 2,
+      s"GB delta dir + the new dir as whole dirs: ${snap3.dataDirs}")
+    assert(snap3.dataDirs.count(VersionedTable.isPartitionRef) == 2,
+      s"DE and FR as partition refs: ${snap3.dataDirs}")
+
+    // second overwrite classifies the EXISTING refs (drop FR, keep DE)
+    val fix2 = Seq((10L, "FR", 1000L)).toDF("id", "cc", "v")
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet", fix2, Seq("cc"))
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((3L, "DE", 30L), (4L, "DE", 40L), (8L, "GB", 80L),
+      (9L, "US", 900L), (10L, "FR", 1000L)))
+    val snap4 = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap4.dataDirs.exists(e => VersionedTable.isPartitionRef(e) &&
+      e.endsWith("cc=DE")), s"DE ref must survive overwrite #2: ${snap4.dataDirs}")
+    assert(!snap4.dataDirs.exists(e => e.endsWith("cc=FR") &&
+      VersionedTable.isPartitionRef(e)), s"FR ref must drop: ${snap4.dataDirs}")
+  }
+
+  test("multi-column partitioning and escaped values classify correctly") {
+    val root = tmpRoot("graft_po3")
+    val base = Seq((1L, "a b", 2024, 10L), (2L, "x=y", 2024, 20L), (3L, "a b", 2025, 30L))
+      .toDF("id", "name", "yr", "v")
+    VersionedTable.commit(spark, root, "parquet", _ => base, partitionBy = Seq("name", "yr"))
+    val fix = Seq((4L, "a b", 2024, 400L)).toDF("id", "name", "yr", "v")
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet", fix, Seq("name", "yr"))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val refs = snap.dataDirs.filter(VersionedTable.isPartitionRef)
+    assert(refs.size == 2, s"two untouched leaves must carry: ${snap.dataDirs}")
+    val got = VersionedTable.read(spark, root)
+      .select("id", "name", "yr", "v").as[(Long, String, Int, Long)].collect().toSet
+    assert(got == Set((2L, "x=y", 2024, 20L), (3L, "a b", 2025, 30L), (4L, "a b", 2024, 400L)))
+  }
+
+  test("int partition values match through the cast-string domain") {
+    val root = tmpRoot("graft_po4")
+    val base = Seq((1L, 7, 10L), (2L, 8, 20L)).toDF("id", "bucket", "v")
+    VersionedTable.commit(spark, root, "parquet", _ => base, partitionBy = Seq("bucket"))
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((3L, 7, 300L)).toDF("id", "bucket", "v"), Seq("bucket"))
+    val got = VersionedTable.read(spark, root)
+      .select("id", "bucket", "v").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((2L, 8, 20L), (3L, 7, 300L)))
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs
+      .exists(e => VersionedTable.isPartitionRef(e) && e.endsWith("bucket=8")))
+  }
+
+  test("unclassifiable layout (flat base dir) falls back to a sound full rewrite") {
+    val root = tmpRoot("graft_po5")
+    // base committed UNPARTITIONED; overwrite asks for cc partitioning
+    VersionedTable.commit(spark, root, "parquet", _ => seed)
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((7L, "DE", 700L)).toDF("id", "cc", "v"), Seq("cc"))
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "US", 10L), (2L, "US", 20L), (5L, "FR", 50L),
+      (6L, "FR", 60L), (7L, "DE", 700L)))
+    // full rewrite: no refs in the new manifest
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs
+      .forall(e => !VersionedTable.isFileRef(e)))
+  }
+
+  test("null partition value is refused loudly") {
+    val root = tmpRoot("graft_po6")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    val bad = Seq((7L, null.asInstanceOf[String], 700L)).toDF("id", "cc", "v")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitionOverwrite(spark, root, "parquet", bad, Seq("cc"))
+    }
+    assert(e.getMessage.contains("null value in partition column"))
+  }
+
+  test("DSv2 flat file enumeration refuses partition refs loudly") {
+    val root = tmpRoot("graft_po7")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((7L, "DE", 700L)).toDF("id", "cc", "v"), Seq("cc"))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.entryFiles(spark, root, snap.dataDirs)
+    }
+    assert(e.getMessage.contains("partition-subtree"))
+  }
+
+  test("vacuum keeps parent dirs pinned by partition refs; compact folds refs away") {
+    val root = tmpRoot("graft_po8")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    val v1dir = VersionedTable.currentSnapshot(spark, root).get.dataDirs.head
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((7L, "DE", 700L)).toDF("id", "cc", "v"), Seq("cc"))
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, v1dir)),
+      "v1's dir holds carried partitions and must survive vacuum")
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got.size == 5 && got.contains((7L, "DE", 700L)))
+
+    // compact folds the refs into one fresh dir; a later vacuum retires v1's dir
+    VersionedTable.compact(spark, root, partitionBy = Seq("cc"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs
+      .forall(e => !VersionedTable.isFileRef(e)))
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, v1dir)),
+      "after compaction nothing references v1's dir")
+    val got2 = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got2 == got)
+  }
+}
