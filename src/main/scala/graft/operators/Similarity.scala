@@ -55,6 +55,10 @@ object Similarity {
     * ≤ 64 planes × dim few hundred; broadcast otherwise).
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
+    // planes = 0 is EXACT mode: every vector lands in one bucket, so a
+    // bucketed operator degrades to its all-pairs/all-candidates
+    // semantics (the oracle-closure trick — see q85/q79)
+    if (planes == 0) return lit(0L)
     val rnd = new scala.util.Random(seed)
     val planeCols = (0 until planes).map { _ =>
       array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)

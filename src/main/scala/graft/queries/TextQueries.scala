@@ -129,6 +129,20 @@ object TextQueries {
         threshold = 0.30, planes = 6)
         .orderBy("id_a", "id_b")),
 
+    // q85: q33's near-dup operator in EXACT mode — planes=0 puts the
+    // whole (id-capped) corpus into ONE bucket, so the LSH bucketing,
+    // skew-capped pair generation and cosine verify must reproduce the
+    // exact all-pairs answer, which IS SQL-expressible: the DuckDB
+    // oracle computes every vec_id<2000 pair's double-accumulated
+    // cosine directly (the q79/q76 conversion trick applied to the
+    // near-dup family — its first member under a full hash check).
+    "q85_embed_neardup_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 2000)
+      Similarity.embeddingNearDup(emb, dim = 64, threshold = 0.30,
+          planes = 0, maxBucket = 4000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // q34: brute-force cosine top-k (exact ANN baseline) for a 10-probe
     // set; probe side broadcast, corpus scanned once.
     "q34_knn_brute" -> ((s, dir) => {
@@ -598,6 +612,22 @@ object TextQueries {
          |ORDER BY doc_id, rank""".stripMargin,
 
     "q34_knn_brute" -> knnBruteSql,
+
+    // exact all-pairs cosine near-dup over the id-capped corpus: the
+    // planes=0 single-bucket run must equal this closed form (same
+    // double-accumulated dot product as knnBruteSql, rounded to 4dp
+    // BEFORE the threshold test, mirroring the Spark operator)
+    "q85_embed_neardup_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / nullif(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 0), 4) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.30
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same oracle as q34: with nprobe = nlist the incremental index's
     // search is exhaustive, so init → append → search must land on the

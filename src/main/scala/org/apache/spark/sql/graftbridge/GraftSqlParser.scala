@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
   * GRAFT_DIFF('/path', 1, 3, KEY k, COMPARE a, b)     -- compare only a, b
   * GRAFT_REFRESH('/aggRoot')                          -- incremental matview refresh
+  * GRAFT_COMPACT('/path')                             -- fold entries into one dir
+  * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
+  * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
+  * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * }}}
   *
   * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
@@ -38,7 +42,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AsOfStmt, DiffStmt, ReadStmt, RefreshStmt, VersionsStmt}
+  import GraftSqlParser.{AsOfStmt, CompactStmt, DiffStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -109,12 +113,39 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
           .toDF("version", "committed_at", "num_dirs")
           .queryExecution.logical
       }
+    case CompactStmt(path, partBy, zorderBy, files) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      val pb = Option(partBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val zb = Option(zorderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      // maintenance ACTS at parse time, like GRAFT_REFRESH; the plan
+      // returns the resulting (version, entry count) summary row
+      val v = Option(files).map(_.toInt) match {
+        case Some(n) => VersionedTable.compact(session, path, partitionBy = pb,
+          zorderBy = zb, zorderFiles = n)
+        case None => VersionedTable.compact(session, path, partitionBy = pb, zorderBy = zb)
+      }
+      val entries = VersionedTable.currentSnapshot(session, path)
+        .map(_.dataDirs.length).getOrElse(0)
+      Seq((v, entries)).toDF("version", "num_entries").queryExecution.logical
+    case VacuumStmt(path, keep, grace) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      VersionedTable.vacuum(session, path,
+        keep = Option(keep).map(_.toInt).getOrElse(3),
+        graceMs = Option(grace).map(_.toLong).getOrElse(3600L * 1000))
+      val h = VersionedTable.history(session, path)
+      if (h.isEmpty) throw new IllegalArgumentException(
+        s"versioned table at $path has no committed version")
+      Seq((h.map(_.version).max, h.length))
+        .toDF("newest_version", "versions_kept").queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
-         DiffStmt(_, _, _, _, _) | RefreshStmt(_) =>
+         DiffStmt(_, _, _, _, _) | RefreshStmt(_) | CompactStmt(_, _, _, _) |
+         VacuumStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -201,4 +232,22 @@ object GraftSqlParser {
     */
   private val RefreshStmt =
     """(?is)^\s*GRAFT_REFRESH\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+
+  /** Maintenance compaction (OPTIMIZE): optional PARTITION BY keeps
+    * the hive layout through the rewrite, optional ZORDER BY turns it
+    * into OPTIMIZE-with-ZORDER (FILES caps the clustered file count,
+    * default 8). The zorder column list is non-greedy so the optional
+    * FILES clause is not swallowed into it (DiffStmt's KEY/COMPARE
+    * pattern).
+    */
+  private val CompactStmt =
+    """(?is)^\s*GRAFT_COMPACT\s*\(\s*'([^']+)'\s*(?:,\s*PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*?))?(?:\s*,\s*ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*?)(?:\s*,\s*FILES\s+(\d{1,9}))?)?\s*\)\s*;?\s*$""".r
+
+  /** Version retention: KEEP = surviving version count (default 3),
+    * GRACE = unreferenced-directory grace window in MILLISECONDS
+    * (default 1 h — the concurrent-reader retention; 0 only when no
+    * reader/writer can be concurrent).
+    */
+  private val VacuumStmt =
+    """(?is)^\s*GRAFT_VACUUM\s*\(\s*'([^']+)'\s*(?:,\s*KEEP\s+(\d{1,9}))?(?:\s*,\s*GRACE\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
 }

@@ -144,6 +144,50 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_DIFF('/tmp/nope_vt', 1, 2, KEY k)") }
   }
 
+  test("GRAFT_COMPACT / GRAFT_VACUUM expose table maintenance to pure SQL") {
+    import graft.pipeline.{Append, SinkSpec, VersionedTable, Writer}
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlmnt").toString + "/t"
+    (1 to 3).foreach { i =>
+      Writer.write(s2, Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        SinkSpec(root, mode = Append, versioned = true))
+    }
+    assert(VersionedTable.currentSnapshot(s2, root).get.dataDirs.length == 3)
+    // compaction folds the three delta dirs into one; the summary row
+    // reports the committed version and the resulting entry count
+    val c = s2.sql(s"GRAFT_COMPACT('$root')").head()
+    assert(c.getLong(0) == 4L && c.getInt(1) == 1, s"unexpected summary: $c")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 3L)
+    // vacuum retires everything but the newest version (grace 0: this
+    // test owns the table); the old delta dirs leave the disk
+    val vac = s2.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)").head()
+    assert(vac.getLong(0) == 4L && vac.getInt(1) == 1, s"unexpected summary: $vac")
+    assert(VersionedTable.history(s2, root).map(_.version) == Seq(4L))
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 3L)
+
+    // OPTIMIZE-with-ZORDER: the compacted dir is Morton-clustered into
+    // the requested file count
+    val zc = s2.sql(s"GRAFT_COMPACT('$root', ZORDER BY k, FILES 2)").head()
+    assert(zc.getLong(0) == 5L && zc.getInt(1) == 1)
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 3L)
+
+    // a hive-partitioned table compacts with its layout preserved
+    val proot = java.nio.file.Files.createTempDirectory("graft_sqlmnp").toString + "/t"
+    Seq("US", "DE").foreach { cc =>
+      Writer.write(s2, Seq((1L, cc), (2L, cc)).toDF("k", "cc"),
+        SinkSpec(proot, mode = Append, versioned = true, partitionBy = Seq("cc")))
+    }
+    s2.sql(s"GRAFT_COMPACT('$proot', PARTITION BY cc)")
+    val dir = VersionedTable.currentSnapshot(s2, proot).get.dataDirs.head
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(proot, dir, "cc=US")),
+      "compaction must preserve the hive layout under PARTITION BY")
+    assert(s2.sql(s"GRAFT_READ('$proot')").where("cc = 'DE'").count() == 2L)
+
+    // absent table: the library's loud diagnostics, not empty results
+    intercept[IllegalArgumentException] { s2.sql("GRAFT_COMPACT('/tmp/nope_vt')") }
+    intercept[IllegalArgumentException] { s2.sql("GRAFT_VACUUM('/tmp/nope_vt')") }
+  }
+
   test("graft native functions are SQL-callable in the extensions session") {
     val r = s2.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
