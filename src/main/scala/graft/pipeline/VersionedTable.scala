@@ -996,6 +996,160 @@ object VersionedTable {
   private def unescapePartitionValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
+  /** STATS-PRUNED `overwrite_where` (Delta's replaceWhere) — result
+    * semantics are `base WHERE NOT cond  UNION  source WHERE cond`,
+    * but a file whose per-column min/max ranges PROVE it holds no
+    * cond-matching row is carried over in the next manifest BY
+    * REFERENCE instead of being filtered and rewritten: for a
+    * condition confined to a clustered column's range (the typical
+    * backfill — "replace this date span"), the commit rewrites only
+    * the intersecting files, O(touched + source) instead of O(table).
+    *
+    * Soundness: pruning uses only constraints IMPLIED by `cond` —
+    * top-level conjuncts of simple comparisons (`col >= lit` etc.,
+    * strict inequalities widened to closed bounds, anything inside
+    * OR/NOT/casts contributing nothing). A file disjoint from an
+    * implied constraint's interval cannot hold a matching row, so
+    * `WHERE NOT cond` is the identity on it and the byte-identical
+    * carry-over IS the rewrite. Files without usable stats, and
+    * conditions yielding no constraints, rewrite conservatively;
+    * hive layouts fall back to the full-rewrite commit.
+    *
+    * `transform` post-processes the replacement rows (the Writer
+    * passes its z-order clustering here, mirroring commitMerge).
+    */
+  def commitOverwriteWhere(
+      spark: SparkSession,
+      root: String,
+      format: String,
+      source: DataFrame,
+      cond: String,
+      transform: DataFrame => DataFrame = identity,
+      maxAttempts: Int = 5): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(new Path(rootP, ManifestDir))
+    val constraints = condConstraints(spark, cond)
+    // a file is untouchable iff SOME implied constraint's interval is
+    // provably disjoint from the file's range for that column
+    val touchesFile: Option[FileStats.FileStat] => Boolean = {
+      case Some(st) =>
+        !constraints.exists { case (c, lo, hi) =>
+          st.cols.get(c).exists { cs =>
+            lo.flatMap(l => statCmp(cs.max, l)).exists(_ < 0) ||
+              hi.flatMap(h => statCmp(cs.min, h)).exists(_ > 0)
+          }
+        }
+      case None => true
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      currentSnapshot(spark, root) match {
+        case None =>
+          // legacy Writer contract on an empty table: the source lands
+          // whole (no base rows to preserve, nothing to filter)
+          return commit(spark, root, format, _ => transform(source),
+            commitKind = "merge")
+        case Some(s) =>
+          classifyEntriesBy(fs, rootP, s.dataDirs, touchesFile) match {
+            case None =>
+              return commit(spark, root, format,
+                base => transform(base.map(_.where(s"NOT ($cond)")
+                    .unionByName(source.where(cond), allowMissingColumns = true))
+                  .getOrElse(source)),
+                commitKind = "merge")
+            case Some((untouchedEntries, touchedFiles)) =>
+              val next = s.version + 1
+              val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
+              val dataDir = new Path(rootP, dirName)
+              val touchedBase =
+                if (touchedFiles.nonEmpty) load(spark, rootP, format, touchedFiles)
+                else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
+              transform(touchedBase.where(s"NOT ($cond)")
+                  .unionByName(source.where(cond), allowMissingColumns = true))
+                .write.format(format)
+                .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                .save(dataDir.toString)
+              FileStats.writeSidecar(spark, fs, dataDir, format)
+              val pointer = (untouchedEntries :+ dirName) :+ "#kind=merge"
+              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+                  pointer.mkString("\n"))) {
+                recordFormat(fs, rootP, format)
+                return next
+              }
+              fs.delete(dataDir, true) // lost the race: re-classify
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"versioned overwrite-where at $root lost the publish race $maxAttempts " +
+        "times — writer contention is pathological; retry with backoff or shard the table")
+  }
+
+  /** Per-column closed intervals IMPLIED by `cond`: its top-level
+    * conjuncts of the form `col <op> literal` (either operand order),
+    * strict inequalities widened to closed bounds — a sound
+    * SUPERSET of the true match set, which is all pruning needs.
+    * OR/NOT subtrees, casts, functions and non-literal operands
+    * contribute nothing (→ conservative). An unparsable condition
+    * yields no constraints (→ every file rewrites).
+    */
+  private def condConstraints(spark: SparkSession, cond: String)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => v match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case l: java.lang.Long    => Some(l.longValue)
+        case s: java.lang.Short   => Some(s.longValue)
+        case b: java.lang.Byte    => Some(b.longValue)
+        case f: java.lang.Float   => Some(f.doubleValue)
+        case d: java.lang.Double  => Some(d.doubleValue)
+        case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def ge(a: Expression, v: Expression) = // col >= v  →  [v, ∞)
+      (for { c <- attrName(a); x <- litVal(v) } yield (c, Some(x): Option[Any], None: Option[Any])).toSeq
+    def le(a: Expression, v: Expression) = // col <= v  →  (-∞, v]
+      (for { c <- attrName(a); x <- litVal(v) } yield (c, None: Option[Any], Some(x): Option[Any])).toSeq
+    def eq(a: Expression, v: Expression) =
+      (for { c <- attrName(a); x <- litVal(v) } yield (c, Some(x): Option[Any], Some(x): Option[Any])).toSeq
+    def walk(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
+      case And(l, r)                 => walk(l) ++ walk(r)
+      case GreaterThanOrEqual(a, v)  => ge(a, v) ++ le(v, a)
+      case GreaterThan(a, v)         => ge(a, v) ++ le(v, a) // widened: sound
+      case LessThanOrEqual(a, v)     => le(a, v) ++ ge(v, a)
+      case LessThan(a, v)            => le(a, v) ++ ge(v, a) // widened: sound
+      case EqualTo(a, v)             => eq(a, v) ++ eq(v, a)
+      case _ => Nil
+    }
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(cond)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    walk(parsed)
+  }
+
+  /** [[FileStats.cmp]] with numeric widening and a None (no verdict)
+    * instead of a throw on incomparable types — pruning must stay
+    * conservative, never fail, on a type surprise.
+    */
+  private def statCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Long, y: Double)   => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)   => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
   /** Widen a collected key to the stats value domain (int→long,
     * float→double — [[FileStats]] stores widened values).
     */
@@ -1019,6 +1173,22 @@ object VersionedTable {
   private def classifyEntries(
       spark: SparkSession, fs: FileSystem, rootP: Path, entries: Seq[String],
       keyCol: String, touches: FileStats.ColStat => Boolean)
+      : Option[(Seq[String], Seq[String])] =
+    classifyEntriesBy(fs, rootP, entries, {
+      case Some(st) => st.cols.get(keyCol) match {
+        case Some(cs) => touches(cs)
+        case None => true // no usable stats: conservatively rewrite
+      }
+      case None => true
+    })
+
+  /** [[classifyEntries]] generalized to a whole-FileStat predicate —
+    * how [[commitOverwriteWhere]] consults several columns' ranges
+    * against one file.
+    */
+  private def classifyEntriesBy(
+      fs: FileSystem, rootP: Path, entries: Seq[String],
+      touchesFile: Option[FileStats.FileStat] => Boolean)
       : Option[(Seq[String], Seq[String])] = {
     val untouched = Seq.newBuilder[String]
     val touched = Seq.newBuilder[String]
@@ -1032,11 +1202,7 @@ object VersionedTable {
       val statsByFile: Map[String, FileStats.FileStat] =
         FileStats.readSidecar(fs, dirP)
           .map(_.map(st => st.file -> st).toMap).getOrElse(Map.empty)
-      def fileTouched(name: String): Boolean =
-        statsByFile.get(name).flatMap(_.cols.get(keyCol)) match {
-          case Some(cs) => touches(cs)
-          case None => true // no usable stats: conservatively rewrite
-        }
+      def fileTouched(name: String): Boolean = touchesFile(statsByFile.get(name))
       if (isFileRef(entry)) {
         val name = entry.substring(entry.indexOf('/') + 1)
         if (fileTouched(name)) touched += entry else untouched += entry

@@ -228,6 +228,15 @@ object Writer {
         VersionedTable.commitPartitionOverwrite(spark, sink.path, sink.format,
           clustered(df), partitionBy = sink.partitionBy)
         return
+      case OverwriteWhere(cond) if sink.partitionBy.isEmpty =>
+        // STATS-PRUNED replaceWhere: files whose min/max ranges prove
+        // no cond-matching row carry over by reference; only the
+        // intersecting files filter-and-rewrite — O(touched + source).
+        // Hive-partitioned sinks keep the classic full-rewrite path
+        // below (file refs cannot carry partition-directory columns).
+        VersionedTable.commitOverwriteWhere(spark, sink.path, sink.format,
+          df, cond, transform = clustered)
+        return
       case _ => ()
     }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {

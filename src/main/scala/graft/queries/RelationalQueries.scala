@@ -834,6 +834,32 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q86: STATS-PRUNED overwrite_where (replaceWhere) under the
+    // oracle gate — the base commits as 8 range-clustered files on
+    // o_orderkey, then the o_orderkey<1000 span is replaced with
+    // re-priced rows through commitOverwriteWhere: the per-file
+    // min/max stats prove ~7 of 8 files hold no matching row, so they
+    // carry over BY REFERENCE (byte-identical, PrunedMergeSuite) and
+    // only the intersecting file(s) filter-and-rewrite. The backfill
+    // commit shape at 100 TB: O(touched + source), not O(table).
+    "q86_overwrite_where" -> ((s, dir) => {
+      val root = scratchRoot("graft_q86")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      VersionedTable.commit(s, root, "parquet",
+        _ => base.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val repl = orders.where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("((__cents * 120 + 50) div 100) / 100.0D").as("price"),
+          lit("bf").as("src"))
+      VersionedTable.commitOverwriteWhere(s, root, "parquet", repl, "o_orderkey < 1000")
+      VersionedTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q62: funnel conversion — view→purchase by the same user within
     // one hour, grouped by day. Equi-join on user_id (the range test
     // rides the hash join as a post-filter, never a nested loop);
@@ -1272,6 +1298,16 @@ object RelationalQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // replaceWhere closed form: the o_orderkey<1000 span comes from
+    // the re-priced backfill batch, everything else keeps base rows
+    "q86_overwrite_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey < 1000
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 120 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderkey < 1000 THEN 'bf' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // dynamic-overwrite closed form: 'F' rows come from the re-priced
     // overwrite batch, every other partition keeps its base rows

@@ -175,4 +175,78 @@ class PrunedMergeSuite extends SparkSpec {
     assert(VersionedTable.readPruned(spark, root, "k", 5000000L, 6000000L)
       .where(col("k") >= 5000000L).count() == 0L)
   }
+
+  test("commitOverwriteWhere rewrites only cond-intersecting files; the rest carry byte-identical") {
+    val root = tmpRoot("graft_ow")
+    val v1dir = seedTable(root)
+    val before = dataFiles(root, v1dir).map(p => p.getFileName.toString -> digest(p)).toMap
+
+    // replace the k >= 7000 span (the top range-clustered file)
+    val repl = (7000L until 7500L).map(k => (k, -1L, "repl")).toDF("k", "v", "src")
+    val v2 = VersionedTable.commitOverwriteWhere(spark, root, "parquet", repl, "k >= 7000")
+    assert(v2 == 2L)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val carried = snap.dataDirs.filter(VersionedTable.isFileRef)
+    // range-partition boundaries are sampled: k>=7000 can straddle one
+    // boundary, touching 2 files instead of 1 — but never most of them
+    assert(carried.size >= 6, s"most files hold only k<7000 rows: ${snap.dataDirs}")
+    carried.foreach { ref =>
+      val name = ref.substring(ref.indexOf('/') + 1)
+      assert(digest(java.nio.file.Paths.get(root, v1dir, name)) == before(name))
+    }
+    // semantics: base WHERE NOT cond ∪ source WHERE cond
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("src"))).sortBy(_._1)
+    val expected = ((0L until 7000L).map(k => (k, k * 2, "base")) ++
+      (7000L until 7500L).map(k => (k, -1L, "repl"))).sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("commitOverwriteWhere: AND conjuncts prune; OR and non-literal conds degrade soundly") {
+    val root = tmpRoot("graft_ow2")
+    seedTable(root)
+    // conjunct on the clustered column prunes even with an unprunable
+    // second conjunct riding along
+    val repl = Seq((100L, 0L, "x")).toDF("k", "v", "src")
+    VersionedTable.commitOverwriteWhere(spark, root, "parquet", repl,
+      "k <= 200 AND src = 'base'")
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.dataDirs.count(VersionedTable.isFileRef) >= 6,
+      s"the k<=200 conjunct must prune most of the 8 files: ${snap.dataDirs}")
+    // replaceWhere semantics: the repl row has src='x', fails cond, and
+    // therefore does NOT land — only the k∈[0,200] base rows vanish
+    val got1 = VersionedTable.read(spark, root)
+    assert(got1.count() == 8000L - 201L, s"rows after replace: ${got1.count()}")
+    assert(got1.where(col("src") === "x").count() == 0L)
+
+    // an OR condition implies no per-column constraint: full rewrite,
+    // still the right answer
+    val root2 = tmpRoot("graft_ow3")
+    seedTable(root2)
+    VersionedTable.commitOverwriteWhere(spark, root2, "parquet",
+      Seq((5L, 5L, "y")).toDF("k", "v", "src"), "k = 5 OR k = 7999")
+    val snap2 = VersionedTable.currentSnapshot(spark, root2).get
+    assert(!snap2.dataDirs.exists(VersionedTable.isFileRef),
+      s"OR yields no implied constraint → conservative full rewrite: ${snap2.dataDirs}")
+    val got2 = VersionedTable.read(spark, root2)
+    assert(got2.count() == 7999L)
+    assert(got2.where(col("k") === 5L).head().getAs[String]("src") == "y")
+    assert(got2.where(col("k") === 7999L).count() == 0L)
+  }
+
+  test("Writer overwrite_where on a versioned sink takes the pruned path") {
+    import graft.pipeline.{OverwriteWhere, SinkSpec}
+    val root = tmpRoot("graft_ow4")
+    val v1dir = seedTable(root)
+    Writer.write(spark,
+      (6000L until 6100L).map(k => (k, 0L, "w")).toDF("k", "v", "src"),
+      SinkSpec(root, mode = OverwriteWhere("k >= 6000 AND k < 6100"), versioned = true))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.dataDirs.exists(VersionedTable.isFileRef),
+      s"the Writer route must carry untouched files by reference: ${snap.dataDirs}")
+    assert(snap.dataDirs.count(e => !VersionedTable.isFileRef(e)) == 1)
+    assert(VersionedTable.read(spark, root).count() == 8000L)
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 8000L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, v1dir)))
+  }
 }
