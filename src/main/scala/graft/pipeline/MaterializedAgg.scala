@@ -42,10 +42,12 @@ object MaterializedAgg {
     * (or via a sketch operator) instead.
     */
   final case class MAgg(name: String, expr: String, kind: String) {
-    require(Set("count", "sum", "min", "max", "avg")(kind),
+    require(Set("count", "sum", "min", "max", "avg", "ndv")(kind),
       s"unsupported aggregate kind '$kind' — decomposable kinds: count, sum, min, " +
-        "max, avg (sum/count fold); median/percentile/distinct aggregates have " +
-        "no mergeable partials and cannot be incrementally maintained")
+        "max, avg (sum/count fold), ndv (HLL sketch fold, approximate); " +
+        "median/percentile/exact-distinct aggregates have no mergeable partials " +
+        "and cannot be incrementally maintained (exact NDV: group by (keys, value) " +
+        "with a count aggregate and count rows per key at read — the two-level rollup)")
   }
 
   private val SrcVersionCol = "__src_version"
@@ -180,14 +182,22 @@ object MaterializedAgg {
     */
   private def deriveOutput(stored: DataFrame, groupBy: Seq[String], aggs: Seq[MAgg]): DataFrame =
     stored.select(groupBy.map(col) ++ aggs.map { a =>
-      if (a.kind == "avg")
-        when(col(cntCol(a)) === 0L, lit(null))
-          .otherwise(col(sumCol(a)).cast("double") / col(cntCol(a))).as(a.name)
-      else col(a.name)
+      a.kind match {
+        case "avg" =>
+          when(col(cntCol(a)) === 0L, lit(null))
+            .otherwise(col(sumCol(a)).cast("double") / col(cntCol(a))).as(a.name)
+        case "ndv" =>
+          // an all-null group stores a null sketch: its distinct count
+          // is 0, matching COUNT(DISTINCT x) over only-null values
+          when(col(hllCol(a)).isNull, lit(0L))
+            .otherwise(call_function("hll_sketch_estimate", col(hllCol(a)))).as(a.name)
+        case _ => col(a.name)
+      }
     }: _*)
 
   private def sumCol(a: MAgg) = s"__${a.name}_sum"
   private def cntCol(a: MAgg) = s"__${a.name}_cnt"
+  private def hllCol(a: MAgg) = s"__${a.name}_hll"
 
   /** The source version the stored rollup reflects, if any. */
   def watermark(spark: SparkSession, aggRoot: String, format: String = "parquet"): Option[Long] =
@@ -215,6 +225,7 @@ object MaterializedAgg {
     */
   private def storedParts(a: MAgg): Seq[(String, String)] = a.kind match {
     case "avg" => Seq(sumCol(a) -> "sum", cntCol(a) -> "count")
+    case "ndv" => Seq(hllCol(a) -> "hll")
     case k     => Seq(a.name -> k)
   }
 
@@ -227,6 +238,12 @@ object MaterializedAgg {
       case "avg"   => Seq(sum(expr(a.expr)).as(sumCol(a)),
         // count(expr): non-null values only — SQL AVG semantics
         count(expr(a.expr)).as(cntCol(a)))
+      // HLL partial: the delta's values sketch into one mergeable
+      // binary per group (Spark's DataSketches HLL, lgK 12 ≈ 1.6% se);
+      // the fold unions sketches, the read estimates — incremental
+      // COUNT DISTINCT at O(sketch) state per group, the only NDV
+      // shape that survives a 100 TB fact
+      case "ndv"   => Seq(expr(s"hll_sketch_agg(${a.expr})").as(hllCol(a)))
     }
   }
 
@@ -238,6 +255,9 @@ object MaterializedAgg {
       when(stored.isNull, delta).when(delta.isNull, stored).otherwise(stored + delta)
     case "min" => least(stored, delta)    // least/greatest skip nulls
     case "max" => greatest(stored, delta)
+    case "hll" =>
+      when(stored.isNull, delta).when(delta.isNull, stored)
+        .otherwise(call_function("hll_union", stored, delta))
   }
 
   /** Fold everything the source committed since the stored watermark

@@ -384,7 +384,7 @@ object YamlLoader {
           "materialized aggregate: name is required")),
         str(am, "expr").getOrElse(""),
         str(am, "kind").getOrElse(throw new IllegalArgumentException(
-          "materialized aggregate: kind is required (count|sum|min|max)")))
+          "materialized aggregate: kind is required (count|sum|min|max|avg|ndv)")))
     }).toSeq).getOrElse(throw new IllegalArgumentException(
       "materialized target: aggregates list is required"))
     MaterializedSpec(groupBy, aggs)

@@ -747,6 +747,63 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "month")
     }),
 
+    // q87: EXACT incremental COUNT DISTINCT via the TWO-LEVEL rollup —
+    // count-distinct has no mergeable scalar partial, so the matview
+    // groups by (status, custkey) with a count aggregate (that IS
+    // foldable) and the read counts rollup ROWS per status plus sums
+    // the stored counts: exact NDV maintained at O(distinct pairs)
+    // rollup size with O(delta) refreshes. Two real append commits +
+    // two refreshes; the result must equal DuckDB's flat
+    // count(DISTINCT)/count(*) over everything.
+    "q87_matview_ndv" -> ((s, dir) => {
+      import graft.pipeline.MaterializedAgg
+      import graft.pipeline.MaterializedAgg.MAgg
+      val srcRoot = scratchRoot("graft_q87src")
+      val aggRoot = scratchRoot("graft_q87agg")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      val groups = Seq("o_orderstatus", "o_custkey")
+      val aggs = Seq(MAgg("n", "", "count"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      MaterializedAgg.read(s, aggRoot)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("ndv_cust"), sum(col("n")).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q88: APPROXIMATE incremental NDV via the HLL sketch fold — each
+    // refresh sketches only the delta's values (hll_sketch_agg) and
+    // unions into the stored per-group sketch (hll_union), so distinct
+    // counts over a growing 100 TB fact stay fresh at O(sketch) state
+    // per group and O(delta) refresh cost. No SQL oracle (DuckDB's
+    // approx_distinct is a different estimator): rows-only here;
+    // MaterializedAggSuite pins the incremental estimate equal to the
+    // batch sketch and exact at small cardinality.
+    "q88_matview_hll" -> ((s, dir) => {
+      import graft.pipeline.MaterializedAgg
+      import graft.pipeline.MaterializedAgg.MAgg
+      val srcRoot = scratchRoot("graft_q88src")
+      val aggRoot = scratchRoot("graft_q88agg")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      val groups = Seq("o_orderstatus")
+      val aggs = Seq(MAgg("n_orders", "", "count"), MAgg("ndv_cust", "o_custkey", "ndv"))
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 0),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      Writer.write(s, orders.where(col("o_orderkey") % 2 === 1),
+        SinkSpec(srcRoot, mode = Append, versioned = true))
+      MaterializedAgg.refresh(s, srcRoot, aggRoot, groups, aggs)
+      MaterializedAgg.read(s, aggRoot)
+        .select(col("o_orderstatus"), col("n_orders"), col("ndv_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q81: FILE-PRUNED MERGE under the oracle gate — the snapshot is
     // committed as 8 range-clustered files on the merge key, and the
     // merge (price fixes confined to o_orderkey < 1000, plus pure
@@ -1298,6 +1355,13 @@ object RelationalQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the two-level rollup's read-side aggregation reduces to a flat
+    // exact NDV per status (q88's HLL variant has no DuckDB oracle)
+    "q87_matview_ndv" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS ndv_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replaceWhere closed form: the o_orderkey<1000 span comes from
     // the re-priced backfill batch, everything else keeps base rows

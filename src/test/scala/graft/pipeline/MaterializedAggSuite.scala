@@ -165,6 +165,34 @@ class MaterializedAggSuite extends SparkSpec {
     assert(e.getMessage.contains("no mergeable partials"))
   }
 
+  test("ndv folds as HLL sketch unions; incremental estimate equals the batch sketch") {
+    val src = tmpRoot("graft_magg_ndv"); val agg = tmpRoot("graft_magg_ndv_agg")
+    val ndvAggs = Seq(MAgg("n", "", "count"), MAgg("ndv_v", "v", "ndv"))
+    def writeRows(rows: Seq[(String, java.lang.Long)]): Unit =
+      Writer.write(spark, rows.toDF("g", "v"),
+        SinkSpec(src, mode = Append, versioned = true))
+    // commit 1: a has {1,5,5}, b has {2, null}
+    writeRows(Seq(("a", 1L), ("a", 5L), ("a", 5L), ("b", 2L), ("b", null)))
+    MaterializedAgg.refresh(spark, src, agg, groups, ndvAggs)
+    // commit 2: a repeats 5 and adds 12; c appears; d is all-null
+    writeRows(Seq(("a", 5L), ("a", 12L), ("c", 7L), ("d", null)))
+    MaterializedAgg.refresh(spark, src, agg, groups, ndvAggs)
+    val got = MaterializedAgg.read(spark, agg).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("ndv_v")).toMap
+    // at tiny cardinality the HLL estimate is exact — and the repeat
+    // of 5 ACROSS commits must not double-count (the whole point of a
+    // sketch fold vs a count fold)
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 0L), s"got $got")
+    // the incremental union must equal the batch sketch estimate over
+    // the full source (fold associativity at the estimate level)
+    val batch = VersionedTable.read(spark, src)
+      .groupBy("g").agg(expr("hll_sketch_estimate(hll_sketch_agg(v))").as("e"))
+      .collect().map(r => r.getAs[String]("g") -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    assert(got == batch.map { case (k, v) => k -> v })
+    // hidden sketch partials never leak through read()
+    assert(!MaterializedAgg.read(spark, agg).columns.exists(_.startsWith("__")))
+  }
+
   test("the definition claim lands BEFORE the first fold: an aborted first refresh still owns the shape") {
     val src = tmpRoot("graft_magg_claim"); val agg = tmpRoot("graft_magg_claim_agg")
     // first refresh aborts mid-flight (source has no committed version)
