@@ -1086,6 +1086,24 @@ object VersionedTable {
         "times — writer contention is pathological; retry with backoff or shard the table")
   }
 
+  /** STATS-PRUNED row-level DELETE — `commitOverwriteWhere` with an
+    * empty source: rows matching `cond` vanish, files whose min/max
+    * ranges prove they hold no matching row carry over BY REFERENCE
+    * untouched, only intersecting files rewrite through the
+    * `NOT (cond)` filter. The GDPR/backfill-retraction commit shape:
+    * O(touched files), not O(table). Returns the committed version.
+    */
+  def commitDelete(
+      spark: SparkSession,
+      root: String,
+      cond: String,
+      format: String = "",
+      maxAttempts: Int = 5): Long = {
+    val fmt = resolveFormat(spark, root, format)
+    val empty = read(spark, root, fmt).limit(0)
+    commitOverwriteWhere(spark, root, fmt, empty, cond, maxAttempts = maxAttempts)
+  }
+
   /** Per-column closed intervals IMPLIED by `cond`: its top-level
     * conjuncts of the form `col <op> literal` (either operand order),
     * strict inequalities widened to closed bounds — a sound
@@ -1144,8 +1162,15 @@ object VersionedTable {
   private def statCmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: Long, y: Double)   => Some(java.lang.Double.compare(x.toDouble, y))
-    case (x: Double, y: Long)   => Some(java.lang.Double.compare(x, y.toDouble))
+    // mixed long/double compares EXACTLY (a toDouble round-trip loses
+    // precision past 2^53 and an off-by-one there could wrongly prove
+    // a file disjoint — wrong results, not just a missed prune)
+    case (x: Long, y: Double) if !y.isNaN && !y.isInfinite =>
+      Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(y)))
+    case (x: Double, y: Long) if !x.isNaN && !x.isInfinite =>
+      Some(new java.math.BigDecimal(x).compareTo(java.math.BigDecimal.valueOf(y)))
+    case (x: Double, y: Long) if x.isInfinite => Some(if (x > 0) 1 else -1)
+    case (x: Long, y: Double) if y.isInfinite => Some(if (y > 0) -1 else 1)
     case (x: String, y: String) => Some(x.compareTo(y))
     case _ => None
   }

@@ -747,6 +747,24 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "month")
     }),
 
+    // q89: STATS-PRUNED ROW DELETE through the pure-SQL statement —
+    // GRAFT_DELETE commits an overwrite-where with an empty source:
+    // the o_orderkey<1000 span vanishes, every file the stats prove
+    // clean carries by reference (PrunedMergeSuite pins the bytes),
+    // and the driver's hash covers parse → commitDelete →
+    // classification → NOT(cond) rewrite → snapshot read. The GDPR/
+    // retraction commit shape: O(touched files), not O(table).
+    "q89_delete" -> ((s, dir) => {
+      val root = scratchRoot("graft_q89")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.commit(s, root, "parquet",
+        _ => orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      s.sql(s"GRAFT_DELETE('$root', WHERE o_orderkey < 1000)").collect()
+      VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+
     // q87: EXACT incremental COUNT DISTINCT via the TWO-LEVEL rollup —
     // count-distinct has no mergeable scalar partial, so the matview
     // groups by (status, custkey) with a count aggregate (that IS
@@ -1355,6 +1373,11 @@ object RelationalQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // delete closed form: the surviving snapshot is the complement
+    "q89_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE NOT (o_orderkey < 1000) ORDER BY o_orderkey""".stripMargin,
 
     // the two-level rollup's read-side aggregation reduces to a flat
     // exact NDV per status (q88's HLL variant has no DuckDB oracle)

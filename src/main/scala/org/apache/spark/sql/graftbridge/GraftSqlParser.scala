@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
+  * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
   * }}}
   *
   * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
@@ -42,7 +43,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AsOfStmt, CompactStmt, DiffStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -139,13 +140,22 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         s"versioned table at $path has no committed version")
       Seq((h.map(_.version).max, h.length))
         .toDF("newest_version", "versions_kept").queryExecution.logical
+    case DeleteStmt(path, cond) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      // acts at parse time like the other maintenance statements; the
+      // condition string is validated by the parser inside commitDelete
+      // (an unparsable cond degrades to the conservative full rewrite,
+      // an INVALID one fails the filter loudly at execution)
+      val v = VersionedTable.commitDelete(session, path, cond)
+      Seq(v).toDF("version").queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_) | CompactStmt(_, _, _, _) |
-         VacuumStmt(_, _, _) =>
+         VacuumStmt(_, _, _) | DeleteStmt(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -250,4 +260,11 @@ object GraftSqlParser {
     */
   private val VacuumStmt =
     """(?is)^\s*GRAFT_VACUUM\s*\(\s*'([^']+)'\s*(?:,\s*KEEP\s+(\d{1,9}))?(?:\s*,\s*GRACE\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
+
+  /** Row-level delete: the condition is everything after `WHERE` up to
+    * the closing paren (it may contain commas/quotes — trailing-anchor
+    * match, so a cond containing `)` needs the Scala API).
+    */
+  private val DeleteStmt =
+    """(?is)^\s*GRAFT_DELETE\s*\(\s*'([^']+)'\s*,\s*WHERE\s+([^)]+)\)\s*;?\s*$""".r
 }

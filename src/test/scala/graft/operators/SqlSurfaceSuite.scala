@@ -188,6 +188,22 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_VACUUM('/tmp/nope_vt')") }
   }
 
+  test("GRAFT_DELETE removes matching rows through the stats-pruned commit") {
+    import graft.pipeline.{Append, SinkSpec, VersionedTable, Writer}
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel").toString + "/t"
+    Writer.write(s2, (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      SinkSpec(root, mode = Append, versioned = true))
+    val d = s2.sql(s"GRAFT_DELETE('$root', WHERE k > 7)").head()
+    assert(d.getLong(0) == 2L)
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 7L)
+    assert(s2.sql(s"GRAFT_READ('$root', 1)").count() == 10L) // time travel intact
+    // string conditions with quotes pass through
+    s2.sql(s"GRAFT_DELETE('$root', WHERE v = 'v3')")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 6L)
+    intercept[IllegalArgumentException] { s2.sql("GRAFT_DELETE('/tmp/nope_vt', WHERE k > 0)") }
+  }
+
   test("graft native functions are SQL-callable in the extensions session") {
     val r = s2.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +

@@ -234,6 +234,30 @@ class PrunedMergeSuite extends SparkSpec {
     assert(got2.where(col("k") === 7999L).count() == 0L)
   }
 
+  test("commitDelete removes only matching rows, rewriting only intersecting files") {
+    val root = tmpRoot("graft_del")
+    val v1dir = seedTable(root)
+    val before = dataFiles(root, v1dir).map(p => p.getFileName.toString -> digest(p)).toMap
+    VersionedTable.commitDelete(spark, root, "k >= 7500")
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val carried = snap.dataDirs.filter(VersionedTable.isFileRef)
+    assert(carried.size >= 6, s"most files hold only k<7500 rows: ${snap.dataDirs}")
+    carried.foreach { ref =>
+      val name = ref.substring(ref.indexOf('/') + 1)
+      assert(digest(java.nio.file.Paths.get(root, v1dir, name)) == before(name))
+    }
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 7500L)
+    assert(got.agg(max(col("k"))).head().getLong(0) == 7499L)
+    // time travel: the deleted rows are still in v1
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 8000L)
+
+    // a delete whose condition provably matches nothing still commits
+    // a readable snapshot with every row intact
+    VersionedTable.commitDelete(spark, root, "k >= 5000000")
+    assert(VersionedTable.read(spark, root).count() == 7500L)
+  }
+
   test("Writer overwrite_where on a versioned sink takes the pruned path") {
     import graft.pipeline.{OverwriteWhere, SinkSpec}
     val root = tmpRoot("graft_ow4")
