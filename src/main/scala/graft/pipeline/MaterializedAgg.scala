@@ -320,6 +320,40 @@ object MaterializedAgg {
     throw new IllegalStateException("unreachable")
   }
 
+  /** FULL REBUILD: recompute the rollup from the source's CURRENT
+    * snapshot under the STORED definition and commit it as the next
+    * rollup version — the remedy [[refresh]] prescribes when the
+    * unprocessed span contains a rewrite (merge/overwrite/partition
+    * overwrite/delete) or a vacuumed fold dir. One unavoidable full
+    * pass over the fact (the same pass any first refresh pays);
+    * rollup history/time travel is preserved — the rebuild is just
+    * its next version, CAS-serialized against concurrent refreshes.
+    * Returns the source version the rollup now reflects. SQL surface:
+    * `GRAFT_REFRESH('/aggRoot', FULL)`.
+    */
+  def rebuild(spark: SparkSession, aggRoot: String, maxAttempts: Int = 5): Long = {
+    val d = viewDef(spark, aggRoot).getOrElse(throw new IllegalArgumentException(
+      s"no materialized-view definition at $aggRoot — nothing to rebuild; run " +
+        "refresh(spark, srcRoot, aggRoot, groupBy, aggs) once to define it"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val srcHead = VersionedTable.currentSnapshot(spark, d.srcRoot)
+        .getOrElse(throw new IllegalArgumentException(
+          s"source at ${d.srcRoot} has no committed version")).version
+      val aggSnap = VersionedTable.currentSnapshot(spark, aggRoot)
+      val full = partial(
+        VersionedTable.readVersion(spark, d.srcRoot, srcHead, d.srcFormat),
+        d.groupBy, d.aggs)
+      try return commit(spark, aggRoot, full, srcHead, d.aggFormat, aggSnap.map(_.version))
+      catch {
+        case e: VersionedTable.VersionConflictException =>
+          if (attempt >= maxAttempts) throw e // pathological contention
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def refreshOnce(spark: SparkSession, srcRoot: String, aggRoot: String,
                           groupBy: Seq[String], aggs: Seq[MAgg],
                           srcFormat: String, aggFormat: String): Long = {

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
   * GRAFT_DIFF('/path', 1, 3, KEY k, COMPARE a, b)     -- compare only a, b
   * GRAFT_REFRESH('/aggRoot')                          -- incremental matview refresh
+  * GRAFT_REFRESH('/aggRoot', FULL)                    -- from-scratch rebuild
   * GRAFT_COMPACT('/path')                             -- fold entries into one dir
   * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
@@ -87,12 +88,14 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       VersionedTable.diffVersions(session, path, from.toLong, to.toLong,
           keyCols, compare, fmt)
         .queryExecution.logical
-    case RefreshStmt(path) =>
+    case RefreshStmt(path, full) =>
       import graft.pipeline.MaterializedAgg
       // the refresh ACTS at parse time (the statement's whole point),
       // same eager-commit contract as the versioned write queries; the
-      // returned plan reads the rollup the refresh just committed
-      MaterializedAgg.refresh(session, path)
+      // returned plan reads the rollup the refresh just committed.
+      // FULL = from-scratch rebuild, the remedy for a rewrite span.
+      if (full != null) MaterializedAgg.rebuild(session, path)
+      else MaterializedAgg.refresh(session, path)
       val fmt = MaterializedAgg.viewDef(session, path).map(_.aggFormat).getOrElse("parquet")
       MaterializedAgg.read(session, path, fmt).queryExecution.logical
     case VersionsStmt(path) =>
@@ -154,7 +157,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
-         DiffStmt(_, _, _, _, _) | RefreshStmt(_) | CompactStmt(_, _, _, _) |
+         DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
@@ -238,10 +241,11 @@ object GraftSqlParser {
 
   /** Incremental materialized-view maintenance by rollup root alone —
     * the view's shape comes from the `_matview` definition its first
-    * refresh persisted; returns the freshly-refreshed rollup.
+    * refresh persisted; returns the freshly-refreshed rollup. The
+    * optional FULL keyword forces the from-scratch rebuild.
     */
   private val RefreshStmt =
-    """(?is)^\s*GRAFT_REFRESH\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_REFRESH\s*\(\s*'([^']+)'\s*(?:,\s*(FULL)\s*)?\)\s*;?\s*$""".r
 
   /** Maintenance compaction (OPTIMIZE): optional PARTITION BY keeps
     * the hive layout through the rewrite, optional ZORDER BY turns it

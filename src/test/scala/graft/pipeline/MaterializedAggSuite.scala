@@ -165,6 +165,27 @@ class MaterializedAggSuite extends SparkSpec {
     assert(e.getMessage.contains("no mergeable partials"))
   }
 
+  test("rebuild recovers from a rewrite span; incremental maintenance resumes after it") {
+    val src = tmpRoot("graft_magg_rb"); val agg = tmpRoot("graft_magg_rb_agg")
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    MaterializedAgg.refresh(spark, src, agg, groups, aggs)
+    // a rewrite (overwrite) makes delta maintenance unsound: refresh refuses
+    write(Seq(("a", 10L), ("c", 3L)), src, Overwrite)
+    val e = intercept[IllegalArgumentException] { MaterializedAgg.refresh(spark, agg) }
+    assert(e.getMessage.contains("rebuild"))
+    // the prescribed remedy, one call — via the SQL FULL form
+    val rebuilt = spark.sql(s"GRAFT_REFRESH('$agg', FULL)").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("s")).toMap
+    assert(rebuilt == Map("a" -> 10L, "c" -> 3L))
+    // rollup history preserved: the pre-rebuild state is still readable
+    assert(VersionedTable.readVersion(spark, agg, 1L).count() == 2L)
+    // incremental refresh resumes from the rebuilt watermark
+    write(Seq(("c", 4L)), src, Append)
+    MaterializedAgg.refresh(spark, agg)
+    assert(rollupMap(agg) == Map(
+      "a" -> ((1L, 10L, 10L, 10L)), "c" -> ((2L, 7L, 3L, 4L))))
+  }
+
   test("ndv folds as HLL sketch unions; incremental estimate equals the batch sketch") {
     val src = tmpRoot("graft_magg_ndv"); val agg = tmpRoot("graft_magg_ndv_agg")
     val ndvAggs = Seq(MAgg("n", "", "count"), MAgg("ndv_v", "v", "ndv"))
