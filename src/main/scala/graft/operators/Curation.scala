@@ -224,6 +224,55 @@ object Curation {
       .where(col("n_occurrences") > 1)
   }
 
+  /** CCNet/RefinedWeb-style BOILERPLATE REMOVAL: segment each document
+    * into fixed `chunkTokens`-word windows, count each segment's
+    * DOCUMENT frequency across the corpus, and strip the segments
+    * appearing in more than `maxDocFreq` distinct documents — the
+    * navigation menus, cookie banners and license footers that repeat
+    * across otherwise-distinct pages. Returns one row per non-empty
+    * document: (id, clean_text = surviving segments in original order,
+    * n_removed). Reference scope: drune has no text curation; this is
+    * the training-data line-dedup pass (ccnet's dedup + RefinedWeb's
+    * line-wise filter re-expressed over fixed windows).
+    *
+    * Scale shape: one explode + one hash aggregation over 8-byte
+    * segment hashes finds the boilerplate SET — which is tiny by
+    * construction (only segments crossing the threshold) — and
+    * BROADCASTS it back against the exploded stream as a left join;
+    * reassembly shuffles each doc's surviving segments once
+    * (order-restored via array_sort on (pos, seg) structs). Segment
+    * text reaches the docfreq aggregation as hashes only.
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 10,
+      maxDocFreq: Int = 2): DataFrame = {
+    require(chunkTokens >= 1 && maxDocFreq >= 1,
+      "removeBoilerplate needs chunkTokens >= 1 and maxDocFreq >= 1")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    val segs = transform(
+      sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val exploded = docs
+      .select(col(idCol).as("id"), posexplode(segs).as(Seq("pos", "seg")))
+      .where(col("seg") =!= "")
+      .withColumn("h", xxhash64(col("seg")))
+    val boiler = exploded.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("h"), lit(true).as("__boiler"))
+    exploded.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Deterministic hash-based stratified sampling — the training-mix
     * downsampler: each language keeps `rates(lang)` percent of its
     * documents, selected by a multiplicative hash of the id (Knuth's

@@ -272,6 +272,18 @@ object TextQueries {
       Curation.chunkDedup(t(s, dir, "documents"), chunkTokens = 20)
         .orderBy("chunk_hash")),
 
+    // q90: CCNet/RefinedWeb-style boilerplate removal — 10-token
+    // segments appearing in MORE THAN 2 distinct documents (menus,
+    // footers, shared template text) are stripped and the survivors
+    // reassemble in original order. The docfreq pass aggregates 8-byte
+    // hashes (segment text never shuffles); the boilerplate set —
+    // 15 segments on this corpus — broadcasts back against the
+    // exploded stream.
+    "q90_boilerplate" -> ((s, dir) =>
+      Curation.removeBoilerplate(t(s, dir, "documents"),
+          chunkTokens = 10, maxDocFreq = 2)
+        .orderBy("doc_id")),
+
     // q47: deterministic hash-based stratified sampling per language
     // (training-mix downsampling; multiplicative hash, no rand()).
     "q47_sample" -> ((s, dir) =>
@@ -610,6 +622,27 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // segment → docfreq > 2 → strip → order-preserving reassembly;
+    // string_agg skips the boilerplate-marked nulls exactly like the
+    // Spark side's collect_list(when(...)), and an all-boilerplate doc
+    // reassembles to '' on both engines
+    "q90_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |seg AS (
+         |  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, (len(tk) + 9) // 10),
+         |      i -> {'pos': i, 'seg': array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ')})) AS u
+         |    FROM tk)
+         |  WHERE u.seg <> ''),
+         |boiler AS (
+         |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+         |  WHERE df > 2)
+         |SELECT s.doc_id,
+         |  coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text,
+         |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+         |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
 
     "q34_knn_brute" -> knnBruteSql,
 

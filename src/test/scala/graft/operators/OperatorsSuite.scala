@@ -557,6 +557,30 @@ class TextSuite extends SparkSpec {
     assert(out(0).getAs[Long]("first_doc") == 1L)
   }
 
+  test("removeBoilerplate: cross-doc repeated segments strip, order preserved, all-boiler doc empties") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")       // the shared footer
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq(1) + " " + boiler),
+      (2L, uniq(2) + " " + boiler),
+      (3L, boiler + " " + uniq(3)),    // boiler in FRONT: order must survive
+      (4L, boiler),                     // all-boilerplate doc
+      (5L, uniq(5))).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, chunkTokens = 10, maxDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(out == Map(
+      1L -> ((uniq(1), 1L)), 2L -> ((uniq(2), 1L)),
+      3L -> ((uniq(3), 1L)),           // survivor keeps its position order
+      4L -> (("", 1L)),                // fully-boilerplate doc: empty, not dropped
+      5L -> ((uniq(5), 0L))))
+    // at or below the docfreq threshold (the footer is in 4 docs)
+    // nothing strips
+    val lax = Curation.removeBoilerplate(docs, chunkTokens = 10, maxDocFreq = 4)
+      .collect().map(_.getAs[Long]("n_removed")).sum
+    assert(lax == 0L)
+  }
+
   test("stratifiedSample: deterministic, respects per-language rates") {
     val docs = (0L until 2000L).map(i => (i, s"text $i", if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "text", "lang")
