@@ -1140,6 +1140,13 @@ object VersionedTable {
       (for { c <- attrName(a); x <- litVal(v) } yield (c, None: Option[Any], Some(x): Option[Any])).toSeq
     def eq(a: Expression, v: Expression) =
       (for { c <- attrName(a); x <- litVal(v) } yield (c, Some(x): Option[Any], Some(x): Option[Any])).toSeq
+    def minMax(xs: Seq[Any]): Option[(Any, Any)] =
+      xs.tail.foldLeft(Option((xs.head, xs.head))) {
+        case (Some((lo, hi)), v) =>
+          for { cl <- statCmp(v, lo); ch <- statCmp(v, hi) }
+            yield (if (cl < 0) v else lo, if (ch > 0) v else hi)
+        case (None, _) => None
+      }
     def walk(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
       case And(l, r)                 => walk(l) ++ walk(r)
       case GreaterThanOrEqual(a, v)  => ge(a, v) ++ le(v, a)
@@ -1147,6 +1154,14 @@ object VersionedTable {
       case LessThanOrEqual(a, v)     => le(a, v) ++ ge(v, a)
       case LessThan(a, v)            => le(a, v) ++ ge(v, a) // widened: sound
       case EqualTo(a, v)             => eq(a, v) ++ eq(v, a)
+      case In(a, vals) if vals.nonEmpty =>
+        // col IN (v1..vn) ⊆ [min, max] — widened to the hull: sound
+        (for {
+          c <- attrName(a)
+          lits = vals.map(litVal)
+          if !lits.exists(_.isEmpty)
+          mm <- minMax(lits.flatten)
+        } yield (c, Some(mm._1): Option[Any], Some(mm._2): Option[Any])).toSeq
       case _ => Nil
     }
     val parsed =

@@ -53,6 +53,26 @@ object EventStreams {
       .select(col("window_start"), col("e.item").as("item"),
         col("e.cnt").as("cnt"), col("e.err").as("err"))
 
+  /** Distinct users per tumbling window as an HLL SKETCH streaming
+    * aggregate — the streaming face of the matview `ndv` fold: state
+    * per window is ONE mergeable sketch (~KBs at lgK 12, ±1.6% se)
+    * however many distinct users stream through, where the exact
+    * `approx_count_distinct` alternative is also sketch-backed but
+    * `countDistinct` itself is unsupported in streaming and an exact
+    * dropDuplicates+count holds one state row per user per window.
+    * Watermark bounds window state as usual.
+    */
+  def windowedDistinct(events: DataFrame,
+                       valueCol: String = "user_id",
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol))").as("ndv"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("ndv"), col("n_events"))
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
   /** `session_seq` counts sessions WITHIN one state lifetime — after an
     * event-time timeout evicts an idle user's state the counter

@@ -232,6 +232,15 @@ class PrunedMergeSuite extends SparkSpec {
     assert(got2.count() == 7999L)
     assert(got2.where(col("k") === 5L).head().getAs[String]("src") == "y")
     assert(got2.where(col("k") === 7999L).count() == 0L)
+
+    // IN-lists prune via their [min,max] hull
+    val root3 = tmpRoot("graft_ow_in")
+    seedTable(root3)
+    VersionedTable.commitDelete(spark, root3, "k IN (10, 20, 30)")
+    val snap3 = VersionedTable.currentSnapshot(spark, root3).get
+    assert(snap3.dataDirs.count(VersionedTable.isFileRef) >= 6,
+      s"IN (10,20,30) hull must prune most files: ${snap3.dataDirs}")
+    assert(VersionedTable.read(spark, root3).count() == 7997L)
   }
 
   test("commitDelete removes only matching rows, rewriting only intersecting files") {

@@ -53,6 +53,31 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed distinct users via the streaming HLL sketch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStreams.Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 1.0),
+      EventStreams.Ev(3, ts("2024-01-01 10:15:00"), 1, "view", 1.0), // repeat user 1
+      EventStreams.Ev(4, ts("2024-01-01 11:05:00"), 3, "view", 1.0))
+    val q = EventStreams.windowedDistinct(mem.toDF())
+      .writeStream.format("memory").queryName("ndv_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a second batch: new user in window 1 must merge into the sketch
+      mem.addData(EventStreams.Ev(5, ts("2024-01-01 10:20:00"), 4, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ndv_out").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").toString ->
+          ((r.getAs[Long]("ndv"), r.getAs[Long]("n_events")))).toMap
+      // HLL exact at tiny cardinality: users {1,2,4} in 10:00, {3} in 11:00
+      assert(rows("2024-01-01 10:00:00.0") == ((3L, 4L)), s"got $rows")
+      assert(rows("2024-01-01 11:00:00.0") == ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
