@@ -21,6 +21,8 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli vacuum  <root> [--keep N] [--grace-hours H] [--cores N]
   *   graft.Cli compact <root> [--format f] [--partition-by a,b] [--zorder-by a,b] [--zorder-files n]
   *                            [--table name] [--cores N]
+  *   graft.Cli refresh <aggRoot> [--full] [--cores N]
+  *   graft.Cli delete  <root> --where "<cond>" [--cores N]
   *
   * (The reference also registers an `init` command, but its
   * Pipeline.init target does not exist — cli/main.py:81-89 calls an
@@ -46,7 +48,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -60,7 +62,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete <versioned-table-root> [options]")
       sys.exit(2)
   }
 
@@ -77,9 +79,17 @@ object Cli {
       case "refresh" =>
         // incremental materialized-view maintenance by rollup root —
         // the shape comes from the _matview definition the first full
-        // refresh persisted (same contract as GRAFT_REFRESH)
-        val w = graft.pipeline.MaterializedAgg.refresh(spark, root)
+        // refresh persisted (same contract as GRAFT_REFRESH); --full
+        // forces the from-scratch rebuild (the rewrite-span remedy)
+        val w =
+          if (rest.contains("--full")) graft.pipeline.MaterializedAgg.rebuild(spark, root)
+          else graft.pipeline.MaterializedAgg.refresh(spark, root)
         println(s"[graft] refreshed rollup at $root (now reflects source v$w)")
+      case "delete" =>
+        val cond = opt(rest, "--where").getOrElse(
+          sys.error("delete needs --where \"<condition>\""))
+        val v = VersionedTable.commitDelete(spark, root, cond)
+        println(s"[graft] deleted rows matching [$cond] at $root (v$v)")
       case "vacuum" =>
         val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
         val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)

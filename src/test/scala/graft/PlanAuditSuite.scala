@@ -108,6 +108,14 @@ class PlanAuditSuite extends SparkSpec {
     assert(count(p, "Exchange") <= 2, p)
   }
 
+  test("q90: the boilerplate set broadcasts back — the exploded stream never shuffles for it") {
+    val p = plan("q90_boilerplate")
+    // the docfreq > k set joins back via broadcast, never a sort-merge
+    // of the full segment stream against itself
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q52: the three window functions share one shuffle+sort") {
     val p = plan("q52_ntile")
     // one exchange for the window partition key, one for the output sort

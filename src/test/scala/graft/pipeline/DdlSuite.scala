@@ -540,6 +540,9 @@ class DdlSuite extends SparkSpec {
     graft.Cli.executeTable(spark, "vacuum", root, List("--keep", "1", "--grace-hours", "0"))
     assert(VersionedTable.history(spark, root).length == 1)
     assert(VersionedTable.read(spark, root).count() == 3L)
+    // row-level delete from the CLI (same commitDelete path as SQL)
+    graft.Cli.executeTable(spark, "delete", root, List("--where", "hash_key = 2"))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
   test("versioned readStream: appends stream exactly once, compaction does not re-deliver") {
