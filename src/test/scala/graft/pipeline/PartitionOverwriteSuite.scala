@@ -167,6 +167,19 @@ class PartitionOverwriteSuite extends SparkSpec {
     assert(e.getMessage.contains("partition-subtree"))
   }
 
+  test("additive schema evolution: a new column in the overwrite batch null-fills carried slices") {
+    val root = tmpRoot("graft_po9")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    val fix = Seq((7L, "DE", 700L, "new-col")).toDF("id", "cc", "v", "extra")
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet", fix, Seq("cc"))
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v", "extra").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("extra"))).toMap
+    assert(got(7L).contains("new-col"))
+    assert(got(1L).isEmpty && got(5L).isEmpty, "carried partitions read the new column as null")
+    assert(got.size == 5)
+  }
+
   test("vacuum keeps parent dirs pinned by partition refs; compact folds refs away") {
     val root = tmpRoot("graft_po8")
     VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
