@@ -133,11 +133,11 @@ object TextQueries {
     // whole (id-capped) corpus into ONE bucket, so the LSH bucketing,
     // skew-capped pair generation and cosine verify must reproduce the
     // exact all-pairs answer, which IS SQL-expressible: the DuckDB
-    // oracle computes every vec_id<2000 pair's double-accumulated
+    // oracle computes every vec_id<1024 pair's double-accumulated
     // cosine directly (the q79/q76 conversion trick applied to the
     // near-dup family — its first member under a full hash check).
     "q85_embed_neardup_exact" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").where(col("vec_id") < 2000)
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 1024)
       Similarity.embeddingNearDup(emb, dim = 64, threshold = 0.30,
           planes = 0, maxBucket = 4000)
         .orderBy("id_a", "id_b")
@@ -651,7 +651,7 @@ object TextQueries {
     // double-accumulated dot product as knnBruteSql, rounded to 4dp
     // BEFORE the threshold test, mirroring the Spark operator)
     "q85_embed_neardup_exact" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1024),
         |scored AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
+  * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
+  * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
   * }}}
   *
   * GRAFT_ASOF plans straight onto [[AsOfJoinPlan]] (-> AsOfJoinExec);
@@ -44,7 +46,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -152,13 +154,36 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       // an INVALID one fails the filter loudly at execution)
       val v = VersionedTable.commitDelete(session, path, cond)
       Seq(v).toDF("version").queryExecution.logical
+    case AppendStmt(path, query) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      // the inner query parses through SPARK'S parser (full SQL — temp
+      // views, joins, CTEs), resolves against the session catalog, and
+      // commits as an O(delta) append; same eager-at-parse contract as
+      // the other mutating statements
+      val df = org.apache.spark.sql.classic.Dataset.ofRows(
+        session, delegate.parsePlan(query))
+      val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
+      val v = VersionedTable.commitDelta(session, path, fmt, df)
+      Seq(v).toDF("version").queryExecution.logical
+    case MergeStmt(path, key, query) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      val df = org.apache.spark.sql.classic.Dataset.ofRows(
+        session, delegate.parsePlan(query))
+      val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
+      // file-pruned upsert on the named key: source rows win, unmatched
+      // base rows survive (commitMerge's default merge function)
+      val v = VersionedTable.commitMerge(session, path, fmt, df, Seq(key.trim))
+      Seq(v).toDF("version").queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
-         VacuumStmt(_, _, _) | DeleteStmt(_, _) =>
+         VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
+         MergeStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -271,4 +296,15 @@ object GraftSqlParser {
     */
   private val DeleteStmt =
     """(?is)^\s*GRAFT_DELETE\s*\(\s*'([^']+)'\s*,\s*WHERE\s+([^)]+)\)\s*;?\s*$""".r
+
+  /** Pure-SQL writes: the second argument is a FULL Spark SQL query
+    * (greedy up to the final closing paren, so nested parens inside
+    * the query are fine), parsed by the delegate and committed through
+    * the versioned protocol — append = O(delta) pointer commit, merge
+    * = the file-pruned upsert on KEY.
+    */
+  private val AppendStmt =
+    """(?is)^\s*GRAFT_APPEND\s*\(\s*'([^']+)'\s*,\s*(.+)\)\s*;?\s*$""".r
+  private val MergeStmt =
+    """(?is)^\s*GRAFT_MERGE\s*\(\s*'([^']+)'\s*,\s*KEY\s+(\w+)\s*,\s*(.+)\)\s*;?\s*$""".r
 }

@@ -204,6 +204,30 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_DELETE('/tmp/nope_vt', WHERE k > 0)") }
   }
 
+  test("GRAFT_APPEND / GRAFT_MERGE: pure-SQL versioned writes") {
+    import graft.pipeline.VersionedTable
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwr").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("hash_key", "v").createOrReplaceTempView("wr_src")
+    // append #1: a catalog-resolved query (temp view)
+    assert(s2.sql(s"GRAFT_APPEND('$root', SELECT * FROM wr_src)").head().getLong(0) == 1L)
+    // append #2: inline projection with nested parens
+    s2.sql(s"GRAFT_APPEND('$root', SELECT CAST(3 AS BIGINT) AS hash_key, upper('c') AS v)")
+    assert(VersionedTable.currentSnapshot(s2, root).get.version == 2L)
+    // merge: source row wins on the key, unmatched base survives
+    val mv = s2.sql(
+      s"GRAFT_MERGE('$root', KEY hash_key, SELECT CAST(2 AS BIGINT) AS hash_key, 'b2' AS v)")
+      .head().getLong(0)
+    assert(mv == 3L)
+    assert(s2.sql(s"GRAFT_READ('$root')").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "C"))
+    // time travel unaffected
+    assert(s2.sql(s"GRAFT_READ('$root', 1)").count() == 2L)
+    // a malformed inner query fails with Spark's own diagnostics
+    intercept[Exception] { s2.sql(s"GRAFT_APPEND('$root', SELEKT 1)") }
+  }
+
   test("graft native functions are SQL-callable in the extensions session") {
     val r = s2.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
