@@ -857,44 +857,60 @@ object VersionedTable {
       format: String,
       source: DataFrame,
       partitionBy: Seq[String],
-      maxAttempts: Int = 5,
-      maxPartitions: Int = 1000000): Long = {
+      maxAttempts: Int = 5): Long = {
     require(partitionBy.nonEmpty, "commitPartitionOverwrite needs partition columns")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
     import org.apache.spark.sql.functions.col
-    // The touched tuple set is collected ONCE (it is bounded by the
-    // partition count, not the data volume) and re-used per attempt.
-    val tupleRows = source
-      .select(partitionBy.map(c => col(c).cast("string")): _*)
-      .distinct().limit(maxPartitions + 1).collect()
-    require(tupleRows.length <= maxPartitions,
-      s"commitPartitionOverwrite at $root: source spans more than $maxPartitions " +
-        "distinct partitions — that is a table rewrite, use mode=overwrite")
-    val touched: Set[Seq[String]] = tupleRows.map { r =>
-      partitionBy.indices.map { i =>
-        require(!r.isNullAt(i),
-          s"commitPartitionOverwrite at $root: null value in partition column " +
-            s"'${partitionBy(i)}' — null partitions are not supported on versioned sinks")
-        r.getString(i)
-      }
-    }.toSet
-    if (touched.isEmpty)
+    // Write the source FIRST into a private partitioned dir, then
+    // derive the touched set from the leaves ACTUALLY written — the
+    // classification can never disagree with the data (a
+    // collect-then-write would re-evaluate a non-deterministic source
+    // and could land rows in a partition classified untouched, leaving
+    // old and new rows visible together). The dir name is claimed
+    // pre-CAS like commitDelta's delta dirs; a CAS race loss reuses it
+    // unchanged (pointer-only retry).
+    val dirName = "data-po-" + java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = new Path(rootP, dirName)
+    source.write.format(format).partitionBy(partitionBy: _*)
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .save(dataDir.toString)
+    val touched: Set[Seq[String]] =
+      partitionLeaves(fs, dataDir, partitionBy).getOrElse(throw new IllegalStateException(
+        s"commitPartitionOverwrite at $root wrote $dirName but its layout does not " +
+          s"match partitionBy=${partitionBy.mkString(",")} — concurrent mutation of a " +
+          "private directory")).map(_._2).toSet
+    touched.flatten.find(_ == "__HIVE_DEFAULT_PARTITION__").foreach { _ =>
+      fs.delete(dataDir, true)
+      throw new IllegalArgumentException(
+        s"commitPartitionOverwrite at $root: null partition value — the hive default " +
+          "sentinel round-trips ambiguously; null partitions are not supported on " +
+          "versioned sinks")
+    }
+    if (touched.isEmpty) {
       // dynamic-overwrite of nothing replaces nothing: no-op, like
       // Spark's own dynamic partitionOverwriteMode with an empty frame
+      fs.delete(dataDir, true)
       return currentSnapshot(spark, root).map(_.version).getOrElse(
         commit(spark, root, format, _ => source, partitionBy, commitKind = "merge"))
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       currentSnapshot(spark, root) match {
         case None =>
-          return commit(spark, root, format, _ => source,
-            partitionBy = partitionBy, commitKind = "merge")
+          // empty table: the written dir IS the first version
+          val pointer = Seq(dirName) :+ "#kind=merge"
+          if (casPublish(fs, new Path(new Path(rootP, ManifestDir), "v0000000001"),
+              pointer.mkString("\n"))) {
+            recordFormat(fs, rootP, format)
+            return 1L
+          }
         case Some(s) =>
           classifyPartitionEntries(fs, rootP, s.dataDirs, partitionBy, touched) match {
             case None =>
               // not partition-classifiable: sound full-rewrite fallback
+              fs.delete(dataDir, true)
               return commit(spark, root, format, {
                 case None => source
                 case Some(b) =>
@@ -904,21 +920,18 @@ object VersionedTable {
               }, partitionBy = partitionBy, commitKind = "merge")
             case Some(carried) =>
               val next = s.version + 1
-              val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
-              val dataDir = new Path(rootP, dirName)
-              source.write.format(format).partitionBy(partitionBy: _*)
-                .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-                .save(dataDir.toString)
               val pointer = (carried :+ dirName) :+ "#kind=merge"
               if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
                 return next
               }
-              fs.delete(dataDir, true) // lost the race: re-classify
+            // pointer-only race loss: the written dir is still private
+            // and valid — re-classify against the winner's snapshot
           }
       }
     }
+    fs.delete(dataDir, true)
     throw new IllegalStateException(
       s"versioned partition overwrite at $root lost the publish race $maxAttempts " +
         "times — writer contention is pathological; retry with backoff or shard the table")
@@ -1025,9 +1038,13 @@ object VersionedTable {
       source: DataFrame,
       cond: String,
       transform: DataFrame => DataFrame = identity,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5,
+      partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
+    // hive layouts always take the full-rewrite fallback (no file
+    // stats); an explicit partitionBy keeps their layout through it
+    val layout = partitionBy
     val constraints = condConstraints(spark, cond)
     // a file is untouchable iff SOME implied constraint's interval is
     // provably disjoint from the file's range for that column
@@ -1049,7 +1066,7 @@ object VersionedTable {
           // legacy Writer contract on an empty table: the source lands
           // whole (no base rows to preserve, nothing to filter)
           return commit(spark, root, format, _ => transform(source),
-            commitKind = "merge")
+            partitionBy = layout, commitKind = "merge")
         case Some(s) =>
           classifyEntriesBy(fs, rootP, s.dataDirs, touchesFile) match {
             case None =>
@@ -1057,7 +1074,7 @@ object VersionedTable {
                 base => transform(base.map(_.where(s"NOT ($cond)")
                     .unionByName(source.where(cond), allowMissingColumns = true))
                   .getOrElse(source)),
-                commitKind = "merge")
+                partitionBy = layout, commitKind = "merge")
             case Some((untouchedEntries, touchedFiles)) =>
               val next = s.version + 1
               val dirName = f"data-$next%010d-" + java.util.UUID.randomUUID.toString.take(8)
@@ -1101,7 +1118,47 @@ object VersionedTable {
       maxAttempts: Int = 5): Long = {
     val fmt = resolveFormat(spark, root, format)
     val empty = read(spark, root, fmt).limit(0)
-    commitOverwriteWhere(spark, root, fmt, empty, cond, maxAttempts = maxAttempts)
+    // a hive-partitioned table takes the full-rewrite fallback inside
+    // commitOverwriteWhere — detect its partition columns so the
+    // rewrite keeps the layout instead of silently flattening it
+    commitOverwriteWhere(spark, root, fmt, empty, cond, maxAttempts = maxAttempts,
+      partitionBy = detectPartitionColumns(spark, root))
+  }
+
+  /** The hive partition column names of the current snapshot's layout,
+    * if every whole-dir entry agrees on one (Nil for flat tables,
+    * mixed layouts, or snapshots of only file refs). Partition-subtree
+    * refs carry their columns in the ref path itself.
+    */
+  private def detectPartitionColumns(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val entries = currentSnapshot(spark, root).map(_.dataDirs).getOrElse(return Nil)
+    def colsOf(entry: String): Option[Seq[String]] =
+      if (isPartitionRef(entry))
+        Some(entry.split('/').drop(1).map(_.takeWhile(_ != '=')).toSeq)
+      else if (isFileRef(entry)) None
+      else {
+        // walk one branch while names stay col=value-shaped
+        def walk(p: Path, acc: List[String]): Seq[String] = {
+          val subs = fs.listStatus(p).toSeq
+            .filterNot(e => e.getPath.getName.startsWith("_") || e.getPath.getName.startsWith("."))
+          subs.filter(_.isDirectory).map(_.getPath.getName) match {
+            case names if names.nonEmpty && names.forall(_.contains('=')) &&
+                names.map(_.takeWhile(_ != '=')).distinct.size == 1 =>
+              val c = names.head.takeWhile(_ != '=')
+              walk(new Path(p, names.head), c :: acc)
+            case _ => acc.reverse
+          }
+        }
+        Some(walk(new Path(rootP, entry), Nil))
+      }
+    val all = entries.map(colsOf)
+    if (all.exists(_.isEmpty)) return Nil // file refs: layout unknowable
+    val distinctLayouts = all.flatten.distinct
+    distinctLayouts match {
+      case Seq(one) if one.nonEmpty => one
+      case _ => Nil
+    }
   }
 
   /** Per-column closed intervals IMPLIED by `cond`: its top-level

@@ -228,26 +228,25 @@ object Writer {
         VersionedTable.commitPartitionOverwrite(spark, sink.path, sink.format,
           clustered(df), partitionBy = sink.partitionBy)
         return
-      case OverwriteWhere(cond) if sink.partitionBy.isEmpty =>
+      case OverwriteWhere(cond) =>
         // STATS-PRUNED replaceWhere: files whose min/max ranges prove
         // no cond-matching row carry over by reference; only the
         // intersecting files filter-and-rewrite — O(touched + source).
-        // Hive-partitioned sinks keep the classic full-rewrite path
-        // below (file refs cannot carry partition-directory columns).
+        // Hive-partitioned sinks take the full-rewrite fallback inside
+        // (file refs cannot carry partition-directory columns), with
+        // partitionBy preserving their layout through it.
         VersionedTable.commitOverwriteWhere(spark, sink.path, sink.format,
-          df, cond, transform = clustered)
+          df, cond, transform = clustered, partitionBy = sink.partitionBy)
         return
       case _ => ()
     }
     val mergeFn: Option[DataFrame] => DataFrame = sink.mode match {
-      case Append | MergeUpsert | OverwritePartition => _ => throw new IllegalStateException(
-        "unreachable: Append commits through commitDelta, MergeUpsert through " +
-          "commitMerge, OverwritePartition through commitPartitionOverwrite")
+      case Append | MergeUpsert | OverwritePartition | OverwriteWhere(_) =>
+        _ => throw new IllegalStateException(
+          "unreachable: Append commits through commitDelta, MergeUpsert through " +
+            "commitMerge, OverwritePartition through commitPartitionOverwrite, " +
+            "OverwriteWhere through commitOverwriteWhere")
       case Overwrite => _ => df
-      case OverwriteWhere(cond) => base =>
-        base.map(_.where(s"NOT ($cond)")
-            .unionByName(df.where(cond), allowMissingColumns = true))
-          .getOrElse(df)
       case Scd2(track) => base => Scd2Merge(spark, df, base, track)
     }
     VersionedTable.commit(spark, sink.path, sink.format,

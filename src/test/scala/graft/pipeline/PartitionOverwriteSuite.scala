@@ -152,7 +152,7 @@ class PartitionOverwriteSuite extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       VersionedTable.commitPartitionOverwrite(spark, root, "parquet", bad, Seq("cc"))
     }
-    assert(e.getMessage.contains("null value in partition column"))
+    assert(e.getMessage.contains("null partition value"))
   }
 
   test("DSv2 flat file enumeration refuses partition refs loudly") {
@@ -178,6 +178,24 @@ class PartitionOverwriteSuite extends SparkSpec {
     assert(got(7L).contains("new-col"))
     assert(got(1L).isEmpty && got(5L).isEmpty, "carried partitions read the new column as null")
     assert(got.size == 5)
+  }
+
+  test("delete on a hive-partitioned table keeps the layout through the fallback rewrite") {
+    val root = tmpRoot("graft_po10")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    VersionedTable.commitDelete(spark, root, "id = 3")
+    val dir = VersionedTable.currentSnapshot(spark, root).get.dataDirs.head
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, dir, "cc=US")),
+      "the fallback rewrite must preserve the detected hive layout")
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == seed.as[(Long, String, Long)].collect().toSet.filterNot(_._1 == 3L))
+    // the preserved layout keeps LATER partition overwrites prunable
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((9L, "FR", 900L)).toDF("id", "cc", "v"), Seq("cc"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs
+      .exists(VersionedTable.isPartitionRef),
+      "partition pruning must survive the delete's rewrite")
   }
 
   test("vacuum keeps parent dirs pinned by partition refs; compact folds refs away") {
