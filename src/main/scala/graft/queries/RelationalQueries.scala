@@ -747,6 +747,31 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "month")
     }),
 
+    // q91: the PURE-SQL WRITE PATH under the oracle — q66's base+merge
+    // lifecycle driven entirely by GRAFT_APPEND / GRAFT_MERGE / GRAFT_
+    // READ statements: the base lands as an O(delta) append commit,
+    // the fixes as a file-pruned upsert on hash_key, and the snapshot
+    // reads back through the statement surface. With q89's delete this
+    // closes the loop: every versioned-table mutation is now
+    // hash-checked from SQL alone (the statements share q66's closed
+    // form, so the oracle also proves append+merge == overwrite+merge).
+    "q91_sql_writes" -> ((s, dir) => {
+      val root = scratchRoot("graft_q91")
+      t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .createOrReplaceTempView("q91_orders")
+      s.sql(s"""GRAFT_APPEND('$root', SELECT o_orderkey AS hash_key, o_custkey,
+                |  __cents / 100.0D AS price, 'base' AS src FROM q91_orders)""".stripMargin)
+        .collect()
+      s.sql(s"""GRAFT_MERGE('$root', KEY hash_key, SELECT o_orderkey AS hash_key,
+                |  o_custkey, ((__cents * 105 + 50) div 100) / 100.0D AS price,
+                |  'fix' AS src FROM q91_orders WHERE o_custkey % 10 = 0)""".stripMargin)
+        .collect()
+      s.sql(s"GRAFT_READ('$root')")
+        .select(col("hash_key").as("o_orderkey"), col("o_custkey"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q89: STATS-PRUNED ROW DELETE through the pure-SQL statement —
     // GRAFT_DELETE commits an overwrite-where with an empty source:
     // the o_orderkey<1000 span vanishes, every file the stats prove
@@ -1348,6 +1373,15 @@ object RelationalQueries {
     "q67_versioned_delta" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // the pure-SQL write statements land on q66's exact closed form
+    "q91_sql_writes" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 0
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_custkey % 10 = 0 THEN 'fix' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the derived avg must equal the flat sum/count quotient (spelled
     // out rather than AVG() so both engines divide the same exact
