@@ -772,6 +772,26 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q92: SQL MAINTENANCE under the oracle — three O(delta) append
+    // commits, then GRAFT_COMPACT folds the delta dirs into ONE
+    // z-ordered dir and GRAFT_VACUUM retires every retired version
+    // (grace 0: the scratch root is session-private). The snapshot
+    // read back after both must still be exactly the union of the
+    // appends — the driver hash proves compaction rewrites and
+    // retention deletes never lose or duplicate a row.
+    "q92_sql_maintenance" -> ((s, dir) => {
+      val root = scratchRoot("graft_q92")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      (0 until 3).foreach { i =>
+        Writer.write(s, orders.where(col("o_orderkey") % 3 === i),
+          SinkSpec(root, mode = Append, versioned = true))
+      }
+      s.sql(s"GRAFT_COMPACT('$root', ZORDER BY o_orderkey, FILES 4)").collect()
+      s.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)").collect()
+      s.sql(s"GRAFT_READ('$root')").orderBy("o_orderkey")
+    }),
+
     // q89: STATS-PRUNED ROW DELETE through the pure-SQL statement —
     // GRAFT_DELETE commits an overwrite-where with an empty source:
     // the o_orderkey<1000 span vanishes, every file the stats prove
@@ -1406,6 +1426,11 @@ object RelationalQueries {
         |SELECT o_orderkey + 10000000, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // compaction + retention must be row-identity: the full projection
+    "q92_sql_maintenance" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // delete closed form: the surviving snapshot is the complement
