@@ -772,9 +772,9 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
-    // q92: SQL MAINTENANCE under the oracle — three O(delta) append
+    // q92: SQL MAINTENANCE under the oracle — two O(delta) append
     // commits, then GRAFT_COMPACT folds the delta dirs into ONE
-    // z-ordered dir and GRAFT_VACUUM retires every retired version
+    // dir and GRAFT_VACUUM retires every retired version
     // (grace 0: the scratch root is session-private). The snapshot
     // read back after both must still be exactly the union of the
     // appends — the driver hash proves compaction rewrites and
@@ -783,11 +783,13 @@ object RelationalQueries {
       val root = scratchRoot("graft_q92")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      (0 until 3).foreach { i =>
-        Writer.write(s, orders.where(col("o_orderkey") % 3 === i),
+      (0 until 2).foreach { i =>
+        Writer.write(s, orders.where(col("o_orderkey") % 2 === i),
           SinkSpec(root, mode = Append, versioned = true))
       }
-      s.sql(s"GRAFT_COMPACT('$root', ZORDER BY o_orderkey, FILES 4)").collect()
+      // plain fold (the ZORDER BY / FILES clauses are parse-pinned in
+      // SqlSurfaceSuite; the z-order rewrite itself in ZOrderSuite)
+      s.sql(s"GRAFT_COMPACT('$root')").collect()
       s.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)").collect()
       s.sql(s"GRAFT_READ('$root')").orderBy("o_orderkey")
     }),
