@@ -66,6 +66,24 @@ object FileStats {
       .sorted)
   }
 
+  /** ALL leaf data files under `dir` as dir-relative paths — for a
+    * flat directory identical to [[listDataFiles]], for a
+    * hive-partitioned one the partition subdirectories ride along in
+    * the path (`p=1/part-...parquet`). The recursive unit of the
+    * per-file stats that extend pruned merges and data skipping to
+    * partitioned layouts.
+    */
+  def listLeafDataFiles(fs: FileSystem, dir: Path): Seq[String] = {
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filterNot(e => e.getPath.getName.startsWith("_") || e.getPath.getName.startsWith("."))
+        .flatMap { e =>
+          val r = if (rel.isEmpty) e.getPath.getName else rel + "/" + e.getPath.getName
+          if (e.isDirectory) walk(e.getPath, r) else Seq(r)
+        }
+    walk(dir, "").sorted
+  }
+
   /** Extract per-file stats from the parquet footers of `dir`'s data
     * files and write the `_graft_stats` sidecar INTO the directory
     * (callers invoke this while the directory is still private, before
@@ -82,10 +100,10 @@ object FileStats {
                    format: String): Unit = {
     if (format != "parquet") return // footer stats are a parquet feature
     try {
-      val files = listDataFiles(fs, dir) match {
-        case Some(fl) => fl
-        case None => return // hive layout: whole-dir unit, no file stats
-      }
+      // hive layouts record their LEAF files with the partition
+      // subdirectories in the relative path, so pruned merges and
+      // read-side skipping work file-level inside partitions too
+      val files = listLeafDataFiles(fs, dir)
       if (files.isEmpty) return
       val qualified = files.map(f => fs.makeQualified(new Path(dir, f)).toString)
       val stats =
@@ -100,7 +118,11 @@ object FileStats {
             .map(u => FileStats.readFooterStats(u, new Configuration()))
             .collect().toSeq
         }
-      val lines = stats.sortBy(_.file).map(render)
+      // keys are dir-RELATIVE paths: re-relativize what
+      // readFooterStats recorded (it keeps only the file name)
+      val lines = files.zip(stats).map { case (rel, st) =>
+        render(st.copy(file = rel))
+      }
       val out = fs.create(new Path(dir, SidecarName), true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     } catch {

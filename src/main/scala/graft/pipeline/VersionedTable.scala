@@ -184,9 +184,14 @@ object VersionedTable {
     val dirReads = dirRefs.map(d => spark.read.format(format).load(new Path(rootP, d).toString))
     // File refs (commitMerge carry-overs) group by their parent dir —
     // files of one immutable dir share a schema — and read as ONE
-    // multi-path scan per dir (schema from the first file's footer).
-    val fileReads = fileRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (_, refs) =>
-      spark.read.format(format).load(refs.map(r => new Path(rootP, r).toString): _*)
+    // multi-path scan per dir with basePath = the dir: for flat
+    // layouts a no-op, for files INSIDE hive partition subtrees
+    // (`dir/p=1/part-...`) it derives the partition columns from the
+    // path components below the base, so partitioned tables'
+    // carried-over files read whole.
+    val fileReads = fileRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (d, refs) =>
+      spark.read.format(format).option("basePath", new Path(rootP, d).toString)
+        .load(refs.map(r => new Path(rootP, r).toString): _*)
     }
     // Partition-subtree refs (commitPartitionOverwrite carry-overs)
     // group by their parent dir and read as ONE multi-path scan with
@@ -371,13 +376,19 @@ object VersionedTable {
     */
   def entryFiles(spark: SparkSession, root: String, entries: Seq[String]): Seq[String] = {
     val (fs, rootP) = fsFor(spark, root)
-    entries.find(isPartitionRef).foreach { e =>
-      throw new UnsupportedOperationException(
-        s"manifest entry $e of versioned table at $root is a partition-subtree " +
-          "reference — its partition columns live in the path, which a flat file " +
-          "enumeration would drop; read this table with GRAFT_READ / " +
-          "VersionedTable.read instead of format(\"graft\")")
-    }
+    // refuse ANY ref that traverses a hive partition directory — a
+    // subtree ref, or a file ref inside one (`dir/p=1/part-...`): its
+    // partition columns live in the path, which a flat enumeration
+    // would silently drop
+    entries.find(e => isPartitionRef(e) ||
+        (isFileRef(e) && e.split('/').drop(1).dropRight(1).exists(_.contains('='))))
+      .foreach { e =>
+        throw new UnsupportedOperationException(
+          s"manifest entry $e of versioned table at $root references a hive " +
+            "partition subtree — its partition columns live in the path, which a " +
+            "flat file enumeration would drop; read this table with GRAFT_READ / " +
+            "VersionedTable.read instead of format(\"graft\")")
+      }
     val (fileRefs, dirRefs) = entries.partition(isFileRef)
     val fromDirs = dirRefs.flatMap { d =>
       val dp = new Path(rootP, d)
@@ -803,8 +814,13 @@ object VersionedTable {
                 if (touchedFiles.nonEmpty)
                   load(spark, rootP, format, touchedFiles)
                 else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
-              mergeFn(touchedBase, source).write.format(format)
+              val wm = mergeFn(touchedBase, source).write.format(format)
                 .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+              // keep the hive layout through partial rewrites too —
+              // a flat replacement dir on a partitioned table is
+              // correct (partition cols become data cols) but degrades
+              // later partition-level operations
+              (if (partitionBy.nonEmpty) wm.partitionBy(partitionBy: _*) else wm)
                 .save(dataDir.toString)
               FileStats.writeSidecar(spark, fs, dataDir, format)
               val pointer = (untouchedEntries :+ dirName) :+ "#kind=merge"
@@ -1082,13 +1098,38 @@ object VersionedTable {
               val touchedBase =
                 if (touchedFiles.nonEmpty) load(spark, rootP, format, touchedFiles)
                 else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
-              transform(touchedBase.where(s"NOT ($cond)")
+              val wo = transform(touchedBase.where(s"NOT ($cond)")
                   .unionByName(source.where(cond), allowMissingColumns = true))
                 .write.format(format)
                 .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+              // keep the hive layout through partial rewrites (see
+              // commitMerge)
+              (if (layout.nonEmpty) wo.partitionBy(layout: _*) else wo)
                 .save(dataDir.toString)
               FileStats.writeSidecar(spark, fs, dataDir, format)
-              val pointer = (untouchedEntries :+ dirName) :+ "#kind=merge"
+              // a replacement in which every touched row was deleted
+              // writes NO files under a partitioned layout (dynamic
+              // writes emit nothing for zero rows) — an empty dir in
+              // the manifest would fail schema inference on read, and
+              // the exact commit is simply "the carried entries alone"
+              val replacementEmpty =
+                FileStats.listLeafDataFiles(fs, dataDir).isEmpty
+              val entriesOut =
+                if (!replacementEmpty) untouchedEntries :+ dirName
+                else if (untouchedEntries.nonEmpty) { fs.delete(dataDir, true); untouchedEntries }
+                else {
+                  // nothing carried AND nothing replaced: an empty
+                  // table — publish an empty FLAT dir (readable: the
+                  // flat writer emits a 0-row schema-bearing file)
+                  fs.delete(dataDir, true)
+                  touchedBase.where(s"NOT ($cond)")
+                    .unionByName(source.where(cond), allowMissingColumns = true)
+                    .limit(0).write.format(format)
+                    .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                    .save(dataDir.toString)
+                  Seq(dirName)
+                }
+              val pointer = entriesOut :+ "#kind=merge"
               if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
@@ -1282,6 +1323,14 @@ object VersionedTable {
   /** [[classifyEntries]] generalized to a whole-FileStat predicate —
     * how [[commitOverwriteWhere]] consults several columns' ranges
     * against one file.
+    *
+    * Hive-partitioned dirs and partition-subtree refs classify at the
+    * LEAF-file level too: sidecars key files by dir-RELATIVE path
+    * (partition subdirs ride along), the carried refs keep those
+    * paths, and [[load]] restores the partition columns via basePath.
+    * Hive dirs committed BEFORE per-leaf sidecars existed have no
+    * stats — every file classifies touched (None here only for
+    * listing failures).
     */
   private def classifyEntriesBy(
       fs: FileSystem, rootP: Path, entries: Seq[String],
@@ -1290,29 +1339,35 @@ object VersionedTable {
     val untouched = Seq.newBuilder[String]
     val touched = Seq.newBuilder[String]
     for (entry <- entries) {
-      // a partition-subtree ref carries hive partition columns in its
-      // path — a file-level rewrite of it would drop them; the parent
-      // layout is hive anyway, so take the full-rewrite fallback
-      if (isPartitionRef(entry)) return None
       val dir = entryDir(entry)
       val dirP = new Path(rootP, dir)
       val statsByFile: Map[String, FileStats.FileStat] =
         FileStats.readSidecar(fs, dirP)
           .map(_.map(st => st.file -> st).toMap).getOrElse(Map.empty)
-      def fileTouched(name: String): Boolean = touchesFile(statsByFile.get(name))
-      if (isFileRef(entry)) {
+      def fileTouched(rel: String): Boolean = touchesFile(statsByFile.get(rel))
+      if (isPartitionRef(entry)) {
+        // classify the subtree's leaf files against the PARENT dir's
+        // sidecar (keys are parent-relative, the ref's suffix is the
+        // key prefix)
+        val prefix = entry.substring(entry.indexOf('/') + 1)
+        val files = FileStats.listLeafDataFiles(fs, new Path(rootP, entry))
+          .map(f => s"$prefix/$f")
+        val (t, u) = files.partition(fileTouched)
+        if (t.isEmpty) untouched += entry // whole subtree survives as-is
+        else {
+          untouched ++= u.map(f => s"$dir/$f")
+          touched ++= t.map(f => s"$dir/$f")
+        }
+      } else if (isFileRef(entry)) {
         val name = entry.substring(entry.indexOf('/') + 1)
         if (fileTouched(name)) touched += entry else untouched += entry
       } else {
-        FileStats.listDataFiles(fs, dirP) match {
-          case None => return None // hive layout
-          case Some(files) =>
-            val (t, u) = files.partition(fileTouched)
-            if (t.isEmpty) untouched += entry // whole dir survives as-is
-            else {
-              untouched ++= u.map(f => s"$dir/$f")
-              touched ++= t.map(f => s"$dir/$f")
-            }
+        val files = FileStats.listLeafDataFiles(fs, dirP)
+        val (t, u) = files.partition(fileTouched)
+        if (t.isEmpty) untouched += entry // whole dir survives as-is
+        else {
+          untouched ++= u.map(f => s"$dir/$f")
+          touched ++= t.map(f => s"$dir/$f")
         }
       }
     }
@@ -1345,27 +1400,35 @@ object VersionedTable {
       colName: String, lo: Any, hi: Any): Seq[String] = {
     val kept = Seq.newBuilder[String]
     for (entry <- entries) {
-      if (isPartitionRef(entry)) { kept += entry } // hive slice: no file stats
-      else {
-      val dirP = new Path(rootP, entryDir(entry))
+      val dir = entryDir(entry)
+      val dirP = new Path(rootP, dir)
       FileStats.readSidecar(fs, dirP).map(_.map(st => st.file -> st).toMap) match {
         case None => kept += entry // no sidecar: read it all
         case Some(statsByFile) =>
-          def hits(name: String): Boolean =
-            statsByFile.get(name).flatMap(_.cols.get(colName)) match {
+          def hits(rel: String): Boolean =
+            statsByFile.get(rel).flatMap(_.cols.get(colName)) match {
               case Some(cs) => FileStats.rangeOverlaps(cs, lo, hi)
               case None => true
             }
-          if (isFileRef(entry)) {
+          if (isPartitionRef(entry)) {
+            // leaf-file skipping INSIDE the carried subtree (sidecar
+            // keys are parent-relative; the ref suffix is the prefix)
+            val prefix = entry.substring(entry.indexOf('/') + 1)
+            val files = FileStats.listLeafDataFiles(fs, new Path(rootP, entry))
+              .map(f => s"$prefix/$f")
+            val keep = files.filter(hits)
+            if (keep.length == files.length) kept += entry
+            else kept ++= keep.map(f => s"$dir/$f")
+          } else if (isFileRef(entry)) {
             if (hits(entry.substring(entry.indexOf('/') + 1))) kept += entry
-          } else FileStats.listDataFiles(fs, dirP) match {
-            case None => kept += entry // hive dir: partition pruning's job
-            case Some(files) =>
-              val keep = files.filter(hits)
-              if (keep.length == files.length) kept += entry
-              else kept ++= keep.map(f => s"${entryDir(entry)}/$f")
+          } else {
+            // per-leaf listing: hive dirs skip file-level too (the
+            // partition subdirs ride along in the sidecar keys)
+            val files = FileStats.listLeafDataFiles(fs, dirP)
+            val keep = files.filter(hits)
+            if (keep.length == files.length) kept += entry
+            else kept ++= keep.map(f => s"$dir/$f")
           }
-      }
       }
     }
     kept.result()

@@ -164,7 +164,7 @@ class PartitionOverwriteSuite extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       VersionedTable.entryFiles(spark, root, snap.dataDirs)
     }
-    assert(e.getMessage.contains("partition-subtree"))
+    assert(e.getMessage.contains("partition subtree"))
   }
 
   test("additive schema evolution: a new column in the overwrite batch null-fills carried slices") {
@@ -180,22 +180,37 @@ class PartitionOverwriteSuite extends SparkSpec {
     assert(got.size == 5)
   }
 
-  test("delete on a hive-partitioned table keeps the layout through the fallback rewrite") {
+  test("delete on a hive-partitioned table prunes at leaf level and keeps the layout") {
     val root = tmpRoot("graft_po10")
     VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
     VersionedTable.commitDelete(spark, root, "id = 3")
-    val dir = VersionedTable.currentSnapshot(spark, root).get.dataDirs.head
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, dir, "cc=US")),
-      "the fallback rewrite must preserve the detected hive layout")
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    // per-leaf stats prove most leaves hold no id=3: they carry as
+    // file refs THROUGH their partition subdirs
+    val carried = snap.dataDirs.filter(VersionedTable.isFileRef)
+    assert(carried.nonEmpty && carried.forall(_.contains("cc=")),
+      s"untouched leaves must carry by reference with their partition path: ${snap.dataDirs}")
+    // any replacement dir (detected layout) stays hive-partitioned; a
+    // touched leaf whose every row died writes nothing and is dropped
+    // from the manifest instead of landing as an unreadable empty dir
+    snap.dataDirs.filterNot(VersionedTable.isFileRef).foreach { newDir =>
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(root, newDir))
+        .anyMatch(p => p.getFileName.toString.startsWith("cc=")),
+        s"the replacement dir must keep the detected hive layout: $newDir")
+    }
     val got = VersionedTable.read(spark, root)
       .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
     assert(got == seed.as[(Long, String, Long)].collect().toSet.filterNot(_._1 == 3L))
-    // the preserved layout keeps LATER partition overwrites prunable
+    // compaction folds the refs; a later partition overwrite prunes again
+    VersionedTable.compact(spark, root, partitionBy = Seq("cc"))
     VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
       Seq((9L, "FR", 900L)).toDF("id", "cc", "v"), Seq("cc"))
     assert(VersionedTable.currentSnapshot(spark, root).get.dataDirs
       .exists(VersionedTable.isPartitionRef),
-      "partition pruning must survive the delete's rewrite")
+      "partition pruning must resume after compaction")
+    val got2 = VersionedTable.read(spark, root)
+      .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
+    assert(got2 == got.filterNot(_._2 == "FR") + ((9L, "FR", 900L)))
   }
 
   test("vacuum keeps parent dirs pinned by partition refs; compact folds refs away") {

@@ -135,18 +135,33 @@ class PrunedMergeSuite extends SparkSpec {
     assert(got.where(col("k") === 1L).head().getAs[Long]("v") == 111L)
   }
 
-  test("hive-partitioned snapshot falls back to a full rewrite commit") {
+  test("hive-partitioned snapshot merges with LEAF-FILE pruning; partition columns survive") {
     val root = tmpRoot("graft_pm_hive")
+    // key ranges disjoint per partition so per-leaf stats can prune
     VersionedTable.commit(spark, root, "parquet",
-      _ => Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "a", 3L)).toDF("k", "part", "v"),
+      _ => Seq((1L, "a", 1L), (2L, "a", 2L), (100L, "b", 3L), (101L, "b", 4L))
+        .toDF("k", "part", "v"),
       partitionBy = Seq("part"))
-    val source = Seq((2L, "b", 20L)).toDF("k", "part", "v")
-    VersionedTable.commitMerge(spark, root, "parquet", source, Seq("k"))
+    val source = Seq((100L, "b", 30L)).toDF("k", "part", "v")
+    VersionedTable.commitMerge(spark, root, "parquet", source, Seq("k"),
+      partitionBy = Seq("part"))
     val snap = VersionedTable.currentSnapshot(spark, root).get
-    assert(!snap.dataDirs.exists(VersionedTable.isFileRef))
+    val carried = snap.dataDirs.filter(VersionedTable.isFileRef)
+    assert(carried.exists(_.contains("part=a")),
+      s"part=a's leaves prove no source key and must carry by reference: ${snap.dataDirs}")
+    assert(!VersionedTable.readVersion(spark, root, 2L).columns.isEmpty)
+    // ONLY the leaf holding k=100 rewrote — every other leaf file
+    // (including k=101's within the SAME partition) carried over
+    assert(snap.dataDirs.count(e => !VersionedTable.isFileRef(e)) == 1,
+      s"one replacement dir expected: ${snap.dataDirs}")
+    // carried refs keep their partition column through the basePath read
     val got = VersionedTable.read(spark, root).collect()
-      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).sortBy(_._1)
-    assert(got.toSeq == Seq((1L, 1L), (2L, 20L), (3L, 3L)))
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"), r.getAs[Long]("v"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 1L), (2L, "a", 2L), (100L, "b", 30L), (101L, "b", 4L)))
+    // the replacement dir keeps the hive layout
+    val newDir = snap.dataDirs.filterNot(VersionedTable.isFileRef).last
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, newDir, "part=b")),
+      s"partial rewrite must preserve partitioning: $newDir")
   }
 
   test("readPruned opens only range-intersecting files; filtered result matches a full scan") {
@@ -174,6 +189,37 @@ class PrunedMergeSuite extends SparkSpec {
     // a range hitting nothing reads an empty (schema-correct) frame
     assert(VersionedTable.readPruned(spark, root, "k", 5000000L, 6000000L)
       .where(col("k") >= 5000000L).count() == 0L)
+  }
+
+  test("readPruned skips leaf files INSIDE hive partitions (per-leaf sidecar stats)") {
+    val root = tmpRoot("graft_pm_hiveskip")
+    VersionedTable.commit(spark, root, "parquet",
+      _ => spark.range(0, 4000)
+        .select(col("id").as("k"), (col("id") % 4).as("p"), (col("id") * 2).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      partitionBy = Seq("p"))
+    val (fs, rootP) = {
+      val pth = new org.apache.hadoop.fs.Path(root)
+      val f = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (f, f.makeQualified(pth))
+    }
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val all = FileStats.listLeafDataFiles(fs,
+      new org.apache.hadoop.fs.Path(rootP, snap.dataDirs.head))
+    val kept = VersionedTable.prunedEntries(spark, fs, rootP, snap.dataDirs, "k", 100L, 199L)
+    assert(kept.forall(_.contains("p=")), s"kept refs keep partition paths: $kept")
+    assert(kept.size < all.size / 2,
+      s"narrow k-range must skip most leaf files: ${kept.size} of ${all.size}")
+    // the pruned read returns the same rows as the full scan, with the
+    // partition column intact
+    // the partition column infers from the path (int): compare as long
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("p").cast("long"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val full = rows(VersionedTable.read(spark, root).where(col("k").between(100L, 199L)))
+    val pruned = rows(VersionedTable.readPruned(spark, root, "k", 100L, 199L)
+      .where(col("k").between(100L, 199L)))
+    assert(pruned.toSeq == full.toSeq && full.length == 100)
   }
 
   test("commitOverwriteWhere rewrites only cond-intersecting files; the rest carry byte-identical") {
