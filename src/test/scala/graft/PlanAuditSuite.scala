@@ -116,6 +116,13 @@ class PlanAuditSuite extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q87: the two-level NDV read aggregates the bounded rollup — no join, no fact rescan") {
+    val p = plan("q87_matview_ndv")
+    assert(!p.contains("Join"), p)
+    // the scan reads the ROLLUP's dirs, never the source fact root
+    assert(!p.contains("q87src"), p)
+  }
+
   test("q52: the three window functions share one shuffle+sort") {
     val p = plan("q52_ntile")
     // one exchange for the window partition key, one for the output sort
