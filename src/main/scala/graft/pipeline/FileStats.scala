@@ -201,11 +201,18 @@ object FileStats {
   private def minOf(a: Any, b: Any): Any = if (cmp(a, b) <= 0) a else b
   private def maxOf(a: Any, b: Any): Any = if (cmp(a, b) >= 0) a else b
 
-  /** Compare two stat values of the same runtime type. */
+  /** Compare two stat values of the same runtime type. Strings compare
+    * in unsigned UTF-8 byte order (the order parquet footers and
+    * Spark's UTF8String use) — UTF-16 code-unit order disagrees for
+    * supplementary-plane characters vs U+E000..U+FFFF and a mismatch
+    * there turns data skipping into wrong results, not missed prunes.
+    */
   def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case _ => throw new IllegalArgumentException(
       s"incomparable stat values: ${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
   }

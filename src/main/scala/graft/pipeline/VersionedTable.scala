@@ -743,9 +743,12 @@ object VersionedTable {
     * touched-base rows survive). It must be re-computable: a CAS race
     * loser re-derives against the winner's snapshot.
     *
-    * Hive-partitioned snapshots (directories with subdirectories)
-    * fall back to a full [[commit]] rewrite — file references cannot
-    * carry partition-directory columns.
+    * Hive-partitioned snapshots classify at LEAF-FILE level inside
+    * partition subtrees ([[classifyEntriesBy]]): sidecar relative
+    * paths keep the `col=value/` segments, so untouched files carry
+    * over as partition-qualified file refs and only intersecting
+    * leaves rewrite. Only layouts with no usable sidecar fall back to
+    * the full rewrite.
     *
     * The commit publishes `#kind=merge`: delta-maintenance readers
     * (streams, matviews, diffVersions' fast path) correctly treat the
@@ -864,7 +867,7 @@ object VersionedTable {
     * anti-join+union commit, which is always sound. Reference analog:
     * drune's writer.py `overwrite_partition` mode over
     * `insertInto`-style dynamic overwrite (reference engines/spark/
-    * steps/writer.py:578-673); the manifest carry-over is this repo's
+    * steps/writer.py:27-36); the manifest carry-over is this repo's
     * scale re-expression.
     */
   def commitPartitionOverwrite(
@@ -905,11 +908,20 @@ object VersionedTable {
     }
     if (touched.isEmpty) {
       // dynamic-overwrite of nothing replaces nothing: no-op, like
-      // Spark's own dynamic partitionOverwriteMode with an empty frame
+      // Spark's own dynamic partitionOverwriteMode with an empty frame.
+      // On a table with no committed version yet, commit the empty
+      // source FLAT (no partitionBy): a partitioned 0-row write emits
+      // no data files, and a v1 pointing at an empty dir would fail
+      // schema inference on every later read.
       fs.delete(dataDir, true)
       return currentSnapshot(spark, root).map(_.version).getOrElse(
-        commit(spark, root, format, _ => source, partitionBy, commitKind = "merge"))
+        commit(spark, root, format, _ => source, commitKind = "merge"))
     }
+    // per-file min/max sidecar so later stats-pruned merges/deletes and
+    // read-side data skipping classify this dir at leaf-file level —
+    // every other commit path writes one (commit/commitDelta/compact/
+    // commitMerge/commitOverwriteWhere)
+    FileStats.writeSidecar(spark, fs, dataDir, format)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1026,23 +1038,26 @@ object VersionedTable {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   /** STATS-PRUNED `overwrite_where` (Delta's replaceWhere) — result
-    * semantics are `base WHERE NOT cond  UNION  source WHERE cond`,
-    * but a file whose per-column min/max ranges PROVE it holds no
-    * cond-matching row is carried over in the next manifest BY
-    * REFERENCE instead of being filtered and rewritten: for a
-    * condition confined to a clustered column's range (the typical
-    * backfill — "replace this date span"), the commit rewrites only
-    * the intersecting files, O(touched + source) instead of O(table).
+    * semantics are `base WHERE cond IS NOT TRUE  UNION  source WHERE
+    * cond` (rows where cond evaluates NULL are KEPT, matching SQL
+    * DELETE/replaceWhere three-valued logic), but a file whose
+    * per-column min/max ranges PROVE it holds no cond-matching row is
+    * carried over in the next manifest BY REFERENCE instead of being
+    * filtered and rewritten: for a condition confined to a clustered
+    * column's range (the typical backfill — "replace this date
+    * span"), the commit rewrites only the intersecting files,
+    * O(touched + source) instead of O(table).
     *
     * Soundness: pruning uses only constraints IMPLIED by `cond` —
     * top-level conjuncts of simple comparisons (`col >= lit` etc.,
     * strict inequalities widened to closed bounds, anything inside
     * OR/NOT/casts contributing nothing). A file disjoint from an
-    * implied constraint's interval cannot hold a matching row, so
-    * `WHERE NOT cond` is the identity on it and the byte-identical
+    * implied constraint's interval cannot hold a cond=TRUE row, so
+    * `WHERE cond IS NOT TRUE` is the identity on it (NULL-evaluating
+    * rows are kept by that filter too) and the byte-identical
     * carry-over IS the rewrite. Files without usable stats, and
     * conditions yielding no constraints, rewrite conservatively;
-    * hive layouts fall back to the full-rewrite commit.
+    * hive layouts classify at leaf-file level inside partition dirs.
     *
     * `transform` post-processes the replacement rows (the Writer
     * passes its z-order clustering here, mirroring commitMerge).
@@ -1087,7 +1102,7 @@ object VersionedTable {
           classifyEntriesBy(fs, rootP, s.dataDirs, touchesFile) match {
             case None =>
               return commit(spark, root, format,
-                base => transform(base.map(_.where(s"NOT ($cond)")
+                base => transform(base.map(_.where(s"($cond) IS NOT TRUE")
                     .unionByName(source.where(cond), allowMissingColumns = true))
                   .getOrElse(source)),
                 partitionBy = layout, commitKind = "merge")
@@ -1098,7 +1113,7 @@ object VersionedTable {
               val touchedBase =
                 if (touchedFiles.nonEmpty) load(spark, rootP, format, touchedFiles)
                 else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
-              val wo = transform(touchedBase.where(s"NOT ($cond)")
+              val wo = transform(touchedBase.where(s"($cond) IS NOT TRUE")
                   .unionByName(source.where(cond), allowMissingColumns = true))
                 .write.format(format)
                 .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
@@ -1122,7 +1137,7 @@ object VersionedTable {
                   // table — publish an empty FLAT dir (readable: the
                   // flat writer emits a 0-row schema-bearing file)
                   fs.delete(dataDir, true)
-                  touchedBase.where(s"NOT ($cond)")
+                  touchedBase.where(s"($cond) IS NOT TRUE")
                     .unionByName(source.where(cond), allowMissingColumns = true)
                     .limit(0).write.format(format)
                     .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
@@ -1284,7 +1299,14 @@ object VersionedTable {
       Some(new java.math.BigDecimal(x).compareTo(java.math.BigDecimal.valueOf(y)))
     case (x: Double, y: Long) if x.isInfinite => Some(if (x > 0) 1 else -1)
     case (x: Long, y: Double) if y.isInfinite => Some(if (y > 0) -1 else 1)
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UNSIGNED UTF-8 BYTE order, not UTF-16 code units: parquet footer
+    // min/max (and Spark's UTF8String) sort by UTF-8 bytes, which
+    // disagrees with String.compareTo for supplementary-plane chars vs
+    // U+E000..U+FFFF — a code-unit compare could wrongly prove a file
+    // disjoint and carry rows a DELETE should have removed.
+    case (x: String, y: String) => Some(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case _ => None
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink writer — graft's equivalent of drune's WriterStep
-  * (reference: src/drune/engines/spark/steps/writer.py:578-673).
+  * (reference: src/drune/engines/spark/steps/writer.py:27-36).
   *
   * Drune's merge paths require Delta; graft targets plain parquet/orc
   * paths, so merge-like modes are expressed as distributed
@@ -79,7 +79,10 @@ object Writer {
         try aligned(df).write.mode(SaveMode.Overwrite).insertInto(table)
         finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
       case OverwriteWhere(cond) =>
-        overwriteMerged(base.where(s"NOT ($cond)")
+        // IS NOT TRUE keeps rows where cond evaluates NULL — SQL
+        // DELETE/replaceWhere three-valued semantics, and the same
+        // filter the versioned path uses (commitOverwriteWhere)
+        overwriteMerged(base.where(s"($cond) IS NOT TRUE")
           .unionByName(df.where(cond), allowMissingColumns = true))
       case MergeUpsert =>
         overwriteMerged(upsert(df, Some(base)))
@@ -134,9 +137,10 @@ object Writer {
         try basic(SaveMode.Overwrite, df)
         finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
       case OverwriteWhere(cond) =>
-        // replaceWhere on parquet: keep base rows NOT matching cond.
+        // replaceWhere on parquet: keep base rows where cond is not
+        // TRUE (NULL-evaluating rows survive, like SQL DELETE).
         val merged = readBase(spark, sink) match {
-          case Some(base) => base.where(s"NOT ($cond)").unionByName(df.where(cond), allowMissingColumns = true)
+          case Some(base) => base.where(s"($cond) IS NOT TRUE").unionByName(df.where(cond), allowMissingColumns = true)
           case None => df
         }
         rewrite(spark, merged, sink)
@@ -232,9 +236,9 @@ object Writer {
         // STATS-PRUNED replaceWhere: files whose min/max ranges prove
         // no cond-matching row carry over by reference; only the
         // intersecting files filter-and-rewrite — O(touched + source).
-        // Hive-partitioned sinks take the full-rewrite fallback inside
-        // (file refs cannot carry partition-directory columns), with
-        // partitionBy preserving their layout through it.
+        // Hive-partitioned sinks classify at leaf-file level inside
+        // partition subtrees (sidecar paths carry the col=value
+        // segments); partitionBy keeps their layout through rewrites.
         VersionedTable.commitOverwriteWhere(spark, sink.path, sink.format,
           df, cond, transform = clustered, partitionBy = sink.partitionBy)
         return

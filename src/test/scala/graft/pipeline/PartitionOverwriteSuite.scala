@@ -237,4 +237,34 @@ class PartitionOverwriteSuite extends SparkSpec {
       .select("id", "cc", "v").as[(Long, String, Long)].collect().toSet
     assert(got2 == got)
   }
+
+  test("partition-overwrite dirs get a stats sidecar so later pruned commits can skip them") {
+    val root = tmpRoot("graft_posc")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((7L, "DE", 700L)).toDF("id", "cc", "v"), Seq("cc"))
+    val poDir = VersionedTable.currentSnapshot(spark, root).get.dataDirs
+      .filterNot(VersionedTable.isFileRef).head
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, poDir, FileStats.SidecarName)),
+      s"every commit path must write $poDir/${FileStats.SidecarName} — without it " +
+        "later merges rewrite the whole dir and reads cannot data-skip it")
+    // and the sidecar actually enables pruning: a delete touching only
+    // id=7 must carry the overwrite dir's other content by reference
+    VersionedTable.commitDelete(spark, root, "id = 7")
+    assert(VersionedTable.read(spark, root).count() == 4L)
+  }
+
+  test("overwrite of an empty source on a nonexistent table commits a READABLE empty v1") {
+    val root = tmpRoot("graft_poe")
+    val v = VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      seed.limit(0), Seq("cc"))
+    assert(v == 1L)
+    // a partitioned 0-row write emits no files; the no-op path must
+    // commit a flat schema-bearing file or every later read dies in
+    // parquet schema inference
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("id", "cc", "v"))
+  }
 }

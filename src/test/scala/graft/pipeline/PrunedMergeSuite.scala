@@ -313,6 +313,52 @@ class PrunedMergeSuite extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 7500L)
   }
 
+  test("commitDelete keeps NULL-evaluating rows uniformly — pruned and rewritten files agree") {
+    val root = tmpRoot("graft_delnull")
+    // two range-clustered files on k, each with v=NULL every 10th row;
+    // cond is on v: file A's v-range [1,99] is provably disjoint
+    // (stats-carried by reference), file B's [1001,1099] intersects
+    // (rewritten through the filter) — SQL DELETE keeps rows where the
+    // condition evaluates NULL, so the NULL rows must survive in BOTH,
+    // independent of which file they happened to land in.
+    val df = spark.range(0, 200).select(
+      col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(when(col("id") < 100, col("id")).otherwise(col("id") + 900)).as("v"))
+    VersionedTable.commit(spark, root, "parquet",
+      _ => df.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    VersionedTable.commitDelete(spark, root, "v >= 1000")
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.dataDirs.exists(VersionedTable.isFileRef),
+      s"the disjoint file must carry by reference: ${snap.dataDirs}")
+    val got = VersionedTable.read(spark, root)
+    // survivors: 100 rows of file A + file B's 10 NULL rows
+    assert(got.count() == 110L, "NULL-evaluating rows must be KEPT (three-valued DELETE)")
+    assert(got.where(col("v").isNull).count() == 20L,
+      "every NULL row survives, in carried AND rewritten files alike")
+    assert(got.where(col("v") >= 1000).count() == 0L)
+  }
+
+  test("string stats compare in UTF-8 byte order — supplementary-plane deletes stay correct") {
+    // U+10000 encodes as UTF-8 F0 90 80 80 (> U+FFFD's EF BF BD) but as
+    // the UTF-16 surrogate pair D800 DC00 (< FFFD in code-unit order).
+    // Parquet footers record min/max in unsigned UTF-8 byte order, so a
+    // code-unit compare would read this file's stats as min>max-style
+    // nonsense and wrongly prove it disjoint from s = U+10000 —
+    // carrying a row the delete must remove (wrong result, not a
+    // missed prune).
+    val hi = new String(Character.toChars(0x10000))
+    val rep = "�"
+    assert(FileStats.cmp(rep, hi) < 0, "FileStats.cmp must use UTF-8 byte order")
+    val root = tmpRoot("graft_utf8")
+    VersionedTable.commit(spark, root, "parquet",
+      _ => Seq((1L, rep), (2L, hi)).toDF("k", "s").coalesce(1))
+    VersionedTable.commitDelete(spark, root, s"s = '$hi'")
+    val got = VersionedTable.read(spark, root).collect()
+    assert(got.length == 1 && got.head.getString(1) == rep,
+      s"the U+10000 row must be deleted; got ${got.toSeq}")
+  }
+
   test("Writer overwrite_where on a versioned sink takes the pruned path") {
     import graft.pipeline.{OverwriteWhere, SinkSpec}
     val root = tmpRoot("graft_ow4")
