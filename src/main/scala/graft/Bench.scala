@@ -107,6 +107,13 @@ object Bench {
       "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs3}""")
+    // The 3-dp map line outgrew a 2000-char tail again at 92 queries
+    // (round 9 recovered only 84 of 92 timings). The VERY LAST line is
+    // therefore total-only (< 500 chars, no queries map): any tail
+    // capture, however small, preserves the headline; the full and 3-dp
+    // maps remain above and in BENCH_DETAIL.json for per-query drill-in.
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,11 +328,19 @@ object Curation {
       minTokens: Long = 20,
       maxTokens: Long = 1000000,
       langs: Seq[String] = defaultLangs,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      pairsOf: DataFrame => DataFrame = null): DataFrame = {
     val kept = curate(docs, idCol, textCol, minTokens, maxTokens, langs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptDocs = docs.join(kept.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-    val pairs = Dedup.minhashLsh(keptDocs, idCol, textCol, threshold = threshold)
+    // pairsOf swaps the near-dup pair source (default: MinHash LSH at
+    // `threshold`) — e.g. an exact all-pairs Jaccard verifier, which
+    // makes the whole curate→group→drop pipeline oracle-checkable. The
+    // returned frame must be materialized (checkpoint or persisted)
+    // like minhashLsh's, and carry (id_a, id_b).
+    val pairs =
+      if (pairsOf != null) pairsOf(keptDocs)
+      else Dedup.minhashLsh(keptDocs, idCol, textCol, threshold = threshold)
     val groups = Dedup.nearDupGroups(pairs) // eager — pairs releasable now
     Dedup.releaseCheckpoint(pairs)
     val losers = groups.where(col("doc_id") =!= col("group_id")).select(col("doc_id"))

@@ -221,6 +221,63 @@ object TextQueries {
           Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.8))
         .orderBy("doc_id")),
 
+    // q93: the LSH text-dedup machinery in EXACT ALL-PAIRS mode — a
+    // constant band key puts the whole 500-doc corpus into ONE bucket,
+    // so bucketPairs' bounded-collect pair generation and
+    // jaccardVerify's ShingleSet merge-scan kernel must reproduce the
+    // exact all-pairs character-5-gram Jaccard answer, which IS
+    // SQL-expressible: DuckDB computes every pair's |∩|/|∪| over
+    // distinct shingle substrings directly (the q79/q85 exact-mode
+    // closure applied to the TEXT LSH family — its q30/q32 machinery
+    // under a full hash check for the first time). Output is the id
+    // pair set only: the jaccard double's 4-digit rounding is
+    // engine-divergent at representation edges, the pair SET is not.
+    "q93_jaccard_exact" -> ((s, dir) => {
+      // doc_id < 512 caps the all-pairs corpus at a constant size
+      // across SFs (the q85 `vec_id < 1024` trick): at sf0.1 the table
+      // is 5000 docs and an uncapped all-pairs would be 12.5M verifies
+      val docs = t(s, dir, "documents").where(col("doc_id") < 512)
+      val banded = docs.select(lit(0).as("band"), lit(0L).as("key"),
+        col("doc_id").as("id"))
+      val pairs = Dedup.bucketPairs(banded, Seq("band", "key"), "id",
+        maxBucket = 1 << 20)
+      Dedup.jaccardVerify(docs, pairs, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q94: q46's connected-component grouping over the EXACT pair set
+    // of q93 — min-label group resolution (union-find fast path AND
+    // the distributed propagation it must equal) pinned against a
+    // DuckDB recursive-CTE reachability oracle: group_id = min node
+    // reachable from each paired doc.
+    "q94_dedup_groups_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 512)
+      val banded = docs.select(lit(0).as("band"), lit(0L).as("key"),
+        col("doc_id").as("id"))
+      val pairs = Dedup.bucketPairs(banded, Seq("band", "key"), "id",
+        maxBucket = 1 << 20)
+      Dedup.nearDupGroups(Dedup.jaccardVerify(docs, pairs, threshold = 0.7))
+        .orderBy("doc_id")
+    }),
+
+    // q95: q50's full curate→near-dup-drop pipeline with the EXACT
+    // all-pairs verifier as pair source — quality filter, language
+    // gate, exact-dup collapse, THEN exact-Jaccard groups collapse to
+    // their minimal id: the complete curation pipeline under the
+    // oracle hash end-to-end (q50 itself stays LSH, rows-only).
+    "q95_curate_neardup_exact" -> ((s, dir) =>
+      Curation.curateNearDup(t(s, dir, "documents").where(col("doc_id") < 512),
+          minTokens = 20,
+          pairsOf = kept => {
+            val banded = kept.select(lit(0).as("band"), lit(0L).as("key"),
+              col("doc_id").as("id"))
+            Dedup.jaccardVerify(kept,
+              Dedup.bucketPairs(banded, Seq("band", "key"), "id", 1 << 20),
+              threshold = 0.7)
+          })
+        .orderBy("doc_id")),
+
     // q40: benchmark decontamination — training docs sharing any word
     // 8-gram with the (deterministic doc_id % 7 = 0) eval split.
     "q40_decontaminate" -> ((s, dir) => {
@@ -522,6 +579,62 @@ object TextQueries {
   private def wordsList(lang: String): String =
     graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
 
+  /** Curation keeper set (q39's semantics) as reusable CTEs ending in
+    * `keep(doc_id, n_tokens, lang_pred)` — shared by q39 and q95.
+    */
+  private def curateKeepCtes(docsFrom: String = "documents") =
+    s"""f AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    md5($normSql) AS fp,
+       |    ${hitsSql("de")} AS de_hits, ${hitsSql("en")} AS en_hits,
+       |    ${hitsSql("es")} AS es_hits, ${hitsSql("fr")} AS fr_hits,
+       |    ${hitsSql("pt")} AS pt_hits
+       |  FROM $docsFrom),
+       |lp AS (SELECT *, list_max([
+       |    {'hits': de_hits, 'lang': 'de'}, {'hits': en_hits, 'lang': 'en'},
+       |    {'hits': es_hits, 'lang': 'es'}, {'hits': fr_hits, 'lang': 'fr'},
+       |    {'hits': pt_hits, 'lang': 'pt'}]) AS best FROM f),
+       |feats AS (SELECT doc_id, n_tokens, fp,
+       |    CASE WHEN struct_extract(best, 'hits') > 0
+       |         THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred FROM lp),
+       |flt AS (SELECT * FROM feats
+       |  WHERE n_tokens BETWEEN 20 AND 1000000
+       |    AND lang_pred IN ('de', 'en', 'es', 'fr', 'pt')),
+       |k AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY 1),
+       |keep AS (SELECT flt.doc_id AS doc_id, n_tokens, lang_pred
+       |  FROM flt JOIN k ON flt.fp = k.fp AND flt.doc_id = k.doc_id)""".stripMargin
+
+  /** Exact all-pairs character-5-gram Jaccard over `docsFrom`'s
+    * (doc_id, text) rows, ending in `p(id_a, id_b)` = pairs whose
+    * 4-rounded Jaccard ≥ 0.7 — the SQL mirror of ShingleSet +
+    * sortedIntersectCountL + the rounded-threshold filter. Pairs with
+    * zero shared shingles have Jaccard 0 and are correctly absent from
+    * the shingle self-join.
+    */
+  private def exactPairCtes(docsFrom: String): String =
+    s"""d AS (SELECT doc_id, $normSql AS t FROM $docsFrom),
+       |pos AS (SELECT doc_id, t,
+       |        unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i FROM d),
+       |sh AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS s FROM pos),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b FROM it
+       |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |      WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.7)""".stripMargin
+
+  /** Connected components over `p` by recursive reachability: `reach
+    * (src, dst)` = dst reachable from src; group_id = min(dst).
+    */
+  private val groupCtes =
+    """e AS (SELECT id_a AS u, id_b AS v FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT u AS src, u AS dst FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q68_incremental_dedup" ->
       s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
@@ -585,27 +698,29 @@ object TextQueries {
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
 
     "q39_curate" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    md5($normSql) AS fp,
-         |    ${hitsSql("de")} AS de_hits, ${hitsSql("en")} AS en_hits,
-         |    ${hitsSql("es")} AS es_hits, ${hitsSql("fr")} AS fr_hits,
-         |    ${hitsSql("pt")} AS pt_hits
-         |  FROM documents),
-         |lp AS (SELECT *, list_max([
-         |    {'hits': de_hits, 'lang': 'de'}, {'hits': en_hits, 'lang': 'en'},
-         |    {'hits': es_hits, 'lang': 'es'}, {'hits': fr_hits, 'lang': 'fr'},
-         |    {'hits': pt_hits, 'lang': 'pt'}]) AS best FROM f),
-         |feats AS (SELECT doc_id, n_tokens, fp,
-         |    CASE WHEN struct_extract(best, 'hits') > 0
-         |         THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred FROM lp),
-         |flt AS (SELECT * FROM feats
-         |  WHERE n_tokens BETWEEN 20 AND 1000000
-         |    AND lang_pred IN ('de', 'en', 'es', 'fr', 'pt')),
-         |k AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY 1)
-         |SELECT flt.doc_id, n_tokens, lang_pred
-         |FROM flt JOIN k ON flt.fp = k.fp AND flt.doc_id = k.doc_id
-         |ORDER BY flt.doc_id""".stripMargin,
+      s"""WITH ${curateKeepCtes()}
+         |SELECT doc_id, n_tokens, lang_pred FROM keep
+         |ORDER BY doc_id""".stripMargin,
+
+    "q93_jaccard_exact" ->
+      s"""WITH ${exactPairCtes("documents WHERE doc_id < 512")}
+         |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "q94_dedup_groups_exact" ->
+      s"""WITH RECURSIVE ${exactPairCtes("documents WHERE doc_id < 512")},
+         |$groupCtes
+         |SELECT src AS doc_id, min(dst) AS group_id FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_curate_neardup_exact" ->
+      s"""WITH RECURSIVE ${curateKeepCtes("documents WHERE doc_id < 512")},
+         |${exactPairCtes("documents JOIN keep USING (doc_id)")},
+         |$groupCtes,
+         |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY 1)
+         |SELECT doc_id, n_tokens, lang_pred FROM keep
+         |WHERE NOT EXISTS (SELECT 1 FROM g
+         |                  WHERE g.doc_id = keep.doc_id AND g.doc_id <> g.group_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q37_tfidf" ->
       s"""WITH toks AS (
