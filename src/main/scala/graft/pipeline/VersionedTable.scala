@@ -413,6 +413,56 @@ object VersionedTable {
     entryFiles(spark, root, entries)
   }
 
+  /** [[snapshotFiles]] that understands hive layouts: every leaf data
+    * file of `version` with its hive partition assignment parsed from
+    * the manifest-relative path — `(absolute file path, ordered
+    * (column, raw path-unescaped value) pairs)` — plus the partition
+    * column sequence, which every leaf must share (`Nil` = flat
+    * table). The planning unit of the DSv2 face's partition-aware
+    * scan: subtree refs and file refs inside partition dirs resolve
+    * here instead of refusing. Refuses loudly on a MIXED layout
+    * (flat and partitioned leaves in one snapshot, or disagreeing
+    * partition column sequences) — no single partition schema can
+    * describe it; those tables read through [[read]]/GRAFT_READ.
+    */
+  def snapshotFilesPartitioned(spark: SparkSession, root: String, version: Long)
+      : (Seq[(String, Seq[(String, String)])], Seq[String]) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val entries = dirsOf(fs, rootP, version).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version $version"))
+    // every entry resolves to rootP-relative leaf paths: file refs
+    // as-is, dir entries and partition-subtree refs by recursive walk
+    val rels: Seq[String] = entries.flatMap { e =>
+      if (isFileRef(e) && !isPartitionRef(e)) Seq(e)
+      else {
+        val p = new Path(rootP, e)
+        FileStats.listLeafDataFiles(fs, p).map(rel => s"$e/$rel")
+      }
+    }
+    val files = rels.map { rel =>
+      val segs = rel.split('/')
+      // partition segments are everything between the data dir and the
+      // file name; in a hive layout each has col=value form
+      val mid = segs.drop(1).dropRight(1)
+      val parts = mid.takeWhile(s => s.contains('=') && !s.startsWith("=")).map { s =>
+        val i = s.indexOf('=')
+        (s.substring(0, i), unescapePartitionValue(s.substring(i + 1)))
+      }.toSeq
+      require(parts.length == mid.length,
+        s"manifest entry path $rel of versioned table at $root mixes hive " +
+          "partition segments with plain subdirectories — not a partitionable " +
+          "layout; read this table with GRAFT_READ / VersionedTable.read")
+      (new Path(rootP, rel).toString, parts)
+    }
+    val colSeqs = files.map(_._2.map(_._1)).distinct
+    require(colSeqs.length <= 1,
+      s"versioned table at $root version $version mixes partition layouts " +
+        s"(${colSeqs.map(_.mkString("/")).map(s => if (s.isEmpty) "<flat>" else s).mkString(", ")}) — " +
+        "no single partition schema describes the snapshot; read it with " +
+        "GRAFT_READ / VersionedTable.read")
+    (files, colSeqs.headOption.getOrElse(Nil))
+  }
+
   /** [[appendedDirsBetween]] resolved to absolute file paths (None =
     * the span contains a rewrite and is not streamable row-wise).
     */

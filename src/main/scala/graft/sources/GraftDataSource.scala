@@ -42,10 +42,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * incl. the persisted-once 'latest', rewrite spans refused loudly,
   * additive schema evolution null-filled by the parquet reader).
   *
-  * Scope: parquet-format tables with flat data dirs (the default
-  * layout). Hive-partitioned layouts and csv/json tables keep reading
+  * Scope: parquet-format tables, flat OR hive-partitioned (partition
+  * columns resolve from the manifest's leaf paths into a native
+  * PartitionSpec, so partition pruning runs in the same scan). Mixed
+  * flat+partitioned snapshots and csv/json tables keep reading
   * through GRAFT_READ / [[VersionedTable.read]] — both refuse loudly
-  * here rather than answering wrong.
+  * here rather than answering wrong; streaming a partitioned table
+  * likewise still refuses (the micro-batch planner enumerates flat
+  * file lists).
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -139,6 +143,35 @@ private[sources] object GraftDataSource {
         "parquet tables; use GRAFT_READ / VersionedTable.read for other formats")
     fmt
   }
+
+  /** One hive partition-path value coerced to its declared Catalyst
+    * type (the internal representation PartitionSpec rows carry).
+    * Covers the types Spark's own partition writer emits and the V1
+    * union read infers; an exotic declared type refuses loudly with
+    * the GRAFT_READ fallback rather than mis-typing rows.
+    */
+  def partitionValue(raw: String, field: org.apache.spark.sql.types.StructField,
+                     root: String): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else field.dataType match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case BooleanType => raw.toBoolean
+      case FloatType => raw.toFloat
+      case DoubleType => raw.toDouble
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(
+          java.sql.Date.valueOf(raw))
+      case other => throw new UnsupportedOperationException(
+        s"versioned table at $root: partition column '${field.name}' has type " +
+          s"${other.simpleString}, which the DSv2 graft face does not coerce from " +
+          "partition paths — read this table with GRAFT_READ / VersionedTable.read")
+    }
+  }
 }
 
 class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
@@ -176,12 +209,42 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
     val merged = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala ++ scanOptions.asCaseSensitiveMap().asScala).asJava)
     val fmt = GraftDataSource.formatOf(spark, root, merged)
-    val files = pinnedVersion
-      .map(v => VersionedTable.snapshotFiles(spark, root, v))
-      .getOrElse(Seq.empty)
-    val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
-      Map.empty[String, String], Some(declaredSchema))
-    new GraftScanBuilder(spark, index, declaredSchema, merged, root, fmt)
+    val (files, partCols) = pinnedVersion
+      .map(v => VersionedTable.snapshotFilesPartitioned(spark, root, v))
+      .getOrElse((Seq.empty, Nil))
+    if (partCols.isEmpty) {
+      val index = new InMemoryFileIndex(spark, files.map(f => new Path(f._1)),
+        Map.empty[String, String], Some(declaredSchema))
+      new GraftScanBuilder(spark, index, declaredSchema, declaredSchema, merged, root, fmt)
+    } else {
+      // HIVE-PARTITIONED snapshot: hand the native parquet scan a
+      // manifest-resolved partition spec instead of refusing — the
+      // partition columns come from the paths the manifest references
+      // (exact live leaves only; a directory listing would resurrect
+      // a pruned merge's dead files), typed to the declared schema, so
+      // Catalyst's partition pruning, filter pushdown and column
+      // pruning all run the same native path as flat layouts.
+      val dataSchema = StructType(declaredSchema.filterNot(f => partCols.contains(f.name)))
+      val partSchema = StructType(partCols.map(c =>
+        declaredSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
+          s"partition column '$c' parsed from the layout of $root is missing from " +
+            s"the inferred schema ${declaredSchema.simpleString}"))))
+      val partitions = files
+        .groupBy { case (f, parts) => (new Path(f).getParent, parts.map(_._2)) }
+        .keys.toSeq.sortBy(_._1.toString)
+        .map { case (dir, raw) =>
+          val values = partSchema.fields.zip(raw).map { case (f, v) =>
+            GraftDataSource.partitionValue(v, f, root)
+          }
+          org.apache.spark.sql.execution.datasources.PartitionPath(
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq), dir)
+        }
+      val spec = org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, partitions)
+      val index = new InMemoryFileIndex(spark, files.map(f => new Path(f._1)),
+        Map.empty[String, String], Some(dataSchema),
+        userSpecifiedPartitionSpec = Some(spec))
+      new GraftScanBuilder(spark, index, declaredSchema, dataSchema, merged, root, fmt)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -306,11 +369,12 @@ class GraftWriteBuilder(root: String, tableSchema: StructType)
   */
 class GraftScanBuilder(spark: SparkSession,
                        index: InMemoryFileIndex,
-                       declaredSchema: StructType,
+                       fullSchema: StructType,
+                       fileDataSchema: StructType,
                        options: CaseInsensitiveStringMap,
                        root: String,
                        format: String)
-    extends ParquetScanBuilder(spark, index, declaredSchema, declaredSchema, options) {
+    extends ParquetScanBuilder(spark, index, fullSchema, fileDataSchema, options) {
 
   override def build(): ParquetScan = {
     val s = super.build()
@@ -318,8 +382,16 @@ class GraftScanBuilder(spark: SparkSession,
     val kept = GraftStatSkipping.prune(spark, files, pushedDataFilters)
     val inner =
       if (kept.length == files.length) s
-      else s.copy(fileIndex = new InMemoryFileIndex(spark, kept.map(new Path(_)),
-        Map.empty[String, String], Some(declaredSchema)))
+      else {
+        // a partitioned index's replacement must CARRY the partition
+        // spec (partition columns would silently vanish mid-build);
+        // listFiles treats spec dirs with no surviving files as empty
+        val spec = index.partitionSpec()
+        s.copy(fileIndex = new InMemoryFileIndex(spark, kept.map(new Path(_)),
+          Map.empty[String, String], Some(fileDataSchema),
+          userSpecifiedPartitionSpec =
+            if (spec.partitionColumns.isEmpty) None else Some(spec)))
+      }
     new GraftScan(inner, root, skippingInfo = s"${kept.length} of ${files.length} files")
   }
 }
@@ -378,6 +450,22 @@ private[sources] object GraftStatSkipping {
     acc.toMap
   }
 
+  /** The directory holding a file's `_graft_stats` sidecar and the
+    * file's sidecar KEY: commit paths write ONE sidecar at the data-dir
+    * top keyed by dir-relative paths, so a leaf inside hive partition
+    * subtrees (`data-x/p=1/part-...`) resolves by walking the
+    * `col=value` segments up and re-joining them into the key.
+    */
+  private def sidecarLoc(f: Path): (Path, String) = {
+    var dir = f.getParent
+    var key = f.getName
+    while (dir != null && dir.getName.contains("=") && !dir.getName.startsWith("=")) {
+      key = dir.getName + "/" + key
+      dir = dir.getParent
+    }
+    (dir, key)
+  }
+
   /** Exact row count of `files` from their sidecars' per-file counts —
     * None unless EVERY file has an entry (a partial sum would be a
     * wrong statistic, worse than none). One sidecar read per dir.
@@ -386,14 +474,15 @@ private[sources] object GraftStatSkipping {
     if (files.isEmpty) return Some(0L)
     val conf = spark.sparkContext.hadoopConfiguration
     var total = 0L
-    for ((dir, fs) <- files.groupBy(f => new Path(f).getParent)) {
+    for ((dir, fs) <- files.map(f => (sidecarLoc(new Path(f)), f))
+           .groupMap(_._1._1)(x => x._1._2)) {
       val stats = try FileStats.readSidecar(dir.getFileSystem(conf), dir)
         catch { case scala.util.control.NonFatal(_) => None }
       stats match {
         case None => return None
         case Some(entries) =>
           val byName = entries.map(e => e.file -> e.rows).toMap
-          for (f <- fs) byName.get(new Path(f).getName) match {
+          for (key <- fs) byName.get(key) match {
             case Some(n) => total += n
             case None => return None
           }
@@ -411,7 +500,7 @@ private[sources] object GraftStatSkipping {
     val ivs = intervals(filters).filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
     if (ivs.isEmpty || files.isEmpty) return files
     val conf = spark.sparkContext.hadoopConfiguration
-    files.groupBy(f => new Path(f).getParent).toSeq.flatMap { case (dir, fs) =>
+    files.groupBy(f => sidecarLoc(new Path(f))._1).toSeq.flatMap { case (dir, fs) =>
       val stats = try FileStats.readSidecar(dir.getFileSystem(conf), dir)
         catch { case scala.util.control.NonFatal(_) => None }
       stats match {
@@ -419,7 +508,7 @@ private[sources] object GraftStatSkipping {
         case Some(entries) =>
           val byName = entries.map(e => e.file -> e).toMap
           fs.filter { f =>
-            byName.get(new Path(f).getName) match {
+            byName.get(sidecarLoc(new Path(f))._2) match {
               case None => true // file not in the sidecar: conservative
               case Some(st) => ivs.forall { case (col, (lo, hi)) =>
                 st.cols.get(col) match {
