@@ -54,6 +54,30 @@ object VectorFunctions {
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.ShingleSet(ColumnBridge.expression(text), shingleK))
 
+  /** Packed hyperplane-LSH bucket id (long) of an `array<float>`
+    * column against a plane matrix carried on the expression (ships in
+    * the task binary, not the plan) — see graftbridge.HyperplaneBits.
+    */
+  def hyperplaneBits(vec: Column, planes: Array[Array[Float]]): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.HyperplaneBits(ColumnBridge.expression(vec), planes))
+
+  /** Nearest-centroid list id (int) by cosine, ties to the larger id —
+    * the IVF coarse assignment; see graftbridge.NearestCentroid.
+    */
+  def nearestCentroid(vec: Column, ids: Array[Int], cents: Array[Array[Float]]): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.NearestCentroid(ColumnBridge.expression(vec), ids, cents))
+
+  /** Best-first `nprobe` nearest centroid list ids (array<int>) — the
+    * IVF probe expansion; see graftbridge.NearestCentroids.
+    */
+  def nearestCentroids(vec: Column, ids: Array[Int], cents: Array[Array[Float]],
+                       nprobe: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.NearestCentroids(
+        ColumnBridge.expression(vec), ids, cents, nprobe))
+
   /** collect_list capped at limit+1 elements per group — the bounded
     * bucket-member collector; see graftbridge.BoundedCollectList.
     */

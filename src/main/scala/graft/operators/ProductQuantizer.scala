@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.dotF
 
 /** Product quantization (PQ) for embedding columns — the vector
   * COMPRESSION layer under ANN search at corpus scales where the float
@@ -39,7 +38,10 @@ object ProductQuantizer {
 
   /** Trained codebooks: `cents(j)(c)` is the c-th centroid of subspace
     * j, length `dim/m`. Small by construction (dim × ksub floats) —
-    * lives on the driver, baked into expressions as literals.
+    * lives on the driver and rides the kernel EXPRESSIONS as a plain
+    * field (shipped once per executor inside the task binary), never
+    * as plan literals: m × ksub × dsub literal nodes were an
+    * analyzer/codegen wall at real codebook sizes.
     */
   case class PqCodebook(dim: Int, m: Int, ksub: Int,
       cents: Vector[Vector[Array[Float]]]) {
@@ -48,24 +50,24 @@ object ProductQuantizer {
     /** ‖centroid‖² per (subspace, code) — the ADC norm table. */
     lazy val normsq: Vector[Vector[Float]] =
       cents.map(_.map(c => c.map(x => x * x).sum))
+    /** The kernel-field forms (stable arrays for expression transport). */
+    private[operators] lazy val centsArr: Array[Array[Array[Float]]] =
+      cents.map(_.toArray).toArray
+    private[operators] lazy val normsqArr: Array[Array[Float]] =
+      normsq.map(_.toArray).toArray
   }
-
-  private def litF(a: Array[Float]): Column = array(a.map(lit(_)): _*)
 
   /** PQ codes for a vector as a pure projection: per subspace, the
     * argmin-L2 code via the dot-product identity
-    * argmin_c ‖v−c‖² = argmax_c (v·c − ‖c‖²/2) — whole-stage codegen,
-    * fuses with the scan. At ingest this is the column you persist next
-    * to (or instead of) the embedding.
+    * argmin_c ‖v−c‖² = argmax_c (v·c − ‖c‖²/2) — a native codegen'd
+    * kernel (graftbridge.PqEncode), fuses with the scan. At ingest this
+    * is the column you persist next to (or instead of) the embedding.
     */
   def encodeExpr(vec: Column, cb: PqCodebook): Column =
-    array((0 until cb.m).map { j =>
-      val sub = slice(vec, j * cb.dsub + 1, cb.dsub)
-      array_max(array((0 until cb.ksub).map { c =>
-        struct((dotF(sub, litF(cb.cents(j)(c))) - lit(cb.normsq(j)(c) / 2.0f)).as("score"),
-          lit(c).as("code"))
-      }: _*)).getField("code")
-    }: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        cb.centsArr, cb.normsqArr, cb.dsub))
 
   /** Train per-subspace codebooks: deterministic init (subvectors of
     * the first `ksub` vectors by id), then `iters` Lloyd rounds. Each
@@ -156,21 +158,22 @@ object ProductQuantizer {
     * probe meets afterwards is scored by m lookups into it.
     */
   private def lutExpr(vec: Column, cb: PqCodebook): Column =
-    array((0 until cb.m).map { j =>
-      val sub = slice(vec, j * cb.dsub + 1, cb.dsub)
-      array((0 until cb.ksub).map(c => dotF(sub, litF(cb.cents(j)(c)))): _*)
-    }: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.PqLut(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        cb.centsArr, cb.dsub))
 
   /** ADC cosine of a candidate's `codes` against the probe's `lut`:
     * approx dot = Σⱼ lut[j][codes[j]], approx ‖x‖ from the codebook
-    * norm table (a literal — the same m lookups). No float vectors are
-    * touched.
+    * norm table (a kernel field — the same m lookups). No float
+    * vectors are touched; both sums are native codegen'd loops.
     */
   private def adcSim(lut: Column, codes: Column, probeNorm: Column, cb: PqCodebook): Column = {
-    val dot = (0 until cb.m).map(j =>
-      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1)).reduce(_ + _)
-    val nsq = (0 until cb.m).map(j =>
-      element_at(litF(cb.normsq(j).toArray), element_at(codes, j + 1) + 1)).reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+    val dot = CB.column(org.apache.spark.sql.graftbridge.PqAdcDot(
+      CB.expression(lut), CB.expression(codes)))
+    val nsq = CB.column(org.apache.spark.sql.graftbridge.PqCodeNormSq(
+      CB.expression(codes), cb.normsqArr))
     dot / (probeNorm * sqrt(nsq))
   }
 

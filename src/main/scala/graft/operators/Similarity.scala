@@ -50,9 +50,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `planes` random
-    * projections packed into a long. Deterministic in `seed`; the plane
-    * matrix is a literal array-of-arrays baked into the plan (fine for
-    * ≤ 64 planes × dim few hundred; broadcast otherwise).
+    * projections packed into a long. Deterministic in `seed`. The
+    * plane matrix rides on a native kernel expression (ONE node — it
+    * ships to executors inside the task binary, which Spark itself
+    * broadcasts), so plan size and codegen cost are independent of
+    * planes × dim; the previous literal-baked formulation hit
+    * analyzer/codegen walls past ~64 planes × a few hundred dims.
+    * Same matrix values (same RNG order), same sign-bit packing —
+    * bucket ids are unchanged.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
     // planes = 0 is EXACT mode: every vector lands in one bucket, so a
@@ -60,12 +65,8 @@ object Similarity {
     // semantics (the oracle-closure trick — see q85/q79)
     if (planes == 0) return lit(0L)
     val rnd = new scala.util.Random(seed)
-    val planeCols = (0 until planes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)
-    }
-    planeCols.zipWithIndex.map { case (plane, i) =>
-      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val matrix = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    graft.functions.VectorFunctions.hyperplaneBits(vec, matrix)
   }
 
   /** LSH-bucketed approximate NN: probes and corpus bucketed by
@@ -149,22 +150,23 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid list id as a pure projection (argmax over a
-    * literal struct array — whole-stage codegen, fuses with the scan;
-    * ties go to the larger list id via struct ordering).
+  /** Nearest-centroid list id as a pure projection — the native
+    * [[graft.functions.VectorFunctions.nearestCentroid]] kernel (one
+    * expression node carrying the centroid matrix in the task binary;
+    * whole-stage codegen, fuses with the scan, plan size independent
+    * of nlist × dim). Ties go to the larger list id, matching the
+    * former literal struct-array argmax bit-for-bit.
     */
   def ivfAssign(vec: Column, cents: Seq[(Int, Array[Float])]): Column =
-    array_max(array(cents.map { case (lid, c) =>
-      struct(cosine(vec, array(c.map(lit(_)): _*)).as("sim"), lit(lid).as("list_id"))
-    }: _*)).getField("list_id")
+    graft.functions.VectorFunctions.nearestCentroid(vec,
+      cents.map(_._1).toArray, cents.map(_._2).toArray)
 
-  /** The probe's `nprobe` nearest centroid lists, best-first. */
+  /** The probe's `nprobe` nearest centroid lists, best-first (same
+    * native kernel as [[ivfAssign]]).
+    */
   def ivfProbeLists(vec: Column, cents: Seq[(Int, Array[Float])], nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(array(cents.map { case (lid, c) =>
-        struct(cosine(vec, array(c.map(lit(_)): _*)).as("sim"), lit(lid).as("list_id"))
-      }: _*))), 1, nprobe),
-      p => p.getField("list_id"))
+    graft.functions.VectorFunctions.nearestCentroids(vec,
+      cents.map(_._1).toArray, cents.map(_._2).toArray, nprobe)
 
   /** Centroids → DataFrame `(list_id int, centroid array<float>)` for
     * catalog persistence: `centroidsToDF(...).write.saveAsTable("t")`

@@ -203,4 +203,31 @@ class PlanAuditSuite extends SparkSpec {
     val read = p.linesIterator.find(_.contains("Location")).getOrElse("")
     assert(!read.contains("orders.parquet"), read)
   }
+
+  test("matrix kernels: centroids/planes ride the expression, not the plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // 128 planes × 512 dims (and 256 centroids × 512 dims) as nested
+    // lit() arrays would be ~65k Literal NODES — an analyzer/codegen
+    // wall. The native kernels must keep the plan O(1) in matrix size.
+    val rnd = new scala.util.Random(7)
+    val emb = spark.range(4).selectExpr("id",
+      "transform(sequence(1, 512), x -> cast(rand(42) as float)) as embedding")
+    def literals(df: DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .flatMap(_.collect { case l: Literal => l }).size
+    val bucketed = emb.select(
+      graft.operators.Similarity.hyperplaneBucket(col("embedding"), dim = 512, planes = 128))
+    assert(literals(bucketed) < 50,
+      s"hyperplane planes leaked into the plan as ${literals(bucketed)} literals")
+    val cents = (0 until 256).map(i => i -> Array.fill(512)(rnd.nextGaussian().toFloat))
+    val assigned = emb.select(
+      graft.operators.Similarity.ivfAssign(col("embedding"), cents).as("list_id"),
+      graft.operators.Similarity.ivfProbeLists(col("embedding"), cents, 8).as("probe"))
+    assert(literals(assigned) < 50,
+      s"centroids leaked into the plan as ${literals(assigned)} literals")
+    // and the kernels actually evaluate at this size
+    assert(assigned.collect().length == 4)
+    assert(bucketed.collect().length == 4)
+  }
 }
