@@ -114,6 +114,22 @@ object VersionedTable {
   private def parseKind(content: String): Option[String] =
     content.split("\n").map(_.trim).find(_.startsWith("#kind=")).map(_.stripPrefix("#kind="))
 
+  // `#layout=a,b` records the hive partition columns this commit's
+  // pointer was published with (`#layout=` = flat) — O(1) and
+  // rename-proof, so layout-aware maintenance (commitDelete keeping
+  // the layout through rewrites) never walks one directory branch per
+  // entry. Pre-marker pointers have no line → readers fall back to the
+  // directory walk.
+  private def layoutLine(partitionBy: Seq[String]): String = {
+    partitionBy.foreach(c => require(!c.contains(",") && !c.contains("\n"),
+      s"partition column name '$c' cannot be recorded in a layout marker"))
+    "\n#layout=" + partitionBy.mkString(",")
+  }
+
+  private def parseLayout(content: String): Option[Seq[String]] =
+    content.split("\n").map(_.trim).find(_.startsWith("#layout="))
+      .map(_.stripPrefix("#layout=").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
   /** The recorded commit kind of `version`, if the manifest carries one. */
   private[pipeline] def commitKindOf(spark: SparkSession, root: String,
                                      version: Long): Option[String] = {
@@ -655,7 +671,7 @@ object VersionedTable {
         .save(dataDir.toString)
       FileStats.writeSidecar(spark, fs, dataDir, format)
       if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
-          dirName + s"\n#kind=$commitKind")) {
+          dirName + s"\n#kind=$commitKind" + layoutLine(partitionBy))) {
         recordFormat(fs, rootP, format) // only a PUBLISHED format is recorded
         return next
       }
@@ -730,7 +746,8 @@ object VersionedTable {
       val tagLine = tag.map(t => s"\n#tag=$t").getOrElse("")
       if (baseDirs.length + 1 <= compactAfter) {
         if (casPublish(fs, manifest,
-            ((baseDirs :+ deltaName) :+ "#kind=append").mkString("\n") + tagLine)) {
+            ((baseDirs :+ deltaName) :+ "#kind=append").mkString("\n") +
+              layoutLine(partitionBy) + tagLine)) {
           recordFormat(fs, rootP, format)
           return next
         }
@@ -748,7 +765,8 @@ object VersionedTable {
         // new rows so delta-maintenance readers (MaterializedAgg,
         // diffVersions) survive the bounded auto-compaction instead of
         // treating it as an opaque rewrite
-        if (casPublish(fs, manifest, compactName + s"\n#kind=fold:$deltaName" + tagLine)) {
+        if (casPublish(fs, manifest,
+            compactName + s"\n#kind=fold:$deltaName" + layoutLine(partitionBy) + tagLine)) {
           // the delta's rows now live in the compacted dir; the delta
           // dir is unreferenced and left for vacuum's grace period to
           // sweep — deleting it HERE would yank the freshest rows out
@@ -876,7 +894,8 @@ object VersionedTable {
               (if (partitionBy.nonEmpty) wm.partitionBy(partitionBy: _*) else wm)
                 .save(dataDir.toString)
               FileStats.writeSidecar(spark, fs, dataDir, format)
-              val pointer = (untouchedEntries :+ dirName) :+ "#kind=merge"
+              val pointer = ((untouchedEntries :+ dirName) :+ "#kind=merge") :+
+                layoutLine(partitionBy).stripPrefix("\n")
               if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
@@ -978,7 +997,8 @@ object VersionedTable {
       currentSnapshot(spark, root) match {
         case None =>
           // empty table: the written dir IS the first version
-          val pointer = Seq(dirName) :+ "#kind=merge"
+          val pointer = (Seq(dirName) :+ "#kind=merge") :+
+            layoutLine(partitionBy).stripPrefix("\n")
           if (casPublish(fs, new Path(new Path(rootP, ManifestDir), "v0000000001"),
               pointer.mkString("\n"))) {
             recordFormat(fs, rootP, format)
@@ -998,7 +1018,8 @@ object VersionedTable {
               }, partitionBy = partitionBy, commitKind = "merge")
             case Some(carried) =>
               val next = s.version + 1
-              val pointer = (carried :+ dirName) :+ "#kind=merge"
+              val pointer = ((carried :+ dirName) :+ "#kind=merge") :+
+                layoutLine(partitionBy).stripPrefix("\n")
               if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
@@ -1194,7 +1215,8 @@ object VersionedTable {
                     .save(dataDir.toString)
                   Seq(dirName)
                 }
-              val pointer = entriesOut :+ "#kind=merge"
+              val pointer = (entriesOut :+ "#kind=merge") :+
+                layoutLine(layout).stripPrefix("\n")
               if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
@@ -1231,18 +1253,35 @@ object VersionedTable {
       partitionBy = detectPartitionColumns(spark, root))
   }
 
-  /** The hive partition column names of the current snapshot's layout,
-    * if every whole-dir entry agrees on one (Nil for flat tables,
-    * mixed layouts, or snapshots of only file refs). Partition-subtree
-    * refs carry their columns in the ref path itself.
+  /** The hive partition column names of the current snapshot's layout.
+    * The committed `#layout=` marker answers in O(1) when present
+    * (every commit path records it); pre-marker pointers fall back to
+    * the directory walk — every whole-dir entry must agree (Nil for
+    * flat tables, mixed layouts, or snapshots of only file refs).
+    * Partition-subtree refs carry their columns in the ref path itself.
     */
   private def detectPartitionColumns(spark: SparkSession, root: String): Seq[String] = {
     val (fs, rootP) = fsFor(spark, root)
-    val entries = currentSnapshot(spark, root).map(_.dataDirs).getOrElse(return Nil)
+    val snap = currentSnapshot(spark, root).getOrElse(return Nil)
+    val pointer = new Path(new Path(rootP, ManifestDir), f"v${snap.version}%010d")
+    readSmall(fs, pointer).flatMap(parseLayout) match {
+      case Some(cols) => return cols
+      case None => () // pre-marker pointer: walk the directories below
+    }
+    val entries = snap.dataDirs
     def colsOf(entry: String): Option[Seq[String]] =
       if (isPartitionRef(entry))
         Some(entry.split('/').drop(1).map(_.takeWhile(_ != '=')).toSeq)
-      else if (isFileRef(entry)) None
+      else if (isFileRef(entry)) {
+        // a file ref inside hive subtrees carries its partition columns
+        // in the middle `col=value` segments (pruned merges/deletes on
+        // partitioned tables produce these); a flat file ref is a flat
+        // layout; anything else is unknowable
+        val mid = entry.split('/').drop(1).dropRight(1).toSeq
+        if (mid.forall(s => s.contains('=') && !s.startsWith("=")))
+          Some(mid.map(_.takeWhile(_ != '=')))
+        else None
+      }
       else {
         // walk one branch while names stay col=value-shaped
         def walk(p: Path, acc: List[String]): Seq[String] = {

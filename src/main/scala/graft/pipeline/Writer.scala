@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
 object Writer {
 
   def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    // GUIDED BOUNDARY, not a late classpath error: drune's merge sinks
+    // write through delta-spark (reference: src/drune/engines/spark/
+    // steps/writer.py:40-75), which is not on this build's classpath.
+    // graft READS Delta tables (sources/DeltaRead) but writes its own
+    // versioned protocol — same ACID commit/time-travel/merge surface
+    // on plain parquet — so name the two supported routes up front.
+    require(sink.format != "delta",
+      "graft has no Delta Lake WRITER in this build (the delta-spark connector " +
+        "is not on the classpath). Either write through graft's versioned " +
+        "protocol — SinkSpec(path, versioned = true) gives ACID commits, time " +
+        "travel, pruned merge/delete and partition overwrite on plain parquet — " +
+        "or export a snapshot into an existing Delta lakehouse from a " +
+        "connector-equipped session: spark.read.format(\"graft\").load(root)" +
+        ".write.format(\"delta\").save(target)")
     sink.table match {
       // Versioned CATALOG table: the data commits through the path
       // protocol (manifest CAS — concurrent merges serialize), then the

@@ -255,6 +255,43 @@ class PartitionOverwriteSuite extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4L)
   }
 
+  test("commits record the #layout marker; delete keeps the layout via it; legacy walks") {
+    val root = tmpRoot("graft_polay")
+    VersionedTable.commit(spark, root, "parquet", _ => seed, partitionBy = Seq("cc"))
+    def pointer(v: Long): java.nio.file.Path =
+      java.nio.file.Paths.get(root, "_manifest", f"v$v%010d")
+    def pointerText(v: Long): String =
+      new String(java.nio.file.Files.readAllBytes(pointer(v)), "UTF-8")
+    assert(pointerText(1).contains("#layout=cc"),
+      s"commit must record its partition columns: ${pointerText(1)}")
+    // delete resolves the layout from the marker (no directory walk)
+    // and keeps it through the rewrite
+    VersionedTable.commitDelete(spark, root, "id = 3")
+    assert(pointerText(2).contains("#layout=cc"), pointerText(2))
+    val got = VersionedTable.read(spark, root)
+      .select("id", "cc").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "US"), (2L, "US"), (4L, "DE"), (5L, "FR"), (6L, "FR")))
+    assert(VersionedTable.read(spark, root).schema.fieldNames.contains("cc"))
+
+    // legacy pointer (no marker): the walk fallback still detects the
+    // layout and the next delete keeps it
+    val legacy = pointerText(2).linesIterator.filterNot(_.startsWith("#layout=")).mkString("\n")
+    java.nio.file.Files.delete(pointer(2))
+    java.nio.file.Files.write(pointer(2), legacy.getBytes("UTF-8"))
+    VersionedTable.commitDelete(spark, root, "id = 4")
+    val got3 = VersionedTable.read(spark, root)
+      .select("id", "cc").as[(Long, String)].collect().toSet
+    assert(got3 == Set((1L, "US"), (2L, "US"), (5L, "FR"), (6L, "FR")))
+    assert(pointerText(3).contains("#layout=cc"),
+      s"the post-legacy commit must re-record the marker: ${pointerText(3)}")
+    // flat tables record an EMPTY marker (distinguishable from legacy)
+    val flat = tmpRoot("graft_polay2")
+    VersionedTable.commit(spark, flat, "parquet", _ => seed)
+    val fp = java.nio.file.Paths.get(flat, "_manifest", "v0000000001")
+    assert(new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+      .linesIterator.exists(_ == "#layout="), "flat commits record #layout=")
+  }
+
   test("overwrite of an empty source on a nonexistent table commits a READABLE empty v1") {
     val root = tmpRoot("graft_poe")
     val v = VersionedTable.commitPartitionOverwrite(spark, root, "parquet",

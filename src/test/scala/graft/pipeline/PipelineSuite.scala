@@ -156,4 +156,16 @@ class PipelineSuite extends SparkSpec {
     val again = Scd2Merge(spark, src, Some(out), Seq("balance"), now = t1)
     assert(again.count() == 4)
   }
+
+  test("a delta-format sink refuses up front with the two supported routes") {
+    val e = intercept[IllegalArgumentException] {
+      Writer.write(spark, Seq((1L, "a")).toDF("id", "v"),
+        SinkSpec("/tmp/never-written", format = "delta"))
+    }
+    // the refusal must name BOTH alternatives — the versioned protocol
+    // and the export recipe — not just say no
+    assert(e.getMessage.contains("versioned = true"), e.getMessage)
+    assert(e.getMessage.contains("write.format(\"delta\")"), e.getMessage)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/never-written")))
+  }
 }
