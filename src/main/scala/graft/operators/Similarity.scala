@@ -57,7 +57,11 @@ object Similarity {
     * planes × dim; the previous literal-baked formulation hit
     * analyzer/codegen walls past ~64 planes × a few hundred dims.
     * Same matrix values (same RNG order), same sign-bit packing —
-    * bucket ids are unchanged.
+    * bucket ids are unchanged for non-null vectors. One deliberate
+    * change vs the old when/otherwise Column form: a NULL embedding
+    * now yields a NULL bucket (dropped by bucket joins) where the old
+    * form landed it in bucket 0 — a null vector has no meaningful
+    * projection, so pairing it with real bucket-0 vectors was noise.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column = {
     // planes = 0 is EXACT mode: every vector lands in one bucket, so a

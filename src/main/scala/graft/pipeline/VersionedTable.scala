@@ -1144,8 +1144,9 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(new Path(rootP, ManifestDir))
-    // hive layouts always take the full-rewrite fallback (no file
-    // stats); an explicit partitionBy keeps their layout through it
+    // hive layouts classify at LEAF-FILE level via sidecar keys (see
+    // classifyEntries); an explicit partitionBy keeps their layout
+    // through any rewrite
     val layout = partitionBy
     val constraints = condConstraints(spark, cond)
     // a file is untouchable iff SOME implied constraint's interval is
@@ -1235,7 +1236,9 @@ object VersionedTable {
     * empty source: rows matching `cond` vanish, files whose min/max
     * ranges prove they hold no matching row carry over BY REFERENCE
     * untouched, only intersecting files rewrite through the
-    * `NOT (cond)` filter. The GDPR/backfill-retraction commit shape:
+    * `(cond) IS NOT TRUE` filter (three-valued logic: a NULL
+    * predicate keeps the row — DELETE removes only rows where the
+    * condition is TRUE). The GDPR/backfill-retraction commit shape:
     * O(touched files), not O(table). Returns the committed version.
     */
   def commitDelete(

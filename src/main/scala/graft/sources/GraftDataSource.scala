@@ -224,9 +224,15 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
       // a pruned merge's dead files), typed to the declared schema, so
       // Catalyst's partition pruning, filter pushdown and column
       // pruning all run the same native path as flat layouts.
-      val dataSchema = StructType(declaredSchema.filterNot(f => partCols.contains(f.name)))
+      // Name matching is case-INSENSITIVE, like Spark's own column
+      // resolution: a declared/inferred schema whose column case
+      // differs from the directory names (dept=... vs a `Dept` field)
+      // still resolves; the schema's spelling wins in the output.
+      def sameCol(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+      val dataSchema = StructType(
+        declaredSchema.filterNot(f => partCols.exists(sameCol(_, f.name))))
       val partSchema = StructType(partCols.map(c =>
-        declaredSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
+        declaredSchema.find(f => sameCol(f.name, c)).getOrElse(throw new IllegalStateException(
           s"partition column '$c' parsed from the layout of $root is missing from " +
             s"the inferred schema ${declaredSchema.simpleString}"))))
       val partitions = files

@@ -91,7 +91,13 @@ object MatrixKernels {
   /** struct(sim, id) ordering of the Column formulation: null sim
     * (NaN-encoded) sorts below any real sim; real sims compare as
     * doubles; ties break by id. Returns true iff (simA, idA) >
-    * (simB, idB).
+    * (simB, idB). NOTE: because NaN is the null-encoding, a genuine
+    * NaN cosine (NaN/Inf in the input vector) also ranks BELOW all
+    * real sims here, where Spark's double ordering in the old Column
+    * form ranked data-NaN above all reals. Deliberate: a vector with
+    * non-finite components has no meaningful cosine and should never
+    * win an argmax; callers feeding non-finite embeddings get the
+    * lowest rank, not the highest.
     */
   private def gt(simA: Double, idA: Int, simB: Double, idB: Int): Boolean = {
     val aNull = simA.isNaN
@@ -203,13 +209,22 @@ object PqKernels {
   }
 
   /** Σⱼ lut[j][codes[j]] — the ADC approximate dot (double, summed
-    * left-to-right like the element_at reduce).
+    * left-to-right like the element_at reduce). Codes are expected to
+    * come from [[PqEncode]] with the same codebook; a corrupt /
+    * out-of-range code poisons the sum to NaN (the old non-ANSI
+    * element_at form yielded null there) instead of throwing
+    * mid-task.
     */
   def adcDot(lut: ArrayData, codes: ArrayData): Double = {
     val m = math.min(lut.numElements(), codes.numElements())
     var s = 0.0
     var j = 0
-    while (j < m) { s += lut.getArray(j).getDouble(codes.getInt(j)); j += 1 }
+    while (j < m) {
+      val row = lut.getArray(j)
+      val c = codes.getInt(j)
+      s += (if (c < 0 || c >= row.numElements()) Double.NaN else row.getDouble(c))
+      j += 1
+    }
     s
   }
 
@@ -225,6 +240,37 @@ object PqKernels {
   }
 }
 
+/** Value-based equality for kernel expressions carrying `Array`
+  * fields. A case class compares `Array` fields by REFERENCE, so two
+  * separately-built but identical kernels would defeat
+  * `semanticEquals` and common-subexpression elimination — a latent
+  * double-eval when a caller composes the same kernel twice. Every
+  * matrix-carrying expression below mixes this in and lists its
+  * fields (children + arrays + scalars) via [[eqFields]];
+  * `java.util.Objects.deepEquals` / `Arrays.deepHashCode` give the
+  * arrays deep value semantics.
+  */
+trait KernelArrayEquality { self: Expression with Product =>
+  /** All semantically-significant fields, in constructor order. */
+  protected def eqFields: Seq[Any]
+
+  override def equals(other: Any): Boolean = other match {
+    case that: KernelArrayEquality if that.getClass == getClass =>
+      val a = eqFields
+      val b = that.eqFields
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        java.util.Objects.deepEquals(x.asInstanceOf[AnyRef], y.asInstanceOf[AnyRef])
+      }
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    val parts: Array[AnyRef] =
+      (getClass.getName +: eqFields.map(_.asInstanceOf[AnyRef])).toArray
+    java.util.Arrays.deepHashCode(parts)
+  }
+}
+
 /** PQ encode: the m nearest-centroid codes of a float vector — the
   * at-ingest projection that turns a dim×4-byte vector into m bytes.
   * The codebook rides the expression (task binary), not the plan:
@@ -233,7 +279,9 @@ object PqKernels {
   */
 case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
                     normsq: Array[Array[Float]], dsub: Int)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, cents, normsq, dsub)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -255,7 +303,9 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
 
 /** Probe-side ADC lookup table (array<array<double>>). */
 case class PqLut(child: Expression, cents: Array[Array[Array[Float]]], dsub: Int)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, cents, dsub)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType =
@@ -298,7 +348,9 @@ case class PqAdcDot(left: Expression, right: Expression)
 
 /** Σⱼ ‖cent(j, codes[j])‖² (float) — the ADC norm lookup. */
 case class PqCodeNormSq(child: Expression, normsq: Array[Array[Float]])
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, normsq)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
   override def dataType: DataType = FloatType
@@ -323,7 +375,9 @@ case class PqCodeNormSq(child: Expression, normsq: Array[Array[Float]])
   * bucket-0-on-null was an accident of `when`'s otherwise).
   */
 case class HyperplaneBits(child: Expression, planes: Array[Array[Float]])
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, planes)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
@@ -346,7 +400,9 @@ case class HyperplaneBits(child: Expression, planes: Array[Array[Float]])
   * cosine (ties → larger id, zero-norm rows rank below all).
   */
 case class NearestCentroid(child: Expression, ids: Array[Int], cents: Array[Array[Float]])
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, ids, cents)
 
   require(ids.length == cents.length && ids.nonEmpty,
     s"centroid ids (${ids.length}) and rows (${cents.length}) must align and be non-empty")
@@ -377,7 +433,9 @@ case class NearestCentroid(child: Expression, ids: Array[Int], cents: Array[Arra
   */
 case class NearestCentroids(child: Expression, ids: Array[Int],
                             cents: Array[Array[Float]], nprobe: Int)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes with KernelArrayEquality {
+
+  override protected def eqFields: Seq[Any] = Seq(child, ids, cents, nprobe)
 
   require(ids.length == cents.length && ids.nonEmpty,
     s"centroid ids (${ids.length}) and rows (${cents.length}) must align and be non-empty")
