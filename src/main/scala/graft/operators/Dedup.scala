@@ -537,17 +537,63 @@ object Dedup {
     agg.select(col("id"), sim.as("simhash"))
   }
 
+  /** ORACLE-PORTABLE simhash signature: same sign-sum construction as
+    * [[simhash]], but the per-shingle hash is the first 15 hex chars
+    * of md5 (a 60-bit value) instead of xxhash64 — md5 is the one
+    * hash family Spark and DuckDB compute bit-identically, so this
+    * signature is reproducible in pure SQL and the pairing machinery
+    * downstream of it can be driver-hashed (q96). 60 bits (not 64):
+    * 15 hex digits parse into a BIGINT without overflow in either
+    * engine; the top 4 bits of the signature are structurally 0,
+    * which the 4×16-bit banding tolerates (band 3 simply has 12 live
+    * bits). An ORACLE DEVICE — production simhash stays on the
+    * codegen'd xxhash64 kernel ([[simhash]]); this explode+agg
+    * formulation is O(shingles) rows through one keyed shuffle,
+    * priced for the ≤512-doc capped corpus q96 runs it on.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                      shingleK: Int = 5): DataFrame = {
+    val t = col("__t")
+    val shingles = docs
+      .select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__t"))
+      .select(col("id"), t,
+        explode(sequence(lit(1), greatest(length(t) - (shingleK - 1), lit(1)))).as("__i"))
+      .select(col("id"),
+        conv(substring(md5(t.substr(col("__i"), lit(shingleK)).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = shingles.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
   /** Near-dup groups by SimHash: candidates share one of 4 16-bit bands
     * (hamming distance ≤ 3 guarantees a shared band by pigeonhole);
     * verified by popcount of XOR ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** Banding + bounded pair generation + hamming verify over a
+    * precomputed `(id, simhash)` frame — the machinery of
+    * [[simhashPairs]] behind any signature source (the production
+    * xxhash64 kernel, or [[simhashPortable]] for the q96 oracle
+    * closure). At maxHamming ≤ 3 the 4-band split is LOSSLESS by
+    * pigeonhole, so the output equals exact all-pairs hamming
+    * filtering — which is what lets a DuckDB oracle reproduce it
+    * without reimplementing the banding.
+    */
+  def simhashPairsFrom(signatures: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     // `sh` feeds the band explode and both verify joins (3 references);
-    // its lineage is the exploded-shingle bit-sum aggregation — persist
-    // for this call so the aggregation executes once, release before
-    // returning (same hygiene as minhashLsh).
-    val sh = simhash(docs, idCol, textCol)
+    // its lineage is the signature computation — persist for this call
+    // so it executes once, release before returning (same hygiene as
+    // minhashLsh).
+    val sh = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"),
       explode(array((0 until 4).map { b =>

@@ -221,6 +221,50 @@ object IncrementalDedup {
     dedupeDeltaHooked(spark, delta, root, idCol, textCol, bands, threshold,
       maxBucket, maxBroadcastPairs, append, () => ())
 
+  /** EXACT-MODE seam for the q97 oracle closure: `constantBand`
+    * replaces band keys with one constant bucket on BOTH sides (every
+    * delta×corpus and delta-internal combination becomes a candidate
+    * — the q93/q85 all-pairs trick applied to the incremental path),
+    * and `verify` replaces the MinHash signature-agreement check with
+    * an exact verifier (pairsRaw in: `id_a, id_b, delta_id, src`;
+    * verified out: same plus `est_jaccard`). The surrounding
+    * machinery — store init, snapshot pinning, the broadcast
+    * collision join, bounded bucket collects, pair generation and the
+    * survivor anti-join — is the PRODUCTION code path, which is the
+    * point: it runs under a driver hash for the first time.
+    */
+  private[graft] final case class ExactSeam(
+      constantBand: Boolean,
+      verify: DataFrame => DataFrame)
+
+  /** [[dedupeDelta]] in exact mode: all-pairs candidates (constant
+    * band key) verified by exact n-gram Jaccard over `docs` (the
+    * capped corpus+delta text — an oracle device; the production path
+    * never touches corpus text). Read-only against the store
+    * (append=false).
+    */
+  def dedupeDeltaExact(
+      spark: SparkSession,
+      delta: DataFrame,
+      root: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.7,
+      maxBucket: Int = 1 << 20): DeltaDedup = {
+    val seam = ExactSeam(constantBand = true, verify = pairsRaw => {
+      val exact = Dedup.jaccardVerify(docs, pairsRaw.select(col("id_a"), col("id_b")),
+        idCol, textCol, threshold = jaccardThreshold)
+      pairsRaw.join(exact.withColumnRenamed("jaccard", "est_jaccard"),
+          Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("delta_id"), col("src"),
+          col("est_jaccard"))
+    })
+    dedupeDeltaHooked(spark, delta, root, idCol, textCol, bands = 1,
+      threshold = jaccardThreshold, maxBucket = maxBucket,
+      maxBroadcastPairs = 1000000L, append = false, () => (), Some(seam))
+  }
+
   /** [[dedupeDelta]] with a test seam: `beforeCommit` runs after the
     * survivors are computed and before the first commit attempt, so a
     * test can interleave a competing batch deterministically.
@@ -236,7 +280,8 @@ object IncrementalDedup {
       maxBucket: Int,
       maxBroadcastPairs: Long,
       append: Boolean,
-      beforeCommit: () => Unit): DeltaDedup = {
+      beforeCommit: () => Unit,
+      seam: Option[ExactSeam] = None): DeltaDedup = {
     val p = storeParams(spark, root).getOrElse(throw new IllegalStateException(
       s"no $ParamsFile at $root — initStore must create the signature store first"))
     val rows = Dedup.bandRows(p.numHashes, bands)
@@ -263,7 +308,7 @@ object IncrementalDedup {
 
     val (verified, pairsRaw, nPairs) = verifiedDeltaPairs(
       deltaSigs, corpusSigs, p.numHashes, bands, rows, threshold,
-      maxBucket, maxBroadcastPairs, includeInternal = true)
+      maxBucket, maxBroadcastPairs, includeInternal = true, seam)
     val verifiedMat = Dedup.materializeAndRelease(verified, pairsRaw)
 
     val dropped = verifiedMat.select(col("delta_id").as("__drop")).distinct()
@@ -311,7 +356,7 @@ object IncrementalDedup {
                 deltaSigs("id") === col("__keep"), "left_semi")
               val (vp, praw, nP) = verifiedDeltaPairs(
                 survivorSide, newSigs, p.numHashes, bands, rows, threshold,
-                maxBucket, maxBroadcastPairs, includeInternal = false)
+                maxBucket, maxBroadcastPairs, includeInternal = false, seam)
               val newVerified = Dedup.materializeAndRelease(vp, praw)
               val newDropped = newVerified.select(col("delta_id").as("__drop")).distinct()
               val newDroppedK =
@@ -352,15 +397,23 @@ object IncrementalDedup {
       threshold: Double,
       maxBucket: Int,
       maxBroadcastPairs: Long,
-      includeInternal: Boolean): (DataFrame, DataFrame, Long) = {
+      includeInternal: Boolean,
+      seam: Option[ExactSeam] = None): (DataFrame, DataFrame, Long) = {
+    // Exact-mode seam: a constant band key puts every signature in one
+    // bucket (all-pairs candidates) — same downstream machinery.
+    def explodeBands(sigs: DataFrame): DataFrame =
+      if (seam.exists(_.constantBand))
+        sigs.select(col("id"), lit(0).as("band"), lit(0L).as("key"))
+      else Dedup.bandExplode(sigs, bands, rows)
+
     // Per-key delta members; bounded like the batch generator.
-    val deltaBuckets = Dedup.bandExplode(deltaSigs, bands, rows)
+    val deltaBuckets = explodeBands(deltaSigs)
       .groupBy(col("band"), col("key"))
       .agg(graft.functions.VectorFunctions.boundedCollectList(col("id"), maxBucket).as("d_ids"))
 
     // ONE corpus-sig scan: band keys are a projection, the join
     // broadcasts the delta's keys, so only collisions come back.
-    val collisions = Dedup.bandExplode(corpusSigs, bands, rows)
+    val collisions = explodeBands(corpusSigs)
       .join(broadcast(deltaBuckets.select(col("band"), col("key"))), Seq("band", "key"))
       .groupBy(col("band"), col("key"))
       .agg(graft.functions.VectorFunctions.boundedCollectList(col("id"), maxBucket).as("c_ids"))
@@ -390,6 +443,12 @@ object IncrementalDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairsRaw.count()
 
+    // Exact-mode seam: the verifier replaces the signature-agreement
+    // check wholesale (pairsRaw in, verified-with-est_jaccard out).
+    if (seam.isDefined) {
+      (seam.get.verify(pairsRaw), pairsRaw, nPairs)
+    } else {
+
     // Verify: delta-internal pairs resolve both sigs from the (small,
     // persisted) delta table; cross pairs fetch the corpus sig via a
     // broadcast of the pair list against ONE more corpus-sig scan —
@@ -417,6 +476,7 @@ object IncrementalDedup {
         crossV.unionByName(internalV).where(col("est_jaccard") >= threshold)
       }
     (verified, pairsRaw, nPairs)
+    }
   }
 
   private def agreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,

@@ -278,6 +278,46 @@ object TextQueries {
           })
         .orderBy("doc_id")),
 
+    // q97: q69's INCREMENTAL near-dup machinery under the ORACLE
+    // hash — the q93 exact-mode trick applied to the store path. A
+    // fresh signature store initializes from the capped corpus
+    // (doc_id < 512, % 10 != 0), then dedupeDeltaExact runs the
+    // PRODUCTION delta flow — snapshot pinning, broadcast band-key
+    // collision join, bounded bucket collects, delta×corpus +
+    // delta-internal pair generation, survivor anti-join — with two
+    // seams: a constant band key (all-pairs candidates) and exact
+    // n-gram Jaccard as the verifier. The result is the exact
+    // delta-touching pair set, which the DuckDB all-pairs formulation
+    // reproduces restricted to pairs with a % 10 == 0 side. q69
+    // itself stays on MinHash agreement, rows-only.
+    "q97_incremental_neardup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 512)
+      val root = RelationalQueries.scratchRoot("graft_q97")
+      IncrementalDedup.initStore(s, docs.where(pmod(col("doc_id"), lit(10)) =!= 0), root)
+      IncrementalDedup.dedupeDeltaExact(
+          s, docs.where(pmod(col("doc_id"), lit(10)) === 0), root, docs)
+        .pairs.select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q96: q31's SimHash pairing machinery under the ORACLE hash. The
+    // md5-portable 60-bit signature (simhashPortable — md5 is the one
+    // hash Spark and DuckDB compute bit-identically) feeds the SAME
+    // simhashPairsFrom banding / bounded-bucket pairing / hamming
+    // verify path q31 runs, at maxHamming=3 where the 4×16-bit band
+    // split is pigeonhole-LOSSLESS: the banded output EQUALS exact
+    // all-pairs hamming ≤ 3, which the DuckDB oracle reproduces from
+    // first principles (shingle md5 → 60-bit parse → sign-sum bits →
+    // all-pairs popcount). doc_id < 512 caps the oracle's all-pairs
+    // side at a constant size across SFs (the q93/q85 trick). q31
+    // itself stays on the production xxhash64 kernel, rows-only.
+    "q96_simhash_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 512)
+      Dedup.simhashPairsFrom(Dedup.simhashPortable(docs), maxHamming = 3,
+          maxBucket = 1 << 20)
+        .orderBy("id_a", "id_b")
+    }),
+
     // q40: benchmark decontamination — training docs sharing any word
     // 8-gram with the (deterministic doc_id % 7 = 0) eval split.
     "q40_decontaminate" -> ((s, dir) => {
@@ -635,7 +675,41 @@ object TextQueries {
       |  UNION
       |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst)""".stripMargin
 
+  /** DuckDB mirror of [[graft.operators.Dedup.simhashPortable]] +
+    * exact all-pairs hamming ≤ 3 (== the lossless 4-band output):
+    * per-shingle md5, first 15 hex chars parsed to a 60-bit BIGINT
+    * (unrolled strpos-per-digit — DuckDB has no conv()), per-bit ±1
+    * sign sums, then popcount of XOR over the capped all-pairs.
+    */
+  private val simhashExactSql: String = {
+    val hexParse = (1 to 15).map(i =>
+      s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT << ${4 * (15 - i)})")
+      .mkString(" + ")
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val sigExpr = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents WHERE doc_id < 512),
+       |pos AS (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i FROM d),
+       |hx AS (SELECT doc_id, md5(substr(t, i, 5)) AS m FROM pos),
+       |hh AS (SELECT doc_id, $hexParse AS h FROM hx),
+       |bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY 1),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q96_simhash_exact" -> simhashExactSql,
+
+    "q97_incremental_neardup_exact" ->
+      s"""WITH ${exactPairCtes("documents WHERE doc_id < 512")}
+         |SELECT id_a, id_b FROM p
+         |WHERE id_a % 10 = 0 OR id_b % 10 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
     "q68_incremental_dedup" ->
       s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
          |keep AS (SELECT fingerprint, min(doc_id) AS doc_id

@@ -132,6 +132,42 @@ class GroundTruthSuite extends SparkSpec {
     assert(brute.nonEmpty, "corpus should plant at least one simhash-near pair")
   }
 
+  test("simhashPortable pairs (q96 machinery) equal brute popcount; signature matches a scalar md5 reference") {
+    // The md5-portable signature behind the q96 oracle closure: the
+    // same banding machinery (simhashPairsFrom) must reproduce brute
+    // all-pairs popcount at maxHamming ≤ 3, and the signature itself
+    // must equal a from-first-principles scalar reimplementation
+    // (shingle md5 → first-15-hex-digit 60-bit parse → ±1 sign sums).
+    def refSig(text: String): Long = {
+      val t = norm(text)
+      val n = math.max(t.length - (K - 1), 1)
+      val hs = (0 until n).map { i =>
+        val sh = t.substring(i, math.min(i + K, t.length))
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (0 until 60).map { b =>
+        val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.reduce(_ | _)
+    }
+    val sigs = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    texts.foreach { case (id, tx) =>
+      assert(sigs(id) == refSig(tx), s"doc $id: portable signature diverges from scalar md5 reference")
+    }
+    val brute = (for {
+      (a, ha) <- sigs.toSeq; (b, hb) <- sigs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairsFrom(Dedup.simhashPortable(docs), maxHamming = 3,
+        maxBucket = 1 << 20).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("nearDupGroups distributed path equals the local union-find path") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (20L, 21L), (21L, 22L), (22L, 20L))

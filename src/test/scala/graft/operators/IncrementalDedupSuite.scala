@@ -56,6 +56,38 @@ class IncrementalDedupSuite extends SparkSpec {
     assert(srcs === Set("corpus", "delta"))
   }
 
+  test("dedupeDeltaExact (q97 machinery) == brute exact-Jaccard pairs restricted to delta-touching") {
+    // The exact-mode seam: constant band key (all-pairs candidates)
+    // + exact n-gram Jaccard verify. The result must equal the naive
+    // all-pairs reference over shingle sets, restricted to pairs with
+    // at least one delta side — the property the q97 DuckDB oracle
+    // hashes at sf0.01.
+    val root = tmpRoot("incdedup_exactmode")
+    IncrementalDedup.initStore(spark, corpus, root)
+    val res = IncrementalDedup.dedupeDeltaExact(
+      spark, delta, root, corpusAll.toDF("doc_id", "text"), jaccardThreshold = 0.7)
+    val got = res.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def sh(s: String): Set[String] = {
+      val t = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      val n = math.max(t.length - 4, 1)
+      (0 until n).map(i => t.substring(i, math.min(i + 5, t.length))).toSet
+    }
+    val sets = corpusAll.map { case (id, tx) => id -> sh(tx) }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      if a % 5 <= 1 || b % 5 <= 1 // delta-touching
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.7
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "corpus must plant delta-touching exact pairs")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // read-only against the store
+    assert(res.version == -1L)
+  }
+
   test("survivors = delta minus matched; store append is O(delta) and versioned") {
     val root = tmpRoot("incdedup_surv")
     val v1 = IncrementalDedup.initStore(spark, corpus, root)
