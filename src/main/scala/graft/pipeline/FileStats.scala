@@ -44,9 +44,14 @@ object FileStats {
 
   /** One data file's stats: path relative to the DATA DIRECTORY, row
     * count, per-column min/max (columns with no usable footer stats —
-    * all-null chunks, unsupported types — are absent).
+    * all-null chunks, unsupported types — are absent), and the file
+    * SIZE in bytes (-1 in legacy sidecars written before sizes were
+    * recorded). With sizes present, a snapshot's scan plans from
+    * manifest metadata alone — no per-file stat calls (the
+    * Delta/Iceberg "file sizes live in the log" posture).
     */
-  final case class FileStat(file: String, rows: Long, cols: Map[String, ColStat])
+  final case class FileStat(file: String, rows: Long, cols: Map[String, ColStat],
+                            bytes: Long = -1L)
 
   val SidecarName = "_graft_stats"
 
@@ -73,15 +78,22 @@ object FileStats {
     * per-file stats that extend pruned merges and data skipping to
     * partitioned layouts.
     */
-  def listLeafDataFiles(fs: FileSystem, dir: Path): Seq[String] = {
-    def walk(p: Path, rel: String): Seq[String] =
+  def listLeafDataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    listLeafDataFilesSized(fs, dir).map(_._1)
+
+  /** [[listLeafDataFiles]] with each leaf's size in bytes — the walk
+    * already has the FileStatus in hand; capturing the length lets
+    * sidecars record it and scan planning skip per-file stat calls.
+    */
+  def listLeafDataFilesSized(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
+    def walk(p: Path, rel: String): Seq[(String, Long)] =
       fs.listStatus(p).toSeq
         .filterNot(e => e.getPath.getName.startsWith("_") || e.getPath.getName.startsWith("."))
         .flatMap { e =>
           val r = if (rel.isEmpty) e.getPath.getName else rel + "/" + e.getPath.getName
-          if (e.isDirectory) walk(e.getPath, r) else Seq(r)
+          if (e.isDirectory) walk(e.getPath, r) else Seq((r, e.getLen))
         }
-    walk(dir, "").sorted
+    walk(dir, "").sortBy(_._1)
   }
 
   /** Extract per-file stats from the parquet footers of `dir`'s data
@@ -103,7 +115,8 @@ object FileStats {
       // hive layouts record their LEAF files with the partition
       // subdirectories in the relative path, so pruned merges and
       // read-side skipping work file-level inside partitions too
-      val files = listLeafDataFiles(fs, dir)
+      val sized = listLeafDataFilesSized(fs, dir)
+      val files = sized.map(_._1)
       if (files.isEmpty) return
       val qualified = files.map(f => fs.makeQualified(new Path(dir, f)).toString)
       val stats =
@@ -120,11 +133,21 @@ object FileStats {
         }
       // keys are dir-RELATIVE paths: re-relativize what
       // readFooterStats recorded (it keeps only the file name)
-      val lines = files.zip(stats).map { case (rel, st) =>
-        render(st.copy(file = rel))
+      val lines = sized.zip(stats).map { case ((rel, len), st) =>
+        render(st.copy(file = rel, bytes = len))
       }
       val out = fs.create(new Path(dir, SidecarName), true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      // Schema sidecar: record EXACTLY what read-back inference would
+      // return (one inference here at commit time, amortized over
+      // every later read of this immutable dir) plus the partition
+      // column sequence parsed from the leaf paths. writeSchemaSidecar
+      // never throws — a failure degrades that dir to inference.
+      val partCols = files.head.split('/').dropRight(1)
+        .takeWhile(s => s.contains('=') && !s.startsWith("="))
+        .map(_.split("=", 2)(0)).toSeq
+      writeSchemaSidecar(fs, dir,
+        spark.read.format(format).load(dir.toString).schema, partCols)
     } catch {
       case NonFatal(e) =>
         // stats are an optimization: a commit must not fail because
@@ -221,6 +244,7 @@ object FileStats {
     val node = mapper.createObjectNode()
     node.put("file", fsr.file)
     node.put("rows", fsr.rows)
+    if (fsr.bytes >= 0) node.put("bytes", fsr.bytes)
     val cols = node.putObject("cols")
     fsr.cols.toSeq.sortBy(_._1).foreach { case (name, cs) =>
       val c = cols.putObject(name)
@@ -253,7 +277,8 @@ object FileStats {
           e.getKey -> stat
         }.toMap
       }.getOrElse(Map.empty[String, ColStat])
-      FileStat(n.get("file").asText(), n.get("rows").asLong(), cols)
+      FileStat(n.get("file").asText(), n.get("rows").asLong(), cols,
+        Option(n.get("bytes")).map(_.asLong()).getOrElse(-1L))
     })
     catch { case NonFatal(_) => None }
 
@@ -262,6 +287,59 @@ object FileStats {
     val p = new Path(dir, SidecarName)
     if (!fs.exists(p)) None
     else VersionedTable.readSmall(fs, p).flatMap(parse)
+  }
+
+  val SchemaSidecarName = "_graft_schema"
+
+  /** Record the dir's LOGICAL read schema (all-nullable — file-source
+    * reads force nullability, so this matches what inference would
+    * return) and its hive partition columns. One tiny driver read at
+    * load time then replaces per-directory parquet footer inference:
+    * at a many-hundred-dir snapshot that inference was the dominant
+    * read-path cost (each dir = a separate footer open), and
+    * identical-schema FLAT dirs can further collapse into one
+    * multi-path scan (see VersionedTable.load). Best-effort like the
+    * stats sidecar: absence degrades to inference, never to a wrong
+    * answer.
+    */
+  def writeSchemaSidecar(fs: FileSystem, dir: Path,
+                         schema: org.apache.spark.sql.types.StructType,
+                         partitionCols: Seq[String]): Unit =
+    try {
+      val node = mapper.createObjectNode()
+      val parts = node.putArray("parts")
+      partitionCols.foreach(parts.add)
+      node.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+        mapper.readTree(
+          org.apache.spark.sql.graftbridge.ColumnBridge.asNullable(schema).json))
+      val out = fs.create(new Path(dir, SchemaSidecarName), true)
+      try out.write((mapper.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(
+          s"[graft] WARNING: could not write schema sidecar for $dir " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — reads will fall " +
+            "back to per-directory footer inference")
+    }
+
+  /** The schema sidecar of `dir`: (read schema, partition columns).
+    * None when absent or unreadable (legacy dirs, non-graft writers).
+    */
+  def readSchemaSidecar(fs: FileSystem, dir: Path)
+      : Option[(org.apache.spark.sql.types.StructType, Seq[String])] = {
+    val p = new Path(dir, SchemaSidecarName)
+    if (!fs.exists(p)) None
+    else VersionedTable.readSmall(fs, p).flatMap { content =>
+      try {
+        val n = mapper.readTree(content)
+        val parts = Option(n.get("parts")).map(_.asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        org.apache.spark.sql.types.DataType.fromJson(n.get("schema").toString) match {
+          case st: org.apache.spark.sql.types.StructType => Some((st, parts))
+          case _ => None
+        }
+      } catch { case NonFatal(_) => None }
+    }
   }
 
   /** Does a file whose `col` spans [statMin, statMax] possibly contain

@@ -197,7 +197,61 @@ object VersionedTable {
                    dirs: Seq[String]): DataFrame = {
     val (refs, dirRefs) = dirs.partition(isFileRef)
     val (partRefs, fileRefs) = refs.partition(isPartitionRef)
-    val dirReads = dirRefs.map(d => spark.read.format(format).load(new Path(rootP, d).toString))
+    // FAST PATH — the high-version/file-count shape (hundreds of
+    // delta dirs, flat or uniformly hive-partitioned, plus merge
+    // carry-over file refs): when every schema sidecar agrees, the
+    // whole snapshot becomes ONE scan over a manifest-synthesized
+    // FileIndex — leaf paths, sizes and partition values all come
+    // from manifest + sidecars, so building the plan performs ZERO
+    // filesystem calls (ManifestFileIndex). The general path below
+    // builds one read PER DIRECTORY and a unionByName across them —
+    // per-dir footer inference, per-dir partition discovery and an
+    // O(dirs)-branch plan; ManifestScaleProbe measured 17.8 s to
+    // count a 300-delta flat table and 27.8 s on 20 dirs × 250
+    // partitions where this path is sub-second and flat in dir
+    // count. Any dir without a schema sidecar (legacy, non-graft
+    // writer), any schema disagreement (additive evolution), any
+    // mixed layout → general path, unchanged.
+    if (format == "parquet" && partRefs.isEmpty && (dirRefs.nonEmpty || fileRefs.nonEmpty)) {
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tops = (dirRefs ++ fileRefs.map(entryDir)).distinct
+      val sidecars = parallelMap(tops)(d => FileStats.readSchemaSidecar(fs, new Path(rootP, d)))
+      val agree = sidecars.forall(_.isDefined) &&
+        sidecars.flatMap(_.map(_._1.json)).distinct.length == 1 &&
+        sidecars.flatMap(_.map(_._2)).distinct.length == 1
+      // hive dirs fast-path only as WHOLE dirs: a file ref inside a
+      // partition subtree is a partRef and already excluded, but a
+      // legacy plain file ref under a hive parent would lose its
+      // partition values here — general path for that shape.
+      val hiveOk = sidecars.headOption.flatten.forall(_._2.isEmpty) || fileRefs.isEmpty
+      if (agree && hiveOk) {
+        val (recorded, partCols) = sidecars.head.get
+        val partSchema = org.apache.spark.sql.types.StructType(
+          partCols.flatMap(c => recorded.fields.find(_.name == c)))
+        if (partSchema.length == partCols.length) {
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            recorded.filterNot(f => partCols.contains(f.name)))
+          val (files, _) = entryFilesPartitioned(spark, rootP.toString, dirs)
+          val index = graft.sources.GraftDataSource.partitionedIndex(
+            spark, files, partSchema, dataSchema, rootP.toString)
+          val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            index, partSchema, dataSchema, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+            Map.empty[String, String])(spark)
+          return spark.baseRelationToDataFrame(rel)
+        }
+      }
+    }
+    // Per-branch reads carry the recorded schema when available —
+    // partition discovery still runs per dir (hive values come from
+    // paths) but parquet footer inference is skipped.
+    lazy val loadFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readWithRecordedSchema(top: String): org.apache.spark.sql.DataFrameReader = {
+      val r = spark.read.format(format)
+      FileStats.readSchemaSidecar(loadFs, new Path(rootP, top))
+        .map { case (s, _) => r.schema(s) }.getOrElse(r)
+    }
+    val dirReads = dirRefs.map(d => readWithRecordedSchema(d).load(new Path(rootP, d).toString))
     // File refs (commitMerge carry-overs) group by their parent dir —
     // files of one immutable dir share a schema — and read as ONE
     // multi-path scan per dir with basePath = the dir: for flat
@@ -206,7 +260,7 @@ object VersionedTable {
     // path components below the base, so partitioned tables'
     // carried-over files read whole.
     val fileReads = fileRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (d, refs) =>
-      spark.read.format(format).option("basePath", new Path(rootP, d).toString)
+      readWithRecordedSchema(d).option("basePath", new Path(rootP, d).toString)
         .load(refs.map(r => new Path(rootP, r).toString): _*)
     }
     // Partition-subtree refs (commitPartitionOverwrite carry-overs)
@@ -216,7 +270,7 @@ object VersionedTable {
     // keep their `col=value` columns while only the referenced
     // subtrees are ever listed or scanned.
     val partReads = partRefs.groupBy(entryDir).toSeq.sortBy(_._1).map { case (d, refs) =>
-      spark.read.format(format).option("basePath", new Path(rootP, d).toString)
+      readWithRecordedSchema(d).option("basePath", new Path(rootP, d).toString)
         .load(refs.map(r => new Path(rootP, r).toString): _*)
     }
     val reads = dirReads ++ fileReads ++ partReads
@@ -441,21 +495,104 @@ object VersionedTable {
     * partition column sequences) — no single partition schema can
     * describe it; those tables read through [[read]]/GRAFT_READ.
     */
+  /** One manifest-resolved leaf data file: absolute path, its ordered
+    * hive partition assignment (empty = flat), and its size in bytes
+    * (-1 = unknown; a complete sized list lets scan planning skip
+    * every per-file stat call).
+    */
+  final case class LeafFile(path: String, partitions: Seq[(String, String)], bytes: Long)
+
+  /** Bounded-parallel driver-side map for per-directory metadata
+    * reads (sidecars): on an object store each read is a GET with
+    * real latency, and a many-hundred-dir snapshot must not pay them
+    * serially. Local threads, not a Spark job — the items are tiny
+    * and the latency is I/O wait, not CPU.
+    */
+  private def parallelMap[A, B](items: Seq[A], parallelism: Int = 32)(f: A => B): Seq[B] =
+    if (items.length <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.length))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
+
   def snapshotFilesPartitioned(spark: SparkSession, root: String, version: Long)
-      : (Seq[(String, Seq[(String, String)])], Seq[String]) = {
+      : (Seq[LeafFile], Seq[String]) = {
     val (fs, rootP) = fsFor(spark, root)
     val entries = dirsOf(fs, rootP, version).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version $version"))
-    // every entry resolves to rootP-relative leaf paths: file refs
-    // as-is, dir entries and partition-subtree refs by recursive walk
-    val rels: Seq[String] = entries.flatMap { e =>
-      if (isFileRef(e) && !isPartitionRef(e)) Seq(e)
-      else {
-        val p = new Path(rootP, e)
-        FileStats.listLeafDataFiles(fs, p).map(rel => s"$e/$rel")
+    entryFilesPartitioned(spark, root, entries)
+  }
+
+  /** [[appendedDirsBetween]] resolved with partition assignments —
+    * the hive-aware analog of [[appendedFilesBetween]], feeding the
+    * DSv2 micro-batch planner's partitioned spans (None = the span
+    * contains a rewrite and is not streamable row-wise).
+    */
+  private[graft] def appendedFilesPartitionedBetween(
+      spark: SparkSession, root: String, from: Long, to: Long)
+      : Option[(Seq[LeafFile], Seq[String])] =
+    appendedDirsBetween(spark, root, from, to)
+      .map(entryFilesPartitioned(spark, root, _))
+
+  /** [[snapshotFilesPartitioned]]'s entry resolution over an explicit
+    * entry list (a snapshot's, or an offset span's appends).
+    */
+  private[graft] def entryFilesPartitioned(spark: SparkSession, root: String,
+                                           entries: Seq[String])
+      : (Seq[LeafFile], Seq[String]) = {
+    val (fs, rootP) = fsFor(spark, root)
+    // Every entry resolves to rootP-relative leaf paths: file refs
+    // as-is; dir entries and partition-subtree refs from the data
+    // dir's `_graft_stats` SIDECAR, which already enumerates every
+    // leaf (written all-or-nothing at commit time, and the dir is
+    // immutable after publish). One small sidecar read per data dir
+    // replaces a recursive listStatus walk — at a many-thousand-dir
+    // snapshot on an object store the walk is one serial driver RPC
+    // PER DIRECTORY, the sidecar is one GET per data dir. Sidecar
+    // absent/unreadable (non-parquet formats, stats-write failure) →
+    // the walk remains as fallback.
+    // (Entry order is preserved — the scan's file order, and with it
+    // unordered-query row order, must not depend on which resolution
+    // path ran. Sidecar leaf order == walk order: both sorted.)
+    // Leaf paths carry their SIZE from the sidecar (bytes=-1 when
+    // unknown — legacy sidecars, walk fallback without lengths): with
+    // every size known, scan planning synthesizes its FileIndex from
+    // this list alone and performs zero per-file stat calls.
+    // all distinct data dirs' sidecars prefetch in bounded parallel
+    // (object-store GETs must not serialize at high dir counts)
+    val sidecarLeaves: Map[String, Seq[(String, Long)]] = {
+      val tops = entries.map(entryDir).distinct
+      parallelMap(tops) { top =>
+        top -> FileStats.readSidecar(fs, new Path(rootP, top))
+          .map(_.map(st => (st.file, st.bytes))).getOrElse(Nil)
+      }.toMap
+    }
+    def leavesOf(top: String): Seq[(String, Long)] = sidecarLeaves.getOrElse(top, Nil)
+    val rels: Seq[(String, Long)] = entries.flatMap { e =>
+      if (isFileRef(e) && !isPartitionRef(e)) {
+        // direct file ref: its size lives in the PARENT dir's sidecar
+        val top = entryDir(e)
+        val name = e.stripPrefix(top + "/")
+        Seq((e, leavesOf(top).collectFirst { case (f, b) if f == name => b }.getOrElse(-1L)))
+      } else {
+        val top = entryDir(e)
+        val leaves = leavesOf(top)
+        if (leaves.nonEmpty) {
+          if (e == top) leaves.map { case (l, b) => (s"$top/$l", b) }
+          else {
+            // partition-subtree ref: keep sidecar leaves under it
+            val prefix = e.stripPrefix(top + "/") + "/"
+            leaves.collect { case (l, b) if l.startsWith(prefix) => (s"$top/$l", b) }
+          }
+        } else FileStats.listLeafDataFilesSized(fs, new Path(rootP, e))
+          .map { case (rel, b) => (s"$e/$rel", b) }
       }
     }
-    val files = rels.map { rel =>
+    val files = rels.map { case (rel, bytes) =>
       val segs = rel.split('/')
       // partition segments are everything between the data dir and the
       // file name; in a hive layout each has col=value form
@@ -468,11 +605,11 @@ object VersionedTable {
         s"manifest entry path $rel of versioned table at $root mixes hive " +
           "partition segments with plain subdirectories — not a partitionable " +
           "layout; read this table with GRAFT_READ / VersionedTable.read")
-      (new Path(rootP, rel).toString, parts)
+      LeafFile(new Path(rootP, rel).toString, parts, bytes)
     }
-    val colSeqs = files.map(_._2.map(_._1)).distinct
+    val colSeqs = files.map(_.partitions.map(_._1)).distinct
     require(colSeqs.length <= 1,
-      s"versioned table at $root version $version mixes partition layouts " +
+      s"versioned table at $root mixes partition layouts in one manifest span " +
         s"(${colSeqs.map(_.mkString("/")).map(s => if (s.isEmpty) "<flat>" else s).mkString(", ")}) — " +
         "no single partition schema describes the snapshot; read it with " +
         "GRAFT_READ / VersionedTable.read")
@@ -1452,12 +1589,17 @@ object VersionedTable {
       : Option[(Seq[String], Seq[String])] = {
     val untouched = Seq.newBuilder[String]
     val touched = Seq.newBuilder[String]
+    // one bounded-parallel prefetch of every distinct dir's sidecar
+    // (a many-hundred-dir classification must not serialize GETs)
+    val sidecarByDir: Map[String, Map[String, FileStats.FileStat]] =
+      parallelMap(entries.map(entryDir).distinct) { d =>
+        d -> FileStats.readSidecar(fs, new Path(rootP, d))
+          .map(_.map(st => st.file -> st).toMap).getOrElse(Map.empty[String, FileStats.FileStat])
+      }.toMap
     for (entry <- entries) {
       val dir = entryDir(entry)
       val dirP = new Path(rootP, dir)
-      val statsByFile: Map[String, FileStats.FileStat] =
-        FileStats.readSidecar(fs, dirP)
-          .map(_.map(st => st.file -> st).toMap).getOrElse(Map.empty)
+      val statsByFile: Map[String, FileStats.FileStat] = sidecarByDir(dir)
       def fileTouched(rel: String): Boolean = touchesFile(statsByFile.get(rel))
       if (isPartitionRef(entry)) {
         // classify the subtree's leaf files against the PARENT dir's

@@ -44,12 +44,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope: parquet-format tables, flat OR hive-partitioned (partition
   * columns resolve from the manifest's leaf paths into a native
-  * PartitionSpec, so partition pruning runs in the same scan). Mixed
+  * PartitionSpec, so partition pruning runs in the same scan — batch
+  * AND micro-batch: a partitioned table's offset spans resolve
+  * partition-qualified leaves through the same explicit-spec index,
+  * so `readStream.format("graft")` keeps partition columns). Mixed
   * flat+partitioned snapshots and csv/json tables keep reading
   * through GRAFT_READ / [[VersionedTable.read]] — both refuse loudly
-  * here rather than answering wrong; streaming a partitioned table
-  * likewise still refuses (the micro-batch planner enumerates flat
-  * file lists).
+  * here rather than answering wrong.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -118,7 +119,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-private[sources] object GraftDataSource {
+private[graft] object GraftDataSource {
   def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "the graft format needs a table root: .load(root) or .option(\"path\", root)"))
@@ -150,6 +151,49 @@ private[sources] object GraftDataSource {
     * union read infers; an exotic declared type refuses loudly with
     * the GRAFT_READ fallback rather than mis-typing rows.
     */
+  /** Manifest-resolved leaf list (+ partition assignments and sizes)
+    * → a native FileIndex over exactly the live files. When every
+    * size is known (sidecars record them at commit), this is a
+    * [[org.apache.spark.sql.graftbridge.ManifestFileIndex]] — ZERO
+    * filesystem calls at plan time, the Delta/Iceberg posture; a
+    * legacy snapshot with unknown sizes falls back to
+    * InMemoryFileIndex (one eager listing). Shared by the batch scan
+    * builder, the micro-batch planner and VersionedTable.read's
+    * uniform-snapshot fast path.
+    */
+  def partitionedIndex(spark: SparkSession,
+                       files: Seq[VersionedTable.LeafFile],
+                       partSchema: org.apache.spark.sql.types.StructType,
+                       dataSchema: org.apache.spark.sql.types.StructType,
+                       root: String)
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    val spec =
+      if (partSchema.isEmpty) org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+      else {
+        val partitions = files
+          .groupBy(f => (new Path(f.path).getParent, f.partitions.map(_._2)))
+          .keys.toSeq.sortBy(_._1.toString)
+          .map { case (dir, raw) =>
+            val values = partSchema.fields.zip(raw).map { case (f, v) =>
+              partitionValue(v, f, root)
+            }
+            org.apache.spark.sql.execution.datasources.PartitionPath(
+              org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq), dir)
+          }
+        org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, partitions)
+      }
+    if (files.nonEmpty && files.forall(_.bytes >= 0))
+      new org.apache.spark.sql.graftbridge.ManifestFileIndex(
+        spark, spec, files.map(f => (f.path, f.bytes)))
+    else if (partSchema.isEmpty)
+      new InMemoryFileIndex(spark, files.map(f => new Path(f.path)),
+        Map.empty[String, String], Some(dataSchema))
+    else
+      new InMemoryFileIndex(spark, files.map(f => new Path(f.path)),
+        Map.empty[String, String], Some(dataSchema),
+        userSpecifiedPartitionSpec = Some(spec))
+  }
+
   def partitionValue(raw: String, field: org.apache.spark.sql.types.StructField,
                      root: String): Any = {
     import org.apache.spark.sql.types._
@@ -211,10 +255,10 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
     val fmt = GraftDataSource.formatOf(spark, root, merged)
     val (files, partCols) = pinnedVersion
       .map(v => VersionedTable.snapshotFilesPartitioned(spark, root, v))
-      .getOrElse((Seq.empty, Nil))
+      .getOrElse((Seq.empty[VersionedTable.LeafFile], Nil))
     if (partCols.isEmpty) {
-      val index = new InMemoryFileIndex(spark, files.map(f => new Path(f._1)),
-        Map.empty[String, String], Some(declaredSchema))
+      val index = GraftDataSource.partitionedIndex(
+        spark, files, new StructType(), declaredSchema, root)
       new GraftScanBuilder(spark, index, declaredSchema, declaredSchema, merged, root, fmt)
     } else {
       // HIVE-PARTITIONED snapshot: hand the native parquet scan a
@@ -235,20 +279,8 @@ class GraftTable(declaredSchema: StructType, options: CaseInsensitiveStringMap)
         declaredSchema.find(f => sameCol(f.name, c)).getOrElse(throw new IllegalStateException(
           s"partition column '$c' parsed from the layout of $root is missing from " +
             s"the inferred schema ${declaredSchema.simpleString}"))))
-      val partitions = files
-        .groupBy { case (f, parts) => (new Path(f).getParent, parts.map(_._2)) }
-        .keys.toSeq.sortBy(_._1.toString)
-        .map { case (dir, raw) =>
-          val values = partSchema.fields.zip(raw).map { case (f, v) =>
-            GraftDataSource.partitionValue(v, f, root)
-          }
-          org.apache.spark.sql.execution.datasources.PartitionPath(
-            org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq), dir)
-        }
-      val spec = org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, partitions)
-      val index = new InMemoryFileIndex(spark, files.map(f => new Path(f._1)),
-        Map.empty[String, String], Some(dataSchema),
-        userSpecifiedPartitionSpec = Some(spec))
+      val index = GraftDataSource.partitionedIndex(
+        spark, files, partSchema, dataSchema, root)
       new GraftScanBuilder(spark, index, declaredSchema, dataSchema, merged, root, fmt)
     }
   }
@@ -374,7 +406,7 @@ class GraftWriteBuilder(root: String, tableSchema: StructType)
   * file.
   */
 class GraftScanBuilder(spark: SparkSession,
-                       index: InMemoryFileIndex,
+                       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
                        fullSchema: StructType,
                        fileDataSchema: StructType,
                        options: CaseInsensitiveStringMap,
@@ -664,19 +696,26 @@ class GraftMicroBatchStream(template: GraftScan, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
-    val files: Seq[String] =
+    def rewriteRefusal: Nothing = throw new UnsupportedOperationException(
+      s"versioned table at $root has a merge/overwrite commit in the offset " +
+        s"span ($from, $to] — rewrites are not streamable row-wise on plain " +
+        "parquet. Stream append-only tables, or consume rewrites as batch " +
+        "snapshots via diffVersions.")
+    // The template scan knows whether the table is hive-partitioned
+    // (its index was built from the manifest's PartitionSpec): a
+    // partitioned table's spans resolve partition-qualified leaves
+    // and plan through the same explicit-PartitionSpec index as the
+    // batch scan, so partition columns survive micro-batching.
+    val partSchema = template.fileIndex.partitionSchema
+    val files: Seq[VersionedTable.LeafFile] =
       if (from >= to) Nil
-      else if (from == 0L) VersionedTable.snapshotFiles(spark, root, to)
-      else VersionedTable.appendedFilesBetween(spark, root, from, to).getOrElse(
-        throw new UnsupportedOperationException(
-          s"versioned table at $root has a merge/overwrite commit in the offset " +
-            s"span ($from, $to] — rewrites are not streamable row-wise on plain " +
-            "parquet. Stream append-only tables, or consume rewrites as batch " +
-            "snapshots via diffVersions."))
+      else if (from == 0L) VersionedTable.snapshotFilesPartitioned(spark, root, to)._1
+      else VersionedTable.appendedFilesPartitionedBetween(spark, root, from, to)
+        .getOrElse(rewriteRefusal)._1
     if (files.isEmpty) Array.empty
     else {
-      val index = new InMemoryFileIndex(spark, files.map(new Path(_)),
-        Map.empty[String, String], Some(template.dataSchema))
+      val index = GraftDataSource.partitionedIndex(
+        spark, files, partSchema, template.dataSchema, root)
       template.copy(fileIndex = index).toBatch.planInputPartitions()
     }
   }

@@ -19,4 +19,11 @@ object ColumnBridge {
     */
   def sameType(a: org.apache.spark.sql.types.DataType,
                b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
+  /** `StructType.asNullable` is private[sql] — re-exported for the
+    * schema-sidecar writer (file-source reads force nullability, so
+    * recorded schemas normalize the same way).
+    */
+  def asNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    s.asNullable
 }

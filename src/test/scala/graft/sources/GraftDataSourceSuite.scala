@@ -222,6 +222,28 @@ class GraftDataSourceSuite extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mixed flat+partitioned snapshot: DSv2 refuses with the escape hatch, and the hatch ANSWERS") {
+    val root = tmp("graft_dsv2_mixed") + "/t"
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, 1, "flat")).toDF("id", "part", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, 2, "hive")).toDF("id", "part", "v"),
+      partitionBy = Seq("part"), compactAfter = Int.MaxValue)
+    // the DSv2 face cannot describe a mixed snapshot with one
+    // partition schema: loud refusal naming the fallback
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(root).collect()
+    }
+    assert(e.getMessage.contains("GRAFT_READ") || e.getMessage.contains("VersionedTable.read"),
+      s"mixed-layout refusal must name the escape hatch: ${e.getMessage}")
+    // ...and the named fallback actually answers, partition values
+    // intact on the hive branch (unionByName reconciles the columns)
+    val got = VersionedTable.read(spark, root)
+      .select("id", "part", "v").as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 1, "flat"), (2L, 2, "hive")),
+      s"GRAFT_READ fallback answered wrong on the mixed snapshot: $got")
+  }
+
   test("non-parquet tables refuse loudly") {
     val csvRoot = tmp("graft_dsv2_csv") + "/t"
     VersionedTable.commit(spark, csvRoot, "csv", _ => rows(1L))
@@ -250,6 +272,37 @@ class GraftDataSourceSuite extends SparkSpec {
       append(root, 4L); append(root, 5L)
       q.processAllAvailable()
       assert(sinkIds(sink) == Seq(1L, 2L, 3L, 4L, 5L))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  test("micro-batch stream over a HIVE-PARTITIONED table: partition columns intact, appends stream once") {
+    val dir = tmp("graft_dsv2_hivestream"); val root = dir + "/t"
+    def part(vals: (Long, Int)*): Long =
+      VersionedTable.commitDelta(spark, root, "parquet",
+        vals.map { case (id, p) => (id, p, s"r$id") }.toDF("id", "part", "v"),
+        partitionBy = Seq("part"), compactAfter = Int.MaxValue)
+    part((1L, 1), (2L, 2))
+    val sink = freshSink()
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      // bootstrap batch: full snapshot, partition values from the paths
+      val got0 = spark.table(sink).select("id", "part", "v")
+        .as[(Long, Int, String)].collect().toSet
+      assert(got0 == Set((1L, 1, "r1"), (2L, 2, "r2")),
+        s"bootstrap lost partition values: $got0")
+      // appended span: new partitions AND an existing one
+      part((3L, 2), (4L, 3))
+      q.processAllAvailable()
+      val got1 = spark.table(sink).select("id", "part", "v")
+        .as[(Long, Int, String)].collect().toSet
+      assert(got1 == Set((1L, 1, "r1"), (2L, 2, "r2"), (3L, 2, "r3"), (4L, 3, "r4")),
+        s"appended span lost rows or partition values: $got1")
+      // offsets are still manifest versions (2 commits -> version 2)
+      assert(VersionedTable.currentSnapshot(spark, root).get.version == 2L)
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
