@@ -425,10 +425,20 @@ class GraftScanBuilder(spark: SparkSession,
         // spec (partition columns would silently vanish mid-build);
         // listFiles treats spec dirs with no surviving files as empty
         val spec = index.partitionSpec()
-        s.copy(fileIndex = new InMemoryFileIndex(spark, kept.map(new Path(_)),
-          Map.empty[String, String], Some(fileDataSchema),
-          userSpecifiedPartitionSpec =
-            if (spec.partitionColumns.isEmpty) None else Some(spec)))
+        val pruned = index match {
+          // manifest-synthesized index: the survivors' sizes are in
+          // hand — the pruned index costs zero filesystem calls too
+          case m: org.apache.spark.sql.graftbridge.ManifestFileIndex =>
+            val keptSet = kept.toSet
+            new org.apache.spark.sql.graftbridge.ManifestFileIndex(
+              spark, spec, m.sizedFiles.filter(f => keptSet(f._1)))
+          case _ =>
+            new InMemoryFileIndex(spark, kept.map(new Path(_)),
+              Map.empty[String, String], Some(fileDataSchema),
+              userSpecifiedPartitionSpec =
+                if (spec.partitionColumns.isEmpty) None else Some(spec))
+        }
+        s.copy(fileIndex = pruned)
       }
     new GraftScan(inner, root, skippingInfo = s"${kept.length} of ${files.length} files")
   }

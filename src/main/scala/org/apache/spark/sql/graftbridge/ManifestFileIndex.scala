@@ -33,6 +33,12 @@ class ManifestFileIndex(
     new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(p))
   }
 
+  /** The (path, bytes) list this index was built from — lets a
+    * stat-skipping pass construct the PRUNED index without re-statting
+    * the surviving files.
+    */
+  def sizedFiles: Seq[(String, Long)] = files
+
   override def partitionSpec(): PartitionSpec = spec
 
   override protected val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
