@@ -212,18 +212,22 @@ object VersionedTable {
     // count. Any dir without a schema sidecar (legacy, non-graft
     // writer), any schema disagreement (additive evolution), any
     // mixed layout → general path, unchanged.
-    if (format == "parquet" && partRefs.isEmpty && (dirRefs.nonEmpty || fileRefs.nonEmpty)) {
+    if (format == "parquet" && dirs.nonEmpty) {
       val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tops = (dirRefs ++ fileRefs.map(entryDir)).distinct
+      val tops = dirs.map(entryDir).distinct
       val sidecars = parallelMap(tops)(d => FileStats.readSchemaSidecar(fs, new Path(rootP, d)))
       val agree = sidecars.forall(_.isDefined) &&
         sidecars.flatMap(_.map(_._1.json)).distinct.length == 1 &&
         sidecars.flatMap(_.map(_._2)).distinct.length == 1
-      // hive dirs fast-path only as WHOLE dirs: a file ref inside a
-      // partition subtree is a partRef and already excluded, but a
-      // legacy plain file ref under a hive parent would lose its
-      // partition values here — general path for that shape.
-      val hiveOk = sidecars.headOption.flatten.forall(_._2.isEmpty) || fileRefs.isEmpty
+      // Partition-subtree refs and partition-qualified file refs
+      // resolve fine (their col=value segments ride the leaf path);
+      // only a PLAIN file ref under a hive parent would lose its
+      // partition values — general path for that shape.
+      val hiveOk = sidecars.headOption.flatten.forall(_._2.isEmpty) ||
+        fileRefs.forall { r =>
+          val mid = r.split('/').drop(1).dropRight(1)
+          mid.nonEmpty && mid.forall(s => s.contains('=') && !s.startsWith("="))
+        }
       if (agree && hiveOk) {
         val (recorded, partCols) = sidecars.head.get
         val partSchema = org.apache.spark.sql.types.StructType(

@@ -66,6 +66,21 @@ class ManifestPlanSuite extends SparkSpec {
       s"partition filter must prune the manifest index: $paths")
   }
 
+  test("partition-overwrite carry-over (subtree refs) plans through ManifestFileIndex too") {
+    val root = tmp("mplan_pref")
+    VersionedTable.commit(spark, root, "parquet",
+      _ => Seq((1L, "A", "old"), (2L, "B", "old"), (3L, "C", "old")).toDF("id", "p", "v"),
+      partitionBy = Seq("p"))
+    // overwrite only partition B: A and C carry over as subtree refs
+    VersionedTable.commitPartitionOverwrite(spark, root, "parquet",
+      Seq((20L, "B", "new")).toDF("id", "p", "v"), Seq("p"))
+    val df = VersionedTable.read(spark, root)
+    assert(manifestIndexOf(df).isDefined,
+      s"subtree-ref snapshot must plan through ManifestFileIndex:\n${df.queryExecution.logical}")
+    val got = df.select("id", "p", "v").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "A", "old"), (3L, "C", "old"), (20L, "B", "new")))
+  }
+
   test("schema disagreement (additive evolution) falls back to the union path, still correct") {
     val root = tmp("mplan_evo")
     VersionedTable.commitDelta(spark, root, "parquet",
