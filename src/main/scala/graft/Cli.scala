@@ -48,7 +48,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -62,7 +62,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore <versioned-table-root> [options]")
       sys.exit(2)
   }
 
@@ -90,6 +90,11 @@ object Cli {
           sys.error("delete needs --where \"<condition>\""))
         val v = VersionedTable.commitDelete(spark, root, cond)
         println(s"[graft] deleted rows matching [$cond] at $root (v$v)")
+      case "restore" =>
+        val to = opt(rest, "--to-version").map(_.toLong).getOrElse(
+          sys.error("restore needs --to-version <N>"))
+        val v = VersionedTable.restore(spark, root, to)
+        println(s"[graft] restored $root to v$to's snapshot (published as v$v)")
       case "vacuum" =>
         val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
         val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)

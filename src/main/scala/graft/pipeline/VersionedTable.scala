@@ -1921,6 +1921,53 @@ object VersionedTable {
     * is older than `graceMs` (the grace period protects a LIVE
     * committer's private directory, which has no pointer yet).
     */
+  /** RESTORE: republish `toVersion`'s exact entry set (and layout) as
+    * a NEW commit — time-travel rollback with ZERO data I/O (the
+    * target's immutable dirs carry over by reference; nothing is
+    * copied or rewritten). The rolled-back-over versions stay in
+    * history, auditable and still time-travelable until vacuum
+    * retires them — the Delta `RESTORE TABLE ... VERSION AS OF`
+    * shape. Publishes `#kind=restore`: delta-maintenance readers
+    * (streams, matview refresh, diffVersions' fast path) treat the
+    * span as a rewrite, which a rollback is.
+    *
+    * Refuses loudly when the target's data dirs were already vacuumed
+    * (a restore must never publish dangling references), and no-ops
+    * (returns the current version) when the table is already at the
+    * target's entry set.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              maxAttempts: Int = 5): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val targetPath = new Path(new Path(rootP, ManifestDir), f"v$toVersion%010d")
+    val content = readSmall(fs, targetPath).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version $toVersion " +
+        "(never committed, or already vacuumed) — nothing to restore to"))
+    val targetDirs = parseDirs(content)
+    val targetLayout = parseLayout(content).getOrElse(Nil)
+    val gone = missingDirs(spark, root, targetDirs.map(entryDir).distinct)
+    require(gone.isEmpty,
+      s"cannot restore $root to v$toVersion: data dirs ${gone.mkString(", ")} were " +
+        "already vacuumed — restore only reaches versions within the vacuum retention")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version"))
+      if (snap.dataDirs == targetDirs) return snap.version // already there: no churn
+      val next = snap.version + 1
+      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+          (targetDirs :+ s"#kind=restore").mkString("\n") + layoutLine(targetLayout))) {
+        syncIfLinked(spark, root)
+        return next
+      }
+      // pointer-only race loss: re-read the winner and retry
+    }
+    throw new IllegalStateException(
+      s"restore of $root to v$toVersion lost the publish race $maxAttempts times — " +
+        "writer contention is pathological; retry with backoff")
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int = 3,
              graceMs: Long = 3600L * 1000): Unit = {
     require(keep >= 1, "vacuum must keep at least the current version")

@@ -593,6 +593,26 @@ object RelationalQueries {
       VersionedTable.changesSince(s, root, 1L).orderBy("o_orderkey")
     }),
 
+    // q98: RESTORE under the oracle gate — v1 commits the base, v2
+    // appends extra rows (shifted keys), v3 DELETEs a third of the
+    // base, then restore(v1) republishes v1's exact entry set as v4
+    // with ZERO data I/O (pointer-only commit; RestoreSuite pins the
+    // zero-copy property and the vacuumed-target refusal). The read
+    // must equal the plain base selection — if restore no-opped, the
+    // v3 deletions (and v2 extras) would poison the hash.
+    "q98_versioned_restore" -> ((s, dir) => {
+      val root = scratchRoot("graft_q98")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val v1 = VersionedTable.commit(s, root, "parquet", _ => orders)
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus")).limit(500))
+      VersionedTable.commitDelete(s, root, "o_orderkey % 3 = 0")
+      VersionedTable.restore(s, root, v1)
+      VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+
     // q71: keyed snapshot reconciliation (CDC diff) — base loses keys
     // %7==3, gains keys %5==4, and customers %10==0 get a price fix
     // (%20==0 additionally a status change, exercising the multi-column
@@ -1395,6 +1415,12 @@ object RelationalQueries {
     "q67_versioned_delta" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // restore(v1) must undo both the v2 append and the v3 delete: the
+    // oracle is the untouched base selection
+    "q98_versioned_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the pure-SQL write statements land on q66's exact closed form
     "q91_sql_writes" ->

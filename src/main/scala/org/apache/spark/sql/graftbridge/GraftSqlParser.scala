@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
+  * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
   * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
   * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
@@ -46,7 +47,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, ReadStmt, RefreshStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -145,6 +146,12 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         s"versioned table at $path has no committed version")
       Seq((h.map(_.version).max, h.length))
         .toDF("newest_version", "versions_kept").queryExecution.logical
+    case RestoreStmt(path, toVersion) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      val v = VersionedTable.restore(session, path, toVersion.toLong)
+      Seq((v, toVersion.toLong))
+        .toDF("version", "restored_to").queryExecution.logical
     case DeleteStmt(path, cond) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
@@ -289,6 +296,12 @@ object GraftSqlParser {
     */
   private val VacuumStmt =
     """(?is)^\s*GRAFT_VACUUM\s*\(\s*'([^']+)'\s*(?:,\s*KEEP\s+(\d{1,9}))?(?:\s*,\s*GRACE\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
+
+  /** Rollback: republish version N's entry set as a new commit (zero
+    * data I/O; Delta's RESTORE TABLE ... VERSION AS OF shape).
+    */
+  private val RestoreStmt =
+    """(?is)^\s*GRAFT_RESTORE\s*\(\s*'([^']+)'\s*,\s*(\d{1,18})\s*\)\s*;?\s*$""".r
 
   /** Row-level delete: the condition is everything after `WHERE` up to
     * the closing paren (it may contain commas/quotes — trailing-anchor

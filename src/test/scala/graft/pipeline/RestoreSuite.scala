@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RESTORE (rollback-to-version as a zero-I/O commit): entry carry-over
+  * by reference, history/audit semantics, the vacuumed-target refusal,
+  * no-op behavior, and the rewrite classification for delta readers.
+  */
+class RestoreSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def ids(root: String): Seq[Long] =
+    VersionedTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+
+  test("restore republishes the target's snapshot: appends and deletes undone, zero data I/O") {
+    val root = tmp("restore_basic")
+    val v1 = VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((4L, "d")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelete(spark, root, "id = 2")
+    assert(ids(root) == Seq(1L, 3L, 4L))
+
+    val dirsBefore = VersionedTable.history(spark, root).map(_.dataDirs)
+    val v4 = VersionedTable.restore(spark, root, v1)
+    assert(v4 == 4L)
+    assert(ids(root) == Seq(1L, 2L, 3L))
+    // ZERO-COPY: the restored manifest references v1's EXACT entries —
+    // no new data dir was written
+    val h = VersionedTable.history(spark, root)
+    assert(h.map(_.version) == Seq(1L, 2L, 3L, 4L), "rolled-over versions stay auditable")
+    assert(h.last.dataDirs == dirsBefore.head, "restore must carry v1's entries by reference")
+    // time travel into the rolled-over middle still answers
+    assert(VersionedTable.readVersion(spark, root, 3L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("restore is a rewrite for delta readers; restore-to-current is a no-op") {
+    val root = tmp("restore_kind")
+    val v1 = VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val v3 = VersionedTable.restore(spark, root, v1)
+    // the restore span is NOT streamable row-wise (it removed rows)
+    assert(VersionedTable.appendedFilesBetween(spark, root, v1, v3).isEmpty)
+    // restoring to the version we're already at mints nothing
+    assert(VersionedTable.restore(spark, root, v1) == v3)
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == v3)
+  }
+
+  test("restore refuses a vacuumed target instead of publishing dangling references") {
+    val root = tmp("restore_vac")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // compact then vacuum with keep=1, grace=0: v1/v2's delta dirs die
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, root, 1L)
+    }
+    assert(e1.getMessage.contains("vacuum"), s"unexpected: ${e1.getMessage}")
+    // a never-committed version refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, root, 99L)
+    }
+    assert(e2.getMessage.contains("no committed version"), s"unexpected: ${e2.getMessage}")
+  }
+
+  test("restore keeps the hive layout marker: partitioned reads survive the rollback") {
+    val root = tmp("restore_hive")
+    val v1 = VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "p", "v"),
+      partitionBy = Seq("p"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((3L, 3, "c")).toDF("id", "p", "v"),
+      partitionBy = Seq("p"), compactAfter = Int.MaxValue)
+    VersionedTable.restore(spark, root, v1)
+    val got = VersionedTable.read(spark, root).select("id", "p", "v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 1, "a"), (2L, 2, "b")))
+    // DSv2 face reads the restored snapshot with partition pruning
+    val dsv2 = spark.read.format("graft").load(root).where(col("p") === 1)
+    assert(dsv2.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("GRAFT_RESTORE SQL statement performs the rollback and reports the versions") {
+    val root = tmp("restore_sql")
+    val v1 = VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val row = spark.sql(s"GRAFT_RESTORE('$root', $v1)").collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == v1)
+    assert(ids(root) == Seq(1L))
+  }
+}
