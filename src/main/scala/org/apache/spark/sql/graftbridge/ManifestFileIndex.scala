@@ -22,6 +22,15 @@ import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, P
   * `files` are (absolute path, size-in-bytes) pairs grouped by parent
   * directory by the constructor; `spec` carries the manifest-resolved
   * partition values (PartitionSpec.emptySpec for flat snapshots).
+  *
+  * Known divergence: synthesized FileStatus carries modification time
+  * 0 (the manifest records sizes, not mtimes — mtimes are not stable
+  * across object-store copies anyway), so a query projecting
+  * `_metadata.file_modification_time` sees epoch 0 where a listed
+  * index saw the store's mtime. `_metadata.file_size` and
+  * `file_path` are exact. Nothing else consumes the mtime: split
+  * planning uses length, and graft streams sequence by manifest
+  * version, never by file time.
   */
 class ManifestFileIndex(
     spark: SparkSession,
