@@ -71,7 +71,8 @@ object Cli {
                                   root: String, rest: List[String]): Unit =
     action match {
       case "history" =>
-        val h = VersionedTable.history(spark, root)
+        val h = VersionedTable.history(spark, root,
+          opt(rest, "--limit").map(_.toInt).getOrElse(Int.MaxValue))
         if (h.isEmpty) println(s"[graft] no committed versions at $root")
         else h.foreach(v => println(
           s"[graft] v${v.version}  ${v.committedAt}  ${v.dataDirs.length} dir(s)  " +

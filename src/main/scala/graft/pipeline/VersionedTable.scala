@@ -1716,9 +1716,20 @@ object VersionedTable {
     * pointers (O(versions), no data I/O); versions already vacuumed
     * away do not appear.
     */
-  def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
+  def history(spark: SparkSession, root: String): Seq[VersionInfo] =
+    history(spark, root, Int.MaxValue)
+
+  /** [[history]] limited to the NEWEST `limit` versions (ascending
+    * order preserved). The full call reads every manifest — O(V·E)
+    * bytes, since every pointer lists the whole snapshot — which is
+    * the right audit default but the wrong cost for "show me the last
+    * 10 commits" against a 10k-version table; the limit bounds the
+    * manifest reads to the tail actually asked for.
+    */
+  def history(spark: SparkSession, root: String, limit: Int): Seq[VersionInfo] = {
+    require(limit >= 1, s"history limit must be >= 1, got $limit")
     val (fs, rootP) = fsFor(spark, root)
-    listManifests(fs, rootP).sortBy(_._1).flatMap { case (v, p, mtime) =>
+    listManifests(fs, rootP).sortBy(-_._1).take(limit).sortBy(_._1).flatMap { case (v, p, mtime) =>
       // a pointer that DISAPPEARED since the listing is a concurrent
       // vacuum retiring it — drop it from the listing like vacuum
       // itself would have; a pointer that exists but is unreadable is a

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_READ('/path', 3)                             -- time travel to v3
   * GRAFT_READ('/path', SINCE 3)                       -- delta committed after v3
   * GRAFT_VERSIONS('/path')                            -- commit history
+  * GRAFT_VERSIONS('/path', LIMIT 10)                  -- newest 10 only (bounded reads)
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
   * GRAFT_DIFF('/path', 1, 3, KEY k, COMPARE a, b)     -- compare only a, b
   * GRAFT_REFRESH('/aggRoot')                          -- incremental matview refresh
@@ -101,16 +102,20 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       else MaterializedAgg.refresh(session, path)
       val fmt = MaterializedAgg.viewDef(session, path).map(_.aggFormat).getOrElse("parquet")
       MaterializedAgg.read(session, path, fmt).queryExecution.logical
-    case VersionsStmt(path) =>
+    case VersionsStmt(path, limit) =>
       import session.implicits._
       if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
         // foreign Delta root: surface its commit versions with the
         // same statement (file counts via snapshot would replay the
         // whole log per version — version list only)
-        graft.sources.DeltaRead.versions(session, path).toDF("version")
-          .queryExecution.logical
+        val vs = graft.sources.DeltaRead.versions(session, path)
+        Option(limit).map(_.toInt).fold(vs)(n => vs.sorted.takeRight(n))
+          .toDF("version").queryExecution.logical
       } else {
-        val h = graft.pipeline.VersionedTable.history(session, path)
+        // LIMIT bounds the manifest reads to the newest N — the audit
+        // tail, not the O(V·E) full replay
+        val h = graft.pipeline.VersionedTable.history(session, path,
+          Option(limit).map(_.toInt).getOrElse(Int.MaxValue))
         // an absent/typo'd table must be LOUD like GRAFT_READ's, not an
         // empty result the user reads as "no commits yet" (a committed
         // versioned table always has >= 1 version)
@@ -187,10 +192,10 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_) |
+    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
-         MergeStmt(_, _, _) =>
+         MergeStmt(_, _, _) | RestoreStmt(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -260,7 +265,7 @@ object GraftSqlParser {
     """(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*)?\)\s*;?\s*$""".r
 
   private val VersionsStmt =
-    """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*(?:,\s*LIMIT\s+(\d{1,9})\s*)?\)\s*;?\s*$""".r
 
   /** Keyed CDC between two committed versions: path literal, two bare
     * version numbers (≤18 digits like ReadStmt's), a KEY column list,

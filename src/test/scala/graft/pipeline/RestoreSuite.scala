@@ -90,6 +90,20 @@ class RestoreSuite extends SparkSpec {
     assert(dsv2.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("history LIMIT: the newest N versions only, ascending, bounded manifest reads") {
+    val root = tmp("restore_histlim")
+    (1 to 5).foreach { i =>
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    }
+    assert(VersionedTable.history(spark, root, 2).map(_.version) == Seq(4L, 5L))
+    assert(VersionedTable.history(spark, root).map(_.version) == (1L to 5L))
+    val sql = spark.sql(s"GRAFT_VERSIONS('$root', LIMIT 3)")
+      .select("version").collect().map(_.getLong(0)).toSeq
+    assert(sql == Seq(3L, 4L, 5L))
+    intercept[IllegalArgumentException] { VersionedTable.history(spark, root, 0) }
+  }
+
   test("GRAFT_RESTORE SQL statement performs the rollback and reports the versions") {
     val root = tmp("restore_sql")
     val v1 = VersionedTable.commitDelta(spark, root, "parquet",
