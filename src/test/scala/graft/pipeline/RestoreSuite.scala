@@ -90,6 +90,24 @@ class RestoreSuite extends SparkSpec {
     assert(dsv2.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("matview refresh across a restore span refuses with the rebuild instruction (delta maintenance unsound)") {
+    val src = tmp("restore_mv_src"); val agg = tmp("restore_mv_agg")
+    val v1 = VersionedTable.commitDelta(spark, src, "parquet",
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), compactAfter = Int.MaxValue)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"),
+      Seq(MaterializedAgg.MAgg("xs", "x", "sum")))
+    VersionedTable.commitDelta(spark, src, "parquet",
+      Seq((3L, 30L)).toDF("k", "x"), compactAfter = Int.MaxValue)
+    VersionedTable.restore(spark, src, v1) // rollback = rewrite for delta readers
+    val e = intercept[IllegalArgumentException] { MaterializedAgg.refresh(spark, agg) }
+    assert(e.getMessage.contains("rebuild"), s"unexpected: ${e.getMessage}")
+    // ...and the instructed rebuild answers against the restored source
+    MaterializedAgg.rebuild(spark, agg)
+    val got = VersionedTable.read(spark, agg).select("k", "xs")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("history LIMIT: the newest N versions only, ascending, bounded manifest reads") {
     val root = tmp("restore_histlim")
     (1 to 5).foreach { i =>
