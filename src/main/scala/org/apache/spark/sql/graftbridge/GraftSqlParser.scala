@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
+  * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
   * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
   * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
@@ -151,11 +152,15 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         s"versioned table at $path has no committed version")
       Seq((h.map(_.version).max, h.length))
         .toDF("newest_version", "versions_kept").queryExecution.logical
-    case RestoreStmt(path, toVersion) =>
+    case RestoreStmt(path, toVersion, toTag) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
-      val v = VersionedTable.restore(session, path, toVersion.toLong)
-      Seq((v, toVersion.toLong))
+      val target = Option(toVersion).map(_.toLong).getOrElse(
+        VersionedTable.taggedVersion(session, path, toTag).getOrElse(
+          throw new IllegalArgumentException(
+            s"versioned table at $path has no surviving version tagged '$toTag'")))
+      val v = VersionedTable.restore(session, path, target)
+      Seq((v, target))
         .toDF("version", "restored_to").queryExecution.logical
     case DeleteStmt(path, cond) =>
       import graft.pipeline.VersionedTable
@@ -195,7 +200,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
-         MergeStmt(_, _, _) | RestoreStmt(_, _) =>
+         MergeStmt(_, _, _) | RestoreStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -302,11 +307,12 @@ object GraftSqlParser {
   private val VacuumStmt =
     """(?is)^\s*GRAFT_VACUUM\s*\(\s*'([^']+)'\s*(?:,\s*KEEP\s+(\d{1,9}))?(?:\s*,\s*GRACE\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
 
-  /** Rollback: republish version N's entry set as a new commit (zero
-    * data I/O; Delta's RESTORE TABLE ... VERSION AS OF shape).
+  /** Rollback: republish version N's (or tag T's) entry set as a new
+    * commit (zero data I/O; Delta's RESTORE TABLE ... VERSION AS OF
+    * shape).
     */
   private val RestoreStmt =
-    """(?is)^\s*GRAFT_RESTORE\s*\(\s*'([^']+)'\s*,\s*(\d{1,18})\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_RESTORE\s*\(\s*'([^']+)'\s*,\s*(?:(\d{1,18})|TAG\s+'([^']+)')\s*\)\s*;?\s*$""".r
 
   /** Row-level delete: the condition is everything after `WHERE` up to
     * the closing paren (it may contain commas/quotes — trailing-anchor

@@ -90,6 +90,22 @@ class RestoreSuite extends SparkSpec {
     assert(dsv2.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("GRAFT_RESTORE by TAG resolves the tagged commit; unknown tag refuses") {
+    val root = tmp("restore_tag")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue,
+      tag = Some("pre-backfill"))
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val row = spark.sql(s"GRAFT_RESTORE('$root', TAG 'pre-backfill')").collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L)
+    assert(ids(root) == Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT_RESTORE('$root', TAG 'nope')").collect()
+    }
+    assert(e.getMessage.contains("no surviving version tagged"))
+  }
+
   test("matview refresh across a restore span refuses with the rebuild instruction (delta maintenance unsound)") {
     val src = tmp("restore_mv_src"); val agg = tmp("restore_mv_agg")
     val v1 = VersionedTable.commitDelta(spark, src, "parquet",
