@@ -48,7 +48,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -96,6 +96,9 @@ object Cli {
           sys.error("restore needs --to-version <N>"))
         val v = VersionedTable.restore(spark, root, to)
         println(s"[graft] restored $root to v$to's snapshot (published as v$v)")
+      case "upgrade" =>
+        val n = VersionedTable.upgradeMetadata(spark, root)
+        println(s"[graft] upgraded $root: backfilled metadata sidecars into $n dir(s)")
       case "vacuum" =>
         val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
         val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)

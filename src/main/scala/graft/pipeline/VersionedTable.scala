@@ -1979,6 +1979,32 @@ object VersionedTable {
         "writer contention is pathological; retry with backoff")
   }
 
+  /** Backfill the round-11 metadata sidecars (`_graft_schema`, and
+    * `_graft_stats` with file sizes) into a LEGACY table's live data
+    * dirs, so it gets manifest-planned scans (one synthesized
+    * FileIndex, zero plan-time FS calls) without waiting for its next
+    * compaction to rewrite the dirs. In-place and safe under
+    * concurrent readers: sidecars are metadata (underscore-prefixed,
+    * invisible to scans), and a reader that catches a half-written
+    * sidecar parses it to None and takes the general per-dir path —
+    * degraded, never wrong. Idempotent; returns the number of dirs
+    * (re)written.
+    */
+  def upgradeMetadata(spark: SparkSession, root: String): Int = {
+    val (fs, rootP) = fsFor(spark, root)
+    val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version"))
+    val fmt = resolveFormat(spark, root, "")
+    val dirs = snap.dataDirs.map(entryDir).distinct
+    val stale = dirs.filter { d =>
+      val p = new Path(rootP, d)
+      FileStats.readSchemaSidecar(fs, p).isEmpty ||
+        FileStats.readSidecar(fs, p).forall(_.exists(_.bytes < 0))
+    }
+    stale.foreach(d => FileStats.writeSidecar(spark, fs, new Path(rootP, d), fmt))
+    stale.length
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int = 3,
              graceMs: Long = 3600L * 1000): Unit = {
     require(keep >= 1, "vacuum must keep at least the current version")

@@ -112,6 +112,29 @@ class ManifestPlanSuite extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 3L))
   }
 
+  test("upgradeMetadata backfills sidecars in place: legacy table gains the fast path, answers unchanged") {
+    val root = tmp("mplan_upgrade")
+    (1 to 4).foreach { i =>
+      VersionedTable.commitDelta(spark, root, "parquet",
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    }
+    // simulate a pre-round-11 table: strip schema sidecars and the
+    // bytes field from the stats sidecars
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith("_"))
+        fs.delete(new org.apache.hadoop.fs.Path(st.getPath, FileStats.SchemaSidecarName), false)
+    }
+    val before = VersionedTable.read(spark, root)
+    assert(manifestIndexOf(before).isEmpty, "stripped table must take the general path")
+    assert(VersionedTable.upgradeMetadata(spark, root) == 4)
+    assert(VersionedTable.upgradeMetadata(spark, root) == 0, "idempotent: second run is a no-op")
+    val after = VersionedTable.read(spark, root)
+    assert(manifestIndexOf(after).isDefined, "upgraded table must take the fast path")
+    assert(after.select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+  }
+
   test("read-side stat skipping through the DSv2 face keeps the manifest index (no re-stat)") {
     val root = tmp("mplan_skip")
     (1 to 4).foreach { i =>
