@@ -112,6 +112,27 @@ class ManifestPlanSuite extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 3L))
   }
 
+  test("split planning over synthesized FileStatus: a large file splits by its REAL sidecar length") {
+    val root = tmp("mplan_split")
+    // one ~1.5 MB parquet file (100k rows, sorted so one file)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      spark.range(100000).select(col("id"), concat(lit("payload_"), col("id")).as("v"))
+        .coalesce(1),
+      compactAfter = Int.MaxValue)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072") // 128 KB
+      val df = VersionedTable.read(spark, root)
+      assert(manifestIndexOf(df).isDefined)
+      val parts = df.rdd.getNumPartitions
+      assert(parts > 1,
+        s"a 1.5 MB file at 128 KB maxPartitionBytes must split (got $parts partition)")
+      // splits must cover the file exactly: no lost or duplicated rows
+      assert(df.count() == 100000L)
+      assert(df.agg(sum("id")).head.getLong(0) == 99999L * 100000L / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("upgradeMetadata backfills sidecars in place: legacy table gains the fast path, answers unchanged") {
     val root = tmp("mplan_upgrade")
     (1 to 4).foreach { i =>
