@@ -13,9 +13,10 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/explain.txt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // GraftSession, not a bare builder: the GRAFT_* SQL statements
+    // (q65's GRAFT_ASOF, the maintenance family) need the extensions
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     val names = if (args.length > 2) args(2).split(",").toSeq else SparkEntry.queries.keys.toSeq.sorted
