@@ -58,7 +58,12 @@ object DeltaRead {
       schema: StructType,
       partitionColumns: Seq[String],
       /** live data files: path -> partition values (null for unpartitioned) */
-      files: Map[String, Map[String, String]])
+      files: Map[String, Map[String, String]],
+      /** live file sizes in bytes, from the log's `add.size` (-1 when
+        * a legacy action lacked it) — lets the scan plan from log
+        * metadata alone, no per-file stat calls
+        */
+      sizes: Map[String, Long] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -84,6 +89,19 @@ object DeltaRead {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
     val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
+    // LOG-PLANNED fast path (mirrors VersionedTable.load's round-11
+    // manifest planning): the Delta log records every live file's
+    // SIZE (`add.size`) and partition values, so the scan can build
+    // a ManifestFileIndex with zero filesystem calls — and a
+    // partitioned table becomes ONE native scan with partition
+    // pruning instead of one union branch per live partition tuple
+    // (O(partitions) plan nodes, the old shape below). Falls back
+    // when a legacy action lacked size, a partition value doesn't
+    // coerce, or one directory mixes partition tuples (the protocol
+    // allows metadata-only partitioning; pruning maps dirs).
+    logPlannedRead(spark, rootP, snap, dataCols).foreach { df =>
+      return df.select(snap.schema.fieldNames.map(col): _*)
+    }
     if (snap.partitionColumns.isEmpty) {
       spark.read.schema(StructType(dataCols)).parquet(
         snap.files.keys.toSeq.map(rel => new Path(rootP, rel).toString): _*)
@@ -105,6 +123,55 @@ object DeltaRead {
       }.reduce(_.unionByName(_))
     }
   }
+
+  /** The log-planned scan (None = a precondition failed; caller takes
+    * the legacy path): ManifestFileIndex over (path, size) from the
+    * log, partition values coerced into an explicit PartitionSpec.
+    */
+  private def logPlannedRead(spark: SparkSession, rootP: Path, snap: Snapshot,
+                             dataCols: Array[org.apache.spark.sql.types.StructField])
+      : Option[DataFrame] =
+    try {
+      val sized = snap.files.keys.toSeq.sorted.map { rel =>
+        (new Path(rootP, rel).toString, snap.files(rel), snap.sizes.getOrElse(rel, -1L))
+      }
+      if (sized.isEmpty || sized.exists(_._3 < 0)) return None
+      val partSchema = StructType(snap.partitionColumns.flatMap(c =>
+        snap.schema.fields.find(_.name == c)))
+      if (partSchema.length != snap.partitionColumns.length) return None
+      val spec =
+        if (partSchema.isEmpty)
+          org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+        else {
+          // pruning maps DIRECTORIES to partition values: every dir
+          // must carry exactly one tuple (delta partitioning is
+          // metadata-only in the protocol; hive-style writers satisfy
+          // this, anything else falls back)
+          val byDir = sized.groupBy(f => new Path(f._1).getParent)
+          if (byDir.exists(_._2.map(_._2).distinct.length > 1)) return None
+          val partitions = byDir.toSeq.sortBy(_._1.toString).map { case (dir, fs) =>
+            val pv = fs.head._2
+            val values = partSchema.fields.map { f =>
+              val raw = pv.getOrElse(f.name, null)
+              // null partition value = Delta's HIVE_DEFAULT; the
+              // coercion helper throws on uncoercible types -> caught
+              if (raw == null) null
+              else GraftDataSource.partitionValue(raw, f, rootP.toString)
+            }
+            org.apache.spark.sql.execution.datasources.PartitionPath(
+              org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(values)), dir)
+          }
+          org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, partitions)
+        }
+      val index = new org.apache.spark.sql.graftbridge.ManifestFileIndex(
+        spark, spec, sized.map(f => (f._1, f._3)))
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, partSchema, StructType(dataCols), None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      Some(spark.baseRelationToDataFrame(rel))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Reconstruct the file-list snapshot at `version` (newest if None).
     *
@@ -168,13 +235,18 @@ object DeltaRead {
           schemaJson = r.getString(0); partCols = r.getSeq[String](1)
         }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
-      val hasPv = rows.select("add.*").columns.contains("partitionValues")
+      val addCols = rows.select("add.*").columns.toSet
+      val hasPv = addCols("partitionValues")
+      val sizeCol =
+        if (addCols("size")) col("add.size") else lit(-1L).as("size")
       // paths stay URI-ENCODED inside the frame; decoding happens once,
       // post-replay, so checkpoint adds and tail removes meet in the
       // same (encoded) key space — exactly as the driver replay did
       ckptAdds = Some(
-        if (hasPv) rows.select(col("add.path"), col("add.partitionValues")).where(col("add.path").isNotNull)
-        else rows.select(col("add.path"), lit(null).cast("map<string,string>").as("partitionValues"))
+        if (hasPv) rows.select(col("add.path"), col("add.partitionValues"), sizeCol)
+          .where(col("add.path").isNotNull)
+        else rows.select(col("add.path"),
+            lit(null).cast("map<string,string>").as("partitionValues"), sizeCol)
           .where(col("add.path").isNotNull))
       // protocol gate can live in the checkpoint too
       if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
@@ -184,7 +256,8 @@ object DeltaRead {
     // Tail replay (driver-side, bounded by the checkpoint interval):
     // last action per ENCODED path wins — Some(pv) = live add, None =
     // removed. Insertion order is irrelevant once reduced to last-wins.
-    val tail = scala.collection.mutable.LinkedHashMap[String, Option[Map[String, String]]]()
+    val tail =
+      scala.collection.mutable.LinkedHashMap[String, Option[(Map[String, String], Long)]]()
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     for (v <- replayFrom to target) {
       val p = new Path(logP, f"$v%020d.json")
@@ -214,17 +287,18 @@ object DeltaRead {
             n.properties().asScala.map(e =>
               e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
             .getOrElse(Map.empty[String, String])
-          tail.put(add.get("path").asText(), Some(pv))
+          val sz = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+          tail.put(add.get("path").asText(), Some((pv, sz)))
         }
         if (node.has("remove"))
           tail.put(node.get("remove").path("path").asText(), None)
       }
     }
 
-    val files: Map[String, Map[String, String]] = ckptAdds match {
+    val entries: Map[String, (Map[String, String], Long)] = ckptAdds match {
       case None =>
         // no checkpoint: the tail IS the whole history
-        tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }.toMap
+        tail.collect { case (p, Some(e)) => decodePath(p) -> e }.toMap
       case Some(adds) =>
         import spark.implicits._
         // decode BEFORE the anti-join: the match key must be the
@@ -233,7 +307,8 @@ object DeltaRead {
         // encoded-key join would resurrect the dead file (the driver
         // replay always matched decoded; so must the distributed one)
         val dec = org.apache.spark.sql.functions.udf((p: String) => decodePath(p))
-        val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"))
+        val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"),
+          col("size"))
         val carried =
           if (tail.isEmpty) addsDec
           else {
@@ -243,15 +318,17 @@ object DeltaRead {
         val live = carried.collect().map { r =>
           val pv = if (r.isNullAt(1)) Map.empty[String, String]
             else r.getMap[String, String](1).toMap
-          r.getString(0) -> pv
+          val sz = if (r.isNullAt(2)) -1L else r.getLong(2)
+          r.getString(0) -> ((pv, sz))
         }.toMap
-        live ++ tail.collect { case (p, Some(pv)) => decodePath(p) -> pv }
+        live ++ tail.collect { case (p, Some(e)) => decodePath(p) -> e }
     }
 
     require(schemaJson != null,
       s"Delta log at $path carries no metaData action — cannot derive a schema")
     Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, files)
+      partCols, entries.map { case (p, (pv, _)) => p -> pv },
+      entries.map { case (p, (_, sz)) => p -> sz })
   }
 
   /** `_last_checkpoint` fast path for latest-version reads: returns

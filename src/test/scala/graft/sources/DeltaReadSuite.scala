@@ -54,10 +54,21 @@ class DeltaReadSuite extends SparkSpec {
 
   private val protocolLine = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def addLine(path: String, pv: Map[String, String] = null): String = {
+  /** Protocol-faithful add action: `size` is the REAL byte length of
+    * the referenced data file (delta-spark and the log-planned read
+    * both trust add.size for split planning — a log that lies about
+    * sizes mis-reads in every Delta implementation). Falls back to 1
+    * for deliberately-dangling paths (the absolute-path refusal test).
+    */
+  private def addLine(root: String, path: String, pv: Map[String, String] = null): String = {
     val pvJson = Option(pv).map(_.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")).getOrElse("{}")
-    s"""{"add":{"path":${jstr(path)},"partitionValues":$pvJson,"size":1,""" +
+    val decoded = try new java.net.URI(path).getPath catch { case _: Exception => path }
+    val size = Seq(path, decoded).filter(_ != null)
+      .map(n => java.nio.file.Paths.get(root, n))
+      .find(java.nio.file.Files.exists(_))
+      .map(java.nio.file.Files.size(_)).getOrElse(1L)
+    s"""{"add":{"path":${jstr(path)},"partitionValues":$pvJson,"size":$size,""" +
       s""""modificationTime":1,"dataChange":true}}"""
   }
 
@@ -70,8 +81,8 @@ class DeltaReadSuite extends SparkSpec {
     writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f2.parquet")
     writeDataFile(Seq((4L, "d")).toDF("id", "v"), root, "f3.parquet")
     commit(root, 0, Seq(protocolLine, metaDataLine(schema),
-      addLine("f1.parquet"), addLine("f2.parquet")))
-    commit(root, 1, Seq(removeLine("f1.parquet"), addLine("f3.parquet")))
+      addLine(root, "f1.parquet"), addLine(root, "f2.parquet")))
+    commit(root, 1, Seq(removeLine("f1.parquet"), addLine(root, "f3.parquet")))
     assert(DeltaRead.isDeltaTable(spark, root))
     assert(DeltaRead.versions(spark, root) == Seq(0L, 1L))
     val latest = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
@@ -89,12 +100,44 @@ class DeltaReadSuite extends SparkSpec {
     writeDataFile(Seq(Tuple1(1L)).toDF("id"), root, "day=7/p1.parquet")
     writeDataFile(Seq(Tuple1(2L)).toDF("id"), root, "day=8/p2.parquet")
     commit(root, 0, Seq(protocolLine, metaDataLine(pSchema, Seq("day")),
-      addLine("day=7/p1.parquet", Map("day" -> "7")),
-      addLine("day=8/p2.parquet", Map("day" -> "8"))))
+      addLine(root, "day=7/p1.parquet", Map("day" -> "7")),
+      addLine(root, "day=8/p2.parquet", Map("day" -> "8"))))
     val rows = DeltaRead.read(spark, root).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(rows.toSeq == Seq((1L, 7), (2L, 8)))
     assert(DeltaRead.read(spark, root).schema("day").dataType == IntegerType)
+    // LOG-PLANNED: one ManifestFileIndex scan (sizes + partition
+    // values from the log), not a union branch per partition tuple
+    val df = DeltaRead.read(spark, root)
+    val idx = df.queryExecution.logical.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        rel.location
+    }
+    assert(idx.exists(_.isInstanceOf[org.apache.spark.sql.graftbridge.ManifestFileIndex]),
+      s"partitioned delta read must be one log-planned scan:\n${df.queryExecution.logical}")
+  }
+
+  test("metadata-only partitioning (one dir, two tuples) falls back to the union path, still correct") {
+    val root = tmp()
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("day", IntegerType)))
+    // both files live in the ROOT dir; partition values exist ONLY in
+    // the log — legal per the protocol, not dir-mappable for pruning
+    writeDataFile(Seq(Tuple1(1L)).toDF("id"), root, "m1.parquet")
+    writeDataFile(Seq(Tuple1(2L)).toDF("id"), root, "m2.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(pSchema, Seq("day")),
+      addLine(root, "m1.parquet", Map("day" -> "7")),
+      addLine(root, "m2.parquet", Map("day" -> "8"))))
+    val df = DeltaRead.read(spark, root)
+    val manifestPlanned = df.queryExecution.logical.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _)
+        if rel.location.isInstanceOf[org.apache.spark.sql.graftbridge.ManifestFileIndex] => ()
+    }
+    assert(manifestPlanned.isEmpty, "one dir with two tuples must take the union path")
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 7), (2L, 8)))
   }
 
   test("checkpoint + replay: reconstruction starts at the checkpoint, cleaned commits ok") {
@@ -127,7 +170,7 @@ class DeltaReadSuite extends SparkSpec {
     java.nio.file.Files.createDirectories(logDir)
     java.nio.file.Files.move(part, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
     // commits 0 and 1 were CLEANED (delta log cleanup); only v2 remains
-    commit(root, 2, Seq(addLine("f3.parquet")))
+    commit(root, 2, Seq(addLine(root, "f3.parquet")))
     val rows = DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted
     assert(rows.toSeq == Seq(2L, 3L),
       "checkpoint state (f2) + replayed commit (f3), cleaned commits untouched")
@@ -178,7 +221,7 @@ class DeltaReadSuite extends SparkSpec {
     // JSON route: encoded space + literal plus (URLDecoder would turn
     // the '+' into a space and miss the file on disk)
     commit(root, 0, Seq(protocolLine, metaDataLine(schema),
-      addLine("x%20y.parquet"), addLine("a+b.parquet")))
+      addLine(root, "x%20y.parquet"), addLine(root, "a+b.parquet")))
     assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L))
     // checkpoint route: the SAME encoded form in a checkpoint add must
@@ -205,7 +248,7 @@ class DeltaReadSuite extends SparkSpec {
     val logDir = java.nio.file.Paths.get(root2, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
     java.nio.file.Files.move(part, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
-    commit(root2, 1, Seq(removeLine("x%20y.parquet"), addLine("f3.parquet")))
+    commit(root2, 1, Seq(removeLine("x%20y.parquet"), addLine(root2, "f3.parquet")))
     assert(DeltaRead.read(spark, root2).collect().map(_.getLong(0)).toSeq == Seq(3L),
       "a remove after the checkpoint must drop the checkpointed encoded add")
   }
@@ -219,12 +262,12 @@ class DeltaReadSuite extends SparkSpec {
                     "/other/table/f9.parquet")) {
       val r = tmp()
       writeDataFile(Seq((1L, "a")).toDF("id", "v"), r, "f1.parquet")
-      commit(r, 0, Seq(protocolLine, metaDataLine(schema), addLine(abs)))
+      commit(r, 0, Seq(protocolLine, metaDataLine(schema), addLine(r, abs)))
       val e = intercept[IllegalStateException] { DeltaRead.read(spark, r) }
       assert(e.getMessage.contains("ABSOLUTE"), s"for $abs: ${e.getMessage}")
     }
     // relative encoded paths keep working
-    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine(root, "f1.parquet")))
     assert(DeltaRead.read(spark, root).count() == 1L)
   }
 
@@ -252,7 +295,7 @@ class DeltaReadSuite extends SparkSpec {
     java.nio.file.Files.createDirectories(logDir)
     java.nio.file.Files.move(part, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
     // commits 0/1 cleaned: v1 survives ONLY as the checkpoint, v2 as json
-    commit(root, 2, Seq(addLine("f3.parquet")))
+    commit(root, 2, Seq(addLine(root, "f3.parquet")))
     assert(DeltaRead.versions(spark, root) == Seq(1L, 2L),
       "a checkpoint-only version is readable (snapshot starts there) so it must be listed")
     assert(DeltaRead.read(spark, root, Some(1L)).collect().map(_.getLong(0)).toSeq == Seq(2L))
@@ -263,7 +306,7 @@ class DeltaReadSuite extends SparkSpec {
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
     commit(root, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
-      metaDataLine(schema), addLine("f1.parquet")))
+      metaDataLine(schema), addLine(root, "f1.parquet")))
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
     assert(e.getMessage.contains("minReaderVersion=3"))
   }
@@ -272,8 +315,8 @@ class DeltaReadSuite extends SparkSpec {
     val root = tmp()
     writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
     writeDataFile(Seq((9L, "z")).toDF("id", "v"), root, "f2.parquet")
-    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
-    commit(root, 1, Seq(addLine("f2.parquet")))
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine(root, "f1.parquet")))
+    commit(root, 1, Seq(addLine(root, "f2.parquet")))
     val spec = graft.pipeline.YamlLoader.load(
       s"""pipeline_name: delta_in
          |sources:
@@ -316,8 +359,8 @@ class DeltaReadSuite extends SparkSpec {
     val root = tmp()
     writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
     writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f2.parquet")
-    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
-    commit(root, 1, Seq(addLine("f2.parquet")))
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine(root, "f1.parquet")))
+    commit(root, 1, Seq(addLine(root, "f2.parquet")))
     val dst = tmp() + "/t"
     assert(DeltaRead.importDelta(spark, root, dst) == 1L)
     assert(VersionedTable.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq
@@ -369,12 +412,12 @@ class DeltaReadSuite extends SparkSpec {
       Row(Row("f2.parquet", Map.empty[String, String]), null),
       Row(null, Row(schema.json, Seq.empty[String]))),
       f"${1L}%020d.checkpoint.parquet")
-    commit(root, 2, Seq(addLine("f3.parquet")))
-    commit(root, 3, Seq(addLine("f4.parquet")))
+    commit(root, 2, Seq(addLine(root, "f3.parquet")))
+    commit(root, 3, Seq(addLine(root, "f4.parquet")))
     // DECOY: a non-contiguous far-future commit. The LISTING path would
     // take latest=9 and fail on the hole at v4 — so a passing read
     // proves the pointer (cp=1, probe tail 2,3) drove discovery.
-    commit(root, 9, Seq(addLine("f9.parquet")))
+    commit(root, 9, Seq(addLine(root, "f9.parquet")))
     writePointer(root, """{"version":1,"size":2}""")
     val snap = DeltaRead.snapshot(spark, root)
     assert(snap.version == 3L, "fast path ends the log at the first missing commit")
@@ -404,13 +447,13 @@ class DeltaReadSuite extends SparkSpec {
     // pointer race) — must fall back to the listing, not fail
     val root2 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")
-    commit(root2, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    commit(root2, 0, Seq(protocolLine, metaDataLine(schema), addLine(root2, "f1.parquet")))
     writePointer(root2, """{"version":7,"size":1}""")
     assert(DeltaRead.read(spark, root2).collect().map(_.getLong(0)).toSeq == Seq(1L))
     // unparseable pointer: same fallback
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root3, "f1.parquet")
-    commit(root3, 0, Seq(protocolLine, metaDataLine(schema), addLine("f1.parquet")))
+    commit(root3, 0, Seq(protocolLine, metaDataLine(schema), addLine(root3, "f1.parquet")))
     writePointer(root3, """not json at all""")
     assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
@@ -447,10 +490,10 @@ class DeltaReadSuite extends SparkSpec {
       removeLine("part-00000.parquet"),
       removeLine("part-04999.parquet"),
       removeLine("part-09999.parquet"),
-      addLine("extra-1.parquet"), addLine("extra-2.parquet")))
+      addLine(root, "extra-1.parquet"), addLine(root, "extra-2.parquet")))
     // same-commit remove→add: the LAST action for a path wins
     commit(root, 3, Seq(
-      removeLine("part-00001.parquet"), addLine("part-00001.parquet", Map("day" -> "9"))))
+      removeLine("part-00001.parquet"), addLine(root, "part-00001.parquet", Map("day" -> "9"))))
     writePointer(root, """{"version":1,"size":10001}""")
     val snap = DeltaRead.snapshot(spark, root)
     assert(snap.version == 3L)
