@@ -1948,7 +1948,15 @@ object VersionedTable {
     * target's entry set.
     */
   def restore(spark: SparkSession, root: String, toVersion: Long,
-              maxAttempts: Int = 5): Long = {
+              maxAttempts: Int = 5): Long =
+    restoreHooked(spark, root, toVersion, maxAttempts, () => ())
+
+  /** [[restore]] with a test seam: `afterValidate` runs between the
+    * target-dirs liveness check and the pointer CAS, so a test can
+    * interleave a racing vacuum deterministically.
+    */
+  private[graft] def restoreHooked(spark: SparkSession, root: String, toVersion: Long,
+                                   maxAttempts: Int, afterValidate: () => Unit): Long = {
     val (fs, rootP) = fsFor(spark, root)
     val targetPath = new Path(new Path(rootP, ManifestDir), f"v$toVersion%010d")
     val content = readSmall(fs, targetPath).getOrElse(throw new IllegalArgumentException(
@@ -1956,10 +1964,12 @@ object VersionedTable {
         "(never committed, or already vacuumed) — nothing to restore to"))
     val targetDirs = parseDirs(content)
     val targetLayout = parseLayout(content).getOrElse(Nil)
-    val gone = missingDirs(spark, root, targetDirs.map(entryDir).distinct)
+    val targetTops = targetDirs.map(entryDir).distinct
+    val gone = missingDirs(spark, root, targetTops)
     require(gone.isEmpty,
       s"cannot restore $root to v$toVersion: data dirs ${gone.mkString(", ")} were " +
         "already vacuumed — restore only reaches versions within the vacuum retention")
+    afterValidate()
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1969,8 +1979,30 @@ object VersionedTable {
       val next = snap.version + 1
       if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
           (targetDirs :+ s"#kind=restore").mkString("\n") + layoutLine(targetLayout))) {
+        // TOCTOU re-check: a vacuum that computed its referenced set
+        // BEFORE this pointer landed can have swept the target's dirs
+        // between validation and publish (they were outside its keep
+        // window and too old for the grace period). A dangling head is
+        // the one state the protocol must never leave behind silently:
+        // roll the table FORWARD to the pre-restore snapshot (its dirs
+        // are the newest-kept set, alive by vacuum's own retention)
+        // and refuse loudly. Same operational posture as Delta's
+        // documented RESTORE-vs-VACUUM hazard, minus the silent part.
+        val swept = missingDirs(spark, root, targetTops)
+        if (swept.isEmpty) {
+          syncIfLinked(spark, root)
+          return next
+        }
+        val preLayout = currentLayoutOf(fs, rootP, snap.version).getOrElse(Nil)
+        casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v${next + 1}%010d"),
+          (snap.dataDirs :+ s"#kind=restore").mkString("\n") + layoutLine(preLayout))
         syncIfLinked(spark, root)
-        return next
+        throw new IllegalStateException(
+          s"restore of $root to v$toVersion raced a vacuum: data dirs " +
+            s"${swept.mkString(", ")} were swept after validation — the table was " +
+            s"rolled forward to its pre-restore snapshot; raise the vacuum keep " +
+            "window to cover restore targets, or run restore and vacuum from one " +
+            "maintenance process")
       }
       // pointer-only race loss: re-read the winner and retry
     }
@@ -1978,6 +2010,11 @@ object VersionedTable {
       s"restore of $root to v$toVersion lost the publish race $maxAttempts times — " +
         "writer contention is pathological; retry with backoff")
   }
+
+  /** The `#layout=` marker of `version`'s manifest, if readable. */
+  private def currentLayoutOf(fs: FileSystem, rootP: Path, version: Long): Option[Seq[String]] =
+    readSmall(fs, new Path(new Path(rootP, ManifestDir), f"v$version%010d"))
+      .flatMap(parseLayout)
 
   /** Backfill the round-11 metadata sidecars (`_graft_schema`, and
     * `_graft_stats` with file sizes) into a LEGACY table's live data

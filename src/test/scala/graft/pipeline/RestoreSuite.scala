@@ -73,6 +73,25 @@ class RestoreSuite extends SparkSpec {
     assert(e2.getMessage.contains("no committed version"), s"unexpected: ${e2.getMessage}")
   }
 
+  test("restore racing a vacuum: swept target detected post-publish, table rolls forward, loud refusal") {
+    val root = tmp("restore_race")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // compact so v1/v2's delta dirs become unreferenced by the head
+    VersionedTable.compact(spark, root)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.restoreHooked(spark, root, 1L, maxAttempts = 5,
+        // the racing vacuum lands AFTER validation, BEFORE the CAS
+        afterValidate = () => VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0L))
+    }
+    assert(e.getMessage.contains("raced a vacuum"), s"unexpected: ${e.getMessage}")
+    // the table healed forward: current head readable, pre-restore rows
+    val ids = VersionedTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"healed head must be the pre-restore snapshot: $ids")
+  }
+
   test("restore keeps the hive layout marker: partitioned reads survive the rollback") {
     val root = tmp("restore_hive")
     val v1 = VersionedTable.commitDelta(spark, root, "parquet",
