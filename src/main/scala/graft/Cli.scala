@@ -62,7 +62,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete|restore <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade <versioned-table-root> [options]")
       sys.exit(2)
   }
 

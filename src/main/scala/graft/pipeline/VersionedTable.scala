@@ -212,10 +212,18 @@ object VersionedTable {
     // count. Any dir without a schema sidecar (legacy, non-graft
     // writer), any schema disagreement (additive evolution), any
     // mixed layout → general path, unchanged.
+    // schema sidecars prefetched ONCE in bounded parallel — the fast
+    // path's gate consumes them, and the general path reuses the same
+    // map (a fallback must not re-pay the GETs serially per dir)
+    lazy val loadFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaSidecars: Map[String, Option[(org.apache.spark.sql.types.StructType, Seq[String])]] =
+      if (format == "parquet" && dirs.nonEmpty) {
+        val tops = dirs.map(entryDir).distinct
+        parallelMap(tops)(d =>
+          d -> FileStats.readSchemaSidecar(loadFs, new Path(rootP, d))).toMap
+      } else Map.empty
     if (format == "parquet" && dirs.nonEmpty) {
-      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tops = dirs.map(entryDir).distinct
-      val sidecars = parallelMap(tops)(d => FileStats.readSchemaSidecar(fs, new Path(rootP, d)))
+      val sidecars = dirs.map(entryDir).distinct.map(schemaSidecars(_))
       val agree = sidecars.forall(_.isDefined) &&
         sidecars.flatMap(_.map(_._1.json)).distinct.length == 1 &&
         sidecars.flatMap(_.map(_._2)).distinct.length == 1
@@ -248,11 +256,11 @@ object VersionedTable {
     }
     // Per-branch reads carry the recorded schema when available —
     // partition discovery still runs per dir (hive values come from
-    // paths) but parquet footer inference is skipped.
-    lazy val loadFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // paths) but parquet footer inference is skipped. Sidecars come
+    // from the prefetched map above, not fresh per-dir reads.
     def readWithRecordedSchema(top: String): org.apache.spark.sql.DataFrameReader = {
       val r = spark.read.format(format)
-      FileStats.readSchemaSidecar(loadFs, new Path(rootP, top))
+      schemaSidecars.getOrElse(top, None)
         .map { case (s, _) => r.schema(s) }.getOrElse(r)
     }
     val dirReads = dirRefs.map(d => readWithRecordedSchema(d).load(new Path(rootP, d).toString))
@@ -576,12 +584,17 @@ object VersionedTable {
       }.toMap
     }
     def leavesOf(top: String): Seq[(String, Long)] = sidecarLeaves.getOrElse(top, Nil)
+    // per-dir leaf->bytes MAP for file-ref lookups: a merge-heavy
+    // snapshot can carry thousands of file refs against a sidecar of
+    // thousands of leaves — O(1) lookups, not a linear scan per ref
+    lazy val leafBytes: Map[String, Map[String, Long]] =
+      sidecarLeaves.map { case (top, ls) => top -> ls.toMap }
     val rels: Seq[(String, Long)] = entries.flatMap { e =>
       if (isFileRef(e) && !isPartitionRef(e)) {
         // direct file ref: its size lives in the PARENT dir's sidecar
         val top = entryDir(e)
         val name = e.stripPrefix(top + "/")
-        Seq((e, leavesOf(top).collectFirst { case (f, b) if f == name => b }.getOrElse(-1L)))
+        Seq((e, leafBytes.getOrElse(top, Map.empty).getOrElse(name, -1L)))
       } else {
         val top = entryDir(e)
         val leaves = leavesOf(top)
@@ -1963,7 +1976,11 @@ object VersionedTable {
       s"versioned table at $root has no committed version $toVersion " +
         "(never committed, or already vacuumed) — nothing to restore to"))
     val targetDirs = parseDirs(content)
-    val targetLayout = parseLayout(content).getOrElse(Nil)
+    // Pre-marker manifests carry NO layout line: the restored pointer
+    // must preserve that absence ("unknown, detect by walking"), not
+    // coerce it to an explicit-flat marker that would make a later
+    // layout-aware rewrite silently flatten a legacy hive table.
+    val targetLayoutPart = parseLayout(content).map(layoutLine).getOrElse("")
     val targetTops = targetDirs.map(entryDir).distinct
     val gone = missingDirs(spark, root, targetTops)
     require(gone.isEmpty,
@@ -1978,31 +1995,58 @@ object VersionedTable {
       if (snap.dataDirs == targetDirs) return snap.version // already there: no churn
       val next = snap.version + 1
       if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
-          (targetDirs :+ s"#kind=restore").mkString("\n") + layoutLine(targetLayout))) {
+          (targetDirs :+ s"#kind=restore").mkString("\n") + targetLayoutPart)) {
         // TOCTOU re-check: a vacuum that computed its referenced set
         // BEFORE this pointer landed can have swept the target's dirs
         // between validation and publish (they were outside its keep
-        // window and too old for the grace period). A dangling head is
-        // the one state the protocol must never leave behind silently:
-        // roll the table FORWARD to the pre-restore snapshot (its dirs
-        // are the newest-kept set, alive by vacuum's own retention)
-        // and refuse loudly. Same operational posture as Delta's
-        // documented RESTORE-vs-VACUUM hazard, minus the silent part.
+        // window and too old for the grace period). This NARROWS the
+        // race to the sub-second span between this re-check and an
+        // in-flight sweep's final deletions — vacuum's own pre-sweep
+        // re-listing (see vacuum) covers that side; full closure
+        // would need a coordination primitive the protocol
+        // deliberately omits (Delta documents the same RESTORE/VACUUM
+        // hazard). On detection, roll the table FORWARD to the
+        // pre-restore snapshot (its dirs are the newest-kept set,
+        // alive by vacuum's own retention) and refuse loudly.
         val swept = missingDirs(spark, root, targetTops)
         if (swept.isEmpty) {
           syncIfLinked(spark, root)
           return next
         }
-        val preLayout = currentLayoutOf(fs, rootP, snap.version).getOrElse(Nil)
-        casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v${next + 1}%010d"),
-          (snap.dataDirs :+ s"#kind=restore").mkString("\n") + layoutLine(preLayout))
+        val preLayoutPart = currentLayoutOf(fs, rootP, snap.version).map(layoutLine).getOrElse("")
+        // The heal must actually LAND: loop its CAS against the moving
+        // head. A concurrent commit built on the dangling restore head
+        // is poisoned regardless (its pointer copied the swept
+        // entries) — rolling forward to the pre-restore snapshot is
+        // the best consistent state available; the thrown message
+        // reports honestly which outcome happened.
+        var healed = false
+        var healTry = 0
+        while (!healed && healTry < maxAttempts) {
+          healTry += 1
+          val cur = currentSnapshot(spark, root)
+          cur match {
+            case Some(c) if c.dataDirs == snap.dataDirs => healed = true
+            case Some(c) =>
+              healed = casPublish(fs,
+                new Path(new Path(rootP, ManifestDir), f"v${c.version + 1}%010d"),
+                (snap.dataDirs :+ s"#kind=restore").mkString("\n") + preLayoutPart)
+            case None => healTry = maxAttempts
+          }
+        }
         syncIfLinked(spark, root)
         throw new IllegalStateException(
           s"restore of $root to v$toVersion raced a vacuum: data dirs " +
-            s"${swept.mkString(", ")} were swept after validation — the table was " +
-            s"rolled forward to its pre-restore snapshot; raise the vacuum keep " +
-            "window to cover restore targets, or run restore and vacuum from one " +
-            "maintenance process")
+            s"${swept.mkString(", ")} were swept after validation — " +
+            (if (healed)
+              "the table was rolled forward to its pre-restore snapshot. "
+            else
+              s"AND the roll-forward heal lost its publish race to concurrent " +
+                s"writers, so the current head may still reference swept dirs; " +
+                s"run VersionedTable.restore(root, ${snap.version}) to roll " +
+                "forward manually. ") +
+            "Raise the vacuum keep window to cover restore targets, or run " +
+            "restore and vacuum from one maintenance process")
       }
       // pointer-only race loss: re-read the winner and retry
     }
@@ -2032,6 +2076,12 @@ object VersionedTable {
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version"))
     val fmt = resolveFormat(spark, root, "")
+    // metadata sidecars are a parquet feature (footer stats, schema
+    // record) — refusing here beats reporting N dirs "upgraded" that
+    // writeSidecar's format guard then silently skips, forever
+    require(fmt == "parquet",
+      s"versioned table at $root is format '$fmt' — metadata sidecars (and the " +
+        "manifest-planned scan they enable) are parquet-only; nothing to upgrade")
     val dirs = snap.dataDirs.map(entryDir).distinct
     val stale = dirs.filter { d =>
       val p = new Path(rootP, d)
@@ -2052,21 +2102,43 @@ object VersionedTable {
     val (fs, rootP) = fsFor(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     if (!fs.exists(mdir)) return
-    val manifests = listManifests(fs, rootP).map(m => (m._1, m._2)).sortBy(-_._1)
-    val (kept, retired) = manifests.splitAt(keep)
     // Every kept pointer MUST read back: a transient failure here would
     // silently shrink the referenced set and the sweep below would
     // delete LIVE data directories — abort instead; vacuum is always
     // safe to re-run later.
-    val referenced = kept.flatMap { case (v, p) =>
-      readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
-        s"vacuum aborted: manifest v$v at $root is unreadable — " +
-          "re-run when the store is healthy (nothing was deleted)"))
-        // a FILE reference (commitMerge carry-over) keeps its whole
-        // parent directory alive: vacuum's unit is the directory, and
-        // partially-referenced dirs are reclaimed by the next compact
-        .map(entryDir).toSet
-    }.toSet
+    def computeKeepSet(): (Seq[(Long, Path)], Seq[(Long, Path)], Set[String]) = {
+      val manifests = listManifests(fs, rootP).map(m => (m._1, m._2)).sortBy(-_._1)
+      val (kept, retired) = manifests.splitAt(keep)
+      val referenced = kept.flatMap { case (v, p) =>
+        readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
+          s"vacuum aborted: manifest v$v at $root is unreadable — " +
+            "re-run when the store is healthy (nothing was deleted)"))
+          // a FILE reference (commitMerge carry-over) keeps its whole
+          // parent directory alive: vacuum's unit is the directory, and
+          // partially-referenced dirs are reclaimed by the next compact
+          .map(entryDir).toSet
+      }.toSet
+      (kept, retired, referenced)
+    }
+    // Pre-sweep STABILITY loop: a pointer that lands between the
+    // referenced-set computation and the sweep (a concurrent commit —
+    // or a RESTORE reaching back past the keep window, whose target
+    // dirs this sweep would otherwise delete) must be seen before
+    // anything is deleted. Re-list until the newest version is stable
+    // across two listings; a writer outpacing three rounds aborts the
+    // vacuum (safe to re-run) rather than sweeping under its feet.
+    var (kept, retired, referenced) = computeKeepSet()
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 3) {
+      rounds += 1
+      val again = computeKeepSet()
+      if (again._1.headOption.map(_._1) == kept.headOption.map(_._1)) stable = true
+      else { kept = again._1; retired = again._2; referenced = again._3 }
+    }
+    if (!stable) throw new IllegalStateException(
+      s"vacuum of $root aborted: the head advanced on every re-listing " +
+        "(pathological writer churn) — nothing was deleted; re-run later")
     // a stale catalog view may still glob directories this sweep is
     // about to delete (e.g. a compact ran without knowing the view, or
     // the marker was written by a later writer): re-publish it onto the

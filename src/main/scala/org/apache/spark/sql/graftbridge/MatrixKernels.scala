@@ -264,11 +264,18 @@ trait KernelArrayEquality { self: Expression with Product =>
     case _ => false
   }
 
-  override def hashCode(): Int = {
+  // Cached: expression hashCode is HOT in Catalyst (ExpressionSet,
+  // attribute maps, canonicalization, the CSE pass this equality
+  // enables), and deepHashCode walks the whole embedded codebook —
+  // megabytes for real PQ/IVF matrices — so recomputing per call
+  // would tax every plan transform of the IVF-PQ queries.
+  @transient private lazy val cachedKernelHash: Int = {
     val parts: Array[AnyRef] =
       (getClass.getName +: eqFields.map(_.asInstanceOf[AnyRef])).toArray
     java.util.Arrays.deepHashCode(parts)
   }
+
+  override def hashCode(): Int = cachedKernelHash
 }
 
 /** PQ encode: the m nearest-centroid codes of a float vector — the

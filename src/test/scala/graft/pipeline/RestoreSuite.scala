@@ -109,6 +109,28 @@ class RestoreSuite extends SparkSpec {
     assert(dsv2.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("restoring a pre-marker manifest preserves layout ABSENCE (no coerced flat marker)") {
+    val root = tmp("restore_premarker")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // simulate a legacy v1 pointer: strip its marker lines entirely
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1p = new org.apache.hadoop.fs.Path(root, "_manifest/v0000000001")
+    val legacy = VersionedTable.readSmall(fs, v1p).get.split("\n")
+      .filterNot(_.startsWith("#")).mkString("\n")
+    val out = fs.create(v1p, true)
+    try out.write((legacy + "\n").getBytes("UTF-8")) finally out.close()
+    val v3 = VersionedTable.restore(spark, root, 1L)
+    val restored = VersionedTable.readSmall(fs,
+      new org.apache.hadoop.fs.Path(root, f"_manifest/v$v3%010d")).get
+    assert(!restored.contains("#layout="),
+      s"restore of a pre-marker manifest must not mint an explicit-flat marker:\n$restored")
+    assert(ids(root) == Seq(1L))
+  }
+
   test("GRAFT_RESTORE by TAG resolves the tagged commit; unknown tag refuses") {
     val root = tmp("restore_tag")
     VersionedTable.commitDelta(spark, root, "parquet",
