@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-means clustering over embedding columns — the data-mixing /
+  * domain-balancing primitive a training-data pipeline runs after
+  * dedup: cluster the corpus, profile per-cluster mass, and draw a
+  * cluster-balanced sample so no single mode dominates the mixture.
+  * (The reference has no clustering surface — this extends the
+  * LLM-pipeline family like Dedup/Similarity/Curation do.)
+  *
+  * Training is Lloyd's, shared with the IVF coarse quantizer
+  * ([[Similarity.ivfCentroids]]): deterministic lowest-id init, one
+  * distributed pass per round, only k × dim floats ever on the
+  * driver. Assignment rides the native NearestCentroid kernel — a
+  * codegen'd pure projection whose plan size is independent of
+  * k × dim — so a 100 TB corpus assigns in a single scan with zero
+  * shuffles. The balanced sample is a pure FILTER (multiplicative
+  * hash of the id vs a per-cluster integer rate), not a per-cluster
+  * window sort: no k-partition skew, preserves input partitioning,
+  * reproducible across engines (same hash family as
+  * [[Curation.stratifiedSample]]).
+  */
+object Clustering {
+
+  /** Lloyd-trained centroids (see [[Similarity.ivfCentroids]] for the
+    * per-round cost shape). Returned as (clusterId, centroid) with ids
+    * 0 until k.
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int = 2,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
+    Similarity.ivfCentroids(corpus, k, iters, idCol, vecCol)
+
+  /** Zero-iteration quantizer: the corpus rows with the k smallest ids
+    * become the fixed centroids (cluster id = ordinal in id order).
+    * Deterministic AND SQL-portable — Lloyd means are not (their float
+    * accumulation order is engine-specific), which is why the
+    * oracle-hashed q99/q100 assign against THIS quantizer while q44's
+    * ANN path uses the trained one.
+    */
+  def fixedCentroids(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).toArray }.toSeq
+
+  /** Nearest-centroid cluster id as a pure projection (native kernel;
+    * cosine metric, ties to the larger cluster id, null/zero vectors
+    * rank below all reals — [[graft.functions.VectorFunctions.nearestCentroid]]).
+    */
+  def assign(vec: Column, cents: Seq[(Int, Array[Float])]): Column =
+    graft.functions.VectorFunctions.nearestCentroid(vec,
+      cents.map(_._1).toArray, cents.map(_._2).toArray)
+
+  /** Per-cluster mass profile: (cluster, n_vectors, min/max id). One
+    * corpus scan — the assignment fuses with the scan under
+    * whole-stage codegen — then a k-row shuffle with map-side partial
+    * aggregation. The k-row result is the input a mixture designer
+    * (or [[balancedSample]]) consumes.
+    */
+  def clusterStats(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(idCol), assign(col(vecCol), cents).as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col(idCol)).as("min_vec_id"),
+        max(col(idCol)).as("max_vec_id"))
+
+  /** Cluster-balanced downsample: each cluster keeps ~`perCluster`
+    * rows, selected by the deterministic 0–99 hash bucket of the id
+    * ([[Curation.stratifiedSample]]'s multiplicative hash — integer
+    * math only, no rand(), no per-cluster sort). A cluster of
+    * n ≤ perCluster keeps everything (rate 100); a larger cluster
+    * keeps the ceil(100·perCluster/n) percent of ids whose bucket
+    * clears the threshold — approximate by design (hash thinning),
+    * which is the 100 TB-shaped trade: the alternative exact top-N
+    * per cluster is a k-partition window sort with unbounded skew.
+    *
+    * Two scans total: the k-row size profile (collected — k is the
+    * cluster count, a bounded probe set), then the pure filter scan.
+    * Output: (id, cluster, bucket) — bucket kept as the audit column,
+    * same contract as stratifiedSample.
+    */
+  def balancedSample(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
+                     perCluster: Long, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val sizes = clusterStats(corpus, cents, idCol, vecCol)
+      .select(col("cluster"), col("n_vectors")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // integer ceil(100*cap/n), capped at 100 — portable to any engine
+    val rateOf: Map[Int, Long] =
+      sizes.map { case (c, n) => c -> math.min(100L, (100L * perCluster + n - 1) / n) }
+    val rate = rateOf.foldLeft(lit(0L)) { case (acc, (c, r)) =>
+      when(col("cluster") === c, lit(r)).otherwise(acc)
+    }
+    // same folded multiplicative hash as stratifiedSample: id below
+    // 2^20 before the multiply keeps a*id < 2^52 (no overflow, ANSI-safe)
+    val bucket = ((pmod(col(idCol), lit(1000003L)) * lit(2654435761L))
+      .mod(lit(4294967296L)) / lit(42949673L)).cast("long")
+    corpus
+      .select(col(idCol), assign(col(vecCol), cents).as("cluster"))
+      .withColumn("bucket", bucket)
+      .where(col("bucket") < rate)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, IncrementalDedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Clustering, Curation, Dedup, IncrementalDedup, Similarity, TextAnalysis => TA}
 
 /** Text analysis, deduplication and similarity-search queries
   * (SURVEY.md §2, q24–q35) over the `documents` and `embeddings`
@@ -157,6 +157,30 @@ object TextQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.annLsh(emb, emb.where(col("vec_id") < 10), dim = 64, k = 10, planes = 8)
         .orderBy("probe_id", "rank")
+    }),
+
+    // q99: k-means cluster-mass profile — every vector assigned to its
+    // nearest centroid (native NearestCentroid kernel, one scan, zero
+    // shuffles before the k-row agg). Centroids are the zero-iteration
+    // fixed quantizer (k lowest-id vectors) so the WHOLE assignment is
+    // SQL-portable and oracle-hashed; the Lloyd-trained variant of the
+    // same kernel is exercised (rows-only) by q44's quantizer.
+    "q99_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.clusterStats(emb, Clustering.fixedCentroids(emb, k = 8))
+        .orderBy("cluster")
+    }),
+
+    // q100: cluster-balanced downsample — each cluster thinned to
+    // ~32 rows by the deterministic multiplicative-hash bucket (pure
+    // filter; no per-cluster window sort, so no k-partition skew at
+    // scale). Assignment + rate math + hash are all integer/portable,
+    // so the full pipeline is oracle-hashed.
+    "q100_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.balancedSample(emb, Clustering.fixedCentroids(emb, k = 8),
+          perCluster = 32)
+        .orderBy("vec_id")
     }),
 
     // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
@@ -702,7 +726,46 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared assignment CTEs for the q99/q100 oracles: fixed centroids
+    * = the 8 lowest-vec_id rows (cid = ordinal in id order, mirroring
+    * Clustering.fixedCentroids), cosine in double accumulation (the
+    * q85 formulation), argmax via row_number ordered (sim DESC NULLS
+    * LAST, cid DESC) — null sims lose to any real and ties go to the
+    * larger cluster id, the NearestCentroid kernel's exact contract.
+    */
+  private val kmeansAssignCtes =
+    """c AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |scored AS (
+      |  SELECT v.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(v.embedding) + 1), i -> v.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
+      |    / nullif(sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))
+      |           * sqrt(list_sum(list_transform(range(1, len(c.ce) + 1), i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE))), 0) AS sim
+      |  FROM embeddings v CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid DESC) AS rk
+      |  FROM scored)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q99_kmeans" ->
+      s"""WITH $kmeansAssignCtes
+         |SELECT cluster, count(*) AS n_vectors,
+         |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |FROM assigned WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q100_cluster_sample" ->
+      s"""WITH $kmeansAssignCtes,
+         |a AS (SELECT vec_id, cluster FROM assigned WHERE rk = 1),
+         |sizes AS (SELECT cluster, count(*) AS n FROM a GROUP BY 1),
+         |rated AS (SELECT a.vec_id, a.cluster,
+         |    least(100, (100 * 32 + s.n - 1) // s.n) AS rate,
+         |    ((a.vec_id % 1000003) * 2654435761) % 4294967296 // 42949673 AS bucket
+         |  FROM a JOIN sizes s USING (cluster))
+         |SELECT vec_id, cluster, bucket FROM rated
+         |WHERE bucket < rate ORDER BY vec_id""".stripMargin,
+
     "q96_simhash_exact" -> simhashExactSql,
 
     "q97_incremental_neardup_exact" ->
