@@ -230,4 +230,25 @@ class PlanAuditSuite extends SparkSpec {
     assert(assigned.collect().length == 4)
     assert(bucketed.collect().length == 4)
   }
+
+  test("q99: assignment fuses with the scan — kernel projection, one agg, no join") {
+    val p = plan("q99_kmeans")
+    assert(p.toLowerCase.contains("nearest_centroid"), p)
+    assert(count(p, "HashAggregate") >= 1, p)
+    assert(!p.contains("Join"), p)
+    // pure projection + k-row agg: exactly one shuffle (the agg's)
+    assert(count(p, "Exchange") <= 2, p) // agg + final orderBy range
+  }
+
+  test("q100: the balanced sample is a pure filter — no window, no per-cluster sort") {
+    val p = plan("q100_cluster_sample")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the per-cluster rate rides a when-chain, the bucket a hash
+    // projection: the sample itself must not shuffle (the only
+    // Exchange allowed is the final orderBy's range partition)
+    assert(count(p, "Exchange") <= 1, p)
+    val sorts = p.linesIterator.count(_.trim.matches("""\(\d+\) Sort(\s.*)?"""))
+    assert(sorts <= 1, s"only the final presentation sort is allowed:\n$p")
+  }
 }
