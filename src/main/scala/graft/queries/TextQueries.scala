@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, Curation, Dedup, IncrementalDedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Clustering, Curation, Dedup, IncrementalDedup, Packing, Similarity, TextAnalysis => TA}
 
 /** Text analysis, deduplication and similarity-search queries
   * (SURVEY.md §2, q24–q35) over the `documents` and `embeddings`
@@ -182,6 +182,14 @@ object TextQueries {
           perCluster = 32)
         .orderBy("vec_id")
     }),
+
+    // q101: sequence packing — concatenate-then-chop bin assignment via
+    // a DISTRIBUTED PREFIX SUM (range partition → per-partition totals
+    // → broadcast offsets → streaming local cumsum), never a
+    // single-partition global window. Fully integer → oracle-hashed.
+    "q101_seq_pack" -> ((s, dir) =>
+      Packing.sequencePack(t(s, dir, "documents"), seqLen = 512)
+        .orderBy("doc_id")),
 
     // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
     // multi-probe covers all 2^2 buckets, so the hyperplane bucketing,
@@ -749,6 +757,15 @@ object TextQueries {
       |  FROM scored)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q101_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+         |  FROM t)
+         |SELECT doc_id, n_tokens, CAST(strt // 512 AS BIGINT) AS bin,
+         |  CAST(strt % 512 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "q99_kmeans" ->
       s"""WITH $kmeansAssignCtes
          |SELECT cluster, count(*) AS n_vectors,
