@@ -83,6 +83,50 @@ object Clustering {
     * Output: (id, cluster, bucket) — bucket kept as the audit column,
     * same contract as stratifiedSample.
     */
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then remove
+    * near-duplicates WITHIN each cluster — the cluster bounds the
+    * quadratic, so the corpus-wide near-dup pass costs
+    * O(sum cluster² ) instead of O(n²), and the per-cluster cap
+    * (`maxCluster`, enforced inside the native bounded_collect_list
+    * aggregate) hard-bounds the worst bucket exactly like the LSH
+    * family ([[Dedup.bucketPairs]]).
+    *
+    * Keep rule: a vector is DROPPED iff some LOWER-id vector in the
+    * same cluster has cosine ≥ `threshold` to it (cosine rounded to 4
+    * digits in double accumulation — the q85-proven portable
+    * formulation). Deterministic, order-free, and engine-portable:
+    * no float ordering beyond the threshold test itself. (The paper
+    * orders by distance-to-centroid; min-id is the same greedy with a
+    * portable total order.)
+    *
+    * Shape at 100 TB: one fused kernel scan for assignment (plan size
+    * independent of k × dim), one shuffle on cluster id for pair
+    * generation carrying 8-byte ids only, vectors joined back by id
+    * for the verify, and a left-anti join for the survivors. The
+    * assignment is persisted across its two consumers
+    * (pair generation + survivor anti-join) and released after the
+    * result materializes — the repo-wide operator cache contract.
+    *
+    * Output: (idCol, cluster) — the surviving rows.
+    */
+  def semDedup(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
+               threshold: Double, maxCluster: Int = 4000,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus
+      .select(col(idCol).as("id"), assign(col(vecCol), cents).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dropped = Dedup.bucketPairs(assigned, Seq("cluster"), "id", maxCluster)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .where(round(Similarity.cosine(col("vec_a"), col("vec_b")), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    val survivors = assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+    Dedup.materializeAndRelease(survivors, assigned)
+  }
+
   def balancedSample(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
                      perCluster: Long, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {

@@ -305,6 +305,53 @@ object Curation {
     docs.withColumn("bucket", bucket).where(col("bucket") < rate)
   }
 
+  /** Domain-mixture resampling: thin each domain so the kept corpus
+    * matches a target mixture (the data-mixing step a pretraining
+    * pipeline runs after curation — DoReMi-style weights executed as a
+    * deterministic filter). `targets` are integer percents per domain
+    * value (e.g. en→40, de→15, …); domains absent from `targets` are
+    * dropped entirely.
+    *
+    * The plan: from the per-domain counts n_d (one k-row aggregate —
+    * k = #domains, a bounded probe set), the largest total S
+    * achievable with the exact target proportions WITHOUT upsampling
+    * is min_d floor(n_d·100/w_d); each domain's keep rate is then
+    * ceil(100·target_d/n_d) with target_d = floor(w_d·S/100). All
+    * integer math, so the whole plan is engine-portable; the actual
+    * thinning is [[stratifiedSample]]'s multiplicative id hash — a
+    * pure filter that preserves input partitioning, no per-domain
+    * sort or window. Counts land within ±1 bucket-percent of the
+    * target (hash thinning is approximate by design — the
+    * 100 TB-shaped trade, same as [[graft.operators.Clustering.balancedSample]]).
+    *
+    * Output: (idCol, domainCol, bucket) for the kept rows.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      targets: Seq[(String, Long)],
+      idCol: String = "doc_id",
+      domainCol: String = "lang"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty positive integer weights")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (d, _) => counts.getOrElse(d, 0L) > 0L }
+    require(present.nonEmpty, s"no target domain present in column $domainCol")
+    // largest total with exact proportions and no upsampling
+    val s = present.map { case (d, w) => counts(d) * 100L / w }.min
+    val rateOf = present.map { case (d, w) =>
+      val target = w * s / 100L
+      d -> math.min(100L, (100L * target + counts(d) - 1L) / counts(d))
+    }
+    val rate = rateOf.foldLeft(lit(0L)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(r)).otherwise(acc)
+    }
+    val bucket = ((pmod(col(idCol), lit(1000003L)) * lit(2654435761L))
+      .mod(lit(4294967296L)) / lit(42949673L)).cast("long")
+    docs.select(col(idCol), col(domainCol), bucket.as("bucket"))
+      .where(col("bucket") < rate)
+  }
+
   /** Full corpus curation including NEAR-duplicate removal: the exact
     * [[curate]] pass first (quality gate + language filter + exact-dup
     * keeper), then MinHash/LSH near-dup pairs are resolved to

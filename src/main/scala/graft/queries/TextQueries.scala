@@ -191,6 +191,28 @@ object TextQueries {
       Packing.sequencePack(t(s, dir, "documents"), seqLen = 512)
         .orderBy("doc_id")),
 
+    // q102: SemDeDup — k-means clusters bound the near-dup quadratic,
+    // then within-cluster cosine pairs drop every vector with a
+    // lower-id neighbor ≥ threshold. Fixed (zero-iteration) centroids +
+    // the q85 double-cosine formulation keep the WHOLE pipeline
+    // SQL-portable → oracle-hashed end-to-end, production machinery
+    // (kernel assignment, bounded_collect pair generation, anti-join).
+    "q102_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.semDedup(emb, Clustering.fixedCentroids(emb, k = 8),
+          threshold = 0.30)
+        .orderBy("vec_id")
+    }),
+
+    // q103: domain-mixture resampling — per-lang counts → the largest
+    // total achievable at the target mixture without upsampling →
+    // per-domain integer keep rates executed as the multiplicative-hash
+    // filter. All integer math → oracle-hashed.
+    "q103_domain_mix" -> ((s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"),
+          Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L, "es" -> 15L, "zh" -> 15L))
+        .orderBy("doc_id")),
+
     // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
     // multi-probe covers all 2^2 buckets, so the hyperplane bucketing,
     // probe expansion (single + pair bit flips) and bucket join must
@@ -782,6 +804,40 @@ object TextQueries {
          |  FROM a JOIN sizes s USING (cluster))
          |SELECT vec_id, cluster, bucket FROM rated
          |WHERE bucket < rate ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup: reuse the fixed-centroid assignment CTEs, then the q85
+    // double-cosine pair formulation restricted to same-cluster pairs;
+    // a vector survives iff no lower-id same-cluster neighbor clears
+    // the threshold.
+    "q102_semdedup" ->
+      s"""WITH $kmeansAssignCtes,
+         |a AS (SELECT vec_id, cluster FROM assigned WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id AS id_b
+         |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN embeddings va ON va.vec_id = x.vec_id
+         |  JOIN embeddings vb ON vb.vec_id = y.vec_id
+         |  WHERE round(
+         |      list_sum(list_transform(range(1, len(va.embedding) + 1), i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE))
+         |      / nullif(sqrt(list_sum(list_transform(range(1, len(va.embedding) + 1), i -> va.embedding[i]::DOUBLE * va.embedding[i]::DOUBLE)))
+         |             * sqrt(list_sum(list_transform(range(1, len(vb.embedding) + 1), i -> vb.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE))), 0), 4) >= 0.30)
+         |SELECT a.vec_id, a.cluster FROM a
+         |WHERE a.vec_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
+
+    // Domain mixture: same integer plan as Curation.mixtureSample —
+    // S = min_d floor(n_d*100/w_d), rate_d = ceil(100*floor(w_d*S/100)/n_d).
+    "q103_domain_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w(lang, w) AS (VALUES ('en', 40), ('de', 15), ('fr', 15), ('es', 15), ('zh', 15)),
+        |j AS (SELECT n.lang, n.n, w.w FROM n JOIN w USING (lang) WHERE n.n > 0),
+        |s AS (SELECT min(n * 100 // w) AS s FROM j),
+        |r AS (SELECT lang, least(100, (100 * (w * (SELECT s FROM s) // 100) + n - 1) // n) AS rate FROM j),
+        |b AS (SELECT doc_id, lang,
+        |        ((doc_id % 1000003) * 2654435761) % 4294967296 // 42949673 AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket FROM b JOIN r USING (lang)
+        |WHERE b.bucket < r.rate ORDER BY doc_id""".stripMargin,
 
     "q96_simhash_exact" -> simhashExactSql,
 

@@ -104,4 +104,39 @@ class ClusteringSuite extends SparkSpec {
       .orderBy("vec_id").collect()
     assert(rows.map(_.toString).sameElements(rows2.map(_.toString)))
   }
+
+  test("semDedup: survivors = exactly the vectors with no lower-id same-cluster neighbor over threshold") {
+    val cents = Clustering.fixedCentroids(emb, k = 8)
+    val thr = 0.30
+    val survivors = Clustering.semDedup(emb, cents, threshold = thr)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // brute force from first principles
+    val assigned = emb.select(col("vec_id"),
+        Clustering.assign(col("embedding"), cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NaN
+      else BigDecimal(d / den).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = assigned.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    val expectDropped = byCluster.values.flatMap { ids =>
+      ids.filter(y => ids.exists(x => x < y && cos4(vecs(x), vecs(y)) >= thr))
+    }.toSet
+    vecs.keys.foreach { id =>
+      if (expectDropped(id)) assert(!survivors.contains(id), s"vec $id must be dropped")
+      else assert(survivors.get(id).contains(assigned(id)), s"vec $id must survive with its cluster")
+    }
+    // a threshold above cosine's range keeps the whole corpus
+    assert(Clustering.semDedup(emb, cents, threshold = 1.01).count() == emb.count())
+  }
 }

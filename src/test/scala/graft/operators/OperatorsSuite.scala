@@ -594,6 +594,27 @@ class TextSuite extends SparkSpec {
     assert(a.forall(_.getAs[Long]("bucket") < 50))
   }
 
+  test("mixtureSample: kept corpus lands on the target mixture; untargeted domains drop") {
+    val docs = (0L until 3000L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "la"
+      (i, s"text $i", lang)
+    }.toDF("doc_id", "text", "lang")
+    // 1000 en / 1000 zh available; 80/20 target → S = min(1250, 5000) = 1250,
+    // targets en=1000 (rate 100) zh=250 (rate 25); 'la' untargeted → dropped
+    val out = Curation.mixtureSample(docs, Seq("en" -> 80L, "zh" -> 20L)).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("en") == 1000)                       // rate 100 keeps all
+    assert(byLang("zh") > 150 && byLang("zh") < 350)   // ~25% of 1000, hash-approximate
+    assert(!byLang.contains("la"))
+    // deterministic across runs
+    val again = Curation.mixtureSample(docs, Seq("en" -> 80L, "zh" -> 20L)).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+    // a domain in targets but absent from the corpus cannot zero the plan
+    val noLa = Curation.mixtureSample(docs.where(col("lang") =!= "la"),
+      Seq("en" -> 80L, "zh" -> 20L, "xx" -> 1L)).collect()
+    assert(noLa.map(_.toString).sameElements(out.map(_.toString)))
+  }
+
   test("tokenBudget: cuts each group at the running-sum boundary") {
     val docs = Seq(
       (1L, "a b c d e", "en"), (2L, "a b c d e", "en"), (3L, "a b c d e", "en"),
