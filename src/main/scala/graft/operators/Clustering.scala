@@ -113,9 +113,24 @@ object Clustering {
   def semDedup(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
                threshold: Double, maxCluster: Int = 4000,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = corpus
+    val (survivors, assigned) =
+      semDedupPlan(corpus, cents, threshold, maxCluster, idCol, vecCol, persist = true)
+    Dedup.materializeAndRelease(survivors, assigned)
+  }
+
+  /** The un-materialized survivors plan — the seam PlanAuditSuite
+    * audits (the public operator localCheckpoints, which hides the
+    * plan behind a LogicalRDD). Returns (survivors, assigned); the
+    * caller owns releasing `assigned` when `persist` is set.
+    */
+  private[graft] def semDedupPlan(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
+      threshold: Double, maxCluster: Int, idCol: String, vecCol: String,
+      persist: Boolean): (DataFrame, DataFrame) = {
+    val assigned0 = corpus
       .select(col(idCol).as("id"), assign(col(vecCol), cents).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = if (persist)
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else assigned0
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dropped = Dedup.bucketPairs(assigned, Seq("cluster"), "id", maxCluster)
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
@@ -124,7 +139,7 @@ object Clustering {
       .select(col("id_b").as("id")).distinct()
     val survivors = assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cluster"))
-    Dedup.materializeAndRelease(survivors, assigned)
+    (survivors, assigned)
   }
 
   def balancedSample(corpus: DataFrame, cents: Seq[(Int, Array[Float])],

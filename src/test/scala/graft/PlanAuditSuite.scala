@@ -251,4 +251,29 @@ class PlanAuditSuite extends SparkSpec {
     val sorts = p.linesIterator.count(_.trim.matches("""\(\d+\) Sort(\s.*)?"""))
     assert(sorts <= 1, s"only the final presentation sort is allowed:\n$p")
   }
+
+  test("q102: semDedup pairs shuffle on cluster carrying ids only; no cartesian anywhere") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.operators.Clustering.fixedCentroids(emb, 8)
+    val (surv, _) = graft.operators.Clustering.semDedupPlan(
+      emb, cents, 0.30, 4000, "vec_id", "embedding", persist = false)
+    val p = surv.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("nearest_centroid"), p)      // kernel assignment, fused
+    assert(p.toLowerCase.contains("bounded_collect"), p)        // capped pair generation
+    assert(p.contains("hashpartitioning(cluster"), p)           // the quadratic is cluster-bounded
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), p)
+    // the vectors join back by 8-byte id for the verify — never by vector
+    assert(!p.contains("hashpartitioning(vec, ") && !p.contains("hashpartitioning(embedding"), p)
+  }
+
+  test("q103: the mixture sample is a pure filter — no join, no window, text never read") {
+    val p = plan("q103_domain_mix")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(count(p, "Exchange") <= 1, p) // only the presentation orderBy
+    // projection needs doc_id+lang: the documents scan must not read text
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("text"), read)
+  }
 }
