@@ -51,6 +51,54 @@ object TextAnalysis {
       "space_ratio" -> ratio(countMatches(text, "\\s")))
   }
 
+  /** Gopher-style repetition/quality document gate (Rae et al. 2021,
+    * arXiv:2112.11446 appendix A — the public rule set, adapted to the
+    * word-level rules that are engine-portable): word count bounds,
+    * mean word length bounds, alphabetic-word ratio floor, symbol
+    * (#/ellipsis)-to-word ratio ceiling, and a distinct-stopword
+    * floor. Every ratio is double-accumulated and rounded to 4 digits
+    * BEFORE the threshold compare (the q25-proven portable form), and
+    * the stopword floor counts membership of each fixed list word —
+    * integer math. Pure projection: fuses with the scan, one pass.
+    *
+    * Returns feature columns + one 0/1 flag per rule + the combined
+    * `pass` flag.
+    */
+  def gopherRules(text: Column, minWords: Long = 30, maxWords: Long = 100000)
+      : Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val nD = nullif(size(toks).cast("double"), lit(0.0))
+    val meanLen = round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nD, 4)
+    val alphaRatio = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nD, 4)
+    val symRatio = round(
+      (countMatches(text, "#") + countMatches(text, "\\.\\.\\."))
+        .cast("double") / nD, 4)
+    val toksLower = transform(toks, t => lower(t))
+    val stopHits = stopwords("en")
+      .map(w => array_contains(toksLower, w).cast("int"))
+      .reduce(_ + _).cast("long")
+    val rWords = (nWords >= minWords && nWords <= maxWords).cast("int")
+    val rMean = (meanLen >= 3.0 && meanLen <= 10.0).cast("int")
+    val rAlpha = (alphaRatio >= 0.8).cast("int")
+    val rSym = (symRatio <= 0.1).cast("int")
+    val rStop = (stopHits >= 1L).cast("int")
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "alpha_ratio" -> alphaRatio,
+      "sym_ratio" -> symRatio,
+      "stop_hits" -> stopHits,
+      "r_words" -> rWords,
+      "r_mean" -> rMean,
+      "r_alpha" -> rAlpha,
+      "r_sym" -> rSym,
+      "r_stop" -> rStop,
+      "pass" -> (rWords * rMean * rAlpha * rSym * rStop))
+  }
+
   /** Tiny per-language stopword lists for the heuristic language ID.
     * Deliberately small, public-knowledge words; the mechanism (not the
     * list) is the operator.

@@ -50,6 +50,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q104: Gopher-rules composite quality gate — word-count bounds,
+    // mean-word-length bounds, alpha-word floor, symbol ceiling,
+    // distinct-stopword floor; features + per-rule flags + pass, all
+    // in one scan-fused projection. Oracle recomputes every rule from
+    // first principles.
+    "q104_gopher" -> ((s, dir) => {
+      val feats = TA.gopherRules(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     // q26: heuristic language ID — per-language stopword hits + argmax.
     "q26_langid" -> ((s, dir) => {
       val hits = TA.stopwords.toSeq.sortBy(_._1).map { case (lg, ws) =>
@@ -875,6 +887,37 @@ object TextQueries {
          |  round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE
          |        / nullif(length(text)::DOUBLE, 0), 4) AS space_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q104_gopher" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  len($toksSql) AS n_words,
+         |  round(list_sum(list_transform($toksSql, x -> length(x)))::DOUBLE
+         |        / nullif(len($toksSql)::DOUBLE, 0), 4) AS mean_word_len,
+         |  round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |        / nullif(len($toksSql)::DOUBLE, 0), 4) AS alpha_ratio,
+         |  round(((length(text) - length(regexp_replace(text, '#', '', 'g')))
+         |       + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))))::DOUBLE
+         |        / nullif(len($toksSql)::DOUBLE, 0), 4) AS sym_ratio,
+         |  (list_contains(list_transform($toksSql, x -> lower(x)), 'the')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'and')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'of')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'to')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'is')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'in')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'that')::INT
+         | + list_contains(list_transform($toksSql, x -> lower(x)), 'with')::INT)::BIGINT AS stop_hits
+         |FROM documents),
+         |r AS (SELECT doc_id, n_words, mean_word_len, alpha_ratio, sym_ratio, stop_hits,
+         |  (n_words >= 30 AND n_words <= 100000)::INT AS r_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INT AS r_mean,
+         |  (alpha_ratio >= 0.8)::INT AS r_alpha,
+         |  (sym_ratio <= 0.1)::INT AS r_sym,
+         |  (stop_hits >= 1)::INT AS r_stop
+         |FROM f)
+         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, sym_ratio, stop_hits,
+         |  r_words, r_mean, r_alpha, r_sym, r_stop,
+         |  r_words * r_mean * r_alpha * r_sym * r_stop AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q26_langid" ->
       s"""WITH h AS (SELECT doc_id,

@@ -594,6 +594,29 @@ class TextSuite extends SparkSpec {
     assert(a.forall(_.getAs[Long]("bucket") < 50))
   }
 
+  test("gopherRules: each rule fires on its crafted violation; clean text passes") {
+    val good = ("the quick brown fox jumps over " * 10).trim       // 60 words, has stopwords
+    val rows = Seq(
+      (1L, good),                                                   // passes everything
+      (2L, "too short text"),                                       // r_words
+      (3L, ("ab " * 60).trim),                                      // r_mean (mean 2.0)
+      (4L, (("12345 " * 48) + "the word here is fine").trim),       // r_alpha (48/53 numeric)
+      (5L, (("#"*9 + " ") * 30 + good).trim),                       // r_sym (270 symbols / 90 words)
+      (6L, ("lorem ipsum dolor sit amet " * 12).trim))              // r_stop (no list word)
+    val df = rows.toDF("doc_id", "text")
+    val feats = graft.operators.TextAnalysis.gopherRules(col("text"))
+    val out = df.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Int =
+      out(id).getInt(out(id).fieldIndex(name))
+    assert(rule(1L, "pass") == 1, out(1L).toString)
+    assert(rule(2L, "r_words") == 0 && rule(2L, "pass") == 0)
+    assert(rule(3L, "r_mean") == 0 && rule(3L, "pass") == 0)
+    assert(rule(4L, "r_alpha") == 0 && rule(4L, "pass") == 0)
+    assert(rule(5L, "r_sym") == 0 && rule(5L, "pass") == 0)
+    assert(rule(6L, "r_stop") == 0 && rule(6L, "pass") == 0)
+  }
+
   test("mixtureSample: kept corpus lands on the target mixture; untargeted domains drop") {
     val docs = (0L until 3000L).map { i =>
       val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "la"
