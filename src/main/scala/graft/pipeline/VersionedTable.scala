@@ -78,10 +78,50 @@ object VersionedTable {
     if (isFileRef(entry)) entry.substring(0, entry.indexOf('/')) else entry
 
   private val ManifestDir = "_manifest"
+  private val BranchesDir = "branches"
   private val ManifestName = """v(\d{10})""".r
 
+  /** A root string may carry a `#branch=<name>` suffix selecting a
+    * named BRANCH of the table: the same data-dir namespace (all data
+    * stays under the one true root — zero-copy by construction, and
+    * the entry grammar stays root-relative/rename-proof), but a
+    * separate pointer sequence under `_manifest/branches/<name>/`.
+    * Every entry point that takes a root accepts the suffix: reads,
+    * time travel, incremental reads, every commit flavor, restore and
+    * history all operate per-branch; the format marker and catalog
+    * face stay on main (one storage format per table; views track the
+    * published main). Returns (true root, branch).
+    */
+  private[graft] def splitBranch(root: String): (String, Option[String]) = {
+    val i = root.lastIndexOf("#branch=")
+    if (i < 0) (root, None)
+    else {
+      val name = root.substring(i + "#branch=".length)
+      require(name.nonEmpty && name.forall(c =>
+          c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"illegal branch name '$name' — use letters, digits, '.', '_', '-'")
+      (root.substring(0, i), Some(name))
+    }
+  }
+
+  private[graft] def branchOf(root: String): Option[String] = splitBranch(root)._2
+
+  /** The root string addressing branch `name` of the table at `root`. */
+  def branchRoot(root: String, name: String): String = {
+    require(branchOf(root).isEmpty, s"cannot branch from a branch: $root")
+    s"$root#branch=$name"
+  }
+
+  /** The manifest directory the root string addresses: main's, or the
+    * named branch's pointer dir.
+    */
+  private def mdirOf(rootP: Path, root: String): Path = branchOf(root) match {
+    case Some(b) => new Path(new Path(new Path(rootP, ManifestDir), BranchesDir), b)
+    case None => new Path(rootP, ManifestDir)
+  }
+
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
-    val p = new Path(root)
+    val p = new Path(splitBranch(root)._1)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (fs, fs.makeQualified(p))
   }
@@ -134,7 +174,7 @@ object VersionedTable {
   private[pipeline] def commitKindOf(spark: SparkSession, root: String,
                                      version: Long): Option[String] = {
     val (fs, rootP) = fsFor(spark, root)
-    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
+    val p = new Path(mdirOf(rootP, root), f"v$version%010d")
     if (!fs.exists(p)) None else readSmall(fs, p).flatMap(parseKind)
   }
 
@@ -147,7 +187,7 @@ object VersionedTable {
     */
   def taggedVersion(spark: SparkSession, root: String, tag: String): Option[Long] = {
     val (fs, rootP) = fsFor(spark, root)
-    listManifests(fs, rootP).sortBy(-_._1).iterator.flatMap { case (v, p, _) =>
+    listManifests(fs, mdirOf(rootP, root)).sortBy(-_._1).iterator.flatMap { case (v, p, _) =>
       readSmall(fs, p).flatMap(c =>
         c.split("\n").map(_.trim).find(_ == s"#tag=$tag").map(_ => v))
     }.nextOption()
@@ -158,8 +198,7 @@ object VersionedTable {
     * naming scheme — every reader (snapshot, history, vacuum) walks
     * through here.
     */
-  private def listManifests(fs: FileSystem, rootP: Path): Seq[(Long, Path, Long)] = {
-    val mdir = new Path(rootP, ManifestDir)
+  private def listManifests(fs: FileSystem, mdir: Path): Seq[(Long, Path, Long)] = {
     if (!fs.exists(mdir)) Nil
     else fs.listStatus(mdir).toSeq.flatMap(st => st.getPath.getName match {
       case ManifestName(n) => Some((n.toLong, st.getPath, st.getModificationTime))
@@ -171,8 +210,8 @@ object VersionedTable {
     * in-flight-publish retry (a pointer that reads back empty is an
     * HDFS create whose content isn't visible yet: re-read once).
     */
-  private def dirsOf(fs: FileSystem, rootP: Path, version: Long): Option[Seq[String]] = {
-    val p = new Path(new Path(rootP, ManifestDir), f"v$version%010d")
+  private def dirsOf(fs: FileSystem, mdir: Path, version: Long): Option[Seq[String]] = {
+    val p = new Path(mdir, f"v$version%010d")
     // the retry is for a pointer that EXISTS but reads empty (in-flight
     // HDFS publish) — a missing pointer is just missing; don't tax every
     // no-such-version error path with a sleep and a second read
@@ -188,8 +227,8 @@ object VersionedTable {
     */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    listManifests(fs, rootP).sortBy(-_._1).iterator
-      .flatMap { case (v, _, _) => dirsOf(fs, rootP, v).map(Snapshot(v, _)) }
+    listManifests(fs, mdirOf(rootP, root)).sortBy(-_._1).iterator
+      .flatMap { case (v, _, _) => dirsOf(fs, mdirOf(rootP, root), v).map(Snapshot(v, _)) }
       .nextOption()
   }
 
@@ -312,7 +351,7 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, version: Long,
                   format: String = "parquet"): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
-    val dirs = dirsOf(fs, rootP, version)
+    val dirs = dirsOf(fs, mdirOf(rootP, root), version)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $version"))
     load(spark, rootP, format, dirs)
@@ -336,7 +375,7 @@ object VersionedTable {
     val (fs, rootP) = fsFor(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version"))
-    val oldDirs = dirsOf(fs, rootP, sinceVersion)
+    val oldDirs = dirsOf(fs, mdirOf(rootP, root), sinceVersion)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $sinceVersion " +
           "(never committed, or already vacuumed — incremental readers must " +
@@ -365,7 +404,7 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long,
                      format: String = "parquet"): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
-    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
+    def dirs(v: Long): Seq[String] = dirsOf(fs, mdirOf(rootP, root), v)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $v " +
           "(never committed, or already vacuumed)"))
@@ -403,11 +442,11 @@ object VersionedTable {
   private[graft] def appendedDirsBetween(spark: SparkSession, root: String,
                                             from: Long, to: Long): Option[Seq[String]] = {
     val (fs, rootP) = fsFor(spark, root)
-    def dirs(v: Long): Seq[String] = dirsOf(fs, rootP, v)
+    def dirs(v: Long): Seq[String] = dirsOf(fs, mdirOf(rootP, root), v)
       .getOrElse(throw new IllegalArgumentException(
         s"versioned table at $root has no committed version $v " +
           "(never committed, or already vacuumed)"))
-    var prev: Option[Set[String]] = dirsOf(fs, rootP, from).map(_.toSet)
+    var prev: Option[Set[String]] = dirsOf(fs, mdirOf(rootP, root), from).map(_.toSet)
     val acc = Seq.newBuilder[String]
     var v = from + 1
     while (v <= to) {
@@ -490,7 +529,7 @@ object VersionedTable {
     */
   def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val (fs, rootP) = fsFor(spark, root)
-    val entries = dirsOf(fs, rootP, version).getOrElse(throw new IllegalArgumentException(
+    val entries = dirsOf(fs, mdirOf(rootP, root), version).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version $version"))
     entryFiles(spark, root, entries)
   }
@@ -534,7 +573,7 @@ object VersionedTable {
   def snapshotFilesPartitioned(spark: SparkSession, root: String, version: Long)
       : (Seq[LeafFile], Seq[String]) = {
     val (fs, rootP) = fsFor(spark, root)
-    val entries = dirsOf(fs, rootP, version).getOrElse(throw new IllegalArgumentException(
+    val entries = dirsOf(fs, mdirOf(rootP, root), version).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version $version"))
     entryFilesPartitioned(spark, root, entries)
   }
@@ -686,7 +725,7 @@ object VersionedTable {
         val delta =
           if (dirs.nonEmpty) load(spark, rootP, format, dirs)
           else load(spark, rootP, format,
-            Seq(dirsOf(fs, rootP, toVersion).get.last)).limit(0)
+            Seq(dirsOf(fs, mdirOf(rootP, root), toVersion).get.last)).limit(0)
         delta.select(keys.map(col) ++
           Seq(lit("added").as("change_type"), lit(null).cast("string").as("changed_cols")) ++
           compare.flatMap(c =>
@@ -801,7 +840,7 @@ object VersionedTable {
       expectedVersion: Option[Long] = None,
       commitKind: String = "rewrite"): Long = {
     val (fs, rootP) = fsFor(spark, root)
-    fs.mkdirs(new Path(rootP, ManifestDir))
+    fs.mkdirs(mdirOf(rootP, root))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -824,7 +863,7 @@ object VersionedTable {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .save(dataDir.toString)
       FileStats.writeSidecar(spark, fs, dataDir, format)
-      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+      if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
           dirName + s"\n#kind=$commitKind" + layoutLine(partitionBy))) {
         recordFormat(fs, rootP, format) // only a PUBLISHED format is recorded
         return next
@@ -863,7 +902,7 @@ object VersionedTable {
       s"commit tag must be a non-empty single line, got '$t'"))
     require(compactAfter >= 1, "compactAfter must be >= 1")
     val (fs, rootP) = fsFor(spark, root)
-    fs.mkdirs(new Path(rootP, ManifestDir))
+    fs.mkdirs(mdirOf(rootP, root))
     // Optimistic-concurrency early exit: when the caller's delta was
     // DERIVED from a specific base version (e.g. IncrementalDedup's
     // survivors are "new relative to version N"), a moved table means
@@ -896,7 +935,7 @@ object VersionedTable {
       }
       val next = snap.map(_.version + 1).getOrElse(1L)
       val baseDirs = snap.map(_.dataDirs).getOrElse(Nil)
-      val manifest = new Path(new Path(rootP, ManifestDir), f"v$next%010d")
+      val manifest = new Path(mdirOf(rootP, root), f"v$next%010d")
       val tagLine = tag.map(t => s"\n#tag=$t").getOrElse("")
       if (baseDirs.length + 1 <= compactAfter) {
         if (casPublish(fs, manifest,
@@ -994,7 +1033,7 @@ object VersionedTable {
           keys, "left_anti"),
         allowMissingColumns = true)
     val (fs, rootP) = fsFor(spark, root)
-    fs.mkdirs(new Path(rootP, ManifestDir))
+    fs.mkdirs(mdirOf(rootP, root))
 
     // The source key set is collected ONCE (it prices the pruning for
     // every attempt); the per-file classification reruns per attempt
@@ -1050,7 +1089,7 @@ object VersionedTable {
               FileStats.writeSidecar(spark, fs, dataDir, format)
               val pointer = ((untouchedEntries :+ dirName) :+ "#kind=merge") :+
                 layoutLine(partitionBy).stripPrefix("\n")
-              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+              if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
                 return next
@@ -1102,7 +1141,7 @@ object VersionedTable {
       maxAttempts: Int = 5): Long = {
     require(partitionBy.nonEmpty, "commitPartitionOverwrite needs partition columns")
     val (fs, rootP) = fsFor(spark, root)
-    fs.mkdirs(new Path(rootP, ManifestDir))
+    fs.mkdirs(mdirOf(rootP, root))
     import org.apache.spark.sql.functions.col
     // Write the source FIRST into a private partitioned dir, then
     // derive the touched set from the leaves ACTUALLY written — the
@@ -1153,7 +1192,7 @@ object VersionedTable {
           // empty table: the written dir IS the first version
           val pointer = (Seq(dirName) :+ "#kind=merge") :+
             layoutLine(partitionBy).stripPrefix("\n")
-          if (casPublish(fs, new Path(new Path(rootP, ManifestDir), "v0000000001"),
+          if (casPublish(fs, new Path(mdirOf(rootP, root), "v0000000001"),
               pointer.mkString("\n"))) {
             recordFormat(fs, rootP, format)
             return 1L
@@ -1174,7 +1213,7 @@ object VersionedTable {
               val next = s.version + 1
               val pointer = ((carried :+ dirName) :+ "#kind=merge") :+
                 layoutLine(partitionBy).stripPrefix("\n")
-              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+              if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
                 return next
@@ -1297,7 +1336,7 @@ object VersionedTable {
       maxAttempts: Int = 5,
       partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
-    fs.mkdirs(new Path(rootP, ManifestDir))
+    fs.mkdirs(mdirOf(rootP, root))
     // hive layouts classify at LEAF-FILE level via sidecar keys (see
     // classifyEntries); an explicit partitionBy keeps their layout
     // through any rewrite
@@ -1372,7 +1411,7 @@ object VersionedTable {
                 }
               val pointer = (entriesOut :+ "#kind=merge") :+
                 layoutLine(layout).stripPrefix("\n")
-              if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+              if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
                   pointer.mkString("\n"))) {
                 recordFormat(fs, rootP, format)
                 return next
@@ -1420,7 +1459,7 @@ object VersionedTable {
   private def detectPartitionColumns(spark: SparkSession, root: String): Seq[String] = {
     val (fs, rootP) = fsFor(spark, root)
     val snap = currentSnapshot(spark, root).getOrElse(return Nil)
-    val pointer = new Path(new Path(rootP, ManifestDir), f"v${snap.version}%010d")
+    val pointer = new Path(mdirOf(rootP, root), f"v${snap.version}%010d")
     readSmall(fs, pointer).flatMap(parseLayout) match {
       case Some(cols) => return cols
       case None => () // pre-marker pointer: walk the directories below
@@ -1742,13 +1781,13 @@ object VersionedTable {
   def history(spark: SparkSession, root: String, limit: Int): Seq[VersionInfo] = {
     require(limit >= 1, s"history limit must be >= 1, got $limit")
     val (fs, rootP) = fsFor(spark, root)
-    listManifests(fs, rootP).sortBy(-_._1).take(limit).sortBy(_._1).flatMap { case (v, p, mtime) =>
+    listManifests(fs, mdirOf(rootP, root)).sortBy(-_._1).take(limit).sortBy(_._1).flatMap { case (v, p, mtime) =>
       // a pointer that DISAPPEARED since the listing is a concurrent
       // vacuum retiring it — drop it from the listing like vacuum
       // itself would have; a pointer that exists but is unreadable is a
       // hole in the audit trail and must be LOUD (vacuum aborts on the
       // same condition for the same reason)
-      dirsOf(fs, rootP, v) match {
+      dirsOf(fs, mdirOf(rootP, root), v) match {
         case Some(dirs) => Some(VersionInfo(v, new java.sql.Timestamp(mtime), dirs))
         case None if !fs.exists(p) => None
         case None => throw new IllegalStateException(
@@ -1886,6 +1925,8 @@ object VersionedTable {
     */
   def syncCatalogView(spark: SparkSession, name: String, root: String,
                       format: String = "parquet"): Unit = {
+    require(branchOf(root).isEmpty,
+      s"catalog views track the MAIN branch; publish the branch first (publishBranch), then sync: $root")
     val (fs, rootP) = fsFor(spark, root)
     val snap = currentSnapshot(spark, root).getOrElse(throw new IllegalStateException(
       s"cannot publish catalog view '$name': versioned table at $root has no committed version"))
@@ -1927,6 +1968,7 @@ object VersionedTable {
     * CREATE OR REPLACE VIEW that can never succeed.
     */
   private def syncIfLinked(spark: SparkSession, root: String): Unit = {
+    if (branchOf(root).nonEmpty) return // catalog views track main only
     val (fs, rootP) = fsFor(spark, root)
     catalogFace(fs, rootP).foreach { case (name, fmt) =>
       val isView =
@@ -1971,7 +2013,7 @@ object VersionedTable {
   private[graft] def restoreHooked(spark: SparkSession, root: String, toVersion: Long,
                                    maxAttempts: Int, afterValidate: () => Unit): Long = {
     val (fs, rootP) = fsFor(spark, root)
-    val targetPath = new Path(new Path(rootP, ManifestDir), f"v$toVersion%010d")
+    val targetPath = new Path(mdirOf(rootP, root), f"v$toVersion%010d")
     val content = readSmall(fs, targetPath).getOrElse(throw new IllegalArgumentException(
       s"versioned table at $root has no committed version $toVersion " +
         "(never committed, or already vacuumed) — nothing to restore to"))
@@ -1994,7 +2036,7 @@ object VersionedTable {
         s"versioned table at $root has no committed version"))
       if (snap.dataDirs == targetDirs) return snap.version // already there: no churn
       val next = snap.version + 1
-      if (casPublish(fs, new Path(new Path(rootP, ManifestDir), f"v$next%010d"),
+      if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
           (targetDirs :+ s"#kind=restore").mkString("\n") + targetLayoutPart)) {
         // TOCTOU re-check: a vacuum that computed its referenced set
         // BEFORE this pointer landed can have swept the target's dirs
@@ -2013,7 +2055,7 @@ object VersionedTable {
           syncIfLinked(spark, root)
           return next
         }
-        val preLayoutPart = currentLayoutOf(fs, rootP, snap.version).map(layoutLine).getOrElse("")
+        val preLayoutPart = currentLayoutOf(fs, mdirOf(rootP, root), snap.version).map(layoutLine).getOrElse("")
         // The heal must actually LAND: loop its CAS against the moving
         // head. A concurrent commit built on the dangling restore head
         // is poisoned regardless (its pointer copied the swept
@@ -2029,7 +2071,7 @@ object VersionedTable {
             case Some(c) if c.dataDirs == snap.dataDirs => healed = true
             case Some(c) =>
               healed = casPublish(fs,
-                new Path(new Path(rootP, ManifestDir), f"v${c.version + 1}%010d"),
+                new Path(mdirOf(rootP, root), f"v${c.version + 1}%010d"),
                 (snap.dataDirs :+ s"#kind=restore").mkString("\n") + preLayoutPart)
             case None => healTry = maxAttempts
           }
@@ -2056,9 +2098,130 @@ object VersionedTable {
   }
 
   /** The `#layout=` marker of `version`'s manifest, if readable. */
-  private def currentLayoutOf(fs: FileSystem, rootP: Path, version: Long): Option[Seq[String]] =
-    readSmall(fs, new Path(new Path(rootP, ManifestDir), f"v$version%010d"))
+  private def currentLayoutOf(fs: FileSystem, mdir: Path, version: Long): Option[Seq[String]] =
+    readSmall(fs, new Path(mdir, f"v$version%010d"))
       .flatMap(parseLayout)
+
+  /** CREATE BRANCH: a zero-copy writable clone of `fromVersion` (or
+    * the current snapshot) — Iceberg's branch / Delta's shallow-clone
+    * use case, expressed inside one table root so every manifest entry
+    * stays root-relative (rename-proof, no cross-root path baking).
+    * The branch starts its OWN pointer sequence at v1 under
+    * `_manifest/branches/<name>/`, referencing the fork point's
+    * immutable data dirs by name: no data I/O at any table size.
+    * Address it as `root#branch=<name>` ([[branchRoot]]) — every
+    * entry point (read, time travel, incremental reads, all commit
+    * flavors, restore, history) then operates on the branch; commits
+    * write new data dirs into the shared namespace (UUID-suffixed, so
+    * concurrent branch/main writers never collide) without touching
+    * main. The write-audit-publish loop: branch → run the experimental
+    * pipeline → validate → [[publishBranch]] fast-forwards main.
+    *
+    * Vacuum protects every dir any branch references (see [[vacuum]]);
+    * the createBranch-vs-vacuum race gets restore's treatment — a
+    * post-publish liveness re-check that deletes the new branch and
+    * throws if its fork point was swept mid-create.
+    *
+    * Pre-fork history stays on main: the branch's v1 IS the fork
+    * point; time travel below it happens on the main root.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   fromVersion: Option[Long] = None): Long = {
+    val bRoot = branchRoot(root, name) // validates name + rejects branch-of-branch
+    val (fs, rootP) = fsFor(spark, root)
+    val mainM = mdirOf(rootP, root)
+    val v = fromVersion.getOrElse(currentSnapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version — nothing to branch")).version)
+    val content = readSmall(fs, new Path(mainM, f"v$v%010d")).getOrElse(
+      throw new IllegalArgumentException(
+        s"versioned table at $root has no committed version $v " +
+          "(never committed, or already vacuumed) — nothing to branch from"))
+    val dirs = parseDirs(content)
+    val layoutPart = parseLayout(content).map(layoutLine).getOrElse("")
+    val tops = dirs.map(entryDir).distinct
+    val gone = missingDirs(spark, root, tops)
+    require(gone.isEmpty,
+      s"cannot branch $root at v$v: data dirs ${gone.mkString(", ")} were already " +
+        "vacuumed — branch only from versions within the vacuum retention")
+    val bm = mdirOf(rootP, bRoot)
+    fs.mkdirs(bm)
+    if (!casPublish(fs, new Path(bm, "v0000000001"),
+        (dirs :+ "#kind=branch").mkString("\n") + layoutPart))
+      throw new IllegalArgumentException(s"branch '$name' already exists at $root")
+    // TOCTOU re-check (restore's hazard, simpler remedy): a vacuum that
+    // computed its referenced set before this pointer landed may have
+    // swept the fork point's dirs — detect, remove the dangling branch,
+    // refuse loudly. Nothing else can have observed the branch yet
+    // except a racing writer to the same new name, which the CAS above
+    // already serialized.
+    val swept = missingDirs(spark, root, tops)
+    if (swept.nonEmpty) {
+      fs.delete(bm, true)
+      throw new IllegalStateException(
+        s"createBranch('$name') of $root raced a vacuum: data dirs " +
+          s"${swept.mkString(", ")} were swept after validation — the branch was " +
+          "removed. Raise the vacuum keep window to cover branch fork points, or " +
+          "run branching and vacuum from one maintenance process")
+    }
+    1L
+  }
+
+  /** Names of the table's branches (empty when none exist). */
+  def listBranches(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val broot = new Path(new Path(rootP, ManifestDir), BranchesDir)
+    if (!fs.exists(broot)) Nil
+    else fs.listStatus(broot).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Drop a branch: delete its pointer sequence. Data dirs only the
+    * branch referenced become unreferenced and are reclaimed by the
+    * next [[vacuum]] (after its grace period). Idempotent — returns
+    * whether the branch existed.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val bRoot = branchRoot(root, name)
+    val (fs, rootP) = fsFor(spark, root)
+    fs.delete(mdirOf(rootP, bRoot), true)
+  }
+
+  /** PUBLISH a branch: fast-forward MAIN's head to the branch's
+    * current snapshot — the "audit passed, promote the experiment"
+    * step. A pointer-only commit (`#kind=rewrite`: the branch may have
+    * merged/deleted, so downstream delta maintenance must treat the
+    * span as a rewrite); the branch's dirs are alive by construction
+    * while its pointers exist (vacuum protects every
+    * branch-referenced dir), so no liveness dance is needed — drop
+    * the branch only AFTER the publish lands. No-op returning the
+    * current main version when main already matches the branch head.
+    */
+  def publishBranch(spark: SparkSession, root: String, name: String,
+                    maxAttempts: Int = 5): Long = {
+    require(branchOf(root).isEmpty, s"publish targets the main root, got: $root")
+    val bRoot = branchRoot(root, name)
+    val (fs, rootP) = fsFor(spark, root)
+    val bSnap = currentSnapshot(spark, bRoot).getOrElse(throw new IllegalArgumentException(
+      s"branch '$name' of $root has no committed version — nothing to publish"))
+    val layoutPart = currentLayoutOf(fs, mdirOf(rootP, bRoot), bSnap.version)
+      .map(layoutLine).getOrElse("")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val main = currentSnapshot(spark, root)
+      if (main.exists(_.dataDirs == bSnap.dataDirs)) return main.get.version
+      val next = main.map(_.version + 1).getOrElse(1L)
+      if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
+          (bSnap.dataDirs :+ "#kind=rewrite").mkString("\n") + layoutPart)) {
+        syncIfLinked(spark, root)
+        return next
+      }
+      // lost the pointer race to a concurrent main writer: re-read and retry
+    }
+    throw new IllegalStateException(
+      s"publish of branch '$name' at $root lost the publish race $maxAttempts times — " +
+        "writer contention is pathological; retry with backoff")
+  }
 
   /** Backfill the round-11 metadata sidecars (`_graft_schema`, and
     * `_graft_stats` with file sizes) into a LEGACY table's live data
@@ -2099,15 +2262,36 @@ object VersionedTable {
     // negative grace would even delete dirs committed in the future of
     // a skewed clock — always a bug)
     require(graceMs >= 0, "vacuum grace must be >= 0")
+    require(branchOf(root).isEmpty,
+      "vacuum operates on the WHOLE table (data dirs are shared across " +
+        "branches) — run it against the main root; branch pointers are " +
+        "reclaimed by dropBranch")
     val (fs, rootP) = fsFor(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     if (!fs.exists(mdir)) return
+    // Dirs referenced by ANY branch pointer stay alive regardless of
+    // main's keep window: a branch is a live reader/writer head over
+    // the shared data-dir namespace. Unreadable branch pointers abort
+    // (same contract as main's kept pointers — a silently shrunken
+    // reference set would sweep live data).
+    def branchReferenced(): Set[String] = {
+      val broot = new Path(mdir, BranchesDir)
+      if (!fs.exists(broot)) Set.empty
+      else fs.listStatus(broot).filter(_.isDirectory).toSeq.flatMap { b =>
+        listManifests(fs, b.getPath).flatMap { case (v, p, _) =>
+          readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
+            s"vacuum aborted: branch manifest v$v of '${b.getPath.getName}' at $root " +
+              "is unreadable — re-run when the store is healthy (nothing was deleted)"))
+            .map(entryDir)
+        }
+      }.toSet
+    }
     // Every kept pointer MUST read back: a transient failure here would
     // silently shrink the referenced set and the sweep below would
     // delete LIVE data directories — abort instead; vacuum is always
     // safe to re-run later.
     def computeKeepSet(): (Seq[(Long, Path)], Seq[(Long, Path)], Set[String]) = {
-      val manifests = listManifests(fs, rootP).map(m => (m._1, m._2)).sortBy(-_._1)
+      val manifests = listManifests(fs, mdirOf(rootP, root)).map(m => (m._1, m._2)).sortBy(-_._1)
       val (kept, retired) = manifests.splitAt(keep)
       val referenced = kept.flatMap { case (v, p) =>
         readSmall(fs, p).map(parseDirs).getOrElse(throw new IllegalStateException(
@@ -2117,7 +2301,7 @@ object VersionedTable {
           // parent directory alive: vacuum's unit is the directory, and
           // partially-referenced dirs are reclaimed by the next compact
           .map(entryDir).toSet
-      }.toSet
+      }.toSet ++ branchReferenced()
       (kept, retired, referenced)
     }
     // Pre-sweep STABILITY loop: a pointer that lands between the
@@ -2151,10 +2335,16 @@ object VersionedTable {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-") &&
         !referenced(st.getPath.getName) && st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
-    // orphan publish tmps from crashed committers (same grace period)
-    fs.listStatus(mdir)
+    // orphan publish tmps from crashed committers (same grace period),
+    // in main's pointer dir and every branch's
+    val tmpDirs = mdir +: {
+      val broot = new Path(mdir, BranchesDir)
+      if (!fs.exists(broot)) Seq.empty
+      else fs.listStatus(broot).filter(_.isDirectory).map(_.getPath).toSeq
+    }
+    tmpDirs.foreach(d => fs.listStatus(d)
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         st.getModificationTime < cutoff)
-      .foreach(st => fs.delete(st.getPath, false))
+      .foreach(st => fs.delete(st.getPath, false)))
   }
 }

@@ -613,6 +613,27 @@ object RelationalQueries {
       VersionedTable.read(s, root).orderBy("o_orderkey")
     }),
 
+    // q105: BRANCH round trip — fork a zero-copy writable branch, land
+    // an append AND a delete on it (main untouched), then publish the
+    // branch: main fast-forwards to the branch head as a pointer-only
+    // commit. The oracle computes the closed form of the whole
+    // write-audit-publish loop from the base table.
+    "q105_versioned_branch" -> ((s, dir) => {
+      val root = scratchRoot("graft_q105")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.where(col("o_orderkey") % 2 === 0), compactAfter = Int.MaxValue)
+      VersionedTable.createBranch(s, root, "exp")
+      val bRoot = VersionedTable.branchRoot(root, "exp")
+      VersionedTable.commitDelta(s, bRoot, "parquet",
+        orders.where(col("o_orderkey") % 2 === 1 && col("o_custkey") % 5 === 0),
+        compactAfter = Int.MaxValue)
+      VersionedTable.commitDelete(s, bRoot, "o_orderstatus = 'F' AND o_custkey % 7 = 0")
+      VersionedTable.publishBranch(s, root, "exp")
+      VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+
     // q71: keyed snapshot reconciliation (CDC diff) — base loses keys
     // %7==3, gains keys %5==4, and customers %10==0 get a price fix
     // (%20==0 additionally a status change, exercising the multi-column
@@ -1420,6 +1441,14 @@ object RelationalQueries {
     // oracle is the untouched base selection
     "q98_versioned_restore" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the branch round trip's closed form: evens from the fork point,
+    // plus the branch's odd-custkey5 append, minus the branch's delete
+    "q105_versioned_branch" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE (o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_custkey % 5 = 0))
+        |  AND NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the pure-SQL write statements land on q66's exact closed form

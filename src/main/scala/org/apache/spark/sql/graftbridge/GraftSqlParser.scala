@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
+  * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
+  * GRAFT_BRANCH('/path', 'exp', 3)                    -- branch from v3
+  * GRAFT_BRANCHES('/path')                            -- list branches
+  * GRAFT_PUBLISH('/path', 'exp')                      -- fast-forward main to the branch head
+  * GRAFT_BRANCH_DROP('/path', 'exp')                  -- drop the branch (vacuum reclaims)
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
   * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
   * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
@@ -49,7 +54,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -162,6 +167,30 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val v = VersionedTable.restore(session, path, target)
       Seq((v, target))
         .toDF("version", "restored_to").queryExecution.logical
+    case BranchStmt(path, name, fromV) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      // pin the fork version up front so the returned row reports the
+      // exact version the branch forked from (current can move under a
+      // concurrent writer between create and a re-read)
+      val fork = Option(fromV).map(_.toLong).getOrElse(
+        VersionedTable.currentSnapshot(session, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"versioned table at $path has no committed version — nothing to branch")).version)
+      VersionedTable.createBranch(session, path, name, Some(fork))
+      Seq((name, fork)).toDF("branch", "fork_version").queryExecution.logical
+    case BranchesStmt(path) =>
+      import session.implicits._
+      graft.pipeline.VersionedTable.listBranches(session, path)
+        .toDF("branch").queryExecution.logical
+    case PublishStmt(path, name) =>
+      import session.implicits._
+      val v = graft.pipeline.VersionedTable.publishBranch(session, path, name)
+      Seq((name, v)).toDF("branch", "published_version").queryExecution.logical
+    case BranchDropStmt(path, name) =>
+      import session.implicits._
+      val existed = graft.pipeline.VersionedTable.dropBranch(session, path, name)
+      Seq((name, existed)).toDF("branch", "dropped").queryExecution.logical
     case DeleteStmt(path, cond) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
@@ -313,6 +342,23 @@ object GraftSqlParser {
     */
   private val RestoreStmt =
     """(?is)^\s*GRAFT_RESTORE\s*\(\s*'([^']+)'\s*,\s*(?:(\d{1,18})|TAG\s+'([^']+)')\s*\)\s*;?\s*$""".r
+
+  /** Branching (zero-copy writable clones inside the table root):
+    * create (optionally from a pinned version), list, fast-forward
+    * main to a branch head, drop. Branch READS/WRITES need no new
+    * syntax — every path-taking statement accepts the
+    * `path#branch=name` form (GRAFT_READ('/t#branch=exp'),
+    * GRAFT_APPEND, GRAFT_DELETE, GRAFT_MERGE, GRAFT_RESTORE,
+    * GRAFT_VERSIONS all operate on the named branch).
+    */
+  private val BranchStmt =
+    """(?is)^\s*GRAFT_BRANCH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*(?:,\s*(\d{1,18}))?\s*\)\s*;?\s*$""".r
+  private val BranchesStmt =
+    """(?is)^\s*GRAFT_BRANCHES\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  private val PublishStmt =
+    """(?is)^\s*GRAFT_PUBLISH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  private val BranchDropStmt =
+    """(?is)^\s*GRAFT_BRANCH_DROP\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
 
   /** Row-level delete: the condition is everything after `WHERE` up to
     * the closing paren (it may contain commas/quotes — trailing-anchor

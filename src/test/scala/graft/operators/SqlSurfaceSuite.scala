@@ -228,6 +228,32 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[Exception] { s2.sql(s"GRAFT_APPEND('$root', SELEKT 1)") }
   }
 
+  test("GRAFT_BRANCH family: pure-SQL branch create / write / read / publish / drop") {
+    import graft.pipeline.VersionedTable
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlbr").toString + "/t"
+    s2.sql(s"GRAFT_APPEND('$root', SELECT CAST(1 AS BIGINT) AS id, 'a' AS v)")
+    val created = s2.sql(s"GRAFT_BRANCH('$root', 'exp')").head()
+    assert(created.getString(0) == "exp" && created.getLong(1) == 1L)
+    assert(s2.sql(s"GRAFT_BRANCHES('$root')").collect().map(_.getString(0)).toSeq == Seq("exp"))
+    // branch writes/reads ride the path#branch= form on the EXISTING statements
+    s2.sql(s"GRAFT_APPEND('$root#branch=exp', SELECT CAST(2 AS BIGINT) AS id, 'b' AS v)")
+    assert(s2.sql(s"GRAFT_READ('$root#branch=exp')").count() == 2L)
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 1L) // main untouched
+    assert(s2.sql(s"GRAFT_VERSIONS('$root#branch=exp')").count() == 2L)
+    // publish fast-forwards main; drop reclaims the name
+    val pub = s2.sql(s"GRAFT_PUBLISH('$root', 'exp')").head()
+    assert(pub.getLong(1) == 2L)
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 2L)
+    assert(s2.sql(s"GRAFT_BRANCH_DROP('$root', 'exp')").head().getBoolean(1))
+    assert(s2.sql(s"GRAFT_BRANCHES('$root')").count() == 0L)
+    // vacuum on a branch path refuses loudly
+    VersionedTable.createBranch(s2, root, "exp2")
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_VACUUM('$root#branch=exp2', KEEP 1, GRACE 0)")
+    }
+  }
+
   test("graft native functions are SQL-callable in the extensions session") {
     val r = s2.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +

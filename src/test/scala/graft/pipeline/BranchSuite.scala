@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Branches (zero-copy writable clones inside one table root):
+  * two-way isolation, zero-copy fork semantics, publish fast-forward,
+  * vacuum protection of branch-referenced dirs, drop + reclaim, the
+  * guard rails (duplicate/illegal names, branch-of-branch, vacuum and
+  * catalog-view refusals), restore on a branch, and layout carry-over
+  * on partitioned tables.
+  */
+class BranchSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def ids(root: String): Seq[Long] =
+    VersionedTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+
+  test("branch forks zero-copy, writes are isolated both ways, publish fast-forwards main") {
+    val root = tmp("branch_basic")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val bv = VersionedTable.createBranch(spark, root, "exp")
+    assert(bv == 1L)
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    // fork point: branch reads main's snapshot, by reference (same dirs)
+    assert(ids(bRoot) == Seq(1L, 2L))
+    assert(VersionedTable.currentSnapshot(spark, bRoot).get.dataDirs ==
+      VersionedTable.currentSnapshot(spark, root).get.dataDirs)
+    // branch write invisible on main; main write invisible on branch
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((3L, "c")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((9L, "z")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    assert(ids(bRoot) == Seq(1L, 2L, 3L))
+    assert(ids(root) == Seq(1L, 2L, 9L))
+    assert(VersionedTable.listBranches(spark, root) == Seq("exp"))
+    // branch history/time-travel are its own sequence
+    assert(VersionedTable.history(spark, bRoot).map(_.version) == Seq(1L, 2L))
+    assert(VersionedTable.readVersion(spark, bRoot, 1L).count() == 2)
+    // publish: main's head becomes the branch's snapshot (pointer-only)
+    val pub = VersionedTable.publishBranch(spark, root, "exp")
+    assert(ids(root) == Seq(1L, 2L, 3L))
+    // a publish span is a REWRITE for delta readers (main's 9L vanished)
+    assert(VersionedTable.appendedFilesBetween(spark, root, pub - 1, pub).isEmpty)
+    // re-publishing an already-published branch mints no new version
+    assert(VersionedTable.publishBranch(spark, root, "exp") == pub)
+  }
+
+  test("branch mutations (merge/delete) stay off main; incremental reads work per-branch") {
+    val root = tmp("branch_mut")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      (1L to 10L).map(i => (i, "base")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "fix")
+    val bRoot = VersionedTable.branchRoot(root, "fix")
+    VersionedTable.commitDelete(spark, bRoot, "id > 8")
+    val bv = VersionedTable.currentSnapshot(spark, bRoot).get.version
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((11L, "fix")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    assert(ids(bRoot) == ((1L to 8L) :+ 11L))
+    assert(ids(root) == (1L to 10L))
+    // changesSince on the branch sees exactly the branch's append
+    val delta = VersionedTable.changesSince(spark, bRoot, bv)
+      .select("id").as[Long].collect().toSeq
+    assert(delta == Seq(11L))
+  }
+
+  test("vacuum keeps every branch-referenced dir alive; dropBranch + vacuum reclaims") {
+    val root = tmp("branch_vac")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "keepme")
+    val bRoot = VersionedTable.branchRoot(root, "keepme")
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // main moves on: a full rewrite orphans v1's dir FROM MAIN'S view
+    VersionedTable.commit(spark, root, "parquet",
+      _ => Seq((9L, "z")).toDF("id", "v"))
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0)
+    // the branch still reads its whole snapshot: its dirs survived
+    assert(ids(bRoot) == Seq(1L, 2L))
+    assert(ids(root) == Seq(9L))
+    // drop, then vacuum reclaims the branch-only dirs
+    assert(VersionedTable.dropBranch(spark, root, "keepme"))
+    assert(!VersionedTable.dropBranch(spark, root, "keepme")) // idempotent
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0)
+    assert(VersionedTable.listBranches(spark, root).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
+    assert(dataDirs.length == 1, s"only main's live dir survives: ${dataDirs.mkString(",")}")
+  }
+
+  test("guard rails: duplicate name, illegal name, branch-of-branch, vacuum/view refusals") {
+    val root = tmp("branch_guard")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "dup")
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(spark, root, "dup")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(spark, root, "bad/name")
+    }
+    val bRoot = VersionedTable.branchRoot(root, "dup")
+    intercept[IllegalArgumentException] {
+      VersionedTable.branchRoot(bRoot, "nested")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.vacuum(spark, bRoot, keep = 1, graceMs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.syncCatalogView(spark, "some_view", bRoot)
+    }
+    // branching from a vacuumed version refuses
+    VersionedTable.commit(spark, root, "parquet", _ => Seq((2L, "b")).toDF("id", "v"))
+    VersionedTable.dropBranch(spark, root, "dup")
+    VersionedTable.vacuum(spark, root, keep = 1, graceMs = 0)
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(spark, root, "late", fromVersion = Some(1L))
+    }
+  }
+
+  test("restore works on a branch; partitioned layout carries through branch and publish") {
+    val root = tmp("branch_part")
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p")
+    VersionedTable.commit(spark, root, "parquet", _ => df, partitionBy = Seq("p"))
+    VersionedTable.createBranch(spark, root, "exp")
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((3L, "z", "p1")).toDF("id", "v", "p"),
+      partitionBy = Seq("p"), compactAfter = Int.MaxValue)
+    // partition column reads back on the branch (layout marker carried)
+    val byPart = VersionedTable.read(spark, bRoot).groupBy("p").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart == Map("p1" -> 2L, "p2" -> 1L))
+    // roll the branch back to its fork point — main untouched
+    VersionedTable.restore(spark, bRoot, 1L)
+    assert(VersionedTable.read(spark, bRoot).count() == 2)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // forward again and publish: main gets the branch rows AND the layout
+    VersionedTable.restore(spark, bRoot, 2L)
+    VersionedTable.publishBranch(spark, root, "exp")
+    val mainByPart = VersionedTable.read(spark, root).groupBy("p").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mainByPart == Map("p1" -> 2L, "p2" -> 1L))
+    // partition pruning still answers on the published main
+    assert(VersionedTable.read(spark, root).where(col("p") === "p1").count() == 2)
+  }
+}
