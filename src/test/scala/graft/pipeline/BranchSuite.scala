@@ -125,6 +125,27 @@ class BranchSuite extends SparkSpec {
     }
   }
 
+  test("DSv2 face rides branches: format(\"graft\") read/write and time travel on root#branch=") {
+    val root = tmp("branch_dsv2")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "exp")
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    // DSv2 append onto the branch; main untouched
+    Seq((2L, "b")).toDF("id", "v").write.format("graft").mode("append").save(bRoot)
+    assert(spark.read.format("graft").load(bRoot)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.format("graft").load(root)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // branch time travel through the DSv2 option
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(bRoot).count() == 1L)
+    // filters still push into the branch scan (manifest-planned file index)
+    val p = spark.read.format("graft").load(bRoot).where(col("id") === 2L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]") ||
+      p.contains("PushedFilters: [EqualTo(id,2), IsNotNull(id)]"), p)
+  }
+
   test("restore works on a branch; partitioned layout carries through branch and publish") {
     val root = tmp("branch_part")
     val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p")
