@@ -23,6 +23,11 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *                            [--table name] [--cores N]
   *   graft.Cli refresh <aggRoot> [--full] [--cores N]
   *   graft.Cli delete  <root> --where "<cond>" [--cores N]
+  *   graft.Cli branch  <root> --name <b> [--from-version N]   # zero-copy writable clone
+  *   graft.Cli branches <root>                                # list branches
+  *   graft.Cli publish <root> --name <b>                      # fast-forward main to the branch head
+  *   graft.Cli drop-branch <root> --name <b>                  # vacuum reclaims its dirs
+  *   (address a branch in any other command as <root>#branch=<b>)
   *
   * (The reference also registers an `init` command, but its
   * Pipeline.init target does not exist — cli/main.py:81-89 calls an
@@ -48,7 +53,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "drop-branch")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -62,7 +67,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|drop-branch <versioned-table-root> [options]")
       sys.exit(2)
   }
 
@@ -99,6 +104,27 @@ object Cli {
       case "upgrade" =>
         val n = VersionedTable.upgradeMetadata(spark, root)
         println(s"[graft] upgraded $root: backfilled metadata sidecars into $n dir(s)")
+      case "branch" =>
+        val name = opt(rest, "--name").getOrElse(sys.error("branch needs --name <branch>"))
+        val from = opt(rest, "--from-version").map(_.toLong)
+        VersionedTable.createBranch(spark, root, name, from)
+        println(s"[graft] created branch '$name' at $root" +
+          from.fold("")(v => s" from v$v") +
+          s" — address it as $root#branch=$name")
+      case "branches" =>
+        val bs = VersionedTable.listBranches(spark, root)
+        if (bs.isEmpty) println(s"[graft] no branches at $root")
+        else bs.foreach(b => println(s"[graft] $b"))
+      case "publish" =>
+        val name = opt(rest, "--name").getOrElse(sys.error("publish needs --name <branch>"))
+        val v = VersionedTable.publishBranch(spark, root, name)
+        println(s"[graft] published branch '$name' of $root as v$v")
+      case "drop-branch" =>
+        val name = opt(rest, "--name").getOrElse(sys.error("drop-branch needs --name <branch>"))
+        val existed = VersionedTable.dropBranch(spark, root, name)
+        println(
+          if (existed) s"[graft] dropped branch '$name' at $root (vacuum reclaims its dirs)"
+          else s"[graft] no branch '$name' at $root")
       case "vacuum" =>
         val keep = opt(rest, "--keep").map(_.toInt).getOrElse(3)
         val grace = opt(rest, "--grace-hours").map(_.toDouble).getOrElse(1.0)

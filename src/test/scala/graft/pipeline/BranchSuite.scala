@@ -146,6 +146,21 @@ class BranchSuite extends SparkSpec {
       p.contains("PushedFilters: [EqualTo(id,2), IsNotNull(id)]"), p)
   }
 
+  test("CLI branch commands: branch / branches / publish / drop-branch round trip") {
+    val root = tmp("branch_cli")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    graft.Cli.executeTable(spark, "branch", root, List("--name", "exp"))
+    assert(VersionedTable.listBranches(spark, root) == Seq("exp"))
+    graft.Cli.executeTable(spark, "branches", root, Nil) // prints, must not throw
+    VersionedTable.commitDelta(spark, VersionedTable.branchRoot(root, "exp"), "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    graft.Cli.executeTable(spark, "publish", root, List("--name", "exp"))
+    assert(ids(root) == Seq(1L, 2L))
+    graft.Cli.executeTable(spark, "drop-branch", root, List("--name", "exp"))
+    assert(VersionedTable.listBranches(spark, root).isEmpty)
+  }
+
   test("restore works on a branch; partitioned layout carries through branch and publish") {
     val root = tmp("branch_part")
     val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p")
