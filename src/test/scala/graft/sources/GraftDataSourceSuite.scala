@@ -275,6 +275,27 @@ class GraftDataSourceSuite extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink) }
   }
 
+  test("micro-batch stream over a BRANCH: branch appends stream, main appends don't") {
+    val dir = tmp("graft_dsv2_branchstream"); val root = dir + "/t"
+    append(root, 1L)
+    VersionedTable.createBranch(spark, root, "exp")
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    val sink = freshSink()
+    val q = spark.readStream.format("graft").load(bRoot)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", dir + "/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L)) // bootstrap = the fork point's snapshot
+      append(bRoot, 2L)                // branch append streams
+      append(root, 9L)                 // main append must NOT
+      q.processAllAvailable()
+      assert(sinkIds(sink) == Seq(1L, 2L),
+        s"main's append leaked into the branch stream: ${sinkIds(sink)}")
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
   test("micro-batch stream over a HIVE-PARTITIONED table: partition columns intact, appends stream once") {
     val dir = tmp("graft_dsv2_hivestream"); val root = dir + "/t"
     def part(vals: (Long, Int)*): Long =
