@@ -40,6 +40,13 @@ object Writer {
         require(sink.path.nonEmpty,
           s"versioned catalog table '$t' needs a path (the storage root " +
             "for its immutable version directories)")
+        // refuse BEFORE the data commit: the post-write view publish
+        // would throw anyway (views track main), and a loud error
+        // after a landed commit reads like a half-applied write
+        require(VersionedTable.branchOf(sink.path).isEmpty,
+          s"versioned catalog table '$t' cannot target branch path '${sink.path}' — " +
+            "catalog views track the MAIN branch; drop `table:` to write the " +
+            "branch, then publishBranch and sync the view from main")
         versionedWrite(spark, df, sink)
         VersionedTable.syncCatalogView(spark, t, sink.path, sink.format)
       case Some(t) if sink.path.isEmpty => writeTable(spark, df, sink, t)

@@ -146,6 +146,31 @@ class BranchSuite extends SparkSpec {
       p.contains("PushedFilters: [EqualTo(id,2), IsNotNull(id)]"), p)
   }
 
+  test("Writer sinks ride branches: path writes land on the branch; table sinks refuse up front") {
+    val root = tmp("branch_writer")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("hash_key", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "exp")
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    // a YAML-shaped versioned sink pointed at the branch: upsert lands there
+    Writer.write(spark, Seq((1L, "a2"), (2L, "b")).toDF("hash_key", "v"),
+      SinkSpec(bRoot, mode = MergeUpsert, versioned = true))
+    val branchRows = VersionedTable.read(spark, bRoot)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(branchRows == Map(1L -> "a2", 2L -> "b"))
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a"))
+    // table: + branch refuses BEFORE committing anything
+    val before = VersionedTable.currentSnapshot(spark, bRoot).get.version
+    val e = intercept[IllegalArgumentException] {
+      Writer.write(spark, Seq((3L, "c")).toDF("hash_key", "v"),
+        SinkSpec(bRoot, mode = MergeUpsert, versioned = true, table = Some("some_table")))
+    }
+    assert(e.getMessage.contains("MAIN"), e.getMessage)
+    assert(VersionedTable.currentSnapshot(spark, bRoot).get.version == before,
+      "the refusal must land before any commit")
+  }
+
   test("CLI branch commands: branch / branches / publish / drop-branch round trip") {
     val root = tmp("branch_cli")
     VersionedTable.commitDelta(spark, root, "parquet",
