@@ -2223,6 +2223,24 @@ object VersionedTable {
         "writer contention is pathological; retry with backoff")
   }
 
+  /** What publishing branch `name` WOULD change on main — the AUDIT
+    * step of write-audit-publish: keyed CDC between main's current
+    * snapshot and the branch head
+    * ([[graft.operators.Relational.snapshotDiff]]'s output shape —
+    * added/removed/changed rows with changed-column attribution).
+    * One full-outer sort-merge reconciliation of the two snapshots;
+    * run it, eyeball/validate the report, then [[publishBranch]].
+    */
+  def branchDiff(spark: SparkSession, root: String, name: String,
+                 keys: Seq[String], compare: Seq[String],
+                 format: String = "parquet"): DataFrame = {
+    require(branchOf(root).isEmpty, s"branchDiff targets the main root, got: $root")
+    graft.operators.Relational.snapshotDiff(
+      read(spark, root, format),
+      read(spark, branchRoot(root, name), format),
+      keys, compare)
+  }
+
   /** Backfill the round-11 metadata sidecars (`_graft_schema`, and
     * `_graft_stats` with file sizes) into a LEGACY table's live data
     * dirs, so it gets manifest-planned scans (one synthesized

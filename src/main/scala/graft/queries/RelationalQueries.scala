@@ -634,6 +634,35 @@ object RelationalQueries {
       VersionedTable.read(s, root).orderBy("o_orderkey")
     }),
 
+    // q106: BRANCH DIFF — the audit step between branch and publish:
+    // branch deletes %3 keys, updates custkey on surviving %10==1 keys
+    // (file-pruned merge), appends %100==1 clones; branchDiff(main,
+    // branch) must report exactly removed/changed/added with column
+    // attribution. The oracle computes the same reconciliation from the
+    // closed form of the three branch commits.
+    "q106_branch_diff" -> ((s, dir) => {
+      val root = scratchRoot("graft_q106")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.commitDelta(s, root, "parquet", orders, compactAfter = Int.MaxValue)
+      VersionedTable.createBranch(s, root, "exp")
+      val bRoot = VersionedTable.branchRoot(root, "exp")
+      VersionedTable.commitDelete(s, bRoot, "o_orderkey % 3 = 0")
+      VersionedTable.commitMerge(s, bRoot, "parquet",
+        orders.where(col("o_orderkey") % 10 === 1 && col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+            col("o_orderstatus")),
+        keys = Seq("o_orderkey"))
+      VersionedTable.commitDelta(s, bRoot, "parquet",
+        orders.where(col("o_orderkey") % 100 === 1)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus")),
+        compactAfter = Int.MaxValue)
+      VersionedTable.branchDiff(s, root, "exp",
+          Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // q71: keyed snapshot reconciliation (CDC diff) — base loses keys
     // %7==3, gains keys %5==4, and customers %10==0 get a price fix
     // (%20==0 additionally a status change, exercising the multi-column
@@ -1449,6 +1478,36 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE (o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_custkey % 5 = 0))
         |  AND NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // branch-vs-main reconciliation from the closed form of the three
+    // branch commits (delete %3, custkey bump on surviving %10==1,
+    // append %100==1 clones)
+    "q106_branch_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |br AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 1)
+        |SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+        |    concat_ws(',',
+        |      CASE WHEN NOT (b.o_custkey IS NOT DISTINCT FROM n.o_custkey) THEN 'o_custkey' END,
+        |      CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END)
+        |  END AS changed_cols,
+        |  b.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+        |  b.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus
+        |FROM base b FULL OUTER JOIN br n ON b.o_orderkey = n.o_orderkey
+        |WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR NOT (b.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+        |   OR NOT (b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the pure-SQL write statements land on q66's exact closed form

@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_BRANCHES('/path')                            -- list branches
   * GRAFT_PUBLISH('/path', 'exp')                      -- fast-forward main to the branch head
   * GRAFT_BRANCH_DROP('/path', 'exp')                  -- drop the branch (vacuum reclaims)
+  * GRAFT_BRANCH_DIFF('/path', 'exp', KEY k)           -- what publish would change on main
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
   * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
   * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
@@ -54,7 +55,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -187,6 +188,18 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       import session.implicits._
       val v = graft.pipeline.VersionedTable.publishBranch(session, path, name)
       Seq((name, v)).toDF("branch", "published_version").queryExecution.logical
+    case BranchDiffStmt(path, name, keys, compareOpt) =>
+      import graft.pipeline.VersionedTable
+      val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // COMPARE omitted -> every non-key column of the BRANCH head (the
+      // snapshot the publish would install), same default as GRAFT_DIFF
+      val compare = Option(compareOpt)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(VersionedTable.read(session,
+            VersionedTable.branchRoot(path, name))
+          .columns.toSeq.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c))))
+      VersionedTable.branchDiff(session, path, name, keyCols, compare)
+        .queryExecution.logical
     case BranchDropStmt(path, name) =>
       import session.implicits._
       val existed = graft.pipeline.VersionedTable.dropBranch(session, path, name)
@@ -359,6 +372,8 @@ object GraftSqlParser {
     """(?is)^\s*GRAFT_PUBLISH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val BranchDropStmt =
     """(?is)^\s*GRAFT_BRANCH_DROP\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  private val BranchDiffStmt =
+    """(?is)^\s*GRAFT_BRANCH_DIFF\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*KEY\s+(\w+(?:\s*,\s*\w+)*?)(?:\s*,\s*COMPARE\s+(\w+(?:\s*,\s*\w+)*?))?\s*\)\s*;?\s*$""".r
 
   /** Row-level delete: the condition is everything after `WHERE` up to
     * the closing paren (it may contain commas/quotes — trailing-anchor

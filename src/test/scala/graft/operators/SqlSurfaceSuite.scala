@@ -241,6 +241,10 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(s2.sql(s"GRAFT_READ('$root#branch=exp')").count() == 2L)
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 1L) // main untouched
     assert(s2.sql(s"GRAFT_VERSIONS('$root#branch=exp')").count() == 2L)
+    // the audit step: what publish would change on main
+    val diff = s2.sql(s"GRAFT_BRANCH_DIFF('$root', 'exp', KEY id)").collect()
+    assert(diff.length == 1 && diff.head.getAs[String]("change_type") == "added" &&
+      diff.head.getAs[Long]("id") == 2L, diff.mkString(","))
     // publish fast-forwards main; drop reclaims the name
     val pub = s2.sql(s"GRAFT_PUBLISH('$root', 'exp')").head()
     assert(pub.getLong(1) == 2L)
