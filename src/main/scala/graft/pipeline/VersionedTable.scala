@@ -772,7 +772,7 @@ object VersionedTable {
     * committer crash would leave a permanently empty pointer wedging
     * every later commit at that version.
     */
-  private def casPublish(fs: FileSystem, manifest: Path, content: String): Boolean = {
+  private[graft] def casPublish(fs: FileSystem, manifest: Path, content: String): Boolean = {
     val bytes = content.getBytes("UTF-8")
     if (Option(manifest.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
       // POSIX rename(2) (under Hadoop's local rename) REPLACES an

@@ -16,20 +16,14 @@ import org.apache.spark.sql.functions._
 object Writer {
 
   def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
-    // GUIDED BOUNDARY, not a late classpath error: drune's merge sinks
-    // write through delta-spark (reference: src/drune/engines/spark/
-    // steps/writer.py:40-75), which is not on this build's classpath.
-    // graft READS Delta tables (sources/DeltaRead) but writes its own
-    // versioned protocol — same ACID commit/time-travel/merge surface
-    // on plain parquet — so name the two supported routes up front.
-    require(sink.format != "delta",
-      "graft has no Delta Lake WRITER in this build (the delta-spark connector " +
-        "is not on the classpath). Either write through graft's versioned " +
-        "protocol — SinkSpec(path, versioned = true) gives ACID commits, time " +
-        "travel, pruned merge/delete and partition overwrite on plain parquet — " +
-        "or export a snapshot into an existing Delta lakehouse from a " +
-        "connector-equipped session: spark.read.format(\"graft\").load(root)" +
-        ".write.format(\"delta\").save(target)")
+    // Delta-FORMAT sinks (drune's native lakehouse target, reference:
+    // src/drune/engines/spark/steps/writer.py:40-100) commit through
+    // graft's own implementation of the public _delta_log protocol
+    // (sources/DeltaWrite) — the delta-spark connector is not on this
+    // build's classpath, but the log protocol is, by design, engine-
+    // independent. Merge-shaped modes compose: graft's distributed
+    // merge plans compute the new snapshot, DeltaWrite commits it.
+    if (sink.format == "delta") { deltaSink(spark, df, sink); return }
     sink.table match {
       // Versioned CATALOG table: the data commits through the path
       // protocol (manifest CAS — concurrent merges serialize), then the
@@ -109,6 +103,61 @@ object Writer {
         overwriteMerged(upsert(df, Some(base)))
       case Scd2(track) =>
         overwriteMerged(Scd2Merge(spark, df, Some(base), track))
+    }
+  }
+
+  /** Delta-format path sink. Append / overwrite / dynamic partition
+    * overwrite are native log commits (remove actions cover exactly
+    * the replaced files). Merge modes reuse graft's distributed merge
+    * plans over the CURRENT snapshot and commit the result as an
+    * overwrite — a full rewrite, the honest shape without per-file
+    * stats in the foreign log; a merge-heavy table belongs in graft's
+    * versioned protocol where commitMerge prunes by file stats.
+    */
+  private def deltaSink(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    require(sink.table.isEmpty,
+      s"delta sink '${sink.table.get}': catalog-table targets need the delta-spark " +
+        "connector's catalog integration — write to a path sink (the table root), " +
+        "then register it, or use a graft versioned catalog table")
+    require(!sink.versioned,
+      "versioned: true is graft's own manifest protocol — a delta sink is already " +
+        "versioned by its transaction log; drop one of the two")
+    require(sink.path.nonEmpty, "delta sink needs a path")
+    // clustering requests compose: cluster the outgoing snapshot, then
+    // commit the clustered files through the log
+    def clustered(d: DataFrame): DataFrame =
+      if (sink.zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(d, sink.zorderBy, sink.zorderFiles,
+          within = sink.partitionBy)
+      else d
+    def base: Option[DataFrame] =
+      if (graft.sources.DeltaRead.isDeltaTable(spark, sink.path))
+        Some(graft.sources.DeltaRead.read(spark, sink.path))
+      else None
+    sink.mode match {
+      case Append =>
+        graft.sources.DeltaWrite.append(spark, clustered(df), sink.path, sink.partitionBy)
+      case Overwrite =>
+        graft.sources.DeltaWrite.overwrite(spark, clustered(df), sink.path, sink.partitionBy)
+      case OverwritePartition =>
+        require(sink.partitionBy.nonEmpty,
+          "overwrite_partition on a delta sink needs partition_by")
+        graft.sources.DeltaWrite.overwritePartitions(spark, clustered(df), sink.path,
+          sink.partitionBy)
+      case OverwriteWhere(cond) =>
+        val merged = base match {
+          case Some(b) => b.where(s"($cond) IS NOT TRUE")
+            .unionByName(df.where(cond), allowMissingColumns = true)
+          case None => df // first write: nothing to replace (same as writePath)
+        }
+        graft.sources.DeltaWrite.overwrite(spark, clustered(merged), sink.path,
+          sink.partitionBy)
+      case MergeUpsert =>
+        graft.sources.DeltaWrite.overwrite(spark, clustered(upsert(df, base)), sink.path,
+          sink.partitionBy)
+      case Scd2(track) =>
+        graft.sources.DeltaWrite.overwrite(spark,
+          clustered(Scd2Merge(spark, df, base, track)), sink.path, sink.partitionBy)
     }
   }
 

@@ -1026,6 +1026,36 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q107: the NATIVE DELTA LAKE WRITER under the oracle gate — the
+    // base lands as a freshly-created partitioned Delta table (v0:
+    // protocol + metaData + hive-partitioned adds through graft's own
+    // _delta_log commit, sources/DeltaWrite), then a dynamic partition
+    // overwrite replaces ONLY the 'F' partition (v1: remove actions
+    // cover exactly the touched partition's files; 'O'/'P' files carry
+    // over untouched in the log). The read-back goes through the
+    // log-planned DeltaRead scan, so the driver hash covers the whole
+    // writer→log→reader protocol loop end-to-end. Same closed form as
+    // q84 — deliberately: identical semantics through a different
+    // storage protocol.
+    "q107_delta_write" -> ((s, dir) => {
+      val root = scratchRoot("graft_q107")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      Writer.write(s, base, SinkSpec(root, format = "delta", mode = Append,
+        partitionBy = Seq("o_orderstatus")))
+      val po = orders.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("((__cents * 110 + 50) div 100) / 100.0D").as("price"),
+          lit("po").as("src"))
+      Writer.write(s, po, SinkSpec(root, format = "delta", mode = OverwritePartition,
+        partitionBy = Seq("o_orderstatus")))
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q86: STATS-PRUNED overwrite_where (replaceWhere) under the
     // oracle gate — the base commits as 8 range-clustered files on
     // o_orderkey, then the o_orderkey<1000 span is replaced with
@@ -1569,6 +1599,16 @@ object RelationalQueries {
         |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 120 + 50) // 100) / 100.0
         |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
         |  CASE WHEN o_orderkey < 1000 THEN 'bf' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // same closed form as q84: the delta-protocol dynamic overwrite
+    // must produce byte-identical content through a different log
+    "q107_delta_write" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'po' ELSE 'base' END AS src
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // dynamic-overwrite closed form: 'F' rows come from the re-priced

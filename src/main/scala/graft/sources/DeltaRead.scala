@@ -63,7 +63,12 @@ object DeltaRead {
         * a legacy action lacked it) — lets the scan plan from log
         * metadata alone, no per-file stat calls
         */
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      /** the table's `metaData.id` — the writer must CARRY it through
+        * schema-changing overwrites (a new id means "different table"
+        * to other Delta clients); null on legacy logs that never set it
+        */
+      metaId: String = null)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -223,6 +228,7 @@ object DeltaRead {
 
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
+    var metaId: String = null
     var ckptAdds: Option[DataFrame] = None
 
     ckpt.foreach { cv =>
@@ -230,9 +236,11 @@ object DeltaRead {
         checkpointFiles(cv).map(n => new Path(logP, n).toString): _*)
       // checkpoint rows: one action per row in struct columns
       val cols = rows.columns.toSet
-      if (cols("metaData")) rows.select("metaData.schemaString", "metaData.partitionColumns")
+      if (cols("metaData")) rows.select("metaData.schemaString", "metaData.partitionColumns",
+          "metaData.id")
         .collect().filter(!_.isNullAt(0)).foreach { r =>
           schemaJson = r.getString(0); partCols = r.getSeq[String](1)
+          if (!r.isNullAt(2)) metaId = r.getString(2)
         }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
       val addCols = rows.select("add.*").columns.toSet
@@ -280,6 +288,7 @@ object DeltaRead {
           schemaJson = md.path("schemaString").asText(null)
           partCols = md.path("partitionColumns").elements().asScala
             .map(_.asText()).toSeq
+          metaId = md.path("id").asText(metaId)
         }
         if (node.has("add")) {
           val add = node.get("add")
@@ -328,7 +337,7 @@ object DeltaRead {
       s"Delta log at $path carries no metaData action — cannot derive a schema")
     Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
       partCols, entries.map { case (p, (pv, _)) => p -> pv },
-      entries.map { case (p, (_, sz)) => p -> sz })
+      entries.map { case (p, (_, sz)) => p -> sz }, metaId)
   }
 
   /** `_last_checkpoint` fast path for latest-version reads: returns
