@@ -117,8 +117,10 @@ object Cli {
         else bs.foreach(b => println(s"[graft] $b"))
       case "publish" =>
         val name = opt(rest, "--name").getOrElse(sys.error("publish needs --name <branch>"))
-        val v = VersionedTable.publishBranch(spark, root, name)
-        println(s"[graft] published branch '$name' of $root as v$v")
+        val force = rest.contains("--force")
+        val v = VersionedTable.publishBranch(spark, root, name, force = force)
+        println(s"[graft] published branch '$name' of $root as v$v" +
+          (if (force) " (forced past the fork-point guard)" else ""))
       case "drop-branch" =>
         val name = opt(rest, "--name").getOrElse(sys.error("drop-branch needs --name <branch>"))
         val existed = VersionedTable.dropBranch(spark, root, name)

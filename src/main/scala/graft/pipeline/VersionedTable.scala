@@ -170,6 +170,15 @@ object VersionedTable {
     content.split("\n").map(_.trim).find(_.startsWith("#layout="))
       .map(_.stripPrefix("#layout=").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
+  // `#fork=<mainVersion>` in a branch's v1 manifest records the main
+  // version the branch was cut from — publishBranch's fast-forward
+  // guard (refuse when main advanced past the fork; the audit never
+  // saw those commits). Pre-marker branches have no line → guard
+  // cannot apply (legacy last-writer-wins, documented).
+  private def parseFork(content: String): Option[Long] =
+    content.split("\n").map(_.trim).find(_.startsWith("#fork="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("#fork=").toLong).toOption)
+
   /** The recorded commit kind of `version`, if the manifest carries one. */
   private[pipeline] def commitKindOf(spark: SparkSession, root: String,
                                      version: Long): Option[String] = {
@@ -559,15 +568,34 @@ object VersionedTable {
     * serially. Local threads, not a Spark job — the items are tiny
     * and the latency is I/O wait, not CPU.
     */
-  private def parallelMap[A, B](items: Seq[A], parallelism: Int = 32)(f: A => B): Seq[B] =
+  private lazy val metaReadPool = {
+    // shared daemon pool: load/classify paths call parallelMap once or
+    // twice per COMMIT — per-call pool construction/teardown is churn
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-meta-read-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    java.util.concurrent.Executors.newFixedThreadPool(32, tf)
+  }
+
+  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.length <= 1) items.map(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, items.length))
-      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+      items.map(a => metaReadPool.submit(new java.util.concurrent.Callable[B] {
         override def call(): B = f(a)
-      })).map(_.get())
-      finally pool.shutdown()
+      })).map { fut =>
+        try fut.get()
+        catch {
+          // surface the WORKER's failure, not the Future wrapper — a
+          // sidecar IOException must read the same whether the reads
+          // ran serial or parallel
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
     }
 
   def snapshotFilesPartitioned(spark: SparkSession, root: String, version: Long)
@@ -2147,8 +2175,16 @@ object VersionedTable {
     val bm = mdirOf(rootP, bRoot)
     fs.mkdirs(bm)
     if (!casPublish(fs, new Path(bm, "v0000000001"),
-        (dirs :+ "#kind=branch").mkString("\n") + layoutPart))
-      throw new IllegalArgumentException(s"branch '$name' already exists at $root")
+        (dirs :+ "#kind=branch" :+ s"#fork=$v").mkString("\n") + layoutPart)) {
+      // a failed CAS is "already exists" ONLY when the pointer is
+      // actually there — a transient store error during the atomic
+      // create must surface as retryable, not as a duplicate name
+      if (fs.exists(new Path(bm, "v0000000001")))
+        throw new IllegalArgumentException(s"branch '$name' already exists at $root")
+      throw new IllegalStateException(
+        s"createBranch('$name') at $root: the atomic pointer publish failed but no " +
+          "branch exists — transient storage error; retry the create")
+    }
     // TOCTOU re-check (restore's hazard, simpler remedy): a vacuum that
     // computed its referenced set before this pointer landed may have
     // swept the fork point's dirs — detect, remove the dangling branch,
@@ -2195,14 +2231,26 @@ object VersionedTable {
     * branch-referenced dir), so no liveness dance is needed — drop
     * the branch only AFTER the publish lands. No-op returning the
     * current main version when main already matches the branch head.
+    *
+    * FAST-FORWARD GUARD: the branch's v1 records its fork point
+    * (`#fork=<mainVersion>`); publish REFUSES when main's head moved
+    * past it — the audit (branchDiff) ran against a main the publish
+    * would silently revert, the lost-update hazard Iceberg's
+    * fast-forward also refuses. `force = true` (SQL:
+    * `GRAFT_PUBLISH(path, name, FORCE)`) keeps last-writer-wins for
+    * the operator who re-audited against the NEW main. Pre-guard
+    * branches carry no fork marker → the guard cannot apply (legacy
+    * last-writer-wins).
     */
   def publishBranch(spark: SparkSession, root: String, name: String,
-                    maxAttempts: Int = 5): Long = {
+                    maxAttempts: Int = 5, force: Boolean = false): Long = {
     require(branchOf(root).isEmpty, s"publish targets the main root, got: $root")
     val bRoot = branchRoot(root, name)
     val (fs, rootP) = fsFor(spark, root)
     val bSnap = currentSnapshot(spark, bRoot).getOrElse(throw new IllegalArgumentException(
       s"branch '$name' of $root has no committed version — nothing to publish"))
+    val fork: Option[Long] =
+      readSmall(fs, new Path(mdirOf(rootP, bRoot), "v0000000001")).flatMap(parseFork)
     val layoutPart = currentLayoutOf(fs, mdirOf(rootP, bRoot), bSnap.version)
       .map(layoutLine).getOrElse("")
     var attempt = 0
@@ -2210,6 +2258,16 @@ object VersionedTable {
       attempt += 1
       val main = currentSnapshot(spark, root)
       if (main.exists(_.dataDirs == bSnap.dataDirs)) return main.get.version
+      if (!force) fork.foreach { f =>
+        val head = main.map(_.version).getOrElse(0L)
+        if (head != f) throw new IllegalStateException(
+          s"publish of branch '$name' at $root refused: main advanced past the " +
+            s"fork point (forked at v$f, head is v$head) — publishing would " +
+            "silently revert commits the branch audit never saw. Re-audit against " +
+            "the CURRENT main (branchDiff / GRAFT_BRANCH_DIFF) and either " +
+            "re-branch, or publish with force=true (SQL: GRAFT_PUBLISH(path, " +
+            "name, FORCE)) to deliberately keep last-writer-wins")
+      }
       val next = main.map(_.version + 1).getOrElse(1L)
       if (casPublish(fs, new Path(mdirOf(rootP, root), f"v$next%010d"),
           (bSnap.dataDirs :+ "#kind=rewrite").mkString("\n") + layoutPart)) {
@@ -2336,7 +2394,13 @@ object VersionedTable {
       rounds += 1
       val again = computeKeepSet()
       if (again._1.headOption.map(_._1) == kept.headOption.map(_._1)) stable = true
-      else { kept = again._1; retired = again._2; referenced = again._3 }
+      // ALWAYS adopt the re-listed result (already paid for): even
+      // with main's head unchanged, a branch pointer landing mid-loop
+      // (createBranch, or a branch restore reaching past the keep
+      // window) widens the referenced set — sweeping with the stale
+      // one would turn that race into a branch deletion/heal instead
+      // of preventing it
+      kept = again._1; retired = again._2; referenced = again._3
     }
     if (!stable) throw new IllegalStateException(
       s"vacuum of $root aborted: the head advanced on every re-listing " +

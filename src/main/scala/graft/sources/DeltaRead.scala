@@ -236,12 +236,16 @@ object DeltaRead {
         checkpointFiles(cv).map(n => new Path(logP, n).toString): _*)
       // checkpoint rows: one action per row in struct columns
       val cols = rows.columns.toSet
-      if (cols("metaData")) rows.select("metaData.schemaString", "metaData.partitionColumns",
-          "metaData.id")
-        .collect().filter(!_.isNullAt(0)).foreach { r =>
-          schemaJson = r.getString(0); partCols = r.getSeq[String](1)
-          if (!r.isNullAt(2)) metaId = r.getString(2)
-        }
+      if (cols("metaData")) {
+        // `id` is optional in hand-written/legacy checkpoint layouts
+        val hasId = rows.select("metaData.*").columns.contains("id")
+        val idCol = if (hasId) col("metaData.id") else lit(null).cast("string")
+        rows.select(col("metaData.schemaString"), col("metaData.partitionColumns"), idCol)
+          .collect().filter(!_.isNullAt(0)).foreach { r =>
+            schemaJson = r.getString(0); partCols = r.getSeq[String](1)
+            if (!r.isNullAt(2)) metaId = r.getString(2)
+          }
+      }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
       val addCols = rows.select("add.*").columns.toSet
       val hasPv = addCols("partitionValues")

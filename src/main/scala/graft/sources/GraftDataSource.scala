@@ -170,6 +170,19 @@ private[graft] object GraftDataSource {
     val spec =
       if (partSchema.isEmpty) org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
       else {
+        // arity gate BEFORE the zip: zip silently truncates, and a flat
+        // leaf against a non-empty partSchema (a flat append into a
+        // partitioned table's micro-batch span) would build a 0-field
+        // row against a 1-column partition schema — an obscure
+        // execution-time arity crash instead of the documented refusal
+        files.find(_.partitions.length != partSchema.length).foreach { bad =>
+          throw new UnsupportedOperationException(
+            s"versioned table at $root mixes partition layouts: leaf " +
+              s"'${bad.path}' carries ${bad.partitions.length} partition segment(s) " +
+              s"(${bad.partitions.map(_._1).mkString(", ")}) against partition " +
+              s"schema (${partSchema.fieldNames.mkString(", ")}) — read this span " +
+              "through VersionedTable.read/GRAFT_READ, or recommit with one layout")
+        }
         val partitions = files
           .groupBy(f => (new Path(f.path).getParent, f.partitions.map(_._2)))
           .keys.toSeq.sortBy(_._1.toString)

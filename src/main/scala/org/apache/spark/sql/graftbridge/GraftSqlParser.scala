@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_BRANCH('/path', 'exp', 3)                    -- branch from v3
   * GRAFT_BRANCHES('/path')                            -- list branches
   * GRAFT_PUBLISH('/path', 'exp')                      -- fast-forward main to the branch head
+  * GRAFT_PUBLISH('/path', 'exp', FORCE)               -- publish past a diverged fork point
   * GRAFT_BRANCH_DROP('/path', 'exp')                  -- drop the branch (vacuum reclaims)
   * GRAFT_BRANCH_DIFF('/path', 'exp', KEY k)           -- what publish would change on main
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
@@ -184,9 +185,10 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       import session.implicits._
       graft.pipeline.VersionedTable.listBranches(session, path)
         .toDF("branch").queryExecution.logical
-    case PublishStmt(path, name) =>
+    case PublishStmt(path, name, forceKw) =>
       import session.implicits._
-      val v = graft.pipeline.VersionedTable.publishBranch(session, path, name)
+      val v = graft.pipeline.VersionedTable.publishBranch(session, path, name,
+        force = forceKw != null)
       Seq((name, v)).toDF("branch", "published_version").queryExecution.logical
     case BranchDiffStmt(path, name, keys, compareOpt) =>
       import graft.pipeline.VersionedTable
@@ -369,7 +371,7 @@ object GraftSqlParser {
   private val BranchesStmt =
     """(?is)^\s*GRAFT_BRANCHES\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val PublishStmt =
-    """(?is)^\s*GRAFT_PUBLISH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_PUBLISH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*(?:,\s*(FORCE))?\s*\)\s*;?\s*$""".r
   private val BranchDropStmt =
     """(?is)^\s*GRAFT_BRANCH_DROP\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val BranchDiffStmt =

@@ -41,13 +41,36 @@ class BranchSuite extends SparkSpec {
     // branch history/time-travel are its own sequence
     assert(VersionedTable.history(spark, bRoot).map(_.version) == Seq(1L, 2L))
     assert(VersionedTable.readVersion(spark, bRoot, 1L).count() == 2)
-    // publish: main's head becomes the branch's snapshot (pointer-only)
-    val pub = VersionedTable.publishBranch(spark, root, "exp")
+    // FORK-POINT GUARD: main advanced past the fork (the 9L commit the
+    // branch audit never saw) — publish must REFUSE, not silently
+    // revert it (the Iceberg fast-forward contract)
+    val refused = intercept[IllegalStateException] {
+      VersionedTable.publishBranch(spark, root, "exp")
+    }
+    assert(refused.getMessage.contains("advanced past the fork point"))
+    assert(ids(root) == Seq(1L, 2L, 9L)) // refusal left main untouched
+    // force: the operator re-audited against the new main and accepts
+    // last-writer-wins — main's head becomes the branch's snapshot
+    val pub = VersionedTable.publishBranch(spark, root, "exp", force = true)
     assert(ids(root) == Seq(1L, 2L, 3L))
     // a publish span is a REWRITE for delta readers (main's 9L vanished)
     assert(VersionedTable.appendedFilesBetween(spark, root, pub - 1, pub).isEmpty)
     // re-publishing an already-published branch mints no new version
+    // (the no-op check runs before the guard)
     assert(VersionedTable.publishBranch(spark, root, "exp") == pub)
+  }
+
+  test("publish succeeds without force when main never advanced past the fork") {
+    val root = tmp("branch_ff")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "clean")
+    val bRoot = VersionedTable.branchRoot(root, "clean")
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val pub = VersionedTable.publishBranch(spark, root, "clean")
+    assert(pub == 2L)
+    assert(ids(root) == Seq(1L, 2L))
   }
 
   test("branch mutations (merge/delete) stay off main; incremental reads work per-branch") {

@@ -157,15 +157,15 @@ class PipelineSuite extends SparkSpec {
     assert(again.count() == 4)
   }
 
-  test("a delta-format sink refuses up front with the two supported routes") {
-    val e = intercept[IllegalArgumentException] {
-      Writer.write(spark, Seq((1L, "a")).toDF("id", "v"),
-        SinkSpec("/tmp/never-written", format = "delta"))
-    }
-    // the refusal must name BOTH alternatives — the versioned protocol
-    // and the export recipe — not just say no
-    assert(e.getMessage.contains("versioned = true"), e.getMessage)
-    assert(e.getMessage.contains("write.format(\"delta\")"), e.getMessage)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/never-written")))
+  test("a delta-format sink writes through the native log protocol (round 12)") {
+    // the pre-round-12 refusal is gone: a delta path sink commits
+    // through sources/DeltaWrite and reads back through DeltaRead
+    val root = java.nio.file.Files.createTempDirectory("graft_delta_sink").toString + "/t"
+    Writer.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      SinkSpec(root, format = "delta"))
+    Writer.write(spark, Seq((3L, "c")).toDF("id", "v"),
+      SinkSpec(root, format = "delta"))
+    assert(graft.sources.DeltaRead.read(spark, root).count() == 3)
+    assert(graft.sources.DeltaRead.versions(spark, root) == Seq(0L, 1L))
   }
 }
