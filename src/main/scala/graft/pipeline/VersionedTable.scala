@@ -272,9 +272,39 @@ object VersionedTable {
       } else Map.empty
     if (format == "parquet" && dirs.nonEmpty) {
       val sidecars = dirs.map(entryDir).distinct.map(schemaSidecars(_))
-      val agree = sidecars.forall(_.isDefined) &&
-        sidecars.flatMap(_.map(_._1.json)).distinct.length == 1 &&
-        sidecars.flatMap(_.map(_._2)).distinct.length == 1
+      val allPresent = sidecars.forall(_.isDefined)
+      val partsAgree = allPresent && sidecars.flatMap(_.map(_._2)).distinct.length == 1
+      // ADDITIVE schema evolution stays on the fast path: merge the
+      // sidecar schemas in manifest encounter order (mirroring the
+      // general path's unionByName(allowMissingColumns) column order),
+      // columns absent from some dirs read as null from those files —
+      // parquet-by-name resolution gives that for free. Only a TYPE
+      // disagreement on a same-named column (non-additive evolution)
+      // falls back to the per-dir union read.
+      val mergedOpt: Option[org.apache.spark.sql.types.StructType] =
+        if (!partsAgree) None
+        else {
+          val schemas = sidecars.map(_.get._1)
+          if (schemas.map(_.json).distinct.length == 1) Some(schemas.head)
+          else {
+            val everywhere = schemas.map(_.fieldNames.toSet).reduce(_ intersect _)
+            val fields = scala.collection.mutable.LinkedHashMap[
+              String, org.apache.spark.sql.types.StructField]()
+            var ok = true
+            schemas.foreach(_.fields.foreach { f =>
+              fields.get(f.name) match {
+                case None =>
+                  fields(f.name) = if (everywhere(f.name)) f else f.copy(nullable = true)
+                case Some(prev) =>
+                  if (prev.dataType.catalogString != f.dataType.catalogString) ok = false
+                  else if (f.nullable && !prev.nullable)
+                    fields(f.name) = prev.copy(nullable = true)
+              }
+            })
+            if (ok) Some(org.apache.spark.sql.types.StructType(fields.values.toSeq))
+            else None
+          }
+        }
       // Partition-subtree refs and partition-qualified file refs
       // resolve fine (their col=value segments ride the leaf path);
       // only a PLAIN file ref under a hive parent would lose its
@@ -284,8 +314,8 @@ object VersionedTable {
           val mid = r.split('/').drop(1).dropRight(1)
           mid.nonEmpty && mid.forall(s => s.contains('=') && !s.startsWith("="))
         }
-      if (agree && hiveOk) {
-        val (recorded, partCols) = sidecars.head.get
+      if (mergedOpt.isDefined && hiveOk) {
+        val (recorded, partCols) = (mergedOpt.get, sidecars.head.get._2)
         val partSchema = org.apache.spark.sql.types.StructType(
           partCols.flatMap(c => recorded.fields.find(_.name == c)))
         if (partSchema.length == partCols.length) {

@@ -618,6 +618,30 @@ object RelationalQueries {
     // branch: main fast-forwards to the branch head as a pointer-only
     // commit. The oracle computes the closed form of the whole
     // write-audit-publish loop from the base table.
+    // q108: ADDITIVE SCHEMA EVOLUTION through the manifest fast path
+    // (round 12) — the even-key base commits with (o_orderkey,
+    // o_custkey), the odd-key delta appends with an extra status
+    // column; the snapshot read must stay ONE manifest-planned scan
+    // (ManifestPlanSuite pins the plan shape + zero plan-time FS
+    // calls) with the base rows null-filled. The driver hash covers
+    // the merged-schema read end-to-end.
+    "q108_evolved_read" -> ((s, dir) => {
+      val root = scratchRoot("graft_q108")
+      val orders = t(s, dir, "orders")
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey")),
+        compactAfter = Int.MaxValue)
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("status")),
+        compactAfter = Int.MaxValue)
+      VersionedTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("status"))
+        .orderBy("o_orderkey")
+    }),
+
     "q105_versioned_branch" -> ((s, dir) => {
       val root = scratchRoot("graft_q105")
       val orders = t(s, dir, "orders")
@@ -1599,6 +1623,13 @@ object RelationalQueries {
         |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 120 + 50) // 100) / 100.0
         |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
         |  CASE WHEN o_orderkey < 1000 THEN 'bf' ELSE 'base' END AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // evolved-read closed form: odd keys carry their status, the
+    // pre-evolution even-key rows read the new column as NULL
+    "q108_evolved_read" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // same closed form as q84: the delta-protocol dynamic overwrite

@@ -81,17 +81,25 @@ class ManifestPlanSuite extends SparkSpec {
     assert(got == Set((1L, "A", "old"), (3L, "C", "old"), (20L, "B", "new")))
   }
 
-  test("schema disagreement (additive evolution) falls back to the union path, still correct") {
+  test("additive evolution answers match between fast path and pre-round-12 union path") {
+    // round 12 moved additive evolution ONTO the fast path; this pins
+    // that the merged-schema scan answers exactly what the general
+    // union path answered (the old contract), including a dir whose
+    // column order differs
     val root = tmp("mplan_evo")
     VersionedTable.commitDelta(spark, root, "parquet",
       Seq((1L, "a")).toDF("id", "v"), compactAfter = Int.MaxValue)
     VersionedTable.commitDelta(spark, root, "parquet",
       Seq((2L, "b", 9L)).toDF("id", "v", "extra"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq(("c", 3L)).toDF("v", "id"), compactAfter = Int.MaxValue)
     val df = VersionedTable.read(spark, root)
-    assert(manifestIndexOf(df).isEmpty, "evolved snapshot must take the general path")
+    assert(manifestIndexOf(df).isDefined, "additive evolution must take the fast path now")
+    assert(df.columns.toSeq == Seq("id", "v", "extra"),
+      "column order = manifest encounter order, like unionByName's")
     val got = df.select("id", "v", "extra").collect()
       .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
-    assert(got == Set((1L, "a", -1L), (2L, "b", 9L)))
+    assert(got == Set((1L, "a", -1L), (2L, "b", 9L), (3L, "c", -1L)))
   }
 
   test("legacy dirs without schema sidecars fall back and still answer") {
@@ -154,6 +162,40 @@ class ManifestPlanSuite extends SparkSpec {
     val after = VersionedTable.read(spark, root)
     assert(manifestIndexOf(after).isDefined, "upgraded table must take the fast path")
     assert(after.select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+  }
+
+  test("ADDITIVE schema evolution stays on the fast path: one manifest scan, nulls for old files") {
+    val root = tmp("mplan_evolve")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // append with a NEW column: the sidecars now disagree additively
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score"),
+      compactAfter = Int.MaxValue)
+    val df = VersionedTable.read(spark, root)
+    val idx = manifestIndexOf(df)
+    assert(idx.isDefined,
+      s"additively-evolved snapshot must STAY on ManifestFileIndex:\n${df.queryExecution.logical}")
+    assert(idx.get.sizedFiles.forall(_._2 > 0), "zero plan-time FS calls = sizes from sidecars")
+    // merged schema in encounter order; old files read the new column as null
+    assert(df.columns.toSeq == Seq("id", "v", "score"))
+    val got = df.select("id", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(0.7))))
+    // one scan, not a union of per-dir branches
+    assert(!df.queryExecution.executedPlan.toString.contains("Union"))
+    // a TYPE change on a same-named column is NOT additive → general
+    // path (still correct, via per-dir union)
+    val root2 = tmp("mplan_conflict")
+    VersionedTable.commitDelta(spark, root2, "parquet",
+      Seq((1L, 10L)).toDF("id", "n"), compactAfter = Int.MaxValue)
+    VersionedTable.commitDelta(spark, root2, "parquet",
+      Seq((2L, "ten")).toDF("id", "n"), compactAfter = Int.MaxValue)
+    val df2 = VersionedTable.read(spark, root2)
+    assert(manifestIndexOf(df2).isEmpty, "type conflict must fall back to the general path")
+    assert(df2.count() == 2)
   }
 
   test("read-side stat skipping through the DSv2 face keeps the manifest index (no re-stat)") {
