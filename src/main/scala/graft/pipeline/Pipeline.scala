@@ -142,6 +142,39 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         val casted = c.dataType.map(dt => s"cast(($base) AS $dt)").getOrElse(base)
         d.withColumn(c.name, expr(casted))
       }
+    case DedupStep(method, idCol, textCol, threshold) => method match {
+      case "exact" =>
+        // keep the min-id row per fingerprint, ALL columns surviving:
+        // one hash agg for the keeper set, one semi join back (both
+        // shuffle on the same 8-byte-key class — no pairwise step)
+        val keep = graft.operators.Dedup.exact(df, idCol, textCol).select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case "minhash" =>
+        val pairs = graft.operators.Dedup.minhashLsh(df, idCol, textCol,
+          threshold = threshold)
+        val groups = graft.operators.Dedup.nearDupGroups(pairs) // eager
+        graft.operators.Dedup.releaseCheckpoint(pairs)
+        val losers = groups.where(col("doc_id") =!= col("group_id"))
+          .select(col("doc_id").as(idCol))
+        // materialize before releasing the groups checkpoint the
+        // anti-join reads (same contract as the operators' own
+        // materialize-then-release)
+        val out = df.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
+        graft.operators.Dedup.releaseCheckpoint(groups)
+        out
+      case m => throw new IllegalArgumentException(s"dedup step: unknown method '$m'")
+    }
+    case CurateStep(idCol, textCol, minTokens, maxTokens, langs, nearDup, threshold) =>
+      val effLangs = if (langs.nonEmpty) langs else graft.operators.Curation.defaultLangs
+      if (nearDup)
+        graft.operators.Curation.curateNearDup(df, idCol, textCol, minTokens, maxTokens,
+          effLangs, threshold)
+      else
+        graft.operators.Curation.curate(df, idCol, textCol, minTokens, maxTokens, effLangs)
+    case PackStep(seqLen, idCol, textCol) =>
+      graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol)
+    case MixtureStep(targets, idCol, domainCol) =>
+      graft.operators.Curation.mixtureSample(df, targets, idCol, domainCol)
     case Validate(columns, tableRules, logPath) =>
       val specs = columns.filter(_.constraints.nonEmpty)
         .map(c => ColumnConstraints(c.name, c.constraints))

@@ -333,6 +333,39 @@ object YamlLoader {
           .map(cols => Seq[TableRule](DuplicateCheck(cols.map(_.toString).toSeq))).getOrElse(Nil),
         logPath = str(params, "log_path"))
       case "transform" => Transform(srcColumns, pk, addControlColumns = pk.nonEmpty)
+      // LLM-pipeline step kinds (graft extension): the declarative
+      // face of the corpus operators — see model.scala's Scaladoc.
+      case "dedup" => DedupStep(
+        method = str(params, "method").getOrElse("exact") match {
+          case m @ ("exact" | "minhash") => m
+          case m => throw new IllegalArgumentException(
+            s"dedup step: unknown method '$m' (exact | minhash)")
+        },
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"),
+        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8))
+      case "curate" => CurateStep(
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"),
+        minTokens = str(params, "min_tokens").map(_.toLong).getOrElse(20L),
+        maxTokens = str(params, "max_tokens").map(_.toLong).getOrElse(1000000L),
+        langs = params.get("langs").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
+        nearDup = bool(params, "near_dup"),
+        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8))
+      case "pack" => PackStep(
+        seqLen = str(params, "seq_len").map(_.toLong).getOrElse(
+          throw new IllegalArgumentException("pack step requires a 'seq_len' param")),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
+      case "mixture" => MixtureStep(
+        // `targets: {en: 60, de: 40}` — sorted by domain for a
+        // deterministic spec regardless of YAML map iteration order
+        targets = params.get("targets").map(asMap).map(
+          _.toSeq.map { case (k, v) => k -> v.toString.toLong }.sortBy(_._1)).getOrElse(
+            throw new IllegalArgumentException(
+              "mixture step requires a 'targets' map of domain -> integer weight")),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        domainCol = str(params, "domain_col").getOrElse("lang"))
       case other => throw new IllegalArgumentException(s"unknown step type '$other'")
     }
   }

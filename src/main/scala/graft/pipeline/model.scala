@@ -180,6 +180,52 @@ final case class Validate(
     /** Append warn-rule failures here (validator.py validation_log_table). */
     logPath: Option[String] = None) extends Step
 
+/** LLM-pipeline steps (graft extension; YAML `dedup:`/`curate:`/
+  * `pack:`/`mixture:`) — the declarative face of the corpus operators
+  * in [[graft.operators]]. The reference is a declarative framework;
+  * these make graft's training-data family configurable the same way
+  * its relational steps are.
+  */
+/** Duplicate removal: `exact` keeps the min-id row per normalized-text
+  * fingerprint ([[graft.operators.Dedup.exact]]); `minhash` resolves
+  * MinHash/LSH near-dup groups and keeps each group's min id
+  * ([[graft.operators.Dedup.minhashLsh]]/`nearDupGroups`). Both FILTER
+  * the flowing frame — all its columns survive.
+  */
+final case class DedupStep(
+    method: String = "exact",
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    threshold: Double = 0.8) extends Step
+/** Corpus curation ([[graft.operators.Curation.curate]] /
+  * `curateNearDup` when `nearDup`): quality gate + language filter +
+  * exact-dup keeper (+ LSH near-dup group resolution). Projects to the
+  * operator's (doc_id, n_tokens, lang_pred) shape.
+  */
+final case class CurateStep(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    minTokens: Long = 20,
+    maxTokens: Long = 1000000,
+    langs: Seq[String] = Nil,
+    nearDup: Boolean = false,
+    threshold: Double = 0.8) extends Step
+/** Training-sequence packing ([[graft.operators.Packing.sequencePack]]):
+  * (id, n_tokens, bin, bin_offset) via the distributed two-pass prefix
+  * sum.
+  */
+final case class PackStep(
+    seqLen: Long,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
+/** Domain-mixture resampling ([[graft.operators.Curation.mixtureSample]]):
+  * integer-rate hash thinning to the target domain weights.
+  */
+final case class MixtureStep(
+    targets: Seq[(String, Long)],
+    idCol: String = "doc_id",
+    domainCol: String = "lang") extends Step
+
 final case class PipelineSpec(
     name: String,
     sources: Seq[SourceSpec],

@@ -586,4 +586,76 @@ class YamlLoaderSuite extends SparkSpec {
     bad("    group_by: [status]\n    aggregates: [{kind: count}]", "name is required")
     bad("    group_by: [status]\n    aggregates: [{name: n}]", "kind is required")
   }
+
+  test("LLM-pipeline step kinds: YAML curate reproduces the operator call exactly") {
+    val docs = s"$sfDir/documents.parquet"
+    val spec = YamlLoader.load(
+      s"""pipeline_name: curation
+         |sources:
+         |  - name: documents
+         |    type: file
+         |    format: parquet
+         |    path: "$docs"
+         |steps:
+         |  - type: curate
+         |    params:
+         |      min_tokens: 20
+         |""".stripMargin)
+    assert(spec.steps == Seq(CurateStep(minTokens = 20)))
+    val out = Pipeline(spark, spec).run().orderBy("doc_id").collect().toSeq
+    val expected = graft.operators.Curation.curate(
+        spark.read.parquet(docs), minTokens = 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(out == expected, "YAML curate must be row-identical to Curation.curate (q39)")
+  }
+
+  test("LLM-pipeline step kinds: dedup/pack/mixture parse and run") {
+    val docs = s"$sfDir/documents.parquet"
+    val spec = YamlLoader.load(
+      s"""pipeline_name: corpus
+         |sources:
+         |  - name: documents
+         |    type: file
+         |    format: parquet
+         |    path: "$docs"
+         |steps:
+         |  - type: dedup
+         |    params: {method: exact}
+         |  - type: pack
+         |    params: {seq_len: 2048}
+         |""".stripMargin)
+    assert(spec.steps == Seq(DedupStep(), PackStep(2048L)))
+    val out = Pipeline(spark, spec).run()
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "bin", "bin_offset"))
+    val n = out.count()
+    val raw = spark.read.parquet(docs)
+    assert(n > 0 && n <= raw.count())
+    // dedup step keeps ALL original columns (filter semantics)
+    val dd = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: dd
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: dedup, params: {method: minhash, threshold: 0.8}}]
+         |""".stripMargin)).run()
+    assert(dd.columns.sorted.toSeq == raw.columns.sorted.toSeq)
+    assert(dd.count() <= raw.count())
+    // mixture: integer-rate thinning toward the declared weights
+    val mixSpec = YamlLoader.load(
+      s"""pipeline_name: mix
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: mixture, params: {targets: {en: 60, de: 40}, domain_col: lang}}]
+         |""".stripMargin)
+    assert(mixSpec.steps == Seq(MixtureStep(Seq("de" -> 40L, "en" -> 60L))))
+    val mixed = Pipeline(spark, mixSpec).run()
+    assert(mixed.columns.toSeq == Seq("doc_id", "lang", "bucket"))
+    assert(mixed.count() > 0)
+    // unknown method refuses at LOAD time
+    val e = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """pipeline_name: x
+          |sources: [{name: d, type: file, format: parquet, path: "/x"}]
+          |steps: [{type: dedup, params: {method: fuzzy}}]
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown method 'fuzzy'"))
+  }
 }
