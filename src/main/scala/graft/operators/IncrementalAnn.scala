@@ -98,6 +98,119 @@ object IncrementalAnn {
       assigned(delta, cents, idCol, vecCol), partitionBy = Seq("list_id"))
   }
 
+  /** LIST-SKEW MAINTENANCE: split oversized inverted lists in place.
+    * Many O(delta) appends against fixed centroids drift mass onto hot
+    * lists (every probe that touches one pays its whole scan); a full
+    * retrain (re-init) fixes that at one corpus pass, but rebalance is
+    * the cheaper standing tool — O(hot lists), not O(index):
+    *
+    *  - lists holding more than `maxListFactor` × the mean are split:
+    *    `splitWays` sub-centroids train on THAT LIST'S vectors only
+    *    (a bounded per-list Lloyd run), taking fresh list ids;
+    *  - only the hot partitions rewrite — the data commit is ONE
+    *    [[VersionedTable.commitOverwriteWhere]] on `list_id IN (hot)`,
+    *    so cold lists carry over by reference (zero data I/O);
+    *  - the quantizer then re-publishes with the hot centroids
+    *    replaced by their sub-centroids. Future appends and probes
+    *    use the finer cells.
+    *
+    * Search correctness never depends on balance: with nprobe = nlist
+    * the result still EXACTLY equals brute force (the suite pins a
+    * skewed-append → rebalance → exhaustive-search loop against
+    * [[Similarity.knnBrute]]).
+    *
+    * Crash posture (maintenance op, single-writer like re-init): the
+    * data commit lands BEFORE the quantizer re-publish; a crash
+    * between them leaves sub-lists the quantizer doesn't name. This
+    * call HEALS that on entry — any list id present in the index but
+    * absent from the quantizer gets its mean vector added back — so
+    * re-running the rebalance converges instead of stranding vectors.
+    *
+    * Returns the list ids that were split (empty = balanced already).
+    */
+  def rebalanceLists(
+      spark: SparkSession,
+      root: String,
+      maxListFactor: Double = 2.0,
+      splitWays: Int = 2,
+      iters: Int = 2): Seq[Int] = {
+    require(maxListFactor > 1.0, s"maxListFactor must exceed 1: $maxListFactor")
+    require(splitWays >= 2, s"splitWays must be at least 2: $splitWays")
+    var cents = centroids(spark, root)
+    val idx = VersionedTable.read(spark, root)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = idx.groupBy("list_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return Nil
+      // heal orphan lists from a crashed prior rebalance (see doc)
+      val orphans = counts.keySet -- cents.map(_._1).toSet
+      if (orphans.nonEmpty) {
+        val means = listMeans(idx.where(col("list_id").isin(orphans.toSeq: _*)))
+        cents = (cents ++ means).sortBy(_._1)
+        publishCentroids(spark, root, cents)
+      }
+      val mean = counts.values.sum.toDouble / cents.length
+      val hot = counts.filter(_._2 > maxListFactor * math.max(1.0, mean))
+        .keys.toSeq.sorted
+      if (hot.isEmpty) return Nil
+      var nextId = cents.map(_._1).max + 1
+      val subCents = hot.flatMap { lid =>
+        val sub = Similarity.ivfCentroids(
+          idx.where(col("list_id") === lid), splitWays, iters, "vec_id", "vec")
+        sub.map { case (_, c) => val id = nextId; nextId += 1; (lid, id, c) }
+      }
+      // each hot list's vectors re-assign against ITS OWN sub-centroids
+      // (assigning against the full set could land rows in cold lists,
+      // whose partitions this commit deliberately does not touch)
+      val reassigned = hot.map { lid =>
+        val mine = subCents.collect { case (`lid`, id, c) => id -> c }
+        idx.where(col("list_id") === lid)
+          .select(col("vec_id"), col("vec"),
+            Similarity.ivfAssign(col("vec"), mine).as("list_id"))
+      }.reduce(_ unionByName _)
+      // the condition names the dropped hot lists AND the fresh
+      // sub-list ids: replaceWhere keeps only source rows matching the
+      // predicate (delta-spark's replaceWhere contract) — the fresh
+      // ids hold no pre-existing rows, so the removal set is still
+      // exactly the hot partitions
+      val touched = hot ++ subCents.map(_._2)
+      VersionedTable.commitOverwriteWhere(spark, root, "parquet", reassigned,
+        s"list_id IN (${touched.mkString(", ")})", partitionBy = Seq("list_id"))
+      publishCentroids(spark, root,
+        (cents.filterNot(c => hot.contains(c._1)) ++
+          subCents.map { case (_, id, c) => id -> c }).sortBy(_._1))
+      hot
+    } finally idx.unpersist(blocking = false)
+  }
+
+  /** Mean vector per list (the heal path's centroid reconstruction). */
+  private def listMeans(lists: DataFrame): Seq[(Int, Array[Float])] =
+    lists.select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("list_id", "pos").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+
+  /** Replace the persisted quantizer (tmp write + swap; rebalance is a
+    * single-writer maintenance op — see [[rebalanceLists]] doc).
+    */
+  private def publishCentroids(spark: SparkSession, root: String,
+                               cents: Seq[(Int, Array[Float])]): Unit = {
+    val target = new Path(centroidsPath(root))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent,
+      target.getName + "__rebal_" + java.util.UUID.randomUUID.toString.take(8))
+    Similarity.centroidsToDF(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"quantizer swap $tmp -> $target failed; index data is committed — re-run " +
+        "rebalanceLists to heal the quantizer")
+  }
+
   /** IVF search over the persisted index: rank the `nprobe`
     * nearest-list candidates of each probe by exact cosine, keep the
     * top `k` (`probe_id, vec_id, sim, rank`; self excluded, sim

@@ -286,6 +286,17 @@ object MaterializedAgg {
               maxAttempts: Int = 5): Long = {
     require(groupBy.nonEmpty, "refresh needs at least one group column")
     require(aggs.nonEmpty, "refresh needs at least one aggregate")
+    // A BRANCH-addressed rollup root is refused loudly: the rollup is
+    // its own versioned table whose definition sidecar and watermark
+    // live at the PLAIN root — a '#branch=' path here would bake the
+    // marker into a literal directory name. (A branch SOURCE root is
+    // fully supported: maintain an experiment's rollup at a separate
+    // plain aggRoot over `srcRoot#branch=name`.)
+    require(VersionedTable.branchOf(aggRoot).isEmpty,
+      s"materialized-view rollup root '$aggRoot' cannot be a branch path — " +
+        "rollups are plain versioned tables; to maintain a rollup over a " +
+        "BRANCH, point srcRoot at root#branch=<name> and use a separate " +
+        "plain aggRoot for the experimental rollup")
     val d = MatViewDef(srcRoot, groupBy, aggs, srcFormat, aggFormat)
     // render EAGERLY: a shape the sidecar can't serialize (tab/newline
     // in a name or expr) must refuse here, before the first fold

@@ -1404,12 +1404,36 @@ object VersionedTable {
     // provably disjoint from the file's range for that column
     val touchesFile: Option[FileStats.FileStat] => Boolean = {
       case Some(st) =>
-        !constraints.exists { case (c, lo, hi) =>
-          st.cols.get(c).exists { cs =>
-            lo.flatMap(l => statCmp(cs.max, l)).exists(_ < 0) ||
-              hi.flatMap(h => statCmp(cs.min, h)).exists(_ > 0)
-          }
-        }
+        // PARTITION columns never appear in footer stats (their values
+        // live in the path) — derive min=max constants from the
+        // file's col=value segments so a replaceWhere keyed on the
+        // partition column still prunes file-level (O(touched), not
+        // O(table)). Numeric-looking values compare numerically,
+        // mirroring the cast Spark applies to the real predicate; an
+        // uncomparable pair yields no verdict → conservatively touched.
+        lazy val partConsts: Map[String, Any] = st.file.split('/').dropRight(1)
+          .filter(s => s.contains('=') && !s.startsWith("=")).flatMap { seg =>
+            val kv = seg.split("=", 2)
+            val k = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(kv(0))
+            val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(kv(1))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") None // null: no verdict
+            else Some(k -> (scala.util.Try(raw.toLong).toOption
+              .orElse(scala.util.Try(raw.toDouble).toOption)
+              .getOrElse(raw): Any))
+          }.toMap
+        def excluded(c: String, lo: Option[Any], hi: Option[Any]): Boolean =
+          st.cols.get(c).map(cs => (cs.min, cs.max))
+            .orElse(partConsts.get(c).map(v => (v, v)))
+            .exists { case (mn, mx) =>
+              lo.flatMap(l => statCmp(mx, l)).exists(_ < 0) ||
+                hi.flatMap(h => statCmp(mn, h)).exists(_ > 0)
+            }
+        // untouched iff EVERY disjunct is provably excluded
+        !constraints.forall(conj => conj.exists {
+          case (c, lo, hi) => excluded(c, lo, hi)
+        })
       case None => true
     }
     var attempt = 0
@@ -1569,7 +1593,7 @@ object VersionedTable {
     * yields no constraints (→ every file rewrites).
     */
   private def condConstraints(spark: SparkSession, cond: String)
-      : Seq[(String, Option[Any], Option[Any])] = {
+      : Seq[Seq[(String, Option[Any], Option[Any])]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def litVal(e: Expression): Option[Any] = e match {
@@ -1603,8 +1627,7 @@ object VersionedTable {
             yield (if (cl < 0) v else lo, if (ch > 0) v else hi)
         case (None, _) => None
       }
-    def walk(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
-      case And(l, r)                 => walk(l) ++ walk(r)
+    def leaf(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
       case GreaterThanOrEqual(a, v)  => ge(a, v) ++ le(v, a)
       case GreaterThan(a, v)         => ge(a, v) ++ le(v, a) // widened: sound
       case LessThanOrEqual(a, v)     => le(a, v) ++ ge(v, a)
@@ -1612,6 +1635,7 @@ object VersionedTable {
       case EqualTo(a, v)             => eq(a, v) ++ eq(v, a)
       case In(a, vals) if vals.nonEmpty =>
         // col IN (v1..vn) ⊆ [min, max] — widened to the hull: sound
+        // (the DNF walk below expands small IN lists exactly instead)
         (for {
           c <- attrName(a)
           lits = vals.map(litVal)
@@ -1620,10 +1644,34 @@ object VersionedTable {
         } yield (c, Some(mm._1): Option[Any], Some(mm._2): Option[Any])).toSeq
       case _ => Nil
     }
+    def conj(e: Expression): Seq[(String, Option[Any], Option[Any])] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case other     => leaf(other)
+    }
+    // DISJUNCTS of conjuncts: a file is provably untouched iff EVERY
+    // disjunct has a constraint excluding it. OR branches and small IN
+    // lists expand exactly — the hull widening alone would classify a
+    // partition-keyed `IN (0, 17, 18)` as touching every partition in
+    // [0, 18]. Blowup is capped (the collapsed conjunction fallback
+    // stays sound: fewer provable exclusions, never a wrong one).
+    def dnf(e: Expression): Seq[Seq[(String, Option[Any], Option[Any])]] = e match {
+      case And(l, r) =>
+        val (a, b) = (dnf(l), dnf(r))
+        if (a.length.toLong * b.length > 64) Seq(conj(e))
+        else for { x <- a; y <- b } yield x ++ y
+      case Or(l, r) =>
+        val d = dnf(l) ++ dnf(r)
+        if (d.length > 64) Seq(conj(e)) else d
+      case In(a, vals) if vals.nonEmpty && vals.length <= 64 &&
+          attrName(a).isDefined && vals.forall(litVal(_).isDefined) =>
+        val c = attrName(a).get
+        vals.map(v => Seq((c, litVal(v), litVal(v))))
+      case other => Seq(leaf(other))
+    }
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(cond)
-      catch { case scala.util.control.NonFatal(_) => return Nil }
-    walk(parsed)
+      catch { case scala.util.control.NonFatal(_) => return Seq(Nil) }
+    dnf(parsed)
   }
 
   /** [[FileStats.cmp]] with numeric widening and a None (no verdict)

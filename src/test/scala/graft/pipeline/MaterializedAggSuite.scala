@@ -266,4 +266,38 @@ class MaterializedAggSuite extends SparkSpec {
     assert(MaterializedAgg.refresh(spark, src, agg, groups, aggs) == 2L)
     assert(rollupMap(agg) == Map("a" -> ((2L, 3L, 1L, 2L))))
   }
+
+  test("matviews and branches: branch-source rollup folds; publish = rewrite -> rebuild; branch aggRoot refused") {
+    val src = tmpRoot("graft_magg_brsrc")
+    val aggMain = tmpRoot("graft_magg_brmain")
+    val aggExp = tmpRoot("graft_magg_brexp")
+    write(Seq(("a", 1L), ("b", 2L)), src, Append)
+    MaterializedAgg.refresh(spark, src, aggMain, groups, aggs)
+    // a matview maintained OVER A BRANCH: srcRoot is root#branch=exp,
+    // the rollup lives at its own plain root
+    VersionedTable.createBranch(spark, src, "exp")
+    val bSrc = VersionedTable.branchRoot(src, "exp")
+    Writer.write(spark, Seq(("a", 10L), ("c", 7L)).toDF("g", "v"),
+      SinkSpec(bSrc, mode = Append, versioned = true))
+    MaterializedAgg.refresh(spark, bSrc, aggExp, groups, aggs)
+    assert(rollupMap(aggExp) == Map(
+      "a" -> ((2L, 11L, 1L, 10L)), "b" -> ((1L, 2L, 2L, 2L)), "c" -> ((1L, 7L, 7L, 7L))))
+    // main's rollup is untouched by the branch's commits
+    MaterializedAgg.refresh(spark, aggMain)
+    assert(rollupMap(aggMain) == Map("a" -> ((1L, 1L, 1L, 1L)), "b" -> ((1L, 2L, 2L, 2L))))
+    // publish: main's head becomes a REWRITE span — incremental
+    // maintenance on main's rollup must refuse (double-count guard)...
+    VersionedTable.publishBranch(spark, src, "exp")
+    val e = intercept[IllegalArgumentException] { MaterializedAgg.refresh(spark, aggMain) }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // ...and rebuild recovers to the published state, after which the
+    // main rollup equals the branch rollup (same snapshot now)
+    MaterializedAgg.rebuild(spark, aggMain)
+    assert(rollupMap(aggMain) == rollupMap(aggExp))
+    // a branch-addressed ROLLUP root is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, aggMain + "#branch=x", groups, aggs)
+    }
+    assert(bad.getMessage.contains("cannot be a branch path"), bad.getMessage)
+  }
 }

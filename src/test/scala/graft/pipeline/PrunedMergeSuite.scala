@@ -265,15 +265,16 @@ class PrunedMergeSuite extends SparkSpec {
     assert(got1.count() == 8000L - 201L, s"rows after replace: ${got1.count()}")
     assert(got1.where(col("src") === "x").count() == 0L)
 
-    // an OR condition implies no per-column constraint: full rewrite,
-    // still the right answer
+    // OR conditions prune per-DISJUNCT (round 12): a file is carried
+    // when every disjunct's range excludes it — k=5 and k=7999 touch
+    // only their two containing files
     val root2 = tmpRoot("graft_ow3")
     seedTable(root2)
     VersionedTable.commitOverwriteWhere(spark, root2, "parquet",
       Seq((5L, 5L, "y")).toDF("k", "v", "src"), "k = 5 OR k = 7999")
     val snap2 = VersionedTable.currentSnapshot(spark, root2).get
-    assert(!snap2.dataDirs.exists(VersionedTable.isFileRef),
-      s"OR yields no implied constraint → conservative full rewrite: ${snap2.dataDirs}")
+    assert(snap2.dataDirs.count(VersionedTable.isFileRef) >= 6,
+      s"per-disjunct exclusion must carry the untouched files: ${snap2.dataDirs}")
     val got2 = VersionedTable.read(spark, root2)
     assert(got2.count() == 7999L)
     assert(got2.where(col("k") === 5L).head().getAs[String]("src") == "y")
