@@ -49,9 +49,14 @@ object FileStats {
     * recorded). With sizes present, a snapshot's scan plans from
     * manifest metadata alone — no per-file stat calls (the
     * Delta/Iceberg "file sizes live in the log" posture).
+    * `nulls` records per-column null counts (absent when any row
+    * group left numNulls unset) — min/max and null counts are
+    * independent: an unsupported-type column can still count nulls,
+    * and Delta's `add.stats` wants both.
     */
   final case class FileStat(file: String, rows: Long, cols: Map[String, ColStat],
-                            bytes: Long = -1L)
+                            bytes: Long = -1L,
+                            nulls: Map[String, Long] = Map.empty)
 
   val SidecarName = "_graft_stats"
 
@@ -180,11 +185,22 @@ object FileStats {
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, Option[ColStat]]
+      // null counts reduce independently of min/max: ANY row group with
+      // numNulls unset poisons the column (a partial count understates)
+      val nullAcc = scala.collection.mutable.LinkedHashMap.empty[String, Option[Long]]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         if (!name.contains('.')) { // top-level primitives only
           val pt = c.getPrimitiveType
           val st = c.getStatistics
+          val nc: Option[Long] =
+            if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls)
+            else None
+          nullAcc.get(name) match {
+            case None            => nullAcc(name) = nc
+            case Some(None)      => ()
+            case Some(Some(pre)) => nullAcc(name) = nc.map(_ + pre)
+          }
           val usable = st != null && !st.isEmpty && st.hasNonNullValue
           val vals: Option[(Any, Any)] =
             if (!usable) None
@@ -217,7 +233,8 @@ object FileStats {
           }
         }
       }
-      FileStat(p.getName, rows, acc.collect { case (k, Some(v)) => k -> v }.toMap)
+      FileStat(p.getName, rows, acc.collect { case (k, Some(v)) => k -> v }.toMap,
+        nulls = nullAcc.collect { case (k, Some(n)) => k -> n }.toMap)
     } finally reader.close()
   }
 
@@ -255,6 +272,10 @@ object FileStats {
         case other => throw new IllegalStateException(s"unrenderable stat $other")
       }
     }
+    if (fsr.nulls.nonEmpty) {
+      val nn = node.putObject("nullc")
+      fsr.nulls.toSeq.sortBy(_._1).foreach { case (name, n) => nn.put(name, n) }
+    }
     mapper.writeValueAsString(node)
   }
 
@@ -278,7 +299,10 @@ object FileStats {
         }.toMap
       }.getOrElse(Map.empty[String, ColStat])
       FileStat(n.get("file").asText(), n.get("rows").asLong(), cols,
-        Option(n.get("bytes")).map(_.asLong()).getOrElse(-1L))
+        Option(n.get("bytes")).map(_.asLong()).getOrElse(-1L),
+        Option(n.get("nullc")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+          .getOrElse(Map.empty))
     })
     catch { case NonFatal(_) => None }
 

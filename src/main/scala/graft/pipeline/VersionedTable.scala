@@ -179,6 +179,17 @@ object VersionedTable {
     content.split("\n").map(_.trim).find(_.startsWith("#fork="))
       .flatMap(l => scala.util.Try(l.stripPrefix("#fork=").toLong).toOption)
 
+  /** The branch's NEWEST fork marker: v1 records the original cut and
+    * every [[rebaseBranch]] commit re-records the new base, so the
+    * newest marker is the main version the branch's content is
+    * currently based on — publish's fast-forward guard compares
+    * against this, not against v1's original cut.
+    */
+  private def latestFork(fs: FileSystem, bm: Path): Option[Long] =
+    listManifests(fs, bm).sortBy(-_._1).iterator
+      .flatMap { case (_, p, _) => readSmall(fs, p).flatMap(parseFork) }
+      .nextOption()
+
   /** The recorded commit kind of `version`, if the manifest carries one. */
   private[pipeline] def commitKindOf(spark: SparkSession, root: String,
                                      version: Long): Option[String] = {
@@ -2327,8 +2338,7 @@ object VersionedTable {
     val (fs, rootP) = fsFor(spark, root)
     val bSnap = currentSnapshot(spark, bRoot).getOrElse(throw new IllegalArgumentException(
       s"branch '$name' of $root has no committed version — nothing to publish"))
-    val fork: Option[Long] =
-      readSmall(fs, new Path(mdirOf(rootP, bRoot), "v0000000001")).flatMap(parseFork)
+    val fork: Option[Long] = latestFork(fs, mdirOf(rootP, bRoot))
     val layoutPart = currentLayoutOf(fs, mdirOf(rootP, bRoot), bSnap.version)
       .map(layoutLine).getOrElse("")
     var attempt = 0
@@ -2357,6 +2367,95 @@ object VersionedTable {
     throw new IllegalStateException(
       s"publish of branch '$name' at $root lost the publish race $maxAttempts times — " +
         "writer contention is pathological; retry with backoff")
+  }
+
+  /** REBASE branch `name` onto main's CURRENT head — the constructive
+    * answer to [[publishBranch]]'s fast-forward refusal. When the
+    * branch span since its (re)base point only ADDED data (every
+    * fork-inherited dir is still present in the branch head — no
+    * branch-side merge/delete/compaction touched inherited data), its
+    * net additions commute with whatever main did meanwhile: the
+    * rebase commits `main-head dirs ++ branch additions` as one
+    * pointer-only branch commit (zero data I/O) carrying a fresh
+    * `#fork=<mainHead>` marker, after which the publish guard passes.
+    * Returns the new branch version.
+    *
+    * A branch whose span rewrote or deleted inherited data REFUSES —
+    * replaying arbitrary row changes onto a moved base is a semantic
+    * three-way merge; audit with [[branchDiff]] and re-apply the
+    * branch's intent on a fresh branch instead. STRUCTURAL rebase
+    * only: if the branch appended rows that main meanwhile also
+    * appended (or deleted), both survive/reappear — run the
+    * write-audit-publish audit AFTER the rebase, exactly as before.
+    *
+    * Scale: manifest reads + one CAS — no data job, O(entries) strings
+    * on the driver, same residency as every other pointer commit.
+    */
+  def rebaseBranch(spark: SparkSession, root: String, name: String): Long = {
+    require(branchOf(root).isEmpty, s"rebase targets the main root, got: $root")
+    val bRoot = branchRoot(root, name)
+    val (fs, rootP) = fsFor(spark, root)
+    val bm = mdirOf(rootP, bRoot)
+    val mainM = mdirOf(rootP, root)
+    val bSnap = currentSnapshot(spark, bRoot).getOrElse(throw new IllegalArgumentException(
+      s"branch '$name' of $root has no committed version — nothing to rebase"))
+    val main = currentSnapshot(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"versioned table at $root has no committed version — nothing to rebase onto"))
+    val forkV = latestFork(fs, bm).getOrElse(throw new UnsupportedOperationException(
+      s"branch '$name' of $root carries no fork marker (pre-guard branch) — rebase " +
+        "cannot determine its base; re-create the branch from the current main"))
+    if (forkV == main.version) return bSnap.version // already based on head
+    val baseDirs = dirsOf(fs, mainM, forkV).getOrElse(throw new IllegalStateException(
+      s"main's manifest v$forkV (the fork base of branch '$name') no longer exists " +
+        s"at $root (vacuumed) — cannot prove the branch span is append-only; " +
+        "audit with branchDiff and re-branch from the current main"))
+    val rewrote = baseDirs.filterNot(bSnap.dataDirs.contains)
+    if (rewrote.nonEmpty) throw new UnsupportedOperationException(
+      s"rebase of branch '$name' at $root refused: the branch span is not " +
+        s"append-only — fork-inherited entries were rewritten or deleted on the " +
+        s"branch (${rewrote.take(3).mkString(", ")}${if (rewrote.length > 3) ", …" else ""}). " +
+        "Replaying row-level changes onto a moved main is a semantic three-way " +
+        "merge: audit with branchDiff and re-apply the branch's intent on a " +
+        "fresh branch of the current main")
+    val bLayout = currentLayoutOf(fs, bm, bSnap.version)
+    val mLayout = currentLayoutOf(fs, mainM, main.version)
+    require(bLayout == mLayout,
+      s"rebase of branch '$name' at $root refused: the branch head's data layout " +
+        s"(${bLayout.getOrElse(Seq("flat")).mkString(",")}) differs from main's " +
+        s"(${mLayout.getOrElse(Seq("flat")).mkString(",")}) — a rebased snapshot " +
+        "would mix partition layouts")
+    // additions = branch entries beyond its base, MINUS anything main
+    // already holds (a published branch's entries are on main — naive
+    // replay would double-count them)
+    val adds = bSnap.dataDirs.filterNot(baseDirs.toSet).filterNot(main.dataDirs.toSet)
+    val newDirs = main.dataDirs ++ adds
+    if (newDirs == bSnap.dataDirs) return bSnap.version // content already in sync
+    val tops = newDirs.map(entryDir).distinct
+    val gone = missingDirs(spark, root, tops)
+    require(gone.isEmpty,
+      s"cannot rebase branch '$name' at $root: data dirs ${gone.mkString(", ")} " +
+        "were already vacuumed — re-branch from the current main")
+    val next = bSnap.version + 1
+    val content = (newDirs :+ "#kind=rewrite" :+ s"#fork=${main.version}")
+      .mkString("\n") + mLayout.map(layoutLine).getOrElse("")
+    if (!casPublish(fs, new Path(bm, f"v$next%010d"), content))
+      throw new IllegalStateException(
+        s"rebase of branch '$name' at $root lost a commit race on the branch " +
+          "pointer — a concurrent branch writer landed; re-run the rebase")
+    // TOCTOU re-check (createBranch's hazard): a vacuum that computed
+    // its referenced set before this pointer landed may have swept
+    // main-head dirs the rebase adopted — heal by restoring the branch
+    // to its pre-rebase head (pointer-only) and refuse loudly.
+    val swept = missingDirs(spark, root, tops)
+    if (swept.nonEmpty) {
+      restore(spark, bRoot, bSnap.version)
+      throw new IllegalStateException(
+        s"rebase of branch '$name' at $root raced a vacuum: data dirs " +
+          s"${swept.mkString(", ")} were swept after validation — the branch was " +
+          "restored to its pre-rebase head. Raise the vacuum keep window, or run " +
+          "rebase and vacuum from one maintenance process")
+    }
+    next
   }
 
   /** What publishing branch `name` WOULD change on main — the AUDIT

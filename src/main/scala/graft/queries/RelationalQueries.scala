@@ -1080,6 +1080,37 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q109: DELTA CHECKPOINT round trip (round 12) — eleven partitioned
+    // appends drive the log past the auto-checkpoint interval (v10
+    // folds into 0...010.checkpoint.parquet + _last_checkpoint by the
+    // writer itself), then a dynamic partition overwrite lands AFTER
+    // the checkpoint so the read-back must reconcile checkpoint-carried
+    // adds against post-checkpoint removes: DeltaRead's no-LIST
+    // `_last_checkpoint` fast path + distributed checkpoint replay +
+    // driver tail, end-to-end under the oracle hash. DeltaWriteSuite
+    // pins the mechanics (pointer shape, txn carry-over, foreign-reader
+    // equivalence of checkpointed vs replayed state).
+    "q109_delta_checkpoint" -> ((s, dir) => {
+      val root = scratchRoot("graft_q109")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      for (i <- 0 until 11)
+        graft.sources.DeltaWrite.append(s,
+          base.where(col("o_orderkey") % 11 === i).coalesce(1), root,
+          Seq("o_orderstatus"))
+      val ck = orders.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("((__cents * 105 + 50) div 100) / 100.0D").as("price"),
+          lit("ck").as("src"))
+      graft.sources.DeltaWrite.overwritePartitions(s, ck.coalesce(1), root,
+        Seq("o_orderstatus"))
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q86: STATS-PRUNED overwrite_where (replaceWhere) under the
     // oracle gate — the base commits as 8 range-clustered files on
     // o_orderkey, then the o_orderkey<1000 span is replaced with
@@ -1630,6 +1661,17 @@ object RelationalQueries {
     "q108_evolved_read" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the checkpointed log must reconstruct the same content as the
+    // replayed one: 'F' rows from the post-checkpoint overwrite batch,
+    // every other partition from the checkpoint-carried appends
+    "q109_delta_checkpoint" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'ck' ELSE 'base' END AS src
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // same closed form as q84: the delta-protocol dynamic overwrite

@@ -68,7 +68,14 @@ object DeltaRead {
         * schema-changing overwrites (a new id means "different table"
         * to other Delta clients); null on legacy logs that never set it
         */
-      metaId: String = null)
+      metaId: String = null,
+      /** `txn` (SetTransaction) high-water marks: appId -> newest
+        * committed version — the protocol's idempotent-writer handshake.
+        * A streaming sink checks its appId before committing a batch,
+        * so a replayed micro-batch (restart from the streaming
+        * checkpoint) is recognized and dropped instead of duplicated.
+        */
+      txns: Map[String, Long] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -230,6 +237,8 @@ object DeltaRead {
     var partCols: Seq[String] = Nil
     var metaId: String = null
     var ckptAdds: Option[DataFrame] = None
+    // one row per writer appId — inherently tiny (collect is bounded)
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     ckpt.foreach { cv =>
       val rows = spark.read.parquet(
@@ -263,6 +272,10 @@ object DeltaRead {
       // protocol gate can live in the checkpoint too
       if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
         .filter(!_.isNullAt(0)).foreach(r => gateReaderVersion(path, r.getInt(0)))
+      // SetTransaction marks survive checkpointing (required by the
+      // protocol — a cleaned log must not forget a sink's high-water)
+      if (cols("txn")) rows.select("txn.appId", "txn.version").collect()
+        .filter(!_.isNullAt(0)).foreach(r => txns(r.getString(0)) = r.getLong(1))
     }
 
     // Tail replay (driver-side, bounded by the checkpoint interval):
@@ -305,6 +318,10 @@ object DeltaRead {
         }
         if (node.has("remove"))
           tail.put(node.get("remove").path("path").asText(), None)
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          txns(t.path("appId").asText()) = t.path("version").asLong()
+        }
       }
     }
 
@@ -341,7 +358,7 @@ object DeltaRead {
       s"Delta log at $path carries no metaData action — cannot derive a schema")
     Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
       partCols, entries.map { case (p, (pv, _)) => p -> pv },
-      entries.map { case (p, (_, sz)) => p -> sz }, metaId)
+      entries.map { case (p, (_, sz)) => p -> sz }, metaId, txns.toMap)
   }
 
   /** `_last_checkpoint` fast path for latest-version reads: returns
@@ -408,7 +425,7 @@ object DeltaRead {
     }
   }
 
-  private def commitVersionsOf(names: Seq[String]): Seq[Long] = names.collect {
+  private[sources] def commitVersionsOf(names: Seq[String]): Seq[Long] = names.collect {
     case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
       n.stripSuffix(".json").toLong
   }.sorted
@@ -419,7 +436,7 @@ object DeltaRead {
     * when ALL its parts are present (a half-written one is not a
     * checkpoint yet, per the protocol).
     */
-  private def checkpointFilesOf(names: Seq[String]): Map[Long, Seq[String]] = {
+  private[sources] def checkpointFilesOf(names: Seq[String]): Map[Long, Seq[String]] = {
     val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
     val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
     val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
@@ -449,7 +466,7 @@ object DeltaRead {
     * location (or fail with an opaque path error), so it is refused
     * loudly — same contract as the minReaderVersion gate.
     */
-  private def decodePath(rel: String): String = {
+  private[sources] def decodePath(rel: String): String = {
     val uri =
       try new java.net.URI(rel)
       catch { case _: java.net.URISyntaxException =>

@@ -78,12 +78,40 @@ object DeltaWrite {
     write(spark, df, path, Mode.DynamicOverwrite, partitionBy)
   }
 
+  /** Idempotent streaming append: commit `df` with a `txn`
+    * (SetTransaction) action recording `(appId, batchVersion)`. If the
+    * table already carries `appId` at a version >= `batchVersion`, the
+    * batch ALREADY COMMITTED (streaming-checkpoint replay after a
+    * crash, or a racing twin of the same sink) and this call is a
+    * no-op — the protocol's exactly-once handshake, same as
+    * delta-spark's `txnAppId`/`txnVersion` options. The race window is
+    * closed inside the CAS loop: a loser re-reads the winner's
+    * snapshot and re-checks the mark before retrying, deleting its own
+    * staged files when the winner was its twin.
+    */
+  def appendStream(spark: SparkSession, df: DataFrame, path: String,
+                   appId: String, batchVersion: Long,
+                   partitionBy: Seq[String] = Nil): Long = {
+    require(appId != null && appId.nonEmpty, "appendStream needs a stable appId")
+    write(spark, df, path, Mode.Append, partitionBy,
+      txn = Some((appId, batchVersion)))
+  }
+
   private object Mode extends Enumeration {
     val Append, Overwrite, DynamicOverwrite = Value
   }
 
+  /** Auto-checkpoint cadence: after a commit lands version V where
+    * `V % CheckpointInterval == 0`, the writer folds the log into a
+    * `V.checkpoint.parquet` + `_last_checkpoint` pointer (delta-spark's
+    * default interval is 10 too). Best-effort: a checkpoint failure
+    * never fails the commit that triggered it.
+    */
+  val CheckpointInterval = 10
+
   private def write(spark: SparkSession, df: DataFrame, path: String,
-                    mode: Mode.Value, partitionByReq: Seq[String]): Long = {
+                    mode: Mode.Value, partitionByReq: Seq[String],
+                    txn: Option[(String, Long)] = None): Long = {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
@@ -92,6 +120,14 @@ object DeltaWrite {
       if (DeltaRead.isDeltaTable(spark, rootP.toString))
         Some(DeltaRead.snapshot(spark, rootP.toString))
       else None
+
+    // replayed micro-batch: its txn mark is already in the log — skip
+    // BEFORE the data job runs (the cheap, common replay path)
+    txn.foreach { case (appId, ver) =>
+      existing.foreach { s =>
+        if (s.txns.get(appId).exists(_ >= ver)) return s.version
+      }
+    }
 
     // partition layout: inherit the table's unless this is a
     // full overwrite (which may legally re-partition the table)
@@ -140,7 +176,8 @@ object DeltaWrite {
 
     // the distributed data job runs ONCE; CAS losers re-commit the
     // same files at a later version
-    val newFiles = writeDataFiles(spark, aligned, rootP, fs, parts)
+    val newFiles = withStats(spark, fs, rootP,
+      writeDataFiles(spark, aligned, rootP, fs, parts))
 
     fs.mkdirs(logP) // casPublish stages its tmp inside the log dir
     var snap = existing
@@ -155,9 +192,16 @@ object DeltaWrite {
           s.files.collect { case (p, pv) if touched.contains(pv) => p }.toSeq.sorted
         case _ => Nil
       }
-      val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next)
+      val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next, txn)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
+        if (next > 0 && next % CheckpointInterval == 0)
+          try checkpoint(spark, rootP.toString)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING: auto-checkpoint at version $next " +
+              s"of $path failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "the commit itself is durable; readers replay the JSON log")
+          }
         return next
       }
       require(attempt < 50,
@@ -168,6 +212,19 @@ object DeltaWrite {
       // compatibility (the winner may have re-partitioned or evolved
       // the schema under us), recompute removes, retry
       snap = Some(DeltaRead.snapshot(spark, rootP.toString))
+      // the winner may have been this sink's own TWIN committing the
+      // same micro-batch — its txn mark now covers this batch, so this
+      // attempt's staged files are garbage: reclaim them and bow out
+      txn.foreach { case (appId, ver) =>
+        snap.foreach { s =>
+          if (s.txns.get(appId).exists(_ >= ver)) {
+            newFiles.foreach(f =>
+              try fs.delete(new Path(rootP, f.relPath), false)
+              catch { case scala.util.control.NonFatal(_) => () })
+            return s.version
+          }
+        }
+      }
       snap.foreach { s =>
         if (mode != Mode.Overwrite) {
           require(s.partitionColumns.map(_.toLowerCase) == parts.map(_.toLowerCase),
@@ -189,7 +246,71 @@ object DeltaWrite {
       relPath: String,
       partitionValues: Map[String, String],
       size: Long,
-      modificationTime: Long)
+      modificationTime: Long,
+      stats: String = null)
+
+  /** Delta `add.stats` JSON (numRecords / minValues / maxValues /
+    * nullCount) from the parquet FOOTERS of the just-renamed files —
+    * the same footer pass [[graft.pipeline.FileStats]] uses for
+    * manifest sidecars, serialized in the form delta-spark's
+    * data-skipping reader consumes. Per-file best effort: a column
+    * without usable footer stats is simply absent from min/max (legal
+    * — stats are always partial per the protocol), non-finite doubles
+    * are skipped (they have no JSON literal), and a footer read
+    * failure leaves that file statless rather than failing the commit.
+    * Distributed above the same 64-file threshold as the sidecar
+    * writer — a 100k-file commit must not serialize 100k object-store
+    * footer reads on the driver.
+    */
+  private def withStats(spark: SparkSession, fs: FileSystem, rootP: Path,
+                        files: Seq[NewFile]): Seq[NewFile] =
+    try {
+      import graft.pipeline.FileStats
+      val uris = files.map(f => fs.makeQualified(new Path(rootP, f.relPath)).toString)
+      val stats: Seq[Option[FileStats.FileStat]] =
+        if (files.length <= 64)
+          uris.map(u => try Some(FileStats.readFooterStats(u,
+            new org.apache.hadoop.conf.Configuration(
+              spark.sparkContext.hadoopConfiguration))) catch {
+            case scala.util.control.NonFatal(_) => None
+          })
+        else spark.sparkContext.parallelize(uris, math.min(files.length, 256))
+          .map(u => try Some(FileStats.readFooterStats(u,
+            new org.apache.hadoop.conf.Configuration)) catch {
+            case scala.util.control.NonFatal(_) => None
+          }).collect().toSeq
+      files.zip(stats).map {
+        case (f, Some(st)) => f.copy(stats = statsJson(st))
+        case (f, None)     => f
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARNING: could not derive add.stats for the " +
+          s"delta commit at $rootP (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "files commit without stats; delta-native data skipping will scan them")
+        files
+    }
+
+  private def statsJson(st: graft.pipeline.FileStats.FileStat): String = {
+    val node = mapper.createObjectNode
+    node.put("numRecords", st.rows)
+    val mins = node.putObject("minValues")
+    val maxs = node.putObject("maxValues")
+    st.cols.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+      (cs.min, cs.max) match {
+        case (lo: Long, hi: Long)     => mins.put(name, lo); maxs.put(name, hi)
+        case (lo: Double, hi: Double) =>
+          if (!lo.isNaN && !lo.isInfinite && !hi.isNaN && !hi.isInfinite) {
+            mins.put(name, lo); maxs.put(name, hi)
+          }
+        case (lo: String, hi: String) => mins.put(name, lo); maxs.put(name, hi)
+        case _ => ()
+      }
+    }
+    val nulls = node.putObject("nullCount")
+    st.nulls.toSeq.sortBy(_._1).foreach { case (name, n) => nulls.put(name, n) }
+    mapper.writeValueAsString(node)
+  }
 
   /** Distributed parquet write into a hidden staging dir under the
     * table root, then per-file rename into place (same-FS move =
@@ -264,7 +385,8 @@ object DeltaWrite {
 
   private def commitContent(df: DataFrame, mode: Mode.Value, parts: Seq[String],
                             snap: Option[DeltaRead.Snapshot], adds: Seq[NewFile],
-                            removes: Seq[String], version: Long): String = {
+                            removes: Seq[String], version: Long,
+                            txn: Option[(String, Long)] = None): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -276,6 +398,15 @@ object DeltaWrite {
     op.put("mode", if (mode == Mode.Append) "Append" else "Overwrite")
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
+
+    txn.foreach { case (appId, ver) =>
+      val tx = mapper.createObjectNode
+      val txb = tx.putObject("txn")
+      txb.put("appId", appId)
+      txb.put("version", ver)
+      txb.put("lastUpdated", now)
+      lines += mapper.writeValueAsString(tx)
+    }
 
     if (version == 0L) {
       val pr = mapper.createObjectNode
@@ -332,10 +463,234 @@ object DeltaWrite {
       adb.put("size", f.size)
       adb.put("modificationTime", f.modificationTime)
       adb.put("dataChange", true)
+      if (f.stats != null) adb.put("stats", f.stats)
       lines += mapper.writeValueAsString(ad)
     }
 
     lines.result().mkString("\n") + "\n"
+  }
+
+  // ----- checkpointing ------------------------------------------------
+  // Parquet checkpoint rows: one action per row, exactly one non-null
+  // struct column. The fixed shapes below are the protocol's checkpoint
+  // schema for the action families this writer emits; [[DeltaRead]]
+  // (and delta-spark) read them back by column presence.
+  private case class CkFormat(provider: String, options: Map[String, String])
+  private case class CkMeta(id: String, format: CkFormat, schemaString: String,
+                            partitionColumns: Seq[String],
+                            configuration: Map[String, String],
+                            createdTime: java.lang.Long)
+  private case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CkAdd(path: String, partitionValues: Map[String, String],
+                           size: Long, modificationTime: Long, dataChange: Boolean,
+                           stats: String)
+  private case class CkTxn(appId: String, version: Long, lastUpdated: java.lang.Long)
+  private case class CkRow(protocol: CkProtocol, metaData: CkMeta, add: CkAdd,
+                           txn: CkTxn)
+
+  /** Fold the log at `path` into a `V.checkpoint.parquet` +
+    * `_last_checkpoint` pointer at the newest committed version V —
+    * the protocol's log-compaction step, making later snapshot reads
+    * O(tail since V) instead of O(all commits) and enabling the
+    * reader's no-LIST `_last_checkpoint` fast path. Returns V (-1 when
+    * the table has no commits). Runs automatically every
+    * [[CheckpointInterval]] commits; callable directly as maintenance.
+    *
+    * Construction INCREMENTS the previous checkpoint instead of
+    * replaying from v0: the prior checkpoint's `add` rows stay a
+    * DataFrame (the unbounded part — millions of rows on a large
+    * table), the post-checkpoint tail (bounded by the interval) parses
+    * on the driver, and the carried set is `prev adds ANTI-JOIN
+    * tail-touched paths` on DECODED keys — the same replay shape, and
+    * the same cross-writer-encoding guard, as [[DeltaRead.snapshot]].
+    * `metaData`, `protocol` and every `txn` high-water mark are carried
+    * (the protocol requires SetTransaction marks to survive
+    * checkpointing — a cleaned log must not forget a streaming sink's
+    * exactly-once state).
+    *
+    * Single-part only on the WRITE side (delta-spark's default too;
+    * the reader consumes multi-part checkpoints from other writers).
+    * Two checkpointers racing at the same version produce equivalent
+    * content — the loser's rename finds the name taken and yields.
+    * REMOVED-file tombstones are not carried into the checkpoint: our
+    * reader never consumes them, and for foreign vacuum tooling their
+    * absence errs on the safe side (files linger, nothing is deleted
+    * early).
+    */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf}
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
+
+    val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
+    val commits = DeltaRead.commitVersionsOf(names)
+    val cpFiles = DeltaRead.checkpointFilesOf(names)
+    if (commits.isEmpty && cpFiles.isEmpty) return -1L
+    val latest = (commits ++ cpFiles.keys).max
+    if (cpFiles.contains(latest)) return latest // nothing newer to fold
+    val prev = cpFiles.keys.filter(_ < latest).toSeq.sorted.lastOption
+
+    // --- driver tail replay (bounded by the checkpoint interval) ---
+    var protocol = CkProtocol(1, 2)
+    var meta: CkMeta = null
+    val tailAdds = scala.collection.mutable.LinkedHashMap[String, CkAdd]()
+    val touched = scala.collection.mutable.LinkedHashSet[String]() // decoded
+    val txns = scala.collection.mutable.LinkedHashMap[String, CkTxn]()
+    for (v <- prev.map(_ + 1).getOrElse(0L) to latest) {
+      val p = new Path(logP, f"$v%020d.json")
+      val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"Delta log at $path is missing commit $v — cannot checkpoint $latest"))
+      content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val pr = node.get("protocol")
+          protocol = CkProtocol(pr.path("minReaderVersion").asInt(1),
+            pr.path("minWriterVersion").asInt(2))
+        }
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          import scala.jdk.CollectionConverters._
+          meta = CkMeta(
+            md.path("id").asText(null),
+            CkFormat(md.path("format").path("provider").asText("parquet"),
+              Option(md.get("format")).flatMap(f => Option(f.get("options")))
+                .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+                .getOrElse(Map.empty)),
+            md.path("schemaString").asText(null),
+            md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq,
+            Option(md.get("configuration"))
+              .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty),
+            if (md.has("createdTime")) Long.box(md.get("createdTime").asLong()) else null)
+        }
+        if (node.has("add")) {
+          val ad = node.get("add")
+          import scala.jdk.CollectionConverters._
+          val enc = ad.get("path").asText()
+          val pv = Option(ad.get("partitionValues")).map(_.properties().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+            .toMap).getOrElse(Map.empty[String, String])
+          tailAdds(enc) = CkAdd(enc, pv,
+            ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
+            dataChange = true, stats = ad.path("stats").asText(null))
+          touched += DeltaRead.decodePath(enc)
+        }
+        if (node.has("remove")) {
+          val enc = node.get("remove").path("path").asText()
+          tailAdds.remove(enc)
+          touched += DeltaRead.decodePath(enc)
+        }
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          val appId = t.path("appId").asText()
+          txns(appId) = CkTxn(appId, t.path("version").asLong(),
+            if (t.has("lastUpdated")) Long.box(t.get("lastUpdated").asLong()) else null)
+        }
+      }
+    }
+
+    val enc = org.apache.spark.sql.Encoders.product[CkRow]
+    // all-nullable shape for the carried-adds projection: the cast
+    // target must not claim NOT NULL on columns a foreign checkpoint
+    // legitimately leaves nullable
+    val ckSchema = org.apache.spark.sql.graftbridge.ColumnBridge.asNullable(enc.schema)
+    def nullCol(n: String) = lit(null).cast(ckSchema(n).dataType).as(n)
+
+    // --- carried adds from the previous checkpoint (distributed) ---
+    val carried: Option[DataFrame] = prev.map { cv =>
+      val rows = spark.read.parquet(
+        cpFiles(cv).map(n => new Path(logP, n).toString): _*)
+      val cols = rows.columns.toSet
+      require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
+      if (meta == null && cols("metaData")) {
+        // the tail carried no metaData — inherit the checkpointed one
+        import scala.jdk.CollectionConverters._
+        rows.where(col("metaData.schemaString").isNotNull)
+          .select("metaData.*").collect().headOption.foreach { r =>
+            def opt[T](n: String, f: Int => T): T =
+              if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+                f(r.fieldIndex(n)) else null.asInstanceOf[T]
+            meta = CkMeta(
+              opt("id", r.getString),
+              CkFormat("parquet", Map.empty),
+              r.getString(r.fieldIndex("schemaString")),
+              if (r.schema.fieldNames.contains("partitionColumns"))
+                r.getSeq[String](r.fieldIndex("partitionColumns")) else Nil,
+              Option(opt[scala.collection.Map[String, String]]("configuration",
+                r.getMap[String, String])).map(_.toMap).getOrElse(Map.empty),
+              opt("createdTime", i => Long.box(r.getLong(i))))
+          }
+      }
+      if (cols("txn")) // tail marks win over checkpointed ones
+        rows.where(col("txn.appId").isNotNull).select("txn.*").collect().foreach { r =>
+          val appId = r.getString(r.fieldIndex("appId"))
+          if (!txns.contains(appId))
+            txns(appId) = CkTxn(appId, r.getLong(r.fieldIndex("version")),
+              if (r.schema.fieldNames.contains("lastUpdated") &&
+                  !r.isNullAt(r.fieldIndex("lastUpdated")))
+                Long.box(r.getLong(r.fieldIndex("lastUpdated"))) else null)
+        }
+      val addCols = rows.select("add.*").columns.toSet
+      def ac(n: String, dt: String) =
+        if (addCols(n)) col("add." + n).cast(dt).as(n) else lit(null).cast(dt).as(n)
+      val prevAdds = rows.where(col("add.path").isNotNull).select(
+        col("add.path").cast("string").as("path"),
+        ac("partitionValues", "map<string,string>"),
+        ac("size", "bigint"), ac("modificationTime", "bigint"),
+        (if (addCols("dataChange")) coalesce(col("add.dataChange"), lit(true))
+         else lit(true)).as("dataChange"),
+        ac("stats", "string"))
+      if (touched.isEmpty) prevAdds
+      else {
+        import spark.implicits._
+        val dec = udf((p: String) => DeltaRead.decodePath(p))
+        val touchedDf = broadcast(touched.toSeq.toDF("__dpath"))
+        prevAdds.withColumn("__dpath", dec(col("path")))
+          .join(touchedDf, Seq("__dpath"), "left_anti").drop("__dpath")
+      }
+    }
+
+    require(meta != null,
+      s"Delta log at $path carries no metaData action — cannot checkpoint")
+
+    val driverRows: Seq[CkRow] =
+      Seq(CkRow(protocol, null, null, null), CkRow(null, meta, null, null)) ++
+        txns.values.map(t => CkRow(null, null, null, t)) ++
+        tailAdds.values.map(a => CkRow(null, null, a, null))
+    val driverDf = spark.createDataset(driverRows)(enc).toDF()
+    val carriedDf = carried.map(_.select(
+      nullCol("protocol"), nullCol("metaData"),
+      struct(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), col("dataChange"), col("stats"))
+        .cast(ckSchema("add").dataType).as("add"),
+      nullCol("txn")))
+    val all = carriedDf.map(driverDf.unionByName(_)).getOrElse(driverDf)
+
+    // --- write + single-rename publish ---
+    val tmp = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))
+    try {
+      all.repartition(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .sortBy(_.getName).headOption.getOrElse(
+          throw new IllegalStateException(s"checkpoint write at $path produced no file"))
+      val actionCount = spark.read.parquet(part.toString).count()
+      val dest = new Path(logP, f"$latest%020d.checkpoint.parquet")
+      if (!fs.exists(dest) && fs.rename(part, dest)) {
+        val ptr = mapper.createObjectNode
+        ptr.put("version", latest)
+        ptr.put("size", actionCount)
+        // pointer overwrite is not atomic — the reader treats a stale
+        // or torn pointer as "fall back to listing", never as an error
+        val out = fs.create(new Path(logP, "_last_checkpoint"), true)
+        try out.write((mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
+        finally out.close()
+      } // else: a concurrent checkpointer published the same version
+    } finally fs.delete(tmp, true)
+    latest
   }
 
   private def qualifiedRoot(spark: SparkSession, path: String): Path = {

@@ -124,6 +124,41 @@ object EventStreams {
     * checkpoint + idempotent merge (re-running a batch re-upserts the
     * same keys).
     */
+  /** EXACTLY-ONCE streaming append into a native-protocol Delta table
+    * ([[graft.sources.DeltaWrite]]): each micro-batch commits with a
+    * `txn` (SetTransaction) action carrying `(appId, batchId)`, so a
+    * batch replayed from the streaming checkpoint after a crash finds
+    * its own mark in the log and is dropped instead of duplicated —
+    * the same handshake delta-spark's streaming sink uses
+    * (`txnAppId`/`txnVersion`). The appId defaults to a fingerprint of
+    * the CHECKPOINT DIRECTORY: it must be stable across restarts (the
+    * checkpoint directory is the stream's identity) and distinct
+    * between two different streams appending to the same table.
+    *
+    * Scale: each batch is one distributed parquet job + one O(batch
+    * files) log commit; auto-checkpointing folds the log every
+    * [[graft.sources.DeltaWrite.CheckpointInterval]] commits so a
+    * long-running stream never makes readers replay an unbounded log.
+    */
+  def deltaAppendSink(stream: DataFrame, path: String, checkpointDir: String,
+                      partitionBy: Seq[String] = Nil,
+                      appId: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = appId.getOrElse(
+      "graft-stream-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpointDir.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(16))
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.DeltaWrite.appendStream(batch.sparkSession, batch, path,
+          app, batchId, partitionBy)
+        ()
+      }
+      .start()
+  }
+
   def upsertSink(stream: DataFrame, path: String, checkpointDir: String,
                  format: String = "parquet",
                  versioned: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =

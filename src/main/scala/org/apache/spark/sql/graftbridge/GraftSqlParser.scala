@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_BRANCHES('/path')                            -- list branches
   * GRAFT_PUBLISH('/path', 'exp')                      -- fast-forward main to the branch head
   * GRAFT_PUBLISH('/path', 'exp', FORCE)               -- publish past a diverged fork point
+  * GRAFT_REBASE('/path', 'exp')                       -- rebase an append-only branch onto main's head
   * GRAFT_BRANCH_DROP('/path', 'exp')                  -- drop the branch (vacuum reclaims)
   * GRAFT_BRANCH_DIFF('/path', 'exp', KEY k)           -- what publish would change on main
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
@@ -56,7 +57,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -190,6 +191,10 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val v = graft.pipeline.VersionedTable.publishBranch(session, path, name,
         force = forceKw != null)
       Seq((name, v)).toDF("branch", "published_version").queryExecution.logical
+    case RebaseStmt(path, name) =>
+      import session.implicits._
+      val v = graft.pipeline.VersionedTable.rebaseBranch(session, path, name)
+      Seq((name, v)).toDF("branch", "rebased_version").queryExecution.logical
     case BranchDiffStmt(path, name, keys, compareOpt) =>
       import graft.pipeline.VersionedTable
       val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -372,6 +377,8 @@ object GraftSqlParser {
     """(?is)^\s*GRAFT_BRANCHES\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val PublishStmt =
     """(?is)^\s*GRAFT_PUBLISH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*(?:,\s*(FORCE))?\s*\)\s*;?\s*$""".r
+  private val RebaseStmt =
+    """(?is)^\s*GRAFT_REBASE\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val BranchDropStmt =
     """(?is)^\s*GRAFT_BRANCH_DROP\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val BranchDiffStmt =

@@ -73,6 +73,52 @@ class BranchSuite extends SparkSpec {
     assert(ids(root) == Seq(1L, 2L))
   }
 
+  test("rebase replays an append-only branch onto a moved main; publish then fast-forwards") {
+    val root = tmp("branch_rebase")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "exp")
+    val bRoot = VersionedTable.branchRoot(root, "exp")
+    VersionedTable.commitDelta(spark, bRoot, "parquet",
+      Seq((3L, "br")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    // main moves past the fork — publish refuses (pinned above); the
+    // constructive path is rebase
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((9L, "main")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    intercept[IllegalStateException] { VersionedTable.publishBranch(spark, root, "exp") }
+    val rv = VersionedTable.rebaseBranch(spark, root, "exp")
+    assert(rv == 3L) // one pointer-only commit on the branch
+    // the rebased branch holds main's head content PLUS its additions
+    assert(ids(bRoot) == Seq(1L, 2L, 3L, 9L))
+    // and the guard now passes without force: nothing is reverted
+    val pub = VersionedTable.publishBranch(spark, root, "exp")
+    assert(ids(root) == Seq(1L, 2L, 3L, 9L))
+    // re-rebase onto the just-published head is a no-op (fork == head)
+    assert(VersionedTable.rebaseBranch(spark, root, "exp") == rv)
+    // SQL face
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((20L, "m2")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val row = spark.sql(s"GRAFT_REBASE('$root', 'exp')").collect().head
+    assert(row.getString(0) == "exp" && row.getLong(1) == rv + 1)
+    assert(ids(bRoot) == Seq(1L, 2L, 3L, 9L, 20L))
+  }
+
+  test("rebase refuses non-append-only branch spans and layout drift") {
+    val root = tmp("branch_rebase_rw")
+    VersionedTable.commitDelta(spark, root, "parquet",
+      (1L to 6L).map(i => (i, "base")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    VersionedTable.createBranch(spark, root, "del")
+    val bRoot = VersionedTable.branchRoot(root, "del")
+    VersionedTable.commitDelete(spark, bRoot, "id > 4") // rewrites inherited data
+    VersionedTable.commitDelta(spark, root, "parquet",
+      Seq((9L, "main")).toDF("id", "v"), compactAfter = Int.MaxValue)
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.rebaseBranch(spark, root, "del")
+    }
+    assert(e.getMessage.contains("not append-only"))
+    assert(ids(bRoot) == (1L to 4L)) // refusal left the branch untouched
+  }
+
   test("branch mutations (merge/delete) stay off main; incremental reads work per-branch") {
     val root = tmp("branch_mut")
     VersionedTable.commitDelta(spark, root, "parquet",

@@ -152,6 +152,137 @@ class DeltaWriteSuite extends SparkSpec {
     assert(e2.getMessage.contains("delta-spark"))
   }
 
+  test("adds carry footer-derived stats: numRecords, min/max, nullCount") {
+    val root = tmp()
+    DeltaWrite.append(spark,
+      Seq((1L, Some("a"), 1.5), (2L, None, -3.25), (3L, Some("c"), 0.0))
+        .toDF("id", "v", "x").coalesce(1), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.pipeline.VersionedTable.readSmall(fs,
+      new org.apache.hadoop.fs.Path(root, "_delta_log/00000000000000000000.json")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = log.split("\n").map(mapper.readTree).filter(_.has("add"))
+    assert(adds.length == 1)
+    val stats = mapper.readTree(adds.head.get("add").get("stats").asText())
+    assert(stats.get("numRecords").asLong() == 3L)
+    assert(stats.get("minValues").get("id").asLong() == 1L)
+    assert(stats.get("maxValues").get("id").asLong() == 3L)
+    assert(stats.get("minValues").get("v").asText() == "a")
+    assert(stats.get("minValues").get("x").asDouble() == -3.25)
+    assert(stats.get("nullCount").get("v").asLong() == 1L)
+    assert(stats.get("nullCount").get("id").asLong() == 0L)
+  }
+
+  test("auto-checkpoint folds the log at the interval; pointer fast path serves reads") {
+    val root = tmp()
+    for (i <- 0 to 11) // v0..v11: auto-checkpoint fires at v10
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(logP,
+      "00000000000000000010.checkpoint.parquet")))
+    val ptr = graft.pipeline.VersionedTable.readSmall(fs,
+      new org.apache.hadoop.fs.Path(logP, "_last_checkpoint")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(ptr).get("version").asLong() == 10L)
+    // checkpoint + 1-commit tail reconstructs the same table
+    assert(DeltaRead.read(spark, root).agg(sum("id")).as[Long].head() == (0 to 11).sum)
+    // time travel BELOW the checkpoint still replays the JSON log
+    assert(DeltaRead.read(spark, root, Some(5L)).count() == 6)
+  }
+
+  test("checkpoint-only log (cleaned JSON) still reads: metaData/schema live in the checkpoint") {
+    val root = tmp()
+    for (i <- 0 until 3)
+      DeltaWrite.append(spark, Seq((i.toLong, s"g$i", i * 1.0)).toDF("id", "grp", "x")
+        .coalesce(1), root, partitionBy = Seq("grp"))
+    assert(DeltaWrite.checkpoint(spark, root) == 2L)
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate delta log cleanup: drop every NNN.json <= checkpoint
+    for (v <- 0 to 2)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(logP, f"$v%020d.json"), false))
+    val back = DeltaRead.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "grp", "x"))
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((0L, "g0", 0.0), (1L, "g1", 1.0), (2L, "g2", 2.0)))
+  }
+
+  test("second checkpoint increments the first: carried adds survive, removes reconcile") {
+    val root = tmp()
+    for (i <- 0 until 4)
+      DeltaWrite.append(spark, Seq((i.toLong, s"p$i", "base")).toDF("id", "grp", "src")
+        .coalesce(1), root, partitionBy = Seq("grp"))
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    // post-checkpoint: replace p1, append p9 — then checkpoint again
+    DeltaWrite.overwritePartitions(spark,
+      Seq((10L, "p1", "new")).toDF("id", "grp", "src").coalesce(1), root, Seq("grp"))
+    DeltaWrite.append(spark, Seq((9L, "p9", "base")).toDF("id", "grp", "src")
+      .coalesce(1), root)
+    assert(DeltaWrite.checkpoint(spark, root) == 5L)
+    // the new checkpoint alone must hold the reconciled state
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- 0 to 5)
+      fs.delete(new org.apache.hadoop.fs.Path(logP, f"$v%020d.json"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(logP,
+      "00000000000000000003.checkpoint.parquet"), false)
+    assert(DeltaRead.read(spark, root).orderBy("id")
+      .select("id", "grp", "src").as[(Long, String, String)].collect().toSeq ==
+      Seq((0L, "p0", "base"), (2L, "p2", "base"), (3L, "p3", "base"),
+        (9L, "p9", "base"), (10L, "p1", "new")))
+  }
+
+  test("appendStream txn marks: replayed batches drop, marks survive checkpointing") {
+    val root = tmp()
+    val app = "suite-app"
+    assert(DeltaWrite.appendStream(spark,
+      Seq((1L, "b0")).toDF("id", "v"), root, app, 0L) == 0L)
+    assert(DeltaWrite.appendStream(spark,
+      Seq((2L, "b1")).toDF("id", "v"), root, app, 1L) == 1L)
+    // replay of batch 1 (crash-restart shape): recognized, dropped
+    assert(DeltaWrite.appendStream(spark,
+      Seq((2L, "b1")).toDF("id", "v"), root, app, 1L) == 1L)
+    assert(DeltaRead.read(spark, root).count() == 2)
+    assert(DeltaRead.snapshot(spark, root).txns == Map(app -> 1L))
+    // the mark survives a checkpoint + cleaned log
+    assert(DeltaWrite.checkpoint(spark, root) == 1L)
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- 0 to 1)
+      fs.delete(new org.apache.hadoop.fs.Path(logP, f"$v%020d.json"), false)
+    assert(DeltaRead.snapshot(spark, root).txns == Map(app -> 1L))
+    assert(DeltaWrite.appendStream(spark,
+      Seq((2L, "b1")).toDF("id", "v"), root, app, 1L) == 1L)
+    assert(DeltaRead.read(spark, root).count() == 2)
+    // a NEW batch still lands
+    assert(DeltaWrite.appendStream(spark,
+      Seq((3L, "b2")).toDF("id", "v"), root, app, 2L) == 2L)
+    assert(DeltaRead.read(spark, root).count() == 3)
+  }
+
+  test("streaming deltaAppendSink: micro-batches commit exactly-once end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_deltas_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.deltaAppendSink(
+      mem.toDF().toDF("id", "v"), root, ckpt)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)]
+        .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val txns = DeltaRead.snapshot(spark, root).txns
+      assert(txns.size == 1 && txns.head._2 == 1L, s"got $txns")
+    } finally q.stop()
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
