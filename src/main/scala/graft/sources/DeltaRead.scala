@@ -75,7 +75,15 @@ object DeltaRead {
         * so a replayed micro-batch (restart from the streaming
         * checkpoint) is recognized and dropped instead of duplicated.
         */
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** raw `add.stats` JSON per live file (absent when the writer
+        * recorded none) — numRecords/minValues/maxValues/nullCount,
+        * the log-resident stats DATA SKIPPING reads from
+        * ([[read]] prunes files whose range cannot match a pushed
+        * filter, delta-spark's skipping semantics). Same driver
+        * residency as the file list itself (~200 B/file).
+        */
+      stats: Map[String, String] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -176,8 +184,25 @@ object DeltaRead {
           }
           org.apache.spark.sql.execution.datasources.PartitionSpec(partSchema, partitions)
         }
-      val index = new org.apache.spark.sql.graftbridge.ManifestFileIndex(
-        spark, spec, sized.map(f => (f._1, f._3)))
+      // log-resident DATA SKIPPING: when adds carried stats, the scan's
+      // listFiles drops files whose min/max cannot match the pushed
+      // filters (delta-spark's skipping; parse is lazy + memoized, and
+      // a file/column without stats is simply kept)
+      val index =
+        if (snap.stats.isEmpty)
+          new org.apache.spark.sql.graftbridge.ManifestFileIndex(
+            spark, spec, sized.map(f => (f._1, f._3)))
+        else {
+          val statsByAbs = snap.stats.map { case (rel, st) =>
+            new Path(rootP, rel).toString -> st
+          }
+          val cache = new java.util.concurrent.ConcurrentHashMap[
+            String, Option[graft.pipeline.FileStats.FileStat]]()
+          new org.apache.spark.sql.graftbridge.StatsManifestFileIndex(
+            spark, spec, sized.map(f => (f._1, f._3)),
+            p => cache.computeIfAbsent(p,
+              k => statsByAbs.get(k).flatMap(parseAddStats)))
+        }
       val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partSchema, StructType(dataCols), None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -257,18 +282,19 @@ object DeltaRead {
       }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
       val addCols = rows.select("add.*").columns.toSet
-      val hasPv = addCols("partitionValues")
       val sizeCol =
         if (addCols("size")) col("add.size") else lit(-1L).as("size")
+      val pvCol =
+        if (addCols("partitionValues")) col("add.partitionValues")
+        else lit(null).cast("map<string,string>").as("partitionValues")
+      val statsCol =
+        if (addCols("stats")) col("add.stats")
+        else lit(null).cast("string").as("stats")
       // paths stay URI-ENCODED inside the frame; decoding happens once,
       // post-replay, so checkpoint adds and tail removes meet in the
       // same (encoded) key space — exactly as the driver replay did
-      ckptAdds = Some(
-        if (hasPv) rows.select(col("add.path"), col("add.partitionValues"), sizeCol)
-          .where(col("add.path").isNotNull)
-        else rows.select(col("add.path"),
-            lit(null).cast("map<string,string>").as("partitionValues"), sizeCol)
-          .where(col("add.path").isNotNull))
+      ckptAdds = Some(rows.select(col("add.path"), pvCol, sizeCol, statsCol)
+        .where(col("add.path").isNotNull))
       // protocol gate can live in the checkpoint too
       if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
         .filter(!_.isNullAt(0)).foreach(r => gateReaderVersion(path, r.getInt(0)))
@@ -281,8 +307,8 @@ object DeltaRead {
     // Tail replay (driver-side, bounded by the checkpoint interval):
     // last action per ENCODED path wins — Some(pv) = live add, None =
     // removed. Insertion order is irrelevant once reduced to last-wins.
-    val tail =
-      scala.collection.mutable.LinkedHashMap[String, Option[(Map[String, String], Long)]]()
+    val tail = scala.collection.mutable
+      .LinkedHashMap[String, Option[(Map[String, String], Long, String)]]()
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     for (v <- replayFrom to target) {
       val p = new Path(logP, f"$v%020d.json")
@@ -314,7 +340,8 @@ object DeltaRead {
               e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
             .getOrElse(Map.empty[String, String])
           val sz = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
-          tail.put(add.get("path").asText(), Some((pv, sz)))
+          val st = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).orNull
+          tail.put(add.get("path").asText(), Some((pv, sz, st)))
         }
         if (node.has("remove"))
           tail.put(node.get("remove").path("path").asText(), None)
@@ -325,7 +352,7 @@ object DeltaRead {
       }
     }
 
-    val entries: Map[String, (Map[String, String], Long)] = ckptAdds match {
+    val entries: Map[String, (Map[String, String], Long, String)] = ckptAdds match {
       case None =>
         // no checkpoint: the tail IS the whole history
         tail.collect { case (p, Some(e)) => decodePath(p) -> e }.toMap
@@ -338,7 +365,7 @@ object DeltaRead {
         // replay always matched decoded; so must the distributed one)
         val dec = org.apache.spark.sql.functions.udf((p: String) => decodePath(p))
         val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"),
-          col("size"))
+          col("size"), col("stats"))
         val carried =
           if (tail.isEmpty) addsDec
           else {
@@ -349,7 +376,8 @@ object DeltaRead {
           val pv = if (r.isNullAt(1)) Map.empty[String, String]
             else r.getMap[String, String](1).toMap
           val sz = if (r.isNullAt(2)) -1L else r.getLong(2)
-          r.getString(0) -> ((pv, sz))
+          val st = if (r.isNullAt(3)) null else r.getString(3)
+          r.getString(0) -> ((pv, sz, st))
         }.toMap
         live ++ tail.collect { case (p, Some(e)) => decodePath(p) -> e }
     }
@@ -357,8 +385,9 @@ object DeltaRead {
     require(schemaJson != null,
       s"Delta log at $path carries no metaData action — cannot derive a schema")
     Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, entries.map { case (p, (pv, _)) => p -> pv },
-      entries.map { case (p, (_, sz)) => p -> sz }, metaId, txns.toMap)
+      partCols, entries.map { case (p, (pv, _, _)) => p -> pv },
+      entries.map { case (p, (_, sz, _)) => p -> sz }, metaId, txns.toMap,
+      entries.collect { case (p, (_, _, st)) if st != null => p -> st })
   }
 
   /** `_last_checkpoint` fast path for latest-version reads: returns
@@ -424,6 +453,37 @@ object DeltaRead {
       (commitVersionsOf(names) ++ checkpointFilesOf(names).keys).distinct.sorted
     }
   }
+
+  /** Parse an `add.stats` JSON into the [[graft.pipeline.FileStats]]
+    * shape the skipping machinery consumes. Stat domains: integral →
+    * Long, floating → Double, text → String (matching the sidecar
+    * domains, so the shared interval/overlap logic applies verbatim);
+    * a null bound, domain mismatch between min and max, or unparseable
+    * JSON records no entry — the file is scanned, never mis-skipped.
+    */
+  private[sources] def parseAddStats(json: String)
+      : Option[graft.pipeline.FileStats.FileStat] =
+    try {
+      val n = mapper.readTree(json)
+      val rows = Option(n.get("numRecords")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(-1L)
+      def statVal(nd: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+        if (nd == null || nd.isNull) None
+        else if (nd.isIntegralNumber) Some(nd.asLong())
+        else if (nd.isFloatingPointNumber) Some(nd.asDouble())
+        else if (nd.isTextual) Some(nd.asText())
+        else None
+      val cols = (for {
+        mn <- Option(n.get("minValues")).toSeq
+        mx <- Option(n.get("maxValues")).toSeq
+        e <- mn.properties().asScala
+        hiN <- Option(mx.get(e.getKey))
+        lo <- statVal(e.getValue)
+        hi <- statVal(hiN)
+        if lo.getClass == hi.getClass
+      } yield e.getKey -> graft.pipeline.FileStats.ColStat(lo, hi)).toMap
+      Some(graft.pipeline.FileStats.FileStat("", rows, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private[sources] def commitVersionsOf(names: Seq[String]): Seq[Long] = names.collect {
     case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>

@@ -457,8 +457,12 @@ class GraftScanBuilder(spark: SparkSession,
   }
 }
 
-/** File skipping against the commit-time `_graft_stats` sidecars. */
-private[sources] object GraftStatSkipping {
+/** File skipping against the commit-time `_graft_stats` sidecars —
+  * and, through [[fileSurvives]], against any other per-file stats
+  * source (the Delta log's `add.stats` rides the same machinery via
+  * [[org.apache.spark.sql.graftbridge.StatsManifestFileIndex]]).
+  */
+object GraftStatSkipping {
   import graft.pipeline.FileStats
   import org.apache.spark.sql.sources._
 
@@ -485,7 +489,7 @@ private[sources] object GraftStatSkipping {
     * closed intervals. Strict bounds relax to inclusive ones — the
     * check stays sound, at worst one extra file survives.
     */
-  private[sources] def intervals(filters: Seq[Filter]): Map[String, (Option[Any], Option[Any])] = {
+  def intervals(filters: Seq[Filter]): Map[String, (Option[Any], Option[Any])] = {
     val acc = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
     def tighten(col: String, lo: Option[Any], hi: Option[Any]): Unit = {
       val (l0, h0) = acc.getOrElse(col, (None, None))
@@ -552,6 +556,24 @@ private[sources] object GraftStatSkipping {
     Some(total)
   }
 
+  /** Can a file whose per-column ranges are `st` satisfy every
+    * interval? A column without stats always matches (conservative);
+    * domain mismatches never prune. The single survival predicate
+    * both the sidecar route below and the Delta-log route share.
+    */
+  def fileSurvives(ivs: Map[String, (Option[Any], Option[Any])],
+                   st: graft.pipeline.FileStats.FileStat): Boolean =
+    ivs.forall { case (col, (lo, hi)) =>
+      st.cols.get(col) match {
+        case None => true
+        case Some(cs) =>
+          (!lo.exists(l => sameDomain(cs.max, l)) ||
+            FileStats.cmp(cs.max, lo.get) >= 0) &&
+          (!hi.exists(h => sameDomain(cs.min, h)) ||
+            FileStats.cmp(cs.min, hi.get) <= 0)
+      }
+    }
+
   /** Keep only the files whose sidecar stats can satisfy every
     * interval. Unsupported shapes keep everything (zero-cost exit:
     * nothing is read when no usable interval exists).
@@ -571,16 +593,7 @@ private[sources] object GraftStatSkipping {
           fs.filter { f =>
             byName.get(sidecarLoc(new Path(f))._2) match {
               case None => true // file not in the sidecar: conservative
-              case Some(st) => ivs.forall { case (col, (lo, hi)) =>
-                st.cols.get(col) match {
-                  case None => true // column without stats always matches
-                  case Some(cs) =>
-                    (!lo.exists(l => sameDomain(cs.max, l)) ||
-                      FileStats.cmp(cs.max, lo.get) >= 0) &&
-                    (!hi.exists(h => sameDomain(cs.min, h)) ||
-                      FileStats.cmp(cs.min, hi.get) <= 0)
-                }
-              }
+              case Some(st) => fileSurvives(ivs, st)
             }
           }
       }

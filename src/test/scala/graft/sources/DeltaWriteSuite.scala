@@ -283,6 +283,39 @@ class DeltaWriteSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("log-resident data skipping: a selective filter opens only intersecting files") {
+    val root = tmp()
+    // two files with disjoint id ranges (stats from the write's footers)
+    DeltaWrite.append(spark, (1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(1), root)
+    DeltaWrite.append(spark, (1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v")
+      .coalesce(1), root)
+    val filtered = DeltaRead.read(spark, root).where($"id" < 50)
+    assert(filtered.count() == 49)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val scanned = scannedFiles(filtered)
+    assert(scanned == 1, s"expected 1 file after stats skipping, scanned $scanned")
+    // an unfiltered read still opens both
+    val all = DeltaRead.read(spark, root)
+    assert(all.count() == 201)
+    val scannedAll = scannedFiles(all)
+    assert(scannedAll == 2)
+    // skipping survives a checkpoint (stats carried through the fold)
+    assert(DeltaWrite.checkpoint(spark, root) == 1L)
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- 0 to 1)
+      fs.delete(new org.apache.hadoop.fs.Path(logP, f"$v%020d.json"), false)
+    val afterCk = DeltaRead.read(spark, root).where($"id" >= 1000)
+    assert(afterCk.count() == 101)
+    val scannedCk = scannedFiles(afterCk)
+    assert(scannedCk == 1, s"expected 1 file post-checkpoint, scanned $scannedCk")
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
