@@ -1111,6 +1111,32 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q110: BRANCH REBASE (round 12) — the full diverge-rebase-publish
+    // loop under the oracle hash. Even keys commit as main's base, a
+    // branch forks and appends the %4==1 slice, then MAIN moves (the
+    // %4==3 slice) so the fork point is stale: publish would refuse
+    // (BranchSuite pins the refusal). rebaseBranch replays the
+    // branch's append-only span onto main's head as ONE pointer-only
+    // commit (zero data I/O — the scale-correct shape), publish then
+    // fast-forwards cleanly, and the read must hold all three slices:
+    // a lost update on either side poisons the hash.
+    "q110_branch_rebase" -> ((s, dir) => {
+      val root = scratchRoot("graft_q110")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.where(col("o_orderkey") % 2 === 0), compactAfter = Int.MaxValue)
+      VersionedTable.createBranch(s, root, "exp")
+      val bRoot = VersionedTable.branchRoot(root, "exp")
+      VersionedTable.commitDelta(s, bRoot, "parquet",
+        orders.where(col("o_orderkey") % 4 === 1), compactAfter = Int.MaxValue)
+      VersionedTable.commitDelta(s, root, "parquet",
+        orders.where(col("o_orderkey") % 4 === 3), compactAfter = Int.MaxValue)
+      VersionedTable.rebaseBranch(s, root, "exp")
+      VersionedTable.publishBranch(s, root, "exp")
+      VersionedTable.read(s, root).orderBy("o_orderkey")
+    }),
+
     // q86: STATS-PRUNED overwrite_where (replaceWhere) under the
     // oracle gate — the base commits as 8 range-clustered files on
     // o_orderkey, then the o_orderkey<1000 span is replaced with
@@ -1661,6 +1687,14 @@ object RelationalQueries {
     "q108_evolved_read" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // rebase-then-publish must lose NOTHING: main's base (even keys),
+    // main's post-fork append (%4==3) and the branch's append (%4==1)
+    // tile the whole key space — the closed form is the full table,
+    // and any lost update (either side reverted) breaks the hash
+    "q110_branch_rebase" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the checkpointed log must reconstruct the same content as the
