@@ -184,6 +184,44 @@ object IncrementalAnn {
     } finally idx.unpersist(blocking = false)
   }
 
+  /** Standing SELF-TENDING maintenance — the hook that keeps a
+    * long-lived incremental index healthy without operator judgment:
+    * COMPACT the index table first (every O(delta) append leaves one
+    * small directory; the rebalance scan and every probe pay that
+    * file-count tax), then [[rebalanceLists]] repeatedly until no
+    * list exceeds the factor — a tight hot blob legitimately needs a
+    * second split round when its sub-lists are still oversized (the
+    * suite pins this), so one pass is not a fixpoint. Bounded by
+    * `maxRounds`; each piece is already idempotent/crash-convergent
+    * (compact no-ops on a single-dir snapshot, rebalance heals
+    * quantizer orphans on entry), so re-running after any crash
+    * converges. Returns every list id split across rounds (empty =
+    * the index was already tended).
+    *
+    * Cadence guidance: run after every K ingest batches or from the
+    * same scheduler slot as table vacuum — cost is O(hot lists +
+    * live-file rewrite of one compaction), never O(corpus) kmeans.
+    */
+  def maintain(
+      spark: SparkSession,
+      root: String,
+      maxListFactor: Double = 2.0,
+      splitWays: Int = 2,
+      iters: Int = 2,
+      maxRounds: Int = 4): Seq[Int] = {
+    VersionedTable.compact(spark, root, "parquet", partitionBy = Seq("list_id"))
+    val all = Seq.newBuilder[Int]
+    var round = 0
+    var splitting = true
+    while (splitting && round < maxRounds) {
+      val split = rebalanceLists(spark, root, maxListFactor, splitWays, iters)
+      all ++= split
+      splitting = split.nonEmpty
+      round += 1
+    }
+    all.result()
+  }
+
   /** Mean vector per list (the heal path's centroid reconstruction). */
   private def listMeans(lists: DataFrame): Seq[(Int, Array[Float])] =
     lists.select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "x")))

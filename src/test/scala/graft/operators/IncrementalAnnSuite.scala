@@ -157,4 +157,47 @@ class IncrementalAnnSuite extends SparkSpec {
       (afterCounts.values.sum.toDouble / cents.size) + 0.5
     assert(IncrementalAnn.rebalanceLists(spark, root, maxListFactor = relaxed).isEmpty)
   }
+
+  test("maintain: compact + rebalance-to-fixpoint makes the index self-tending") {
+    val root = tmpRoot("incann_maint")
+    IncrementalAnn.initIndex(spark, base, root, nlist = 6, iters = 2)
+    // moderately-skewed stream (wider noise than the rebalance test, so
+    // splitting converges instead of re-splitting a degenerate blob)
+    val rnd = new scala.util.Random(41)
+    val hotCenter = allVecs.head._2
+    val skewVecs = (0 until 4).map { b =>
+      (0 until 25).map { i =>
+        ((2000 + b * 25 + i).toLong,
+          hotCenter.map(x => x + 0.4f * rnd.nextGaussian().toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+    }
+    skewVecs.foreach(IncrementalAnn.appendDelta(spark, _, root))
+    val snapBefore = VersionedTable.currentSnapshot(spark, root).get
+    assert(snapBefore.dataDirs.length > 2, "appends must have left per-batch dirs")
+
+    val split = IncrementalAnn.maintain(spark, root, maxListFactor = 2.5, splitWays = 3)
+    assert(split.nonEmpty, "the hot list must be split by maintenance")
+    // maintain = compact commit + >=1 rebalance commit (the multi-dir
+    // append layout guarantees the compact is a real fold, not a no-op)
+    val vAfter = VersionedTable.currentSnapshot(spark, root).get.version
+    assert(vAfter >= snapBefore.version + 2,
+      s"expected compact+rebalance commits: v${snapBefore.version} -> v$vAfter")
+    // the compacted fold is visible at the rebalance's PARENT version:
+    // fewer entries than the pre-maintenance append pile
+    val parentDirs = VersionedTable.history(spark, root)
+      .find(_.version == snapBefore.version + 1).get.dataDirs.length
+    assert(parentDirs < snapBefore.dataDirs.length,
+      s"compact must fold the append dirs: ${snapBefore.dataDirs.length} -> $parentDirs")
+    // fixpoint: an immediate second maintenance has nothing to do
+    assert(IncrementalAnn.maintain(spark, root, maxListFactor = 2.5, splitWays = 3).isEmpty)
+    // correctness invariant: exhaustive search still equals brute force
+    val union = base.unionByName(skewVecs.reduce(_ unionByName _))
+    val probes = union.where(col("vec_id") < 3 || col("vec_id") === 2001L)
+    val nlistNow = IncrementalAnn.centroids(spark, root).size
+    val got = IncrementalAnn.search(spark, root, probes, k = 5, nprobe = nlistNow)
+      .orderBy("probe_id", "rank").collect().toSeq
+    val brute = Similarity.knnBrute(union, probes, k = 5)
+      .orderBy("probe_id", "rank").collect().toSeq
+    assert(got === brute)
+  }
 }
