@@ -211,7 +211,11 @@ object TextQueries {
     // (kernel assignment, bounded_collect pair generation, anti-join).
     "q102_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Clustering.semDedup(emb, Clustering.fixedCentroids(emb, k = 8),
+      // size-adaptive k (fixed ~250-vector clusters): the SemDeDup
+      // quadratic stays LINEAR in corpus size; same formula as the
+      // oracle's adaptiveKSql, so the hash gate covers it at any SF
+      val k = adaptiveK(emb.count())
+      Clustering.semDedup(emb, Clustering.fixedCentroids(emb, k = k),
           threshold = 0.30)
         .orderBy("vec_id")
     }),
@@ -768,17 +772,30 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Shared assignment CTEs for the q99/q100 oracles: fixed centroids
-    * = the 8 lowest-vec_id rows (cid = ordinal in id order, mirroring
-    * Clustering.fixedCentroids), cosine in double accumulation (the
-    * q85 formulation), argmax via row_number ordered (sim DESC NULLS
-    * LAST, cid DESC) — null sims lose to any real and ties go to the
-    * larger cluster id, the NearestCentroid kernel's exact contract.
+  /** Shared assignment CTEs for the q99/q100/q102 oracles: fixed
+    * centroids = the k lowest-vec_id rows (cid = ordinal in id order,
+    * mirroring Clustering.fixedCentroids), cosine in double
+    * accumulation (the q85 formulation), argmax via row_number ordered
+    * (sim DESC NULLS LAST, cid DESC) — null sims lose to any real and
+    * ties go to the larger cluster id, the NearestCentroid kernel's
+    * exact contract. `kSql` is the centroid-count expression — q102
+    * passes the SIZE-ADAPTIVE form (see [[adaptiveKSql]]) so its
+    * cluster-bounded quadratic stays linear in corpus size.
     */
-  private val kmeansAssignCtes =
-    """c AS (
+  /** q102's centroid count, identically in SQL and Scala: fixed target
+    * cluster size 250 keeps SemDeDup's per-cluster pair volume
+    * CONSTANT as the corpus grows (pairs = n x 125, linear — at k=8
+    * forever, a 10x corpus is 100x pairs; the sf1 bench showed exactly
+    * that curve). The floor of 8 keeps sf0.01/sf0.1 byte-identical to
+    * the fixed-k era.
+    */
+  private val adaptiveKSql = "greatest(8, (SELECT count(*) FROM embeddings) // 250)"
+  private[queries] def adaptiveK(n: Long): Int = math.max(8L, n / 250L).toInt
+
+  private def kmeansAssignCtes(kSql: String = "8") =
+    s"""c AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
-      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kSql)),
       |scored AS (
       |  SELECT v.vec_id, c.cid,
       |    list_sum(list_transform(range(1, len(v.embedding) + 1), i -> v.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
@@ -801,13 +818,13 @@ object TextQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q99_kmeans" ->
-      s"""WITH $kmeansAssignCtes
+      s"""WITH ${kmeansAssignCtes()}
          |SELECT cluster, count(*) AS n_vectors,
          |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM assigned WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q100_cluster_sample" ->
-      s"""WITH $kmeansAssignCtes,
+      s"""WITH ${kmeansAssignCtes()},
          |a AS (SELECT vec_id, cluster FROM assigned WHERE rk = 1),
          |sizes AS (SELECT cluster, count(*) AS n FROM a GROUP BY 1),
          |rated AS (SELECT a.vec_id, a.cluster,
@@ -822,7 +839,7 @@ object TextQueries {
     // a vector survives iff no lower-id same-cluster neighbor clears
     // the threshold.
     "q102_semdedup" ->
-      s"""WITH $kmeansAssignCtes,
+      s"""WITH ${kmeansAssignCtes(adaptiveKSql)},
          |a AS (SELECT vec_id, cluster FROM assigned WHERE rk = 1),
          |dropped AS (
          |  SELECT DISTINCT y.vec_id AS id_b
