@@ -34,12 +34,17 @@ import org.apache.spark.sql.functions.col
   *
   * Supported: append, overwrite (schema-changing overwrite re-emits
   * `metaData` CARRYING the original table id), dynamic partition
-  * overwrite (removes only the partitions the new data touches).
+  * overwrite (removes only the partitions the new data touches),
+  * idempotent streaming appends ([[appendStream]], `txn` actions).
   * Merge modes compose in [[graft.pipeline.Writer]]: the merged
   * snapshot is computed by graft's distributed merge plans, then
-  * committed here as an overwrite. Checkpoints are not written —
-  * optional per the protocol; readers (ours and delta-spark) replay
-  * the JSON log.
+  * committed here as an overwrite. Adds carry footer-derived `stats`
+  * (data skipping for any delta reader, including [[DeltaRead]]'s
+  * own [[org.apache.spark.sql.graftbridge.StatsManifestFileIndex]]
+  * scan), and the log folds into parquet CHECKPOINTS + a
+  * `_last_checkpoint` pointer every [[CheckpointInterval]] commits
+  * ([[checkpoint]] — incremental construction, tombstone carry-over,
+  * txn survival).
   *
   * Scale: the data write is Spark's normal distributed parquet job
   * (partitioned layout, codegen, AQE all apply); driver work is
@@ -484,9 +489,21 @@ object DeltaWrite {
   private case class CkAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long, dataChange: Boolean,
                            stats: String)
+  private case class CkRemove(path: String, deletionTimestamp: Long,
+                              dataChange: Boolean)
   private case class CkTxn(appId: String, version: Long, lastUpdated: java.lang.Long)
   private case class CkRow(protocol: CkProtocol, metaData: CkMeta, add: CkAdd,
-                           txn: CkTxn)
+                           remove: CkRemove, txn: CkTxn)
+
+  /** How long removed-file TOMBSTONES survive in checkpoints (matches
+    * delta-spark's `deletedFileRetentionDuration` default of 7 days).
+    * Tombstones exist for FOREIGN vacuum tooling — our reader
+    * reconstructs state from adds alone — but the protocol requires a
+    * checkpoint to carry the unexpired ones, so a delta-spark VACUUM
+    * run against a graft-written table sees the same removal history
+    * it would on its own tables.
+    */
+  val TombstoneRetentionMs: Long = 7L * 24 * 3600 * 1000
 
   /** Fold the log at `path` into a `V.checkpoint.parquet` +
     * `_last_checkpoint` pointer at the newest committed version V —
@@ -536,8 +553,10 @@ object DeltaWrite {
     var protocol = CkProtocol(1, 2)
     var meta: CkMeta = null
     val tailAdds = scala.collection.mutable.LinkedHashMap[String, CkAdd]()
+    val tailTombs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val touched = scala.collection.mutable.LinkedHashSet[String]() // decoded
     val txns = scala.collection.mutable.LinkedHashMap[String, CkTxn]()
+    val nowMs = System.currentTimeMillis
     for (v <- prev.map(_ + 1).getOrElse(0L) to latest) {
       val p = new Path(logP, f"$v%020d.json")
       val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
@@ -576,11 +595,14 @@ object DeltaWrite {
           tailAdds(enc) = CkAdd(enc, pv,
             ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
             dataChange = true, stats = ad.path("stats").asText(null))
+          tailTombs.remove(enc) // a re-added path is live, not a tombstone
           touched += DeltaRead.decodePath(enc)
         }
         if (node.has("remove")) {
-          val enc = node.get("remove").path("path").asText()
+          val rm = node.get("remove")
+          val enc = rm.path("path").asText()
           tailAdds.remove(enc)
+          tailTombs(enc) = rm.path("deletionTimestamp").asLong(nowMs)
           touched += DeltaRead.decodePath(enc)
         }
         if (node.has("txn")) {
@@ -600,7 +622,10 @@ object DeltaWrite {
     def nullCol(n: String) = lit(null).cast(ckSchema(n).dataType).as(n)
 
     // --- carried adds from the previous checkpoint (distributed) ---
-    val carried: Option[DataFrame] = prev.map { cv =>
+    // carried = (live adds, unexpired tombstones) from the previous
+    // checkpoint, both distributed and both anti-joined (decoded keys)
+    // against everything the tail touched
+    val carried: Option[(DataFrame, Option[DataFrame])] = prev.map { cv =>
       val rows = spark.read.parquet(
         cpFiles(cv).map(n => new Path(logP, n).toString): _*)
       val cols = rows.columns.toSet
@@ -643,13 +668,26 @@ object DeltaWrite {
         (if (addCols("dataChange")) coalesce(col("add.dataChange"), lit(true))
          else lit(true)).as("dataChange"),
         ac("stats", "string"))
-      if (touched.isEmpty) prevAdds
+      val prevTombs: Option[DataFrame] =
+        if (!cols("remove")) None
+        else {
+          val rmCols = rows.select("remove.*").columns.toSet
+          val dt = if (rmCols("deletionTimestamp"))
+            coalesce(col("remove.deletionTimestamp").cast("bigint"), lit(0L))
+          else lit(0L)
+          Some(rows.where(col("remove.path").isNotNull).select(
+            col("remove.path").cast("string").as("path"),
+            dt.as("deletionTimestamp"))
+            .where(col("deletionTimestamp") >= lit(nowMs - TombstoneRetentionMs)))
+        }
+      if (touched.isEmpty) (prevAdds, prevTombs)
       else {
         import spark.implicits._
         val dec = udf((p: String) => DeltaRead.decodePath(p))
         val touchedDf = broadcast(touched.toSeq.toDF("__dpath"))
-        prevAdds.withColumn("__dpath", dec(col("path")))
+        def anti(df: DataFrame) = df.withColumn("__dpath", dec(col("path")))
           .join(touchedDf, Seq("__dpath"), "left_anti").drop("__dpath")
+        (anti(prevAdds), prevTombs.map(anti))
       }
     }
 
@@ -657,17 +695,28 @@ object DeltaWrite {
       s"Delta log at $path carries no metaData action — cannot checkpoint")
 
     val driverRows: Seq[CkRow] =
-      Seq(CkRow(protocol, null, null, null), CkRow(null, meta, null, null)) ++
-        txns.values.map(t => CkRow(null, null, null, t)) ++
-        tailAdds.values.map(a => CkRow(null, null, a, null))
+      Seq(CkRow(protocol, null, null, null, null),
+        CkRow(null, meta, null, null, null)) ++
+        txns.values.map(t => CkRow(null, null, null, null, t)) ++
+        tailAdds.values.map(a => CkRow(null, null, a, null, null)) ++
+        tailTombs.collect { case (p, ts) if ts >= nowMs - TombstoneRetentionMs =>
+          CkRow(null, null, null, CkRemove(p, ts, dataChange = true), null)
+        }
     val driverDf = spark.createDataset(driverRows)(enc).toDF()
-    val carriedDf = carried.map(_.select(
+    val carriedAddsDf = carried.map { case (adds, _) => adds.select(
       nullCol("protocol"), nullCol("metaData"),
       struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("dataChange"), col("stats"))
         .cast(ckSchema("add").dataType).as("add"),
+      nullCol("remove"), nullCol("txn"))
+    }
+    val carriedTombsDf = carried.flatMap(_._2).map(_.select(
+      nullCol("protocol"), nullCol("metaData"), nullCol("add"),
+      struct(col("path"), col("deletionTimestamp"), lit(true).as("dataChange"))
+        .cast(ckSchema("remove").dataType).as("remove"),
       nullCol("txn")))
-    val all = carriedDf.map(driverDf.unionByName(_)).getOrElse(driverDf)
+    val all = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)
+      .reduce(_ unionByName _)
 
     // --- write + single-rename publish ---
     val tmp = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))

@@ -283,6 +283,38 @@ class DeltaWriteSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoints carry unexpired remove tombstones; expired ones drop") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root)    // v0
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v").coalesce(1), root)    // v1
+    DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v").coalesce(1), root) // v2: 2 removes
+    assert(DeltaWrite.checkpoint(spark, root) == 2L)
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    def tombsOf(v: Long): Seq[String] =
+      spark.read.parquet(new org.apache.hadoop.fs.Path(logP,
+          f"$v%020d.checkpoint.parquet").toString)
+        .where(col("remove.path").isNotNull)
+        .select("remove.path").as[String].collect().toSeq.sorted
+    assert(tombsOf(2L).length == 2, "both overwritten files must be tombstoned")
+    // second fold: tombstones CARRY from the previous checkpoint and the
+    // new overwrite's remove joins them
+    DeltaWrite.overwrite(spark, Seq((10L, "y")).toDF("id", "v").coalesce(1), root) // v3
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    assert(tombsOf(3L).length == 3, s"2 carried + 1 new, got ${tombsOf(3L)}")
+    // an EXPIRED tombstone (ancient deletionTimestamp, here hand-written
+    // as a foreign log-cleaner would leave it) drops at the next fold
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.pipeline.VersionedTable.casPublish(fs,
+      new org.apache.hadoop.fs.Path(logP, f"${4L}%020d.json"),
+      """{"remove":{"path":"ghost.parquet","deletionTimestamp":1000,"dataChange":true}}""" + "\n"))
+    assert(DeltaWrite.checkpoint(spark, root) == 4L)
+    val t4 = tombsOf(4L)
+    assert(!t4.contains("ghost.parquet") && t4.length == 3, s"got $t4")
+    // state reconstruction is tombstone-agnostic throughout
+    assert(DeltaRead.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((10L, "y")))
+  }
+
   test("log-resident data skipping: a selective filter opens only intersecting files") {
     val root = tmp()
     // two files with disjoint id ranges (stats from the write's footers)
