@@ -102,8 +102,15 @@ object DeltaRead {
   }
 
   /** Read the newest committed snapshot (or `version` for time travel). */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, path, version)
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame =
+    readSnapshot(spark, path, snapshot(spark, path, version))
+
+  /** The scan over an EXPLICIT snapshot-shaped file set — the body of
+    * [[read]], shared with the streaming source (whose micro-batch is
+    * a synthetic Snapshot holding just one offset span's added files).
+    */
+  private[graft] def readSnapshot(spark: SparkSession, path: String,
+                                  snap: Snapshot): DataFrame = {
     val rootP = qualifiedRoot(spark, path)
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -451,6 +458,62 @@ object DeltaRead {
     else {
       val names = fs.listStatus(logP).toSeq.map(_.getPath.getName)
       (commitVersionsOf(names) ++ checkpointFilesOf(names).keys).distinct.sorted
+    }
+  }
+
+  /** Newest committed version, None for a non-delta/empty log — the
+    * streaming source's `getOffset` probe (pointer fast path when the
+    * pointer is fresh, one LIST otherwise).
+    */
+  private[graft] def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** One commit's DATA-CHANGING actions, for the streaming source:
+    * adds as (encoded path, partitionValues, size, statsOrNull), plus
+    * how many files the commit removed. Actions flagged
+    * `dataChange=false` (OPTIMIZE repackaging) are excluded on both
+    * sides — per the protocol they carry no new rows and must not
+    * stream or fail a stream.
+    */
+  private[graft] final case class CommitActions(
+      version: Long,
+      adds: Seq[(String, Map[String, String], Long, String)],
+      removes: Int)
+
+  /** Parse commits `(fromExclusive, toInclusive]` — the streaming
+    * micro-batch span. A missing commit file inside the span means the
+    * stream's lag exceeded the log's retention (cleaned log): loud.
+    */
+  private[graft] def commitActions(spark: SparkSession, path: String,
+                                   fromExclusive: Long,
+                                   toInclusive: Long): Seq[CommitActions] = {
+    val logP = new Path(qualifiedRoot(spark, path), "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fromExclusive + 1 to toInclusive).map { v =>
+      val p = new Path(logP, f"$v%020d.json")
+      val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"Delta log at $path is missing commit $v — the stream's lag exceeded " +
+            "the log's retention (cleaned log); restart from a fresh checkpoint"))
+      var removes = 0
+      val adds = Seq.newBuilder[(String, Map[String, String], Long, String)]
+      content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val ad = node.get("add")
+          if (ad.path("dataChange").asBoolean(true)) {
+            val pv = Option(ad.get("partitionValues")).map(_.properties().asScala
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty[String, String])
+            adds += ((ad.get("path").asText(), pv,
+              ad.path("size").asLong(-1L), ad.path("stats").asText(null)))
+          }
+        }
+        if (node.has("remove") &&
+            node.get("remove").path("dataChange").asBoolean(true)) removes += 1
+      }
+      CommitActions(v, adds.result(), removes)
     }
   }
 

@@ -380,7 +380,7 @@ object DeltaWrite {
     * `new URI(p).getPath`. '%' itself is encoded (the on-disk name may
     * contain hive escapes), '/' and URI pchars pass through.
     */
-  private[sources] def encodePath(rel: String): String = {
+  private[graft] def encodePath(rel: String): String = {
     val keep = "-_.~!$&'()*+,;=:@/"
     rel.flatMap { c =>
       if ((c.isLetterOrDigit && c < 128) || keep.indexOf(c.toInt) >= 0) c.toString

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import graft.sources.DeltaRead
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.StreamingShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE over a (foreign or graft-written) Delta
+  * Lake table — the read-side mate of [[EventStreams.deltaAppendSink]],
+  * completing the delta interop loop: a delta-spark user can point
+  * `readStream` at the same table here and get the same semantics.
+  * Offsets ARE delta log versions; each micro-batch is exactly the
+  * files ADDED in the offset span `(start, end]`:
+  *
+  *  - `getOffset` probes the log head (the `_last_checkpoint` fast
+  *    path when fresh, one LIST otherwise); a version becomes visible
+  *    only when its commit JSON is fully published — the log IS the
+  *    gate, so there is no read-uncommitted window.
+  *  - `getBatch` replays the span's commit JSONs (driver-side, bounded
+  *    by trigger cadence) and loads the added files through the same
+  *    log-planned scan as the batch reader (partition values from the
+  *    log, `add.stats` data skipping). Actions with `dataChange=false`
+  *    (OPTIMIZE repackaging) neither stream nor fail the stream.
+  *  - non-append commits follow delta-spark's source contract: a
+  *    commit that removed files FAILS the stream by default;
+  *    `.option("ignoreDeletes", true)` skips delete-only commits
+  *    (their removed rows just never retract), and
+  *    `.option("ignoreChanges", true)` additionally streams the adds
+  *    of update/merge commits (their rewritten files re-stream —
+  *    downstream must dedup, exactly delta-spark's documented caveat).
+  *  - the first batch delivers the FULL snapshot at the first
+  *    trigger's head version; `startingVersion` opts out (`"latest"`
+  *    pins the creation-time head ONCE in the checkpoint-scoped
+  *    metadataPath — same durability contract as the graft source —
+  *    and a number N streams commits strictly after N).
+  *
+  * Schema: pinned at stream start (the engine's checkpoint schema);
+  * additive source evolution null-fills/drops per batch, a changed
+  * column TYPE fails the stream — the same contract as
+  * [[VersionedTableSource.conform]], and the same posture delta-spark
+  * takes.
+  *
+  * Scale: per trigger the driver parses only the span's commit JSONs
+  * (O(files touched), same residency as delta-spark's DeltaSource);
+  * the data load is one planned scan of the span's files.
+  */
+class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source requires a table root: .load(root) or .option(\"path\", root)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val s = schema.getOrElse {
+      require(DeltaRead.isDeltaTable(spark, root),
+        s"$root is not a Delta table (no _delta_log) — the graft-delta stream " +
+          "needs a committed table, or an explicit .schema(...)")
+      DeltaRead.snapshot(spark, root).schema
+    }
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    // -1 is the "before any commit" sentinel — delta versions start AT
+    // ZERO (unlike graft manifests), so 0 is a real, streamable commit
+    val initialFrom = parameters.get("startingVersion") match {
+      case None => -1L
+      case Some("latest") =>
+        // reuse the graft source's pin-once file: resolve the head a
+        // single time per checkpoint, never per (re)start
+        VersionedStreamProvider.resolveLatestOnceBy(spark, metadataPath,
+          () => DeltaRead.latestVersion(spark, root).getOrElse(-1L))
+      case Some(n) => try n.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number or 'latest', got '$n'")
+      }
+    }
+    def flag(name: String): Boolean =
+      parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
+    new DeltaTableSource(spark, root, declared, initialFrom,
+      ignoreDeletes = flag("ignoreDeletes"), ignoreChanges = flag("ignoreChanges"))
+  }
+}
+
+class DeltaTableSource(spark: SparkSession, root: String,
+                       override val schema: StructType,
+                       initialFrom: Long,
+                       ignoreDeletes: Boolean,
+                       ignoreChanges: Boolean) extends Source {
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  /** Same additive-evolution contract as [[VersionedTableSource]]:
+    * order/null-fill/drop columns, fail on a changed type.
+    */
+  private def conform(df: DataFrame): DataFrame = {
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      present.get(f.name).foreach { dt =>
+        if (!org.apache.spark.sql.graftbridge.ColumnBridge.sameType(dt, f.dataType))
+          throw new IllegalStateException(
+            s"delta stream at $root: column '${f.name}' changed type from " +
+              s"${f.dataType.simpleString} (checkpointed stream schema) to " +
+              s"${dt.simpleString} in the source — non-additive schema evolution " +
+              "is not streamable; restart the stream with a fresh checkpoint")
+      }
+    }
+    df.select(schema.fields.toSeq.map(f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    DeltaRead.latestVersion(spark, root).map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    val from = start.map(versionOf).getOrElse(initialFrom)
+    val batch =
+      if (from < 0L) DeltaRead.read(spark, root, Some(to))
+      else if (from >= to) DeltaRead.read(spark, root, Some(to)).limit(0)
+      else {
+        val commits = DeltaRead.commitActions(spark, root, from, to)
+        commits.filter(_.removes > 0).foreach { c =>
+          val deleteOnly = c.adds.isEmpty
+          if (!(ignoreChanges || (deleteOnly && ignoreDeletes)))
+            throw new UnsupportedOperationException(
+              s"delta stream at $root: commit v${c.version} " +
+                (if (deleteOnly) "deleted files — set .option(\"ignoreDeletes\", " +
+                  "true) to skip delete-only commits (their rows never retract)"
+                 else "rewrote files (update/merge/overwrite) — set " +
+                  ".option(\"ignoreChanges\", true) to stream its added files " +
+                  "(rewritten rows RE-stream; downstream must dedup), or stream " +
+                  "an append-only table"))
+        }
+        val adds = commits.flatMap(_.adds)
+        if (adds.isEmpty) DeltaRead.read(spark, root, Some(to)).limit(0)
+        else {
+          // synthetic span snapshot -> the same log-planned scan as the
+          // batch reader (partition literals, sizes, stats skipping)
+          val meta = DeltaRead.snapshot(spark, root, Some(to))
+          val files = adds.map { case (enc, pv, _, _) =>
+            decodeRel(enc) -> pv
+          }.toMap
+          val sizes = adds.map { case (enc, _, sz, _) => decodeRel(enc) -> sz }.toMap
+          val stats = adds.collect { case (enc, _, _, st) if st != null =>
+            decodeRel(enc) -> st
+          }.toMap
+          DeltaRead.readSnapshot(spark, root,
+            meta.copy(files = files, sizes = sizes, stats = stats))
+        }
+      }
+    StreamingShims.asMicroBatch(conform(batch))
+  }
+
+  private def decodeRel(enc: String): String = {
+    val uri = new java.net.URI(enc)
+    require(uri.getScheme == null && uri.getAuthority == null &&
+      !Option(uri.getPath).exists(_.startsWith("/")),
+      s"delta stream at $root: absolute add path '$enc' is not supported")
+    uri.getPath
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"DeltaTableSource[$root]"
+}

@@ -121,11 +121,20 @@ object VersionedStreamProvider {
     * pinned start.
     */
   private[graft] def resolveLatestOnce(spark: SparkSession, metadataPath: String,
-                                       root: String): Long = {
+                                       root: String): Long =
+    resolveLatestOnceBy(spark, metadataPath,
+      () => VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(0L))
+
+  /** [[resolveLatestOnce]] with a caller-supplied head resolver — the
+    * delta stream source shares the pin-once durability contract (and
+    * the file name) with a different notion of "head".
+    */
+  private[graft] def resolveLatestOnceBy(spark: SparkSession, metadataPath: String,
+                                         resolve: () => Long): Long = {
     val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     VersionedTable.readSmall(fs, p).map(_.trim.toLong).getOrElse {
-      val v = VersionedTable.currentSnapshot(spark, root).map(_.version).getOrElse(0L)
+      val v = resolve()
       fs.mkdirs(p.getParent)
       try {
         val out = fs.create(p, false)

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** The graft-delta streaming SOURCE: version-gated micro-batches over
+  * a native-protocol Delta table — append streaming, the full-snapshot
+  * first batch, startingVersion pinning, the non-append refusal and
+  * its ignoreDeletes/ignoreChanges escape hatches (delta-spark's
+  * source contract), and dataChange=false invisibility.
+  */
+class DeltaStreamSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private var nextQ = 0
+  private def sinkName(): String = { nextQ += 1; s"dstream_$nextQ" }
+
+  test("appends stream micro-batch by version; first batch is the full snapshot") {
+    val root = tmp("dstream_app")
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v").coalesce(1), root)
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // both committed versions arrive as the bootstrap snapshot
+      assert(spark.table(name).orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v").coalesce(1), root)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4)
+    } finally q.stop()
+  }
+
+  test("startingVersion streams only commits after N; a rewrite fails the stream") {
+    val root = tmp("dstream_sv")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root) // v0
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v").coalesce(1), root) // v1
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // v0's snapshot is history; only v1's append streams
+      assert(spark.table(name).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+      // an overwrite is not streamable without an escape hatch
+      DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v").coalesce(1), root) // v2
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("ignoreChanges") ||
+        Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    } finally q.stop()
+    // ignoreChanges: the rewrite's adds stream (documented re-stream caveat)
+    val name2 = sinkName()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "1").option("ignoreChanges", "true").load(root)
+      .writeStream.format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    } finally q2.stop()
+  }
+
+  test("delete-only commits skip under ignoreDeletes; dataChange=false never streams") {
+    val root = tmp("dstream_del")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root) // v0
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removed = DeltaRead.snapshot(spark, root).files.keys.head
+    // v1: a delete-only commit (hand-written, as a DELETE would leave)
+    assert(graft.pipeline.VersionedTable.casPublish(fs,
+      new org.apache.hadoop.fs.Path(logP, f"${1L}%020d.json"),
+      s"""{"remove":{"path":"${DeltaWrite.encodePath(removed)}","deletionTimestamp":1,"dataChange":true}}""" + "\n"))
+    // v2: an OPTIMIZE-shaped commit — add+remove with dataChange=false
+    assert(graft.pipeline.VersionedTable.casPublish(fs,
+      new org.apache.hadoop.fs.Path(logP, f"${2L}%020d.json"),
+      s"""{"add":{"path":"opt.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false}}
+         |{"remove":{"path":"${DeltaWrite.encodePath(removed)}","deletionTimestamp":2,"dataChange":false}}"""
+        .stripMargin + "\n"))
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0").option("ignoreDeletes", "true").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // the delete-only commit skipped, the dataChange=false pair was
+      // invisible (opt.parquet would fail the load if it streamed)
+      assert(spark.table(name).count() == 0)
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed offset (no skip, no replay)") {
+    val root = tmp("dstream_ck")
+    val ckpt = java.nio.file.Files.createTempDirectory("dstream_ckpt").toString
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root)
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // and recovery is exactly what this case pins
+    def run(into: java.util.Queue[Long]): Unit = {
+      val q = spark.readStream.format("graft-delta").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").as[Long].collect().foreach(into.add); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    run(first)
+    assert(first.toArray(Array.empty[java.lang.Long]).toSeq == Seq(1L))
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v").coalesce(1), root)
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    run(second)
+    // only the new commit: the first run's snapshot batch is not replayed
+    assert(second.toArray(Array.empty[java.lang.Long]).toSeq == Seq(2L))
+  }
+}
