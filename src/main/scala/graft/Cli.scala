@@ -27,6 +27,7 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli branches <root>                                # list branches
   *   graft.Cli publish <root> --name <b>                      # fast-forward main to the branch head
   *   graft.Cli rebase <root> --name <b>                       # rebase an append-only branch onto main's head
+  *   graft.Cli delta-checkpoint <root>                        # fold a Delta table's log (maintenance)
   *   graft.Cli drop-branch <root> --name <b>                  # vacuum reclaims its dirs
   *   (address a branch in any other command as <root>#branch=<b>)
   *
@@ -54,7 +55,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch", "delta-checkpoint")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -68,7 +69,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint <versioned-table-root> [options]")
       sys.exit(2)
   }
 
@@ -122,6 +123,10 @@ object Cli {
         val v = VersionedTable.publishBranch(spark, root, name, force = force)
         println(s"[graft] published branch '$name' of $root as v$v" +
           (if (force) " (forced past the fork-point guard)" else ""))
+      case "delta-checkpoint" =>
+        val v = graft.sources.DeltaWrite.checkpoint(spark, root)
+        println(if (v < 0) s"[graft] $root has no commits to checkpoint"
+          else s"[graft] folded the Delta log at $root into v$v.checkpoint.parquet")
       case "rebase" =>
         val name = opt(rest, "--name").getOrElse(sys.error("rebase needs --name <branch>"))
         val v = VersionedTable.rebaseBranch(spark, root, name)

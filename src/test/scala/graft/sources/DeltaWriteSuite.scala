@@ -348,6 +348,19 @@ class DeltaWriteSuite extends SparkSpec {
     assert(scannedCk == 1, s"expected 1 file post-checkpoint, scanned $scannedCk")
   }
 
+  test("CLI delta-checkpoint folds the log; a second run is a no-op") {
+    val root = tmp()
+    for (i <- 0 until 3)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    graft.Cli.executeTable(spark, "delta-checkpoint", root, Nil)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_delta_log/00000000000000000002.checkpoint.parquet")))
+    graft.Cli.executeTable(spark, "delta-checkpoint", root, Nil) // idempotent
+    assert(DeltaRead.read(spark, root).count() == 3)
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
