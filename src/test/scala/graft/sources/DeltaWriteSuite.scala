@@ -348,6 +348,32 @@ class DeltaWriteSuite extends SparkSpec {
     assert(scannedCk == 1, s"expected 1 file post-checkpoint, scanned $scannedCk")
   }
 
+  test("racing checkpointers at one version: one rename wins, content stays sound") {
+    val root = tmp()
+    for (i <- 0 until 4)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = (1 to 3).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = DeltaWrite.checkpoint(spark, root)
+        })
+      }
+      // all racers report the same folded version (losers yield quietly)
+      assert(futures.map(_.get()).toSet == Set(3L))
+    } finally pool.shutdown()
+    val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exactly one checkpoint file, no stray tmp dirs
+    val names = fs.listStatus(logP).map(_.getPath.getName).toSeq
+    assert(names.count(_.contains(".checkpoint")) == 1, s"log dir: $names")
+    assert(!names.exists(_.startsWith(".ckpt-tmp-")), s"tmp leak: $names")
+    // and the checkpointed state reads exactly
+    for (v <- 0 to 3)
+      fs.delete(new org.apache.hadoop.fs.Path(logP, f"$v%020d.json"), false)
+    assert(DeltaRead.read(spark, root).select(sum("id")).as[Long].head() == 6L)
+  }
+
   test("CLI delta-checkpoint folds the log; a second run is a no-op") {
     val root = tmp()
     for (i <- 0 until 3)
