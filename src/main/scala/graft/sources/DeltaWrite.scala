@@ -475,6 +475,145 @@ object DeltaWrite {
     lines.result().mkString("\n") + "\n"
   }
 
+  // ----- maintenance: OPTIMIZE + VACUUM -------------------------------
+
+  /** OPTIMIZE-style compaction: rewrite the current snapshot into
+    * `targetFiles` files (one per live partition tuple on partitioned
+    * tables) and commit the swap with `dataChange=false` on every
+    * add/remove — the protocol's "no new rows" marker, so streaming
+    * sources (ours and delta-spark's) do NOT re-stream the rewritten
+    * rows and a mid-stream compaction is invisible. Old files stay on
+    * disk for time travel until [[vacuum]]. No-op (returns the current
+    * version) when the table already has <= targetFiles files.
+    *
+    * Concurrency: the data job runs once; the commit retries through
+    * the CAS loop like every write, BUT a competitor that removed or
+    * replaced any file this compaction folded makes the rewrite stale
+    * (committing it would resurrect dead rows) — that aborts loudly
+    * with the staged files unreferenced, delta-spark OPTIMIZE's
+    * conflict posture. A competitor that only APPENDED is compatible:
+    * its files simply carry into the new snapshot untouched.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var snap = DeltaRead.snapshot(spark, rootP.toString)
+    if (snap.files.size <= targetFiles) return snap.version
+    val folded: Set[String] = snap.files.keySet
+    val parts = snap.partitionColumns
+
+    val src = DeltaRead.readSnapshot(spark, rootP.toString, snap)
+    val clustered =
+      if (parts.isEmpty) src.repartition(targetFiles)
+      else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
+    val newFiles = withStats(spark, fs, rootP,
+      writeDataFiles(spark, clustered, rootP, fs, parts))
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val next = snap.version + 1
+      val removes = folded.toSeq.sorted
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            compactContent(newFiles, removes))) {
+        if (next > 0 && next % CheckpointInterval == 0)
+          try checkpoint(spark, rootP.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
+        return next
+      }
+      require(attempt < 50, s"Delta compaction at $path lost the version race " +
+        s"$attempt times — giving up; staged files are unreferenced")
+      snap = DeltaRead.snapshot(spark, rootP.toString)
+      val gone = folded -- snap.files.keySet
+      if (gone.nonEmpty) {
+        newFiles.foreach(f =>
+          try fs.delete(new Path(rootP, f.relPath), false)
+          catch { case scala.util.control.NonFatal(_) => () })
+        throw new IllegalStateException(
+          s"Delta compaction at $path aborted: a concurrent commit removed or " +
+            s"replaced ${gone.size} file(s) this compaction folded " +
+            s"(${gone.take(3).mkString(", ")}…) — committing the rewrite would " +
+            "resurrect dead rows. Re-run the compaction against the new snapshot")
+      }
+      // appends-only competitor: retry the same rewrite at the next version
+    }
+    -1L // unreachable
+  }
+
+  private def compactContent(adds: Seq[NewFile], removes: Seq[String]): String = {
+    val now = System.currentTimeMillis
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", now)
+    cib.put("operation", "OPTIMIZE")
+    cib.put("engineInfo", "graft-delta-writer/1.0")
+    lines += mapper.writeValueAsString(ci)
+    removes.foreach { p =>
+      val rm = mapper.createObjectNode
+      val rmb = rm.putObject("remove")
+      rmb.put("path", encodePath(p))
+      rmb.put("deletionTimestamp", now)
+      rmb.put("dataChange", false)
+      lines += mapper.writeValueAsString(rm)
+    }
+    adds.foreach { f =>
+      val ad = mapper.createObjectNode
+      val adb = ad.putObject("add")
+      adb.put("path", encodePath(f.relPath))
+      val pv = adb.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      adb.put("size", f.size)
+      adb.put("modificationTime", f.modificationTime)
+      adb.put("dataChange", false)
+      if (f.stats != null) adb.put("stats", f.stats)
+      lines += mapper.writeValueAsString(ad)
+    }
+    lines.result().mkString("\n") + "\n"
+  }
+
+  /** Physically delete files no longer referenced by the CURRENT
+    * snapshot and older than `retentionMs` (mtime-based, delta-spark's
+    * vacuum safety contract: the window must cover in-flight writers'
+    * staging and any reader's time-travel lag). Also reclaims crashed
+    * writers' staging directories past the window. Returns the deleted
+    * paths (table-relative). Time travel to versions whose files were
+    * vacuumed stops working — the documented lakehouse trade.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             retentionMs: Long = TombstoneRetentionMs): Seq[String] = {
+    require(retentionMs >= 0, "vacuum retention must be >= 0")
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis - retentionMs
+    val live = DeltaRead.snapshot(spark, rootP.toString).files.keySet
+    val deleted = Seq.newBuilder[String]
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n == "_delta_log") () // the log is never data
+      else {
+        val r = if (rel.isEmpty) n else rel + "/" + n
+        if (st.isDirectory) {
+          walk(st.getPath, r)
+          // empty dirs left behind (fully-vacuumed partitions, old
+          // staging) disappear too
+          if (fs.listStatus(st.getPath).isEmpty && fs.delete(st.getPath, false))
+            ()
+        } else if (!live.contains(r) && st.getModificationTime < cutoff &&
+                   fs.delete(st.getPath, false)) {
+          deleted += r
+        }
+      }
+    }
+    walk(rootP, "")
+    deleted.result().sorted
+  }
+
   // ----- checkpointing ------------------------------------------------
   // Parquet checkpoint rows: one action per row, exactly one non-null
   // struct column. The fixed shapes below are the protocol's checkpoint

@@ -348,6 +348,30 @@ class DeltaWriteSuite extends SparkSpec {
     assert(scannedCk == 1, s"expected 1 file post-checkpoint, scanned $scannedCk")
   }
 
+  test("compact + vacuum lifecycle: fold files, keep time travel until vacuum reclaims") {
+    val root = tmp()
+    for (i <- 0 until 5) // v0..v4: five 1-file commits
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaRead.snapshot(spark, root).files.size == 5)
+    val v = DeltaWrite.compact(spark, root, targetFiles = 1)
+    assert(v == 5L)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.files.size == 1, s"expected one folded file: ${snap.files.keys}")
+    assert(DeltaRead.read(spark, root).select(sum("id")).as[Long].head() == 10L)
+    // old files stay on disk: pre-compact time travel still works
+    assert(DeltaRead.read(spark, root, Some(4L)).count() == 5)
+    // a second compact is a no-op
+    assert(DeltaWrite.compact(spark, root, targetFiles = 1) == 5L)
+    // vacuum with a zero window reclaims exactly the five folded files
+    val deleted = DeltaWrite.vacuum(spark, root, retentionMs = 0L)
+    assert(deleted.length == 5, s"deleted: $deleted")
+    assert(DeltaRead.read(spark, root).select(sum("id")).as[Long].head() == 10L)
+    // time travel below the compaction now fails (files physically gone)
+    intercept[Exception] { DeltaRead.read(spark, root, Some(3L)).count() }
+    // idempotent: nothing left to reclaim
+    assert(DeltaWrite.vacuum(spark, root, retentionMs = 0L).isEmpty)
+  }
+
   test("racing checkpointers at one version: one rename wins, content stays sound") {
     val root = tmp()
     for (i <- 0 until 4)

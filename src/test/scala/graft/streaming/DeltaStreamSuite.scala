@@ -95,6 +95,26 @@ class DeltaStreamSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("OPTIMIZE compaction is invisible to the stream (dataChange=false end-to-end)") {
+    val root = tmp("dstream_opt")
+    for (i <- 0 until 3) // v0..v2
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      DeltaWrite.compact(spark, root, targetFiles = 1) // v3, dataChange=false
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "a compaction must not re-stream rows")
+      DeltaWrite.append(spark, Seq((9L, "z")).toDF("id", "v").coalesce(1), root) // v4
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed offset (no skip, no replay)") {
     val root = tmp("dstream_ck")
     val ckpt = java.nio.file.Files.createTempDirectory("dstream_ckpt").toString
