@@ -447,4 +447,48 @@ object Curation {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .where(col("cum_tokens") <= budgetPerGroup)
   }
+
+  /** Leakage-safe train/eval split: assign every document to a split
+    * such that ALL members of a duplicate / near-duplicate group land
+    * on the SAME side — the contamination guard a pretraining pipeline
+    * needs before carving out a held-out set (a near-copy of an eval
+    * document sitting in train silently inflates the benchmark;
+    * splitting doc-wise cannot prevent it, only group-wise can).
+    *
+    * `groups` is (idCol, group_id) from [[Dedup.nearDupGroups]] — or
+    * any grouping with the min-id-label invariant; docs absent from it
+    * (no duplicate anywhere) are their own singleton group. The split
+    * decision hashes the GROUP id, never the doc id, so co-members
+    * inherit one verdict by construction — no straddle is possible,
+    * not just unlikely. The hash is the repo's engine-portable
+    * multiplicative bucket ([[stratifiedSample]]'s formula): bucket
+    * 0..99 from the group id, `bucket < trainPct` → train.
+    *
+    * Shape at scale: one left join docs⟕groups on the id. The groups
+    * side is the LSH-bounded paired-doc set — orders of magnitude
+    * smaller than the corpus on real crawl data — so AQE broadcasts
+    * it; everything after the join is a pure projection (no shuffle,
+    * no window). Group-size bias is inherent and documented: the
+    * doc-level train fraction drifts from `trainPct` by the mass of
+    * large groups landing on one side (the price of zero leakage).
+    *
+    * Output: (idCol, group_id — the doc's own id for singletons,
+    * bucket, split).
+    */
+  def leakageSplit(
+      docs: DataFrame,
+      groups: DataFrame,
+      trainPct: Int = 90,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99]: $trainPct")
+    val gkey = coalesce(col("group_id"), col(idCol))
+    val bucket = ((pmod(gkey, lit(1000003L)) * lit(2654435761L))
+      .mod(lit(4294967296L)) / lit(42949673L)).cast("long")
+    docs.select(col(idCol))
+      .join(groups.select(col(idCol), col("group_id")), Seq(idCol), "left")
+      .select(col(idCol), gkey.as("group_id"), bucket.as("bucket"),
+        when(bucket < trainPct, lit("train")).otherwise(lit("eval"))
+          .as("split"))
+  }
 }

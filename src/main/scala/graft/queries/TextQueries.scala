@@ -229,6 +229,24 @@ object TextQueries {
           Seq("en" -> 40L, "de" -> 15L, "fr" -> 15L, "es" -> 15L, "zh" -> 15L))
         .orderBy("doc_id")),
 
+    // q111: LEAKAGE-SAFE train/eval split — near-dup groups (q94's
+    // exact-mode pair machinery → connected components) hash to a
+    // split as a GROUP, so a near-copy of an eval doc can never sit in
+    // train. Production flow (bucketPairs → jaccardVerify →
+    // nearDupGroups → group-keyed multiplicative bucket) under the
+    // oracle hash end-to-end; singletons split on their own id.
+    "q111_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 512)
+      val banded = docs.select(lit(0).as("band"), lit(0L).as("key"),
+        col("doc_id").as("id"))
+      val pairs = Dedup.bucketPairs(banded, Seq("band", "key"), "id",
+        maxBucket = 1 << 20)
+      val groups = Dedup.nearDupGroups(
+        Dedup.jaccardVerify(docs, pairs, threshold = 0.7))
+      Curation.leakageSplit(docs, groups, trainPct = 90)
+        .orderBy("doc_id")
+    }),
+
     // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
     // multi-probe covers all 2^2 buckets, so the hyperplane bucketing,
     // probe expansion (single + pair bit flips) and bucket join must
@@ -981,6 +999,20 @@ object TextQueries {
          |$groupCtes
          |SELECT src AS doc_id, min(dst) AS group_id FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_leakage_split" ->
+      s"""WITH RECURSIVE ${exactPairCtes("documents WHERE doc_id < 512")},
+         |$groupCtes,
+         |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY 1),
+         |a AS (SELECT d0.doc_id, coalesce(g.group_id, d0.doc_id) AS group_id
+         |      FROM (SELECT doc_id FROM documents WHERE doc_id < 512) d0
+         |      LEFT JOIN g USING (doc_id)),
+         |b AS (SELECT doc_id, group_id,
+         |      ((group_id % 1000003) * 2654435761) % 4294967296 // 42949673 AS bucket
+         |      FROM a)
+         |SELECT doc_id, group_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q95_curate_neardup_exact" ->
       s"""WITH RECURSIVE ${curateKeepCtes("documents WHERE doc_id < 512")},

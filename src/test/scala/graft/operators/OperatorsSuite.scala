@@ -594,6 +594,29 @@ class TextSuite extends SparkSpec {
     assert(a.forall(_.getAs[Long]("bucket") < 50))
   }
 
+  test("leakageSplit: groups never straddle, singletons split on their own id") {
+    val docs = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // near-dup groups with the min-id-label invariant: 0..49 pair up
+    val groups = (0L until 100L).map(i => (i, i / 2 * 2)).toDF("doc_id", "group_id")
+    val out = Curation.leakageSplit(docs, groups, trainPct = 90).collect()
+    assert(out.length == 1000)
+    val split = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // every grouped pair lands on one side
+    (0L until 100L by 2).foreach(g => assert(split(g) == split(g + 1), s"group $g straddles"))
+    // singletons: group_id is the doc's own id
+    out.filter(_.getLong(0) >= 100L).foreach(r => assert(r.getLong(1) == r.getLong(0)))
+    // doc-level fraction tracks trainPct on the singleton mass
+    val trainN = out.count(_.getString(3) == "train")
+    assert(trainN > 830 && trainN < 960, s"train fraction off: $trainN/1000")
+    // bucket<->split consistency and determinism
+    out.foreach(r => assert((r.getLong(2) < 90) == (r.getString(3) == "train")))
+    val again = Curation.leakageSplit(docs, groups, trainPct = 90).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.leakageSplit(docs, groups, trainPct = 0)
+    }
+  }
+
   test("gopherRules: each rule fires on its crafted violation; clean text passes") {
     val good = ("the quick brown fox jumps over " * 10).trim       // 60 words, has stopwords
     val rows = Seq(
