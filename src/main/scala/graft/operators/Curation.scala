@@ -75,6 +75,35 @@ object Curation {
       .agg(countDistinct(col("gh")).as("n_bad_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
 
+  /** Scored decontamination report: per TRAIN doc, how much of it
+    * overlaps the eval suite — distinct-gram total, matched count, and
+    * the overlap fraction — instead of [[decontaminate]]'s
+    * matched-only flag. The fraction is what a contamination POLICY
+    * thresholds on (drop at ≥X%, review below), and the report is the
+    * audit artifact a release ships with.
+    *
+    * Same 100 TB shape as [[decontaminate]]: the train side is one
+    * scan-fused gram-hash projection + explode, the eval gram set
+    * broadcasts (swap in the bloom variant upstream when the suite
+    * outgrows a broadcast), and the only shuffle is the final
+    * groupBy(id) — a LEFT join keeps unmatched grams so total and
+    * matched counts come out of ONE aggregation, no second pass.
+    */
+  def contaminationScore(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    gramHashes(train, idCol, textCol, n)
+      .join(broadcast(gramHashes(eval, idCol, textCol, n)
+          .select(col("gh")).distinct().withColumn("_hit", lit(1))),
+        Seq("gh"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_matched"))
+      .withColumn("overlap",
+        round(col("n_matched").cast("double") / col("n_grams"), 6))
+
   /** (id, xxhash64(n-gram)) distinct per doc — ONE codegen'd
     * projection ([[TextAnalysis.wordGramHashArray]] computes the
     * sorted distinct gram-hash set in a single byte-level pass) plus
@@ -446,6 +475,50 @@ object Curation {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .where(col("cum_tokens") <= budgetPerGroup)
+  }
+
+  /** Sliding-window chunking with overlap: split each document into
+    * `windowTokens`-token windows advancing by `strideTokens` (the
+    * context-window prep for RAG indexing / long-doc training — the
+    * overlap keeps every `windowTokens − strideTokens`-token span
+    * intact in at least one chunk, so no sentence is lost to a chunk
+    * boundary). Tokens are [[TextAnalysis.normalize]]d whitespace
+    * tokens — the same tokenization as [[chunkDedup]], so overlap
+    * chunks feed the dedup/boilerplate passes directly.
+    *
+    * Windows per doc: 1 when n ≤ W, else ⌈(n−W)/S⌉+1 — the last
+    * window may be short but every token is covered; an empty doc
+    * yields one empty chunk (total function, callers filter). Shape
+    * at scale: a single codegen'd projection + explode fused with the
+    * scan — no shuffle, no window, no UDF; output size is n/S tokens
+    * per input token, the inherent cost of overlap.
+    *
+    * Output: (idCol, chunk_idx, chunk).
+    */
+  def chunkOverlap(
+      docs: DataFrame,
+      windowTokens: Int = 20,
+      strideTokens: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens]: $strideTokens")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    docs.select(col(idCol), toks.as("_toks"))
+      .select(col(idCol),
+        // ceil((n-W)/S)+1 in pure int math (n>W in that branch, so
+        // the truncating cast IS floor) — engine-portable
+        when(size(col("_toks")) <= windowTokens, lit(1))
+          .otherwise(((size(col("_toks")) - windowTokens + strideTokens - 1)
+            / strideTokens).cast("int") + 1).as("_nc"),
+        col("_toks"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("_nc") - 1),
+        i => concat_ws(" ",
+          slice(col("_toks"), i * strideTokens + 1, lit(windowTokens))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
   }
 
   /** Leakage-safe train/eval split: assign every document to a split

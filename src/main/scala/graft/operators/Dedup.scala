@@ -35,6 +35,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Quality-aware exact dedup: within each duplicate group keep the
+    * BEST copy — highest `score` (e.g. raw length, source priority, a
+    * quality model's output), ties to the smallest id — instead of
+    * [[exact]]'s smallest-id keeper. This is what production corpus
+    * dedup actually wants: normalized-identical copies can differ in
+    * raw form (casing, whitespace, source), and the keeper should be
+    * the highest-fidelity one, not whichever id sorted first.
+    *
+    * ONE hash aggregation: `max_by` over a (score, −id) struct carries
+    * each group's single best full row through the shuffle — no window
+    * sort, no second join back. The (score, −id) key is a total order
+    * (ids are distinct), so the keeper is deterministic even under
+    * Spark's unordered aggregation. Keeper rows come back with all of
+    * the input's columns plus `dup_count`.
+    */
+  def exactBest(
+      docs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cols = docs.columns.map(col).toIndexedSeq
+    docs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(
+        max_by(struct(cols: _*),
+          struct(score.as("_s"), (-col(idCol)).as("_negid"))).as("_k"),
+        count(lit(1)).as("dup_count"))
+      .select(col("_k.*"), col("dup_count"))
+  }
+
   /** Materialize `result` eagerly (local checkpoint: runs the job,
     * caches only the — small — result rows, truncates lineage) and THEN
     * release the temporary caches that fed it. Operators that persist

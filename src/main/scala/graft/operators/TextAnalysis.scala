@@ -299,6 +299,37 @@ object TextAnalysis {
           col("__sum_clog").cast("double") / col("n_chars"), 4).as("entropy_bits"))
   }
 
+  /** Corpus vocabulary builder: per-token total term count and
+    * document frequency over normalized whitespace tokens, thresholded
+    * at `minDocFreq` (drops hapax noise / OCR junk) and cut to the
+    * global `topK` by (term_count desc, token) — the word-frequency
+    * table tokenizer training and stopword selection start from.
+    *
+    * Scale shape: two hash aggregations — (token, doc) then token —
+    * with map-side partial aggregation at both (the first bounds any
+    * token's fan-in by its doc frequency, so a stop-word's billions of
+    * occurrences pre-combine per partition instead of converging on
+    * one reducer); the global top-K plans as TakeOrdered (distributed
+    * heap-k), never a single-partition full sort. The (count desc,
+    * token) key is a total order, so the cut is deterministic.
+    */
+  def vocab(
+      docs: DataFrame,
+      topK: Int = 100,
+      minDocFreq: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        explode(tokens(normalize(col(textCol)))).as("tok"))
+      .groupBy(col("tok"), col("_id"))
+      .agg(count(lit(1)).as("_tf"))
+      .groupBy(col("tok"))
+      .agg(sum(col("_tf")).as("term_count"), count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+      .orderBy(col("term_count").desc, col("tok"))
+      .limit(topK)
+
   /** Word n-grams (default bigrams) of normalized text. */
   def wordNgrams(text: Column, n: Int = 2): Column = {
     val toks = tokens(normalize(text))

@@ -105,6 +105,14 @@ object TextQueries {
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
         .orderBy("keeper_id")),
 
+    // q113: quality-aware exact dedup — keep the LONGEST raw copy per
+    // duplicate group (ties → smallest id), not the smallest id. One
+    // max_by hash aggregation; no window sort, no join-back.
+    "q113_dedup_best" -> ((s, dir) =>
+      Dedup.exactBest(t(s, dir, "documents"), score = col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("dup_count"))
+        .orderBy("doc_id")),
+
     // q30: MinHash + LSH banding near-dup candidate pairs (rows-only:
     // the permutation family is not SQL-portable).
     // Band geometry stays at the tuned 16×8 default (LSH threshold
@@ -434,6 +442,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q114: corpus vocabulary — top-20 tokens by term count (ties by
+    // token) at doc-freq ≥ 2; two partial-agg shuffles + TakeOrdered.
+    "q114_vocab" -> ((s, dir) =>
+      TA.vocab(t(s, dir, "documents"), topK = 20, minDocFreq = 2)),
+
+    // q115: scored decontamination — per train doc the 8-gram total,
+    // eval-matched count, and overlap fraction (the threshold a
+    // contamination policy acts on); q40's split, LEFT-join variant.
+    "q115_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val eval = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      Curation.contaminationScore(train, eval).orderBy("doc_id")
+    }),
+
     // q41: Gopher-style repetition signals per document.
     "q41_repetition" -> ((s, dir) =>
       TA.repetitionSignals(t(s, dir, "documents"))
@@ -456,6 +479,15 @@ object TextQueries {
     "q45_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDedup(t(s, dir, "documents"), chunkTokens = 20)
         .orderBy("chunk_hash")),
+
+    // q112: sliding-window chunking with overlap — 20-token windows
+    // advancing by 10 (RAG / context-window prep; every 10-token span
+    // survives a chunk boundary intact). One scan-fused
+    // projection+explode, no shuffle.
+    "q112_chunk_overlap" -> ((s, dir) =>
+      Curation.chunkOverlap(t(s, dir, "documents"),
+          windowTokens = 20, strideTokens = 10)
+        .orderBy("doc_id", "chunk_idx")),
 
     // q90: CCNet/RefinedWeb-style boilerplate removal — 10-token
     // segments appearing in MORE THAN 2 distinct documents (menus,
@@ -985,6 +1017,15 @@ object TextQueries {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
 
+    "q113_dedup_best" ->
+      s"""WITH f AS (SELECT doc_id, source, n_chars, $normSql AS nt FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY nt ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY nt) AS dup_count
+         |  FROM f)
+         |SELECT doc_id, source, n_chars, dup_count FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
     "q39_curate" ->
       s"""WITH ${curateKeepCtes()}
          |SELECT doc_id, n_tokens, lang_pred FROM keep
@@ -1128,6 +1169,29 @@ object TextQueries {
 
     "q40_decontaminate" -> decontaminateSql,
 
+    "q114_vocab" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '\\S+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+         |v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS term_count, count(*) AS doc_freq
+         |  FROM tf GROUP BY 1)
+         |SELECT tok, term_count, doc_freq FROM v WHERE doc_freq >= 2
+         |ORDER BY term_count DESC, tok LIMIT 20""".stripMargin,
+
+    "q115_contamination_score" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 6),
+         |      i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
+         |  FROM tk),
+         |tr AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+         |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+         |m AS (SELECT tr.doc_id, count(*) AS n_matched FROM tr JOIN ev USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams, coalesce(m.n_matched, 0) AS n_matched,
+         |  round(coalesce(m.n_matched, 0)::DOUBLE / t.n_grams, 6) AS overlap
+         |FROM tot t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     // the bloom prefilter has no false negatives, so prefilter + exact
     // confirm must equal the exact answer — SAME oracle as q40
     "q80_decontaminate_bloom" -> decontaminateSql,
@@ -1170,6 +1234,16 @@ object TextQueries {
          |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, min(doc_id) AS first_doc
          |FROM ch WHERE chunk <> ''
          |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q112_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+') AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 20 THEN 1 ELSE (len(tk) - 20 + 9) // 10 + 1 END AS nc
+         |  FROM tk),
+         |e AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(list_slice(tk, chunk_idx * 10 + 1, chunk_idx * 10 + 20), ' ') AS chunk
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q49_token_budget" ->
       """WITH tk AS (SELECT doc_id, lang,

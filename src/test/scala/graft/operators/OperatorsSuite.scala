@@ -16,6 +16,23 @@ class DedupSuite extends SparkSpec {
     assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("dup_count") == 2L)
   }
 
+  test("exactBest: highest-score copy kept per group, ties to smallest id, columns survive") {
+    val dups = Seq(
+      (1L, "Hello  World", "crawl", 12L),   // same group, shorter raw form
+      (2L, "hello world", "curated", 11L),  // normalized-identical
+      (3L, "HELLO   WORLD ", "crawl", 14L), // longest raw copy -> keeper
+      (4L, "other text", "crawl", 10L),
+      (5L, "other  text", "crawl", 10L))    // score tie with 4 -> min id wins
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Dedup.exactBest(dups, score = col("n_chars"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 4L))
+    assert(out(0).getAs[Long]("dup_count") == 3L)
+    assert(out(0).getAs[String]("source") == "crawl")
+    assert(out(0).getAs[String]("text") == "HELLO   WORLD ") // raw form kept
+    assert(out(1).getAs[Long]("dup_count") == 2L)            // tie broke to 4
+  }
+
   test("bounded collect: small groups complete, oversized groups surface capped") {
     import graft.functions.VectorFunctions.boundedCollectList
     // group 1: 3 members; group 2: 50 members (over the limit of 10)
@@ -555,6 +572,52 @@ class TextSuite extends SparkSpec {
     assert(out.length == 1) // only the shared leading chunk repeats
     assert(out(0).getAs[Long]("n_occurrences") == 2L)
     assert(out(0).getAs[Long]("first_doc") == 1L)
+  }
+
+  test("vocab: term/doc counts, minDocFreq threshold, deterministic top-k cut") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocab(docs, topK = 2, minDocFreq = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cherry/date (df=1) drop; apple tc=4 df=3, banana tc=3 df=2; top-2 cut
+    assert(out.toSeq == Seq(("apple", 4L, 3L), ("banana", 3L, 2L)))
+  }
+
+  test("contaminationScore: totals, matches and fraction against hand-counted grams") {
+    // 3-grams: train doc 1 has 4 distinct grams, 2 of which appear in eval
+    val train = Seq(
+      (1L, "a b c d e f"),        // grams: abc bcd cde def
+      (2L, "x y z w")).toDF("doc_id", "text") // grams: xyz yzw — clean
+    val eval = Seq((100L, "b c d e")).toDF("doc_id", "text") // grams: bcd cde
+    val out = Curation.contaminationScore(train, eval, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("chunkOverlap: full coverage, stride overlap, short doc single chunk") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 toks, W=20 S=10 -> 2 windows
+      (2L, "just five little words here"),            // 5 toks -> 1 window
+      (3L, (1 to 41).map(i => s"v$i").mkString(" "))  // 41 toks -> ceil(21/10)+1 = 4
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkOverlap(docs, windowTokens = 20, strideTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out.size == 2 + 1 + 4)
+    // doc 1: window 0 = w1..w20, window 1 = w11..w25 (short tail, covered)
+    assert(out((1L, 0L)) == (1 to 20).map(i => s"w$i").mkString(" "))
+    assert(out((1L, 1L)) == (11 to 25).map(i => s"w$i").mkString(" "))
+    // overlap: tokens 11..20 appear in both windows
+    assert(out((1L, 0L)).split(" ").toSet.intersect(
+      out((1L, 1L)).split(" ").toSet) == (11 to 20).map(i => s"w$i").toSet)
+    assert(out((2L, 0L)) == "just five little words here")
+    // doc 3: last window starts at 31, covers v31..v41 — token 41 not dropped
+    assert(out((3L, 3L)) == (31 to 41).map(i => s"v$i").mkString(" "))
+    // every token of doc 3 appears in some chunk (full coverage)
+    val covered = (0L to 3L).flatMap(i => out((3L, i)).split(" ")).toSet
+    assert(covered == (1 to 41).map(i => s"v$i").toSet)
   }
 
   test("removeBoilerplate: cross-doc repeated segments strip, order preserved, all-boiler doc empties") {
