@@ -43,12 +43,16 @@ object Dedup {
     * raw form (casing, whitespace, source), and the keeper should be
     * the highest-fidelity one, not whichever id sorted first.
     *
-    * ONE hash aggregation: `max_by` over a (score, −id) struct carries
-    * each group's single best full row through the shuffle — no window
-    * sort, no second join back. The (score, −id) key is a total order
-    * (ids are distinct), so the keeper is deterministic even under
-    * Spark's unordered aggregation. Keeper rows come back with all of
-    * the input's columns plus `dup_count`.
+    * ONE aggregation: `max_by` over a (score, −id) struct carries each
+    * group's single best full row through the shuffle — no window, no
+    * second join back. The struct buffer makes it a SortAggregate
+    * rather than a hash aggregate, but map-side PARTIAL aggregation
+    * still applies (plan-pinned), so shuffle volume is one row per
+    * (map partition, fingerprint) and the sorts are spillable. The
+    * (score, −id) key is a total order (ids are distinct), so the
+    * keeper is deterministic even under Spark's unordered aggregation.
+    * Keeper rows come back with all of the input's columns plus
+    * `dup_count`.
     */
   def exactBest(
       docs: DataFrame,

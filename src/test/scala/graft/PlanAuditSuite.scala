@@ -276,4 +276,41 @@ class PlanAuditSuite extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("text"), read)
   }
+
+  test("q112: overlap chunking fuses with the scan — no shuffle, no window, no join") {
+    val p = plan("q112_chunk_overlap")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(count(p, "Exchange") <= 1, p) // only the presentation orderBy
+    assert(p.contains("Generate"), p)    // the posexplode, map-side
+  }
+
+  test("q113: keep-best dedup is ONE aggregation with map-side partials — no window, no join-back") {
+    val p = plan("q113_dedup_best")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // the struct max_by buffer isn't hash-aggregable, so this is a
+    // SortAggregate pair — PARTIAL + final proves map-side combine
+    // (shuffle volume is one row per (map partition, fingerprint), and
+    // the sorts are spillable); one fp exchange + the presentation sort
+    assert(count(p, "SortAggregate") == 2, p)
+    assert(p.contains("hashpartitioning(_fp"), p)
+    assert(count(p, "Exchange") <= 2, p)
+  }
+
+  test("q114: vocab top-k plans as TakeOrdered, never a single-partition global sort") {
+    val p = plan("q114_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // both aggregations keep map-side partials
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("q115: contamination score broadcasts eval grams; corpus grams shuffle once by id") {
+    val p = plan("q115_contamination_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // id-keyed aggregation + presentation orderBy: at most 2 big-side
+    // exchanges (broadcast exchanges excluded by the hashpartitioning key)
+    assert(p.linesIterator.count(_.contains("hashpartitioning(")) <= 2, p)
+  }
 }
