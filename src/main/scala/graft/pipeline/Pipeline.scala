@@ -175,6 +175,46 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol)
     case MixtureStep(targets, idCol, domainCol) =>
       graft.operators.Curation.mixtureSample(df, targets, idCol, domainCol)
+    case ChunkStep(windowTokens, strideTokens, idCol, textCol) =>
+      graft.operators.Curation.chunkOverlap(df, windowTokens, strideTokens, idCol, textCol)
+    case VocabStep(topK, minDocFreq, idCol, textCol) =>
+      graft.operators.TextAnalysis.vocab(df, topK, minDocFreq, idCol, textCol)
+    case DecontaminateStep(evalTable, mode, n, idCol, textCol) =>
+      val eval = spark.table(evalTable)
+      mode match {
+        case "flag"  => graft.operators.Curation.decontaminate(df, eval, idCol, textCol, n)
+        case "score" => graft.operators.Curation.contaminationScore(df, eval, idCol, textCol, n)
+        case _ => // drop: anti-join the flagged set — all columns survive
+          val flagged = graft.operators.Curation
+            .decontaminate(df, eval, idCol, textCol, n).select(col(idCol))
+          df.join(flagged, Seq(idCol), "left_anti")
+      }
+    case SplitStep(trainPct, method, threshold, idCol, textCol) =>
+      val groups = method match {
+        case "minhash" =>
+          val pairs = graft.operators.Dedup.minhashLsh(df, idCol, textCol,
+            threshold = threshold)
+          val verified = graft.operators.Dedup.jaccardVerify(df, pairs, idCol, textCol,
+            threshold = threshold)
+          graft.operators.Dedup.releaseCheckpoint(pairs)
+          val g = graft.operators.Dedup.nearDupGroups(verified)
+          graft.operators.Dedup.releaseCheckpoint(verified)
+          g.withColumnRenamed("doc_id", idCol)
+        case _ => // exact: fingerprint groups of size > 1, min id labels
+          val fp = df.select(col(idCol),
+            graft.operators.TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+          val heads = fp.groupBy(col("_fp"))
+            .agg(min(col(idCol)).as("group_id"), count(lit(1)).as("_n"))
+            .where(col("_n") > 1)
+          fp.join(heads, Seq("_fp")).select(col(idCol), col("group_id"))
+      }
+      // APPEND split columns to the flowing frame (leakageSplit itself
+      // projects to the id — the step keeps the corpus columns)
+      val split = graft.operators.Curation.leakageSplit(df, groups, trainPct, idCol)
+        .select(col(idCol), col("group_id"), col("split"))
+      val out = df.join(split, Seq(idCol)).localCheckpoint(true)
+      graft.operators.Dedup.releaseCheckpoint(groups)
+      out
     case Validate(columns, tableRules, logPath) =>
       val specs = columns.filter(_.constraints.nonEmpty)
         .map(c => ColumnConstraints(c.name, c.constraints))

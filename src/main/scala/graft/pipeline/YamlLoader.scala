@@ -366,6 +366,39 @@ object YamlLoader {
               "mixture step requires a 'targets' map of domain -> integer weight")),
         idCol = str(params, "id_col").getOrElse("doc_id"),
         domainCol = str(params, "domain_col").getOrElse("lang"))
+      case "chunk" => ChunkStep(
+        windowTokens = str(params, "window_tokens").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("chunk step requires a 'window_tokens' param")),
+        strideTokens = str(params, "stride_tokens").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("chunk step requires a 'stride_tokens' param")),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
+      case "vocab" => VocabStep(
+        topK = str(params, "top_k").map(_.toInt).getOrElse(100),
+        minDocFreq = str(params, "min_doc_freq").map(_.toLong).getOrElse(2L),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
+      case "decontaminate" => DecontaminateStep(
+        evalTable = str(params, "eval_table").getOrElse(
+          throw new IllegalArgumentException("decontaminate step requires an 'eval_table' param")),
+        mode = str(params, "mode").getOrElse("drop") match {
+          case m @ ("drop" | "flag" | "score") => m
+          case m => throw new IllegalArgumentException(
+            s"decontaminate step: unknown mode '$m' (drop | flag | score)")
+        },
+        n = str(params, "ngram").map(_.toInt).getOrElse(8),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
+      case "split" => SplitStep(
+        trainPct = str(params, "train_pct").map(_.toInt).getOrElse(90),
+        method = str(params, "method").getOrElse("exact") match {
+          case m @ ("exact" | "minhash") => m
+          case m => throw new IllegalArgumentException(
+            s"split step: unknown method '$m' (exact | minhash)")
+        },
+        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
       case other => throw new IllegalArgumentException(s"unknown step type '$other'")
     }
   }

@@ -225,6 +225,51 @@ final case class MixtureStep(
     targets: Seq[(String, Long)],
     idCol: String = "doc_id",
     domainCol: String = "lang") extends Step
+/** Sliding-window chunking with overlap
+  * ([[graft.operators.Curation.chunkOverlap]]): REPLACES the flowing
+  * frame with (idCol, chunk_idx, chunk) — the RAG / context-window
+  * prep step.
+  */
+final case class ChunkStep(
+    windowTokens: Int,
+    strideTokens: Int,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
+/** Vocabulary builder ([[graft.operators.TextAnalysis.vocab]]):
+  * REPLACES the flowing frame with (tok, term_count, doc_freq) — the
+  * word-frequency table tokenizer training starts from.
+  */
+final case class VocabStep(
+    topK: Int = 100,
+    minDocFreq: Long = 2,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
+/** Benchmark decontamination against a registered eval table
+  * (resolved via `spark.table`, like `join`'s right side). `drop`
+  * FILTERS flagged docs out of the flowing frame (the production
+  * posture); `flag` replaces it with
+  * [[graft.operators.Curation.decontaminate]]'s per-doc report;
+  * `score` with [[graft.operators.Curation.contaminationScore]]'s
+  * overlap-fraction report.
+  */
+final case class DecontaminateStep(
+    evalTable: String,
+    mode: String = "drop",
+    n: Int = 8,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
+/** Leakage-safe train/eval split
+  * ([[graft.operators.Curation.leakageSplit]]): APPENDS group_id and
+  * split columns to the flowing frame; duplicate groups come from the
+  * exact fingerprint (`exact`) or the MinHash-LSH + Jaccard-verify
+  * chain (`minhash`), so group members never straddle the split.
+  */
+final case class SplitStep(
+    trainPct: Int = 90,
+    method: String = "exact",
+    threshold: Double = 0.8,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
 
 final case class PipelineSpec(
     name: String,

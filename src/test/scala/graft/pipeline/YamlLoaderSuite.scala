@@ -658,4 +658,80 @@ class YamlLoaderSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown method 'fuzzy'"))
   }
+
+  test("LLM-pipeline step kinds: chunk/vocab reproduce the operator calls exactly") {
+    val docs = s"$sfDir/documents.parquet"
+    val spec = YamlLoader.load(
+      s"""pipeline_name: chunks
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps:
+         |  - type: chunk
+         |    params: {window_tokens: 20, stride_tokens: 10}
+         |""".stripMargin)
+    assert(spec.steps == Seq(ChunkStep(20, 10)))
+    val out = Pipeline(spark, spec).run().orderBy("doc_id", "chunk_idx").collect().toSeq
+    val expected = graft.operators.Curation.chunkOverlap(
+        spark.read.parquet(docs), 20, 10)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(out == expected, "YAML chunk must be row-identical to Curation.chunkOverlap (q112)")
+
+    val vSpec = YamlLoader.load(
+      s"""pipeline_name: vocab
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: vocab, params: {top_k: 20, min_doc_freq: 2}}]
+         |""".stripMargin)
+    assert(vSpec.steps == Seq(VocabStep(topK = 20, minDocFreq = 2)))
+    val vOut = Pipeline(spark, vSpec).run().collect().toSeq
+    val vExp = graft.operators.TextAnalysis.vocab(
+      spark.read.parquet(docs), topK = 20, minDocFreq = 2).collect().toSeq
+    assert(vOut == vExp, "YAML vocab must be row-identical to TextAnalysis.vocab (q114)")
+    // missing required params refuse at LOAD time
+    val e = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """pipeline_name: x
+          |sources: [{name: d, type: file, format: parquet, path: "/x"}]
+          |steps: [{type: chunk, params: {window_tokens: 20}}]
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("stride_tokens"))
+  }
+
+  test("LLM-pipeline step kinds: decontaminate modes and leakage split") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = s"$sfDir/documents.parquet"
+    val raw = spark.read.parquet(docs)
+    raw.where(pmod(col("doc_id"), lit(7)) === 0).createOrReplaceTempView("eval_suite")
+    def run(mode: String) = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: decon
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps:
+         |  - {type: filter, params: {where: "doc_id % 7 <> 0"}}
+         |  - {type: decontaminate, params: {eval_table: eval_suite, mode: $mode}}
+         |""".stripMargin)).run()
+    val train = raw.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    // drop: clean docs only, all columns kept
+    val dropped = run("drop")
+    assert(dropped.columns.sorted.toSeq == raw.columns.sorted.toSeq)
+    val flagged = graft.operators.Curation.decontaminate(
+      train, spark.table("eval_suite"))
+    assert(dropped.count() == train.count() - flagged.count())
+    // score: row-identical to the operator (q115's shape)
+    val scored = run("score").orderBy("doc_id").collect().toSeq
+    val sExp = graft.operators.Curation.contaminationScore(
+        train, spark.table("eval_suite"))
+      .orderBy("doc_id").collect().toSeq
+    assert(scored == sExp)
+    // split: appends group_id/split, groups never straddle, corpus kept
+    val split = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: sp
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: split, params: {train_pct: 90, method: exact}}]
+         |""".stripMargin)).run()
+    assert(split.count() == raw.count())
+    assert(split.columns.contains("split") && split.columns.contains("group_id"))
+    val straddle = split.groupBy("group_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .where(col("n") > 1).count()
+    assert(straddle == 0, "a duplicate group must never straddle the split")
+  }
 }
