@@ -34,10 +34,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Supported: snapshot read, time travel by version, partitioned
   * tables (partition values come from the log, not the directory
-  * names). Refused loudly: minReaderVersion > 1 feature tables
-  * (column mapping, deletion vectors — silently wrong answers
-  * otherwise) and writes (graft writes land in VersionedTable; a
-  * Delta-FORMAT writer needs the real connector).
+  * names), and COLUMN MAPPING in `name` mode (reader protocol v2, or
+  * v3 with the `columnMapping` feature): the scan reads the physical
+  * parquet names and renames to the logical schema; partition-value
+  * keys translate at snapshot build. Refused loudly: `id`-mode
+  * mapping, nested mapped schemas, v3 features this reader does not
+  * implement (deletionVectors, v2Checkpoint, … — ignoring an unknown
+  * reader feature is silent data corruption by the protocol's design),
+  * and writes INTO mapped tables (graft's Delta writer handles
+  * unmapped tables; see [[DeltaWrite]]).
   *
   * Scale note: driver-side parsing is O(actions since last checkpoint)
   * — the checkpointed state itself (the unbounded part) replays as a
@@ -83,7 +88,16 @@ object DeltaRead {
         * filter, delta-spark's skipping semantics). Same driver
         * residency as the file list itself (~200 B/file).
         */
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      /** COLUMN MAPPING (`delta.columnMapping.mode = name`, reader
+        * protocol v2 / v3-`columnMapping`): logical column name →
+        * physical parquet column name. Empty when the table has no
+        * mapping. `schema` and `partitionColumns` (and the
+        * partition-value keys in `files`) are LOGICAL everywhere in
+        * this Snapshot — physical names exist only at the parquet
+        * scan, where [[readSnapshot]] reads physical and renames.
+        */
+      colMap: Map[String, String] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -115,7 +129,16 @@ object DeltaRead {
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
+    // Column mapping: the PARQUET read uses physical names; partition
+    // values were translated to logical keys at snapshot build, so the
+    // partition side stays logical throughout. The final projection
+    // renames the data columns back.
+    val cm = snap.colMap
     val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => if (cm.isEmpty) f else f.copy(name = cm(f.name)))
+    def outCols: Array[org.apache.spark.sql.Column] = snap.schema.fieldNames.map { n =>
+      if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
+    }
     // LOG-PLANNED fast path (mirrors VersionedTable.load's round-11
     // manifest planning): the Delta log records every live file's
     // SIZE (`add.size`) and partition values, so the scan can build
@@ -127,12 +150,12 @@ object DeltaRead {
     // coerce, or one directory mixes partition tuples (the protocol
     // allows metadata-only partitioning; pruning maps dirs).
     logPlannedRead(spark, rootP, snap, dataCols).foreach { df =>
-      return df.select(snap.schema.fieldNames.map(col): _*)
+      return df.select(outCols: _*)
     }
     if (snap.partitionColumns.isEmpty) {
       spark.read.schema(StructType(dataCols)).parquet(
         snap.files.keys.toSeq.map(rel => new Path(rootP, rel).toString): _*)
-        .select(snap.schema.fieldNames.map(col): _*)
+        .select(outCols: _*)
     } else {
       // Partition values are LOG metadata, not file content — rebuild
       // them as literal columns per distinct partition tuple (one scan
@@ -146,7 +169,7 @@ object DeltaRead {
           // null partition value = Delta's __HIVE_DEFAULT_PARTITION__
           val v = pvals.getOrElse(pc, null)
           df.withColumn(pc, (if (v == null) lit(null) else lit(v)).cast(dt))
-        }.select(snap.schema.fieldNames.map(col): _*)
+        }.select(outCols: _*)
       }.reduce(_.unionByName(_))
     }
   }
@@ -271,6 +294,12 @@ object DeltaRead {
     var ckptAdds: Option[DataFrame] = None
     // one row per writer appId — inherently tiny (collect is bounded)
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // reader-protocol gate is DEFERRED to the end of the replay: v2
+    // legality depends on metaData.configuration (column-mapping mode),
+    // which an earlier action in the same log carries
+    var minReader = 1
+    val readerFeatures = scala.collection.mutable.Set.empty[String]
+    var tableConf = Map.empty[String, String]
 
     ckpt.foreach { cv =>
       val rows = spark.read.parquet(
@@ -278,13 +307,18 @@ object DeltaRead {
       // checkpoint rows: one action per row in struct columns
       val cols = rows.columns.toSet
       if (cols("metaData")) {
-        // `id` is optional in hand-written/legacy checkpoint layouts
-        val hasId = rows.select("metaData.*").columns.contains("id")
-        val idCol = if (hasId) col("metaData.id") else lit(null).cast("string")
-        rows.select(col("metaData.schemaString"), col("metaData.partitionColumns"), idCol)
+        // `id`/`configuration` are optional in hand-written/legacy
+        // checkpoint layouts
+        val mdCols = rows.select("metaData.*").columns.toSet
+        val idCol = if (mdCols("id")) col("metaData.id") else lit(null).cast("string")
+        val confCol = if (mdCols("configuration")) col("metaData.configuration")
+          else lit(null).cast("map<string,string>")
+        rows.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+            idCol, confCol)
           .collect().filter(!_.isNullAt(0)).foreach { r =>
             schemaJson = r.getString(0); partCols = r.getSeq[String](1)
             if (!r.isNullAt(2)) metaId = r.getString(2)
+            if (!r.isNullAt(3)) tableConf = r.getMap[String, String](3).toMap
           }
       }
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
@@ -302,9 +336,18 @@ object DeltaRead {
       // same (encoded) key space — exactly as the driver replay did
       ckptAdds = Some(rows.select(col("add.path"), pvCol, sizeCol, statsCol)
         .where(col("add.path").isNotNull))
-      // protocol gate can live in the checkpoint too
-      if (cols("protocol")) rows.select("protocol.minReaderVersion").collect()
-        .filter(!_.isNullAt(0)).foreach(r => gateReaderVersion(path, r.getInt(0)))
+      // protocol gate can live in the checkpoint too (validated after
+      // the replay, once the table configuration is known)
+      if (cols("protocol")) {
+        val pCols = rows.select("protocol.*").columns.toSet
+        val featCol = if (pCols("readerFeatures")) col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
+        rows.select(col("protocol.minReaderVersion"), featCol).collect()
+          .filter(!_.isNullAt(0)).foreach { r =>
+            minReader = minReader.max(r.getInt(0))
+            if (!r.isNullAt(1)) readerFeatures ++= r.getSeq[String](1)
+          }
+      }
       // SetTransaction marks survive checkpointing (required by the
       // protocol — a cleaned log must not forget a sink's high-water)
       if (cols("txn")) rows.select("txn.appId", "txn.version").collect()
@@ -331,14 +374,21 @@ object DeltaRead {
         throw new IllegalStateException(s"Delta commit $v at $path is unreadable"))
       content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("protocol"))
-          gateReaderVersion(path, node.get("protocol").path("minReaderVersion").asInt(1))
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          minReader = minReader.max(p.path("minReaderVersion").asInt(1))
+          if (p.has("readerFeatures"))
+            readerFeatures ++= p.get("readerFeatures").elements().asScala.map(_.asText())
+        }
         if (node.has("metaData")) {
           val md = node.get("metaData")
           schemaJson = md.path("schemaString").asText(null)
           partCols = md.path("partitionColumns").elements().asScala
             .map(_.asText()).toSeq
           metaId = md.path("id").asText(metaId)
+          if (md.has("configuration"))
+            tableConf = md.get("configuration").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
         }
         if (node.has("add")) {
           val add = node.get("add")
@@ -391,10 +441,51 @@ object DeltaRead {
 
     require(schemaJson != null,
       s"Delta log at $path carries no metaData action — cannot derive a schema")
-    Snapshot(target, DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, entries.map { case (p, (pv, _, _)) => p -> pv },
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val mode = tableConf.getOrElse("delta.columnMapping.mode", "none")
+    validateReaderProtocol(path, minReader, readerFeatures.toSet, mode)
+    val colMap = if (mode == "name") buildColMap(path, schema) else Map.empty[String, String]
+    // add.partitionValues (and stats) keys are PHYSICAL names under
+    // column mapping; the Snapshot is logical everywhere except stats,
+    // which stay physical because skipping happens at the (physical)
+    // parquet scan.
+    val physToLogical = colMap.map(_.swap)
+    def pvKeys(pv: Map[String, String]): Map[String, String] =
+      if (physToLogical.isEmpty) pv
+      else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    Snapshot(target, schema,
+      partCols, entries.map { case (p, (pv, _, _)) => p -> pvKeys(pv) },
       entries.map { case (p, (_, sz, _)) => p -> sz }, metaId, txns.toMap,
-      entries.collect { case (p, (_, _, st)) if st != null => p -> st })
+      entries.collect { case (p, (_, _, st)) if st != null => p -> st },
+      colMap)
+  }
+
+  /** Logical → physical name map for `delta.columnMapping.mode = name`:
+    * every top-level field must carry the protocol's physicalName
+    * metadata. Nested mapped schemas (structs, arrays/maps OF structs —
+    * whose inner fields are renamed too) are refused loudly rather
+    * than silently misread.
+    */
+  private def buildColMap(path: String, schema: StructType): Map[String, String] = {
+    def hasStruct(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasStruct(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasStruct(m.keyType) || hasStruct(m.valueType)
+      case _ => false
+    }
+    schema.fields.map { f =>
+      if (hasStruct(f.dataType))
+        throw new UnsupportedOperationException(
+          s"Delta table at $path uses column mapping on a NESTED schema " +
+            s"(column '${f.name}') — nested physical renames are not supported " +
+            "by this interop reader; read it with delta-spark")
+      val key = "delta.columnMapping.physicalName"
+      if (!f.metadata.contains(key))
+        throw new IllegalStateException(
+          s"Delta table at $path declares delta.columnMapping.mode=name but " +
+            s"column '${f.name}' carries no physicalName metadata — corrupt log?")
+      f.name -> f.metadata.getString(key)
+    }.toMap
   }
 
   /** `_last_checkpoint` fast path for latest-version reads: returns
@@ -571,12 +662,37 @@ object DeltaRead {
     (singles ++ multis).toMap
   }
 
-  private def gateReaderVersion(path: String, minReader: Int): Unit =
-    require(minReader <= 1,
-      s"Delta table at $path requires minReaderVersion=$minReader (column " +
-        "mapping / deletion vectors / newer reader features) — this interop " +
-        "reader supports protocol reader version 1; read it with the real " +
-        "delta-spark connector or migrate it to a graft versioned table")
+  /** Reader-protocol gate (PROTOCOL.md's "Reader Requirements"):
+    *  - v1: always readable.
+    *  - v2: column mapping — `name` mode supported (physical-name scan
+    *    + rename), `id` mode (parquet field-id resolution) refused.
+    *  - v3: table features — readable iff every `readerFeatures` entry
+    *    is one this reader actually implements (`columnMapping`,
+    *    `timestampNtz` — the latter is just a type our schema parse
+    *    already carries). Everything else (deletionVectors,
+    *    v2Checkpoint, typeWidening, …) refuses loudly: ignoring an
+    *    unknown reader feature is silent data corruption by design of
+    *    the protocol.
+    */
+  private def validateReaderProtocol(path: String, minReader: Int,
+                                     features: Set[String], mappingMode: String): Unit = {
+    val supported = Set("columnMapping", "timestampNtz")
+    if (minReader >= 3) {
+      val unsupported = features -- supported
+      require(unsupported.isEmpty,
+        s"Delta table at $path requires reader features ${unsupported.toSeq.sorted.mkString(", ")} " +
+          "— this interop reader supports only " +
+          s"${supported.toSeq.sorted.mkString(", ")}; read it with the real " +
+          "delta-spark connector or migrate it to a graft versioned table")
+    }
+    require(minReader <= 3,
+      s"Delta table at $path requires minReaderVersion=$minReader — newer than " +
+        "this interop reader's protocol support (v3); read it with delta-spark")
+    require(mappingMode == "none" || mappingMode == "name",
+      s"Delta table at $path uses delta.columnMapping.mode=$mappingMode — only " +
+        "'name' mode (and unmapped tables) are supported by this interop " +
+        "reader; read it with delta-spark")
+  }
 
   /** Log paths are RFC-2396 percent-encoded URIs (delta-spark decodes
     * via `new URI(p).getPath`) — NOT form-encoding: URLDecoder would

@@ -125,6 +125,14 @@ object DeltaWrite {
       if (DeltaRead.isDeltaTable(spark, rootP.toString))
         Some(DeltaRead.snapshot(spark, rootP.toString))
       else None
+    // the READER handles column mapping (physical-name scan + rename);
+    // writing into a mapped table would need physical-named parquet +
+    // maxColumnId maintenance — refuse rather than corrupt
+    existing.filter(_.colMap.nonEmpty).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"Delta table at $path uses column mapping — graft reads it but will " +
+          "not write into it; write with delta-spark or migrate the table")
+    }
 
     // replayed micro-batch: its txn mark is already in the log — skip
     // BEFORE the data job runs (the cheap, common replay path)
@@ -500,6 +508,9 @@ object DeltaWrite {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     var snap = DeltaRead.snapshot(spark, rootP.toString)
+    require(snap.colMap.isEmpty,
+      s"Delta table at $path uses column mapping — graft reads it but will not " +
+        "rewrite it (compaction writes data files); OPTIMIZE it with delta-spark")
     if (snap.files.size <= targetFiles) return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns

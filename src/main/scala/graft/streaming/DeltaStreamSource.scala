@@ -103,6 +103,15 @@ class DeltaTableSource(spark: SparkSession, root: String,
                        ignoreDeletes: Boolean,
                        ignoreChanges: Boolean) extends Source {
 
+  // the BATCH reader handles column mapping; this source's own commit
+  // parse keeps add.partitionValues in physical-name space, so a
+  // mapped table would misassemble its micro-batch snapshots — refuse
+  // up front rather than stream wrong partition values
+  if (DeltaRead.isDeltaTable(spark, root))
+    require(DeltaRead.snapshot(spark, root).colMap.isEmpty,
+      s"delta stream at $root: the table uses column mapping — batch reads " +
+        "are supported, streaming is not; stream it with delta-spark")
+
   private def versionOf(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong

@@ -305,10 +305,118 @@ class DeltaReadSuite extends SparkSpec {
     val root = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
     commit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaDataLine(schema), addLine(root, "f1.parquet")))
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e.getMessage.contains("minReaderVersion=3"))
+    assert(e.getMessage.contains("deletionVectors"))
+    // reader versions past the supported protocol refuse by number
+    val root2 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")
+    commit(root2, 0, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
+      metaDataLine(schema), addLine(root2, "f1.parquet")))
+    val e2 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root2) }
+    assert(e2.getMessage.contains("minReaderVersion=4"))
+  }
+
+  // --- column mapping (reader protocol v2 / v3-columnMapping) ---
+
+  private def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+    StructField(logical, dt, nullable = true, new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", physical).build())
+
+  private def mappedMetaData(s: StructType, partCols: Seq[String] = Nil,
+                             mode: String = "name"): String =
+    s"""{"metaData":{"id":"cm-table","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(s.json)},""" +
+      s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],""" +
+      s""""configuration":{"delta.columnMapping.mode":${jstr(mode)},""" +
+      s""""delta.columnMapping.maxColumnId":"9"}}}"""
+
+  private val cmProtocol =
+    """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+
+  test("column mapping (name mode): physical parquet names read back as the logical schema") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("col-aaa111", "col-bbb222"),
+      root, "f1.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
+    commit(root, 0, Seq(cmProtocol, mappedMetaData(mapped), addLine(root, "f1.parquet")))
+    val out = DeltaRead.read(spark, root)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // v3 with the columnMapping feature declared is equally readable
+    val root3 = tmp()
+    writeDataFile(Seq((9L, "z")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
+    commit(root3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      mappedMetaData(mapped), addLine(root3, "f1.parquet")))
+    assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("column mapping: partition-value keys are physical in the log, logical in the frame") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"),
+      root, "col-ppp333=1/f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("col-aaa111", "col-bbb222"),
+      root, "col-ppp333=2/f2.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222"),
+      mappedField("p", LongType, 3, "col-ppp333")))
+    commit(root, 0, Seq(cmProtocol, mappedMetaData(mapped, partCols = Seq("p")),
+      addLine(root, "col-ppp333=1/f1.parquet", Map("col-ppp333" -> "1")),
+      addLine(root, "col-ppp333=2/f2.parquet", Map("col-ppp333" -> "2"))))
+    val out = DeltaRead.read(spark, root)
+    assert(out.columns.toSeq == Seq("id", "v", "p"))
+    assert(out.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 1L), (2L, "b", 2L)))
+    // partition pruning still works through the logical name
+    assert(out.where(col("p") === 2L).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("column mapping refusals: id mode, nested mapped schemas, writes, streams") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root, "f1.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
+    commit(root, 0, Seq(cmProtocol, mappedMetaData(mapped, mode = "id"),
+      addLine(root, "f1.parquet")))
+    val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e.getMessage.contains("columnMapping.mode=id"))
+
+    val root2 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root2, "f1.parquet")
+    val nested = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("s", StructType(Seq(StructField("x", LongType))), 2, "col-bbb222")))
+    commit(root2, 0, Seq(cmProtocol, mappedMetaData(nested), addLine(root2, "f1.parquet")))
+    val e2 = intercept[UnsupportedOperationException] { DeltaRead.read(spark, root2) }
+    assert(e2.getMessage.contains("NESTED"))
+
+    val root3 = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
+    commit(root3, 0, Seq(cmProtocol, mappedMetaData(mapped), addLine(root3, "f1.parquet")))
+    val e3 = intercept[UnsupportedOperationException] {
+      DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root3)
+    }
+    assert(e3.getMessage.contains("column mapping"))
+    val e4 = intercept[Exception] {
+      spark.readStream.format("graft-delta").load(root3)
+        .writeStream.format("memory").queryName("cm_refuse")
+        .option("checkpointLocation", tmp()).start().processAllAvailable()
+    }
+    assert(e4.getMessage != null)
+    val e5 = intercept[IllegalArgumentException] { DeltaWrite.compact(spark, root3) }
+    assert(e5.getMessage.contains("column mapping"))
   }
 
   test("YAML `format: delta` source routes through the interop reader") {
