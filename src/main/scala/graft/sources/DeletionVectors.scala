@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Delta Lake DELETION VECTORS (reader protocol v3, feature
+  * `deletionVectors`) — the soft-delete mechanism modern delta-spark
+  * DML uses: instead of rewriting a data file to drop rows, a commit
+  * attaches a bitmap of deleted row indexes to the file's `add` action
+  * (PROTOCOL.md "Deletion Vectors"). A reader that ignored the bitmap
+  * would resurrect deleted rows, which is why the feature gate refuses
+  * unknown features — and why this decoder exists.
+  *
+  * On-log shapes (all public, PROTOCOL.md "Deletion Vector
+  * Descriptor Schema"):
+  *  - `storageType` `"i"`: the whole serialized bitmap is INLINE in
+  *    `pathOrInlineDv`, Z85-encoded (ZeroMQ base85, 4 bytes → 5
+  *    chars); `sizeInBytes` is the true byte length (Z85 pads to a
+  *    4-byte multiple).
+  *  - `storageType` `"u"`: the bitmap lives in a file under the table
+  *    root — `pathOrInlineDv` is `<random prefix><z85 uuid>` (the
+  *    UUID is always the last 20 chars), resolving to
+  *    `<prefix>/deletion_vector_<uuid>.bin`; `offset` points at the
+  *    DV's framing inside the file: a 4-byte BIG-endian length
+  *    (== sizeInBytes), the bitmap bytes, then a 4-byte big-endian
+  *    CRC-32 of the bitmap bytes.
+  *  - `storageType` `"p"`: an absolute path — refused, same contract
+  *    as absolute `add.path` entries (resolving another table's
+  *    filesystem silently reads the wrong data).
+  *
+  * The bitmap itself is delta's `RoaringBitmapArray` in the PORTABLE
+  * serialization (magic 1681511377 little-endian, an 8-byte bitmap
+  * count, then one standard 32-bit RoaringBitmap per 2^32 key range —
+  * RoaringFormatSpec's portable format with array / bitmap / run
+  * containers). Deleted row indexes decode as
+  * `(bitmapIndex << 32) | value`.
+  *
+  * Scale note: a DV's decoded form is 8 bytes per deleted row on the
+  * driver — the same residency class delta-spark's own broadcast DV
+  * map has. Tables whose live DVs exceed [[maxDeletedRows]] total
+  * deleted rows refuse with a pointer at OPTIMIZE (a table carrying
+  * hundreds of millions of soft-deleted rows needs a rewrite, not a
+  * bigger driver).
+  */
+object DeletionVectors {
+
+  /** Parsed `deletionVector` descriptor from an add/remove action. */
+  final case class Descriptor(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Int,
+      sizeInBytes: Int,
+      cardinality: Long) {
+    /** The protocol's file-action identity: add/remove actions
+      * reconcile by (path, dv.uniqueId) — a DELETE commits
+      * add(F, newDv) + remove(F, oldDv) and a path-only replay would
+      * mis-key them.
+      */
+    def uniqueId: String = s"$storageType$pathOrInlineDv@$offset"
+  }
+
+  val maxDeletedRows: Long = 100L * 1000 * 1000
+
+  /** Decode the deleted row indexes of `d`, resolving on-disk DVs
+    * against `tableRoot`. Loud on every corruption class: bad magic,
+    * CRC mismatch, cardinality mismatch, absolute storage.
+    */
+  def deletedRows(fs: FileSystem, tableRoot: Path, d: Descriptor): Array[Long] = {
+    val bytes = d.storageType match {
+      case "i" =>
+        val raw = z85Decode(d.pathOrInlineDv)
+        require(raw.length >= d.sizeInBytes,
+          s"inline deletion vector shorter (${raw.length}) than its declared size (${d.sizeInBytes})")
+        raw.take(d.sizeInBytes)
+      case "u" =>
+        val p = onDiskPath(tableRoot, d.pathOrInlineDv)
+        val in = fs.open(p)
+        try {
+          in.seek(d.offset.toLong)
+          val dis = new java.io.DataInputStream(in)
+          val len = dis.readInt() // big-endian framing length
+          require(len == d.sizeInBytes,
+            s"deletion vector at $p offset ${d.offset}: framed length $len != descriptor sizeInBytes ${d.sizeInBytes}")
+          val buf = new Array[Byte](len)
+          dis.readFully(buf)
+          val crc = dis.readInt()
+          val c = new java.util.zip.CRC32(); c.update(buf)
+          require(crc == c.getValue.toInt,
+            s"deletion vector at $p offset ${d.offset}: CRC mismatch — corrupt DV file")
+          buf
+        } finally in.close()
+      case "p" =>
+        throw new IllegalStateException(
+          s"deletion vector with ABSOLUTE storage ('p', ${d.pathOrInlineDv}) — this " +
+            "interop reader resolves DVs against the table root only; read the " +
+            "table with delta-spark")
+      case other =>
+        throw new IllegalStateException(s"unknown deletion vector storageType '$other'")
+    }
+    val rows = decodeRoaringBitmapArray(bytes)
+    require(rows.length.toLong == d.cardinality,
+      s"deletion vector decoded ${rows.length} rows but the descriptor declares " +
+        s"cardinality ${d.cardinality} — corrupt log?")
+    rows
+  }
+
+  /** `<prefix><z85 uuid>` → `<root>/<prefix>/deletion_vector_<uuid>.bin`
+    * (the UUID is always the trailing 20 z85 chars).
+    */
+  private[sources] def onDiskPath(tableRoot: Path, pathOrInlineDv: String): Path = {
+    require(pathOrInlineDv.length >= 20,
+      s"deletion vector path '$pathOrInlineDv' is shorter than a z85 UUID")
+    val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val raw = z85Decode(enc)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) new Path(tableRoot, name)
+    else new Path(new Path(tableRoot, prefix), name)
+  }
+
+  // --- Z85 (ZeroMQ base85: 5 chars -> 4 bytes big-endian) ---
+
+  private val z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    z85Chars.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
+    idx
+  }
+
+  private[sources] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 input length ${s.length} is not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) z85Index(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      val o = i / 5 * 4
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  // --- RoaringBitmapArray (portable) ---
+
+  private val PortableMagic = 1681511377
+
+  /** Decode delta's 64-bit RoaringBitmapArray portable serialization
+    * into sorted row indexes.
+    */
+  private[sources] def decodeRoaringBitmapArray(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == PortableMagic,
+      s"deletion vector bitmap magic $magic is not the portable format " +
+        s"($PortableMagic) — only portable-serialized DVs are supported")
+    val nBitmaps = bb.getLong
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"absurd bitmap count $nBitmaps")
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var k = 0L
+    while (k < nBitmaps) {
+      decodeRoaring32(bb, k << 32, out)
+      k += 1
+    }
+    out.result()
+  }
+
+  /** One standard 32-bit RoaringBitmap (RoaringFormatSpec portable
+    * layout), values emitted as `base | value`. Offsets headers are
+    * consumed but not needed — containers are laid out sequentially.
+    */
+  private def decodeRoaring32(bb: java.nio.ByteBuffer, base: Long,
+                              out: scala.collection.mutable.ArrayBuilder[Long]): Unit = {
+    val SerialCookie = 12347
+    val SerialCookieNoRun = 12346
+    val cookie = bb.getInt
+    val hasRun = (cookie & 0xFFFF) == SerialCookie
+    val size =
+      if (hasRun) (cookie >>> 16) + 1
+      else {
+        require(cookie == SerialCookieNoRun, s"unrecognized roaring cookie $cookie")
+        bb.getInt
+      }
+    val runFlags = new Array[Byte](if (hasRun) (size + 7) / 8 else 0)
+    if (hasRun) bb.get(runFlags)
+    def isRun(i: Int): Boolean = hasRun && ((runFlags(i / 8) >> (i % 8)) & 1) == 1
+    val keys = new Array[Int](size)
+    val cards = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      keys(i) = bb.getShort & 0xFFFF
+      cards(i) = (bb.getShort & 0xFFFF) + 1
+      i += 1
+    }
+    // offsets header: always for the no-run cookie, and for >=4
+    // containers with runs
+    if (!hasRun || size >= 4) { var j = 0; while (j < size) { bb.getInt; j += 1 } }
+    i = 0
+    while (i < size) {
+      val keyBase = base | (keys(i).toLong << 16)
+      if (isRun(i)) {
+        val nRuns = bb.getShort & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val start = bb.getShort & 0xFFFF
+          val len = bb.getShort & 0xFFFF
+          var v = start
+          while (v <= start + len) { out += (keyBase | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= 4096) {
+        var c = 0
+        while (c < cards(i)) { out += (keyBase | (bb.getShort & 0xFFFF)); c += 1 }
+      } else {
+        // 1024-word bitmap container
+        var w = 0
+        while (w < 1024) {
+          var word = bb.getLong
+          while (word != 0) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            out += (keyBase | ((w << 6) + bit))
+            word &= word - 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+  }
+}

@@ -97,7 +97,13 @@ object DeltaRead {
         * this Snapshot — physical names exist only at the parquet
         * scan, where [[readSnapshot]] reads physical and renames.
         */
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      /** DELETION VECTORS: decoded-path → live DV descriptor, for the
+        * files whose add action carries one. [[readSnapshot]] drops
+        * the deleted row indexes at scan time; replay reconciles file
+        * actions by the protocol's (path, dv.uniqueId) identity.
+        */
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -125,6 +131,46 @@ object DeltaRead {
     */
   private[graft] def readSnapshot(spark: SparkSession, path: String,
                                   snap: Snapshot): DataFrame = {
+    // DELETION VECTORS: split the scan — clean files read at full
+    // native speed, DV-carrying files read with _metadata.row_index
+    // and drop their deleted rows through a broadcast bitmap probe
+    // (binary search over the decoded sorted indexes; 8 bytes per
+    // deleted row, the same residency delta-spark's DV broadcast has).
+    // Only the dirty branch pays the filter.
+    val liveDvs = snap.dvs.filter { case (p, _) => snap.files.contains(p) }
+    if (liveDvs.nonEmpty) {
+      val rootP = qualifiedRoot(spark, path)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val totalDeleted = liveDvs.values.map(_.cardinality).sum
+      require(totalDeleted <= DeletionVectors.maxDeletedRows,
+        s"Delta table at $path carries $totalDeleted soft-deleted rows in " +
+          s"deletion vectors (cap ${DeletionVectors.maxDeletedRows}) — OPTIMIZE " +
+          "the table with delta-spark to materialize the deletes, then re-read")
+      val deleted: Map[String, Array[Long]] = liveDvs.map { case (rel, d) =>
+        new Path(rootP, rel).toString -> DeletionVectors.deletedRows(fs, rootP, d)
+      }
+      val bc = spark.sparkContext.broadcast(deleted)
+      val keep = org.apache.spark.sql.functions.udf((fp: String, ri: Long) =>
+        bc.value.get(fp).forall(a => java.util.Arrays.binarySearch(a, ri) < 0))
+      val dirty = snap.copy(files = snap.files.filter(kv => liveDvs.contains(kv._1)),
+        dvs = Map.empty)
+      val dirtyDf = scanSnapshot(spark, path, dirty, withRowMeta = true)
+        .where(keep(col("__fp"), col("__ri"))).drop("__fp", "__ri")
+      val cleanFiles = snap.files -- liveDvs.keySet
+      return if (cleanFiles.isEmpty) dirtyDf
+        else scanSnapshot(spark, path, snap.copy(files = cleanFiles, dvs = Map.empty))
+          .unionByName(dirtyDf)
+    }
+    scanSnapshot(spark, path, snap)
+  }
+
+  /** The raw snapshot scan. `withRowMeta` appends `__fp`
+    * (_metadata.file_path) and `__ri` (_metadata.row_index) for the
+    * deletion-vector filter — selected at the scan itself, where the
+    * metadata columns resolve.
+    */
+  private def scanSnapshot(spark: SparkSession, path: String,
+                           snap: Snapshot, withRowMeta: Boolean = false): DataFrame = {
     val rootP = qualifiedRoot(spark, path)
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -136,8 +182,13 @@ object DeltaRead {
     val cm = snap.colMap
     val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => if (cm.isEmpty) f else f.copy(name = cm(f.name)))
-    def outCols: Array[org.apache.spark.sql.Column] = snap.schema.fieldNames.map { n =>
-      if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
+    def outCols: Array[org.apache.spark.sql.Column] = {
+      val logical = snap.schema.fieldNames.map { n =>
+        if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
+      }
+      if (!withRowMeta) logical
+      else logical ++ Array(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__ri"))
     }
     // LOG-PLANNED fast path (mirrors VersionedTable.load's round-11
     // manifest planning): the Delta log records every live file's
@@ -331,10 +382,21 @@ object DeltaRead {
       val statsCol =
         if (addCols("stats")) col("add.stats")
         else lit(null).cast("string").as("stats")
+      val dvCols: Seq[org.apache.spark.sql.Column] =
+        if (addCols("deletionVector"))
+          Seq(col("add.deletionVector.storageType").as("dv_st"),
+            col("add.deletionVector.pathOrInlineDv").as("dv_p"),
+            col("add.deletionVector.offset").as("dv_off"),
+            col("add.deletionVector.sizeInBytes").as("dv_sz"),
+            col("add.deletionVector.cardinality").as("dv_card"))
+        else Seq(lit(null).cast("string").as("dv_st"),
+          lit(null).cast("string").as("dv_p"), lit(null).cast("int").as("dv_off"),
+          lit(null).cast("int").as("dv_sz"), lit(null).cast("long").as("dv_card"))
       // paths stay URI-ENCODED inside the frame; decoding happens once,
       // post-replay, so checkpoint adds and tail removes meet in the
       // same (encoded) key space — exactly as the driver replay did
-      ckptAdds = Some(rows.select(col("add.path"), pvCol, sizeCol, statsCol)
+      ckptAdds = Some(rows.select(Seq(col("add.path"), pvCol, sizeCol, statsCol)
+          ++ dvCols: _*)
         .where(col("add.path").isNotNull))
       // protocol gate can live in the checkpoint too (validated after
       // the replay, once the table configuration is known)
@@ -355,10 +417,23 @@ object DeltaRead {
     }
 
     // Tail replay (driver-side, bounded by the checkpoint interval):
-    // last action per ENCODED path wins — Some(pv) = live add, None =
-    // removed. Insertion order is irrelevant once reduced to last-wins.
-    val tail = scala.collection.mutable
-      .LinkedHashMap[String, Option[(Map[String, String], Long, String)]]()
+    // last action per (ENCODED path, dv.uniqueId) wins — the protocol's
+    // file-action identity. A DELETE that grows a file's deletion
+    // vector commits add(F, newDv) + remove(F, oldDv) in ONE commit;
+    // path-only keying would let line order decide whether F survives.
+    // Some(pv) = live add, None = removed; for unmapped/DV-free tables
+    // every uid is "" and this reduces to the old path keying exactly.
+    def dvOf(n: JsonNode): DeletionVectors.Descriptor = {
+      if (n == null || n.isNull) return null
+      val st = n.path("storageType").asText("")
+      if (st.isEmpty) null
+      else DeletionVectors.Descriptor(st, n.path("pathOrInlineDv").asText(""),
+        n.path("offset").asInt(0), n.path("sizeInBytes").asInt(0),
+        n.path("cardinality").asLong(0))
+    }
+    def uidOf(d: DeletionVectors.Descriptor): String = if (d == null) "" else d.uniqueId
+    val tail = scala.collection.mutable.LinkedHashMap[(String, String),
+      Option[(Map[String, String], Long, String, DeletionVectors.Descriptor)]]()
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     for (v <- replayFrom to target) {
       val p = new Path(logP, f"$v%020d.json")
@@ -398,10 +473,13 @@ object DeltaRead {
             .getOrElse(Map.empty[String, String])
           val sz = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
           val st = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).orNull
-          tail.put(add.get("path").asText(), Some((pv, sz, st)))
+          val dv = dvOf(add.get("deletionVector"))
+          tail.put((add.get("path").asText(), uidOf(dv)), Some((pv, sz, st, dv)))
         }
-        if (node.has("remove"))
-          tail.put(node.get("remove").path("path").asText(), None)
+        if (node.has("remove")) {
+          val rm = node.get("remove")
+          tail.put((rm.path("path").asText(), uidOf(dvOf(rm.get("deletionVector")))), None)
+        }
         if (node.has("txn")) {
           val t = node.get("txn")
           txns(t.path("appId").asText()) = t.path("version").asLong()
@@ -409,34 +487,54 @@ object DeltaRead {
       }
     }
 
-    val entries: Map[String, (Map[String, String], Long, String)] = ckptAdds match {
+    val entries: Map[String, (Map[String, String], Long, String, DeletionVectors.Descriptor)] =
+      ckptAdds match {
       case None =>
-        // no checkpoint: the tail IS the whole history
-        tail.collect { case (p, Some(e)) => decodePath(p) -> e }.toMap
+        // no checkpoint: the tail IS the whole history (collapse to one
+        // entry per path — a live file has exactly one live dv identity)
+        tail.collect { case ((p, _), Some(e)) => decodePath(p) -> e }.toMap
       case Some(adds) =>
         import spark.implicits._
         // decode BEFORE the anti-join: the match key must be the
         // canonical path, not its encoding — a cross-writer table can
         // remove "a%28b%29" where the checkpoint added "a(b)" and an
         // encoded-key join would resurrect the dead file (the driver
-        // replay always matched decoded; so must the distributed one)
+        // replay always matched decoded; so must the distributed one).
+        // The join key is (path, dv.uniqueId) — the file-action
+        // identity — so a remove of (F, oldDv) cannot kill a
+        // checkpointed (F, null) twin or vice versa.
         val dec = org.apache.spark.sql.functions.udf((p: String) => decodePath(p))
+        val uidCol = org.apache.spark.sql.functions.when(
+          col("dv_st").isNull || col("dv_st") === "", lit("")).otherwise(
+          org.apache.spark.sql.functions.concat(col("dv_st"), col("dv_p"), lit("@"),
+            org.apache.spark.sql.functions.coalesce(col("dv_off"), lit(0)).cast("string")))
         val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"),
-          col("size"), col("stats"))
-        val carried =
+          col("size"), col("stats"), col("dv_st"), col("dv_p"), col("dv_off"),
+          col("dv_sz"), col("dv_card"), uidCol.as("__uid"))
+        val carried0 =
           if (tail.isEmpty) addsDec
           else {
-            val touched = broadcast(tail.keys.toSeq.map(decodePath).distinct.toDF("path"))
-            addsDec.join(touched, Seq("path"), "left_anti")
+            val touched = broadcast(tail.keys.toSeq
+              .map { case (p, uid) => (decodePath(p), uid) }.distinct
+              .toDF("path", "__uid"))
+            addsDec.join(touched, Seq("path", "__uid"), "left_anti")
           }
+        // the join puts its keys first — pin the collect order explicitly
+        val carried = carried0.select("path", "partitionValues", "size", "stats",
+          "dv_st", "dv_p", "dv_off", "dv_sz", "dv_card")
         val live = carried.collect().map { r =>
           val pv = if (r.isNullAt(1)) Map.empty[String, String]
             else r.getMap[String, String](1).toMap
           val sz = if (r.isNullAt(2)) -1L else r.getLong(2)
           val st = if (r.isNullAt(3)) null else r.getString(3)
-          r.getString(0) -> ((pv, sz, st))
+          val dv = if (r.isNullAt(4) || r.getString(4).isEmpty) null
+            else DeletionVectors.Descriptor(r.getString(4), r.getString(5),
+              if (r.isNullAt(6)) 0 else r.getInt(6),
+              if (r.isNullAt(7)) 0 else r.getInt(7),
+              if (r.isNullAt(8)) 0L else r.getLong(8))
+          r.getString(0) -> ((pv, sz, st, dv))
         }.toMap
-        live ++ tail.collect { case (p, Some(e)) => decodePath(p) -> e }
+        live ++ tail.collect { case ((p, _), Some(e)) => decodePath(p) -> e }
     }
 
     require(schemaJson != null,
@@ -454,10 +552,11 @@ object DeltaRead {
       if (physToLogical.isEmpty) pv
       else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
     Snapshot(target, schema,
-      partCols, entries.map { case (p, (pv, _, _)) => p -> pvKeys(pv) },
-      entries.map { case (p, (_, sz, _)) => p -> sz }, metaId, txns.toMap,
-      entries.collect { case (p, (_, _, st)) if st != null => p -> st },
-      colMap)
+      partCols, entries.map { case (p, (pv, _, _, _)) => p -> pvKeys(pv) },
+      entries.map { case (p, (_, sz, _, _)) => p -> sz }, metaId, txns.toMap,
+      entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
+      colMap,
+      entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv })
   }
 
   /** Logical → physical name map for `delta.columnMapping.mode = name`:
@@ -676,7 +775,7 @@ object DeltaRead {
     */
   private def validateReaderProtocol(path: String, minReader: Int,
                                      features: Set[String], mappingMode: String): Unit = {
-    val supported = Set("columnMapping", "timestampNtz")
+    val supported = Set("columnMapping", "timestampNtz", "deletionVectors")
     if (minReader >= 3) {
       val unsupported = features -- supported
       require(unsupported.isEmpty,

@@ -133,6 +133,18 @@ object DeltaWrite {
         s"Delta table at $path uses column mapping — graft reads it but will " +
           "not write into it; write with delta-spark or migrate the table")
     }
+    // a non-append write computes removes, and OUR remove actions carry
+    // no deletionVector descriptor — other readers reconcile by
+    // (path, dv.uniqueId), so a dv-less remove of a dv-carrying file
+    // would resurrect its soft-deleted rows for them. Appends never
+    // remove, so they stay safe.
+    existing.filter(_.dvs.nonEmpty).foreach { _ =>
+      if (mode != Mode.Append)
+        throw new UnsupportedOperationException(
+          s"Delta table at $path carries live deletion vectors — graft reads " +
+            "them and can APPEND, but rewriting/removing dv-carrying files " +
+            "needs dv-aware remove actions; use delta-spark for this write")
+    }
 
     // replayed micro-batch: its txn mark is already in the log — skip
     // BEFORE the data job runs (the cheap, common replay path)
@@ -511,6 +523,9 @@ object DeltaWrite {
     require(snap.colMap.isEmpty,
       s"Delta table at $path uses column mapping — graft reads it but will not " +
         "rewrite it (compaction writes data files); OPTIMIZE it with delta-spark")
+    require(snap.dvs.isEmpty,
+      s"Delta table at $path carries live deletion vectors — folding them needs " +
+        "dv-aware remove actions; OPTIMIZE it with delta-spark")
     if (snap.files.size <= targetFiles) return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns
@@ -602,7 +617,14 @@ object DeltaWrite {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis - retentionMs
-    val live = DeltaRead.snapshot(spark, rootP.toString).files.keySet
+    val snap = DeltaRead.snapshot(spark, rootP.toString)
+    // live DELETION VECTOR files are snapshot state too — sweeping one
+    // would corrupt every future read of its data file
+    val live = snap.files.keySet ++ snap.dvs.values.collect {
+      case d if d.storageType == "u" =>
+        val abs = graft.sources.DeletionVectors.onDiskPath(rootP, d.pathOrInlineDv)
+        abs.toString.stripPrefix(rootP.toString).stripPrefix("/")
+    }
     val deleted = Seq.newBuilder[String]
     def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
@@ -697,6 +719,12 @@ object DeltaWrite {
     if (commits.isEmpty && cpFiles.isEmpty) return -1L
     val latest = (commits ++ cpFiles.keys).max
     if (cpFiles.contains(latest)) return latest // nothing newer to fold
+    // our checkpoint rows carry no deletionVector column — folding a
+    // DV-carrying log would silently drop the bitmaps and resurrect
+    // the soft-deleted rows for every reader of the checkpoint
+    require(DeltaRead.snapshot(spark, rootP.toString).dvs.isEmpty,
+      s"Delta table at $path carries live deletion vectors — graft reads them " +
+        "but will not fold them into a checkpoint; CHECKPOINT with delta-spark")
     val prev = cpFiles.keys.filter(_ < latest).toSeq.sorted.lastOption
 
     // --- driver tail replay (bounded by the checkpoint interval) ---

@@ -306,10 +306,10 @@ class DeltaReadSuite extends SparkSpec {
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
     commit(root, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       metaDataLine(schema), addLine(root, "f1.parquet")))
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
     // reader versions past the supported protocol refuse by number
     val root2 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")
@@ -614,5 +614,129 @@ class DeltaReadSuite extends SparkSpec {
       "a tail re-add must override the checkpointed partition values")
     assert(snap.files("part-00002.parquet") == Map("day" -> "2"),
       "untouched checkpoint adds carry their partition values through the distributed path")
+  }
+
+  // --- deletion vectors (reader protocol v3, feature deletionVectors) ---
+
+  import DvTestUtil.{z85Encode, roaringArrayBytes}
+
+  private def inlineDvAdd(root: String, file: String, rows: Seq[Long],
+                          pv: Map[String, String] = null): String = {
+    val bm = roaringArrayBytes(rows)
+    val padded = bm ++ Array.fill[Byte]((4 - bm.length % 4) % 4)(0)
+    val pvJson = Option(pv).map(_.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")).getOrElse("{}")
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(root, file))
+    s"""{"add":{"path":${jstr(file)},"partitionValues":$pvJson,"size":$size,""" +
+      s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+      s""""storageType":"i","pathOrInlineDv":${jstr(z85Encode(padded))},""" +
+      s""""sizeInBytes":${bm.length},"cardinality":${rows.size}}}}"""
+  }
+
+  private val dvProtocol =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  test("z85 decode matches the ZeroMQ spec vector; roaring array/run/bitmap containers decode") {
+    assert(DeletionVectors.z85Decode("HelloWorld").map(b => f"${b & 0xFF}%02X").mkString ==
+      "864FD26FB559F75B")
+    // array containers across two 64-bit bitmaps and two 16-bit keys
+    val rows = Seq(0L, 2L, 70000L, (1L << 32) | 5L)
+    assert(DeletionVectors.decodeRoaringBitmapArray(roaringArrayBytes(rows)).toSeq ==
+      rows.sorted)
+    // run container: hand-built cookie-12347 bitmap with rows 10..13
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def le32(v: Int) = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF) }
+    def le16(v: Int) = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    le32(1681511377); le32(1); le32(0)
+    le32(12347)      // run cookie, size-1 = 0 in the high bits
+    o.write(1)       // run flag bitset: container 0 is a run
+    le16(0); le16(3) // key 0, cardinality-1 = 3
+    le16(1)          // one run
+    le16(10); le16(3) // start 10, length 3 -> 10..13
+    o.flush()
+    assert(DeletionVectors.decodeRoaringBitmapArray(bos.toByteArray).toSeq ==
+      Seq(10L, 11L, 12L, 13L))
+  }
+
+  test("deletion vectors: inline DV drops the flagged row indexes, time travel sees them") {
+    val root = tmp()
+    writeDataFile((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
+    commit(root, 0, Seq(dvProtocol, metaDataLine(schema), addLine(root, "f1.parquet")))
+    // v1: a DELETE attaches a DV for rows 0 and 2 — remove(no dv) + add(dv)
+    commit(root, 1, Seq(removeLine("f1.parquet"), inlineDvAdd(root, "f1.parquet", Seq(0L, 2L))))
+    val out = DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      "row indexes 0 and 2 must drop")
+    assert(DeltaRead.read(spark, root, Some(0L)).count() == 10L,
+      "time travel before the DELETE sees all rows")
+    // v2: the DV grows (delete row 5 too) — the (path, dv.uniqueId)
+    // replay must keep exactly the newest DV
+    commit(root, 2, Seq(
+      s"""{"remove":{"path":"f1.parquet","deletionTimestamp":2,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":${jstr(z85Encode(
+          roaringArrayBytes(Seq(0L, 2L)) ++ Array.fill[Byte]((4 - roaringArrayBytes(Seq(0L, 2L)).length % 4) % 4)(0)))},""" +
+        s""""sizeInBytes":${roaringArrayBytes(Seq(0L, 2L)).length},"cardinality":2}}}""",
+      inlineDvAdd(root, "f1.parquet", Seq(0L, 2L, 5L))))
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L))
+  }
+
+  test("deletion vectors: on-disk 'u' DV with framing + CRC, partitioned table, vacuum keeps it") {
+    val root = tmp()
+    writeDataFile((0L until 5L).map(i => (i, s"a$i")).toDF("id", "v"), root, "day=1/f1.parquet")
+    writeDataFile((5L until 10L).map(i => (i, s"b$i")).toDF("id", "v"), root, "day=2/f2.parquet")
+    // DV file: version byte, then [size BE][bitmap][crc32 BE]
+    val bm = roaringArrayBytes(Seq(1L, 3L))
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    val enc = "ab" + z85Encode(bb.array()) // random prefix "ab"
+    val dvPath = java.nio.file.Paths.get(root, "ab", s"deletion_vector_$uuid.bin")
+    java.nio.file.Files.createDirectories(dvPath.getParent)
+    val crc = new java.util.zip.CRC32(); crc.update(bm)
+    val fileBuf = java.nio.ByteBuffer.allocate(1 + 4 + bm.length + 4)
+    fileBuf.put(1.toByte).putInt(bm.length).put(bm).putInt(crc.getValue.toInt)
+    java.nio.file.Files.write(dvPath, fileBuf.array())
+    val pSchema = StructType(schema.fields :+ StructField("day", LongType))
+    commit(root, 0, Seq(dvProtocol, metaDataLine(pSchema, Seq("day")),
+      s"""{"add":{"path":"day=1/f1.parquet","partitionValues":{"day":"1"},""" +
+        s""""size":${java.nio.file.Files.size(java.nio.file.Paths.get(root, "day=1/f1.parquet"))},""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+        s""""storageType":"u","pathOrInlineDv":${jstr(enc)},"offset":1,""" +
+        s""""sizeInBytes":${bm.length},"cardinality":2}}}""",
+      addLine(root, "day=2/f2.parquet", Map("day" -> "2"))))
+    val out = DeltaRead.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // f1 drops row indexes 1 and 3 (ids 1 and 3); f2 (no DV) is complete
+    assert(out.toSeq == Seq((0L, 1L), (2L, 1L), (4L, 1L),
+      (5L, 2L), (6L, 2L), (7L, 2L), (8L, 2L), (9L, 2L)))
+    // vacuum must treat the live DV file as referenced
+    val swept = DeltaWrite.vacuum(spark, root, retentionMs = 0L)
+    assert(!swept.exists(_.contains("deletion_vector")),
+      s"vacuum swept a live deletion vector: $swept")
+    assert(java.nio.file.Files.exists(dvPath))
+    assert(DeltaRead.read(spark, root).count() == 8L, "table still reads after vacuum")
+  }
+
+  test("deletion vectors: append allowed; overwrite/compact/checkpoint refuse") {
+    val root = tmp()
+    writeDataFile((0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
+    commit(root, 0, Seq(dvProtocol, metaDataLine(schema),
+      inlineDvAdd(root, "f1.parquet", Seq(0L))))
+    assert(DeltaRead.read(spark, root).count() == 3L)
+    DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root)
+    assert(DeltaRead.read(spark, root).count() == 4L,
+      "append lands; the DV on f1 still applies")
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.overwrite(spark, Seq((7L, "y")).toDF("id", "v"), root)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    val e2 = intercept[IllegalArgumentException] { DeltaWrite.compact(spark, root) }
+    assert(e2.getMessage.contains("deletion vectors"))
+    val e3 = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
+    assert(e3.getMessage.contains("deletion vectors"))
   }
 }

@@ -139,4 +139,32 @@ class DeltaStreamSuite extends SparkSpec {
     // only the new commit: the first run's snapshot batch is not replayed
     assert(second.toArray(Array.empty[java.lang.Long]).toSeq == Seq(2L))
   }
+
+  test("deletion vectors apply to the stream's bootstrap snapshot batch") {
+    val root = tmp("dstream_dv")
+    DeltaWrite.append(spark,
+      (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root) // v0
+    // hand-append a DELETE: remove(F) + add(F, inline DV of row indexes 1,4)
+    val dataFile = DeltaRead.snapshot(spark, root).files.keySet.head
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(root, dataFile))
+    val logP = java.nio.file.Paths.get(root, "_delta_log",
+      f"${1L}%020d.json")
+    java.nio.file.Files.write(logP, (Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"remove":{"path":"$dataFile","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$dataFile","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":1,"dataChange":true,${graft.sources.DvTestUtil.inlineDvJson(Seq(1L, 4L))}}}"""
+    ).mkString("\n") + "\n").getBytes("UTF-8"))
+    // a fresh stream bootstraps from the CURRENT snapshot — the DV'd
+    // one — so ids 1 and 4 never enter the sink
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("id").as[(Long, String)].collect().map(_._1).toSeq ==
+        Seq(0L, 2L, 3L, 5L))
+    } finally q.stop()
+  }
 }
