@@ -521,6 +521,30 @@ object Curation {
         col("col").as("chunk"))
   }
 
+  /** Deterministic global shuffle for training export: assign every
+    * document a `shard` and a within-shard `sort_key` from the same
+    * portable multiplicative hash family as [[leakageSplit]]'s bucket
+    * (pure integer math — reproducible across engines and runs, no
+    * RNG state). A trainer export then writes
+    * `repartition(col("shard")).sortWithinPartitions("sort_key", id)`
+    * — globally pseudo-random order, byte-identical on every rerun,
+    * with no global sort and no single-partition window anywhere (the
+    * formulation a `orderBy(rand())` export gets wrong twice: it's
+    * nondeterministic AND a full sort).
+    *
+    * One codegen'd projection fused with the scan; all input columns
+    * survive.
+    */
+  def shardAssign(
+      docs: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = (pmod(col(idCol), lit(1000003L)) * lit(2654435761L)).mod(lit(4294967296L))
+    docs.withColumn("sort_key", h.cast("long"))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)).cast("int"))
+  }
+
   /** Leakage-safe train/eval split: assign every document to a split
     * such that ALL members of a duplicate / near-duplicate group land
     * on the SAME side — the contamination guard a pretraining pipeline

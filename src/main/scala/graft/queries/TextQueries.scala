@@ -255,6 +255,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q116: deterministic global shuffle for trainer export — shard +
+    // portable-hash sort key as one scan-fused projection (no sort, no
+    // window, no RNG); the export repartitions by shard and sorts
+    // within partitions only.
+    "q116_shard_assign" -> ((s, dir) =>
+      Curation.shardAssign(t(s, dir, "documents"), nShards = 16)
+        .select(col("doc_id"), col("lang"), col("sort_key"), col("shard"))
+        .orderBy("doc_id")),
+
     // q79: q35's LSH operator in EXACT mode — planes=2 with hamming-2
     // multi-probe covers all 2^2 buckets, so the hyperplane bucketing,
     // probe expansion (single + pair bit flips) and bucket join must
@@ -1016,6 +1025,13 @@ object TextQueries {
     "q29_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "q116_shard_assign" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ((doc_id % 1000003) * 2654435761) % 4294967296 AS sort_key
+        |  FROM documents)
+        |SELECT doc_id, lang, sort_key, CAST(sort_key % 16 AS INT) AS shard
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q113_dedup_best" ->
       s"""WITH f AS (SELECT doc_id, source, n_chars, $normSql AS nt FROM documents),

@@ -574,6 +574,20 @@ class TextSuite extends SparkSpec {
     assert(out(0).getAs[Long]("first_doc") == 1L)
   }
 
+  test("shardAssign: deterministic, bounded shards, near-uniform, columns survive") {
+    val docs = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val a = Curation.shardAssign(docs, 16).collect()
+    val b = Curation.shardAssign(docs, 16).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "must be run-deterministic")
+    assert(a.forall { r =>
+      val s = r.getAs[Int]("shard"); s >= 0 && s < 16
+    })
+    assert(a.head.schema.fieldNames.contains("text"), "input columns survive")
+    val counts = a.groupBy(_.getAs[Int]("shard")).map(_._2.length)
+    assert(counts.size == 16 && counts.forall(c => c > 30 && c < 95),
+      s"shard sizes should be near-uniform (62.5 expected): $counts")
+  }
+
   test("vocab: term/doc counts, minDocFreq threshold, deterministic top-k cut") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
