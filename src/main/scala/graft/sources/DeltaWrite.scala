@@ -719,13 +719,16 @@ object DeltaWrite {
     if (commits.isEmpty && cpFiles.isEmpty) return -1L
     val latest = (commits ++ cpFiles.keys).max
     if (cpFiles.contains(latest)) return latest // nothing newer to fold
+    val prev = cpFiles.keys.filter(_ < latest).toSeq.sorted.lastOption
     // our checkpoint rows carry no deletionVector column — folding a
     // DV-carrying log would silently drop the bitmaps and resurrect
-    // the soft-deleted rows for every reader of the checkpoint
-    require(DeltaRead.snapshot(spark, rootP.toString).dvs.isEmpty,
-      s"Delta table at $path carries live deletion vectors — graft reads them " +
+    // the soft-deleted rows for every reader of the checkpoint. The
+    // check rides THIS function's own replay inputs (tail JSON + prev
+    // checkpoint columns below) instead of a full extra snapshot()
+    // reconstruction per call — auto-checkpointing pays it per commit.
+    def refuseDv(): Nothing = throw new IllegalArgumentException(
+      s"Delta table at $path carries deletion vectors — graft reads them " +
         "but will not fold them into a checkpoint; CHECKPOINT with delta-spark")
-    val prev = cpFiles.keys.filter(_ < latest).toSeq.sorted.lastOption
 
     // --- driver tail replay (bounded by the checkpoint interval) ---
     var protocol = CkProtocol(1, 2)
@@ -765,6 +768,7 @@ object DeltaWrite {
         }
         if (node.has("add")) {
           val ad = node.get("add")
+          if (ad.has("deletionVector") && !ad.get("deletionVector").isNull) refuseDv()
           import scala.jdk.CollectionConverters._
           val enc = ad.get("path").asText()
           val pv = Option(ad.get("partitionValues")).map(_.properties().asScala
@@ -837,6 +841,9 @@ object DeltaWrite {
                 Long.box(r.getLong(r.fieldIndex("lastUpdated"))) else null)
         }
       val addCols = rows.select("add.*").columns.toSet
+      if (addCols("deletionVector") &&
+          rows.where(col("add.deletionVector.storageType").isNotNull).limit(1)
+            .count() > 0) refuseDv()
       def ac(n: String, dt: String) =
         if (addCols(n)) col("add." + n).cast(dt).as(n) else lit(null).cast(dt).as(n)
       val prevAdds = rows.where(col("add.path").isNotNull).select(
