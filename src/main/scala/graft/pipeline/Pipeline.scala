@@ -27,24 +27,30 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
           // `format: delta` = interop read of an EXISTING Delta Lake
           // table through the log-protocol reader (the reference's
           // sources accept it, reader.py:25-30); honors delta-spark's
-          // versionAsOf option spelling for time travel. Any OTHER
-          // option would be silently ignored (incl. timestampAsOf,
-          // which needs commit-timestamp resolution this reader
-          // doesn't do) — refuse loudly instead of reading the wrong
-          // snapshot.
+          // versionAsOf / timestampAsOf option spellings for time
+          // travel (timestamp = epoch millis, `yyyy-MM-dd` or an ISO
+          // instant, resolved against commit mtimes). Any OTHER option
+          // would be silently ignored — refuse loudly instead of
+          // reading the wrong snapshot.
           val d =
             if (format.equalsIgnoreCase("delta")) {
-              val unknown = options.keySet.filterNot(_.equalsIgnoreCase("versionAsOf"))
+              val known = Set("versionasof", "timestampasof")
+              val unknown = options.keySet.filterNot(k => known(k.toLowerCase))
               require(unknown.isEmpty,
-                s"source '$name': delta interop supports only the versionAsOf " +
-                  s"option; got ${unknown.mkString(", ")} (for timestampAsOf, " +
-                  "resolve the version with GRAFT_VERSIONS and pin it)")
+                s"source '$name': delta interop supports only the versionAsOf and " +
+                  s"timestampAsOf options; got ${unknown.mkString(", ")}")
               val v = options.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") => v }
                 .map(s => try s.trim.toLong catch {
                   case _: NumberFormatException => throw new IllegalArgumentException(
                     s"source '$name': versionAsOf must be a version number, got '$s'")
                 })
-              graft.sources.DeltaRead.read(spark, path, v)
+              val ts = options.collectFirst { case (k, v) if k.equalsIgnoreCase("timestampAsOf") => v }
+                .map(s => parseTsMillis(name, s.trim))
+              require(v.isEmpty || ts.isEmpty,
+                s"source '$name': versionAsOf and timestampAsOf are mutually exclusive")
+              val resolved = ts.map(t =>
+                graft.sources.DeltaRead.versionAt(spark, path, t)).orElse(v)
+              graft.sources.DeltaRead.read(spark, path, resolved)
             } else spark.read.format(format).options(options).load(path)
           expected.foreach { n =>
             require(d.columns.length == n,
@@ -247,6 +253,26 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         }
       } finally if (actions > 1) input.unpersist(false)
       res.valid // lazy — recomputes from source at the sink's action
+  }
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd`, or an ISO
+    * date-time (space or 'T' separated; no zone = UTC, delta-spark's
+    * session default posture for a declarative spec).
+    */
+  private def parseTsMillis(name: String, s: String): Long = {
+    if (s.nonEmpty && s.forall(_.isDigit)) return s.toLong
+    val t = s.replace(' ', 'T')
+    try java.time.Instant.parse(if (t.endsWith("Z") || t.contains("+")) t else t + "Z")
+      .toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"source '$name': timestampAsOf must be epoch millis, yyyy-MM-dd, or an " +
+            s"ISO date-time; got '$s'")
+      }
+    }
   }
 }
 

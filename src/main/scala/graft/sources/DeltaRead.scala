@@ -658,6 +658,46 @@ object DeltaRead {
   private[graft] def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** TIMESTAMP time travel: the newest version whose commit timestamp
+    * is ≤ `tsMillis` — delta-spark's `timestampAsOf` resolution. Commit
+    * timestamps are the log files' MODIFICATION TIMES with delta's
+    * monotonicity adjustment (a commit stamped at or before its
+    * predecessor reads as predecessor+1 ms, so clock skew between
+    * writers can never make resolution non-monotonic). One LIST, zero
+    * content reads. Versions whose commit JSON was log-cleaned have no
+    * timestamp — a request resolving below the earliest surviving
+    * commit refuses (delta-spark's contract), and checkpoint-only
+    * versions are likewise not timestamp-addressable.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val logP = new Path(qualifiedRoot(spark, path), "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
+    val stamped = fs.listStatus(logP).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+      }
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getModificationTime)
+      .sortBy(_._1)
+    require(stamped.nonEmpty,
+      s"Delta table at $path has no surviving commit JSONs — timestamps are not " +
+        "reconstructable from a checkpoint-only log; time travel by version instead")
+    // monotonic adjustment in version order
+    val adjusted = stamped.scanLeft((-1L, Long.MinValue)) { case ((_, prevTs), (v, ts)) =>
+      (v, math.max(ts, prevTs + 1))
+    }.drop(1)
+    require(tsMillis >= adjusted.head._2,
+      s"timestamp $tsMillis predates the earliest surviving commit of the Delta " +
+        s"table at $path (version ${adjusted.head._1} at ${adjusted.head._2}) — " +
+        "older commits were log-cleaned")
+    adjusted.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** [[read]] at the newest version committed at or before `tsMillis`. */
+  def readAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(spark, path, tsMillis)))
+
   /** One commit's DATA-CHANGING actions, for the streaming source:
     * adds as (encoded path, partitionValues, size, statsOrNull), plus
     * how many files the commit removed. Actions flagged

@@ -462,6 +462,57 @@ class DeltaReadSuite extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("timestampAsOf: mtime-resolved version, monotonic adjustment, YAML route, refusals") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f3.parquet")
+    commit(root, 0, Seq(protocolLine, metaDataLine(schema), addLine(root, "f1.parquet")))
+    commit(root, 1, Seq(addLine(root, "f2.parquet")))
+    commit(root, 2, Seq(addLine(root, "f3.parquet")))
+    def stamp(v: Long, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    val t0 = 1700000000000L
+    stamp(0, t0); stamp(1, t0 + 10000); stamp(2, t0 + 5000) // v2 SKEWED before v1
+    assert(DeltaRead.versionAt(spark, root, t0) == 0L)
+    assert(DeltaRead.versionAt(spark, root, t0 + 9999) == 0L)
+    assert(DeltaRead.versionAt(spark, root, t0 + 10000) == 1L)
+    // monotonic adjustment: the skewed v2 reads as v1's ts + 1
+    assert(DeltaRead.versionAt(spark, root, t0 + 10001) == 2L)
+    assert(DeltaRead.versionAt(spark, root, System.currentTimeMillis) == 2L)
+    assert(DeltaRead.readAt(spark, root, t0 + 10000).count() == 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.versionAt(spark, root, t0 - 1)
+    }
+    assert(e.getMessage.contains("predates"))
+    // YAML spelling (epoch millis form); mutually exclusive with versionAsOf
+    val spec = graft.pipeline.YamlLoader.load(
+      s"""pipeline_name: delta_ts
+         |sources:
+         |  - name: d
+         |    type: file
+         |    format: delta
+         |    path: $root
+         |    options:
+         |      timestampAsOf: "${t0 + 10000}"
+         |""".stripMargin)
+    assert(graft.pipeline.Pipeline(spark, spec).run().count() == 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline(spark, graft.pipeline.YamlLoader.load(
+        s"""pipeline_name: delta_both
+           |sources:
+           |  - name: d
+           |    type: file
+           |    format: delta
+           |    path: $root
+           |    options: {versionAsOf: "0", timestampAsOf: "${t0}"}
+           |""".stripMargin)).run()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("importDelta migrates a snapshot into a fresh graft versioned table") {
     import graft.pipeline.VersionedTable
     val root = tmp()
