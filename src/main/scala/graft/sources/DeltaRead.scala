@@ -161,14 +161,14 @@ object DeltaRead {
         if (totalDeleted <= 2000000L) {
           import spark.implicits._
           val pairs = deleted.toSeq.flatMap { case (fp, arr) => arr.map(fp -> _) }
-            .toDF("__fp", "__ri")
-          dirtyScan.join(broadcast(pairs), Seq("__fp", "__ri"), "left_anti")
-            .drop("__fp", "__ri")
+            .toDF("__graft_dv_fp", "__graft_dv_ri")
+          dirtyScan.join(broadcast(pairs), Seq("__graft_dv_fp", "__graft_dv_ri"), "left_anti")
+            .drop("__graft_dv_fp", "__graft_dv_ri")
         } else {
           val bc = spark.sparkContext.broadcast(deleted)
           val keep = org.apache.spark.sql.functions.udf((fp: String, ri: Long) =>
             bc.value.get(fp).forall(a => java.util.Arrays.binarySearch(a, ri) < 0))
-          dirtyScan.where(keep(col("__fp"), col("__ri"))).drop("__fp", "__ri")
+          dirtyScan.where(keep(col("__graft_dv_fp"), col("__graft_dv_ri"))).drop("__graft_dv_fp", "__graft_dv_ri")
         }
       val cleanFiles = snap.files -- liveDvs.keySet
       return if (cleanFiles.isEmpty) dirtyDf
@@ -178,8 +178,8 @@ object DeltaRead {
     scanSnapshot(spark, path, snap)
   }
 
-  /** The raw snapshot scan. `withRowMeta` appends `__fp`
-    * (_metadata.file_path) and `__ri` (_metadata.row_index) for the
+  /** The raw snapshot scan. `withRowMeta` appends `__graft_dv_fp`
+    * (_metadata.file_path) and `__graft_dv_ri` (_metadata.row_index) for the
     * deletion-vector filter — selected at the scan itself, where the
     * metadata columns resolve.
     */
@@ -201,8 +201,8 @@ object DeltaRead {
         if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
       }
       if (!withRowMeta) logical
-      else logical ++ Array(col("_metadata.file_path").as("__fp"),
-        col("_metadata.row_index").as("__ri"))
+      else logical ++ Array(col("_metadata.file_path").as("__graft_dv_fp"),
+        col("_metadata.row_index").as("__graft_dv_ri"))
     }
     // LOG-PLANNED fast path (mirrors VersionedTable.load's round-11
     // manifest planning): the Delta log records every live file's

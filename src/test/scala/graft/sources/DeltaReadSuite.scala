@@ -772,6 +772,29 @@ class DeltaReadSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root).count() == 8L, "table still reads after vacuum")
   }
 
+  test("deletion vectors on the legacy (size-less) scan paths still drop rows") {
+    // no add.size -> logPlannedRead's precondition fails -> the legacy
+    // union path must carry the row-index metadata too
+    val root = tmp()
+    writeDataFile((0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
+    commit(root, 0, Seq(dvProtocol, metaDataLine(schema),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"modificationTime":1,""" +
+        s""""dataChange":true,${DvTestUtil.inlineDvJson(Seq(1L, 4L))}}}"""))
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 2L, 3L, 5L))
+    // partitioned legacy branch: partition literals via withColumn, then
+    // the metadata projection — resolution must survive the Project
+    val root2 = tmp()
+    writeDataFile((0L until 3L).map(i => (i, s"a$i")).toDF("id", "v"), root2, "p=1/f1.parquet")
+    val pSchema = StructType(schema.fields :+ StructField("p", LongType))
+    commit(root2, 0, Seq(dvProtocol, metaDataLine(pSchema, Seq("p")),
+      s"""{"add":{"path":"p=1/f1.parquet","partitionValues":{"p":"1"},""" +
+        s""""modificationTime":1,"dataChange":true,${DvTestUtil.inlineDvJson(Seq(0L))}}}"""))
+    val out2 = DeltaRead.read(spark, root2).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("deletion vectors: append allowed; overwrite/compact/checkpoint refuse") {
     val root = tmp()
     writeDataFile((0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
