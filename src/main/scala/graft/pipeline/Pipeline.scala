@@ -181,6 +181,8 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol)
     case MixtureStep(targets, idCol, domainCol) =>
       graft.operators.Curation.mixtureSample(df, targets, idCol, domainCol)
+    case ShardStep(nShards, idCol) =>
+      graft.operators.Curation.shardAssign(df, nShards, idCol)
     case ChunkStep(windowTokens, strideTokens, idCol, textCol) =>
       graft.operators.Curation.chunkOverlap(df, windowTokens, strideTokens, idCol, textCol)
     case VocabStep(topK, minDocFreq, idCol, textCol) =>

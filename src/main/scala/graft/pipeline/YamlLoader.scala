@@ -399,6 +399,10 @@ object YamlLoader {
         threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8),
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"))
+      case "shard" => ShardStep(
+        nShards = str(params, "n_shards").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("shard step requires an 'n_shards' param")),
+        idCol = str(params, "id_col").getOrElse("doc_id"))
       case other => throw new IllegalArgumentException(s"unknown step type '$other'")
     }
   }

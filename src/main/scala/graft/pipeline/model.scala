@@ -270,6 +270,14 @@ final case class SplitStep(
     threshold: Double = 0.8,
     idCol: String = "doc_id",
     textCol: String = "text") extends Step
+/** Deterministic global shuffle for trainer export
+  * ([[graft.operators.Curation.shardAssign]]): APPENDS shard +
+  * sort_key; the sink repartitions by shard and sorts within
+  * partitions only.
+  */
+final case class ShardStep(
+    nShards: Int,
+    idCol: String = "doc_id") extends Step
 
 final case class PipelineSpec(
     name: String,

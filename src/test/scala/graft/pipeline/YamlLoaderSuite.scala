@@ -733,5 +733,14 @@ class YamlLoaderSuite extends SparkSpec {
       .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
       .where(col("n") > 1).count()
     assert(straddle == 0, "a duplicate group must never straddle the split")
+    // shard: appended columns, row-identical to the operator (q116)
+    val sharded = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: sh
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: shard, params: {n_shards: 8}}]
+         |""".stripMargin)).run().orderBy("doc_id").collect().toSeq
+    val shExp = graft.operators.Curation.shardAssign(raw, 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(sharded == shExp, "YAML shard must be row-identical to Curation.shardAssign")
   }
 }
