@@ -28,6 +28,8 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli publish <root> --name <b>                      # fast-forward main to the branch head
   *   graft.Cli rebase <root> --name <b>                       # rebase an append-only branch onto main's head
   *   graft.Cli delta-checkpoint <root>                        # fold a Delta table's log (maintenance)
+  *   graft.Cli delta-compact <root> [--target-files N]        # OPTIMIZE-style rewrite (dataChange=false)
+  *   graft.Cli delta-vacuum <root> [--retention-hours H]      # sweep unreferenced files (default 168h)
   *   graft.Cli drop-branch <root> --name <b>                  # vacuum reclaims its dirs
   *   (address a branch in any other command as <root>#branch=<b>)
   *
@@ -55,7 +57,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch", "delta-checkpoint")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch", "delta-checkpoint", "delta-compact", "delta-vacuum")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -69,7 +71,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint <versioned-table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint|delta-compact|delta-vacuum <table-root> [options]")
       sys.exit(2)
   }
 
@@ -127,6 +129,15 @@ object Cli {
         val v = graft.sources.DeltaWrite.checkpoint(spark, root)
         println(if (v < 0) s"[graft] $root has no commits to checkpoint"
           else s"[graft] folded the Delta log at $root into v$v.checkpoint.parquet")
+      case "delta-compact" =>
+        val target = opt(rest, "--target-files").map(_.toInt).getOrElse(8)
+        val v = graft.sources.DeltaWrite.compact(spark, root, target)
+        println(s"[graft] compacted the Delta table at $root (v$v, target $target files)")
+      case "delta-vacuum" =>
+        val hours = opt(rest, "--retention-hours").map(_.toDouble).getOrElse(168.0)
+        val swept = graft.sources.DeltaWrite.vacuum(spark, root,
+          (hours * 3600 * 1000).toLong)
+        println(s"[graft] delta-vacuumed $root: ${swept.size} file(s) reclaimed")
       case "rebase" =>
         val name = opt(rest, "--name").getOrElse(sys.error("rebase needs --name <branch>"))
         val v = VersionedTable.rebaseBranch(spark, root, name)

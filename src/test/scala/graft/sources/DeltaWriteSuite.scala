@@ -411,6 +411,22 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root).count() == 3)
   }
 
+  test("CLI delta-compact and delta-vacuum drive the maintenance pair") {
+    val root = tmp()
+    for (i <- 0 until 4)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaRead.snapshot(spark, root).files.size == 4)
+    graft.Cli.executeTable(spark, "delta-compact", root, List("--target-files", "1"))
+    assert(DeltaRead.snapshot(spark, root).files.size == 1)
+    assert(DeltaRead.read(spark, root).count() == 4)
+    // retention 0 sweeps the four folded originals immediately
+    graft.Cli.executeTable(spark, "delta-vacuum", root, List("--retention-hours", "0"))
+    assert(DeltaRead.read(spark, root).count() == 4, "table still reads after vacuum")
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .toArray.map(_.toString).count(p => p.endsWith(".parquet") && !p.contains("_delta_log"))
+    assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
