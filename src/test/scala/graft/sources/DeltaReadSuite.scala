@@ -534,6 +534,34 @@ class DeltaReadSuite extends SparkSpec {
     assert(e.getMessage.contains("FRESH graft root"))
   }
 
+  test("importDelta is the escape hatch for DV'd + column-mapped tables: live rows only, logical names") {
+    import graft.pipeline.VersionedTable
+    val root = tmp()
+    writeDataFile((0L until 6L).map(i => (i, s"v$i")).toDF("col-aaa111", "col-bbb222"),
+      root, "f1.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping","deletionVectors"],""" +
+        """"writerFeatures":["columnMapping","deletionVectors"]}}""",
+      mappedMetaData(mapped),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},""" +
+        s""""size":${java.nio.file.Files.size(java.nio.file.Paths.get(root, "f1.parquet"))},""" +
+        s""""modificationTime":1,"dataChange":true,${DvTestUtil.inlineDvJson(Seq(1L, 4L))}}}"""))
+    // graft refuses to WRITE into this table — but migration reads the
+    // corrected rows (DV applied, logical names) into a table with the
+    // full graft write surface
+    val dst = tmp() + "/t"
+    DeltaRead.importDelta(spark, root, dst)
+    val out = VersionedTable.read(spark, dst)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L, 5L))
+    VersionedTable.commitDelta(spark, dst, "parquet", Seq((9L, "z")).toDF("id", "v"))
+    assert(VersionedTable.read(spark, dst).count() == 5L)
+  }
+
   /** Write `rows` (add/metaData checkpoint shape) as checkpoint `name`. */
   private def writeCkpt(root: String, rows: Seq[org.apache.spark.sql.Row],
                         name: String): Unit = {
