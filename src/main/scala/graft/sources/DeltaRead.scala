@@ -39,8 +39,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * parquet names and renames to the logical schema; partition-value
   * keys translate at snapshot build. Refused loudly: `id`-mode
   * mapping, nested mapped schemas, v3 features this reader does not
-  * implement (deletionVectors, v2Checkpoint, … — ignoring an unknown
-  * reader feature is silent data corruption by the protocol's design),
+  * implement (typeWidening, … — ignoring an unknown reader feature is
+  * silent data corruption by the protocol's design; deletionVectors
+  * and v2Checkpoint ARE implemented),
   * and writes INTO mapped tables (graft's Delta writer handles
   * unmapped tables; see [[DeltaWrite]]).
   *
@@ -386,32 +387,56 @@ object DeltaRead {
             if (!r.isNullAt(3)) tableConf = r.getMap[String, String](3).toMap
           }
       }
-      require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
-      val addCols = rows.select("add.*").columns.toSet
-      val sizeCol =
-        if (addCols("size")) col("add.size") else lit(-1L).as("size")
-      val pvCol =
-        if (addCols("partitionValues")) col("add.partitionValues")
-        else lit(null).cast("map<string,string>").as("partitionValues")
-      val statsCol =
-        if (addCols("stats")) col("add.stats")
-        else lit(null).cast("string").as("stats")
-      val dvCols: Seq[org.apache.spark.sql.Column] =
-        if (addCols("deletionVector"))
-          Seq(col("add.deletionVector.storageType").as("dv_st"),
-            col("add.deletionVector.pathOrInlineDv").as("dv_p"),
-            col("add.deletionVector.offset").as("dv_off"),
-            col("add.deletionVector.sizeInBytes").as("dv_sz"),
-            col("add.deletionVector.cardinality").as("dv_card"))
-        else Seq(lit(null).cast("string").as("dv_st"),
-          lit(null).cast("string").as("dv_p"), lit(null).cast("int").as("dv_off"),
-          lit(null).cast("int").as("dv_sz"), lit(null).cast("long").as("dv_card"))
-      // paths stay URI-ENCODED inside the frame; decoding happens once,
-      // post-replay, so checkpoint adds and tail removes meet in the
-      // same (encoded) key space — exactly as the driver replay did
-      ckptAdds = Some(rows.select(Seq(col("add.path"), pvCol, sizeCol, statsCol)
-          ++ dvCols: _*)
-        .where(col("add.path").isNotNull))
+      // V2 (UUID-named) checkpoints split file actions into SIDECAR
+      // parquet under _delta_log/_sidecars/ — the main file holds the
+      // non-file actions (and a checkpointMetadata marker). Resolve the
+      // sidecar list here; adds then extract from main + sidecars alike.
+      val sideFrames: Seq[DataFrame] =
+        if (!cols("sidecar")) Nil
+        else rows.select(col("sidecar.path")).where(col("sidecar.path").isNotNull)
+          .collect().map(_.getString(0)).toSeq.sorted.map { rel =>
+            val p = if (rel.contains("://") || rel.startsWith("/"))
+              throw new IllegalStateException(
+                s"v2 checkpoint at $path references an absolute sidecar '$rel' — " +
+                  "this interop reader resolves sidecars under _delta_log/_sidecars only")
+            else new Path(new Path(logP, "_sidecars"), rel)
+            spark.read.parquet(p.toString)
+          }
+      val addFrames = (Seq(rows).filter(_.columns.contains("add")) ++
+        sideFrames.filter(_.columns.contains("add")))
+      require(addFrames.nonEmpty,
+        s"unrecognized checkpoint layout at $path (no add column in the " +
+          "checkpoint or its sidecars)")
+      def addsOf(frame: DataFrame): DataFrame = {
+        val addCols = frame.select("add.*").columns.toSet
+        val sizeCol =
+          if (addCols("size")) col("add.size") else lit(-1L).as("size")
+        val pvCol =
+          if (addCols("partitionValues")) col("add.partitionValues")
+          else lit(null).cast("map<string,string>").as("partitionValues")
+        val statsCol =
+          if (addCols("stats")) col("add.stats")
+          else lit(null).cast("string").as("stats")
+        val dvCols: Seq[org.apache.spark.sql.Column] =
+          if (addCols("deletionVector"))
+            Seq(col("add.deletionVector.storageType").cast("string").as("dv_st"),
+              col("add.deletionVector.pathOrInlineDv").cast("string").as("dv_p"),
+              col("add.deletionVector.offset").cast("int").as("dv_off"),
+              col("add.deletionVector.sizeInBytes").cast("int").as("dv_sz"),
+              col("add.deletionVector.cardinality").cast("long").as("dv_card"))
+          else Seq(lit(null).cast("string").as("dv_st"),
+            lit(null).cast("string").as("dv_p"), lit(null).cast("int").as("dv_off"),
+            lit(null).cast("int").as("dv_sz"), lit(null).cast("long").as("dv_card"))
+        // paths stay URI-ENCODED inside the frame; decoding happens
+        // once, post-replay, so checkpoint adds and tail removes meet
+        // in the same (encoded) key space
+        frame.select(Seq(col("add.path").cast("string").as("path"),
+            pvCol.cast("map<string,string>").as("partitionValues"),
+            sizeCol.cast("bigint").as("size"), statsCol.cast("string").as("stats"))
+            ++ dvCols: _*)
+          .where(col("path").isNotNull)
+      }
+      ckptAdds = Some(addFrames.map(addsOf).reduce(_.unionByName(_)))
       // protocol gate can live in the checkpoint too (validated after
       // the replay, once the table configuration is known)
       if (cols("protocol")) {
@@ -806,13 +831,20 @@ object DeltaRead {
   private[sources] def checkpointFilesOf(names: Seq[String]): Map[Long, Seq[String]] = {
     val SinglePart = """(\d{20})\.checkpoint\.parquet""".r
     val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    // V2 (UUID-named) checkpoints — sidecar resolution happens at read
+    // time; several UUIDs at one version are equivalent by protocol,
+    // pick the lexicographically first for determinism
+    val V2 = """(\d{20})\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet""".r
     val singles = names.collect { case SinglePart(v) => v.toLong -> Seq(f"${v.toLong}%020d.checkpoint.parquet") }
     val multis = names.collect { case MultiPart(v, a, b) => (v.toLong, b.toInt, a.toInt) }
       .groupBy { case (v, b, _) => (v, b) }
       .collect { case ((v, b), parts) if parts.map(_._3).toSet == (1 to b).toSet =>
         v -> (1 to b).map(a => f"$v%020d.checkpoint.$a%010d.$b%010d.parquet")
       }.toSeq
-    (singles ++ multis).toMap
+    val v2s = names.collect { case n @ V2(v) => v.toLong -> n }
+      .groupBy(_._1).map { case (v, ns) => v -> Seq(ns.map(_._2).min) }
+    // classic forms win when both exist at a version (either is valid)
+    (v2s.toSeq ++ multis ++ singles).toMap
   }
 
   /** Reader-protocol gate (PROTOCOL.md's "Reader Requirements"):
@@ -829,7 +861,7 @@ object DeltaRead {
     */
   private def validateReaderProtocol(path: String, minReader: Int,
                                      features: Set[String], mappingMode: String): Unit = {
-    val supported = Set("columnMapping", "timestampNtz", "deletionVectors")
+    val supported = Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
     if (minReader >= 3) {
       val unsupported = features -- supported
       require(unsupported.isEmpty,

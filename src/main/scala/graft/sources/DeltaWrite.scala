@@ -811,6 +811,12 @@ object DeltaWrite {
       val rows = spark.read.parquet(
         cpFiles(cv).map(n => new Path(logP, n).toString): _*)
       val cols = rows.columns.toSet
+      // folding ON TOP of a v2 (sidecar) checkpoint would need sidecar
+      // resolution and would demote the table to a classic checkpoint
+      // under a v2 writer's feet — refuse; the READER serves v2 fine
+      require(!cols("sidecar") && !cols("checkpointMetadata"),
+        s"Delta table at $path carries a v2 (sidecar) checkpoint — graft reads " +
+          "it but folds only classic checkpoints; CHECKPOINT with delta-spark")
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
       if (meta == null && cols("metaData")) {
         // the tail carried no metaData — inherit the checkpointed one

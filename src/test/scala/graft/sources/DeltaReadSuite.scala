@@ -306,10 +306,10 @@ class DeltaReadSuite extends SparkSpec {
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
     commit(root, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       metaDataLine(schema), addLine(root, "f1.parquet")))
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     // reader versions past the supported protocol refuse by number
     val root2 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")
@@ -532,6 +532,60 @@ class DeltaReadSuite extends SparkSpec {
       DeltaRead.importDelta(spark, root, dst)
     }
     assert(e.getMessage.contains("FRESH graft root"))
+  }
+
+  test("v2 (UUID, sidecar) checkpoints: adds from sidecars, tail replay on top, writer fold refuses") {
+    import org.apache.spark.sql.Row
+    val root = tmp()
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("id", "v"), root, "f2.parquet")
+    writeDataFile(Seq((9L, "z")).toDF("id", "v"), root, "f3.parquet")
+    def sz(n: String) = java.nio.file.Files.size(java.nio.file.Paths.get(root, n))
+    // sidecar parquet holds the checkpoint's file state: f1 + f2
+    val sideName = java.util.UUID.randomUUID().toString + ".parquet"
+    val addSchema = StructType(Seq(StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType))))))
+    val sideDf = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Row("f1.parquet", Map.empty[String, String], sz("f1.parquet"))),
+      Row(Row("f2.parquet", Map.empty[String, String], sz("f2.parquet")))), addSchema)
+    writeDataFile(sideDf, root, s"_delta_log/_sidecars/$sideName")
+    // UUID-named main checkpoint at v1: non-file actions + the sidecar ref
+    val mainSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(StructField("version", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType))))))
+    val mainDf = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Row(1L), null, null, null),
+      Row(null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+      Row(null, null,
+        Row("v2-table", schema.json, Seq.empty[String], Map.empty[String, String]), null),
+      Row(null, null, null, Row(sideName, 1L))), mainSchema)
+    val uuid = java.util.UUID.randomUUID()
+    writeDataFile(mainDf, root, f"_delta_log/${1L}%020d.checkpoint.$uuid.parquet")
+    // pointer at v1: the classic name doesn't exist, so the fast path
+    // falls back to the listing — which must discover the UUID form
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    commit(root, 2, Seq(addLine(root, "f3.parquet"))) // tail on top
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 9L))
+    assert(DeltaRead.read(spark, root, Some(1L)).count() == 3L,
+      "checkpoint-only version is time-travelable")
+    assert(DeltaRead.versions(spark, root).toSet == Set(1L, 2L))
+    val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
+    assert(e.getMessage.contains("v2"))
   }
 
   test("importDelta is the escape hatch for DV'd + column-mapped tables: live rows only, logical names") {
