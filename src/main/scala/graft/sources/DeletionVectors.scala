@@ -47,7 +47,7 @@ object DeletionVectors {
   final case class Descriptor(
       storageType: String,
       pathOrInlineDv: String,
-      offset: Int,
+      offset: Option[Int],
       sizeInBytes: Int,
       cardinality: Long) {
     /** The protocol's file-action identity: add/remove actions
@@ -55,7 +55,7 @@ object DeletionVectors {
       * add(F, newDv) + remove(F, oldDv) and a path-only replay would
       * mis-key them.
       */
-    def uniqueId: String = s"$storageType$pathOrInlineDv@$offset"
+    def uniqueId: String = s"$storageType$pathOrInlineDv@${offset.getOrElse(0)}"
   }
 
   val maxDeletedRows: Long = 100L * 1000 * 1000
@@ -75,17 +75,17 @@ object DeletionVectors {
         val p = onDiskPath(tableRoot, d.pathOrInlineDv)
         val in = fs.open(p)
         try {
-          in.seek(d.offset.toLong)
+          in.seek(d.offset.getOrElse(0).toLong)
           val dis = new java.io.DataInputStream(in)
           val len = dis.readInt() // big-endian framing length
           require(len == d.sizeInBytes,
-            s"deletion vector at $p offset ${d.offset}: framed length $len != descriptor sizeInBytes ${d.sizeInBytes}")
+            s"deletion vector at $p offset ${d.offset.getOrElse(0)}: framed length $len != descriptor sizeInBytes ${d.sizeInBytes}")
           val buf = new Array[Byte](len)
           dis.readFully(buf)
           val crc = dis.readInt()
           val c = new java.util.zip.CRC32(); c.update(buf)
           require(crc == c.getValue.toInt,
-            s"deletion vector at $p offset ${d.offset}: CRC mismatch — corrupt DV file")
+            s"deletion vector at $p offset ${d.offset.getOrElse(0)}: CRC mismatch — corrupt DV file")
           buf
         } finally in.close()
       case "p" =>

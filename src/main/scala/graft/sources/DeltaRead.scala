@@ -467,7 +467,10 @@ object DeltaRead {
       val st = n.path("storageType").asText("")
       if (st.isEmpty) null
       else DeletionVectors.Descriptor(st, n.path("pathOrInlineDv").asText(""),
-        n.path("offset").asInt(0), n.path("sizeInBytes").asInt(0),
+        // offset PRESENCE matters: delta's uniqueId distinguishes an
+        // absent offset from 0, and a re-serialized remove must match
+        if (n.hasNonNull("offset")) Some(n.get("offset").asInt()) else None,
+        n.path("sizeInBytes").asInt(0),
         n.path("cardinality").asLong(0))
     }
     def uidOf(d: DeletionVectors.Descriptor): String = if (d == null) "" else d.uniqueId
@@ -568,7 +571,7 @@ object DeltaRead {
           val st = if (r.isNullAt(3)) null else r.getString(3)
           val dv = if (r.isNullAt(4) || r.getString(4).isEmpty) null
             else DeletionVectors.Descriptor(r.getString(4), r.getString(5),
-              if (r.isNullAt(6)) 0 else r.getInt(6),
+              if (r.isNullAt(6)) None else Some(r.getInt(6)),
               if (r.isNullAt(7)) 0 else r.getInt(7),
               if (r.isNullAt(8)) 0L else r.getLong(8))
           r.getString(0) -> ((pv, sz, st, dv))

@@ -133,18 +133,10 @@ object DeltaWrite {
         s"Delta table at $path uses column mapping — graft reads it but will " +
           "not write into it; write with delta-spark or migrate the table")
     }
-    // a non-append write computes removes, and OUR remove actions carry
-    // no deletionVector descriptor — other readers reconcile by
-    // (path, dv.uniqueId), so a dv-less remove of a dv-carrying file
-    // would resurrect its soft-deleted rows for them. Appends never
-    // remove, so they stay safe.
-    existing.filter(_.dvs.nonEmpty).foreach { _ =>
-      if (mode != Mode.Append)
-        throw new UnsupportedOperationException(
-          s"Delta table at $path carries live deletion vectors — graft reads " +
-            "them and can APPEND, but rewriting/removing dv-carrying files " +
-            "needs dv-aware remove actions; use delta-spark for this write")
-    }
+    // non-append writes on DV'd tables are safe: the removes this
+    // writer emits CARRY each file's deletionVector descriptor (other
+    // readers reconcile by (path, dv.uniqueId) — a dv-less remove
+    // would resurrect the soft-deleted rows for them).
 
     // replayed micro-batch: its txn mark is already in the log — skip
     // BEFORE the data job runs (the cheap, common replay path)
@@ -474,6 +466,7 @@ object DeltaWrite {
       rmb.put("path", encodePath(p))
       rmb.put("deletionTimestamp", now)
       rmb.put("dataChange", true)
+      snap.flatMap(_.dvs.get(p)).foreach(putDv(rmb, _))
       lines += mapper.writeValueAsString(rm)
     }
 
@@ -523,9 +516,7 @@ object DeltaWrite {
     require(snap.colMap.isEmpty,
       s"Delta table at $path uses column mapping — graft reads it but will not " +
         "rewrite it (compaction writes data files); OPTIMIZE it with delta-spark")
-    require(snap.dvs.isEmpty,
-      s"Delta table at $path carries live deletion vectors — folding them needs " +
-        "dv-aware remove actions; OPTIMIZE it with delta-spark")
+
     if (snap.files.size <= targetFiles) return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns
@@ -544,7 +535,7 @@ object DeltaWrite {
       val removes = folded.toSeq.sorted
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            compactContent(newFiles, removes))) {
+            compactContent(newFiles, removes, snap.dvs))) {
         if (next > 0 && next % CheckpointInterval == 0)
           try checkpoint(spark, rootP.toString)
           catch { case scala.util.control.NonFatal(_) => () }
@@ -569,7 +560,23 @@ object DeltaWrite {
     -1L // unreachable
   }
 
-  private def compactContent(adds: Seq[NewFile], removes: Seq[String]): String = {
+  /** Re-serialize a live deletionVector descriptor into a remove
+    * action — the protocol's (path, dv.uniqueId) reconciliation needs
+    * the remove to name EXACTLY the dv identity it retires, including
+    * offset PRESENCE (delta's uniqueId distinguishes absent from 0).
+    */
+  private def putDv(rmb: com.fasterxml.jackson.databind.node.ObjectNode,
+                    d: DeletionVectors.Descriptor): Unit = {
+    val dv = rmb.putObject("deletionVector")
+    dv.put("storageType", d.storageType)
+    dv.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(o => dv.put("offset", o))
+    dv.put("sizeInBytes", d.sizeInBytes)
+    dv.put("cardinality", d.cardinality)
+  }
+
+  private def compactContent(adds: Seq[NewFile], removes: Seq[String],
+                             dvs: Map[String, DeletionVectors.Descriptor]): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -584,6 +591,7 @@ object DeltaWrite {
       rmb.put("path", encodePath(p))
       rmb.put("deletionTimestamp", now)
       rmb.put("dataChange", false)
+      dvs.get(p).foreach(putDv(rmb, _))
       lines += mapper.writeValueAsString(rm)
     }
     adds.foreach { f =>
@@ -733,7 +741,7 @@ object DeltaWrite {
     // --- driver tail replay (bounded by the checkpoint interval) ---
     var protocol = CkProtocol(1, 2)
     var meta: CkMeta = null
-    val tailAdds = scala.collection.mutable.LinkedHashMap[String, CkAdd]()
+    val tailAdds = scala.collection.mutable.LinkedHashMap[(String, String), CkAdd]()
     val tailTombs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val touched = scala.collection.mutable.LinkedHashSet[String]() // decoded
     val txns = scala.collection.mutable.LinkedHashMap[String, CkTxn]()
@@ -766,15 +774,25 @@ object DeltaWrite {
               .getOrElse(Map.empty),
             if (md.has("createdTime")) Long.box(md.get("createdTime").asLong()) else null)
         }
+        // file actions reconcile by (path, dv.uniqueId) — a historical
+        // DELETE's add(F, dv) + a later remove(F, dv) must cancel out
+        // (e.g. after a graft compact), so the fold keys carry the dv
+        // identity; only a dv add SURVIVING to the fold refuses (below)
+        def dvUid(n: com.fasterxml.jackson.databind.JsonNode): String = {
+          val d = Option(n.get("deletionVector")).filterNot(_.isNull)
+          d.map { dv =>
+            val off = if (dv.hasNonNull("offset")) dv.get("offset").asInt() else 0
+            s"${dv.path("storageType").asText("")}${dv.path("pathOrInlineDv").asText("")}@$off"
+          }.getOrElse("")
+        }
         if (node.has("add")) {
           val ad = node.get("add")
-          if (ad.has("deletionVector") && !ad.get("deletionVector").isNull) refuseDv()
           import scala.jdk.CollectionConverters._
           val enc = ad.get("path").asText()
           val pv = Option(ad.get("partitionValues")).map(_.properties().asScala
             .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
             .toMap).getOrElse(Map.empty[String, String])
-          tailAdds(enc) = CkAdd(enc, pv,
+          tailAdds((enc, dvUid(ad))) = CkAdd(enc, pv,
             ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
             dataChange = true, stats = ad.path("stats").asText(null))
           tailTombs.remove(enc) // a re-added path is live, not a tombstone
@@ -783,7 +801,7 @@ object DeltaWrite {
         if (node.has("remove")) {
           val rm = node.get("remove")
           val enc = rm.path("path").asText()
-          tailAdds.remove(enc)
+          tailAdds.remove((enc, dvUid(rm)))
           tailTombs(enc) = rm.path("deletionTimestamp").asLong(nowMs)
           touched += DeltaRead.decodePath(enc)
         }
@@ -795,6 +813,15 @@ object DeltaWrite {
         }
       }
     }
+
+    // a deletion vector SURVIVING to the fold cannot be represented in
+    // our checkpoint rows (no deletionVector column) — dropping it
+    // would resurrect the soft-deleted rows for every checkpoint
+    // reader. Historical, already-retired DVs folded away above.
+    if (tailAdds.keys.exists(_._2.nonEmpty)) refuseDv()
+    // a path with a surviving add is live, never a tombstone (a
+    // DELETE's remove(F) + add(F, dv) pair leaves F live)
+    tailAdds.keys.foreach { case (p, _) => tailTombs.remove(p) }
 
     val enc = org.apache.spark.sql.Encoders.product[CkRow]
     // all-nullable shape for the carried-adds projection: the cast

@@ -877,22 +877,51 @@ class DeltaReadSuite extends SparkSpec {
     assert(out2.toSeq == Seq((1L, 1L), (2L, 1L)))
   }
 
-  test("deletion vectors: append allowed; overwrite/compact/checkpoint refuse") {
+  test("deletion vectors: append keeps the DV; compact folds it with a dv-carrying remove") {
     val root = tmp()
     writeDataFile((0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
     commit(root, 0, Seq(dvProtocol, metaDataLine(schema),
       inlineDvAdd(root, "f1.parquet", Seq(0L))))
     assert(DeltaRead.read(spark, root).count() == 3L)
-    DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root)
+    DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root) // v1
     assert(DeltaRead.read(spark, root).count() == 4L,
       "append lands; the DV on f1 still applies")
-    val e = intercept[UnsupportedOperationException] {
-      DeltaWrite.overwrite(spark, Seq((7L, "y")).toDF("id", "v"), root)
-    }
-    assert(e.getMessage.contains("deletion vectors"))
-    val e2 = intercept[IllegalArgumentException] { DeltaWrite.compact(spark, root) }
-    assert(e2.getMessage.contains("deletion vectors"))
-    val e3 = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
-    assert(e3.getMessage.contains("deletion vectors"))
+    // checkpoint refuses while a live DV exists (our checkpoint rows
+    // cannot carry it) — compaction is the offered route
+    val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
+    assert(e.getMessage.contains("deletion vector"))
+    // compact folds the DV'd file: the remove CARRIES the descriptor
+    // (other readers reconcile by (path, dv.uniqueId)) and the new
+    // files hold only the live rows
+    val cv = DeltaWrite.compact(spark, root, targetFiles = 1)
+    val commitJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"$cv%020d.json")), "UTF-8")
+    val rmLine = commitJson.split("\n").find(l =>
+      l.contains("\"remove\"") && l.contains("f1.parquet")).get
+    assert(rmLine.contains("\"deletionVector\""), s"dv-less remove would resurrect rows: $rmLine")
+    assert(rmLine.contains("\"storageType\":\"i\""))
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.dvs.isEmpty, "compaction materialized the deletes")
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 100L))
+    // with the DV folded, checkpointing unblocks
+    assert(DeltaWrite.checkpoint(spark, root) == cv)
+    assert(DeltaRead.read(spark, root).count() == 4L)
+  }
+
+  test("deletion vectors: overwrite of a DV'd table emits dv-carrying removes") {
+    val root = tmp()
+    writeDataFile((0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), root, "f1.parquet")
+    commit(root, 0, Seq(dvProtocol, metaDataLine(schema),
+      inlineDvAdd(root, "f1.parquet", Seq(0L, 2L))))
+    val v = DeltaWrite.overwrite(spark, Seq((7L, "y")).toDF("id", "v"), root)
+    val commitJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")), "UTF-8")
+    val rmLine = commitJson.split("\n").find(_.contains("\"remove\"")).get
+    assert(rmLine.contains("\"deletionVector\"") && rmLine.contains("\"cardinality\":2"))
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // time travel to v0 still applies the original DV
+    assert(DeltaRead.read(spark, root, Some(0L)).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 }
