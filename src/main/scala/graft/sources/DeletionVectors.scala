@@ -118,6 +118,47 @@ object DeletionVectors {
     else new Path(new Path(tableRoot, prefix), name)
   }
 
+  /** Serialize sorted row indexes into the portable RoaringBitmapArray
+    * form [[decodeRoaringBitmapArray]] reads (and delta-spark's DV
+    * reader expects): one 32-bit roaring bitmap per 2^32 range, array
+    * containers up to the format's 4096-value limit, bitmap containers
+    * above it (runs are a size optimization the format does not
+    * require). The write-side of DV-emitting deletes.
+    */
+  private[sources] def encodeRoaringBitmapArray(rows: Array[Long]): Array[Byte] = {
+    require(rows.nonEmpty, "refusing to serialize an empty deletion vector")
+    val sorted = rows.sorted.distinct
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    def le64(v: Long): Unit = { le32((v & 0xFFFFFFFFL).toInt); le32((v >>> 32).toInt) }
+    le32(PortableMagic)
+    val byBitmap = sorted.groupBy(r => (r >>> 32).toInt)
+    val n = byBitmap.keys.max + 1
+    le64(n.toLong)
+    (0 until n).foreach { b =>
+      val vals = byBitmap.getOrElse(b, Array.empty[Long]).map(v => (v & 0xFFFFFFFFL).toInt)
+      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      le32(12346) // no-run cookie — offsets header mandatory
+      le32(byKey.size)
+      byKey.foreach { case (k, vs) => le16(k); le16(vs.length - 1) }
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, vs) =>
+        le32(off)
+        off += (if (vs.length <= 4096) 2 * vs.length else 8192)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.length <= 4096) vs.foreach(v => le16(v & 0xFFFF))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v => val low = v & 0xFFFF; words(low >>> 6) |= 1L << (low & 63) }
+          words.foreach(le64)
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
   // --- Z85 (ZeroMQ base85: 5 chars -> 4 bytes big-endian) ---
 
   private val z85Chars =
@@ -126,6 +167,55 @@ object DeletionVectors {
     val idx = Array.fill(128)(-1)
     z85Chars.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
     idx
+  }
+
+  private[sources] def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 input length ${bytes.length} is not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xFFL); j += 1 }
+      val digits = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { digits(k) = z85Chars((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(digits)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Inline ("i") descriptor for `rows` — the write-side of a
+    * DV-emitting delete. sizeInBytes is the TRUE serialized length;
+    * z85 pads to a 4-byte multiple.
+    */
+  private[sources] def inlineDescriptor(rows: Array[Long]): Descriptor = {
+    val bm = encodeRoaringBitmapArray(rows)
+    val padded = bm ++ Array.fill[Byte]((4 - bm.length % 4) % 4)(0)
+    Descriptor("i", z85Encode(padded), None, bm.length, rows.toSet.size.toLong)
+  }
+
+  /** On-disk ("u") descriptor: writes
+    * `<root>/deletion_vector_<uuid>.bin` with the protocol's framing
+    * (version byte, 4-byte BE length, bitmap, 4-byte BE CRC-32) and
+    * returns the descriptor pointing at it — the shape for DVs too
+    * large to inline into the log.
+    */
+  private[sources] def writeOnDisk(fs: FileSystem, tableRoot: Path,
+                                   rows: Array[Long]): Descriptor = {
+    val bm = encodeRoaringBitmapArray(rows)
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val enc = z85Encode(bb.array())
+    val crc = new java.util.zip.CRC32(); crc.update(bm)
+    val buf = java.nio.ByteBuffer.allocate(1 + 4 + bm.length + 4)
+    buf.put(1.toByte).putInt(bm.length).put(bm).putInt(crc.getValue.toInt)
+    val p = new Path(tableRoot, s"deletion_vector_$uuid.bin")
+    val out = fs.create(p, false)
+    try out.write(buf.array()) finally out.close()
+    Descriptor("u", enc, Some(1), bm.length, rows.toSet.size.toLong)
   }
 
   private[sources] def z85Decode(s: String): Array[Byte] = {

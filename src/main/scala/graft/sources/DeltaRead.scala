@@ -104,7 +104,16 @@ object DeltaRead {
         * the deleted row indexes at scan time; replay reconciles file
         * actions by the protocol's (path, dv.uniqueId) identity.
         */
-      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
+      /** the table's protocol as REPLAYED (newest protocol action wins)
+        * — a writer that upgrades the protocol (e.g. a DV-emitting
+        * delete) must carry every existing feature forward, never
+        * clobber one
+        */
+      minReader: Int = 1,
+      minWriter: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -364,7 +373,9 @@ object DeltaRead {
     // legality depends on metaData.configuration (column-mapping mode),
     // which an earlier action in the same log carries
     var minReader = 1
+    var minWriter = 2
     val readerFeatures = scala.collection.mutable.Set.empty[String]
+    val writerFeatures = scala.collection.mutable.Set.empty[String]
     var tableConf = Map.empty[String, String]
 
     ckpt.foreach { cv =>
@@ -443,10 +454,16 @@ object DeltaRead {
         val pCols = rows.select("protocol.*").columns.toSet
         val featCol = if (pCols("readerFeatures")) col("protocol.readerFeatures")
           else lit(null).cast("array<string>")
-        rows.select(col("protocol.minReaderVersion"), featCol).collect()
+        val wFeatCol = if (pCols("writerFeatures")) col("protocol.writerFeatures")
+          else lit(null).cast("array<string>")
+        val mwCol = if (pCols("minWriterVersion")) col("protocol.minWriterVersion")
+          else lit(null).cast("int")
+        rows.select(col("protocol.minReaderVersion"), featCol, wFeatCol, mwCol).collect()
           .filter(!_.isNullAt(0)).foreach { r =>
             minReader = minReader.max(r.getInt(0))
             if (!r.isNullAt(1)) readerFeatures ++= r.getSeq[String](1)
+            if (!r.isNullAt(2)) writerFeatures ++= r.getSeq[String](2)
+            if (!r.isNullAt(3)) minWriter = minWriter.max(r.getInt(3))
           }
       }
       // SetTransaction marks survive checkpointing (required by the
@@ -494,8 +511,11 @@ object DeltaRead {
         if (node.has("protocol")) {
           val p = node.get("protocol")
           minReader = minReader.max(p.path("minReaderVersion").asInt(1))
+          minWriter = minWriter.max(p.path("minWriterVersion").asInt(2))
           if (p.has("readerFeatures"))
             readerFeatures ++= p.get("readerFeatures").elements().asScala.map(_.asText())
+          if (p.has("writerFeatures"))
+            writerFeatures ++= p.get("writerFeatures").elements().asScala.map(_.asText())
         }
         if (node.has("metaData")) {
           val md = node.get("metaData")
@@ -598,7 +618,8 @@ object DeltaRead {
       entries.map { case (p, (_, sz, _, _)) => p -> sz }, metaId, txns.toMap,
       entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
       colMap,
-      entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv })
+      entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
+      minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet)
   }
 
   /** Logical → physical name map for `delta.columnMapping.mode = name`:
@@ -739,6 +760,32 @@ object DeltaRead {
   /** [[read]] at the newest version committed at or before `tsMillis`. */
   def readAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     read(spark, path, Some(versionAt(spark, path, tsMillis)))
+
+  /** PHYSICAL row indexes matching `condition`, per live file — the
+    * input of a DV-emitting delete ([[DeltaWrite.delete]]). The scan
+    * deliberately ignores the current DVs: DV indexes address physical
+    * file rows, and the caller unions with the existing bitmap (a
+    * match that is already soft-deleted simply stays deleted). Returns
+    * decoded-relative-path → sorted indexes; refuses past the DV cap.
+    */
+  private[sources] def matchedPhysicalRows(spark: SparkSession, path: String,
+                                           snap: Snapshot,
+                                           condition: String): Map[String, Array[Long]] = {
+    val rootP = qualifiedRoot(spark, path)
+    val absToRel = snap.files.keys.map(rel => new Path(rootP, rel).toString -> rel).toMap
+    val scanned = scanSnapshot(spark, path, snap.copy(dvs = Map.empty), withRowMeta = true)
+      .where(condition)
+      .select(col("__graft_dv_fp"), col("__graft_dv_ri"))
+    val n = scanned.count()
+    require(n <= DeletionVectors.maxDeletedRows,
+      s"DELETE at $path matches $n rows — past the deletion-vector cap " +
+        s"(${DeletionVectors.maxDeletedRows}); rewrite the table instead")
+    scanned.collect()
+      .groupBy(r => absToRel.getOrElse(r.getString(0),
+        throw new IllegalStateException(
+          s"DELETE scan surfaced an unknown file ${r.getString(0)}")))
+      .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
+  }
 
   /** One commit's DATA-CHANGING actions, for the streaming source:
     * adds as (encoded path, partitionValues, size, statsOrNull), plus

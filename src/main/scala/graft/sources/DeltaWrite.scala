@@ -102,6 +102,130 @@ object DeltaWrite {
       txn = Some((appId, batchVersion)))
   }
 
+  /** DV-EMITTING DELETE — delta-spark's modern DELETE shape: instead
+    * of rewriting every touched file, each file's matching PHYSICAL
+    * row indexes union into its deletion vector and the commit is
+    * remove(F, oldDv) + add(F, newDv) pairs — O(deleted rows) log
+    * bytes, ZERO data-file I/O. The new bitmap inlines into the log
+    * ("i") up to `inlineMaxBytes` serialized, else lands as an on-disk
+    * "u" DV file with the protocol's framing. First DV on a table
+    * upgrades the protocol to v3, CARRYING every existing feature
+    * (legacy writer versions expand to their implied feature names —
+    * clobbering a feature would break other writers' enforcement).
+    *
+    * Returns the committed version; a no-match (or all-matches-
+    * already-deleted) delete commits nothing and returns the current
+    * version. CAS losers retry against the winner's DVs; a competitor
+    * rewriting a target file aborts loudly (its row indexes no longer
+    * address the same physical rows). Losers' staged "u" DV files are
+    * unreferenced and vacuum-reclaimable, like staged data files.
+    */
+  def delete(spark: SparkSession, path: String, condition: String,
+             inlineMaxBytes: Int = 262144): Long = {
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var snap = DeltaRead.snapshot(spark, rootP.toString)
+    require(snap.colMap.isEmpty,
+      s"Delta table at $path uses column mapping — graft will not write into it")
+    val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
+    if (matched.isEmpty) return snap.version
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val updates = matched.toSeq.sortBy(_._1).flatMap { case (rel, idx) =>
+        require(snap.files.contains(rel),
+          s"DELETE at $path lost file $rel to a concurrent rewrite — the matched " +
+            "row indexes no longer address its physical rows; re-run the delete")
+        val old = snap.dvs.get(rel)
+        val oldRows = old.map(d => DeletionVectors.deletedRows(fs, rootP, d))
+          .getOrElse(Array.empty[Long])
+        val union = (oldRows ++ idx).distinct.sorted
+        if (union.length == oldRows.length) None // every match already deleted
+        else {
+          val inline = DeletionVectors.inlineDescriptor(union)
+          val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
+            else DeletionVectors.writeOnDisk(fs, rootP, union)
+          Some((rel, old, nd))
+        }
+      }
+      if (updates.isEmpty) return snap.version
+      val next = snap.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            deleteContent(snap, updates, condition))) return next
+      snap = DeltaRead.snapshot(spark, rootP.toString)
+    }
+    throw new IllegalStateException(
+      s"DELETE at $path lost the commit race 20 times — another writer is " +
+        "committing continuously; retry later")
+  }
+
+  private def deleteContent(snap: DeltaRead.Snapshot,
+                            updates: Seq[(String, Option[DeletionVectors.Descriptor],
+                              DeletionVectors.Descriptor)],
+                            condition: String): String = {
+    val now = System.currentTimeMillis
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", now)
+    cib.put("operation", "DELETE")
+    cib.putObject("operationParameters").put("predicate", condition)
+    cib.put("engineInfo", "graft-delta-writer/1.0")
+    lines += mapper.writeValueAsString(ci)
+    protocolUpgrade(snap).foreach(lines += _)
+    updates.foreach { case (rel, oldDv, newDv) =>
+      val rm = mapper.createObjectNode
+      val rmb = rm.putObject("remove")
+      rmb.put("path", encodePath(rel))
+      rmb.put("deletionTimestamp", now)
+      rmb.put("dataChange", true)
+      oldDv.foreach(putDv(rmb, _))
+      lines += mapper.writeValueAsString(rm)
+      val ad = mapper.createObjectNode
+      val adb = ad.putObject("add")
+      adb.put("path", encodePath(rel))
+      val pv = adb.putObject("partitionValues")
+      snap.files(rel).foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      adb.put("size", snap.sizes.getOrElse(rel, -1L))
+      adb.put("modificationTime", now)
+      adb.put("dataChange", true)
+      snap.stats.get(rel).foreach(adb.put("stats", _))
+      putDv(adb, newDv)
+      lines += mapper.writeValueAsString(ad)
+    }
+    lines.result().mkString("\n") + "\n"
+  }
+
+  /** The protocol line a first-DV commit needs: upgrade to reader v3 /
+    * writer v7 with `deletionVectors`, carrying every EXISTING feature
+    * forward — explicit ones verbatim, legacy versions expanded to the
+    * protocol's implied feature names (a protocol action REPLACES the
+    * old one; dropping a feature would break other writers).
+    */
+  private def protocolUpgrade(snap: DeltaRead.Snapshot): Option[String] = {
+    if (snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors")) return None
+    val legacyWriter = Seq(
+      2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= snap.minWriter).flatMap(_._2)
+    val legacyReader = if (snap.minReader >= 2) Seq("columnMapping") else Nil
+    val rf = (snap.readerFeatures ++ legacyReader + "deletionVectors").toSeq.sorted
+    val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader
+      + "deletionVectors").toSeq.sorted
+    val p = mapper.createObjectNode
+    val pb = p.putObject("protocol")
+    pb.put("minReaderVersion", math.max(snap.minReader, 3))
+    pb.put("minWriterVersion", math.max(snap.minWriter, 7))
+    val rfa = pb.putArray("readerFeatures"); rf.foreach(rfa.add)
+    val wfa = pb.putArray("writerFeatures"); wf.foreach(wfa.add)
+    Some(mapper.writeValueAsString(p))
+  }
+
   private object Mode extends Enumeration {
     val Append, Overwrite, DynamicOverwrite = Value
   }

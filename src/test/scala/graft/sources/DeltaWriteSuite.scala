@@ -427,6 +427,73 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("roaring serializer round-trips through the reader decode, incl. bitmap containers") {
+    val cases = Seq(
+      Seq(0L, 2L, 5L),                                    // array container
+      (0L until 5000L).toSeq,                             // bitmap container (>4096 in one key)
+      Seq(1L, 70000L, (1L << 32) | 3L, (1L << 32) | 9L),  // multi-key, multi-bitmap
+      (0L until 4096L).toSeq,                             // exactly at the array limit
+      (0L until 4097L).toSeq)                             // just past it
+    cases.foreach { rows =>
+      val bytes = DeletionVectors.encodeRoaringBitmapArray(rows.toArray)
+      assert(DeletionVectors.decodeRoaringBitmapArray(bytes).toSeq == rows.sorted,
+        s"round-trip failed for ${rows.length} rows")
+    }
+  }
+
+  test("DV-emitting delete: soft-deletes via bitmaps, zero data I/O, protocol carried") {
+    val root = tmp()
+    DeltaWrite.append(spark, (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), root) // v0, 2 files
+    val filesBefore = DeltaRead.snapshot(spark, root).files.keySet
+    val v1 = DeltaWrite.delete(spark, root, "id % 2 = 0")
+    assert(v1 == 1L)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.files.keySet == filesBefore, "no data file was rewritten")
+    assert(snap.dvs.nonEmpty && snap.dvs.values.map(_.cardinality).sum == 5L)
+    assert(snap.minReader == 3 && snap.readerFeatures.contains("deletionVectors"),
+      "first DV upgrades the protocol")
+    assert(snap.writerFeatures.contains("appendOnly") && snap.writerFeatures.contains("invariants"),
+      "legacy writer features expand into the upgraded protocol, not clobbered")
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L))
+    assert(DeltaRead.read(spark, root, Some(0L)).count() == 10L, "time travel pre-delete")
+    // second delete UNIONS through the (path, dv.uniqueId) replay
+    val v2 = DeltaWrite.delete(spark, root, "id = 1")
+    assert(v2 == 2L)
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 5L, 7L, 9L))
+    // no-match and already-deleted deletes commit NOTHING
+    assert(DeltaWrite.delete(spark, root, "id = 999") == 2L)
+    assert(DeltaWrite.delete(spark, root, "id = 0") == 2L)
+    assert(DeltaRead.versions(spark, root).max == 2L)
+    // compaction materializes the soft-deletes; checkpoint then unblocks
+    val cv = DeltaWrite.compact(spark, root, targetFiles = 1)
+    assert(DeltaRead.snapshot(spark, root).dvs.isEmpty)
+    assert(DeltaRead.read(spark, root).count() == 4L)
+    assert(DeltaWrite.checkpoint(spark, root) == cv)
+  }
+
+  test("DV-emitting delete: large bitmaps, on-disk 'u' spill, vacuum keeps the DV file") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(10000L).selectExpr("id", "cast(id as string) as v")
+      .coalesce(1), root)
+    // inlineMaxBytes=0 forces the on-disk framing path; 5000 deleted
+    // rows in one 64k block exercises the bitmap container
+    val v1 = DeltaWrite.delete(spark, root, "id < 5000", inlineMaxBytes = 0)
+    assert(v1 == 1L)
+    val snap = DeltaRead.snapshot(spark, root)
+    val dv = snap.dvs.values.head
+    assert(dv.storageType == "u" && dv.cardinality == 5000L)
+    assert(DeltaRead.read(spark, root).count() == 5000L)
+    assert(DeltaRead.read(spark, root).agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0) == 5000L)
+    // the on-disk DV file is snapshot state: vacuum must keep it
+    val swept = DeltaWrite.vacuum(spark, root, retentionMs = 0L)
+    assert(!swept.exists(_.contains("deletion_vector")), s"swept a live DV: $swept")
+    assert(DeltaRead.read(spark, root).count() == 5000L)
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
