@@ -1080,6 +1080,23 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q117: DV-EMITTING DELETE round trip (round 12) — write a delta
+    // table, soft-delete two predicates via deletion vectors (the
+    // second UNIONS into the first through the (path, dv.uniqueId)
+    // replay; zero data-file I/O, protocol upgraded to v3), read back
+    // through the DV-splitting scan under the oracle hash.
+    "q117_delta_dv_delete" -> ((s, dir) => {
+      val root = scratchRoot("graft_q117")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(4), root)
+      graft.sources.DeltaWrite.delete(s, root, "o_orderstatus = 'F'")
+      graft.sources.DeltaWrite.delete(s, root, "o_custkey % 10 = 3")
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q109: DELTA CHECKPOINT round trip (round 12) — eleven partitioned
     // appends drive the log past the auto-checkpoint interval (v10
     // folds into 0...010.checkpoint.parquet + _last_checkpoint by the
@@ -1717,6 +1734,11 @@ object RelationalQueries {
         |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
         |  CASE WHEN o_orderstatus = 'F' THEN 'po' ELSE 'base' END AS src
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q117_delta_dv_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_custkey % 10 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
 
     // dynamic-overwrite closed form: 'F' rows come from the re-priced
     // overwrite batch, every other partition keeps its base rows
