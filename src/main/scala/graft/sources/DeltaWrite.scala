@@ -143,10 +143,18 @@ object DeltaWrite {
         val union = (oldRows ++ idx).distinct.sorted
         if (union.length == oldRows.length) None // every match already deleted
         else {
-          val inline = DeletionVectors.inlineDescriptor(union)
-          val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
-            else DeletionVectors.writeOnDisk(fs, rootP, union)
-          Some((rel, old, nd))
+          // a DV covering EVERY physical row means the file is dead —
+          // drop it outright (remove-only, delta-spark's shape) rather
+          // than ship a full mask every reader must decode forever
+          val numRecords = snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
+            .map(_.rows).filter(_ >= 0)
+          if (numRecords.contains(union.length.toLong)) Some((rel, old, null))
+          else {
+            val inline = DeletionVectors.inlineDescriptor(union)
+            val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
+              else DeletionVectors.writeOnDisk(fs, rootP, union)
+            Some((rel, old, nd))
+          }
         }
       }
       if (updates.isEmpty) return snap.version
@@ -183,19 +191,21 @@ object DeltaWrite {
       rmb.put("dataChange", true)
       oldDv.foreach(putDv(rmb, _))
       lines += mapper.writeValueAsString(rm)
-      val ad = mapper.createObjectNode
-      val adb = ad.putObject("add")
-      adb.put("path", encodePath(rel))
-      val pv = adb.putObject("partitionValues")
-      snap.files(rel).foreach { case (k, v) =>
-        if (v == null) pv.putNull(k) else pv.put(k, v)
+      if (newDv != null) { // null = the DV covered the whole file: drop it
+        val ad = mapper.createObjectNode
+        val adb = ad.putObject("add")
+        adb.put("path", encodePath(rel))
+        val pv = adb.putObject("partitionValues")
+        snap.files(rel).foreach { case (k, v) =>
+          if (v == null) pv.putNull(k) else pv.put(k, v)
+        }
+        adb.put("size", snap.sizes.getOrElse(rel, -1L))
+        adb.put("modificationTime", now)
+        adb.put("dataChange", true)
+        snap.stats.get(rel).foreach(adb.put("stats", _))
+        putDv(adb, newDv)
+        lines += mapper.writeValueAsString(ad)
       }
-      adb.put("size", snap.sizes.getOrElse(rel, -1L))
-      adb.put("modificationTime", now)
-      adb.put("dataChange", true)
-      snap.stats.get(rel).foreach(adb.put("stats", _))
-      putDv(adb, newDv)
-      lines += mapper.writeValueAsString(ad)
     }
     lines.result().mkString("\n") + "\n"
   }

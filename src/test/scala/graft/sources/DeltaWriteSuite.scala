@@ -474,6 +474,25 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.checkpoint(spark, root) == cv)
   }
 
+  test("DV-emitting delete: a fully-deleted file DROPS (remove-only), not a full mask") {
+    val root = tmp()
+    // two files with disjoint key ranges: the predicate kills one whole file
+    DeltaWrite.append(spark, (0L until 5L).map(i => (i, "a")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.append(spark, (100L until 105L).map(i => (i, "b")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaRead.snapshot(spark, root).files.size == 2)
+    DeltaWrite.delete(spark, root, "id >= 100")
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.files.size == 1, "the fully-deleted file must leave the snapshot")
+    assert(snap.dvs.isEmpty, "no mask needed — the file is gone")
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 5L).toSeq)
+    // a PARTIAL delete on the surviving file still goes the DV route
+    DeltaWrite.delete(spark, root, "id = 3")
+    val snap2 = DeltaRead.snapshot(spark, root)
+    assert(snap2.files.size == 1 && snap2.dvs.size == 1)
+    assert(DeltaRead.read(spark, root).count() == 4L)
+  }
+
   test("DV-emitting delete: large bitmaps, on-disk 'u' spill, vacuum keeps the DV file") {
     val root = tmp()
     DeltaWrite.append(spark, spark.range(10000L).selectExpr("id", "cast(id as string) as v")
