@@ -113,7 +113,15 @@ object DeltaRead {
       minReader: Int = 1,
       minWriter: Int = 2,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty)
+      writerFeatures: Set[String] = Set.empty,
+      /** `metaData.configuration` as replayed — the writer gates read
+        * enforcement settings from it (`delta.appendOnly`,
+        * `delta.constraints.*`, `delta.enableChangeDataFeed`): a
+        * writer that cannot enforce a configured contract must refuse,
+        * not silently break it for every other writer (PROTOCOL.md's
+        * writer-requirements section).
+        */
+      configuration: Map[String, String] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -156,8 +164,14 @@ object DeltaRead {
         s"Delta table at $path carries $totalDeleted soft-deleted rows in " +
           s"deletion vectors (cap ${DeletionVectors.maxDeletedRows}) — OPTIMIZE " +
           "the table with delta-spark to materialize the deletes, then re-read")
+      // keys must match `_metadata.file_path`, which Spark 4 surfaces
+      // in SparkPath (URL-encoded URI) form — Path.toString leaves
+      // URI-unsafe chars RAW (a space in a hive partition value stays
+      // a space), so a raw-keyed probe would match nothing and
+      // silently resurrect the soft-deleted rows. toUri.toString is
+      // the same canonical form SparkPath.fromPath uses.
       val deleted: Map[String, Array[Long]] = liveDvs.map { case (rel, d) =>
-        new Path(rootP, rel).toString -> DeletionVectors.deletedRows(fs, rootP, d)
+        new Path(rootP, rel).toUri.toString -> DeletionVectors.deletedRows(fs, rootP, d)
       }
       val dirty = snap.copy(files = snap.files.filter(kv => liveDvs.contains(kv._1)),
         dvs = Map.empty)
@@ -619,7 +633,7 @@ object DeltaRead {
       entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
       colMap,
       entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
-      minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet)
+      minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf)
   }
 
   /** Logical → physical name map for `delta.columnMapping.mode = name`:
@@ -767,24 +781,44 @@ object DeltaRead {
     * file rows, and the caller unions with the existing bitmap (a
     * match that is already soft-deleted simply stays deleted). Returns
     * decoded-relative-path → sorted indexes; refuses past the DV cap.
+    *
+    * Scale shape: the per-file grouping and index sort run ON THE
+    * EXECUTORS (`groupBy(file).agg(sort_array(collect_list(idx)))`) so
+    * the driver receives ONE row per touched file whose payload is the
+    * packed index array — 8 bytes per matched row, the same residency
+    * the commit's DV serialization needs anyway. A row-level collect
+    * here would ship a full Row object + the repeated file-path string
+    * per matched row (~20× the bytes) and OOM the driver long before
+    * the cap fired. The cap itself is BYTES of index payload
+    * ([[DeletionVectors.maxDeletedRows]] × 8 — checked BEFORE the
+    * collect, from a count-only aggregate).
     */
   private[sources] def matchedPhysicalRows(spark: SparkSession, path: String,
                                            snap: Snapshot,
                                            condition: String): Map[String, Array[Long]] = {
     val rootP = qualifiedRoot(spark, path)
-    val absToRel = snap.files.keys.map(rel => new Path(rootP, rel).toString -> rel).toMap
+    // key space = _metadata.file_path = SparkPath (URL-encoded URI)
+    // form; Path.toString would leave e.g. a space in a partition
+    // value raw and the lookup below would miss (see readSnapshot)
+    val absToRel = snap.files.keys.map(rel => new Path(rootP, rel).toUri.toString -> rel).toMap
     val scanned = scanSnapshot(spark, path, snap.copy(dvs = Map.empty), withRowMeta = true)
       .where(condition)
       .select(col("__graft_dv_fp"), col("__graft_dv_ri"))
     val n = scanned.count()
-    require(n <= DeletionVectors.maxDeletedRows,
-      s"DELETE at $path matches $n rows — past the deletion-vector cap " +
-        s"(${DeletionVectors.maxDeletedRows}); rewrite the table instead")
-    scanned.collect()
-      .groupBy(r => absToRel.getOrElse(r.getString(0),
-        throw new IllegalStateException(
-          s"DELETE scan surfaced an unknown file ${r.getString(0)}")))
-      .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
+    require(8L * n <= 8L * DeletionVectors.maxDeletedRows,
+      s"DELETE at $path matches $n rows (${8L * n} bytes of row indexes) — past " +
+        s"the deletion-vector budget (${8L * DeletionVectors.maxDeletedRows} bytes); " +
+        "rewrite the table instead")
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    scanned.groupBy(col("__graft_dv_fp"))
+      .agg(sort_array(collect_list(col("__graft_dv_ri"))).as("__graft_dv_ris"))
+      .collect()
+      .map { r =>
+        val rel = absToRel.getOrElse(r.getString(0),
+          throw new IllegalStateException(
+            s"DELETE scan surfaced an unknown file ${r.getString(0)}"))
+        rel -> r.getSeq[Long](1).toArray
+      }.toMap
   }
 
   /** One commit's DATA-CHANGING actions, for the streaming source:

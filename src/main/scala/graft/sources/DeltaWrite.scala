@@ -128,6 +128,7 @@ object DeltaWrite {
     var snap = DeltaRead.snapshot(spark, rootP.toString)
     require(snap.colMap.isEmpty,
       s"Delta table at $path uses column mapping — graft will not write into it")
+    requireWritable(snap, path, removesData = true)
     val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
     if (matched.isEmpty) return snap.version
     var attempt = 0
@@ -236,6 +237,83 @@ object DeltaWrite {
     Some(mapper.writeValueAsString(p))
   }
 
+  /** Writer-side protocol gate (PROTOCOL.md "Writer Requirements"):
+    * a writer must refuse a table whose minWriterVersion /
+    * writerFeatures demand enforcement it does not implement —
+    * writing anyway silently breaks contracts every OTHER writer and
+    * reader relies on (append-only audit tables, CHECK constraints,
+    * CDC consumers expecting `_change_data` files). Legacy writer
+    * versions (<=6) expand to their implied feature names; v7 tables
+    * are governed by the explicit `writerFeatures` list alone.
+    *
+    * A feature passes either because this writer implements it
+    * (deletionVectors; appendOnly's refusal below IS its enforcement;
+    * columnMapping gates separately on the mode) or because the table
+    * does not actually configure it — "vacuously satisfied": no
+    * `delta.constraints.*` keys, CDF disabled, no invariant /
+    * generation / identity metadata on any schema field. Anything
+    * else refuses loudly, the protocol's required posture for unknown
+    * writer features.
+    *
+    * `removesData` = the operation deletes or replaces committed rows
+    * (overwrite, dynamic overwrite, DELETE). `delta.appendOnly=true`
+    * forbids exactly those; appends and dataChange=false maintenance
+    * rewrites (OPTIMIZE/compact — delta-spark permits them on
+    * append-only tables too) stay allowed.
+    */
+  private[sources] def requireWritable(snap: DeltaRead.Snapshot, path: String,
+                                       removesData: Boolean): Unit = {
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"Delta table at $path: $why — graft will not write into it; " +
+        "write with delta-spark or drop the table setting")
+    val conf = snap.configuration
+    if (removesData && conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      refuse("delta.appendOnly=true forbids removing or replacing committed rows " +
+        "(this operation does); only appends are allowed")
+    require(snap.minWriter <= 7,
+      s"Delta table at $path requires minWriterVersion=${snap.minWriter} — newer " +
+        "than this writer's protocol support (<=7); write with delta-spark")
+    val feats: Set[String] =
+      if (snap.minWriter >= 7) snap.writerFeatures
+      else Seq(2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+        6 -> Seq("identityColumns"))
+        .filter(_._1 <= snap.minWriter).flatMap(_._2).toSet
+    def fieldMeta(keys: String*): Boolean =
+      snap.schema.fields.exists(f => keys.exists(f.metadata.contains))
+    feats.foreach {
+      case "appendOnly" => () // enforced above (refusal of removesData IS the contract)
+      case "deletionVectors" => () // implemented ([[delete]], DV-carrying removes)
+      case "columnMapping" => () // gated on the MODE at each entry point
+      case "v2Checkpoint" => () // classic checkpoints stay legal under the feature,
+        // and [[DeltaRead]] consumes v2 ones; [[checkpoint]] refuses to fold them
+      case "invariants" =>
+        if (fieldMeta("delta.invariants"))
+          refuse("column invariants are configured (delta.invariants field metadata) " +
+            "and this writer does not evaluate them")
+      case "checkConstraints" =>
+        if (conf.keys.exists(_.startsWith("delta.constraints.")))
+          refuse("CHECK constraints are configured (delta.constraints.*) and this " +
+            "writer does not evaluate them")
+      case "changeDataFeed" =>
+        if (conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+          refuse("change data feed is enabled and this writer does not produce " +
+            "_change_data files")
+      case "generatedColumns" =>
+        if (fieldMeta("delta.generationExpression"))
+          refuse("generated columns are configured and this writer does not " +
+            "evaluate generation expressions")
+      case "identityColumns" =>
+        if (fieldMeta("delta.identity.start", "delta.identity.step",
+            "delta.identity.allowExplicitInsert", "delta.identity.highWaterMark"))
+          refuse("identity columns are configured and this writer does not " +
+            "maintain their high-water marks")
+      case other =>
+        refuse(s"its protocol requires writer feature '$other', which this " +
+          "writer does not implement")
+    }
+  }
+
   private object Mode extends Enumeration {
     val Append, Overwrite, DynamicOverwrite = Value
   }
@@ -267,6 +345,7 @@ object DeltaWrite {
         s"Delta table at $path uses column mapping — graft reads it but will " +
           "not write into it; write with delta-spark or migrate the table")
     }
+    existing.foreach(requireWritable(_, path, removesData = mode != Mode.Append))
     // non-append writes on DV'd tables are safe: the removes this
     // writer emits CARRY each file's deletionVector descriptor (other
     // readers reconcile by (path, dv.uniqueId) — a dv-less remove
@@ -425,11 +504,29 @@ object DeltaWrite {
               spark.sparkContext.hadoopConfiguration))) catch {
             case scala.util.control.NonFatal(_) => None
           })
-        else spark.sparkContext.parallelize(uris, math.min(files.length, 256))
-          .map(u => try Some(FileStats.readFooterStats(u,
-            new org.apache.hadoop.conf.Configuration)) catch {
-            case scala.util.control.NonFatal(_) => None
-          }).collect().toSeq
+        else {
+          // the SESSION's hadoop conf (object-store credentials,
+          // endpoints) must reach the executors — a default
+          // Configuration() would silently lose every add.stats
+          // exactly on the large commits this branch exists for.
+          // Configuration isn't serializable (and Spark's own wrapper
+          // is private[spark]): ship the entry list, rebuild per
+          // partition on top of the defaults.
+          val confEntries: Array[(String, String)] = {
+            val it = spark.sparkContext.hadoopConfiguration.iterator()
+            val b = Array.newBuilder[(String, String)]
+            while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+            b.result()
+          }
+          spark.sparkContext.parallelize(uris, math.min(files.length, 256))
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration()
+              confEntries.foreach { case (k, v) => conf.set(k, v) }
+              it.map(u => try Some(FileStats.readFooterStats(u, conf)) catch {
+                case scala.util.control.NonFatal(_) => None
+              })
+            }.collect().toSeq
+        }
       files.zip(stats).map {
         case (f, Some(st)) => f.copy(stats = statsJson(st))
         case (f, None)     => f
@@ -650,6 +747,8 @@ object DeltaWrite {
     require(snap.colMap.isEmpty,
       s"Delta table at $path uses column mapping — graft reads it but will not " +
         "rewrite it (compaction writes data files); OPTIMIZE it with delta-spark")
+    // dataChange=false repackaging — permitted on append-only tables
+    requireWritable(snap, path, removesData = false)
 
     if (snap.files.size <= targetFiles) return snap.version
     val folded: Set[String] = snap.files.keySet
@@ -799,7 +898,13 @@ object DeltaWrite {
                             partitionColumns: Seq[String],
                             configuration: Map[String, String],
                             createdTime: java.lang.Long)
-  private case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  /** Feature lists are null (absent column value) on legacy protocols
+    * — per the spec they exist only when minReader>=3 / minWriter>=7,
+    * and a checkpoint that DROPPED them would downgrade the table for
+    * every reader of the fold.
+    */
+  private case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int,
+                                readerFeatures: Seq[String], writerFeatures: Seq[String])
   private case class CkAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long, dataChange: Boolean,
                            stats: String)
@@ -843,10 +948,12 @@ object DeltaWrite {
     * the reader consumes multi-part checkpoints from other writers).
     * Two checkpointers racing at the same version produce equivalent
     * content — the loser's rename finds the name taken and yields.
-    * REMOVED-file tombstones are not carried into the checkpoint: our
-    * reader never consumes them, and for foreign vacuum tooling their
-    * absence errs on the safe side (files linger, nothing is deleted
-    * early).
+    * REMOVED-file tombstones within [[TombstoneRetentionMs]] ARE
+    * carried (the protocol requires it — foreign vacuum tooling reads
+    * removal history from the checkpoint), and every file action in
+    * the checkpoint is written `dataChange=false` (checkpoint rows
+    * describe existing state, never new data; a `true` here would make
+    * a naive CDC reader re-stream the whole table).
     */
   def checkpoint(spark: SparkSession, path: String): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf}
@@ -873,7 +980,12 @@ object DeltaWrite {
         "but will not fold them into a checkpoint; CHECKPOINT with delta-spark")
 
     // --- driver tail replay (bounded by the checkpoint interval) ---
-    var protocol = CkProtocol(1, 2)
+    // protocol starts UNKNOWN, not (1,2): a tail with no protocol
+    // action inherits the previous checkpoint's protocol row below —
+    // defaulting would silently DOWNGRADE a v3/v7 table (dropping
+    // deletionVectors/appendOnly/… features every other writer's
+    // enforcement relies on) the moment a feature-less tail folds.
+    var protocol: CkProtocol = null
     var meta: CkMeta = null
     val tailAdds = scala.collection.mutable.LinkedHashMap[(String, String), CkAdd]()
     val tailTombs = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -889,8 +1001,12 @@ object DeltaWrite {
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
           val pr = node.get("protocol")
+          import scala.jdk.CollectionConverters._
+          def feats(n: String): Seq[String] =
+            if (pr.has(n)) pr.get(n).elements().asScala.map(_.asText()).toSeq else null
           protocol = CkProtocol(pr.path("minReaderVersion").asInt(1),
-            pr.path("minWriterVersion").asInt(2))
+            pr.path("minWriterVersion").asInt(2),
+            feats("readerFeatures"), feats("writerFeatures"))
         }
         if (node.has("metaData")) {
           val md = node.get("metaData")
@@ -928,7 +1044,7 @@ object DeltaWrite {
             .toMap).getOrElse(Map.empty[String, String])
           tailAdds((enc, dvUid(ad))) = CkAdd(enc, pv,
             ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
-            dataChange = true, stats = ad.path("stats").asText(null))
+            dataChange = false, stats = ad.path("stats").asText(null))
           tailTombs.remove(enc) // a re-added path is live, not a tombstone
           touched += DeltaRead.decodePath(enc)
         }
@@ -979,6 +1095,26 @@ object DeltaWrite {
         s"Delta table at $path carries a v2 (sidecar) checkpoint — graft reads " +
           "it but folds only classic checkpoints; CHECKPOINT with delta-spark")
       require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
+      if (protocol == null && cols("protocol")) {
+        // the tail carried no protocol action — INHERIT the
+        // checkpointed one, feature lists included (a protocol row is
+        // total state, and this fold's output replaces the previous
+        // checkpoint as the log's authoritative base)
+        val pCols = rows.select("protocol.*").columns.toSet
+        def featCol(n: String) =
+          if (pCols(n)) col("protocol." + n).cast("array<string>")
+          else lit(null).cast("array<string>")
+        val mwCol = if (pCols("minWriterVersion"))
+          col("protocol.minWriterVersion").cast("int") else lit(null).cast("int")
+        rows.where(col("protocol.minReaderVersion").isNotNull)
+          .select(col("protocol.minReaderVersion").cast("int"), mwCol,
+            featCol("readerFeatures"), featCol("writerFeatures"))
+          .collect().headOption.foreach { r =>
+            protocol = CkProtocol(r.getInt(0), if (r.isNullAt(1)) 2 else r.getInt(1),
+              if (r.isNullAt(2)) null else r.getSeq[String](2),
+              if (r.isNullAt(3)) null else r.getSeq[String](3))
+          }
+      }
       if (meta == null && cols("metaData")) {
         // the tail carried no metaData — inherit the checkpointed one
         import scala.jdk.CollectionConverters._
@@ -1017,8 +1153,9 @@ object DeltaWrite {
         col("add.path").cast("string").as("path"),
         ac("partitionValues", "map<string,string>"),
         ac("size", "bigint"), ac("modificationTime", "bigint"),
-        (if (addCols("dataChange")) coalesce(col("add.dataChange"), lit(true))
-         else lit(true)).as("dataChange"),
+        // checkpoint file actions always write dataChange=false — they
+        // describe existing state, not new data (protocol requirement)
+        lit(false).as("dataChange"),
         ac("stats", "string"))
       val prevTombs: Option[DataFrame] =
         if (!cols("remove")) None
@@ -1045,6 +1182,10 @@ object DeltaWrite {
 
     require(meta != null,
       s"Delta log at $path carries no metaData action — cannot checkpoint")
+    require(protocol != null,
+      s"Delta log at $path carries no protocol action (neither in the commit " +
+        "tail nor the previous checkpoint) — a spec-valid log always has one; " +
+        "refusing to checkpoint rather than invent a default protocol")
 
     val driverRows: Seq[CkRow] =
       Seq(CkRow(protocol, null, null, null, null),
@@ -1052,7 +1193,7 @@ object DeltaWrite {
         txns.values.map(t => CkRow(null, null, null, null, t)) ++
         tailAdds.values.map(a => CkRow(null, null, a, null, null)) ++
         tailTombs.collect { case (p, ts) if ts >= nowMs - TombstoneRetentionMs =>
-          CkRow(null, null, null, CkRemove(p, ts, dataChange = true), null)
+          CkRow(null, null, null, CkRemove(p, ts, dataChange = false), null)
         }
     val driverDf = spark.createDataset(driverRows)(enc).toDF()
     val carriedAddsDf = carried.map { case (adds, _) => adds.select(
@@ -1064,7 +1205,7 @@ object DeltaWrite {
     }
     val carriedTombsDf = carried.flatMap(_._2).map(_.select(
       nullCol("protocol"), nullCol("metaData"), nullCol("add"),
-      struct(col("path"), col("deletionTimestamp"), lit(true).as("dataChange"))
+      struct(col("path"), col("deletionTimestamp"), lit(false).as("dataChange"))
         .cast(ckSchema("remove").dataType).as("remove"),
       nullCol("txn")))
     val all = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)

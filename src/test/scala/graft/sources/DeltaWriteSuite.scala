@@ -513,6 +513,112 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root).count() == 5000L)
   }
 
+  test("DV delete + read survive URI-unsafe partition values (space, percent)") {
+    val root = tmp()
+    // 'a b' keeps a RAW space in its hive dir name (space is not in
+    // Hive's escape set) while _metadata.file_path surfaces it
+    // URL-encoded — the exact mismatch that silently resurrected
+    // soft-deleted rows before the canonical-URI keying; 'c%d'
+    // hive-escapes to c%25d and stresses the decode direction
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c%d"), (4L, "c%d")).toDF("id", "cat")
+    // one task → ONE file per partition dir, so the single-row deletes
+    // below are partial (DV-emitting), not whole-file drops
+    DeltaWrite.append(spark, df.repartition(1), root, partitionBy = Seq("cat"))
+    val v1 = DeltaWrite.delete(spark, root, "id = 1 or id = 3")
+    assert(v1 == 1L)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.dvs.nonEmpty, "the partial deletes must be DV-backed")
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 4L), "soft-deleted rows must stay deleted across encoded paths")
+    assert(DeltaRead.read(spark, root).select("cat").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a b", "c%d"))
+    // deleting the REST of each file drops the files outright
+    DeltaWrite.delete(spark, root, "id = 2 or id = 4")
+    assert(DeltaRead.read(spark, root).count() == 0L)
+  }
+
+  test("checkpoint carries protocol features; protocol-less tail inherits, never downgrades") {
+    val root = tmp()
+    DeltaWrite.append(spark, (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), root)                        // v0, 2 files
+    DeltaWrite.delete(spark, root, "id = 3")        // v1: upgrade to v3/v7 + DV
+    DeltaWrite.compact(spark, root, targetFiles = 1) // v2: folds 2→1, retires the DV
+    val cv = DeltaWrite.checkpoint(spark, root)
+    assert(cv == 2L)
+    def protoOf(v: Long) = {
+      val ck = spark.read.parquet(s"$root/_delta_log/" + f"$v%020d.checkpoint.parquet")
+      ck.where(col("protocol.minReaderVersion").isNotNull).select("protocol.*").head()
+    }
+    val pr = protoOf(cv)
+    assert(pr.getAs[Int]("minReaderVersion") == 3 && pr.getAs[Int]("minWriterVersion") == 7,
+      "the checkpoint must not fold a v3/v7 table into a default protocol")
+    assert(pr.getSeq[String](pr.fieldIndex("readerFeatures")).contains("deletionVectors"))
+    val wf = pr.getSeq[String](pr.fieldIndex("writerFeatures"))
+    assert(wf.contains("deletionVectors") && wf.contains("appendOnly"),
+      "feature lists survive the fold intact")
+    // every checkpoint file action is dataChange=false (protocol shape)
+    val ck = spark.read.parquet(s"$root/_delta_log/" + f"$cv%020d.checkpoint.parquet")
+    assert(ck.where(col("add.path").isNotNull && col("add.dataChange") === true).count() == 0)
+    assert(ck.where(col("remove.path").isNotNull && col("remove.dataChange") === true)
+      .count() == 0)
+    // incremental fold over a PROTOCOL-LESS tail inherits the
+    // checkpointed protocol instead of writing the (1,2) default
+    DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root) // v3
+    val cv2 = DeltaWrite.checkpoint(spark, root)
+    assert(cv2 == 3L)
+    val pr2 = protoOf(cv2)
+    assert(pr2.getAs[Int]("minReaderVersion") == 3 && pr2.getAs[Int]("minWriterVersion") == 7)
+    assert(pr2.getSeq[String](pr2.fieldIndex("readerFeatures")).contains("deletionVectors"))
+    // checkpoint-only read (cleaned JSON log) still sees the v3 protocol
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.list(logDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(java.nio.file.Files.delete)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.minReader == 3 && snap.readerFeatures.contains("deletionVectors"))
+    assert(snap.minWriter == 7 && snap.writerFeatures.contains("deletionVectors"))
+    assert(DeltaRead.read(spark, root).count() == 10L)
+  }
+
+  test("writer gates: appendOnly forbids data removal; unknown writer features refuse") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2), root)
+    val schemaJson = DeltaRead.snapshot(spark, root).schema.json
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // v1: a foreign writer flips the table append-only
+    commit(1L, Seq(
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+        """"partitionColumns":[],"configuration":{"delta.appendOnly":"true"}}}"""))
+    // appends stay allowed...
+    val v2 = DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    assert(v2 == 2L)
+    // ...and dataChange=false compaction too (delta-spark's posture)...
+    val cv = DeltaWrite.compact(spark, root, targetFiles = 1)
+    assert(cv == 3L)
+    // ...but anything that removes committed rows refuses
+    Seq(
+      () => DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), root),
+      () => DeltaWrite.delete(spark, root, "id = 1")
+    ).foreach { op =>
+      val e = intercept[UnsupportedOperationException](op())
+      assert(e.getMessage.contains("delta.appendOnly"), e.getMessage)
+    }
+    assert(DeltaRead.read(spark, root).count() == 3L)
+    // v4: a v7 protocol demanding a feature this writer lacks
+    commit(4L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["rowTracking"]}}"""))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root)
+    }
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
