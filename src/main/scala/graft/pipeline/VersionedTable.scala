@@ -1715,7 +1715,7 @@ object VersionedTable {
   /** Widen a collected key to the stats value domain (int→long,
     * float→double — [[FileStats]] stores widened values).
     */
-  private def normalizeKey(v: Any): Any = v match {
+  private[graft] def normalizeKey(v: Any): Any = v match {
     case i: java.lang.Integer => i.longValue()
     case l: java.lang.Long    => l.longValue()
     case f: java.lang.Float   => f.doubleValue()

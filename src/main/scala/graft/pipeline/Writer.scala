@@ -108,11 +108,15 @@ object Writer {
 
   /** Delta-format path sink. Append / overwrite / dynamic partition
     * overwrite are native log commits (remove actions cover exactly
-    * the replaced files). Merge modes reuse graft's distributed merge
-    * plans over the CURRENT snapshot and commit the result as an
-    * overwrite — a full rewrite, the honest shape without per-file
-    * stats in the foreign log; a merge-heavy table belongs in graft's
-    * versioned protocol where commitMerge prunes by file stats.
+    * the replaced files). Merge modes (upsert, SCD2) go through
+    * [[graft.sources.DeltaWrite.merge]] — the FILE-PRUNED shape: the
+    * Delta log's per-file `add.stats` classify live files by hash_key
+    * intersection with the source, only the touched files rewrite
+    * (reading them WITH their deletion vectors), and untouched adds
+    * carry by absence of a remove action — O(touched + source) data
+    * I/O, the same pruning commitMerge does on graft's own protocol.
+    * replace-where still composes base-side (the predicate, not a key
+    * set, decides survival) and commits as an overwrite.
     */
   private def deltaSink(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     require(sink.table.isEmpty,
@@ -153,11 +157,20 @@ object Writer {
         graft.sources.DeltaWrite.overwrite(spark, clustered(merged), sink.path,
           sink.partitionBy)
       case MergeUpsert =>
-        graft.sources.DeltaWrite.overwrite(spark, clustered(upsert(df, base)), sink.path,
-          sink.partitionBy)
+        if (base.isEmpty)
+          graft.sources.DeltaWrite.append(spark, clustered(df), sink.path, sink.partitionBy)
+        else
+          // matching keys live ONLY in touched files (range soundness),
+          // so upsert-over-touched ≡ upsert-over-table
+          graft.sources.DeltaWrite.merge(spark, df, sink.path, Seq("hash_key"),
+            mergeFn = (touched, src) => clustered(upsert(src, Some(touched))))
       case Scd2(track) =>
-        graft.sources.DeltaWrite.overwrite(spark,
-          clustered(Scd2Merge(spark, df, base, track)), sink.path, sink.partitionBy)
+        if (base.isEmpty)
+          graft.sources.DeltaWrite.append(spark,
+            clustered(Scd2Merge(spark, df, None, track)), sink.path, sink.partitionBy)
+        else
+          graft.sources.DeltaWrite.merge(spark, df, sink.path, Seq("hash_key"),
+            mergeFn = (touched, src) => clustered(Scd2Merge(spark, src, Some(touched), track)))
     }
   }
 

@@ -1128,6 +1128,37 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q118: FILE-PRUNED DELTA MERGE (round 13) — q81's closed form
+    // through the Delta log instead of graft's manifest protocol. The
+    // base commits as 8 range-clustered files whose add.stats carry
+    // hash_key min/max; the upsert's key set (fixes < 1000 plus
+    // disjoint inserts) intersects only the edge files, so
+    // DeltaWrite.merge removes+rewrites JUST those and every other add
+    // entry carries by absence of a remove action — byte-identical,
+    // pinned in DeltaWriteSuite. O(touched + source) upsert I/O on a
+    // foreign-format table; the read-back hash proves pruning never
+    // dropped or duplicated a row.
+    "q118_delta_merge" -> ((s, dir) => {
+      val root = scratchRoot("graft_q118")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+        expr("__cents / 100.0D").as("price"), lit("base").as("src"))
+      graft.sources.DeltaWrite.append(s,
+        base.repartitionByRange(8, col("hash_key")).sortWithinPartitions("hash_key"),
+        root)
+      val fixes = orders.where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("hash_key"), col("o_custkey"),
+          expr("((__cents * 105 + 50) div 100) / 100.0D").as("price"), lit("fix").as("src"))
+      val inserts = orders.where(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("hash_key"), col("o_custkey"),
+          expr("__cents / 100.0D").as("price"), lit("new").as("src"))
+      graft.sources.DeltaWrite.merge(s, fixes.unionByName(inserts), root, Seq("hash_key"))
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("hash_key").as("o_orderkey"), col("o_custkey"), col("price"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
     // q110: BRANCH REBASE (round 12) — the full diverge-rebase-publish
     // loop under the oracle hash. Even keys commit as main's base, a
     // branch forks and appends the %4==1 slice, then MAIN moves (the
@@ -1660,6 +1691,21 @@ object RelationalQueries {
     // upsert closed form: fixes win for o_orderkey < 1000, the rest
     // stay base, and the shifted insert keys append on top
     "q81_merge_pruned" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey < 1000
+        |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0
+        |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 END AS price,
+        |  CASE WHEN o_orderkey < 1000 THEN 'fix' ELSE 'base' END AS src
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
+        |FROM orders WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same closed form as q81 — deliberately: identical upsert
+    // semantics through the Delta log's pruned merge
+    "q118_delta_merge" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey < 1000
         |       THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100) / 100.0

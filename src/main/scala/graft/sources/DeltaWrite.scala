@@ -170,6 +170,175 @@ object DeltaWrite {
         "committing continuously; retry later")
   }
 
+  /** FILE-PRUNED MERGE (upsert): rows of `source` replace target rows
+    * matching on `keys` and new keys insert — committed as
+    * remove+add over ONLY the files whose key-column stats intersect
+    * the source's key set. Untouched files carry by ABSENCE of a
+    * remove action: zero data I/O and byte-identical add entries in
+    * the snapshot, so the commit is O(touched + source), delta-spark
+    * MERGE's pruned shape — not the O(table) full overwrite.
+    *
+    * Classification mirrors [[graft.pipeline.VersionedTable
+    * .commitMerge]]: the source's distinct head-key set is collected
+    * once (capped at `maxCollectedKeys`, degrading to a min/max range
+    * check past the cap) and probed against each live file's
+    * log-resident `add.stats` min/max ([[DeltaRead.parseAddStats]]).
+    * A file without usable stats on the key column is conservatively
+    * touched — never silently skipped. Soundness: an untouched file's
+    * key range excludes every source key, so no row in it can match;
+    * rewriting only touched files preserves MERGE semantics exactly.
+    *
+    * `mergeFn(touchedBase, source)` builds the replacement rows for
+    * the touched subset (default: upsert — source wins on key match,
+    * unmatched touched rows carry). Touched files READ WITH their
+    * deletion vectors applied, and their removes carry the DV
+    * descriptors, so a merge after a DV delete stays consistent for
+    * every reader. A CAS loss re-derives everything against the
+    * winner's snapshot (the staged files are deleted — unlike
+    * append/overwrite the data job DEPENDS on the snapshot it read).
+    */
+  def merge(spark: SparkSession, source: DataFrame, path: String, keys: Seq[String],
+            mergeFn: (DataFrame, DataFrame) => DataFrame = null,
+            maxCollectedKeys: Int = 4000000): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val rootP = qualifiedRoot(spark, path)
+    if (!DeltaRead.isDeltaTable(spark, rootP.toString))
+      return write(spark, source, path, Mode.Append, Nil) // first write: plain create
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    val fn: (DataFrame, DataFrame) => DataFrame =
+      if (mergeFn != null) mergeFn
+      else (touched, src) => src.unionByName(
+        touched.join(src.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = true)
+
+    // source key set: collected ONCE (prices the pruning for every
+    // attempt); the per-file classification reruns per attempt
+    val keyCol = keys.head
+    require(source.columns.exists(_.equalsIgnoreCase(keyCol)),
+      s"merge key '$keyCol' is not in the source (${source.columns.mkString(", ")})")
+    val keyRows = source.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      .limit(maxCollectedKeys + 1).collect()
+    import graft.pipeline.{FileStats, VersionedTable}
+    val pruner: FileStats.ColStat => Boolean =
+      if (keyRows.length <= maxCollectedKeys) {
+        val sorted = keyRows.map(r => VersionedTable.normalizeKey(r.get(0)))
+          .sortWith(FileStats.cmp(_, _) < 0)
+        if (sorted.isEmpty) _ => false // null-keyed-only source: nothing matches
+        else st => FileStats.rangeHitsKeys(st,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted))
+      } else {
+        import org.apache.spark.sql.functions.{max => smax, min => smin}
+        val mm = source.agg(smin(col(keyCol)), smax(col(keyCol))).head()
+        val (lo, hi) = (VersionedTable.normalizeKey(mm.get(0)),
+          VersionedTable.normalizeKey(mm.get(1)))
+        st => FileStats.rangeOverlaps(st, lo, hi)
+      }
+
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val snap = DeltaRead.snapshot(spark, rootP.toString)
+      require(snap.colMap.isEmpty,
+        s"Delta table at $path uses column mapping — graft will not write into it")
+      requireWritable(snap, path, removesData = true)
+      val tblKey = snap.schema.fieldNames.find(_.equalsIgnoreCase(keyCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"merge key '$keyCol' is not a column of the Delta table at $path " +
+            s"(${snap.schema.fieldNames.mkString(", ")})"))
+      val touched: Seq[String] = snap.files.keySet.toSeq.sorted.filter { rel =>
+        snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
+          .flatMap(_.cols.get(tblKey)) match {
+          case Some(st) => pruner(st)
+          case None => true // no stats on the key: conservatively rewrite
+        }
+      }
+      val touchedBase: DataFrame =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        else DeltaRead.readSnapshot(spark, rootP.toString,
+          snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
+      // merged output must conform to the TABLE schema (realigned by
+      // name, loud on drift) — schema evolution is an explicit overwrite
+      val merged0 = fn(touchedBase, source)
+      val missing = snap.schema.fieldNames
+        .filterNot(n => merged0.columns.exists(_.equalsIgnoreCase(n)))
+      val extra = merged0.columns
+        .filterNot(n => snap.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty && extra.isEmpty,
+        s"merge output does not match the Delta table schema at $path — missing: " +
+          s"[${missing.mkString(", ")}], extra: [${extra.mkString(", ")}]; " +
+          "overwrite the table to change its schema")
+      val merged = merged0.select(snap.schema.fieldNames.map(col): _*)
+      snap.schema.fields.zip(merged.schema.fields).foreach { case (t, d) =>
+        require(t.dataType.catalogString == d.dataType.catalogString,
+          s"type mismatch merging into Delta table $path — column '${t.name}' " +
+            s"is ${t.dataType.catalogString} in the table, " +
+            s"${d.dataType.catalogString} in the merge output")
+      }
+      val newFiles = withStats(spark, fs, rootP,
+        writeDataFiles(spark, merged, rootP, fs, snap.partitionColumns))
+      if (touched.isEmpty && newFiles.isEmpty) return snap.version // empty no-op
+
+      val next = snap.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            mergeContent(snap, touched, newFiles, keys))) {
+        if (next > 0 && next % CheckpointInterval == 0)
+          try checkpoint(spark, rootP.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
+        return next
+      }
+      // lost the race: the data job read THIS snapshot's touched files
+      // — the staged output is stale against the winner's state, so
+      // reclaim it and re-derive from scratch (commitMerge's posture)
+      newFiles.foreach(f =>
+        try fs.delete(new Path(rootP, f.relPath), false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    throw new IllegalStateException(
+      s"Delta merge at $path lost the commit race 5 times — another writer is " +
+        "committing continuously; retry later")
+  }
+
+  private def mergeContent(snap: DeltaRead.Snapshot, removes: Seq[String],
+                           adds: Seq[NewFile], keys: Seq[String]): String = {
+    val now = System.currentTimeMillis
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", now)
+    cib.put("operation", "MERGE")
+    cib.putObject("operationParameters").put("matchedKeys", keys.mkString(","))
+    cib.put("engineInfo", "graft-delta-writer/1.0")
+    lines += mapper.writeValueAsString(ci)
+    removes.foreach { p =>
+      val rm = mapper.createObjectNode
+      val rmb = rm.putObject("remove")
+      rmb.put("path", encodePath(p))
+      rmb.put("deletionTimestamp", now)
+      rmb.put("dataChange", true)
+      snap.dvs.get(p).foreach(putDv(rmb, _))
+      lines += mapper.writeValueAsString(rm)
+    }
+    adds.foreach { f =>
+      val ad = mapper.createObjectNode
+      val adb = ad.putObject("add")
+      adb.put("path", encodePath(f.relPath))
+      val pv = adb.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      adb.put("size", f.size)
+      adb.put("modificationTime", f.modificationTime)
+      adb.put("dataChange", true)
+      if (f.stats != null) adb.put("stats", f.stats)
+      lines += mapper.writeValueAsString(ad)
+    }
+    lines.result().mkString("\n") + "\n"
+  }
+
   private def deleteContent(snap: DeltaRead.Snapshot,
                             updates: Seq[(String, Option[DeletionVectors.Descriptor],
                               DeletionVectors.Descriptor)],

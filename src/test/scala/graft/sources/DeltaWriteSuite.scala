@@ -619,6 +619,60 @@ class DeltaWriteSuite extends SparkSpec {
     assert(e.getMessage.contains("rowTracking"), e.getMessage)
   }
 
+  test("file-pruned merge: untouched adds carry byte-identical; upsert semantics exact") {
+    val root = tmp()
+    val base = spark.range(8000L).select(col("id").as("hash_key"),
+      (col("id") * 2).as("v"), lit("base").as("src"))
+    DeltaWrite.append(spark,
+      base.repartitionByRange(8, col("hash_key")).sortWithinPartitions("hash_key"), root)
+    val before = DeltaRead.snapshot(spark, root)
+    assert(before.files.size == 8)
+    // fixes hit only the low-range file(s); inserts are disjoint above
+    val src = spark.range(100L).select(col("id").as("hash_key"),
+        (col("id") * 100).as("v"), lit("fix").as("src"))
+      .unionByName(spark.range(3L).select((col("id") + 1000000L).as("hash_key"),
+        col("id").as("v"), lit("new").as("src")))
+    val v1 = DeltaWrite.merge(spark, src, root, Seq("hash_key"))
+    assert(v1 == 1L)
+    val after = DeltaRead.snapshot(spark, root)
+    val carried = before.files.keySet.intersect(after.files.keySet)
+    assert(carried.size >= 6, // range sampling may split the fix span over 2 files
+      s"stats pruning must carry the non-intersecting files; carried ${carried.size}/8")
+    carried.foreach { f =>
+      assert(before.stats.get(f) == after.stats.get(f) &&
+        before.sizes(f) == after.sizes(f),
+        s"carried add entry for $f must survive the merge commit unchanged")
+    }
+    // the commit removes EXACTLY the touched files — untouched ones
+    // carry by absence of a remove action
+    val commitJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+    val removeCount = commitJson.split("\n").count(_.contains("\"remove\""))
+    assert(removeCount == 8 - carried.size,
+      s"expected ${8 - carried.size} removes, saw $removeCount")
+    // upsert semantics: fixes replaced, inserts added, rest untouched
+    val out = DeltaRead.read(spark, root)
+    assert(out.count() == 8003L)
+    assert(out.where("src = 'fix'").count() == 100L)
+    assert(out.where("hash_key < 100 and src = 'base'").count() == 0L)
+    assert(out.where("src = 'new'").count() == 3L)
+    assert(out.where("hash_key >= 100 and hash_key < 8000 and src = 'base'")
+      .count() == 7900L)
+
+    // merge over a DV-carrying touched file: the soft-deleted row must
+    // NOT resurrect, and the remove retires the DV identity
+    DeltaWrite.delete(spark, root, "hash_key = 200") // v2: DV
+    assert(DeltaRead.snapshot(spark, root).dvs.nonEmpty)
+    val src2 = spark.range(199L, 202L).select(col("id").as("hash_key"),
+      lit(-1L).as("v"), lit("fix2").as("src"))
+    DeltaWrite.merge(spark, src2, root, Seq("hash_key")) // v3
+    val out3 = DeltaRead.read(spark, root)
+    assert(out3.where("hash_key = 200").collect().map(_.getString(2)).toSeq ==
+      Seq("fix2"), "the soft-deleted row resurfaces ONLY as the new source row")
+    assert(out3.count() == 8003L) // 8003 - 1 deleted - 2 replaced + 3 src rows
+    assert(out3.where("src = 'fix2'").count() == 3L)
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
