@@ -30,6 +30,7 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli delta-checkpoint <root>                        # fold a Delta table's log (maintenance)
   *   graft.Cli delta-compact <root> [--target-files N]        # OPTIMIZE-style rewrite (dataChange=false)
   *   graft.Cli delta-vacuum <root> [--retention-hours H]      # sweep unreferenced files (default 168h)
+  *   graft.Cli delta-purge <root> [--min-deleted-fraction F]  # rewrite only DV-heavy files (REORG PURGE)
   *   graft.Cli delta-delete <root> --where "<cond>"           # DV-emitting soft delete (zero data I/O)
   *   graft.Cli drop-branch <root> --name <b>                  # vacuum reclaims its dirs
   *   (address a branch in any other command as <root>#branch=<b>)
@@ -58,7 +59,7 @@ object Cli {
         val spec = if (action == "run") applyInput(spec0, optAll(rest, "--input")) else spec0
         execute(spark, action, spec)
       } finally spark.stop()
-    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch", "delta-checkpoint", "delta-compact", "delta-vacuum", "delta-delete")(action) =>
+    case action :: root :: rest if Set("history", "vacuum", "compact", "refresh", "delete", "restore", "upgrade", "branch", "branches", "publish", "rebase", "drop-branch", "delta-checkpoint", "delta-compact", "delta-vacuum", "delta-delete", "delta-purge")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
       // Hive support for the same reason as the pipeline actions: a
@@ -72,7 +73,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
-          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint|delta-compact|delta-vacuum|delta-delete <table-root> [options]")
+          "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint|delta-compact|delta-vacuum|delta-delete|delta-purge <table-root> [options]")
       sys.exit(2)
   }
 
@@ -139,6 +140,10 @@ object Cli {
           sys.error("delta-delete needs --where \"<condition>\""))
         val v = graft.sources.DeltaWrite.delete(spark, root, cond)
         println(s"[graft] soft-deleted rows matching [$cond] at $root via deletion vectors (v$v)")
+      case "delta-purge" =>
+        val frac = opt(rest, "--min-deleted-fraction").map(_.toDouble).getOrElse(0.05)
+        val v = graft.sources.DeltaWrite.purgeDvs(spark, root, frac)
+        println(s"[graft] purged deletion vectors at $root (v$v, threshold $frac)")
       case "delta-vacuum" =>
         val hours = opt(rest, "--retention-hours").map(_.toDouble).getOrElse(168.0)
         val swept = graft.sources.DeltaWrite.vacuum(spark, root,

@@ -506,13 +506,19 @@ object DeltaWrite {
       if (DeltaRead.isDeltaTable(spark, rootP.toString))
         Some(DeltaRead.snapshot(spark, rootP.toString))
       else None
-    // the READER handles column mapping (physical-name scan + rename);
-    // writing into a mapped table would need physical-named parquet +
-    // maxColumnId maintenance — refuse rather than corrupt
+    // COLUMN MAPPING (name mode): appends are supported — the data
+    // lands as PHYSICAL-named parquet (renamed just before the write;
+    // partition dirs and add.partitionValues keys physical too, the
+    // protocol's shape) and the commit touches no metaData, so
+    // delta.columnMapping.maxColumnId needs no maintenance (appends
+    // never mint column ids). Schema-CHANGING writes (overwrite) would
+    // have to assign fresh ids/physical names — still refused; id-mode
+    // and nested mapped schemas already refuse at snapshot build.
     existing.filter(_.colMap.nonEmpty).foreach { _ =>
-      throw new UnsupportedOperationException(
-        s"Delta table at $path uses column mapping — graft reads it but will " +
-          "not write into it; write with delta-spark or migrate the table")
+      if (mode != Mode.Append) throw new UnsupportedOperationException(
+        s"Delta table at $path uses column mapping — graft appends to it but " +
+          "will not overwrite it (a schema-changing write must mint column ids); " +
+          "write with delta-spark or migrate the table")
     }
     existing.foreach(requireWritable(_, path, removesData = mode != Mode.Append))
     // non-append writes on DV'd tables are safe: the removes this
@@ -573,10 +579,25 @@ object DeltaWrite {
       case _ => df
     }
 
+    // Column mapping: the PARQUET (and its partition dirs) must carry
+    // PHYSICAL names — rename at the last moment, after every
+    // logical-name check above; footer-derived add.stats then key by
+    // physical name too, exactly what the mapped read's skipping and
+    // delta-spark expect. partitionValuesOf below decodes the physical
+    // dir segments, landing physical keys in add.partitionValues.
+    val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
+      case Some(s) =>
+        val cm = s.colMap
+        (aligned.select(s.schema.fieldNames.map(n => col(n).as(cm(n))): _*),
+          parts.map(p => cm(s.schema.fieldNames.find(_.equalsIgnoreCase(p))
+            .getOrElse(p))))
+      case None => (aligned, parts)
+    }
+
     // the distributed data job runs ONCE; CAS losers re-commit the
     // same files at a later version
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, aligned, rootP, fs, parts))
+      writeDataFiles(spark, physDf, rootP, fs, physParts))
 
     fs.mkdirs(logP) // casPublish stages its tmp inside the log dir
     var snap = existing
@@ -956,6 +977,90 @@ object DeltaWrite {
             s"replaced ${gone.size} file(s) this compaction folded " +
             s"(${gone.take(3).mkString(", ")}…) — committing the rewrite would " +
             "resurrect dead rows. Re-run the compaction against the new snapshot")
+      }
+      // appends-only competitor: retry the same rewrite at the next version
+    }
+    -1L // unreachable
+  }
+
+  /** MATERIALIZE-DVs-ONLY OPTIMIZE (delta-spark's `REORG TABLE …
+    * APPLY (PURGE)` shape): rewrite ONLY the files whose deletion
+    * vector covers at least `minDeletedFraction` of their rows —
+    * clean files and lightly-masked files carry untouched (their add
+    * entries survive byte-identical, by absence of a remove action).
+    * A delete-heavy table sheds its read-path DV filter cost without
+    * paying [[compact]]'s full O(table) rewrite. Commits with
+    * `dataChange=false` on every action (no new rows — streams must
+    * not re-deliver), so it is legal on append-only tables too.
+    *
+    * A file without numRecords stats but WITH a DV counts as dirty
+    * (its fraction is unknowable; the point is shedding the mask).
+    * Returns the current version untouched when nothing crosses the
+    * threshold. Concurrency: same posture as [[compact]] — a
+    * competitor that removed/replaced a folded file aborts loudly
+    * (committing would resurrect its dead rows); pure appenders are
+    * compatible and the commit retries.
+    */
+  def purgeDvs(spark: SparkSession, path: String,
+               minDeletedFraction: Double = 0.05): Long = {
+    require(minDeletedFraction >= 0 && minDeletedFraction <= 1,
+      s"minDeletedFraction must be in [0,1]: $minDeletedFraction")
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var snap = DeltaRead.snapshot(spark, rootP.toString)
+    require(snap.colMap.isEmpty,
+      s"Delta table at $path uses column mapping — graft reads it but will not " +
+        "rewrite its data files; REORG it with delta-spark")
+    requireWritable(snap, path, removesData = false)
+
+    val dirty: Seq[String] = snap.dvs.collect {
+      case (rel, d) if snap.files.contains(rel) &&
+        snap.stats.get(rel).flatMap(DeltaRead.parseAddStats).map(_.rows)
+          .filter(_ > 0)
+          .forall(rows => d.cardinality.toDouble / rows >= minDeletedFraction) => rel
+    }.toSeq.sorted
+    if (dirty.isEmpty) return snap.version
+
+    // ONE distributed job over just the dirty files, DVs applied —
+    // the survivors land as fresh clean files in the table layout
+    val src = DeltaRead.readSnapshot(spark, rootP.toString,
+      snap.copy(files = snap.files.filter(kv => dirty.contains(kv._1))))
+    val newFiles = withStats(spark, fs, rootP,
+      writeDataFiles(spark, src, rootP, fs, snap.partitionColumns))
+    // the DV identity each folded file was rewritten AGAINST — a
+    // competitor replacing the file or growing its DV makes the
+    // staged rewrite stale (committing it would resurrect rows)
+    val origDv: Map[String, String] = dirty.map(rel =>
+      rel -> snap.dvs(rel).uniqueId).toMap
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val next = snap.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            compactContent(newFiles, dirty, snap.dvs))) {
+        if (next > 0 && next % CheckpointInterval == 0)
+          try checkpoint(spark, rootP.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
+        return next
+      }
+      require(attempt < 50, s"Delta DV purge at $path lost the version race " +
+        s"$attempt times — giving up; staged files are unreferenced")
+      snap = DeltaRead.snapshot(spark, rootP.toString)
+      val stale = dirty.exists { rel =>
+        !snap.files.contains(rel) ||
+          !snap.dvs.get(rel).map(_.uniqueId).contains(origDv(rel))
+      }
+      if (stale) {
+        newFiles.foreach(f =>
+          try fs.delete(new Path(rootP, f.relPath), false)
+          catch { case scala.util.control.NonFatal(_) => () })
+        throw new IllegalStateException(
+          s"Delta DV purge at $path aborted: a concurrent commit changed a folded " +
+            "file or its deletion vector — committing the rewrite would resurrect " +
+            "deleted rows. Re-run the purge against the new snapshot")
       }
       // appends-only competitor: retry the same rewrite at the next version
     }

@@ -673,6 +673,141 @@ class DeltaWriteSuite extends SparkSpec {
     assert(out3.where("src = 'fix2'").count() == 3L)
   }
 
+  test("purgeDvs rewrites only DV-heavy files; clean adds carry byte-identical") {
+    val root = tmp()
+    // 4 files, 1000 rows each, disjoint ranges
+    DeltaWrite.append(spark, spark.range(4000L)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    // heavy delete on the low range (~50% of file 1), light on file 2 (~1%)
+    DeltaWrite.delete(spark, root, "id < 500")
+    DeltaWrite.delete(spark, root, "id = 1500")
+    val before = DeltaRead.snapshot(spark, root)
+    assert(before.dvs.size == 2)
+    val v = DeltaWrite.purgeDvs(spark, root, minDeletedFraction = 0.05)
+    assert(v == before.version + 1)
+    val after = DeltaRead.snapshot(spark, root)
+    // only the HEAVY file rewrote: the light DV survives, and every
+    // clean/light add entry is byte-identical
+    assert(after.dvs.size == 1 && after.dvs.values.head.cardinality == 1L,
+      s"the 1-row DV must survive the threshold: ${after.dvs}")
+    val carried = before.files.keySet.intersect(after.files.keySet)
+    assert(carried.size == 3, s"3 of 4 files must carry; carried ${carried.size}")
+    carried.foreach { f =>
+      assert(before.stats.get(f) == after.stats.get(f) &&
+        before.sizes(f) == after.sizes(f))
+    }
+    // read-back identical before/after the purge (dataChange=false)
+    assert(DeltaRead.read(spark, root).count() == 3499L)
+    assert(DeltaRead.read(spark, root).where("id < 500").count() == 0L)
+    assert(DeltaRead.read(spark, root).where("id = 1500").count() == 0L)
+    val commitJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!commitJson.contains("\"dataChange\":true"),
+      "purge actions must all be dataChange=false")
+    // nothing above the threshold → no-op
+    assert(DeltaWrite.purgeDvs(spark, root, minDeletedFraction = 0.05) == v)
+    // threshold 0 materializes the remaining light DV too
+    val v2 = DeltaWrite.purgeDvs(spark, root, minDeletedFraction = 0.0)
+    assert(v2 == v + 1 && DeltaRead.snapshot(spark, root).dvs.isEmpty)
+    assert(DeltaRead.read(spark, root).count() == 3499L)
+  }
+
+  test("append into a name-mode column-mapped table: physical parquet, logical read-back") {
+    import org.apache.spark.sql.types._
+    def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+      StructField(logical, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical).build())
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    // synthetic mapped table: one physical-named data file + hand log
+    val root = tmp()
+    val stage = java.nio.file.Files.createTempDirectory("graft_cm_stage").toString
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaa111", "col-bbb222")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(root, "f1.parquet"))
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(root, "f1.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-table","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(mapped.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(DeltaRead.read(spark, root).count() == 2L)
+    // the append takes LOGICAL columns (any order) and lands physical
+    val v1 = DeltaWrite.append(spark, Seq(("c", 3L)).toDF("v", "id"), root)
+    assert(v1 == 1L)
+    val out = DeltaRead.read(spark, root).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the new data FILE itself carries physical names (what delta-spark
+    // and any other mapped reader resolve against)
+    val snap = DeltaRead.snapshot(spark, root)
+    val newRel = (snap.files.keySet - "f1.parquet").head
+    assert(spark.read.parquet(s"$root/$newRel").columns.toSeq ==
+      Seq("col-aaa111", "col-bbb222"))
+    // footer stats keyed by PHYSICAL name (skipping happens physical)
+    assert(snap.stats.get(newRel).exists(_.contains("col-aaa111")))
+    // overwrite (schema-changing surface) still refuses
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), root)
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("append into a PARTITIONED mapped table: physical dirs and partitionValues keys") {
+    import org.apache.spark.sql.types._
+    def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+      StructField(logical, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical).build())
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    val root = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("p", LongType, 2, "col-ppp333")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-part","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(mapped.json)},"partitionColumns":["p"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    val v1 = DeltaWrite.append(spark, Seq((1L, 7L), (2L, 8L)).toDF("id", "p"), root)
+    assert(v1 == 1L)
+    val snap = DeltaRead.snapshot(spark, root)
+    // dirs and log partitionValues keys are PHYSICAL; the frame logical
+    assert(snap.files.keySet.forall(_.startsWith("col-ppp333=")),
+      s"physical partition dirs expected: ${snap.files.keySet}")
+    val commitJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+    assert(commitJson.contains(""""partitionValues":{"col-ppp333""""),
+      "add.partitionValues must key by the physical name")
+    val out = DeltaRead.read(spark, root).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "p"))
+    assert(out.as[(Long, Long)].collect().toSeq == Seq((1L, 7L), (2L, 8L)))
+    // partition pruning through the logical name still works
+    assert(out.where(col("p") === 8L).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
