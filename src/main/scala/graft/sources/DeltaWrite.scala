@@ -126,8 +126,9 @@ object DeltaWrite {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     var snap = DeltaRead.snapshot(spark, rootP.toString)
-    require(snap.colMap.isEmpty,
-      s"Delta table at $path uses column mapping — graft will not write into it")
+    // column-mapped tables work: the scan surfaces LOGICAL names (the
+    // condition's namespace) and the commit re-serializes each file's
+    // partitionValues back under PHYSICAL keys (deleteContent)
     requireWritable(snap, path, removesData = true)
     val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
     if (matched.isEmpty) return snap.version
@@ -239,16 +240,16 @@ object DeltaWrite {
     while (attempt < 5) {
       attempt += 1
       val snap = DeltaRead.snapshot(spark, rootP.toString)
-      require(snap.colMap.isEmpty,
-        s"Delta table at $path uses column mapping — graft will not write into it")
       requireWritable(snap, path, removesData = true)
       val tblKey = snap.schema.fieldNames.find(_.equalsIgnoreCase(keyCol)).getOrElse(
         throw new IllegalArgumentException(
           s"merge key '$keyCol' is not a column of the Delta table at $path " +
             s"(${snap.schema.fieldNames.mkString(", ")})"))
+      // add.stats key by the PHYSICAL column name under column mapping
+      val statKey = snap.colMap.getOrElse(tblKey, tblKey)
       val touched: Seq[String] = snap.files.keySet.toSeq.sorted.filter { rel =>
         snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
-          .flatMap(_.cols.get(tblKey)) match {
+          .flatMap(_.cols.get(statKey)) match {
           case Some(st) => pruner(st)
           case None => true // no stats on the key: conservatively rewrite
         }
@@ -277,8 +278,9 @@ object DeltaWrite {
             s"is ${t.dataType.catalogString} in the table, " +
             s"${d.dataType.catalogString} in the merge output")
       }
+      val (physDf, physParts) = toPhysical(snap, merged)
       val newFiles = withStats(spark, fs, rootP,
-        writeDataFiles(spark, merged, rootP, fs, snap.partitionColumns))
+        writeDataFiles(spark, physDf, rootP, fs, physParts))
       if (touched.isEmpty && newFiles.isEmpty) return snap.version // empty no-op
 
       val next = snap.version + 1
@@ -366,8 +368,11 @@ object DeltaWrite {
         val adb = ad.putObject("add")
         adb.put("path", encodePath(rel))
         val pv = adb.putObject("partitionValues")
+        // Snapshot pv keys are LOGICAL; the log's are PHYSICAL under
+        // column mapping — translate back on the way out
         snap.files(rel).foreach { case (k, v) =>
-          if (v == null) pv.putNull(k) else pv.put(k, v)
+          val pk = snap.colMap.getOrElse(k, k)
+          if (v == null) pv.putNull(pk) else pv.put(pk, v)
         }
         adb.put("size", snap.sizes.getOrElse(rel, -1L))
         adb.put("modificationTime", now)
@@ -483,6 +488,22 @@ object DeltaWrite {
     }
   }
 
+  /** LOGICAL frame → PHYSICAL-named frame + partition columns for the
+    * parquet write on a column-mapped table (identity when unmapped).
+    * Every DML rewrite path funnels through this just before its
+    * [[writeDataFiles]], AFTER all logical-name work is done: the data
+    * files, their partition dirs, footer-derived stats, and the
+    * decoded `partitionValues` then all land physical — the protocol's
+    * shape, and what delta-spark resolves against.
+    */
+  private def toPhysical(snap: DeltaRead.Snapshot,
+                         df: DataFrame): (DataFrame, Seq[String]) =
+    if (snap.colMap.isEmpty) (df, snap.partitionColumns)
+    else (df.select(snap.schema.fieldNames.map(n => col(n).as(snap.colMap(n))): _*),
+      snap.partitionColumns.map(p => snap.colMap.getOrElse(p,
+        throw new IllegalStateException(
+          s"partition column '$p' has no column-mapping physical name"))))
+
   private object Mode extends Enumeration {
     val Append, Overwrite, DynamicOverwrite = Value
   }
@@ -506,19 +527,22 @@ object DeltaWrite {
       if (DeltaRead.isDeltaTable(spark, rootP.toString))
         Some(DeltaRead.snapshot(spark, rootP.toString))
       else None
-    // COLUMN MAPPING (name mode): appends are supported — the data
-    // lands as PHYSICAL-named parquet (renamed just before the write;
-    // partition dirs and add.partitionValues keys physical too, the
-    // protocol's shape) and the commit touches no metaData, so
-    // delta.columnMapping.maxColumnId needs no maintenance (appends
-    // never mint column ids). Schema-CHANGING writes (overwrite) would
-    // have to assign fresh ids/physical names — still refused; id-mode
-    // and nested mapped schemas already refuse at snapshot build.
+    // COLUMN MAPPING (name mode): appends and dynamic partition
+    // overwrites are supported — the data lands as PHYSICAL-named
+    // parquet (renamed just before the write; partition dirs and
+    // add.partitionValues keys physical too, the protocol's shape) and
+    // the commit touches no metaData, so delta.columnMapping
+    // .maxColumnId needs no maintenance (neither mints column ids).
+    // FULL overwrite stays refused: its schema-change path re-emits
+    // metaData from the incoming frame, which would strip the mapping
+    // metadata / need fresh ids. id-mode and nested mapped schemas
+    // already refuse at snapshot build.
     existing.filter(_.colMap.nonEmpty).foreach { _ =>
-      if (mode != Mode.Append) throw new UnsupportedOperationException(
-        s"Delta table at $path uses column mapping — graft appends to it but " +
-          "will not overwrite it (a schema-changing write must mint column ids); " +
-          "write with delta-spark or migrate the table")
+      if (mode == Mode.Overwrite) throw new UnsupportedOperationException(
+        s"Delta table at $path uses column mapping — graft appends to it and " +
+          "rewrites partitions/merges in place, but a full overwrite (the " +
+          "schema-change surface) must mint column ids; overwrite with " +
+          "delta-spark or migrate the table")
     }
     existing.foreach(requireWritable(_, path, removesData = mode != Mode.Append))
     // non-append writes on DV'd tables are safe: the removes this
@@ -586,11 +610,7 @@ object DeltaWrite {
     // delta-spark expect. partitionValuesOf below decodes the physical
     // dir segments, landing physical keys in add.partitionValues.
     val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
-      case Some(s) =>
-        val cm = s.colMap
-        (aligned.select(s.schema.fieldNames.map(n => col(n).as(cm(n))): _*),
-          parts.map(p => cm(s.schema.fieldNames.find(_.equalsIgnoreCase(p))
-            .getOrElse(p))))
+      case Some(s) => toPhysical(s, aligned)
       case None => (aligned, parts)
     }
 
@@ -608,8 +628,14 @@ object DeltaWrite {
       val removes: Seq[String] = (mode, snap) match {
         case (Mode.Overwrite, Some(s)) => s.files.keys.toSeq.sorted
         case (Mode.DynamicOverwrite, Some(s)) =>
+          // newFiles carry PHYSICAL pv keys (decoded from the written
+          // dirs); the snapshot's are LOGICAL — compare physical
           val touched = newFiles.map(_.partitionValues).distinct.toSet
-          s.files.collect { case (p, pv) if touched.contains(pv) => p }.toSeq.sorted
+          def phys(pv: Map[String, String]): Map[String, String] =
+            if (s.colMap.isEmpty) pv
+            else pv.map { case (k, v) => s.colMap.getOrElse(k, k) -> v }
+          s.files.collect { case (p, pv) if touched.contains(phys(pv)) => p }
+            .toSeq.sorted
         case _ => Nil
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next, txn)
@@ -934,10 +960,9 @@ object DeltaWrite {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     var snap = DeltaRead.snapshot(spark, rootP.toString)
-    require(snap.colMap.isEmpty,
-      s"Delta table at $path uses column mapping — graft reads it but will not " +
-        "rewrite it (compaction writes data files); OPTIMIZE it with delta-spark")
-    // dataChange=false repackaging — permitted on append-only tables
+    // dataChange=false repackaging — permitted on append-only tables;
+    // column-mapped tables rewrite through toPhysical (logical scan,
+    // physical-named output)
     requireWritable(snap, path, removesData = false)
 
     if (snap.files.size <= targetFiles) return snap.version
@@ -948,8 +973,9 @@ object DeltaWrite {
     val clustered =
       if (parts.isEmpty) src.repartition(targetFiles)
       else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
+    val (physDf, physParts) = toPhysical(snap, clustered)
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, clustered, rootP, fs, parts))
+      writeDataFiles(spark, physDf, rootP, fs, physParts))
 
     var attempt = 0
     while (true) {
@@ -1009,9 +1035,6 @@ object DeltaWrite {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     var snap = DeltaRead.snapshot(spark, rootP.toString)
-    require(snap.colMap.isEmpty,
-      s"Delta table at $path uses column mapping — graft reads it but will not " +
-        "rewrite its data files; REORG it with delta-spark")
     requireWritable(snap, path, removesData = false)
 
     val dirty: Seq[String] = snap.dvs.collect {
@@ -1026,8 +1049,9 @@ object DeltaWrite {
     // the survivors land as fresh clean files in the table layout
     val src = DeltaRead.readSnapshot(spark, rootP.toString,
       snap.copy(files = snap.files.filter(kv => dirty.contains(kv._1))))
+    val (physDf, physParts) = toPhysical(snap, src)
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, src, rootP, fs, snap.partitionColumns))
+      writeDataFiles(spark, physDf, rootP, fs, physParts))
     // the DV identity each folded file was rewritten AGAINST — a
     // competitor replacing the file or growing its DV makes the
     // staged rewrite stale (committing it would resurrect rows)

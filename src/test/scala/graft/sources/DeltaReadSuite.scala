@@ -405,8 +405,11 @@ class DeltaReadSuite extends SparkSpec {
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
     commit(root3, 0, Seq(cmProtocol, mappedMetaData(mapped), addLine(root3, "f1.parquet")))
+    // round 13: appends and in-place DML on name-mode tables are
+    // SUPPORTED (physical-name writes — DeltaWriteSuite pins them);
+    // the remaining refusal is the schema-change surface
     val e3 = intercept[UnsupportedOperationException] {
-      DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root3)
+      DeltaWrite.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), root3)
     }
     assert(e3.getMessage.contains("column mapping"))
     val e4 = intercept[Exception] {
@@ -415,8 +418,6 @@ class DeltaReadSuite extends SparkSpec {
         .option("checkpointLocation", tmp()).start().processAllAvailable()
     }
     assert(e4.getMessage != null)
-    val e5 = intercept[IllegalArgumentException] { DeltaWrite.compact(spark, root3) }
-    assert(e5.getMessage.contains("column mapping"))
   }
 
   test("YAML `format: delta` source routes through the interop reader") {

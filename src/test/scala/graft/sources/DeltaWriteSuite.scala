@@ -808,6 +808,81 @@ class DeltaWriteSuite extends SparkSpec {
     assert(out.where(col("p") === 8L).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("mapped-table DML: DV delete, dynamic overwrite, merge, compact stay physical") {
+    import org.apache.spark.sql.types._
+    def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+      StructField(logical, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical).build())
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    val root = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222"),
+      mappedField("p", LongType, 3, "col-ppp333")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-dml","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(mapped.json)},"partitionColumns":["p"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"}}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    // v1: logical-named append lands physical
+    val rows = (0L until 20L).map(i => (i, s"v$i", i % 2))
+    DeltaWrite.append(spark, rows.toDF("id", "v", "p").repartition(1), root)
+    assert(DeltaRead.read(spark, root).count() == 20L)
+
+    // v2: DV DELETE with a LOGICAL condition; the re-add must keep
+    // PHYSICAL partitionValues keys or foreign readers mis-place it
+    DeltaWrite.delete(spark, root, "id = 4")
+    val delJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "_delta_log")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString == f"${2L}%020d.json").get), "UTF-8")
+    assert(delJson.contains(""""partitionValues":{"col-ppp333""""),
+      s"DV re-add must keep physical pv keys: $delJson")
+    assert(DeltaRead.read(spark, root).where("id = 4").count() == 0L)
+    assert(DeltaRead.read(spark, root).count() == 19L)
+
+    // v3: MERGE — logical key column, physical stats probe
+    val src = Seq((1L, "fixed", 1L), (100L, "new", 0L)).toDF("id", "v", "p")
+    DeltaWrite.merge(spark, src, root, Seq("id"))
+    val out = DeltaRead.read(spark, root)
+    assert(out.where("id = 1").select("v").head().getString(0) == "fixed")
+    assert(out.count() == 20L) // 19 + 1 insert
+    assert(out.where("id = 4").count() == 0L, "merge must not resurrect the DV'd row")
+
+    // v4: DYNAMIC partition overwrite of p=0 only
+    val repl = Seq((200L, "only", 0L)).toDF("id", "v", "p")
+    DeltaWrite.overwritePartitions(spark, repl, root, Seq("p"))
+    val out4 = DeltaRead.read(spark, root)
+    assert(out4.where("p = 0").count() == 1L, "p=0 fully replaced")
+    assert(out4.where("p = 1").count() == 10L, "p=1 untouched")
+
+    // v5: compact folds to one file per partition, physical names kept
+    DeltaWrite.compact(spark, root, targetFiles = 2)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.files.keySet.forall(_.startsWith("col-ppp333=")),
+      s"compacted dirs must stay physical: ${snap.files.keySet}")
+    val out5 = DeltaRead.read(spark, root)
+    assert(out5.columns.toSeq == Seq("id", "v", "p"))
+    assert(out5.count() == 11L)
+    // data files themselves carry physical column names throughout
+    snap.files.keySet.foreach { rel =>
+      assert(spark.read.parquet(s"$root/$rel").columns.sorted.toSeq ==
+        Seq("col-aaa111", "col-bbb222"))
+    }
+    // full overwrite (the schema-change surface) still refuses
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.overwrite(spark, Seq((9L, "z", 0L)).toDF("id", "v", "p"), root)
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
