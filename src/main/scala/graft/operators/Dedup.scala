@@ -646,4 +646,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
     materializeAndRelease(verified, sh)
   }
+
+  /** CROSS-DOCUMENT DUPLICATED-SUBSTRING SPANS — the exact substring
+    * dedup signal from the dedup literature (a training corpus keeps
+    * near-unique documents that still share long verbatim passages:
+    * boilerplate, licenses, quoted blocks; span-level dedup removes
+    * them where document-level dedup can't). For every length-`n`
+    * character window, find windows occurring in >= `minDocs` distinct
+    * documents, then merge each document's flagged windows into
+    * disjoint intervals and report the covered character count and
+    * fraction — the score a curation filter thresholds on.
+    *
+    * Plan shape (nothing is O(corpus²)):
+    *  1. window explode: O(total chars) rows — `sequence`+`explode`+
+    *     `substring`, all codegen'd, no UDF;
+    *  2. duplicated-gram set: ONE hash aggregation with map-side
+    *     partials (`count(distinct doc)>=minDocs` via the two-level
+    *     (gram, doc) pre-aggregate, bounding a hot gram's reducer
+    *     fan-in the same way [[graft.operators.TextAnalysis]]'s vocab
+    *     does), then a semi join back;
+    *  3. per-doc interval merge: one window function pass ordered by
+    *     start (running max of span end), sum of uncovered deltas —
+    *     O(flagged windows log), never materializing per-position rows.
+    *
+    * `hashed = true` replaces the n-byte gram key with xxhash64 — the
+    * 100 TB shuffle shape (8 B keys; a collision can only over-mark
+    * ~2⁻⁶⁴ of windows). Exact mode is the oracle surface (q119).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 50,
+                      minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
+    require(n >= 2, s"window length must be >= 2: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val w = base
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(0))))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        (if (hashed) xxhash64(expr(s"substring(__t, start, $n)"))
+         else expr(s"substring(__t, start, $n)")).as("g"))
+    // (g, doc) first: a gram repeated 1M times inside ONE document
+    // contributes one row to the distinct-doc count, not 1M
+    val dupG = w.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    val dup = w.join(dupG, Seq("g"), "left_semi").select("doc_id", "start")
+    val before = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dup
+      .withColumn("prevEnd", coalesce(max(col("start") + n).over(before), lit(0)))
+      .withColumn("covered",
+        greatest(lit(0), (col("start") + n) - greatest(col("start"), col("prevEnd"))))
+      .groupBy("doc_id").agg(sum("covered").cast("long").as("dup_chars"))
+    base.select(col("doc_id"), length(col("__t")).as("__len"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("__len") > 0,
+          coalesce(col("dup_chars"), lit(0L)) * lit(1.0) / col("__len"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

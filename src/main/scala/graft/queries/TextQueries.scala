@@ -113,6 +113,19 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("dup_count"))
         .orderBy("doc_id")),
 
+    // q119: CROSS-DOC DUPLICATED-SUBSTRING SPANS (round 13) — exact
+    // substring dedup's scoring signal: per document, the characters
+    // covered by length-50 windows occurring verbatim in >= 2 distinct
+    // documents (window explode → (gram, doc)-bounded distinct-doc
+    // count → semi join → per-doc interval merge via one running-max
+    // window pass — never per-position rows). Exact (gram-keyed) mode
+    // under the oracle; `hashed = true` is the 8-byte-key 100 TB
+    // shuffle shape. DuckDB reproduces the closed form with
+    // generate_series + substr + the same interval-merge window.
+    "q119_substring_dup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), n = 50)
+        .orderBy("doc_id")),
+
     // q30: MinHash + LSH banding near-dup candidate pairs (rows-only:
     // the permutation family is not SQL-portable).
     // Band geometry stays at the tuned 16×8 default (LSH threshold
@@ -867,6 +880,30 @@ object TextQueries {
       |  FROM scored)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q119_substring_dup" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-49, 0))) AS i) t
+        |), dup AS (
+        |  SELECT doc_id, strt FROM w
+        |  WHERE g IN (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+        |), cov AS (
+        |  SELECT doc_id, strt,
+        |    greatest(0, (strt + 50) - greatest(strt,
+        |      coalesce(max(strt + 50) OVER (PARTITION BY doc_id ORDER BY strt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS covered
+        |  FROM dup
+        |)
+        |SELECT d.doc_id, coalesce(c.dup_chars, 0) AS dup_chars,
+        |  CASE WHEN length(d.text) > 0
+        |       THEN coalesce(c.dup_chars, 0) * 1.0 / length(d.text)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN
+        |  (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars
+        |   FROM cov GROUP BY doc_id) c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q101_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, n_tokens,

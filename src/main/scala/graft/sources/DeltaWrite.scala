@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions.col
   * Supported: append, overwrite (schema-changing overwrite re-emits
   * `metaData` CARRYING the original table id), dynamic partition
   * overwrite (removes only the partitions the new data touches),
-  * idempotent streaming appends ([[appendStream]], `txn` actions).
-  * Merge modes compose in [[graft.pipeline.Writer]]: the merged
-  * snapshot is computed by graft's distributed merge plans, then
-  * committed here as an overwrite. Adds carry footer-derived `stats`
+  * idempotent streaming appends ([[appendStream]], `txn` actions),
+  * FILE-PRUNED [[merge]] (per-file stats classify; untouched adds
+  * carry by absence of a remove), DV-emitting [[delete]], and
+  * append/DML into name-mode column-mapped tables (physical-name
+  * writes). Adds carry footer-derived `stats`
   * (data skipping for any delta reader, including [[DeltaRead]]'s
   * own [[org.apache.spark.sql.graftbridge.StatsManifestFileIndex]]
   * scan), and the log folds into parquet CHECKPOINTS + a

@@ -213,4 +213,39 @@ class GroundTruthSuite extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
     assert(got == want)
   }
+
+  test("duplicatedSpans: hand-computed coverage, interval merge, hashed-mode equality") {
+    // n=10 windows. docs 1 & 2 share the 26-char block "shared boilerplate text A!" →
+    // every 10-window inside it is cross-doc duplicated; doc 3 is
+    // unique; doc 4 repeats a gram only WITHIN itself (must not count);
+    // doc 5 is shorter than n (no windows).
+    val block = "shared boilerplate text A!" // 26 chars
+    val docs = Seq(
+      (1L, s"xxxx${block}yyyyyyy"),          // block at 5..30
+      (2L, s"zz${block}qqqq"),               // block at 3..28
+      (3L, "a completely unique document body here"),
+      (4L, "repeatrepeatrepeatrepeatrepeat"), // self-repeats only
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, n = 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // a 26-char shared block has 17 windows of length 10; merged they
+    // cover exactly the 26 chars
+    assert(out(0) == ((1L, 26L, 26.0 / 37)), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 26L, 26.0 / 32)), s"doc2: ${out(1)}")
+    assert(out(2)._2 == 0L && out(3)._2 == 0L && out(4)._2 == 0L,
+      s"unique / self-repeating / short docs must score 0: ${out.toSeq}")
+    // hashed mode (the 100 TB key shape) agrees exactly here
+    val hashed = Dedup.duplicatedSpans(docs, n = 10, hashed = true).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hashed.toSeq == out.toSeq)
+    // DISJOINT duplicated spans in one doc: both intervals count, the
+    // gap between them does not
+    val two = Seq(
+      (10L, "AAAAAAAAAA-gap-BBBBBBBBBB"), // two 10-blocks, 4-char gap
+      (11L, "AAAAAAAAAA"), (12L, "BBBBBBBBBB")
+    ).toDF("doc_id", "text")
+    val t = Dedup.duplicatedSpans(two, n = 10).orderBy("doc_id").collect()
+    assert(t(0).getLong(1) == 20L, s"two disjoint 10-char spans: ${t(0)}")
+  }
 }
