@@ -945,7 +945,11 @@ object DeltaRead {
     */
   private def validateReaderProtocol(path: String, minReader: Int,
                                      features: Set[String], mappingMode: String): Unit = {
-    val supported = Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
+    // vacuumProtocolCheck has no read-path semantics — its contract is
+    // "VACUUM must validate the protocol first", which DeltaWrite.vacuum
+    // does (requireWritable) — so tables carrying it stay readable
+    val supported = Set("columnMapping", "timestampNtz", "deletionVectors",
+      "v2Checkpoint", "vacuumProtocolCheck")
     if (minReader >= 3) {
       val unsupported = features -- supported
       require(unsupported.isEmpty,

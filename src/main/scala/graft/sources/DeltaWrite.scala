@@ -462,6 +462,11 @@ object DeltaWrite {
       case "columnMapping" => () // gated on the MODE at each entry point
       case "v2Checkpoint" => () // classic checkpoints stay legal under the feature,
         // and [[DeltaRead]] consumes v2 ones; [[checkpoint]] refuses to fold them
+      case "timestampNtz" => () // a TYPE, not a behavior: Spark's parquet
+        // writer/reader carry TIMESTAMP_NTZ natively
+      case "vacuumProtocolCheck" => () // its contract is "validate the
+        // protocol before VACUUM" — [[vacuum]] runs THIS gate, so the
+        // check the feature mandates is exactly what's executing
       case "invariants" =>
         if (fieldMeta("delta.invariants"))
           refuse("column invariants are configured (delta.invariants field metadata) " +
@@ -1158,6 +1163,11 @@ object DeltaWrite {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis - retentionMs
     val snap = DeltaRead.snapshot(spark, rootP.toString)
+    // the vacuumProtocolCheck feature's whole contract: a vacuum
+    // implementation must validate the table protocol before deleting
+    // anything — an unknown writer feature may change what "referenced"
+    // means (as deletionVectors did), and sweeping under it loses data
+    requireWritable(snap, path, removesData = false)
     // live DELETION VECTOR files are snapshot state too — sweeping one
     // would corrupt every future read of its data file
     val live = snap.files.keySet ++ snap.dvs.values.collect {

@@ -313,4 +313,18 @@ class PlanAuditSuite extends SparkSpec {
     // exchanges (broadcast exchanges excluded by the hashpartitioning key)
     assert(p.linesIterator.count(_.contains("hashpartitioning(")) <= 2, p)
   }
+
+  test("q119: window explode is codegen (no UDF); no cartesian; doc-bounded interval window") {
+    val p = plan("q119_substring_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEval"), p)
+    assert(p.contains("Generate"), p) // the sequence+explode window generator
+    // the duplicated-gram probe is a semi join; the coverage pass is
+    // ONE window over (doc_id, start) — never a per-position explode
+    assert(p.contains("LeftSemi"), p)
+    assert(count(p, "Window") == 1, p)
+    // distinct-doc bounding: the (g, doc) pre-aggregate keeps map-side
+    // partials before the gram-keyed exchange
+    assert(p.contains("hashpartitioning(g"), p)
+  }
 }

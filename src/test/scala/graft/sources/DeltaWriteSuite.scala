@@ -609,14 +609,30 @@ class DeltaWriteSuite extends SparkSpec {
       assert(e.getMessage.contains("delta.appendOnly"), e.getMessage)
     }
     assert(DeltaRead.read(spark, root).count() == 3L)
-    // v4: a v7 protocol demanding a feature this writer lacks
+    // v4: vacuumProtocolCheck + timestampNtz are satisfied features —
+    // reads, appends AND vacuum (whose protocol check IS the former's
+    // contract) keep working
     commit(4L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["vacuumProtocolCheck","timestampNtz"],""" +
+        """"writerFeatures":["vacuumProtocolCheck","timestampNtz","appendOnly"]}}"""))
+    assert(DeltaRead.read(spark, root).count() == 3L)
+    assert(DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root) == 5L)
+    DeltaWrite.vacuum(spark, root, retentionMs = 0L) // must not refuse
+    // v6: a v7 protocol demanding a feature this writer lacks — writes
+    // AND vacuum refuse (vacuumProtocolCheck's posture: never sweep a
+    // table whose protocol you don't fully understand)
+    commit(6L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         """"writerFeatures":["rowTracking"]}}"""))
     val e = intercept[UnsupportedOperationException] {
-      DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root)
+      DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), root)
     }
     assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    val ev = intercept[UnsupportedOperationException] {
+      DeltaWrite.vacuum(spark, root, retentionMs = 0L)
+    }
+    assert(ev.getMessage.contains("rowTracking"), ev.getMessage)
   }
 
   test("file-pruned merge: untouched adds carry byte-identical; upsert semantics exact") {
