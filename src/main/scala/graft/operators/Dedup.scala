@@ -676,23 +676,9 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 50,
                       minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
-    require(n >= 2, s"window length must be >= 2: $n")
-    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-    val w = base
-      .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(0))))
-          .as("start"))
-      .select(col("doc_id"), col("start"),
-        (if (hashed) xxhash64(expr(s"substring(__t, start, $n)"))
-         else expr(s"substring(__t, start, $n)")).as("g"))
-    // (g, doc) first: a gram repeated 1M times inside ONE document
-    // contributes one row to the distinct-doc count, not 1M
-    val dupG = w.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs).select("g")
-    val dup = w.join(dupG, Seq("g"), "left_semi").select("doc_id", "start")
+    val dup = flaggedWindowStarts(base, n, minDocs, hashed)
     val before = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cov = dup
@@ -707,5 +693,83 @@ object Dedup {
         when(col("__len") > 0,
           coalesce(col("dup_chars"), lit(0L)) * lit(1.0) / col("__len"))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** SPAN-LEVEL DEDUP TRANSFORM — the companion of [[duplicatedSpans]]
+    * that actually APPLIES the cut: every character covered by a
+    * cross-document duplicated window is removed and the surviving
+    * segments re-concatenate in order (the exact-substring dedup
+    * transformation from the dedup literature — document-level dedup
+    * keeps both near-unique docs AND their shared verbatim passage;
+    * this removes the passage from every carrier).
+    *
+    * Plan shape: [[flaggedWindowStarts]]'s bounded pipeline, then
+    * gaps-and-islands entirely in window functions (break marker →
+    * running island id → min/max per island = the merged intervals),
+    * one `collect_list(struct(s,e))` per DOC (bounded: intervals per
+    * doc ≤ len/n after merging — they are disjoint by construction),
+    * and the rebuild is a codegen'd higher-order `aggregate` fold over
+    * the sorted interval array slicing the original text — no UDF, no
+    * per-position rows, no driver involvement.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", n: Int = 50,
+                            minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val dup = flaggedWindowStarts(base, n, minDocs, hashed)
+    val before = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intervals = dup
+      .withColumn("brk", when(col("start") >
+        coalesce(max(col("start") + n).over(before), lit(0)), 1).otherwise(0))
+      .withColumn("island", sum("brk").over(upTo))
+      .groupBy("doc_id", "island")
+      .agg(min("start").as("s"), (max("start") + n).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    // fold the disjoint sorted intervals: acc = (next uncut position,
+    // rebuilt prefix); each interval appends the gap before it
+    val rebuilt = base.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ivs").isNull, col("__t")).otherwise(
+          aggregate(col("ivs"),
+            struct(lit(1).as("pos"), lit("").as("acc")),
+            (acc, iv) => struct(iv.getField("e").as("pos"),
+              concat(acc.getField("acc"),
+                col("__t").substr(acc.getField("pos"),
+                  iv.getField("s") - acc.getField("pos"))).as("acc")),
+            acc => concat(acc.getField("acc"),
+              col("__t").substr(acc.getField("pos"), length(col("__t"))))))
+          .as("clean_text"))
+    rebuilt
+  }
+
+  /** Shared front end of [[duplicatedSpans]] / [[removeDuplicatedSpans]]:
+    * the start offsets (1-based) of every length-`n` window occurring
+    * in >= `minDocs` distinct documents. `base` must carry
+    * (doc_id, __t). The (gram, doc) pre-aggregate bounds a hot gram's
+    * reducer fan-in; `hashed` swaps the n-byte gram key for xxhash64
+    * (the 100 TB shuffle shape, ~2⁻⁶⁴ over-mark rate).
+    */
+  private def flaggedWindowStarts(base: DataFrame, n: Int, minDocs: Int,
+                                  hashed: Boolean): DataFrame = {
+    require(n >= 2, s"window length must be >= 2: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val w = base
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(0))))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        (if (hashed) xxhash64(expr(s"substring(__t, start, $n)"))
+         else expr(s"substring(__t, start, $n)")).as("g"))
+    // (g, doc) first: a gram repeated 1M times inside ONE document
+    // contributes one row to the distinct-doc count, not 1M
+    val dupG = w.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    w.join(dupG, Seq("g"), "left_semi").select("doc_id", "start")
   }
 }

@@ -126,6 +126,19 @@ object TextQueries {
       Dedup.duplicatedSpans(t(s, dir, "documents"), n = 50)
         .orderBy("doc_id")),
 
+    // q120: SPAN-LEVEL DEDUP TRANSFORM (round 13) — q119's companion
+    // that APPLIES the cut: characters covered by cross-doc duplicated
+    // 50-windows are removed and the survivors re-concatenate in order
+    // (gaps-and-islands in window functions → one interval array per
+    // doc → codegen'd higher-order `aggregate` fold slicing the text;
+    // no UDF, no per-position rows). The oracle rebuilds the same
+    // strings in DuckDB (string_agg over the interval gaps) — a hash
+    // over the full cleaned TEXT, so one mis-sliced byte anywhere
+    // poisons the row.
+    "q120_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 50)
+        .orderBy("doc_id")),
+
     // q30: MinHash + LSH banding near-dup candidate pairs (rows-only:
     // the permutation family is not SQL-portable).
     // Band geometry stays at the tuned 16×8 default (LSH threshold
@@ -902,6 +915,42 @@ object TextQueries {
         |FROM documents d LEFT JOIN
         |  (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars
         |   FROM cov GROUP BY doc_id) c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q120_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-49, 0))) AS i) t
+        |), dup AS (
+        |  SELECT doc_id, strt FROM w
+        |  WHERE g IN (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+        |), m AS (
+        |  SELECT doc_id, strt,
+        |    CASE WHEN strt > coalesce(max(strt + 50) OVER (PARTITION BY doc_id ORDER BY strt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, strt, sum(brk) OVER (PARTITION BY doc_id ORDER BY strt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m
+        |), iv AS (
+        |  SELECT doc_id, min(strt) AS s, max(strt) + 50 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), seg AS (
+        |  SELECT v.doc_id, v.s, v.e,
+        |    coalesce(lag(v.e) OVER (PARTITION BY v.doc_id ORDER BY v.s), 1) AS gs,
+        |    d.text FROM iv v JOIN documents d USING (doc_id)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg(substr(text, CAST(gs AS BIGINT), CAST(s - gs AS BIGINT)), '' ORDER BY s) AS prefix,
+        |    max(e) AS last_e
+        |  FROM seg GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(a.prefix, '') || substr(d.text, CAST(a.last_e AS BIGINT)) END AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     "q101_seq_pack" ->

@@ -327,4 +327,19 @@ class PlanAuditSuite extends SparkSpec {
     // partials before the gram-keyed exchange
     assert(p.contains("hashpartitioning(g"), p)
   }
+
+  test("q120: the text rebuild is a codegen fold — no UDF, no per-position rows, doc-bounded windows") {
+    val p = plan("q120_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEval"), p)
+    // the interval fold is a higher-order aggregate in a projection.
+    // TWO Generates = the gram front end's two passes over the window
+    // explode (duplicated-gram set + probe side of the semi join); a
+    // THIRD would mean intervals re-exploding into per-position rows
+    assert(count(p, "Generate") == 2, p)
+    // gaps-and-islands: two window passes over (doc_id, start), both
+    // doc-partitioned (brk marker + running island id fuse into one
+    // Window node when their specs match)
+    assert(count(p, "Window") <= 2 && count(p, "Window") >= 1, p)
+  }
 }

@@ -239,6 +239,15 @@ class GroundTruthSuite extends SparkSpec {
     val hashed = Dedup.duplicatedSpans(docs, n = 10, hashed = true).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(hashed.toSeq == out.toSeq)
+    // the TRANSFORM removes exactly the covered block and re-joins the
+    // remainder — byte-for-byte
+    val cleaned = Dedup.removeDuplicatedSpans(docs, n = 10).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "xxxxyyyyyyy", s"doc1 cleaned: '${cleaned(1L)}'")
+    assert(cleaned(2L) == "zzqqqq", s"doc2 cleaned: '${cleaned(2L)}'")
+    assert(cleaned(3L) == "a completely unique document body here" &&
+      cleaned(4L) == "repeatrepeatrepeatrepeatrepeat" && cleaned(5L) == "tiny",
+      "untouched docs pass through byte-identical")
     // DISJOINT duplicated spans in one doc: both intervals count, the
     // gap between them does not
     val two = Seq(
@@ -247,5 +256,10 @@ class GroundTruthSuite extends SparkSpec {
     ).toDF("doc_id", "text")
     val t = Dedup.duplicatedSpans(two, n = 10).orderBy("doc_id").collect()
     assert(t(0).getLong(1) == 20L, s"two disjoint 10-char spans: ${t(0)}")
+    // disjoint-interval removal keeps the gap between the cut spans
+    val tc = Dedup.removeDuplicatedSpans(two, n = 10).orderBy("doc_id").collect()
+    assert(tc(0).getString(1) == "-gap-", s"doc10 cleaned: '${tc(0).getString(1)}'")
+    assert(tc(1).getString(1) == "" && tc(2).getString(1) == "",
+      "fully-duplicated docs clean to empty")
   }
 }
