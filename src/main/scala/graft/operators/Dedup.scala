@@ -758,9 +758,17 @@ object Dedup {
                                   hashed: Boolean): DataFrame = {
     require(n >= 2, s"window length must be >= 2: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // the short-doc guard must be a WHEN, not greatest(...,0):
+    // Spark's sequence(1, 0) yields the DESCENDING [1, 0] (auto step
+    // -1), which would mint two phantom "windows" (both clamping to
+    // the full short text) — two identical sub-n docs would then flag
+    // each other with dup_frac > 1. A doc shorter than n has no
+    // length-n window at all: explode(null) drops it.
     val w = base
       .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(0))))
+        explode(when(length(col("__t")) >= n,
+          sequence(lit(1), length(col("__t")) - (n - 1)))
+          .otherwise(lit(null).cast("array<int>")))
           .as("start"))
       .select(col("doc_id"), col("start"),
         (if (hashed) xxhash64(expr(s"substring(__t, start, $n)"))

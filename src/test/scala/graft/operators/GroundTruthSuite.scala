@@ -261,5 +261,18 @@ class GroundTruthSuite extends SparkSpec {
     assert(tc(0).getString(1) == "-gap-", s"doc10 cleaned: '${tc(0).getString(1)}'")
     assert(tc(1).getString(1) == "" && tc(2).getString(1) == "",
       "fully-duplicated docs clean to empty")
+    // IDENTICAL docs SHORTER than n hold no length-n window and must
+    // score 0 — Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    // (not empty), which minted two phantom clamped windows and made
+    // twin short docs flag each other with dup_frac > 1 (caught by the
+    // sf1 sweep, where every doc has 10 byte-identical copies)
+    val short = Seq((20L, "twin-short"), (21L, "twin-short"), (22L, "twin-short"))
+      .toDF("doc_id", "text")
+    val ts = Dedup.duplicatedSpans(short, n = 50).orderBy("doc_id").collect()
+    assert(ts.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0),
+      s"sub-n twins must not flag: ${ts.toSeq}")
+    val tsc = Dedup.removeDuplicatedSpans(short, n = 50).orderBy("doc_id").collect()
+    assert(tsc.forall(_.getString(1) == "twin-short"),
+      "sub-n twins pass through the transform untouched")
   }
 }
