@@ -185,6 +185,14 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       graft.operators.Curation.shardAssign(df, nShards, idCol)
     case ChunkStep(windowTokens, strideTokens, idCol, textCol) =>
       graft.operators.Curation.chunkOverlap(df, windowTokens, strideTokens, idCol, textCol)
+    case SpanDedupStep(window, minDocs, hashed, idCol, textCol) =>
+      // join-back by id so every non-text column flows through; the
+      // cleaned text REPLACES textCol in place
+      val cleaned = graft.operators.Dedup.removeDuplicatedSpans(
+        df, idCol, textCol, window, minDocs, hashed)
+      df.drop(textCol).join(
+        cleaned.select(col("doc_id").as(idCol), col("clean_text").as(textCol)),
+        Seq(idCol))
     case VocabStep(topK, minDocFreq, idCol, textCol) =>
       graft.operators.TextAnalysis.vocab(df, topK, minDocFreq, idCol, textCol)
     case DecontaminateStep(evalTable, mode, n, idCol, textCol) =>

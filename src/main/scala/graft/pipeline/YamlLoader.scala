@@ -373,6 +373,12 @@ object YamlLoader {
           throw new IllegalArgumentException("chunk step requires a 'stride_tokens' param")),
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"))
+      case "span_dedup" => SpanDedupStep(
+        window = str(params, "window").map(_.toInt).getOrElse(50),
+        minDocs = str(params, "min_docs").map(_.toInt).getOrElse(2),
+        hashed = str(params, "hashed").forall(_.toBoolean),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
       case "vocab" => VocabStep(
         topK = str(params, "top_k").map(_.toInt).getOrElse(100),
         minDocFreq = str(params, "min_doc_freq").map(_.toLong).getOrElse(2L),

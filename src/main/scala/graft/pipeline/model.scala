@@ -235,6 +235,19 @@ final case class ChunkStep(
     strideTokens: Int,
     idCol: String = "doc_id",
     textCol: String = "text") extends Step
+/** Span-level dedup transform ([[graft.operators.Dedup
+  * .removeDuplicatedSpans]]): characters covered by cross-document
+  * duplicated length-`window` substrings are CUT from `textCol` (the
+  * exact-substring dedup transformation); every other column flows
+  * through. `hashed` defaults true — the 8-byte-key shuffle shape for
+  * pipelines; flip false for the byte-exact gram keys.
+  */
+final case class SpanDedupStep(
+    window: Int = 50,
+    minDocs: Int = 2,
+    hashed: Boolean = true,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
 /** Vocabulary builder ([[graft.operators.TextAnalysis.vocab]]):
   * REPLACES the flowing frame with (tok, term_count, doc_freq) — the
   * word-frequency table tokenizer training starts from.

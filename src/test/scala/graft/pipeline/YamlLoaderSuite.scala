@@ -685,6 +685,22 @@ class YamlLoaderSuite extends SparkSpec {
     val vExp = graft.operators.TextAnalysis.vocab(
       spark.read.parquet(docs), topK = 20, minDocFreq = 2).collect().toSeq
     assert(vOut == vExp, "YAML vocab must be row-identical to TextAnalysis.vocab (q114)")
+
+    // span_dedup: cleaned text replaces textCol IN PLACE, other
+    // columns flow through, exact mode matches the operator (q120)
+    val sSpec = YamlLoader.load(
+      s"""pipeline_name: span_dd
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: span_dedup, params: {window: 50, hashed: "false"}}]
+         |""".stripMargin)
+    assert(sSpec.steps == Seq(SpanDedupStep(window = 50, hashed = false)))
+    val sOut = Pipeline(spark, sSpec).run()
+    assert(sOut.columns.toSet == spark.read.parquet(docs).columns.toSet,
+      "every source column must survive the span_dedup step")
+    val sGot = sOut.select("doc_id", "text").orderBy("doc_id").collect().toSeq
+    val sExp = graft.operators.Dedup.removeDuplicatedSpans(spark.read.parquet(docs))
+      .select(col("doc_id"), col("clean_text").as("text")).orderBy("doc_id").collect().toSeq
+    assert(sGot == sExp, "YAML span_dedup must be row-identical to removeDuplicatedSpans (q120)")
     // missing required params refuse at LOAD time
     val e = intercept[IllegalArgumentException] {
       YamlLoader.load(
