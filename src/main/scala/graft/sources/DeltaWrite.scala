@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Native Delta Lake WRITER — the last reference capability graft
   * lacked (drune's merge sinks write through `DeltaTable`, reference:
@@ -61,10 +61,18 @@ object DeltaWrite {
 
   /** Append `df` to the Delta table at `path`, creating it (v0) if
     * absent. Returns the committed version.
+    *
+    * `mergeSchema = true` is delta-spark's additive evolution: columns
+    * of `df` the table lacks APPEND to the schema (nullable — existing
+    * files read them as null via parquet by-name resolution), and
+    * table columns `df` lacks null-fill; the commit re-emits
+    * `metaData` with the union schema, carrying the table id. Type
+    * changes still refuse, and column-mapped tables refuse (a new
+    * column must mint a column id).
     */
   def append(spark: SparkSession, df: DataFrame, path: String,
-             partitionBy: Seq[String] = Nil): Long =
-    write(spark, df, path, Mode.Append, partitionBy)
+             partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long =
+    write(spark, df, path, Mode.Append, partitionBy, mergeSchema = mergeSchema)
 
   /** Replace the table's content (and, if changed, its schema /
     * partitioning — carrying the table id) with `df`.
@@ -524,7 +532,8 @@ object DeltaWrite {
 
   private def write(spark: SparkSession, df: DataFrame, path: String,
                     mode: Mode.Value, partitionByReq: Seq[String],
-                    txn: Option[(String, Long)] = None): Long = {
+                    txn: Option[(String, Long)] = None,
+                    mergeSchema: Boolean = false): Long = {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
@@ -594,16 +603,29 @@ object DeltaWrite {
         val missing = tbl.fieldNames.filterNot(n => dfNames.contains(n.toLowerCase))
         val extra = df.columns.filterNot(n =>
           tbl.fieldNames.exists(_.equalsIgnoreCase(n)))
-        require(missing.isEmpty && extra.isEmpty,
-          s"schema mismatch appending to Delta table $path — missing: " +
-            s"[${missing.mkString(", ")}], extra: [${extra.mkString(", ")}]; " +
-            "overwrite the table to change its schema")
-        val re = df.select(tbl.fieldNames.map(col): _*)
+        if (!mergeSchema)
+          require(missing.isEmpty && extra.isEmpty,
+            s"schema mismatch appending to Delta table $path — missing: " +
+              s"[${missing.mkString(", ")}], extra: [${extra.mkString(", ")}]; " +
+              "append with mergeSchema=true (additive) or overwrite the table")
+        else require(snap.colMap.isEmpty,
+          s"mergeSchema append into the column-mapped Delta table at $path would " +
+            "mint column ids — evolve the schema with delta-spark")
+        // mergeSchema: table columns df lacks NULL-FILL (the protocol's
+        // by-name read does the same for old files vs new columns);
+        // df-only columns append after the table's, nullable
+        val re = df.select(tbl.fields.map { f =>
+          if (dfNames.contains(f.name.toLowerCase)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } ++ extra.map(col): _*)
         tbl.fields.zip(re.schema.fields).foreach { case (t, d) =>
-          require(t.dataType.catalogString == d.dataType.catalogString,
-            s"type mismatch appending to Delta table $path — column '${t.name}' " +
-              s"is ${t.dataType.catalogString} in the table, " +
-              s"${d.dataType.catalogString} in the dataframe")
+          if (dfNames.contains(t.name.toLowerCase))
+            require(t.dataType.catalogString == d.dataType.catalogString,
+              s"type mismatch appending to Delta table $path — column '${t.name}' " +
+                s"is ${t.dataType.catalogString} in the table, " +
+                s"${d.dataType.catalogString} in the dataframe" +
+                (if (mergeSchema) " (mergeSchema is additive, never a type change)"
+                 else ""))
         }
         re
       case _ => df
@@ -644,7 +666,8 @@ object DeltaWrite {
             .toSeq.sorted
         case _ => Nil
       }
-      val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next, txn)
+      val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
+        txn, mergeSchema)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
         if (next > 0 && next % CheckpointInterval == 0)
@@ -684,10 +707,23 @@ object DeltaWrite {
               s"(${s.partitionColumns.mkString(", ")}) mid-commit — this " +
               s"${mode.toString.toLowerCase} wrote (${parts.mkString(", ")}) layout; " +
               "re-run the write (its staged files are unreferenced)")
-          require(s.schema.fieldNames.map(_.toLowerCase).sorted.sameElements(
-                    aligned.schema.fieldNames.map(_.toLowerCase).sorted),
-            s"concurrent writer changed the schema of Delta table $path mid-commit — " +
-              "re-run the write against the new schema (staged files are unreferenced)")
+          if (!mergeSchema)
+            require(s.schema.fieldNames.map(_.toLowerCase).sorted.sameElements(
+                      aligned.schema.fieldNames.map(_.toLowerCase).sorted),
+              s"concurrent writer changed the schema of Delta table $path mid-commit — " +
+                "re-run the write against the new schema (staged files are unreferenced)")
+          else
+            // an evolving append tolerates concurrent evolution — the
+            // retry's metaData re-unions against the winner's schema —
+            // but a TYPE conflict on any shared column is fatal
+            s.schema.fields.foreach { t =>
+              aligned.schema.fields.find(_.name.equalsIgnoreCase(t.name)).foreach { d =>
+                require(t.dataType.catalogString == d.dataType.catalogString,
+                  s"concurrent writer changed the type of column '${t.name}' of Delta " +
+                    s"table $path mid-commit (${d.dataType.catalogString} staged vs " +
+                    s"${t.dataType.catalogString} now) — re-run the write")
+              }
+            }
         }
       }
     }
@@ -856,7 +892,8 @@ object DeltaWrite {
   private def commitContent(df: DataFrame, mode: Mode.Value, parts: Seq[String],
                             snap: Option[DeltaRead.Snapshot], adds: Seq[NewFile],
                             removes: Seq[String], version: Long,
-                            txn: Option[(String, Long)] = None): String = {
+                            txn: Option[(String, Long)] = None,
+                            mergeSchema: Boolean = false): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -886,16 +923,28 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(pr)
     }
 
-    // metaData at v0, and on overwrites that change schema or layout —
+    // metaData at v0, on overwrites that change schema or layout, and
+    // on mergeSchema appends that actually widened the schema —
     // CARRYING the table id (a fresh id would read as a different
-    // table to other Delta clients)
-    val schemaJson = df.schema.json
+    // table to other Delta clients). The evolved schema is the UNION
+    // of the CURRENT snapshot's (re-read per CAS attempt — a racing
+    // evolver's additions survive) and this write's extra columns,
+    // forced nullable (existing files read them as null by name).
+    val schemaJson = snap match {
+      case Some(s) if mode != Mode.Overwrite && mergeSchema =>
+        val extras = df.schema.fields
+          .filterNot(f => s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(_.copy(nullable = true))
+        org.apache.spark.sql.types.StructType(s.schema.fields ++ extras).json
+      case _ => df.schema.json
+    }
     val needMeta = snap match {
       case None => true
       case Some(s) =>
-        mode == Mode.Overwrite &&
+        (mode == Mode.Overwrite &&
           (s.schema.json != schemaJson ||
-            s.partitionColumns.map(_.toLowerCase) != parts.map(_.toLowerCase))
+            s.partitionColumns.map(_.toLowerCase) != parts.map(_.toLowerCase))) ||
+        (mergeSchema && s.schema.json != schemaJson)
       }
     if (needMeta) {
       val md = mapper.createObjectNode
@@ -908,7 +957,13 @@ object DeltaWrite {
       mdb.put("schemaString", schemaJson)
       val pc = mdb.putArray("partitionColumns")
       parts.foreach(pc.add)
-      mdb.putObject("configuration")
+      // CARRY the table configuration — a re-emitted metaData REPLACES
+      // the old one, and dropping e.g. delta.appendOnly=true here would
+      // silently disable an enforcement other writers rely on
+      val cfg = mdb.putObject("configuration")
+      snap.foreach(_.configuration.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        cfg.put(k, v)
+      })
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
     }

@@ -689,6 +689,56 @@ class DeltaWriteSuite extends SparkSpec {
     assert(out3.where("src = 'fix2'").count() == 3L)
   }
 
+  test("mergeSchema append: additive evolution, null backfill, configuration carried") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val id0 = DeltaRead.snapshot(spark, root).metaId
+    // strict appends still refuse extras (the default is unchanged)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((2L, "b", 1.5)).toDF("id", "v", "score"), root)
+    }
+    // flip the table append-only via a foreign metaData commit — the
+    // evolving append below must CARRY this configuration through its
+    // re-emitted metaData, not silently drop the enforcement
+    val schemaJson = DeltaRead.snapshot(spark, root).schema.json
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"${id0}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${m.writeValueAsString(schemaJson)},"partitionColumns":[],""" +
+        """"configuration":{"delta.appendOnly":"true"}}}""" + "\n").getBytes("UTF-8"))
+    // evolving append: the score column joins the schema, nullable
+    val v2 = DeltaWrite.append(spark, Seq((2L, "b", 1.5)).toDF("id", "v", "score"),
+      root, mergeSchema = true)
+    assert(v2 == 2L)
+    val out = DeltaRead.read(spark, root).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "v", "score"))
+    val rows = out.collect()
+    assert(rows(0).isNullAt(2), "the pre-evolution file reads the new column as null")
+    assert(rows(1).getDouble(2) == 1.5)
+    val snap2 = DeltaRead.snapshot(spark, root)
+    assert(snap2.metaId == id0, "evolution must carry the table id")
+    assert(snap2.configuration.get("delta.appendOnly").contains("true"),
+      "evolution must carry the table configuration")
+    // overwrite still refused (appendOnly carried) — proves the carry
+    intercept[UnsupportedOperationException] {
+      DeltaWrite.overwrite(spark, Seq((9L, "z", 0.0)).toDF("id", "v", "score"), root)
+    }
+    // a df MISSING table columns null-fills under mergeSchema
+    val v3 = DeltaWrite.append(spark, Seq((3L, 2.5)).toDF("id", "score"),
+      root, mergeSchema = true)
+    assert(v3 == 3L)
+    assert(DeltaRead.read(spark, root).where("id = 3").head().isNullAt(1))
+    // type changes refuse — mergeSchema is additive only
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((4L, "x", "nope")).toDF("id", "v", "score"),
+        root, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+    // time travel reads the ORIGINAL schema at v0
+    assert(DeltaRead.read(spark, root, Some(0L)).columns.toSeq == Seq("id", "v"))
+  }
+
   test("purgeDvs rewrites only DV-heavy files; clean adds carry byte-identical") {
     val root = tmp()
     // 4 files, 1000 rows each, disjoint ranges
