@@ -1159,6 +1159,49 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q121: DELTA SCHEMA EVOLUTION via mergeSchema append (round 13) —
+    // the base commits two columns, the second append carries a THIRD
+    // (price) under mergeSchema=true: the commit re-emits metaData with
+    // the union schema and the read must null-backfill the column for
+    // every pre-evolution file (parquet by-name resolution) while
+    // serving real values for the new one. The hash covers both the
+    // evolved schema and the per-file backfill boundary.
+    "q121_delta_evolve" -> ((s, dir) => {
+      val root = scratchRoot("graft_q121")
+      val orders = t(s, dir, "orders")
+        .withColumn("__cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val base = orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.sources.DeltaWrite.append(s, base, root)
+      val evolved = orders.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("__cents / 100.0D").as("price"))
+      graft.sources.DeltaWrite.append(s, evolved, root, mergeSchema = true)
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // q122: DV PURGE round trip (round 13) — DV-emitting deletes leave
+    // soft-deleted rows behind a read-path filter; purgeDvs (REORG
+    // PURGE) rewrites ONLY the DV-carrying files with the masks applied
+    // (dataChange=false — a stream must not re-deliver). The read-back
+    // hash proves the materialization dropped exactly the soft-deleted
+    // rows and nothing else; the snapshot must be DV-free after.
+    "q122_delta_purge" -> ((s, dir) => {
+      val root = scratchRoot("graft_q122")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(4), root)
+      graft.sources.DeltaWrite.delete(s, root, "o_custkey % 7 = 2")
+      graft.sources.DeltaWrite.purgeDvs(s, root, minDeletedFraction = 0.0)
+      require(graft.sources.DeltaRead.snapshot(s, root).dvs.isEmpty,
+        "purge must leave a DV-free snapshot")
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q110: BRANCH REBASE (round 12) — the full diverge-rebase-publish
     // loop under the oracle hash. Even keys commit as main's base, a
     // branch forks and appends the %4==1 slice, then MAIN moves (the
@@ -1701,6 +1744,20 @@ object RelationalQueries {
         |SELECT o_orderkey + 10000000, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price, 'new' AS src
         |FROM orders WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q121_delta_evolve" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS price
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q122_delta_purge" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+        |WHERE o_custkey % 7 <> 2
         |ORDER BY o_orderkey""".stripMargin,
 
     // same closed form as q81 — deliberately: identical upsert
