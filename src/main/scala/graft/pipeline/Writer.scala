@@ -24,6 +24,9 @@ object Writer {
     // independent. Merge-shaped modes compose: graft's distributed
     // merge plans compute the new snapshot, DeltaWrite commits it.
     if (sink.format == "delta") { deltaSink(spark, df, sink); return }
+    require(!sink.mergeSchema,
+      s"merge_schema is a DELTA append option (additive log-schema evolution); " +
+        s"a ${sink.format} sink has no table schema to evolve — drop the option")
     sink.table match {
       // Versioned CATALOG table: the data commits through the path
       // protocol (manifest CAS — concurrent merges serialize), then the
@@ -138,9 +141,13 @@ object Writer {
       if (graft.sources.DeltaRead.isDeltaTable(spark, sink.path))
         Some(graft.sources.DeltaRead.read(spark, sink.path))
       else None
+    require(!sink.mergeSchema || sink.mode == Append,
+      "merge_schema evolves the schema on APPEND sinks; overwrite already " +
+        "re-emits the schema and merge modes conform to the table — drop the option")
     sink.mode match {
       case Append =>
-        graft.sources.DeltaWrite.append(spark, clustered(df), sink.path, sink.partitionBy)
+        graft.sources.DeltaWrite.append(spark, clustered(df), sink.path,
+          sink.partitionBy, mergeSchema = sink.mergeSchema)
       case Overwrite =>
         graft.sources.DeltaWrite.overwrite(spark, clustered(df), sink.path, sink.partitionBy)
       case OverwritePartition =>

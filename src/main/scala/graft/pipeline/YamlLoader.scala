@@ -441,7 +441,8 @@ object YamlLoader {
               .getOrElse(kind)}': zorder_files must be an integer file count, got '$v'")
         }
       }.getOrElse(64),
-      materialized = m.get("materialized").map(asMap).map(parseMaterialized))
+      materialized = m.get("materialized").map(asMap).map(parseMaterialized),
+      mergeSchema = bool(m, "merge_schema"))
   }
 
   /** `materialized:` block on a target — group_by list + aggregates

@@ -117,7 +117,12 @@ final case class SinkSpec(
     versioned: Boolean = false,
     // Incrementally-maintained rollup sink (graft extension; YAML
     // `materialized:` block) — see [[MaterializedSpec]].
-    materialized: Option[MaterializedSpec] = None)
+    materialized: Option[MaterializedSpec] = None,
+    // Additive schema evolution on DELTA appends (delta-spark's
+    // mergeSchema; YAML `merge_schema: true`): new columns join the
+    // table schema nullable, missing ones null-fill. Only meaningful
+    // on `format: delta` append sinks — others refuse loudly.
+    mergeSchema: Boolean = false)
 
 /** Test-mode config (pipeline_model.py test section + tester.py):
   * run the pipeline against fixture input and diff the result with an

@@ -739,6 +739,31 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root, Some(0L)).columns.toSeq == Seq("id", "v"))
   }
 
+  test("SinkSpec merge_schema: delta append evolves; non-delta and non-append refuse") {
+    val root = tmp()
+    Writer.write(spark, Seq((1L, "a")).toDF("id", "v"),
+      SinkSpec(root, format = "delta"))
+    Writer.write(spark, Seq((2L, "b", 1.5)).toDF("id", "v", "score"),
+      SinkSpec(root, format = "delta", mergeSchema = true))
+    assert(DeltaRead.read(spark, root).columns.toSeq == Seq("id", "v", "score"))
+    assert(DeltaRead.read(spark, root).count() == 2L)
+    intercept[IllegalArgumentException] {
+      Writer.write(spark, Seq((1L, "a")).toDF("id", "v"),
+        SinkSpec(tmp(), format = "parquet", mergeSchema = true))
+    }
+    intercept[IllegalArgumentException] {
+      Writer.write(spark, Seq((1L, "a")).toDF("id", "v"),
+        SinkSpec(root, format = "delta", mode = Overwrite, mergeSchema = true))
+    }
+    // YAML surface parses into the flag
+    val spec = graft.pipeline.YamlLoader.load(
+      s"""pipeline_name: ms
+         |sources: [{name: d, type: file, format: parquet, path: "/x"}]
+         |target: {name: t, type: file, format: delta, path: "$root", merge_schema: true}
+         |""".stripMargin)
+    assert(spec.sink.exists(_.mergeSchema))
+  }
+
   test("purgeDvs rewrites only DV-heavy files; clean adds carry byte-identical") {
     val root = tmp()
     // 4 files, 1000 rows each, disjoint ranges
