@@ -484,9 +484,16 @@ object DeltaWrite {
           refuse("CHECK constraints are configured (delta.constraints.*) and this " +
             "writer does not evaluate them")
       case "changeDataFeed" =>
-        if (conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+        // CDF readers DERIVE changes from add/remove when a commit has
+        // no cdc action: a pure APPEND (inserts) and dataChange=false
+        // maintenance are therefore legal without writing _change_data
+        // — only data-REMOVING commits (delete/merge/overwrite, whose
+        // row-level changes adds/removes can't express) must refuse
+        if (removesData &&
+            conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
           refuse("change data feed is enabled and this writer does not produce " +
-            "_change_data files")
+            "_change_data files for row-removing commits; appends remain allowed " +
+            "(CDF readers derive inserts from add actions)")
       case "generatedColumns" =>
         if (fieldMeta("delta.generationExpression"))
           refuse("generated columns are configured and this writer does not " +

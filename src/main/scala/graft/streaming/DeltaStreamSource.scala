@@ -92,8 +92,17 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
     }
     def flag(name: String): Boolean =
       parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
+    val maxFiles = parameters.get("maxFilesPerTrigger").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     new DeltaTableSource(spark, root, declared, initialFrom,
-      ignoreDeletes = flag("ignoreDeletes"), ignoreChanges = flag("ignoreChanges"))
+      ignoreDeletes = flag("ignoreDeletes"), ignoreChanges = flag("ignoreChanges"),
+      maxFilesPerTrigger = maxFiles)
   }
 }
 
@@ -101,7 +110,8 @@ class DeltaTableSource(spark: SparkSession, root: String,
                        override val schema: StructType,
                        initialFrom: Long,
                        ignoreDeletes: Boolean,
-                       ignoreChanges: Boolean) extends Source {
+                       ignoreChanges: Boolean,
+                       maxFilesPerTrigger: Option[Int] = None) extends Source {
 
   // the BATCH reader handles column mapping; this source's own commit
   // parse keeps add.partitionValues in physical-name space, so a
@@ -137,11 +147,53 @@ class DeltaTableSource(spark: SparkSession, root: String,
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
-  override def getOffset: Option[OffsetV1] =
-    DeltaRead.latestVersion(spark, root).map(LongOffset(_))
+  // newest version already HANDED to the engine (getOffset return or a
+  // recovered getBatch's end) — the base the rate limiter counts from.
+  // The engine replays the checkpointed getBatch before its first
+  // getOffset, so a restart resumes counting from the right place.
+  @volatile private var handedOut: Long = initialFrom
+
+  /** RATE LIMITING (`maxFilesPerTrigger`, delta-spark's option): the
+    * offset advances commit-by-commit until the span's cumulative add
+    * count would exceed the cap — at least ONE commit always advances
+    * (a single commit larger than the cap must deliver, never stall).
+    * Offsets are VERSION-granular here, so the cap rounds to commit
+    * boundaries, and the initial full-snapshot batch (startingVersion
+    * unset) delivers whole — cap the backfill by setting
+    * startingVersion and letting the tail stream in capped batches.
+    * Cost: O(commits taken) JSON parses per trigger with early exit —
+    * a 100k-commit lag never parses past the cap.
+    */
+  override def getOffset: Option[OffsetV1] = {
+    val head = DeltaRead.latestVersion(spark, root)
+    (head, maxFilesPerTrigger) match {
+      case (None, _) => None
+      case (Some(h), None) => Some(LongOffset(h))
+      case (Some(h), Some(cap)) =>
+        val base = handedOut
+        val out =
+          if (base < 0 || h <= base) h // initial snapshot, or no new commits
+          else {
+            var v = base
+            var files = 0L
+            var stop = false
+            while (!stop && v < h) {
+              val adds = DeltaRead.commitActions(spark, root, v, v + 1)
+                .headOption.map(_.adds.length).getOrElse(0)
+              if (v == base || files + adds <= cap) { files += adds; v += 1 }
+              else stop = true
+              if (files >= cap) stop = true
+            }
+            v
+          }
+        handedOut = math.max(handedOut, out)
+        Some(LongOffset(out))
+    }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = versionOf(end)
+    handedOut = math.max(handedOut, to)
     val from = start.map(versionOf).getOrElse(initialFrom)
     val batch =
       if (from < 0L) DeltaRead.read(spark, root, Some(to))

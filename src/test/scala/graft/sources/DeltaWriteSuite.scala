@@ -609,6 +609,28 @@ class DeltaWriteSuite extends SparkSpec {
       assert(e.getMessage.contains("delta.appendOnly"), e.getMessage)
     }
     assert(DeltaRead.read(spark, root).count() == 3L)
+    // CDF-enabled table: appends stay legal (CDF readers derive
+    // inserts from add actions — no _change_data needed), data-removing
+    // commits refuse (their row-level changes need cdc files)
+    val cdfRoot = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), cdfRoot)
+    val cdfSchema = DeltaRead.snapshot(spark, cdfRoot).schema.json
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cdfRoot, "_delta_log", f"${1L}%020d.json"),
+      (Seq(
+        // CDF legally requires writer v4 (implies the feature)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"cdf","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(cdfSchema)},""" +
+          """"partitionColumns":[],""" +
+          """"configuration":{"delta.enableChangeDataFeed":"true"}}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), cdfRoot) == 2L)
+    val cdfE = intercept[UnsupportedOperationException] {
+      DeltaWrite.delete(spark, cdfRoot, "id = 1")
+    }
+    assert(cdfE.getMessage.contains("change data feed"), cdfE.getMessage)
+
     // v4: vacuumProtocolCheck + timestampNtz are satisfied features —
     // reads, appends AND vacuum (whose protocol check IS the former's
     // contract) keep working

@@ -67,6 +67,45 @@ class DeltaStreamSuite extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger paces the tail commit-by-commit; nothing lost or duplicated") {
+    val root = tmp("dstream_rate")
+    DeltaWrite.append(spark, Seq((0L, "base")).toDF("id", "v").coalesce(1), root) // v0
+    // four single-file commits AFTER the starting version
+    (1L to 4L).foreach { i =>
+      DeltaWrite.append(spark, Seq((i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    }
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // content complete and exactly-once despite the pacing
+      assert(spark.table(name).orderBy("id").as[(Long, String)].collect().toSeq ==
+        (1L to 4L).map(i => (i, s"v$i")))
+      // the cap split the 4-commit backlog into one batch per commit
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4,
+        s"expected 4 paced batches, saw ${batches.length}: " +
+          batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows == 1), "each batch carries ONE file's rows")
+      // a late commit still streams (pacing never stalls the head)
+      DeltaWrite.append(spark, Seq((5L, "v5")).toDF("id", "v").coalesce(1), root)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 5)
+    } finally q.stop()
+    // a positive-integer guard on the option
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "zero").load(root)
+        .writeStream.format("memory").queryName(sinkName())
+        .option("checkpointLocation", tmp("dstream_rate_ck")).start()
+        .processAllAvailable()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("delete-only commits skip under ignoreDeletes; dataChange=false never streams") {
     val root = tmp("dstream_del")
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root) // v0
