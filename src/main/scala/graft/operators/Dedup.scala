@@ -676,23 +676,8 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 50,
                       minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-    val dup = flaggedWindowStarts(base, n, minDocs, hashed)
-    val before = Window.partitionBy("doc_id").orderBy("start")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cov = dup
-      .withColumn("prevEnd", coalesce(max(col("start") + n).over(before), lit(0)))
-      .withColumn("covered",
-        greatest(lit(0), (col("start") + n) - greatest(col("start"), col("prevEnd"))))
-      .groupBy("doc_id").agg(sum("covered").cast("long").as("dup_chars"))
-    base.select(col("doc_id"), length(col("__t")).as("__len"))
-      .join(cov, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        when(col("__len") > 0,
-          coalesce(col("dup_chars"), lit(0L)) * lit(1.0) / col("__len"))
-          .otherwise(lit(0.0)).as("dup_frac"))
+    spanCoverage(base, flaggedWindowStarts(base, n, minDocs, hashed), n)
   }
 
   /** SPAN-LEVEL DEDUP TRANSFORM — the companion of [[duplicatedSpans]]
@@ -747,24 +732,20 @@ object Dedup {
     rebuilt
   }
 
-  /** Shared front end of [[duplicatedSpans]] / [[removeDuplicatedSpans]]:
-    * the start offsets (1-based) of every length-`n` window occurring
-    * in >= `minDocs` distinct documents. `base` must carry
-    * (doc_id, __t). The (gram, doc) pre-aggregate bounds a hot gram's
-    * reducer fan-in; `hashed` swaps the n-byte gram key for xxhash64
-    * (the 100 TB shuffle shape, ~2⁻⁶⁴ over-mark rate).
+  /** Every length-`n` window of `base` (which must carry
+    * (doc_id, __t)) as (doc_id, start, g) — `g` is the raw n-char gram
+    * or its xxhash64 under `hashed` (the 100 TB shuffle shape,
+    * ~2⁻⁶⁴ over-mark rate). The short-doc guard must be a WHEN, not
+    * greatest(...,0): Spark's sequence(1, 0) yields the DESCENDING
+    * [1, 0] (auto step -1), which would mint two phantom "windows"
+    * (both clamping to the full short text) — two identical sub-n
+    * docs would then flag each other with dup_frac > 1. A doc shorter
+    * than n has no length-n window at all: explode(null) drops it.
     */
-  private def flaggedWindowStarts(base: DataFrame, n: Int, minDocs: Int,
-                                  hashed: Boolean): DataFrame = {
+  private[operators] def windowGrams(base: DataFrame, n: Int,
+                                     hashed: Boolean): DataFrame = {
     require(n >= 2, s"window length must be >= 2: $n")
-    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    // the short-doc guard must be a WHEN, not greatest(...,0):
-    // Spark's sequence(1, 0) yields the DESCENDING [1, 0] (auto step
-    // -1), which would mint two phantom "windows" (both clamping to
-    // the full short text) — two identical sub-n docs would then flag
-    // each other with dup_frac > 1. A doc shorter than n has no
-    // length-n window at all: explode(null) drops it.
-    val w = base
+    base
       .select(col("doc_id"), col("__t"),
         explode(when(length(col("__t")) >= n,
           sequence(lit(1), length(col("__t")) - (n - 1)))
@@ -773,6 +754,43 @@ object Dedup {
       .select(col("doc_id"), col("start"),
         (if (hashed) xxhash64(expr(s"substring(__t, start, $n)"))
          else expr(s"substring(__t, start, $n)")).as("g"))
+  }
+
+  /** Merged-interval coverage of flagged window starts: per doc of
+    * `base`, how many characters the length-`n` windows at `dup`'s
+    * (doc_id, start) rows cover (one running-max window pass per doc
+    * — never per-position rows), left-joined back so unflagged docs
+    * score 0. Output: (doc_id, dup_chars, dup_frac).
+    */
+  private[operators] def spanCoverage(base: DataFrame, dup: DataFrame,
+                                      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dup
+      .withColumn("prevEnd", coalesce(max(col("start") + n).over(before), lit(0)))
+      .withColumn("covered",
+        greatest(lit(0), (col("start") + n) - greatest(col("start"), col("prevEnd"))))
+      .groupBy("doc_id").agg(sum("covered").cast("long").as("dup_chars"))
+    base.select(col("doc_id"), length(col("__t")).as("__len"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("__len") > 0,
+          coalesce(col("dup_chars"), lit(0L)) * lit(1.0) / col("__len"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Shared front end of [[duplicatedSpans]] / [[removeDuplicatedSpans]]:
+    * the start offsets (1-based) of every length-`n` window occurring
+    * in >= `minDocs` distinct documents. `base` must carry
+    * (doc_id, __t). The (gram, doc) pre-aggregate bounds a hot gram's
+    * reducer fan-in.
+    */
+  private def flaggedWindowStarts(base: DataFrame, n: Int, minDocs: Int,
+                                  hashed: Boolean): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val w = windowGrams(base, n, hashed)
     // (g, doc) first: a gram repeated 1M times inside ONE document
     // contributes one row to the distinct-doc count, not 1M
     val dupG = w.select("g", "doc_id").distinct()

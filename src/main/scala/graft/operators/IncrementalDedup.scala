@@ -583,4 +583,144 @@ object IncrementalDedup {
     }
     ExactDelta(fresh, version)
   }
+
+  // ---- substring-GRAM store: incremental span-level dedup ------------
+  // The scale path of Dedup.duplicatedSpans (q119/q120): the corpus's
+  // distinct window grams persist once, and each ingest batch scores
+  // its duplicated-span coverage against corpus+batch WITHOUT ever
+  // rescanning corpus text — the corpus contributes one columnar scan
+  // of stored keys (8 B/gram hashed), the delta pays the only window
+  // explode.
+
+  /** Window length + key mode pinned at gram-store creation. Exact
+    * (string-gram) stores exist for oracle/byte-parity work; hashed is
+    * the production shape.
+    */
+  final case class GramParams(window: Int = 50, hashed: Boolean = true)
+
+  private val GramParamsFile = "_gram_params"
+
+  private def writeGramParams(spark: SparkSession, root: String, p: GramParams): Unit = {
+    val (fs, rootP) = fsFor(spark, root)
+    val f = new Path(rootP, GramParamsFile)
+    val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+    Option(fs.globStatus(new Path(rootP, GramParamsFile + ".tmp*"))).getOrElse(Array.empty)
+      .foreach(st => if (st.getModificationTime < cutoff) fs.delete(st.getPath, false))
+    val tmp = new Path(rootP, GramParamsFile + ".tmp" +
+      java.util.UUID.randomUUID.toString.take(8))
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(s"window=${p.window}\nhashed=${p.hashed}\n".getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(f, false)
+      if (!fs.rename(tmp, f)) throw new IllegalStateException(s"could not publish $f")
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
+  /** The store's pinned gram parameters — same contract as
+    * [[storeParams]] (None = not a gram store / crashed re-init;
+    * unreadable-but-present throws).
+    */
+  def gramStoreParams(spark: SparkSession, root: String): Option[GramParams] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val f = new Path(rootP, GramParamsFile)
+    if (!fs.exists(f)) None
+    else {
+      val content = VersionedTable.readSmall(fs, f).getOrElse(throw new IllegalStateException(
+        s"$GramParamsFile at $root exists but could not be read — transient " +
+          "filesystem failure or an in-flight publish; retry"))
+      val kv = content.linesIterator.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k.trim -> v.trim); case _ => None }
+      }.toMap
+      try Some(GramParams(kv("window").toInt, kv("hashed").toBoolean))
+      catch { case e: Exception =>
+        throw new IllegalStateException(s"corrupt $GramParamsFile at $root: '$content'", e)
+      }
+    }
+  }
+
+  /** Create (or overwrite) the gram store: the corpus's DISTINCT
+    * length-`window` gram keys as versioned rows `(g)`, parameters
+    * pinned alongside (mixing window lengths or key modes is a
+    * silent-wrong-answer bug — same retract-params-first crash
+    * posture as [[initStore]]). One window pass over corpus text —
+    * the once-per-corpus cost every later delta avoids.
+    */
+  def initGramStore(
+      spark: SparkSession,
+      docs: DataFrame,
+      root: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      params: GramParams = GramParams()): Long = {
+    if (gramStoreParams(spark, root).exists(_ != params)) {
+      val (fs, rootP) = fsFor(spark, root)
+      fs.delete(new Path(rootP, GramParamsFile), false)
+    }
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val grams = Dedup.windowGrams(base, params.window, params.hashed)
+      .select("g").distinct()
+    val v = VersionedTable.commit(spark, root, "parquet", _ => grams)
+    writeGramParams(spark, root, params)
+    v
+  }
+
+  /** `scores` = (doc_id, dup_chars, dup_frac) per DELTA doc — the
+    * characters covered by windows duplicated against CORPUS or
+    * within the batch (>= 2 delta docs); materialized (safe after the
+    * store advances). `version` follows [[DeltaDedup]]'s convention.
+    */
+  final case class SpanDelta(scores: DataFrame, version: Long)
+
+  /** Score a delta batch's duplicated-span coverage against the
+    * stored corpus grams + the batch itself, then admit the batch's
+    * NEW grams as one O(delta) versioned commit. EXACT equivalence
+    * (ScalaTested): `scores` equals `Dedup.duplicatedSpans(corpus ∪
+    * delta)` restricted to the delta docs — a delta window is
+    * duplicated iff its gram lives in >= 2 distinct union docs, which
+    * decomposes into (gram ∈ corpus store) OR (gram in >= 2 delta
+    * docs); corpus-internal multiplicity cannot change a delta doc's
+    * score.
+    *
+    * Plan shape: the delta pays the ONLY window explode; the corpus
+    * side is one columnar scan of stored keys for the semi join —
+    * never corpus text. Concurrency: racing batches may both admit
+    * one gram (duplicate store rows) — harmless for the semi-join
+    * semantics, reclaimed by the next store compaction; scores
+    * materialize BEFORE the append so a batch never sees its own
+    * grams as "corpus".
+    */
+  def spanDelta(
+      spark: SparkSession,
+      delta: DataFrame,
+      root: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      append: Boolean = true): SpanDelta = {
+    val params = gramStoreParams(spark, root).getOrElse(throw new IllegalStateException(
+      s"gram store at $root has no $GramParamsFile — run initGramStore first " +
+        "(or a re-init crashed mid-publish; re-run it)"))
+    val n = params.window
+    val base = delta.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val w = Dedup.windowGrams(base, n, params.hashed)
+      .persist(StorageLevel.MEMORY_AND_DISK) // probe + within-batch + admit
+    val store = VersionedTable.read(spark, root).select("g")
+    val corpusHit = w.join(store, Seq("g"), "left_semi").select("doc_id", "start")
+    val withinG = w.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("g")
+    val withinHit = w.join(withinG, Seq("g"), "left_semi").select("doc_id", "start")
+    val flagged = corpusHit.unionByName(withinHit).distinct()
+    val scores = Dedup.spanCoverage(base, flagged, n).localCheckpoint(true)
+    var version = -1L
+    if (append) {
+      val newG = w.select("g").distinct().join(store, Seq("g"), "left_anti")
+      version = VersionedTable.commitDelta(spark, root, "parquet", newG)
+    }
+    w.unpersist(blocking = false)
+    SpanDelta(scores, version)
+  }
 }

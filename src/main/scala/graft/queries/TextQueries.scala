@@ -592,6 +592,24 @@ object TextQueries {
     // oracle-checked output is the STORE's own answer to "what did
     // this batch admit" (changesSince) — the full cross-batch ingest
     // loop under the hash gate.
+    // q123: INCREMENTAL SUBSTRING-SPAN scoring (round 13) — q119's
+    // scale path: the even docs' distinct 50-grams persist once as a
+    // versioned gram store, then the odd docs (the "ingest batch")
+    // score their duplicated-span coverage against corpus+batch with
+    // ONE columnar scan of stored keys — corpus text never rescanned.
+    // Exact (string-gram) store here so DuckDB reproduces the closed
+    // form: a delta window is duplicated iff its gram lives in >= 2
+    // distinct docs of the UNION (the store decomposition is
+    // equivalence-pinned in IncrementalDedupSuite).
+    "q123_incremental_spans" -> ((s, dir) => {
+      val root = RelationalQueries.scratchRoot("graft_q123")
+      val docs = t(s, dir, "documents")
+      IncrementalDedup.initGramStore(s, docs.where(col("doc_id") % 2 === 0), root,
+        params = IncrementalDedup.GramParams(window = 50, hashed = false))
+      IncrementalDedup.spanDelta(s, docs.where(col("doc_id") % 2 === 1), root)
+        .scores.orderBy("doc_id")
+    }),
+
     "q68_incremental_dedup" -> ((s, dir) => {
       val root = RelationalQueries.scratchRoot("graft_q68")
       val docs = t(s, dir, "documents")
@@ -1020,6 +1038,32 @@ object TextQueries {
          |SELECT id_a, id_b FROM p
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0
          |ORDER BY id_a, id_b""".stripMargin,
+    "q123_incremental_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-49, 0))) AS i) t
+        |), dup AS (
+        |  SELECT doc_id, strt FROM w
+        |  WHERE doc_id % 2 = 1
+        |    AND g IN (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+        |), cov AS (
+        |  SELECT doc_id, strt,
+        |    greatest(0, (strt + 50) - greatest(strt,
+        |      coalesce(max(strt + 50) OVER (PARTITION BY doc_id ORDER BY strt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS covered
+        |  FROM dup
+        |)
+        |SELECT d.doc_id, coalesce(c.dup_chars, 0) AS dup_chars,
+        |  CASE WHEN length(d.text) > 0
+        |       THEN coalesce(c.dup_chars, 0) * 1.0 / length(d.text)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN
+        |  (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars
+        |   FROM cov GROUP BY doc_id) c USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q68_incremental_dedup" ->
       s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents),
          |keep AS (SELECT fingerprint, min(doc_id) AS doc_id

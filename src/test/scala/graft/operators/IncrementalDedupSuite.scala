@@ -252,4 +252,46 @@ class IncrementalDedupSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("_sig_params"))
   }
+
+  test("gram store: spanDelta equals batch duplicatedSpans over the union, on delta docs") {
+    // the decomposition under test: union-minDocs>=2 == (gram IN
+    // corpus store) OR (gram in >=2 delta docs)
+    val root = tmpRoot("incdedup_grams")
+    val all = corpus.unionByName(delta)
+    for (hashed <- Seq(false, true)) {
+      val r = tmpRoot(s"incdedup_grams_$hashed")
+      IncrementalDedup.initGramStore(spark, corpus, r,
+        params = IncrementalDedup.GramParams(window = 30, hashed = hashed))
+      val got = IncrementalDedup.spanDelta(spark, delta, r).scores
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = graft.operators.Dedup.duplicatedSpans(all, n = 30, hashed = hashed)
+        .where(col("doc_id").isin(deltaIds.toSeq: _*))
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      assert(got == want, s"hashed=$hashed store path must equal the union batch path")
+    }
+    // the append admits only NEW grams and a second identical batch
+    // scores fully-duplicated against them
+    IncrementalDedup.initGramStore(spark, corpus, root,
+      params = IncrementalDedup.GramParams(window = 30, hashed = true))
+    val v1 = IncrementalDedup.spanDelta(spark, delta, root).version
+    assert(v1 > 0, "the batch's new grams must commit")
+    val again = IncrementalDedup.spanDelta(spark, delta, root).scores
+    // every delta doc long enough to hold a window is now 100% covered
+    val shortIds = delta.where(length(col("text")) < 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    again.collect().foreach { r =>
+      if (shortIds.contains(r.getLong(0))) assert(r.getLong(1) == 0L)
+      else assert(r.getDouble(2) == 1.0,
+        s"re-scored batch must be fully duplicated: ${r}")
+    }
+    // params pinned; a missing params file fails loudly
+    val bare2 = tmpRoot("incdedup_grams_noparams")
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.spanDelta(spark, delta, bare2)
+    }
+    assert(e2.getMessage.contains("_gram_params"))
+  }
 }
