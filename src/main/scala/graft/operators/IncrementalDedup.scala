@@ -706,20 +706,28 @@ object IncrementalDedup {
     val n = params.window
     val base = delta.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val w = Dedup.windowGrams(base, n, params.hashed)
-      .persist(StorageLevel.MEMORY_AND_DISK) // probe + within-batch + admit
+      .persist(StorageLevel.MEMORY_AND_DISK) // probe + flag join + admit
     val store = VersionedTable.read(spark, root).select("g")
-    val corpusHit = w.join(store, Seq("g"), "left_semi").select("doc_id", "start")
-    val withinG = w.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
+    // flag GRAM SETS first, then join the big window side ONCE — the
+    // alternative (semi-joining w against store AND against the
+    // within-batch grams, union, distinct) shuffles the full window
+    // set three times instead of once
+    val deltaG = w.select("g", "doc_id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withinG = deltaG.groupBy("g").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select("g")
-    val withinHit = w.join(withinG, Seq("g"), "left_semi").select("doc_id", "start")
-    val flagged = corpusHit.unionByName(withinHit).distinct()
+    // store ⋉ delta grams: the store streams once, output bounded by
+    // the DELTA's gram count — never the corpus's
+    val corpusG = store.join(deltaG.select("g").distinct(), Seq("g"), "left_semi")
+    val flaggedG = corpusG.unionByName(withinG).distinct()
+    val flagged = w.join(flaggedG, Seq("g"), "left_semi").select("doc_id", "start")
     val scores = Dedup.spanCoverage(base, flagged, n).localCheckpoint(true)
     var version = -1L
     if (append) {
-      val newG = w.select("g").distinct().join(store, Seq("g"), "left_anti")
+      val newG = deltaG.select("g").distinct().join(store, Seq("g"), "left_anti")
       version = VersionedTable.commitDelta(spark, root, "parquet", newG)
     }
+    deltaG.unpersist(blocking = false)
     w.unpersist(blocking = false)
     SpanDelta(scores, version)
   }
