@@ -601,12 +601,18 @@ object TextQueries {
     // form: a delta window is duplicated iff its gram lives in >= 2
     // distinct docs of the UNION (the store decomposition is
     // equivalence-pinned in IncrementalDedupSuite).
+    // corpus/delta take an EIGHTH each (%8 slices): the oracle surface
+    // is exact 50-char STRING keys, and the sf1 bench construction
+    // (10 identical copies of every doc) flags every window — at the
+    // %2 split that made q123 the whole bench's top cost (40 s at sf1)
+    // for no extra semantic coverage. The slice keeps the full
+    // store-init → score → admit loop under the hash at bounded volume.
     "q123_incremental_spans" -> ((s, dir) => {
       val root = RelationalQueries.scratchRoot("graft_q123")
       val docs = t(s, dir, "documents")
-      IncrementalDedup.initGramStore(s, docs.where(col("doc_id") % 2 === 0), root,
+      IncrementalDedup.initGramStore(s, docs.where(col("doc_id") % 8 === 0), root,
         params = IncrementalDedup.GramParams(window = 50, hashed = false))
-      IncrementalDedup.spanDelta(s, docs.where(col("doc_id") % 2 === 1), root)
+      IncrementalDedup.spanDelta(s, docs.where(col("doc_id") % 8 === 1), root)
         .scores.orderBy("doc_id")
     }),
 
@@ -1043,9 +1049,10 @@ object TextQueries {
         |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g
         |  FROM documents,
         |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-49, 0))) AS i) t
+        |  WHERE doc_id % 8 <= 1
         |), dup AS (
         |  SELECT doc_id, strt FROM w
-        |  WHERE doc_id % 2 = 1
+        |  WHERE doc_id % 8 = 1
         |    AND g IN (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
         |), cov AS (
         |  SELECT doc_id, strt,
@@ -1061,7 +1068,7 @@ object TextQueries {
         |FROM documents d LEFT JOIN
         |  (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars
         |   FROM cov GROUP BY doc_id) c USING (doc_id)
-        |WHERE d.doc_id % 2 = 1
+        |WHERE d.doc_id % 8 = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "q68_incremental_dedup" ->
