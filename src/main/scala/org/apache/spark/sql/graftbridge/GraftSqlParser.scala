@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
+  * GRAFT_CHECKPOINT('/deltaPath')                     -- fold a Delta log (maintenance)
+  * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -57,7 +59,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -141,25 +143,62 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val zb = Option(zorderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       // maintenance ACTS at parse time, like GRAFT_REFRESH; the plan
       // returns the resulting (version, entry count) summary row
-      val v = Option(files).map(_.toInt) match {
-        case Some(n) => VersionedTable.compact(session, path, partitionBy = pb,
-          zorderBy = zb, zorderFiles = n)
-        case None => VersionedTable.compact(session, path, partitionBy = pb, zorderBy = zb)
+      if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
+        // foreign Delta root: OPTIMIZE through the delta writer (the
+        // table's own layout is in its log — PARTITION BY/ZORDER BY
+        // are the versioned protocol's knobs and refuse here)
+        require(pb.isEmpty && zb.isEmpty,
+          s"GRAFT_COMPACT on the Delta table at $path takes only FILES — " +
+            "partitioning comes from the Delta log, and Z-ORDER on delta " +
+            "composes in the Writer sink (zorder_by), not the maintenance path")
+        val v = graft.sources.DeltaWrite.compact(session, path,
+          Option(files).map(_.toInt).getOrElse(8))
+        val n = graft.sources.DeltaRead.snapshot(session, path).files.size
+        Seq((v, n)).toDF("version", "num_entries").queryExecution.logical
+      } else {
+        val v = Option(files).map(_.toInt) match {
+          case Some(n) => VersionedTable.compact(session, path, partitionBy = pb,
+            zorderBy = zb, zorderFiles = n)
+          case None => VersionedTable.compact(session, path, partitionBy = pb, zorderBy = zb)
+        }
+        val entries = VersionedTable.currentSnapshot(session, path)
+          .map(_.dataDirs.length).getOrElse(0)
+        Seq((v, entries)).toDF("version", "num_entries").queryExecution.logical
       }
-      val entries = VersionedTable.currentSnapshot(session, path)
-        .map(_.dataDirs.length).getOrElse(0)
-      Seq((v, entries)).toDF("version", "num_entries").queryExecution.logical
     case VacuumStmt(path, keep, grace) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
-      VersionedTable.vacuum(session, path,
-        keep = Option(keep).map(_.toInt).getOrElse(3),
-        graceMs = Option(grace).map(_.toLong).getOrElse(3600L * 1000))
-      val h = VersionedTable.history(session, path)
-      if (h.isEmpty) throw new IllegalArgumentException(
-        s"versioned table at $path has no committed version")
-      Seq((h.map(_.version).max, h.length))
-        .toDF("newest_version", "versions_kept").queryExecution.logical
+      if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
+        // Delta retention is TIME-based (GRACE ms), not version-count:
+        // KEEP has no delta meaning and refuses rather than being
+        // silently ignored
+        require(keep == null,
+          s"GRAFT_VACUUM on the Delta table at $path takes GRACE (ms) only — " +
+            "delta retention is mtime-based; KEEP is the versioned protocol's knob")
+        val swept = graft.sources.DeltaWrite.vacuum(session, path,
+          Option(grace).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000))
+        Seq((graft.sources.DeltaRead.snapshot(session, path).version, swept.length))
+          .toDF("newest_version", "files_swept").queryExecution.logical
+      } else {
+        VersionedTable.vacuum(session, path,
+          keep = Option(keep).map(_.toInt).getOrElse(3),
+          graceMs = Option(grace).map(_.toLong).getOrElse(3600L * 1000))
+        val h = VersionedTable.history(session, path)
+        if (h.isEmpty) throw new IllegalArgumentException(
+          s"versioned table at $path has no committed version")
+        Seq((h.map(_.version).max, h.length))
+          .toDF("newest_version", "versions_kept").queryExecution.logical
+      }
+    case CheckpointStmt(path) =>
+      import session.implicits._
+      val v = graft.sources.DeltaWrite.checkpoint(session, path)
+      Seq(v).toDF("checkpoint_version").queryExecution.logical
+    case PurgeStmt(path, fraction) =>
+      import session.implicits._
+      val v = graft.sources.DeltaWrite.purgeDvs(session, path,
+        Option(fraction).map(_.toDouble).getOrElse(0.05))
+      val dvs = graft.sources.DeltaRead.snapshot(session, path).dvs.size
+      Seq((v, dvs)).toDF("version", "dvs_remaining").queryExecution.logical
     case RestoreStmt(path, toVersion, toTag) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
@@ -217,8 +256,12 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       // acts at parse time like the other maintenance statements; the
       // condition string is validated by the parser inside commitDelete
       // (an unparsable cond degrades to the conservative full rewrite,
-      // an INVALID one fails the filter loudly at execution)
-      val v = VersionedTable.commitDelete(session, path, cond)
+      // an INVALID one fails the filter loudly at execution). A DELTA
+      // root routes to the DV-emitting delete — zero data-file I/O.
+      val v =
+        if (graft.sources.DeltaRead.isDeltaTable(session, path))
+          graft.sources.DeltaWrite.delete(session, path, cond)
+        else VersionedTable.commitDelete(session, path, cond)
       Seq(v).toDF("version").queryExecution.logical
     case AppendStmt(path, query) =>
       import graft.pipeline.VersionedTable
@@ -249,7 +292,8 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
-         MergeStmt(_, _, _) | RestoreStmt(_, _, _) =>
+         MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_) |
+         PurgeStmt(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -346,15 +390,25 @@ object GraftSqlParser {
     * pattern).
     */
   private val CompactStmt =
-    """(?is)^\s*GRAFT_COMPACT\s*\(\s*'([^']+)'\s*(?:,\s*PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*?))?(?:\s*,\s*ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*?)(?:\s*,\s*FILES\s+(\d{1,9}))?)?\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_COMPACT\s*\(\s*'([^']+)'\s*(?:,\s*PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*?)\s*)?(?:,\s*ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*?)\s*)?(?:,\s*FILES\s+(\d{1,9}))?\s*\)\s*;?\s*$""".r
 
   /** Version retention: KEEP = surviving version count (default 3),
     * GRACE = unreferenced-directory grace window in MILLISECONDS
     * (default 1 h — the concurrent-reader retention; 0 only when no
-    * reader/writer can be concurrent).
+    * reader/writer can be concurrent). On a DELTA root, GRACE is the
+    * mtime retention (default 7 d) and KEEP refuses.
     */
   private val VacuumStmt =
     """(?is)^\s*GRAFT_VACUUM\s*\(\s*'([^']+)'\s*(?:,\s*KEEP\s+(\d{1,9}))?(?:\s*,\s*GRACE\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
+
+  /** Delta-only maintenance pair: fold the log into a checkpoint;
+    * materialize DV-heavy files (REORG PURGE — FRACTION is the
+    * deleted-rows threshold, default 0.05).
+    */
+  private val CheckpointStmt =
+    """(?is)^\s*GRAFT_CHECKPOINT\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  private val PurgeStmt =
+    """(?is)^\s*GRAFT_PURGE\s*\(\s*'([^']+)'\s*(?:,\s*FRACTION\s+([0-9.]{1,12}))?\s*\)\s*;?\s*$""".r
 
   /** Rollback: republish version N's (or tag T's) entry set as a new
     * commit (zero data I/O; Delta's RESTORE TABLE ... VERSION AS OF

@@ -188,6 +188,37 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_VACUUM('/tmp/nope_vt')") }
   }
 
+  test("delta roots route through the SAME maintenance SQL: compact/vacuum/delete/checkpoint/purge") {
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldelta").toString + "/t"
+    graft.sources.DeltaWrite.append(s2,
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), root)
+    // DV-emitting delete through the shared statement
+    val d = s2.sql(s"GRAFT_DELETE('$root', WHERE id < 100)").head()
+    assert(d.getLong(0) == 1L)
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
+    assert(graft.sources.DeltaRead.snapshot(s2, root).dvs.nonEmpty)
+    // purge materializes the masks (REORG PURGE)
+    val p = s2.sql(s"GRAFT_PURGE('$root', FRACTION 0.01)").head()
+    assert(p.getLong(0) == 2L && p.getInt(1) == 0, s"unexpected purge summary: $p")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
+    // compact folds the files (delta takes FILES only)
+    val c = s2.sql(s"GRAFT_COMPACT('$root', FILES 1)").head()
+    assert(c.getLong(0) == 3L && c.getInt(1) == 1, s"unexpected compact summary: $c")
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_COMPACT('$root', ZORDER BY id, FILES 2)")
+    }
+    // checkpoint folds the log; vacuum (GRACE only) reclaims the old files
+    val ck = s2.sql(s"GRAFT_CHECKPOINT('$root')").head()
+    assert(ck.getLong(0) == 3L)
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)")
+    }
+    val vac = s2.sql(s"GRAFT_VACUUM('$root', GRACE 0)").head()
+    assert(vac.getLong(0) == 3L && vac.getInt(1) > 0, s"unexpected vacuum summary: $vac")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
+  }
+
   test("GRAFT_DELETE removes matching rows through the stats-pruned commit") {
     import graft.pipeline.{Append, SinkSpec, VersionedTable, Writer}
     import s2.implicits._
