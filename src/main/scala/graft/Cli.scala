@@ -105,7 +105,10 @@ object Cli {
       case "restore" =>
         val to = opt(rest, "--to-version").map(_.toLong).getOrElse(
           sys.error("restore needs --to-version <N>"))
-        val v = VersionedTable.restore(spark, root, to)
+        val v =
+          if (graft.sources.DeltaRead.isDeltaTable(spark, root))
+            graft.sources.DeltaWrite.restore(spark, root, to)
+          else VersionedTable.restore(spark, root, to)
         println(s"[graft] restored $root to v$to's snapshot (published as v$v)")
       case "upgrade" =>
         val n = VersionedTable.upgradeMetadata(spark, root)

@@ -1077,6 +1077,129 @@ object DeltaWrite {
     -1L // unreachable
   }
 
+  /** RESTORE the table to the state of `toVersion` — delta-spark's
+    * `RESTORE TABLE … VERSION AS OF` shape: ONE commit whose removes
+    * retire files the target version lacks and whose adds re-instate
+    * files it has that the head lost (carrying their original
+    * partitionValues, stats, and DELETION VECTORS — the dv identity is
+    * part of the file action), re-emitting metaData when the schema or
+    * layout drifted since. Zero data-file I/O; time travel across the
+    * restore keeps working (the protocol never rewinds — a restore is
+    * a new commit). Fails loudly when a required file or on-disk DV
+    * was already vacuumed (same guard as the versioned protocol's
+    * restore).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    val target = DeltaRead.snapshot(spark, rootP.toString, Some(toVersion))
+    require(target.colMap.isEmpty,
+      s"Delta table at $path uses column mapping — graft restores unmapped " +
+        "tables only (a mapped restore must reconcile column ids); RESTORE " +
+        "with delta-spark")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val cur = DeltaRead.snapshot(spark, rootP.toString)
+      requireWritable(cur, path, removesData = true)
+      if (cur.files == target.files && cur.dvs == target.dvs &&
+          cur.schema.json == target.schema.json) return cur.version // already there
+      // every re-instated file (and its on-disk DV) must still exist —
+      // vacuum may have reclaimed history past the retention window
+      val returning = (target.files.keySet -- cur.files.keySet).toSeq.sorted
+      returning.foreach { rel =>
+        require(fs.exists(new Path(rootP, rel)),
+          s"cannot restore $path to v$toVersion: data file $rel was already " +
+            "vacuumed — restore only reaches versions within the vacuum retention")
+      }
+      target.dvs.foreach { case (rel, d) =>
+        if (d.storageType == "u")
+          require(fs.exists(DeletionVectors.onDiskPath(rootP, d.pathOrInlineDv)),
+            s"cannot restore $path to v$toVersion: the deletion vector of $rel " +
+              "was already vacuumed")
+      }
+      val next = cur.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            restoreContent(cur, target, toVersion))) {
+        if (next > 0 && next % CheckpointInterval == 0)
+          try checkpoint(spark, rootP.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
+        return next
+      }
+      // lost the race: re-derive against the winner's head
+    }
+    throw new IllegalStateException(
+      s"RESTORE at $path lost the commit race 20 times — another writer is " +
+        "committing continuously; retry later")
+  }
+
+  private def restoreContent(cur: DeltaRead.Snapshot, target: DeltaRead.Snapshot,
+                             toVersion: Long): String = {
+    val now = System.currentTimeMillis
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", now)
+    cib.put("operation", "RESTORE")
+    cib.putObject("operationParameters").put("version", toVersion)
+    cib.put("engineInfo", "graft-delta-writer/1.0")
+    lines += mapper.writeValueAsString(ci)
+    // metaData re-emit when schema/partitioning drifted — CARRYING the
+    // table id and the TARGET's configuration (restore restores config)
+    if (cur.schema.json != target.schema.json ||
+        cur.partitionColumns != target.partitionColumns ||
+        cur.configuration != target.configuration) {
+      val md = mapper.createObjectNode
+      val mdb = md.putObject("metaData")
+      mdb.put("id", Option(cur.metaId).getOrElse(java.util.UUID.randomUUID.toString))
+      val fmt = mdb.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdb.put("schemaString", target.schema.json)
+      val pc = mdb.putArray("partitionColumns")
+      target.partitionColumns.foreach(pc.add)
+      val cfg = mdb.putObject("configuration")
+      target.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+      mdb.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+    }
+    // a file is "the same" only as (path, dv identity) — a file whose
+    // DV CHANGED retires its current identity and re-adds the target's
+    def uid(m: Map[String, DeletionVectors.Descriptor], rel: String): String =
+      m.get(rel).map(_.uniqueId).getOrElse("")
+    val toRemove = cur.files.keySet.filter(rel =>
+      !target.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
+    val toAdd = target.files.keySet.filter(rel =>
+      !cur.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
+    toRemove.toSeq.sorted.foreach { rel =>
+      val rm = mapper.createObjectNode
+      val rmb = rm.putObject("remove")
+      rmb.put("path", encodePath(rel))
+      rmb.put("deletionTimestamp", now)
+      rmb.put("dataChange", true)
+      cur.dvs.get(rel).foreach(putDv(rmb, _))
+      lines += mapper.writeValueAsString(rm)
+    }
+    toAdd.toSeq.sorted.foreach { rel =>
+      val ad = mapper.createObjectNode
+      val adb = ad.putObject("add")
+      adb.put("path", encodePath(rel))
+      val pv = adb.putObject("partitionValues")
+      target.files(rel).foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      adb.put("size", target.sizes.getOrElse(rel, -1L))
+      adb.put("modificationTime", now)
+      adb.put("dataChange", true)
+      target.stats.get(rel).foreach(adb.put("stats", _))
+      target.dvs.get(rel).foreach(putDv(adb, _))
+      lines += mapper.writeValueAsString(ad)
+    }
+    lines.result().mkString("\n") + "\n"
+  }
+
   /** MATERIALIZE-DVs-ONLY OPTIMIZE (delta-spark's `REORG TABLE …
     * APPLY (PURGE)` shape): rewrite ONLY the files whose deletion
     * vector covers at least `minDeletedFraction` of their rows —

@@ -202,13 +202,25 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
     case RestoreStmt(path, toVersion, toTag) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
-      val target = Option(toVersion).map(_.toLong).getOrElse(
-        VersionedTable.taggedVersion(session, path, toTag).getOrElse(
-          throw new IllegalArgumentException(
-            s"versioned table at $path has no surviving version tagged '$toTag'")))
-      val v = VersionedTable.restore(session, path, target)
-      Seq((v, target))
-        .toDF("version", "restored_to").queryExecution.logical
+      if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
+        // foreign Delta root: same statement, the delta writer's
+        // zero-data-I/O restore commit; tags are a graft-manifest
+        // concept and refuse here
+        require(toTag == null,
+          s"GRAFT_RESTORE(... TAG ...) is for graft versioned tables; the Delta " +
+            s"table at $path restores by VERSION")
+        val t = toVersion.toLong
+        val v = graft.sources.DeltaWrite.restore(session, path, t)
+        Seq((v, t)).toDF("version", "restored_to").queryExecution.logical
+      } else {
+        val target = Option(toVersion).map(_.toLong).getOrElse(
+          VersionedTable.taggedVersion(session, path, toTag).getOrElse(
+            throw new IllegalArgumentException(
+              s"versioned table at $path has no surviving version tagged '$toTag'")))
+        val v = VersionedTable.restore(session, path, target)
+        Seq((v, target))
+          .toDF("version", "restored_to").queryExecution.logical
+      }
     case BranchStmt(path, name, fromV) =>
       import graft.pipeline.VersionedTable
       import session.implicits._

@@ -996,6 +996,40 @@ class DeltaWriteSuite extends SparkSpec {
     assert(e.getMessage.contains("column mapping"), e.getMessage)
   }
 
+  test("RESTORE rewinds files, DVs, and schema as one zero-I/O commit") {
+    val root = tmp()
+    DeltaWrite.append(spark, (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), root)                       // v0
+    DeltaWrite.delete(spark, root, "id < 3")       // v1: DV, protocol v3
+    DeltaWrite.append(spark, Seq((100L, "x", 1.5)).toDF("id", "v", "score"),
+      root, mergeSchema = true)                    // v2: evolved schema
+    assert(DeltaRead.read(spark, root).count() == 8L)
+    // back to v0: all 10 rows, the 2-column schema, no DVs
+    val rv = DeltaWrite.restore(spark, root, 0L)
+    assert(rv == 3L)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.dvs.isEmpty && snap.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(snap.minReader == 3, "restore must never downgrade the protocol")
+    assert(DeltaRead.read(spark, root).count() == 10L)
+    // FORWARD to v1: the soft deletes return (the re-add carries the DV)
+    val rv2 = DeltaWrite.restore(spark, root, 1L)
+    assert(rv2 == 4L)
+    assert(DeltaRead.read(spark, root).count() == 7L)
+    assert(DeltaRead.snapshot(spark, root).dvs.nonEmpty)
+    // no-op restore commits nothing
+    assert(DeltaWrite.restore(spark, root, 1L) == rv2)
+    // history is append-only: time travel across the restores works
+    assert(DeltaRead.read(spark, root, Some(2L)).count() == 8L)
+    assert(DeltaRead.read(spark, root, Some(3L)).count() == 10L)
+    // the shared SQL statement routes here; TAG refuses on delta
+    val sq = spark.sql(s"GRAFT_RESTORE('$root', 0)").head()
+    assert(sq.getLong(0) == 5L && sq.getLong(1) == 0L)
+    assert(DeltaRead.read(spark, root).count() == 10L)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT_RESTORE('$root', TAG 'x')")
+    }
+  }
+
   test("encodePath is the exact inverse of the reader's URI decode") {
     val names = Seq("part-00000-abc.snappy.parquet", "grp=a%3Ax/f.parquet",
       "dir name/with space.parquet", "uni-é中.parquet", "p=%25lit/f.parquet")
