@@ -1202,6 +1202,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q124: DELTA RESTORE round trip (round 13) — q98's closed form on
+    // the Delta protocol: base append, a DV-emitting delete AND a
+    // later append both land, then RESTORE(v0) rewinds the whole state
+    // as ONE zero-data-I/O commit (removes retire the DV'd identity
+    // and the late files; re-adds re-instate the clean originals). The
+    // read-back must equal the untouched base — a leaked DV, a
+    // lingering late file, or a lost original poisons the hash.
+    "q124_delta_restore" -> ((s, dir) => {
+      val root = scratchRoot("graft_q124")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(4), root) // v0
+      graft.sources.DeltaWrite.delete(s, root, "o_custkey % 3 = 1") // v1: DVs
+      graft.sources.DeltaWrite.append(s,                            // v2: drift
+        base.where(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L), root)
+      graft.sources.DeltaWrite.restore(s, root, 0L)                 // v3: rewind
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q110: BRANCH REBASE (round 12) — the full diverge-rebase-publish
     // loop under the oracle hash. Even keys commit as main's base, a
     // branch forks and appends the %4==1 slice, then MAIN moves (the
@@ -1758,6 +1780,11 @@ object RelationalQueries {
     "q122_delta_purge" ->
       """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |WHERE o_custkey % 7 <> 2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the restore's whole point: the read equals the untouched base
+    "q124_delta_restore" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // same closed form as q81 — deliberately: identical upsert
