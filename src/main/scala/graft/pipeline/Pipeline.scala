@@ -185,6 +185,13 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       graft.operators.Curation.shardAssign(df, nShards, idCol)
     case ChunkStep(windowTokens, strideTokens, idCol, textCol) =>
       graft.operators.Curation.chunkOverlap(df, windowTokens, strideTokens, idCol, textCol)
+    case SpanScoreStep(store, admit, idCol, textCol) =>
+      // coverage joins ON as columns — a later filter step thresholds
+      // dup_frac, the curation-pipeline shape
+      val scored = graft.operators.IncrementalDedup.spanDelta(
+        spark, df, store, idCol, textCol, append = admit).scores
+      df.join(scored.select(col("doc_id").as(idCol),
+        col("dup_chars"), col("dup_frac")), Seq(idCol))
     case SpanDedupStep(window, minDocs, hashed, idCol, textCol) =>
       // join-back by id so every non-text column flows through; the
       // cleaned text REPLACES textCol in place

@@ -379,6 +379,13 @@ object YamlLoader {
         hashed = str(params, "hashed").forall(_.toBoolean),
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"))
+      case "span_score" => SpanScoreStep(
+        store = str(params, "store").getOrElse(
+          throw new IllegalArgumentException(
+            "span_score step requires a 'store' param (the gram-store root)")),
+        admit = str(params, "admit").exists(_.toBoolean),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
       case "vocab" => VocabStep(
         topK = str(params, "top_k").map(_.toInt).getOrElse(100),
         minDocFreq = str(params, "min_doc_freq").map(_.toLong).getOrElse(2L),

@@ -253,6 +253,19 @@ final case class SpanDedupStep(
     hashed: Boolean = true,
     idCol: String = "doc_id",
     textCol: String = "text") extends Step
+/** Incremental span scoring ([[graft.operators.IncrementalDedup
+  * .spanDelta]]): join each flowing doc's duplicated-span coverage
+  * (vs the persisted gram STORE at `store` + the batch itself) as
+  * `dup_chars` / `dup_frac` columns; `admit: true` also appends the
+  * batch's new grams to the store (the ingest-pipeline shape). The
+  * store must exist (initGramStore) — its pinned window/key-mode
+  * params govern.
+  */
+final case class SpanScoreStep(
+    store: String,
+    admit: Boolean = false,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
 /** Vocabulary builder ([[graft.operators.TextAnalysis.vocab]]):
   * REPLACES the flowing frame with (tok, term_count, doc_freq) — the
   * word-frequency table tokenizer training starts from.

@@ -701,6 +701,41 @@ class YamlLoaderSuite extends SparkSpec {
     val sExp = graft.operators.Dedup.removeDuplicatedSpans(spark.read.parquet(docs))
       .select(col("doc_id"), col("clean_text").as("text")).orderBy("doc_id").collect().toSeq
     assert(sGot == sExp, "YAML span_dedup must be row-identical to removeDuplicatedSpans (q120)")
+
+    // span_score: coverage vs a persisted gram store joins on as
+    // columns; a filter step downstream thresholds it (q123 machinery)
+    val storeRoot = java.nio.file.Files.createTempDirectory("yaml_gramstore")
+      .toString + "/g"
+    graft.operators.IncrementalDedup.initGramStore(spark,
+      spark.read.parquet(docs).where("doc_id % 2 = 0"), storeRoot)
+    val scSpec = YamlLoader.load(
+      s"""pipeline_name: span_score
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps:
+         |  - type: filter
+         |    params: {where: "doc_id % 2 = 1"}
+         |  - type: span_score
+         |    params: {store: "$storeRoot"}
+         |  - type: filter
+         |    params: {where: "dup_frac < 0.5"}
+         |""".stripMargin)
+    assert(scSpec.steps(1) == SpanScoreStep(store = storeRoot))
+    val scOut = Pipeline(spark, scSpec).run()
+    assert(scOut.columns.contains("dup_frac") && scOut.columns.contains("text"))
+    val scored = graft.operators.IncrementalDedup.spanDelta(spark,
+      spark.read.parquet(docs).where("doc_id % 2 = 1"), storeRoot,
+      append = false).scores
+    assert(scOut.count() == scored.where("dup_frac < 0.5").count(),
+      "the YAML chain must keep exactly the under-threshold docs")
+    // missing store param refuses at LOAD time
+    val eScore = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """pipeline_name: bad
+          |sources: [{name: d, type: file, format: parquet, path: "/x"}]
+          |steps: [{type: span_score, params: {}}]
+          |""".stripMargin)
+    }
+    assert(eScore.getMessage.contains("store"))
     // missing required params refuse at LOAD time
     val e = intercept[IllegalArgumentException] {
       YamlLoader.load(
