@@ -1159,6 +1159,39 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q125: DELTA CHANGE DATA FEED (round 14) — the last writer-protocol
+    // gap a CDC consumer hits. Enable CDF (one metaData+protocol
+    // commit), then drive the three change-producing shapes: a pure
+    // append (file-less per the spec — readers derive inserts from its
+    // add actions), a MERGE (updates decompose into update_preimage /
+    // update_postimage cdc rows, new keys into insert rows, carried
+    // rows into NOTHING — exactly what add/remove derivation cannot
+    // express), and a DV DELETE (deleted rows land as cdc files; the
+    // masked data file itself is never rewritten). The returned frame
+    // is the full change feed over the span, so the oracle hash covers
+    // cdc-file write + cdc-action commit + the span reader end-to-end.
+    "q125_delta_cdf" -> ((s, dir) => {
+      val root = scratchRoot("graft_q125")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      graft.sources.DeltaWrite.append(s,
+        orders.where(col("o_orderkey") % 10 < 7).repartition(4), root)     // v0
+      graft.sources.DeltaWrite.setProperties(s, root,
+        Map("delta.enableChangeDataFeed" -> "true"))                       // v1
+      graft.sources.DeltaWrite.append(s,
+        orders.where(col("o_orderkey") % 10 === 7), root)                  // v2: inserts
+      val src = orders.where(col("o_orderkey") % 10 === 4)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(orders.where(col("o_orderkey") % 10 === 8))
+      graft.sources.DeltaWrite.merge(s, src, root, Seq("o_orderkey"))      // v3: upd+ins
+      graft.sources.DeltaWrite.delete(s, root, "o_orderkey % 10 = 1")      // v4: deletes
+      graft.sources.DeltaRead.readChanges(s, root, 2L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("commit_version", "change_type", "o_orderkey")
+    }),
+
     // q121: DELTA SCHEMA EVOLUTION via mergeSchema append (round 13) —
     // the base commits two columns, the second append carries a THIRD
     // (price) under mergeSchema=true: the commit re-emits metaData with
@@ -1786,6 +1819,29 @@ object RelationalQueries {
     "q124_delta_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the change feed's closed form: each commit's changes restated
+    // over the raw table — v2's appended keys as inserts, v3's merge
+    // as pre/postimage pairs (%10=4) plus inserts (%10=8), v4's
+    // delete span (%10=1, untouched by the merge so base values)
+    "q125_delta_cdf" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  'update_preimage', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 4
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'U', 'update_postimage', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 4
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'insert', CAST(3 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 8
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY commit_version, change_type, o_orderkey""".stripMargin,
 
     // same closed form as q81 — deliberately: identical upsert
     // semantics through the Delta log's pruned merge

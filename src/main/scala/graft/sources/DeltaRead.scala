@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Read-only interop with EXISTING Delta Lake tables — the reference's
   * sources accept `format: delta` (reference: src/drune/engines/spark/
@@ -493,17 +493,7 @@ object DeltaRead {
     // path-only keying would let line order decide whether F survives.
     // Some(pv) = live add, None = removed; for unmapped/DV-free tables
     // every uid is "" and this reduces to the old path keying exactly.
-    def dvOf(n: JsonNode): DeletionVectors.Descriptor = {
-      if (n == null || n.isNull) return null
-      val st = n.path("storageType").asText("")
-      if (st.isEmpty) null
-      else DeletionVectors.Descriptor(st, n.path("pathOrInlineDv").asText(""),
-        // offset PRESENCE matters: delta's uniqueId distinguishes an
-        // absent offset from 0, and a re-serialized remove must match
-        if (n.hasNonNull("offset")) Some(n.get("offset").asInt()) else None,
-        n.path("sizeInBytes").asInt(0),
-        n.path("cardinality").asLong(0))
-    }
+    def dvOf(n: JsonNode): DeletionVectors.Descriptor = parseDv(n)
     def uidOf(d: DeletionVectors.Descriptor): String = if (d == null) "" else d.uniqueId
     val tail = scala.collection.mutable.LinkedHashMap[(String, String),
       Option[(Map[String, String], Long, String, DeletionVectors.Descriptor)]]()
@@ -634,6 +624,162 @@ object DeltaRead {
       colMap,
       entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
       minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf)
+  }
+
+  /** A `deletionVector` descriptor from its action-JSON node (null =
+    * no DV). Offset PRESENCE matters: delta's uniqueId distinguishes
+    * an absent offset from 0, and a re-serialized remove must match.
+    */
+  private def parseDv(n: JsonNode): DeletionVectors.Descriptor = {
+    if (n == null || n.isNull) return null
+    val st = n.path("storageType").asText("")
+    if (st.isEmpty) null
+    else DeletionVectors.Descriptor(st, n.path("pathOrInlineDv").asText(""),
+      if (n.hasNonNull("offset")) Some(n.get("offset").asInt()) else None,
+      n.path("sizeInBytes").asInt(0),
+      n.path("cardinality").asLong(0))
+  }
+
+  /** CHANGE DATA FEED read — delta-spark's `readChangeFeed` shape over
+    * the commit span `[fromVersion, toVersion]` (default head): the
+    * table's columns plus `_change_type` (insert / delete /
+    * update_preimage / update_postimage), `_commit_version`, and
+    * `_commit_timestamp`.
+    *
+    * Per PROTOCOL.md's change-data-files rules, a commit WITH `cdc`
+    * actions yields exactly its `_change_data` parquet rows (written
+    * by [[DeltaWrite.delete]] / [[DeltaWrite.merge]] on CDF tables);
+    * a commit without them derives — `dataChange=true` adds read as
+    * inserts, `dataChange=true` removes read as deletes, both with
+    * their action's deletion vector applied (so an overwrite of a
+    * DV-masked file reports only its LIVE rows deleted), and
+    * `dataChange=false` maintenance contributes nothing. The span's
+    * reads are log-planned file scans unioned per version — CDF spans
+    * are incremental-consumer sized (a handful of commits), never a
+    * full-history replay; schema is the END version's, older files
+    * null-fill evolved columns by name. Derived deletes need the
+    * REMOVED file still on disk: a vacuumed span fails loudly, the
+    * same retention contract delta-spark's CDF has.
+    */
+  def readChanges(spark: SparkSession, path: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    val rootP = qualifiedRoot(spark, path)
+    val logP = new Path(rootP, "_delta_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val endSnap = snapshot(spark, rootP.toString, toVersion)
+    val endV = endSnap.version
+    require(fromVersion >= 0 && fromVersion <= endV,
+      s"readChanges($path): fromVersion $fromVersion is outside [0, $endV]")
+    require(endSnap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true")),
+      s"Delta table at $path does not have delta.enableChangeDataFeed=true — " +
+        "enable it (DeltaWrite.setProperties) before reading the change feed")
+    val physToLogical = endSnap.colMap.map(_.swap)
+    def pvLogical(pv: Map[String, String]): Map[String, String] =
+      if (physToLogical.isEmpty) pv
+      else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    def pvOf(n: JsonNode): Map[String, String] =
+      Option(n.get("partitionValues")).map(_.properties().asScala
+        .map(e => e.getKey ->
+          (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+        .getOrElse(Map.empty[String, String])
+    // cdc parquet carries _change_type as a real column; under column
+    // mapping it is its own physical name (no mapping id — it is not
+    // table data)
+    val ctSchema = StructType(endSnap.schema.fields :+
+      StructField("_change_type", StringType, nullable = true))
+    val ctColMap =
+      if (endSnap.colMap.isEmpty) endSnap.colMap
+      else endSnap.colMap + ("_change_type" -> "_change_type")
+
+    val frames = Seq.newBuilder[DataFrame]
+    (fromVersion to endV).foreach { v =>
+      val p = new Path(logP, f"$v%020d.json")
+      val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"Delta log at $path is missing commit $v — the change-feed span " +
+            "reaches past the log's retention (cleaned log); raise fromVersion " +
+            "into the retained span"))
+      var ts: Long = -1L
+      val cdc = Seq.newBuilder[(String, Map[String, String], Long)]
+      val adds = Seq.newBuilder[(String, Map[String, String], Long,
+        DeletionVectors.Descriptor)]
+      val rms = Seq.newBuilder[(String, DeletionVectors.Descriptor)]
+      content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("commitInfo")) {
+          val t = node.get("commitInfo").path("timestamp").asLong(-1L)
+          if (t > 0) ts = t
+        }
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          cdc += ((decodePath(c.get("path").asText()),
+            pvLogical(pvOf(c)), c.path("size").asLong(-1L)))
+        }
+        if (node.has("add") && node.get("add").path("dataChange").asBoolean(true)) {
+          val a = node.get("add")
+          adds += ((decodePath(a.get("path").asText()), pvLogical(pvOf(a)),
+            a.path("size").asLong(-1L), parseDv(a.get("deletionVector"))))
+        }
+        if (node.has("remove") &&
+            node.get("remove").path("dataChange").asBoolean(true)) {
+          val r = node.get("remove")
+          rms += ((decodePath(r.get("path").asText()),
+            parseDv(r.get("deletionVector"))))
+        }
+      }
+      if (ts < 0) ts = fs.getFileStatus(p).getModificationTime
+      def stamp(df: DataFrame): DataFrame = df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts)))
+      val cdcFiles = cdc.result()
+      if (cdcFiles.nonEmpty) {
+        frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
+          version = v, schema = ctSchema, colMap = ctColMap,
+          files = cdcFiles.map(c => c._1 -> c._2).toMap,
+          sizes = cdcFiles.map(c => c._1 -> c._3).toMap,
+          stats = Map.empty, dvs = Map.empty)))
+      } else {
+        val addFiles = adds.result()
+        if (addFiles.nonEmpty) {
+          frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
+            version = v,
+            files = addFiles.map(a => a._1 -> a._2).toMap,
+            sizes = addFiles.map(a => a._1 -> a._3).toMap,
+            stats = Map.empty,
+            dvs = addFiles.collect { case (rel, _, _, d) if d != null => rel -> d }
+              .toMap))
+            .withColumn("_change_type", lit("insert")))
+        }
+        val rmFiles = rms.result()
+        if (rmFiles.nonEmpty) {
+          // removed files' partitionValues/sizes live in the PREVIOUS
+          // version's snapshot (graft removes don't re-serialize them)
+          val prev = snapshot(spark, rootP.toString, Some(v - 1))
+          rmFiles.foreach { case (rel, _) =>
+            require(prev.files.contains(rel),
+              s"readChanges($path): commit $v removes $rel, which version " +
+                s"${v - 1} does not carry — cannot derive its deleted rows") }
+          frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
+            version = v,
+            files = rmFiles.map { case (rel, _) => rel -> prev.files(rel) }.toMap,
+            sizes = prev.sizes, stats = Map.empty,
+            dvs = rmFiles.collect { case (rel, d) if d != null => rel -> d }.toMap))
+            .withColumn("_change_type", lit("delete")))
+        }
+      }
+    }
+    val outCols = (endSnap.schema.fieldNames :+ "_change_type" :+
+      "_commit_version" :+ "_commit_timestamp").map(col)
+    frames.result() match {
+      case Seq() =>
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(ctSchema.fields :+
+            StructField("_commit_version", LongType, nullable = false) :+
+            StructField("_commit_timestamp", TimestampType, nullable = false)))
+      case fs0 => fs0.map(_.select(outCols: _*)).reduce(_.unionByName(_))
+    }
   }
 
   /** Logical → physical name map for `delta.columnMapping.mode = name`:

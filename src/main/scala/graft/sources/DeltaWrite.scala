@@ -138,9 +138,25 @@ object DeltaWrite {
     // column-mapped tables work: the scan surfaces LOGICAL names (the
     // condition's namespace) and the commit re-serializes each file's
     // partitionValues back under PHYSICAL keys (deleteContent)
-    requireWritable(snap, path, removesData = true)
+    requireWritable(snap, path, removesData = true, cdfHandled = true)
     val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
     if (matched.isEmpty) return snap.version
+    // CHANGE DATA FEED: the deleted rows (live rows matching the
+    // predicate, prior DVs applied — already-dead rows never re-appear
+    // as changes) land under _change_data/ ONCE, before the CAS loop:
+    // a retry either aborts loudly when a touched file was rewritten
+    // (guard below) or commits the identical change set. Orphaned cdc
+    // files from an aborted commit are unreferenced and vacuum-swept.
+    val cdcFiles: Seq[NewFile] =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val touched = matched.keySet
+        val delRows = DeltaRead.readSnapshot(spark, rootP.toString,
+            snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
+          .where(condition)
+          .withColumn("_change_type", lit("delete"))
+        if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
+      }
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -172,7 +188,7 @@ object DeltaWrite {
       val next = snap.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            deleteContent(snap, updates, condition))) return next
+            deleteContent(snap, updates, condition, cdcFiles))) return next
       snap = DeltaRead.snapshot(spark, rootP.toString)
     }
     throw new IllegalStateException(
@@ -200,7 +216,13 @@ object DeltaWrite {
     *
     * `mergeFn(touchedBase, source)` builds the replacement rows for
     * the touched subset (default: upsert — source wins on key match,
-    * unmatched touched rows carry). Touched files READ WITH their
+    * unmatched touched rows carry). DIVERGENCE from delta-spark
+    * MERGE: the default mergeFn inserts EVERY source row, so a source
+    * carrying duplicate key values yields duplicate rows in the table
+    * (all-duplicates-win), where delta-spark fails the statement on
+    * multiple source matches for one target row — callers porting a
+    * MERGE workload with possibly-duplicated sources should
+    * `.dropDuplicates(keys)` first or pass a deduplicating mergeFn. Touched files READ WITH their
     * deletion vectors applied, and their removes carry the DV
     * descriptors, so a merge after a DV delete stays consistent for
     * every reader. A CAS loss re-derives everything against the
@@ -230,26 +252,42 @@ object DeltaWrite {
     val keyRows = source.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
       .limit(maxCollectedKeys + 1).collect()
     import graft.pipeline.{FileStats, VersionedTable}
+    // keys outside the stats-comparable types (int/long/float/double/
+    // string) cannot be range-probed against add.stats — degrade to a
+    // touch-every-file pruner (full rewrite) so MERGE stays usable on
+    // date/timestamp/decimal/boolean keys instead of throwing
     val pruner: FileStats.ColStat => Boolean =
-      if (keyRows.length <= maxCollectedKeys) {
-        val sorted = keyRows.map(r => VersionedTable.normalizeKey(r.get(0)))
-          .sortWith(FileStats.cmp(_, _) < 0)
-        if (sorted.isEmpty) _ => false // null-keyed-only source: nothing matches
-        else st => FileStats.rangeHitsKeys(st,
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted))
-      } else {
-        import org.apache.spark.sql.functions.{max => smax, min => smin}
-        val mm = source.agg(smin(col(keyCol)), smax(col(keyCol))).head()
-        val (lo, hi) = (VersionedTable.normalizeKey(mm.get(0)),
-          VersionedTable.normalizeKey(mm.get(1)))
-        st => FileStats.rangeOverlaps(st, lo, hi)
+      try {
+        if (keyRows.length <= maxCollectedKeys) {
+          val sorted = keyRows.map(r => VersionedTable.normalizeKey(r.get(0)))
+            .sortWith(FileStats.cmp(_, _) < 0)
+          if (sorted.isEmpty) _ => false // null-keyed-only source: nothing matches
+          else st => FileStats.rangeHitsKeys(st,
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted))
+        } else {
+          import org.apache.spark.sql.functions.{max => smax, min => smin}
+          val mm = source.agg(smin(col(keyCol)), smax(col(keyCol))).head()
+          val (lo, hi) = (VersionedTable.normalizeKey(mm.get(0)),
+            VersionedTable.normalizeKey(mm.get(1)))
+          st => FileStats.rangeOverlaps(st, lo, hi)
+        }
+      } catch {
+        case _: IllegalArgumentException => _ => true
       }
 
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
       val snap = DeltaRead.snapshot(spark, rootP.toString)
-      requireWritable(snap, path, removesData = true)
+      requireWritable(snap, path, removesData = true, cdfHandled = true)
+      // CDF needs change ATTRIBUTION (which rows updated vs inserted) —
+      // knowable only for the default upsert mergeFn; an arbitrary
+      // mergeFn's replacement frame can't be decomposed into changes
+      if (cdfEnabled(snap) && mergeFn != null)
+        throw new UnsupportedOperationException(
+          s"Delta table at $path has change data feed enabled — merge() with a " +
+            "custom mergeFn cannot attribute its row-level changes for " +
+            "_change_data; use the default upsert mergeFn or disable CDF")
       val tblKey = snap.schema.fieldNames.find(_.equalsIgnoreCase(keyCol)).getOrElse(
         throw new IllegalArgumentException(
           s"merge key '$keyCol' is not a column of the Delta table at $path " +
@@ -263,12 +301,13 @@ object DeltaWrite {
           case None => true // no stats on the key: conservatively rewrite
         }
       }
+      val touchedSet = touched.toSet
       val touchedBase: DataFrame =
         if (touched.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
         else DeltaRead.readSnapshot(spark, rootP.toString,
-          snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
+          snap.copy(files = snap.files.filter(kv => touchedSet.contains(kv._1))))
       // merged output must conform to the TABLE schema (realigned by
       // name, loud on drift) — schema evolution is an explicit overwrite
       val merged0 = fn(touchedBase, source)
@@ -292,10 +331,39 @@ object DeltaWrite {
         writeDataFiles(spark, physDf, rootP, fs, physParts))
       if (touched.isEmpty && newFiles.isEmpty) return snap.version // empty no-op
 
+      // CHANGE DATA FEED: decompose the default upsert into the
+      // protocol's change types — touched rows whose key the source
+      // carries are updates (preimage = current row, postimage = the
+      // source row realigned to the table schema), source rows with
+      // unseen keys are inserts. Carried rows (untouched by key) are
+      // NOT changes and never land in _change_data — exactly why a
+      // MERGE commit cannot leave CDF readers to derive from its
+      // whole-file add/remove actions.
+      val cdcFiles: Seq[NewFile] =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          val tblKeys = keys.map(k =>
+            snap.schema.fieldNames.find(_.equalsIgnoreCase(k)).get)
+          val srcNames = source.columns
+          val srcT = source.select(snap.schema.fields.map { f =>
+            if (srcNames.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          val tKeys = touchedBase.select(tblKeys.map(col): _*)
+          val sKeys = srcT.select(tblKeys.map(col): _*)
+          val changes = touchedBase.join(sKeys, tblKeys, "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
+              .withColumn("_change_type", lit("insert")))
+          if (changes.isEmpty) Nil else writeCdcFiles(spark, snap, changes, rootP, fs)
+        }
+
       val next = snap.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            mergeContent(snap, touched, newFiles, keys))) {
+            mergeContent(snap, touched, newFiles, keys, cdcFiles))) {
         if (next > 0 && next % CheckpointInterval == 0)
           try checkpoint(spark, rootP.toString)
           catch { case scala.util.control.NonFatal(_) => () }
@@ -304,7 +372,7 @@ object DeltaWrite {
       // lost the race: the data job read THIS snapshot's touched files
       // — the staged output is stale against the winner's state, so
       // reclaim it and re-derive from scratch (commitMerge's posture)
-      newFiles.foreach(f =>
+      (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
     }
@@ -314,7 +382,8 @@ object DeltaWrite {
   }
 
   private def mergeContent(snap: DeltaRead.Snapshot, removes: Seq[String],
-                           adds: Seq[NewFile], keys: Seq[String]): String = {
+                           adds: Seq[NewFile], keys: Seq[String],
+                           cdcFiles: Seq[NewFile] = Nil): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -324,6 +393,7 @@ object DeltaWrite {
     cib.putObject("operationParameters").put("matchedKeys", keys.mkString(","))
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
+    cdcFiles.foreach(f => lines += cdcLine(f, now))
     removes.foreach { p =>
       val rm = mapper.createObjectNode
       val rmb = rm.putObject("remove")
@@ -353,7 +423,8 @@ object DeltaWrite {
   private def deleteContent(snap: DeltaRead.Snapshot,
                             updates: Seq[(String, Option[DeletionVectors.Descriptor],
                               DeletionVectors.Descriptor)],
-                            condition: String): String = {
+                            condition: String,
+                            cdcFiles: Seq[NewFile] = Nil): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -364,6 +435,7 @@ object DeltaWrite {
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
     protocolUpgrade(snap).foreach(lines += _)
+    cdcFiles.foreach(f => lines += cdcLine(f, now))
     updates.foreach { case (rel, oldDv, newDv) =>
       val rm = mapper.createObjectNode
       val rmb = rm.putObject("remove")
@@ -443,9 +515,18 @@ object DeltaWrite {
     * forbids exactly those; appends and dataChange=false maintenance
     * rewrites (OPTIMIZE/compact — delta-spark permits them on
     * append-only tables too) stay allowed.
+    *
+    * `cdfHandled` = the caller produces a CDF-correct commit on a
+    * change-data-feed table: either it writes `cdc` actions +
+    * `_change_data` files for its row-level changes ([[delete]],
+    * [[merge]]) or its changes are EXACTLY whole-file adds/removes
+    * (full/dynamic overwrite), which the protocol lets CDF readers
+    * derive without cdc files. Row-removing operations that are
+    * neither (RESTORE) refuse on CDF tables.
     */
   private[sources] def requireWritable(snap: DeltaRead.Snapshot, path: String,
-                                       removesData: Boolean): Unit = {
+                                       removesData: Boolean,
+                                       cdfHandled: Boolean = false): Unit = {
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       s"Delta table at $path: $why — graft will not write into it; " +
         "write with delta-spark or drop the table setting")
@@ -486,14 +567,15 @@ object DeltaWrite {
       case "changeDataFeed" =>
         // CDF readers DERIVE changes from add/remove when a commit has
         // no cdc action: a pure APPEND (inserts) and dataChange=false
-        // maintenance are therefore legal without writing _change_data
-        // — only data-REMOVING commits (delete/merge/overwrite, whose
-        // row-level changes adds/removes can't express) must refuse
-        if (removesData &&
+        // maintenance are therefore legal without writing _change_data.
+        // Row-removing commits pass only when the caller declared CDF
+        // handling (cdc files for DELETE/MERGE; exact whole-file
+        // add/remove derivation for overwrites) — anything else refuses.
+        if (removesData && !cdfHandled &&
             conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-          refuse("change data feed is enabled and this writer does not produce " +
-            "_change_data files for row-removing commits; appends remain allowed " +
-            "(CDF readers derive inserts from add actions)")
+          refuse("change data feed is enabled and this operation cannot express " +
+            "its row-level changes as cdc files or whole-file add/remove " +
+            "derivation; appends, DELETE, MERGE, and overwrites remain allowed")
       case "generatedColumns" =>
         if (fieldMeta("delta.generationExpression"))
           refuse("generated columns are configured and this writer does not " +
@@ -566,7 +648,12 @@ object DeltaWrite {
           "schema-change surface) must mint column ids; overwrite with " +
           "delta-spark or migrate the table")
     }
-    existing.foreach(requireWritable(_, path, removesData = mode != Mode.Append))
+    // cdfHandled: an overwrite's changes are EXACTLY whole-file
+    // removes (DV descriptors carried) + whole-file adds — the shape
+    // CDF readers derive delete/insert changes from without cdc files
+    // (delta-spark's own INSERT OVERWRITE posture)
+    existing.foreach(requireWritable(_, path, removesData = mode != Mode.Append,
+      cdfHandled = true))
     // non-append writes on DV'd tables are safe: the removes this
     // writer emits CARRY each file's deletionVector descriptor (other
     // readers reconcile by (path, dv.uniqueId) — a dv-less remove
@@ -831,7 +918,8 @@ object DeltaWrite {
     * (part-NNNNN-&lt;job-uuid&gt;…) so they never collide with live files.
     */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, rootP: Path,
-                             fs: FileSystem, parts: Seq[String]): Seq[NewFile] = {
+                             fs: FileSystem, parts: Seq[String],
+                             subdir: String = ""): Seq[NewFile] = {
     val staging = new Path(rootP,
       ".graft-delta-staging-" + java.util.UUID.randomUUID.toString.take(12))
     try {
@@ -847,13 +935,57 @@ object DeltaWrite {
       walk(staging)
       found.toSeq.sortBy(_.getPath.toString).map { st =>
         val rel = relativize(staging, st.getPath)
-        val dest = new Path(rootP, rel)
-        if (rel.contains("/")) fs.mkdirs(dest.getParent)
+        // `subdir` relocates the output under a hidden table subtree
+        // (cdc files live under _change_data/ per the protocol) while
+        // partition dirs stay derived from the staging layout
+        val destRel = if (subdir.isEmpty) rel else subdir + "/" + rel
+        val dest = new Path(rootP, destRel)
+        if (destRel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest),
           s"staging move ${st.getPath} -> $dest failed; no commit was written")
-        NewFile(rel, partitionValuesOf(rel, parts), st.getLen, st.getModificationTime)
+        NewFile(destRel, partitionValuesOf(rel, parts), st.getLen, st.getModificationTime)
       }
     } finally fs.delete(staging, true)
+  }
+
+  // ----- change data feed ----------------------------------------------
+
+  private[sources] def cdfEnabled(snap: DeltaRead.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Write CHANGE rows into `_change_data/` (the protocol's cdc-file
+    * home): `changes` carries the table's columns plus `_change_type`
+    * (insert / delete / update_preimage / update_postimage), is
+    * renamed physical under column mapping here, and lands partitioned
+    * like the table so each cdc action carries its partitionValues.
+    */
+  private def writeCdcFiles(spark: SparkSession, snap: DeltaRead.Snapshot,
+                            changes: DataFrame, rootP: Path,
+                            fs: FileSystem): Seq[NewFile] = {
+    val phys =
+      if (snap.colMap.isEmpty) changes
+      else changes.select(snap.schema.fieldNames.map(n =>
+        col(n).as(snap.colMap(n))) :+ col("_change_type"): _*)
+    val physParts = snap.partitionColumns.map(p => snap.colMap.getOrElse(p, p))
+    writeDataFiles(spark, phys, rootP, fs, physParts, subdir = "_change_data")
+  }
+
+  /** A `cdc` action line: `dataChange=false` per the protocol (cdc
+    * files describe changes; they are not table data and never replay
+    * into the snapshot).
+    */
+  private def cdcLine(f: NewFile, now: Long): String = {
+    val c = mapper.createObjectNode
+    val cb = c.putObject("cdc")
+    cb.put("path", encodePath(f.relPath))
+    val pv = cb.putObject("partitionValues")
+    f.partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    cb.put("size", f.size)
+    cb.put("dataChange", false)
+    mapper.writeValueAsString(c)
   }
 
   private def relativize(base: Path, p: Path): String = {
@@ -1022,6 +1154,88 @@ object DeltaWrite {
     * conflict posture. A competitor that only APPENDED is compatible:
     * its files simply carry into the new snapshot untouched.
     */
+  /** SET/UNSET TBLPROPERTIES: one metaData-only commit replacing the
+    * table configuration with `current ++ set -- unset` (schema, id,
+    * partitioning, and files all carry). Enabling
+    * `delta.enableChangeDataFeed` upgrades the protocol in the same
+    * commit when needed — minWriterVersion ≥ 4 legacy, or the explicit
+    * `changeDataFeed` writer feature on v7 tables — because a CDF flag
+    * the protocol doesn't back is invisible to delta-spark's gates.
+    * Setting a property whose contract this writer cannot enforce
+    * still lands (the enforcement gate runs per-WRITE, where it can
+    * refuse the specific operation). Returns the committed version
+    * (unchanged when the configuration already matches).
+    */
+  def setProperties(spark: SparkSession, path: String,
+                    set: Map[String, String],
+                    unset: Seq[String] = Nil): Long = {
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaRead.snapshot(spark, rootP.toString)
+      requireWritable(snap, path, removesData = false)
+      val newConf = (snap.configuration ++ set) -- unset
+      if (newConf == snap.configuration) return snap.version
+      val now = System.currentTimeMillis
+      val lines = Seq.newBuilder[String]
+      val ci = mapper.createObjectNode
+      val cib = ci.putObject("commitInfo")
+      cib.put("timestamp", now)
+      cib.put("operation", "SET TBLPROPERTIES")
+      val op = cib.putObject("operationParameters")
+      op.put("properties",
+        mapper.writeValueAsString(mapper.valueToTree(newConf): com.fasterxml.jackson.databind.JsonNode))
+      cib.put("engineInfo", "graft-delta-writer/1.0")
+      lines += mapper.writeValueAsString(ci)
+      val enablingCdf = set.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))
+      if (enablingCdf) {
+        if (snap.minWriter >= 7 && !snap.writerFeatures.contains("changeDataFeed")) {
+          val p = mapper.createObjectNode
+          val pb = p.putObject("protocol")
+          pb.put("minReaderVersion", snap.minReader)
+          pb.put("minWriterVersion", snap.minWriter)
+          if (snap.minReader >= 3) {
+            val rfa = pb.putArray("readerFeatures")
+            snap.readerFeatures.toSeq.sorted.foreach(rfa.add)
+          }
+          val wfa = pb.putArray("writerFeatures")
+          (snap.writerFeatures + "changeDataFeed").toSeq.sorted.foreach(wfa.add)
+          lines += mapper.writeValueAsString(p)
+        } else if (snap.minWriter < 4) {
+          val p = mapper.createObjectNode
+          val pb = p.putObject("protocol")
+          pb.put("minReaderVersion", snap.minReader)
+          pb.put("minWriterVersion", 4)
+          lines += mapper.writeValueAsString(p)
+        }
+      }
+      val md = mapper.createObjectNode
+      val mdb = md.putObject("metaData")
+      mdb.put("id", Option(snap.metaId).getOrElse(java.util.UUID.randomUUID.toString))
+      val fmt = mdb.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdb.put("schemaString", snap.schema.json)
+      val pc = mdb.putArray("partitionColumns")
+      snap.partitionColumns.foreach(pc.add)
+      val cfg = mdb.putObject("configuration")
+      newConf.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+      mdb.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+      val next = snap.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            lines.result().mkString("\n") + "\n")) return next
+    }
+    throw new IllegalStateException(
+      s"SET TBLPROPERTIES at $path lost the commit race 20 times — another " +
+        "writer is committing continuously; retry later")
+  }
+
   def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     val rootP = qualifiedRoot(spark, path)
@@ -1104,7 +1318,11 @@ object DeltaWrite {
       val cur = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(cur, path, removesData = true)
       if (cur.files == target.files && cur.dvs == target.dvs &&
-          cur.schema.json == target.schema.json) return cur.version // already there
+          cur.schema.json == target.schema.json &&
+          cur.partitionColumns == target.partitionColumns &&
+          cur.configuration == target.configuration) return cur.version // already there
+      // (config/partition-only drift past the file check → restoreContent
+      // emits a metaData-only commit: restore restores config too)
       // every re-instated file (and its on-disk DV) must still exist —
       // vacuum may have reclaimed history past the retention window
       val returning = (target.files.keySet -- cur.files.keySet).toSeq.sorted
@@ -1238,8 +1456,9 @@ object DeltaWrite {
 
     // ONE distributed job over just the dirty files, DVs applied —
     // the survivors land as fresh clean files in the table layout
+    val dirtySet = dirty.toSet
     val src = DeltaRead.readSnapshot(spark, rootP.toString,
-      snap.copy(files = snap.files.filter(kv => dirty.contains(kv._1))))
+      snap.copy(files = snap.files.filter(kv => dirtySet.contains(kv._1))))
     val (physDf, physParts) = toPhysical(snap, src)
     val newFiles = withStats(spark, fs, rootP,
       writeDataFiles(spark, physDf, rootP, fs, physParts))

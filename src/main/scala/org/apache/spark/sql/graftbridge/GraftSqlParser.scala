@@ -177,8 +177,13 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
             "delta retention is mtime-based; KEEP is the versioned protocol's knob")
         val swept = graft.sources.DeltaWrite.vacuum(session, path,
           Option(grace).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000))
-        Seq((graft.sources.DeltaRead.snapshot(session, path).version, swept.length))
-          .toDF("newest_version", "files_swept").queryExecution.logical
+        // STABLE output schema across table formats (both columns,
+        // nulls for the inapplicable one) so generic consumers of the
+        // summary row never see a format-dependent shape
+        Seq((graft.sources.DeltaRead.snapshot(session, path).version,
+            Some(swept.length): Option[Int], None: Option[Int]))
+          .toDF("newest_version", "files_swept", "versions_kept")
+          .queryExecution.logical
       } else {
         VersionedTable.vacuum(session, path,
           keep = Option(keep).map(_.toInt).getOrElse(3),
@@ -186,8 +191,9 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         val h = VersionedTable.history(session, path)
         if (h.isEmpty) throw new IllegalArgumentException(
           s"versioned table at $path has no committed version")
-        Seq((h.map(_.version).max, h.length))
-          .toDF("newest_version", "versions_kept").queryExecution.logical
+        Seq((h.map(_.version).max, None: Option[Int], Some(h.length): Option[Int]))
+          .toDF("newest_version", "files_swept", "versions_kept")
+          .queryExecution.logical
       }
     case CheckpointStmt(path) =>
       import session.implicits._

@@ -161,7 +161,10 @@ class SqlSurfaceSuite extends SparkSpec {
     // vacuum retires everything but the newest version (grace 0: this
     // test owns the table); the old delta dirs leave the disk
     val vac = s2.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)").head()
-    assert(vac.getLong(0) == 4L && vac.getInt(1) == 1, s"unexpected summary: $vac")
+    // stable schema: (newest_version, files_swept, versions_kept) on
+    // BOTH table formats; the inapplicable count is null
+    assert(vac.getLong(0) == 4L && vac.isNullAt(1) && vac.getInt(2) == 1,
+      s"unexpected summary: $vac")
     assert(VersionedTable.history(s2, root).map(_.version) == Seq(4L))
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 3L)
 
@@ -215,7 +218,8 @@ class SqlSurfaceSuite extends SparkSpec {
       s2.sql(s"GRAFT_VACUUM('$root', KEEP 1, GRACE 0)")
     }
     val vac = s2.sql(s"GRAFT_VACUUM('$root', GRACE 0)").head()
-    assert(vac.getLong(0) == 3L && vac.getInt(1) > 0, s"unexpected vacuum summary: $vac")
+    assert(vac.getLong(0) == 3L && vac.getInt(1) > 0 && vac.isNullAt(2),
+      s"unexpected vacuum summary: $vac")
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
   }
 

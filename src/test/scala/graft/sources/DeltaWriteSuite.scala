@@ -626,10 +626,13 @@ class DeltaWriteSuite extends SparkSpec {
           """"configuration":{"delta.enableChangeDataFeed":"true"}}}"""
       ).mkString("\n") + "\n").getBytes("UTF-8"))
     assert(DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), cdfRoot) == 2L)
-    val cdfE = intercept[UnsupportedOperationException] {
-      DeltaWrite.delete(spark, cdfRoot, "id = 1")
-    }
-    assert(cdfE.getMessage.contains("change data feed"), cdfE.getMessage)
+    // data-removing commits are CDF-legal since the writer produces
+    // _change_data files (full coverage in the dedicated CDF tests)
+    assert(DeltaWrite.delete(spark, cdfRoot, "id = 1") == 3L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cdfRoot, "_delta_log", f"${3L}%020d.json")), "UTF-8")
+      .contains("\"cdc\""), "a DV delete on a CDF table must write cdc actions")
+    assert(DeltaRead.read(spark, cdfRoot).count() == 2L)
 
     // v4: vacuumProtocolCheck + timestampNtz are satisfied features —
     // reads, appends AND vacuum (whose protocol check IS the former's
@@ -1028,6 +1031,132 @@ class DeltaWriteSuite extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.sql(s"GRAFT_RESTORE('$root', TAG 'x')")
     }
+  }
+
+  test("CDF: setProperties upgrades the protocol; delete/merge write cdc; readChanges spans") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("id", "v", "x").repartition(2), root)   // v0
+    // the change feed refuses before the flag is set
+    intercept[IllegalArgumentException] { DeltaRead.readChanges(spark, root, 0L) }
+    val pv = DeltaWrite.setProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                  // v1 (metaData only)
+    assert(pv == 1L)
+    val s1 = DeltaRead.snapshot(spark, root)
+    assert(s1.minWriter == 4, "enabling CDF must upgrade the writer protocol")
+    assert(s1.configuration("delta.enableChangeDataFeed") == "true")
+    DeltaWrite.append(spark, Seq((5L, "e", 50.0)).toDF("id", "v", "x"), root) // v2
+    DeltaWrite.merge(spark, Seq((2L, "B", 21.0), (6L, "f", 60.0)).toDF("id", "v", "x"),
+      root, Seq("id"))                                              // v3
+    DeltaWrite.delete(spark, root, "id = 1")                        // v4
+
+    // cdc-action shape: merge + delete carry them (dataChange=false,
+    // paths under _change_data/); the pure append stays file-less
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def cdcActions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")), "UTF-8")
+        .split("\n").toSeq.filter(_.contains("\"cdc\""))
+        .map(l => mapper.readTree(l).get("cdc"))
+    assert(cdcActions(2L).isEmpty, "a pure append must not write cdc files")
+    Seq(3L, 4L).foreach { v =>
+      val cs = cdcActions(v)
+      assert(cs.nonEmpty, s"commit $v must carry cdc actions")
+      cs.foreach { c =>
+        assert(c.get("path").asText().startsWith("_change_data/"), c.toString)
+        assert(!c.get("dataChange").asBoolean(true), "cdc actions are dataChange=false")
+      }
+    }
+    // cdc files never replay into the table snapshot
+    val head = DeltaRead.snapshot(spark, root)
+    assert(head.files.keySet.forall(!_.startsWith("_change_data/")))
+    assert(DeltaRead.read(spark, root).count() == 5L)
+
+    val got = DeltaRead.readChanges(spark, root, 2L)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (5L, "e", "insert", 2L),
+      (2L, "b", "update_preimage", 3L),
+      (2L, "B", "update_postimage", 3L),
+      (6L, "f", "insert", 3L),
+      (1L, "a", "delete", 4L)), s"change set mismatch: $got")
+    // derivation from add actions covers the pre-CDF history too; the
+    // metaData-only commit contributes nothing
+    val all = DeltaRead.readChanges(spark, root, 0L)
+    assert(all.where($"_commit_version" === 0L && $"_change_type" === "insert")
+      .count() == 4L)
+    assert(all.where($"_commit_version" === 1L).count() == 0L)
+
+    // overwrite: whole-file derivation — every LIVE row deletes (the
+    // v4 DV masks id=1 out of the removed file's delete set), the new
+    // rows insert; no cdc files written
+    DeltaWrite.overwrite(spark, Seq((9L, "z", 90.0)).toDF("id", "v", "x"), root) // v5
+    assert(cdcActions(5L).isEmpty)
+    val ov = DeltaRead.readChanges(spark, root, 5L, Some(5L))
+    assert(ov.where($"_change_type" === "delete").count() == 5L)
+    assert(ov.where($"_change_type" === "delete" && $"id" === 1L).count() == 0L,
+      "a DV-masked row is already dead — an overwrite must not report it deleted")
+    assert(ov.where($"_change_type" === "insert").select($"id").head().getLong(0) == 9L)
+
+    // custom mergeFn cannot attribute changes → refuses on CDF tables
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.merge(spark, Seq((9L, "y", 1.0)).toDF("id", "v", "x"), root,
+        Seq("id"), mergeFn = (t, s) => s)
+    }
+    assert(e.getMessage.contains("change data feed"), e.getMessage)
+    // RESTORE cannot express its changes → refuses on CDF tables
+    val er = intercept[UnsupportedOperationException] {
+      DeltaWrite.restore(spark, root, 0L)
+    }
+    assert(er.getMessage.contains("change data feed"), er.getMessage)
+  }
+
+  test("CDF on a partitioned table: cdc actions carry partitionValues; span reads prune") {
+    val root = tmp()
+    val df = (0L until 20L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 1.0))
+      .toDF("id", "grp", "x")
+    DeltaWrite.append(spark, df, root, partitionBy = Seq("grp"))    // v0
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                  // v1
+    DeltaWrite.delete(spark, root, "id < 4")                        // v2: both partitions
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cdcs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"${2L}%020d.json")), "UTF-8")
+      .split("\n").toSeq.filter(_.contains("\"cdc\"")).map(l => mapper.readTree(l).get("cdc"))
+    assert(cdcs.map(_.get("partitionValues").get("grp").asText()).toSet ==
+      Set("even", "odd"))
+    val ch = DeltaRead.readChanges(spark, root, 2L)
+    assert(ch.where($"_change_type" === "delete").select($"id")
+      .as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+    assert(ch.select($"grp").distinct().as[String].collect().toSet == Set("even", "odd"))
+  }
+
+  test("RESTORE rewinds configuration drift even when files already match") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)  // v0
+    DeltaWrite.setProperties(spark, root, Map("graft.owner" -> "teamA")) // v1
+    DeltaWrite.setProperties(spark, root, Map("graft.owner" -> "teamB")) // v2
+    // files/DVs/schema all match v1 — only configuration drifted; the
+    // restore must still commit a metaData-only rewind
+    val rv = DeltaWrite.restore(spark, root, 1L)
+    assert(rv == 3L, "config-only drift must produce a restore commit")
+    assert(DeltaRead.snapshot(spark, root).configuration("graft.owner") == "teamA")
+    // and an exact match stays a no-op
+    assert(DeltaWrite.restore(spark, root, 1L) == 3L)
+  }
+
+  test("merge on a stats-unsupported key type degrades to full rewrite, not an error") {
+    val root = tmp()
+    val base = Seq((java.sql.Date.valueOf("2024-01-01"), "a"),
+      (java.sql.Date.valueOf("2024-02-01"), "b")).toDF("d", "v")
+    DeltaWrite.append(spark, base, root)
+    val src = Seq((java.sql.Date.valueOf("2024-02-01"), "B"),
+      (java.sql.Date.valueOf("2024-03-01"), "c")).toDF("d", "v")
+    DeltaWrite.merge(spark, src, root, Seq("d")) // date key: no range pruning
+    val got = DeltaRead.read(spark, root).as[(java.sql.Date, String)].collect()
+      .map { case (d, v) => d.toString -> v }.toMap
+    assert(got == Map("2024-01-01" -> "a", "2024-02-01" -> "B", "2024-03-01" -> "c"))
   }
 
   test("encodePath is the exact inverse of the reader's URI decode") {
