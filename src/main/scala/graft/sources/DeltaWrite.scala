@@ -702,9 +702,8 @@ object DeltaWrite {
             s"schema mismatch appending to Delta table $path — missing: " +
               s"[${missing.mkString(", ")}], extra: [${extra.mkString(", ")}]; " +
               "append with mergeSchema=true (additive) or overwrite the table")
-        else require(snap.colMap.isEmpty,
-          s"mergeSchema append into the column-mapped Delta table at $path would " +
-            "mint column ids — evolve the schema with delta-spark")
+        // (column-mapped tables evolve too: new columns mint physical
+        // names + ids under delta.columnMapping.maxColumnId below)
         // mergeSchema: table columns df lacks NULL-FILL (the protocol's
         // by-name read does the same for old files vs new columns);
         // df-only columns append after the table's, nullable
@@ -725,6 +724,32 @@ object DeltaWrite {
       case _ => df
     }
 
+    // MAPPED-TABLE EVOLUTION: a mergeSchema append that widens a
+    // name-mode table must MINT each new column's (id, physicalName)
+    // under `delta.columnMapping.maxColumnId` — delta-spark's own
+    // minting contract: ids are monotonic from the configured
+    // high-water mark (falling back to the max id any schema field
+    // already carries — a foreign log may have skipped the config
+    // key), physical names are fresh `col-<uuid>` tokens that no
+    // reader ever resolves by logical name. The commit bumps
+    // maxColumnId in the SAME metaData action (commitContent), and
+    // the data files below land with the minted physical names.
+    val minted: Seq[(String, String, Long)] = existing match {
+      case Some(s) if mode != Mode.Overwrite && mergeSchema && s.colMap.nonEmpty =>
+        val extras = aligned.schema.fields.filterNot(f =>
+          s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        val fieldIds = s.schema.fields.flatMap(f =>
+          if (f.metadata.contains("delta.columnMapping.id"))
+            Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+        val base = math.max(
+          s.configuration.get("delta.columnMapping.maxColumnId")
+            .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
+          if (fieldIds.isEmpty) 0L else fieldIds.max)
+        extras.zipWithIndex.map { case (f, i) =>
+          (f.name, "col-" + java.util.UUID.randomUUID.toString, base + i + 1) }.toSeq
+      case _ => Nil
+    }
+
     // Column mapping: the PARQUET (and its partition dirs) must carry
     // PHYSICAL names — rename at the last moment, after every
     // logical-name check above; footer-derived add.stats then key by
@@ -732,7 +757,14 @@ object DeltaWrite {
     // delta-spark expect. partitionValuesOf below decodes the physical
     // dir segments, landing physical keys in add.partitionValues.
     val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
-      case Some(s) => toPhysical(s, aligned)
+      case Some(s) =>
+        if (minted.isEmpty) toPhysical(s, aligned)
+        else {
+          val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
+          (aligned.select(aligned.schema.fieldNames.map(n =>
+            col(n).as(ext.getOrElse(n, n))): _*),
+            s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
+        }
       case None => (aligned, parts)
     }
 
@@ -761,7 +793,7 @@ object DeltaWrite {
         case _ => Nil
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
-        txn, mergeSchema)
+        txn, mergeSchema, minted)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
         if (next > 0 && next % CheckpointInterval == 0)
@@ -806,7 +838,25 @@ object DeltaWrite {
                       aligned.schema.fieldNames.map(_.toLowerCase).sorted),
               s"concurrent writer changed the schema of Delta table $path mid-commit — " +
                 "re-run the write against the new schema (staged files are unreferenced)")
-          else
+          else {
+            // a MAPPED evolving append cannot tolerate a concurrent
+            // mint: the staged parquet already carries THIS attempt's
+            // physical names, and a winner who claimed the same ids
+            // (or the same logical columns under different physical
+            // names) would orphan them — abort loudly, never re-mint
+            if (minted.nonEmpty) {
+              val winnerIds = s.schema.fields.flatMap(f =>
+                if (f.metadata.contains("delta.columnMapping.id"))
+                  Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+              val winnerMax = math.max(
+                s.configuration.get("delta.columnMapping.maxColumnId")
+                  .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
+                if (winnerIds.isEmpty) 0L else winnerIds.max)
+              require(winnerMax < minted.map(_._3).min,
+                s"concurrent writer evolved the column-mapped Delta table $path " +
+                  "mid-commit (column ids were minted past this append's) — " +
+                  "re-run the write (its staged files are unreferenced)")
+            }
             // an evolving append tolerates concurrent evolution — the
             // retry's metaData re-unions against the winner's schema —
             // but a TYPE conflict on any shared column is fatal
@@ -818,6 +868,7 @@ object DeltaWrite {
                     s"${t.dataType.catalogString} now) — re-run the write")
               }
             }
+          }
         }
       }
     }
@@ -1032,7 +1083,8 @@ object DeltaWrite {
                             snap: Option[DeltaRead.Snapshot], adds: Seq[NewFile],
                             removes: Seq[String], version: Long,
                             txn: Option[(String, Long)] = None,
-                            mergeSchema: Boolean = false): String = {
+                            mergeSchema: Boolean = false,
+                            minted: Seq[(String, String, Long)] = Nil): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -1074,6 +1126,19 @@ object DeltaWrite {
         val extras = df.schema.fields
           .filterNot(f => s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           .map(_.copy(nullable = true))
+          .map { f =>
+            // mapped-table evolution: the new field's metaData carries
+            // its minted (id, physicalName) — the protocol's shape,
+            // what buildColMap and delta-spark resolve against
+            minted.find(_._1 == f.name) match {
+              case Some((_, phys, id)) => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong("delta.columnMapping.id", id)
+                  .putString("delta.columnMapping.physicalName", phys).build())
+              case None => f
+            }
+          }
         org.apache.spark.sql.types.StructType(s.schema.fields ++ extras).json
       case _ => df.schema.json
     }
@@ -1098,11 +1163,14 @@ object DeltaWrite {
       parts.foreach(pc.add)
       // CARRY the table configuration — a re-emitted metaData REPLACES
       // the old one, and dropping e.g. delta.appendOnly=true here would
-      // silently disable an enforcement other writers rely on
+      // silently disable an enforcement other writers rely on. A
+      // mapped-table evolution bumps maxColumnId to the newest minted
+      // id in the same action (the protocol's monotonic high-water).
       val cfg = mdb.putObject("configuration")
-      snap.foreach(_.configuration.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        cfg.put(k, v)
-      })
+      val confOut = snap.map(_.configuration).getOrElse(Map.empty) ++
+        (if (minted.isEmpty) Map.empty[String, String]
+         else Map("delta.columnMapping.maxColumnId" -> minted.map(_._3).max.toString))
+      confOut.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
     }

@@ -999,6 +999,85 @@ class DeltaWriteSuite extends SparkSpec {
     assert(e.getMessage.contains("column mapping"), e.getMessage)
   }
 
+  test("mergeSchema on a mapped table mints ids under maxColumnId; reads + DML follow") {
+    import org.apache.spark.sql.types._
+    def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+      StructField(logical, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical).build())
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    // delta-spark-shaped fixture: physical-named parquet + hand log
+    val root = tmp()
+    val stage = java.nio.file.Files.createTempDirectory("graft_cme_stage").toString
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaa111", "col-bbb222")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(root, "f1.parquet"))
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(root, "f1.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-ev","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(mapped.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+
+    // v1: evolve with a THIRD column — id minted past maxColumnId,
+    // physical name fresh, configuration bumped in the same commit
+    val v1 = DeltaWrite.append(spark,
+      Seq((3L, "c", 1.5)).toDF("id", "v", "score"), root, mergeSchema = true)
+    assert(v1 == 1L)
+    val s1 = DeltaRead.snapshot(spark, root)
+    assert(s1.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val scoreF = s1.schema("score")
+    assert(scoreF.metadata.getLong("delta.columnMapping.id") == 3L)
+    val scorePhys = scoreF.metadata.getString("delta.columnMapping.physicalName")
+    assert(scorePhys.startsWith("col-") && scorePhys != "col-aaa111")
+    assert(s1.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(s1.colMap("score") == scorePhys)
+    // the new data FILE carries only physical names (incl. the minted one)
+    val newRel = (s1.files.keySet - "f1.parquet").head
+    assert(spark.read.parquet(s"$root/$newRel").columns.toSet ==
+      Set("col-aaa111", "col-bbb222", scorePhys))
+    // logical read-back: pre-evolution rows null-fill the new column
+    val out = DeltaRead.read(spark, root).orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(1.5))))
+
+    // v2: a SECOND evolution mints monotonically (id=4), never reuses
+    val v2 = DeltaWrite.append(spark,
+      Seq((4L, "d", 2.5, "x")).toDF("id", "v", "score", "tag"), root,
+      mergeSchema = true)
+    assert(v2 == 2L)
+    val s2 = DeltaRead.snapshot(spark, root)
+    assert(s2.schema("tag").metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(s2.configuration("delta.columnMapping.maxColumnId") == "4")
+    assert(s2.schema("score").metadata.getString("delta.columnMapping.physicalName")
+      == scorePhys, "an evolution must never re-mint existing columns")
+
+    // in-place DML keeps working on the evolved mapped table
+    DeltaWrite.delete(spark, root, "score > 2.0") // drops id=4
+    assert(DeltaRead.read(spark, root).count() == 3L)
+    DeltaWrite.merge(spark,
+      Seq((1L, "A", 9.0, "y")).toDF("id", "v", "score", "tag"), root, Seq("id"))
+    val fin = DeltaRead.read(spark, root).orderBy("id")
+      .select($"id", $"v", $"score", $"tag")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSeq
+    assert(fin == Seq((1L, "A", Some(9.0), Some("y")),
+      (2L, "b", None, None), (3L, "c", Some(1.5), None)))
+  }
+
   test("RESTORE rewinds files, DVs, and schema as one zero-I/O commit") {
     val root = tmp()
     DeltaWrite.append(spark, (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
