@@ -1686,9 +1686,16 @@ object DeltaWrite {
     */
   private case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int,
                                 readerFeatures: Seq[String], writerFeatures: Seq[String])
+  /** The protocol's DeletionVectorDescriptor shape inside a checkpoint
+    * add — field names match what [[DeltaRead]] (and delta-spark) read
+    * back. Null when the file carries no DV.
+    */
+  private case class CkDv(storageType: String, pathOrInlineDv: String,
+                          offset: java.lang.Integer, sizeInBytes: Int,
+                          cardinality: Long)
   private case class CkAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long, dataChange: Boolean,
-                           stats: String)
+                           stats: String, deletionVector: CkDv = null)
   private case class CkRemove(path: String, deletionTimestamp: Long,
                               dataChange: Boolean)
   private case class CkTxn(appId: String, version: Long, lastUpdated: java.lang.Long)
@@ -1737,7 +1744,7 @@ object DeltaWrite {
     * a naive CDC reader re-stream the whole table).
     */
   def checkpoint(spark: SparkSession, path: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf, when}
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
@@ -1750,15 +1757,12 @@ object DeltaWrite {
     val latest = (commits ++ cpFiles.keys).max
     if (cpFiles.contains(latest)) return latest // nothing newer to fold
     val prev = cpFiles.keys.filter(_ < latest).toSeq.sorted.lastOption
-    // our checkpoint rows carry no deletionVector column — folding a
-    // DV-carrying log would silently drop the bitmaps and resurrect
-    // the soft-deleted rows for every reader of the checkpoint. The
-    // check rides THIS function's own replay inputs (tail JSON + prev
-    // checkpoint columns below) instead of a full extra snapshot()
-    // reconstruction per call — auto-checkpointing pays it per commit.
-    def refuseDv(): Nothing = throw new IllegalArgumentException(
-      s"Delta table at $path carries deletion vectors — graft reads them " +
-        "but will not fold them into a checkpoint; CHECKPOINT with delta-spark")
+    // checkpoint adds CARRY their deletionVector descriptors ([[CkDv]])
+    // — a live DV is snapshot state, and a fold that dropped it would
+    // resurrect the soft-deleted rows for every checkpoint reader.
+    // (Inline 'i' DVs travel whole in pathOrInlineDv; on-disk 'u' DV
+    // files stay referenced, exactly like data files, and vacuum's
+    // live-set already protects them.)
 
     // --- driver tail replay (bounded by the checkpoint interval) ---
     // protocol starts UNKNOWN, not (1,2): a tail with no protocol
@@ -1809,6 +1813,14 @@ object DeltaWrite {
         // DELETE's add(F, dv) + a later remove(F, dv) must cancel out
         // (e.g. after a graft compact), so the fold keys carry the dv
         // identity; only a dv add SURVIVING to the fold refuses (below)
+        def ckDvOf(n: com.fasterxml.jackson.databind.JsonNode): CkDv =
+          Option(n.get("deletionVector")).filterNot(_.isNull)
+            .filter(_.path("storageType").asText("").nonEmpty)
+            .map(dv => CkDv(dv.path("storageType").asText(""),
+              dv.path("pathOrInlineDv").asText(""),
+              if (dv.hasNonNull("offset")) Int.box(dv.get("offset").asInt()) else null,
+              dv.path("sizeInBytes").asInt(0),
+              dv.path("cardinality").asLong(0L))).orNull
         def dvUid(n: com.fasterxml.jackson.databind.JsonNode): String = {
           val d = Option(n.get("deletionVector")).filterNot(_.isNull)
           d.map { dv =>
@@ -1825,7 +1837,8 @@ object DeltaWrite {
             .toMap).getOrElse(Map.empty[String, String])
           tailAdds((enc, dvUid(ad))) = CkAdd(enc, pv,
             ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
-            dataChange = false, stats = ad.path("stats").asText(null))
+            dataChange = false, stats = ad.path("stats").asText(null),
+            deletionVector = ckDvOf(ad))
           tailTombs.remove(enc) // a re-added path is live, not a tombstone
           touched += DeltaRead.decodePath(enc)
         }
@@ -1845,11 +1858,6 @@ object DeltaWrite {
       }
     }
 
-    // a deletion vector SURVIVING to the fold cannot be represented in
-    // our checkpoint rows (no deletionVector column) — dropping it
-    // would resurrect the soft-deleted rows for every checkpoint
-    // reader. Historical, already-retired DVs folded away above.
-    if (tailAdds.keys.exists(_._2.nonEmpty)) refuseDv()
     // a path with a surviving add is live, never a tombstone (a
     // DELETE's remove(F) + add(F, dv) pair leaves F live)
     tailAdds.keys.foreach { case (p, _) => tailTombs.remove(p) }
@@ -1925,11 +1933,23 @@ object DeltaWrite {
                 Long.box(r.getLong(r.fieldIndex("lastUpdated"))) else null)
         }
       val addCols = rows.select("add.*").columns.toSet
-      if (addCols("deletionVector") &&
-          rows.where(col("add.deletionVector.storageType").isNotNull).limit(1)
-            .count() > 0) refuseDv()
       def ac(n: String, dt: String) =
         if (addCols(n)) col("add." + n).cast(dt).as(n) else lit(null).cast(dt).as(n)
+      // carried DVs rebuild field-by-NAME into CkDv's shape (a foreign
+      // checkpoint's descriptor may carry extra fields / other order —
+      // a positional struct cast would scramble them)
+      val dvType = ckSchema("add").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType]("deletionVector").dataType
+      val dvCol =
+        if (!addCols("deletionVector")) lit(null).cast(dvType).as("deletionVector")
+        else when(col("add.deletionVector.storageType").isNotNull,
+          struct(
+            col("add.deletionVector.storageType").cast("string").as("storageType"),
+            col("add.deletionVector.pathOrInlineDv").cast("string").as("pathOrInlineDv"),
+            col("add.deletionVector.offset").cast("int").as("offset"),
+            col("add.deletionVector.sizeInBytes").cast("int").as("sizeInBytes"),
+            col("add.deletionVector.cardinality").cast("long").as("cardinality")))
+          .otherwise(lit(null).cast(dvType)).as("deletionVector")
       val prevAdds = rows.where(col("add.path").isNotNull).select(
         col("add.path").cast("string").as("path"),
         ac("partitionValues", "map<string,string>"),
@@ -1937,7 +1957,8 @@ object DeltaWrite {
         // checkpoint file actions always write dataChange=false — they
         // describe existing state, not new data (protocol requirement)
         lit(false).as("dataChange"),
-        ac("stats", "string"))
+        ac("stats", "string"),
+        dvCol)
       val prevTombs: Option[DataFrame] =
         if (!cols("remove")) None
         else {
@@ -1976,11 +1997,40 @@ object DeltaWrite {
         tailTombs.collect { case (p, ts) if ts >= nowMs - TombstoneRetentionMs =>
           CkRow(null, null, null, CkRemove(p, ts, dataChange = false), null)
         }
-    val driverDf = spark.createDataset(driverRows)(enc).toDF()
+    // explicit Rows, not the product encoder: Janino chokes generating
+    // a serializer for the 3-deep CkRow→CkAdd→CkDv nesting (interpreted
+    // fallback works but spams a CompileException per checkpoint); the
+    // driver emits a handful of rows, so hand conversion is free
+    val driverDf = {
+      import org.apache.spark.sql.Row
+      def dvR(d: CkDv): Row =
+        if (d == null) null
+        else Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)
+      def rowOf(r: CkRow): Row = Row(
+        if (r.protocol == null) null
+        else Row(r.protocol.minReaderVersion, r.protocol.minWriterVersion,
+          r.protocol.readerFeatures, r.protocol.writerFeatures),
+        if (r.metaData == null) null
+        else Row(r.metaData.id,
+          Row(r.metaData.format.provider, r.metaData.format.options),
+          r.metaData.schemaString, r.metaData.partitionColumns,
+          r.metaData.configuration, r.metaData.createdTime),
+        if (r.add == null) null
+        else Row(r.add.path, r.add.partitionValues, r.add.size,
+          r.add.modificationTime, r.add.dataChange, r.add.stats,
+          dvR(r.add.deletionVector)),
+        if (r.remove == null) null
+        else Row(r.remove.path, r.remove.deletionTimestamp, r.remove.dataChange),
+        if (r.txn == null) null
+        else Row(r.txn.appId, r.txn.version, r.txn.lastUpdated))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(driverRows.map(rowOf).asJava, ckSchema)
+    }
     val carriedAddsDf = carried.map { case (adds, _) => adds.select(
       nullCol("protocol"), nullCol("metaData"),
       struct(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), col("dataChange"), col("stats"))
+        col("modificationTime"), col("dataChange"), col("stats"),
+        col("deletionVector"))
         .cast(ckSchema("add").dataType).as("add"),
       nullCol("remove"), nullCol("txn"))
     }

@@ -887,10 +887,11 @@ class DeltaReadSuite extends SparkSpec {
     DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root) // v1
     assert(DeltaRead.read(spark, root).count() == 4L,
       "append lands; the DV on f1 still applies")
-    // checkpoint refuses while a live DV exists (our checkpoint rows
-    // cannot carry it) — compaction is the offered route
-    val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
-    assert(e.getMessage.contains("deletion vector"))
+    // checkpointing with a live DV folds the descriptor into the add
+    // row (round-14 capability; full pins in DeltaWriteSuite)
+    assert(DeltaWrite.checkpoint(spark, root) == 1L)
+    assert(DeltaRead.snapshot(spark, root).dvs.nonEmpty &&
+      DeltaRead.read(spark, root).count() == 4L)
     // compact folds the DV'd file: the remove CARRIES the descriptor
     // (other readers reconcile by (path, dv.uniqueId)) and the new
     // files hold only the live rows

@@ -283,6 +283,44 @@ class DeltaWriteSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaAppendSink kill-and-restart: the re-executed batch dedupes via txn") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_deltas_kr").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.EventStreams.deltaAppendSink(
+      mem.toDF().toDF("id", "v"), root, ckpt)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      mem.addData((3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(DeltaRead.read(spark, root).count() == 3L)
+    assert(DeltaRead.snapshot(spark, root).txns.values.toSeq == Seq(1L))
+    // CRASH WINDOW: the Delta commit for batch 1 landed, but the
+    // streaming checkpoint's commit marker never did (process killed
+    // between the two) — on restart Spark RE-EXECUTES batch 1 with the
+    // same offsets. Drop the marker to force exactly that window.
+    assert(new java.io.File(s"$ckpt/commits/1").delete(),
+      "fixture: the batch-1 streaming commit marker must exist")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete() // local-FS checksum sibling
+    val q2 = graft.streaming.EventStreams.deltaAppendSink(
+      mem.toDF().toDF("id", "v"), root, ckpt)
+    try {
+      q2.processAllAvailable() // replays batch 1: txn mark drops it
+      assert(DeltaRead.read(spark, root).count() == 3L,
+        "the replayed batch must not duplicate rows")
+      assert(DeltaRead.snapshot(spark, root).txns.values.toSeq == Seq(1L))
+      mem.addData((4L, "d")) // and NEW batches still land after recovery
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(DeltaRead.snapshot(spark, root).txns.values.toSeq == Seq(2L))
+  }
+
   test("checkpoints carry unexpired remove tombstones; expired ones drop") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root)    // v0
@@ -997,6 +1035,70 @@ class DeltaWriteSuite extends SparkSpec {
       DeltaWrite.overwrite(spark, Seq((9L, "z", 0L)).toDF("id", "v", "p"), root)
     }
     assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("checkpoint folds LIVE deletion vectors; v7+mapping+DV survive a cleaned log") {
+    import org.apache.spark.sql.types._
+    def mappedField(logical: String, dt: DataType, id: Long, physical: String) =
+      StructField(logical, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical).build())
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    val root = tmp()
+    val stage = java.nio.file.Files.createTempDirectory("graft_ckdv_stage").toString
+    (0L until 10L).map(i => (i, s"v$i")).toDF("col-k1", "col-v2")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(root, "f1.parquet"))
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-k1"),
+      mappedField("v", StringType, 2, "col-v2")))
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(root, "f1.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"ckdv","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(mapped.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2","graft.marker":"keep-me"}}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    DeltaWrite.delete(spark, root, "id < 3")        // v1: LIVE DV, upgrade to 3/7
+    val before = DeltaRead.snapshot(spark, root)
+    assert(before.minWriter == 7 && before.dvs.nonEmpty)
+    // the DV must survive the fold — no refusal, no silent drop
+    assert(DeltaWrite.checkpoint(spark, root) == 1L)
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.list(logDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(java.nio.file.Files.delete)
+    val snap = DeltaRead.snapshot(spark, root)
+    // protocol, features, configuration, mapping: all byte-equal
+    assert(snap.minReader == before.minReader && snap.minWriter == before.minWriter)
+    assert(snap.readerFeatures == before.readerFeatures &&
+      snap.writerFeatures == before.writerFeatures)
+    assert(snap.configuration == before.configuration &&
+      snap.configuration("graft.marker") == "keep-me")
+    assert(snap.colMap == before.colMap)
+    assert(snap.dvs.mapValues(_.uniqueId).toMap ==
+      before.dvs.mapValues(_.uniqueId).toMap, "the DV identity must survive the fold")
+    assert(DeltaRead.read(spark, root).count() == 7L,
+      "checkpoint-only read must still mask the soft-deleted rows")
+    // incremental fold: a second checkpoint CARRIES the DV'd add
+    DeltaWrite.append(spark, Seq((100L, "x")).toDF("id", "v"), root) // v2
+    DeltaWrite.delete(spark, root, "id = 5")                         // v3: grows the DV
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    java.nio.file.Files.list(logDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(java.nio.file.Files.delete)
+    assert(DeltaRead.read(spark, root).count() == 7L) // 10 - 4 deleted + 1 appended
+    assert(DeltaRead.snapshot(spark, root).dvs.values.map(_.cardinality).sum == 4L)
   }
 
   test("mergeSchema on a mapped table mints ids under maxColumnId; reads + DML follow") {
