@@ -616,6 +616,20 @@ object TextQueries {
         .scores.orderBy("doc_id")
     }),
 
+    // q126: DISTRIBUTED BPE TOKENIZER TRAINING (round 14) — 8 greedy
+    // merge steps over the documents table's word-frequency state.
+    // Every pair frequency is an exact integer sum and the winner's
+    // tie-break is a binary string order, so the DuckDB oracle
+    // recomputes the IDENTICAL merge table with an unrolled 8-step
+    // replace walk (single-char symbols make "apply a merge" a
+    // literal SQL replace on both engines). Corpus text is scanned
+    // once; each step is one hash aggregation over the vocabulary
+    // (BpeTrainerSuite's probe pins per-step cost flat under a 12x
+    // corpus blow-up).
+    "q126_bpe" -> ((s, dir) =>
+      graft.operators.BpeTrainer.trainDF(s, t(s, dir, "documents"), steps = 8)
+        .orderBy("step")),
+
     "q68_incremental_dedup" -> ((s, dir) => {
       val root = RelationalQueries.scratchRoot("graft_q68")
       val docs = t(s, dir, "documents")
@@ -916,7 +930,40 @@ object TextQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid DESC) AS rk
       |  FROM scored)""".stripMargin
 
+  /** q126's oracle: the BPE merge loop unrolled to `k` steps of pure
+    * SQL. Each step: positional pair counts over the word table (one
+    * lateral range unnest), the (count DESC, pair ASC) winner, a
+    * literal `replace` applying it with the step's minted private-use
+    * symbol `chr(0xE000+step-1)`, and the winner's expansion back to
+    * base characters via the earlier steps' tokens. Mirrors
+    * [[graft.operators.BpeTrainer.train]] decision-for-decision.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += ("w0 AS (SELECT w AS seq, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+      "SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) " +
+      "WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY w)")
+    val sel = Seq.newBuilder[String]
+    for (i <- 1 to k) {
+      parts += (s"p$i AS (SELECT substr(seq, u.pos, 2) AS pair, sum(cnt) AS c " +
+        s"FROM w${i - 1}, unnest(range(1, length(seq))) AS u(pos) GROUP BY 1)")
+      parts += s"b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1)"
+      parts += (s"w$i AS (SELECT replace(seq, (SELECT pair FROM b$i), " +
+        s"chr(${0xE000 + i - 1})) AS seq, cnt FROM w${i - 1})")
+      val tok = (1 until i).foldLeft(s"(SELECT pair FROM b$i)") { (acc, j) =>
+        s"replace($acc, chr(${0xE000 + j - 1}), (SELECT token FROM mm$j))"
+      }
+      parts += (s"mm$i AS (SELECT $i AS step, $tok AS token, " +
+        s"CAST((SELECT c FROM b$i) AS BIGINT) AS freq)")
+      sel += s"SELECT step, token, freq FROM mm$i"
+    }
+    "WITH " + parts.result().mkString(",\n") + "\n" +
+      sel.result().mkString(" UNION ALL ") + "\nORDER BY step"
+  }
+
   def oracle: Map[String, String] = Map(
+
+    "q126_bpe" -> bpeOracleSql(8),
     "q119_substring_dup" ->
       """WITH w AS (
         |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g

@@ -294,4 +294,41 @@ class IncrementalDedupSuite extends SparkSpec {
     }
     assert(e2.getMessage.contains("_gram_params"))
   }
+
+  test("gram store crash window: scores consumed, admit lost — replay is exact") {
+    // the kill lands BETWEEN the two effects of spanDelta: the caller
+    // already consumed `scores` (materialized before the append by
+    // design) but the admit commit never reached the store. The replay
+    // must (a) score IDENTICALLY — the store is unchanged, so the
+    // corpus-vs-batch decomposition gives the same answer, never an
+    // under-score — and (b) admit the batch's grams exactly once.
+    val root = tmpRoot("incdedup_gram_crash")
+    val p = IncrementalDedup.GramParams(window = 30, hashed = true)
+    IncrementalDedup.initGramStore(spark, corpus, root, params = p)
+    val storedBefore = graft.pipeline.VersionedTable.read(spark, root).count()
+    // crashed attempt: append=false IS the observable state of a kill
+    // before the commit (scores out, store untouched)
+    val crashed = IncrementalDedup.spanDelta(spark, delta, root, append = false)
+    assert(crashed.version == -1L)
+    val crashedScores = crashed.scores.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(graft.pipeline.VersionedTable.read(spark, root).count() == storedBefore,
+      "a crash before the admit must leave the store byte-identical")
+    // replay: same scores (no under- OR over-score), one admit
+    val replay = IncrementalDedup.spanDelta(spark, delta, root)
+    val replayScores = replay.scores.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(replayScores == crashedScores,
+      "the replayed batch must score exactly as the crashed attempt did")
+    assert(replay.version > 0)
+    val store = graft.pipeline.VersionedTable.read(spark, root)
+    assert(store.count() == store.select("g").distinct().count(),
+      "the admit must not duplicate gram rows")
+    // a THIRD run (crash after admit, before the streaming offset
+    // advanced) adds nothing: its newG anti-join is empty
+    val after = store.count()
+    IncrementalDedup.spanDelta(spark, delta, root)
+    assert(graft.pipeline.VersionedTable.read(spark, root).count() == after,
+      "a replay after the admit landed must not double-admit")
+  }
 }
