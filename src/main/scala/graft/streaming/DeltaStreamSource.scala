@@ -37,6 +37,15 @@ import org.apache.spark.sql.types.StructType
   *    pins the creation-time head ONCE in the checkpoint-scoped
   *    metadataPath — same durability contract as the graft source —
   *    and a number N streams commits strictly after N).
+  *  - `.option("readChangeFeed", true)` (delta-spark's option, round
+  *    14) streams the CHANGE FEED instead: each batch is the span's
+  *    [[DeltaRead.readChanges]] rows (+_change_type/_commit_version/
+  *    _commit_timestamp) — deletes and update pre/postimages arrive
+  *    properly typed instead of failing the stream, the initial batch
+  *    is the snapshot as inserts, and column-mapped tables work
+  *    (readChanges translates). Requires
+  *    `delta.enableChangeDataFeed=true`; ignoreDeletes/ignoreChanges
+  *    refuse in this mode (they approximate what CDF does exactly).
   *
   * Schema: pinned at stream start (the engine's checkpoint schema);
   * additive source evolution null-fills/drops per batch, a changed
@@ -65,7 +74,14 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
       require(DeltaRead.isDeltaTable(spark, root),
         s"$root is not a Delta table (no _delta_log) — the graft-delta stream " +
           "needs a committed table, or an explicit .schema(...)")
-      DeltaRead.snapshot(spark, root).schema
+      val base = DeltaRead.snapshot(spark, root).schema
+      if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))) {
+        import org.apache.spark.sql.types._
+        StructType(base.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = true),
+          StructField("_commit_version", LongType, nullable = true),
+          StructField("_commit_timestamp", TimestampType, nullable = true)))
+      } else base
     }
     (shortName(), s)
   }
@@ -100,9 +116,19 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+    val cdf = flag("readChangeFeed")
+    if (cdf) {
+      require(!flag("ignoreDeletes") && !flag("ignoreChanges"),
+        "readChangeFeed streams every change properly typed — ignoreDeletes/" +
+          "ignoreChanges have no meaning with it; drop the options")
+      require(graft.sources.DeltaRead.snapshot(spark, root).configuration
+          .get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")),
+        s"readChangeFeed on $root needs delta.enableChangeDataFeed=true " +
+          "(DeltaWrite.setProperties)")
+    }
     new DeltaTableSource(spark, root, declared, initialFrom,
       ignoreDeletes = flag("ignoreDeletes"), ignoreChanges = flag("ignoreChanges"),
-      maxFilesPerTrigger = maxFiles)
+      maxFilesPerTrigger = maxFiles, readChangeFeed = cdf)
   }
 }
 
@@ -111,13 +137,15 @@ class DeltaTableSource(spark: SparkSession, root: String,
                        initialFrom: Long,
                        ignoreDeletes: Boolean,
                        ignoreChanges: Boolean,
-                       maxFilesPerTrigger: Option[Int] = None) extends Source {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       readChangeFeed: Boolean = false) extends Source {
 
   // the BATCH reader handles column mapping; this source's own commit
   // parse keeps add.partitionValues in physical-name space, so a
   // mapped table would misassemble its micro-batch snapshots — refuse
-  // up front rather than stream wrong partition values
-  if (DeltaRead.isDeltaTable(spark, root))
+  // up front rather than stream wrong partition values. (The CDF mode
+  // loads through readChanges, which translates mapping itself.)
+  if (!readChangeFeed && DeltaRead.isDeltaTable(spark, root))
     require(DeltaRead.snapshot(spark, root).colMap.isEmpty,
       s"delta stream at $root: the table uses column mapping — batch reads " +
         "are supported, streaming is not; stream it with delta-spark")
@@ -191,10 +219,37 @@ class DeltaTableSource(spark: SparkSession, root: String,
     }
   }
 
+  /** CHANGE-FEED batch: the span's change rows from
+    * [[DeltaRead.readChanges]] — deletes and update pre/postimages
+    * stream properly typed instead of failing the source, the CDC
+    * contract `ignoreChanges` only approximates. The initial batch
+    * (no startingVersion) is the snapshot AS INSERTS stamped with the
+    * head version (delta-spark's CDF-stream bootstrap).
+    */
+  private def changeBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (from >= to && from >= 0L)
+      return DeltaRead.readChanges(spark, root, to, Some(to)).limit(0)
+    if (from < 0L) {
+      val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
+      val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ts = try new java.sql.Timestamp(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(logP, f"$to%020d.json")).getModificationTime)
+      catch { case scala.util.control.NonFatal(_) =>
+        new java.sql.Timestamp(System.currentTimeMillis) }
+      DeltaRead.read(spark, root, Some(to))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(to))
+        .withColumn("_commit_timestamp", lit(ts))
+    } else DeltaRead.readChanges(spark, root, from + 1, Some(to))
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = versionOf(end)
     handedOut = math.max(handedOut, to)
     val from = start.map(versionOf).getOrElse(initialFrom)
+    if (readChangeFeed)
+      return StreamingShims.asMicroBatch(conform(changeBatch(from, to)))
     val batch =
       if (from < 0L) DeltaRead.read(spark, root, Some(to))
       else if (from >= to) DeltaRead.read(spark, root, Some(to)).limit(0)

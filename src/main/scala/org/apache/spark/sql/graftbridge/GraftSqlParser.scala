@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * GRAFT_CHECKPOINT('/deltaPath')                     -- fold a Delta log (maintenance)
   * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
+  * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5])        -- Delta change feed span (table_changes)
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -59,7 +60,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -199,6 +200,13 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       import session.implicits._
       val v = graft.sources.DeltaWrite.checkpoint(session, path)
       Seq(v).toDF("checkpoint_version").queryExecution.logical
+    case ChangesStmt(path, fromV, toV) =>
+      // delta-only: the versioned protocol's keyed CDC is GRAFT_DIFF
+      require(graft.sources.DeltaRead.isDeltaTable(session, path),
+        s"GRAFT_CHANGES reads a Delta change feed; $path is not a Delta table — " +
+          "use GRAFT_DIFF(path, v1, v2, KEY k) for graft versioned tables")
+      graft.sources.DeltaRead.readChanges(session, path, fromV.toLong,
+        Option(toV).map(_.toLong)).queryExecution.logical
     case PurgeStmt(path, fraction) =>
       import session.implicits._
       val v = graft.sources.DeltaWrite.purgeDvs(session, path,
@@ -311,7 +319,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_) |
-         PurgeStmt(_, _) =>
+         PurgeStmt(_, _) | ChangesStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -427,6 +435,13 @@ object GraftSqlParser {
     """(?is)^\s*GRAFT_CHECKPOINT\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
   private val PurgeStmt =
     """(?is)^\s*GRAFT_PURGE\s*\(\s*'([^']+)'\s*(?:,\s*FRACTION\s+([0-9.]{1,12}))?\s*\)\s*;?\s*$""".r
+
+  /** Delta CHANGE DATA FEED span read (delta-spark's `table_changes`):
+    * table columns + _change_type/_commit_version/_commit_timestamp
+    * over commits FROM..TO (TO defaults to the head).
+    */
+  private val ChangesStmt =
+    """(?is)^\s*GRAFT_CHANGES\s*\(\s*'([^']+)'\s*,\s*FROM\s+(\d{1,18})(?:\s*,\s*TO\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
 
   /** Rollback: republish version N's (or tag T's) entry set as a new
     * commit (zero data I/O; Delta's RESTORE TABLE ... VERSION AS OF

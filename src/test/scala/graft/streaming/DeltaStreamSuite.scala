@@ -179,6 +179,61 @@ class DeltaStreamSuite extends SparkSpec {
     assert(second.toArray(Array.empty[java.lang.Long]).toSeq == Seq(2L))
   }
 
+  test("readChangeFeed streams typed changes: bootstrap inserts, then merge/delete rows") {
+    val root = tmp("dstream_cdf")
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root) // v0
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                            // v1
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // bootstrap: the snapshot as inserts at the head version
+      assert(spark.table(name)
+        .select($"id", $"_change_type", $"_commit_version")
+        .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "insert", 1L), (2L, "insert", 1L)))
+      // a MERGE and a DELETE stream properly typed (no failure, no
+      // ignoreChanges needed — the exact CDC contract)
+      DeltaWrite.merge(spark, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+        root, Seq("id"))                                                      // v2
+      DeltaWrite.delete(spark, root, "id = 1")                                // v3
+      q.processAllAvailable()
+      val tail = spark.table(name).where($"_commit_version" >= 2L)
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(tail == Set(
+        (2L, "b", "update_preimage", 2L),
+        (2L, "B", "update_postimage", 2L),
+        (3L, "c", "insert", 2L),
+        (1L, "a", "delete", 3L)), s"unexpected change tail: $tail")
+    } finally q.stop()
+    // option hygiene: ignoreChanges + CDF refuse; CDF-less tables
+    // refuse (createSource runs on the stream thread — the refusal
+    // surfaces as the query's failure, not at start())
+    def refuses(build: => org.apache.spark.sql.streaming.StreamingQuery,
+                needle: String): Unit = {
+      val qe = build
+      try {
+        val e = intercept[StreamingQueryException] { qe.processAllAvailable() }
+        assert(e.getMessage.contains(needle) ||
+          Option(e.getCause).exists(_.getMessage.contains(needle)), e.getMessage)
+      } finally qe.stop()
+    }
+    refuses(spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("ignoreChanges", "true")
+      .load(root).writeStream.format("memory").queryName(sinkName()).start(),
+      "no meaning")
+    val plain = tmp("dstream_cdf_off")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), plain)
+    refuses(spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(plain)
+      .writeStream.format("memory").queryName(sinkName()).start(),
+      "enableChangeDataFeed")
+  }
+
   test("deletion vectors apply to the stream's bootstrap snapshot batch") {
     val root = tmp("dstream_dv")
     DeltaWrite.append(spark,
