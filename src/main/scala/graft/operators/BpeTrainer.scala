@@ -119,6 +119,28 @@ object BpeTrainer {
       .map(m => (m.step, m.token, m.freq)).toDF("step", "token", "freq")
   }
 
+  /** Per-text BPE TOKEN COUNT under learned merges — the token-budget
+    * input a trained tokenizer implies: whitespace words in the
+    * trainer's `[a-z]{2,20}` alphabet fold through the merge replaces
+    * (each surviving symbol = one token) and sum; other word forms
+    * contribute nothing (they're outside the trained alphabet, the
+    * same contract as [[wordCounts]]). A pure projection — the
+    * corpus-wide encode is ONE scan, merges fused into whole-stage
+    * codegen, no join against a vocab table.
+    */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    aggregate(
+      transform(
+        filter(split(text, "\\s+"), w => w.rlike("^[a-z]{2,20}$")),
+        w => length(merges.foldLeft(w) { (c, m) =>
+          replace(c, lit(m.pair), lit((SymBase + m.step - 1).toChar.toString))
+        }).cast("long")),
+      lit(0L), (acc, n) => acc + n)
+
+  /** The matching word count (how many words the encode covered). */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => w.rlike("^[a-z]{2,20}$"))).cast("long")
+
   /** Tokenize a word column with learned merges: fold the replaces in
     * training order (the exact training walk), then expand each
     * surviving symbol back to its token text. Output `array<string>`

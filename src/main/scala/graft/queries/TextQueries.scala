@@ -630,6 +630,22 @@ object TextQueries {
       graft.operators.BpeTrainer.trainDF(s, t(s, dir, "documents"), steps = 8)
         .orderBy("step")),
 
+    // q127: BPE ENCODE at corpus scale (round 14) — train 8 merges on
+    // the %4==0 slice, then count every document's BPE tokens in ONE
+    // projection scan (merge replaces fused by codegen; no vocab-table
+    // join). The oracle retrains the same slice with the unrolled
+    // walk and re-applies the replace chain per word — training AND
+    // application both under the hash.
+    "q127_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrainer.train(
+        s, docs.where(col("doc_id") % 4 === 0), steps = 8)
+      docs.select(col("doc_id"),
+        graft.operators.BpeTrainer.wordCount(col("text")).as("n_words"),
+        graft.operators.BpeTrainer.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q68_incremental_dedup" -> ((s, dir) => {
       val root = RelationalQueries.scratchRoot("graft_q68")
       val docs = t(s, dir, "documents")
@@ -938,18 +954,30 @@ object TextQueries {
     * base characters via the earlier steps' tokens. Mirrors
     * [[graft.operators.BpeTrainer.train]] decision-for-decision.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** The unrolled merge-walk CTEs (w0..w_k, p_i, b_i) shared by the
+    * q126 training oracle and the q127 encode oracle. `docFilter` is
+    * appended to the training corpus' FROM clause.
+    */
+  private def bpeStepCtes(k: Int, docFilter: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     parts += ("w0 AS (SELECT w AS seq, CAST(count(*) AS BIGINT) AS cnt FROM (" +
-      "SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) " +
+      s"SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents$docFilter) " +
       "WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY w)")
-    val sel = Seq.newBuilder[String]
     for (i <- 1 to k) {
       parts += (s"p$i AS (SELECT substr(seq, u.pos, 2) AS pair, sum(cnt) AS c " +
         s"FROM w${i - 1}, unnest(range(1, length(seq))) AS u(pos) GROUP BY 1)")
       parts += s"b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1)"
       parts += (s"w$i AS (SELECT replace(seq, (SELECT pair FROM b$i), " +
         s"chr(${0xE000 + i - 1})) AS seq, cnt FROM w${i - 1})")
+    }
+    parts.result()
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts ++= bpeStepCtes(k, "")
+    val sel = Seq.newBuilder[String]
+    for (i <- 1 to k) {
       val tok = (1 until i).foldLeft(s"(SELECT pair FROM b$i)") { (acc, j) =>
         s"replace($acc, chr(${0xE000 + j - 1}), (SELECT token FROM mm$j))"
       }
@@ -961,9 +989,29 @@ object TextQueries {
       sel.result().mkString(" UNION ALL ") + "\nORDER BY step"
   }
 
+  /** q127's oracle: retrain on the slice, then per document fold every
+    * in-alphabet word through the same replace chain and sum surviving
+    * symbol counts (each symbol is one char, so token count = length).
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val repl = (1 to k).foldLeft("w") { (acc, i) =>
+      s"replace($acc, (SELECT pair FROM b$i), chr(${0xE000 + i - 1}))"
+    }
+    "WITH " + bpeStepCtes(k, " WHERE doc_id % 4 = 0").mkString(",\n") + ",\n" +
+      "enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      s"CAST(sum(length($repl)) AS BIGINT) AS n_toks FROM (" +
+      "SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents) " +
+      "WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY doc_id)\n" +
+      "SELECT d.doc_id, CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(e.n_toks, 0) AS BIGINT) AS n_bpe_tokens " +
+      "FROM documents d LEFT JOIN enc e USING (doc_id) ORDER BY d.doc_id"
+  }
+
   def oracle: Map[String, String] = Map(
 
     "q126_bpe" -> bpeOracleSql(8),
+
+    "q127_bpe_encode" -> bpeEncodeOracleSql(8),
     "q119_substring_dup" ->
       """WITH w AS (
         |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g

@@ -105,6 +105,31 @@ class BpeTrainerSuite extends SparkSpec {
     assert(toks.exists(r => r.getSeq[String](1).length < r.getString(0).length))
   }
 
+  test("tokenCount equals the sum of tokenize lengths over a text's kept words") {
+    val texts = Seq("the lower lowest low low lowering",
+      "THE a1 newer newest new news the the")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(spark, docs, steps = 6)
+    val got = docs.select(col("doc_id"),
+      BpeTrainer.tokenCount(col("text"), merges).as("n"),
+      BpeTrainer.wordCount(col("text")).as("w"),
+      aggregate(
+        transform(
+          filter(split(col("text"), "\\s+"), w => w.rlike("^[a-z]{2,20}$")),
+          w => size(BpeTrainer.tokenize(w, merges)).cast("long")),
+        lit(0L), (a, n) => a + n).as("n2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        s"tokenCount and tokenize disagree on doc ${r.getLong(0)}: $r")
+      assert(r.getLong(1) <= r.getLong(2) * 20 && r.getLong(1) >= r.getLong(2),
+        s"token count outside [words, chars]: $r")
+    }
+    // out-of-alphabet words (THE, a1) contribute nothing
+    assert(got.find(_.getLong(0) == 1L).get.getLong(2) == 6L)
+  }
+
   test("per-step cost tracks VOCABULARY, not corpus size (no corpus rescan)") {
     // duplicate the same text 1x vs 12x: identical vocabulary, 12x the
     // corpus. After prep, per-step time must stay in the same band —
