@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language model for QUALITY FILTERING — the
+  * CCNet-style "score documents under a reference LM" step
+  * (Wenzek et al. 2020, arXiv:1911.00359 score with a KenLM; this is
+  * the count-LM variant whose math is exact integers, so the whole
+  * train + score pipeline sits under the DuckDB oracle).
+  *
+  * Model: bigram conditional estimates over the same `[a-z]{2,20}`
+  * whitespace word alphabet as [[BpeTrainer]]. For each (w1, w2):
+  * `c12` = corpus occurrence count, `c1` = Σ_w2 c12 (the left-context
+  * margin), `p = c12/c1`, and `p_micro = round(c12·10⁶/c1)` — an
+  * INTEGER micro-probability, so downstream per-document sums are
+  * exact and accumulation-order-free (a double sum would be
+  * engine-divergent; the integer trick is the q01 cents pattern).
+  *
+  * 100 TB shape: training is two hash aggregations over the exploded
+  * bigram stream (map-side partial both times) + one margin join —
+  * never a self-join of text. `minCount` prunes the hapax tail, which
+  * is what makes the scoring-side LM broadcastable (CCNet prunes its
+  * KenLM the same way); scoring is one scan of the corpus exploded to
+  * bigrams, one join against the (pruned, broadcastable) LM, one
+  * re-aggregation by document.
+  */
+object NgramLm {
+
+  /** Kept word array of a text column (the trainer alphabet). */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w.rlike("^[a-z]{2,20}$"))
+
+  /** Adjacent word pairs of a text column as `struct(w1, w2)` —
+    * guarded: a 0/1-word doc yields an empty array (`sequence(1,0)`
+    * is DESCENDING in Spark, never empty).
+    */
+  private def bigramsOf(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Train the bigram LM: `(w1, w2, c12, c1, p, p_micro)`. `minCount`
+    * drops bigrams with `c12 < minCount` AFTER the margin `c1` is
+    * fixed over the full table, so surviving rows keep true
+    * conditional estimates.
+    */
+  def trainBigrams(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 1L): DataFrame = {
+    val bi = docs.select(explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val margins = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    bi.join(margins, Seq("w1"))
+      .where(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"),
+        round(col("c12").cast("double") * 1000000.0d / col("c1").cast("double"), 0)
+          .cast("long").as("p_micro"))
+  }
+
+  /** Score every document under a trained LM: `(idCol, n_bigrams,
+    * n_found, sum_p_micro)` — found = bigrams present in the LM,
+    * `sum_p_micro` their exact integer micro-probability mass. The
+    * OOV rate and mean bigram probability both derive from these
+    * three exact columns; documents with no in-alphabet bigrams score
+    * (0, 0, 0). Each bigram OCCURRENCE counts (join multiplicity),
+    * matching the LM's own occurrence counting.
+    */
+  def scoreDocs(docs: DataFrame, lm: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    // ONE pass over the exploded bigram stream: flag each occurrence
+    // with a LEFT join against the (pruned, broadcastable) LM, then
+    // total + found + mass in a single per-doc aggregation — the
+    // two-aggregation alternative scans the corpus text twice. The id
+    // spine re-join only reads the id column (column-pruned scan).
+    val flagged = docs
+      .select(col(idCol), explode(bigramsOf(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+      .join(lm.select("w1", "w2", "p_micro"), Seq("w1", "w2"), "left")
+    val agg = flagged.groupBy(idCol).agg(
+      count(lit(1)).as("n_bigrams"),
+      count(col("p_micro")).as("n_found"),
+      sum("p_micro").as("sum_p_micro"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"))
+  }
+}

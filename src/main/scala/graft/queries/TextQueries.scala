@@ -646,6 +646,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q128: COUNT-BASED BIGRAM LM TRAINING (round 14) — the reference
+    // LM a CCNet-style quality filter scores against. Two hash
+    // aggregations over the exploded bigram stream + one margin join;
+    // minCount=2 prunes the hapax tail (what makes the scoring-side
+    // LM broadcastable). Exact integer counts + integer
+    // micro-probabilities land the whole model under the oracle.
+    "q128_ngram_lm" -> ((s, dir) =>
+      graft.operators.NgramLm.trainBigrams(
+        t(s, dir, "documents").where(col("doc_id") % 4 === 0), minCount = 2L)
+        .orderBy("w1", "w2")),
+
+    // q129: LM QUALITY SCORING (round 14) — every document scored
+    // under the slice-trained LM: bigram coverage (n_found/n_bigrams
+    // = 1 − OOV rate) and exact integer probability mass. One corpus
+    // scan exploded to bigrams, one join against the pruned LM, one
+    // per-doc re-aggregation; the oracle retrains AND rescores.
+    "q129_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.NgramLm.trainBigrams(
+        docs.where(col("doc_id") % 4 === 0), minCount = 2L)
+      graft.operators.NgramLm.scoreDocs(docs, lm).orderBy("doc_id")
+    }),
+
     "q68_incremental_dedup" -> ((s, dir) => {
       val root = RelationalQueries.scratchRoot("graft_q68")
       val docs = t(s, dir, "documents")
@@ -1012,6 +1035,58 @@ object TextQueries {
     "q126_bpe" -> bpeOracleSql(8),
 
     "q127_bpe_encode" -> bpeEncodeOracleSql(8),
+
+    // bigram LM closed form: counts, margins, and integer micro-probs
+    // recomputed from the same slice
+    "q128_ngram_lm" ->
+      """WITH ws AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |                     w -> regexp_full_match(w, '[a-z]{2,20}')) AS ws
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |bi AS (
+        |  SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ws, unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2),
+        |m AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1)
+        |SELECT b.w1, b.w2, b.c12, m.c1,
+        |  round(b.c12::DOUBLE / m.c1, 6) AS p,
+        |  CAST(round(b.c12 * 1000000.0 / m.c1) AS BIGINT) AS p_micro
+        |FROM bi b JOIN m USING (w1)
+        |WHERE b.c12 >= 2
+        |ORDER BY w1, w2""".stripMargin,
+
+    // retrain the slice LM, then rescore EVERY document against it
+    "q129_lm_score" ->
+      """WITH ws AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |                     w -> regexp_full_match(w, '[a-z]{2,20}')) AS ws
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |bi AS (
+        |  SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ws, unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2),
+        |m AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        |lm AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(round(b.c12 * 1000000.0 / m.c1) AS BIGINT) AS p_micro
+        |  FROM bi b JOIN m USING (w1) WHERE b.c12 >= 2),
+        |dws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             w -> regexp_full_match(w, '[a-z]{2,20}')) AS ws
+        |  FROM documents),
+        |dbi AS (
+        |  SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+        |  FROM dws, unnest(range(1, len(ws))) AS u(i)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams
+        |        FROM dbi GROUP BY 1),
+        |fnd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_found,
+        |               CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+        |        FROM dbi JOIN lm USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+        |  CAST(coalesce(f.sum_p_micro, 0) AS BIGINT) AS sum_p_micro
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN fnd f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q119_substring_dup" ->
       """WITH w AS (
         |  SELECT doc_id, i AS strt, substr(text, CAST(i AS BIGINT), 50) AS g

@@ -342,4 +342,35 @@ class PlanAuditSuite extends SparkSpec {
     // Window node when their specs match)
     assert(count(p, "Window") <= 2 && count(p, "Window") >= 1, p)
   }
+
+  test("q127: corpus-wide BPE encode is ONE documents scan — no vocab join, no window") {
+    // (building this plan trains the 8 merges — bounded driver loop)
+    val p = plan("q127_bpe_encode")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("NestedLoop") && !p.contains("Window"), p)
+    // the merge applications are literal replaces inside the projection
+    assert(p.toLowerCase.contains("replace"), p)
+  }
+
+  test("q126: each BPE step aggregates the vocab table — partial then final, no corpus join") {
+    // the RESULT frame is driver-built (k merge rows); audit the
+    // per-step aggregation plan through the operator's own word prep
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val words = graft.operators.BpeTrainer.wordCounts(docs)
+    val step = words
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("seq")) >= 2)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(seq) - 1), p -> substring(seq, p, 2))"))
+        .as("pair"),
+        org.apache.spark.sql.functions.col("cnt"))
+      .groupBy("pair")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("c"))
+    val p = step.queryExecution.explainString(FormattedMode)
+    // two-phase word count + two-phase pair count, nothing else
+    assert(count(p, "HashAggregate") == 4, p)
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin"), p)
+  }
 }
