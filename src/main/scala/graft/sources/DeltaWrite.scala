@@ -1365,11 +1365,14 @@ object DeltaWrite {
     * files it has that the head lost (carrying their original
     * partitionValues, stats, and DELETION VECTORS — the dv identity is
     * part of the file action), re-emitting metaData when the schema or
-    * layout drifted since. Zero data-file I/O; time travel across the
-    * restore keeps working (the protocol never rewinds — a restore is
-    * a new commit). Fails loudly when a required file or on-disk DV
-    * was already vacuumed (same guard as the versioned protocol's
-    * restore).
+    * layout drifted since. Zero data-file I/O — except on CDF tables,
+    * where the restore reads exactly the changed files once to emit
+    * its `_change_data` rows (retired files' live rows as deletes,
+    * re-instated files' as inserts — delta-spark RESTORE's CDC shape).
+    * Time travel across the restore keeps working (the protocol never
+    * rewinds — a restore is a new commit). Fails loudly when a
+    * required file or on-disk DV was already vacuumed (same guard as
+    * the versioned protocol's restore).
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val rootP = qualifiedRoot(spark, path)
@@ -1384,7 +1387,7 @@ object DeltaWrite {
     while (attempt < 20) {
       attempt += 1
       val cur = DeltaRead.snapshot(spark, rootP.toString)
-      requireWritable(cur, path, removesData = true)
+      requireWritable(cur, path, removesData = true, cdfHandled = true)
       if (cur.files == target.files && cur.dvs == target.dvs &&
           cur.schema.json == target.schema.json &&
           cur.partitionColumns == target.partitionColumns &&
@@ -1405,16 +1408,60 @@ object DeltaWrite {
             s"cannot restore $path to v$toVersion: the deletion vector of $rel " +
               "was already vacuumed")
       }
+      // CHANGE DATA FEED: a restore's changes are the retired files'
+      // LIVE rows (deletes) plus the re-instated files' live rows
+      // (inserts) — delta-spark RESTORE's file-granular CDC shape (a
+      // DV-only change reports its file as delete-all + insert-all
+      // churn; consumers key-reconcile). Rows land under the TARGET's
+      // schema/layout (what the table has after this commit); old-only
+      // columns null out, the same by-name rule the span reader uses.
+      // This is the one restore path that is not zero-data-I/O — it
+      // reads exactly the changed files once.
+      val cdcFiles: Seq[NewFile] =
+        if (!cdfEnabled(cur)) Nil
+        else {
+          def uid(m: Map[String, DeletionVectors.Descriptor], rel: String): String =
+            m.get(rel).map(_.uniqueId).getOrElse("")
+          val rm = cur.files.keySet.filter(rel =>
+            !target.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
+          val ad = target.files.keySet.filter(rel =>
+            !cur.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
+          val pieces = Seq.newBuilder[DataFrame]
+          if (rm.nonEmpty)
+            pieces += DeltaRead.readSnapshot(spark, rootP.toString,
+                cur.copy(files = cur.files.filter(kv => rm.contains(kv._1))))
+              .withColumn("_change_type", lit("delete"))
+          if (ad.nonEmpty)
+            pieces += DeltaRead.readSnapshot(spark, rootP.toString,
+                target.copy(files = target.files.filter(kv => ad.contains(kv._1))))
+              .withColumn("_change_type", lit("insert"))
+          pieces.result().reduceOption((a, b) =>
+            a.unionByName(b, allowMissingColumns = true)) match {
+            case None => Nil
+            case Some(ch) =>
+              val aligned = ch.select(
+                target.schema.fieldNames.map(n =>
+                  if (ch.columns.exists(_.equalsIgnoreCase(n))) col(n)
+                  else lit(null).cast(target.schema(n).dataType).as(n))
+                :+ col("_change_type"): _*)
+              if (aligned.isEmpty) Nil
+              else writeCdcFiles(spark, target, aligned, rootP, fs)
+          }
+        }
       val next = cur.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            restoreContent(cur, target, toVersion))) {
+            restoreContent(cur, target, toVersion, cdcFiles))) {
         if (next > 0 && next % CheckpointInterval == 0)
           try checkpoint(spark, rootP.toString)
           catch { case scala.util.control.NonFatal(_) => () }
         return next
       }
-      // lost the race: re-derive against the winner's head
+      // lost the race: re-derive against the winner's head (the staged
+      // cdc files are stale against it — reclaim)
+      cdcFiles.foreach(f =>
+        try fs.delete(new Path(rootP, f.relPath), false)
+        catch { case scala.util.control.NonFatal(_) => () })
     }
     throw new IllegalStateException(
       s"RESTORE at $path lost the commit race 20 times — another writer is " +
@@ -1422,7 +1469,8 @@ object DeltaWrite {
   }
 
   private def restoreContent(cur: DeltaRead.Snapshot, target: DeltaRead.Snapshot,
-                             toVersion: Long): String = {
+                             toVersion: Long,
+                             cdcFiles: Seq[NewFile] = Nil): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -1432,6 +1480,7 @@ object DeltaWrite {
     cib.putObject("operationParameters").put("version", toVersion)
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
+    cdcFiles.foreach(f => lines += cdcLine(f, now))
     // metaData re-emit when schema/partitioning drifted — CARRYING the
     // table id and the TARGET's configuration (restore restores config)
     if (cur.schema.json != target.schema.json ||

@@ -1286,11 +1286,17 @@ class DeltaWriteSuite extends SparkSpec {
         Seq("id"), mergeFn = (t, s) => s)
     }
     assert(e.getMessage.contains("change data feed"), e.getMessage)
-    // RESTORE cannot express its changes → refuses on CDF tables
-    val er = intercept[UnsupportedOperationException] {
-      DeltaWrite.restore(spark, root, 0L)
-    }
-    assert(er.getMessage.contains("change data feed"), er.getMessage)
+    // RESTORE on a CDF table emits file-granular cdc: the retired v5
+    // file's live row deletes, the re-instated v4 files' live rows
+    // insert (5 rows: 2B,3,4,5,6 — the v4 DV keeps id=1 out)
+    val rv = DeltaWrite.restore(spark, root, 4L) // v6
+    assert(rv == 6L && cdcActions(6L).nonEmpty)
+    val rch = DeltaRead.readChanges(spark, root, 6L)
+    assert(rch.where($"_change_type" === "delete").select($"id")
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(rch.where($"_change_type" === "insert").select($"id")
+      .as[Long].collect().toSet == Set(2L, 3L, 4L, 5L, 6L))
+    assert(DeltaRead.read(spark, root).count() == 5L)
   }
 
   test("CDF on a partitioned table: cdc actions carry partitionValues; span reads prune") {
