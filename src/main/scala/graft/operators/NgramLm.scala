@@ -50,11 +50,16 @@ object NgramLm {
     */
   def trainBigrams(docs: DataFrame, textCol: String = "text",
                    minCount: Long = 1L): DataFrame = {
-    val bi = docs.select(explode(bigramsOf(col(textCol))).as("b"))
+    // margins via a window over the AGGREGATED bigram table (vocab²-
+    // bounded): a groupBy-then-self-join would re-run the corpus
+    // explode for the margin branch — two full text scans instead of
+    // one (plan-pinned in PlanAuditSuite). The w1 partition is bounded
+    // by vocabulary fan-out, never corpus volume.
+    val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    docs.select(explode(bigramsOf(col(textCol))).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val margins = bi.groupBy("w1").agg(sum("c12").as("c1"))
-    bi.join(margins, Seq("w1"))
+      .withColumn("c1", sum("c12").over(w1win))
       .where(col("c12") >= minCount)
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"),

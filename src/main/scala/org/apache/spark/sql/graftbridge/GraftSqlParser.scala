@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_CHECKPOINT('/deltaPath')                     -- fold a Delta log (maintenance)
   * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
   * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5])        -- Delta change feed span (table_changes)
+  * GRAFT_SET_PROPERTIES('/deltaPath', SET 'k'='v'[, ...][, UNSET 'k2'[, ...]]) -- TBLPROPERTIES
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -60,7 +61,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -207,6 +208,21 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
           "use GRAFT_DIFF(path, v1, v2, KEY k) for graft versioned tables")
       graft.sources.DeltaRead.readChanges(session, path, fromV.toLong,
         Option(toV).map(_.toLong)).queryExecution.logical
+    case SetPropsStmt(path, setsRaw, unsetRaw) if setsRaw != null || unsetRaw != null =>
+      import session.implicits._
+      require(graft.sources.DeltaRead.isDeltaTable(session, path),
+        s"GRAFT_SET_PROPERTIES targets a Delta table's configuration; $path is " +
+          "not a Delta table (graft versioned manifests carry no configuration)")
+      val pair = """'([^']+)'\s*=\s*'([^']*)'""".r
+      val sets = Option(setsRaw).map(s =>
+        pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap)
+        .getOrElse(Map.empty[String, String])
+      val single = """'([^']+)'""".r
+      val unsets = Option(unsetRaw).map(s =>
+        single.findAllMatchIn(s).map(_.group(1)).toSeq).getOrElse(Nil)
+      val v = graft.sources.DeltaWrite.setProperties(session, path, sets, unsets)
+      Seq((v, sets.size, unsets.size))
+        .toDF("version", "n_set", "n_unset").queryExecution.logical
     case PurgeStmt(path, fraction) =>
       import session.implicits._
       val v = graft.sources.DeltaWrite.purgeDvs(session, path,
@@ -319,7 +335,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_) |
-         PurgeStmt(_, _) | ChangesStmt(_, _, _) =>
+         PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -442,6 +458,15 @@ object GraftSqlParser {
     */
   private val ChangesStmt =
     """(?is)^\s*GRAFT_CHANGES\s*\(\s*'([^']+)'\s*,\s*FROM\s+(\d{1,18})(?:\s*,\s*TO\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES for Delta roots: one
+    * metaData-only commit; enabling CDF upgrades the protocol in the
+    * same commit (DeltaWrite.setProperties).
+    */
+  private val SetPropsStmt =
+    ("""(?is)^\s*GRAFT_SET_PROPERTIES\s*\(\s*'([^']+)'\s*""" +
+      """(?:,\s*SET\s+('[^']+'\s*=\s*'[^']*'(?:\s*,\s*'[^']+'\s*=\s*'[^']*')*))?""" +
+      """(?:,\s*UNSET\s+('[^']+'(?:\s*,\s*'[^']+')*))?\s*\)\s*;?\s*$""").r
 
   /** Rollback: republish version N's (or tag T's) entry set as a new
     * commit (zero data I/O; Delta's RESTORE TABLE ... VERSION AS OF

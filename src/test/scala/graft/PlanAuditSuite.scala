@@ -353,6 +353,18 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.toLowerCase.contains("replace"), p)
   }
 
+  test("q129: the pruned LM broadcasts; corpus text explodes exactly once") {
+    val p = plan("q129_lm_score")
+    // the (w1,w2) probe against the LM must be a broadcast, never a
+    // sort-merge of the full bigram stream against the model
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // three documents scans: the bigram explode, the id spine, and the
+    // LM's training slice — a fourth means the two-aggregation shape
+    // (totals + found as separate corpus passes) regressed
+    assert(count(p, "Scan parquet") == 3, p)
+  }
+
   test("q126: each BPE step aggregates the vocab table — partial then final, no corpus join") {
     // the RESULT frame is driver-built (k merge rows); audit the
     // per-step aggregation plan through the operator's own word prep

@@ -221,6 +221,36 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(e.getMessage.contains("GRAFT_DIFF"), e.getMessage)
   }
 
+  test("GRAFT_SET_PROPERTIES drives TBLPROPERTIES (and the CDF enable) from SQL") {
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlprops").toString + "/t"
+    graft.sources.DeltaWrite.append(s2, Seq((1L, "a")).toDF("id", "v"), root) // v0
+    val r = s2.sql(s"GRAFT_SET_PROPERTIES('$root', " +
+      "SET 'delta.enableChangeDataFeed'='true', 'graft.owner'='teamA')").head()
+    assert(r.getLong(0) == 1L && r.getInt(1) == 2 && r.getInt(2) == 0)
+    val snap = graft.sources.DeltaRead.snapshot(s2, root)
+    assert(snap.configuration("delta.enableChangeDataFeed") == "true" &&
+      snap.configuration("graft.owner") == "teamA")
+    assert(snap.minWriter >= 4, "enabling CDF from SQL must upgrade the protocol")
+    // the whole SQL loop: delete under CDF, then read the change feed
+    s2.sql(s"GRAFT_DELETE('$root', WHERE id = 1)")                            // v2
+    assert(s2.sql(s"GRAFT_CHANGES('$root', FROM 2)").head().getString(2) == "delete")
+    // UNSET drops a key; a no-op re-set commits nothing
+    val u = s2.sql(s"GRAFT_SET_PROPERTIES('$root', UNSET 'graft.owner')").head()
+    assert(u.getLong(0) == 3L && u.getInt(1) == 0 && u.getInt(2) == 1)
+    assert(!graft.sources.DeltaRead.snapshot(s2, root).configuration.contains("graft.owner"))
+    assert(s2.sql(s"GRAFT_SET_PROPERTIES('$root', UNSET 'graft.owner')")
+      .head().getLong(0) == 3L)
+    // versioned roots refuse (no configuration concept)
+    val vroot = java.nio.file.Files.createTempDirectory("graft_sqlprops_v").toString + "/t"
+    import graft.pipeline.{Append, SinkSpec, Writer}
+    Writer.write(s2, Seq((1L, "x")).toDF("id", "v"),
+      SinkSpec(format = "parquet", path = vroot, mode = Append, versioned = true))
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_SET_PROPERTIES('$vroot', SET 'a'='b')")
+    }
+  }
+
   test("delta roots route through the SAME maintenance SQL: compact/vacuum/delete/checkpoint/purge") {
     import s2.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sqldelta").toString + "/t"
