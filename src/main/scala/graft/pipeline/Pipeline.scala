@@ -202,6 +202,17 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         Seq(idCol))
     case VocabStep(topK, minDocFreq, idCol, textCol) =>
       graft.operators.TextAnalysis.vocab(df, topK, minDocFreq, idCol, textCol)
+    case LmScoreStep(refTable, minCount, idCol, textCol) =>
+      val lm = graft.operators.NgramLm.trainBigrams(spark.table(refTable),
+        textCol, minCount)
+      val scored = graft.operators.NgramLm.scoreDocs(df, lm, textCol, idCol)
+      df.join(scored, Seq(idCol)) // scored keys by idCol already
+    case BpeCountStep(refTable, steps, idCol, textCol) =>
+      val merges = graft.operators.BpeTrainer.train(spark, spark.table(refTable),
+        steps, textCol)
+      df.withColumn("n_words", graft.operators.BpeTrainer.wordCount(col(textCol)))
+        .withColumn("n_bpe_tokens",
+          graft.operators.BpeTrainer.tokenCount(col(textCol), merges))
     case DecontaminateStep(evalTable, mode, n, idCol, textCol) =>
       val eval = spark.table(evalTable)
       mode match {

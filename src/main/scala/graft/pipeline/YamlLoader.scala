@@ -391,6 +391,20 @@ object YamlLoader {
         minDocFreq = str(params, "min_doc_freq").map(_.toLong).getOrElse(2L),
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"))
+      case "lm_score" => LmScoreStep(
+        refTable = str(params, "ref_table").getOrElse(
+          throw new IllegalArgumentException(
+            "lm_score step requires a 'ref_table' param (the reference corpus)")),
+        minCount = str(params, "min_count").map(_.toLong).getOrElse(2L),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
+      case "bpe_count" => BpeCountStep(
+        refTable = str(params, "ref_table").getOrElse(
+          throw new IllegalArgumentException(
+            "bpe_count step requires a 'ref_table' param (the reference corpus)")),
+        steps = str(params, "merges").map(_.toInt).getOrElse(64),
+        idCol = str(params, "id_col").getOrElse("doc_id"),
+        textCol = str(params, "text_col").getOrElse("text"))
       case "decontaminate" => DecontaminateStep(
         evalTable = str(params, "eval_table").getOrElse(
           throw new IllegalArgumentException("decontaminate step requires an 'eval_table' param")),

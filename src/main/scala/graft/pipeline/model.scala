@@ -275,6 +275,28 @@ final case class VocabStep(
     minDocFreq: Long = 2,
     idCol: String = "doc_id",
     textCol: String = "text") extends Step
+/** LM quality scoring ([[graft.operators.NgramLm]]): train a bigram
+  * LM on the registered REFERENCE table (resolved via `spark.table`,
+  * CCNet's "score the raw corpus under a clean-corpus LM" shape,
+  * pruned to `minCount`), then join each flowing doc's
+  * `n_bigrams` / `n_found` / `sum_p_micro` columns — a later filter
+  * step thresholds the OOV rate or mean probability.
+  */
+final case class LmScoreStep(
+    refTable: String,
+    minCount: Long = 2L,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
+/** BPE token counting ([[graft.operators.BpeTrainer]]): train
+  * `steps` merges on the registered REFERENCE table, then append each
+  * flowing doc's `n_bpe_tokens` (and `n_words`) as one projection —
+  * the token-budget input under a real learned tokenizer.
+  */
+final case class BpeCountStep(
+    refTable: String,
+    steps: Int = 64,
+    idCol: String = "doc_id",
+    textCol: String = "text") extends Step
 /** Benchmark decontamination against a registered eval table
   * (resolved via `spark.table`, like `join`'s right side). `drop`
   * FILTERS flagged docs out of the flowing frame (the production

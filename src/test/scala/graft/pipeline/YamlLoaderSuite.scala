@@ -794,4 +794,55 @@ class YamlLoaderSuite extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(sharded == shExp, "YAML shard must be row-identical to Curation.shardAssign")
   }
+
+  test("lm_score and bpe_count steps: reference-trained scoring joins on as columns") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = s"$sfDir/documents.parquet"
+    val raw = spark.read.parquet(docs)
+    raw.where(pmod(col("doc_id"), lit(4)) === 0).createOrReplaceTempView("ref_corpus")
+
+    // lm_score: CCNet shape — LM trained on the reference view, the
+    // flowing frame scored and thresholded downstream (q128/q129)
+    val lmOut = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: lmscore
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps:
+         |  - {type: lm_score, params: {ref_table: ref_corpus, min_count: 2}}
+         |  - {type: filter, params: {where: "n_bigrams > 0 AND n_found * 2 >= n_bigrams"}}
+         |""".stripMargin)).run()
+    assert(Seq("n_bigrams", "n_found", "sum_p_micro", "text")
+      .forall(lmOut.columns.contains))
+    val lm = graft.operators.NgramLm.trainBigrams(
+      raw.where(pmod(col("doc_id"), lit(4)) === 0), minCount = 2L)
+    val exp = graft.operators.NgramLm.scoreDocs(raw, lm)
+      .where("n_bigrams > 0 AND n_found * 2 >= n_bigrams")
+    assert(lmOut.count() == exp.count(),
+      "the YAML chain must keep exactly the low-OOV docs")
+
+    // bpe_count: token budgeting under a learned tokenizer (q126/q127)
+    val bpeOut = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: bpecount
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps: [{type: bpe_count, params: {ref_table: ref_corpus, merges: 8}}]
+         |""".stripMargin)).run()
+    assert(bpeOut.columns.contains("n_bpe_tokens") && bpeOut.columns.contains("text"))
+    val merges = graft.operators.BpeTrainer.train(spark,
+      raw.where(pmod(col("doc_id"), lit(4)) === 0), steps = 8)
+    val expTok = raw.select(col("doc_id"),
+      graft.operators.BpeTrainer.tokenCount(col("text"), merges).as("n"))
+    assert(bpeOut.select(col("doc_id"), col("n_bpe_tokens")).orderBy("doc_id")
+      .collect().toSeq ==
+      expTok.orderBy("doc_id").collect().toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))),
+      "YAML bpe_count must be row-identical to BpeTrainer.tokenCount")
+    // missing ref_table refuses at LOAD time
+    val e = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """pipeline_name: bad
+          |sources: [{name: d, type: file, format: parquet, path: "/x"}]
+          |steps: [{type: lm_score, params: {}}]
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("ref_table"))
+  }
 }
