@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the "concatenate then chop" step that turns a
@@ -32,19 +32,27 @@ object Packing {
     *
     * @param numPartitions explicit range-partition count; 0 = let the
     *   session's shuffle-partition setting decide.
+    * @param lengthCol an optional per-doc length expression replacing
+    *   the default whitespace token count — packing by a LEARNED
+    *   tokenizer's lengths is `lengthCol =
+    *   BpeTrainer.tokenCount(col(textCol), merges)` (q130's shape);
+    *   the expression evaluates in the same sizing scan.
     */
   def sequencePack(
       docs: DataFrame,
       seqLen: Long,
       numPartitions: Int = 0,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      lengthCol: Column = null): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val spark = docs.sparkSession
     import spark.implicits._
 
+    val lenExpr =
+      if (lengthCol != null) lengthCol else TextAnalysis.tokenCount(col(textCol))
     val sized = docs.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      lenExpr.cast("long").as("n_tokens"))
     val ranged = (if (numPartitions > 0) sized.repartitionByRange(numPartitions, col("id"))
                   else sized.repartitionByRange(col("id")))
       .sortWithinPartitions("id")

@@ -177,8 +177,9 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
           effLangs, threshold)
       else
         graft.operators.Curation.curate(df, idCol, textCol, minTokens, maxTokens, effLangs)
-    case PackStep(seqLen, idCol, textCol) =>
-      graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol)
+    case PackStep(seqLen, idCol, textCol, lengthCol) =>
+      graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol,
+        lengthCol = lengthCol.map(col).orNull)
     case MixtureStep(targets, idCol, domainCol) =>
       graft.operators.Curation.mixtureSample(df, targets, idCol, domainCol)
     case ShardStep(nShards, idCol) =>

@@ -356,7 +356,11 @@ object YamlLoader {
         seqLen = str(params, "seq_len").map(_.toLong).getOrElse(
           throw new IllegalArgumentException("pack step requires a 'seq_len' param")),
         idCol = str(params, "id_col").getOrElse("doc_id"),
-        textCol = str(params, "text_col").getOrElse("text"))
+        textCol = str(params, "text_col").getOrElse("text"),
+        // pack by a precomputed per-doc length column (e.g. an
+        // upstream bpe_count step's n_bpe_tokens) instead of the
+        // whitespace token count
+        lengthCol = str(params, "length_col"))
       case "mixture" => MixtureStep(
         // `targets: {en: 60, de: 40}` — sorted by domain for a
         // deterministic spec regardless of YAML map iteration order

@@ -222,7 +222,8 @@ final case class CurateStep(
 final case class PackStep(
     seqLen: Long,
     idCol: String = "doc_id",
-    textCol: String = "text") extends Step
+    textCol: String = "text",
+    lengthCol: Option[String] = None) extends Step
 /** Domain-mixture resampling ([[graft.operators.Curation.mixtureSample]]):
   * integer-rate hash thinning to the target domain weights.
   */

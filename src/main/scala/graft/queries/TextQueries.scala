@@ -646,6 +646,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q130: PACK BY LEARNED TOKENIZER LENGTHS (round 14) — the real
+    // pre-training shard layout: train 8 BPE merges on the %4==0
+    // slice, then sequence-pack the WHOLE corpus by each document's
+    // BPE token count instead of the whitespace proxy. The length
+    // expression evaluates inside sequencePack's sizing scan (one
+    // corpus read), and the bin assignment is the same distributed
+    // two-pass prefix sum — no global window. Training, encode, and
+    // packing are all exact integers → oracle-hashed end-to-end.
+    "q130_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrainer.train(
+        s, docs.where(col("doc_id") % 4 === 0), steps = 8)
+      Packing.sequencePack(docs, seqLen = 256,
+          lengthCol = graft.operators.BpeTrainer.tokenCount(col("text"), merges))
+        .orderBy("doc_id")
+    }),
+
     // q128: COUNT-BASED BIGRAM LM TRAINING (round 14) — the reference
     // LM a CCNet-style quality filter scores against. Two hash
     // aggregations over the exploded bigram stream + one margin join;
@@ -1030,7 +1047,32 @@ object TextQueries {
       "FROM documents d LEFT JOIN enc e USING (doc_id) ORDER BY d.doc_id"
   }
 
+  /** q130's oracle: the q127 encode (retrain + replace-chain token
+    * counts) feeding the q101 pack closed form — a window prefix sum
+    * is fine HERE because DuckDB runs at oracle scale; the Spark side
+    * is the distributed two-pass prefix sum.
+    */
+  private def bpePackOracleSql(k: Int, seqLen: Long): String = {
+    val repl = (1 to k).foldLeft("w") { (acc, i) =>
+      s"replace($acc, (SELECT pair FROM b$i), chr(${0xE000 + i - 1}))"
+    }
+    "WITH " + bpeStepCtes(k, " WHERE doc_id % 4 = 0").mkString(",\n") + ",\n" +
+      "enc AS (SELECT doc_id, " +
+      s"CAST(sum(length($repl)) AS BIGINT) AS n_toks FROM (" +
+      "SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents) " +
+      "WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY doc_id),\n" +
+      "len AS (SELECT d.doc_id, CAST(coalesce(e.n_toks, 0) AS BIGINT) AS n_tokens " +
+      "FROM documents d LEFT JOIN enc e USING (doc_id)),\n" +
+      "pk AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt " +
+      "FROM len)\n" +
+      s"SELECT doc_id, n_tokens, CAST(strt // $seqLen AS BIGINT) AS bin, " +
+      s"CAST(strt % $seqLen AS BIGINT) AS bin_offset FROM pk ORDER BY doc_id"
+  }
+
   def oracle: Map[String, String] = Map(
+
+    "q130_bpe_pack" -> bpePackOracleSql(8, 256),
 
     "q126_bpe" -> bpeOracleSql(8),
 

@@ -37,6 +37,21 @@ class PackingSuite extends SparkSpec {
     assert(cum == total)
   }
 
+  test("lengthCol overrides the whitespace count: pack by a custom length expression") {
+    // length = doc_id % 7 — trivially recomputable, so the expected
+    // prefix sum is closed-form on the driver
+    val p = Packing.sequencePack(docs, seqLen = 64, numPartitions = 5,
+        lengthCol = col("doc_id") % 7)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var cum = 0L
+    p.foreach { case (id, t, bin, off) =>
+      assert(t == id % 7, s"doc $id: lengthCol ignored (n_tokens $t, expected ${id % 7})")
+      assert(bin == cum / 64 && off == cum % 64, s"doc $id: wrong bin/offset")
+      cum += t
+    }
+  }
+
   test("no cache leaks: operator releases its persisted intermediate") {
     Packing.sequencePack(docs, seqLen = 1024, numPartitions = 3).count()
     assert(spark.sharedState.cacheManager.isEmpty,

@@ -659,6 +659,36 @@ class YamlLoaderSuite extends SparkSpec {
     assert(e.getMessage.contains("unknown method 'fuzzy'"))
   }
 
+  test("pack step with length_col: bpe_count -> pack packs by BPE lengths") {
+    val docs = s"$sfDir/documents.parquet"
+    val raw = spark.read.parquet(docs)
+    raw.createOrReplaceTempView("pack_ref_corpus")
+    val spec = YamlLoader.load(
+      s"""pipeline_name: bpe_pack
+         |sources: [{name: documents, type: file, format: parquet, path: "$docs"}]
+         |steps:
+         |  - type: bpe_count
+         |    params: {ref_table: pack_ref_corpus, merges: 4}
+         |  - type: pack
+         |    params: {seq_len: 256, length_col: n_bpe_tokens}
+         |""".stripMargin)
+    assert(spec.steps(1) == PackStep(256L, lengthCol = Some("n_bpe_tokens")))
+    val out = Pipeline(spark, spec).run().orderBy("doc_id").collect()
+    // n_tokens must be the BPE count, not the whitespace count, and the
+    // prefix sum must walk those lengths
+    val merges = graft.operators.BpeTrainer.train(spark, raw, steps = 4)
+    val expected = raw.select(col("doc_id"),
+        graft.operators.BpeTrainer.tokenCount(col("text"), merges).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    out.zip(expected).foreach { case (r, (id, n)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == n,
+        s"doc $id: packed length ${r.getLong(1)} != BPE count $n")
+      assert(r.getLong(2) == cum / 256 && r.getLong(3) == cum % 256)
+      cum += n
+    }
+  }
+
   test("LLM-pipeline step kinds: chunk/vocab reproduce the operator calls exactly") {
     val docs = s"$sfDir/documents.parquet"
     val spec = YamlLoader.load(
