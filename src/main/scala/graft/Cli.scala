@@ -28,7 +28,8 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli publish <root> --name <b>                      # fast-forward main to the branch head
   *   graft.Cli rebase <root> --name <b>                       # rebase an append-only branch onto main's head
   *   graft.Cli delta-checkpoint <root>                        # fold a Delta table's log (maintenance)
-  *   graft.Cli delta-compact <root> [--target-files N]        # OPTIMIZE-style rewrite (dataChange=false)
+  *   graft.Cli delta-compact <root> [--target-files N] [--zorder-by a,b] [--zorder-files N]
+  *                                                             # OPTIMIZE [ZORDER] rewrite (dataChange=false)
   *   graft.Cli delta-vacuum <root> [--retention-hours H]      # sweep unreferenced files (default 168h)
   *   graft.Cli delta-purge <root> [--min-deleted-fraction F]  # rewrite only DV-heavy files (REORG PURGE)
   *   graft.Cli delta-delete <root> --where "<cond>"           # DV-emitting soft delete (zero data I/O)
@@ -136,8 +137,14 @@ object Cli {
           else s"[graft] folded the Delta log at $root into v$v.checkpoint.parquet")
       case "delta-compact" =>
         val target = opt(rest, "--target-files").map(_.toInt).getOrElse(8)
-        val v = graft.sources.DeltaWrite.compact(spark, root, target)
-        println(s"[graft] compacted the Delta table at $root (v$v, target $target files)")
+        val zorder = opt(rest, "--zorder-by").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val zfiles = opt(rest, "--zorder-files").map(_.toInt).getOrElse(8)
+        val v = graft.sources.DeltaWrite.compact(spark, root, target, zorder, zfiles)
+        println(if (zorder.isEmpty)
+          s"[graft] compacted the Delta table at $root (v$v, target $target files)"
+        else s"[graft] z-order clustered the Delta table at $root " +
+          s"(v$v, ${zorder.mkString(",")}, $zfiles files)")
       case "delta-delete" =>
         val cond = opt(rest, "--where").getOrElse(
           sys.error("delta-delete needs --where \"<condition>\""))

@@ -1304,8 +1304,20 @@ object DeltaWrite {
         "writer is committing continuously; retry later")
   }
 
-  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Long = {
+  /** OPTIMIZE-style rewrite. `zorderBy` turns it into OPTIMIZE ZORDER
+    * (delta-spark's `OPTIMIZE … ZORDER BY` shape): the snapshot is
+    * rewritten as `zorderFiles` Morton-clustered files
+    * ([[graft.operators.ZOrder.cluster]]) so parquet min/max stats
+    * prune scans on ANY clustered column; still one dataChange=false
+    * commit, and a ZORDER rewrite never early-returns — re-clustering
+    * an already-small table is the point. Clustering happens on the
+    * LOGICAL frame, so zorderBy names user columns even on
+    * column-mapped tables (the physical rename follows).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 8,
+              zorderBy: Seq[String] = Nil, zorderFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    require(zorderFiles >= 1, s"zorderFiles must be >= 1: $zorderFiles")
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
@@ -1315,13 +1327,16 @@ object DeltaWrite {
     // physical-named output)
     requireWritable(snap, path, removesData = false)
 
-    if (snap.files.size <= targetFiles) return snap.version
+    if (snap.files.isEmpty) return snap.version // nothing to rewrite
+    if (snap.files.size <= targetFiles && zorderBy.isEmpty) return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns
 
     val src = DeltaRead.readSnapshot(spark, rootP.toString, snap)
     val clustered =
-      if (parts.isEmpty) src.repartition(targetFiles)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(src, zorderBy, zorderFiles, within = parts)
+      else if (parts.isEmpty) src.repartition(targetFiles)
       else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
     val (physDf, physParts) = toPhysical(snap, clustered)
     val newFiles = withStats(spark, fs, rootP,

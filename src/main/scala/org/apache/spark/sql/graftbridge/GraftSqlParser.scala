@@ -146,15 +146,16 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       // maintenance ACTS at parse time, like GRAFT_REFRESH; the plan
       // returns the resulting (version, entry count) summary row
       if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
-        // foreign Delta root: OPTIMIZE through the delta writer (the
-        // table's own layout is in its log — PARTITION BY/ZORDER BY
-        // are the versioned protocol's knobs and refuse here)
-        require(pb.isEmpty && zb.isEmpty,
-          s"GRAFT_COMPACT on the Delta table at $path takes only FILES — " +
-            "partitioning comes from the Delta log, and Z-ORDER on delta " +
-            "composes in the Writer sink (zorder_by), not the maintenance path")
+        // foreign Delta root: OPTIMIZE through the delta writer. The
+        // table's own hive layout is in its log, so PARTITION BY
+        // refuses here; ZORDER BY is OPTIMIZE ZORDER (clustered
+        // dataChange=false rewrite, FILES = clustered file count)
+        require(pb.isEmpty,
+          s"GRAFT_COMPACT on the Delta table at $path takes ZORDER BY / FILES " +
+            "only — partitioning comes from the Delta log")
         val v = graft.sources.DeltaWrite.compact(session, path,
-          Option(files).map(_.toInt).getOrElse(8))
+          Option(files).map(_.toInt).getOrElse(8),
+          zorderBy = zb, zorderFiles = Option(files).map(_.toInt).getOrElse(8))
         val n = graft.sources.DeltaRead.snapshot(session, path).files.size
         Seq((v, n)).toDF("version", "num_entries").queryExecution.logical
       } else {

@@ -265,11 +265,12 @@ class SqlSurfaceSuite extends SparkSpec {
     val p = s2.sql(s"GRAFT_PURGE('$root', FRACTION 0.01)").head()
     assert(p.getLong(0) == 2L && p.getInt(1) == 0, s"unexpected purge summary: $p")
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
-    // compact folds the files (delta takes FILES only)
+    // compact folds the files
     val c = s2.sql(s"GRAFT_COMPACT('$root', FILES 1)").head()
     assert(c.getLong(0) == 3L && c.getInt(1) == 1, s"unexpected compact summary: $c")
+    // PARTITION BY stays the Delta log's business
     intercept[IllegalArgumentException] {
-      s2.sql(s"GRAFT_COMPACT('$root', ZORDER BY id, FILES 2)")
+      s2.sql(s"GRAFT_COMPACT('$root', PARTITION BY v, FILES 2)")
     }
     // checkpoint folds the log; vacuum (GRACE only) reclaims the old files
     val ck = s2.sql(s"GRAFT_CHECKPOINT('$root')").head()
@@ -280,6 +281,10 @@ class SqlSurfaceSuite extends SparkSpec {
     val vac = s2.sql(s"GRAFT_VACUUM('$root', GRACE 0)").head()
     assert(vac.getLong(0) == 3L && vac.getInt(1) > 0 && vac.isNullAt(2),
       s"unexpected vacuum summary: $vac")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
+    // OPTIMIZE ZORDER parity: clustered dataChange=false rewrite
+    val zc = s2.sql(s"GRAFT_COMPACT('$root', ZORDER BY id, FILES 2)").head()
+    assert(zc.getLong(0) == 4L && zc.getInt(1) == 2, s"unexpected zorder summary: $zc")
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
   }
 

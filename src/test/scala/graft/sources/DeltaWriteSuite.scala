@@ -465,6 +465,51 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("OPTIMIZE ZORDER: clustered dataChange=false rewrite shrinks per-file stat ranges") {
+    val root = tmp()
+    // two independent uniform dims — the worst case for 1-D sorting
+    val n = 20000L
+    val df = spark.range(n).select(
+      abs(xxhash64(col("id")) % 10000).as("x"),
+      abs(xxhash64(col("id"), lit(7)) % 10000).as("y"))
+    DeltaWrite.append(spark, df.repartition(16), root)
+    val before = DeltaRead.snapshot(spark, root)
+    val v0 = before.version
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rangeFrac(snap: DeltaRead.Snapshot, c: String): Double = {
+      val fr = snap.files.keySet.toSeq.map { rel =>
+        val st = mapper.readTree(snap.stats(rel))
+        (st.get("maxValues").get(c).asDouble() -
+          st.get("minValues").get(c).asDouble()) / 10000.0
+      }
+      fr.sum / fr.size
+    }
+    // round-robin layout: every file spans ~the whole range on both dims
+    assert(rangeFrac(before, "x") > 0.9 && rangeFrac(before, "y") > 0.9)
+
+    graft.Cli.executeTable(spark, "delta-compact", root,
+      List("--zorder-by", "x,y", "--zorder-files", "16"))
+    val after = DeltaRead.snapshot(spark, root)
+    assert(after.files.size == 16, s"expected 16 clustered files, got ${after.files.size}")
+    assert(DeltaRead.read(spark, root).count() == n, "rows lost in the clustered rewrite")
+    // 16 files over a 2-D z-grid → ~1/4 of each dimension per file
+    val (zx, zy) = (rangeFrac(after, "x"), rangeFrac(after, "y"))
+    assert(zx < 0.55 && zy < 0.55, s"per-file range fracs not clustered: x=$zx y=$zy")
+    // the rewrite commit is pure repackaging: every action dataChange=false
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.pipeline.VersionedTable.readSmall(fs,
+      new org.apache.hadoop.fs.Path(root, f"_delta_log/${after.version}%020d.json")).get
+    val acts = log.split("\n").map(mapper.readTree)
+      .filter(a => a.has("add") || a.has("remove"))
+    assert(acts.nonEmpty && acts.forall { a =>
+      val node = if (a.has("add")) a.get("add") else a.get("remove")
+      node.has("dataChange") && !node.get("dataChange").asBoolean()
+    }, "OPTIMIZE ZORDER must commit dataChange=false actions only")
+    // time travel across the rewrite keeps working
+    assert(DeltaRead.read(spark, root, Some(v0)).count() == n)
+  }
+
   test("roaring serializer round-trips through the reader decode, incl. bitmap containers") {
     val cases = Seq(
       Seq(0L, 2L, 5L),                                    // array container
