@@ -27,7 +27,7 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli branches <root>                                # list branches
   *   graft.Cli publish <root> --name <b>                      # fast-forward main to the branch head
   *   graft.Cli rebase <root> --name <b>                       # rebase an append-only branch onto main's head
-  *   graft.Cli delta-checkpoint <root>                        # fold a Delta table's log (maintenance)
+  *   graft.Cli delta-checkpoint <root> [--parts N]            # fold a Delta table's log (maintenance)
   *   graft.Cli delta-compact <root> [--target-files N] [--zorder-by a,b] [--zorder-files N]
   *                                                             # OPTIMIZE [ZORDER] rewrite (dataChange=false)
   *   graft.Cli delta-vacuum <root> [--retention-hours H]      # sweep unreferenced files (default 168h)
@@ -132,8 +132,11 @@ object Cli {
         println(s"[graft] published branch '$name' of $root as v$v" +
           (if (force) " (forced past the fork-point guard)" else ""))
       case "delta-checkpoint" =>
-        val v = graft.sources.DeltaWrite.checkpoint(spark, root)
+        val parts = opt(rest, "--parts").map(_.toInt).getOrElse(0)
+        val v = graft.sources.DeltaWrite.checkpoint(spark, root, parts)
         println(if (v < 0) s"[graft] $root has no commits to checkpoint"
+          else if (parts > 1)
+            s"[graft] folded the Delta log at $root into a multi-part v$v checkpoint"
           else s"[graft] folded the Delta log at $root into v$v.checkpoint.parquet")
       case "delta-compact" =>
         val target = opt(rest, "--target-files").map(_.toInt).getOrElse(8)

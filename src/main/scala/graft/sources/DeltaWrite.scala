@@ -1796,8 +1796,19 @@ object DeltaWrite {
     * checkpointing — a cleaned log must not forget a streaming sink's
     * exactly-once state).
     *
-    * Single-part only on the WRITE side (delta-spark's default too;
-    * the reader consumes multi-part checkpoints from other writers).
+    * MULTI-PART writes (`parts`): at 100 TB a checkpoint holds
+    * millions of add rows, and a `repartition(1)` write funnels them
+    * through one task — the classic driver-adjacent bottleneck. With
+    * `parts = 0` (auto) the fold estimates the action count (previous
+    * checkpoint's parquet row count — a footer-only count — plus the
+    * parsed tail) and splits into ceil(total / [[CkPartActions]])
+    * part files named `V.checkpoint.<i>.<k>.parquet`, each written by
+    * its own task; `_last_checkpoint` records `parts`. Publish order
+    * makes the non-atomic k-rename safe: part 1 is renamed FIRST as
+    * the claim — rename-if-absent is atomic, so exactly one racer
+    * wins and the losers abort before touching any name; readers
+    * ignore an in-progress set because [[DeltaRead.checkpointFilesOf]]
+    * requires the complete 1..k run before using it.
     * Two checkpointers racing at the same version produce equivalent
     * content — the loser's rename finds the name taken and yields.
     * REMOVED-file tombstones within [[TombstoneRetentionMs]] ARE
@@ -1807,7 +1818,7 @@ object DeltaWrite {
     * describe existing state, never new data; a `true` here would make
     * a naive CDC reader re-stream the whole table).
     */
-  def checkpoint(spark: SparkSession, path: String): Long = {
+  def checkpoint(spark: SparkSession, path: String, parts: Int = 0): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf, when}
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2106,29 +2117,64 @@ object DeltaWrite {
     val all = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)
       .reduce(_ unionByName _)
 
-    // --- write + single-rename publish ---
+    // --- part count: explicit, or auto from a footer-only estimate ---
+    val nParts =
+      if (parts > 0) parts
+      else {
+        // spark.read.parquet(...).count() on untransformed files is a
+        // metadata-only count — no row decode even on a huge checkpoint
+        val prevCount = prev.map(cv => spark.read.parquet(
+          cpFiles(cv).map(n => new Path(logP, n).toString): _*).count()).getOrElse(0L)
+        val est = prevCount + driverRows.size
+        math.max(1L, (est + CkPartActions - 1) / CkPartActions).toInt
+      }
+
+    // --- write + rename publish (part 1 first = the atomic claim) ---
     val tmp = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))
     try {
-      all.repartition(1).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
+      all.repartition(nParts).write.parquet(tmp.toString)
+      val partFiles = fs.listStatus(tmp).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-        .sortBy(_.getName).headOption.getOrElse(
-          throw new IllegalStateException(s"checkpoint write at $path produced no file"))
-      val actionCount = spark.read.parquet(part.toString).count()
-      val dest = new Path(logP, f"$latest%020d.checkpoint.parquet")
-      if (!fs.exists(dest) && fs.rename(part, dest)) {
+        .sortBy(_.getName)
+      require(partFiles.nonEmpty,
+        s"checkpoint write at $path produced no file")
+      val actionCount = spark.read.parquet(tmp.toString).count()
+      // k = files actually produced (Spark may skip empty partitions);
+      // the part names embed k, so the run 1..k is always complete
+      val k = partFiles.length
+      val dests =
+        if (k == 1) Seq(new Path(logP, f"$latest%020d.checkpoint.parquet"))
+        else (1 to k).map(i =>
+          new Path(logP, f"$latest%020d.checkpoint.$i%010d.$k%010d.parquet"))
+      val won = !fs.exists(dests.head) && fs.rename(partFiles.head, dests.head)
+      if (won) {
+        // claimed: no competitor will rename into this version's names
+        // (they all attempt their part 1 / single name first and yield)
+        partFiles.tail.zip(dests.tail).foreach { case (src, dst) =>
+          require(fs.rename(src, dst),
+            s"checkpoint publish at $path failed renaming ${dst.getName} — " +
+              "the partial part set is invisible to readers (incomplete runs " +
+              "are ignored) but this version stays un-checkpointed")
+        }
         val ptr = mapper.createObjectNode
         ptr.put("version", latest)
         ptr.put("size", actionCount)
+        if (k > 1) ptr.put("parts", k)
         // pointer overwrite is not atomic — the reader treats a stale
         // or torn pointer as "fall back to listing", never as an error
         val out = fs.create(new Path(logP, "_last_checkpoint"), true)
         try out.write((mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
         finally out.close()
-      } // else: a concurrent checkpointer published the same version
+      } // else: a concurrent checkpointer claimed this version
     } finally fs.delete(tmp, true)
     latest
   }
+
+  /** Auto part sizing: actions per checkpoint part file. ~50k add rows
+    * keeps each part a few MB of parquet and each write task bounded;
+    * delta-spark's multi-part default is the same order of magnitude.
+    */
+  val CkPartActions: Long = 50000L
 
   private def qualifiedRoot(spark: SparkSession, path: String): Path = {
     val p = new Path(path)

@@ -465,6 +465,58 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("multi-part checkpoint: complete 1..k run, parts pointer, cleaned-log read, incremental fold") {
+    val root = tmp()
+    for (i <- 0 until 5)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.delete(spark, root, "id = 1") // live DV must survive the fold
+    val v = DeltaWrite.checkpoint(spark, root, parts = 3)
+    assert(v == 5L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    def names() = logDir.listFiles().map(_.getName).toSeq
+    val partNames = names().filter(_.matches(f"$v%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+    val k = partNames.length
+    assert(k >= 2 && k <= 3, s"expected a multi-part run, got $partNames")
+    assert(partNames.toSet ==
+      (1 to k).map(i => f"$v%020d.checkpoint.$i%010d.$k%010d.parquet").toSet,
+      s"part run not contiguous: $partNames")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = mapper.readTree(graft.pipeline.VersionedTable.readSmall(fs,
+      new org.apache.hadoop.fs.Path(root, "_delta_log/_last_checkpoint")).get)
+    assert(ptr.get("version").asLong() == v && ptr.get("parts").asInt() == k)
+    // cleaned log: delete every commit JSON — state must live in the parts
+    names().filter(_.endsWith(".json")).foreach(n => new java.io.File(logDir, n).delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(0L -> "r0", 2L -> "r2", 3L -> "r3", 4L -> "r4"),
+      "multi-part checkpoint alone must serve the snapshot (DV included)")
+    // incremental fold ON TOP of a multi-part checkpoint
+    DeltaWrite.append(spark, Seq((9L, "r9")).toDF("id", "v").coalesce(1), root)
+    val v2 = DeltaWrite.checkpoint(spark, root) // auto → single part at this size
+    assert(v2 == v + 1)
+    names().filter(_.endsWith(".json")).foreach(n => new java.io.File(logDir, n).delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(0L -> "r0", 2L -> "r2", 3L -> "r3", 4L -> "r4", 9L -> "r9"))
+  }
+
+  test("incomplete multi-part run is ignored: reads fall back to the commit tail") {
+    val root = tmp()
+    for (i <- 0 until 3)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    val v = DeltaWrite.checkpoint(spark, root, parts = 2)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val parts = logDir.listFiles().map(_.getName)
+      .filter(_.matches(f"$v%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+    assert(parts.length == 2, s"setup: expected 2 parts, got ${parts.toSeq}")
+    // simulate a torn publish: part 2 and the pointer vanish
+    assert(new java.io.File(logDir, parts.last).delete())
+    assert(new java.io.File(logDir, "_last_checkpoint").delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(0L -> "r0", 1L -> "r1", 2L -> "r2"),
+      "an incomplete part run must be ignored, not half-applied")
+  }
+
   test("OPTIMIZE ZORDER: clustered dataChange=false rewrite shrinks per-file stat ranges") {
     val root = tmp()
     // two independent uniform dims — the worst case for 1-D sorting
