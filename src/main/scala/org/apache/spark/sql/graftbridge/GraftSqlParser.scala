@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_COMPACT('/path', PARTITION BY p)             -- keep the hive layout
   * GRAFT_COMPACT('/path', ZORDER BY a, b, FILES 8)    -- OPTIMIZE with Z-ORDER
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
-  * GRAFT_CHECKPOINT('/deltaPath')                     -- fold a Delta log (maintenance)
+  * GRAFT_CHECKPOINT('/deltaPath'[, PARTS n])          -- fold a Delta log (maintenance)
   * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
   * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5])        -- Delta change feed span (table_changes)
   * GRAFT_SET_PROPERTIES('/deltaPath', SET 'k'='v'[, ...][, UNSET 'k2'[, ...]]) -- TBLPROPERTIES
@@ -198,9 +198,10 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
           .toDF("newest_version", "files_swept", "versions_kept")
           .queryExecution.logical
       }
-    case CheckpointStmt(path) =>
+    case CheckpointStmt(path, parts) =>
       import session.implicits._
-      val v = graft.sources.DeltaWrite.checkpoint(session, path)
+      val v = graft.sources.DeltaWrite.checkpoint(session, path,
+        Option(parts).map(_.toInt).getOrElse(0))
       Seq(v).toDF("checkpoint_version").queryExecution.logical
     case ChangesStmt(path, fromV, toV) =>
       // delta-only: the versioned protocol's keyed CDC is GRAFT_DIFF
@@ -335,7 +336,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
-         MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_) |
+         MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
          PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
@@ -449,7 +450,7 @@ object GraftSqlParser {
     * deleted-rows threshold, default 0.05).
     */
   private val CheckpointStmt =
-    """(?is)^\s*GRAFT_CHECKPOINT\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_CHECKPOINT\s*\(\s*'([^']+)'\s*(?:,\s*PARTS\s+(\d{1,9})\s*)?\)\s*;?\s*$""".r
   private val PurgeStmt =
     """(?is)^\s*GRAFT_PURGE\s*\(\s*'([^']+)'\s*(?:,\s*FRACTION\s+([0-9.]{1,12}))?\s*\)\s*;?\s*$""".r
 

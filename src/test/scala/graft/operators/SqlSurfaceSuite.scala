@@ -286,6 +286,13 @@ class SqlSurfaceSuite extends SparkSpec {
     val zc = s2.sql(s"GRAFT_COMPACT('$root', ZORDER BY id, FILES 2)").head()
     assert(zc.getLong(0) == 4L && zc.getInt(1) == 2, s"unexpected zorder summary: $zc")
     assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
+    // multi-part checkpoint through SQL
+    val ck2 = s2.sql(s"GRAFT_CHECKPOINT('$root', PARTS 2)").head()
+    assert(ck2.getLong(0) == 4L)
+    val partNames = new java.io.File(root, "_delta_log").list()
+      .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(partNames.nonEmpty, "PARTS 2 must write a multi-part run")
+    assert(s2.sql(s"GRAFT_READ('$root')").count() == 900L)
   }
 
   test("GRAFT_DELETE removes matching rows through the stats-pruned commit") {
