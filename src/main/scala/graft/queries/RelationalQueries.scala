@@ -102,8 +102,13 @@ object RelationalQueries {
           "round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0D, 2) AS revenue, " +
           "count(*) AS n_orders FROM orders GROUP BY 1",
           "monthly_rev"),
+        // corpus-wide average via a broadcast 1-row cross join, not
+        // `avg(revenue) OVER ()` — an unpartitioned window funnels the
+        // frame through ONE task (WindowExec warns), while the scalar
+        // aggregate broadcasts; same values, scale-clean plan
         Sql("SELECT month, revenue, n_orders, " +
-          "round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg FROM monthly_rev")))
+          "round(revenue / a.avg_rev, 4) AS ratio_to_avg FROM monthly_rev " +
+          "CROSS JOIN (SELECT avg(revenue) AS avg_rev FROM monthly_rev) a")))
       Pipeline(s, spec).run().orderBy("month")
     }),
 
@@ -1453,8 +1458,9 @@ object RelationalQueries {
         |         count(*) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT month, revenue, n_orders,
-        |       round(revenue / avg(revenue) OVER (), 4) AS ratio_to_avg
-        |FROM monthly_rev ORDER BY month""".stripMargin,
+        |       round(revenue / a.avg_rev, 4) AS ratio_to_avg
+        |FROM monthly_rev CROSS JOIN (SELECT avg(revenue) AS avg_rev FROM monthly_rev) a
+        |ORDER BY month""".stripMargin,
 
     "q05_pivot" ->
       """SELECT l_returnflag,
