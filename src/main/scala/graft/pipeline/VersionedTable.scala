@@ -1542,6 +1542,41 @@ object VersionedTable {
       partitionBy = detectPartitionColumns(spark, root))
   }
 
+  /** UPDATE … SET … WHERE as a stats-pruned rewrite: the replacement
+    * rows are the CURRENT snapshot's matches with `assignments`
+    * applied, and [[commitOverwriteWhere]] rewrites only the files
+    * whose stats intersect the condition — O(touched), not O(table).
+    * Assignments are SIMULTANEOUS (every right-hand side evaluates
+    * against the pre-update row) and cast to the target column's type,
+    * standard SQL UPDATE semantics. Same conservative postures as
+    * DELETE: an unparsable condition degrades to the full rewrite, a
+    * hive layout is preserved via the detected partition columns.
+    */
+  def commitUpdate(
+      spark: SparkSession,
+      root: String,
+      cond: String,
+      assignments: Map[String, String],
+      format: String = "",
+      maxAttempts: Int = 5): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val fmt = resolveFormat(spark, root, format)
+    val cur = read(spark, root, fmt)
+    assignments.keys.foreach(c => require(
+      cur.columns.exists(_.equalsIgnoreCase(c)),
+      s"UPDATE at $root: SET targets unknown column '$c' " +
+        s"(table columns: ${cur.columns.mkString(", ")})"))
+    val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
+    import org.apache.spark.sql.functions.{col, expr}
+    val updated = cur.where(cond).select(cur.schema.fields.map { f =>
+      byLower.get(f.name.toLowerCase)
+        .map(e => expr(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(s"`${f.name}`"))
+    }.toIndexedSeq: _*)
+    commitOverwriteWhere(spark, root, fmt, updated, cond, maxAttempts = maxAttempts,
+      partitionBy = detectPartitionColumns(spark, root))
+  }
+
   /** The hive partition column names of the current snapshot's layout.
     * The committed `#layout=` marker answers in O(1) when present
     * (every commit path records it); pre-marker pointers fall back to

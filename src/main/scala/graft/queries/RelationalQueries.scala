@@ -1102,6 +1102,27 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q131: DELTA UPDATE (round 14) — the DV-based in-place UPDATE:
+    // matched rows soft-delete via deletion vectors in their files and
+    // their updated images append as new files (delta-spark's
+    // DV-enabled UPDATE; unmatched rows never rewrite). First update
+    // through the Scala API, second through GRAFT_UPDATE SQL with a
+    // right-hand side reading TWO pre-update columns — simultaneous-
+    // assignment semantics under the oracle's CASE recomputation.
+    "q131_delta_update" -> ((s, dir) => {
+      val root = scratchRoot("graft_q131")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(4), root)
+      graft.sources.DeltaWrite.update(s, root, "o_orderstatus = 'F'",
+        Map("o_orderstatus" -> "'G'"))
+      s.sql(s"GRAFT_UPDATE('$root', " +
+        "SET o_custkey = o_custkey * 2 + (o_orderkey % 10), WHERE o_custkey % 7 = 0)")
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q109: DELTA CHECKPOINT round trip (round 12) — eleven partitioned
     // appends drive the log past the auto-checkpoint interval (v10
     // folds into 0...010.checkpoint.parquet + _last_checkpoint by the
@@ -1931,6 +1952,16 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |WHERE o_orderstatus <> 'F' AND o_custkey % 10 <> 3
         |ORDER BY o_orderkey""".stripMargin,
+
+    // both updates recompute as CASE: predicates are independent
+    // (update 2 keys on o_custkey, untouched by update 1) so the
+    // sequential composition is the one-pass closed form
+    "q131_delta_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_custkey % 7 = 0 THEN o_custkey * 2 + (o_orderkey % 10)
+        |       ELSE o_custkey END AS o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // dynamic-overwrite closed form: 'F' rows come from the re-priced
     // overwrite batch, every other partition keeps its base rows

@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_BRANCH_DROP('/path', 'exp')                  -- drop the branch (vacuum reclaims)
   * GRAFT_BRANCH_DIFF('/path', 'exp', KEY k)           -- what publish would change on main
   * GRAFT_DELETE('/path', WHERE k >= 100)              -- stats-pruned row deletes
+  * GRAFT_UPDATE('/path', SET v = v + 1, WHERE k < 10) -- stats-pruned in-place update
   * GRAFT_APPEND('/path', SELECT ...)                  -- O(delta) append commit
   * GRAFT_MERGE('/path', KEY k, SELECT ...)            -- file-pruned upsert commit
   * }}}
@@ -61,7 +62,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, UpdateStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -307,6 +308,25 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
           graft.sources.DeltaWrite.delete(session, path, cond)
         else VersionedTable.commitDelete(session, path, cond)
       Seq(v).toDF("version").queryExecution.logical
+    case UpdateStmt(path, setsRaw, cond) =>
+      import graft.pipeline.VersionedTable
+      import session.implicits._
+      // split the SET list on commas that BEGIN a new `name =`
+      // assignment — commas inside expressions (function arguments,
+      // e.g. round(x, 2)) don't match the lookahead
+      val assigns = setsRaw.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*=[^=])").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"GRAFT_UPDATE: malformed assignment '$a' (expected col = expr)")
+          a.take(i).trim -> a.drop(i + 1).trim
+        }.toMap
+      // a DELTA root routes to the DV-emitting update (zero rewrite of
+      // unmatched rows); a versioned root to the stats-pruned rewrite
+      val v =
+        if (graft.sources.DeltaRead.isDeltaTable(session, path))
+          graft.sources.DeltaWrite.update(session, path, cond, assigns)
+        else VersionedTable.commitUpdate(session, path, cond, assigns)
+      Seq(v).toDF("version").queryExecution.logical
     case AppendStmt(path, query) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
@@ -335,7 +355,8 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
-         VacuumStmt(_, _, _) | DeleteStmt(_, _) | AppendStmt(_, _) |
+         VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _, _) |
+         AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
          PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) =>
       parsePlan(sqlText)
@@ -504,6 +525,13 @@ object GraftSqlParser {
     */
   private val DeleteStmt =
     """(?is)^\s*GRAFT_DELETE\s*\(\s*'([^']+)'\s*,\s*WHERE\s+([^)]+)\)\s*;?\s*$""".r
+
+  /** In-place update: SET list captured lazily up to the `, WHERE`
+    * keyword (assignment expressions may contain parens and commas —
+    * the handler splits assignments on `, name =` boundaries).
+    */
+  private val UpdateStmt =
+    """(?is)^\s*GRAFT_UPDATE\s*\(\s*'([^']+)'\s*,\s*SET\s+(.+?)\s*,\s*WHERE\s+(.+?)\s*\)\s*;?\s*$""".r
 
   /** Pure-SQL writes: the second argument is a FULL Spark SQL query
     * (greedy up to the final closing paren, so nested parens inside

@@ -311,6 +311,31 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_DELETE('/tmp/nope_vt', WHERE k > 0)") }
   }
 
+  test("GRAFT_UPDATE rewrites matching rows in place on a versioned root") {
+    import graft.pipeline.{Append, SinkSpec, Writer}
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlupd").toString + "/t"
+    Writer.write(s2, (1L to 10L).map(k => (k, k * 10, s"v$k")).toDF("k", "n", "v"),
+      SinkSpec(root, mode = Append, versioned = true))
+    // multi-assignment with an expression containing a comma (round's
+    // second arg) and a swap-flavored RHS reading pre-update columns
+    val u = s2.sql(s"GRAFT_UPDATE('$root', " +
+      "SET n = round(n + k, 0), v = concat(v, '!'), WHERE k <= 3)").head()
+    assert(u.getLong(0) == 2L)
+    val rows = s2.sql(s"GRAFT_READ('$root')").orderBy("k")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (k, n, v) =>
+      if (k <= 3) assert(n == k * 10 + k && v == s"v$k!", s"row $k: ($n, $v)")
+      else assert(n == k * 10 && v == s"v$k", s"row $k must be untouched: ($n, $v)")
+    }
+    // time travel intact; malformed SET refuses loudly
+    assert(s2.sql(s"GRAFT_READ('$root', 1)").count() == 10L)
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_UPDATE('$root', SET nope = 1, WHERE k = 1)")
+    }
+  }
+
   test("GRAFT_APPEND / GRAFT_MERGE: pure-SQL versioned writes") {
     import graft.pipeline.VersionedTable
     import s2.implicits._

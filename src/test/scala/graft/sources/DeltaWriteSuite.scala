@@ -465,6 +465,67 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("DV-based UPDATE: matched rows re-land updated, untouched files carry byte-identical") {
+    val root = tmp()
+    // two files with DISJOINT id ranges: the second must not be touched
+    DeltaWrite.append(spark, (0L until 100L).map(i => (i, s"v$i", i % 5))
+      .toDF("id", "v", "grp").coalesce(1), root)
+    DeltaWrite.append(spark, (100L until 200L).map(i => (i, s"v$i", i % 5))
+      .toDF("id", "v", "grp").coalesce(1), root)
+    val before = DeltaRead.snapshot(spark, root)
+    val v = DeltaWrite.update(spark, root, "id < 50 AND grp = 2",
+      Map("v" -> "concat(v, '!')", "grp" -> "grp + 10"))
+    assert(v == 2L)
+    val after = DeltaRead.snapshot(spark, root)
+    // the untouched second file carries byte-identical (same rel path, no DV)
+    val untouched = before.files.keySet.filter(f => !after.dvs.contains(f))
+    assert(after.files.keySet.intersect(before.files.keySet).nonEmpty)
+    assert(untouched.exists(after.files.contains), "second file must carry unrewritten")
+    // exactly the matched rows changed; simultaneous semantics on grp
+    val got = DeltaRead.read(spark, root).orderBy("id")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 200)
+    got.foreach { case (id, vv, g) =>
+      if (id < 50 && id % 5 == 2) assert(vv == s"v$id!" && g == 12, s"row $id: ($vv, $g)")
+      else assert(vv == s"v$id" && g == id % 5, s"row $id must be untouched: ($vv, $g)")
+    }
+    // the touched file holds a DV; matched count = 10 (ids 2,7,...,47)
+    assert(after.dvs.values.map(_.cardinality).sum == 10L)
+    // no-match update: no commit
+    assert(DeltaWrite.update(spark, root, "id > 9999", Map("v" -> "'x'")) == 2L)
+  }
+
+  test("UPDATE swap is simultaneous; partition-column update moves the row's directory") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("a", "b", "p"),
+      root, partitionBy = Seq("p"))
+    // swap a and b where a = 1: RHS must see PRE-update values
+    DeltaWrite.update(spark, root, "a = 1", Map("a" -> "b", "b" -> "a"))
+    val swapped = DeltaRead.read(spark, root).orderBy("b")
+      .as[(Long, Long, String)].collect()
+    assert(swapped.toSeq == Seq((10L, 1L, "p1"), (2L, 20L, "p2")), swapped.toSeq.toString)
+    // move row a=2 from p2 to p9: the image lands under p=p9
+    DeltaWrite.update(spark, root, "a = 2", Map("p" -> "'p9'"))
+    val moved = DeltaRead.read(spark, root).where("a = 2")
+      .as[(Long, Long, String)].collect()
+    assert(moved.toSeq == Seq((2L, 20L, "p9")))
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.files.exists(_._2.get("p").contains("p9")),
+      "updated image must land in the new partition directory")
+  }
+
+  test("UPDATE on a CDF table writes update_preimage/update_postimage cdc rows") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.setProperties(spark, root, Map("delta.enableChangeDataFeed" -> "true"))
+    val v = DeltaWrite.update(spark, root, "id = 1", Map("v" -> "'A'"))
+    val changes = DeltaRead.readChanges(spark, root, v, Some(v))
+      .select("id", "v", "_change_type").orderBy("_change_type")
+      .as[(Long, String, String)].collect()
+    assert(changes.toSeq == Seq((1L, "A", "update_postimage"), (1L, "a", "update_preimage")),
+      changes.toSeq.toString)
+  }
+
   test("multi-part checkpoint: complete 1..k run, parts pointer, cleaned-log read, incremental fold") {
     val root = tmp()
     for (i <- 0 until 5)
