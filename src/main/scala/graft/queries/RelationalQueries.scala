@@ -1123,6 +1123,35 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q132: CHECK CONSTRAINTS (round 14) — ALTER TABLE ADD CONSTRAINT
+    // parity: the constraint validates existing rows before committing,
+    // upgrades the protocol for checkConstraints, and every later
+    // row-adding write evaluates it over the incoming batch. A
+    // violating append FAILS WHOLE (caught here) and must leave the
+    // table byte-identical; a valid append lands. Oracle = base slice
+    // plus only the valid appended rows.
+    "q132_delta_constraint" -> ((s, dir) => {
+      val root = scratchRoot("graft_q132")
+      val base = t(s, dir, "orders").where(col("o_custkey") % 3 === 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(s, base.repartition(2), root)
+      s.sql(s"GRAFT_CONSTRAINT('$root', ADD price_positive CHECK (o_totalprice > 0))")
+      // valid rows land
+      val good = t(s, dir, "orders").where(col("o_custkey") % 3 === 1).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(s, good, root)
+      // a violating batch fails whole — the table must not change
+      try {
+        graft.sources.DeltaWrite.append(s,
+          good.withColumn("o_totalprice", col("o_totalprice") * -1), root)
+        throw new IllegalStateException("constraint violation was not enforced")
+      } catch { case _: IllegalArgumentException => () }
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // q109: DELTA CHECKPOINT round trip (round 12) — eleven partitioned
     // appends drive the log past the auto-checkpoint interval (v10
     // folds into 0...010.checkpoint.parquet + _last_checkpoint by the
@@ -1951,6 +1980,13 @@ object RelationalQueries {
     "q117_delta_dv_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |WHERE o_orderstatus <> 'F' AND o_custkey % 10 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the violating batch fails whole, so the closed form is base +
+    // valid rows only
+    "q132_delta_constraint" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_custkey % 3 IN (0, 1)
         |ORDER BY o_orderkey""".stripMargin,
 
     // both updates recompute as CASE: predicates are independent

@@ -261,6 +261,7 @@ object DeltaWrite {
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(s"`${f.name}`"))
       }.toIndexedSeq: _*)
+      enforceConstraints(snap, newRows, path, "UPDATE")
       val cdcFiles: Seq[NewFile] =
         if (!cdfEnabled(snap)) Nil
         else writeCdcFiles(spark, snap,
@@ -477,6 +478,7 @@ object DeltaWrite {
             s"is ${t.dataType.catalogString} in the table, " +
             s"${d.dataType.catalogString} in the merge output")
       }
+      enforceConstraints(snap, merged, path, "MERGE")
       val (physDf, physParts) = toPhysical(snap, merged)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
@@ -711,10 +713,10 @@ object DeltaWrite {
         if (fieldMeta("delta.invariants"))
           refuse("column invariants are configured (delta.invariants field metadata) " +
             "and this writer does not evaluate them")
-      case "checkConstraints" =>
-        if (conf.keys.exists(_.startsWith("delta.constraints.")))
-          refuse("CHECK constraints are configured (delta.constraints.*) and this " +
-            "writer does not evaluate them")
+      case "checkConstraints" => () // ENFORCED: every row-adding path
+        // (write/merge/update/streams) evaluates delta.constraints.*
+        // over its incoming rows via [[enforceConstraints]] and fails
+        // the statement on a violation — delta-spark's writer contract
       case "changeDataFeed" =>
         // CDF readers DERIVE changes from add/remove when a commit has
         // no cdc action: a pure APPEND (inserts) and dataChange=false
@@ -741,6 +743,56 @@ object DeltaWrite {
           "writer does not implement")
     }
   }
+
+  /** CHECK-constraint names and expressions from the table
+    * configuration (delta-spark's `delta.constraints.<name>` keys).
+    */
+  private def constraintsOf(conf: Map[String, String]): Seq[(String, String)] =
+    conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+      k.stripPrefix("delta.constraints.") -> v
+    }.toSeq.sortBy(_._1)
+
+  /** Evaluate the table's CHECK constraints over the rows a statement
+    * is about to add — the protocol's writer contract for the
+    * `checkConstraints` feature. Violation = the expression evaluates
+    * to FALSE (NULL passes, SQL CHECK semantics). The probe costs one
+    * filtered pass of the INCOMING batch per constraint — never a
+    * table scan — and surfaces one offending row in the error.
+    */
+  private def enforceConstraints(snap: DeltaRead.Snapshot, df: DataFrame,
+                                 path: String, opName: String): Unit =
+    constraintsOf(snap.configuration).foreach { case (name, e) =>
+      val bad = df.where(s"NOT coalesce(($e), true)").limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$opName at $path violates CHECK constraint '$name' (CHECK ($e)); " +
+          s"offending row: ${bad.head}")
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT parity: verify EVERY existing row
+    * satisfies `expr` (delta-spark validates before committing too),
+    * then commit `delta.constraints.<name> = expr` with the protocol
+    * upgraded for `checkConstraints`. Writes thereafter enforce it.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+                         name: String, expr: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val key = s"delta.constraints.${name.toLowerCase}"
+    val snap = DeltaRead.snapshot(spark, qualifiedRoot(spark, path).toString)
+    require(!snap.configuration.contains(key),
+      s"Delta table at $path already has a constraint named '$name' — drop it first")
+    val bad = DeltaRead.readSnapshot(spark, qualifiedRoot(spark, path).toString, snap)
+      .where(s"NOT coalesce(($expr), true)").limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"cannot add CHECK constraint '$name' at $path: existing row violates " +
+        s"CHECK ($expr); offending row: ${bad.head}")
+    setProperties(spark, path, Map(key -> expr))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT parity. */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String): Long =
+    setProperties(spark, path, Map.empty,
+      unset = Seq(s"delta.constraints.${name.toLowerCase}"))
 
   /** LOGICAL frame → PHYSICAL-named frame + partition columns for the
     * parquet write on a column-mapped table (identity when unmapped).
@@ -874,6 +926,10 @@ object DeltaWrite {
         re
       case _ => df
     }
+    // CHECK constraints gate the rows this statement ADDS (one pass of
+    // the incoming batch per constraint, evaluated on logical names)
+    existing.foreach(s => enforceConstraints(s, aligned, path,
+      if (mode == Mode.Append) "APPEND" else "OVERWRITE"))
 
     // MAPPED-TABLE EVOLUTION: a mergeSchema append that widens a
     // name-mode table must MINT each new column's (id, physicalName)
@@ -1409,27 +1465,39 @@ object DeltaWrite {
         mapper.writeValueAsString(mapper.valueToTree(newConf): com.fasterxml.jackson.databind.JsonNode))
       cib.put("engineInfo", "graft-delta-writer/1.0")
       lines += mapper.writeValueAsString(ci)
-      val enablingCdf = set.get("delta.enableChangeDataFeed")
-        .exists(_.equalsIgnoreCase("true"))
-      if (enablingCdf) {
-        if (snap.minWriter >= 7 && !snap.writerFeatures.contains("changeDataFeed")) {
-          val p = mapper.createObjectNode
-          val pb = p.putObject("protocol")
-          pb.put("minReaderVersion", snap.minReader)
-          pb.put("minWriterVersion", snap.minWriter)
-          if (snap.minReader >= 3) {
-            val rfa = pb.putArray("readerFeatures")
-            snap.readerFeatures.toSeq.sorted.foreach(rfa.add)
+      // property-gated features need the protocol to carry them:
+      // enabling CDF → changeDataFeed (legacy minWriter 4), adding a
+      // delta.constraints.* key → checkConstraints (legacy minWriter 3)
+      val needs = Seq(
+        "changeDataFeed" -> (4, set.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true"))),
+        "checkConstraints" -> (3, set.keys.exists(_.startsWith("delta.constraints."))))
+        .collect { case (f, (lv, true)) => f -> lv }
+      if (needs.nonEmpty) {
+        if (snap.minWriter >= 7) {
+          val missing = needs.map(_._1).filterNot(snap.writerFeatures.contains)
+          if (missing.nonEmpty) {
+            val p = mapper.createObjectNode
+            val pb = p.putObject("protocol")
+            pb.put("minReaderVersion", snap.minReader)
+            pb.put("minWriterVersion", snap.minWriter)
+            if (snap.minReader >= 3) {
+              val rfa = pb.putArray("readerFeatures")
+              snap.readerFeatures.toSeq.sorted.foreach(rfa.add)
+            }
+            val wfa = pb.putArray("writerFeatures")
+            (snap.writerFeatures ++ missing).toSeq.sorted.foreach(wfa.add)
+            lines += mapper.writeValueAsString(p)
           }
-          val wfa = pb.putArray("writerFeatures")
-          (snap.writerFeatures + "changeDataFeed").toSeq.sorted.foreach(wfa.add)
-          lines += mapper.writeValueAsString(p)
-        } else if (snap.minWriter < 4) {
-          val p = mapper.createObjectNode
-          val pb = p.putObject("protocol")
-          pb.put("minReaderVersion", snap.minReader)
-          pb.put("minWriterVersion", 4)
-          lines += mapper.writeValueAsString(p)
+        } else {
+          val target = needs.map(_._2).max
+          if (snap.minWriter < target) {
+            val p = mapper.createObjectNode
+            val pb = p.putObject("protocol")
+            pb.put("minReaderVersion", snap.minReader)
+            pb.put("minWriterVersion", target)
+            lines += mapper.writeValueAsString(p)
+          }
         }
       }
       val md = mapper.createObjectNode

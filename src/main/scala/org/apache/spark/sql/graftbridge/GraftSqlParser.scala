@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
   * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5])        -- Delta change feed span (table_changes)
   * GRAFT_SET_PROPERTIES('/deltaPath', SET 'k'='v'[, ...][, UNSET 'k2'[, ...]]) -- TBLPROPERTIES
+  * GRAFT_CONSTRAINT('/deltaPath', ADD name CHECK (expr)) -- ALTER TABLE ADD CONSTRAINT
+  * GRAFT_CONSTRAINT('/deltaPath', DROP name)          -- ALTER TABLE DROP CONSTRAINT
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -62,7 +64,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, UpdateStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, ConstraintStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, UpdateStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -226,6 +228,17 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val v = graft.sources.DeltaWrite.setProperties(session, path, sets, unsets)
       Seq((v, sets.size, unsets.size))
         .toDF("version", "n_set", "n_unset").queryExecution.logical
+    case ConstraintStmt(path, addName, checkExpr, dropName) =>
+      import session.implicits._
+      require(graft.sources.DeltaRead.isDeltaTable(session, path),
+        s"GRAFT_CONSTRAINT targets a Delta table; $path is not one " +
+          "(graft versioned manifests carry no configuration)")
+      // ADD validates every existing row BEFORE committing (delta-spark's
+      // ALTER TABLE ADD CONSTRAINT contract); writes thereafter enforce
+      val v = if (addName != null)
+        graft.sources.DeltaWrite.addCheckConstraint(session, path, addName, checkExpr)
+      else graft.sources.DeltaWrite.dropCheckConstraint(session, path, dropName)
+      Seq(v).toDF("version").queryExecution.logical
     case PurgeStmt(path, fraction) =>
       import session.implicits._
       val v = graft.sources.DeltaWrite.purgeDvs(session, path,
@@ -358,7 +371,8 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _, _) |
          AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
-         PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) =>
+         PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) |
+         ConstraintStmt(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -490,6 +504,13 @@ object GraftSqlParser {
     ("""(?is)^\s*GRAFT_SET_PROPERTIES\s*\(\s*'([^']+)'\s*""" +
       """(?:,\s*SET\s+('[^']+'\s*=\s*'[^']*'(?:\s*,\s*'[^']+'\s*=\s*'[^']*')*))?""" +
       """(?:,\s*UNSET\s+('[^']+'(?:\s*,\s*'[^']+')*))?\s*\)\s*;?\s*$""").r
+
+  /** CHECK constraints: ADD name CHECK (expr) — the expression capture
+    * is greedy, so nested parens inside it are fine — or DROP name.
+    */
+  private val ConstraintStmt =
+    ("""(?is)^\s*GRAFT_CONSTRAINT\s*\(\s*'([^']+)'\s*,\s*""" +
+      """(?:ADD\s+(\w+)\s+CHECK\s*\((.+)\)|DROP\s+(\w+))\s*\)\s*;?\s*$""").r
 
   /** Rollback: republish version N's (or tag T's) entry set as a new
     * commit (zero data I/O; Delta's RESTORE TABLE ... VERSION AS OF

@@ -465,6 +465,43 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("CHECK constraints: add validates history, writes enforce, protocol carries the feature") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").coalesce(1), root)
+    // adding a constraint the history violates refuses and commits nothing
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.addCheckConstraint(spark, root, "x_big", "x > 15")
+    }
+    assert(e.getMessage.contains("x_big"))
+    assert(DeltaRead.snapshot(spark, root).version == 0L)
+    // a valid constraint lands with the protocol upgraded
+    val v = DeltaWrite.addCheckConstraint(spark, root, "x_pos", "x > 0")
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(v == 1L && snap.configuration("delta.constraints.x_pos") == "x > 0")
+    assert(snap.minWriter >= 3 || snap.writerFeatures.contains("checkConstraints"))
+    // appends enforce: NULL passes (SQL CHECK), FALSE fails whole
+    DeltaWrite.append(spark, Seq((3L, Option(5.0)), (4L, Option.empty[Double]))
+      .toDF("id", "x").coalesce(1), root)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((5L, -1.0)).toDF("id", "x"), root)
+    }
+    assert(e2.getMessage.contains("x_pos") && e2.getMessage.contains("APPEND"))
+    assert(DeltaRead.read(spark, root).count() == 4)
+    // UPDATE enforces on the post-update image
+    intercept[IllegalArgumentException] {
+      DeltaWrite.update(spark, root, "id = 1", Map("x" -> "-9"))
+    }
+    // MERGE enforces on the merged frame
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, Seq((2L, -3.0)).toDF("id", "x"), root, Seq("id"))
+    }
+    assert(DeltaRead.read(spark, root).where("x < 0").count() == 0)
+    // drop, then the violating write lands
+    DeltaWrite.dropCheckConstraint(spark, root, "x_pos")
+    DeltaWrite.append(spark, Seq((5L, -1.0)).toDF("id", "x"), root)
+    assert(DeltaRead.read(spark, root).count() == 5)
+  }
+
   test("DV-based UPDATE: matched rows re-land updated, untouched files carry byte-identical") {
     val root = tmp()
     // two files with DISJOINT id ranges: the second must not be touched
