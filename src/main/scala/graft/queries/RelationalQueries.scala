@@ -1123,6 +1123,30 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q133: ALTER-COLUMN family (round 14) — enable name-mode column
+    // mapping on a table THIS engine created (each field's physical
+    // name = its current name, so existing files bind unchanged), then
+    // RENAME and DROP COLUMN as metaData-only commits, then append
+    // under the NEW logical names. Every step zero data I/O; the
+    // read-back binds old files through physical names and new files
+    // through minted ones, all under the oracle hash.
+    "q133_delta_alter" -> ((s, dir) => {
+      val root = scratchRoot("graft_q133")
+      val base = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(2), root)
+      s.sql(s"GRAFT_ALTER('$root', MAP COLUMNS)")
+      s.sql(s"GRAFT_ALTER('$root', RENAME c_acctbal TO balance)")
+      s.sql(s"GRAFT_ALTER('$root', DROP COLUMN c_nationkey)")
+      val extra = t(s, dir, "customer").where(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal").as("balance"))
+      graft.sources.DeltaWrite.append(s, extra, root)
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("c_custkey"), col("c_name"), round(col("balance"), 2).as("balance"))
+        .orderBy("c_custkey")
+    }),
+
     // q132: CHECK CONSTRAINTS (round 14) — ALTER TABLE ADD CONSTRAINT
     // parity: the constraint validates existing rows before committing,
     // upgrades the protocol for checkConstraints, and every later
@@ -1981,6 +2005,16 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |WHERE o_orderstatus <> 'F' AND o_custkey % 10 <> 3
         |ORDER BY o_orderkey""".stripMargin,
+
+    // renames/drops are metaData-only, so the closed form is the base
+    // projection under the new names plus the post-alter append
+    "q133_delta_alter" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2)
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |) ORDER BY c_custkey""".stripMargin,
 
     // the violating batch fails whole, so the closed form is base +
     // valid rows only

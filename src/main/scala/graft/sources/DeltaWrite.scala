@@ -744,6 +744,174 @@ object DeltaWrite {
     }
   }
 
+  /** One CAS-retried metaData-only commit: `change` re-derives the new
+    * (schema, partitionColumns, configuration, extra protocol line)
+    * against each attempt's fresh snapshot. The shared engine under
+    * ALTER-TABLE-shaped statements (rename/drop column, enable column
+    * mapping) — zero data I/O, the files bind by physical name.
+    */
+  private def commitMetaDataChange(spark: SparkSession, path: String, operation: String)
+      (change: DeltaRead.Snapshot => (org.apache.spark.sql.types.StructType,
+        Seq[String], Map[String, String], Option[String])): Long = {
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaRead.snapshot(spark, rootP.toString)
+      requireWritable(snap, path, removesData = false)
+      val (schema, parts, conf, protocolLine) = change(snap)
+      val now = System.currentTimeMillis
+      val lines = Seq.newBuilder[String]
+      val ci = mapper.createObjectNode
+      val cib = ci.putObject("commitInfo")
+      cib.put("timestamp", now)
+      cib.put("operation", operation)
+      cib.put("engineInfo", "graft-delta-writer/1.0")
+      lines += mapper.writeValueAsString(ci)
+      protocolLine.foreach(lines += _)
+      val md = mapper.createObjectNode
+      val mdb = md.putObject("metaData")
+      mdb.put("id", Option(snap.metaId).getOrElse(java.util.UUID.randomUUID.toString))
+      val fmt = mdb.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      mdb.put("schemaString", schema.json)
+      val pc = mdb.putArray("partitionColumns")
+      parts.foreach(pc.add)
+      val cfg = mdb.putObject("configuration")
+      conf.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+      mdb.put("createdTime", now)
+      lines += mapper.writeValueAsString(md)
+      val next = snap.version + 1
+      if (graft.pipeline.VersionedTable.casPublish(
+            fs, new Path(logP, f"$next%020d.json"),
+            lines.result().mkString("\n") + "\n")) return next
+    }
+    throw new IllegalStateException(
+      s"$operation at $path lost the commit race 20 times — another writer is " +
+        "committing continuously; retry later")
+  }
+
+  /** Does SQL expression `e` reference identifier `name`? Word-boundary
+    * textual probe — conservative (a string literal containing the
+    * name also matches), which is the safe direction for refusals.
+    */
+  private def identRefs(e: String, name: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_`])").r.findFirstIn(e).isDefined
+
+  /** Upgrade an UNMAPPED table to name-mode column mapping — the spec's
+    * upgrade path (delta-spark `ALTER TABLE … SET TBLPROPERTIES
+    * ('delta.columnMapping.mode' = 'name')`): every existing field gets
+    * `delta.columnMapping.id` = its ordinal and `physicalName` = its
+    * CURRENT name, so every existing data file binds unchanged; only
+    * columns added later mint fresh `col-<uuid>` physical names. The
+    * same commit carries the protocol upgrade column mapping requires
+    * (legacy reader 2 / writer 5, or the `columnMapping` feature on
+    * table-features protocols). Unlocks [[renameColumn]] /
+    * [[dropColumn]] on tables this engine created.
+    */
+  def enableColumnMapping(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    commitMetaDataChange(spark, path, "SET TBLPROPERTIES") { snap =>
+      if (snap.colMap.nonEmpty) // already mapped: no-op at this version
+        return snap.version
+      val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", f.name).build())
+      }
+      val conf = snap.configuration +
+        ("delta.columnMapping.mode" -> "name") +
+        ("delta.columnMapping.maxColumnId" -> fields.length.toString)
+      val protocolLine: Option[String] =
+        if (snap.minWriter >= 7) {
+          if (snap.writerFeatures.contains("columnMapping")) None
+          else {
+            val p = mapper.createObjectNode
+            val pb = p.putObject("protocol")
+            pb.put("minReaderVersion", math.max(snap.minReader, 2))
+            pb.put("minWriterVersion", snap.minWriter)
+            if (snap.minReader >= 3) {
+              val rfa = pb.putArray("readerFeatures")
+              (snap.readerFeatures + "columnMapping").toSeq.sorted.foreach(rfa.add)
+            }
+            val wfa = pb.putArray("writerFeatures")
+            (snap.writerFeatures + "columnMapping").toSeq.sorted.foreach(wfa.add)
+            Some(mapper.writeValueAsString(p))
+          }
+        } else if (snap.minWriter < 5 || snap.minReader < 2) {
+          val p = mapper.createObjectNode
+          val pb = p.putObject("protocol")
+          pb.put("minReaderVersion", math.max(snap.minReader, 2))
+          pb.put("minWriterVersion", math.max(snap.minWriter, 5))
+          Some(mapper.writeValueAsString(p))
+        } else None
+      (org.apache.spark.sql.types.StructType(fields), snap.partitionColumns,
+        conf, protocolLine)
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN parity — mapped tables only: data files
+    * key columns by PHYSICAL name, so on a mapped table a rename is a
+    * metaData-only commit (the physical name never changes); an
+    * unmapped rename would need every file rewritten — refuse toward
+    * [[enableColumnMapping]] first.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name '$newName' must be an identifier")
+    commitMetaDataChange(spark, path, "RENAME COLUMN") { snap =>
+      require(snap.colMap.nonEmpty,
+        s"Delta table at $path is not column-mapped — a rename binds old files " +
+          "through the physical name, which only a mapped schema carries; run " +
+          "enableColumnMapping first")
+      val idx = snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"RENAME COLUMN at $path: unknown column '$oldName'")
+      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"RENAME COLUMN at $path: column '$newName' already exists")
+      constraintsOf(snap.configuration).foreach { case (n, e) =>
+        require(!identRefs(e, oldName),
+          s"RENAME COLUMN at $path: CHECK constraint '$n' (CHECK ($e)) references " +
+            s"'$oldName' — drop the constraint first")
+      }
+      val fields = snap.schema.fields.clone()
+      fields(idx) = fields(idx).copy(name = newName)
+      val parts = snap.partitionColumns.map(p =>
+        if (p.equalsIgnoreCase(oldName)) newName else p)
+      (org.apache.spark.sql.types.StructType(fields), parts, snap.configuration, None)
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN parity — mapped tables only (delta-spark's
+    * own requirement): the field leaves the schema, the bytes stay in
+    * the old files (readers simply stop projecting the physical
+    * column), and a REORG/compact reclaims them physically later.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    commitMetaDataChange(spark, path, "DROP COLUMNS") { snap =>
+      require(snap.colMap.nonEmpty,
+        s"Delta table at $path is not column-mapped — DROP COLUMN needs column " +
+          "mapping (delta-spark's requirement too); run enableColumnMapping first")
+      val idx = snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"DROP COLUMN at $path: unknown column '$name'")
+      require(snap.schema.fields.length > 1,
+        s"DROP COLUMN at $path: cannot drop the table's only column")
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"DROP COLUMN at $path: '$name' is a partition column — the layout " +
+          "depends on it; repartition through a full rewrite instead")
+      constraintsOf(snap.configuration).foreach { case (n, e) =>
+        require(!identRefs(e, name),
+          s"DROP COLUMN at $path: CHECK constraint '$n' (CHECK ($e)) references " +
+            s"'$name' — drop the constraint first")
+      }
+      (org.apache.spark.sql.types.StructType(snap.schema.fields.patch(idx, Nil, 1)),
+        snap.partitionColumns, snap.configuration, None)
+    }
+
   /** CHECK-constraint names and expressions from the table
     * configuration (delta-spark's `delta.constraints.<name>` keys).
     */

@@ -30,6 +30,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_SET_PROPERTIES('/deltaPath', SET 'k'='v'[, ...][, UNSET 'k2'[, ...]]) -- TBLPROPERTIES
   * GRAFT_CONSTRAINT('/deltaPath', ADD name CHECK (expr)) -- ALTER TABLE ADD CONSTRAINT
   * GRAFT_CONSTRAINT('/deltaPath', DROP name)          -- ALTER TABLE DROP CONSTRAINT
+  * GRAFT_ALTER('/deltaPath', MAP COLUMNS)             -- enable name-mode column mapping
+  * GRAFT_ALTER('/deltaPath', RENAME a TO b)           -- ALTER TABLE RENAME COLUMN
+  * GRAFT_ALTER('/deltaPath', DROP COLUMN a)           -- ALTER TABLE DROP COLUMN
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -64,7 +67,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
-  import GraftSqlParser.{AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, ConstraintStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, UpdateStmt, VacuumStmt, VersionsStmt}
+  import GraftSqlParser.{AlterStmt, AppendStmt, AsOfStmt, BranchDiffStmt, BranchDropStmt, BranchStmt, BranchesStmt, ChangesStmt, CheckpointStmt, CompactStmt, ConstraintStmt, DeleteStmt, DiffStmt, MergeStmt, PublishStmt, PurgeStmt, ReadStmt, RebaseStmt, RefreshStmt, RestoreStmt, SetPropsStmt, UpdateStmt, VacuumStmt, VersionsStmt}
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(l, r, key, lt, rt, payload) =>
@@ -239,6 +242,16 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         graft.sources.DeltaWrite.addCheckConstraint(session, path, addName, checkExpr)
       else graft.sources.DeltaWrite.dropCheckConstraint(session, path, dropName)
       Seq(v).toDF("version").queryExecution.logical
+    case AlterStmt(path, mapCols, renFrom, renTo, dropCol) =>
+      import session.implicits._
+      require(graft.sources.DeltaRead.isDeltaTable(session, path),
+        s"GRAFT_ALTER targets a Delta table; $path is not one")
+      val v =
+        if (mapCols != null) graft.sources.DeltaWrite.enableColumnMapping(session, path)
+        else if (renFrom != null)
+          graft.sources.DeltaWrite.renameColumn(session, path, renFrom, renTo)
+        else graft.sources.DeltaWrite.dropColumn(session, path, dropCol)
+      Seq(v).toDF("version").queryExecution.logical
     case PurgeStmt(path, fraction) =>
       import session.implicits._
       val v = graft.sources.DeltaWrite.purgeDvs(session, path,
@@ -372,7 +385,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
          AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
          PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) |
-         ConstraintStmt(_, _, _, _) =>
+         ConstraintStmt(_, _, _, _) | AlterStmt(_, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
@@ -504,6 +517,14 @@ object GraftSqlParser {
     ("""(?is)^\s*GRAFT_SET_PROPERTIES\s*\(\s*'([^']+)'\s*""" +
       """(?:,\s*SET\s+('[^']+'\s*=\s*'[^']*'(?:\s*,\s*'[^']+'\s*=\s*'[^']*')*))?""" +
       """(?:,\s*UNSET\s+('[^']+'(?:\s*,\s*'[^']+')*))?\s*\)\s*;?\s*$""").r
+
+  /** ALTER-COLUMN family: MAP COLUMNS (enable name-mode column
+    * mapping), RENAME a TO b, DROP COLUMN a — all metaData-only
+    * commits on the Delta log.
+    */
+  private val AlterStmt =
+    ("""(?is)^\s*GRAFT_ALTER\s*\(\s*'([^']+)'\s*,\s*""" +
+      """(?:(MAP\s+COLUMNS)|RENAME\s+(\w+)\s+TO\s+(\w+)|DROP\s+COLUMN\s+(\w+))\s*\)\s*;?\s*$""").r
 
   /** CHECK constraints: ADD name CHECK (expr) — the expression capture
     * is greedy, so nested parens inside it are fine — or DROP name.

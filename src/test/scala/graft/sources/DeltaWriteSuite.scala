@@ -465,6 +465,46 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("ALTER-COLUMN family: map columns binds old files; rename/drop are metaData-only; DML follows") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x")
+      .coalesce(1), root)
+    // unmapped: rename/drop refuse toward enableColumnMapping
+    intercept[IllegalArgumentException] { DeltaWrite.renameColumn(spark, root, "v", "w") }
+    val v1 = DeltaWrite.enableColumnMapping(spark, root)
+    val snap1 = DeltaRead.snapshot(spark, root)
+    // physical names = the ORIGINAL names, so the existing file binds
+    assert(snap1.colMap == Map("id" -> "id", "v" -> "v", "x" -> "x"))
+    assert(snap1.configuration("delta.columnMapping.mode") == "name")
+    assert(snap1.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(snap1.minReader >= 2 && snap1.minWriter >= 5)
+    assert(DeltaRead.read(spark, root).count() == 2)
+    // a second enable is a no-op at the same version
+    assert(DeltaWrite.enableColumnMapping(spark, root) == v1)
+
+    DeltaWrite.renameColumn(spark, root, "v", "word")
+    val snap2 = DeltaRead.snapshot(spark, root)
+    assert(snap2.schema.fieldNames.toSeq == Seq("id", "word", "x"))
+    assert(snap2.colMap("word") == "v", "rename must keep the physical name")
+    // old rows read under the new logical name
+    assert(DeltaRead.read(spark, root).select("word").orderBy("word")
+      .as[String].collect().toSeq == Seq("a", "b"))
+
+    DeltaWrite.dropColumn(spark, root, "x")
+    assert(DeltaRead.snapshot(spark, root).schema.fieldNames.toSeq == Seq("id", "word"))
+    // DML under the new shape: append, update, delete all still work
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "word"), root)
+    DeltaWrite.update(spark, root, "id = 1", Map("word" -> "'A'"))
+    DeltaWrite.delete(spark, root, "id = 2")
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "A", 3L -> "c"))
+    // guards: dropping the partition/only column, constraint references
+    intercept[IllegalArgumentException] { DeltaWrite.dropColumn(spark, root, "nope") }
+    DeltaWrite.addCheckConstraint(spark, root, "w_set", "word IS NOT NULL")
+    intercept[IllegalArgumentException] { DeltaWrite.renameColumn(spark, root, "word", "w2") }
+    intercept[IllegalArgumentException] { DeltaWrite.dropColumn(spark, root, "word") }
+  }
+
   test("CHECK constraints: add validates history, writes enforce, protocol carries the feature") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").coalesce(1), root)
