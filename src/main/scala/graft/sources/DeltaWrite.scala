@@ -1774,26 +1774,42 @@ object DeltaWrite {
     * Time travel across the restore keeps working (the protocol never
     * rewinds — a restore is a new commit). Fails loudly when a
     * required file or on-disk DV was already vacuumed (same guard as
-    * the versioned protocol's restore).
+    * the versioned protocol's restore). COLUMN-MAPPED tables restore
+    * too (round 14): physical names pin every file binding across the
+    * rewind, and `delta.columnMapping.maxColumnId` stays MONOTONE
+    * (max of target and current — rewinding it would let a later
+    * evolution re-mint an id the history already used).
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     val target = DeltaRead.snapshot(spark, rootP.toString, Some(toVersion))
-    require(target.colMap.isEmpty,
-      s"Delta table at $path uses column mapping — graft restores unmapped " +
-        "tables only (a mapped restore must reconcile column ids); RESTORE " +
-        "with delta-spark")
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
       val cur = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(cur, path, removesData = true, cdfHandled = true)
+      // COLUMN MAPPING: physical names pin every file binding, so a
+      // mapped restore is the same file+metaData rewind — EXCEPT
+      // delta.columnMapping.maxColumnId, which the spec keeps
+      // MONOTONE (rewinding it would let a post-restore evolution
+      // re-mint an id the history already used): restored config
+      // carries max(target, current).
+      val effConf: Map[String, String] = {
+        val k = "delta.columnMapping.maxColumnId"
+        def idOf(c: Map[String, String]) =
+          c.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
+        (idOf(target.configuration), idOf(cur.configuration)) match {
+          case (Some(t), Some(c)) if c > t =>
+            target.configuration + (k -> c.toString)
+          case _ => target.configuration
+        }
+      }
       if (cur.files == target.files && cur.dvs == target.dvs &&
           cur.schema.json == target.schema.json &&
           cur.partitionColumns == target.partitionColumns &&
-          cur.configuration == target.configuration) return cur.version // already there
+          cur.configuration == effConf) return cur.version // already there
       // (config/partition-only drift past the file check → restoreContent
       // emits a metaData-only commit: restore restores config too)
       // every re-instated file (and its on-disk DV) must still exist —
@@ -1853,7 +1869,7 @@ object DeltaWrite {
       val next = cur.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            restoreContent(cur, target, toVersion, cdcFiles))) {
+            restoreContent(cur, target, toVersion, cdcFiles, effConf))) {
         if (next > 0 && next % CheckpointInterval == 0)
           try checkpoint(spark, rootP.toString)
           catch { case scala.util.control.NonFatal(_) => () }
@@ -1872,7 +1888,9 @@ object DeltaWrite {
 
   private def restoreContent(cur: DeltaRead.Snapshot, target: DeltaRead.Snapshot,
                              toVersion: Long,
-                             cdcFiles: Seq[NewFile] = Nil): String = {
+                             cdcFiles: Seq[NewFile] = Nil,
+                             effConf: Map[String, String] = null): String = {
+    val restoredConf = Option(effConf).getOrElse(target.configuration)
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -1887,7 +1905,7 @@ object DeltaWrite {
     // table id and the TARGET's configuration (restore restores config)
     if (cur.schema.json != target.schema.json ||
         cur.partitionColumns != target.partitionColumns ||
-        cur.configuration != target.configuration) {
+        cur.configuration != restoredConf) {
       val md = mapper.createObjectNode
       val mdb = md.putObject("metaData")
       mdb.put("id", Option(cur.metaId).getOrElse(java.util.UUID.randomUUID.toString))
@@ -1898,7 +1916,7 @@ object DeltaWrite {
       val pc = mdb.putArray("partitionColumns")
       target.partitionColumns.foreach(pc.add)
       val cfg = mdb.putObject("configuration")
-      target.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+      restoredConf.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
     }
@@ -1924,8 +1942,11 @@ object DeltaWrite {
       val adb = ad.putObject("add")
       adb.put("path", encodePath(rel))
       val pv = adb.putObject("partitionValues")
+      // Snapshot pv keys are LOGICAL; the log's are PHYSICAL under
+      // column mapping — translate back on the way out (delete's rule)
       target.files(rel).foreach { case (k, v) =>
-        if (v == null) pv.putNull(k) else pv.put(k, v)
+        val pk = target.colMap.getOrElse(k, k)
+        if (v == null) pv.putNull(pk) else pv.put(pk, v)
       }
       adb.put("size", target.sizes.getOrElse(rel, -1L))
       adb.put("modificationTime", now)

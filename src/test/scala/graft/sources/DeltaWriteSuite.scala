@@ -465,6 +465,33 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("RESTORE on a column-mapped table: physical binding survives, maxColumnId stays monotone") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root) // v0
+    DeltaWrite.enableColumnMapping(spark, root)                               // v1
+    DeltaWrite.append(spark, Seq((2L, "b", 9L)).toDF("id", "v", "extra"), root,
+      mergeSchema = true)                                                     // v2 mints id 3
+    assert(DeltaRead.snapshot(spark, root)
+      .configuration("delta.columnMapping.maxColumnId") == "3")
+    DeltaWrite.restore(spark, root, 1L)
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq(1L -> "a"))
+    // the rewind must NOT rewind the id high-water mark
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3",
+      "maxColumnId rewound — a later evolution would re-mint a used id")
+    // the next evolution mints a FRESH id past the high-water mark
+    DeltaWrite.append(spark, Seq((3L, "c", 1.5)).toDF("id", "v", "later"), root,
+      mergeSchema = true)
+    val laterId = DeltaRead.snapshot(spark, root)
+      .schema("later").metadata.getLong("delta.columnMapping.id")
+    assert(laterId == 4L, s"minted id $laterId reused the restored-away id")
+    // idempotence under the monotone override: a repeat restore no-ops
+    val r1 = DeltaWrite.restore(spark, root, 1L)
+    assert(DeltaWrite.restore(spark, root, 1L) == r1)
+  }
+
   test("ALTER-COLUMN family: map columns binds old files; rename/drop are metaData-only; DML follows") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x")
