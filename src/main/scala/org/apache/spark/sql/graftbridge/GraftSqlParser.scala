@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_READ('/path/to/versioned/table')             -- newest snapshot
   * GRAFT_READ('/path', 3)                             -- time travel to v3
   * GRAFT_READ('/path', SINCE 3)                       -- delta committed after v3
+  * GRAFT_READ('/path', TIMESTAMP '2026-01-01 12:00:00') -- timestamp time travel
   * GRAFT_VERSIONS('/path')                            -- commit history
   * GRAFT_VERSIONS('/path', LIMIT 10)                  -- newest 10 only (bounded reads)
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
@@ -74,8 +75,17 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val payloadCols = payload.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       AsOfJoinPlan.of(session.table(l), session.table(r), key, lt, rt, payloadCols)
         .queryExecution.logical
-    case ReadStmt(path, since, version) =>
+    case ReadStmt(path, since, version, ts) =>
       import graft.pipeline.VersionedTable
+      // TIMESTAMP time travel: `yyyy-MM-dd HH:mm:ss[.f]` or ISO-8601
+      // instants — delta-spark's timestampAsOf accepts both shapes
+      val tsMillis: Option[Long] = Option(ts).map { t =>
+        scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
+          scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
+            throw new IllegalArgumentException(
+              s"GRAFT_READ: cannot parse TIMESTAMP '$t' — use " +
+                "'yyyy-MM-dd HH:mm:ss' or an ISO-8601 instant")))
+      }
       val df = if (graft.sources.DeltaRead.isDeltaTable(session, path)) {
         // foreign Delta Lake table: same statement, interop reader —
         // snapshot + version time travel; SINCE has no committed-delta
@@ -83,15 +93,32 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         if (since != null) throw new IllegalArgumentException(
           s"GRAFT_READ(... SINCE n) is for graft versioned tables; $path is a " +
             "Delta table — read a pinned version and diff, or migrate the table")
-        graft.sources.DeltaRead.read(session, path, Option(version).map(_.toLong))
+        tsMillis match {
+          case Some(m) => graft.sources.DeltaRead.readAt(session, path, m)
+          case None =>
+            graft.sources.DeltaRead.read(session, path, Option(version).map(_.toLong))
+        }
       } else {
         // honor the format the table's commits recorded — hard-coding
         // parquet would misread a json/orc versioned table that the
         // DataFrame/YAML routes read fine
         val fmt = VersionedTable.tableFormat(session, path).getOrElse("parquet")
-        if (since != null) VersionedTable.changesSince(session, path, version.toLong, fmt)
-        else GraftSqlParser.snapshotRead(session, path,
-          Option(version).map(_.toLong), fmt)
+        tsMillis match {
+          case Some(m) =>
+            // newest version committed at or before the timestamp —
+            // the same resolution rule as the delta reader's versionAt
+            val at = VersionedTable.history(session, path)
+              .filter(_.committedAt.getTime <= m)
+            require(at.nonEmpty,
+              s"GRAFT_READ: timestamp '$ts' predates the earliest surviving " +
+                s"commit of the versioned table at $path")
+            GraftSqlParser.snapshotRead(session, path,
+              Some(at.map(_.version).max), fmt)
+          case None =>
+            if (since != null) VersionedTable.changesSince(session, path, version.toLong, fmt)
+            else GraftSqlParser.snapshotRead(session, path,
+              Option(version).map(_.toLong), fmt)
+        }
       }
       df.queryExecution.logical
     case DiffStmt(path, from, to, keys, compareOpt) =>
@@ -379,7 +406,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _) | VersionsStmt(_, _) |
+    case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _, _) |
          AppendStmt(_, _) |
@@ -452,7 +479,8 @@ object GraftSqlParser {
     * `SINCE <n>` selecting the incremental read instead of time travel.
     */
   private val ReadStmt =
-    """(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*)?\)\s*;?\s*$""".r
+    ("""(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*""" +
+      """(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*|,\s*TIMESTAMP\s+'([^']+)'\s*)?\)\s*;?\s*$""").r
 
   private val VersionsStmt =
     """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*(?:,\s*LIMIT\s+(\d{1,9})\s*)?\)\s*;?\s*$""".r

@@ -311,6 +311,37 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] { s2.sql("GRAFT_DELETE('/tmp/nope_vt', WHERE k > 0)") }
   }
 
+  test("GRAFT_READ TIMESTAMP: time travel by commit time on versioned and delta roots") {
+    import graft.pipeline.{Append, SinkSpec, Writer}
+    import s2.implicits._
+    def fmtTs(ms: Long) = new java.sql.Timestamp(ms).toString
+    // versioned root: v1, capture a mid-point, v2
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlts").toString + "/t"
+    Writer.write(s2, Seq((1L, "a")).toDF("k", "v"), SinkSpec(root, mode = Append, versioned = true))
+    Thread.sleep(1100)
+    val mid = System.currentTimeMillis
+    Thread.sleep(1100)
+    Writer.write(s2, Seq((2L, "b")).toDF("k", "v"), SinkSpec(root, mode = Append, versioned = true))
+    assert(s2.sql(s"GRAFT_READ('$root', TIMESTAMP '${fmtTs(mid)}')").count() == 1L)
+    assert(s2.sql(s"GRAFT_READ('$root', TIMESTAMP '${fmtTs(System.currentTimeMillis)}')")
+      .count() == 2L)
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_READ('$root', TIMESTAMP '2001-01-01 00:00:00')")
+    }
+    // delta root: same statement, delta-spark's timestampAsOf rule
+    val droot = java.nio.file.Files.createTempDirectory("graft_sqltsd").toString + "/t"
+    graft.sources.DeltaWrite.append(s2, Seq((1L, "a")).toDF("k", "v"), droot)
+    Thread.sleep(1100)
+    val dmid = System.currentTimeMillis
+    Thread.sleep(1100)
+    graft.sources.DeltaWrite.append(s2, Seq((2L, "b")).toDF("k", "v"), droot)
+    assert(s2.sql(s"GRAFT_READ('$droot', TIMESTAMP '${fmtTs(dmid)}')").count() == 1L)
+    // unparsable timestamp refuses loudly
+    intercept[IllegalArgumentException] {
+      s2.sql(s"GRAFT_READ('$droot', TIMESTAMP 'not-a-time')")
+    }
+  }
+
   test("GRAFT_UPDATE rewrites matching rows in place on a versioned root") {
     import graft.pipeline.{Append, SinkSpec, Writer}
     import s2.implicits._
