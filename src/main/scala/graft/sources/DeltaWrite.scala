@@ -2357,16 +2357,33 @@ object DeltaWrite {
     // checkpoint, both distributed and both anti-joined (decoded keys)
     // against everything the tail touched
     val carried: Option[(DataFrame, Option[DataFrame])] = prev.map { cv =>
-      val rows = spark.read.parquet(
+      val main = spark.read.parquet(
         cpFiles(cv).map(n => new Path(logP, n).toString): _*)
+      val mainCols = main.columns.toSet
+      // folding ON TOP of a v2 (sidecar) checkpoint (round 14): the
+      // main file holds the non-file actions, the sidecars the file
+      // actions — union them (by name, missing columns null) and the
+      // classic fold below proceeds unchanged. Writing a CLASSIC
+      // checkpoint stays legal under the v2Checkpoint FEATURE; only
+      // the `delta.checkpointPolicy = v2` table property pins the v2
+      // form, and that refusal happens after metaData resolves below.
+      val rows: DataFrame =
+        if (!mainCols("sidecar")) main
+        else {
+          val sides = main.select(col("sidecar.path"))
+            .where(col("sidecar.path").isNotNull)
+            .collect().map(_.getString(0)).toSeq.sorted.map { rel =>
+              require(!rel.contains("://") && !rel.startsWith("/"),
+                s"v2 checkpoint at $path references an absolute sidecar '$rel' — " +
+                  "this writer resolves sidecars under _delta_log/_sidecars only")
+              spark.read.parquet(new Path(new Path(logP, "_sidecars"), rel).toString)
+            }
+          sides.foldLeft(main)((a, b) => a.unionByName(b, allowMissingColumns = true))
+        }
       val cols = rows.columns.toSet
-      // folding ON TOP of a v2 (sidecar) checkpoint would need sidecar
-      // resolution and would demote the table to a classic checkpoint
-      // under a v2 writer's feet — refuse; the READER serves v2 fine
-      require(!cols("sidecar") && !cols("checkpointMetadata"),
-        s"Delta table at $path carries a v2 (sidecar) checkpoint — graft reads " +
-          "it but folds only classic checkpoints; CHECKPOINT with delta-spark")
-      require(cols("add"), s"unrecognized checkpoint layout at $path (no add column)")
+      require(cols("add"),
+        s"unrecognized checkpoint layout at $path (no add column in the " +
+          "checkpoint or its sidecars)")
       if (protocol == null && cols("protocol")) {
         // the tail carried no protocol action — INHERIT the
         // checkpointed one, feature lists included (a protocol row is
@@ -2457,7 +2474,10 @@ object DeltaWrite {
       if (touched.isEmpty) (prevAdds, prevTombs)
       else {
         import spark.implicits._
-        val dec = udf((p: String) => DeltaRead.decodePath(p))
+        // null-safe: a by-name union branch that lacks `add` carries a
+        // literal-null path the optimizer may fold through the UDF
+        // before the isNotNull filter prunes it
+        val dec = udf((p: String) => if (p == null) null else DeltaRead.decodePath(p))
         val touchedDf = broadcast(touched.toSeq.toDF("__dpath"))
         def anti(df: DataFrame) = df.withColumn("__dpath", dec(col("path")))
           .join(touchedDf, Seq("__dpath"), "left_anti").drop("__dpath")
@@ -2467,6 +2487,12 @@ object DeltaWrite {
 
     require(meta != null,
       s"Delta log at $path carries no metaData action — cannot checkpoint")
+    // `delta.checkpointPolicy = v2` PINS the v2 checkpoint form — this
+    // writer folds classic checkpoints (legal under the v2Checkpoint
+    // feature alone, which only permits the form)
+    require(!meta.configuration.get("delta.checkpointPolicy").contains("v2"),
+      s"Delta table at $path pins delta.checkpointPolicy = v2 — this writer " +
+        "folds classic checkpoints only; CHECKPOINT with delta-spark")
     require(protocol != null,
       s"Delta log at $path carries no protocol action (neither in the commit " +
         "tail nor the previous checkpoint) — a spec-valid log always has one; " +

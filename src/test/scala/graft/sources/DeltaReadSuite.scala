@@ -535,7 +535,7 @@ class DeltaReadSuite extends SparkSpec {
     assert(e.getMessage.contains("FRESH graft root"))
   }
 
-  test("v2 (UUID, sidecar) checkpoints: adds from sidecars, tail replay on top, writer fold refuses") {
+  test("v2 (UUID, sidecar) checkpoints: adds from sidecars, tail replay, classic fold on top") {
     import org.apache.spark.sql.Row
     val root = tmp()
     writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "f1.parquet")
@@ -585,8 +585,19 @@ class DeltaReadSuite extends SparkSpec {
     assert(DeltaRead.read(spark, root, Some(1L)).count() == 3L,
       "checkpoint-only version is time-travelable")
     assert(DeltaRead.versions(spark, root).toSet == Set(1L, 2L))
+    // round 14: the fold resolves the sidecars and writes a CLASSIC
+    // checkpoint on top — legal under the v2Checkpoint FEATURE alone
+    assert(DeltaWrite.checkpoint(spark, root) == 2L)
+    val logDir = new java.io.File(root, "_delta_log")
+    assert(logDir.list().contains(f"${2L}%020d.checkpoint.parquet"))
+    // the fold alone serves the state: clean the JSON tail and read
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 9L))
+    // but `delta.checkpointPolicy = v2` PINS the v2 form — refuse
+    DeltaWrite.setProperties(spark, root, Map("delta.checkpointPolicy" -> "v2"))
     val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
-    assert(e.getMessage.contains("v2"))
+    assert(e.getMessage.contains("checkpointPolicy"))
   }
 
   test("importDelta is the escape hatch for DV'd + column-mapped tables: live rows only, logical names") {
