@@ -170,13 +170,18 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         out
       case m => throw new IllegalArgumentException(s"dedup step: unknown method '$m'")
     }
-    case CurateStep(idCol, textCol, minTokens, maxTokens, langs, nearDup, threshold) =>
+    case CurateStep(idCol, textCol, minTokens, maxTokens, langs, nearDup, threshold, keep) =>
       val effLangs = if (langs.nonEmpty) langs else graft.operators.Curation.defaultLangs
-      if (nearDup)
-        graft.operators.Curation.curateNearDup(df, idCol, textCol, minTokens, maxTokens,
-          effLangs, threshold)
-      else
-        graft.operators.Curation.curate(df, idCol, textCol, minTokens, maxTokens, effLangs)
+      val survivors =
+        if (nearDup)
+          graft.operators.Curation.curateNearDup(df, idCol, textCol, minTokens, maxTokens,
+            effLangs, threshold)
+        else
+          graft.operators.Curation.curate(df, idCol, textCol, minTokens, maxTokens, effLangs)
+      // keep_columns: curation as a FILTER — semi-join the survivor ids
+      // back so every flowing column continues downstream
+      if (!keep) survivors
+      else df.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     case PackStep(seqLen, idCol, textCol, lengthCol) =>
       graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol,
         lengthCol = lengthCol.map(col).orNull)

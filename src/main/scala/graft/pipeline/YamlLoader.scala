@@ -166,7 +166,10 @@ object YamlLoader {
   private def parseSource(m: Map[String, Object], defaults: ProjectDefaults): SourceSpec = {
     val name = str(m, "name").getOrElse("source")
     str(m, "type").getOrElse("file") match {
-      case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(""))
+      case "sql" | "query" => SqlSource(name, str(m, "query").getOrElse(
+        throw new IllegalArgumentException(
+          s"sql source '$name': a 'query' param is required (an empty query " +
+            "used to slip through and fail later as a bare parse error)")))
       case "table" => TableSource(name, str(m, "table_name").orElse(str(m, "table")).getOrElse(name))
       case "versioned" =>
         // the missing-path check must precede resolvePath (an empty
@@ -351,7 +354,8 @@ object YamlLoader {
         maxTokens = str(params, "max_tokens").map(_.toLong).getOrElse(1000000L),
         langs = params.get("langs").map(asList).map(_.map(_.toString).toSeq).getOrElse(Nil),
         nearDup = bool(params, "near_dup"),
-        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8))
+        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8),
+        keepColumns = bool(params, "keep_columns"))
       case "pack" => PackStep(
         seqLen = str(params, "seq_len").map(_.toLong).getOrElse(
           throw new IllegalArgumentException("pack step requires a 'seq_len' param")),

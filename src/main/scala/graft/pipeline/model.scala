@@ -214,7 +214,11 @@ final case class CurateStep(
     maxTokens: Long = 1000000,
     langs: Seq[String] = Nil,
     nearDup: Boolean = false,
-    threshold: Double = 0.8) extends Step
+    threshold: Double = 0.8,
+    // true = FILTER semantics (survivors keep every flowing column,
+    // mid-chain composable); false = the curation report shape
+    // (id, n_tokens, lang_pred — q39's oracle contract)
+    keepColumns: Boolean = false) extends Step
 /** Training-sequence packing ([[graft.operators.Packing.sequencePack]]):
   * (id, n_tokens, bin, bin_offset) via the distributed two-pass prefix
   * sum.

@@ -659,6 +659,37 @@ class YamlLoaderSuite extends SparkSpec {
     assert(e.getMessage.contains("unknown method 'fuzzy'"))
   }
 
+  test("the shipped pretrain_corpus example: full curation chain runs end-to-end") {
+    val dir = "/root/repo/examples/pipelines/pretrain_corpus"
+    val spec0 = YamlLoader.loadDirectory(dir)
+    assert(spec0.steps.map(_.getClass.getSimpleName) == Seq(
+      "CurateStep", "DedupStep", "SpanDedupStep", "DecontaminateStep",
+      "LmScoreStep", "Filter", "BpeCountStep", "PackStep", "ShardStep"))
+    // bind the runtime source path, as the customer example does
+    val spec = spec0.copy(sources = spec0.sources.map {
+      case f: FileSource if f.name == "documents" =>
+        f.copy(path = s"$sfDir/documents.parquet")
+      case s => s
+    })
+    val out = Pipeline(spark, spec).run()
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "bin", "bin_offset",
+      "sort_key", "shard"))
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val n = out.count()
+    assert(n > 0 && n < raw, s"curation must drop something: $n of $raw survived")
+    // the pack invariant holds on the CURATED stream: offsets are the
+    // contiguous prefix sum of the BPE lengths in doc_id order
+    val rows = out.select("doc_id", "n_tokens", "bin", "bin_offset")
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum / 2048 && r.getLong(3) == cum % 2048,
+        s"doc ${r.getLong(0)}: bin/offset diverged from the prefix sum")
+      cum += r.getLong(1)
+    }
+    assert(out.select("shard").distinct().count() <= 8)
+  }
+
   test("pack step with length_col: bpe_count -> pack packs by BPE lengths") {
     val docs = s"$sfDir/documents.parquet"
     val raw = spark.read.parquet(docs)
