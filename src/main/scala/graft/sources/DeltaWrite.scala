@@ -256,11 +256,20 @@ object DeltaWrite {
       val liveMatched = DeltaRead.readSnapshot(spark, rootP.toString,
           snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
         .where(condition)
-      val newRows = liveMatched.select(snap.schema.fields.map { f =>
+      val assigned = liveMatched.select(snap.schema.fields.map { f =>
         byLower.get(f.name.toLowerCase)
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(s"`${f.name}`"))
       }.toIndexedSeq: _*)
+      // generated columns RECOMPUTE from the post-update row unless the
+      // statement assigned them explicitly (then they validate below —
+      // delta-spark UPDATE's contract)
+      val recomputed = generatedOf(snap).foldLeft(assigned) { case (d, (name, e)) =>
+        if (byLower.contains(name.toLowerCase)) d
+        else d.withColumn(name,
+          expr(e).cast(snap.schema(snap.schema.fieldIndex(name)).dataType))
+      }
+      val newRows = withGeneratedColumns(snap, recomputed, path, "UPDATE")
       enforceConstraints(snap, newRows, path, "UPDATE")
       val cdcFiles: Seq[NewFile] =
         if (!cdfEnabled(snap)) Nil
@@ -479,6 +488,7 @@ object DeltaWrite {
             s"${d.dataType.catalogString} in the merge output")
       }
       enforceConstraints(snap, merged, path, "MERGE")
+      withGeneratedColumns(snap, merged, path, "MERGE") // validate-only: schema is fixed
       val (physDf, physParts) = toPhysical(snap, merged)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
@@ -729,10 +739,10 @@ object DeltaWrite {
           refuse("change data feed is enabled and this operation cannot express " +
             "its row-level changes as cdc files or whole-file add/remove " +
             "derivation; appends, DELETE, MERGE, and overwrites remain allowed")
-      case "generatedColumns" =>
-        if (fieldMeta("delta.generationExpression"))
-          refuse("generated columns are configured and this writer does not " +
-            "evaluate generation expressions")
+      case "generatedColumns" => () // ENFORCED: appends/overwrites COMPUTE a
+        // missing generated column and VALIDATE a supplied one
+        // ([[withGeneratedColumns]]); UPDATE recomputes unassigned
+        // generated columns and validates assigned ones; MERGE validates
       case "identityColumns" =>
         if (fieldMeta("delta.identity.start", "delta.identity.step",
             "delta.identity.allowExplicitInsert", "delta.identity.highWaterMark"))
@@ -912,6 +922,37 @@ object DeltaWrite {
         snap.partitionColumns, snap.configuration, None)
     }
 
+  /** Generated columns (`delta.generationExpression` field metadata). */
+  private def generatedOf(snap: DeltaRead.Snapshot): Seq[(String, String)] =
+    snap.schema.fields.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        f.name -> f.metadata.getString("delta.generationExpression")
+    }.toSeq
+
+  /** Generated-column writer contract (delta-spark's): a batch that
+    * OMITS a generated column gets it computed from its generation
+    * expression; a batch that SUPPLIES it is validated value-by-value
+    * (null-safe equality against the expression) and fails the
+    * statement on the first divergence — silently accepting a wrong
+    * value would corrupt what every reader treats as derived truth.
+    */
+  private def withGeneratedColumns(snap: DeltaRead.Snapshot, df: DataFrame,
+                                   path: String, opName: String): DataFrame =
+    generatedOf(snap).foldLeft(df) { case (d, (name, e)) =>
+      val dt = snap.schema(snap.schema.fieldIndex(name)).dataType
+      if (!d.columns.exists(_.equalsIgnoreCase(name)))
+        d.withColumn(name, expr(e).cast(dt))
+      else {
+        val bad = d.where(s"NOT (`$name` <=> CAST(($e) AS ${dt.sql}))")
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$opName at $path supplies generated column '$name' with a value " +
+            s"diverging from its generation expression ($e); offending row: " +
+            s"${bad.head}. Omit the column to have it computed")
+        d
+      }
+    }
+
   /** CHECK-constraint names and expressions from the table
     * configuration (delta-spark's `delta.constraints.<name>` keys).
     */
@@ -1057,12 +1098,22 @@ object DeltaWrite {
     parts.foreach(p => require(df.columns.exists(_.equalsIgnoreCase(p)),
       s"partition column '$p' is not in the dataframe (${df.columns.mkString(", ")})"))
 
+    // generated columns first: a batch omitting one gets it computed,
+    // a batch supplying one is validated — BEFORE alignment, which
+    // would otherwise reject the "missing" generated column
+    val dfg: DataFrame = existing match {
+      case Some(snap) if mode != Mode.Overwrite =>
+        withGeneratedColumns(snap, df, path,
+          if (mode == Mode.Append) "APPEND" else "OVERWRITE")
+      case _ => df
+    }
     // schema alignment: append must match the table's columns (order
     // may differ — realign by name; the analyzer resolves
     // case-insensitively); a gap or type change is a LOUD error, the
     // schema-evolution route is an explicit overwrite
     val aligned: DataFrame = existing match {
       case Some(snap) if mode != Mode.Overwrite =>
+        val df = dfg // alignment below operates on the generated frame
         val tbl = snap.schema
         val dfNames = df.columns.map(_.toLowerCase).toSet
         val missing = tbl.fieldNames.filterNot(n => dfNames.contains(n.toLowerCase))

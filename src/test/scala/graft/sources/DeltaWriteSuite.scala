@@ -465,6 +465,47 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("generated columns: computed when omitted, validated when supplied, recomputed by UPDATE") {
+    import org.apache.spark.sql.types._
+    // delta-spark-shaped fixture: y is GENERATED ALWAYS AS (x * 2)
+    val root = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    val gschema = StructType(Seq(
+      StructField("x", LongType),
+      StructField("y", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", "x * 2").build())))
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" + "\n" +
+        s"""{"metaData":{"id":"gen-table","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(gschema.json)},"partitionColumns":[],""" +
+        s""""configuration":{}}}""" + "\n").getBytes("UTF-8"))
+    // omitted -> computed
+    DeltaWrite.append(spark, Seq(1L, 2L).toDF("x"), root)
+    assert(DeltaRead.read(spark, root).orderBy("x").as[(Long, Long)].collect().toSeq ==
+      Seq(1L -> 2L, 2L -> 4L))
+    // supplied and matching -> accepted; diverging -> the statement fails
+    DeltaWrite.append(spark, Seq((3L, 6L)).toDF("x", "y"), root)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((4L, 9L)).toDF("x", "y"), root)
+    }
+    assert(e.getMessage.contains("generated column 'y'"))
+    // UPDATE of a source column recomputes the generated one
+    DeltaWrite.update(spark, root, "x = 1", Map("x" -> "10"))
+    assert(DeltaRead.read(spark, root).where("x = 10").as[(Long, Long)]
+      .collect().toSeq == Seq(10L -> 20L))
+    // explicitly assigning a diverging value refuses (UPDATE and MERGE)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.update(spark, root, "x = 2", Map("y" -> "5"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, Seq((2L, 5L)).toDF("x", "y"), root, Seq("x"))
+    }
+    assert(DeltaRead.read(spark, root).where("y <> x * 2").count() == 0)
+  }
+
   test("RESTORE on a column-mapped table: physical binding survives, maxColumnId stays monotone") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root) // v0
