@@ -179,9 +179,11 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         else
           graft.operators.Curation.curate(df, idCol, textCol, minTokens, maxTokens, effLangs)
       // keep_columns: curation as a FILTER — semi-join the survivor ids
-      // back so every flowing column continues downstream
+      // back so every flowing column continues downstream. The curate
+      // report names its id column literally "doc_id" whatever the
+      // input id was — rename it back (curateNearDup's own pattern)
       if (!keep) survivors
-      else df.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+      else df.join(survivors.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     case PackStep(seqLen, idCol, textCol, lengthCol) =>
       graft.operators.Packing.sequencePack(df, seqLen, idCol = idCol, textCol = textCol,
         lengthCol = lengthCol.map(col).orNull)

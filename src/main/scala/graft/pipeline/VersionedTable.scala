@@ -1403,7 +1403,13 @@ object VersionedTable {
       cond: String,
       transform: DataFrame => DataFrame = identity,
       maxAttempts: Int = 5,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      // replaceWhere guards its region by re-filtering the source with
+      // `cond`; an UPDATE's replacement rows may no longer SATISFY the
+      // condition they matched pre-update (SET touching a WHERE column)
+      // — commitUpdate passes false so they land instead of vanishing
+      filterSource: Boolean = true): Long = {
+    val sourceInRegion = if (filterSource) source.where(cond) else source
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(mdirOf(rootP, root))
     // hive layouts classify at LEAF-FILE level via sidecar keys (see
@@ -1461,7 +1467,7 @@ object VersionedTable {
             case None =>
               return commit(spark, root, format,
                 base => transform(base.map(_.where(s"($cond) IS NOT TRUE")
-                    .unionByName(source.where(cond), allowMissingColumns = true))
+                    .unionByName(sourceInRegion, allowMissingColumns = true))
                   .getOrElse(source)),
                 partitionBy = layout, commitKind = "merge")
             case Some((untouchedEntries, touchedFiles)) =>
@@ -1472,7 +1478,7 @@ object VersionedTable {
                 if (touchedFiles.nonEmpty) load(spark, rootP, format, touchedFiles)
                 else load(spark, rootP, format, Seq(s.dataDirs.last)).limit(0)
               val wo = transform(touchedBase.where(s"($cond) IS NOT TRUE")
-                  .unionByName(source.where(cond), allowMissingColumns = true))
+                  .unionByName(sourceInRegion, allowMissingColumns = true))
                 .write.format(format)
                 .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
               // keep the hive layout through partial rewrites (see
@@ -1496,7 +1502,7 @@ object VersionedTable {
                   // flat writer emits a 0-row schema-bearing file)
                   fs.delete(dataDir, true)
                   touchedBase.where(s"($cond) IS NOT TRUE")
-                    .unionByName(source.where(cond), allowMissingColumns = true)
+                    .unionByName(sourceInRegion, allowMissingColumns = true)
                     .limit(0).write.format(format)
                     .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
                     .save(dataDir.toString)
@@ -1573,8 +1579,11 @@ object VersionedTable {
         .map(e => expr(e).cast(f.dataType).as(f.name))
         .getOrElse(col(s"`${f.name}`"))
     }.toIndexedSeq: _*)
+    // filterSource = false: the updated rows may no longer satisfy the
+    // WHERE they matched (SET touching a WHERE column) — re-filtering
+    // them would silently DELETE instead of update
     commitOverwriteWhere(spark, root, fmt, updated, cond, maxAttempts = maxAttempts,
-      partitionBy = detectPartitionColumns(spark, root))
+      partitionBy = detectPartitionColumns(spark, root), filterSource = false)
   }
 
   /** The hive partition column names of the current snapshot's layout.

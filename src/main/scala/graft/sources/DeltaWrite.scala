@@ -129,6 +129,43 @@ object DeltaWrite {
     * address the same physical rows). Losers' staged "u" DV files are
     * unreferenced and vacuum-reclaimable, like staged data files.
     */
+
+  /** Per-file deletion-vector union for a row-matching DML (DELETE /
+    * UPDATE): each touched file's existing DV rows union with the
+    * newly matched indexes; a file already covering every match drops
+    * out (no action), a DV covering EVERY physical row returns a null
+    * descriptor (drop the file outright — remove-only, delta-spark's
+    * shape), and the inline-vs-on-disk choice follows `inlineMaxBytes`.
+    * The caller's `matched` must be derived from THIS `snap` (a file
+    * lost to a concurrent rewrite fails loudly — its row indexes no
+    * longer address the physical rows).
+    */
+  private def dvUnionUpdates(spark: SparkSession, snap: DeltaRead.Snapshot,
+      fs: FileSystem, rootP: Path, matched: Map[String, Array[Long]],
+      inlineMaxBytes: Int, opName: String, path: String)
+      : Seq[(String, Option[DeletionVectors.Descriptor], DeletionVectors.Descriptor)] =
+    matched.toSeq.sortBy(_._1).flatMap { case (rel, idx) =>
+      require(snap.files.contains(rel),
+        s"$opName at $path lost file $rel to a concurrent rewrite — the matched " +
+          s"row indexes no longer address its physical rows; re-run the $opName")
+      val old = snap.dvs.get(rel)
+      val oldRows = old.map(d => DeletionVectors.deletedRows(fs, rootP, d))
+        .getOrElse(Array.empty[Long])
+      val union = (oldRows ++ idx).distinct.sorted
+      if (union.length == oldRows.length) None // every match already deleted
+      else {
+        val numRecords = snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
+          .map(_.rows).filter(_ >= 0)
+        if (numRecords.contains(union.length.toLong)) Some((rel, old, null))
+        else {
+          val inline = DeletionVectors.inlineDescriptor(union)
+          val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
+            else DeletionVectors.writeOnDisk(fs, rootP, union)
+          Some((rel, old, nd))
+        }
+      }
+    }
+
   def delete(spark: SparkSession, path: String, condition: String,
              inlineMaxBytes: Int = 262144): Long = {
     val rootP = qualifiedRoot(spark, path)
@@ -160,30 +197,8 @@ object DeltaWrite {
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
-      val updates = matched.toSeq.sortBy(_._1).flatMap { case (rel, idx) =>
-        require(snap.files.contains(rel),
-          s"DELETE at $path lost file $rel to a concurrent rewrite — the matched " +
-            "row indexes no longer address its physical rows; re-run the delete")
-        val old = snap.dvs.get(rel)
-        val oldRows = old.map(d => DeletionVectors.deletedRows(fs, rootP, d))
-          .getOrElse(Array.empty[Long])
-        val union = (oldRows ++ idx).distinct.sorted
-        if (union.length == oldRows.length) None // every match already deleted
-        else {
-          // a DV covering EVERY physical row means the file is dead —
-          // drop it outright (remove-only, delta-spark's shape) rather
-          // than ship a full mask every reader must decode forever
-          val numRecords = snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
-            .map(_.rows).filter(_ >= 0)
-          if (numRecords.contains(union.length.toLong)) Some((rel, old, null))
-          else {
-            val inline = DeletionVectors.inlineDescriptor(union)
-            val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
-              else DeletionVectors.writeOnDisk(fs, rootP, union)
-            Some((rel, old, nd))
-          }
-        }
-      }
+      val updates = dvUnionUpdates(spark, snap, fs, rootP, matched,
+        inlineMaxBytes, "DELETE", path)
       if (updates.isEmpty) return snap.version
       val next = snap.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
@@ -231,26 +246,8 @@ object DeltaWrite {
       attempt += 1
       val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
       if (matched.isEmpty) return snap.version
-      // DV union per touched file — the same fold as DELETE (already-
-      // deleted matches drop out; a fully-dead file drops outright)
-      val updates = matched.toSeq.sortBy(_._1).flatMap { case (rel, idx) =>
-        val old = snap.dvs.get(rel)
-        val oldRows = old.map(d => DeletionVectors.deletedRows(fs, rootP, d))
-          .getOrElse(Array.empty[Long])
-        val union = (oldRows ++ idx).distinct.sorted
-        if (union.length == oldRows.length) None
-        else {
-          val numRecords = snap.stats.get(rel).flatMap(DeltaRead.parseAddStats)
-            .map(_.rows).filter(_ >= 0)
-          if (numRecords.contains(union.length.toLong)) Some((rel, old, null))
-          else {
-            val inline = DeletionVectors.inlineDescriptor(union)
-            val nd = if (inline.sizeInBytes <= inlineMaxBytes) inline
-              else DeletionVectors.writeOnDisk(fs, rootP, union)
-            Some((rel, old, nd))
-          }
-        }
-      }
+      val updates = dvUnionUpdates(spark, snap, fs, rootP, matched,
+        inlineMaxBytes, "UPDATE", path)
       if (updates.isEmpty) return snap.version // every match already deleted
       val touched = matched.keySet
       val liveMatched = DeltaRead.readSnapshot(spark, rootP.toString,
@@ -262,14 +259,17 @@ object DeltaWrite {
           .getOrElse(col(s"`${f.name}`"))
       }.toIndexedSeq: _*)
       // generated columns RECOMPUTE from the post-update row unless the
-      // statement assigned them explicitly (then they validate below —
-      // delta-spark UPDATE's contract)
-      val recomputed = generatedOf(snap).foldLeft(assigned) { case (d, (name, e)) =>
-        if (byLower.contains(name.toLowerCase)) d
+      // statement assigned them explicitly — only the ASSIGNED ones
+      // validate (a recomputed column equals its expression by
+      // construction; re-checking it would cost a pass per column)
+      val gens = generatedOf(snap)
+      val newRows = gens.foldLeft(assigned) { case (d, (name, e)) =>
+        if (byLower.contains(name.toLowerCase)) {
+          validateGenerated(snap, d, name, e, path, "UPDATE"); d
+        }
         else d.withColumn(name,
           expr(e).cast(snap.schema(snap.schema.fieldIndex(name)).dataType))
       }
-      val newRows = withGeneratedColumns(snap, recomputed, path, "UPDATE")
       enforceConstraints(snap, newRows, path, "UPDATE")
       val cdcFiles: Seq[NewFile] =
         if (!cdfEnabled(snap)) Nil
@@ -888,6 +888,14 @@ object DeltaWrite {
           s"RENAME COLUMN at $path: CHECK constraint '$n' (CHECK ($e)) references " +
             s"'$oldName' — drop the constraint first")
       }
+      // renaming the generated column ITSELF is fine (its expression
+      // metadata travels with the field); renaming one of its SOURCE
+      // columns would break every future write's recompute/validation
+      generatedOf(snap).foreach { case (g, e) =>
+        require(g.equalsIgnoreCase(oldName) || !identRefs(e, oldName),
+          s"RENAME COLUMN at $path: generated column '$g' (GENERATED AS ($e)) " +
+            s"references '$oldName' — delta-spark refuses this alter too")
+      }
       val fields = snap.schema.fields.clone()
       fields(idx) = fields(idx).copy(name = newName)
       val parts = snap.partitionColumns.map(p =>
@@ -918,6 +926,13 @@ object DeltaWrite {
           s"DROP COLUMN at $path: CHECK constraint '$n' (CHECK ($e)) references " +
             s"'$name' — drop the constraint first")
       }
+      // dropping the generated column itself removes its contract with
+      // it; dropping one of its SOURCE columns would brick every write
+      generatedOf(snap).foreach { case (g, e) =>
+        require(g.equalsIgnoreCase(name) || !identRefs(e, name),
+          s"DROP COLUMN at $path: generated column '$g' (GENERATED AS ($e)) " +
+            s"references '$name' — drop '$g' first")
+      }
       (org.apache.spark.sql.types.StructType(snap.schema.fields.patch(idx, Nil, 1)),
         snap.partitionColumns, snap.configuration, None)
     }
@@ -937,21 +952,33 @@ object DeltaWrite {
     * value would corrupt what every reader treats as derived truth.
     */
   private def withGeneratedColumns(snap: DeltaRead.Snapshot, df: DataFrame,
-                                   path: String, opName: String): DataFrame =
+                                   path: String, opName: String,
+                                   computeIfAbsent: Boolean = true): DataFrame =
     generatedOf(snap).foldLeft(df) { case (d, (name, e)) =>
       val dt = snap.schema(snap.schema.fieldIndex(name)).dataType
-      if (!d.columns.exists(_.equalsIgnoreCase(name)))
-        d.withColumn(name, expr(e).cast(dt))
-      else {
-        val bad = d.where(s"NOT (`$name` <=> CAST(($e) AS ${dt.sql}))")
-          .limit(1).collect()
-        if (bad.nonEmpty) throw new IllegalArgumentException(
-          s"$opName at $path supplies generated column '$name' with a value " +
-            s"diverging from its generation expression ($e); offending row: " +
-            s"${bad.head}. Omit the column to have it computed")
-        d
+      if (!d.columns.exists(_.equalsIgnoreCase(name))) {
+        // full overwrite is the schema-REDEFINITION surface: an absent
+        // generated column there means the contract is being dropped
+        // with the schema, not that it should be resurrected
+        if (computeIfAbsent) d.withColumn(name, expr(e).cast(dt)) else d
       }
+      else { validateGenerated(snap, d, name, e, path, opName); d }
     }
+
+  /** One value-by-value generation check (null-safe equality against
+    * the expression); fails the statement with an offending row.
+    */
+  private def validateGenerated(snap: DeltaRead.Snapshot, df: DataFrame,
+                                name: String, e: String,
+                                path: String, opName: String): Unit = {
+    val dt = snap.schema(snap.schema.fieldIndex(name)).dataType
+    val bad = df.where(s"NOT (`$name` <=> CAST(($e) AS ${dt.sql}))")
+      .limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"$opName at $path supplies generated column '$name' with a value " +
+        s"diverging from its generation expression ($e); offending row: " +
+        s"${bad.head}. Omit the column to have it computed")
+  }
 
   /** CHECK-constraint names and expressions from the table
     * configuration (delta-spark's `delta.constraints.<name>` keys).
@@ -987,15 +1014,45 @@ object DeltaWrite {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name '$name' must be an identifier")
     val key = s"delta.constraints.${name.toLowerCase}"
-    val snap = DeltaRead.snapshot(spark, qualifiedRoot(spark, path).toString)
-    require(!snap.configuration.contains(key),
-      s"Delta table at $path already has a constraint named '$name' — drop it first")
-    val bad = DeltaRead.readSnapshot(spark, qualifiedRoot(spark, path).toString, snap)
-      .where(s"NOT coalesce(($expr), true)").limit(1).collect()
-    if (bad.nonEmpty) throw new IllegalArgumentException(
-      s"cannot add CHECK constraint '$name' at $path: existing row violates " +
-        s"CHECK ($expr); offending row: ${bad.head}")
-    setProperties(spark, path, Map(key -> expr))
+    // validation and commit share ONE CAS loop (commitMetaDataChange
+    // re-derives per attempt): a concurrent append between the scan
+    // and the commit loses us the CAS, and the retry RE-VALIDATES
+    // against the winner's snapshot — no violating row can slip in
+    // under the constraint (delta-spark validates in-transaction too)
+    commitMetaDataChange(spark, path, "ADD CONSTRAINT") { snap =>
+      require(!snap.configuration.contains(key),
+        s"Delta table at $path already has a constraint named '$name' — drop it first")
+      val bad = DeltaRead.readSnapshot(spark, qualifiedRoot(spark, path).toString, snap)
+        .where(s"NOT coalesce(($expr), true)").limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' at $path: existing row violates " +
+          s"CHECK ($expr); offending row: ${bad.head}")
+      val protocolLine: Option[String] =
+        if (snap.minWriter >= 7) {
+          if (snap.writerFeatures.contains("checkConstraints")) None
+          else {
+            val p = mapper.createObjectNode
+            val pb = p.putObject("protocol")
+            pb.put("minReaderVersion", snap.minReader)
+            pb.put("minWriterVersion", snap.minWriter)
+            if (snap.minReader >= 3) {
+              val rfa = pb.putArray("readerFeatures")
+              snap.readerFeatures.toSeq.sorted.foreach(rfa.add)
+            }
+            val wfa = pb.putArray("writerFeatures")
+            (snap.writerFeatures + "checkConstraints").toSeq.sorted.foreach(wfa.add)
+            Some(mapper.writeValueAsString(p))
+          }
+        } else if (snap.minWriter < 3) {
+          val p = mapper.createObjectNode
+          val pb = p.putObject("protocol")
+          pb.put("minReaderVersion", snap.minReader)
+          pb.put("minWriterVersion", 3)
+          Some(mapper.writeValueAsString(p))
+        } else None
+      (snap.schema, snap.partitionColumns,
+        snap.configuration + (key -> expr), protocolLine)
+    }
   }
 
   /** ALTER TABLE DROP CONSTRAINT parity. */
@@ -1105,7 +1162,13 @@ object DeltaWrite {
       case Some(snap) if mode != Mode.Overwrite =>
         withGeneratedColumns(snap, df, path,
           if (mode == Mode.Append) "APPEND" else "OVERWRITE")
-      case _ => df
+      case Some(snap) =>
+        // full overwrite: a SUPPLIED generated column still validates
+        // against the current contract (a same-schema overwrite keeps
+        // the expression alive — accepting diverging values would
+        // corrupt derived truth); an absent one is the schema change
+        withGeneratedColumns(snap, df, path, "OVERWRITE", computeIfAbsent = false)
+      case None => df
     }
     // schema alignment: append must match the table's columns (order
     // may differ — realign by name; the analyzer resolves

@@ -361,18 +361,29 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
           graft.sources.DeltaWrite.delete(session, path, cond)
         else VersionedTable.commitDelete(session, path, cond)
       Seq(v).toDF("version").queryExecution.logical
-    case UpdateStmt(path, setsRaw, cond) =>
+    case UpdateStmt(path, rest) =>
       import graft.pipeline.VersionedTable
       import session.implicits._
-      // split the SET list on commas that BEGIN a new `name =`
-      // assignment — commas inside expressions (function arguments,
-      // e.g. round(x, 2)) don't match the lookahead
-      val assigns = setsRaw.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*=[^=])").toSeq
-        .map(_.trim).filter(_.nonEmpty).map { a =>
-          val i = a.indexOf('=')
-          require(i > 0, s"GRAFT_UPDATE: malformed assignment '$a' (expected col = expr)")
-          a.take(i).trim -> a.drop(i + 1).trim
-        }.toMap
+      // quote/paren-aware parse: the WHERE boundary and the assignment
+      // separators are TOP-LEVEL commas only — commas inside string
+      // literals ('a, b') or function arguments (round(x, 2)) never
+      // split, so any SQL expression is a legal right-hand side
+      val commas = GraftSqlParser.topLevelCommas(rest)
+      val whereAt = commas.find(i =>
+        rest.substring(i + 1).stripLeading().toUpperCase.startsWith("WHERE")).getOrElse(
+        throw new IllegalArgumentException(
+          "GRAFT_UPDATE needs `, WHERE <condition>` after the SET list"))
+      val setsRaw = rest.substring(0, whereAt)
+      val cond = rest.substring(whereAt + 1).stripLeading().drop(5).trim
+      require(cond.nonEmpty, "GRAFT_UPDATE: empty WHERE condition")
+      val bounds = -1 +: GraftSqlParser.topLevelCommas(setsRaw) :+ setsRaw.length
+      val assigns = bounds.sliding(2).map { case Seq(a, b) =>
+        setsRaw.substring(a + 1, b).trim
+      }.filter(_.nonEmpty).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"GRAFT_UPDATE: malformed assignment '$a' (expected col = expr)")
+        a.take(i).trim -> a.drop(i + 1).trim
+      }.toMap
       // a DELTA root routes to the DV-emitting update (zero rewrite of
       // unmatched rows); a versioned root to the stats-pruned rewrite
       val v =
@@ -408,7 +419,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case AsOfStmt(_, _, _, _, _, _) | ReadStmt(_, _, _, _) | VersionsStmt(_, _) |
          DiffStmt(_, _, _, _, _) | RefreshStmt(_, _) | CompactStmt(_, _, _, _) |
-         VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _, _) |
+         VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _) |
          AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
          PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) |
@@ -596,12 +607,34 @@ object GraftSqlParser {
   private val DeleteStmt =
     """(?is)^\s*GRAFT_DELETE\s*\(\s*'([^']+)'\s*,\s*WHERE\s+([^)]+)\)\s*;?\s*$""".r
 
-  /** In-place update: SET list captured lazily up to the `, WHERE`
-    * keyword (assignment expressions may contain parens and commas —
-    * the handler splits assignments on `, name =` boundaries).
+  /** In-place update: everything after `SET ` captures raw; the
+    * handler splits the assignment list and the `, WHERE` boundary on
+    * TOP-LEVEL commas (quote- and paren-aware — see topLevelCommas).
     */
   private val UpdateStmt =
-    """(?is)^\s*GRAFT_UPDATE\s*\(\s*'([^']+)'\s*,\s*SET\s+(.+?)\s*,\s*WHERE\s+(.+?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_UPDATE\s*\(\s*'([^']+)'\s*,\s*SET\s+(.+)\)\s*;?\s*$""".r
+
+  /** Positions of commas at nesting depth 0 and outside single-quoted
+    * SQL string literals — the only commas that separate statement
+    * clauses (a comma inside 'a, b' or round(x, 2) never splits).
+    */
+  private[graftbridge] def topLevelCommas(s: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 => out += i
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   /** Pure-SQL writes: the second argument is a FULL Spark SQL query
     * (greedy up to the final closing paren, so nested parens inside

@@ -365,6 +365,18 @@ class SqlSurfaceSuite extends SparkSpec {
     intercept[IllegalArgumentException] {
       s2.sql(s"GRAFT_UPDATE('$root', SET nope = 1, WHERE k = 1)")
     }
+    // SET touching its own WHERE column: rows must UPDATE, not vanish
+    // (the replaceWhere region re-filter must not see post-update values)
+    s2.sql(s"GRAFT_UPDATE('$root', SET k = k + 100, WHERE k <= 2)")
+    val ks = s2.sql(s"GRAFT_READ('$root')").select("k").orderBy("k")
+      .as[Long].collect().toSeq
+    assert(ks == Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 101L, 102L),
+      s"rows vanished or failed to move: $ks")
+    // commas inside string literals neither split the SET list nor
+    // truncate at a literal containing ', where '
+    s2.sql(s"GRAFT_UPDATE('$root', SET v = 'a, where b = 2', WHERE k = 3)")
+    assert(s2.sql(s"GRAFT_READ('$root')").where("k = 3").select("v")
+      .as[String].head() == "a, where b = 2")
   }
 
   test("GRAFT_APPEND / GRAFT_MERGE: pure-SQL versioned writes") {

@@ -690,6 +690,24 @@ class YamlLoaderSuite extends SparkSpec {
     assert(out.select("shard").distinct().count() <= 8)
   }
 
+  test("curate keep_columns works with a non-default id_col") {
+    val docs = s"$sfDir/documents.parquet"
+    val out = Pipeline(spark, YamlLoader.load(
+      s"""pipeline_name: kc
+         |sources:
+         |  - name: d
+         |    type: sql
+         |    query: "SELECT doc_id AS my_id, text, lang FROM parquet.`$docs`"
+         |steps:
+         |  - type: curate
+         |    params: {id_col: my_id, min_tokens: 5, keep_columns: true}
+         |""".stripMargin)).run()
+    // filter semantics: ALL flowing columns survive, under the caller's id
+    assert(out.columns.toSeq == Seq("my_id", "text", "lang"))
+    val raw = spark.read.parquet(docs)
+    assert(out.count() > 0 && out.count() <= raw.count())
+  }
+
   test("pack step with length_col: bpe_count -> pack packs by BPE lengths") {
     val docs = s"$sfDir/documents.parquet"
     val raw = spark.read.parquet(docs)

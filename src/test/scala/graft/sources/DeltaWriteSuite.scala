@@ -504,6 +504,18 @@ class DeltaWriteSuite extends SparkSpec {
       DeltaWrite.merge(spark, Seq((2L, 5L)).toDF("x", "y"), root, Seq("x"))
     }
     assert(DeltaRead.read(spark, root).where("y <> x * 2").count() == 0)
+    // full OVERWRITE with a supplied diverging value refuses too (the
+    // same-schema overwrite keeps the generation contract alive)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(spark, Seq((7L, 9L)).toDF("x", "y"), root)
+    }
+    // altering a generation SOURCE column refuses; dropping the
+    // generated column itself removes the contract with it
+    DeltaWrite.enableColumnMapping(spark, root)
+    intercept[IllegalArgumentException] { DeltaWrite.renameColumn(spark, root, "x", "z") }
+    intercept[IllegalArgumentException] { DeltaWrite.dropColumn(spark, root, "x") }
+    DeltaWrite.dropColumn(spark, root, "y")
+    assert(DeltaRead.snapshot(spark, root).schema.fieldNames.toSeq == Seq("x"))
   }
 
   test("RESTORE on a column-mapped table: physical binding survives, maxColumnId stays monotone") {
