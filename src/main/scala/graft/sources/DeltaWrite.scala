@@ -719,10 +719,9 @@ object DeltaWrite {
       case "vacuumProtocolCheck" => () // its contract is "validate the
         // protocol before VACUUM" — [[vacuum]] runs THIS gate, so the
         // check the feature mandates is exactly what's executing
-      case "invariants" =>
-        if (fieldMeta("delta.invariants"))
-          refuse("column invariants are configured (delta.invariants field metadata) " +
-            "and this writer does not evaluate them")
+      case "invariants" => () // ENFORCED: [[invariantsOf]] folds the legacy
+        // delta.invariants field metadata into the same incoming-batch
+        // validation pass as CHECK constraints ([[enforceConstraints]])
       case "checkConstraints" => () // ENFORCED: every row-adding path
         // (write/merge/update/streams) evaluates delta.constraints.*
         // over its incoming rows via [[enforceConstraints]] and fails
@@ -743,11 +742,10 @@ object DeltaWrite {
         // missing generated column and VALIDATE a supplied one
         // ([[withGeneratedColumns]]); UPDATE recomputes unassigned
         // generated columns and validates assigned ones; MERGE validates
-      case "identityColumns" =>
-        if (fieldMeta("delta.identity.start", "delta.identity.step",
-            "delta.identity.allowExplicitInsert", "delta.identity.highWaterMark"))
-          refuse("identity columns are configured and this writer does not " +
-            "maintain their high-water marks")
+      case "identityColumns" => () // ENFORCED: appends allocate omitted
+        // identity values from the high-water mark (one zipWithIndex
+        // pass) and bump it in the same commit's metaData; explicit
+        // inserts gate on allowExplicitInsert; racing allocations abort
       case other =>
         refuse(s"its protocol requires writer feature '$other', which this " +
           "writer does not implement")
@@ -937,6 +935,26 @@ object DeltaWrite {
         snap.partitionColumns, snap.configuration, None)
     }
 
+  /** Identity-column specs (`delta.identity.*` field metadata). */
+  private final case class IdSpec(name: String, start: Long, step: Long,
+      allowExplicit: Boolean, highWater: Option[Long])
+  private def identitiesOf(snap: DeltaRead.Snapshot): Seq[IdSpec] =
+    snap.schema.fields.collect {
+      case f if Seq("delta.identity.start", "delta.identity.step",
+          "delta.identity.highWaterMark", "delta.identity.allowExplicitInsert")
+          .exists(f.metadata.contains) =>
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '${f.name}' must be BIGINT (the protocol's type), " +
+            s"got ${f.dataType.catalogString}")
+        def lng(k: String, d: Long) =
+          if (f.metadata.contains(k)) f.metadata.getLong(k) else d
+        IdSpec(f.name, lng("delta.identity.start", 1L), lng("delta.identity.step", 1L),
+          f.metadata.contains("delta.identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("delta.identity.allowExplicitInsert"),
+          if (f.metadata.contains("delta.identity.highWaterMark"))
+            Some(f.metadata.getLong("delta.identity.highWaterMark")) else None)
+    }.toSeq
+
   /** Generated columns (`delta.generationExpression` field metadata). */
   private def generatedOf(snap: DeltaRead.Snapshot): Seq[(String, String)] =
     snap.schema.fields.collect {
@@ -988,6 +1006,25 @@ object DeltaWrite {
       k.stripPrefix("delta.constraints.") -> v
     }.toSeq.sortBy(_._1)
 
+  /** Legacy COLUMN INVARIANTS (`delta.invariants` field metadata,
+    * protocol writer v2): each is a JSON envelope
+    * `{"expression": {"expression": "<sql>"}}` — extracted here to the
+    * same (name, expr) shape constraints use, enforced at the same
+    * hook sites. An unparsable envelope refuses loudly (silently
+    * skipping an invariant would break the contract other writers
+    * enforce).
+    */
+  private def invariantsOf(snap: DeltaRead.Snapshot): Seq[(String, String)] =
+    snap.schema.fields.collect {
+      case f if f.metadata.contains("delta.invariants") =>
+        val raw = f.metadata.getString("delta.invariants")
+        val e = try mapper.readTree(raw).path("expression").path("expression").asText("")
+        catch { case scala.util.control.NonFatal(_) => "" }
+        require(e.nonEmpty,
+          s"column '${f.name}' carries an unparsable delta.invariants envelope: $raw")
+        s"invariant(${f.name})" -> e
+    }.toSeq
+
   /** Evaluate the table's CHECK constraints over the rows a statement
     * is about to add — the protocol's writer contract for the
     * `checkConstraints` feature. Violation = the expression evaluates
@@ -997,7 +1034,7 @@ object DeltaWrite {
     */
   private def enforceConstraints(snap: DeltaRead.Snapshot, df: DataFrame,
                                  path: String, opName: String): Unit =
-    constraintsOf(snap.configuration).foreach { case (name, e) =>
+    (constraintsOf(snap.configuration) ++ invariantsOf(snap)).foreach { case (name, e) =>
       val bad = df.where(s"NOT coalesce(($e), true)").limit(1).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"$opName at $path violates CHECK constraint '$name' (CHECK ($e)); " +
@@ -1170,13 +1207,57 @@ object DeltaWrite {
         withGeneratedColumns(snap, df, path, "OVERWRITE", computeIfAbsent = false)
       case None => df
     }
+    // IDENTITY COLUMNS (round 14 — the last writer-feature refusal): a
+    // batch OMITTING an identity column gets values allocated from the
+    // high-water mark (hw + step, hw + 2*step, ... via one global
+    // zipWithIndex pass — batch-sized, never a table scan); a batch
+    // SUPPLYING one requires allowExplicitInsert and pushes the
+    // high-water past the supplied extreme. The new high-water commits
+    // in the SAME metaData action (commitContent), and a RACING
+    // identity allocation is a true conflict: the CAS loser sees the
+    // moved mark and aborts loudly (delta-spark aborts such txns too).
+    val identities: Seq[IdSpec] =
+      if (mode == Mode.Overwrite) Nil else existing.toSeq.flatMap(identitiesOf)
+    val identityHwB = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val dfi: DataFrame = identities.foldLeft(dfg) { (d, id) =>
+      val cur = id.highWater.getOrElse(id.start - id.step)
+      if (!d.columns.exists(_.equalsIgnoreCase(id.name))) {
+        val n = d.count()
+        if (n == 0) d.withColumn(id.name, lit(null).cast("bigint"))
+        else {
+          identityHwB(id.name) = cur + n * id.step
+          val st = org.apache.spark.sql.types.StructType(d.schema.fields :+
+            org.apache.spark.sql.types.StructField(id.name,
+              org.apache.spark.sql.types.LongType, nullable = true))
+          val rdd = d.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (cur + (i + 1) * id.step)) }
+          spark.createDataFrame(rdd, st)
+        }
+      } else {
+        require(id.allowExplicit,
+          s"identity column '${id.name}' at $path is GENERATED ALWAYS — " +
+            "explicit inserts refuse; omit the column to have values allocated")
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val ext = (if (id.step > 0) d.agg(fmax(col(id.name)))
+                   else d.agg(fmin(col(id.name)))).head()
+        if (!ext.isNullAt(0)) {
+          val v = ext.getLong(0)
+          // collision-freedom is the contract: the next GENERATED value
+          // must land beyond every supplied one
+          if (if (id.step > 0) v > cur else v < cur) identityHwB(id.name) = v
+        }
+        d
+      }
+    }
+    val identityHw: Map[String, Long] = identityHwB.toMap
+
     // schema alignment: append must match the table's columns (order
     // may differ — realign by name; the analyzer resolves
     // case-insensitively); a gap or type change is a LOUD error, the
     // schema-evolution route is an explicit overwrite
     val aligned: DataFrame = existing match {
       case Some(snap) if mode != Mode.Overwrite =>
-        val df = dfg // alignment below operates on the generated frame
+        val df = dfi // alignment below operates on the generated frame
         val tbl = snap.schema
         val dfNames = df.columns.map(_.toLowerCase).toSet
         val missing = tbl.fieldNames.filterNot(n => dfNames.contains(n.toLowerCase))
@@ -1282,7 +1363,7 @@ object DeltaWrite {
         case _ => Nil
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
-        txn, mergeSchema, minted)
+        txn, mergeSchema, minted, identityHw)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
         if (next > 0 && next % CheckpointInterval == 0)
@@ -1302,6 +1383,22 @@ object DeltaWrite {
       // compatibility (the winner may have re-partitioned or evolved
       // the schema under us), recompute removes, retry
       snap = Some(DeltaRead.snapshot(spark, rootP.toString))
+      // a RACING identity allocation moved the high-water mark under
+      // us: the staged values may collide with the winner's — abort
+      // loudly (the caller re-runs; delta-spark aborts the txn too)
+      if (identityHw.nonEmpty) {
+        val fresh = identitiesOf(snap.get).map(i => i.name -> i.highWater).toMap
+        identities.foreach { old =>
+          if (fresh.get(old.name).exists(_ != old.highWater)) {
+            newFiles.foreach(f =>
+              try fs.delete(new Path(rootP, f.relPath), false)
+              catch { case scala.util.control.NonFatal(_) => () })
+            throw new IllegalStateException(
+              s"identity allocation at $path conflicts: a concurrent writer moved " +
+                s"'${old.name}''s high-water mark — re-run the append")
+          }
+        }
+      }
       // the winner may have been this sink's own TWIN committing the
       // same micro-batch — its txn mark now covers this batch, so this
       // attempt's staged files are garbage: reclaim them and bow out
@@ -1573,7 +1670,8 @@ object DeltaWrite {
                             removes: Seq[String], version: Long,
                             txn: Option[(String, Long)] = None,
                             mergeSchema: Boolean = false,
-                            minted: Seq[(String, String, Long)] = Nil): String = {
+                            minted: Seq[(String, String, Long)] = Nil,
+                            identityHw: Map[String, Long] = Map.empty): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -1610,7 +1708,7 @@ object DeltaWrite {
     // of the CURRENT snapshot's (re-read per CAS attempt — a racing
     // evolver's additions survive) and this write's extra columns,
     // forced nullable (existing files read them as null by name).
-    val schemaJson = snap match {
+    val schemaJson0 = snap match {
       case Some(s) if mode != Mode.Overwrite && mergeSchema =>
         val extras = df.schema.fields
           .filterNot(f => s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
@@ -1631,14 +1729,36 @@ object DeltaWrite {
         org.apache.spark.sql.types.StructType(s.schema.fields ++ extras).json
       case _ => df.schema.json
     }
-    val needMeta = snap match {
+    // identity allocation bumps the columns' high-water marks in the
+    // SAME commit's metaData (the protocol's contract: a crash between
+    // data and metaData could otherwise re-issue the allocated values).
+    // The schema of record for an identity append is the TABLE schema
+    // (it carries the identity field metadata the incoming frame lacks).
+    val schemaJson =
+      if (identityHw.isEmpty) schemaJson0
+      else {
+        import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructType}
+        val base = snap match {
+          case Some(s) if mode != Mode.Overwrite && !mergeSchema => s.schema.json
+          case _ => schemaJson0
+        }
+        StructType(DataType.fromJson(base).asInstanceOf[StructType].fields.map { f =>
+          identityHw.get(f.name) match {
+            case Some(hw) => f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", hw).build())
+            case None => f
+          }
+        }).json
+      }
+    val needMeta = identityHw.nonEmpty || (snap match {
       case None => true
       case Some(s) =>
         (mode == Mode.Overwrite &&
           (s.schema.json != schemaJson ||
             s.partitionColumns.map(_.toLowerCase) != parts.map(_.toLowerCase))) ||
         (mergeSchema && s.schema.json != schemaJson)
-      }
+      })
     if (needMeta) {
       val md = mapper.createObjectNode
       val mdb = md.putObject("metaData")

@@ -465,6 +465,79 @@ class DeltaWriteSuite extends SparkSpec {
     assert(dataFiles == 1, s"expected only the compacted file, found $dataFiles")
   }
 
+  test("legacy column invariants (delta.invariants) enforce on incoming batches") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    val sch = StructType(Seq(
+      StructField("x", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.invariants",
+          """{"expression":{"expression":"x > 0"}}""").build())))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        s"""{"metaData":{"id":"inv-table","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(sch.json)},"partitionColumns":[],""" +
+        s""""configuration":{}}}""" + "\n").getBytes("UTF-8"))
+    DeltaWrite.append(spark, Seq(1L, 2L).toDF("x"), root)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq(3L, -1L).toDF("x"), root)
+    }
+    assert(e.getMessage.contains("invariant(x)"))
+    assert(DeltaRead.read(spark, root).count() == 2, "violating batch must not land")
+  }
+
+  test("identity columns: omitted values allocate from the high-water mark; explicit inserts gate") {
+    import org.apache.spark.sql.types._
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    def mkTable(allowExplicit: Boolean): String = {
+      val root = tmp()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+      val mb = new MetadataBuilder()
+        .putLong("delta.identity.start", 10L)
+        .putLong("delta.identity.step", 5L)
+      if (allowExplicit) mb.putBoolean("delta.identity.allowExplicitInsert", true)
+      val sch = StructType(Seq(
+        StructField("v", StringType),
+        StructField("id", LongType, nullable = true, mb.build())))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+        (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""" + "\n" +
+          s"""{"metaData":{"id":"id-table","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(sch.json)},"partitionColumns":[],""" +
+          s""""configuration":{}}}""" + "\n").getBytes("UTF-8"))
+      root
+    }
+    val root = mkTable(allowExplicit = false)
+    // first allocation starts AT start; high-water lands in the commit
+    DeltaWrite.append(spark, Seq("a", "b").toDF("v"), root)
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(String, Long)]
+      .collect().toSeq == Seq("a" -> 10L, "b" -> 15L))
+    val snap1 = DeltaRead.snapshot(spark, root)
+    assert(snap1.schema("id").metadata.getLong("delta.identity.highWaterMark") == 15L)
+    // the next batch continues past the mark
+    DeltaWrite.append(spark, Seq("c").toDF("v"), root)
+    assert(DeltaRead.read(spark, root).where("v = 'c'").select("id")
+      .as[Long].head() == 20L)
+    // GENERATED ALWAYS: supplying the column refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq(("d", 99L)).toDF("v", "id"), root)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+
+    // allowExplicitInsert = true: supplied values land, mark moves past
+    val root2 = mkTable(allowExplicit = true)
+    DeltaWrite.append(spark, Seq(("x", 42L)).toDF("v", "id"), root2)
+    assert(DeltaRead.snapshot(spark, root2)
+      .schema("id").metadata.getLong("delta.identity.highWaterMark") == 42L)
+    DeltaWrite.append(spark, Seq("y").toDF("v"), root2) // allocated PAST 42
+    assert(DeltaRead.read(spark, root2).where("v = 'y'").select("id")
+      .as[Long].head() == 47L)
+  }
+
   test("generated columns: computed when omitted, validated when supplied, recomputed by UPDATE") {
     import org.apache.spark.sql.types._
     // delta-spark-shaped fixture: y is GENERATED ALWAYS AS (x * 2)
