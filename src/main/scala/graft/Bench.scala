@@ -29,6 +29,24 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head
       catch { case _: Throwable => "-1" }
+    // LOAD GATE (round 15): BENCH_r14 was contention-inflated 1.5-3× on
+    // its tail (q97 11.9 s artifact vs 4.1 s controlled re-run) because
+    // the timed window opened on a VM at load1m ≈ 4. Ambient load is
+    // measurable up front — spin-wait (bounded, so a busy driver can
+    // never stall the round) until load1m drops under the gate before
+    // opening the window, and record both the wait and the final
+    // verdict in the artifact so a still-contended run is self-evident.
+    val gateStart = System.currentTimeMillis()
+    val gateLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val gateMaxWaitMs = 600000L
+    var gated = false
+    while ({
+      val l = loadavg().toDouble
+      l >= 0 && l > gateLimit &&
+        System.currentTimeMillis() - gateStart < gateMaxWaitMs
+    }) { gated = true; Thread.sleep(10000) }
+    val gateWaitSec = (System.currentTimeMillis() - gateStart) / 1000.0
+    val loadAtOpen = loadavg()
     // Cleanup runs OUTSIDE the timed window and BLOCKS until the blocks
     // are gone: with async unpersist inside the window (rounds ≤4), a
     // heavy query's checkpoint-removal I/O landed in whichever window
@@ -82,7 +100,7 @@ object Bench {
     val timing = results.map { case (k, _, _, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"timing":$timing}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"load_gated":$gated,"gate_wait_sec":$gateWaitSec,"load1m_open":$loadAtOpen,"timing":$timing}"""
     // The bare line goes to stdout (build.sbt routes forked output
     // straight through, so no sbt "[info] " prefix) AND to files. The
     // repo copy is the durable per-query artifact: round 6's 2000-char

@@ -741,6 +741,23 @@ object DeltaRead {
           stats = Map.empty, dvs = Map.empty)))
       } else {
         val addFiles = adds.result()
+        val rmFiles = rms.result()
+        val rmPaths = rmFiles.map(_._1).toSet
+        // A dataChange remove of a file RE-ADDED in the same commit
+        // under a different DV is a DV-style DELETE/UPDATE (committed
+        // before CDF was enabled, or by a writer that skipped cdc
+        // files): whole-file derivation would emit delete+insert churn
+        // for every SURVIVING row of the file. delta-spark fails such
+        // a read — match its posture rather than feed consumers
+        // spurious change rows.
+        addFiles.foreach { case (p, _, _, _) =>
+          require(!rmPaths.contains(p),
+            s"readChanges($path): commit $v both removes and re-adds '$p' with " +
+              "dataChange=true and carries no cdc action — a deletion-vector " +
+              "DML committed without change-data files; its row-level changes " +
+              "cannot be derived from whole files (delta-spark fails this read " +
+              "too). Re-read from a version after CDF was enabled")
+        }
         if (addFiles.nonEmpty) {
           frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
             version = v,
@@ -751,7 +768,6 @@ object DeltaRead {
               .toMap))
             .withColumn("_change_type", lit("insert")))
         }
-        val rmFiles = rms.result()
         if (rmFiles.nonEmpty) {
           // removed files' partitionValues/sizes live in the PREVIOUS
           // version's snapshot (graft removes don't re-serialize them)

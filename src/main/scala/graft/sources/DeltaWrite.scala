@@ -178,33 +178,42 @@ object DeltaWrite {
     requireWritable(snap, path, removesData = true, cdfHandled = true)
     val matched = DeltaRead.matchedPhysicalRows(spark, rootP.toString, snap, condition)
     if (matched.isEmpty) return snap.version
-    // CHANGE DATA FEED: the deleted rows (live rows matching the
-    // predicate, prior DVs applied — already-dead rows never re-appear
-    // as changes) land under _change_data/ ONCE, before the CAS loop:
-    // a retry either aborts loudly when a touched file was rewritten
-    // (guard below) or commits the identical change set. Orphaned cdc
-    // files from an aborted commit are unreferenced and vacuum-swept.
-    val cdcFiles: Seq[NewFile] =
-      if (!cdfEnabled(snap)) Nil
-      else {
-        val touched = matched.keySet
-        val delRows = DeltaRead.readSnapshot(spark, rootP.toString,
-            snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
-          .where(condition)
-          .withColumn("_change_type", lit("delete"))
-        if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
-      }
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
       val updates = dvUnionUpdates(spark, snap, fs, rootP, matched,
         inlineMaxBytes, "DELETE", path)
       if (updates.isEmpty) return snap.version
+      // CHANGE DATA FEED: the deleted rows (live rows matching the
+      // predicate under THIS attempt's snapshot DVs — already-dead rows
+      // never re-appear as changes) land under _change_data/ per CAS
+      // attempt: a concurrent DV-only DELETE that won the race may have
+      // deleted an overlapping subset of the same files, and cdc rows
+      // staged against the stale snapshot would report those rows
+      // deleted twice to feed consumers. A lost race deletes the stale
+      // staged files below and re-derives, mirroring [[update]].
+      val cdcFiles: Seq[NewFile] =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          val touched = matched.keySet
+          val delRows = DeltaRead.readSnapshot(spark, rootP.toString,
+              snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
+            .where(condition)
+            .withColumn("_change_type", lit("delete"))
+          if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
+        }
       val next = snap.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
             deleteContent(snap, updates, condition, cdcFiles))) return next
+      cdcFiles.foreach(f =>
+        try fs.delete(new Path(rootP, f.relPath), false)
+        catch { case scala.util.control.NonFatal(_) => () })
       snap = DeltaRead.snapshot(spark, rootP.toString)
+      // a table setting or protocol feature committed between attempts
+      // (delta.appendOnly, an unknown writer feature) must re-gate the
+      // retry — mirroring [[update]]'s per-attempt validation
+      requireWritable(snap, path, removesData = true, cdfHandled = true)
     }
     throw new IllegalStateException(
       s"DELETE at $path lost the commit race 20 times — another writer is " +
@@ -240,6 +249,14 @@ object DeltaWrite {
       snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"UPDATE at $path: SET targets unknown column '$c' " +
         s"(table columns: ${snap.schema.fieldNames.mkString(", ")})"))
+    // identity columns never update (delta-spark's posture, BY DEFAULT
+    // included): a SET could push values past the high-water mark with
+    // no bump, and later appends would allocate colliding values
+    identitiesOf(snap).foreach(id => require(
+      !assignments.keys.exists(_.equalsIgnoreCase(id.name)),
+      s"UPDATE at $path: SET targets identity column '${id.name}' — updating " +
+        "identity values breaks the protocol's collision-freedom contract " +
+        "(delta-spark refuses this too)"))
     val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
     var attempt = 0
     while (attempt < 20) {
@@ -489,6 +506,34 @@ object DeltaWrite {
       }
       enforceConstraints(snap, merged, path, "MERGE")
       withGeneratedColumns(snap, merged, path, "MERGE") // validate-only: schema is fixed
+      // IDENTITY COLUMNS: merge realigns to the table schema, so the
+      // source MUST carry the identity value — an explicit insert,
+      // legal only under allowExplicitInsert (GENERATED BY DEFAULT).
+      // The high-water mark bumps past the merged extreme in the SAME
+      // commit's metaData (mergeContent), preserving the protocol's
+      // collision-freedom for later allocating appends. The extreme is
+      // probed over the COMMITTED frame (a custom mergeFn may mint
+      // values absent from the source), one bounded agg per identity
+      // column, identity tables only.
+      val mergeIdentities = identitiesOf(snap)
+      mergeIdentities.foreach(id => require(id.allowExplicit,
+        s"Delta table at $path has GENERATED ALWAYS identity column " +
+          s"'${id.name}' — MERGE realigns its output to the table schema and " +
+          "would insert explicit identity values, which GENERATED ALWAYS " +
+          "forbids; use GENERATED BY DEFAULT or route through append"))
+      val mergeIdentityHw: Map[String, Long] = {
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        mergeIdentities.flatMap { id =>
+          val cur = id.highWater.getOrElse(id.start - id.step)
+          val ext = (if (id.step > 0) merged.agg(fmax(col(id.name)))
+                     else merged.agg(fmin(col(id.name)))).head()
+          if (ext.isNullAt(0)) None
+          else {
+            val v = ext.getLong(0)
+            if (if (id.step > 0) v > cur else v < cur) Some(id.name -> v) else None
+          }
+        }.toMap
+      }
       val (physDf, physParts) = toPhysical(snap, merged)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
@@ -526,7 +571,8 @@ object DeltaWrite {
       val next = snap.version + 1
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
-            mergeContent(snap, touched, newFiles, keys, cdcFiles))) {
+            mergeContent(snap, touched, newFiles, keys, cdcFiles,
+              mergeIdentityHw))) {
         if (next > 0 && next % CheckpointInterval == 0)
           try checkpoint(spark, rootP.toString)
           catch { case scala.util.control.NonFatal(_) => () }
@@ -546,7 +592,8 @@ object DeltaWrite {
 
   private def mergeContent(snap: DeltaRead.Snapshot, removes: Seq[String],
                            adds: Seq[NewFile], keys: Seq[String],
-                           cdcFiles: Seq[NewFile] = Nil): String = {
+                           cdcFiles: Seq[NewFile] = Nil,
+                           identityHw: Map[String, Long] = Map.empty): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -556,6 +603,7 @@ object DeltaWrite {
     cib.putObject("operationParameters").put("matchedKeys", keys.mkString(","))
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
+    identityMetaDataLine(snap, identityHw, now).foreach(lines += _)
     cdcFiles.foreach(f => lines += cdcLine(f, now))
     removes.foreach { p =>
       val rm = mapper.createObjectNode
@@ -745,7 +793,9 @@ object DeltaWrite {
       case "identityColumns" => () // ENFORCED: appends allocate omitted
         // identity values from the high-water mark (one zipWithIndex
         // pass) and bump it in the same commit's metaData; explicit
-        // inserts gate on allowExplicitInsert; racing allocations abort
+        // inserts gate on allowExplicitInsert; racing allocations abort;
+        // MERGE gates on allowExplicitInsert and bumps the mark in its
+        // own commit; UPDATE refuses SET on identity columns outright
       case other =>
         refuse(s"its protocol requires writer feature '$other', which this " +
           "writer does not implement")
@@ -954,6 +1004,40 @@ object DeltaWrite {
           if (f.metadata.contains("delta.identity.highWaterMark"))
             Some(f.metadata.getLong("delta.identity.highWaterMark")) else None)
     }.toSeq
+
+  /** A metaData action bumping identity high-water marks in the table
+    * schema — everything else (id, partitioning, configuration)
+    * carried verbatim. None when no mark moved. The protocol's
+    * contract: an explicit insert pushing past the mark must bump it
+    * in the SAME commit, or later allocating appends collide.
+    */
+  private def identityMetaDataLine(snap: DeltaRead.Snapshot,
+                                   identityHw: Map[String, Long],
+                                   now: Long): Option[String] = {
+    if (identityHw.isEmpty) return None
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val schema = StructType(snap.schema.fields.map { f =>
+      identityHw.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, hw)) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", hw).build())
+        case None => f
+      }
+    })
+    val md = mapper.createObjectNode
+    val mdb = md.putObject("metaData")
+    mdb.put("id", Option(snap.metaId).getOrElse(java.util.UUID.randomUUID.toString))
+    val fmt = mdb.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    mdb.put("schemaString", schema.json)
+    val pc = mdb.putArray("partitionColumns")
+    snap.partitionColumns.foreach(pc.add)
+    val cfg = mdb.putObject("configuration")
+    snap.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    mdb.put("createdTime", now)
+    Some(mapper.writeValueAsString(md))
+  }
 
   /** Generated columns (`delta.generationExpression` field metadata). */
   private def generatedOf(snap: DeltaRead.Snapshot): Seq[(String, String)] =

@@ -369,8 +369,11 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       // literals ('a, b') or function arguments (round(x, 2)) never
       // split, so any SQL expression is a legal right-hand side
       val commas = GraftSqlParser.topLevelCommas(rest)
+      // WHERE must end at a word boundary: an assignment to a column
+      // NAMED with a WHERE prefix (`whereabouts = 2`) is still a SET
+      // entry, not the condition clause
       val whereAt = commas.find(i =>
-        rest.substring(i + 1).stripLeading().toUpperCase.startsWith("WHERE")).getOrElse(
+        "(?is)^WHERE\\b.*".r.matches(rest.substring(i + 1).stripLeading())).getOrElse(
         throw new IllegalArgumentException(
           "GRAFT_UPDATE needs `, WHERE <condition>` after the SET list"))
       val setsRaw = rest.substring(0, whereAt)

@@ -377,6 +377,14 @@ class SqlSurfaceSuite extends SparkSpec {
     s2.sql(s"GRAFT_UPDATE('$root', SET v = 'a, where b = 2', WHERE k = 3)")
     assert(s2.sql(s"GRAFT_READ('$root')").where("k = 3").select("v")
       .as[String].head() == "a, where b = 2")
+    // a column NAMED with a WHERE prefix is a SET entry, not the clause
+    // boundary (word-boundary match, not startsWith)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sqlupw").toString + "/t"
+    Writer.write(s2, Seq((1L, 0L), (2L, 0L)).toDF("k", "whereabouts"),
+      SinkSpec(root2, mode = Append, versioned = true))
+    s2.sql(s"GRAFT_UPDATE('$root2', SET whereabouts = 7, WHERE k = 1)")
+    assert(s2.sql(s"GRAFT_READ('$root2')").orderBy("k").select("whereabouts")
+      .as[Long].collect().toSeq == Seq(7L, 0L))
   }
 
   test("GRAFT_APPEND / GRAFT_MERGE: pure-SQL versioned writes") {

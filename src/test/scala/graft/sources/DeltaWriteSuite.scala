@@ -538,6 +538,81 @@ class DeltaWriteSuite extends SparkSpec {
       .as[Long].head() == 47L)
   }
 
+  test("identity columns: MERGE gates on allowExplicitInsert and bumps the mark; UPDATE refuses SET") {
+    import org.apache.spark.sql.types._
+    def jstr(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    def mkTable(allowExplicit: Boolean): String = {
+      val root = tmp()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+      val mb = new MetadataBuilder()
+        .putLong("delta.identity.start", 10L)
+        .putLong("delta.identity.step", 5L)
+      if (allowExplicit) mb.putBoolean("delta.identity.allowExplicitInsert", true)
+      val sch = StructType(Seq(
+        StructField("v", StringType),
+        StructField("id", LongType, nullable = true, mb.build())))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+        (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""" + "\n" +
+          s"""{"metaData":{"id":"id-dml","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(sch.json)},"partitionColumns":[],""" +
+          s""""configuration":{}}}""" + "\n").getBytes("UTF-8"))
+      root
+    }
+    // GENERATED ALWAYS: MERGE realigns to the table schema, so the
+    // source would insert explicit identity values — refuse up front
+    val root = mkTable(allowExplicit = false)
+    DeltaWrite.append(spark, Seq("a", "b").toDF("v"), root) // ids 10, 15
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, Seq(("a", 10L)).toDF("v", "id"), root, Seq("v"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // UPDATE refuses SET on an identity column on ANY identity table
+    val eu = intercept[IllegalArgumentException] {
+      DeltaWrite.update(spark, root, "v = 'a'", Map("id" -> "99"))
+    }
+    assert(eu.getMessage.contains("identity column"), eu.getMessage)
+    // non-identity SET still works and leaves the mark untouched
+    DeltaWrite.update(spark, root, "v = 'a'", Map("v" -> "'A'"))
+    assert(DeltaRead.read(spark, root).where("v = 'A'").count() == 1L)
+    assert(DeltaRead.snapshot(spark, root)
+      .schema("id").metadata.getLong("delta.identity.highWaterMark") == 15L)
+
+    // GENERATED BY DEFAULT: merge's explicit values land and the mark
+    // bumps PAST the merged extreme in the SAME commit, so a later
+    // allocating append cannot collide
+    val root2 = mkTable(allowExplicit = true)
+    DeltaWrite.append(spark, Seq("x").toDF("v"), root2) // id 10, hw 10
+    DeltaWrite.merge(spark, Seq(("y", 100L)).toDF("v", "id"), root2, Seq("v"))
+    assert(DeltaRead.snapshot(spark, root2)
+      .schema("id").metadata.getLong("delta.identity.highWaterMark") == 100L)
+    DeltaWrite.append(spark, Seq("z").toDF("v"), root2)
+    assert(DeltaRead.read(spark, root2).where("v = 'z'").select("id")
+      .as[Long].head() == 105L)
+    assert(DeltaRead.read(spark, root2).select("id").as[Long].collect().toSet
+      == Set(10L, 100L, 105L), "identity values must stay collision-free")
+  }
+
+  test("readChanges refuses a cdc-less DV commit inside the span (delta-spark's posture)") {
+    val root = tmp()
+    DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), root) // v0
+    DeltaWrite.delete(spark, root, "id = 1")                          // v1: DV, no CDF yet
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                    // v2
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)    // v3
+    // a span starting after the cdc-less DV commit reads fine
+    assert(DeltaRead.readChanges(spark, root, 3L)
+      .where($"_change_type" === "insert").count() == 1L)
+    // a span covering it refuses: whole-file derivation would report
+    // the file's SURVIVING row (id=2) as delete+insert churn
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readChanges(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+  }
+
   test("generated columns: computed when omitted, validated when supplied, recomputed by UPDATE") {
     import org.apache.spark.sql.types._
     // delta-spark-shaped fixture: y is GENERATED ALWAYS AS (x * 2)
