@@ -216,10 +216,24 @@ object DeltaRead {
     // Column mapping: the PARQUET read uses physical names; partition
     // values were translated to logical keys at snapshot build, so the
     // partition side stays logical throughout. The final projection
-    // renames the data columns back.
+    // renames the data columns back. ID MODE additionally stamps each
+    // requested field with `parquet.field.id` (from
+    // delta.columnMapping.id) and enables Spark's native field-id
+    // resolution, so every file resolves by the ids in its own footer
+    // regardless of what the columns are NAMED there — the protocol's
+    // id-mode contract, heterogeneous file names included.
     val cm = snap.colMap
+    val idMode = snap.configuration.get("delta.columnMapping.mode").contains("id")
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
-      .map(f => if (cm.isEmpty) f else f.copy(name = cm(f.name)))
+      .map { f =>
+        val g = if (cm.isEmpty) f else f.copy(name = cm(f.name))
+        if (!idMode) g
+        else g.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(g.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+      }
     def outCols: Array[org.apache.spark.sql.Column] = {
       val logical = snap.schema.fieldNames.map { n =>
         if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
@@ -608,7 +622,15 @@ object DeltaRead {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val mode = tableConf.getOrElse("delta.columnMapping.mode", "none")
     validateReaderProtocol(path, minReader, readerFeatures.toSet, mode)
-    val colMap = if (mode == "name") buildColMap(path, schema) else Map.empty[String, String]
+    // id mode (round 15 — the Iceberg-converted-table case): the
+    // protocol requires BOTH id and physicalName in either mapping
+    // mode, so the logical→physical map builds the same way; the SCAN
+    // additionally resolves parquet columns by FIELD ID
+    // ([[scanSnapshot]]), because an id-mode file's column names need
+    // not match physicalName (converted tables keep their original
+    // names and carry ids in the footers).
+    val colMap = if (mode == "name" || mode == "id") buildColMap(path, schema)
+      else Map.empty[String, String]
     // add.partitionValues (and stats) keys are PHYSICAL names under
     // column mapping; the Snapshot is logical everywhere except stats,
     // which stay physical because skipping happens at the (physical)
@@ -820,8 +842,9 @@ object DeltaRead {
       val key = "delta.columnMapping.physicalName"
       if (!f.metadata.contains(key))
         throw new IllegalStateException(
-          s"Delta table at $path declares delta.columnMapping.mode=name but " +
-            s"column '${f.name}' carries no physicalName metadata — corrupt log?")
+          s"Delta table at $path declares column mapping but column " +
+            s"'${f.name}' carries no physicalName metadata (the protocol " +
+            "requires it in both name and id modes) — corrupt log?")
       f.name -> f.metadata.getString(key)
     }.toMap
   }
@@ -1123,10 +1146,10 @@ object DeltaRead {
     require(minReader <= 3,
       s"Delta table at $path requires minReaderVersion=$minReader — newer than " +
         "this interop reader's protocol support (v3); read it with delta-spark")
-    require(mappingMode == "none" || mappingMode == "name",
+    require(mappingMode == "none" || mappingMode == "name" || mappingMode == "id",
       s"Delta table at $path uses delta.columnMapping.mode=$mappingMode — only " +
-        "'name' mode (and unmapped tables) are supported by this interop " +
-        "reader; read it with delta-spark")
+        "'name' and 'id' modes (and unmapped tables) are supported by this " +
+        "interop reader; read it with delta-spark")
   }
 
   /** Log paths are RFC-2396 percent-encoded URIs (delta-spark decodes

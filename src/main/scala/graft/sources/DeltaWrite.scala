@@ -745,6 +745,13 @@ object DeltaWrite {
     if (removesData && conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       refuse("delta.appendOnly=true forbids removing or replacing committed rows " +
         "(this operation does); only appends are allowed")
+    // id-mode tables are READ-ONLY here: id-mode readers (delta-spark,
+    // Iceberg-converted consumers) resolve columns by parquet FIELD
+    // IDS, and this writer's data files carry physical NAMES only —
+    // committing id-less files would silently break every such reader
+    if (conf.get("delta.columnMapping.mode").contains("id"))
+      refuse("delta.columnMapping.mode=id requires writing parquet field ids, " +
+        "which this writer does not emit; the table stays readable here")
     require(snap.minWriter <= 7,
       s"Delta table at $path requires minWriterVersion=${snap.minWriter} — newer " +
         "than this writer's protocol support (<=7); write with delta-spark")
@@ -1197,6 +1204,36 @@ object DeltaWrite {
         throw new IllegalStateException(
           s"partition column '$p' has no column-mapping physical name"))))
 
+  /** Mint (logicalName, physicalName, id) triples for columns NEW to a
+    * mapped table — ids monotonic from the configured high-water mark
+    * (falling back to the max id any schema field already carries — a
+    * foreign log may have skipped the config key), physical names
+    * fresh `col-<uuid>` tokens no reader resolves by logical name.
+    * delta-spark's minting contract; shared by mergeSchema evolution
+    * and full overwrite.
+    */
+  private def mintColumnIds(s: DeltaRead.Snapshot,
+      extras: Seq[org.apache.spark.sql.types.StructField])
+      : Seq[(String, String, Long)] = {
+    val base = mappingIdHighWater(s)
+    extras.zipWithIndex.map { case (f, i) =>
+      (f.name, "col-" + java.util.UUID.randomUUID.toString, base + i + 1) }.toSeq
+  }
+
+  /** The column-id high-water mark: the configured maxColumnId or the
+    * max id any schema field carries, whichever is larger (a foreign
+    * log may have skipped the config key).
+    */
+  private def mappingIdHighWater(s: DeltaRead.Snapshot): Long = {
+    val fieldIds = s.schema.fields.flatMap(f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+    math.max(
+      s.configuration.get("delta.columnMapping.maxColumnId")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
+      if (fieldIds.isEmpty) 0L else fieldIds.max)
+  }
+
   private object Mode extends Enumeration {
     val Append, Overwrite, DynamicOverwrite = Value
   }
@@ -1222,22 +1259,18 @@ object DeltaWrite {
         Some(DeltaRead.snapshot(spark, rootP.toString))
       else None
     // COLUMN MAPPING (name mode): appends and dynamic partition
-    // overwrites are supported — the data lands as PHYSICAL-named
-    // parquet (renamed just before the write; partition dirs and
-    // add.partitionValues keys physical too, the protocol's shape) and
-    // the commit touches no metaData, so delta.columnMapping
-    // .maxColumnId needs no maintenance (neither mints column ids).
-    // FULL overwrite stays refused: its schema-change path re-emits
-    // metaData from the incoming frame, which would strip the mapping
-    // metadata / need fresh ids. id-mode and nested mapped schemas
-    // already refuse at snapshot build.
-    existing.filter(_.colMap.nonEmpty).foreach { _ =>
-      if (mode == Mode.Overwrite) throw new UnsupportedOperationException(
-        s"Delta table at $path uses column mapping — graft appends to it and " +
-          "rewrites partitions/merges in place, but a full overwrite (the " +
-          "schema-change surface) must mint column ids; overwrite with " +
-          "delta-spark or migrate the table")
-    }
+    // overwrites land as PHYSICAL-named parquet (renamed just before
+    // the write; partition dirs and add.partitionValues keys physical
+    // too, the protocol's shape) and touch no metaData. FULL overwrite
+    // (round 15 — the last mapped-table DML gap) is the
+    // schema-REDEFINITION surface: its re-emitted metaData CARRIES each
+    // surviving logical column's (id, physicalName) — old physical
+    // names never re-bind to different logical columns for other
+    // readers' caches — and MINTS fresh ids/col-<uuid> names for
+    // genuinely new columns under a monotonically bumped
+    // delta.columnMapping.maxColumnId, delta-spark's own minting
+    // contract (see the mergeSchema evolution path below, which this
+    // reuses).
     // cdfHandled: an overwrite's changes are EXACTLY whole-file
     // removes (DV descriptors carried) + whole-file adds — the shape
     // CDF readers derive delete/insert changes from without cdc files
@@ -1389,20 +1422,37 @@ object DeltaWrite {
     // maxColumnId in the SAME metaData action (commitContent), and
     // the data files below land with the minted physical names.
     val minted: Seq[(String, String, Long)] = existing match {
-      case Some(s) if mode != Mode.Overwrite && mergeSchema && s.colMap.nonEmpty =>
-        val extras = aligned.schema.fields.filterNot(f =>
-          s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        val fieldIds = s.schema.fields.flatMap(f =>
-          if (f.metadata.contains("delta.columnMapping.id"))
-            Some(f.metadata.getLong("delta.columnMapping.id")) else None)
-        val base = math.max(
-          s.configuration.get("delta.columnMapping.maxColumnId")
-            .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
-          if (fieldIds.isEmpty) 0L else fieldIds.max)
-        extras.zipWithIndex.map { case (f, i) =>
-          (f.name, "col-" + java.util.UUID.randomUUID.toString, base + i + 1) }.toSeq
+      case Some(s) if s.colMap.nonEmpty && (mode == Mode.Overwrite || mergeSchema) =>
+        // overwrite: every column absent from the CURRENT schema is new
+        // (surviving logical names carry their ids in mappedOverwrite
+        // below); mergeSchema append: same definition of "new"
+        mintColumnIds(s, aligned.schema.fields.filterNot(f =>
+          s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       case _ => Nil
     }
+    // The full-overwrite metaData schema on a mapped table: incoming
+    // fields in incoming order, surviving logical names carrying the
+    // current (id, physicalName) metadata — their physical binding is
+    // identity across the overwrite — and new fields carrying their
+    // minted pair. Non-mapping metadata follows the incoming frame
+    // (overwrite is the redefinition surface, same as unmapped).
+    val mappedOverwrite: Option[org.apache.spark.sql.types.StructType] =
+      existing.filter(s => s.colMap.nonEmpty && mode == Mode.Overwrite).map { s =>
+        import org.apache.spark.sql.types.MetadataBuilder
+        org.apache.spark.sql.types.StructType(aligned.schema.fields.map { f =>
+          val (phys, id) = s.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(tf) => (tf.metadata.getString("delta.columnMapping.physicalName"),
+              tf.metadata.getLong("delta.columnMapping.id"))
+            case None =>
+              val m = minted.find(_._1 == f.name).getOrElse(throw new IllegalStateException(
+                s"overwrite at $path: no minted id for new column '${f.name}'"))
+              (m._2, m._3)
+          }
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", phys).build())
+        })
+      }
 
     // Column mapping: the PARQUET (and its partition dirs) must carry
     // PHYSICAL names — rename at the last moment, after every
@@ -1411,14 +1461,25 @@ object DeltaWrite {
     // delta-spark expect. partitionValuesOf below decodes the physical
     // dir segments, landing physical keys in add.partitionValues.
     val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
-      case Some(s) =>
-        if (minted.isEmpty) toPhysical(s, aligned)
-        else {
-          val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
-          (aligned.select(aligned.schema.fieldNames.map(n =>
-            col(n).as(ext.getOrElse(n, n))): _*),
-            s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
-        }
+      case Some(s) => mappedOverwrite match {
+        case Some(os) =>
+          // overwrite: the NEW schema's mapping governs — surviving
+          // names keep their physical binding, new ones the minted
+          val ext = os.fields.map(f =>
+            f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
+          (aligned.select(aligned.schema.fieldNames.map(n => col(n).as(ext(n))): _*),
+            parts.map(p => ext.getOrElse(p,
+              ext.collectFirst { case (k, v) if k.equalsIgnoreCase(p) => v }
+                .getOrElse(p))))
+        case None =>
+          if (minted.isEmpty) toPhysical(s, aligned)
+          else {
+            val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
+            (aligned.select(aligned.schema.fieldNames.map(n =>
+              col(n).as(ext.getOrElse(n, n))): _*),
+              s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
+          }
+      }
       case None => (aligned, parts)
     }
 
@@ -1447,7 +1508,7 @@ object DeltaWrite {
         case _ => Nil
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
-        txn, mergeSchema, minted, identityHw)
+        txn, mergeSchema, minted, identityHw, mappedOverwrite)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
         if (next > 0 && next % CheckpointInterval == 0)
@@ -1497,6 +1558,15 @@ object DeltaWrite {
         }
       }
       snap.foreach { s =>
+        // a mapped OVERWRITE that minted ids cannot tolerate a winner
+        // who minted past them: the staged parquet and the prepared
+        // metaData carry THIS attempt's ids — re-committing would
+        // reuse the winner's (delta-spark aborts this conflict too)
+        if (mode == Mode.Overwrite && minted.nonEmpty)
+          require(mappingIdHighWater(s) < minted.map(_._3).min,
+            s"concurrent writer evolved the column-mapped Delta table $path " +
+              "mid-commit (column ids were minted past this overwrite's) — " +
+              "re-run the write (its staged files are unreferenced)")
         if (mode != Mode.Overwrite) {
           require(s.partitionColumns.map(_.toLowerCase) == parts.map(_.toLowerCase),
             s"concurrent writer re-partitioned Delta table $path to " +
@@ -1515,14 +1585,7 @@ object DeltaWrite {
             // (or the same logical columns under different physical
             // names) would orphan them — abort loudly, never re-mint
             if (minted.nonEmpty) {
-              val winnerIds = s.schema.fields.flatMap(f =>
-                if (f.metadata.contains("delta.columnMapping.id"))
-                  Some(f.metadata.getLong("delta.columnMapping.id")) else None)
-              val winnerMax = math.max(
-                s.configuration.get("delta.columnMapping.maxColumnId")
-                  .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
-                if (winnerIds.isEmpty) 0L else winnerIds.max)
-              require(winnerMax < minted.map(_._3).min,
+              require(mappingIdHighWater(s) < minted.map(_._3).min,
                 s"concurrent writer evolved the column-mapped Delta table $path " +
                   "mid-commit (column ids were minted past this append's) — " +
                   "re-run the write (its staged files are unreferenced)")
@@ -1755,7 +1818,9 @@ object DeltaWrite {
                             txn: Option[(String, Long)] = None,
                             mergeSchema: Boolean = false,
                             minted: Seq[(String, String, Long)] = Nil,
-                            identityHw: Map[String, Long] = Map.empty): String = {
+                            identityHw: Map[String, Long] = Map.empty,
+                            mappedOverwrite: Option[org.apache.spark.sql.types.StructType]
+                              = None): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -1811,7 +1876,10 @@ object DeltaWrite {
             }
           }
         org.apache.spark.sql.types.StructType(s.schema.fields ++ extras).json
-      case _ => df.schema.json
+      // mapped-table FULL overwrite: the redefinition schema carries
+      // surviving (id, physicalName) pairs and the minted ones — built
+      // in write(), where the current mapping is in scope
+      case _ => mappedOverwrite.map(_.json).getOrElse(df.schema.json)
     }
     // identity allocation bumps the columns' high-water marks in the
     // SAME commit's metaData (the protocol's contract: a crash between

@@ -382,17 +382,42 @@ class DeltaReadSuite extends SparkSpec {
     assert(out.where(col("p") === 2L).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
-  test("column mapping refusals: id mode, nested mapped schemas, writes, streams") {
+  test("id-mode column mapping: files resolve by parquet FIELD ID, whatever the columns are named") {
+    import org.apache.spark.sql.Row
     val root = tmp()
-    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root, "f1.parquet")
+    // the Iceberg-converted shape: the parquet keeps its ORIGINAL
+    // column names (ice_k/ice_v) and carries field ids 1/2 in the
+    // footer; the Delta schema maps logical k/v → ids 1/2 under
+    // physicalNames that do NOT match the parquet names — only the
+    // ids can resolve this file
+    val iceSchema = StructType(Seq(
+      StructField("ice_k", LongType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()),
+      StructField("ice_v", StringType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build())))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a"), Row(2L, "b")), iceSchema)
+    writeDataFile(df, root, "f1.parquet")
     val mapped = StructType(Seq(
-      mappedField("id", LongType, 1, "col-aaa111"),
-      mappedField("v", StringType, 2, "col-bbb222")))
+      mappedField("k", LongType, 1, "col-k"),
+      mappedField("v", StringType, 2, "col-v")))
     commit(root, 0, Seq(cmProtocol, mappedMetaData(mapped, mode = "id"),
       addLine(root, "f1.parquet")))
-    val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e.getMessage.contains("columnMapping.mode=id"))
+    val out = DeltaRead.read(spark, root)
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a filter on the logical name still plans and answers correctly
+    assert(out.where(col("k") === 2L).collect().map(_.getString(1)).toSeq == Seq("b"))
+    // writes refuse: this writer emits physical NAMES, and an id-less
+    // file would silently break every id-resolving reader
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWrite.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    }
+    assert(e.getMessage.contains("field ids"), e.getMessage)
+  }
 
+  test("column mapping refusals: nested mapped schemas; streams; mapped overwrite now lands") {
     val root2 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root2, "f1.parquet")
     val nested = StructType(Seq(
@@ -404,14 +429,15 @@ class DeltaReadSuite extends SparkSpec {
 
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222")))
     commit(root3, 0, Seq(cmProtocol, mappedMetaData(mapped), addLine(root3, "f1.parquet")))
-    // round 13: appends and in-place DML on name-mode tables are
-    // SUPPORTED (physical-name writes — DeltaWriteSuite pins them);
-    // the remaining refusal is the schema-change surface
-    val e3 = intercept[UnsupportedOperationException] {
-      DeltaWrite.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), root3)
-    }
-    assert(e3.getMessage.contains("column mapping"))
+    // round 15: the full overwrite (schema-change surface) WORKS on
+    // name-mode tables — survivors keep their physical binding
+    DeltaWrite.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), root3)
+    assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(DeltaRead.snapshot(spark, root3).colMap("id") == "col-aaa111")
     val e4 = intercept[Exception] {
       spark.readStream.format("graft-delta").load(root3)
         .writeStream.format("memory").queryName("cm_refuse")

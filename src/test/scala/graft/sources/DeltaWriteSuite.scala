@@ -594,6 +594,52 @@ class DeltaWriteSuite extends SparkSpec {
       == Set(10L, 100L, 105L), "identity values must stay collision-free")
   }
 
+  test("full overwrite on a mapped table: survivors keep ids, new columns mint, maxColumnId monotone") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)  // v0
+    DeltaWrite.enableColumnMapping(spark, root)                               // v1
+    val s1 = DeltaRead.snapshot(spark, root)
+    val kId = s1.schema("k").metadata.getLong("delta.columnMapping.id")
+    val kPhys = s1.colMap("k")
+    // overwrite with an EVOLVED schema: v dropped, extra added, k kept
+    DeltaWrite.overwrite(spark, Seq((10L, 1.5), (20L, 2.5)).toDF("k", "extra"), root) // v2
+    val s2 = DeltaRead.snapshot(spark, root)
+    assert(s2.schema.fieldNames.toSeq == Seq("k", "extra"))
+    assert(s2.schema("k").metadata.getLong("delta.columnMapping.id") == kId,
+      "surviving column must carry its column-mapping id")
+    assert(s2.colMap("k") == kPhys, "surviving column must keep its physical binding")
+    val extraId = s2.schema("extra").metadata.getLong("delta.columnMapping.id")
+    assert(extraId > 2L, s"new column must mint PAST the existing ids, got $extraId")
+    assert(s2.colMap("extra").startsWith("col-"),
+      "new column's physical name must be a fresh token, never its logical name")
+    assert(s2.configuration("delta.columnMapping.maxColumnId").toLong == extraId,
+      "maxColumnId must bump to the newest minted id in the same commit")
+    assert(DeltaRead.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq(10L -> 1.5, 20L -> 2.5))
+    // the parquet on disk carries PHYSICAL column names
+    val dataCols = spark.read.parquet(
+      s2.files.keys.map(rel => root + "/" + rel).toSeq: _*).columns.toSet
+    assert(dataCols == Set(kPhys, s2.colMap("extra")), s"physical names expected: $dataCols")
+    // post-overwrite DML stays green on the evolved mapping
+    DeltaWrite.append(spark, Seq((30L, 3.5)).toDF("k", "extra"), root)
+    DeltaWrite.delete(spark, root, "k = 10")
+    assert(DeltaRead.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq(20L -> 2.5, 30L -> 3.5))
+    // a RE-PARTITIONING overwrite: the new partition column mints too,
+    // dirs land physical, and the logical read round-trips
+    DeltaWrite.overwrite(spark, Seq((1L, "x", 9.0), (2L, "y", 8.0)).toDF("k", "grp", "extra"),
+      root, partitionBy = Seq("grp"))
+    val s3 = DeltaRead.snapshot(spark, root)
+    assert(s3.partitionColumns == Seq("grp"))
+    val grpPhys = s3.colMap("grp")
+    assert(grpPhys.startsWith("col-"))
+    assert(s3.files.keys.forall(_.startsWith(grpPhys + "=")),
+      s"partition dirs must use the physical name: ${s3.files.keys}")
+    assert(s3.configuration("delta.columnMapping.maxColumnId").toLong > extraId)
+    assert(DeltaRead.read(spark, root).where("grp = 'x'").select("k")
+      .as[Long].head() == 1L)
+  }
+
   test("readChanges refuses a cdc-less DV commit inside the span (delta-spark's posture)") {
     val root = tmp()
     DeltaWrite.append(spark,
@@ -1379,11 +1425,15 @@ class DeltaWriteSuite extends SparkSpec {
       Seq("col-aaa111", "col-bbb222"))
     // footer stats keyed by PHYSICAL name (skipping happens physical)
     assert(snap.stats.get(newRel).exists(_.contains("col-aaa111")))
-    // overwrite (schema-changing surface) still refuses
-    val e = intercept[UnsupportedOperationException] {
-      DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), root)
-    }
-    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    // full overwrite (round 15): same-shape replace keeps the mapping —
+    // survivors carry their (id, physicalName) and the data re-lands
+    // under the SAME physical columns
+    DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), root)
+    val so = DeltaRead.snapshot(spark, root)
+    assert(so.colMap == Map("id" -> "col-aaa111", "v" -> "col-bbb222"),
+      s"survivors must keep their physical bindings: ${so.colMap}")
+    assert(DeltaRead.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
   }
 
   test("append into a PARTITIONED mapped table: physical dirs and partitionValues keys") {
@@ -1493,11 +1543,15 @@ class DeltaWriteSuite extends SparkSpec {
       assert(spark.read.parquet(s"$root/$rel").columns.sorted.toSeq ==
         Seq("col-aaa111", "col-bbb222"))
     }
-    // full overwrite (the schema-change surface) still refuses
-    val e = intercept[UnsupportedOperationException] {
-      DeltaWrite.overwrite(spark, Seq((9L, "z", 0L)).toDF("id", "v", "p"), root)
-    }
-    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    // v6: full overwrite (round 15) may legally DE-partition the table;
+    // the mapping survives and the read round-trips
+    DeltaWrite.overwrite(spark, Seq((9L, "z", 0L)).toDF("id", "v", "p"), root)
+    val s6 = DeltaRead.snapshot(spark, root)
+    assert(s6.partitionColumns.isEmpty, "full overwrite re-partitions the table")
+    assert(s6.colMap == Map("id" -> "col-aaa111", "v" -> "col-bbb222",
+      "p" -> "col-ppp333"), s"survivors must keep physical bindings: ${s6.colMap}")
+    assert(DeltaRead.read(spark, root).as[(Long, String, Long)].collect().toSeq ==
+      Seq((9L, "z", 0L)))
   }
 
   test("checkpoint folds LIVE deletion vectors; v7+mapping+DV survive a cleaned log") {
