@@ -573,9 +573,7 @@ object DeltaWrite {
             fs, new Path(logP, f"$next%020d.json"),
             mergeContent(snap, touched, newFiles, keys, cdcFiles,
               mergeIdentityHw))) {
-        if (next > 0 && next % CheckpointInterval == 0)
-          try checkpoint(spark, rootP.toString)
-          catch { case scala.util.control.NonFatal(_) => () }
+        autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
       // lost the race: the data job read THIS snapshot's touched files
@@ -683,17 +681,29 @@ object DeltaWrite {
     * protocol's implied feature names (a protocol action REPLACES the
     * old one; dropping a feature would break other writers).
     */
-  private def protocolUpgrade(snap: DeltaRead.Snapshot): Option[String] = {
-    if (snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors")) return None
+  private def protocolUpgrade(snap: DeltaRead.Snapshot): Option[String] =
+    protocolUpgradeTo(snap, "deletionVectors")
+
+  /** Generalized reader-feature upgrade: reader v3 / writer v7 carrying
+    * `feature` in BOTH lists (the reader-visible features this writer
+    * adds — deletionVectors, v2Checkpoint — are writer features too),
+    * plus `extraWriter` writer-only features landing in the same
+    * protocol action (a protocol action replaces the old one, so two
+    * upgrade lines in one commit would drop each other's additions).
+    */
+  private def protocolUpgradeTo(snap: DeltaRead.Snapshot, feature: String,
+                                extraWriter: Seq[String] = Nil): Option[String] = {
+    if (snap.minReader >= 3 && snap.readerFeatures.contains(feature) &&
+        extraWriter.forall(snap.writerFeatures.contains)) return None
     val legacyWriter = Seq(
       2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
       4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
       6 -> Seq("identityColumns"))
       .filter(_._1 <= snap.minWriter).flatMap(_._2)
     val legacyReader = if (snap.minReader >= 2) Seq("columnMapping") else Nil
-    val rf = (snap.readerFeatures ++ legacyReader + "deletionVectors").toSeq.sorted
-    val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader
-      + "deletionVectors").toSeq.sorted
+    val rf = (snap.readerFeatures ++ legacyReader + feature).toSeq.sorted
+    val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader ++ extraWriter
+      + feature).toSeq.sorted
     val p = mapper.createObjectNode
     val pb = p.putObject("protocol")
     pb.put("minReaderVersion", math.max(snap.minReader, 3))
@@ -767,8 +777,9 @@ object DeltaWrite {
       case "appendOnly" => () // enforced above (refusal of removesData IS the contract)
       case "deletionVectors" => () // implemented ([[delete]], DV-carrying removes)
       case "columnMapping" => () // gated on the MODE at each entry point
-      case "v2Checkpoint" => () // classic checkpoints stay legal under the feature,
-        // and [[DeltaRead]] consumes v2 ones; [[checkpoint]] refuses to fold them
+      case "v2Checkpoint" => () // classic checkpoints stay legal under the feature
+        // alone; [[DeltaRead]] consumes v2 ones, and [[checkpoint]] both folds
+        // them and WRITES the v2 form when delta.checkpointPolicy = v2 pins it
       case "timestampNtz" => () // a TYPE, not a behavior: Spark's parquet
         // writer/reader carry TIMESTAMP_NTZ natively
       case "vacuumProtocolCheck" => () // its contract is "validate the
@@ -1239,12 +1250,35 @@ object DeltaWrite {
   }
 
   /** Auto-checkpoint cadence: after a commit lands version V where
-    * `V % CheckpointInterval == 0`, the writer folds the log into a
-    * `V.checkpoint.parquet` + `_last_checkpoint` pointer (delta-spark's
-    * default interval is 10 too). Best-effort: a checkpoint failure
-    * never fails the commit that triggered it.
+    * `V % interval == 0`, the writer folds the log into a
+    * `V.checkpoint.parquet` + `_last_checkpoint` pointer. The interval
+    * honors the table's `delta.checkpointInterval` property
+    * (delta-spark reads the same key); this constant is the default
+    * when the property is absent or unparseable (delta-spark's default
+    * is 10 too). Best-effort: a checkpoint failure never fails the
+    * commit that triggered it.
     */
   val CheckpointInterval = 10
+
+  private[sources] def effectiveCheckpointInterval(config: Map[String, String]): Int =
+    config.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(CheckpointInterval)
+
+  /** Best-effort post-commit checkpoint fold at the table's configured
+    * cadence — `config` is the configuration the just-committed version
+    * carries (the snapshot's, or the new metaData's when the commit
+    * replaced it), so an interval change applies from its own commit on.
+    */
+  private def autoCheckpoint(spark: SparkSession, root: String, version: Long,
+                             config: Map[String, String]): Unit =
+    if (version > 0 && version % effectiveCheckpointInterval(config) == 0)
+      try checkpoint(spark, root)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARNING: auto-checkpoint at version $version " +
+          s"of $root failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "the commit itself is durable; readers replay the JSON log")
+      }
 
   private def write(spark: SparkSession, df: DataFrame, path: String,
                     mode: Mode.Value, partitionByReq: Seq[String],
@@ -1511,13 +1545,8 @@ object DeltaWrite {
         txn, mergeSchema, minted, identityHw, mappedOverwrite)
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
-        if (next > 0 && next % CheckpointInterval == 0)
-          try checkpoint(spark, rootP.toString)
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[graft] WARNING: auto-checkpoint at version $next " +
-              s"of $path failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
-              "the commit itself is durable; readers replay the JSON log")
-          }
+        autoCheckpoint(spark, rootP.toString, next,
+          snap.map(_.configuration).getOrElse(Map.empty))
         return next
       }
       require(attempt < 50,
@@ -2027,7 +2056,16 @@ object DeltaWrite {
           .exists(_.equalsIgnoreCase("true"))),
         "checkConstraints" -> (3, set.keys.exists(_.startsWith("delta.constraints."))))
         .collect { case (f, (lv, true)) => f -> lv }
-      if (needs.nonEmpty) {
+      // `delta.checkpointPolicy = v2` requires the v2Checkpoint READER
+      // feature (spec: the policy is illegal without it) — upgrade to
+      // the table-features protocol in the same commit, folding any
+      // writer features this call also needs into the one protocol
+      // action (two protocol lines would clobber each other)
+      val needV2Ckpt = set.get("delta.checkpointPolicy").contains("v2") &&
+        !(snap.minReader >= 3 && snap.readerFeatures.contains("v2Checkpoint"))
+      if (needV2Ckpt) {
+        protocolUpgradeTo(snap, "v2Checkpoint", needs.map(_._1)).foreach(lines += _)
+      } else if (needs.nonEmpty) {
         if (snap.minWriter >= 7) {
           val missing = needs.map(_._1).filterNot(snap.writerFeatures.contains)
           if (missing.nonEmpty) {
@@ -2123,9 +2161,7 @@ object DeltaWrite {
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
             compactContent(newFiles, removes, snap.dvs))) {
-        if (next > 0 && next % CheckpointInterval == 0)
-          try checkpoint(spark, rootP.toString)
-          catch { case scala.util.control.NonFatal(_) => () }
+        autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
       require(attempt < 50, s"Delta compaction at $path lost the version race " +
@@ -2256,9 +2292,7 @@ object DeltaWrite {
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
             restoreContent(cur, target, toVersion, cdcFiles, effConf))) {
-        if (next > 0 && next % CheckpointInterval == 0)
-          try checkpoint(spark, rootP.toString)
-          catch { case scala.util.control.NonFatal(_) => () }
+        autoCheckpoint(spark, rootP.toString, next, effConf)
         return next
       }
       // lost the race: re-derive against the winner's head (the staged
@@ -2401,9 +2435,7 @@ object DeltaWrite {
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
             compactContent(newFiles, dirty, snap.dvs))) {
-        if (next > 0 && next % CheckpointInterval == 0)
-          try checkpoint(spark, rootP.toString)
-          catch { case scala.util.control.NonFatal(_) => () }
+        autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
       require(attempt < 50, s"Delta DV purge at $path lost the version race " +
@@ -2611,6 +2643,10 @@ object DeltaWrite {
     * the checkpoint is written `dataChange=false` (checkpoint rows
     * describe existing state, never new data; a `true` here would make
     * a naive CDC reader re-stream the whole table).
+    *
+    * Tables pinning `delta.checkpointPolicy = v2` get the protocol's V2
+    * (UUID-named, sidecar) checkpoint form instead — same fold, different
+    * layout; see the v2 branch below for its publish-order reasoning.
     */
   def checkpoint(spark: SparkSession, path: String, parts: Int = 0): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, lit, struct, udf, when}
@@ -2750,9 +2786,10 @@ object DeltaWrite {
       // main file holds the non-file actions, the sidecars the file
       // actions — union them (by name, missing columns null) and the
       // classic fold below proceeds unchanged. Writing a CLASSIC
-      // checkpoint stays legal under the v2Checkpoint FEATURE; only
-      // the `delta.checkpointPolicy = v2` table property pins the v2
-      // form, and that refusal happens after metaData resolves below.
+      // checkpoint stays legal under the v2Checkpoint FEATURE; the
+      // `delta.checkpointPolicy = v2` table property pins the v2
+      // form, which the v2 write branch below emits once metaData
+      // resolves.
       val rows: DataFrame =
         if (!mainCols("sidecar")) main
         else {
@@ -2873,12 +2910,18 @@ object DeltaWrite {
 
     require(meta != null,
       s"Delta log at $path carries no metaData action — cannot checkpoint")
-    // `delta.checkpointPolicy = v2` PINS the v2 checkpoint form — this
-    // writer folds classic checkpoints (legal under the v2Checkpoint
-    // feature alone, which only permits the form)
-    require(!meta.configuration.get("delta.checkpointPolicy").contains("v2"),
-      s"Delta table at $path pins delta.checkpointPolicy = v2 — this writer " +
-        "folds classic checkpoints only; CHECKPOINT with delta-spark")
+    // `delta.checkpointPolicy = v2` PINS the v2 (UUID + sidecar)
+    // checkpoint form (round 15: this writer now emits it — see the
+    // v2 branch below); a v2-policy table without the v2Checkpoint
+    // reader feature is spec-invalid, so refuse rather than emit a
+    // layout other readers would reject.
+    val v2Policy = meta.configuration.get("delta.checkpointPolicy").contains("v2")
+    if (v2Policy)
+      require(Option(protocol).exists(p =>
+          Option(p.readerFeatures).exists(_.contains("v2Checkpoint"))),
+        s"Delta table at $path pins delta.checkpointPolicy = v2 but its protocol " +
+          "does not carry the v2Checkpoint reader feature — a spec-valid v2-policy " +
+          "table always does; refusing to checkpoint an inconsistent table")
     require(protocol != null,
       s"Delta log at $path carries no protocol action (neither in the commit " +
         "tail nor the previous checkpoint) — a spec-valid log always has one; " +
@@ -2948,6 +2991,99 @@ object DeltaWrite {
         val est = prevCount + driverRows.size
         math.max(1L, (est + CkPartActions - 1) / CkPartActions).toInt
       }
+
+    // --- v2 (UUID + sidecar) form: `delta.checkpointPolicy = v2` ---
+    // Layout per the protocol's V2 Checkpoints section: the file
+    // actions land in `_delta_log/_sidecars/<uuid>.parquet` part files
+    // (schema: add, remove — one action per row), and the main
+    // `V.checkpoint.<uuid>.parquet` carries ONLY the non-file actions
+    // (protocol, metaData, txn), the REQUIRED checkpointMetadata action
+    // stamping the checkpoint's version, and one sidecar action per
+    // part (path relative to _sidecars, sizeInBytes, modificationTime).
+    // Publish order makes the non-atomic multi-file layout safe:
+    // sidecars land FIRST (unreferenced files are invisible — readers
+    // only follow sidecar actions), the main file's single rename
+    // publishes the whole set, and the pointer is best-effort. UUID
+    // names cannot collide, so two checkpointers racing at one version
+    // both publish; readers pick one deterministically
+    // ([[DeltaRead.checkpointFilesOf]] takes the lexicographically
+    // first) and the protocol declares same-version checkpoints
+    // equivalent. Scale shape matches the classic multi-part path: the
+    // unbounded add set is written by nParts distributed tasks; the
+    // driver handles only the handful of non-file rows.
+    if (v2Policy) {
+      import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+      val tagsType = MapType(StringType, StringType)
+      val cmType = StructType(Seq(
+        StructField("version", LongType), StructField("tags", tagsType)))
+      val scType = StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType), StructField("tags", tagsType)))
+      val sideDir = new Path(logP, "_sidecars")
+      fs.mkdirs(sideDir)
+      val tmpSide = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))
+      val tmpMain = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))
+      try {
+        val fileActs = all
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .select(col("add"), col("remove"))
+        fileActs.repartition(nParts).write.parquet(tmpSide.toString)
+        val fileActionCount = spark.read.parquet(tmpSide.toString).count()
+        val sideParts = fs.listStatus(tmpSide).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .sortBy(_.getName)
+        val sidecars: Seq[(String, Long, Long)] = sideParts.toSeq.map { src =>
+          val name = java.util.UUID.randomUUID.toString + ".parquet"
+          val dst = new Path(sideDir, name)
+          require(fs.rename(src, dst),
+            s"v2 checkpoint publish at $path failed renaming sidecar $name — " +
+              "the partial sidecar set is unreferenced and invisible to readers")
+          val st = fs.getFileStatus(dst)
+          (name, st.getLen, st.getModificationTime)
+        }
+        def nulls(names: String*) = names.map {
+          case "checkpointMetadata" => lit(null).cast(cmType).as("checkpointMetadata")
+          case "sidecar" => lit(null).cast(scType).as("sidecar")
+          case n => lit(null).cast(ckSchema(n).dataType).as(n)
+        }
+        val nonFileDf = driverDf.where(col("add").isNull && col("remove").isNull)
+          .select(Seq(col("protocol"), col("metaData"), col("txn")) ++
+            nulls("checkpointMetadata", "sidecar"): _*)
+        val cmDf = {
+          import spark.implicits._
+          Seq(latest).toDF("v").select(nulls("protocol", "metaData", "txn") ++ Seq(
+            struct(col("v").as("version"),
+              lit(null).cast(tagsType).as("tags")).as("checkpointMetadata"),
+            lit(null).cast(scType).as("sidecar")): _*)
+        }
+        val scDf = if (sidecars.isEmpty) None else Some {
+          import spark.implicits._
+          sidecars.toDF("path", "sizeInBytes", "modificationTime")
+            .select(nulls("protocol", "metaData", "txn", "checkpointMetadata") ++ Seq(
+              struct(col("path"), col("sizeInBytes"), col("modificationTime"),
+                lit(null).cast(tagsType).as("tags")).as("sidecar")): _*)
+        }
+        val mainDf = (Seq(nonFileDf, cmDf) ++ scDf).reduce(_ unionByName _)
+        mainDf.coalesce(1).write.parquet(tmpMain.toString)
+        val mainPart = fs.listStatus(tmpMain).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        require(mainPart.length == 1,
+          s"v2 checkpoint write at $path produced ${mainPart.length} main files")
+        val mainCount = spark.read.parquet(tmpMain.toString).count()
+        val mainName =
+          f"$latest%020d.checkpoint.${java.util.UUID.randomUUID.toString}.parquet"
+        require(fs.rename(mainPart.head, new Path(logP, mainName)),
+          s"v2 checkpoint publish at $path failed renaming $mainName — the " +
+            "sidecars are unreferenced; this version stays un-checkpointed")
+        val ptr = mapper.createObjectNode
+        ptr.put("version", latest)
+        ptr.put("size", mainCount + fileActionCount)
+        val out = fs.create(new Path(logP, "_last_checkpoint"), true)
+        try out.write((mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
+        finally out.close()
+      } finally { fs.delete(tmpSide, true); fs.delete(tmpMain, true) }
+      return latest
+    }
 
     // --- write + rename publish (part 1 first = the atomic claim) ---
     val tmp = new Path(logP, ".ckpt-tmp-" + java.util.UUID.randomUUID.toString.take(12))

@@ -620,10 +620,15 @@ class DeltaReadSuite extends SparkSpec {
     logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
     assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
       Seq(1L, 2L, 3L, 9L))
-    // but `delta.checkpointPolicy = v2` PINS the v2 form — refuse
-    DeltaWrite.setProperties(spark, root, Map("delta.checkpointPolicy" -> "v2"))
-    val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, root) }
-    assert(e.getMessage.contains("checkpointPolicy"))
+    // round 15: `delta.checkpointPolicy = v2` PINS the v2 form — the
+    // fold now EMITS it (UUID-named main + sidecars) instead of refusing
+    DeltaWrite.setProperties(spark, root, Map("delta.checkpointPolicy" -> "v2")) // v3
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    assert(logDir.list().exists(_.matches(
+      f"${3L}%020d\\.checkpoint\\.[0-9a-f]{8}-[0-9a-f-]{27}\\.parquet")))
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 9L))
   }
 
   test("importDelta is the escape hatch for DV'd + column-mapped tables: live rows only, logical names") {

@@ -1871,4 +1871,110 @@ class DeltaWriteSuite extends SparkSpec {
       assert(new java.net.URI(enc).getPath == n, s"round-trip failed for '$n' -> '$enc'")
     }
   }
+
+  test("delta.checkpointInterval is honored: interval=3 auto-folds at v3, not at v10") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)              // v0
+    DeltaWrite.setProperties(spark, root, Map("delta.checkpointInterval" -> "3")) // v1
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)              // v2
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    assert(!logDir.list().exists(_.contains(".checkpoint")),
+      "no fold before the configured interval")
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)              // v3 → fold
+    assert(logDir.list().contains(f"${3L}%020d.checkpoint.parquet"),
+      "interval=3 must fold at v3 (default 10 would not)")
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root)              // v4
+    DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), root)              // v5
+    assert(!logDir.list().exists(_.startsWith(f"${4L}%020d.checkpoint")) &&
+      !logDir.list().exists(_.startsWith(f"${5L}%020d.checkpoint")))
+    DeltaWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), root)              // v6 → fold
+    assert(logDir.list().contains(f"${6L}%020d.checkpoint.parquet"))
+    // unparseable / non-positive values fall back to the default of 10
+    assert(DeltaWrite.effectiveCheckpointInterval(Map(
+      "delta.checkpointInterval" -> "nope")) == 10)
+    assert(DeltaWrite.effectiveCheckpointInterval(Map(
+      "delta.checkpointInterval" -> "0")) == 10)
+    assert(DeltaWrite.effectiveCheckpointInterval(Map.empty) == 10)
+  }
+
+  test("v2 checkpoint policy: sidecar layout written, snapshot served from it alone") {
+    val root = tmp()
+    // one data file so the DELETE below soft-deletes via a DV instead of
+    // dropping a whole single-row file
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root) // v0
+    // setting the policy upgrades the protocol to carry v2Checkpoint
+    DeltaWrite.setProperties(spark, root, Map("delta.checkpointPolicy" -> "v2")) // v1
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.minReader == 3 && snap.minWriter == 7)
+    assert(snap.readerFeatures.contains("v2Checkpoint") &&
+      snap.writerFeatures.contains("v2Checkpoint"))
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)              // v2
+    DeltaWrite.delete(spark, root, "id = 2")                                    // v3: DV
+    val cv = DeltaWrite.checkpoint(spark, root)
+    assert(cv == 3L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val names = logDir.list().toSeq
+    val mainName = names.find(_.matches(
+      f"$cv%020d\\.checkpoint\\.[0-9a-f]{8}-[0-9a-f-]{27}\\.parquet"))
+    assert(mainName.isDefined, s"v2 UUID-named main checkpoint expected, got: $names")
+    assert(!names.contains(f"$cv%020d.checkpoint.parquet"),
+      "policy=v2 must not emit the classic form")
+    val sidecars = new java.io.File(logDir, "_sidecars").list().toSeq
+      .filterNot(_.startsWith(".")) // local-FS checksum shadows
+    assert(sidecars.nonEmpty && sidecars.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f-]{27}\\.parquet")))
+    // main file: non-file actions + checkpointMetadata + sidecar refs, NO file actions
+    val mainDf = spark.read.parquet(new java.io.File(logDir, mainName.get).toString)
+    assert(mainDf.columns.toSet ==
+      Set("protocol", "metaData", "txn", "checkpointMetadata", "sidecar"))
+    assert(mainDf.where(col("checkpointMetadata.version") === cv).count() == 1,
+      "exactly one checkpointMetadata action stamping the version")
+    val referenced = mainDf.where(col("sidecar.path").isNotNull)
+      .select("sidecar.path").collect().map(_.getString(0)).toSet
+    assert(referenced.nonEmpty && referenced.subsetOf(sidecars.toSet))
+    // every sidecar row is an add or remove, nothing else
+    val sideDf = spark.read.parquet(referenced.map(n =>
+      new java.io.File(new java.io.File(logDir, "_sidecars"), n).toString).toSeq: _*)
+    assert(sideDf.columns.toSet == Set("add", "remove"))
+    assert(sideDf.where(col("add.path").isNotNull).count() > 0)
+    // the DV from v3's DELETE must survive the fold inside the sidecar add
+    assert(sideDf.where(col("add.deletionVector.pathOrInlineDv").isNotNull).count() == 1)
+    // _last_checkpoint points at the fold
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(logDir, "_last_checkpoint").toPath), "UTF-8")
+    assert(ptr.contains("\"version\":3"))
+    // JSON tail cleaned: state must be served from the v2 checkpoint alone
+    names.filter(_.endsWith(".json")).foreach(n => new java.io.File(logDir, n).delete())
+    val s2 = DeltaRead.snapshot(spark, root)
+    assert(s2.version == 3L && s2.readerFeatures.contains("v2Checkpoint"))
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 3L -> "c"), "v2 checkpoint alone must serve the snapshot, DV applied")
+    // post-checkpoint DML keeps working; the NEXT fold is v2 again (fold on top of v2)
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root)              // v4
+    val cv2 = DeltaWrite.checkpoint(spark, root)
+    assert(cv2 == 4L)
+    assert(logDir.list().exists(_.matches(
+      f"$cv2%020d\\.checkpoint\\.[0-9a-f]{8}-[0-9a-f-]{27}\\.parquet")))
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 3L -> "c", 4L -> "d"))
+  }
+
+  test("v2 checkpoint policy without the v2Checkpoint feature refuses loudly") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    // hand-write a spec-invalid config: policy=v2 on a legacy (1,2) protocol
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val v0 = new java.io.File(logDir, f"${0L}%020d.json")
+    val content = new String(java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+    val tampered = content.replace("\"configuration\":{}",
+      "\"configuration\":{\"delta.checkpointPolicy\":\"v2\"}")
+    assert(tampered != content, "fixture: expected an empty configuration to patch")
+    java.nio.file.Files.write(v0.toPath, tampered.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.checkpoint(spark, root)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
 }
