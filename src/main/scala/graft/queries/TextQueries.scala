@@ -646,6 +646,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q134: UNIGRAM (SentencePiece-style) GREEDY SEGMENTATION
+    // (round 15) — the BPE sibling: a piece vocabulary scored by
+    // exact integer substring weights on the %4==0 slice (top-48 by
+    // weight DESC, piece ASC), then every document's greedy
+    // longest-match piece count in ONE projection scan (the piece set
+    // inlines as per-length literal arrays; native aggregate/transform
+    // HOFs, no UDF, zero joins). The oracle rebuilds the identical
+    // vocabulary and replays the greedy walk as a recursive CTE over
+    // distinct word forms — training AND segmentation both hashed.
+    "q134_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = graft.operators.UnigramTokenizer.trainPieces(
+        s, docs.where(col("doc_id") % 4 === 0), topK = 48)
+      docs.select(col("doc_id"),
+        graft.operators.UnigramTokenizer.wordCount(col("text")).as("n_words"),
+        graft.operators.UnigramTokenizer.tokenCount(col("text"), pieces).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // q130: PACK BY LEARNED TOKENIZER LENGTHS (round 14) — the real
     // pre-training shard layout: train 8 BPE merges on the %4==0
     // slice, then sequence-pack the WHOLE corpus by each document's
@@ -1077,6 +1096,50 @@ object TextQueries {
     "q126_bpe" -> bpeOracleSql(8),
 
     "q127_bpe_encode" -> bpeEncodeOracleSql(8),
+
+    // unigram piece vocab (exact integer substring weights, top-48)
+    // rebuilt from the slice; the greedy longest-match walk replayed
+    // as a recursive CTE over distinct word forms, then joined back to
+    // per-doc word occurrences
+    "q134_unigram" ->
+      """WITH RECURSIVE
+        |wf AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |    FROM documents WHERE doc_id % 4 = 0)
+        |  WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY 1),
+        |cand AS (
+        |  SELECT unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+        |           list_transform(range(2, least(6, length(w) - i + 1) + 1), l ->
+        |             substr(w, i, l))))) AS piece,
+        |         c
+        |  FROM wf),
+        |vocab AS (
+        |  SELECT piece FROM (
+        |    SELECT piece, CAST(sum(c) AS BIGINT) AS weight FROM cand GROUP BY 1)
+        |  ORDER BY weight DESC, piece LIMIT 48),
+        |wl AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE regexp_full_match(w, '[a-z]{2,20}')),
+        |seg AS (
+        |  SELECT w, 1 AS pos, 0 AS n FROM wl
+        |  UNION ALL
+        |  SELECT w,
+        |    pos + coalesce((SELECT max(length(v.piece)) FROM vocab v
+        |                    WHERE v.piece = substr(seg.w, seg.pos, length(v.piece))), 1),
+        |    n + 1
+        |  FROM seg WHERE pos <= length(w)),
+        |wp AS (SELECT w, n FROM seg WHERE pos > length(w)),
+        |docl AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE regexp_full_match(w, '[a-z]{2,20}')),
+        |res AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
+        |          CAST(sum(wp.n) AS BIGINT) AS np
+        |        FROM docl d JOIN wp USING (w) GROUP BY 1)
+        |SELECT doc.doc_id, coalesce(r.nw, 0) AS n_words, coalesce(r.np, 0) AS n_pieces
+        |FROM documents doc LEFT JOIN res r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // bigram LM closed form: counts, margins, and integer micro-probs
     // recomputed from the same slice

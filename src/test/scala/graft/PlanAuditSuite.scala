@@ -353,6 +353,17 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.toLowerCase.contains("replace"), p)
   }
 
+  test("q134: corpus-wide unigram segmentation is ONE documents scan — no vocab join") {
+    // (building this plan trains the piece vocab — bounded topK collect)
+    val p = plan("q134_unigram")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("NestedLoop") && !p.contains("Window"), p)
+    // the greedy walk runs as inlined literal-array probes inside the
+    // projection, never an expanded per-piece join
+    assert(p.toLowerCase.contains("array_contains"), p)
+  }
+
   test("q129: the pruned LM broadcasts; corpus text explodes exactly once") {
     val p = plan("q129_lm_score")
     // the (w1,w2) probe against the LM must be a broadcast, never a

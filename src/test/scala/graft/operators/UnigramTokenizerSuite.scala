@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unigram tokenizer pinned against a naive driver-side reference
+  * (exact substring weighting + greedy longest-match walk), plus the
+  * engine-portability contracts q134's DuckDB oracle relies on:
+  * integer piece weights, (weight DESC, piece ASC) tie-break, and the
+  * single-character fallback.
+  */
+class UnigramTokenizerSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: substring weights over the word-frequency
+    * table, top-K vocab, greedy longest-match count.
+    */
+  private def referencePieces(texts: Seq[String], topK: Int,
+                              maxLen: Int = 6): Seq[UnigramTokenizer.Piece] = {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split("\\s+").foreach { w =>
+      if (w.matches("[a-z]{2,20}")) wc(w) = wc.getOrElse(w, 0L) + 1
+    })
+    val weights = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (i <- 0 until w.length; l <- 2 to maxLen if i + l <= w.length) {
+        val p = w.substring(i, i + l)
+        weights(p) = weights.getOrElse(p, 0L) + c
+      }
+    }
+    weights.toSeq.sortBy { case (p, wt) => (-wt, p) }.take(topK)
+      .map { case (p, wt) => UnigramTokenizer.Piece(p, wt) }
+  }
+
+  private def referenceCount(word: String, vocab: Set[String], maxLen: Int = 6): Int = {
+    var i = 0; var n = 0
+    while (i < word.length) {
+      val l = (maxLen.min(word.length - i) to 2 by -1)
+        .find(l => vocab.contains(word.substring(i, i + l))).getOrElse(1)
+      i += l; n += 1
+    }
+    n
+  }
+
+  test("trainPieces equals the reference substring weights and tie-break") {
+    val texts = Seq(
+      "the lower lowest low low lowering",
+      "newer newest new news the the the",
+      "sing singing singer ring rings")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = UnigramTokenizer.trainPieces(spark, docs, topK = 12)
+    val want = referencePieces(texts, topK = 12)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("greedy longest-match: longer piece wins, fallback chars count one each") {
+    // vocab: "sing" (len 4) and "in" (len 2) — greedy over "singing"
+    // must take sing | in | g = 3, never s|in|g|in|g
+    val pieces = Seq(UnigramTokenizer.Piece("sing", 10L), UnigramTokenizer.Piece("in", 9L))
+    val df = Seq((1L, "singing"), (2L, "sing"), (3L, "xyz"), (4L, "insingin"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        UnigramTokenizer.tokenCount(col("text"), pieces).as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // singing = sing|in|g = 3; sing = 1; xyz = x|y|z = 3 (all fallback);
+    // insingin = in|sing|in = 3
+    assert(got == Seq(1L -> 3L, 2L -> 1L, 3L -> 3L, 4L -> 3L), got)
+  }
+
+  test("tokenCount equals the reference walk corpus-wide; alphabet filter holds") {
+    val texts = Seq(
+      "the lower lowest low low lowering",
+      "newer newest new news the the the",
+      "Sing SING 123 a toolongwordthatgoeson!", // outside [a-z]{2,20}: all skipped
+      "sing singing singer ring rings",
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pieces = UnigramTokenizer.trainPieces(spark, docs, topK = 8)
+    val vocab = pieces.map(_.piece).toSet
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val words = t.split("\\s+").filter(_.matches("[a-z]{2,20}"))
+      (i.toLong, words.length.toLong,
+        words.map(w => referenceCount(w, vocab).toLong).sum)
+    }
+    val got = docs.select(col("doc_id"),
+        UnigramTokenizer.wordCount(col("text")).as("n_words"),
+        UnigramTokenizer.tokenCount(col("text"), pieces).as("n_pieces"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got(2)._2 == 0L && got(2)._3 == 0L, "non-alphabet doc contributes nothing")
+    assert(got(4)._2 == 0L && got(4)._3 == 0L, "empty doc is zero, not null")
+  }
+
+  test("piece weights count every occurrence position, weighted by word frequency") {
+    // "aaaa" x3: substring "aa" occurs at 3 positions -> weight 9;
+    // "aaa" at 2 positions -> 6; "aaaa" at 1 -> 3
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = UnigramTokenizer.trainPieces(spark, docs, topK = 3)
+    assert(got == Seq(UnigramTokenizer.Piece("aa", 9L),
+      UnigramTokenizer.Piece("aaa", 6L), UnigramTokenizer.Piece("aaaa", 3L)), got)
+  }
+}
