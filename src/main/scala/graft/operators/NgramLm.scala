@@ -97,4 +97,55 @@ object NgramLm {
         coalesce(col("n_found"), lit(0L)).as("n_found"),
         coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"))
   }
+
+  /** CCNet-style QUALITY BUCKETING (arXiv:1911.00359 §4: the corpus
+    * splits into head/middle/tail thirds by LM score; training data
+    * recipes then sample the buckets at different rates). Input is
+    * [[scoreDocs]]'s output; the per-document score is the exact
+    * integer `sum_p_micro * 1000 div n_bigrams` (mean bigram
+    * micro-probability ×1000, floor division — 0 for bigram-less
+    * docs), so both the score and the bucket assignment are
+    * engine-portable.
+    *
+    * Cutoffs are the ceil(N/3)-th and ceil(2N/3)-th LARGEST scores,
+    * derived from the score HISTOGRAM: one hash aggregation to
+    * (score, count), one running-sum window over the histogram —
+    * bounded by |distinct scores|, never a per-document global window
+    * (the q128 vocab-bounded-window discipline) — and two scalar
+    * cutoff collects. Score ties share a bucket (a tie straddling a
+    * boundary lands whole in the higher bucket), which keeps the
+    * assignment a pure projection against two literal cutoffs instead
+    * of a global row_number.
+    */
+  def bucketByScore(scored: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // materialize (id, score) once: the histogram pass, the count, and
+    // the final projection otherwise each re-run the upstream scoring
+    // join; the released checkpoint keeps nothing in the session after
+    // the result is consumed (Dedup's materialize-then-release pattern)
+    val s = scored.select(col(idCol),
+      when(col("n_bigrams") === 0L, lit(0L))
+        .otherwise(expr("sum_p_micro * 1000 div n_bigrams")).as("score"))
+      .localCheckpoint(true)
+    val hist = s.groupBy("score").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.select(col("score"), sum("c").over(w).as("cum"))
+    val n = s.count()
+    if (n == 0L) return s.select(col(idCol), col("score"),
+      lit(null).cast("string").as("bucket"))
+    val k1 = (n + 2) / 3
+    val k2 = (2 * n + 2) / 3
+    // max(score | cum >= k) IS the k-th largest score: cum(s) counts
+    // docs scoring >= s, so {s : cum >= k} is exactly the scores at or
+    // below the k-th largest — two bounded scalar collects
+    def cutoff(k: Long): Long =
+      cum.where(col("cum") >= k).agg(max("score")).collect()(0).getLong(0)
+    val c1 = cutoff(k1)
+    val c2 = cutoff(k2)
+    s.select(col(idCol), col("score"),
+      when(col("score") >= c1, lit("head"))
+        .when(col("score") >= c2, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
 }

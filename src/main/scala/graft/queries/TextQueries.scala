@@ -646,6 +646,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q135: CCNET-STYLE QUALITY BUCKETING (round 15) — the step CCNet
+    // runs after LM scoring: split the corpus into head/middle/tail
+    // thirds by LM score (training recipes then sample buckets at
+    // different rates). Score = exact integer mean bigram
+    // micro-probability ×1000; cutoffs = the ceil(N/3)-th and
+    // ceil(2N/3)-th largest scores via a histogram-bounded window
+    // (never a per-doc global window); ties share a bucket. Everything
+    // integer → oracle rebuilds LM, scores, and buckets identically.
+    "q135_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.NgramLm.trainBigrams(
+        docs.where(col("doc_id") % 4 === 0), minCount = 2L)
+      graft.operators.NgramLm.bucketByScore(
+          graft.operators.NgramLm.scoreDocs(docs, lm))
+        .orderBy("doc_id")
+    }),
+
     // q134: UNIGRAM (SentencePiece-style) GREEDY SEGMENTATION
     // (round 15) — the BPE sibling: a piece vocabulary scored by
     // exact integer substring weights on the %4==0 slice (top-48 by
@@ -1096,6 +1113,52 @@ object TextQueries {
     "q126_bpe" -> bpeOracleSql(8),
 
     "q127_bpe_encode" -> bpeEncodeOracleSql(8),
+
+    // q129's LM + scoring CTEs, then the CCNet bucket math: integer
+    // mean-micro-prob score, histogram + desc running sum (distinct
+    // scores only — no peers, so RANGE vs ROWS frames agree), cutoffs
+    // as the k-th largest scores, ties share a bucket
+    "q135_ccnet_buckets" ->
+      """WITH ws AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |                     w -> regexp_full_match(w, '[a-z]{2,20}')) AS ws
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |bi AS (
+        |  SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ws, unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2),
+        |m AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        |lm AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(round(b.c12 * 1000000.0 / m.c1) AS BIGINT) AS p_micro
+        |  FROM bi b JOIN m USING (w1) WHERE b.c12 >= 2),
+        |dws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             w -> regexp_full_match(w, '[a-z]{2,20}')) AS ws
+        |  FROM documents),
+        |dbi AS (
+        |  SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+        |  FROM dws, unnest(range(1, len(ws))) AS u(i)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams
+        |        FROM dbi GROUP BY 1),
+        |fnd AS (SELECT doc_id, CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+        |        FROM dbi JOIN lm USING (w1, w2) GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(coalesce(f.sum_p_micro, 0) * 1000 // t.n_bigrams AS BIGINT)
+        |    END AS score
+        |  FROM documents d
+        |  LEFT JOIN tot t USING (doc_id) LEFT JOIN fnd f USING (doc_id)),
+        |hist AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score DESC) AS cum FROM hist),
+        |nn AS (SELECT count(*) AS n FROM sc),
+        |c1 AS (SELECT max(score) AS v FROM cum, nn WHERE cum >= (n + 2) // 3),
+        |c2 AS (SELECT max(score) AS v FROM cum, nn WHERE cum >= (2 * n + 2) // 3)
+        |SELECT sc.doc_id, sc.score,
+        |  CASE WHEN sc.score >= (SELECT v FROM c1) THEN 'head'
+        |       WHEN sc.score >= (SELECT v FROM c2) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc ORDER BY sc.doc_id""".stripMargin,
 
     // unigram piece vocab (exact integer substring weights, top-48)
     // rebuilt from the slice; the greedy longest-match walk replayed

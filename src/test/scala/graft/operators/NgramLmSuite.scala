@@ -74,4 +74,34 @@ class NgramLmSuite extends SparkSpec {
     assert(byId(1L)._4 == theCat + catSat && byId(2L)._4 == 2L * theCat)
     assert(byId(5L)._4 == theCat + catSat) // "the cat sat"
   }
+
+  test("bucketByScore: exact thirds by k-th largest score, ties share a bucket") {
+    // scores by construction: 9 docs with distinct scores → 3/3/3
+    val scored = (1L to 9L).map(i => (i, 10L, 10L, i * 10L))
+      .toDF("doc_id", "n_bigrams", "n_found", "sum_p_micro")
+    val got = NgramLm.bucketByScore(scored)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    // score = sum_p_micro * 1000 div 10 = i * 1000
+    assert(got.map(_._2) == (1L to 9L).map(_ * 1000L))
+    assert(got.map(_._3) == Seq("tail", "tail", "tail",
+      "middle", "middle", "middle", "head", "head", "head"), got)
+
+    // ties straddling a boundary land WHOLE in the higher bucket:
+    // 6 docs scoring {30,30,30,30,20,10} → k1=2, k2=4, and BOTH the
+    // 2nd and 4th largest scores are 30 — head absorbs the whole tie
+    // (middle is swallowed), the two below-tie docs are tail
+    val tied = Seq((1L, 30L), (2L, 30L), (3L, 30L), (4L, 30L), (5L, 20L), (6L, 10L))
+      .map { case (i, s) => (i, 1L, 1L, s) }
+      .toDF("doc_id", "n_bigrams", "n_found", "sum_p_micro")
+    val gt = NgramLm.bucketByScore(tied)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(gt.map(_._3) == Seq("head", "head", "head", "head", "tail", "tail"), gt)
+
+    // bigram-less docs score 0 and land in tail when others score higher
+    val z = Seq((1L, 0L, 0L, 0L), (2L, 2L, 2L, 100L), (3L, 2L, 2L, 200L))
+      .toDF("doc_id", "n_bigrams", "n_found", "sum_p_micro")
+    val gz = NgramLm.bucketByScore(z)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(gz == Seq((1L, 0L, "tail"), (2L, 50000L, "middle"), (3L, 100000L, "head")), gz)
+  }
 }
