@@ -242,11 +242,16 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       chunkTokens: Int = 20): DataFrame = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    // _toks is MATERIALIZED by its own projection before the lambda:
+    // slice(toks, i·k+1, …) with an inline tokens(normalize(text))
+    // would re-run the regex split once per chunk element (Spark does
+    // not CSE inside transform lambdas) — O(chunks·textlen) per doc
     val chunks = transform(
-      sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
-      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
-    docs.select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      sequence(lit(0), ((size(col("_toks")) - 1) / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(col("_toks"), i * chunkTokens + 1, lit(chunkTokens))))
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("_toks"))
+      .select(col("id"), explode(chunks).as("chunk"))
       .where(col("chunk") =!= "")
       .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
       .agg(count(lit(1)).as("n_occurrences"), min(col("id")).as("first_doc"))
@@ -280,12 +285,16 @@ object Curation {
       maxDocFreq: Int = 2): DataFrame = {
     require(chunkTokens >= 1 && maxDocFreq >= 1,
       "removeBoilerplate needs chunkTokens >= 1 and maxDocFreq >= 1")
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    // _toks materialized before the lambda — same re-evaluation trap
+    // as chunkDedup above (slice over an inline tokens() inside the
+    // transform would re-split the text once per segment)
     val segs = transform(
-      sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
-      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+      sequence(lit(0), ((size(col("_toks")) - 1) / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(col("_toks"), i * chunkTokens + 1, lit(chunkTokens))))
     val exploded = docs
-      .select(col(idCol).as("id"), posexplode(segs).as(Seq("pos", "seg")))
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("_toks"))
+      .select(col("id"), posexplode(segs).as(Seq("pos", "seg")))
       .where(col("seg") =!= "")
       .withColumn("h", xxhash64(col("seg")))
     val boiler = exploded.groupBy(col("h"))

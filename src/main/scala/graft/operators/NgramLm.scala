@@ -31,17 +31,24 @@ object NgramLm {
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w.rlike("^[a-z]{2,20}$"))
 
-  /** Adjacent word pairs of a text column as `struct(w1, w2)` —
-    * guarded: a 0/1-word doc yields an empty array (`sequence(1,0)`
-    * is DESCENDING in Spark, never empty).
+  /** Adjacent word pairs of a MATERIALIZED word-array column as
+    * `struct(w1, w2)` — guarded: a 0/1-word doc yields an empty array
+    * (`sequence(1,0)` is DESCENDING in Spark, never empty).
+    *
+    * `ws` MUST be a bound attribute (a column materialized by a
+    * previous projection), never the [[words]] expression inline: this
+    * expression references `ws` ~2n times (size + two element_at per
+    * bigram), and Spark does NOT common-subexpression-eliminate inside
+    * transform lambdas — an inline words(text) would re-run the
+    * split + per-word regex filter once PER REFERENCE, turning the
+    * explode O(words²·regex) per document (measured 28 s for an
+    * 870-row LM at sf1; 1–2 s with the projection boundary).
     */
-  private def bigramsOf(text: Column): Column = {
-    val ws = words(text)
+  private def bigramsOfWs(ws: Column): Column =
     when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-  }
 
   /** Train the bigram LM: `(w1, w2, c12, c1, p, p_micro)`. `minCount`
     * drops bigrams with `c12 < minCount` AFTER the margin `c1` is
@@ -56,7 +63,8 @@ object NgramLm {
     // one (plan-pinned in PlanAuditSuite). The w1 partition is bounded
     // by vocabulary fan-out, never corpus volume.
     val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-    docs.select(explode(bigramsOf(col(textCol))).as("b"))
+    docs.select(words(col(textCol)).as("__ws")) // projection boundary: see bigramsOfWs
+      .select(explode(bigramsOfWs(col("__ws"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum("c12").over(w1win))
@@ -83,7 +91,8 @@ object NgramLm {
     // two-aggregation alternative scans the corpus text twice. The id
     // spine re-join only reads the id column (column-pruned scan).
     val flagged = docs
-      .select(col(idCol), explode(bigramsOf(col(textCol))).as("b"))
+      .select(col(idCol), words(col(textCol)).as("__ws")) // boundary: see bigramsOfWs
+      .select(col(idCol), explode(bigramsOfWs(col("__ws"))).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))
       .join(lm.select("w1", "w2", "p_micro"), Seq("w1", "w2"), "left")
     val agg = flagged.groupBy(idCol).agg(

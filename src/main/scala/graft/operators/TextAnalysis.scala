@@ -175,8 +175,9 @@ object TextAnalysis {
     * computes every n-window join in a single byte-level pass, so the
     * gram stage fuses with the scan: no posexplode + lead-window (which
     * shuffled the exploded token stream on the doc id) and no
-    * interpreted array lambdas ([[wordNgrams]], measured ~4× slower
-    * per token).
+    * interpreted array lambdas (a lambda formulation measured ~4×
+    * slower per token — and quadratic when the token array stayed an
+    * inline expression; see the note below where it used to live).
     */
   def wordGramArray(text: Column, n: Int = 2): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, WordGrams}
@@ -330,13 +331,11 @@ object TextAnalysis {
       .orderBy(col("term_count").desc, col("tok"))
       .limit(topK)
 
-  /** Word n-grams (default bigrams) of normalized text. */
-  def wordNgrams(text: Column, n: Int = 2): Column = {
-    val toks = tokens(normalize(text))
-    filter(
-      transform(toks, (_, i) => when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      g => g.isNotNull)
-  }
+  // (a lambda-based wordNgrams used to live here — deleted in round 15:
+  // its slice(toks, i+1, n) re-evaluated the inline tokens(normalize())
+  // once PER ELEMENT (no CSE inside transform lambdas), O(words²·regex)
+  // per document — 114 s forced at sf1 vs ~1 s for the codegen'd
+  // [[wordGramArray]] every production path already uses)
 
   /** Repetition signals (Gopher-style quality filters): per-document
     * duplicate-token ratio and the fraction of all bigrams taken by the

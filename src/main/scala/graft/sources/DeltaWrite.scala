@@ -2592,6 +2592,105 @@ object DeltaWrite {
   private case class CkRow(protocol: CkProtocol, metaData: CkMeta, add: CkAdd,
                            remove: CkRemove, txn: CkTxn)
 
+  /** Delta duration-property parse: `interval N <unit>` (delta-spark's
+    * CalendarInterval surface restricted to the fixed-length units the
+    * log properties actually use). Refuses month/year — calendar
+    * arithmetic on a retention window is ambiguous, and delta-spark's
+    * defaults never use them.
+    */
+  private[sources] def parseRetention(s: String): Long = {
+    val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(nanosecond|microsecond|millisecond|second|minute|hour|day|week)s?\s*""".r
+    s match {
+      case Re(n, unit) =>
+        val ms = unit.toLowerCase match {
+          case "nanosecond" => 1L / 1000000L // floors to 0 — sub-ms is sub-resolution
+          case "microsecond" => 0L
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60L * 1000
+          case "hour" => 3600L * 1000
+          case "day" => 24L * 3600 * 1000
+          case "week" => 7L * 24 * 3600 * 1000
+        }
+        n.toLong * ms
+      case _ => throw new IllegalArgumentException(
+        s"unparseable Delta retention duration '$s' — expected 'interval N " +
+          "<second|minute|hour|day|week>[s]'")
+    }
+  }
+
+  /** METADATA CLEANUP (delta-spark's expired-log deletion, run after
+    * every checkpoint): delete commit JSONs in a CONTIGUOUS prefix
+    * strictly below the newest checkpoint whose modification time is
+    * past `delta.logRetentionDuration` (default `interval 30 days`),
+    * plus any checkpoint files (and their v2 sidecars) wholly inside
+    * the deleted prefix. Gated on `delta.enableExpiredLogCleanup`
+    * (default true). The cut stops at the FIRST unexpired commit —
+    * never a hole — so the surviving log replays from the newest
+    * checkpoint exactly as before; time travel below the cut refuses,
+    * delta-spark's documented trade. Returns the deleted log-relative
+    * names. Best-effort from [[checkpoint]]; callable as maintenance.
+    */
+  def cleanupExpiredLogs(spark: SparkSession, path: String,
+                         nowMs: Long = System.currentTimeMillis): Seq[String] =
+    cleanupExpiredLogsWith(spark, path,
+      DeltaRead.snapshot(spark, path).configuration, nowMs)
+
+  private def cleanupExpiredLogsWith(spark: SparkSession, path: String,
+                                     conf: Map[String, String],
+                                     nowMs: Long): Seq[String] = {
+    if (!conf.getOrElse("delta.enableExpiredLogCleanup", "true")
+          .equalsIgnoreCase("true")) return Nil
+    val retention = parseRetention(
+      conf.getOrElse("delta.logRetentionDuration", "interval 30 days"))
+    val cutoffMs = nowMs - retention
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    if (!fs.exists(logP)) return Nil
+    val statuses = fs.listStatus(logP)
+    val mtimes = statuses.map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val names = statuses.map(_.getPath.getName).toSeq
+    val cpFiles = DeltaRead.checkpointFilesOf(names)
+    if (cpFiles.isEmpty) return Nil // state must stay replayable
+    val latestCp = cpFiles.keys.max
+    // contiguous expired prefix strictly below the newest checkpoint
+    val commits = DeltaRead.commitVersionsOf(names).sorted
+    var cut = -1L
+    val it = commits.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val v = it.next()
+      val n = f"$v%020d.json"
+      if (v < latestCp && mtimes.getOrElse(n, Long.MaxValue) <= cutoffMs) cut = v
+      else stop = true
+    }
+    if (cut < 0) return Nil
+    val deleted = Seq.newBuilder[String]
+    for (v <- commits if v <= cut) {
+      val n = f"$v%020d.json"
+      if (fs.delete(new Path(logP, n), false)) deleted += n
+    }
+    // checkpoints wholly inside the deleted prefix are superseded by
+    // the newer one the cut preserves; a deleted v2 main file's
+    // sidecars go with it (UUID-unique per write — never shared)
+    for ((v, files) <- cpFiles if v <= cut; n <- files) {
+      if (n.matches("""\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet""")) {
+        try {
+          spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
+            .where(col("sidecar.path").isNotNull)
+            .collect().map(_.getString(0)).foreach { rel =>
+              if (!rel.contains("://") && !rel.startsWith("/") &&
+                  fs.delete(new Path(new Path(logP, "_sidecars"), rel), false))
+                deleted += s"_sidecars/$rel"
+            }
+        } catch { case scala.util.control.NonFatal(_) => () } // sidecar col absent
+      }
+      if (fs.delete(new Path(logP, n), false)) deleted += n
+    }
+    deleted.result()
+  }
+
   /** How long removed-file TOMBSTONES survive in checkpoints (matches
     * delta-spark's `deletedFileRetentionDuration` default of 7 days).
     * Tombstones exist for FOREIGN vacuum tooling — our reader
@@ -3082,6 +3181,9 @@ object DeltaWrite {
         try out.write((mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
         finally out.close()
       } finally { fs.delete(tmpSide, true); fs.delete(tmpMain, true) }
+      try cleanupExpiredLogsWith(spark, rootP.toString, meta.configuration,
+        System.currentTimeMillis)
+      catch { case scala.util.control.NonFatal(_) => () }
       return latest
     }
 
@@ -3123,6 +3225,11 @@ object DeltaWrite {
         finally out.close()
       } // else: a concurrent checkpointer claimed this version
     } finally fs.delete(tmp, true)
+    // delta-spark's cadence: metadata cleanup piggybacks on checkpoints
+    // (best-effort — an expired-log sweep failure never fails the fold)
+    try cleanupExpiredLogsWith(spark, rootP.toString, meta.configuration,
+      System.currentTimeMillis)
+    catch { case scala.util.control.NonFatal(_) => () }
     latest
   }
 

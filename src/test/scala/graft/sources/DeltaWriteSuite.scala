@@ -1961,6 +1961,69 @@ class DeltaWriteSuite extends SparkSpec {
       Seq(1L -> "a", 3L -> "c", 4L -> "d"))
   }
 
+  test("expired-log cleanup: contiguous expired prefix below the newest checkpoint") {
+    val root = tmp()
+    for (i <- 0 until 6)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaWrite.checkpoint(spark, root) == 5L) // default 30d retention → no-op sweep
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    assert((0 to 5).forall(v => new java.io.File(logDir, f"$v%020d.json").exists))
+    // age v0..v2 past a 1-hour retention; v3 stays fresh
+    val old = System.currentTimeMillis - 2L * 3600 * 1000
+    (0 to 2).foreach(v =>
+      assert(new java.io.File(logDir, f"$v%020d.json").setLastModified(old)))
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.logRetentionDuration" -> "interval 1 hour")) // v6
+    val del = DeltaWrite.cleanupExpiredLogs(spark, root)
+    assert(del.toSet == (0 to 2).map(v => f"$v%020d.json").toSet, del)
+    // state still replays from the checkpoint; the tail is intact
+    assert(DeltaRead.read(spark, root).count() == 6)
+    assert(!new java.io.File(logDir, f"${0L}%020d.json").exists)
+    // CONTIGUITY: an expired commit past an unexpired one must survive
+    // (deleting v4 with v3 alive would hole the log)
+    assert(new java.io.File(logDir, f"${4L}%020d.json").setLastModified(old))
+    assert(DeltaWrite.cleanupExpiredLogs(spark, root).isEmpty)
+    // the kill switch wins even over expired entries
+    (3 to 5).foreach(v =>
+      new java.io.File(logDir, f"$v%020d.json").setLastModified(old))
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableExpiredLogCleanup" -> "false")) // v7
+    assert(DeltaWrite.cleanupExpiredLogs(spark, root).isEmpty)
+    // re-enabled: v3..v4 (below cp v5, expired) go; v5 itself is kept
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableExpiredLogCleanup" -> "true")) // v8
+    val del2 = DeltaWrite.cleanupExpiredLogs(spark, root)
+    assert(del2.toSet == (3 to 4).map(v => f"$v%020d.json").toSet, del2)
+    assert(new java.io.File(logDir, f"${5L}%020d.json").exists)
+    assert(DeltaRead.read(spark, root).count() == 6)
+  }
+
+  test("expired-log cleanup deletes superseded checkpoints inside the prefix") {
+    val root = tmp()
+    for (i <- 0 until 4)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    for (i <- 4 until 8)
+      DeltaWrite.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), root)
+    assert(DeltaWrite.checkpoint(spark, root) == 7L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val old = System.currentTimeMillis - 2L * 3600 * 1000
+    (0 to 6).foreach(v =>
+      new java.io.File(logDir, f"$v%020d.json").setLastModified(old))
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.logRetentionDuration" -> "interval 1 hour")) // v8
+    val del = DeltaWrite.cleanupExpiredLogs(spark, root)
+    assert(del.contains(f"${3L}%020d.checkpoint.parquet"), del)
+    assert((0 to 6).forall(v => del.contains(f"$v%020d.json")), del)
+    assert(new java.io.File(logDir, f"${7L}%020d.checkpoint.parquet").exists)
+    assert(DeltaRead.read(spark, root).count() == 8)
+    // retention parse surface
+    assert(DeltaWrite.parseRetention("interval 30 days") == 30L * 24 * 3600 * 1000)
+    assert(DeltaWrite.parseRetention("interval 1 week") == 7L * 24 * 3600 * 1000)
+    assert(DeltaWrite.parseRetention("INTERVAL 2 HOURS") == 2L * 3600 * 1000)
+    intercept[IllegalArgumentException] { DeltaWrite.parseRetention("interval 1 month") }
+  }
+
   test("v2 checkpoint policy without the v2Checkpoint feature refuses loudly") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
