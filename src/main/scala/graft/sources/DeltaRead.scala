@@ -225,18 +225,53 @@ object DeltaRead {
     val cm = snap.colMap
     val idMode = snap.configuration.get("delta.columnMapping.mode").contains("id")
     if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
-      .map { f =>
-        val g = if (cm.isEmpty) f else f.copy(name = cm(f.name))
-        if (!idMode) g
-        else g.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(g.metadata)
-          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-          .build())
+    // NESTED mapping (round 15): inner struct fields (including structs
+    // under arrays/maps) are renamed too — the parquet READ schema is
+    // the recursively physicalized type (each nested field's
+    // physicalName from its own metadata, ids stamped in id mode), and
+    // the final projection CASTS each mapped column back to its logical
+    // type: a struct cast matches by POSITION and takes the target's
+    // field names, which is exactly the physical→logical rename.
+    def physType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => physField(f, None)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = physType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
+      case other => other
+    }
+    def physField(f: StructField, topName: Option[String]): StructField = {
+      val physKey = "delta.columnMapping.physicalName"
+      val pn = topName.getOrElse {
+        if (f.metadata.contains(physKey)) f.metadata.getString(physKey)
+        else throw new IllegalStateException(
+          s"Delta table at $path maps a nested schema but field '${f.name}' " +
+            "carries no physicalName metadata (the protocol requires it on " +
+            "every field) — corrupt log?")
       }
+      val g = f.copy(name = pn, dataType = physType(f.dataType))
+      if (!idMode || !f.metadata.contains("delta.columnMapping.id")) g
+      else g.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(g.metadata)
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build())
+    }
+    def hasStructType(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasStructType(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasStructType(m.keyType) || hasStructType(m.valueType)
+      case _ => false
+    }
+    val dataCols = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
+      .map { f => if (cm.isEmpty) f else physField(f, Some(cm(f.name))) }
     def outCols: Array[org.apache.spark.sql.Column] = {
-      val logical = snap.schema.fieldNames.map { n =>
-        if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n) else col(cm(n)).as(n)
+      val logical = snap.schema.fields.map { f =>
+        val n = f.name
+        if (cm.isEmpty || snap.partitionColumns.contains(n)) col(n)
+        else if (hasStructType(f.dataType)) // positional cast = nested rename-back
+          col(cm(n)).cast(f.dataType).as(n)
+        else col(cm(n)).as(n)
       }
       if (!withRowMeta) logical
       else logical ++ Array(col("_metadata.file_path").as("__graft_dv_fp"),
@@ -820,25 +855,16 @@ object DeltaRead {
     }
   }
 
-  /** Logical → physical name map for `delta.columnMapping.mode = name`:
+  /** TOP-LEVEL logical → physical name map for column-mapped tables:
     * every top-level field must carry the protocol's physicalName
-    * metadata. Nested mapped schemas (structs, arrays/maps OF structs —
-    * whose inner fields are renamed too) are refused loudly rather
-    * than silently misread.
+    * metadata. Nested mapped schemas read too (round 15): the inner
+    * renames resolve from each nested field's own metadata at the scan
+    * ([[scanSnapshot]]'s recursive physicalization + cast-back) — this
+    * map stays top-level because that is what partition translation
+    * and the writers consume.
     */
   private def buildColMap(path: String, schema: StructType): Map[String, String] = {
-    def hasStruct(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case a: org.apache.spark.sql.types.ArrayType => hasStruct(a.elementType)
-      case m: org.apache.spark.sql.types.MapType => hasStruct(m.keyType) || hasStruct(m.valueType)
-      case _ => false
-    }
     schema.fields.map { f =>
-      if (hasStruct(f.dataType))
-        throw new UnsupportedOperationException(
-          s"Delta table at $path uses column mapping on a NESTED schema " +
-            s"(column '${f.name}') — nested physical renames are not supported " +
-            "by this interop reader; read it with delta-spark")
       val key = "delta.columnMapping.physicalName"
       if (!f.metadata.contains(key))
         throw new IllegalStateException(

@@ -762,6 +762,23 @@ object DeltaWrite {
     if (conf.get("delta.columnMapping.mode").contains("id"))
       refuse("delta.columnMapping.mode=id requires writing parquet field ids, " +
         "which this writer does not emit; the table stays readable here")
+    // NESTED mapped schemas are READ-ONLY (round 15 added the reads):
+    // this writer's physical rename is top-level, so a write would land
+    // parquet whose INNER fields carry logical names — silent corruption
+    // for every physical-name-resolving reader
+    if (snap.colMap.nonEmpty) {
+      def nested(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.StructType => true
+        case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          nested(m.keyType) || nested(m.valueType)
+        case _ => false
+      }
+      if (snap.schema.fields.exists(f => nested(f.dataType)))
+        refuse("column mapping on a NESTED schema: this writer renames top-level " +
+          "columns only, and a write would emit logical inner field names; " +
+          "the table stays readable here")
+    }
     require(snap.minWriter <= 7,
       s"Delta table at $path requires minWriterVersion=${snap.minWriter} — newer " +
         "than this writer's protocol support (<=7); write with delta-spark")

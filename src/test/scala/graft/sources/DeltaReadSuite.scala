@@ -417,15 +417,44 @@ class DeltaReadSuite extends SparkSpec {
     assert(e.getMessage.contains("field ids"), e.getMessage)
   }
 
-  test("column mapping refusals: nested mapped schemas; streams; mapped overwrite now lands") {
+  test("NESTED mapped schemas read (struct + array-of-struct renamed); writes refuse") {
+    import org.apache.spark.sql.Row
     val root2 = tmp()
-    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root2, "f1.parquet")
+    // physical file: every level physical-named
+    val physSchema = StructType(Seq(
+      StructField("col-aaa111", LongType),
+      StructField("col-bbb222", StructType(Seq(
+        StructField("col-xxx", LongType), StructField("col-yyy", StringType)))),
+      StructField("col-ccc333", org.apache.spark.sql.types.ArrayType(
+        StructType(Seq(StructField("col-zzz", LongType)))))))
+    writeDataFile(spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, Row(10L, "ten"), Seq(Row(100L), Row(101L))),
+      Row(2L, Row(20L, "twenty"), Seq(Row(200L)))), physSchema), root2, "f1.parquet")
+    // logical schema: physicalName metadata at EVERY level
     val nested = StructType(Seq(
       mappedField("id", LongType, 1, "col-aaa111"),
-      mappedField("s", StructType(Seq(StructField("x", LongType))), 2, "col-bbb222")))
+      mappedField("s", StructType(Seq(
+        mappedField("x", LongType, 3, "col-xxx"),
+        mappedField("y", StringType, 4, "col-yyy"))), 2, "col-bbb222"),
+      mappedField("arr", org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        mappedField("z", LongType, 6, "col-zzz")))), 5, "col-ccc333")))
     commit(root2, 0, Seq(cmProtocol, mappedMetaData(nested), addLine(root2, "f1.parquet")))
-    val e2 = intercept[UnsupportedOperationException] { DeltaRead.read(spark, root2) }
-    assert(e2.getMessage.contains("NESTED"))
+    val out = DeltaRead.read(spark, root2)
+    assert(out.columns.toSeq == Seq("id", "s", "arr"))
+    // inner fields answer to their LOGICAL names
+    val got = out.select(col("id"), col("s.x"), col("s.y"),
+        expr("arr[0].z"), expr("size(arr)"))
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4))).toSeq
+    assert(got == Seq((1L, 10L, "ten", 100L, 2), (2L, 20L, "twenty", 200L, 1)))
+    // snapshot schema is the logical one, nested included
+    assert(DeltaRead.snapshot(spark, root2).schema("s").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("x", "y"))
+    // writes stay refused: the writer's rename is top-level only
+    val ew = intercept[UnsupportedOperationException] {
+      DeltaWrite.append(spark, out.limit(1), root2)
+    }
+    assert(ew.getMessage.contains("NESTED"), ew.getMessage)
 
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
@@ -433,7 +462,7 @@ class DeltaReadSuite extends SparkSpec {
       mappedField("id", LongType, 1, "col-aaa111"),
       mappedField("v", StringType, 2, "col-bbb222")))
     commit(root3, 0, Seq(cmProtocol, mappedMetaData(mapped), addLine(root3, "f1.parquet")))
-    // round 15: the full overwrite (schema-change surface) WORKS on
+    // the full overwrite (schema-change surface) WORKS on flat
     // name-mode tables — survivors keep their physical binding
     DeltaWrite.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), root3)
     assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(3L))
