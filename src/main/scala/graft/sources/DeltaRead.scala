@@ -971,9 +971,34 @@ object DeltaRead {
     require(stamped.nonEmpty,
       s"Delta table at $path has no surviving commit JSONs — timestamps are not " +
         "reconstructable from a checkpoint-only log; time travel by version instead")
-    // monotonic adjustment in version order
+    // IN-COMMIT TIMESTAMPS (writer feature inCommitTimestamp): when the
+    // table pins delta.enableInCommitTimestamps, every version at or
+    // past the enablement version resolves by the commitInfo's
+    // inCommitTimestamp — the clock-skew-proof clock the writers
+    // maintain monotonic — and only pre-enablement versions fall back
+    // to file mtimes. One small content read per surviving commit in
+    // the ICT span (bounded by the post-cleanup log tail).
+    val conf = snapshot(spark, path).configuration
+    val ictTs: Map[Long, Long] =
+      if (!conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true")))
+        Map.empty
+      else {
+        val enableV = conf.get("delta.inCommitTimestampEnablementVersion")
+          .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        stamped.collect { case (v, _) if v >= enableV =>
+          graft.pipeline.VersionedTable.readSmall(fs, new Path(logP, f"$v%020d.json"))
+            .flatMap(_.split("\n").find(_.contains("inCommitTimestamp")))
+            .flatMap { l =>
+              val n = mapper.readTree(l)
+              Option(n.get("commitInfo")).flatMap(ci =>
+                Option(ci.get("inCommitTimestamp")).map(t => v -> t.asLong()))
+            }
+        }.flatten.toMap
+      }
+    // monotonic adjustment in version order (ICT values are already
+    // monotonic by the writer contract and simply pass through the max)
     val adjusted = stamped.scanLeft((-1L, Long.MinValue)) { case ((_, prevTs), (v, ts)) =>
-      (v, math.max(ts, prevTs + 1))
+      (v, math.max(ictTs.getOrElse(v, ts), prevTs + 1))
     }.drop(1)
     require(tsMillis >= adjusted.head._2,
       s"timestamp $tsMillis predates the earliest surviving commit of the Delta " +

@@ -203,9 +203,9 @@ object DeltaWrite {
           if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
         }
       val next = snap.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            deleteContent(snap, updates, condition, cdcFiles))) return next
+      if (publishCommit(fs, logP, next,
+            deleteContent(snap, updates, condition, cdcFiles),
+            snap.configuration)) return next
       cdcFiles.foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
@@ -298,9 +298,9 @@ object DeltaWrite {
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
       val next = snap.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            updateContent(snap, updates, newFiles, condition, cdcFiles))) return next
+      if (publishCommit(fs, logP, next,
+            updateContent(snap, updates, newFiles, condition, cdcFiles),
+            snap.configuration)) return next
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
@@ -569,10 +569,10 @@ object DeltaWrite {
         }
 
       val next = snap.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
+      if (publishCommit(fs, logP, next,
             mergeContent(snap, touched, newFiles, keys, cdcFiles,
-              mergeIdentityHw))) {
+              mergeIdentityHw),
+            snap.configuration)) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
@@ -797,6 +797,9 @@ object DeltaWrite {
       case "v2Checkpoint" => () // classic checkpoints stay legal under the feature
         // alone; [[DeltaRead]] consumes v2 ones, and [[checkpoint]] both folds
         // them and WRITES the v2 form when delta.checkpointPolicy = v2 pins it
+      case "inCommitTimestamp" => () // ENFORCED at publish: every commit into a
+        // table pinning delta.enableInCommitTimestamps=true gets its commitInfo
+        // stamped with a monotonic inCommitTimestamp ([[publishCommit]])
       case "timestampNtz" => () // a TYPE, not a behavior: Spark's parquet
         // writer/reader carry TIMESTAMP_NTZ natively
       case "vacuumProtocolCheck" => () // its contract is "validate the
@@ -878,9 +881,8 @@ object DeltaWrite {
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
       val next = snap.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            lines.result().mkString("\n") + "\n")) return next
+      if (publishCommit(fs, logP, next,
+            lines.result().mkString("\n") + "\n", conf)) return next
     }
     throw new IllegalStateException(
       s"$operation at $path lost the commit race 20 times — another writer is " +
@@ -1266,6 +1268,67 @@ object DeltaWrite {
     val Append, Overwrite, DynamicOverwrite = Value
   }
 
+  // ----- In-Commit Timestamps (writer feature `inCommitTimestamp`) ---
+  // When `delta.enableInCommitTimestamps = true`, the protocol requires
+  // every commit's commitInfo to be the FIRST action and to carry an
+  // `inCommitTimestamp` strictly greater than the previous commit's —
+  // the clock-skew-proof timestamp delta-spark 4.x time travel reads.
+
+  private[sources] def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
+  /** The previous commit's inCommitTimestamp (None when v < 0, the
+    * JSON was log-cleaned, or it predates enablement) — one small read
+    * of the head commit, which metadata cleanup always preserves.
+    */
+  private[sources] def prevIct(fs: FileSystem, logP: Path, v: Long): Option[Long] =
+    if (v < 0) None
+    else graft.pipeline.VersionedTable.readSmall(fs, new Path(logP, f"$v%020d.json"))
+      .flatMap(_.split("\n").find(_.contains("inCommitTimestamp")))
+      .flatMap { l =>
+        val n = mapper.readTree(l)
+        Option(n.get("commitInfo"))
+          .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+      }
+
+  /** Monotonic ICT for the commit about to land at `version`. */
+  private def nextIct(fs: FileSystem, logP: Path, version: Long): Long =
+    math.max(System.currentTimeMillis,
+      prevIct(fs, logP, version - 1).map(_ + 1L).getOrElse(Long.MinValue))
+
+  /** Publish one Delta commit: plain CAS for ordinary tables; under
+    * ICT the content is re-stamped PER ATTEMPT (the timestamp must
+    * exceed whatever commit actually precedes this one) — the existing
+    * commitInfo line moves to the front and gains `inCommitTimestamp`,
+    * or a minimal one is prepended for content that carried none.
+    */
+  private def publishCommit(fs: FileSystem, logP: Path, version: Long,
+                            content: String, conf: Map[String, String]): Boolean = {
+    val stamped =
+      if (!ictEnabled(conf)) content
+      else {
+        val ict = nextIct(fs, logP, version)
+        val lines = content.split("\n").toIndexedSeq.filter(_.trim.nonEmpty)
+        val (ci, rest) = lines.partition(l =>
+          l.contains("\"commitInfo\"") && mapper.readTree(l).has("commitInfo"))
+        val node = ci.headOption.map(mapper.readTree(_)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          .getOrElse {
+            val n = mapper.createObjectNode
+            val b = n.putObject("commitInfo")
+            b.put("timestamp", ict)
+            b.put("engineInfo", "graft-delta-writer/1.0")
+            n
+          }
+        node.get("commitInfo")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("inCommitTimestamp", ict)
+        (mapper.writeValueAsString(node) +: rest).mkString("\n") + "\n"
+      }
+    graft.pipeline.VersionedTable.casPublish(
+      fs, new Path(logP, f"$version%020d.json"), stamped)
+  }
+
   /** Auto-checkpoint cadence: after a commit lands version V where
     * `V % interval == 0`, the writer folds the log into a
     * `V.checkpoint.parquet` + `_last_checkpoint` pointer. The interval
@@ -1560,8 +1623,8 @@ object DeltaWrite {
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
         txn, mergeSchema, minted, identityHw, mappedOverwrite)
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"), content)) {
+      if (publishCommit(fs, logP, next, content,
+            snap.map(_.configuration).getOrElse(Map.empty))) {
         autoCheckpoint(spark, rootP.toString, next,
           snap.map(_.configuration).getOrElse(Map.empty))
         return next
@@ -2052,13 +2115,27 @@ object DeltaWrite {
       attempt += 1
       val snap = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(snap, path, removesData = false)
-      val newConf = (snap.configuration ++ set) -- unset
+      val next = snap.version + 1
+      // ICT ENABLEMENT (writer feature `inCommitTimestamp`): the
+      // enabling commit itself must carry a stamped commitInfo, and a
+      // table enabled after creation records the enablement provenance
+      // the protocol's timestamp time travel reads (which version the
+      // ICT clock starts at, and its first value)
+      val enablingIct = set.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true")) && !ictEnabled(snap.configuration)
+      val ict = if (enablingIct || ictEnabled(snap.configuration))
+        Some(nextIct(fs, logP, next)) else None
+      val provenance = if (!enablingIct) Map.empty[String, String] else Map(
+        "delta.inCommitTimestampEnablementVersion" -> next.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
+      val newConf = (snap.configuration ++ set ++ provenance) -- unset
       if (newConf == snap.configuration) return snap.version
       val now = System.currentTimeMillis
       val lines = Seq.newBuilder[String]
       val ci = mapper.createObjectNode
       val cib = ci.putObject("commitInfo")
       cib.put("timestamp", now)
+      ict.foreach(cib.put("inCommitTimestamp", _))
       cib.put("operation", "SET TBLPROPERTIES")
       val op = cib.putObject("operationParameters")
       op.put("properties",
@@ -2067,11 +2144,13 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(ci)
       // property-gated features need the protocol to carry them:
       // enabling CDF → changeDataFeed (legacy minWriter 4), adding a
-      // delta.constraints.* key → checkConstraints (legacy minWriter 3)
+      // delta.constraints.* key → checkConstraints (legacy minWriter 3),
+      // enabling ICT → inCommitTimestamp (table-features only: 7)
       val needs = Seq(
         "changeDataFeed" -> (4, set.get("delta.enableChangeDataFeed")
           .exists(_.equalsIgnoreCase("true"))),
-        "checkConstraints" -> (3, set.keys.exists(_.startsWith("delta.constraints."))))
+        "checkConstraints" -> (3, set.keys.exists(_.startsWith("delta.constraints."))),
+        "inCommitTimestamp" -> (7, enablingIct))
         .collect { case (f, (lv, true)) => f -> lv }
       // `delta.checkpointPolicy = v2` requires the v2Checkpoint READER
       // feature (spec: the policy is illegal without it) — upgrade to
@@ -2100,7 +2179,24 @@ object DeltaWrite {
           }
         } else {
           val target = needs.map(_._2).max
-          if (snap.minWriter < target) {
+          if (target >= 7) {
+            // a v7-only feature (inCommitTimestamp) on a legacy table:
+            // minWriter 7 REQUIRES the writerFeatures list, so expand
+            // the legacy versions to their implied names and add the
+            // needed features — reader version stays untouched
+            val legacyWriter = Seq(
+              2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+              4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+              6 -> Seq("identityColumns"))
+              .filter(_._1 <= snap.minWriter).flatMap(_._2)
+            val p = mapper.createObjectNode
+            val pb = p.putObject("protocol")
+            pb.put("minReaderVersion", snap.minReader)
+            pb.put("minWriterVersion", 7)
+            val wfa = pb.putArray("writerFeatures")
+            (legacyWriter ++ needs.map(_._1)).distinct.sorted.foreach(wfa.add)
+            lines += mapper.writeValueAsString(p)
+          } else if (snap.minWriter < target) {
             val p = mapper.createObjectNode
             val pb = p.putObject("protocol")
             pb.put("minReaderVersion", snap.minReader)
@@ -2122,7 +2218,8 @@ object DeltaWrite {
       newConf.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
-      val next = snap.version + 1
+      // plain CAS: the commitInfo above already carries the ICT stamp
+      // (recomputed per attempt) when the table pins or gains it
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"),
             lines.result().mkString("\n") + "\n")) return next
@@ -2175,9 +2272,9 @@ object DeltaWrite {
       attempt += 1
       val next = snap.version + 1
       val removes = folded.toSeq.sorted
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            compactContent(newFiles, removes, snap.dvs))) {
+      if (publishCommit(fs, logP, next,
+            compactContent(newFiles, removes, snap.dvs),
+            snap.configuration)) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
@@ -2306,9 +2403,9 @@ object DeltaWrite {
           }
         }
       val next = cur.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            restoreContent(cur, target, toVersion, cdcFiles, effConf))) {
+      if (publishCommit(fs, logP, next,
+            restoreContent(cur, target, toVersion, cdcFiles, effConf),
+            effConf)) {
         autoCheckpoint(spark, rootP.toString, next, effConf)
         return next
       }
@@ -2449,9 +2546,9 @@ object DeltaWrite {
     while (true) {
       attempt += 1
       val next = snap.version + 1
-      if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            compactContent(newFiles, dirty, snap.dvs))) {
+      if (publishCommit(fs, logP, next,
+            compactContent(newFiles, dirty, snap.dvs),
+            snap.configuration)) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }

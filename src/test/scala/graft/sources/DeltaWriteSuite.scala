@@ -1961,6 +1961,52 @@ class DeltaWriteSuite extends SparkSpec {
       Seq(1L -> "a", 3L -> "c", 4L -> "d"))
   }
 
+  test("in-commit timestamps: enablement provenance, monotonic stamps, skew-proof travel") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root)    // v0
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableInCommitTimestamps" -> "true"))                            // v1
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.minWriter == 7 && snap.writerFeatures.contains("inCommitTimestamp"))
+    assert(snap.minReader == 1, "ICT is writer-only — the reader version must not bump")
+    assert(snap.configuration("delta.inCommitTimestampEnablementVersion") == "1")
+    val enableTs =
+      snap.configuration("delta.inCommitTimestampEnablementTimestamp").toLong
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    def commitJson(v: Long) = new java.io.File(logDir, f"$v%020d.json")
+    def ictOf(v: Long): Long = {
+      val first = new String(java.nio.file.Files.readAllBytes(
+        commitJson(v).toPath), "UTF-8").split("\n").head
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(first)
+      assert(n.has("commitInfo"), s"v$v: commitInfo must be the FIRST action, got $first")
+      n.get("commitInfo").get("inCommitTimestamp").asLong()
+    }
+    assert(ictOf(1) == enableTs, "the enabling commit's stamp IS the provenance value")
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)                // v2
+    DeltaWrite.delete(spark, root, "id = 1")                                      // v3
+    assert(ictOf(2) > ictOf(1) && ictOf(3) > ictOf(2), "stamps strictly increase")
+    // SKEW-PROOFING: hand-bump v3's stamp an hour into the future (a
+    // writer with a fast clock); the next commit must land strictly
+    // above it even though this machine's clock is behind
+    val future = System.currentTimeMillis + 3600L * 1000
+    val tampered = new String(java.nio.file.Files.readAllBytes(
+      commitJson(3).toPath), "UTF-8")
+      .replace(s""""inCommitTimestamp":${ictOf(3)}""",
+        s""""inCommitTimestamp":$future""")
+    java.nio.file.Files.write(commitJson(3).toPath, tampered.getBytes("UTF-8"))
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)                // v4
+    assert(ictOf(4) == future + 1, "monotonicity wins over the wall clock")
+    // timestamp time travel resolves by ICT, not file mtime: v3's file
+    // mtime is NOW but its ICT is an hour ahead, so a query at v2's
+    // stamp must land on v2
+    assert(DeltaRead.versionAt(spark, root, ictOf(2)) == 2L)
+    assert(DeltaRead.versionAt(spark, root, future - 1) == 2L,
+      "between v2's and v3's stamps resolves to v2 — mtime would have said v3")
+    assert(DeltaRead.versionAt(spark, root, future) == 3L)
+    assert(DeltaRead.versionAt(spark, root, future + 1) == 4L)
+    assert(DeltaRead.read(spark, root).count() == 2) // (2,b),(3,c) after the delete
+  }
+
   test("expired-log cleanup: contiguous expired prefix below the newest checkpoint") {
     val root = tmp()
     for (i <- 0 until 6)
