@@ -755,13 +755,19 @@ object DeltaWrite {
     if (removesData && conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       refuse("delta.appendOnly=true forbids removing or replacing committed rows " +
         "(this operation does); only appends are allowed")
-    // id-mode tables are READ-ONLY here: id-mode readers (delta-spark,
-    // Iceberg-converted consumers) resolve columns by parquet FIELD
-    // IDS, and this writer's data files carry physical NAMES only —
-    // committing id-less files would silently break every such reader
-    if (conf.get("delta.columnMapping.mode").contains("id"))
-      refuse("delta.columnMapping.mode=id requires writing parquet field ids, " +
-        "which this writer does not emit; the table stays readable here")
+    // id-mode tables WRITE too (round 15): every physical rename stamps
+    // `parquet.field.id` from the field's delta.columnMapping.id, and
+    // Spark's parquet writer emits the footer ids id-resolving readers
+    // (delta-spark, Iceberg-converted consumers) need. The one
+    // spec-invalid shape refuses: a field with no id cannot be stamped,
+    // and an id-less column in an id-mode file is silent corruption.
+    if (conf.get("delta.columnMapping.mode").contains("id")) {
+      val missing = snap.schema.fields
+        .filterNot(_.metadata.contains("delta.columnMapping.id")).map(_.name)
+      if (missing.nonEmpty)
+        refuse(s"delta.columnMapping.mode=id but column(s) ${missing.mkString(", ")} " +
+          "carry no delta.columnMapping.id — parquet field ids cannot be stamped")
+    }
     // NESTED mapped schemas are READ-ONLY (round 15 added the reads):
     // this writer's physical rename is top-level, so a write would land
     // parquet whose INNER fields carry logical names — silent corruption
@@ -1226,13 +1232,43 @@ object DeltaWrite {
     * decoded `partitionValues` then all land physical — the protocol's
     * shape, and what delta-spark resolves against.
     */
+  private def isIdMode(conf: Map[String, String]): Boolean =
+    conf.get("delta.columnMapping.mode").contains("id")
+
+  /** Physical alias for one mapped column. In ID MODE the alias also
+    * carries `parquet.field.id` (from the field's
+    * `delta.columnMapping.id`) — Spark's parquet writer emits footer
+    * field ids from exactly this metadata
+    * (`spark.sql.parquet.fieldId.write.enabled`), which is what makes
+    * the new file resolvable by every id-resolving reader.
+    */
+  private def physAliasCol(idMode: Boolean, f: org.apache.spark.sql.types.StructField,
+                           phys: String): org.apache.spark.sql.Column =
+    if (idMode && f.metadata.contains("delta.columnMapping.id"))
+      col(f.name).as(phys, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build())
+    else col(f.name).as(phys)
+
+  /** Force Spark's footer-field-id emission on (its default, but a
+    * session may have disabled it — an id-less file in an id-mode
+    * table breaks every reader).
+    */
+  private def ensureFieldIdWrite(df: DataFrame): Unit =
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
   private def toPhysical(snap: DeltaRead.Snapshot,
                          df: DataFrame): (DataFrame, Seq[String]) =
     if (snap.colMap.isEmpty) (df, snap.partitionColumns)
-    else (df.select(snap.schema.fieldNames.map(n => col(n).as(snap.colMap(n))): _*),
-      snap.partitionColumns.map(p => snap.colMap.getOrElse(p,
-        throw new IllegalStateException(
-          s"partition column '$p' has no column-mapping physical name"))))
+    else {
+      val idMode = isIdMode(snap.configuration)
+      if (idMode) ensureFieldIdWrite(df)
+      (df.select(snap.schema.fields.map(f =>
+        physAliasCol(idMode, f, snap.colMap(f.name))): _*),
+        snap.partitionColumns.map(p => snap.colMap.getOrElse(p,
+          throw new IllegalStateException(
+            s"partition column '$p' has no column-mapping physical name"))))
+    }
 
   /** Mint (logicalName, physicalName, id) triples for columns NEW to a
     * mapped table — ids monotonic from the configured high-water mark
@@ -1575,25 +1611,43 @@ object DeltaWrite {
     // delta-spark expect. partitionValuesOf below decodes the physical
     // dir segments, landing physical keys in add.partitionValues.
     val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
-      case Some(s) => mappedOverwrite match {
-        case Some(os) =>
-          // overwrite: the NEW schema's mapping governs — surviving
-          // names keep their physical binding, new ones the minted
-          val ext = os.fields.map(f =>
-            f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
-          (aligned.select(aligned.schema.fieldNames.map(n => col(n).as(ext(n))): _*),
-            parts.map(p => ext.getOrElse(p,
-              ext.collectFirst { case (k, v) if k.equalsIgnoreCase(p) => v }
-                .getOrElse(p))))
-        case None =>
-          if (minted.isEmpty) toPhysical(s, aligned)
-          else {
-            val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
-            (aligned.select(aligned.schema.fieldNames.map(n =>
-              col(n).as(ext.getOrElse(n, n))): _*),
-              s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
-          }
-      }
+      case Some(s) =>
+        val idMode = isIdMode(s.configuration)
+        if (idMode) ensureFieldIdWrite(aligned)
+        mappedOverwrite match {
+          case Some(os) =>
+            // overwrite: the NEW schema's mapping governs — surviving
+            // names keep their physical binding, new ones the minted;
+            // os fields carry (id, physicalName) for BOTH, so the id
+            // stamp rides the same metadata
+            val byName = os.fields.map(f => f.name -> f).toMap
+            (aligned.select(aligned.schema.fieldNames.map { n =>
+              val f = byName(n)
+              physAliasCol(idMode, f,
+                f.metadata.getString("delta.columnMapping.physicalName"))
+            }: _*),
+              parts.map(p => byName.get(p)
+                .orElse(byName.collectFirst {
+                  case (k, f) if k.equalsIgnoreCase(p) => f })
+                .map(_.metadata.getString("delta.columnMapping.physicalName"))
+                .getOrElse(p)))
+          case None =>
+            if (minted.isEmpty) toPhysical(s, aligned)
+            else {
+              val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
+              val mintedId = minted.map(m => m._1 -> m._3).toMap
+              (aligned.select(aligned.schema.fields.map { af =>
+                val f = s.schema.fields.find(_.name == af.name).getOrElse(
+                  mintedId.get(af.name).map(i => af.copy(metadata =
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .withMetadata(af.metadata)
+                      .putLong("delta.columnMapping.id", i).build()))
+                    .getOrElse(af))
+                physAliasCol(idMode, f, ext.getOrElse(af.name, af.name))
+              }: _*),
+                s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
+            }
+        }
       case None => (aligned, parts)
     }
 
@@ -1858,8 +1912,12 @@ object DeltaWrite {
                             fs: FileSystem): Seq[NewFile] = {
     val phys =
       if (snap.colMap.isEmpty) changes
-      else changes.select(snap.schema.fieldNames.map(n =>
-        col(n).as(snap.colMap(n))) :+ col("_change_type"): _*)
+      else {
+        val idMode = isIdMode(snap.configuration)
+        if (idMode) ensureFieldIdWrite(changes)
+        changes.select(snap.schema.fields.map(f =>
+          physAliasCol(idMode, f, snap.colMap(f.name))) :+ col("_change_type"): _*)
+      }
     val physParts = snap.partitionColumns.map(p => snap.colMap.getOrElse(p, p))
     writeDataFiles(spark, phys, rootP, fs, physParts, subdir = "_change_data")
   }

@@ -409,12 +409,36 @@ class DeltaReadSuite extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
     // a filter on the logical name still plans and answers correctly
     assert(out.where(col("k") === 2L).collect().map(_.getString(1)).toSeq == Seq("b"))
-    // writes refuse: this writer emits physical NAMES, and an id-less
-    // file would silently break every id-resolving reader
+    // round 15: id-mode WRITES land too — the appended file carries
+    // footer field ids (the id-resolving read below REQUIRES them:
+    // fieldId.read with an id-less file errors, so a successful
+    // round trip proves the ids landed), alongside the original
+    // ice-named file in one snapshot
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    assert(DeltaRead.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // DML on the id table: DV delete + compaction, still id-resolved
+    DeltaWrite.delete(spark, root, "k = 1")
+    assert(DeltaRead.read(spark, root).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    DeltaWrite.compact(spark, root, targetFiles = 1)
+    assert(DeltaRead.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+    // the spec-invalid shape still refuses: a field with no id
+    val root2 = tmp()
+    writeDataFile(df, root2, "f1.parquet")
+    val noId = StructType(Seq(
+      mappedField("k", LongType, 1, "col-k"),
+      StructField("v", StringType, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-v").build())))
+    commit(root2, 0, Seq(cmProtocol, mappedMetaData(noId, mode = "id"),
+      addLine(root2, "f1.parquet")))
     val e = intercept[UnsupportedOperationException] {
-      DeltaWrite.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+      DeltaWrite.append(spark, Seq((9L, "z")).toDF("k", "v"), root2)
     }
-    assert(e.getMessage.contains("field ids"), e.getMessage)
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
   }
 
   test("NESTED mapped schemas read (struct + array-of-struct renamed); writes refuse") {
