@@ -103,4 +103,35 @@ object UnigramTokenizer {
 
   /** The matching word count (how many words the segmentation covered). */
   def wordCount(text: Column): Column = BpeTrainer.wordCount(text)
+
+  /** Corpus-wide greedy piece counts: `(idCol, n_words, n_pieces)`.
+    * The greedy walk runs once per DISTINCT word form and joins back
+    * to the per-(doc, word) occurrence counts — Zipf makes distinct
+    * word forms a small fraction of occurrences, so this beats the
+    * pure one-scan [[tokenCount]] projection 3.2× at sf1 (13.7 → 4.3 s
+    * forced, identical totals) and widens with corpus size: the walk's
+    * cost saturates at the vocabulary while occurrences keep growing.
+    * Costs one keyed shuffle; the per-(doc, word) pre-aggregation
+    * bounds hot-word fan-in, and docs with no in-alphabet words keep a
+    * (0, 0) row via the id-spine left join (the [[NgramLm.scoreDocs]]
+    * shape). [[tokenCount]] stays the right tool INSIDE a wider
+    * projection (e.g. pack-by-length), where a join cannot reach.
+    */
+  def scoreDocs(docs: DataFrame, pieces: Seq[Piece],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byLen = pieces.map(_.piece).groupBy(_.length)
+    val perDocWord = docs
+      .select(col(idCol), explode(NgramLm.words(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+    val seg = perDocWord.select("w").distinct()
+      .select(col("w"), greedyCount(col("w"), byLen).cast("long").as("np"))
+    val agg = perDocWord.join(seg, Seq("w"))
+      .groupBy(idCol).agg(sum("c").as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
 }

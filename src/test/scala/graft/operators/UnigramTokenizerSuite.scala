@@ -89,6 +89,11 @@ class UnigramTokenizerSuite extends SparkSpec {
     assert(got == want, s"\ngot:  $got\nwant: $want")
     assert(got(2)._2 == 0L && got(2)._3 == 0L, "non-alphabet doc contributes nothing")
     assert(got(4)._2 == 0L && got(4)._3 == 0L, "empty doc is zero, not null")
+    // the distinct-word + join scorer (q134's production shape) agrees
+    // with the pure-projection walk row for row
+    val viaJoin = UnigramTokenizer.scoreDocs(docs, pieces)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(viaJoin == want, s"\nviaJoin: $viaJoin\nwant: $want")
   }
 
   test("piece weights count every occurrence position, weighted by word frequency") {
