@@ -768,23 +768,12 @@ object DeltaWrite {
         refuse(s"delta.columnMapping.mode=id but column(s) ${missing.mkString(", ")} " +
           "carry no delta.columnMapping.id — parquet field ids cannot be stamped")
     }
-    // NESTED mapped schemas are READ-ONLY (round 15 added the reads):
-    // this writer's physical rename is top-level, so a write would land
-    // parquet whose INNER fields carry logical names — silent corruption
-    // for every physical-name-resolving reader
-    if (snap.colMap.nonEmpty) {
-      def nested(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.StructType => true
-        case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
-        case m: org.apache.spark.sql.types.MapType =>
-          nested(m.keyType) || nested(m.valueType)
-        case _ => false
-      }
-      if (snap.schema.fields.exists(f => nested(f.dataType)))
-        refuse("column mapping on a NESTED schema: this writer renames top-level " +
-          "columns only, and a write would emit logical inner field names; " +
-          "the table stays readable here")
-    }
+    // NESTED mapped schemas: appends and in-place DML WRITE (round 15
+    // — the physical rename recursively casts inner fields to their
+    // physicalNames, see [[physAliasCol]]); only the schema-CHANGE
+    // surfaces (full overwrite, mergeSchema minting) refuse at their
+    // own entry points — re-emitting nested metaData from an incoming
+    // frame would lose the inner (id, physicalName) bindings.
     require(snap.minWriter <= 7,
       s"Delta table at $path requires minWriterVersion=${snap.minWriter} — newer " +
         "than this writer's protocol support (<=7); write with delta-spark")
@@ -1235,20 +1224,68 @@ object DeltaWrite {
   private def isIdMode(conf: Map[String, String]): Boolean =
     conf.get("delta.columnMapping.mode").contains("id")
 
-  /** Physical alias for one mapped column. In ID MODE the alias also
-    * carries `parquet.field.id` (from the field's
-    * `delta.columnMapping.id`) — Spark's parquet writer emits footer
-    * field ids from exactly this metadata
-    * (`spark.sql.parquet.fieldId.write.enabled`), which is what makes
-    * the new file resolvable by every id-resolving reader.
+  /** The physically-named form of a (possibly nested) mapped type:
+    * every inner struct field renamed to the physicalName its own
+    * metadata carries, with `parquet.field.id` stamped per level in id
+    * mode — the WRITE-side mirror of the reader's recursive
+    * physicalization. An inner field with no physicalName refuses
+    * loudly (writing a logical inner name is silent corruption for
+    * every physical-name-resolving reader).
+    */
+  private def physicalizeType(dt: org.apache.spark.sql.types.DataType,
+                              idMode: Boolean): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val physKey = "delta.columnMapping.physicalName"
+        require(f.metadata.contains(physKey),
+          s"nested mapped field '${f.name}' carries no physicalName metadata — " +
+            "cannot write a physically-named file for this table")
+        val g = f.copy(name = f.metadata.getString(physKey),
+          dataType = physicalizeType(f.dataType, idMode))
+        if (idMode && f.metadata.contains("delta.columnMapping.id"))
+          g.copy(metadata = new MetadataBuilder().withMetadata(g.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+        else g
+      })
+      case a: ArrayType => a.copy(elementType = physicalizeType(a.elementType, idMode))
+      case m: MapType => m.copy(keyType = physicalizeType(m.keyType, idMode),
+        valueType = physicalizeType(m.valueType, idMode))
+      case other => other
+    }
+  }
+
+  private def hasNestedStruct(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.StructType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasNestedStruct(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasNestedStruct(m.keyType) || hasNestedStruct(m.valueType)
+      case _ => false
+    }
+
+  /** Physical alias for one mapped column. NESTED types first CAST to
+    * their physicalized form (a struct cast matches by position and
+    * takes the target's field names — the logical→physical rename at
+    * every level, inner `parquet.field.id` metadata riding the target
+    * type). In ID MODE the top-level alias also carries
+    * `parquet.field.id` (from the field's `delta.columnMapping.id`) —
+    * Spark's parquet writer emits footer field ids from exactly this
+    * metadata (`spark.sql.parquet.fieldId.write.enabled`), which is
+    * what makes the new file resolvable by every id-resolving reader.
     */
   private def physAliasCol(idMode: Boolean, f: org.apache.spark.sql.types.StructField,
-                           phys: String): org.apache.spark.sql.Column =
+                           phys: String): org.apache.spark.sql.Column = {
+    val c =
+      if (hasNestedStruct(f.dataType)) col(f.name).cast(physicalizeType(f.dataType, idMode))
+      else col(f.name)
     if (idMode && f.metadata.contains("delta.columnMapping.id"))
-      col(f.name).as(phys, new org.apache.spark.sql.types.MetadataBuilder()
+      c.as(phys, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
         .build())
-    else col(f.name).as(phys)
+    else c.as(phys)
+  }
 
   /** Force Spark's footer-field-id emission on (its default, but a
     * session may have disabled it — an id-less file in an id-mode
@@ -1281,6 +1318,13 @@ object DeltaWrite {
   private def mintColumnIds(s: DeltaRead.Snapshot,
       extras: Seq[org.apache.spark.sql.types.StructField])
       : Seq[(String, String, Long)] = {
+    // a NEW nested column on a mapped table needs (id, physicalName)
+    // minted for every INNER field too — refuse rather than emit a
+    // half-mapped schemaString other readers would misresolve
+    extras.filter(f => hasNestedStruct(f.dataType)).foreach(f =>
+      throw new UnsupportedOperationException(
+        s"cannot add NESTED column '${f.name}' to a column-mapped table — " +
+          "minting inner-field mappings is not supported; add it with delta-spark"))
     val base = mappingIdHighWater(s)
     extras.zipWithIndex.map { case (f, i) =>
       (f.name, "col-" + java.util.UUID.randomUUID.toString, base + i + 1) }.toSeq
@@ -1588,6 +1632,16 @@ object DeltaWrite {
     // (overwrite is the redefinition surface, same as unmapped).
     val mappedOverwrite: Option[org.apache.spark.sql.types.StructType] =
       existing.filter(s => s.colMap.nonEmpty && mode == Mode.Overwrite).map { s =>
+        // the re-emitted metaData below copies surviving fields from
+        // the INCOMING frame, whose inner struct fields carry no
+        // (id, physicalName) metadata — a nested mapped overwrite
+        // would silently drop the inner bindings; refuse loudly
+        s.schema.fields.filter(f => hasNestedStruct(f.dataType)).foreach(f =>
+          throw new UnsupportedOperationException(
+            s"full overwrite of column-mapped table at $path refuses: column " +
+              s"'${f.name}' is NESTED — the overwrite re-emits metaData from " +
+              "the incoming frame and would lose inner-field mappings; " +
+              "overwrite with delta-spark"))
         import org.apache.spark.sql.types.MetadataBuilder
         org.apache.spark.sql.types.StructType(aligned.schema.fields.map { f =>
           val (phys, id) = s.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {

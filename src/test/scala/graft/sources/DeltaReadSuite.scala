@@ -441,7 +441,7 @@ class DeltaReadSuite extends SparkSpec {
     assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
   }
 
-  test("NESTED mapped schemas read (struct + array-of-struct renamed); writes refuse") {
+  test("NESTED mapped schemas: reads, appends and DML land; schema changes refuse") {
     import org.apache.spark.sql.Row
     val root2 = tmp()
     // physical file: every level physical-named
@@ -474,11 +474,40 @@ class DeltaReadSuite extends SparkSpec {
     // snapshot schema is the logical one, nested included
     assert(DeltaRead.snapshot(spark, root2).schema("s").dataType
       .asInstanceOf[StructType].fieldNames.toSeq == Seq("x", "y"))
-    // writes stay refused: the writer's rename is top-level only
-    val ew = intercept[UnsupportedOperationException] {
-      DeltaWrite.append(spark, out.limit(1), root2)
+    // APPEND with logical nested rows: the writer recursively casts to
+    // the physicalized type, so the new file's inner names are physical
+    val logicalSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType)))),
+      StructField("arr", org.apache.spark.sql.types.ArrayType(
+        StructType(Seq(StructField("z", LongType)))))))
+    DeltaWrite.append(spark, spark.createDataFrame(java.util.Arrays.asList(
+      Row(3L, Row(30L, "thirty"), Seq(Row(300L)))), logicalSchema), root2) // v1
+    val after = DeltaRead.read(spark, root2).orderBy("id")
+    assert(after.select(col("id"), col("s.x"), expr("arr[0].z")).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L)))
+    // the appended file itself carries PHYSICAL names at every level
+    val newFile = DeltaRead.snapshot(spark, root2).files.keySet
+      .find(_ != "f1.parquet").get
+    val raw = spark.read.parquet(new java.io.File(
+      root2.stripPrefix("file:"), newFile).toString).schema
+    assert(raw.fieldNames.toSet == Set("col-aaa111", "col-bbb222", "col-ccc333"), raw)
+    assert(raw("col-bbb222").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("col-xxx", "col-yyy"), raw)
+    // in-place DML works too: DV delete keeps logical reads coherent
+    DeltaWrite.delete(spark, root2, "id = 1")                              // v2
+    assert(DeltaRead.read(spark, root2).select("id").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // schema-CHANGE surfaces stay refused: full overwrite would lose
+    // the inner bindings, and minting a NEW nested column is unsupported
+    val eo = intercept[UnsupportedOperationException] {
+      DeltaWrite.overwrite(spark,
+        spark.createDataFrame(java.util.Arrays.asList(
+          Row(9L, Row(90L, "ninety"), Seq(Row(900L)))), logicalSchema), root2)
     }
-    assert(ew.getMessage.contains("NESTED"), ew.getMessage)
+    assert(eo.getMessage.contains("NESTED"), eo.getMessage)
 
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")
