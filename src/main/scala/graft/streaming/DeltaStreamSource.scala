@@ -140,15 +140,12 @@ class DeltaTableSource(spark: SparkSession, root: String,
                        maxFilesPerTrigger: Option[Int] = None,
                        readChangeFeed: Boolean = false) extends Source {
 
-  // the BATCH reader handles column mapping; this source's own commit
-  // parse keeps add.partitionValues in physical-name space, so a
-  // mapped table would misassemble its micro-batch snapshots — refuse
-  // up front rather than stream wrong partition values. (The CDF mode
-  // loads through readChanges, which translates mapping itself.)
-  if (!readChangeFeed && DeltaRead.isDeltaTable(spark, root))
-    require(DeltaRead.snapshot(spark, root).colMap.isEmpty,
-      s"delta stream at $root: the table uses column mapping — batch reads " +
-        "are supported, streaming is not; stream it with delta-spark")
+  // COLUMN-MAPPED tables stream too (round 15): the commit parse
+  // yields add.partitionValues in PHYSICAL-name space (the protocol's
+  // on-log shape), and the synthetic span snapshot translates the keys
+  // to logical before the scan — the same pvKeys translation the
+  // full-snapshot build does. (The CDF mode loads through readChanges,
+  // which translates mapping itself.)
 
   private def versionOf(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
@@ -273,8 +270,15 @@ class DeltaTableSource(spark: SparkSession, root: String,
           // synthetic span snapshot -> the same log-planned scan as the
           // batch reader (partition literals, sizes, stats skipping)
           val meta = DeltaRead.snapshot(spark, root, Some(to))
+          // commit-JSON partitionValues keys are PHYSICAL on mapped
+          // tables; the Snapshot contract is logical keys (stats stay
+          // physical — the scan skips in physical space)
+          val physToLogical = meta.colMap.map(_.swap)
+          def pvLogical(pv: Map[String, String]): Map[String, String] =
+            if (physToLogical.isEmpty || pv == null) pv
+            else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
           val files = adds.map { case (enc, pv, _, _) =>
-            decodeRel(enc) -> pv
+            decodeRel(enc) -> pvLogical(pv)
           }.toMap
           val sizes = adds.map { case (enc, _, sz, _) => decodeRel(enc) -> sz }.toMap
           val stats = adds.collect { case (enc, _, _, st) if st != null =>

@@ -520,12 +520,50 @@ class DeltaReadSuite extends SparkSpec {
     DeltaWrite.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), root3)
     assert(DeltaRead.read(spark, root3).collect().map(_.getLong(0)).toSeq == Seq(3L))
     assert(DeltaRead.snapshot(spark, root3).colMap("id") == "col-aaa111")
-    val e4 = intercept[Exception] {
-      spark.readStream.format("graft-delta").load(root3)
-        .writeStream.format("memory").queryName("cm_refuse")
-        .option("checkpointLocation", tmp()).start().processAllAvailable()
-    }
-    assert(e4.getMessage != null)
+    // round 15: mapped tables STREAM too — logical columns out, and a
+    // tail append arrives as its own micro-batch
+    val q = spark.readStream.format("graft-delta").load(root3)
+      .writeStream.format("memory").queryName("cm_stream")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cm_stream").columns.toSeq == Seq("id", "v"))
+      assert(spark.table("cm_stream").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(3L -> "c"))
+      DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), root3)
+      q.processAllAvailable()
+      assert(spark.table("cm_stream").orderBy("id").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    } finally q.stop()
+  }
+
+  test("column-mapped PARTITIONED table streams with logical partition values") {
+    val root = tmp()
+    writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"),
+      root, "col-ppp333=1/f1.parquet")
+    val mapped = StructType(Seq(
+      mappedField("id", LongType, 1, "col-aaa111"),
+      mappedField("v", StringType, 2, "col-bbb222"),
+      mappedField("p", LongType, 3, "col-ppp333")))
+    commit(root, 0, Seq(cmProtocol, mappedMetaData(mapped, partCols = Seq("p")),
+      addLine(root, "col-ppp333=1/f1.parquet", Map("col-ppp333" -> "1"))))
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName("cm_part_stream")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      // a TAIL append (physical pv keys in its commit JSON) must
+      // arrive with the logical partition column populated
+      writeDataFile(Seq((2L, "b")).toDF("col-aaa111", "col-bbb222"),
+        root, "col-ppp333=2/f2.parquet")
+      commit(root, 1, Seq(
+        addLine(root, "col-ppp333=2/f2.parquet", Map("col-ppp333" -> "2"))))
+      q.processAllAvailable()
+      assert(spark.table("cm_part_stream").columns.toSeq == Seq("id", "v", "p"))
+      assert(spark.table("cm_part_stream").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((1L, "a", 1L), (2L, "b", 2L)))
+    } finally q.stop()
   }
 
   test("YAML `format: delta` source routes through the interop reader") {
