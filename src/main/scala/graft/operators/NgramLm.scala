@@ -127,22 +127,26 @@ object NgramLm {
     * of a global row_number.
     */
   def bucketByScore(scored: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    // materialize (id, score) once: the histogram pass, the count, and
-    // the final projection otherwise each re-run the upstream scoring
-    // join; the released checkpoint keeps nothing in the session after
-    // the result is consumed (Dedup's materialize-then-release pattern)
-    val s = scored.select(col(idCol),
-      when(col("n_bigrams") === 0L, lit(0L))
-        .otherwise(expr("sum_p_micro * 1000 div n_bigrams")).as("score"))
-      .localCheckpoint(true)
+    def scoreCol = when(col("n_bigrams") === 0L, lit(0L))
+      .otherwise(expr("sum_p_micro * 1000 div n_bigrams")).as("score")
+    // materialize (id, score) once for the CUTOFF math (the histogram
+    // pass and the count otherwise each re-run the upstream scoring
+    // join), then RELEASE the checkpoint blocks before returning — the
+    // result below projects from `scored` directly, so nothing stays
+    // pinned in the block manager (Dataset.unpersist is a no-op for
+    // checkpoint blocks; see Dedup.releaseCheckpoint)
+    val s = scored.select(col(idCol), scoreCol).localCheckpoint(true)
     val hist = s.groupBy("score").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.select(col("score"), sum("c").over(w).as("cum"))
     val n = s.count()
-    if (n == 0L) return s.select(col(idCol), col("score"),
-      lit(null).cast("string").as("bucket"))
+    if (n == 0L) {
+      graft.operators.Dedup.releaseCheckpoint(s)
+      return scored.select(col(idCol), scoreCol,
+        lit(null).cast("string").as("bucket"))
+    }
     val k1 = (n + 2) / 3
     val k2 = (2 * n + 2) / 3
     // max(score | cum >= k) IS the k-th largest score: cum(s) counts
@@ -152,9 +156,11 @@ object NgramLm {
       cum.where(col("cum") >= k).agg(max("score")).collect()(0).getLong(0)
     val c1 = cutoff(k1)
     val c2 = cutoff(k2)
-    s.select(col(idCol), col("score"),
-      when(col("score") >= c1, lit("head"))
-        .when(col("score") >= c2, lit("middle"))
-        .otherwise(lit("tail")).as("bucket"))
+    graft.operators.Dedup.releaseCheckpoint(s)
+    scored.select(col(idCol), scoreCol)
+      .select(col(idCol), col("score"),
+        when(col("score") >= c1, lit("head"))
+          .when(col("score") >= c2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 }

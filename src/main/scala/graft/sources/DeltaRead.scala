@@ -224,6 +224,10 @@ object DeltaRead {
     // id-mode contract, heterogeneous file names included.
     val cm = snap.colMap
     val idMode = snap.configuration.get("delta.columnMapping.mode").contains("id")
+    // session-level by necessity (the returned frame evaluates later,
+    // so a set/restore window cannot cover it) — benign for unrelated
+    // reads: field-id resolution only engages for read schemas that
+    // CARRY parquet.field.id metadata, which only id-mode scans stamp
     if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // NESTED mapping (round 15): inner struct fields (including structs
     // under arrays/maps) are renamed too — the parquet READ schema is
@@ -893,11 +897,26 @@ object DeltaRead {
         (node.get("version").asLong(),
           if (node.has("parts")) Some(node.get("parts").asInt()) else None)
       } catch { case _: Exception => return None }
-    val cpNames = parts match {
+    val classic = parts match {
       case Some(b) => (1 to b).map(a => f"$cpV%020d.checkpoint.$a%010d.$b%010d.parquet")
       case None => Seq(f"$cpV%020d.checkpoint.parquet")
     }
-    if (!cpNames.forall(n => fs.exists(new Path(logP, n)))) return None // stale pointer
+    val cpNames: Seq[String] =
+      if (classic.forall(n => fs.exists(new Path(logP, n)))) classic
+      else {
+        // the pointer may reference a V2 (UUID-named) checkpoint — one
+        // targeted glob on the version prefix keeps the no-LIST fast
+        // path alive for v2-policy tables instead of permanently
+        // falling back to the full log listing
+        val globbed = try fs.globStatus(
+          new Path(logP, f"$cpV%020d.checkpoint.*.parquet"))
+          .map(_.getPath.getName).toSeq
+        catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+        checkpointFilesOf(globbed).get(cpV) match {
+          case Some(names) => names
+          case None => return None // stale pointer
+        }
+      }
     var latest = cpV
     while (fs.exists(new Path(logP, f"${latest + 1}%020d.json"))) latest += 1
     Some((latest, Some(cpV), Map(cpV -> cpNames)))

@@ -521,19 +521,39 @@ object DeltaWrite {
           s"'${id.name}' — MERGE realigns its output to the table schema and " +
           "would insert explicit identity values, which GENERATED ALWAYS " +
           "forbids; use GENERATED BY DEFAULT or route through append"))
-      val mergeIdentityHw: Map[String, Long] = {
-        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-        mergeIdentities.flatMap { id =>
-          val cur = id.highWater.getOrElse(id.start - id.step)
-          val ext = (if (id.step > 0) merged.agg(fmax(col(id.name)))
-                     else merged.agg(fmin(col(id.name)))).head()
-          if (ext.isNullAt(0)) None
-          else {
-            val v = ext.getLong(0)
-            if (if (id.step > 0) v > cur else v < cur) Some(id.name -> v) else None
+      val mergeIdentityHw: Map[String, Long] =
+        if (mergeIdentities.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum, when => fwhen}
+          // ONE agg pass for every identity column (per-column aggs
+          // re-ran the whole un-materialized merge join once each):
+          // the extreme AND a null probe — a source frame that omits
+          // the identity column null-fills under the default mergeFn's
+          // unionByName, and silently committing NULL identity values
+          // would break the contract for every reader
+          val aggs = mergeIdentities.flatMap { id =>
+            Seq((if (id.step > 0) fmax(col(id.name)) else fmin(col(id.name)))
+                .as(s"__ext_${id.name}"),
+              fsum(fwhen(col(id.name).isNull, 1L).otherwise(0L))
+                .as(s"__nulls_${id.name}"))
           }
-        }.toMap
-      }
+          val row = merged.agg(aggs.head, aggs.tail: _*).head()
+          mergeIdentities.flatMap { id =>
+            val ni = row.fieldIndex(s"__nulls_${id.name}")
+            require(row.isNullAt(ni) || row.getLong(ni) == 0L,
+              s"MERGE into Delta table at $path would commit NULL values in " +
+                s"identity column '${id.name}' (${row.getLong(ni)} row(s)) — the " +
+                "merge output realigns to the table schema, so the source (or a " +
+                "custom mergeFn) must supply every identity value explicitly")
+            val cur = id.highWater.getOrElse(id.start - id.step)
+            val ei = row.fieldIndex(s"__ext_${id.name}")
+            if (row.isNullAt(ei)) None
+            else {
+              val v = row.getLong(ei)
+              if (if (id.step > 0) v > cur else v < cur) Some(id.name -> v) else None
+            }
+          }.toMap
+        }
       val (physDf, physParts) = toPhysical(snap, merged)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
@@ -762,10 +782,25 @@ object DeltaWrite {
     // spec-invalid shape refuses: a field with no id cannot be stamped,
     // and an id-less column in an id-mode file is silent corruption.
     if (conf.get("delta.columnMapping.mode").contains("id")) {
-      val missing = snap.schema.fields
-        .filterNot(_.metadata.contains("delta.columnMapping.id")).map(_.name)
+      // recursive: an INNER field without an id would be written as an
+      // id-less parquet column — the silent corruption this gate exists
+      // to refuse (physicalizeType stamps only fields that carry one)
+      def idless(prefix: String,
+                 dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+        case s: org.apache.spark.sql.types.StructType => s.fields.flatMap { f =>
+          val here = if (f.metadata.contains("delta.columnMapping.id")) Nil
+            else Seq(s"$prefix${f.name}")
+          here ++ idless(s"$prefix${f.name}.", f.dataType)
+        }
+        case a: org.apache.spark.sql.types.ArrayType =>
+          idless(prefix + "element.", a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          idless(prefix + "key.", m.keyType) ++ idless(prefix + "value.", m.valueType)
+        case _ => Nil
+      }
+      val missing = idless("", snap.schema)
       if (missing.nonEmpty)
-        refuse(s"delta.columnMapping.mode=id but column(s) ${missing.mkString(", ")} " +
+        refuse(s"delta.columnMapping.mode=id but field(s) ${missing.mkString(", ")} " +
           "carry no delta.columnMapping.id — parquet field ids cannot be stamped")
     }
     // NESTED mapped schemas: appends and in-place DML WRITE (round 15
@@ -1287,19 +1322,15 @@ object DeltaWrite {
     else c.as(phys)
   }
 
-  /** Force Spark's footer-field-id emission on (its default, but a
-    * session may have disabled it — an id-less file in an id-mode
-    * table breaks every reader).
-    */
-  private def ensureFieldIdWrite(df: DataFrame): Unit =
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  // (footer-field-id emission is forced ON — scoped, with the prior
+  // session value restored — inside [[writeDataFiles]], which detects
+  // parquet.field.id metadata anywhere in the frame's schema)
 
   private def toPhysical(snap: DeltaRead.Snapshot,
                          df: DataFrame): (DataFrame, Seq[String]) =
     if (snap.colMap.isEmpty) (df, snap.partitionColumns)
     else {
       val idMode = isIdMode(snap.configuration)
-      if (idMode) ensureFieldIdWrite(df)
       (df.select(snap.schema.fields.map(f =>
         physAliasCol(idMode, f, snap.colMap(f.name))): _*),
         snap.partitionColumns.map(p => snap.colMap.getOrElse(p,
@@ -1667,7 +1698,6 @@ object DeltaWrite {
     val (physDf, physParts) = existing.filter(_.colMap.nonEmpty) match {
       case Some(s) =>
         val idMode = isIdMode(s.configuration)
-        if (idMode) ensureFieldIdWrite(aligned)
         mappedOverwrite match {
           case Some(os) =>
             // overwrite: the NEW schema's mapping governs — surviving
@@ -1923,9 +1953,30 @@ object DeltaWrite {
                              subdir: String = ""): Seq[NewFile] = {
     val staging = new Path(rootP,
       ".graft-delta-staging-" + java.util.UUID.randomUUID.toString.take(12))
+    // id-mode frames carry parquet.field.id metadata that MUST reach
+    // the footers — force the emitter on for exactly this write and
+    // restore the session's prior setting after (a permanent global
+    // flip would change unrelated writes for a user who disabled it)
+    val FieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    def carriesFieldIds(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => f.metadata.contains("parquet.field.id") ||
+          carriesFieldIds(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => carriesFieldIds(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        carriesFieldIds(m.keyType) || carriesFieldIds(m.valueType)
+      case _ => false
+    }
+    val needIds = carriesFieldIds(df.schema)
+    val priorFieldId = if (needIds) spark.conf.getOption(FieldIdKey) else None
     try {
+      if (needIds) spark.conf.set(FieldIdKey, "true")
       val w = df.write.mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
+      if (needIds) priorFieldId match {
+        case Some(v) => spark.conf.set(FieldIdKey, v)
+        case None => spark.conf.unset(FieldIdKey)
+      }
       val found = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
       def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
@@ -1968,7 +2019,6 @@ object DeltaWrite {
       if (snap.colMap.isEmpty) changes
       else {
         val idMode = isIdMode(snap.configuration)
-        if (idMode) ensureFieldIdWrite(changes)
         changes.select(snap.schema.fields.map(f =>
           physAliasCol(idMode, f, snap.colMap(f.name))) :+ col("_change_type"): _*)
       }
@@ -2899,8 +2949,14 @@ object DeltaWrite {
     }
     // checkpoints wholly inside the deleted prefix are superseded by
     // the newer one the cut preserves; a deleted v2 main file's
-    // sidecars go with it (UUID-unique per write — never shared)
-    for ((v, files) <- cpFiles if v <= cut; n <- files) {
+    // sidecars go with it (UUID-unique per write — never shared).
+    // Sweep EVERY checkpoint-form file at versions <= cut — not just
+    // the per-version mapping checkpointFilesOf elects — or a racing
+    // checkpointer's duplicate UUID main (legal: both publish) and its
+    // sidecars would orphan forever
+    val CkAny = """(\d{20})\.checkpoint(\..+)?\.parquet""".r
+    val expired = names.collect { case n @ CkAny(v, _) if v.toLong <= cut => n }
+    for (n <- expired.sorted) {
       if (n.matches("""\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet""")) {
         try {
           spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
@@ -3310,9 +3366,24 @@ object DeltaWrite {
       if (parts > 0) parts
       else {
         // spark.read.parquet(...).count() on untransformed files is a
-        // metadata-only count — no row decode even on a huge checkpoint
-        val prevCount = prev.map(cv => spark.read.parquet(
-          cpFiles(cv).map(n => new Path(logP, n).toString): _*).count()).getOrElse(0L)
+        // metadata-only count — no row decode even on a huge checkpoint.
+        // A v2 PREVIOUS checkpoint keeps its file actions in SIDECARS
+        // (the main file is a handful of non-file rows) — count those
+        // too, or the estimate collapses to nParts=1 and the whole add
+        // set funnels through one write task
+        val prevCount = prev.map { cv =>
+          val mains = cpFiles(cv).map(n => new Path(logP, n).toString)
+          val mainDf = spark.read.parquet(mains: _*)
+          val sideFiles =
+            if (!mainDf.columns.contains("sidecar")) Nil
+            else mainDf.select(col("sidecar.path"))
+              .where(col("sidecar.path").isNotNull)
+              .collect().map(_.getString(0)).toSeq
+              .filter(rel => !rel.contains("://") && !rel.startsWith("/"))
+              .map(rel => new Path(new Path(logP, "_sidecars"), rel).toString)
+          mainDf.count() + (if (sideFiles.isEmpty) 0L
+            else spark.read.parquet(sideFiles: _*).count())
+        }.getOrElse(0L)
         val est = prevCount + driverRows.size
         math.max(1L, (est + CkPartActions - 1) / CkPartActions).toInt
       }

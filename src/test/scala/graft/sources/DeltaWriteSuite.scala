@@ -592,6 +592,17 @@ class DeltaWriteSuite extends SparkSpec {
       .as[Long].head() == 105L)
     assert(DeltaRead.read(spark, root2).select("id").as[Long].collect().toSet
       == Set(10L, 100L, 105L), "identity values must stay collision-free")
+
+    // a source that OMITS the identity column null-fills it under the
+    // default mergeFn's unionByName — committing NULL identity values
+    // would break the contract silently, so the merge must refuse
+    val en = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, Seq(("y", 100L)).toDF("v", "id")
+        .withColumn("id", lit(null).cast("long")), root2, Seq("v"))
+    }
+    assert(en.getMessage.contains("NULL"), en.getMessage)
+    assert(DeltaRead.read(spark, root2).select("id").as[Long].collect().toSet
+      == Set(10L, 100L, 105L), "the refused merge must not have committed")
   }
 
   test("full overwrite on a mapped table: survivors keep ids, new columns mint, maxColumnId monotone") {
