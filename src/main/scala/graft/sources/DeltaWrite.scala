@@ -1338,37 +1338,135 @@ object DeltaWrite {
             s"partition column '$p' has no column-mapping physical name"))))
     }
 
-  /** Mint (logicalName, physicalName, id) triples for columns NEW to a
-    * mapped table — ids monotonic from the configured high-water mark
-    * (falling back to the max id any schema field already carries — a
-    * foreign log may have skipped the config key), physical names
-    * fresh `col-<uuid>` tokens no reader resolves by logical name.
-    * delta-spark's minting contract; shared by mergeSchema evolution
-    * and full overwrite.
+  /** A column NEW to a mapped table, fully annotated: `field` carries
+    * the minted (id, physicalName) pair at its own level AND on every
+    * inner struct field (nested columns map field-by-field per the
+    * protocol); `phys` is the top-level physical name for colMap
+    * convenience.
     */
-  private def mintColumnIds(s: DeltaRead.Snapshot,
-      extras: Seq[org.apache.spark.sql.types.StructField])
-      : Seq[(String, String, Long)] = {
-    // a NEW nested column on a mapped table needs (id, physicalName)
-    // minted for every INNER field too — refuse rather than emit a
-    // half-mapped schemaString other readers would misresolve
-    extras.filter(f => hasNestedStruct(f.dataType)).foreach(f =>
-      throw new UnsupportedOperationException(
-        s"cannot add NESTED column '${f.name}' to a column-mapped table — " +
-          "minting inner-field mappings is not supported; add it with delta-spark"))
-    val base = mappingIdHighWater(s)
-    extras.zipWithIndex.map { case (f, i) =>
-      (f.name, "col-" + java.util.UUID.randomUUID.toString, base + i + 1) }.toSeq
+  private case class Minted(name: String, phys: String,
+                            field: org.apache.spark.sql.types.StructField)
+
+  /** Monotonic column-id allocator for ONE write: every field minted
+    * in a commit — new top-level columns, their inner fields, and
+    * inner fields new to a surviving column on full overwrite — draws
+    * from the same sequence starting at the table's id high-water
+    * mark, and the commit bumps `delta.columnMapping.maxColumnId` to
+    * the final `hw` in the same metaData action (delta-spark's
+    * contract). `minMinted` feeds the CAS race check: a concurrent
+    * evolver whose high-water reached our first minted id claimed ids
+    * this write's staged files already carry.
+    */
+  private final class MintContext(start: Long) {
+    var hw: Long = start
+    var minMinted: Long = Long.MaxValue
+    def next(): Long = { hw += 1; if (hw < minMinted) minMinted = hw; hw }
+    def didMint: Boolean = minMinted != Long.MaxValue
   }
 
+  /** `f` with a freshly-minted (id, physicalName) pair at its own
+    * level and recursively on every inner struct field — ids from
+    * `ctx` depth-first (parent before children, delta-spark's
+    * assignment order), physical names fresh `col-<uuid>` tokens no
+    * reader resolves by logical name.
+    */
+  private def mintMappedField(f: org.apache.spark.sql.types.StructField,
+                              ctx: MintContext): org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val id = ctx.next()
+    f.copy(dataType = mintInnerType(f.dataType, ctx),
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName",
+          "col-" + java.util.UUID.randomUUID.toString).build())
+  }
+
+  private def mintInnerType(dt: org.apache.spark.sql.types.DataType,
+                            ctx: MintContext): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(mintMappedField(_, ctx)))
+      case a: ArrayType => a.copy(elementType = mintInnerType(a.elementType, ctx))
+      case m: MapType => m.copy(keyType = mintInnerType(m.keyType, ctx),
+        valueType = mintInnerType(m.valueType, ctx))
+      case other => other
+    }
+  }
+
+  /** The full-overwrite schema field for a SURVIVING logical name on a
+    * mapped table: the (id, physicalName) binding carries over from
+    * the table field — physical binding is identity across an
+    * overwrite — and inner struct fields reconcile recursively by
+    * logical name: surviving inner names keep their bindings, inner
+    * fields new to this overwrite mint fresh pairs under `ctx`, and
+    * dropped inner fields disappear (overwrite is the redefinition
+    * surface; the removed files were their only physical home). A
+    * STRUCTURAL type change (e.g. long → struct) mints the whole new
+    * subtree.
+    */
+  private def reconcileMappedField(inc: org.apache.spark.sql.types.StructField,
+                                   tbl: org.apache.spark.sql.types.StructField,
+                                   ctx: MintContext): org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val idKey = "delta.columnMapping.id"
+    val physKey = "delta.columnMapping.physicalName"
+    if (!tbl.metadata.contains(idKey) || !tbl.metadata.contains(physKey))
+      mintMappedField(inc, ctx) // half-mapped foreign field: re-mint whole
+    else
+      inc.copy(dataType = reconcileMappedType(inc.dataType, tbl.dataType, ctx),
+        metadata = new MetadataBuilder().withMetadata(inc.metadata)
+          .putLong(idKey, tbl.metadata.getLong(idKey))
+          .putString(physKey, tbl.metadata.getString(physKey)).build())
+  }
+
+  private def reconcileMappedType(inc: org.apache.spark.sql.types.DataType,
+                                  tbl: org.apache.spark.sql.types.DataType,
+                                  ctx: MintContext): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (inc, tbl) match {
+      case (is: StructType, ts: StructType) =>
+        StructType(is.fields.map { f =>
+          ts.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(tf) => reconcileMappedField(f, tf, ctx)
+            case None => mintMappedField(f, ctx)
+          }
+        })
+      case (ia: ArrayType, ta: ArrayType) =>
+        ia.copy(elementType = reconcileMappedType(ia.elementType, ta.elementType, ctx))
+      case (im: MapType, tm: MapType) =>
+        im.copy(keyType = reconcileMappedType(im.keyType, tm.keyType, ctx),
+          valueType = reconcileMappedType(im.valueType, tm.valueType, ctx))
+      case _ => mintInnerType(inc, ctx) // structural change: fresh subtree
+    }
+  }
+
+  /** Mint annotated fields for columns NEW to a mapped table — shared
+    * by mergeSchema evolution and full overwrite; nested columns get
+    * inner (id, physicalName) pairs minted at every level.
+    */
+  private def mintColumnIds(extras: Seq[org.apache.spark.sql.types.StructField],
+                            ctx: MintContext): Seq[Minted] =
+    extras.map { f =>
+      val mf = mintMappedField(f, ctx)
+      Minted(f.name, mf.metadata.getString("delta.columnMapping.physicalName"), mf)
+    }
+
   /** The column-id high-water mark: the configured maxColumnId or the
-    * max id any schema field carries, whichever is larger (a foreign
-    * log may have skipped the config key).
+    * max id any schema field (inner fields included — a foreign log
+    * may have skipped the config key) carries, whichever is larger.
     */
   private def mappingIdHighWater(s: DeltaRead.Snapshot): Long = {
-    val fieldIds = s.schema.fields.flatMap(f =>
-      if (f.metadata.contains("delta.columnMapping.id"))
-        Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def idsOf(dt: DataType): Seq[Long] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        (if (f.metadata.contains("delta.columnMapping.id"))
+          Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++ idsOf(f.dataType)
+      }
+      case a: ArrayType => idsOf(a.elementType)
+      case m: MapType => idsOf(m.keyType) ++ idsOf(m.valueType)
+      case _ => Nil
+    }
+    val fieldIds = idsOf(s.schema)
     math.max(
       s.configuration.get("delta.columnMapping.maxColumnId")
         .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L),
@@ -1646,48 +1744,43 @@ object DeltaWrite {
     // reader ever resolves by logical name. The commit bumps
     // maxColumnId in the SAME metaData action (commitContent), and
     // the data files below land with the minted physical names.
-    val minted: Seq[(String, String, Long)] = existing match {
+    val mintCtx: Option[MintContext] = existing.filter(_.colMap.nonEmpty)
+      .map(s => new MintContext(mappingIdHighWater(s)))
+    val minted: Seq[Minted] = existing match {
       case Some(s) if s.colMap.nonEmpty && (mode == Mode.Overwrite || mergeSchema) =>
         // overwrite: every column absent from the CURRENT schema is new
         // (surviving logical names carry their ids in mappedOverwrite
-        // below); mergeSchema append: same definition of "new"
-        mintColumnIds(s, aligned.schema.fields.filterNot(f =>
-          s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+        // below); mergeSchema append: same definition of "new". Nested
+        // new columns mint inner (id, physicalName) pairs at every
+        // level from the same allocator.
+        mintColumnIds(aligned.schema.fields.filterNot(f =>
+          s.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq, mintCtx.get)
       case _ => Nil
     }
     // The full-overwrite metaData schema on a mapped table: incoming
     // fields in incoming order, surviving logical names carrying the
     // current (id, physicalName) metadata — their physical binding is
-    // identity across the overwrite — and new fields carrying their
-    // minted pair. Non-mapping metadata follows the incoming frame
-    // (overwrite is the redefinition surface, same as unmapped).
+    // identity across the overwrite, inner fields reconciled
+    // recursively (surviving inner names keep bindings, new inner
+    // fields mint) — and new fields carrying their minted pair.
+    // Non-mapping metadata follows the incoming frame (overwrite is
+    // the redefinition surface, same as unmapped).
     val mappedOverwrite: Option[org.apache.spark.sql.types.StructType] =
       existing.filter(s => s.colMap.nonEmpty && mode == Mode.Overwrite).map { s =>
-        // the re-emitted metaData below copies surviving fields from
-        // the INCOMING frame, whose inner struct fields carry no
-        // (id, physicalName) metadata — a nested mapped overwrite
-        // would silently drop the inner bindings; refuse loudly
-        s.schema.fields.filter(f => hasNestedStruct(f.dataType)).foreach(f =>
-          throw new UnsupportedOperationException(
-            s"full overwrite of column-mapped table at $path refuses: column " +
-              s"'${f.name}' is NESTED — the overwrite re-emits metaData from " +
-              "the incoming frame and would lose inner-field mappings; " +
-              "overwrite with delta-spark"))
-        import org.apache.spark.sql.types.MetadataBuilder
         org.apache.spark.sql.types.StructType(aligned.schema.fields.map { f =>
-          val (phys, id) = s.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-            case Some(tf) => (tf.metadata.getString("delta.columnMapping.physicalName"),
-              tf.metadata.getLong("delta.columnMapping.id"))
-            case None =>
-              val m = minted.find(_._1 == f.name).getOrElse(throw new IllegalStateException(
+          s.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(tf) => reconcileMappedField(f, tf, mintCtx.get)
+            case None => minted.find(_.name == f.name).map(_.field)
+              .getOrElse(throw new IllegalStateException(
                 s"overwrite at $path: no minted id for new column '${f.name}'"))
-              (m._2, m._3)
           }
-          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", id)
-            .putString("delta.columnMapping.physicalName", phys).build())
         })
       }
+    // ids minted THIS write, top-level and inner (a nested overwrite
+    // can mint inner ids with `minted` empty): the metaData's
+    // maxColumnId bump and the CAS race check both need the range
+    val mintedIdMin: Option[Long] = mintCtx.filter(_.didMint).map(_.minMinted)
+    val newMaxColumnId: Option[Long] = mintCtx.filter(_.didMint).map(_.hw)
 
     // Column mapping: the PARQUET (and its partition dirs) must carry
     // PHYSICAL names — rename at the last moment, after every
@@ -1718,15 +1811,14 @@ object DeltaWrite {
           case None =>
             if (minted.isEmpty) toPhysical(s, aligned)
             else {
-              val ext = s.colMap ++ minted.map(m => m._1 -> m._2)
-              val mintedId = minted.map(m => m._1 -> m._3).toMap
+              val ext = s.colMap ++ minted.map(m => m.name -> m.phys)
+              // minted fields are fully annotated (inner metadata
+              // included), so the nested physicalize cast and the
+              // id-mode footer stamp both ride the same field
+              val mintedF = minted.map(m => m.name -> m.field).toMap
               (aligned.select(aligned.schema.fields.map { af =>
-                val f = s.schema.fields.find(_.name == af.name).getOrElse(
-                  mintedId.get(af.name).map(i => af.copy(metadata =
-                    new org.apache.spark.sql.types.MetadataBuilder()
-                      .withMetadata(af.metadata)
-                      .putLong("delta.columnMapping.id", i).build()))
-                    .getOrElse(af))
+                val f = s.schema.fields.find(_.name == af.name)
+                  .orElse(mintedF.get(af.name)).getOrElse(af)
                 physAliasCol(idMode, f, ext.getOrElse(af.name, af.name))
               }: _*),
                 s.partitionColumns.map(p => s.colMap.getOrElse(p, p)))
@@ -1760,7 +1852,7 @@ object DeltaWrite {
         case _ => Nil
       }
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
-        txn, mergeSchema, minted, identityHw, mappedOverwrite)
+        txn, mergeSchema, minted, identityHw, mappedOverwrite, newMaxColumnId)
       if (publishCommit(fs, logP, next, content,
             snap.map(_.configuration).getOrElse(Map.empty))) {
         autoCheckpoint(spark, rootP.toString, next,
@@ -1809,8 +1901,8 @@ object DeltaWrite {
         // who minted past them: the staged parquet and the prepared
         // metaData carry THIS attempt's ids — re-committing would
         // reuse the winner's (delta-spark aborts this conflict too)
-        if (mode == Mode.Overwrite && minted.nonEmpty)
-          require(mappingIdHighWater(s) < minted.map(_._3).min,
+        if (mode == Mode.Overwrite && mintedIdMin.nonEmpty)
+          require(mappingIdHighWater(s) < mintedIdMin.get,
             s"concurrent writer evolved the column-mapped Delta table $path " +
               "mid-commit (column ids were minted past this overwrite's) — " +
               "re-run the write (its staged files are unreferenced)")
@@ -1831,8 +1923,8 @@ object DeltaWrite {
             // physical names, and a winner who claimed the same ids
             // (or the same logical columns under different physical
             // names) would orphan them — abort loudly, never re-mint
-            if (minted.nonEmpty) {
-              require(mappingIdHighWater(s) < minted.map(_._3).min,
+            if (mintedIdMin.nonEmpty) {
+              require(mappingIdHighWater(s) < mintedIdMin.get,
                 s"concurrent writer evolved the column-mapped Delta table $path " +
                   "mid-commit (column ids were minted past this append's) — " +
                   "re-run the write (its staged files are unreferenced)")
@@ -1970,10 +2062,18 @@ object DeltaWrite {
     val needIds = carriesFieldIds(df.schema)
     val priorFieldId = if (needIds) spark.conf.getOption(FieldIdKey) else None
     try {
+      // restore in finally so a failed write can't leak the flipped
+      // flag into the session. The set/restore window is still visible
+      // to concurrent writers in OTHER threads of this session (session
+      // confs are shared); for them the flag being transiently true is
+      // harmless — parquet emitters ignore field ids the frame doesn't
+      // carry — but a concurrent writer that set it FALSE on purpose
+      // should use its own session.
       if (needIds) spark.conf.set(FieldIdKey, "true")
-      val w = df.write.mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
-      if (needIds) priorFieldId match {
+      try {
+        val w = df.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
+      } finally if (needIds) priorFieldId match {
         case Some(v) => spark.conf.set(FieldIdKey, v)
         case None => spark.conf.unset(FieldIdKey)
       }
@@ -2088,10 +2188,11 @@ object DeltaWrite {
                             removes: Seq[String], version: Long,
                             txn: Option[(String, Long)] = None,
                             mergeSchema: Boolean = false,
-                            minted: Seq[(String, String, Long)] = Nil,
+                            minted: Seq[Minted] = Nil,
                             identityHw: Map[String, Long] = Map.empty,
                             mappedOverwrite: Option[org.apache.spark.sql.types.StructType]
-                              = None): String = {
+                              = None,
+                            newMaxColumnId: Option[Long] = None): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
 
@@ -2135,14 +2236,11 @@ object DeltaWrite {
           .map(_.copy(nullable = true))
           .map { f =>
             // mapped-table evolution: the new field's metaData carries
-            // its minted (id, physicalName) — the protocol's shape,
-            // what buildColMap and delta-spark resolve against
-            minted.find(_._1 == f.name) match {
-              case Some((_, phys, id)) => f.copy(metadata =
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putLong("delta.columnMapping.id", id)
-                  .putString("delta.columnMapping.physicalName", phys).build())
+            // its minted (id, physicalName) at every level — the
+            // protocol's shape, what buildColMap and delta-spark
+            // resolve against
+            minted.find(_.name == f.name) match {
+              case Some(m) => m.field.copy(nullable = true)
               case None => f
             }
           }
@@ -2200,8 +2298,8 @@ object DeltaWrite {
       // id in the same action (the protocol's monotonic high-water).
       val cfg = mdb.putObject("configuration")
       val confOut = snap.map(_.configuration).getOrElse(Map.empty) ++
-        (if (minted.isEmpty) Map.empty[String, String]
-         else Map("delta.columnMapping.maxColumnId" -> minted.map(_._3).max.toString))
+        newMaxColumnId.map(m =>
+          Map("delta.columnMapping.maxColumnId" -> m.toString)).getOrElse(Map.empty)
       confOut.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
@@ -2948,25 +3046,35 @@ object DeltaWrite {
       if (fs.delete(new Path(logP, n), false)) deleted += n
     }
     // checkpoints wholly inside the deleted prefix are superseded by
-    // the newer one the cut preserves; a deleted v2 main file's
-    // sidecars go with it (UUID-unique per write — never shared).
-    // Sweep EVERY checkpoint-form file at versions <= cut — not just
-    // the per-version mapping checkpointFilesOf elects — or a racing
-    // checkpointer's duplicate UUID main (legal: both publish) and its
-    // sidecars would orphan forever
+    // the newer one the cut preserves. Sweep EVERY checkpoint-form file
+    // at versions <= cut — not just the per-version mapping
+    // checkpointFilesOf elects — or a racing checkpointer's duplicate
+    // UUID main (legal: both publish) and its sidecars would orphan
+    // forever. A deleted v2 main's sidecars go ONLY if no RETAINED v2
+    // main still references them: the spec allows incremental
+    // checkpointing (a newer checkpoint reusing an older one's sidecar
+    // files — delta-spark does this), so sidecar reachability is
+    // computed across the retained set first and shared files survive.
     val CkAny = """(\d{20})\.checkpoint(\..+)?\.parquet""".r
+    val v2MainRe = """\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet"""
+    def sidecarRefsOf(n: String): Seq[String] =
+      try {
+        spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
+          .where(col("sidecar.path").isNotNull)
+          .collect().toSeq.map(_.getString(0))
+      } catch { case scala.util.control.NonFatal(_) => Nil } // sidecar col absent
+    val retainedRefs: Set[String] = names.collect {
+      case n @ CkAny(v, _) if v.toLong > cut && n.matches(v2MainRe) => n
+    }.flatMap(sidecarRefsOf).toSet
     val expired = names.collect { case n @ CkAny(v, _) if v.toLong <= cut => n }
     for (n <- expired.sorted) {
-      if (n.matches("""\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet""")) {
-        try {
-          spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
-            .where(col("sidecar.path").isNotNull)
-            .collect().map(_.getString(0)).foreach { rel =>
-              if (!rel.contains("://") && !rel.startsWith("/") &&
-                  fs.delete(new Path(new Path(logP, "_sidecars"), rel), false))
-                deleted += s"_sidecars/$rel"
-            }
-        } catch { case scala.util.control.NonFatal(_) => () } // sidecar col absent
+      if (n.matches(v2MainRe)) {
+        sidecarRefsOf(n).foreach { rel =>
+          if (!rel.contains("://") && !rel.startsWith("/") &&
+              !retainedRefs.contains(rel) &&
+              fs.delete(new Path(new Path(logP, "_sidecars"), rel), false))
+            deleted += s"_sidecars/$rel"
+        }
       }
       if (fs.delete(new Path(logP, n), false)) deleted += n
     }

@@ -441,7 +441,7 @@ class DeltaReadSuite extends SparkSpec {
     assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
   }
 
-  test("NESTED mapped schemas: reads, appends and DML land; schema changes refuse") {
+  test("NESTED mapped schemas: reads, appends, DML and full overwrite land") {
     import org.apache.spark.sql.Row
     val root2 = tmp()
     // physical file: every level physical-named
@@ -500,14 +500,20 @@ class DeltaReadSuite extends SparkSpec {
     DeltaWrite.delete(spark, root2, "id = 1")                              // v2
     assert(DeltaRead.read(spark, root2).select("id").orderBy("id").collect()
       .map(_.getLong(0)).toSeq == Seq(2L, 3L))
-    // schema-CHANGE surfaces stay refused: full overwrite would lose
-    // the inner bindings, and minting a NEW nested column is unsupported
-    val eo = intercept[UnsupportedOperationException] {
-      DeltaWrite.overwrite(spark,
-        spark.createDataFrame(java.util.Arrays.asList(
-          Row(9L, Row(90L, "ninety"), Seq(Row(900L)))), logicalSchema), root2)
-    }
-    assert(eo.getMessage.contains("NESTED"), eo.getMessage)
+    // schema-CHANGE surfaces work too (round 16): a full overwrite
+    // reconciles surviving inner bindings instead of refusing
+    DeltaWrite.overwrite(spark,
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(9L, Row(90L, "ninety"), Seq(Row(900L)))), logicalSchema), root2) // v3
+    val snapO = DeltaRead.snapshot(spark, root2)
+    val sAfter = snapO.schema("s")
+    assert(sAfter.metadata.getString("delta.columnMapping.physicalName") == "col-bbb222")
+    assert(sAfter.dataType.asInstanceOf[StructType]("x")
+      .metadata.getString("delta.columnMapping.physicalName") == "col-xxx")
+    assert(DeltaRead.read(spark, root2)
+      .select(col("id"), col("s.y"), expr("arr[0].z")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((9L, "ninety", 900L)))
 
     val root3 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("col-aaa111", "col-bbb222"), root3, "f1.parquet")

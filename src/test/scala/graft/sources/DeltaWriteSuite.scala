@@ -2081,6 +2081,180 @@ class DeltaWriteSuite extends SparkSpec {
     intercept[IllegalArgumentException] { DeltaWrite.parseRetention("interval 1 month") }
   }
 
+  // --- nested column-mapped schema changes (round 16) ---------------
+
+  private def mkMappedTable(root: String, s: org.apache.spark.sql.types.StructType,
+                            mapMode: String, maxId: Long): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jstr(x: String) = mapper.writeValueAsString(x)
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-w-table","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(s.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":${jstr(mapMode)},""" +
+        s""""delta.columnMapping.maxColumnId":${jstr(maxId.toString)}}}}""")
+    val p = java.nio.file.Paths.get(root.stripPrefix("file:"),
+      "_delta_log", f"${0L}%020d.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private def nestedMappedRoundTrip(mapMode: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def mf(n: String, dt: DataType, id: Long, phys: String) =
+      StructField(n, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val idKey = "delta.columnMapping.id"
+    val physKey = "delta.columnMapping.physicalName"
+    val root = tmp()
+    mkMappedTable(root, StructType(Seq(
+      mf("id", LongType, 1, "col-a"),
+      mf("s", StructType(Seq(
+        mf("x", LongType, 3, "col-x"), mf("y", StringType, 4, "col-y"))), 2, "col-s"))),
+      mapMode, maxId = 9)
+    val logical = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))))))
+    DeltaWrite.append(spark, spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, Row(10L, "ten")), Row(2L, Row(20L, "twenty"))), logical), root)    // v1
+    // FULL OVERWRITE with an evolved nested schema: survivors keep
+    // their bindings, the new inner field and the new top-level
+    // column mint fresh ids above the configured high-water mark
+    val logical2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType),
+        StructField("w", LongType)))),
+      StructField("extra", StringType)))
+    DeltaWrite.overwrite(spark, spark.createDataFrame(java.util.Arrays.asList(
+      Row(3L, Row(30L, "thirty", 300L), "e3")), logical2), root)                 // v2
+    val snap = DeltaRead.snapshot(spark, root)
+    val sF = snap.schema("s")
+    assert(sF.metadata.getLong(idKey) == 2 && sF.metadata.getString(physKey) == "col-s")
+    val inner = sF.dataType.asInstanceOf[StructType]
+    assert(inner("x").metadata.getLong(idKey) == 3 &&
+      inner("x").metadata.getString(physKey) == "col-x")
+    assert(inner("y").metadata.getLong(idKey) == 4 &&
+      inner("y").metadata.getString(physKey) == "col-y")
+    val wId = inner("w").metadata.getLong(idKey)
+    val extraId = snap.schema("extra").metadata.getLong(idKey)
+    assert(wId > 9 && extraId > 9 && wId != extraId,
+      s"minted ids must be fresh above maxColumnId=9: w=$wId extra=$extraId")
+    assert(inner("w").metadata.getString(physKey).startsWith("col-"))
+    val maxId1 = snap.configuration("delta.columnMapping.maxColumnId").toLong
+    assert(maxId1 == math.max(wId, extraId), "maxColumnId bumps to the newest minted id")
+    assert(DeltaRead.read(spark, root)
+      .select(col("id"), col("s.w"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((3L, 300L, "e3")))
+    // the overwritten file is PHYSICAL at every level
+    val file = DeltaRead.snapshot(spark, root).files.keySet.head
+    val raw = spark.read.parquet(new java.io.File(
+      root.stripPrefix("file:"), file).toString).schema
+    assert(raw.fieldNames.forall(_.startsWith("col-")), raw)
+    assert(raw.fields.find(_.name == "col-s").get.dataType.asInstanceOf[StructType]
+      .fieldNames.forall(_.startsWith("col-")), raw)
+    // mergeSchema EVOLUTION minting a whole NEW nested column
+    val logical3 = StructType(logical2.fields :+ StructField("n", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))))
+    DeltaWrite.append(spark, spark.createDataFrame(java.util.Arrays.asList(
+      Row(4L, Row(40L, "forty", 400L), "e4", Row(1000L, "bee"))), logical3),
+      root, mergeSchema = true)                                                  // v3
+    val snap2 = DeltaRead.snapshot(spark, root)
+    val nF = snap2.schema("n")
+    val nInner = nF.dataType.asInstanceOf[StructType]
+    val mintedIds = Seq(nF.metadata.getLong(idKey),
+      nInner("a").metadata.getLong(idKey), nInner("b").metadata.getLong(idKey))
+    assert(mintedIds.forall(_ > maxId1) && mintedIds.distinct.size == 3,
+      s"evolution mints fresh distinct ids at every level: $mintedIds")
+    assert(Seq(nF, nInner("a"), nInner("b")).forall(
+      _.metadata.getString(physKey).startsWith("col-")))
+    val maxId2 = snap2.configuration("delta.columnMapping.maxColumnId").toLong
+    assert(maxId2 == mintedIds.max && maxId2 > maxId1, "maxColumnId stays monotone")
+    // old rows read the new nested column as null; the new row carries it
+    val got = DeltaRead.read(spark, root)
+      .select(col("id"), col("n.a"), col("n.b")).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((3L, -1L), (4L, 1000L)))
+    // post-change DML stays green
+    DeltaWrite.delete(spark, root, "id = 3")                                     // v4
+    assert(DeltaRead.read(spark, root).select(col("id"), col("s.w"), col("n.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((4L, 400L, "bee")))
+    DeltaWrite.append(spark, spark.createDataFrame(java.util.Arrays.asList(
+      Row(5L, Row(50L, "fifty", 500L), "e5", Row(2000L, "cee"))), logical3), root) // v5
+    assert(DeltaRead.read(spark, root).select(col("id")).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L, 5L))
+  }
+
+  test("nested mapped table (name mode): full overwrite + mergeSchema evolution reconcile and mint") {
+    nestedMappedRoundTrip("name")
+  }
+
+  test("nested mapped table (id mode): full overwrite + mergeSchema evolution reconcile and mint") {
+    nestedMappedRoundTrip("id")
+  }
+
+  test("expired-log cleanup keeps sidecars a RETAINED v2 checkpoint still references") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root) // v0
+    DeltaWrite.setProperties(spark, root, Map("delta.checkpointPolicy" -> "v2"))          // v1
+    assert(DeltaWrite.checkpoint(spark, root) == 1L) // main1 + sidecar S1
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val sideDir = new java.io.File(logDir, "_sidecars")
+    def mainAt(v: Long): String = logDir.list().find(_.matches(
+      f"$v%020d\\.checkpoint\\.[0-9a-f]{8}-[0-9a-f-]{27}\\.parquet")).get
+    def refsOf(main: String): Seq[String] =
+      spark.read.parquet(new java.io.File(logDir, main).toString)
+        .select("sidecar.path").where(col("sidecar.path").isNotNull)
+        .collect().map(_.getString(0)).toSeq
+    val main1 = mainAt(1L)
+    val s1 = refsOf(main1)
+    assert(s1.size == 1, s"fixture expects one sidecar at this scale, got $s1")
+    // two metadata-only commits (file set unchanged), then a second fold
+    DeltaWrite.setProperties(spark, root, Map("graft.test.k1" -> "x"))                    // v2
+    DeltaWrite.setProperties(spark, root, Map("graft.test.k2" -> "y"))                    // v3
+    assert(DeltaWrite.checkpoint(spark, root) == 3L) // main2 + sidecar S2
+    val main2 = mainAt(3L)
+    // simulate INCREMENTAL checkpointing (spec-legal, delta-spark does
+    // it): rewrite main2's sidecar refs to point at S1 — the newer
+    // checkpoint reuses the older one's sidecar file
+    val m2 = spark.read.parquet(new java.io.File(logDir, main2).toString)
+    val patched = m2.withColumn("sidecar",
+      when(col("sidecar").isNotNull,
+        struct(lit(s1.head).as("path"),
+          lit(new java.io.File(sideDir, s1.head).length).as("sizeInBytes"),
+          col("sidecar.modificationTime").as("modificationTime"),
+          col("sidecar.tags").as("tags")))
+        .otherwise(lit(null).cast(m2.schema("sidecar").dataType)))
+    val patchDir = java.nio.file.Files.createTempDirectory("graft_m2patch").toFile
+    patched.coalesce(1).write.mode("overwrite").parquet(patchDir.toString)
+    val part = patchDir.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val main2File = new java.io.File(logDir, main2)
+    assert(main2File.delete())
+    new java.io.File(logDir, s".$main2.crc").delete() // stale local-FS checksum shadow
+    java.nio.file.Files.move(part.toPath, main2File.toPath)
+    assert(refsOf(main2) == Seq(s1.head), "fixture: main2 now shares S1")
+    // expire the prefix below the newest checkpoint and sweep
+    val old = System.currentTimeMillis - 2L * 3600 * 1000
+    (0 to 2).foreach(v =>
+      assert(new java.io.File(logDir, f"$v%020d.json").setLastModified(old)))
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.logRetentionDuration" -> "interval 1 hour"))                             // v4
+    val del = DeltaWrite.cleanupExpiredLogs(spark, root)
+    assert(del.contains(main1), s"expired main1 must go: $del")
+    assert(!del.contains(s"_sidecars/${s1.head}"),
+      s"S1 is referenced by the RETAINED v3 checkpoint — deleting it corrupts the table: $del")
+    assert(new java.io.File(sideDir, s1.head).exists)
+    // the table still replays from main2 via the shared sidecar
+    assert(DeltaRead.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("v2 checkpoint policy without the v2Checkpoint feature refuses loudly") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
