@@ -678,13 +678,58 @@ object DeltaRead {
     def pvKeys(pv: Map[String, String]): Map[String, String] =
       if (physToLogical.isEmpty) pv
       else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
-    Snapshot(target, schema,
+    val snap = Snapshot(target, schema,
       partCols, entries.map { case (p, (pv, _, _, _)) => p -> pvKeys(pv) },
       entries.map { case (p, (_, sz, _, _)) => p -> sz }, metaId, txns.toMap,
       entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
       colMap,
       entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
       minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf)
+    validateChecksum(fs, logP, path, snap)
+    snap
+  }
+
+  /** Opportunistic `<v>.crc` version-checksum validation (delta-spark
+    * writes these sidecars; [[DeltaWrite]] does too): when the
+    * snapshot's version has a parseable checksum carrying `numFiles` /
+    * `tableSizeBytes`, the REPLAYED state must agree — a mismatch
+    * means the log or a checkpoint is corrupted, and serving the
+    * snapshot anyway would silently return wrong data. Absent or
+    * unreadable checksums are fine (they're optional per the
+    * protocol); size validation is skipped when any live file's size
+    * is unknown (legacy adds without `size`).
+    */
+  private def validateChecksum(fs: FileSystem, logP: Path, path: String,
+                               s: Snapshot): Unit = {
+    val n: JsonNode =
+      try {
+        val p = new Path(logP, f"${s.version}%020d.crc")
+        if (!fs.exists(p)) return
+        graft.pipeline.VersionedTable.readSmall(fs, p)
+          .map(mapper.readTree).orNull
+      } catch { case scala.util.control.NonFatal(_) => return }
+    if (n == null) return
+    if (n.hasNonNull("numFiles")) {
+      val expect = n.get("numFiles").asLong
+      if (expect != s.files.size)
+        throw new IllegalStateException(
+          s"Delta table at $path fails checksum validation at version " +
+            s"${s.version}: the .crc sidecar records numFiles=$expect but the " +
+            s"replayed snapshot has ${s.files.size} live files — the log or a " +
+            "checkpoint is corrupted; refusing to serve a wrong snapshot")
+    }
+    if (n.hasNonNull("tableSizeBytes") && s.files.keys.forall(p =>
+        s.sizes.getOrElse(p, -1L) >= 0L)) {
+      val expect = n.get("tableSizeBytes").asLong
+      // keysIterator, NOT keys.map: mapping a key SET through sizes
+      // would dedup equal sizes and undercount
+      val got = s.files.keysIterator.map(s.sizes).sum
+      if (expect != got)
+        throw new IllegalStateException(
+          s"Delta table at $path fails checksum validation at version " +
+            s"${s.version}: tableSizeBytes=$expect recorded vs $got replayed — the " +
+            "log or a checkpoint is corrupted; refusing to serve a wrong snapshot")
+    }
   }
 
   /** A `deletionVector` descriptor from its action-JSON node (null =

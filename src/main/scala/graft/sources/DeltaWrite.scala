@@ -205,7 +205,7 @@ object DeltaWrite {
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
             deleteContent(snap, updates, condition, cdcFiles),
-            snap.configuration)) return next
+            snap.configuration, Some(snap))) return next
       cdcFiles.foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
@@ -300,7 +300,7 @@ object DeltaWrite {
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
             updateContent(snap, updates, newFiles, condition, cdcFiles),
-            snap.configuration)) return next
+            snap.configuration, Some(snap))) return next
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
@@ -592,7 +592,7 @@ object DeltaWrite {
       if (publishCommit(fs, logP, next,
             mergeContent(snap, touched, newFiles, keys, cdcFiles,
               mergeIdentityHw),
-            snap.configuration)) {
+            snap.configuration, Some(snap))) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
@@ -912,7 +912,7 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(md)
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
-            lines.result().mkString("\n") + "\n", conf)) return next
+            lines.result().mkString("\n") + "\n", conf, Some(snap))) return next
     }
     throw new IllegalStateException(
       s"$operation at $path lost the commit race 20 times — another writer is " +
@@ -1505,14 +1505,105 @@ object DeltaWrite {
     math.max(System.currentTimeMillis,
       prevIct(fs, logP, version - 1).map(_ + 1L).getOrElse(Long.MinValue))
 
+  /** Best-effort `<v>.crc` version-checksum sidecar in delta-spark's
+    * VersionChecksum shape: table-level aggregates (tableSizeBytes,
+    * numFiles) plus the replayed metadata/protocol, which a reader can
+    * validate a snapshot against without replaying the log. Computed
+    * INCREMENTALLY from the pre-commit snapshot plus this commit's own
+    * actions — never a replay, so the 100 TB cost is O(commit).
+    * Skipped — never written wrong — when the base state is
+    * unavailable (no prevSnap on a non-initial commit) or any live
+    * file's size is unknown (a legacy add without `size`). Optional
+    * per the protocol; delta-spark validates opportunistically, as
+    * does [[DeltaRead.snapshot]].
+    */
+  private def writeVersionChecksum(fs: FileSystem, logP: Path, version: Long,
+                                   content: String,
+                                   prevSnap: Option[DeltaRead.Snapshot]): Unit =
+    try {
+      var metaNode: com.fasterxml.jackson.databind.JsonNode = null
+      var protoNode: com.fasterxml.jackson.databind.JsonNode = null
+      var ict: Option[Long] = None
+      val adds = Map.newBuilder[String, Long]
+      val removesB = Set.newBuilder[String]
+      content.split("\n").filter(_.trim.nonEmpty).foreach { l =>
+        val n = mapper.readTree(l)
+        if (n.has("metaData")) metaNode = n.get("metaData")
+        if (n.has("protocol")) protoNode = n.get("protocol")
+        if (n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp"))
+          ict = Some(n.get("commitInfo").get("inCommitTimestamp").asLong)
+        if (n.has("add")) {
+          val a = n.get("add")
+          adds += DeltaRead.decodePath(a.get("path").asText) ->
+            (if (a.has("size")) a.get("size").asLong(-1L) else -1L)
+        }
+        if (n.has("remove"))
+          removesB += DeltaRead.decodePath(n.get("remove").get("path").asText)
+      }
+      val base: Map[String, Long] = prevSnap match {
+        case Some(s) => s.files.keys.map(p => p -> s.sizes.getOrElse(p, -1L)).toMap
+        case None if version == 0L => Map.empty
+        case None => return
+      }
+      val post = base -- removesB.result() ++ adds.result()
+      if (post.values.exists(_ < 0L)) return
+      if (metaNode == null) metaNode = prevSnap.map(crcMetaNode).orNull
+      if (protoNode == null) protoNode = prevSnap.map(crcProtoNode).orNull
+      if (metaNode == null || protoNode == null) return
+      val node = mapper.createObjectNode
+      node.put("tableSizeBytes", post.values.sum)
+      node.put("numFiles", post.size.toLong)
+      node.put("numMetadata", 1L)
+      node.put("numProtocol", 1L)
+      ict.foreach(v => node.put("inCommitTimestampOpt", v))
+      node.set[com.fasterxml.jackson.databind.JsonNode]("metadata", metaNode)
+      node.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protoNode)
+      graft.pipeline.VersionedTable.casPublish(
+        fs, new Path(logP, f"$version%020d.crc"),
+        mapper.writeValueAsString(node) + "\n")
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def crcMetaNode(s: DeltaRead.Snapshot): com.fasterxml.jackson.databind.JsonNode = {
+    val md = mapper.createObjectNode
+    md.put("id", Option(s.metaId).getOrElse(""))
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    md.put("schemaString", s.schema.json)
+    val pc = md.putArray("partitionColumns")
+    s.partitionColumns.foreach(pc.add)
+    val cfg = md.putObject("configuration")
+    s.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    md
+  }
+
+  private def crcProtoNode(s: DeltaRead.Snapshot): com.fasterxml.jackson.databind.JsonNode = {
+    val pr = mapper.createObjectNode
+    pr.put("minReaderVersion", s.minReader)
+    pr.put("minWriterVersion", s.minWriter)
+    if (s.readerFeatures.nonEmpty) {
+      val a = pr.putArray("readerFeatures")
+      s.readerFeatures.toSeq.sorted.foreach(a.add)
+    }
+    if (s.writerFeatures.nonEmpty) {
+      val a = pr.putArray("writerFeatures")
+      s.writerFeatures.toSeq.sorted.foreach(a.add)
+    }
+    pr
+  }
+
   /** Publish one Delta commit: plain CAS for ordinary tables; under
     * ICT the content is re-stamped PER ATTEMPT (the timestamp must
     * exceed whatever commit actually precedes this one) — the existing
     * commitInfo line moves to the front and gains `inCommitTimestamp`,
     * or a minimal one is prepended for content that carried none.
+    * A winning publish also emits the `<v>.crc` version-checksum
+    * sidecar (best-effort) when `prevSnap` provides the base state.
     */
   private def publishCommit(fs: FileSystem, logP: Path, version: Long,
-                            content: String, conf: Map[String, String]): Boolean = {
+                            content: String, conf: Map[String, String],
+                            prevSnap: Option[DeltaRead.Snapshot] = None): Boolean = {
     val stamped =
       if (!ictEnabled(conf)) content
       else {
@@ -1534,8 +1625,10 @@ object DeltaWrite {
           .put("inCommitTimestamp", ict)
         (mapper.writeValueAsString(node) +: rest).mkString("\n") + "\n"
       }
-    graft.pipeline.VersionedTable.casPublish(
+    val won = graft.pipeline.VersionedTable.casPublish(
       fs, new Path(logP, f"$version%020d.json"), stamped)
+    if (won) writeVersionChecksum(fs, logP, version, stamped, prevSnap)
+    won
   }
 
   /** Auto-checkpoint cadence: after a commit lands version V where
@@ -1854,7 +1947,7 @@ object DeltaWrite {
       val content = commitContent(aligned, mode, parts, snap, newFiles, removes, next,
         txn, mergeSchema, minted, identityHw, mappedOverwrite, newMaxColumnId)
       if (publishCommit(fs, logP, next, content,
-            snap.map(_.configuration).getOrElse(Map.empty))) {
+            snap.map(_.configuration).getOrElse(Map.empty), snap)) {
         autoCheckpoint(spark, rootP.toString, next,
           snap.map(_.configuration).getOrElse(Map.empty))
         return next
@@ -2480,9 +2573,12 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(md)
       // plain CAS: the commitInfo above already carries the ICT stamp
       // (recomputed per attempt) when the table pins or gains it
+      val content = lines.result().mkString("\n") + "\n"
       if (graft.pipeline.VersionedTable.casPublish(
-            fs, new Path(logP, f"$next%020d.json"),
-            lines.result().mkString("\n") + "\n")) return next
+            fs, new Path(logP, f"$next%020d.json"), content)) {
+        writeVersionChecksum(fs, logP, next, content, Some(snap))
+        return next
+      }
     }
     throw new IllegalStateException(
       s"SET TBLPROPERTIES at $path lost the commit race 20 times — another " +
@@ -2534,7 +2630,7 @@ object DeltaWrite {
       val removes = folded.toSeq.sorted
       if (publishCommit(fs, logP, next,
             compactContent(newFiles, removes, snap.dvs),
-            snap.configuration)) {
+            snap.configuration, Some(snap))) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
@@ -2665,7 +2761,7 @@ object DeltaWrite {
       val next = cur.version + 1
       if (publishCommit(fs, logP, next,
             restoreContent(cur, target, toVersion, cdcFiles, effConf),
-            effConf)) {
+            effConf, Some(cur))) {
         autoCheckpoint(spark, rootP.toString, next, effConf)
         return next
       }
@@ -2808,7 +2904,7 @@ object DeltaWrite {
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
             compactContent(newFiles, dirty, snap.dvs),
-            snap.configuration)) {
+            snap.configuration, Some(snap))) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
       }
@@ -3044,6 +3140,8 @@ object DeltaWrite {
     for (v <- commits if v <= cut) {
       val n = f"$v%020d.json"
       if (fs.delete(new Path(logP, n), false)) deleted += n
+      val crc = f"$v%020d.crc" // the commit's checksum sidecar goes with it
+      if (fs.delete(new Path(logP, crc), false)) deleted += crc
     }
     // checkpoints wholly inside the deleted prefix are superseded by
     // the newer one the cut preserves. Sweep EVERY checkpoint-form file

@@ -2032,7 +2032,11 @@ class DeltaWriteSuite extends SparkSpec {
     DeltaWrite.setProperties(spark, root,
       Map("delta.logRetentionDuration" -> "interval 1 hour")) // v6
     val del = DeltaWrite.cleanupExpiredLogs(spark, root)
-    assert(del.toSet == (0 to 2).map(v => f"$v%020d.json").toSet, del)
+    assert(del.filter(_.endsWith(".json")).toSet ==
+      (0 to 2).map(v => f"$v%020d.json").toSet, del)
+    // each expired commit's checksum sidecar goes with it
+    assert(del.filter(_.endsWith(".crc")).toSet ==
+      (0 to 2).map(v => f"$v%020d.crc").toSet, del)
     // state still replays from the checkpoint; the tail is intact
     assert(DeltaRead.read(spark, root).count() == 6)
     assert(!new java.io.File(logDir, f"${0L}%020d.json").exists)
@@ -2050,7 +2054,8 @@ class DeltaWriteSuite extends SparkSpec {
     DeltaWrite.setProperties(spark, root,
       Map("delta.enableExpiredLogCleanup" -> "true")) // v8
     val del2 = DeltaWrite.cleanupExpiredLogs(spark, root)
-    assert(del2.toSet == (3 to 4).map(v => f"$v%020d.json").toSet, del2)
+    assert(del2.filter(_.endsWith(".json")).toSet ==
+      (3 to 4).map(v => f"$v%020d.json").toSet, del2)
     assert(new java.io.File(logDir, f"${5L}%020d.json").exists)
     assert(DeltaRead.read(spark, root).count() == 6)
   }
@@ -2079,6 +2084,49 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.parseRetention("interval 1 week") == 7L * 24 * 3600 * 1000)
     assert(DeltaWrite.parseRetention("INTERVAL 2 HOURS") == 2L * 3600 * 1000)
     intercept[IllegalArgumentException] { DeltaWrite.parseRetention("interval 1 month") }
+  }
+
+  test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root) // v0
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v").coalesce(1), root)            // v1
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    def crcNode(v: Long) = {
+      val f = new java.io.File(logDir, f"$v%020d.crc")
+      assert(f.exists, s"expected checksum sidecar for v$v")
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    val snap1 = DeltaRead.snapshot(spark, root)
+    val n1 = crcNode(1)
+    assert(n1.get("numFiles").asLong == 2 && snap1.files.size == 2)
+    assert(n1.get("tableSizeBytes").asLong == snap1.sizes.values.sum)
+    assert(n1.get("numMetadata").asLong == 1 && n1.get("numProtocol").asLong == 1)
+    assert(n1.get("metadata").get("schemaString").asText.contains("\"id\""))
+    assert(n1.get("protocol").get("minReaderVersion").asInt == 1)
+    assert(crcNode(0).get("numFiles").asLong == 1)
+    // metadata-only and DML commits keep the running aggregates right
+    DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v").coalesce(1), root)         // v2
+    val snap2 = DeltaRead.snapshot(spark, root)
+    assert(crcNode(2).get("numFiles").asLong == 1)
+    assert(crcNode(2).get("tableSizeBytes").asLong == snap2.sizes.values.sum)
+    DeltaWrite.setProperties(spark, root, Map("graft.test.k" -> "x"))                     // v3
+    assert(crcNode(3).get("numFiles").asLong == 1)
+    // a DV delete keeps the file (and its bytes) in the aggregates
+    DeltaWrite.append(spark, Seq((10L, "y"), (11L, "w")).toDF("id", "v").coalesce(1), root) // v4
+    DeltaWrite.delete(spark, root, "id = 10")                                             // v5 (DV)
+    assert(crcNode(5).get("numFiles").asLong == 2)
+    assert(DeltaRead.snapshot(spark, root).version == 5L) // validation passes en route
+    // CORRUPTION: a crc that disagrees with the replayed state refuses
+    val crc5 = new java.io.File(logDir, f"${5L}%020d.crc")
+    val txt = new String(java.nio.file.Files.readAllBytes(crc5.toPath), "UTF-8")
+    java.nio.file.Files.write(crc5.toPath,
+      txt.replace("\"numFiles\":2", "\"numFiles\":7").getBytes("UTF-8"))
+    new java.io.File(logDir, f".${5L}%020d.crc.crc").delete() // local-FS checksum shadow
+    val e = intercept[IllegalStateException] { DeltaRead.snapshot(spark, root) }
+    assert(e.getMessage.contains("checksum validation"), e.getMessage)
+    // earlier versions (their crc untouched) still travel fine
+    assert(DeltaRead.snapshot(spark, root, Some(4L)).files.size == 2)
   }
 
   // --- nested column-mapped schema changes (round 16) ---------------
