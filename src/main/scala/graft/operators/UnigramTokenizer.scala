@@ -40,6 +40,21 @@ object UnigramTokenizer {
     */
   final case class Piece(piece: String, weight: Long)
 
+  /** Exact integer substring weights of every piece of length
+    * `minLen..maxLen` over the word-frequency table `(seq, cnt)` —
+    * `(piece, weight)`, one explode + one hash agg.
+    */
+  private def candidateWeights(wf: DataFrame, minLen: Int, maxLen: Int): DataFrame =
+    wf.select(
+        explode(filter(flatten(transform(
+          sequence(lit(1), length(col("seq"))),
+          i => transform(sequence(lit(minLen), lit(maxLen)),
+            l => when(i + l - lit(1) <= length(col("seq")),
+              substr(col("seq"), i, l))))),
+          p => p.isNotNull)).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("weight"))
+
   /** Train the top-`topK` piece vocabulary on `docs`. One corpus scan
     * (the word-frequency table), one substring explode over DISTINCT
     * word forms, one hash agg + TakeOrdered(topK).
@@ -51,15 +66,7 @@ object UnigramTokenizer {
     require(maxLen >= 2 && maxLen <= 20,
       s"unigram maxLen must be in [2, 20]: $maxLen")
     val wf = BpeTrainer.wordCounts(docs, textCol) // (seq, cnt): distinct word forms
-    wf.select(
-        explode(filter(flatten(transform(
-          sequence(lit(1), length(col("seq"))),
-          i => transform(sequence(lit(2), lit(maxLen)),
-            l => when(i + l - lit(1) <= length(col("seq")),
-              substr(col("seq"), i, l))))),
-          p => p.isNotNull)).as("piece"),
-        col("cnt"))
-      .groupBy("piece").agg(sum("cnt").as("weight"))
+    candidateWeights(wf, 2, maxLen)
       .orderBy(col("weight").desc, col("piece").asc)
       .limit(topK) // plans as TakeOrdered; driver traffic = topK rows
       .collect().map(r => Piece(r.getString(0), r.getLong(1))).toSeq
@@ -117,6 +124,175 @@ object UnigramTokenizer {
     * shape). [[tokenCount]] stays the right tool INSIDE a wider
     * projection (e.g. pack-by-length), where a join cannot reach.
     */
+  // ----- EM refinement (Kudo 2018 §3.2, the hard-EM / Viterbi variant)
+
+  /** The EM-trained vocabulary: `pieces` carry FINAL Viterbi usage
+    * counts (exact integers — the deterministic part), `losses` the
+    * per-iteration corpus negative log-likelihood (float — the
+    * rows-only part; non-increasing by hard-EM construction, suite-
+    * pinned).
+    */
+  final case class EmResult(pieces: Seq[Piece], losses: Seq[Double])
+
+  /** Cost assigned to a single-character piece Viterbi never used —
+    * finite (so the DP arithmetic stays well-defined) but high enough
+    * that any real piece wins; it is exactly the MLE's p=0 for
+    * decision purposes, because a zero-usage char is by definition
+    * never needed for coverage.
+    */
+  private val UnusedCharCost = 1e9
+
+  /** EM refinement of the greedy baseline ([[trainPieces]] = the exact
+    * oracle-able sibling): seed piece probabilities from the integer
+    * substring weights, then iterate
+    *  - E-step: Viterbi-segment every DISTINCT word form under the
+    *    current piece costs (-ln p), weighted by exact word counts;
+    *  - M-step: p(piece) = usage / total usage from the E-step's exact
+    *    INTEGER usage sums (derived on the driver); pieces with zero
+    *    usage are pruned (single characters stay, at [[UnusedCharCost]],
+    *    for coverage).
+    * Hard EM's likelihood is non-increasing by construction. The math
+    * is FLOAT → queries on this are rows-only by the oracle
+    * discipline, like the LSH/IVF families, with greedy q134 as the
+    * hashed exact sibling.
+    *
+    * 100 TB shape: one corpus scan into the persisted word-frequency
+    * table (vocabulary-sized, the BPE/unigram training state); each EM
+    * iteration is ONE projection + integer hash-agg over distinct word
+    * forms — the Viterbi DP runs inside the projection as native
+    * aggregate/transform HOFs (≤ |word|·maxLen map probes per word,
+    * zero joins, no UDF), the piece cost table rides the plan as one
+    * map LITERAL (vocab-bounded), and per-iteration driver traffic is
+    * the vocab-sized usage table. Segmentation work tracks VOCABULARY
+    * size, not corpus size — the Zipf argument that made greedy q134's
+    * distinct-form walk win at sf1.
+    */
+  def trainPiecesEm(spark: SparkSession, docs: DataFrame, topK: Int,
+                    iters: Int = 3, maxLen: Int = 6,
+                    textCol: String = "text"): EmResult = {
+    require(topK >= 1 && topK <= 100000,
+      s"unigram piece vocab size must be in [1, 100000]: $topK")
+    require(maxLen >= 2 && maxLen <= 20,
+      s"unigram maxLen must be in [2, 20]: $maxLen")
+    require(iters >= 1 && iters <= 100, s"EM iterations must be in [1, 100]: $iters")
+    val wf = BpeTrainer.wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      wf.count() // materialize: the ONLY corpus-text scan
+      // seed probabilities from the exact substring weights — the
+      // greedy trainer's candidate scores (chars included, length 1)
+      val multi = candidateWeights(wf, 2, maxLen)
+        .orderBy(col("weight").desc, col("piece").asc)
+        .limit(topK).collect().map(r => r.getString(0) -> r.getLong(1))
+      val chars = candidateWeights(wf, 1, 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      var costs = costsOf((multi ++ chars).toMap)
+      val losses = Seq.newBuilder[Double]
+      var pieces = Seq.empty[Piece]
+      for (_ <- 1 to iters) {
+        val costMap = typedlit(costs)
+        // fwd materializes in its own projection: HOF lambdas are not
+        // CSE'd (round 15's O(words²) lesson) — cost and backtrace
+        // must read ONE computed struct, not re-run the DP
+        val seg = wf
+          .select(col("seq"), col("cnt"),
+            viterbiForward(col("seq"), costMap, maxLen).as("fwd"))
+          .select(col("cnt"),
+            element_at(col("fwd").getField("costs"),
+              length(col("seq")) + 1).as("cost"),
+            viterbiBacktrace(col("seq"), col("fwd")).as("pieces"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // E-step usage: exact integer sums → the deterministic state
+          val usage = seg.select(explode(col("pieces")).as("piece"), col("cnt"))
+            .groupBy("piece").agg(sum("cnt").as("usage"))
+            .orderBy(col("usage").desc, col("piece").asc)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          losses += seg.select(sum(col("cost") * col("cnt"))).head().getDouble(0)
+          pieces = usage.map { case (p, u) => Piece(p, u) }.toSeq
+          // M-step: MLE from usage; zero-usage multi-char pieces prune
+          costs = costsOf(usage.toMap)
+        } finally seg.unpersist(blocking = false)
+      }
+      EmResult(pieces, losses.result())
+    } finally wf.unpersist(blocking = false)
+  }
+
+  /** -ln(usage/total) piece costs from exact integer usage, plus every
+    * single character not in `usage` at [[UnusedCharCost]] (coverage:
+    * the DP must always have a length-1 candidate).
+    */
+  private def costsOf(usage: Map[String, Long]): Map[String, Double] = {
+    val total = usage.values.sum.toDouble
+    val scored = usage.map { case (p, c) => p -> -math.log(c.toDouble / total) }
+    scored ++ ('a' to 'z').map(_.toString)
+      .filterNot(scored.contains).map(_ -> UnusedCharCost)
+  }
+
+  /** Viterbi forward pass over one word: returns
+    * `struct(costs array<double>, choice array<int>)` where
+    * `costs(i+1)` is the best cost of the first `i` characters and
+    * `choice(i)` the winning piece length ending at position `i`.
+    * Ties break (cost ASC, length DESC) — array_min's struct order
+    * over (cost, -length), deterministic on every engine.
+    */
+  private def viterbiForward(word: Column, costMap: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(typedlit(Seq(0.0d)).as("costs"),
+        typedlit(Seq.empty[Int]).as("choice")),
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(lit(1), lit(maxLen)), l => {
+            val c = element_at(costMap, substr(word, i - l + lit(1), l))
+            when(l <= i && c.isNotNull,
+              struct(
+                (element_at(acc.getField("costs"), i - l + lit(1)) + c).as("cost"),
+                (-l).as("negl")))
+          }),
+          x => x.isNotNull)
+        val best = array_min(cands)
+        struct(
+          concat(acc.getField("costs"),
+            array(best.getField("cost"))).as("costs"),
+          concat(acc.getField("choice"),
+            array(-best.getField("negl"))).as("choice"))
+      },
+      acc => acc)
+
+  /** Backtrace of [[viterbiForward]]'s choice array into the chosen
+    * pieces — one aggregate of at most |word| steps walking `pos`
+    * back through the winning lengths.
+    */
+  private def viterbiBacktrace(word: Column, fwd: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).as("pos"),
+        typedlit(Seq.empty[String]).as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val l = element_at(fwd.getField("choice"), pos)
+        when(pos <= lit(0), acc)
+          .otherwise(struct(
+            (pos - l).as("pos"),
+            concat(acc.getField("pieces"),
+              array(substr(word, pos - l + lit(1), l))).as("pieces")))
+      },
+      acc => acc.getField("pieces"))
+
+  /** [[trainPiecesEm]]'s final vocabulary as a DataFrame
+    * `(piece string, usage bigint)` in (usage DESC, piece ASC) order —
+    * the q136 result shape. Usage counts are exact integers, so the
+    * OUTPUT is deterministic even though the training math is float.
+    */
+  def trainPiecesEmDF(spark: SparkSession, docs: DataFrame, topK: Int,
+                      iters: Int = 3, maxLen: Int = 6,
+                      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    trainPiecesEm(spark, docs, topK, iters, maxLen, textCol).pieces
+      .map(p => (p.piece, p.weight)).toDF("piece", "usage")
+  }
+
   def scoreDocs(docs: DataFrame, pieces: Seq[Piece],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val byLen = pieces.map(_.piece).groupBy(_.length)

@@ -682,6 +682,22 @@ object TextQueries {
       graft.operators.UnigramTokenizer.scoreDocs(docs, pieces).orderBy("doc_id")
     }),
 
+    // q136: UNIGRAM EM REFINEMENT (round 16) — Kudo's hard-EM/Viterbi
+    // loop (arXiv:1804.10959 §3.2) on top of q134's exact greedy
+    // baseline: 3 iterations of Viterbi-segment (native HOF DP per
+    // DISTINCT word form, piece costs as ONE map literal) + integer
+    // usage M-step over the %4==0 slice. Rows-only by the oracle
+    // discipline (the -ln p costs are float), with q134 as the hashed
+    // exact sibling — the LSH-family two-tier pattern; the suite pins
+    // non-increasing loss, determinism, and coverage conservation.
+    // The OUTPUT is deterministic: final usage counts are exact
+    // integer sums, ordered (usage DESC, piece ASC).
+    "q136_unigram_em" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.UnigramTokenizer.trainPiecesEmDF(
+        s, docs.where(col("doc_id") % 4 === 0), topK = 48, iters = 3)
+    }),
+
     // q130: PACK BY LEARNED TOKENIZER LENGTHS (round 14) — the real
     // pre-training shard layout: train 8 BPE merges on the %4==0
     // slice, then sequence-pack the WHOLE corpus by each document's

@@ -104,4 +104,61 @@ class UnigramTokenizerSuite extends SparkSpec {
     assert(got == Seq(UnigramTokenizer.Piece("aa", 9L),
       UnigramTokenizer.Piece("aaa", 6L), UnigramTokenizer.Piece("aaaa", 3L)), got)
   }
+
+  // ----- EM refinement (rows-only family; greedy q134 is the exact sibling)
+
+  private val emTexts = Seq(
+    "the lower lowest low low lowering",
+    "newer newest new news the the the",
+    "sing singing singer ring rings",
+    "ringer lowering newlow singlow")
+
+  test("EM: loss is non-increasing across iterations and usage conserves coverage") {
+    val docs = emTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 12, iters = 4)
+    assert(r.losses.size == 4)
+    assert(r.losses.forall(l => !l.isNaN && !l.isInfinite && l > 0))
+    // hard EM: each iteration's corpus NLL <= the previous (tiny float
+    // reorder tolerance — sums are exact-integer-weighted per word but
+    // the per-word costs are doubles)
+    r.losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"loss increased: ${r.losses}")
+    }
+    // CONSERVATION: every character of every word occurrence is covered
+    // by exactly one chosen piece, so sum(usage * |piece|) must equal
+    // sum(cnt * |word|) over the corpus alphabet words
+    val wantChars = emTexts.flatMap(_.split("\\s+"))
+      .filter(_.matches("[a-z]{2,20}")).map(_.length.toLong).sum
+    val gotChars = r.pieces.map(p => p.weight * p.piece.length).sum
+    assert(gotChars == wantChars, s"coverage: $gotChars vs $wantChars")
+    // the usage table is exact-integer deterministic state
+    assert(r.pieces == r.pieces.sortBy(p => (-p.weight, p.piece)))
+  }
+
+  test("EM: deterministic across runs (identical pieces, usage and losses)") {
+    val docs = emTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 10, iters = 3)
+    val b = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 10, iters = 3)
+    assert(a.pieces == b.pieces)
+    assert(a.losses == b.losses)
+  }
+
+  test("EM: a periodic corpus converges to the period piece at near-zero loss") {
+    // "abababab" (8 chars, maxLen 6 forbids the whole word): the seed
+    // costs make Viterbi pick abab|abab on iteration 1 (2 pieces beat
+    // 4 "ab"s under substring-weight costs), the M-step then gives
+    // "abab" probability 1, and the loss collapses to ~0 — the
+    // likelihood-driven compression greedy longest-match cannot do
+    val docs = Seq((1L, ("abababab " * 50).trim)).toDF("doc_id", "text")
+    val r = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 6, iters = 3)
+    assert(r.pieces == Seq(UnigramTokenizer.Piece("abab", 100L)),
+      s"EM must converge to the period piece alone: ${r.pieces}")
+    assert(r.losses.last >= 0 && r.losses.last <= 1e-9,
+      s"converged corpus NLL must be ~0: ${r.losses}")
+    r.losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"loss increased: ${r.losses}")
+    }
+  }
 }
