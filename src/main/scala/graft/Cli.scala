@@ -36,13 +36,16 @@ import graft.pipeline.{Ddl, Pipeline, PipelineSpec, PipelineTest, ProjectDefault
   *   graft.Cli drop-branch <root> --name <b>                  # vacuum reclaims its dirs
   *   (address a branch in any other command as <root>#branch=<b>)
   *
-  * (The reference also registers an `init` command, but its
+  * Scaffolding (the reference registers `init` too, but its
   * Pipeline.init target does not exist — cli/main.py:81-89 calls an
-  * undefined method — so there is nothing to mirror.)
+  * undefined method — so graft implements the verb's evident intent):
+  *   graft.Cli init <dir> [--name p]   # template model.yml + steps.yml
   */
 object Cli {
 
   def main(args: Array[String]): Unit = args.toList match {
+    case "init" :: dir :: rest =>
+      init(dir, opt(rest, "--name"))
     case action :: path :: rest if Set("run", "create", "update", "test")(action) =>
       val cores = opt(rest, "--cores").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors())
@@ -73,9 +76,82 @@ object Cli {
       finally spark.stop()
     case _ =>
       System.err.println(
-        "usage: graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
+        "usage: graft.Cli init <dir> [--name p]\n" +
+          "       graft.Cli run|create|update|test <pipeline.yml> [--project drune.yml] [--profile p] [--cores N]\n" +
           "       graft.Cli history|vacuum|compact|refresh|delete|restore|upgrade|branch|branches|publish|rebase|drop-branch|delta-checkpoint|delta-compact|delta-vacuum|delta-delete|delta-purge <table-root> [options]")
       sys.exit(2)
+  }
+
+  /** `init <dir> [--name p]` — scaffold a new pipeline directory with
+    * a template model.yml + steps.yml ready for `graft.Cli run`. The
+    * reference registers `init` too but its Pipeline.init target does
+    * not exist (cli/main.py:81-89); this implements the verb's evident
+    * intent. Refuses to overwrite existing files — an init must never
+    * eat a pipeline someone already wrote. No Spark session involved.
+    */
+  private[graft] def init(dir: String, name: Option[String]): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val pipelineName = name.getOrElse(d.getFileName.toString)
+    val model = d.resolve("model.yml")
+    val steps = d.resolve("steps.yml")
+    Seq(model, steps).foreach { p =>
+      require(!java.nio.file.Files.exists(p),
+        s"init refuses: $p already exists — delete it first or init a fresh directory")
+    }
+    java.nio.file.Files.writeString(model,
+      s"""pipeline_name: $pipelineName
+         |description: TODO describe this pipeline
+         |
+         |defaults:
+         |  types:
+         |    str:
+         |      expression: trim(upper({col}))
+         |    int:
+         |      try_cast: true
+         |
+         |sources:
+         |  - name: ${pipelineName}_file
+         |    type: file
+         |    format: csv
+         |    path: "TODO.csv"
+         |    options:
+         |      header: 0
+         |      delimiter: ","
+         |    schema:
+         |      primary_key: [id]
+         |      columns:
+         |        - name: id
+         |          from: source_id
+         |          type: int
+         |          constraints:
+         |            - rule: "not_null|unique"
+         |              on_fail: "drop"
+         |        - name: nm_example
+         |          from: example
+         |          type: str
+         |
+         |target:
+         |  name: dm_$pipelineName
+         |  type: file
+         |  format: parquet
+         |  path: "output/"
+         |  mode: overwrite
+         |  schema:
+         |    primary_key: [id]
+         |    partition_by: []
+         |""".stripMargin)
+    java.nio.file.Files.writeString(steps,
+      """steps:
+        |  - name: example_filter
+        |    type: filter
+        |    params:
+        |      where: id IS NOT NULL
+        |
+        |  - name: quality_gate
+        |    type: validate
+        |""".stripMargin)
+    println(s"[graft] pipeline '$pipelineName' initialized at $d (model.yml, steps.yml)")
   }
 
   /** Versioned-table maintenance actions (see the usage block). */

@@ -494,7 +494,13 @@ object Dedup {
     // remains the scale route and kicks in automatically past the
     // threshold.
     val nEdges = edges.count() // materializes the persisted edge list
+    // a 100 TB operator needs to SEE which route ran (and tune
+    // local_max_pairs / max_iters from the YAML dedup step if the
+    // default threshold is wrong for its pair volume)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
     if (nEdges / 2 <= localMaxPairs) {
+      log.info(s"nearDupGroups: ${nEdges / 2} pairs <= localMaxPairs=$localMaxPairs" +
+        " — resolving components in the driver union-find (one job)")
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       val members = scala.collection.mutable.HashSet.empty[Long]
       def find(x: Long): Long = {
@@ -517,6 +523,8 @@ object Dedup {
       import pairs.sparkSession.implicits._
       return rowsOut.toDF("doc_id", "group_id").localCheckpoint(true)
     }
+    log.info(s"nearDupGroups: ${nEdges / 2} pairs > localMaxPairs=$localMaxPairs" +
+      s" — distributed label propagation (maxIters=$maxIters)")
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

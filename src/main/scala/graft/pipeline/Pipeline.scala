@@ -148,7 +148,7 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
         val casted = c.dataType.map(dt => s"cast(($base) AS $dt)").getOrElse(base)
         d.withColumn(c.name, expr(casted))
       }
-    case DedupStep(method, idCol, textCol, threshold) => method match {
+    case DedupStep(method, idCol, textCol, threshold, localMaxPairs, maxIters) => method match {
       case "exact" =>
         // keep the min-id row per fingerprint, ALL columns surviving:
         // one hash agg for the keeper set, one semi join back (both
@@ -158,7 +158,8 @@ final class Pipeline(spark: SparkSession, spec: PipelineSpec) {
       case "minhash" =>
         val pairs = graft.operators.Dedup.minhashLsh(df, idCol, textCol,
           threshold = threshold)
-        val groups = graft.operators.Dedup.nearDupGroups(pairs) // eager
+        val groups = graft.operators.Dedup.nearDupGroups(pairs, // eager
+          maxIters = maxIters, localMaxPairs = localMaxPairs)
         graft.operators.Dedup.releaseCheckpoint(pairs)
         val losers = groups.where(col("doc_id") =!= col("group_id"))
           .select(col("doc_id").as(idCol))

@@ -346,7 +346,9 @@ object YamlLoader {
         },
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"),
-        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8))
+        threshold = str(params, "threshold").map(_.toDouble).getOrElse(0.8),
+        localMaxPairs = str(params, "local_max_pairs").map(_.toLong).getOrElse(500000L),
+        maxIters = str(params, "max_iters").map(_.toInt).getOrElse(20))
       case "curate" => CurateStep(
         idCol = str(params, "id_col").getOrElse("doc_id"),
         textCol = str(params, "text_col").getOrElse("text"),

@@ -201,7 +201,15 @@ final case class DedupStep(
     method: String = "exact",
     idCol: String = "doc_id",
     textCol: String = "text",
-    threshold: Double = 0.8) extends Step
+    threshold: Double = 0.8,
+    /** `nearDupGroups` tuning (minhash only): pair count at or below
+      * which components resolve in the driver union-find, and the
+      * label-propagation round cap above it — YAML `local_max_pairs` /
+      * `max_iters`, so a 100 TB run can move the route cut without a
+      * code change.
+      */
+    localMaxPairs: Long = 500000L,
+    maxIters: Int = 20) extends Step
 /** Corpus curation ([[graft.operators.Curation.curate]] /
   * `curateNearDup` when `nearDup`): quality gate + language filter +
   * exact-dup keeper (+ LSH near-dup group resolution). Projects to the

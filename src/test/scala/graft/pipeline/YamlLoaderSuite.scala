@@ -545,6 +545,73 @@ class YamlLoaderSuite extends SparkSpec {
     assert(r.getAs[String]("ds_login") == "example.com")
   }
 
+  test("the product and sales example pipelines load and run from their directories") {
+    // the reference ships product/sales example DATA but empty model
+    // YAMLs (reference examples/pipelines/{product,sales}/model.yml are
+    // 0 bytes) — these fixtures are the pipelines those CSVs imply, in
+    // the same declarative surface as the shipped customer example
+    def bind(dir: String, csvName: String): PipelineSpec = {
+      val spec0 = YamlLoader.loadDirectory(s"/root/repo/examples/pipelines/$dir")
+      val out = java.nio.file.Files.createTempDirectory(s"graft_ex_$dir")
+      spec0.copy(
+        sources = spec0.sources.map {
+          case f: FileSource =>
+            f.copy(path = s"/root/repo/examples/data/$csvName")
+          case s => s
+        },
+        sink = spec0.sink.map(_.copy(path = out.resolve("out").toString)))
+    }
+    // PRODUCT: not_null|unique drop kills the null id and the dup pair;
+    // the filter step drops the priceless monitor
+    val prod = Pipeline(spark, bind("product", "product.csv")).run()
+    // business columns first; the keyed target appends the control
+    // columns (hash_key/updated_at/created_at) drune adds too
+    assert(prod.columns.take(4).toSeq ==
+      Seq("cd_product", "nm_product", "ds_category", "vl_price"))
+    val prows = prod.orderBy("cd_product").collect()
+    assert(prows.map(_.getAs[Long]("cd_product")).toSeq == Seq(20L, 30L),
+      prows.mkString("; "))
+    assert(prows.head.getAs[String]("nm_product") == "MOUSE") // trim+upper applied
+    // SALES: duplicate sale 1004 drops, the null product drops, the
+    // zero quantity drops; dates land typed
+    val sales = Pipeline(spark, bind("sales", "sales.csv")).run()
+    assert(sales.columns.take(5).toSeq ==
+      Seq("cd_sale", "dt_sale", "cd_customer", "cd_product", "qt_quantity"))
+    val srows = sales.orderBy("cd_sale").collect()
+    assert(srows.map(_.getAs[Long]("cd_sale")).toSeq == Seq(1001L, 1002L, 1003L, 1007L),
+      srows.mkString("; "))
+    assert(srows.head.getAs[java.sql.Date]("dt_sale").toString == "2024-01-15")
+  }
+
+  test("CLI init scaffolds a runnable pipeline directory and refuses overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_init").resolve("orders")
+    graft.Cli.init(dir.toString, name = None)
+    assert(java.nio.file.Files.exists(dir.resolve("model.yml")))
+    assert(java.nio.file.Files.exists(dir.resolve("steps.yml")))
+    // the scaffold parses AND runs once its TODO source path is bound
+    val csv = dir.resolve("orders.csv")
+    java.nio.file.Files.writeString(csv, "source_id,example\n1, ann \n2,bob\n2,dup\n")
+    val spec0 = YamlLoader.loadDirectory(dir.toString)
+    assert(spec0.name == "orders") // directory name is the default pipeline name
+    val spec = spec0.copy(
+      sources = spec0.sources.map {
+        case f: FileSource => f.copy(path = csv.toString)
+        case s => s
+      },
+      sink = spec0.sink.map(_.copy(path = dir.resolve("out").toString)))
+    val rows = Pipeline(spark, spec).run().orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L), // unique drop kills both id=2
+      rows.mkString("; "))
+    assert(rows.head.getAs[String]("nm_example") == "ANN")
+    // re-init must never eat an existing pipeline
+    val e = intercept[IllegalArgumentException] { graft.Cli.init(dir.toString, None) }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // --name overrides the directory-derived pipeline name
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_init2").resolve("x")
+    graft.Cli.init(dir2.toString, Some("renamed"))
+    assert(YamlLoader.loadDirectory(dir2.toString).name == "renamed")
+  }
+
   test("materialized target block parses: group_by + aggregates, missing keys are loud") {
     val spec = YamlLoader.load(
       """pipeline_name: mv
@@ -625,6 +692,21 @@ class YamlLoaderSuite extends SparkSpec {
          |    params: {seq_len: 2048}
          |""".stripMargin)
     assert(spec.steps == Seq(DedupStep(), PackStep(2048L)))
+    // nearDupGroups tuning reaches the step from YAML (a 100 TB run
+    // moves the union-find/label-propagation cut without code changes)
+    val tuned = YamlLoader.load(
+      s"""pipeline_name: corpus
+         |sources:
+         |  - name: documents
+         |    type: file
+         |    format: parquet
+         |    path: "$docs"
+         |steps:
+         |  - type: dedup
+         |    params: {method: minhash, threshold: 0.7, local_max_pairs: 123, max_iters: 5}
+         |""".stripMargin)
+    assert(tuned.steps == Seq(DedupStep(method = "minhash", threshold = 0.7,
+      localMaxPairs = 123L, maxIters = 5)))
     val out = Pipeline(spark, spec).run()
     assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "bin", "bin_offset"))
     val n = out.count()
