@@ -167,7 +167,7 @@ object UnigramTokenizer {
     * size, not corpus size — the Zipf argument that made greedy q134's
     * distinct-form walk win at sf1.
     */
-  def trainPiecesEm(spark: SparkSession, docs: DataFrame, topK: Int,
+  def trainPiecesEm(docs: DataFrame, topK: Int,
                     iters: Int = 3, maxLen: Int = 6,
                     textCol: String = "text"): EmResult = {
     require(topK >= 1 && topK <= 100000,
@@ -208,7 +208,10 @@ object UnigramTokenizer {
             .groupBy("piece").agg(sum("cnt").as("usage"))
             .orderBy(col("usage").desc, col("piece").asc)
             .collect().map(r => r.getString(0) -> r.getLong(1))
-          losses += seg.select(sum(col("cost") * col("cnt"))).head().getDouble(0)
+          // sum over an EMPTY word table is SQL NULL — a corpus with no
+          // alphabet words trains an empty vocab at loss 0, not an NPE
+          val lossRow = seg.select(sum(col("cost") * col("cnt"))).head()
+          losses += (if (lossRow.isNullAt(0)) 0.0 else lossRow.getDouble(0))
           pieces = usage.map { case (p, u) => Piece(p, u) }.toSeq
           // M-step: MLE from usage; zero-usage multi-char pieces prune
           costs = costsOf(usage.toMap)
@@ -289,7 +292,7 @@ object UnigramTokenizer {
                       iters: Int = 3, maxLen: Int = 6,
                       textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    trainPiecesEm(spark, docs, topK, iters, maxLen, textCol).pieces
+    trainPiecesEm(docs, topK, iters, maxLen, textCol).pieces
       .map(p => (p.piece, p.weight)).toDF("piece", "usage")
   }
 

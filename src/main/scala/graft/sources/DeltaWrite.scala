@@ -3156,20 +3156,33 @@ object DeltaWrite {
     val CkAny = """(\d{20})\.checkpoint(\..+)?\.parquet""".r
     val v2MainRe = """\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet"""
     def sidecarRefsOf(n: String): Seq[String] =
-      try {
-        spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
-          .where(col("sidecar.path").isNotNull)
-          .collect().toSeq.map(_.getString(0))
-      } catch { case scala.util.control.NonFatal(_) => Nil } // sidecar col absent
-    val retainedRefs: Set[String] = names.collect {
-      case n @ CkAny(v, _) if v.toLong > cut && n.matches(v2MainRe) => n
-    }.flatMap(sidecarRefsOf).toSet
+      spark.read.parquet(new Path(logP, n).toString).select("sidecar.path")
+        .where(col("sidecar.path").isNotNull)
+        .collect().toSeq.map(_.getString(0))
     val expired = names.collect { case n @ CkAny(v, _) if v.toLong <= cut => n }
+    // Sidecar reachability across RETAINED v2 mains, computed only
+    // when the expired set actually holds a v2 main (the common
+    // cleanup has none — no Spark job then). FAILURE DIRECTION
+    // matters: a read error on a RETAINED main must abort the sidecar
+    // sweep (None → keep files; an orphan leak, reclaimable later),
+    // never read as "no refs" — that would delete sidecars the live
+    // checkpoint still references and corrupt the table.
+    val retainedRefs: Option[Set[String]] =
+      if (!expired.exists(_.matches(v2MainRe))) Some(Set.empty)
+      else try {
+        Some(names.collect {
+          case n @ CkAny(v, _) if v.toLong > cut && n.matches(v2MainRe) => n
+        }.flatMap(sidecarRefsOf).toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
     for (n <- expired.sorted) {
-      if (n.matches(v2MainRe)) {
-        sidecarRefsOf(n).foreach { rel =>
+      if (n.matches(v2MainRe)) retainedRefs.foreach { retained =>
+        // expired-main read failures are safe the OTHER way: skipping
+        // deletion only orphans files
+        val refs = try sidecarRefsOf(n)
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        refs.foreach { rel =>
           if (!rel.contains("://") && !rel.startsWith("/") &&
-              !retainedRefs.contains(rel) &&
+              !retained.contains(rel) &&
               fs.delete(new Path(new Path(logP, "_sidecars"), rel), false))
             deleted += s"_sidecars/$rel"
         }

@@ -116,7 +116,7 @@ class UnigramTokenizerSuite extends SparkSpec {
   test("EM: loss is non-increasing across iterations and usage conserves coverage") {
     val docs = emTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val r = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 12, iters = 4)
+    val r = UnigramTokenizer.trainPiecesEm(docs, topK = 12, iters = 4)
     assert(r.losses.size == 4)
     assert(r.losses.forall(l => !l.isNaN && !l.isInfinite && l > 0))
     // hard EM: each iteration's corpus NLL <= the previous (tiny float
@@ -136,11 +136,17 @@ class UnigramTokenizerSuite extends SparkSpec {
     assert(r.pieces == r.pieces.sortBy(p => (-p.weight, p.piece)))
   }
 
+  test("EM: a corpus with no alphabet words trains an empty vocab at loss 0") {
+    val docs = Seq((1L, "123 !!! ALLCAPS"), (2L, "")).toDF("doc_id", "text")
+    val r = UnigramTokenizer.trainPiecesEm(docs, topK = 5, iters = 2)
+    assert(r.pieces.isEmpty && r.losses == Seq(0.0, 0.0), r)
+  }
+
   test("EM: deterministic across runs (identical pieces, usage and losses)") {
     val docs = emTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val a = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 10, iters = 3)
-    val b = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 10, iters = 3)
+    val a = UnigramTokenizer.trainPiecesEm(docs, topK = 10, iters = 3)
+    val b = UnigramTokenizer.trainPiecesEm(docs, topK = 10, iters = 3)
     assert(a.pieces == b.pieces)
     assert(a.losses == b.losses)
   }
@@ -152,7 +158,7 @@ class UnigramTokenizerSuite extends SparkSpec {
     // "abab" probability 1, and the loss collapses to ~0 — the
     // likelihood-driven compression greedy longest-match cannot do
     val docs = Seq((1L, ("abababab " * 50).trim)).toDF("doc_id", "text")
-    val r = UnigramTokenizer.trainPiecesEm(spark, docs, topK = 6, iters = 3)
+    val r = UnigramTokenizer.trainPiecesEm(docs, topK = 6, iters = 3)
     assert(r.pieces == Seq(UnigramTokenizer.Piece("abab", 100L)),
       s"EM must converge to the period piece alone: ${r.pieces}")
     assert(r.losses.last >= 0 && r.losses.last <= 1e-9,
