@@ -121,7 +121,15 @@ object DeltaRead {
         * not silently break it for every other writer (PROTOCOL.md's
         * writer-requirements section).
         */
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      /** LIVE domain metadata (writer feature `domainMetadata`):
+        * domain → configuration JSON, replayed last-action-wins with
+        * `removed=true` tombstones dropped — the protocol's
+        * per-domain key/value channel (delta-spark uses it for e.g.
+        * clustering state). [[DeltaWrite.checkpoint]] carries live
+        * domains so a fold never forgets them.
+        */
+      domains: Map[String, String] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -444,6 +452,9 @@ object DeltaRead {
     val readerFeatures = scala.collection.mutable.Set.empty[String]
     val writerFeatures = scala.collection.mutable.Set.empty[String]
     var tableConf = Map.empty[String, String]
+    // domain → (configuration, removed); last action per domain wins,
+    // checkpoint rows first so the tail overrides
+    val domainsB = scala.collection.mutable.LinkedHashMap.empty[String, (String, Boolean)]
 
     ckpt.foreach { cv =>
       val rows = spark.read.parquet(
@@ -537,6 +548,22 @@ object DeltaRead {
       // protocol — a cleaned log must not forget a sink's high-water)
       if (cols("txn")) rows.select("txn.appId", "txn.version").collect()
         .filter(!_.isNullAt(0)).foreach(r => txns(r.getString(0)) = r.getLong(1))
+      // domain metadata survives checkpointing too (live rows; a
+      // foreign checkpoint may carry removed=true tombstones — honor
+      // the flag rather than assume)
+      if (cols("domainMetadata")) {
+        val dCols = rows.select("domainMetadata.*").columns.toSet
+        val cfgCol = if (dCols("configuration")) col("domainMetadata.configuration")
+          else lit(null).cast("string")
+        val rmCol = if (dCols("removed")) col("domainMetadata.removed") else lit(false)
+        rows.select(col("domainMetadata.domain"), cfgCol, rmCol)
+          .where(col("domainMetadata.domain").isNotNull)
+          .collect().foreach { r =>
+            domainsB(r.getString(0)) =
+              (if (r.isNullAt(1)) null else r.getString(1),
+                !r.isNullAt(2) && r.getBoolean(2))
+          }
+      }
     }
 
     // Tail replay (driver-side, bounded by the checkpoint interval):
@@ -602,6 +629,11 @@ object DeltaRead {
         if (node.has("txn")) {
           val t = node.get("txn")
           txns(t.path("appId").asText()) = t.path("version").asLong()
+        }
+        if (node.has("domainMetadata")) {
+          val d = node.get("domainMetadata")
+          domainsB(d.path("domain").asText()) =
+            (d.path("configuration").asText(null), d.path("removed").asBoolean(false))
         }
       }
     }
@@ -684,7 +716,8 @@ object DeltaRead {
       entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
       colMap,
       entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
-      minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf)
+      minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf,
+      domainsB.collect { case (d, (cfg, false)) => d -> cfg }.toMap)
     validateChecksum(fs, logP, path, snap)
     snap
   }

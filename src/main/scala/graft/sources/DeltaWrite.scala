@@ -858,6 +858,11 @@ object DeltaWrite {
         // missing generated column and VALIDATE a supplied one
         // ([[withGeneratedColumns]]); UPDATE recomputes unassigned
         // generated columns and validates assigned ones; MERGE validates
+      case "domainMetadata" => () // IMPLEMENTED: domain actions replay
+        // last-wins into Snapshot.domains, [[checkpoint]] carries the
+        // live ones (a fold must never forget a domain — delta-spark
+        // keeps e.g. clustering state there), and
+        // [[setDomainMetadata]]/[[removeDomainMetadata]] write them
       case "identityColumns" => () // ENFORCED: appends allocate omitted
         // identity values from the high-water mark (one zipWithIndex
         // pass) and bump it in the same commit's metaData; explicit
@@ -2585,6 +2590,94 @@ object DeltaWrite {
         "writer is committing continuously; retry later")
   }
 
+  /** Set (or update) one metadata DOMAIN (writer feature
+    * `domainMetadata` — the protocol's per-domain key/value channel;
+    * delta-spark keeps e.g. clustering state there). One metadata-only
+    * commit carrying the `domainMetadata` action; the first set on a
+    * legacy table upgrades the protocol to the v7 features form with
+    * the feature listed (reader version untouched — it is writer-only).
+    * Replay is last-action-wins per domain, so an update is just
+    * another set. `configuration` is an opaque string (delta-spark
+    * stores JSON); `delta.`-prefixed domains are system-controlled per
+    * the spec — setting one you don't control is on the caller.
+    */
+  def setDomainMetadata(spark: SparkSession, path: String, domain: String,
+                        configuration: String): Long =
+    commitDomainAction(spark, path, domain, configuration, removed = false,
+      "SET DOMAIN METADATA")
+
+  /** Remove one metadata domain: commits a `removed=true` tombstone
+    * (replay drops the domain; the next checkpoint folds the tombstone
+    * away). A no-op returning the current version when the domain is
+    * not live.
+    */
+  def removeDomainMetadata(spark: SparkSession, path: String, domain: String): Long =
+    commitDomainAction(spark, path, domain, null, removed = true,
+      "REMOVE DOMAIN METADATA")
+
+  private def commitDomainAction(spark: SparkSession, path: String, domain: String,
+                                 configuration: String, removed: Boolean,
+                                 operation: String): Long = {
+    require(domain != null && domain.nonEmpty, "domain must be non-empty")
+    val rootP = qualifiedRoot(spark, path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logP = new Path(rootP, "_delta_log")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaRead.snapshot(spark, rootP.toString)
+      requireWritable(snap, path, removesData = false)
+      if (removed && !snap.domains.contains(domain)) return snap.version
+      val next = snap.version + 1
+      val lines = Seq.newBuilder[String]
+      val ci = mapper.createObjectNode
+      val cib = ci.putObject("commitInfo")
+      cib.put("timestamp", System.currentTimeMillis)
+      cib.put("operation", operation)
+      val op = cib.putObject("operationParameters")
+      op.put("domain", domain)
+      cib.put("engineInfo", "graft-delta-writer/1.0")
+      lines += mapper.writeValueAsString(ci)
+      // first domain write on a table without the feature: upgrade to
+      // the v7 features form carrying it (legacy writer versions
+      // expand to their implied feature names, same as the ICT upgrade)
+      val hasFeature = snap.minWriter >= 7 && snap.writerFeatures.contains("domainMetadata")
+      if (!hasFeature) {
+        val legacyWriter = Seq(
+          2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+          4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns"))
+          .filter(_._1 <= snap.minWriter).flatMap(_._2)
+        val existing = if (snap.minWriter >= 7) snap.writerFeatures.toSeq else legacyWriter
+        val p = mapper.createObjectNode
+        val pb = p.putObject("protocol")
+        pb.put("minReaderVersion", snap.minReader)
+        pb.put("minWriterVersion", 7)
+        if (snap.minReader >= 3) {
+          val rfa = pb.putArray("readerFeatures")
+          snap.readerFeatures.toSeq.sorted.foreach(rfa.add)
+        }
+        val wfa = pb.putArray("writerFeatures")
+        (existing :+ "domainMetadata").distinct.sorted.foreach(wfa.add)
+        lines += mapper.writeValueAsString(p)
+      }
+      val dm = mapper.createObjectNode
+      val dmb = dm.putObject("domainMetadata")
+      dmb.put("domain", domain)
+      dmb.put("configuration", Option(configuration).getOrElse(""))
+      dmb.put("removed", removed)
+      lines += mapper.writeValueAsString(dm)
+      if (publishCommit(fs, logP, next, lines.result().mkString("\n") + "\n",
+            snap.configuration, Some(snap))) {
+        autoCheckpoint(spark, rootP.toString, next, snap.configuration)
+        return next
+      }
+    }
+    throw new IllegalStateException(
+      s"$operation at $path lost the commit race 20 times — another writer is " +
+        "committing continuously; retry later")
+  }
+
   /** OPTIMIZE-style rewrite. `zorderBy` turns it into OPTIMIZE ZORDER
     * (delta-spark's `OPTIMIZE … ZORDER BY` shape): the snapshot is
     * rewritten as `zorderFiles` Morton-clustered files
@@ -3059,8 +3152,9 @@ object DeltaWrite {
   private case class CkRemove(path: String, deletionTimestamp: Long,
                               dataChange: Boolean)
   private case class CkTxn(appId: String, version: Long, lastUpdated: java.lang.Long)
+  private case class CkDomain(domain: String, configuration: String, removed: Boolean)
   private case class CkRow(protocol: CkProtocol, metaData: CkMeta, add: CkAdd,
-                           remove: CkRemove, txn: CkTxn)
+                           remove: CkRemove, txn: CkTxn, domainMetadata: CkDomain = null)
 
   /** Delta duration-property parse: `interval N <unit>` (delta-spark's
     * CalendarInterval surface restricted to the fixed-length units the
@@ -3281,6 +3375,7 @@ object DeltaWrite {
     val tailTombs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val touched = scala.collection.mutable.LinkedHashSet[String]() // decoded
     val txns = scala.collection.mutable.LinkedHashMap[String, CkTxn]()
+    val domains = scala.collection.mutable.LinkedHashMap[String, CkDomain]()
     val nowMs = System.currentTimeMillis
     for (v <- prev.map(_ + 1).getOrElse(0L) to latest) {
       val p = new Path(logP, f"$v%020d.json")
@@ -3359,6 +3454,15 @@ object DeltaWrite {
           val appId = t.path("appId").asText()
           txns(appId) = CkTxn(appId, t.path("version").asLong(),
             if (t.has("lastUpdated")) Long.box(t.get("lastUpdated").asLong()) else null)
+        }
+        if (node.has("domainMetadata")) {
+          // last action per domain wins; removed=true tombstones fold
+          // away below (a checkpoint needs only LIVE domains — the
+          // commits holding the removal get cleaned with the prefix)
+          val d = node.get("domainMetadata")
+          val dom = d.path("domain").asText()
+          domains(dom) = CkDomain(dom, d.path("configuration").asText(null),
+            d.path("removed").asBoolean(false))
         }
       }
     }
@@ -3455,6 +3559,19 @@ object DeltaWrite {
                   !r.isNullAt(r.fieldIndex("lastUpdated")))
                 Long.box(r.getLong(r.fieldIndex("lastUpdated"))) else null)
         }
+      if (cols("domainMetadata")) // tail actions win over checkpointed ones
+        rows.where(col("domainMetadata.domain").isNotNull)
+          .select("domainMetadata.*").collect().foreach { r =>
+            val dom = r.getString(r.fieldIndex("domain"))
+            if (!domains.contains(dom))
+              domains(dom) = CkDomain(dom,
+                if (r.schema.fieldNames.contains("configuration") &&
+                    !r.isNullAt(r.fieldIndex("configuration")))
+                  r.getString(r.fieldIndex("configuration")) else null,
+                r.schema.fieldNames.contains("removed") &&
+                  !r.isNullAt(r.fieldIndex("removed")) &&
+                  r.getBoolean(r.fieldIndex("removed")))
+          }
       val addCols = rows.select("add.*").columns.toSet
       def ac(n: String, dt: String) =
         if (addCols(n)) col("add." + n).cast(dt).as(n) else lit(null).cast(dt).as(n)
@@ -3531,6 +3648,10 @@ object DeltaWrite {
       Seq(CkRow(protocol, null, null, null, null),
         CkRow(null, meta, null, null, null)) ++
         txns.values.map(t => CkRow(null, null, null, null, t)) ++
+        // LIVE domains only: replay needs no removal tombstones once
+        // the removing commit is folded
+        domains.values.collect { case d if !d.removed =>
+          CkRow(null, null, null, null, null, d) } ++
         tailAdds.values.map(a => CkRow(null, null, a, null, null)) ++
         tailTombs.collect { case (p, ts) if ts >= nowMs - TombstoneRetentionMs =>
           CkRow(null, null, null, CkRemove(p, ts, dataChange = false), null)
@@ -3560,7 +3681,10 @@ object DeltaWrite {
         if (r.remove == null) null
         else Row(r.remove.path, r.remove.deletionTimestamp, r.remove.dataChange),
         if (r.txn == null) null
-        else Row(r.txn.appId, r.txn.version, r.txn.lastUpdated))
+        else Row(r.txn.appId, r.txn.version, r.txn.lastUpdated),
+        if (r.domainMetadata == null) null
+        else Row(r.domainMetadata.domain, r.domainMetadata.configuration,
+          r.domainMetadata.removed))
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(driverRows.map(rowOf).asJava, ckSchema)
     }
@@ -3570,13 +3694,13 @@ object DeltaWrite {
         col("modificationTime"), col("dataChange"), col("stats"),
         col("deletionVector"))
         .cast(ckSchema("add").dataType).as("add"),
-      nullCol("remove"), nullCol("txn"))
+      nullCol("remove"), nullCol("txn"), nullCol("domainMetadata"))
     }
     val carriedTombsDf = carried.flatMap(_._2).map(_.select(
       nullCol("protocol"), nullCol("metaData"), nullCol("add"),
       struct(col("path"), col("deletionTimestamp"), lit(false).as("dataChange"))
         .cast(ckSchema("remove").dataType).as("remove"),
-      nullCol("txn")))
+      nullCol("txn"), nullCol("domainMetadata")))
     val all = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)
       .reduce(_ unionByName _)
 
@@ -3662,19 +3786,22 @@ object DeltaWrite {
           case n => lit(null).cast(ckSchema(n).dataType).as(n)
         }
         val nonFileDf = driverDf.where(col("add").isNull && col("remove").isNull)
-          .select(Seq(col("protocol"), col("metaData"), col("txn")) ++
+          .select(Seq(col("protocol"), col("metaData"), col("txn"),
+            col("domainMetadata")) ++
             nulls("checkpointMetadata", "sidecar"): _*)
         val cmDf = {
           import spark.implicits._
-          Seq(latest).toDF("v").select(nulls("protocol", "metaData", "txn") ++ Seq(
-            struct(col("v").as("version"),
-              lit(null).cast(tagsType).as("tags")).as("checkpointMetadata"),
-            lit(null).cast(scType).as("sidecar")): _*)
+          Seq(latest).toDF("v").select(
+            nulls("protocol", "metaData", "txn", "domainMetadata") ++ Seq(
+              struct(col("v").as("version"),
+                lit(null).cast(tagsType).as("tags")).as("checkpointMetadata"),
+              lit(null).cast(scType).as("sidecar")): _*)
         }
         val scDf = if (sidecars.isEmpty) None else Some {
           import spark.implicits._
           sidecars.toDF("path", "sizeInBytes", "modificationTime")
-            .select(nulls("protocol", "metaData", "txn", "checkpointMetadata") ++ Seq(
+            .select(nulls("protocol", "metaData", "txn", "domainMetadata",
+              "checkpointMetadata") ++ Seq(
               struct(col("path"), col("sizeInBytes"), col("modificationTime"),
                 lit(null).cast(tagsType).as("tags")).as("sidecar")): _*)
         }

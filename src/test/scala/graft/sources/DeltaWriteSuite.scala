@@ -1937,7 +1937,7 @@ class DeltaWriteSuite extends SparkSpec {
     // main file: non-file actions + checkpointMetadata + sidecar refs, NO file actions
     val mainDf = spark.read.parquet(new java.io.File(logDir, mainName.get).toString)
     assert(mainDf.columns.toSet ==
-      Set("protocol", "metaData", "txn", "checkpointMetadata", "sidecar"))
+      Set("protocol", "metaData", "txn", "domainMetadata", "checkpointMetadata", "sidecar"))
     assert(mainDf.where(col("checkpointMetadata.version") === cv).count() == 1,
       "exactly one checkpointMetadata action stamping the version")
     val referenced = mainDf.where(col("sidecar.path").isNotNull)
@@ -2084,6 +2084,74 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.parseRetention("interval 1 week") == 7L * 24 * 3600 * 1000)
     assert(DeltaWrite.parseRetention("INTERVAL 2 HOURS") == 2L * 3600 * 1000)
     intercept[IllegalArgumentException] { DeltaWrite.parseRetention("interval 1 month") }
+  }
+
+  test("domain metadata: set/update/remove, checkpoint carry, foreign tables write") {
+    val root = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root)      // v0
+    // first set upgrades a legacy (1,2) protocol to v7 features form
+    DeltaWrite.setDomainMetadata(spark, root, "graft.test", """{"k":1}""")          // v1
+    val s1 = DeltaRead.snapshot(spark, root)
+    assert(s1.minWriter == 7 && s1.writerFeatures.contains("domainMetadata"))
+    assert(s1.minReader == 1, "domainMetadata is writer-only — reader version stays")
+    assert(s1.domains == Map("graft.test" -> """{"k":1}"""))
+    // update = another set (last action wins); second domain coexists
+    DeltaWrite.setDomainMetadata(spark, root, "graft.test", """{"k":2}""")          // v2
+    DeltaWrite.setDomainMetadata(spark, root, "other.domain", "cfg")                // v3
+    assert(DeltaRead.snapshot(spark, root).domains ==
+      Map("graft.test" -> """{"k":2}""", "other.domain" -> "cfg"))
+    // ordinary writes keep working under the feature
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)                  // v4
+    DeltaWrite.delete(spark, root, "id = 1")                                        // v5
+    // removal tombstones: the domain disappears from replay
+    DeltaWrite.removeDomainMetadata(spark, root, "other.domain")                    // v6
+    assert(DeltaRead.snapshot(spark, root).domains == Map("graft.test" -> """{"k":2}"""))
+    assert(DeltaWrite.removeDomainMetadata(spark, root, "other.domain") == 6L,
+      "removing a non-live domain is a no-op at the current version")
+    // CHECKPOINT CARRY: fold, clean the JSON tail, replay from parquet
+    assert(DeltaWrite.checkpoint(spark, root) == 6L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    val s1b = DeltaRead.snapshot(spark, root)
+    assert(s1b.domains == Map("graft.test" -> """{"k":2}"""),
+      "live domains must survive the fold; the removed one must not resurrect")
+    assert(DeltaRead.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // post-fold: set again (carry through an incremental re-fold too)
+    DeltaWrite.setDomainMetadata(spark, root, "third", "t")                         // v7
+    assert(DeltaWrite.checkpoint(spark, root) == 7L)
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    assert(DeltaRead.snapshot(spark, root).domains ==
+      Map("graft.test" -> """{"k":2}""", "third" -> "t"))
+
+    // FOREIGN-TABLE shape: a hand-written log already carrying the
+    // feature + an action — graft reads the domain and WRITES into the
+    // table (the feature previously refused all writes)
+    val root2 = tmp()
+    val log2 = new java.io.File(root2.stripPrefix("file:"), "_delta_log")
+    log2.mkdirs()
+    java.nio.file.Files.write(new java.io.File(log2, f"${0L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata"]}}""" + "\n" +
+        """{"metaData":{"id":"dm-t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""" + "\n" +
+        """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"c\":[\"id\"]}","removed":false}}""" + "\n").getBytes("UTF-8"))
+    assert(DeltaRead.snapshot(spark, root2).domains ==
+      Map("delta.clustering" -> """{"c":["id"]}"""))
+    DeltaWrite.append(spark, Seq(Tuple1(5L)).toDF("id"), root2)                     // v1
+    assert(DeltaRead.read(spark, root2).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(DeltaRead.snapshot(spark, root2).domains.contains("delta.clustering"),
+      "an ordinary write must not disturb existing domains")
+
+    // V2-policy table: the v2 MAIN file carries the domain rows
+    val root3 = tmp()
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v").coalesce(1), root3)     // v0
+    DeltaWrite.setProperties(spark, root3, Map("delta.checkpointPolicy" -> "v2"))   // v1
+    DeltaWrite.setDomainMetadata(spark, root3, "v2.domain", "x")                    // v2
+    assert(DeltaWrite.checkpoint(spark, root3) == 2L)
+    val log3 = new java.io.File(root3.stripPrefix("file:"), "_delta_log")
+    log3.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(log3, n).delete())
+    assert(DeltaRead.snapshot(spark, root3).domains == Map("v2.domain" -> "x"))
   }
 
   test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
