@@ -111,19 +111,6 @@ object UnigramTokenizer {
   /** The matching word count (how many words the segmentation covered). */
   def wordCount(text: Column): Column = BpeTrainer.wordCount(text)
 
-  /** Corpus-wide greedy piece counts: `(idCol, n_words, n_pieces)`.
-    * The greedy walk runs once per DISTINCT word form and joins back
-    * to the per-(doc, word) occurrence counts — Zipf makes distinct
-    * word forms a small fraction of occurrences, so this beats the
-    * pure one-scan [[tokenCount]] projection 3.2× at sf1 (13.7 → 4.3 s
-    * forced, identical totals) and widens with corpus size: the walk's
-    * cost saturates at the vocabulary while occurrences keep growing.
-    * Costs one keyed shuffle; the per-(doc, word) pre-aggregation
-    * bounds hot-word fan-in, and docs with no in-alphabet words keep a
-    * (0, 0) row via the id-spine left join (the [[NgramLm.scoreDocs]]
-    * shape). [[tokenCount]] stays the right tool INSIDE a wider
-    * projection (e.g. pack-by-length), where a join cannot reach.
-    */
   // ----- EM refinement (Kudo 2018 §3.2, the hard-EM / Viterbi variant)
 
   /** The EM-trained vocabulary: `pieces` carry FINAL Viterbi usage
@@ -239,7 +226,7 @@ object UnigramTokenizer {
     * Ties break (cost ASC, length DESC) — array_min's struct order
     * over (cost, -length), deterministic on every engine.
     */
-  private def viterbiForward(word: Column, costMap: Column, maxLen: Int): Column =
+  private[operators] def viterbiForward(word: Column, costMap: Column, maxLen: Int): Column =
     aggregate(
       sequence(lit(1), length(word)),
       struct(typedlit(Seq(0.0d)).as("costs"),
@@ -267,7 +254,7 @@ object UnigramTokenizer {
     * pieces — one aggregate of at most |word| steps walking `pos`
     * back through the winning lengths.
     */
-  private def viterbiBacktrace(word: Column, fwd: Column): Column =
+  private[operators] def viterbiBacktrace(word: Column, fwd: Column): Column =
     aggregate(
       sequence(lit(1), length(word)),
       struct(length(word).as("pos"),
@@ -296,6 +283,19 @@ object UnigramTokenizer {
       .map(p => (p.piece, p.weight)).toDF("piece", "usage")
   }
 
+  /** Corpus-wide greedy piece counts: `(idCol, n_words, n_pieces)`.
+    * The greedy walk runs once per DISTINCT word form and joins back
+    * to the per-(doc, word) occurrence counts — Zipf makes distinct
+    * word forms a small fraction of occurrences, so this beats the
+    * pure one-scan [[tokenCount]] projection 3.2× at sf1 (13.7 → 4.3 s
+    * forced, identical totals) and widens with corpus size: the walk's
+    * cost saturates at the vocabulary while occurrences keep growing.
+    * Costs one keyed shuffle; the per-(doc, word) pre-aggregation
+    * bounds hot-word fan-in, and docs with no in-alphabet words keep a
+    * (0, 0) row via the id-spine left join (the [[NgramLm.scoreDocs]]
+    * shape). [[tokenCount]] stays the right tool INSIDE a wider
+    * projection (e.g. pack-by-length), where a join cannot reach.
+    */
   def scoreDocs(docs: DataFrame, pieces: Seq[Piece],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val byLen = pieces.map(_.piece).groupBy(_.length)

@@ -858,6 +858,12 @@ object DeltaWrite {
         // missing generated column and VALIDATE a supplied one
         // ([[withGeneratedColumns]]); UPDATE recomputes unassigned
         // generated columns and validates assigned ones; MERGE validates
+      case "clustering" => () // SUPPORTED: the feature's writer
+        // contract is "preserve the delta.clustering domain metadata"
+        // (replay + checkpoint carry do, see domainMetadata below);
+        // clustering newly-written data is an OPTIMIZE-time concern —
+        // [[compact]] reads the domain and Z-orders by the table's own
+        // clustering columns when the caller names none
       case "domainMetadata" => () // IMPLEMENTED: domain actions replay
         // last-wins into Snapshot.domains, [[checkpoint]] carries the
         // live ones (a fold must never forget a domain — delta-spark
@@ -1531,6 +1537,8 @@ object DeltaWrite {
       var ict: Option[Long] = None
       val adds = Map.newBuilder[String, Long]
       val removesB = Set.newBuilder[String]
+      val txnB = Map.newBuilder[String, Long]
+      val domB = Map.newBuilder[String, (String, Boolean)]
       content.split("\n").filter(_.trim.nonEmpty).foreach { l =>
         val n = mapper.readTree(l)
         if (n.has("metaData")) metaNode = n.get("metaData")
@@ -1544,6 +1552,15 @@ object DeltaWrite {
         }
         if (n.has("remove"))
           removesB += DeltaRead.decodePath(n.get("remove").get("path").asText)
+        if (n.has("txn")) {
+          val t = n.get("txn")
+          txnB += t.path("appId").asText() -> t.path("version").asLong()
+        }
+        if (n.has("domainMetadata")) {
+          val d = n.get("domainMetadata")
+          domB += d.path("domain").asText() ->
+            ((d.path("configuration").asText(""), d.path("removed").asBoolean(false)))
+        }
       }
       val base: Map[String, Long] = prevSnap match {
         case Some(s) => s.files.keys.map(p => p -> s.sizes.getOrElse(p, -1L)).toMap
@@ -1563,6 +1580,26 @@ object DeltaWrite {
       ict.foreach(v => node.put("inCommitTimestampOpt", v))
       node.set[com.fasterxml.jackson.databind.JsonNode]("metadata", metaNode)
       node.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protoNode)
+      // the optional state lists delta-spark's VersionChecksum also
+      // carries — both vocab-sized (writer appIds / live domains)
+      val postTxns = prevSnap.map(_.txns).getOrElse(Map.empty) ++ txnB.result()
+      if (postTxns.nonEmpty) {
+        val arr = node.putArray("setTransactions")
+        postTxns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+          val t = arr.addObject(); t.put("appId", appId); t.put("version", v)
+        }
+      }
+      val postDoms = prevSnap.map(_.domains.map { case (d, c) => d -> ((c, false)) })
+        .getOrElse(Map.empty) ++ domB.result()
+      val liveDoms = postDoms.collect { case (d, (c, false)) => d -> c }
+      if (liveDoms.nonEmpty) {
+        val arr = node.putArray("domainMetadata")
+        liveDoms.toSeq.sortBy(_._1).foreach { case (d, c) =>
+          val o = arr.addObject()
+          o.put("domain", d); o.put("configuration", Option(c).getOrElse(""))
+          o.put("removed", false)
+        }
+      }
       graft.pipeline.VersionedTable.casPublish(
         fs, new Path(logP, f"$version%020d.crc"),
         mapper.writeValueAsString(node) + "\n")
@@ -2615,6 +2652,30 @@ object DeltaWrite {
     commitDomainAction(spark, path, domain, null, removed = true,
       "REMOVE DOMAIN METADATA")
 
+  /** The table's liquid-clustering columns from the `delta.clustering`
+    * domain (writer feature `clustering`): `clusteringColumns` is an
+    * array of path-segment arrays, PHYSICAL names under column mapping
+    * — top-level segments translate back to logical via the snapshot's
+    * colMap, nested segments pass through. Empty when not clustered or
+    * the configuration is unparseable (a broken domain must not fail
+    * OPTIMIZE — it just doesn't cluster).
+    */
+  private[sources] def clusteringColumnsOf(snap: DeltaRead.Snapshot): Seq[String] =
+    snap.domains.get("delta.clustering").toSeq.flatMap { cfg =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val arr = mapper.readTree(cfg).path("clusteringColumns")
+        if (!arr.isArray) Nil
+        else {
+          val physToLogical = snap.colMap.map(_.swap)
+          arr.elements().asScala.map(path =>
+            path.elements().asScala.map(seg =>
+              physToLogical.getOrElse(seg.asText(), seg.asText())).mkString("."))
+            .toSeq.filter(_.nonEmpty)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
   private def commitDomainAction(spark: SparkSession, path: String, domain: String,
                                  configuration: String, removed: Boolean,
                                  operation: String): Long = {
@@ -2702,14 +2763,18 @@ object DeltaWrite {
     requireWritable(snap, path, removesData = false)
 
     if (snap.files.isEmpty) return snap.version // nothing to rewrite
-    if (snap.files.size <= targetFiles && zorderBy.isEmpty) return snap.version
+    // OPTIMIZE on a liquid-clustered table honors the table's OWN
+    // clustering columns when the caller names none (delta-spark's
+    // OPTIMIZE semantics on clustered tables)
+    val effZorder = if (zorderBy.nonEmpty) zorderBy else clusteringColumnsOf(snap)
+    if (snap.files.size <= targetFiles && effZorder.isEmpty) return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns
 
     val src = DeltaRead.readSnapshot(spark, rootP.toString, snap)
     val clustered =
-      if (zorderBy.nonEmpty)
-        graft.operators.ZOrder.cluster(src, zorderBy, zorderFiles, within = parts)
+      if (effZorder.nonEmpty)
+        graft.operators.ZOrder.cluster(src, effZorder, zorderFiles, within = parts)
       else if (parts.isEmpty) src.repartition(targetFiles)
       else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
     val (physDf, physParts) = toPhysical(snap, clustered)

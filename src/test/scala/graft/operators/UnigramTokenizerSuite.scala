@@ -151,6 +151,33 @@ class UnigramTokenizerSuite extends SparkSpec {
     assert(a.losses == b.losses)
   }
 
+  test("EM: the E-step plan is a pure projection — no UDF, no shuffle, costs as one literal") {
+    // the scale contract: Viterbi DP per distinct word form runs as
+    // native HOF expressions inside a Project (one scan, zero
+    // exchanges, no Scala UDF); a refactor that sneaks in a UDF or a
+    // join would pass correctness and 10x the E-step
+    val wf = Seq(("lowering", 3L), ("singer", 2L)).toDF("seq", "cnt")
+    val costMap = typedlit(Map("low" -> 0.5, "ing" -> 0.7, "er" -> 0.9, "s" -> 2.0,
+      "e" -> 2.0, "n" -> 2.0, "g" -> 2.0, "i" -> 2.0, "o" -> 2.0, "w" -> 2.0,
+      "l" -> 2.0, "r" -> 2.0))
+    val seg = wf
+      .select(col("seq"), col("cnt"),
+        UnigramTokenizer.viterbiForward(col("seq"), costMap, 6).as("fwd"))
+      .select(col("cnt"),
+        element_at(col("fwd").getField("costs"), length(col("seq")) + 1).as("cost"),
+        UnigramTokenizer.viterbiBacktrace(col("seq"), col("fwd")).as("pieces"))
+    val plan = seg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    // and the DP itself is right: lowering = low|er|ing (cost 2.1),
+    // singer = s|ing|er (cost 3.6)
+    val rows = seg.orderBy(col("cnt").desc).collect()
+    assert(rows(0).getSeq[String](2).sorted == Seq("er", "ing", "low"), rows(0))
+    assert(math.abs(rows(0).getDouble(1) - 2.1) < 1e-9)
+    assert(rows(1).getSeq[String](2).sorted == Seq("er", "ing", "s"), rows(1))
+    assert(math.abs(rows(1).getDouble(1) - 3.6) < 1e-9)
+  }
+
   test("EM: a periodic corpus converges to the period piece at near-zero loss") {
     // "abababab" (8 chars, maxLen 6 forbids the whole word): the seed
     // costs make Viterbi pick abab|abab on iteration 1 (2 pieces beat

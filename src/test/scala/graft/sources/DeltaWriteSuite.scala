@@ -2154,6 +2154,51 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaRead.snapshot(spark, root3).domains == Map("v2.domain" -> "x"))
   }
 
+  test("liquid-clustered tables: writes proceed and OPTIMIZE honors the clustering domain") {
+    val root = tmp()
+    // interleaved id/y so the initial files are NOT id-clustered
+    val df = spark.range(400L).select(
+      ((col("id") * 137) % 400).as("k"), col("id").as("y"))
+    DeltaWrite.append(spark, df.repartition(8), root)                              // v0
+    // the delta-spark liquid-clustering shape: writer features
+    // clustering + domainMetadata, columns in the delta.clustering domain
+    DeltaWrite.setDomainMetadata(spark, root, "delta.clustering",
+      """{"clusteringColumns":[["k"]]}""")                                         // v1
+    // hand-add the clustering writer feature (graft's own API has no
+    // reason to mint it; a delta-spark table arrives with it)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val v1 = new java.io.File(logDir, f"${1L}%020d.json")
+    val content = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    java.nio.file.Files.write(v1.toPath, content.replace(
+      "\"domainMetadata\",", "\"clustering\",\"domainMetadata\",").getBytes("UTF-8"))
+    new java.io.File(logDir, f".${1L}%020d.json.crc").delete() // local-FS shadow
+    new java.io.File(logDir, f"${1L}%020d.crc").delete() // now-stale checksum sidecar
+    assert(DeltaRead.snapshot(spark, root).writerFeatures.contains("clustering"))
+    // ordinary writes into the clustered table proceed (feature allowed)
+    DeltaWrite.append(spark, Seq((500L, 500L)).toDF("k", "y"), root)               // v2
+    assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)) == Seq("k"))
+    // OPTIMIZE with NO explicit zorder columns clusters by the domain's
+    val v = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4)      // v3
+    val snap = DeltaRead.snapshot(spark, root)
+    assert(snap.version == v && snap.files.size == 4)
+    // k-ranges across the rewritten files must be pairwise disjoint
+    // (single-column Z-order = range clustering) — the before-state was
+    // round-robin, where every file spans nearly the whole k domain
+    val ranges = snap.files.keySet.toSeq.map { f =>
+      val st = new com.fasterxml.jackson.databind.ObjectMapper().readTree(snap.stats(f))
+      (st.path("minValues").path("k").asLong(), st.path("maxValues").path("k").asLong())
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 < b._1, s"k-ranges overlap after clustered OPTIMIZE: $ranges")
+    }
+    assert(DeltaRead.read(spark, root).count() == 401)
+    // the domain survives the OPTIMIZE commit and the next fold
+    assert(DeltaWrite.checkpoint(spark, root) == v)
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)) == Seq("k"))
+  }
+
   test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
     val root = tmp()
     DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root) // v0
@@ -2185,12 +2230,25 @@ class DeltaWriteSuite extends SparkSpec {
     DeltaWrite.delete(spark, root, "id = 10")                                             // v5 (DV)
     assert(crcNode(5).get("numFiles").asLong == 2)
     assert(DeltaRead.snapshot(spark, root).version == 5L) // validation passes en route
+    // the optional state lists land when present: a txn mark and a
+    // live domain appear in the next commit's checksum
+    import scala.jdk.CollectionConverters._
+    DeltaWrite.appendStream(spark, Seq((12L, "s")).toDF("id", "v").coalesce(1), root,
+      "crc-app", 1L)                                                                // v6
+    DeltaWrite.setDomainMetadata(spark, root, "crc.dom", "c")                       // v7
+    val n7 = crcNode(7)
+    assert(n7.path("setTransactions").elements().asScala
+      .exists(t => t.path("appId").asText == "crc-app" && t.path("version").asLong == 1L))
+    assert(n7.path("domainMetadata").elements().asScala
+      .exists(d => d.path("domain").asText == "crc.dom"))
     // CORRUPTION: a crc that disagrees with the replayed state refuses
-    val crc5 = new java.io.File(logDir, f"${5L}%020d.crc")
-    val txt = new String(java.nio.file.Files.readAllBytes(crc5.toPath), "UTF-8")
-    java.nio.file.Files.write(crc5.toPath,
-      txt.replace("\"numFiles\":2", "\"numFiles\":7").getBytes("UTF-8"))
-    new java.io.File(logDir, f".${5L}%020d.crc.crc").delete() // local-FS checksum shadow
+    val headFiles = n7.path("numFiles").asLong
+    assert(headFiles == 3L, s"fixture: 3 live files expected at v7, got $headFiles")
+    val crc7 = new java.io.File(logDir, f"${7L}%020d.crc")
+    val txt = new String(java.nio.file.Files.readAllBytes(crc7.toPath), "UTF-8")
+    java.nio.file.Files.write(crc7.toPath,
+      txt.replace("\"numFiles\":3", "\"numFiles\":9").getBytes("UTF-8"))
+    new java.io.File(logDir, f".${7L}%020d.crc.crc").delete() // local-FS checksum shadow
     val e = intercept[IllegalStateException] { DeltaRead.snapshot(spark, root) }
     assert(e.getMessage.contains("checksum validation"), e.getMessage)
     // earlier versions (their crc untouched) still travel fine
