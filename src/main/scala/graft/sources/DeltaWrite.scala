@@ -3766,8 +3766,14 @@ object DeltaWrite {
       struct(col("path"), col("deletionTimestamp"), lit(false).as("dataChange"))
         .cast(ckSchema("remove").dataType).as("remove"),
       nullCol("txn"), nullCol("domainMetadata")))
-    val all = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)
+    val all0 = (Seq(driverDf) ++ carriedAddsDf ++ carriedTombsDf)
       .reduce(_ unionByName _)
+    // the domainMetadata COLUMN appears only when live domains exist:
+    // readers gate their domain collect on the column's presence, so a
+    // domain-less table (the common case) must not pay an extra Spark
+    // job per snapshot/fold for an all-null column
+    val hasDomains = domains.values.exists(!_.removed)
+    val all = if (hasDomains) all0 else all0.drop("domainMetadata")
 
     // --- part count: explicit, or auto from a footer-only estimate ---
     val nParts =
@@ -3870,7 +3876,9 @@ object DeltaWrite {
               struct(col("path"), col("sizeInBytes"), col("modificationTime"),
                 lit(null).cast(tagsType).as("tags")).as("sidecar")): _*)
         }
-        val mainDf = (Seq(nonFileDf, cmDf) ++ scDf).reduce(_ unionByName _)
+        val mainDf0 = (Seq(nonFileDf, cmDf) ++ scDf).reduce(_ unionByName _)
+        // same column-presence contract as the classic form above
+        val mainDf = if (hasDomains) mainDf0 else mainDf0.drop("domainMetadata")
         mainDf.coalesce(1).write.parquet(tmpMain.toString)
         val mainPart = fs.listStatus(tmpMain).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))

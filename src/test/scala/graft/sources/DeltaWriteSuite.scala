@@ -1937,7 +1937,9 @@ class DeltaWriteSuite extends SparkSpec {
     // main file: non-file actions + checkpointMetadata + sidecar refs, NO file actions
     val mainDf = spark.read.parquet(new java.io.File(logDir, mainName.get).toString)
     assert(mainDf.columns.toSet ==
-      Set("protocol", "metaData", "txn", "domainMetadata", "checkpointMetadata", "sidecar"))
+      Set("protocol", "metaData", "txn", "checkpointMetadata", "sidecar"),
+      "a domain-less table's v2 main must NOT carry a domainMetadata column " +
+        "(readers gate an extra collect on its presence)")
     assert(mainDf.where(col("checkpointMetadata.version") === cv).count() == 1,
       "exactly one checkpointMetadata action stamping the version")
     val referenced = mainDf.where(col("sidecar.path").isNotNull)
