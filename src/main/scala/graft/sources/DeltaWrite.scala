@@ -711,15 +711,23 @@ object DeltaWrite {
     * protocol action (a protocol action replaces the old one, so two
     * upgrade lines in one commit would drop each other's additions).
     */
+  /** The writer features a legacy `minWriterVersion` IMPLIES — the
+    * protocol's table: upgrading a legacy table to the v7 features
+    * form must list them all, or the upgrade silently drops
+    * enforcement other writers rely on. The single source for every
+    * upgrade site.
+    */
+  private def impliedWriterFeatures(minWriter: Int): Seq[String] = Seq(
+    2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+    4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+    6 -> Seq("identityColumns"))
+    .filter(_._1 <= minWriter).flatMap(_._2)
+
   private def protocolUpgradeTo(snap: DeltaRead.Snapshot, feature: String,
                                 extraWriter: Seq[String] = Nil): Option[String] = {
     if (snap.minReader >= 3 && snap.readerFeatures.contains(feature) &&
         extraWriter.forall(snap.writerFeatures.contains)) return None
-    val legacyWriter = Seq(
-      2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
-      4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
-      6 -> Seq("identityColumns"))
-      .filter(_._1 <= snap.minWriter).flatMap(_._2)
+    val legacyWriter = impliedWriterFeatures(snap.minWriter)
     val legacyReader = if (snap.minReader >= 2) Seq("columnMapping") else Nil
     val rf = (snap.readerFeatures ++ legacyReader + feature).toSeq.sorted
     val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader ++ extraWriter
@@ -814,10 +822,7 @@ object DeltaWrite {
         "than this writer's protocol support (<=7); write with delta-spark")
     val feats: Set[String] =
       if (snap.minWriter >= 7) snap.writerFeatures
-      else Seq(2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
-        4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
-        6 -> Seq("identityColumns"))
-        .filter(_._1 <= snap.minWriter).flatMap(_._2).toSet
+      else impliedWriterFeatures(snap.minWriter).toSet
     def fieldMeta(keys: String*): Boolean =
       snap.schema.fields.exists(f => keys.exists(f.metadata.contains))
     feats.foreach {
@@ -2579,11 +2584,7 @@ object DeltaWrite {
             // minWriter 7 REQUIRES the writerFeatures list, so expand
             // the legacy versions to their implied names and add the
             // needed features — reader version stays untouched
-            val legacyWriter = Seq(
-              2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
-              4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
-              6 -> Seq("identityColumns"))
-              .filter(_._1 <= snap.minWriter).flatMap(_._2)
+            val legacyWriter = impliedWriterFeatures(snap.minWriter)
             val p = mapper.createObjectNode
             val pb = p.putObject("protocol")
             pb.put("minReaderVersion", snap.minReader)
@@ -2654,11 +2655,13 @@ object DeltaWrite {
 
   /** The table's liquid-clustering columns from the `delta.clustering`
     * domain (writer feature `clustering`): `clusteringColumns` is an
-    * array of path-segment arrays, PHYSICAL names under column mapping
-    * — top-level segments translate back to logical via the snapshot's
-    * colMap, nested segments pass through. Empty when not clustered or
-    * the configuration is unparseable (a broken domain must not fail
-    * OPTIMIZE — it just doesn't cluster).
+    * array of path-segment arrays, PHYSICAL names under column
+    * mapping. Each path resolves against the snapshot schema (a
+    * segment matches a field's logical name or its physicalName
+    * metadata); only fully-resolved TOP-LEVEL columns are returned —
+    * graft's Z-order kernel ranks top-level columns, so nested or
+    * unresolvable entries are SKIPPED with a log line rather than
+    * crashing OPTIMIZE on a domain this writer didn't mint.
     */
   private[sources] def clusteringColumnsOf(snap: DeltaRead.Snapshot): Seq[String] =
     snap.domains.get("delta.clustering").toSeq.flatMap { cfg =>
@@ -2667,11 +2670,27 @@ object DeltaWrite {
         val arr = mapper.readTree(cfg).path("clusteringColumns")
         if (!arr.isArray) Nil
         else {
-          val physToLogical = snap.colMap.map(_.swap)
-          arr.elements().asScala.map(path =>
-            path.elements().asScala.map(seg =>
-              physToLogical.getOrElse(seg.asText(), seg.asText())).mkString("."))
-            .toSeq.filter(_.nonEmpty)
+          val physKey = "delta.columnMapping.physicalName"
+          val paths = arr.elements().asScala
+            .map(p => p.elements().asScala.map(_.asText()).toSeq)
+            .filter(_.nonEmpty).toSeq
+          val (usable, skipped) = paths.partition { segs =>
+            segs.lengthCompare(1) == 0 && snap.schema.fields.exists(f =>
+              f.name.equalsIgnoreCase(segs.head) ||
+                (f.metadata.contains(physKey) &&
+                  f.metadata.getString(physKey) == segs.head))
+          }
+          if (skipped.nonEmpty)
+            org.slf4j.LoggerFactory.getLogger("graft.sources.DeltaWrite").info(
+              s"delta.clustering names ${skipped.map(_.mkString("."))
+                .mkString(", ")} — nested or not in the current schema; " +
+                "OPTIMIZE clusters by the remaining columns")
+          usable.map { segs =>
+            snap.schema.fields.find(f =>
+              f.name.equalsIgnoreCase(segs.head) ||
+                (f.metadata.contains(physKey) &&
+                  f.metadata.getString(physKey) == segs.head)).get.name
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
@@ -2704,12 +2723,8 @@ object DeltaWrite {
       // expand to their implied feature names, same as the ICT upgrade)
       val hasFeature = snap.minWriter >= 7 && snap.writerFeatures.contains("domainMetadata")
       if (!hasFeature) {
-        val legacyWriter = Seq(
-          2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
-          4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
-          6 -> Seq("identityColumns"))
-          .filter(_._1 <= snap.minWriter).flatMap(_._2)
-        val existing = if (snap.minWriter >= 7) snap.writerFeatures.toSeq else legacyWriter
+        val existing = if (snap.minWriter >= 7) snap.writerFeatures.toSeq
+          else impliedWriterFeatures(snap.minWriter)
         val p = mapper.createObjectNode
         val pb = p.putObject("protocol")
         pb.put("minReaderVersion", snap.minReader)
@@ -2768,6 +2783,18 @@ object DeltaWrite {
     // OPTIMIZE semantics on clustered tables)
     val effZorder = if (zorderBy.nonEmpty) zorderBy else clusteringColumnsOf(snap)
     if (snap.files.size <= targetFiles && effZorder.isEmpty) return snap.version
+    // IDEMPOTENCE of the implicit clustered OPTIMIZE: its commit
+    // records its own version in a graft marker domain; when nothing
+    // has committed since, the periodic maintenance call is a no-op
+    // instead of a full-table rewrite every cycle. An EXPLICIT
+    // zorderBy always rewrites (the caller asked).
+    val implicitClustering = zorderBy.isEmpty && effZorder.nonEmpty
+    val canMark = snap.minWriter >= 7 && snap.writerFeatures.contains("domainMetadata")
+    def clusteredAtOf(s: DeltaRead.Snapshot): Option[Long] =
+      s.domains.get(ClusteredAtDomain).flatMap(v =>
+        scala.util.Try(mapper.readTree(v).path("version").asLong).toOption)
+    if (implicitClustering && clusteredAtOf(snap).contains(snap.version))
+      return snap.version
     val folded: Set[String] = snap.files.keySet
     val parts = snap.partitionColumns
 
@@ -2787,7 +2814,8 @@ object DeltaWrite {
       val next = snap.version + 1
       val removes = folded.toSeq.sorted
       if (publishCommit(fs, logP, next,
-            compactContent(newFiles, removes, snap.dvs),
+            compactContent(newFiles, removes, snap.dvs,
+              clusteredAt = if (implicitClustering && canMark) Some(next) else None),
             snap.configuration, Some(snap))) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
@@ -3102,8 +3130,14 @@ object DeltaWrite {
     dv.put("cardinality", d.cardinality)
   }
 
+  /** Marker domain the implicit clustered OPTIMIZE stamps with its own
+    * commit version — the idempotence handle ([[compact]]).
+    */
+  private[sources] val ClusteredAtDomain = "graft.optimize.clusteredAt"
+
   private def compactContent(adds: Seq[NewFile], removes: Seq[String],
-                             dvs: Map[String, DeletionVectors.Descriptor]): String = {
+                             dvs: Map[String, DeletionVectors.Descriptor],
+                             clusteredAt: Option[Long] = None): String = {
     val now = System.currentTimeMillis
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode
@@ -3112,6 +3146,14 @@ object DeltaWrite {
     cib.put("operation", "OPTIMIZE")
     cib.put("engineInfo", "graft-delta-writer/1.0")
     lines += mapper.writeValueAsString(ci)
+    clusteredAt.foreach { v =>
+      val dm = mapper.createObjectNode
+      val dmb = dm.putObject("domainMetadata")
+      dmb.put("domain", ClusteredAtDomain)
+      dmb.put("configuration", s"""{"version":$v}""")
+      dmb.put("removed", false)
+      lines += mapper.writeValueAsString(dm)
+    }
     removes.foreach { p =>
       val rm = mapper.createObjectNode
       val rmb = rm.putObject("remove")

@@ -2194,11 +2194,28 @@ class DeltaWriteSuite extends SparkSpec {
       assert(a._2 < b._1, s"k-ranges overlap after clustered OPTIMIZE: $ranges")
     }
     assert(DeltaRead.read(spark, root).count() == 401)
-    // the domain survives the OPTIMIZE commit and the next fold
-    assert(DeltaWrite.checkpoint(spark, root) == v)
+    // IDEMPOTENCE: a maintenance re-run with nothing committed since
+    // is a no-op (the OPTIMIZE commit marked its own version), not a
+    // full-table rewrite every cycle
+    assert(DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4) == v)
+    // new data re-arms the implicit clustering
+    DeltaWrite.append(spark, Seq((600L, 600L)).toDF("k", "y"), root)               // v4
+    val v2 = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4)     // v5
+    assert(v2 > v && DeltaRead.snapshot(spark, root).files.size == 4)
+    assert(DeltaRead.read(spark, root).count() == 402)
+    // the domain survives the OPTIMIZE commits and the next fold
+    assert(DeltaWrite.checkpoint(spark, root) == v2)
     logDir.list().filter(_.endsWith(".json")).foreach(n =>
       new java.io.File(logDir, n).delete())
     assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)) == Seq("k"))
+    // a domain naming a NESTED or unknown column must not crash
+    // OPTIMIZE — it is skipped and the compact proceeds plain
+    DeltaWrite.setDomainMetadata(spark, root, "delta.clustering",
+      """{"clusteringColumns":[["s","inner"],["ghost"]]}""")
+    assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)).isEmpty)
+    val v3 = DeltaWrite.compact(spark, root, targetFiles = 2)
+    assert(DeltaRead.snapshot(spark, root).version == v3)
+    assert(DeltaRead.read(spark, root).count() == 402)
   }
 
   test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
