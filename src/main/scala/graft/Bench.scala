@@ -2,6 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, length, max}
 object Bench {
+  /** Query → family, for the per-family sums in the artifact. Rounds
+    * 14–16 each burned a Scratch probe adjudicating drift that a
+    * family-level sum would have answered from the artifact alone
+    * (e.g. "is the regression concentrated in commit-heavy delta
+    * writes or scattered across pure compute?"). Rule order matters:
+    * first match wins; anything TextQueries-owned that isn't dedup/
+    * simsearch is "text"; the rest is "relational".
+    */
+  private[graft] def family(q: String): String = {
+    def has(ss: String*) = ss.exists(q.contains)
+    if (has("delta")) "delta"
+    else if (has("versioned", "matview", "branch", "snapshot", "cdc",
+      "merge", "overwrite", "scd2", "sql_writes", "sql_maintenance",
+      "dsv2", "restore") || q == "q89_delete") "versioned"
+    else if (has("dedup", "minhash", "simhash", "jaccard", "neardup",
+      "curate", "span", "substring", "dupcheck", "decontaminate",
+      "contamination", "chunk")) "dedup"
+    else if (has("knn", "ann", "ivfpq", "lsh", "kmeans", "cluster",
+      "multimodal", "shard", "leakage", "domain_mix")) "simsearch"
+    else if (graft.queries.TextQueries.queries.contains(q)) "text"
+    else "relational"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,7 +123,17 @@ object Bench {
     val timing = results.map { case (k, _, _, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"load_gated":$gated,"gate_wait_sec":$gateWaitSec,"load1m_open":$loadAtOpen,"timing":$timing}"""
+    // Per-family sums: drift adjudication straight from the artifact
+    // (SURVEY §8 reads these; no more per-round Scratch probes for
+    // "which family moved").
+    val families = results.groupBy { case (k, _, _, _) => family(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        "\"" + f + "\":{\"sec\":" +
+          "%.3f".formatLocal(java.util.Locale.ROOT, rs.map(_._2).sum) +
+          ",\"n\":" + rs.size + "}"
+      }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall_start_ms":$wallStart,"wall_end_ms":${System.currentTimeMillis()},"load1m_end":${loadavg()},"load_gated":$gated,"gate_wait_sec":$gateWaitSec,"load1m_open":$loadAtOpen,"families":$families,"timing":$timing}"""
     // The bare line goes to stdout (build.sbt routes forked output
     // straight through, so no sbt "[info] " prefix) AND to files. The
     // repo copy is the durable per-query artifact: round 6's 2000-char
@@ -110,7 +143,13 @@ object Bench {
     // repo copy derived from the launch cwd (sbt forks with user.dir =
     // the project root), not a hardcoded machine path; a failed write
     // warns loudly instead of silently losing the durable artifact
-    val detail = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json")
+    // sf1 runs land in their OWN durable artifact (BENCH_sf1.json) so
+    // the 10× numbers are institutional — same gate fields, same
+    // min-of-2 discipline, not an anecdote in a scratch log.
+    val detailName =
+      if (new java.io.File(sfDir).getName == "sf1") "BENCH_sf1.json"
+      else "BENCH_DETAIL.json"
+    val detail = java.nio.file.Paths.get(sys.props("user.dir"), detailName)
     for (p <- Seq(java.nio.file.Paths.get("/tmp/bench.json"), detail))
       try java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
       catch { case e: java.io.IOException =>
@@ -124,7 +163,7 @@ object Bench {
     val qs3 = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs3}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","families":$families,"queries":$qs3}""")
     // The 3-dp map line outgrew a 2000-char tail again at 92 queries
     // (round 9 recovered only 84 of 92 timings). The VERY LAST line is
     // therefore total-only (< 500 chars, no queries map): any tail

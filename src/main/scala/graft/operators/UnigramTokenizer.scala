@@ -114,34 +114,56 @@ object UnigramTokenizer {
   // ----- EM refinement (Kudo 2018 §3.2, the hard-EM / Viterbi variant)
 
   /** The EM-trained vocabulary: `pieces` carry FINAL Viterbi usage
-    * counts (exact integers — the deterministic part), `losses` the
-    * per-iteration corpus negative log-likelihood (float — the
-    * rows-only part; non-increasing by hard-EM construction, suite-
-    * pinned).
+    * counts (exact integers), `losses` the per-iteration corpus cost
+    * in MICRO-NATS (scaled-integer negative log-likelihood — see
+    * [[CostScale]]; non-increasing up to quantization by hard-EM
+    * construction, suite-pinned).
     */
-  final case class EmResult(pieces: Seq[Piece], losses: Seq[Double])
+  final case class EmResult(pieces: Seq[Piece], losses: Seq[Long])
+
+  /** Fixed-point scale for piece costs: a cost is
+    * `round(-ln(p) * CostScale)` micro-nats as a Long. Round 16 ran
+    * the DP on raw doubles, which made q136 rows-only; integer costs
+    * (the repo's SURVEY §5 exactness doctrine — the same move that
+    * made q43/q01 exact) let DuckDB replay the whole EM loop
+    * bit-for-bit: IEEE double division/multiplication round
+    * identically everywhere, `ln` agrees to ~1 ulp, and the 1e-9
+    * relative slack that survives the *1e6 quantization cannot flip a
+    * `round` except on a knife-edge ~1e-9 wide — while every
+    * DOWNSTREAM comparison (DP min, usage sums, losses) is pure
+    * integer math with no accumulation of float error at all.
+    */
+  private val CostScale = 1e6
 
   /** Cost assigned to a single-character piece Viterbi never used —
     * finite (so the DP arithmetic stays well-defined) but high enough
-    * that any real piece wins; it is exactly the MLE's p=0 for
-    * decision purposes, because a zero-usage char is by definition
-    * never needed for coverage.
+    * that any real piece wins (real costs top out near 50 nats =
+    * 5e7 micro-nats; a 20-char word of these stays 1e9, far under
+    * this); it is exactly the MLE's p=0 for decision purposes,
+    * because a zero-usage char is by definition never needed for
+    * coverage. Long arithmetic is overflow-safe: 20 chars at this
+    * cost is 2e13 « 2^63.
     */
-  private val UnusedCharCost = 1e9
+  private val UnusedCharCost = 1000000000000L
 
   /** EM refinement of the greedy baseline ([[trainPieces]] = the exact
     * oracle-able sibling): seed piece probabilities from the integer
     * substring weights, then iterate
     *  - E-step: Viterbi-segment every DISTINCT word form under the
-    *    current piece costs (-ln p), weighted by exact word counts;
+    *    current FIXED-POINT piece costs (`round(-ln p * 1e6)`
+    *    micro-nats, [[CostScale]]), weighted by exact word counts;
     *  - M-step: p(piece) = usage / total usage from the E-step's exact
     *    INTEGER usage sums (derived on the driver); pieces with zero
     *    usage are pruned (single characters stay, at [[UnusedCharCost]],
     *    for coverage).
-    * Hard EM's likelihood is non-increasing by construction. The math
-    * is FLOAT → queries on this are rows-only by the oracle
-    * discipline, like the LSH/IVF families, with greedy q134 as the
-    * hashed exact sibling.
+    * Hard EM's likelihood is non-increasing by construction (up to the
+    * ±0.5 micro-nat per piece quantization). The DP, the usage sums
+    * and the losses are all INTEGER math, so the loop is
+    * oracle-hashable (q136): DuckDB replays seed → 3×(Viterbi DP as a
+    * recursive CTE + integer usage M-step) and must agree exactly.
+    * The one float in the loop, `-ln p` itself, is computed once per
+    * piece per iteration and quantized immediately — see [[CostScale]]
+    * for why cross-engine `ln` agreement survives the rounding.
     *
     * 100 TB shape: one corpus scan into the persisted word-frequency
     * table (vocabulary-sized, the BPE/unigram training state); each EM
@@ -153,6 +175,11 @@ object UnigramTokenizer {
     * the vocab-sized usage table. Segmentation work tracks VOCABULARY
     * size, not corpus size — the Zipf argument that made greedy q134's
     * distinct-form walk win at sf1.
+    *
+    * Contract (ADVICE r16): `topK` bounds only the MULTI-CHAR seed
+    * pool; the result is every piece with nonzero final Viterbi usage
+    * — up to topK multi-char seeds plus all used single characters —
+    * and may therefore exceed topK entries.
     */
   def trainPiecesEm(docs: DataFrame, topK: Int,
                     iters: Int = 3, maxLen: Int = 6,
@@ -174,7 +201,7 @@ object UnigramTokenizer {
       val chars = candidateWeights(wf, 1, 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       var costs = costsOf((multi ++ chars).toMap)
-      val losses = Seq.newBuilder[Double]
+      val losses = Seq.newBuilder[Long]
       var pieces = Seq.empty[Piece]
       for (_ <- 1 to iters) {
         val costMap = typedlit(costs)
@@ -198,7 +225,7 @@ object UnigramTokenizer {
           // sum over an EMPTY word table is SQL NULL — a corpus with no
           // alphabet words trains an empty vocab at loss 0, not an NPE
           val lossRow = seg.select(sum(col("cost") * col("cnt"))).head()
-          losses += (if (lossRow.isNullAt(0)) 0.0 else lossRow.getDouble(0))
+          losses += (if (lossRow.isNullAt(0)) 0L else lossRow.getLong(0))
           pieces = usage.map { case (p, u) => Piece(p, u) }.toSeq
           // M-step: MLE from usage; zero-usage multi-char pieces prune
           costs = costsOf(usage.toMap)
@@ -208,28 +235,35 @@ object UnigramTokenizer {
     } finally wf.unpersist(blocking = false)
   }
 
-  /** -ln(usage/total) piece costs from exact integer usage, plus every
-    * single character not in `usage` at [[UnusedCharCost]] (coverage:
-    * the DP must always have a length-1 candidate).
+  /** Fixed-point `round(-ln(usage/total) * 1e6)` micro-nat piece costs
+    * from exact integer usage, plus every single character not in
+    * `usage` at [[UnusedCharCost]] (coverage: the DP must always have
+    * a length-1 candidate). The oracle computes the identical
+    * expression in SQL: `CAST(round(-ln(usage/total) * 1000000) AS
+    * BIGINT)` — Math.round and DuckDB round() agree (half-up) on the
+    * non-negative values -ln p takes.
     */
-  private def costsOf(usage: Map[String, Long]): Map[String, Double] = {
+  private def costsOf(usage: Map[String, Long]): Map[String, Long] = {
     val total = usage.values.sum.toDouble
-    val scored = usage.map { case (p, c) => p -> -math.log(c.toDouble / total) }
+    val scored = usage.map { case (p, c) =>
+      p -> math.round(-math.log(c.toDouble / total) * CostScale)
+    }
     scored ++ ('a' to 'z').map(_.toString)
       .filterNot(scored.contains).map(_ -> UnusedCharCost)
   }
 
   /** Viterbi forward pass over one word: returns
-    * `struct(costs array<double>, choice array<int>)` where
-    * `costs(i+1)` is the best cost of the first `i` characters and
-    * `choice(i)` the winning piece length ending at position `i`.
+    * `struct(costs array<bigint>, choice array<int>)` where
+    * `costs(i+1)` is the best micro-nat cost of the first `i`
+    * characters and `choice(i)` the winning piece length ending at
+    * position `i`. Pure integer DP — no float accumulation.
     * Ties break (cost ASC, length DESC) — array_min's struct order
     * over (cost, -length), deterministic on every engine.
     */
   private[operators] def viterbiForward(word: Column, costMap: Column, maxLen: Int): Column =
     aggregate(
       sequence(lit(1), length(word)),
-      struct(typedlit(Seq(0.0d)).as("costs"),
+      struct(typedlit(Seq(0L)).as("costs"),
         typedlit(Seq.empty[Int]).as("choice")),
       (acc, i) => {
         val cands = filter(
@@ -272,8 +306,9 @@ object UnigramTokenizer {
 
   /** [[trainPiecesEm]]'s final vocabulary as a DataFrame
     * `(piece string, usage bigint)` in (usage DESC, piece ASC) order —
-    * the q136 result shape. Usage counts are exact integers, so the
-    * OUTPUT is deterministic even though the training math is float.
+    * the q136 result shape. Fixed-point costs make the whole loop
+    * integer-exact, so this is oracle-hashable (the DuckDB oracle
+    * replays the EM loop as unrolled recursive CTEs).
     */
   def trainPiecesEmDF(spark: SparkSession, docs: DataFrame, topK: Int,
                       iters: Int = 3, maxLen: Int = 6,

@@ -682,16 +682,19 @@ object TextQueries {
       graft.operators.UnigramTokenizer.scoreDocs(docs, pieces).orderBy("doc_id")
     }),
 
-    // q136: UNIGRAM EM REFINEMENT (round 16) — Kudo's hard-EM/Viterbi
-    // loop (arXiv:1804.10959 §3.2) on top of q134's exact greedy
-    // baseline: 3 iterations of Viterbi-segment (native HOF DP per
-    // DISTINCT word form, piece costs as ONE map literal) + integer
-    // usage M-step over the %4==0 slice. Rows-only by the oracle
-    // discipline (the -ln p costs are float), with q134 as the hashed
-    // exact sibling — the LSH-family two-tier pattern; the suite pins
-    // non-increasing loss, determinism, and coverage conservation.
-    // The OUTPUT is deterministic: final usage counts are exact
-    // integer sums, ordered (usage DESC, piece ASC).
+    // q136: UNIGRAM EM REFINEMENT (round 16; ORACLE-HASHED since
+    // round 17) — Kudo's hard-EM/Viterbi loop (arXiv:1804.10959 §3.2)
+    // on top of q134's exact greedy baseline: 3 iterations of
+    // Viterbi-segment (native HOF DP per DISTINCT word form, piece
+    // costs as ONE map literal) + integer usage M-step over the %4==0
+    // slice. Round 17 made the costs FIXED-POINT micro-nats
+    // (round(-ln p * 1e6) as BIGINT — SURVEY §5's integer-exactness
+    // doctrine), so the DP, usage sums and losses are all integer
+    // math and the DuckDB oracle replays the whole loop exactly:
+    // seed → 3 × (Viterbi as a recursive CTE + usage M-step),
+    // MATERIALIZED CTEs to keep the iteration chain from inlining
+    // exponentially. The suite still pins non-increasing loss (up to
+    // quantization), determinism, and coverage conservation.
     "q136_unigram_em" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.UnigramTokenizer.trainPiecesEmDF(
@@ -1122,7 +1125,101 @@ object TextQueries {
       s"CAST(strt % $seqLen AS BIGINT) AS bin_offset FROM pk ORDER BY doc_id"
   }
 
+  /** q136's oracle: replay the FIXED-POINT unigram EM loop
+    * ([[graft.operators.UnigramTokenizer.trainPiecesEm]]) in DuckDB.
+    * Seed costs from the greedy trainer's integer substring weights,
+    * then `iters` unrolled rounds of (Viterbi DP as a recursive CTE
+    * over positions, carrying the costs/choice arrays exactly like
+    * the Spark HOF DP + backtrace + integer usage M-step). All
+    * comparisons/sums are BIGINT micro-nats; the only float is
+    * `round(-ln p * 1e6)` which both engines quantize identically
+    * (see CostScale's scaladoc). Non-recursive CTEs are MATERIALIZED:
+    * DuckDB inlines CTEs per reference, and the per-iteration chain
+    * (usage_k feeds costs_{k+1} feeds seg_{k+1}) otherwise re-expands
+    * the whole prefix — 27 s at sf0.001 inlined vs 0.1 s
+    * materialized at sf0.01.
+    */
+  private def q136OracleSql(iters: Int, topK: Int): String = {
+    val unused = "1000000000000"
+    def costs(k: Int, from: String): String =
+      s"""costs$k AS MATERIALIZED (
+         |  SELECT piece, CAST(round(-ln(CAST(${if (k == 1) "weight" else "usage"} AS DOUBLE) /
+         |           (SELECT CAST(sum(${if (k == 1) "weight" else "usage"}) AS DOUBLE) FROM $from)) * 1000000) AS BIGINT) AS cost
+         |  FROM $from
+         |  UNION ALL
+         |  SELECT chr(CAST(r AS INTEGER)) AS piece, CAST($unused AS BIGINT) AS cost
+         |  FROM range(97, 123) AS t(r)
+         |  WHERE chr(CAST(r AS INTEGER)) NOT IN (SELECT piece FROM $from))""".stripMargin
+    def iterSql(k: Int): String =
+      s"""pc$k AS (
+         |  SELECT x.w, x.pos, x.l, c$k.cost
+         |  FROM (SELECT w, u.pos, v.l, substr(w, CAST(u.pos - v.l + 1 AS BIGINT), CAST(v.l AS BIGINT)) AS piece
+         |        FROM wf,
+         |          LATERAL (SELECT unnest(range(1, length(w) + 1)) AS pos) u,
+         |          LATERAL (SELECT unnest(range(1, 7)) AS l) v
+         |        WHERE v.l <= u.pos) x
+         |  JOIN costs$k c$k ON c$k.piece = x.piece),
+         |pcl$k AS MATERIALIZED (
+         |  SELECT w, pos, list(struct_pack(l := l, cost := cost)) AS cands
+         |  FROM pc$k GROUP BY 1, 2),
+         |seg$k AS (
+         |  SELECT w, c, CAST(1 AS BIGINT) AS pos, [CAST(0 AS BIGINT)] AS costs,
+         |         CAST([] AS BIGINT[]) AS choice
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w, c, pos + 1,
+         |         list_append(costs, struct_extract(bb, 't')),
+         |         list_append(choice, -struct_extract(bb, 'negl'))
+         |  FROM (
+         |    SELECT s0.w, s0.c, s0.pos, s0.costs, s0.choice,
+         |      list_min(list_transform(p.cands, x ->
+         |        struct_pack(t := s0.costs[CAST(s0.pos - struct_extract(x, 'l') + 1 AS BIGINT)]
+         |                         + struct_extract(x, 'cost'),
+         |                    negl := -struct_extract(x, 'l')))) AS bb
+         |    FROM seg$k s0 JOIN pcl$k p ON p.w = s0.w AND p.pos = s0.pos
+         |    WHERE s0.pos <= length(s0.w))),
+         |bt$k AS (
+         |  SELECT w, c, choice, CAST(length(w) AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS pieces
+         |  FROM seg$k WHERE pos > length(w)
+         |  UNION ALL
+         |  SELECT w, c, choice, pos - choice[CAST(pos AS BIGINT)],
+         |         list_append(pieces, substr(w, CAST(pos - choice[CAST(pos AS BIGINT)] + 1 AS BIGINT),
+         |                                    CAST(choice[CAST(pos AS BIGINT)] AS BIGINT)))
+         |  FROM bt$k WHERE pos > 0),
+         |usage$k AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(c) AS BIGINT) AS usage FROM (
+         |    SELECT c, unnest(pieces) AS piece FROM bt$k WHERE pos = 0) GROUP BY 1)""".stripMargin
+    val body = (1 to iters).map { k =>
+      costs(k, if (k == 1) "seed" else s"usage${k - 1}") + ",\n" + iterSql(k)
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents WHERE doc_id % 4 = 0)
+       |  WHERE regexp_full_match(w, '[a-z]{2,20}') GROUP BY 1),
+       |cand AS (
+       |  SELECT unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+       |           list_transform(range(2, least(6, length(w) - i + 1) + 1), l ->
+       |             substr(w, i, l))))) AS piece,
+       |         c
+       |  FROM wf),
+       |multi AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS weight FROM cand GROUP BY 1
+       |  ORDER BY weight DESC, piece LIMIT $topK),
+       |chars AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS weight FROM (
+       |    SELECT unnest(list_transform(range(1, length(w) + 1), i ->
+       |             substr(w, i, 1))) AS piece, c
+       |    FROM wf) GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT piece, weight FROM multi UNION ALL SELECT piece, weight FROM chars),
+       |$body
+       |SELECT piece, usage FROM usage$iters ORDER BY usage DESC, piece ASC""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+
+    "q136_unigram_em" -> q136OracleSql(3, 48),
 
     "q130_bpe_pack" -> bpePackOracleSql(8, 256),
 

@@ -732,8 +732,18 @@ object DeltaRead {
     * protocol); size validation is skipped when any live file's size
     * is unknown (legacy adds without `size`).
     */
+  /** Runtime kill switch for the whole `<v>.crc` machinery (publish +
+    * validation): `SPARK_GRAFT_DELTA_CRC=off`. Exists so a bench A/B
+    * can measure the machinery's cost on the same binary; checksums
+    * are optional per the protocol, so disabling only loses the
+    * corruption-detection depth, never correctness of served data.
+    */
+  private[sources] val crcDisabled: Boolean =
+    sys.env.get("SPARK_GRAFT_DELTA_CRC").exists(_.equalsIgnoreCase("off"))
+
   private def validateChecksum(fs: FileSystem, logP: Path, path: String,
                                s: Snapshot): Unit = {
+    if (crcDisabled) return
     val n: JsonNode =
       try {
         val p = new Path(logP, f"${s.version}%020d.crc")

@@ -1537,6 +1537,10 @@ object DeltaWrite {
                                    content: String,
                                    prevSnap: Option[DeltaRead.Snapshot]): Unit =
     try {
+      // runtime kill switch (SPARK_GRAFT_DELTA_CRC=off) so a bench A/B
+      // can compare crc-on vs crc-off on the SAME binary; checksums are
+      // optional per the protocol, so "off" only loses validation depth
+      if (DeltaRead.crcDisabled) return
       var metaNode: com.fasterxml.jackson.databind.JsonNode = null
       var protoNode: com.fasterxml.jackson.databind.JsonNode = null
       var ict: Option[Long] = None

@@ -105,7 +105,8 @@ class UnigramTokenizerSuite extends SparkSpec {
       UnigramTokenizer.Piece("aaa", 6L), UnigramTokenizer.Piece("aaaa", 3L)), got)
   }
 
-  // ----- EM refinement (rows-only family; greedy q134 is the exact sibling)
+  // ----- EM refinement (fixed-point micro-nat costs — oracle-hashed
+  // as q136 since round 17; greedy q134 remains the simpler sibling)
 
   private val emTexts = Seq(
     "the lower lowest low low lowering",
@@ -118,18 +119,20 @@ class UnigramTokenizerSuite extends SparkSpec {
       .toDF("doc_id", "text")
     val r = UnigramTokenizer.trainPiecesEm(docs, topK = 12, iters = 4)
     assert(r.losses.size == 4)
-    assert(r.losses.forall(l => !l.isNaN && !l.isInfinite && l > 0))
-    // hard EM: each iteration's corpus NLL <= the previous (tiny float
-    // reorder tolerance — sums are exact-integer-weighted per word but
-    // the per-word costs are doubles)
+    assert(r.losses.forall(_ > 0L))
+    // CONSERVATION bound first — it doubles as the monotonicity slack
+    val wantChars = emTexts.flatMap(_.split("\\s+"))
+      .filter(_.matches("[a-z]{2,20}")).map(_.length.toLong).sum
+    // hard EM: each iteration's corpus NLL <= the previous, up to the
+    // fixed-point quantization (each chosen piece's micro-nat cost is
+    // rounded within ±0.5, and piece occurrences are bounded by corpus
+    // characters — so wantChars micro-nats is a safe absolute slack)
     r.losses.sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a * (1 + 1e-9), s"loss increased: ${r.losses}")
+      assert(b <= a + wantChars, s"loss increased: ${r.losses}")
     }
     // CONSERVATION: every character of every word occurrence is covered
     // by exactly one chosen piece, so sum(usage * |piece|) must equal
     // sum(cnt * |word|) over the corpus alphabet words
-    val wantChars = emTexts.flatMap(_.split("\\s+"))
-      .filter(_.matches("[a-z]{2,20}")).map(_.length.toLong).sum
     val gotChars = r.pieces.map(p => p.weight * p.piece.length).sum
     assert(gotChars == wantChars, s"coverage: $gotChars vs $wantChars")
     // the usage table is exact-integer deterministic state
@@ -139,7 +142,7 @@ class UnigramTokenizerSuite extends SparkSpec {
   test("EM: a corpus with no alphabet words trains an empty vocab at loss 0") {
     val docs = Seq((1L, "123 !!! ALLCAPS"), (2L, "")).toDF("doc_id", "text")
     val r = UnigramTokenizer.trainPiecesEm(docs, topK = 5, iters = 2)
-    assert(r.pieces.isEmpty && r.losses == Seq(0.0, 0.0), r)
+    assert(r.pieces.isEmpty && r.losses == Seq(0L, 0L), r)
   }
 
   test("EM: deterministic across runs (identical pieces, usage and losses)") {
@@ -157,9 +160,11 @@ class UnigramTokenizerSuite extends SparkSpec {
     // exchanges, no Scala UDF); a refactor that sneaks in a UDF or a
     // join would pass correctness and 10x the E-step
     val wf = Seq(("lowering", 3L), ("singer", 2L)).toDF("seq", "cnt")
-    val costMap = typedlit(Map("low" -> 0.5, "ing" -> 0.7, "er" -> 0.9, "s" -> 2.0,
-      "e" -> 2.0, "n" -> 2.0, "g" -> 2.0, "i" -> 2.0, "o" -> 2.0, "w" -> 2.0,
-      "l" -> 2.0, "r" -> 2.0))
+    // micro-nat fixed-point costs, the production shape
+    val costMap = typedlit(Map(
+      "low" -> 500000L, "ing" -> 700000L, "er" -> 900000L, "s" -> 2000000L,
+      "e" -> 2000000L, "n" -> 2000000L, "g" -> 2000000L, "i" -> 2000000L,
+      "o" -> 2000000L, "w" -> 2000000L, "l" -> 2000000L, "r" -> 2000000L))
     val seg = wf
       .select(col("seq"), col("cnt"),
         UnigramTokenizer.viterbiForward(col("seq"), costMap, 6).as("fwd"))
@@ -169,13 +174,13 @@ class UnigramTokenizerSuite extends SparkSpec {
     val plan = seg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
-    // and the DP itself is right: lowering = low|er|ing (cost 2.1),
-    // singer = s|ing|er (cost 3.6)
+    // and the DP itself is right: lowering = low|er|ing (2.1e6
+    // micro-nats), singer = s|ing|er (3.6e6) — exact integer sums
     val rows = seg.orderBy(col("cnt").desc).collect()
     assert(rows(0).getSeq[String](2).sorted == Seq("er", "ing", "low"), rows(0))
-    assert(math.abs(rows(0).getDouble(1) - 2.1) < 1e-9)
+    assert(rows(0).getLong(1) == 2100000L, rows(0))
     assert(rows(1).getSeq[String](2).sorted == Seq("er", "ing", "s"), rows(1))
-    assert(math.abs(rows(1).getDouble(1) - 3.6) < 1e-9)
+    assert(rows(1).getLong(1) == 3600000L, rows(1))
   }
 
   test("EM: a periodic corpus converges to the period piece at near-zero loss") {
@@ -188,10 +193,13 @@ class UnigramTokenizerSuite extends SparkSpec {
     val r = UnigramTokenizer.trainPiecesEm(docs, topK = 6, iters = 3)
     assert(r.pieces == Seq(UnigramTokenizer.Piece("abab", 100L)),
       s"EM must converge to the period piece alone: ${r.pieces}")
-    assert(r.losses.last >= 0 && r.losses.last <= 1e-9,
-      s"converged corpus NLL must be ~0: ${r.losses}")
+    // p("abab") = 1 → cost round(-ln(1)*1e6) = 0 → loss EXACTLY 0
+    assert(r.losses.last == 0L,
+      s"converged corpus NLL must be exactly 0: ${r.losses}")
+    // 400 corpus chars bound the quantization slack (see the
+    // monotonicity test above)
     r.losses.sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a * (1 + 1e-9), s"loss increased: ${r.losses}")
+      assert(b <= a + 400L, s"loss increased: ${r.losses}")
     }
   }
 }
