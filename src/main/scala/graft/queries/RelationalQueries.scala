@@ -1123,6 +1123,35 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q137: ROW TRACKING round trip (round 17) — writer feature
+    // `rowTracking`: enable on a table with live unstamped files (the
+    // enabling commit BACKFILLS baseRowId/defaultRowCommitVersion over
+    // every live add and mints the delta.rowTracking high-water-mark
+    // domain), append (fresh id range past the hwm), merge (touched
+    // files rewrite, untouched carry), read back under the oracle.
+    // The id invariants themselves (disjoint ranges, hwm coverage,
+    // DV-delete carry, checkpoint fold) are pinned in DeltaWriteSuite.
+    "q137_delta_row_tracking" -> ((s, dir) => {
+      val root = scratchRoot("graft_q137")
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      graft.sources.DeltaWrite.append(s, base.repartition(4), root)
+      graft.sources.DeltaWrite.setProperties(s, root,
+        Map("delta.enableRowTracking" -> "true"))
+      graft.sources.DeltaWrite.append(s,
+        base.where(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_custkey")), root)
+      val src = graft.sources.DeltaRead.read(s, root)
+        .where(col("o_custkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_custkey") * 10).as("o_custkey"))
+      graft.sources.DeltaWrite.merge(s, src, root, Seq("o_orderkey"))
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2032,6 +2061,19 @@ object RelationalQueries {
         |  CASE WHEN o_custkey % 7 = 0 THEN o_custkey * 2 + (o_orderkey % 10)
         |       ELSE o_custkey END AS o_custkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // row-tracking round trip: base ∪ shifted append, then the merge's
+    // upsert closed form (source keys take the 'X' image, the rest carry)
+    "q137_delta_row_tracking" ->
+      """WITH t1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_custkey % 3 = 0 THEN o_custkey * 10 ELSE o_custkey END AS o_custkey
+        |FROM t1 ORDER BY o_orderkey""".stripMargin,
 
     // dynamic-overwrite closed form: 'F' rows come from the re-priced
     // overwrite batch, every other partition keeps its base rows

@@ -129,7 +129,16 @@ object DeltaRead {
         * clustering state). [[DeltaWrite.checkpoint]] carries live
         * domains so a fold never forgets them.
         */
-      domains: Map[String, String] = Map.empty)
+      domains: Map[String, String] = Map.empty,
+      /** ROW TRACKING (writer feature `rowTracking`): live file →
+        * (baseRowId, defaultRowCommitVersion) for adds that carry
+        * them. Row tracking is writer-side only (not a reader
+        * feature), but the WRITER needs these to carry a re-added
+        * file's ids (DV DML re-adds the same path) and to advance the
+        * `delta.rowTracking` high-water mark domain
+        * ([[DeltaWrite]] stamps every add on a rowTracking table).
+        */
+      rowIds: Map[String, (Long, Long)] = Map.empty)
 
   /** Is `path` a Delta table root (has a transaction log)? A
     * log-cleaned table may hold its state ONLY as checkpoint parquet
@@ -516,12 +525,22 @@ object DeltaRead {
           else Seq(lit(null).cast("string").as("dv_st"),
             lit(null).cast("string").as("dv_p"), lit(null).cast("int").as("dv_off"),
             lit(null).cast("int").as("dv_sz"), lit(null).cast("long").as("dv_card"))
+        // row-tracking fields survive the fold (writer-side state: a
+        // re-add must carry its file's ids, the hwm domain must cover
+        // every assigned id)
+        val bridCol =
+          if (addCols("baseRowId")) col("add.baseRowId") else lit(null).cast("bigint")
+        val dcvCol =
+          if (addCols("defaultRowCommitVersion")) col("add.defaultRowCommitVersion")
+          else lit(null).cast("bigint")
         // paths stay URI-ENCODED inside the frame; decoding happens
         // once, post-replay, so checkpoint adds and tail removes meet
         // in the same (encoded) key space
         frame.select(Seq(col("add.path").cast("string").as("path"),
             pvCol.cast("map<string,string>").as("partitionValues"),
-            sizeCol.cast("bigint").as("size"), statsCol.cast("string").as("stats"))
+            sizeCol.cast("bigint").as("size"), statsCol.cast("string").as("stats"),
+            bridCol.cast("bigint").as("baseRowId"),
+            dcvCol.cast("bigint").as("defaultRowCommitVersion"))
             ++ dvCols: _*)
           .where(col("path").isNotNull)
       }
@@ -575,8 +594,10 @@ object DeltaRead {
     // every uid is "" and this reduces to the old path keying exactly.
     def dvOf(n: JsonNode): DeletionVectors.Descriptor = parseDv(n)
     def uidOf(d: DeletionVectors.Descriptor): String = if (d == null) "" else d.uniqueId
+    // last two elements: baseRowId / defaultRowCommitVersion (row
+    // tracking; -1 = the add carries none)
     val tail = scala.collection.mutable.LinkedHashMap[(String, String),
-      Option[(Map[String, String], Long, String, DeletionVectors.Descriptor)]]()
+      Option[(Map[String, String], Long, String, DeletionVectors.Descriptor, Long, Long)]]()
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     for (v <- replayFrom to target) {
       val p = new Path(logP, f"$v%020d.json")
@@ -620,7 +641,10 @@ object DeltaRead {
           val sz = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
           val st = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).orNull
           val dv = dvOf(add.get("deletionVector"))
-          tail.put((add.get("path").asText(), uidOf(dv)), Some((pv, sz, st, dv)))
+          val brid = if (add.hasNonNull("baseRowId")) add.get("baseRowId").asLong(-1L) else -1L
+          val dcv = if (add.hasNonNull("defaultRowCommitVersion"))
+            add.get("defaultRowCommitVersion").asLong(-1L) else -1L
+          tail.put((add.get("path").asText(), uidOf(dv)), Some((pv, sz, st, dv, brid, dcv)))
         }
         if (node.has("remove")) {
           val rm = node.get("remove")
@@ -638,7 +662,7 @@ object DeltaRead {
       }
     }
 
-    val entries: Map[String, (Map[String, String], Long, String, DeletionVectors.Descriptor)] =
+    val entries: Map[String, (Map[String, String], Long, String, DeletionVectors.Descriptor, Long, Long)] =
       ckptAdds match {
       case None =>
         // no checkpoint: the tail IS the whole history (collapse to one
@@ -661,7 +685,8 @@ object DeltaRead {
             org.apache.spark.sql.functions.coalesce(col("dv_off"), lit(0)).cast("string")))
         val addsDec = adds.select(dec(col("path")).as("path"), col("partitionValues"),
           col("size"), col("stats"), col("dv_st"), col("dv_p"), col("dv_off"),
-          col("dv_sz"), col("dv_card"), uidCol.as("__uid"))
+          col("dv_sz"), col("dv_card"), col("baseRowId"),
+          col("defaultRowCommitVersion"), uidCol.as("__uid"))
         val carried0 =
           if (tail.isEmpty) addsDec
           else {
@@ -672,7 +697,8 @@ object DeltaRead {
           }
         // the join puts its keys first — pin the collect order explicitly
         val carried = carried0.select("path", "partitionValues", "size", "stats",
-          "dv_st", "dv_p", "dv_off", "dv_sz", "dv_card")
+          "dv_st", "dv_p", "dv_off", "dv_sz", "dv_card",
+          "baseRowId", "defaultRowCommitVersion")
         val live = carried.collect().map { r =>
           val pv = if (r.isNullAt(1)) Map.empty[String, String]
             else r.getMap[String, String](1).toMap
@@ -683,7 +709,9 @@ object DeltaRead {
               if (r.isNullAt(6)) None else Some(r.getInt(6)),
               if (r.isNullAt(7)) 0 else r.getInt(7),
               if (r.isNullAt(8)) 0L else r.getLong(8))
-          r.getString(0) -> ((pv, sz, st, dv))
+          val brid = if (r.isNullAt(9)) -1L else r.getLong(9)
+          val dcv = if (r.isNullAt(10)) -1L else r.getLong(10)
+          r.getString(0) -> ((pv, sz, st, dv, brid, dcv))
         }.toMap
         live ++ tail.collect { case ((p, _), Some(e)) => decodePath(p) -> e }
     }
@@ -711,13 +739,15 @@ object DeltaRead {
       if (physToLogical.isEmpty) pv
       else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
     val snap = Snapshot(target, schema,
-      partCols, entries.map { case (p, (pv, _, _, _)) => p -> pvKeys(pv) },
-      entries.map { case (p, (_, sz, _, _)) => p -> sz }, metaId, txns.toMap,
-      entries.collect { case (p, (_, _, st, _)) if st != null => p -> st },
+      partCols, entries.map { case (p, (pv, _, _, _, _, _)) => p -> pvKeys(pv) },
+      entries.map { case (p, (_, sz, _, _, _, _)) => p -> sz }, metaId, txns.toMap,
+      entries.collect { case (p, (_, _, st, _, _, _)) if st != null => p -> st },
       colMap,
-      entries.collect { case (p, (_, _, _, dv)) if dv != null => p -> dv },
+      entries.collect { case (p, (_, _, _, dv, _, _)) if dv != null => p -> dv },
       minReader, minWriter, readerFeatures.toSet, writerFeatures.toSet, tableConf,
-      domainsB.collect { case (d, (cfg, false)) => d -> cfg }.toMap)
+      domainsB.collect { case (d, (cfg, false)) => d -> cfg }.toMap,
+      entries.collect { case (p, (_, _, _, _, brid, dcv)) if brid >= 0L =>
+        p -> ((brid, dcv)) })
     validateChecksum(fs, logP, path, snap)
     snap
   }

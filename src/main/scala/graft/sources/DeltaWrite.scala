@@ -874,6 +874,18 @@ object DeltaWrite {
         // live ones (a fold must never forget a domain — delta-spark
         // keeps e.g. clustering state there), and
         // [[setDomainMetadata]]/[[removeDomainMetadata]] write them
+      case "rowTracking" => () // IMPLEMENTED (round 17): every commit's
+        // add actions get baseRowId/defaultRowCommitVersion stamped at
+        // the publish choke point ([[stampRowTracking]]) — fresh ranges
+        // from the delta.rowTracking high-water-mark domain for new
+        // files, carried ids for re-adds of live paths (DV DML) and
+        // restores; checkpoints CARRY both fields. DIVERGENCE from
+        // delta-spark: rewrites (OPTIMIZE, MERGE's touched files) assign
+        // FRESH ids instead of materializing the old ones into the new
+        // files — spec-legal (the protocol only mandates fresh-id
+        // bookkeeping; stability is delta-spark's materialization
+        // extension), documented here for consumers that assume stable
+        // ids across OPTIMIZE.
       case "identityColumns" => () // ENFORCED: appends allocate omitted
         // identity values from the high-water mark (one zipWithIndex
         // pass) and bump it in the same commit's metaData; explicit
@@ -1644,13 +1656,120 @@ object DeltaWrite {
     pr
   }
 
+  /** The protocol's row-tracking high-water-mark domain. */
+  private[sources] val RowTrackingDomain = "delta.rowTracking"
+
+  private def parseHwm(cfg: String): Long =
+    try {
+      val n = mapper.readTree(cfg)
+      if (n.hasNonNull("rowIdHighWaterMark")) n.get("rowIdHighWaterMark").asLong(-1L)
+      else -1L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** ROW TRACKING (writer feature `rowTracking`): stamp every add
+    * action in `content` with `baseRowId` / `defaultRowCommitVersion`
+    * and advance the [[RowTrackingDomain]] high-water mark — the
+    * protocol's writer contract whenever the feature is in
+    * writerFeatures (enabled or merely supported). Runs at the publish
+    * choke point so every DML path (append, overwrite, merge, DV
+    * delete/update, optimize, restore) satisfies the contract without
+    * per-path code:
+    *  - an add already CARRYING baseRowId keeps it (restore embeds the
+    *    target snapshot's ids; foreign content is trusted) — the hwm
+    *    still rises to cover it when its stats expose numRecords;
+    *  - a re-add of a LIVE path (DV DML re-adds the same file) carries
+    *    the file's existing ids from `prevSnap` — physical rows are
+    *    unchanged, so their ids must not move;
+    *  - a NEW file gets the next fresh range: baseRowId = hwm + 1,
+    *    hwm += numRecords (from `add.stats` — refusing loudly when a
+    *    new add has no numRecords, because an unknowable range would
+    *    corrupt the watermark for every other writer), and
+    *    defaultRowCommitVersion = the committing version.
+    * The domain action lands in the same commit (last-wins replay);
+    * per-attempt re-stamping is safe because the caller re-snapshots
+    * after a lost CAS. O(commit actions) — no table scan.
+    */
+  private[sources] def stampRowTracking(version: Long, content: String,
+      prevSnap: Option[DeltaRead.Snapshot]): String = {
+    import scala.jdk.CollectionConverters._
+    // cheap reject: the feature name must appear in the prev protocol
+    // or in this commit's own protocol line
+    val prevActive = prevSnap.exists(s =>
+      s.minWriter >= 7 && s.writerFeatures.contains("rowTracking"))
+    if (!prevActive && !content.contains("rowTracking")) return content
+    val lines = content.split("\n").toIndexedSeq.filter(_.trim.nonEmpty)
+    val contentActive = lines.exists { l =>
+      l.contains("\"protocol\"") && l.contains("rowTracking") && {
+        val n = mapper.readTree(l)
+        n.has("protocol") && Option(n.get("protocol").get("writerFeatures"))
+          .exists(_.elements().asScala.exists(_.asText() == "rowTracking"))
+      }
+    }
+    if (!prevActive && !contentActive) return content
+    var hwm = prevSnap.flatMap(_.domains.get(RowTrackingDomain))
+      .map(parseHwm).getOrElse(-1L)
+    val carried: Map[String, (Long, Long)] =
+      prevSnap.map(_.rowIds).getOrElse(Map.empty)
+    def numRecordsOf(a: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
+        .flatMap(DeltaRead.parseAddStats).map(_.rows).filter(_ >= 0L)
+    var stamped = false
+    var domainSeen = false
+    val out = lines.map { l =>
+      val n = mapper.readTree(l)
+      if (n.has("domainMetadata") &&
+          n.get("domainMetadata").path("domain").asText() == RowTrackingDomain) {
+        // content carrying its own hwm (foreign shape): fold it in and
+        // drop the line — the recomputed domain appended below covers it
+        domainSeen = true
+        hwm = math.max(hwm,
+          parseHwm(n.get("domainMetadata").path("configuration").asText("")))
+        null
+      } else if (n.has("add")) {
+        val a = n.get("add").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (a.hasNonNull("baseRowId")) {
+          numRecordsOf(a).foreach(nr =>
+            hwm = math.max(hwm, a.get("baseRowId").asLong() + nr - 1))
+          l
+        } else {
+          val rel = DeltaRead.decodePath(a.get("path").asText())
+          carried.get(rel) match {
+            case Some((brid, dcv)) =>
+              a.put("baseRowId", brid)
+              if (dcv >= 0L) a.put("defaultRowCommitVersion", dcv)
+              stamped = true
+              mapper.writeValueAsString(n)
+            case None =>
+              val nr = numRecordsOf(a).getOrElse(throw new UnsupportedOperationException(
+                s"row tracking requires numRecords stats on every new add action — " +
+                  s"'$rel' carries none; cannot assign a sound baseRowId range"))
+              a.put("baseRowId", hwm + 1)
+              a.put("defaultRowCommitVersion", version)
+              hwm += nr
+              stamped = true
+              mapper.writeValueAsString(n)
+          }
+        }
+      } else l
+    }.filter(_ != null)
+    if (!stamped && !domainSeen) return content
+    val dm = mapper.createObjectNode
+    val dmb = dm.putObject("domainMetadata")
+    dmb.put("domain", RowTrackingDomain)
+    dmb.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+    dmb.put("removed", false)
+    (out :+ mapper.writeValueAsString(dm)).mkString("\n") + "\n"
+  }
+
   /** Publish one Delta commit: plain CAS for ordinary tables; under
     * ICT the content is re-stamped PER ATTEMPT (the timestamp must
     * exceed whatever commit actually precedes this one) — the existing
     * commitInfo line moves to the front and gains `inCommitTimestamp`,
     * or a minimal one is prepended for content that carried none.
-    * A winning publish also emits the `<v>.crc` version-checksum
-    * sidecar (best-effort) when `prevSnap` provides the base state.
+    * Row-tracking tables get their add actions stamped here too
+    * ([[stampRowTracking]]). A winning publish also emits the `<v>.crc`
+    * version-checksum sidecar (best-effort) when `prevSnap` provides
+    * the base state.
     */
   private def publishCommit(fs: FileSystem, logP: Path, version: Long,
                             content: String, conf: Map[String, String],
@@ -1676,9 +1795,10 @@ object DeltaWrite {
           .put("inCommitTimestamp", ict)
         (mapper.writeValueAsString(node) +: rest).mkString("\n") + "\n"
       }
+    val rowStamped = stampRowTracking(version, stamped, prevSnap)
     val won = graft.pipeline.VersionedTable.casPublish(
-      fs, new Path(logP, f"$version%020d.json"), stamped)
-    if (won) writeVersionChecksum(fs, logP, version, stamped, prevSnap)
+      fs, new Path(logP, f"$version%020d.json"), rowStamped)
+    if (won) writeVersionChecksum(fs, logP, version, rowStamped, prevSnap)
     won
   }
 
@@ -2550,11 +2670,24 @@ object DeltaWrite {
       // enabling CDF → changeDataFeed (legacy minWriter 4), adding a
       // delta.constraints.* key → checkConstraints (legacy minWriter 3),
       // enabling ICT → inCommitTimestamp (table-features only: 7)
+      // ROW TRACKING enablement (delta.enableRowTracking = true): the
+      // protocol gains rowTracking + domainMetadata (the hwm domain
+      // lives there), and every live file that carries no baseRowId is
+      // BACKFILLED — re-added dataChange=false in this same commit so
+      // [[stampRowTracking]] assigns it a fresh range (delta-spark's
+      // ALTER TABLE enablement runs the same backfill). Zero data I/O:
+      // the re-adds are log actions over the existing files.
+      val enablingRowTracking = set.get("delta.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")) &&
+        !(snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking"))
       val needs = Seq(
         "changeDataFeed" -> (4, set.get("delta.enableChangeDataFeed")
           .exists(_.equalsIgnoreCase("true"))),
         "checkConstraints" -> (3, set.keys.exists(_.startsWith("delta.constraints."))),
-        "inCommitTimestamp" -> (7, enablingIct))
+        "inCommitTimestamp" -> (7, enablingIct),
+        "rowTracking" -> (7, enablingRowTracking),
+        "domainMetadata" -> (7, enablingRowTracking &&
+          !(snap.minWriter >= 7 && snap.writerFeatures.contains("domainMetadata"))))
         .collect { case (f, (lv, true)) => f -> lv }
       // `delta.checkpointPolicy = v2` requires the v2Checkpoint READER
       // feature (spec: the policy is illegal without it) — upgrade to
@@ -2618,9 +2751,32 @@ object DeltaWrite {
       newConf.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
+      // row-tracking backfill: re-add every live file lacking ids
+      // (dataChange=false; pv keys go back to PHYSICAL under mapping) —
+      // stampRowTracking below assigns the ranges and the hwm domain
+      if (enablingRowTracking) {
+        snap.files.keys.toSeq.sorted
+          .filterNot(snap.rowIds.contains).foreach { rel =>
+            val ad = mapper.createObjectNode
+            val adb = ad.putObject("add")
+            adb.put("path", encodePath(rel))
+            val pv = adb.putObject("partitionValues")
+            snap.files(rel).foreach { case (k, v) =>
+              val pk = snap.colMap.getOrElse(k, k)
+              if (v == null) pv.putNull(pk) else pv.put(pk, v)
+            }
+            adb.put("size", snap.sizes.getOrElse(rel, -1L))
+            adb.put("modificationTime", now)
+            adb.put("dataChange", false)
+            snap.stats.get(rel).foreach(adb.put("stats", _))
+            snap.dvs.get(rel).foreach(putDv(adb, _))
+            lines += mapper.writeValueAsString(ad)
+          }
+      }
       // plain CAS: the commitInfo above already carries the ICT stamp
       // (recomputed per attempt) when the table pins or gains it
-      val content = lines.result().mkString("\n") + "\n"
+      val content = stampRowTracking(next, lines.result().mkString("\n") + "\n",
+        Some(snap))
       if (graft.pipeline.VersionedTable.casPublish(
             fs, new Path(logP, f"$next%020d.json"), content)) {
         writeVersionChecksum(fs, logP, next, content, Some(snap))
@@ -3033,6 +3189,14 @@ object DeltaWrite {
       adb.put("dataChange", true)
       target.stats.get(rel).foreach(adb.put("stats", _))
       target.dvs.get(rel).foreach(putDv(adb, _))
+      // row tracking: a restored file's rows are the SAME physical rows
+      // they were at the target version — embed their original ids so
+      // stampRowTracking carries instead of reassigning (the hwm only
+      // ever rises, so the old range is still covered)
+      target.rowIds.get(rel).foreach { case (brid, dcv) =>
+        adb.put("baseRowId", brid)
+        if (dcv >= 0L) adb.put("defaultRowCommitVersion", dcv)
+      }
       lines += mapper.writeValueAsString(ad)
     }
     lines.result().mkString("\n") + "\n"
@@ -3259,7 +3423,10 @@ object DeltaWrite {
                           cardinality: Long)
   private case class CkAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long, dataChange: Boolean,
-                           stats: String, deletionVector: CkDv = null)
+                           stats: String, deletionVector: CkDv = null,
+                           // row tracking (writer feature): null when absent
+                           baseRowId: java.lang.Long = null,
+                           defaultRowCommitVersion: java.lang.Long = null)
   private case class CkRemove(path: String, deletionTimestamp: Long,
                               dataChange: Boolean)
   private case class CkTxn(appId: String, version: Long, lastUpdated: java.lang.Long)
@@ -3549,7 +3716,11 @@ object DeltaWrite {
           tailAdds((enc, dvUid(ad))) = CkAdd(enc, pv,
             ad.path("size").asLong(-1L), ad.path("modificationTime").asLong(0L),
             dataChange = false, stats = ad.path("stats").asText(null),
-            deletionVector = ckDvOf(ad))
+            deletionVector = ckDvOf(ad),
+            baseRowId = if (ad.hasNonNull("baseRowId"))
+              Long.box(ad.get("baseRowId").asLong()) else null,
+            defaultRowCommitVersion = if (ad.hasNonNull("defaultRowCommitVersion"))
+              Long.box(ad.get("defaultRowCommitVersion").asLong()) else null)
           tailTombs.remove(enc) // a re-added path is live, not a tombstone
           touched += DeltaRead.decodePath(enc)
         }
@@ -3709,7 +3880,10 @@ object DeltaWrite {
         // describe existing state, not new data (protocol requirement)
         lit(false).as("dataChange"),
         ac("stats", "string"),
-        dvCol)
+        dvCol,
+        // row-tracking ids carry through the fold (dropping them would
+        // orphan the hwm domain and break re-add id carry)
+        ac("baseRowId", "bigint"), ac("defaultRowCommitVersion", "bigint"))
       val prevTombs: Option[DataFrame] =
         if (!cols("remove")) None
         else {
@@ -3788,7 +3962,8 @@ object DeltaWrite {
         if (r.add == null) null
         else Row(r.add.path, r.add.partitionValues, r.add.size,
           r.add.modificationTime, r.add.dataChange, r.add.stats,
-          dvR(r.add.deletionVector)),
+          dvR(r.add.deletionVector), r.add.baseRowId,
+          r.add.defaultRowCommitVersion),
         if (r.remove == null) null
         else Row(r.remove.path, r.remove.deletionTimestamp, r.remove.dataChange),
         if (r.txn == null) null
@@ -3803,7 +3978,7 @@ object DeltaWrite {
       nullCol("protocol"), nullCol("metaData"),
       struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("dataChange"), col("stats"),
-        col("deletionVector"))
+        col("deletionVector"), col("baseRowId"), col("defaultRowCommitVersion"))
         .cast(ckSchema("add").dataType).as("add"),
       nullCol("remove"), nullCol("txn"), nullCol("domainMetadata"))
     }

@@ -2464,4 +2464,124 @@ class DeltaWriteSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("v2Checkpoint"))
   }
+
+  /** Row-id coverage must be sound: ranges per live file disjoint,
+    * every live file stamped, hwm ≥ every assigned id.
+    */
+  private def assertRowIdInvariants(root: String): DeltaRead.Snapshot = {
+    val s = DeltaRead.snapshot(spark, root)
+    assert(s.files.keySet == s.rowIds.keySet,
+      s"every live file must carry a baseRowId: ${s.files.keySet} vs ${s.rowIds.keySet}")
+    val hwm = {
+      val cfg = s.domains("delta.rowTracking")
+      val m = """"rowIdHighWaterMark"\s*:\s*(-?\d+)""".r
+      m.findFirstMatchIn(cfg).map(_.group(1).toLong).getOrElse(
+        fail(s"unparseable rowTracking domain: $cfg"))
+    }
+    val ranges = s.rowIds.toSeq.map { case (rel, (brid, _)) =>
+      val nr = s.stats.get(rel).flatMap(DeltaRead.parseAddStats).map(_.rows)
+        .getOrElse(fail(s"no numRecords for $rel"))
+      (rel, brid, brid + nr - 1)
+    }.sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Seq((a, _, aEnd), (b, bStart, _)) =>
+        assert(aEnd < bStart, s"row-id ranges overlap: $a ends $aEnd, $b starts $bStart")
+      case _ => ()
+    }
+    ranges.lastOption.foreach { case (_, _, end) =>
+      assert(hwm >= end, s"hwm $hwm below assigned id $end") }
+    s
+  }
+
+  test("row tracking: enable backfills, appends/merge stamp, DV delete carries, checkpoint folds") {
+    val root = tmp()
+    val base = spark.range(100L).select(col("id"), (col("id") % 10).as("k"))
+    DeltaWrite.append(spark, base.repartition(3), root)                             // v0
+    // ENABLE on a table with live unstamped files: the enabling commit
+    // backfills every live file (dataChange=false re-adds) and mints
+    // the hwm domain; protocol gains rowTracking + domainMetadata
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableRowTracking" -> "true"))                                     // v1
+    val s1 = assertRowIdInvariants(root)
+    assert(s1.minWriter == 7 && s1.writerFeatures.contains("rowTracking") &&
+      s1.writerFeatures.contains("domainMetadata"))
+    assert(s1.minReader < 3, "rowTracking is writer-side only")
+    val idsV1 = s1.rowIds
+    // APPEND: fresh range past the hwm, defaultRowCommitVersion = v2
+    DeltaWrite.append(spark, spark.range(100L, 130L)
+      .select(col("id"), (col("id") % 10).as("k")).coalesce(1), root)               // v2
+    val s2 = assertRowIdInvariants(root)
+    val newFiles = s2.rowIds.keySet -- idsV1.keySet
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { rel =>
+      assert(s2.rowIds(rel)._2 == 2L, s"defaultRowCommitVersion must be the commit: ${s2.rowIds(rel)}")
+    }
+    idsV1.foreach { case (rel, ids) =>
+      assert(s2.rowIds(rel) == ids, s"carried file $rel must keep its ids") }
+    // DV DELETE: the re-add of the same physical file KEEPS its ids
+    // (rows unmoved; only the mask changed)
+    DeltaWrite.delete(spark, root, "id % 7 = 3")                                    // v3
+    val s3 = assertRowIdInvariants(root)
+    s3.rowIds.foreach { case (rel, ids) =>
+      assert(s2.rowIds(rel) == ids, s"DV delete must not move $rel's row ids") }
+    // MERGE: touched files rewrite with FRESH ids (documented
+    // divergence), untouched carry; invariants hold throughout
+    val src = spark.range(50L, 60L).select(col("id"), lit(99L).as("k"))
+    DeltaWrite.merge(spark, src, root, Seq("id"))                                   // v4
+    val s4 = assertRowIdInvariants(root)
+    assert(DeltaRead.read(spark, root).where(col("k") === 99L).count() == 10L)
+    // CHECKPOINT CARRY: fold, clean the JSON tail, replay from parquet
+    assert(DeltaWrite.checkpoint(spark, root) == 4L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    val s5 = assertRowIdInvariants(root)
+    assert(s5.rowIds == s4.rowIds, "row ids must survive the checkpoint fold")
+    // post-fold append still allocates past the folded hwm
+    DeltaWrite.append(spark, spark.range(200L, 210L)
+      .select(col("id"), (col("id") % 10).as("k")).coalesce(1), root)               // v5
+    assertRowIdInvariants(root)
+  }
+
+  test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
+    val root = tmp()
+    // data file via a plain append, then REWRITE the log by hand into
+    // the delta-spark rowTracking shape (feature + stamped add + domain)
+    DeltaWrite.append(spark, spark.range(40L).toDF("id").coalesce(1), root)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val v0 = new java.io.File(logDir, f"${0L}%020d.json")
+    val lines = new String(java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+      .split("\n").filter(_.trim.nonEmpty)
+    val patched = lines.map { l =>
+      if (l.contains("\"protocol\""))
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}"""
+      else if (l.contains("\"add\""))
+        l.replaceFirst("\\{\"add\":\\{",
+          """{"add":{"baseRowId":100,"defaultRowCommitVersion":0,""")
+      else l
+    }.mkString("\n") +
+      "\n" + """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":139}","removed":false}}""" + "\n"
+    java.nio.file.Files.write(v0.toPath, patched.getBytes("UTF-8"))
+    // the foreign crc (if any) no longer matches the patched log
+    new java.io.File(logDir, f"${0L}%020d.crc").delete()
+    val s0 = DeltaRead.snapshot(spark, root)
+    assert(s0.rowIds.values.map(_._1).toSeq == Seq(100L))
+    // graft append: fresh range starts PAST the foreign hwm (139)
+    DeltaWrite.append(spark, spark.range(40L, 50L).toDF("id").coalesce(1), root)    // v1
+    val s1 = assertRowIdInvariants(root)
+    val fresh = (s1.rowIds -- s0.rowIds.keySet).values.map(_._1)
+    assert(fresh.forall(_ >= 140L), s"fresh ids must continue past the foreign hwm: $fresh")
+  }
+
+  test("row tracking: RESTORE re-adds carry the target version's row ids") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(20L).toDF("id").coalesce(1), root)         // v0
+    DeltaWrite.setProperties(spark, root, Map("delta.enableRowTracking" -> "true")) // v1
+    val s1 = DeltaRead.snapshot(spark, root)
+    DeltaWrite.overwrite(spark, spark.range(100L, 110L).toDF("id").coalesce(1), root) // v2
+    DeltaWrite.restore(spark, root, 1L)                                             // v3
+    val s3 = assertRowIdInvariants(root)
+    assert(s3.rowIds == s1.rowIds,
+      "restored files are the same physical rows — their ids must carry")
+  }
 }
