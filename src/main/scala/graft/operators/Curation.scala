@@ -178,14 +178,15 @@ object Curation {
       val built = evalG.groupBy(pmod(col("gh"), lit(k.toLong)).as("shard"))
         .agg(BloomFunctions.bloomAgg(col("gh"), perShard, fpp).as("bf"))
         .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      // a shard with NO eval grams has no filter: nothing can match it
-      val probe = (0L until k.toLong).foldLeft(lit(false)) { (acc, s) =>
-        built.get(s) match {
-          case Some(bytes) => when(pmod(col("gh"), lit(k.toLong)) === s,
-            BloomFunctions.mightContain(lit(bytes), col("gh"))).otherwise(acc)
-          case None => acc
-        }
-      }
+      // a shard with NO eval grams has no filter (null blob): nothing
+      // can match it. ONE dispatch expression holds all k blobs — a
+      // per-shard when() chain made the plan/codegen O(k) deep (ADVICE
+      // r16; ~1024-deep CASE at the shard bound), where this is O(1)
+      // with each blob deserialized once per executor.
+      val blobs: Seq[Array[Byte]] =
+        (0L until k.toLong).map(s => built.getOrElse(s, null))
+      val probe = BloomFunctions.shardedMightContain(blobs,
+        pmod(col("gh"), lit(k.toLong)), col("gh"))
       gramHashes(train, idCol, textCol, n)
         .where(probe)
         .groupBy(col("id").as(idCol))

@@ -1152,6 +1152,31 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q138: TYPE WIDENING round trip (round 17) — readerWriter feature
+    // `typeWidening`: write an int-typed column, widen it to long
+    // (metaData-only commit recording delta.typeChanges; zero data
+    // I/O), then append long data — the read resolves the OLD int32
+    // files under the wide schema via Spark 4's parquet widening
+    // promotions. Refusals (narrowing, off-matrix widenings) and the
+    // foreign-feature read are pinned in DeltaWriteSuite.
+    "q138_delta_widened" -> ((s, dir) => {
+      val root = scratchRoot("graft_q138")
+      val orders = t(s, dir, "orders")
+      graft.sources.DeltaWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey")),
+        root)
+      graft.sources.DeltaWrite.widenColumn(s, root, "o_custkey",
+        org.apache.spark.sql.types.LongType)
+      graft.sources.DeltaWrite.append(s,
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey")),
+        root)
+      graft.sources.DeltaRead.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2060,6 +2085,12 @@ object RelationalQueries {
         |  CASE WHEN o_orderstatus = 'F' THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_custkey % 7 = 0 THEN o_custkey * 2 + (o_orderkey % 10)
         |       ELSE o_custkey END AS o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // widened round trip: both halves re-assemble orders, the widened
+    // column reads back as BIGINT
+    "q138_delta_widened" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // row-tracking round trip: base ∪ shifted append, then the merge's

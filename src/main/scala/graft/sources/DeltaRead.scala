@@ -37,13 +37,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * names), and COLUMN MAPPING in `name` mode (reader protocol v2, or
   * v3 with the `columnMapping` feature): the scan reads the physical
   * parquet names and renames to the logical schema; partition-value
-  * keys translate at snapshot build. Refused loudly: `id`-mode
-  * mapping, nested mapped schemas, v3 features this reader does not
-  * implement (typeWidening, … — ignoring an unknown reader feature is
-  * silent data corruption by the protocol's design; deletionVectors
-  * and v2Checkpoint ARE implemented),
-  * and writes INTO mapped tables (graft's Delta writer handles
-  * unmapped tables; see [[DeltaWrite]]).
+  * keys translate at snapshot build. Refused loudly: v3 reader
+  * features this reader does not implement (ignoring an unknown
+  * reader feature is silent data corruption by the protocol's
+  * design; columnMapping — name and id mode, nested included —
+  * deletionVectors, v2Checkpoint, timestampNtz, and typeWidening ARE
+  * implemented).
   *
   * Scale note: driver-side parsing is O(actions since last checkpoint)
   * — the checkpointed state itself (the unbounded part) replays as a
@@ -1311,10 +1310,16 @@ object DeltaRead {
     *  - v3: table features — readable iff every `readerFeatures` entry
     *    is one this reader actually implements (`columnMapping`,
     *    `timestampNtz` — the latter is just a type our schema parse
-    *    already carries). Everything else (deletionVectors,
-    *    v2Checkpoint, typeWidening, …) refuses loudly: ignoring an
+    *    already carries). Everything else refuses loudly: ignoring an
     *    unknown reader feature is silent data corruption by design of
     *    the protocol.
+    *
+    * `typeWidening` (and its `-preview` form) is SUPPORTED (round 17):
+    * a widened column's old files store the narrower physical type and
+    * the scan's read schema carries the wider table type — Spark 4's
+    * parquet reader performs the widening promotions the delta matrix
+    * allows (int8/16/32→int64, float→double; SPARK-40876), pinned in
+    * DeltaReadSuite against hand-widened logs.
     */
   private def validateReaderProtocol(path: String, minReader: Int,
                                      features: Set[String], mappingMode: String): Unit = {
@@ -1322,7 +1327,7 @@ object DeltaRead {
     // "VACUUM must validate the protocol first", which DeltaWrite.vacuum
     // does (requireWritable) — so tables carrying it stay readable
     val supported = Set("columnMapping", "timestampNtz", "deletionVectors",
-      "v2Checkpoint", "vacuumProtocolCheck")
+      "v2Checkpoint", "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
     if (minReader >= 3) {
       val unsupported = features -- supported
       require(unsupported.isEmpty,

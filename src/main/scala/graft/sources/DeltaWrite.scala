@@ -874,6 +874,13 @@ object DeltaWrite {
         // live ones (a fold must never forget a domain — delta-spark
         // keeps e.g. clustering state there), and
         // [[setDomainMetadata]]/[[removeDomainMetadata]] write them
+      case "typeWidening" | "typeWidening-preview" => () // SUPPORTED
+        // (round 17): the read side resolves old narrow files by
+        // Spark 4's parquet widening promotions; the WRITER contract
+        // is satisfied because every data path casts incoming rows to
+        // the CURRENT (widest) table schema before writing, and
+        // [[widenColumn]] is the only type-change surface — it records
+        // the delta.typeChanges field metadata the feature requires
       case "rowTracking" => () // IMPLEMENTED (round 17): every commit's
         // add actions get baseRowId/defaultRowCommitVersion stamped at
         // the publish choke point ([[stampRowTracking]]) — fresh ranges
@@ -1004,6 +1011,69 @@ object DeltaWrite {
         } else None
       (org.apache.spark.sql.types.StructType(fields), snap.partitionColumns,
         conf, protocolLine)
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN … TYPE — the protocol's TYPE WIDENING
+    * feature (readerWriter `typeWidening`, delta-spark 4.x's
+    * `delta.enableTypeWidening` surface): a metaData-only commit that
+    * widens one top-level column's type. Existing data files keep the
+    * NARROW physical type; the scan reads them under the wider table
+    * schema via Spark 4's parquet widening promotions (SPARK-40876) —
+    * zero data I/O, like delta-spark. The widened field records the
+    * protocol's `delta.typeChanges` history entry
+    * (`{fromType, toType}`), and the commit upgrades the protocol to
+    * carry `typeWidening` in BOTH feature lists (it is a reader
+    * feature too: a reader unaware of widening would crash or corrupt
+    * on the narrow files).
+    *
+    * Supported widenings: the integral chain (byte → short → int →
+    * long) and float → double — the intersection of the delta matrix
+    * with what Spark's vectorized parquet reader promotes natively.
+    * The rest of the matrix (int → double, decimal expansion, date →
+    * timestampNtz) refuses loudly rather than committing a schema the
+    * scan cannot honor.
+    */
+  def widenColumn(spark: SparkSession, path: String, column: String,
+                  to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    def deltaName(dt: DataType): String = dt match {
+      case ByteType => "byte"
+      case ShortType => "short"
+      case IntegerType => "integer"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case other => other.typeName
+    }
+    val allowed: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+    commitMetaDataChange(spark, path, "CHANGE COLUMN") { snap =>
+      val idx = snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(column))
+      require(idx >= 0, s"widenColumn at $path: unknown column '$column' " +
+        s"(table columns: ${snap.schema.fieldNames.mkString(", ")})")
+      val f = snap.schema(idx)
+      if (f.dataType == to) return snap.version // already wide: no-op
+      require(allowed.get(f.dataType).exists(_.contains(to)),
+        s"widenColumn at $path: ${deltaName(f.dataType)} → ${deltaName(to)} is not " +
+          "a supported widening (byte/short/int up the integral chain, " +
+          "float → double); rewrite the table for other type changes")
+      val change = new MetadataBuilder()
+        .putString("fromType", deltaName(f.dataType))
+        .putString("toType", deltaName(to)).build()
+      val prev: Array[Metadata] =
+        if (f.metadata.contains("delta.typeChanges"))
+          f.metadata.getMetadataArray("delta.typeChanges")
+        else Array.empty
+      val widened = f.copy(dataType = to,
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putMetadataArray("delta.typeChanges", prev :+ change).build())
+      (StructType(snap.schema.fields.updated(idx, widened)),
+        snap.partitionColumns, snap.configuration,
+        protocolUpgradeTo(snap, "typeWidening"))
     }
   }
 
@@ -1602,9 +1672,13 @@ object DeltaWrite {
       node.set[com.fasterxml.jackson.databind.JsonNode]("metadata", metaNode)
       node.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protoNode)
       // the optional state lists delta-spark's VersionChecksum also
-      // carries — both vocab-sized (writer appIds / live domains)
+      // carries. setTransactions is CAPPED (ADVICE r16): delta-spark
+      // omits the list past ~100 appIds rather than letting a
+      // many-sink streaming table grow every crc (and every commit's
+      // driver work) unboundedly — the list is optional per the
+      // protocol, so omission only loses validation depth.
       val postTxns = prevSnap.map(_.txns).getOrElse(Map.empty) ++ txnB.result()
-      if (postTxns.nonEmpty) {
+      if (postTxns.nonEmpty && postTxns.size <= 100) {
         val arr = node.putArray("setTransactions")
         postTxns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
           val t = arr.addObject(); t.put("appId", appId); t.put("version", v)
@@ -2955,10 +3029,35 @@ object DeltaWrite {
         scala.util.Try(mapper.readTree(v).path("version").asLong).toOption)
     if (implicitClustering && clusteredAtOf(snap).contains(snap.version))
       return snap.version
-    val folded: Set[String] = snap.files.keySet
+    // INCREMENTAL implicit clustering (ADVICE r16): delta-spark's
+    // clustered OPTIMIZE rewrites only files not yet clustered. The
+    // marker records the last clustered-OPTIMIZE version m; every file
+    // live at m IS clustered (that commit rewrote the whole table, or —
+    // inductively — extended a clustered set), so only files added
+    // SINCE m rewrite. A DV grown on a clustered file leaves its row
+    // ranges intact — membership is by path. Falls back to the full
+    // rewrite when the historical snapshot is gone (log cleaned) or no
+    // marker exists; an EXPLICIT zorderBy always rewrites everything.
+    val alreadyClustered: Set[String] =
+      if (!implicitClustering) Set.empty
+      else clusteredAtOf(snap).filter(_ < snap.version) match {
+        case Some(m) =>
+          try DeltaRead.snapshot(spark, rootP.toString, Some(m)).files.keySet
+            .intersect(snap.files.keySet)
+          catch { case scala.util.control.NonFatal(_) => Set.empty }
+        case None => Set.empty
+      }
+    val folded: Set[String] = snap.files.keySet -- alreadyClustered
+    if (implicitClustering && folded.isEmpty) {
+      // nothing new since the marker (e.g. only DV deletes landed):
+      // re-stamp nothing, just no-op — the marker stays at m
+      return snap.version
+    }
     val parts = snap.partitionColumns
 
-    val src = DeltaRead.readSnapshot(spark, rootP.toString, snap)
+    val src = DeltaRead.readSnapshot(spark, rootP.toString,
+      if (alreadyClustered.isEmpty) snap
+      else snap.copy(files = snap.files.filter(kv => folded.contains(kv._1))))
     val clustered =
       if (effZorder.nonEmpty)
         graft.operators.ZOrder.cluster(src, effZorder, zorderFiles, within = parts)
@@ -3545,7 +3644,16 @@ object DeltaWrite {
         Some(names.collect {
           case n @ CkAny(v, _) if v.toLong > cut && n.matches(v2MainRe) => n
         }.flatMap(sidecarRefsOf).toSet)
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // loud, not silent (ADVICE r16): a PERSISTENTLY unreadable
+        // retained main skips this sweep every run and leaks expired
+        // sidecars forever with no signal otherwise
+        System.err.println(
+          s"WARN graft delta cleanup at $path: a RETAINED v2 checkpoint main is " +
+            s"unreadable ($e) — skipping the expired-sidecar sweep this run " +
+            "(safe direction: files leak until the main is readable again)")
+        None
+      }
     for (n <- expired.sorted) {
       if (n.matches(v2MainRe)) retainedRefs.foreach { retained =>
         // expired-main read failures are safe the OTHER way: skipping

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, ExpectsInputTypes, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
 
 /** Column facade over Spark's own Bloom-filter expressions — the
   * machinery behind runtime (injected) bloom join filtering, exposed
@@ -60,4 +62,79 @@ object BloomFunctions {
   /** Optimal bit count: m = -n·ln(p)/ln²2. */
   def numBits(expectedItems: Long, fpp: Double): Long =
     math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+
+  /** SHARDED membership probe: `blobs(i)` is shard i's serialized
+    * filter (null = empty shard → never matches), `shardCol` selects
+    * the shard per row, `hashCol` probes it. ONE expression carrying
+    * all k blobs as plan state — Spark's own BloomFilterMightContain
+    * requires a FOLDABLE filter, so a per-shard dispatch used to be a
+    * k-deep CASE chain (plan and codegen size O(k), ~1024-deep at the
+    * shard bound); this keeps the plan O(1) in k and deserializes each
+    * blob once per executor, not once per probe.
+    */
+  def shardedMightContain(blobs: Seq[Array[Byte]],
+                          shardCol: Column, hashCol: Column): Column =
+    ColumnBridge.column(ShardedBloomMightContain(blobs,
+      ColumnBridge.expression(shardCol), ColumnBridge.expression(hashCol)))
+}
+
+/** [[BloomFunctions.shardedMightContain]]'s expression: whole-stage
+  * codegen probe against an array of pre-deserialized Bloom filters
+  * (a reference object in generated code, exactly how Spark's own
+  * BloomFilterMightContain holds its single filter). Returns false on
+  * null shard/hash — membership of nothing is false, the filter
+  * semantics every caller wants.
+  */
+case class ShardedBloomMightContain(blobs: Seq[Array[Byte]],
+                                    left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sharded_bloom_might_contain"
+
+  @transient private lazy val filters: Array[org.apache.spark.util.sketch.BloomFilter] =
+    blobs.map(b =>
+      if (b == null) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))).toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = left.eval(input)
+    val h = right.eval(input)
+    if (s == null || h == null) false
+    else {
+      val i = s.asInstanceOf[Long]
+      if (i < 0 || i >= filters.length) false
+      else {
+        val f = filters(i.toInt)
+        f != null && f.mightContainLong(h.asInstanceOf[Long])
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val fRef = ctx.addReferenceObj("shardFilters", filters,
+      "org.apache.spark.util.sketch.BloomFilter[]")
+    val sGen = left.genCode(ctx)
+    val hGen = right.genCode(ctx)
+    val f = ctx.freshName("filter")
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+        |${sGen.code}
+        |${hGen.code}
+        |boolean ${ev.value} = false;
+        |if (!${sGen.isNull} && !${hGen.isNull} &&
+        |    ${sGen.value} >= 0 && ${sGen.value} < ${filters.length}L) {
+        |  org.apache.spark.util.sketch.BloomFilter $f = $fRef[(int) ${sGen.value}];
+        |  if ($f != null) ${ev.value} = $f.mightContainLong(${hGen.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

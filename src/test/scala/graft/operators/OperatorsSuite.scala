@@ -516,12 +516,18 @@ class TextSuite extends SparkSpec {
     assert(sharded(1L) >= 3L)
     assert((sharded.keySet -- exact).size <= 40,
       s"fp rate implausibly high in sharded mode: ${(sharded.keySet -- exact).size}/200")
-    // deep shard dispatch: 64 nested probe branches must analyze,
-    // codegen and stay one-sided (guards the when-chain depth the
-    // auto-sharder can reach under small caps)
-    val deep = Curation.decontaminateBloom(train, eval, n = 8, fpp = 0.01, shards = 64)
-      .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(exact.subsetOf(deep), s"64-shard bloom missed: ${exact -- deep}")
+    // deep shard dispatch at the 1024-shard BOUND: the probe is ONE
+    // expression holding all blobs (round 17 — the old per-shard
+    // when() chain made the plan O(k) deep), so the extreme must
+    // analyze, codegen and stay one-sided with an O(1) plan
+    val deepDf = Curation.decontaminateBloom(train, eval, n = 8, fpp = 0.01,
+      shards = 1024)
+    val deepPlan = deepDf.queryExecution.executedPlan.toString
+    assert(deepPlan.contains("sharded_bloom_might_contain"), deepPlan.take(2000))
+    assert(!deepPlan.contains("CASE WHEN"),
+      "shard dispatch must not be a CASE chain:\n" + deepPlan.take(2000))
+    val deep = deepDf.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.subsetOf(deep), s"1024-shard bloom missed: ${exact -- deep}")
     // AUTO-sharding: shrink the session caps so one filter can no longer
     // hold a ~300-gram suite — the build must shard (k=4 under these
     // caps) instead of tripping bloomAgg's clamp refusal

@@ -304,12 +304,14 @@ class DeltaReadSuite extends SparkSpec {
   test("newer reader features are refused loudly, not silently misread") {
     val root = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root, "f1.parquet")
+    // typeWidening became SUPPORTED in round 17 — the unknown-feature
+    // refusal pins against a name no protocol version defines
     commit(root, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+        """"readerFeatures":["futureCompression"],"writerFeatures":["futureCompression"]}}""",
       metaDataLine(schema), addLine(root, "f1.parquet")))
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("futureCompression"))
     // reader versions past the supported protocol refuse by number
     val root2 = tmp()
     writeDataFile(Seq((1L, "a")).toDF("id", "v"), root2, "f1.parquet")

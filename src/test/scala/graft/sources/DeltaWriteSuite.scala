@@ -1204,18 +1204,20 @@ class DeltaWriteSuite extends SparkSpec {
     DeltaWrite.vacuum(spark, root, retentionMs = 0L) // must not refuse
     // v6: a v7 protocol demanding a feature this writer lacks — writes
     // AND vacuum refuse (vacuumProtocolCheck's posture: never sweep a
-    // table whose protocol you don't fully understand)
+    // table whose protocol you don't fully understand).
+    // rowTracking became IMPLEMENTED in round 17, so the pin uses a
+    // name no protocol version defines.
     commit(6L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["rowTracking"]}}"""))
+        """"writerFeatures":["futureCompression"]}}"""))
     val e = intercept[UnsupportedOperationException] {
       DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), root)
     }
-    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    assert(e.getMessage.contains("futureCompression"), e.getMessage)
     val ev = intercept[UnsupportedOperationException] {
       DeltaWrite.vacuum(spark, root, retentionMs = 0L)
     }
-    assert(ev.getMessage.contains("rowTracking"), ev.getMessage)
+    assert(ev.getMessage.contains("futureCompression"), ev.getMessage)
   }
 
   test("file-pruned merge: untouched adds carry byte-identical; upsert semantics exact") {
@@ -2198,13 +2200,30 @@ class DeltaWriteSuite extends SparkSpec {
     // is a no-op (the OPTIMIZE commit marked its own version), not a
     // full-table rewrite every cycle
     assert(DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4) == v)
-    // new data re-arms the implicit clustering
+    // new data re-arms the implicit clustering — INCREMENTALLY (round
+    // 17, ADVICE r16): only files added since the marker rewrite;
+    // the 4 already-clustered files carry untouched (delta-spark's
+    // clustered-OPTIMIZE shape, not a full-table rewrite per cycle)
+    val clusteredFiles = DeltaRead.snapshot(spark, root).files.keySet
     DeltaWrite.append(spark, Seq((600L, 600L)).toDF("k", "y"), root)               // v4
     val v2 = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4)     // v5
-    assert(v2 > v && DeltaRead.snapshot(spark, root).files.size == 4)
+    val snapV2 = DeltaRead.snapshot(spark, root)
+    assert(v2 > v)
+    assert(clusteredFiles.subsetOf(snapV2.files.keySet),
+      "already-clustered files must NOT rewrite on an incremental cycle")
+    assert((snapV2.files.keySet -- clusteredFiles).nonEmpty,
+      "the new data must land in fresh clustered file(s)")
     assert(DeltaRead.read(spark, root).count() == 402)
+    // a DV-only commit between cycles leaves nothing new to cluster:
+    // the maintenance call no-ops instead of rewriting
+    DeltaWrite.delete(spark, root, "y = 600")                                      // v6
+    assert(DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4) ==
+      DeltaRead.snapshot(spark, root).version,
+      "nothing new since the marker — the cycle must be a no-op")
+    assert(DeltaRead.read(spark, root).count() == 401)
     // the domain survives the OPTIMIZE commits and the next fold
-    assert(DeltaWrite.checkpoint(spark, root) == v2)
+    val headV = DeltaRead.snapshot(spark, root).version
+    assert(DeltaWrite.checkpoint(spark, root) == headV)
     logDir.list().filter(_.endsWith(".json")).foreach(n =>
       new java.io.File(logDir, n).delete())
     assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)) == Seq("k"))
@@ -2215,7 +2234,7 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)).isEmpty)
     val v3 = DeltaWrite.compact(spark, root, targetFiles = 2)
     assert(DeltaRead.snapshot(spark, root).version == v3)
-    assert(DeltaRead.read(spark, root).count() == 402)
+    assert(DeltaRead.read(spark, root).count() == 401)
   }
 
   test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
@@ -2571,6 +2590,86 @@ class DeltaWriteSuite extends SparkSpec {
     val s1 = assertRowIdInvariants(root)
     val fresh = (s1.rowIds -- s0.rowIds.keySet).values.map(_._1)
     assert(fresh.forall(_ >= 140L), s"fresh ids must continue past the foreign hwm: $fresh")
+  }
+
+  test("type widening: widenColumn reads old narrow files under the wide schema") {
+    val root = tmp()
+    // two int-typed files plus a float column
+    val df0 = spark.range(10L).select(col("id").cast("int").as("a"),
+      (col("id") * 2).cast("int").as("b"), col("id").cast("float").as("f"))
+    DeltaWrite.append(spark, df0.repartition(2), root)                              // v0
+    DeltaWrite.widenColumn(spark, root, "a", org.apache.spark.sql.types.LongType)   // v1
+    DeltaWrite.widenColumn(spark, root, "f", org.apache.spark.sql.types.DoubleType) // v2
+    val s2 = DeltaRead.snapshot(spark, root)
+    assert(s2.minReader == 3 && s2.readerFeatures.contains("typeWidening") &&
+      s2.writerFeatures.contains("typeWidening"))
+    assert(s2.schema("a").dataType == org.apache.spark.sql.types.LongType)
+    // the typeChanges history landed on the field
+    assert(s2.schema("a").metadata.contains("delta.typeChanges"))
+    val tc = s2.schema("a").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc(0).getString("fromType") == "integer" &&
+      tc(0).getString("toType") == "long", tc.mkString(","))
+    // old int32/float files read under the wide schema — Spark 4's
+    // parquet widening promotions (the whole feature hinges on this)
+    val back = DeltaRead.read(spark, root).orderBy("a")
+    assert(back.schema("a").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.as[(Long, Int, Double)].collect().toSeq ==
+      (0L until 10L).map(i => (i, (i * 2).toInt, i.toDouble)))
+    // appends after the widening land with the wide type; both
+    // generations read together
+    DeltaWrite.append(spark, spark.range(10L, 15L).select(
+      (col("id") + 3000000000L).as("a"), col("id").cast("int").as("b"),
+      col("id").cast("double").as("f")), root)                                      // v3
+    val all = DeltaRead.read(spark, root).orderBy("a").as[(Long, Int, Double)].collect()
+    assert(all.length == 15 && all.last._1 == 3000000014L, all.toSeq)
+    // a pushed filter above int range must reach only the wide files
+    assert(DeltaRead.read(spark, root).where(col("a") > 2999999999L).count() == 5L)
+    // unsupported widenings refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.widenColumn(spark, root, "b", org.apache.spark.sql.types.DoubleType) }
+    assert(e1.getMessage.contains("not a supported widening"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.widenColumn(spark, root, "a", org.apache.spark.sql.types.IntegerType) }
+    assert(e2.getMessage.contains("not a supported widening"), "narrowing must refuse")
+    // idempotent: widening to the current type is a no-op version
+    assert(DeltaWrite.widenColumn(spark, root, "a",
+      org.apache.spark.sql.types.LongType) == 3L)
+    // checkpoint fold + JSON-tail clean: the widened schema and the
+    // narrow files still read
+    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    logDir.list().filter(_.endsWith(".json")).foreach(n =>
+      new java.io.File(logDir, n).delete())
+    assert(DeltaRead.read(spark, root).count() == 15L)
+  }
+
+  test("type widening: a foreign table carrying the reader feature reads") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(5L).select(
+      col("id").cast("int").as("x")).coalesce(1), root)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val v0 = new java.io.File(logDir, f"${0L}%020d.json")
+    val lines = new String(java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+      .split("\n").filter(_.trim.nonEmpty)
+    // delta-spark 4.x shape: feature in BOTH lists, schema already long
+    val patched = lines.map { l =>
+      if (l.contains("\"protocol\""))
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}"""
+      else if (l.contains("\"metaData\"")) {
+        // schemaString is an ESCAPED JSON string inside the action line
+        val patched = l.replace("\\\"type\\\":\\\"integer\\\"", "\\\"type\\\":\\\"long\\\"")
+        assert(patched != l, s"fixture: expected an int column to widen in: $l")
+        patched
+      } else l
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.write(v0.toPath, patched.getBytes("UTF-8"))
+    new java.io.File(logDir, f"${0L}%020d.crc").delete()
+    val back = DeltaRead.read(spark, root)
+    assert(back.schema("x").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.orderBy("x").as[Long].collect().toSeq == (0L until 5L))
+    // and graft can WRITE into it (typeWidening passes the writer gate)
+    DeltaWrite.append(spark, spark.range(5L, 8L).toDF("x"), root)
+    assert(DeltaRead.read(spark, root).count() == 8L)
   }
 
   test("row tracking: RESTORE re-adds carry the target version's row ids") {
