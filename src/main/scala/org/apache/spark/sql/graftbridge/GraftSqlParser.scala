@@ -34,6 +34,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_ALTER('/deltaPath', MAP COLUMNS)             -- enable name-mode column mapping
   * GRAFT_ALTER('/deltaPath', RENAME a TO b)           -- ALTER TABLE RENAME COLUMN
   * GRAFT_ALTER('/deltaPath', DROP COLUMN a)           -- ALTER TABLE DROP COLUMN
+  * GRAFT_ALTER('/deltaPath', WIDEN a TO long)         -- ALTER COLUMN TYPE (type widening)
   * GRAFT_RESTORE('/path', 2)                          -- rollback to v2 (zero-copy commit)
   * GRAFT_RESTORE('/path', TAG 'pre-backfill')         -- rollback to a tagged commit
   * GRAFT_BRANCH('/path', 'exp')                       -- zero-copy writable branch of HEAD
@@ -269,7 +270,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         graft.sources.DeltaWrite.addCheckConstraint(session, path, addName, checkExpr)
       else graft.sources.DeltaWrite.dropCheckConstraint(session, path, dropName)
       Seq(v).toDF("version").queryExecution.logical
-    case AlterStmt(path, mapCols, renFrom, renTo, dropCol) =>
+    case AlterStmt(path, mapCols, renFrom, renTo, dropCol, widenCol, widenTo) =>
       import session.implicits._
       require(graft.sources.DeltaRead.isDeltaTable(session, path),
         s"GRAFT_ALTER targets a Delta table; $path is not one")
@@ -277,6 +278,10 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         if (mapCols != null) graft.sources.DeltaWrite.enableColumnMapping(session, path)
         else if (renFrom != null)
           graft.sources.DeltaWrite.renameColumn(session, path, renFrom, renTo)
+        else if (widenCol != null)
+          graft.sources.DeltaWrite.widenColumn(session, path, widenCol,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(widenTo))
         else graft.sources.DeltaWrite.dropColumn(session, path, dropCol)
       Seq(v).toDF("version").queryExecution.logical
     case PurgeStmt(path, fraction) =>
@@ -561,12 +566,13 @@ object GraftSqlParser {
       """(?:,\s*UNSET\s+('[^']+'(?:\s*,\s*'[^']+')*))?\s*\)\s*;?\s*$""").r
 
   /** ALTER-COLUMN family: MAP COLUMNS (enable name-mode column
-    * mapping), RENAME a TO b, DROP COLUMN a — all metaData-only
+    * mapping), RENAME a TO b, DROP COLUMN a, WIDEN a TO long
+    * (type widening — round 17) — all metaData-only
     * commits on the Delta log.
     */
   private val AlterStmt =
     ("""(?is)^\s*GRAFT_ALTER\s*\(\s*'([^']+)'\s*,\s*""" +
-      """(?:(MAP\s+COLUMNS)|RENAME\s+(\w+)\s+TO\s+(\w+)|DROP\s+COLUMN\s+(\w+))\s*\)\s*;?\s*$""").r
+      """(?:(MAP\s+COLUMNS)|RENAME\s+(\w+)\s+TO\s+(\w+)|DROP\s+COLUMN\s+(\w+)|WIDEN\s+(\w+)\s+TO\s+(\w+))\s*\)\s*;?\s*$""").r
 
   /** CHECK constraints: ADD name CHECK (expr) — the expression capture
     * is greedy, so nested parens inside it are fine — or DROP name.

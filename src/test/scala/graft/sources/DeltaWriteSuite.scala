@@ -2634,9 +2634,13 @@ class DeltaWriteSuite extends SparkSpec {
     // idempotent: widening to the current type is a no-op version
     assert(DeltaWrite.widenColumn(spark, root, "a",
       org.apache.spark.sql.types.LongType) == 3L)
+    // the SQL face routes to the same engine
+    spark.sql(s"GRAFT_ALTER('$root', WIDEN b TO long)").collect()
+    assert(DeltaRead.snapshot(spark, root).schema("b").dataType ==
+      org.apache.spark.sql.types.LongType)
     // checkpoint fold + JSON-tail clean: the widened schema and the
     // narrow files still read
-    assert(DeltaWrite.checkpoint(spark, root) == 3L)
+    assert(DeltaWrite.checkpoint(spark, root) == 4L)
     val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
     logDir.list().filter(_.endsWith(".json")).foreach(n =>
       new java.io.File(logDir, n).delete())
