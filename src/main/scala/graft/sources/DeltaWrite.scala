@@ -877,10 +877,16 @@ object DeltaWrite {
       case "typeWidening" | "typeWidening-preview" => () // SUPPORTED
         // (round 17): the read side resolves old narrow files by
         // Spark 4's parquet widening promotions; the WRITER contract
-        // is satisfied because every data path casts incoming rows to
-        // the CURRENT (widest) table schema before writing, and
-        // [[widenColumn]] is the only type-change surface — it records
-        // the delta.typeChanges field metadata the feature requires
+        // holds because every data path either writes the CURRENT
+        // table schema or refuses the frame (append's exact schema
+        // check — a still-narrow incoming frame refuses toward an
+        // explicit cast, it is NOT auto-widened), and [[widenColumn]]
+        // is the only type-change surface — it records the
+        // delta.typeChanges field metadata the feature requires. A
+        // custom mergeFn emitting a narrower column writes narrow
+        // parquet under the wide schema — readable by the same
+        // promotion machinery, i.e. exactly the file shape the
+        // feature already licenses
       case "rowTracking" => () // IMPLEMENTED (round 17): every commit's
         // add actions get baseRowId/defaultRowCommitVersion stamped at
         // the publish choke point ([[stampRowTracking]]) — fresh ranges
@@ -2999,7 +3005,8 @@ object DeltaWrite {
     * column-mapped tables (the physical rename follows).
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 8,
-              zorderBy: Seq[String] = Nil, zorderFiles: Int = 8): Long = {
+              zorderBy: Seq[String] = Nil, zorderFiles: Int = 8,
+              clusterSmallFileBytes: Long = 32L * 1024 * 1024): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     require(zorderFiles >= 1, s"zorderFiles must be >= 1: $zorderFiles")
     val rootP = qualifiedRoot(spark, path)
@@ -3047,12 +3054,33 @@ object DeltaWrite {
           catch { case scala.util.control.NonFatal(_) => Set.empty }
         case None => Set.empty
       }
-    val folded: Set[String] = snap.files.keySet -- alreadyClustered
-    if (implicitClustering && folded.isEmpty) {
+    val newSinceMarker: Set[String] = snap.files.keySet -- alreadyClustered
+    if (implicitClustering && newSinceMarker.isEmpty) {
       // nothing new since the marker (e.g. only DV deletes landed):
       // re-stamp nothing, just no-op — the marker stays at m
       return snap.version
     }
+    // SMALL-FILE RE-SELECTION (self-review r17): pure path-membership
+    // incrementality would let a periodic small-append + OPTIMIZE loop
+    // grow the file count without bound (each cycle's tiny outputs are
+    // "clustered" forever). When there IS new data to cluster, small
+    // already-clustered files (< clusterSmallFileBytes; unknown sizes
+    // stay put) re-fold with it — delta-spark's minFileSize
+    // re-selection shape — so steady state stays ~zorderFiles files.
+    // A no-new-data maintenance call still no-ops above.
+    val smallClustered: Set[String] =
+      if (!implicitClustering) Set.empty
+      else alreadyClustered.filter { rel =>
+        val sz = snap.sizes.getOrElse(rel, -1L)
+        sz >= 0 && sz < clusterSmallFileBytes
+      }
+    val folded: Set[String] = newSinceMarker ++ smallClustered
+    // the DV identity each folded file is rewritten AGAINST — a
+    // concurrent DELETE growing a folded file's DV makes the staged
+    // rewrite stale (committing it would resurrect the newly deleted
+    // rows); checked on every CAS retry, purgeDvs' guard
+    val origDv: Map[String, String] = folded.iterator.map(rel =>
+      rel -> snap.dvs.get(rel).map(_.uniqueId).getOrElse("")).toMap
     val parts = snap.partitionColumns
 
     val src = DeltaRead.readSnapshot(spark, rootP.toString,
@@ -3072,9 +3100,18 @@ object DeltaWrite {
       attempt += 1
       val next = snap.version + 1
       val removes = folded.toSeq.sorted
+      // the marker claims "every file live at `next` is clustered" —
+      // a competitor's files that appeared between the base snapshot
+      // and this attempt would be live at `next` WITHOUT being
+      // clustered, so the marker is omitted when any exist (the next
+      // maintenance cycle re-clusters both them and this run's
+      // outputs; an under-claimed marker is always safe, an
+      // over-claimed one skips files forever)
+      val foreignNew = snap.files.keySet -- folded -- alreadyClustered
       if (publishCommit(fs, logP, next,
             compactContent(newFiles, removes, snap.dvs,
-              clusteredAt = if (implicitClustering && canMark) Some(next) else None),
+              clusteredAt = if (implicitClustering && canMark && foreignNew.isEmpty)
+                Some(next) else None),
             snap.configuration, Some(snap))) {
         autoCheckpoint(spark, rootP.toString, next, snap.configuration)
         return next
@@ -3082,16 +3119,22 @@ object DeltaWrite {
       require(attempt < 50, s"Delta compaction at $path lost the version race " +
         s"$attempt times — giving up; staged files are unreferenced")
       snap = DeltaRead.snapshot(spark, rootP.toString)
-      val gone = folded -- snap.files.keySet
-      if (gone.nonEmpty) {
+      // stale if a folded file is GONE (rewritten/removed) or its DV
+      // IDENTITY moved (a concurrent DV DELETE soft-deleted rows this
+      // rewrite materialized as live — committing would resurrect them)
+      val stale = folded.exists { rel =>
+        !snap.files.contains(rel) ||
+          snap.dvs.get(rel).map(_.uniqueId).getOrElse("") != origDv(rel)
+      }
+      if (stale) {
         newFiles.foreach(f =>
           try fs.delete(new Path(rootP, f.relPath), false)
           catch { case scala.util.control.NonFatal(_) => () })
         throw new IllegalStateException(
-          s"Delta compaction at $path aborted: a concurrent commit removed or " +
-            s"replaced ${gone.size} file(s) this compaction folded " +
-            s"(${gone.take(3).mkString(", ")}…) — committing the rewrite would " +
-            "resurrect dead rows. Re-run the compaction against the new snapshot")
+          s"Delta compaction at $path aborted: a concurrent commit removed, " +
+            "replaced or DV-deleted rows in a file this compaction folded — " +
+            "committing the rewrite would resurrect dead rows. Re-run the " +
+            "compaction against the new snapshot")
       }
       // appends-only competitor: retry the same rewrite at the next version
     }

@@ -2202,11 +2202,12 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4) == v)
     // new data re-arms the implicit clustering — INCREMENTALLY (round
     // 17, ADVICE r16): only files added since the marker rewrite;
-    // the 4 already-clustered files carry untouched (delta-spark's
-    // clustered-OPTIMIZE shape, not a full-table rewrite per cycle)
+    // with small-file re-selection disabled the 4 already-clustered
+    // files carry untouched (the pure path-membership pin)
     val clusteredFiles = DeltaRead.snapshot(spark, root).files.keySet
     DeltaWrite.append(spark, Seq((600L, 600L)).toDF("k", "y"), root)               // v4
-    val v2 = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4)     // v5
+    val v2 = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4,
+      clusterSmallFileBytes = 0L)                                                  // v5
     val snapV2 = DeltaRead.snapshot(spark, root)
     assert(v2 > v)
     assert(clusteredFiles.subsetOf(snapV2.files.keySet),
@@ -2214,13 +2215,23 @@ class DeltaWriteSuite extends SparkSpec {
     assert((snapV2.files.keySet -- clusteredFiles).nonEmpty,
       "the new data must land in fresh clustered file(s)")
     assert(DeltaRead.read(spark, root).count() == 402)
+    // the DEFAULT threshold re-selects small clustered files when new
+    // data arrives, so periodic small appends cannot grow the file
+    // count without bound (delta-spark's minFileSize shape): all of
+    // snapV2's tiny files consolidate with the new row into ≤4 files
+    DeltaWrite.append(spark, Seq((601L, 601L)).toDF("k", "y"), root)               // v6
+    val vCons = DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4)  // v7
+    val snapCons = DeltaRead.snapshot(spark, root)
+    assert(vCons > v2 && snapCons.files.size <= 4,
+      s"small clustered files must consolidate: ${snapCons.files.size}")
+    assert(DeltaRead.read(spark, root).count() == 403)
     // a DV-only commit between cycles leaves nothing new to cluster:
     // the maintenance call no-ops instead of rewriting
-    DeltaWrite.delete(spark, root, "y = 600")                                      // v6
+    DeltaWrite.delete(spark, root, "y = 600")                                      // v8
     assert(DeltaWrite.compact(spark, root, targetFiles = 4, zorderFiles = 4) ==
       DeltaRead.snapshot(spark, root).version,
       "nothing new since the marker — the cycle must be a no-op")
-    assert(DeltaRead.read(spark, root).count() == 401)
+    assert(DeltaRead.read(spark, root).count() == 402)
     // the domain survives the OPTIMIZE commits and the next fold
     val headV = DeltaRead.snapshot(spark, root).version
     assert(DeltaWrite.checkpoint(spark, root) == headV)
@@ -2234,7 +2245,7 @@ class DeltaWriteSuite extends SparkSpec {
     assert(DeltaWrite.clusteringColumnsOf(DeltaRead.snapshot(spark, root)).isEmpty)
     val v3 = DeltaWrite.compact(spark, root, targetFiles = 2)
     assert(DeltaRead.snapshot(spark, root).version == v3)
-    assert(DeltaRead.read(spark, root).count() == 401)
+    assert(DeltaRead.read(spark, root).count() == 402)
   }
 
   test("version-checksum sidecars: every commit writes <v>.crc; a mismatched crc refuses the read") {
