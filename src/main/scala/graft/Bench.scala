@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, length, max}
+import org.apache.spark.sql.functions.{col, length, lit, max}
 object Bench {
   /** Query → family, for the per-family sums in the artifact. Rounds
     * 14–16 each burned a Scratch probe adjudicating drift that a
@@ -44,8 +44,24 @@ object Bench {
       // count() reads only footers — scan the text column for real so
       // the first text query isn't charged the cold column IO.
       d.select(max(length(col("text")))).collect()
-      graft.operators.Dedup.minhashLsh(d.limit(64)).count()
-      graft.operators.TextAnalysis.repetitionSignals(d.limit(64)).count()
+      val d64 = d.limit(64)
+      graft.operators.Dedup.minhashLsh(d64).count()
+      graft.operators.TextAnalysis.repetitionSignals(d64).count()
+      // round 17: the dedup/LSH family carried ±10 s of JVM warm-state
+      // scatter ACROSS whole bench runs (§8 A/B — q95/q69/q32/q93/q96
+      // moved together on identical code), and its kernels are the
+      // heaviest codegen in the suite. Compile the exact-Jaccard
+      // verify, the shingle/bucket pairing and the SimHash popcount
+      // path here on the 64-doc slice so the measured queries start
+      // from tier-compiled code, not cold interpreter profiles.
+      val banded = d64.select(lit(0).as("band"), lit(0L).as("key"),
+        col("doc_id").as("id"))
+      graft.operators.Dedup.jaccardVerify(d64,
+        graft.operators.Dedup.bucketPairs(banded, Seq("band", "key"), "id",
+          maxBucket = 1 << 20), threshold = 0.7).count()
+      graft.operators.Dedup.simhashPairsFrom(
+        graft.operators.Dedup.simhashPortable(d64), maxHamming = 3,
+        maxBucket = 1 << 20).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 

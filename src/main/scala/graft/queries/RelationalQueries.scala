@@ -1177,6 +1177,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q139: ROW-ID READ surface (round 17 — the user face of q137's
+    // rowTracking): three single-file sorted commits land deterministic
+    // id ranges (backfill numbers the create's file 0..n0-1 in row
+    // order; each append's file starts at hwm+1), and readWithRowIds
+    // surfaces _row_id = baseRowId + physical row_index. The oracle
+    // reconstructs the ids from per-slice row_numbers + slice offsets.
+    "q139_delta_row_ids" -> ((s, dir) => {
+      val root = scratchRoot("graft_q139")
+      val orders = t(s, dir, "orders")
+      def slice(r: Int) = orders.where(col("o_orderkey") % 3 === r)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      graft.sources.DeltaWrite.append(s, slice(0), root)
+      graft.sources.DeltaWrite.setProperties(s, root,
+        Map("delta.enableRowTracking" -> "true"))
+      graft.sources.DeltaWrite.append(s, slice(1), root)
+      graft.sources.DeltaWrite.append(s, slice(2), root)
+      graft.sources.DeltaRead.readWithRowIds(s, root)
+        .select(col("o_orderkey"), col("_row_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2092,6 +2114,29 @@ object RelationalQueries {
     "q138_delta_widened" ->
       """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // row ids from first principles: per-slice row_number in key order
+    // plus the preceding slices' sizes (slice 0 = the backfilled
+    // create, slices 1/2 = the appends' fresh ranges)
+    "q139_delta_row_ids" ->
+      """WITH s0 AS (SELECT o_orderkey,
+        |              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |            FROM orders WHERE o_orderkey % 3 = 0),
+        |s1 AS (SELECT o_orderkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |       FROM orders WHERE o_orderkey % 3 = 1),
+        |s2 AS (SELECT o_orderkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |       FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id FROM s0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CAST(rid + (SELECT count(*) FROM s0) AS BIGINT) AS _row_id FROM s1
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CAST(rid + (SELECT count(*) FROM s0) + (SELECT count(*) FROM s1) AS BIGINT) AS _row_id
+        |FROM s2
+        |ORDER BY o_orderkey""".stripMargin,
 
     // row-tracking round trip: base ∪ shifted append, then the merge's
     // upsert closed form (source keys take the 'X' image, the rest carry)

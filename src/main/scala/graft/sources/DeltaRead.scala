@@ -159,12 +159,64 @@ object DeltaRead {
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame =
     readSnapshot(spark, path, snapshot(spark, path, version))
 
+  /** The snapshot scan PLUS the protocol's ROW IDS (writer feature
+    * `rowTracking`): one extra `rowIdCol` column carrying each row's
+    * fresh row id = its file's `baseRowId` + the row's physical
+    * position (`_metadata.row_index`) — the protocol's fresh-row-id
+    * formula. DV-deleted rows drop but survivors keep their PHYSICAL
+    * index, so ids are stable across DV DELETE/UPDATE (the file and
+    * its baseRowId are unchanged). The per-file base map rides a
+    * broadcast join keyed by the scan's own file_path — codegen'd, no
+    * per-row driver state.
+    *
+    * Refused loudly: a table whose config names a MATERIALIZED row-id
+    * column (`delta.rowTracking.materializedRowIdColumnName` — a
+    * writer that preserves ids across rewrites stores them there, and
+    * the fresh formula would mis-number its rewritten rows), and live
+    * files without a baseRowId (an unbackfilled suspended table has
+    * no ids to surface).
+    */
+  def readWithRowIds(spark: SparkSession, path: String,
+                     version: Option[Long] = None,
+                     rowIdCol: String = "_row_id"): DataFrame = {
+    val snap = snapshot(spark, path, version)
+    require(snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking"),
+      s"Delta table at $path does not carry the rowTracking writer feature — " +
+        "there are no row ids to surface")
+    snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+      .foreach(m => throw new UnsupportedOperationException(
+        s"Delta table at $path carries materialized row ids (column '$m') from a " +
+          "writer that preserves ids across rewrites; this reader computes the " +
+          "fresh formula only (baseRowId + row_index) and would mis-number the " +
+          "rewritten rows — read it with delta-spark"))
+    val missing = snap.files.keySet -- snap.rowIds.keySet
+    require(missing.isEmpty,
+      s"Delta table at $path has ${missing.size} live file(s) without a baseRowId " +
+        s"(e.g. ${missing.take(3).mkString(", ")}) — enable row tracking " +
+        "(delta.enableRowTracking=true backfills) before reading row ids")
+    val rootP = qualifiedRoot(spark, path)
+    import spark.implicits._
+    // keys in the same SparkPath (URL-encoded URI) form the DV filter
+    // uses — _metadata.file_path's canonical representation
+    val baseDf = broadcast(snap.rowIds.toSeq.map { case (rel, (b, _)) =>
+      (new Path(rootP, rel).toUri.toString, b)
+    }.toDF("__graft_dv_fp", "__graft_base_rid"))
+    readSnapshot(spark, path, snap, keepRowMeta = true)
+      .join(baseDf, Seq("__graft_dv_fp"))
+      .withColumn(rowIdCol, col("__graft_base_rid") + col("__graft_dv_ri"))
+      .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+  }
+
   /** The scan over an EXPLICIT snapshot-shaped file set — the body of
     * [[read]], shared with the streaming source (whose micro-batch is
     * a synthetic Snapshot holding just one offset span's added files).
+    * `keepRowMeta` retains `__graft_dv_fp` / `__graft_dv_ri` on every
+    * branch (the row-id read needs the physical position AFTER the DV
+    * filter).
     */
   private[graft] def readSnapshot(spark: SparkSession, path: String,
-                                  snap: Snapshot): DataFrame = {
+                                  snap: Snapshot,
+                                  keepRowMeta: Boolean = false): DataFrame = {
     // DELETION VECTORS: split the scan — clean files read at full
     // native speed, DV-carrying files read with _metadata.row_index
     // and drop their deleted rows through a broadcast bitmap probe
@@ -197,25 +249,27 @@ object DeltaRead {
       // conversion. The UDF probe (binary search over the broadcast
       // sorted arrays) only takes over past the broadcast-friendly
       // size, where its 8 B/row footprint wins over join-row overhead.
-      val dirtyDf =
+      val dirtyDf0 =
         if (totalDeleted <= 2000000L) {
           import spark.implicits._
           val pairs = deleted.toSeq.flatMap { case (fp, arr) => arr.map(fp -> _) }
             .toDF("__graft_dv_fp", "__graft_dv_ri")
           dirtyScan.join(broadcast(pairs), Seq("__graft_dv_fp", "__graft_dv_ri"), "left_anti")
-            .drop("__graft_dv_fp", "__graft_dv_ri")
         } else {
           val bc = spark.sparkContext.broadcast(deleted)
           val keep = org.apache.spark.sql.functions.udf((fp: String, ri: Long) =>
             bc.value.get(fp).forall(a => java.util.Arrays.binarySearch(a, ri) < 0))
-          dirtyScan.where(keep(col("__graft_dv_fp"), col("__graft_dv_ri"))).drop("__graft_dv_fp", "__graft_dv_ri")
+          dirtyScan.where(keep(col("__graft_dv_fp"), col("__graft_dv_ri")))
         }
+      val dirtyDf = if (keepRowMeta) dirtyDf0
+        else dirtyDf0.drop("__graft_dv_fp", "__graft_dv_ri")
       val cleanFiles = snap.files -- liveDvs.keySet
       return if (cleanFiles.isEmpty) dirtyDf
-        else scanSnapshot(spark, path, snap.copy(files = cleanFiles, dvs = Map.empty))
+        else scanSnapshot(spark, path, snap.copy(files = cleanFiles, dvs = Map.empty),
+            withRowMeta = keepRowMeta)
           .unionByName(dirtyDf)
     }
-    scanSnapshot(spark, path, snap)
+    scanSnapshot(spark, path, snap, withRowMeta = keepRowMeta)
   }
 
   /** The raw snapshot scan. `withRowMeta` appends `__graft_dv_fp`

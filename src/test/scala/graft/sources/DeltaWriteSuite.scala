@@ -2571,6 +2571,31 @@ class DeltaWriteSuite extends SparkSpec {
     DeltaWrite.append(spark, spark.range(200L, 210L)
       .select(col("id"), (col("id") % 10).as("k")).coalesce(1), root)               // v5
     assertRowIdInvariants(root)
+    // ROW-ID READ surface: ids are unique, and a DV delete does not
+    // move the surviving rows' ids (physical positions unchanged)
+    val before = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.distinct.size == before.size, "row ids must be unique")
+    DeltaWrite.delete(spark, root, "id % 9 = 2")                                    // v6
+    val after = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(after.keySet == before.keySet.filterNot(_ % 9 == 2))
+    after.foreach { case (id, rid) =>
+      assert(before(id) == rid, s"row id of surviving row $id moved: ${before(id)} -> $rid") }
+  }
+
+  test("row tracking: readWithRowIds refuses materialized-id tables and id-less tables") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(5L).toDF("id"), root)
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaRead.readWithRowIds(spark, root) }
+    assert(e0.getMessage.contains("rowTracking"))
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "_hidden_rid"))
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaRead.readWithRowIds(spark, root) }
+    assert(e1.getMessage.contains("materialized"))
   }
 
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
