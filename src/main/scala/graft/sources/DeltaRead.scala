@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Read-only interop with EXISTING Delta Lake tables — the reference's
@@ -169,12 +169,20 @@ object DeltaRead {
     * broadcast join keyed by the scan's own file_path — codegen'd, no
     * per-row driver state.
     *
-    * Refused loudly: a table whose config names a MATERIALIZED row-id
-    * column (`delta.rowTracking.materializedRowIdColumnName` — a
-    * writer that preserves ids across rewrites stores them there, and
-    * the fresh formula would mis-number its rewritten rows), and live
-    * files without a baseRowId (an unbackfilled suspended table has
-    * no ids to surface).
+    * MATERIALIZED row ids (delta-spark's stable-id extension): when
+    * the config names a materialized column
+    * (`delta.rowTracking.materializedRowIdColumnName`), a preserving
+    * writer stored rewritten rows' original ids in a HIDDEN parquet
+    * column (absent from the table schema). The protocol's read
+    * formula is `coalesce(materialized, baseRowId + row_index)` —
+    * implemented by extending the read schema with the hidden column
+    * (files without it read null, parquet by-name resolution).
+    * Column-mapped tables with a materialized column refuse (the
+    * hidden column's physical binding is not in the schema metadata
+    * this reader maps with).
+    *
+    * Refused loudly: live files without a baseRowId (an unbackfilled
+    * suspended table has no ids to surface).
     */
   def readWithRowIds(spark: SparkSession, path: String,
                      version: Option[Long] = None,
@@ -183,12 +191,15 @@ object DeltaRead {
     require(snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking"),
       s"Delta table at $path does not carry the rowTracking writer feature — " +
         "there are no row ids to surface")
-    snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
-      .foreach(m => throw new UnsupportedOperationException(
-        s"Delta table at $path carries materialized row ids (column '$m') from a " +
-          "writer that preserves ids across rewrites; this reader computes the " +
-          "fresh formula only (baseRowId + row_index) and would mis-number the " +
-          "rewritten rows — read it with delta-spark"))
+    val matName = snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    matName.foreach { m =>
+      if (snap.colMap.nonEmpty) throw new UnsupportedOperationException(
+        s"Delta table at $path is column-mapped AND carries materialized row ids " +
+          s"(column '$m') — the hidden column's physical binding is outside the " +
+          "schema metadata this reader maps with; read it with delta-spark")
+      require(!snap.schema.fieldNames.contains(m),
+        s"materialized row-id column '$m' collides with a table column at $path")
+    }
     val missing = snap.files.keySet -- snap.rowIds.keySet
     require(missing.isEmpty,
       s"Delta table at $path has ${missing.size} live file(s) without a baseRowId " +
@@ -201,10 +212,23 @@ object DeltaRead {
     val baseDf = broadcast(snap.rowIds.toSeq.map { case (rel, (b, _)) =>
       (new Path(rootP, rel).toUri.toString, b)
     }.toDF("__graft_dv_fp", "__graft_base_rid"))
-    readSnapshot(spark, path, snap, keepRowMeta = true)
+    val scanSnap = matName match {
+      case Some(m) => snap.copy(schema = org.apache.spark.sql.types.StructType(
+        snap.schema.fields :+ org.apache.spark.sql.types.StructField(
+          m, org.apache.spark.sql.types.LongType, nullable = true)))
+      case None => snap
+    }
+    val joined = readSnapshot(spark, path, scanSnap, keepRowMeta = true)
       .join(baseDf, Seq("__graft_dv_fp"))
-      .withColumn(rowIdCol, col("__graft_base_rid") + col("__graft_dv_ri"))
-      .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+    val fresh = col("__graft_base_rid") + col("__graft_dv_ri")
+    matName match {
+      case Some(m) =>
+        joined.withColumn(rowIdCol, coalesce(col(s"`$m`"), fresh))
+          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid", m)
+      case None =>
+        joined.withColumn(rowIdCol, fresh)
+          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+    }
   }
 
   /** The scan over an EXPLICIT snapshot-shaped file set — the body of

@@ -2584,18 +2584,47 @@ class DeltaWriteSuite extends SparkSpec {
       assert(before(id) == rid, s"row id of surviving row $id moved: ${before(id)} -> $rid") }
   }
 
-  test("row tracking: readWithRowIds refuses materialized-id tables and id-less tables") {
+  test("row tracking: readWithRowIds coalesces materialized ids; refuses id-less tables") {
     val root = tmp()
-    DeltaWrite.append(spark, spark.range(5L).toDF("id"), root)
+    DeltaWrite.append(spark, spark.range(5L).toDF("id").coalesce(1), root)          // v0
     val e0 = intercept[IllegalArgumentException] {
       DeltaRead.readWithRowIds(spark, root) }
     assert(e0.getMessage.contains("rowTracking"))
+    // enable + declare a materialized column (delta-spark's stable-id
+    // shape); the backfilled file has no such parquet column → its
+    // rows coalesce to the FRESH formula
     DeltaWrite.setProperties(spark, root, Map(
       "delta.enableRowTracking" -> "true",
-      "delta.rowTracking.materializedRowIdColumnName" -> "_hidden_rid"))
-    val e1 = intercept[UnsupportedOperationException] {
-      DeltaRead.readWithRowIds(spark, root) }
-    assert(e1.getMessage.contains("materialized"))
+      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))               // v1
+    val freshOnly = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(freshOnly.values.toSeq.sorted == (0L until 5L), freshOnly)
+    // hand-add a PRESERVING writer's file: the parquet carries the
+    // hidden _mat_rid column (ids 100..102) while the add's baseRowId
+    // says 1000 — materialized values must win per the protocol
+    val stage = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    spark.range(10L, 13L).select(col("id"),
+        (col("id") + 90L).as("_mat_rid")).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dataName = "mat-preserved.parquet"
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(root.stripPrefix("file:"), dataName).toPath)
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    java.nio.file.Files.write(new java.io.File(logDir, f"${2L}%020d.json").toPath,
+      (s"""{"add":{"path":"$dataName","partitionValues":{},"size":${part.length},""" +
+        """"modificationTime":0,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":3}","baseRowId":1000,"defaultRowCommitVersion":2}}""" +
+        "\n").getBytes("UTF-8"))
+    new java.io.File(logDir, f"${2L}%020d.crc").delete()
+    val ids = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert((10L until 13L).map(ids) == Seq(100L, 101L, 102L),
+      s"materialized ids must win over baseRowId+index: $ids")
+    assert((0L until 5L).map(ids).sorted == (0L until 5L), s"fresh rows unchanged: $ids")
+    // the hidden column never leaks into the plain read
+    assert(!DeltaRead.read(spark, root).columns.contains("_mat_rid"))
   }
 
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
