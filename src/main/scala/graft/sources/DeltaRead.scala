@@ -191,6 +191,16 @@ object DeltaRead {
     require(snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking"),
       s"Delta table at $path does not carry the rowTracking writer feature — " +
         "there are no row ids to surface")
+    readSnapshotRowIds(spark, path, snap, rowIdCol)
+  }
+
+  /** [[readWithRowIds]] over an EXPLICIT snapshot-shaped file set —
+    * shared with [[DeltaWrite.compact]]'s id-preserving rewrite, which
+    * scans only its folded subset.
+    */
+  private[sources] def readSnapshotRowIds(spark: SparkSession, path: String,
+                                          snap: Snapshot,
+                                          rowIdCol: String): DataFrame = {
     val matName = snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
     matName.foreach { m =>
       if (snap.colMap.nonEmpty) throw new UnsupportedOperationException(
@@ -223,8 +233,13 @@ object DeltaRead {
     val fresh = col("__graft_base_rid") + col("__graft_dv_ri")
     matName match {
       case Some(m) =>
-        joined.withColumn(rowIdCol, coalesce(col(s"`$m`"), fresh))
-          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid", m)
+        // when the caller names the OUTPUT after the materialized
+        // column itself (compact's id-preserving rewrite does),
+        // withColumn already REPLACED it — dropping m would drop the
+        // result
+        val out = joined.withColumn(rowIdCol, coalesce(col(s"`$m`"), fresh))
+          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+        if (rowIdCol == m) out else out.drop(m)
       case None =>
         joined.withColumn(rowIdCol, fresh)
           .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")

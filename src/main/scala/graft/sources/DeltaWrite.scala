@@ -892,13 +892,15 @@ object DeltaWrite {
         // the publish choke point ([[stampRowTracking]]) — fresh ranges
         // from the delta.rowTracking high-water-mark domain for new
         // files, carried ids for re-adds of live paths (DV DML) and
-        // restores; checkpoints CARRY both fields. DIVERGENCE from
-        // delta-spark: rewrites (OPTIMIZE, MERGE's touched files) assign
-        // FRESH ids instead of materializing the old ones into the new
-        // files — spec-legal (the protocol only mandates fresh-id
+        // restores; checkpoints CARRY both fields. OPTIMIZE PRESERVES
+        // row ids when the table declares a materialized row-id column
+        // (delta.rowTracking.materializedRowIdColumnName — the rewrite
+        // writes each row's current id into it; [[compact]]).
+        // DIVERGENCE from delta-spark: MERGE's touched-file rewrites
+        // (and OPTIMIZE on tables WITHOUT the declaration) assign
+        // FRESH ids — spec-legal (the protocol only mandates fresh-id
         // bookkeeping; stability is delta-spark's materialization
-        // extension), documented here for consumers that assume stable
-        // ids across OPTIMIZE.
+        // extension), documented for consumers that assume stable ids.
       case "identityColumns" => () // ENFORCED: appends allocate omitted
         // identity values from the high-water mark (one zipWithIndex
         // pass) and bump it in the same commit's metaData; explicit
@@ -3083,9 +3085,30 @@ object DeltaWrite {
       rel -> snap.dvs.get(rel).map(_.uniqueId).getOrElse("")).toMap
     val parts = snap.partitionColumns
 
-    val src = DeltaRead.readSnapshot(spark, rootP.toString,
+    val subsetSnap =
       if (alreadyClustered.isEmpty) snap
-      else snap.copy(files = snap.files.filter(kv => folded.contains(kv._1))))
+      else snap.copy(files = snap.files.filter(kv => folded.contains(kv._1)))
+    // ROW-ID MATERIALIZATION (round 17): when the table DECLARES a
+    // materialized row-id column (delta-spark's stable-id contract —
+    // `delta.rowTracking.materializedRowIdColumnName`), the rewrite
+    // reads each folded row's CURRENT id and writes it into that
+    // hidden parquet column, so OPTIMIZE preserves row ids instead of
+    // assigning fresh ones. Tables without the declaration keep the
+    // fresh-id behavior (documented divergence). The new adds still
+    // get fresh baseRowId ranges (the protocol requires them); readers
+    // coalesce(materialized, base + index) and see the original ids.
+    val matName: Option[String] =
+      if (snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking") &&
+          snap.colMap.isEmpty &&
+          subsetSnap.files.keySet.forall(snap.rowIds.contains))
+        snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+          .filterNot(snap.schema.fieldNames.contains)
+      else None
+    val src = matName match {
+      case Some(m) =>
+        DeltaRead.readSnapshotRowIds(spark, rootP.toString, subsetSnap, m)
+      case None => DeltaRead.readSnapshot(spark, rootP.toString, subsetSnap)
+    }
     val clustered =
       if (effZorder.nonEmpty)
         graft.operators.ZOrder.cluster(src, effZorder, zorderFiles, within = parts)

@@ -2625,6 +2625,15 @@ class DeltaWriteSuite extends SparkSpec {
     assert((0L until 5L).map(ids).sorted == (0L until 5L), s"fresh rows unchanged: $ids")
     // the hidden column never leaks into the plain read
     assert(!DeltaRead.read(spark, root).columns.contains("_mat_rid"))
+    // OPTIMIZE PRESERVES: the declared materialized column makes the
+    // rewrite carry every row's CURRENT id into the new file(s) —
+    // materialized 100..102 and fresh 0..4 alike survive the rewrite
+    DeltaWrite.compact(spark, root, targetFiles = 1)
+    val idsOpt = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(idsOpt == ids, s"OPTIMIZE must preserve declared row ids: $idsOpt vs $ids")
+    assert(DeltaRead.snapshot(spark, root).files.size == 1)
+    assert(!DeltaRead.read(spark, root).columns.contains("_mat_rid"))
   }
 
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
