@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_READ('/path', 3)                             -- time travel to v3
   * GRAFT_READ('/path', SINCE 3)                       -- delta committed after v3
   * GRAFT_READ('/path', TIMESTAMP '2026-01-01 12:00:00') -- timestamp time travel
+  * GRAFT_READ('/deltaPath', WITH ROW IDS)              -- rowTracking _row_id column
   * GRAFT_VERSIONS('/path')                            -- commit history
   * GRAFT_VERSIONS('/path', LIMIT 10)                  -- newest 10 only (bounded reads)
   * GRAFT_DIFF('/path', 1, 3, KEY k)                   -- keyed CDC v1 -> v3
@@ -76,7 +77,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val payloadCols = payload.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       AsOfJoinPlan.of(session.table(l), session.table(r), key, lt, rt, payloadCols)
         .queryExecution.logical
-    case ReadStmt(path, since, version, ts) =>
+    case ReadStmt(path, since, version, ts, rowIds) =>
       import graft.pipeline.VersionedTable
       // TIMESTAMP time travel: `yyyy-MM-dd HH:mm:ss[.f]` or ISO-8601
       // instants — delta-spark's timestampAsOf accepts both shapes
@@ -94,12 +95,20 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
         if (since != null) throw new IllegalArgumentException(
           s"GRAFT_READ(... SINCE n) is for graft versioned tables; $path is a " +
             "Delta table — read a pinned version and diff, or migrate the table")
-        tsMillis match {
-          case Some(m) => graft.sources.DeltaRead.readAt(session, path, m)
-          case None =>
+        (tsMillis, rowIds != null) match {
+          case (Some(_), true) => throw new IllegalArgumentException(
+            "GRAFT_READ: WITH ROW IDS composes with VERSION time travel, " +
+              "not TIMESTAMP — pin the version")
+          case (Some(m), false) => graft.sources.DeltaRead.readAt(session, path, m)
+          case (None, true) => graft.sources.DeltaRead.readWithRowIds(
+            session, path, Option(version).map(_.toLong))
+          case (None, false) =>
             graft.sources.DeltaRead.read(session, path, Option(version).map(_.toLong))
         }
       } else {
+        if (rowIds != null) throw new IllegalArgumentException(
+          s"GRAFT_READ(... WITH ROW IDS) surfaces the Delta rowTracking feature; " +
+            s"$path is a graft versioned table (its stable key is the table key)")
         // honor the format the table's commits recorded — hard-coding
         // parquet would misread a json/orc versioned table that the
         // DataFrame/YAML routes read fine
@@ -499,7 +508,8 @@ object GraftSqlParser {
     */
   private val ReadStmt =
     ("""(?is)^\s*GRAFT_READ\s*\(\s*'([^']+)'\s*""" +
-      """(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*|,\s*TIMESTAMP\s+'([^']+)'\s*)?\)\s*;?\s*$""").r
+      """(?:,\s*(?:(SINCE)\s+)?(\d{1,18})\s*|,\s*TIMESTAMP\s+'([^']+)'\s*)?""" +
+      """(?:,?\s*WITH\s+(ROW\s+IDS)\s*)?\)\s*;?\s*$""").r
 
   private val VersionsStmt =
     """(?is)^\s*GRAFT_VERSIONS\s*\(\s*'([^']+)'\s*(?:,\s*LIMIT\s+(\d{1,9})\s*)?\)\s*;?\s*$""".r

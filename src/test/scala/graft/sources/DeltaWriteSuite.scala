@@ -2625,6 +2625,10 @@ class DeltaWriteSuite extends SparkSpec {
     assert((0L until 5L).map(ids).sorted == (0L until 5L), s"fresh rows unchanged: $ids")
     // the hidden column never leaks into the plain read
     assert(!DeltaRead.read(spark, root).columns.contains("_mat_rid"))
+    // the SQL face routes to the same read
+    val viaSql = spark.sql(s"GRAFT_READ('$root', WITH ROW IDS)")
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(viaSql == ids, s"SQL row-id read must match the API: $viaSql")
     // OPTIMIZE PRESERVES: the declared materialized column makes the
     // rewrite carry every row's CURRENT id into the new file(s) —
     // materialized 100..102 and fresh 0..4 alike survive the rewrite
