@@ -127,6 +127,18 @@ object Bench {
       (name, math.min(s1, s2), e1.orElse(e2),
         s"""{"start_ms":$startMs,"end_ms":$endMs,"run1":$s1,"run2":$s2,"load1m":$load0}""")
     }
+    // FAIL-LOUD completeness gate (round 18): an artifact claiming to be
+    // "the bench" must cover EXACTLY SparkEntry.queries — round 17
+    // shipped a BENCH_sf1.json missing one query because the artifact
+    // predated the query's landing. An incomplete artifact is worse than
+    // none (it reads as "covered everything"), so refuse to write one.
+    val missingQ = SparkEntry.queries.keySet -- results.map(_._1).toSet
+    val extraQ = results.map(_._1).toSet -- SparkEntry.queries.keySet
+    require(missingQ.isEmpty && extraQ.isEmpty,
+      s"bench artifact would not cover SparkEntry.queries exactly — missing: " +
+        s"[${missingQ.toSeq.sorted.mkString(", ")}], extra: " +
+        s"[${extraQ.toSeq.sorted.mkString(", ")}]; refusing to write a " +
+        "misleading artifact")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":\"" + e + "\"" }

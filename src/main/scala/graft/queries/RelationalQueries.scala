@@ -1199,6 +1199,39 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q140: MERGE-STABLE ROW IDS (round 18 — completes q137/q139's
+    // row-tracking arc into delta-spark's materialized stable-id
+    // contract): two sorted single-file commits land deterministic id
+    // ranges, the table declares delta.rowTracking
+    // .materializedRowIdColumnName, and an UPDATE-ONLY merge (every
+    // source key exists) rewrites the touched files — surviving rows
+    // must keep their ids via the hidden materialized column, so the
+    // post-merge readWithRowIds hashes against the same per-slice
+    // row_number reconstruction q139 uses. Without preservation the
+    // rewritten rows would read fresh ids past the hwm and the hash
+    // breaks. Insert-minting + UPDATE stability are pinned in
+    // DeltaWriteSuite ("MERGE and UPDATE preserve declared
+    // materialized row ids").
+    "q140_delta_merge_ids" -> ((s, dir) => {
+      val root = scratchRoot("graft_q140")
+      val orders = t(s, dir, "orders")
+      def slice(r: Int) = orders.where(col("o_orderkey") % 2 === r)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      graft.sources.DeltaWrite.append(s, slice(0), root)
+      graft.sources.DeltaWrite.setProperties(s, root, Map(
+        "delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_graft_mat_rid"))
+      graft.sources.DeltaWrite.append(s, slice(1), root)
+      val src = graft.sources.DeltaRead.read(s, root)
+        .where(col("o_custkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") * 100).as("o_custkey"))
+      graft.sources.DeltaWrite.merge(s, src, root, Seq("o_orderkey"))
+      graft.sources.DeltaRead.readWithRowIds(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("_row_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2136,6 +2169,25 @@ object RelationalQueries {
         |SELECT o_orderkey,
         |  CAST(rid + (SELECT count(*) FROM s0) + (SELECT count(*) FROM s1) AS BIGINT) AS _row_id
         |FROM s2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge-stable ids from first principles: the ids are q139's
+    // per-slice row_number reconstruction (two %2 slices), UNCHANGED by
+    // the merge — only o_custkey moves (the update-only upsert's CASE)
+    "q140_delta_merge_ids" ->
+      """WITH s0 AS (SELECT o_orderkey, o_custkey,
+        |              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |s1 AS (SELECT o_orderkey, o_custkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |       FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 5 = 0 THEN o_custkey * 100 ELSE o_custkey END AS o_custkey,
+        |  CAST(rid AS BIGINT) AS _row_id FROM s0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 5 = 0 THEN o_custkey * 100 ELSE o_custkey END AS o_custkey,
+        |  CAST(rid + (SELECT count(*) FROM s0) AS BIGINT) AS _row_id FROM s1
         |ORDER BY o_orderkey""".stripMargin,
 
     // row-tracking round trip: base ∪ shifted append, then the merge's

@@ -267,14 +267,29 @@ object DeltaWrite {
         inlineMaxBytes, "UPDATE", path)
       if (updates.isEmpty) return snap.version // every match already deleted
       val touched = matched.keySet
-      val liveMatched = DeltaRead.readSnapshot(spark, rootP.toString,
-          snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
-        .where(condition)
-      val assigned = liveMatched.select(snap.schema.fields.map { f =>
+      // ROW-ID MATERIALIZATION (round 18): on a table declaring a
+      // materialized row-id column, UPDATE's postimage files carry each
+      // updated row's CURRENT id in the hidden column — an update moves
+      // a row to a new file but must not re-key it (delta-spark's
+      // stable-id contract; same machinery as compact/merge). The
+      // soft-deleted originals' files keep their baseRowId, so unmatched
+      // rows' ids never move either way.
+      val matName: Option[String] =
+        if (snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking") &&
+            snap.colMap.isEmpty && touched.forall(snap.rowIds.contains))
+          snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+            .filterNot(snap.schema.fieldNames.contains)
+        else None
+      val touchedSnap = snap.copy(files = snap.files.filter(kv => touched.contains(kv._1)))
+      val liveMatched = (matName match {
+        case Some(m) => DeltaRead.readSnapshotRowIds(spark, rootP.toString, touchedSnap, m)
+        case None => DeltaRead.readSnapshot(spark, rootP.toString, touchedSnap)
+      }).where(condition)
+      val assigned = liveMatched.select((snap.schema.fields.map { f =>
         byLower.get(f.name.toLowerCase)
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(s"`${f.name}`"))
-      }.toIndexedSeq: _*)
+      } ++ matName.map(m => col(s"`$m`"))).toIndexedSeq: _*)
       // generated columns RECOMPUTE from the post-update row unless the
       // statement assigned them explicitly — only the ASSIGNED ones
       // validate (a recomputed column equals its expression by
@@ -290,10 +305,14 @@ object DeltaWrite {
       enforceConstraints(snap, newRows, path, "UPDATE")
       val cdcFiles: Seq[NewFile] =
         if (!cdfEnabled(snap)) Nil
-        else writeCdcFiles(spark, snap,
-          liveMatched.withColumn("_change_type", lit("update_preimage"))
-            .unionByName(newRows.withColumn("_change_type", lit("update_postimage"))),
-          rootP, fs)
+        else {
+          val pre = matName.map(liveMatched.drop(_)).getOrElse(liveMatched)
+          val post = matName.map(newRows.drop(_)).getOrElse(newRows)
+          writeCdcFiles(spark, snap,
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
+            rootP, fs)
+        }
       val (physDf, physParts) = toPhysical(snap, newRows)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
@@ -400,7 +419,14 @@ object DeltaWrite {
     * (all-duplicates-win), where delta-spark fails the statement on
     * multiple source matches for one target row — callers porting a
     * MERGE workload with possibly-duplicated sources should
-    * `.dropDuplicates(keys)` first or pass a deduplicating mergeFn. Touched files READ WITH their
+    * `.dropDuplicates(keys)` first or pass a deduplicating mergeFn.
+    * ROW-ID MATERIALIZATION (round 18): on a rowTracking table
+    * declaring `delta.rowTracking.materializedRowIdColumnName`, the
+    * default-mergeFn rewrite preserves surviving rows' ids in the
+    * hidden column (carried rows keep theirs, updated rows inherit
+    * the matched target's, inserts mint fresh) — and duplicated
+    * source keys refuse loudly there (they cannot soundly share one
+    * inherited id). Touched files READ WITH their
     * deletion vectors applied, and their removes carry the DV
     * descriptors, so a merge after a DV delete stays consistent for
     * every reader. A CAS loss re-derives everything against the
@@ -480,15 +506,42 @@ object DeltaWrite {
         }
       }
       val touchedSet = touched.toSet
+      // ROW-ID MATERIALIZATION (round 18 — completes round 17's arc):
+      // when the table DECLARES a materialized row-id column
+      // (delta-spark's stable-id contract,
+      // `delta.rowTracking.materializedRowIdColumnName`), the merge's
+      // touched-file rewrite preserves each surviving row's CURRENT id
+      // by writing it into that hidden parquet column — carried rows
+      // keep theirs, updated rows inherit the matched target row's,
+      // and inserted rows stay null (the protocol's fresh formula
+      // baseRowId + row_index keys them). Attribution needs the
+      // DEFAULT upsert mergeFn (an arbitrary replacement frame can't
+      // be decomposed); custom-mergeFn merges on declaring tables keep
+      // the documented fresh-id behavior.
+      val matName: Option[String] =
+        if (mergeFn == null && snap.minWriter >= 7 &&
+            snap.writerFeatures.contains("rowTracking") && snap.colMap.isEmpty &&
+            touched.nonEmpty && touched.forall(snap.rowIds.contains))
+          snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+            .filterNot(m => snap.schema.fieldNames.contains(m) ||
+              source.columns.exists(_.equalsIgnoreCase(m)))
+        else None
       val touchedBase: DataFrame =
         if (touched.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-        else DeltaRead.readSnapshot(spark, rootP.toString,
-          snap.copy(files = snap.files.filter(kv => touchedSet.contains(kv._1))))
+        else matName match {
+          case Some(m) => DeltaRead.readSnapshotRowIds(spark, rootP.toString,
+            snap.copy(files = snap.files.filter(kv => touchedSet.contains(kv._1))), m)
+          case None => DeltaRead.readSnapshot(spark, rootP.toString,
+            snap.copy(files = snap.files.filter(kv => touchedSet.contains(kv._1))))
+        }
+      // id-carrying frames for the mergeFn: the hidden column must not
+      // leak into the upsert's key joins or the schema checks
+      val touchedData = matName.map(touchedBase.drop(_)).getOrElse(touchedBase)
       // merged output must conform to the TABLE schema (realigned by
       // name, loud on drift) — schema evolution is an explicit overwrite
-      val merged0 = fn(touchedBase, source)
+      val merged0 = fn(touchedData, source)
       val missing = snap.schema.fieldNames
         .filterNot(n => merged0.columns.exists(_.equalsIgnoreCase(n)))
       val extra = merged0.columns
@@ -497,7 +550,35 @@ object DeltaWrite {
         s"merge output does not match the Delta table schema at $path — missing: " +
           s"[${missing.mkString(", ")}], extra: [${extra.mkString(", ")}]; " +
           "overwrite the table to change its schema")
-      val merged = merged0.select(snap.schema.fieldNames.map(col): _*)
+      val merged = matName match {
+        case Some(m) =>
+          // stable ids demand unambiguous inheritance: a source key
+          // matching one target row inherits its id; a multi-row target
+          // key collapses under the upsert (source wins once) and the
+          // deterministic survivor id is the minimum; a DUPLICATED
+          // source key would copy one target id onto several output
+          // rows — refuse loudly, delta-spark fails multi-match MERGEs
+          // outright (dropDuplicates(keys) first)
+          val dupSrc = source.groupBy(keys.map(col): _*).count()
+            .where(col("count") > 1).limit(1).count() > 0
+          require(!dupSrc,
+            s"MERGE into Delta table at $path: the table declares a materialized " +
+              "row-id column, so source rows inherit their matched target row's " +
+              "id — a source carrying duplicate key values would mint DUPLICATE " +
+              "row ids; dropDuplicates(keys) the source first")
+          val idByKey = touchedBase
+            .groupBy(keys.map(col): _*)
+            .agg(org.apache.spark.sql.functions.min(col(s"`$m`")).as(m))
+          // re-derive the default upsert WITH ids: source rows pull the
+          // matched key's id (null = insert, fresh formula applies),
+          // carried rows keep the id they were read with
+          val srcWithId = source.join(idByKey, keys, "left")
+          val carriedWithId = touchedBase.join(
+            source.select(keys.map(col): _*), keys, "left_anti")
+          srcWithId.unionByName(carriedWithId, allowMissingColumns = true)
+            .select((snap.schema.fieldNames :+ m).map(col): _*)
+        case None => merged0.select(snap.schema.fieldNames.map(col): _*)
+      }
       snap.schema.fields.zip(merged.schema.fields).foreach { case (t, d) =>
         require(t.dataType.catalogString == d.dataType.catalogString,
           s"type mismatch merging into Delta table $path — column '${t.name}' " +
@@ -577,9 +658,9 @@ object DeltaWrite {
             if (srcNames.exists(_.equalsIgnoreCase(f.name))) col(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
-          val tKeys = touchedBase.select(tblKeys.map(col): _*)
+          val tKeys = touchedData.select(tblKeys.map(col): _*)
           val sKeys = srcT.select(tblKeys.map(col): _*)
-          val changes = touchedBase.join(sKeys, tblKeys, "left_semi")
+          val changes = touchedData.join(sKeys, tblKeys, "left_semi")
             .withColumn("_change_type", lit("update_preimage"))
             .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
               .withColumn("_change_type", lit("update_postimage")))
@@ -892,12 +973,13 @@ object DeltaWrite {
         // the publish choke point ([[stampRowTracking]]) — fresh ranges
         // from the delta.rowTracking high-water-mark domain for new
         // files, carried ids for re-adds of live paths (DV DML) and
-        // restores; checkpoints CARRY both fields. OPTIMIZE PRESERVES
-        // row ids when the table declares a materialized row-id column
+        // restores; checkpoints CARRY both fields. OPTIMIZE, MERGE and
+        // UPDATE rewrites PRESERVE row ids when the table declares a
+        // materialized row-id column
         // (delta.rowTracking.materializedRowIdColumnName — the rewrite
-        // writes each row's current id into it; [[compact]]).
-        // DIVERGENCE from delta-spark: MERGE's touched-file rewrites
-        // (and OPTIMIZE on tables WITHOUT the declaration) assign
+        // writes each surviving row's current id into it; [[compact]],
+        // [[merge]], [[update]]) — delta-spark's stable-id contract.
+        // Rewrites on tables WITHOUT the declaration assign
         // FRESH ids — spec-legal (the protocol only mandates fresh-id
         // bookkeeping; stability is delta-spark's materialization
         // extension), documented for consumers that assume stable ids.
@@ -921,7 +1003,18 @@ object DeltaWrite {
     */
   private def commitMetaDataChange(spark: SparkSession, path: String, operation: String)
       (change: DeltaRead.Snapshot => (org.apache.spark.sql.types.StructType,
-        Seq[String], Map[String, String], Option[String])): Long = {
+        Seq[String], Map[String, String], Option[String])): Long =
+    commitMetaDataChangeOpt(spark, path, operation)(s => Some(change(s)))
+
+  /** [[commitMetaDataChange]] whose `change` may signal an explicit
+    * NO-OP with `None` (commit nothing, return the current version) —
+    * the signal is a plain return value, not a non-local return
+    * escaping through the retry loop (which would break silently if
+    * the loop ever caught Throwable or deferred the closure).
+    */
+  private def commitMetaDataChangeOpt(spark: SparkSession, path: String, operation: String)
+      (change: DeltaRead.Snapshot => Option[(org.apache.spark.sql.types.StructType,
+        Seq[String], Map[String, String], Option[String])]): Long = {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
@@ -930,7 +1023,10 @@ object DeltaWrite {
       attempt += 1
       val snap = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(snap, path, removesData = false)
-      val (schema, parts, conf, protocolLine) = change(snap)
+      val (schema, parts, conf, protocolLine) = change(snap) match {
+        case Some(t) => t
+        case None => return snap.version // explicit no-op: nothing to commit
+      }
       val now = System.currentTimeMillis
       val lines = Seq.newBuilder[String]
       val ci = mapper.createObjectNode
@@ -1059,12 +1155,21 @@ object DeltaWrite {
       ShortType -> Set[DataType](IntegerType, LongType),
       IntegerType -> Set[DataType](LongType),
       FloatType -> Set[DataType](DoubleType))
-    commitMetaDataChange(spark, path, "CHANGE COLUMN") { snap =>
+    commitMetaDataChangeOpt(spark, path, "CHANGE COLUMN") { snap =>
       val idx = snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(column))
       require(idx >= 0, s"widenColumn at $path: unknown column '$column' " +
         s"(table columns: ${snap.schema.fieldNames.mkString(", ")})")
+      // partition values are log STRINGS parsed under the declared
+      // type — widening one is untested territory for stats pruning
+      // and pre-widening commits' partition-value parsing; delta-spark
+      // disallows ALTER COLUMN TYPE on partition columns too
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(column)),
+        s"widenColumn at $path: '$column' is a partition column — widening a " +
+          "partition column's type is not supported (delta-spark refuses this " +
+          "too); rewrite the table under the new type instead")
       val f = snap.schema(idx)
-      if (f.dataType == to) return snap.version // already wide: no-op
+      if (f.dataType == to) None // already wide: explicit no-op
+      else Some {
       require(allowed.get(f.dataType).exists(_.contains(to)),
         s"widenColumn at $path: ${deltaName(f.dataType)} → ${deltaName(to)} is not " +
           "a supported widening (byte/short/int up the integral chain, " +
@@ -1082,6 +1187,7 @@ object DeltaWrite {
       (StructType(snap.schema.fields.updated(idx, widened)),
         snap.partitionColumns, snap.configuration,
         protocolUpgradeTo(snap, "typeWidening"))
+      }
     }
   }
 
@@ -1790,6 +1896,25 @@ object DeltaWrite {
     if (!prevActive && !contentActive) return content
     var hwm = prevSnap.flatMap(_.domains.get(RowTrackingDomain))
       .map(parseHwm).getOrElse(-1L)
+    // Missing/unparseable high-water-mark domain on a table that already
+    // carries stamped files: restarting at 0 would silently mint row ids
+    // DUPLICATING the live files' ranges (the disjoint-range invariant
+    // with no error). Re-seed from the live ranges themselves —
+    // max(baseRowId + numRecords - 1) — refusing loudly when a stamped
+    // file's numRecords is unknowable (its range can't be bounded).
+    if (hwm < 0L && prevSnap.exists(_.rowIds.nonEmpty)) {
+      val s = prevSnap.get
+      hwm = s.rowIds.iterator.map { case (rel, (base, _)) =>
+        val nr = s.stats.get(rel).flatMap(DeltaRead.parseAddStats)
+          .map(_.rows).filter(_ >= 0L).getOrElse(
+            throw new IllegalStateException(
+              s"row tracking: the ${RowTrackingDomain} high-water-mark domain is " +
+                s"missing or unparseable and live file '$rel' carries a baseRowId " +
+                "but no numRecords stats — its id range cannot be bounded, so a " +
+                "fresh range cannot be assigned without risking duplicate row ids"))
+        base + nr - 1L
+      }.max
+    }
     val carried: Map[String, (Long, Long)] =
       prevSnap.map(_.rowIds).getOrElse(Map.empty)
     def numRecordsOf(a: com.fasterxml.jackson.databind.JsonNode): Option[Long] =

@@ -137,4 +137,23 @@ case class ShardedBloomMightContain(blobs: Seq[Array[Byte]],
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+
+  // Case-class equality over Seq[Array[Byte]] compares the arrays by
+  // REFERENCE, so two semantically identical probes never compared
+  // equal — defeating canonicalization, semanticEquals, and plan /
+  // subexpression reuse. Compare (and hash) the blob bytes deeply.
+  override def equals(other: Any): Boolean = other match {
+    case s: ShardedBloomMightContain =>
+      left == s.left && right == s.right &&
+        blobs.length == s.blobs.length &&
+        blobs.iterator.zip(s.blobs.iterator).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b)
+        }
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = 31 * left.hashCode() + right.hashCode()
+    blobs.foreach(b => h = 31 * h + java.util.Arrays.hashCode(b))
+    h
+  }
 }

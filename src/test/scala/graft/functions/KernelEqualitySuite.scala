@@ -47,6 +47,30 @@ class KernelEqualitySuite extends SparkSpec {
     }
   }
 
+  test("sharded-bloom probes with identical blob bytes are equal, different bytes are not") {
+    import org.apache.spark.sql.types.LongType
+    def blob(items: Seq[Long]): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+      items.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val sh = AttributeReference("s", LongType)()
+    val hv = AttributeReference("h", LongType)()
+    // two separately-serialized but byte-identical blob sets: deep
+    // equality must hold (reference equality never would)
+    val a = ShardedBloomMightContain(Seq(blob(Seq(1L, 2L)), null), sh, hv)
+    val b = ShardedBloomMightContain(Seq(blob(Seq(1L, 2L)), null), sh, hv)
+    assert(a == b, "identical sharded-bloom probes must be ==")
+    assert(a.hashCode == b.hashCode, "hashCode must agree on identical probes")
+    assert(a.semanticEquals(b), "semanticEquals must hold on identical probes")
+    assert(a != ShardedBloomMightContain(Seq(blob(Seq(1L, 3L)), null), sh, hv),
+      "different blob contents must not compare equal")
+    assert(a != ShardedBloomMightContain(Seq(blob(Seq(1L, 2L))), sh, hv),
+      "different shard counts must not compare equal")
+  }
+
   test("kernels with different matrices, scalars, or children are NOT equal") {
     val otherPlanes = planes(); otherPlanes(0)(0) += 1f
     assert(HyperplaneBits(vec, planes()) != HyperplaneBits(vec, otherPlanes))

@@ -2640,6 +2640,55 @@ class DeltaWriteSuite extends SparkSpec {
     assert(!DeltaRead.read(spark, root).columns.contains("_mat_rid"))
   }
 
+  test("row tracking: MERGE and UPDATE preserve declared materialized row ids") {
+    val root = tmp()
+    val df = spark.range(30L).select(col("id"), (col("id") % 5).as("k"))
+    DeltaWrite.append(spark, df.coalesce(1), root)                                   // v0
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))                // v1
+    def ids(): Map[Long, Long] = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    assert(before.size == 30)
+    // MERGE: keys 0..9 update (source wins), keys 100..104 insert —
+    // the touched-file rewrite must keep every SURVIVING row's id
+    // byte-stably (the delta-spark stable-id contract), and mint fresh
+    // ids only for the inserts
+    val src = spark.range(10L).select(col("id"), (col("id") + 100L).as("k"))
+      .unionByName(spark.range(100L, 105L).select(col("id"), lit(-1L).as("k")))
+    DeltaWrite.merge(spark, src, root, Seq("id"))                                    // v2
+    val after = ids()
+    assert(after.size == 35)
+    before.foreach { case (id, rid) =>
+      assert(after(id) == rid, s"MERGE re-keyed surviving row id=$id: ${after(id)} != $rid") }
+    val maxBefore = before.values.max
+    (100L to 104L).foreach(id =>
+      assert(after(id) > maxBefore, s"inserted row $id must get a fresh id past $maxBefore"))
+    assert(after.values.toSeq.distinct.size == after.size, "row ids must stay unique")
+    assertRowIdInvariants(root)
+    // UPDATE: moves matched rows into new files — their ids must not move
+    DeltaWrite.update(spark, root, "k = -1", Map("k" -> "7"))                        // v3
+    val after2 = ids()
+    assert(after2 == after, "UPDATE re-keyed rows it moved to new files")
+    assertRowIdInvariants(root)
+    // duplicate source keys cannot inherit one target id — loud refusal
+    val dup = spark.range(2L).select(lit(5L).as("id"), col("id").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, dup, root, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // a table WITHOUT the declaration keeps the documented fresh-id
+    // behavior (protocol-legal): merge rewrites may re-key
+    val root2 = tmp()
+    DeltaWrite.append(spark, df.coalesce(1), root2)
+    DeltaWrite.setProperties(spark, root2, Map("delta.enableRowTracking" -> "true"))
+    DeltaWrite.merge(spark,
+      spark.range(10L).select(col("id"), lit(9L).as("k")), root2, Seq("id"))
+    assertRowIdInvariants(root2) // sound bookkeeping either way
+  }
+
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
     val root = tmp()
     // data file via a plain append, then REWRITE the log by hand into
@@ -2668,6 +2717,53 @@ class DeltaWriteSuite extends SparkSpec {
     val s1 = assertRowIdInvariants(root)
     val fresh = (s1.rowIds -- s0.rowIds.keySet).values.map(_._1)
     assert(fresh.forall(_ >= 140L), s"fresh ids must continue past the foreign hwm: $fresh")
+  }
+
+  test("row tracking: a missing hwm domain re-seeds from live ranges, never restarts at 0") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(50L).toDF("id").coalesce(1), root)          // v0
+    DeltaWrite.setProperties(spark, root, Map("delta.enableRowTracking" -> "true"))  // v1
+    // tamper: drop the domainMetadata line from the enabling commit —
+    // simulates a foreign writer that stamped adds but never minted
+    // (or corrupted) the delta.rowTracking high-water-mark domain
+    val logDir = new java.io.File(root.stripPrefix("file:"), "_delta_log")
+    val v1 = new java.io.File(logDir, f"${1L}%020d.json")
+    val kept = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+      .split("\n").filter(l => l.trim.nonEmpty && !l.contains("\"domainMetadata\":"))
+      .mkString("\n") + "\n"
+    java.nio.file.Files.write(v1.toPath, kept.getBytes("UTF-8"))
+    new java.io.File(logDir, f"${1L}%020d.crc").delete()
+    val s1 = DeltaRead.snapshot(spark, root)
+    assert(!s1.domains.contains("delta.rowTracking"), "fixture: domain must be gone")
+    assert(s1.rowIds.nonEmpty, "fixture: backfilled ids must survive")
+    // the next stamping commit must NOT restart at baseRowId 0 (which
+    // would duplicate the live file's 0..49 range) — it re-seeds the
+    // hwm from max(baseRowId + numRecords - 1) over the live files
+    DeltaWrite.append(spark, spark.range(50L, 60L).toDF("id").coalesce(1), root)     // v2
+    val s2 = assertRowIdInvariants(root)
+    val fresh = (s2.rowIds -- s1.rowIds.keySet).values.map(_._1)
+    assert(fresh.nonEmpty && fresh.forall(_ >= 50L),
+      s"fresh ids must continue past the live ranges, got $fresh")
+  }
+
+  test("type widening: refuses partition columns; already-wide is a commit-free no-op") {
+    val root = tmp()
+    val df = spark.range(10L).select((col("id") % 3).cast("int").as("p"),
+      col("id").as("v"))
+    DeltaWrite.append(spark, df, root, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.widenColumn(spark, root, "p", org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("partition column"))
+    // already-wide: returns the current version and commits NOTHING
+    // (an explicit Option no-op, not a non-local return through the
+    // CAS retry loop)
+    val before = DeltaRead.snapshot(spark, root).version
+    val r = DeltaWrite.widenColumn(spark, root, "v",
+      org.apache.spark.sql.types.LongType)
+    assert(r == before, s"no-op must return the current version, got $r vs $before")
+    assert(DeltaRead.snapshot(spark, root).version == before,
+      "no-op must not land a commit")
   }
 
   test("type widening: widenColumn reads old narrow files under the wide schema") {
