@@ -1232,6 +1232,42 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q141: ID-KEYED CHANGE FEED (round 18 — q140's CDF face):
+    // readChangesWithRowIds surfaces _row_id on every change row —
+    // derived inserts from the adds' baseRowId + index, cdc deletes
+    // with their retired ids, update/merge pre/postimages SHARING each
+    // row's id (the writer stamps the hidden _graft_cdc_row_id column
+    // into _change_data on rowTracking tables; merge inserts re-derive
+    // from the commit's new files' fresh-id rows). Disjoint %7
+    // predicates make every change row's (type, version, id, value)
+    // closed-form reconstructible. Refusals (pre-enablement spans,
+    // unkeyed change rows) are pinned in DeltaWriteSuite ("the CDF
+    // feed carries row ids").
+    "q141_delta_cdf_ids" -> ((s, dir) => {
+      val root = scratchRoot("graft_q141")
+      val orders = t(s, dir, "orders")
+      def slice(r: Int) = orders.where(col("o_orderkey") % 2 === r)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      graft.sources.DeltaWrite.append(s, slice(0), root)
+      graft.sources.DeltaWrite.setProperties(s, root, Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_graft_mat_rid"))
+      graft.sources.DeltaWrite.append(s, slice(1), root)
+      graft.sources.DeltaWrite.delete(s, root, "o_orderkey % 7 = 3")
+      graft.sources.DeltaWrite.update(s, root, "o_orderkey % 7 = 5",
+        Map("o_custkey" -> "o_custkey + 1000000"))
+      val src = graft.sources.DeltaRead.read(s, root)
+        .where(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"), (col("o_custkey") * 10).as("o_custkey"))
+      graft.sources.DeltaWrite.merge(s, src, root, Seq("o_orderkey"))
+      graft.sources.DeltaRead.readChangesWithRowIds(s, root, 2L)
+        .select(col("o_orderkey"), col("o_custkey"), col("_change_type"),
+          col("_commit_version"), col("_row_id"))
+        .orderBy("o_orderkey", "_commit_version", "_change_type")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2189,6 +2225,42 @@ object RelationalQueries {
         |  CASE WHEN o_custkey % 5 = 0 THEN o_custkey * 100 ELSE o_custkey END AS o_custkey,
         |  CAST(rid + (SELECT count(*) FROM s0) AS BIGINT) AS _row_id FROM s1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the change feed from first principles: ids are the two-slice
+    // row_number reconstruction; each commit's change rows follow from
+    // its disjoint %7 predicate (v2 insert = slice 1, v3 delete, v4
+    // update pre/post, v5 merge pre/post) with the id INVARIANT across
+    // pre/postimages
+    "q141_delta_cdf_ids" ->
+      """WITH s0 AS (SELECT o_orderkey, o_custkey,
+        |              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |s1 AS (SELECT o_orderkey, o_custkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |       FROM orders WHERE o_orderkey % 2 = 1),
+        |ids AS (SELECT o_orderkey, o_custkey, rid FROM s0
+        |        UNION ALL
+        |        SELECT o_orderkey, o_custkey,
+        |          rid + (SELECT count(*) FROM s0) AS rid FROM s1)
+        |SELECT o_orderkey, o_custkey, 'insert' AS _change_type,
+        |  CAST(2 AS BIGINT) AS _commit_version, CAST(rid AS BIGINT) AS _row_id
+        |FROM ids WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'delete', 3, rid
+        |FROM ids WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'update_preimage', 4, rid
+        |FROM ids WHERE o_orderkey % 7 = 5
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey + 1000000, 'update_postimage', 4, rid
+        |FROM ids WHERE o_orderkey % 7 = 5
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'update_preimage', 5, rid
+        |FROM ids WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey * 10, 'update_postimage', 5, rid
+        |FROM ids WHERE o_orderkey % 7 = 1
+        |ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin,
 
     // row-tracking round trip: base ∪ shifted append, then the merge's
     // upsert closed form (source keys take the 'X' image, the rest carry)

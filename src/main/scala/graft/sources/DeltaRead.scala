@@ -200,7 +200,8 @@ object DeltaRead {
     */
   private[sources] def readSnapshotRowIds(spark: SparkSession, path: String,
                                           snap: Snapshot,
-                                          rowIdCol: String): DataFrame = {
+                                          rowIdCol: String,
+                                          matFlagCol: Option[String] = None): DataFrame = {
     val matName = snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
     matName.foreach { m =>
       if (snap.colMap.nonEmpty) throw new UnsupportedOperationException(
@@ -231,19 +232,29 @@ object DeltaRead {
     val joined = readSnapshot(spark, path, scanSnap, keepRowMeta = true)
       .join(baseDf, Seq("__graft_dv_fp"))
     val fresh = col("__graft_base_rid") + col("__graft_dv_ri")
-    matName match {
+    // `matFlagCol`: emit whether THIS row's id came from the hidden
+    // materialized column (true) or the fresh formula (false) — the
+    // CDF reader uses it to tell a rewrite's carried/updated rows
+    // (materialized) from its inserts (fresh) inside one add file.
+    val out0 = matName match {
       case Some(m) =>
         // when the caller names the OUTPUT after the materialized
         // column itself (compact's id-preserving rewrite does),
         // withColumn already REPLACED it — dropping m would drop the
         // result
-        val out = joined.withColumn(rowIdCol, coalesce(col(s"`$m`"), fresh))
-          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+        // flag FIRST: when rowIdCol == m the next withColumn replaces
+        // m, and a flag computed after would read the coalesced value
+        val flagged = matFlagCol.foldLeft(joined) {
+          (d, fc) => d.withColumn(fc, col(s"`$m`").isNotNull)
+        }.withColumn(rowIdCol, coalesce(col(s"`$m`"), fresh))
+        val out = flagged.drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
         if (rowIdCol == m) out else out.drop(m)
       case None =>
-        joined.withColumn(rowIdCol, fresh)
-          .drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
+        matFlagCol.foldLeft(joined.withColumn(rowIdCol, fresh)) {
+          (d, fc) => d.withColumn(fc, lit(false))
+        }.drop("__graft_dv_fp", "__graft_dv_ri", "__graft_base_rid")
     }
+    out0
   }
 
   /** The scan over an EXPLICIT snapshot-shaped file set — the body of
@@ -933,7 +944,41 @@ object DeltaRead {
     * same retention contract delta-spark's CDF has.
     */
   def readChanges(spark: SparkSession, path: String, fromVersion: Long,
-                  toVersion: Option[Long] = None): DataFrame = {
+                  toVersion: Option[Long] = None): DataFrame =
+    readChangesImpl(spark, path, fromVersion, toVersion, None)
+
+  /** The hidden column graft's cdc writers stamp each change row's row
+    * id into (rowTracking tables): `_change_data` parquet is not table
+    * data, so the column needs no mapping id and foreign readers prune
+    * it by name.
+    */
+  private[sources] val CdcRowIdCol = "_graft_cdc_row_id"
+
+  /** [[readChanges]] PLUS the protocol's row ids — one extra `rowIdCol`
+    * column keying every change row by the stable id the row has (or
+    * had) in the table, delta-spark 3.x's rowTracking-CDF surface:
+    *  - inserts carry the id the new row reads back with
+    *    (baseRowId + physical index, or its materialized id);
+    *  - deletes carry the retired row's id;
+    *  - update/merge preimage and postimage SHARE the row's id.
+    * Commits WITHOUT cdc actions derive ids from their add/remove
+    * actions' baseRowId (+ the hidden materialized column when the
+    * table declares one). Commits WITH cdc actions need the change
+    * rows themselves to carry ids ([[DeltaWrite]] stamps
+    * [[CdcRowIdCol]] on DELETE always, and on UPDATE/MERGE/RESTORE
+    * when ids are attributable — UPDATE/MERGE postimages need the
+    * materialized-column declaration, since without it the rewritten
+    * rows' fresh ids are unknowable at cdc-write time). A change row
+    * that cannot be keyed refuses loudly rather than feeding a
+    * consumer null keys.
+    */
+  def readChangesWithRowIds(spark: SparkSession, path: String, fromVersion: Long,
+                            toVersion: Option[Long] = None,
+                            rowIdCol: String = "_row_id"): DataFrame =
+    readChangesImpl(spark, path, fromVersion, toVersion, Some(rowIdCol))
+
+  private def readChangesImpl(spark: SparkSession, path: String, fromVersion: Long,
+                              toVersion: Option[Long], rowIdOpt: Option[String]): DataFrame = {
     val rootP = qualifiedRoot(spark, path)
     val logP = new Path(rootP, "_delta_log")
     val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -945,6 +990,13 @@ object DeltaRead {
         .exists(_.equalsIgnoreCase("true")),
       s"Delta table at $path does not have delta.enableChangeDataFeed=true — " +
         "enable it (DeltaWrite.setProperties) before reading the change feed")
+    rowIdOpt.foreach { ric =>
+      require(endSnap.minWriter >= 7 && endSnap.writerFeatures.contains("rowTracking"),
+        s"Delta table at $path does not carry the rowTracking writer feature — " +
+          "there are no row ids to key the change feed with")
+      require(!endSnap.schema.fieldNames.exists(_.equalsIgnoreCase(ric)),
+        s"row-id column '$ric' collides with a table column at $path")
+    }
     val physToLogical = endSnap.colMap.map(_.swap)
     def pvLogical(pv: Map[String, String]): Map[String, String] =
       if (physToLogical.isEmpty) pv
@@ -973,8 +1025,9 @@ object DeltaRead {
             "into the retained span"))
       var ts: Long = -1L
       val cdc = Seq.newBuilder[(String, Map[String, String], Long)]
+      // (relPath, partitionValues, size, dv, baseRowId | -1 when unstamped)
       val adds = Seq.newBuilder[(String, Map[String, String], Long,
-        DeletionVectors.Descriptor)]
+        DeletionVectors.Descriptor, Long)]
       val rms = Seq.newBuilder[(String, DeletionVectors.Descriptor)]
       content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
@@ -990,7 +1043,8 @@ object DeltaRead {
         if (node.has("add") && node.get("add").path("dataChange").asBoolean(true)) {
           val a = node.get("add")
           adds += ((decodePath(a.get("path").asText()), pvLogical(pvOf(a)),
-            a.path("size").asLong(-1L), parseDv(a.get("deletionVector"))))
+            a.path("size").asLong(-1L), parseDv(a.get("deletionVector")),
+            if (a.hasNonNull("baseRowId")) a.get("baseRowId").asLong() else -1L))
         }
         if (node.has("remove") &&
             node.get("remove").path("dataChange").asBoolean(true)) {
@@ -1004,16 +1058,90 @@ object DeltaRead {
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts)))
       val cdcFiles = cdc.result()
+      val addFiles = adds.result()
+      val rmFiles = rms.result()
+      val rmPaths = rmFiles.map(_._1).toSet
+      // this version's add actions as a snapshot-shaped scan; with row
+      // ids, each add's log-resident baseRowId keys the fresh formula
+      // (coalesced with the materialized column when declared), and
+      // `matInsertsOnly` keeps ONLY fresh-id rows — inside a preserving
+      // rewrite's output those are exactly the inserted rows
+      def readAdds(files: Seq[(String, Map[String, String], Long,
+          DeletionVectors.Descriptor, Long)], matInsertsOnly: Boolean): DataFrame = {
+        val snapV = endSnap.copy(version = v,
+          files = files.map(a => a._1 -> a._2).toMap,
+          sizes = files.map(a => a._1 -> a._3).toMap,
+          stats = Map.empty,
+          dvs = files.collect { case (rel, _, _, d, _) if d != null => rel -> d }.toMap)
+        rowIdOpt match {
+          case None => readSnapshot(spark, rootP.toString, snapV)
+          case Some(ric) =>
+            files.foreach { case (rel, _, _, _, brid) =>
+              require(brid >= 0L,
+                s"readChanges($path): commit $v adds '$rel' without a baseRowId — " +
+                  "the span reaches before row tracking was enabled; raise " +
+                  "fromVersion past the enablement commit or read without row ids") }
+            val withIds = readSnapshotRowIds(spark, rootP.toString,
+              snapV.copy(rowIds = files.map(a => a._1 -> (a._5, v)).toMap), ric,
+              matFlagCol = if (matInsertsOnly) Some("__graft_rid_mat") else None)
+            if (matInsertsOnly)
+              withIds.where(!col("__graft_rid_mat")).drop("__graft_rid_mat")
+            else withIds
+        }
+      }
       if (cdcFiles.nonEmpty) {
-        frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
+        val cdcSnap = endSnap.copy(
           version = v, schema = ctSchema, colMap = ctColMap,
           files = cdcFiles.map(c => c._1 -> c._2).toMap,
           sizes = cdcFiles.map(c => c._1 -> c._3).toMap,
-          stats = Map.empty, dvs = Map.empty)))
+          stats = Map.empty, dvs = Map.empty)
+        rowIdOpt match {
+          case None =>
+            frames += stamp(readSnapshot(spark, rootP.toString, cdcSnap))
+          case Some(ric) =>
+            // the change rows must carry their own ids ([[CdcRowIdCol]],
+            // stamped by graft's cdc writers on rowTracking tables);
+            // files written without it null-fill by name
+            val idSchema = StructType(ctSchema.fields :+
+              StructField(CdcRowIdCol, org.apache.spark.sql.types.LongType,
+                nullable = true))
+            val idColMap =
+              if (ctColMap.isEmpty) ctColMap else ctColMap + (CdcRowIdCol -> CdcRowIdCol)
+            val cdcDf = readSnapshot(spark, rootP.toString,
+              cdcSnap.copy(schema = idSchema, colMap = idColMap))
+            val nonIns = cdcDf.where(col("_change_type") =!= "insert")
+            require(nonIns.where(col(CdcRowIdCol).isNull).isEmpty,
+              s"readChanges($path): commit $v carries change-data rows without row " +
+                "ids — written before row-id support, or by an UPDATE/MERGE on a " +
+                "table with no materialized row-id column declaration (the " +
+                "rewritten rows' ids are unknowable at cdc-write time); declare " +
+                "delta.rowTracking.materializedRowIdColumnName or read without row ids")
+            frames += stamp(nonIns.withColumnRenamed(CdcRowIdCol, ric))
+            val ins = cdcDf.where(col("_change_type") === "insert")
+            val insKeyed = ins.where(col(CdcRowIdCol).isNotNull)
+            val insNull = ins.where(col(CdcRowIdCol).isNull)
+            val hasKeyed = !insKeyed.isEmpty
+            val hasNull = !insNull.isEmpty
+            require(!(hasKeyed && hasNull),
+              s"readChanges($path): commit $v mixes keyed and unkeyed insert " +
+                "change rows — cannot re-derive the unkeyed ones without " +
+                "double-counting the keyed ones")
+            if (hasKeyed)
+              frames += stamp(insKeyed.withColumnRenamed(CdcRowIdCol, ric))
+            if (hasNull) {
+              // unkeyed inserts (a preserving MERGE can't know its
+              // inserts' ids at cdc-write time): the inserted rows live
+              // in this commit's NEW files (paths it did not also
+              // remove) as exactly the fresh-id rows
+              val newAdds = addFiles.filterNot(a => rmPaths.contains(a._1))
+              require(newAdds.nonEmpty,
+                s"readChanges($path): commit $v has unkeyed insert change rows " +
+                  "but no new data files to derive their ids from")
+              frames += stamp(readAdds(newAdds, matInsertsOnly = true)
+                .withColumn("_change_type", lit("insert")))
+            }
+        }
       } else {
-        val addFiles = adds.result()
-        val rmFiles = rms.result()
-        val rmPaths = rmFiles.map(_._1).toSet
         // A dataChange remove of a file RE-ADDED in the same commit
         // under a different DV is a DV-style DELETE/UPDATE (committed
         // before CDF was enabled, or by a writer that skipped cdc
@@ -1021,7 +1149,7 @@ object DeltaRead {
         // for every SURVIVING row of the file. delta-spark fails such
         // a read — match its posture rather than feed consumers
         // spurious change rows.
-        addFiles.foreach { case (p, _, _, _) =>
+        addFiles.foreach { case (p, _, _, _, _) =>
           require(!rmPaths.contains(p),
             s"readChanges($path): commit $v both removes and re-adds '$p' with " +
               "dataChange=true and carries no cdc action — a deletion-vector " +
@@ -1030,13 +1158,7 @@ object DeltaRead {
               "too). Re-read from a version after CDF was enabled")
         }
         if (addFiles.nonEmpty) {
-          frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
-            version = v,
-            files = addFiles.map(a => a._1 -> a._2).toMap,
-            sizes = addFiles.map(a => a._1 -> a._3).toMap,
-            stats = Map.empty,
-            dvs = addFiles.collect { case (rel, _, _, d) if d != null => rel -> d }
-              .toMap))
+          frames += stamp(readAdds(addFiles, matInsertsOnly = false)
             .withColumn("_change_type", lit("insert")))
         }
         if (rmFiles.nonEmpty) {
@@ -1047,24 +1169,41 @@ object DeltaRead {
             require(prev.files.contains(rel),
               s"readChanges($path): commit $v removes $rel, which version " +
                 s"${v - 1} does not carry — cannot derive its deleted rows") }
-          frames += stamp(readSnapshot(spark, rootP.toString, endSnap.copy(
+          val rmSnap = endSnap.copy(
             version = v,
             files = rmFiles.map { case (rel, _) => rel -> prev.files(rel) }.toMap,
             sizes = prev.sizes, stats = Map.empty,
-            dvs = rmFiles.collect { case (rel, d) if d != null => rel -> d }.toMap))
-            .withColumn("_change_type", lit("delete")))
+            dvs = rmFiles.collect { case (rel, d) if d != null => rel -> d }.toMap)
+          val rmDf = rowIdOpt match {
+            case None => readSnapshot(spark, rootP.toString, rmSnap)
+            case Some(ric) =>
+              // deletes carry the RETIRED ids — the ids the rows had at
+              // v-1 (per-file baseRowId + physical index, materialized
+              // column honored)
+              rmFiles.foreach { case (rel, _) =>
+                require(prev.rowIds.contains(rel),
+                  s"readChanges($path): commit $v removes '$rel', which carries " +
+                    "no baseRowId at version ${v - 1} — the span reaches before " +
+                    "row tracking was enabled; raise fromVersion or read " +
+                    "without row ids") }
+              readSnapshotRowIds(spark, rootP.toString,
+                rmSnap.copy(rowIds =
+                  prev.rowIds.filter(kv => rmSnap.files.contains(kv._1))), ric)
+          }
+          frames += stamp(rmDf.withColumn("_change_type", lit("delete")))
         }
       }
     }
-    val outCols = (endSnap.schema.fieldNames :+ "_change_type" :+
-      "_commit_version" :+ "_commit_timestamp").map(col)
+    val outCols = ((endSnap.schema.fieldNames :+ "_change_type" :+
+      "_commit_version" :+ "_commit_timestamp") ++ rowIdOpt).map(col)
     frames.result() match {
       case Seq() =>
         import org.apache.spark.sql.types.{LongType, TimestampType}
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(ctSchema.fields :+
+          StructType((ctSchema.fields :+
             StructField("_commit_version", LongType, nullable = false) :+
-            StructField("_commit_timestamp", TimestampType, nullable = false)))
+            StructField("_commit_timestamp", TimestampType, nullable = false)) ++
+            rowIdOpt.map(StructField(_, LongType, nullable = false))))
       case fs0 => fs0.map(_.select(outCols: _*)).reduce(_.unionByName(_))
     }
   }

@@ -196,8 +196,18 @@ object DeltaWrite {
         if (!cdfEnabled(snap)) Nil
         else {
           val touched = matched.keySet
-          val delRows = DeltaRead.readSnapshot(spark, rootP.toString,
-              snap.copy(files = snap.files.filter(kv => touched.contains(kv._1))))
+          val tSnap = snap.copy(files = snap.files.filter(kv => touched.contains(kv._1)))
+          // rowTracking tables: the change rows carry their RETIRED ids
+          // ([[DeltaRead.CdcRowIdCol]]) so the id-keyed CDF read can
+          // surface them — a delete's ids are always attributable (the
+          // rows' files and baseRowIds are unchanged)
+          val withIds = snap.minWriter >= 7 &&
+            snap.writerFeatures.contains("rowTracking") && snap.colMap.isEmpty &&
+            touched.forall(snap.rowIds.contains)
+          val delRows = (if (withIds)
+              DeltaRead.readSnapshotRowIds(spark, rootP.toString, tSnap,
+                DeltaRead.CdcRowIdCol)
+            else DeltaRead.readSnapshot(spark, rootP.toString, tSnap))
             .where(condition)
             .withColumn("_change_type", lit("delete"))
           if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
@@ -306,8 +316,15 @@ object DeltaWrite {
       val cdcFiles: Seq[NewFile] =
         if (!cdfEnabled(snap)) Nil
         else {
-          val pre = matName.map(liveMatched.drop(_)).getOrElse(liveMatched)
-          val post = matName.map(newRows.drop(_)).getOrElse(newRows)
+          // with a materialized row-id column the pre/postimage SHARE
+          // each row's id (rename the id column to the cdc home
+          // [[DeltaRead.CdcRowIdCol]]); without it the postimage's
+          // fresh ids are unknowable here, so no ids attach and the
+          // id-keyed CDF read refuses this commit loudly
+          val pre = matName.map(m => liveMatched
+            .withColumnRenamed(m, DeltaRead.CdcRowIdCol)).getOrElse(liveMatched)
+          val post = matName.map(m => newRows
+            .withColumnRenamed(m, DeltaRead.CdcRowIdCol)).getOrElse(newRows)
           writeCdcFiles(spark, snap,
             pre.withColumn("_change_type", lit("update_preimage"))
               .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
@@ -660,12 +677,36 @@ object DeltaWrite {
           }: _*)
           val tKeys = touchedData.select(tblKeys.map(col): _*)
           val sKeys = srcT.select(tblKeys.map(col): _*)
-          val changes = touchedData.join(sKeys, tblKeys, "left_semi")
-            .withColumn("_change_type", lit("update_preimage"))
-            .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
-              .withColumn("_change_type", lit("update_postimage")))
-            .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
-              .withColumn("_change_type", lit("insert")))
+          val changes = matName match {
+            case Some(m) =>
+              // id-keyed changes (rowTracking + materialized column):
+              // preimages carry each matched target row's own id,
+              // postimages inherit the key's surviving id (min — the
+              // same deterministic survivor the data rewrite keeps; a
+              // multi-row target key's extra preimages surface with
+              // their retired ids), inserts stay unkeyed — their fresh
+              // ids are assigned at publish, and the id-keyed CDF read
+              // re-derives them from this commit's new files
+              val idByKey = touchedBase.groupBy(tblKeys.map(col): _*)
+                .agg(org.apache.spark.sql.functions.min(col(s"`$m`"))
+                  .as(DeltaRead.CdcRowIdCol))
+              touchedBase.withColumnRenamed(m, DeltaRead.CdcRowIdCol)
+                .join(sKeys, tblKeys, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
+                  .join(idByKey, tblKeys, "left")
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
+                  .withColumn(DeltaRead.CdcRowIdCol, lit(null).cast("long"))
+                  .withColumn("_change_type", lit("insert")))
+            case None =>
+              touchedData.join(sKeys, tblKeys, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
+                  .withColumn("_change_type", lit("insert")))
+          }
           if (changes.isEmpty) Nil else writeCdcFiles(spark, snap, changes, rootP, fs)
         }
 
@@ -2590,8 +2631,11 @@ object DeltaWrite {
       if (snap.colMap.isEmpty) changes
       else {
         val idMode = isIdMode(snap.configuration)
+        val extras = Seq(col("_change_type")) ++
+          (if (changes.columns.contains(DeltaRead.CdcRowIdCol))
+            Seq(col(DeltaRead.CdcRowIdCol)) else Nil)
         changes.select(snap.schema.fields.map(f =>
-          physAliasCol(idMode, f, snap.colMap(f.name))) :+ col("_change_type"): _*)
+          physAliasCol(idMode, f, snap.colMap(f.name))) ++ extras: _*)
       }
     val physParts = snap.partitionColumns.map(p => snap.colMap.getOrElse(p, p))
     writeDataFiles(spark, phys, rootP, fs, physParts, subdir = "_change_data")
@@ -3372,15 +3416,25 @@ object DeltaWrite {
             !target.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
           val ad = target.files.keySet.filter(rel =>
             !cur.files.contains(rel) || uid(cur.dvs, rel) != uid(target.dvs, rel))
+          // rowTracking: both sides' ids are attributable — retired
+          // rows carry the HEAD's ids, re-instated rows the target
+          // version's (restore re-adds embed their original baseRowId)
+          // — so the cdc rows key the id-surfacing CDF read directly
+          def canIds(s: DeltaRead.Snapshot, rels: Set[String]): Boolean =
+            s.minWriter >= 7 && s.writerFeatures.contains("rowTracking") &&
+              s.colMap.isEmpty && rels.forall(s.rowIds.contains)
+          def slice(s: DeltaRead.Snapshot, rels: Set[String]): DataFrame = {
+            val sub = s.copy(files = s.files.filter(kv => rels.contains(kv._1)))
+            if (canIds(s, rels))
+              DeltaRead.readSnapshotRowIds(spark, rootP.toString, sub,
+                DeltaRead.CdcRowIdCol)
+            else DeltaRead.readSnapshot(spark, rootP.toString, sub)
+          }
           val pieces = Seq.newBuilder[DataFrame]
           if (rm.nonEmpty)
-            pieces += DeltaRead.readSnapshot(spark, rootP.toString,
-                cur.copy(files = cur.files.filter(kv => rm.contains(kv._1))))
-              .withColumn("_change_type", lit("delete"))
+            pieces += slice(cur, rm).withColumn("_change_type", lit("delete"))
           if (ad.nonEmpty)
-            pieces += DeltaRead.readSnapshot(spark, rootP.toString,
-                target.copy(files = target.files.filter(kv => ad.contains(kv._1))))
-              .withColumn("_change_type", lit("insert"))
+            pieces += slice(target, ad).withColumn("_change_type", lit("insert"))
           pieces.result().reduceOption((a, b) =>
             a.unionByName(b, allowMissingColumns = true)) match {
             case None => Nil
@@ -3389,7 +3443,9 @@ object DeltaWrite {
                 target.schema.fieldNames.map(n =>
                   if (ch.columns.exists(_.equalsIgnoreCase(n))) col(n)
                   else lit(null).cast(target.schema(n).dataType).as(n))
-                :+ col("_change_type"): _*)
+                ++ Seq(col("_change_type")) ++
+                (if (ch.columns.contains(DeltaRead.CdcRowIdCol))
+                  Seq(col(DeltaRead.CdcRowIdCol)) else Nil): _*)
               if (aligned.isEmpty) Nil
               else writeCdcFiles(spark, target, aligned, rootP, fs)
           }

@@ -2689,6 +2689,60 @@ class DeltaWriteSuite extends SparkSpec {
     assertRowIdInvariants(root2) // sound bookkeeping either way
   }
 
+  test("row tracking: the CDF feed carries row ids across insert/delete/update/merge") {
+    val root = tmp()
+    val df = spark.range(20L).select(col("id"), (col("id") % 4).as("k"))
+    DeltaWrite.append(spark, df.coalesce(1), root)                                   // v0
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))                // v1
+    def live(): Map[Long, Long] = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids0 = live()
+    DeltaWrite.append(spark,
+      spark.range(20L, 25L).select(col("id"), lit(9L).as("k")).coalesce(1), root)    // v2
+    val ids1 = live()
+    DeltaWrite.delete(spark, root, "id >= 18 AND id < 22")                           // v3
+    DeltaWrite.update(spark, root, "id < 3", Map("k" -> "100"))                      // v4
+    val src = spark.range(4L, 6L).select(col("id"), lit(7L).as("k"))
+      .unionByName(spark.range(30L, 32L).select(col("id"), lit(8L).as("k")))
+    DeltaWrite.merge(spark, src, root, Seq("id"))                                    // v5
+    val idsEnd = live()
+    val ch = DeltaRead.readChangesWithRowIds(spark, root, 2L)
+      .select(col("id"), col("_change_type"), col("_commit_version"), col("_row_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // v2 (derived commit): inserts carry the ids the rows read back with
+    val v2 = ch.filter(_._3 == 2L)
+    assert(v2.length == 5 && v2.forall(_._2 == "insert"))
+    v2.foreach { case (id, _, _, rid) => assert(ids1(id) == rid, s"v2 insert id=$id") }
+    // v3 (cdc delete): the retired ids
+    val v3 = ch.filter(_._3 == 3L)
+    assert(v3.map(_._1).toSet == Set(18L, 19L, 20L, 21L) && v3.forall(_._2 == "delete"))
+    v3.foreach { case (id, _, _, rid) => assert(ids1(id) == rid, s"v3 delete id=$id") }
+    // v4 (cdc update): preimage and postimage SHARE the row's id
+    val v4 = ch.filter(_._3 == 4L)
+    assert(v4.count(_._2 == "update_preimage") == 3 &&
+      v4.count(_._2 == "update_postimage") == 3)
+    v4.foreach { case (id, _, _, rid) => assert(ids0(id) == rid, s"v4 update id=$id") }
+    // v5 (cdc merge): matched keys share ids; inserts carry the fresh
+    // ids their rows read back with (re-derived from the new files)
+    val v5 = ch.filter(_._3 == 5L)
+    val v5u = v5.filter(_._2.startsWith("update_"))
+    assert(v5u.map(_._1).toSet == Set(4L, 5L) && v5u.length == 4)
+    v5u.foreach { case (id, _, _, rid) => assert(ids0(id) == rid, s"v5 update id=$id") }
+    val v5i = v5.filter(_._2 == "insert")
+    assert(v5i.map(_._1).toSet == Set(30L, 31L))
+    v5i.foreach { case (id, _, _, rid) => assert(idsEnd(id) == rid, s"v5 insert id=$id") }
+    // the span refuses on a table whose cdc rows predate row-id support:
+    // pre-enablement commits have no baseRowId to derive from
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readChangesWithRowIds(spark, root, 0L).collect()
+    }
+    assert(e.getMessage.contains("baseRowId") || e.getMessage.contains("row ids"))
+  }
+
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
     val root = tmp()
     // data file via a plain append, then REWRITE the log by hand into
