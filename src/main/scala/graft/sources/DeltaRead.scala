@@ -177,9 +177,10 @@ object DeltaRead {
     * formula is `coalesce(materialized, baseRowId + row_index)` —
     * implemented by extending the read schema with the hidden column
     * (files without it read null, parquet by-name resolution).
-    * Column-mapped tables with a materialized column refuse (the
-    * hidden column's physical binding is not in the schema metadata
-    * this reader maps with).
+    * Column-mapped tables bind the hidden column by its OWN name
+    * (the declared name is a physical parquet name outside the mapped
+    * schema — delta-spark's shape); only a clash with a real column's
+    * physical name refuses.
     *
     * Refused loudly: live files without a baseRowId (an unbackfilled
     * suspended table has no ids to surface).
@@ -198,18 +199,23 @@ object DeltaRead {
     * shared with [[DeltaWrite.compact]]'s id-preserving rewrite, which
     * scans only its folded subset.
     */
-  private[sources] def readSnapshotRowIds(spark: SparkSession, path: String,
+  private[graft] def readSnapshotRowIds(spark: SparkSession, path: String,
                                           snap: Snapshot,
                                           rowIdCol: String,
                                           matFlagCol: Option[String] = None): DataFrame = {
     val matName = snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
     matName.foreach { m =>
-      if (snap.colMap.nonEmpty) throw new UnsupportedOperationException(
-        s"Delta table at $path is column-mapped AND carries materialized row ids " +
-          s"(column '$m') — the hidden column's physical binding is outside the " +
-          "schema metadata this reader maps with; read it with delta-spark")
       require(!snap.schema.fieldNames.contains(m),
         s"materialized row-id column '$m' collides with a table column at $path")
+      // COLUMN-MAPPED tables (round 18 — the r17 refusal lifted): the
+      // declared name IS the hidden column's physical parquet name
+      // (delta-spark mints it outside the mapped schema; it never has a
+      // mapping id), so the scan binds it identity-mapped — in id mode
+      // a field without parquet.field.id metadata resolves by name.
+      // Only a clash with a REAL column's physical name is unbindable.
+      require(!snap.colMap.values.exists(_ == m),
+        s"materialized row-id column '$m' collides with a mapped column's " +
+          s"physical name at $path")
     }
     val missing = snap.files.keySet -- snap.rowIds.keySet
     require(missing.isEmpty,
@@ -224,9 +230,11 @@ object DeltaRead {
       (new Path(rootP, rel).toUri.toString, b)
     }.toDF("__graft_dv_fp", "__graft_base_rid"))
     val scanSnap = matName match {
-      case Some(m) => snap.copy(schema = org.apache.spark.sql.types.StructType(
-        snap.schema.fields :+ org.apache.spark.sql.types.StructField(
-          m, org.apache.spark.sql.types.LongType, nullable = true)))
+      case Some(m) =>
+        val s2 = snap.copy(schema = org.apache.spark.sql.types.StructType(
+          snap.schema.fields :+ org.apache.spark.sql.types.StructField(
+            m, org.apache.spark.sql.types.LongType, nullable = true)))
+        if (snap.colMap.isEmpty) s2 else s2.copy(colMap = snap.colMap + (m -> m))
       case None => snap
     }
     val joined = readSnapshot(spark, path, scanSnap, keepRowMeta = true)
@@ -1434,7 +1442,7 @@ object DeltaRead {
     */
   private[graft] final case class CommitActions(
       version: Long,
-      adds: Seq[(String, Map[String, String], Long, String)],
+      adds: Seq[(String, Map[String, String], Long, String, Long)],
       removes: Int)
 
   /** Parse commits `(fromExclusive, toInclusive]` — the streaming
@@ -1453,7 +1461,8 @@ object DeltaRead {
           s"Delta log at $path is missing commit $v — the stream's lag exceeded " +
             "the log's retention (cleaned log); restart from a fresh checkpoint"))
       var removes = 0
-      val adds = Seq.newBuilder[(String, Map[String, String], Long, String)]
+      // (encodedPath, partitionValues, size, statsOrNull, baseRowId|-1)
+      val adds = Seq.newBuilder[(String, Map[String, String], Long, String, Long)]
       content.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("add")) {
@@ -1464,7 +1473,8 @@ object DeltaRead {
                 (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
               .getOrElse(Map.empty[String, String])
             adds += ((ad.get("path").asText(), pv,
-              ad.path("size").asLong(-1L), ad.path("stats").asText(null)))
+              ad.path("size").asLong(-1L), ad.path("stats").asText(null),
+              if (ad.hasNonNull("baseRowId")) ad.get("baseRowId").asLong() else -1L))
           }
         }
         if (node.has("remove") &&

@@ -202,7 +202,7 @@ object DeltaWrite {
           // surface them — a delete's ids are always attributable (the
           // rows' files and baseRowIds are unchanged)
           val withIds = snap.minWriter >= 7 &&
-            snap.writerFeatures.contains("rowTracking") && snap.colMap.isEmpty &&
+            snap.writerFeatures.contains("rowTracking") &&
             touched.forall(snap.rowIds.contains)
           val delRows = (if (withIds)
               DeltaRead.readSnapshotRowIds(spark, rootP.toString, tSnap,
@@ -286,9 +286,10 @@ object DeltaWrite {
       // rows' ids never move either way.
       val matName: Option[String] =
         if (snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking") &&
-            snap.colMap.isEmpty && touched.forall(snap.rowIds.contains))
+            touched.forall(snap.rowIds.contains))
           snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
-            .filterNot(snap.schema.fieldNames.contains)
+            .filterNot(m => snap.schema.fieldNames.contains(m) ||
+              snap.colMap.values.exists(_ == m))
         else None
       val touchedSnap = snap.copy(files = snap.files.filter(kv => touched.contains(kv._1)))
       val liveMatched = (matName match {
@@ -330,7 +331,7 @@ object DeltaWrite {
               .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
             rootP, fs)
         }
-      val (physDf, physParts) = toPhysical(snap, newRows)
+      val (physDf, physParts) = toPhysical(snap, newRows, matName.toSeq)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
       val next = snap.version + 1
@@ -537,11 +538,12 @@ object DeltaWrite {
       // the documented fresh-id behavior.
       val matName: Option[String] =
         if (mergeFn == null && snap.minWriter >= 7 &&
-            snap.writerFeatures.contains("rowTracking") && snap.colMap.isEmpty &&
+            snap.writerFeatures.contains("rowTracking") &&
             touched.nonEmpty && touched.forall(snap.rowIds.contains))
           snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
             .filterNot(m => snap.schema.fieldNames.contains(m) ||
-              source.columns.exists(_.equalsIgnoreCase(m)))
+              source.columns.exists(_.equalsIgnoreCase(m)) ||
+              snap.colMap.values.exists(_ == m))
         else None
       val touchedBase: DataFrame =
         if (touched.isEmpty)
@@ -652,7 +654,7 @@ object DeltaWrite {
             }
           }.toMap
         }
-      val (physDf, physParts) = toPhysical(snap, merged)
+      val (physDf, physParts) = toPhysical(snap, merged, matName.toSeq)
       val newFiles = withStats(spark, fs, rootP,
         writeDataFiles(spark, physDf, rootP, fs, physParts))
       if (touched.isEmpty && newFiles.isEmpty) return snap.version // empty no-op
@@ -1579,13 +1581,19 @@ object DeltaWrite {
   // session value restored — inside [[writeDataFiles]], which detects
   // parquet.field.id metadata anywhere in the frame's schema)
 
+  /** `extra`: pass-through columns OUTSIDE the table schema that must
+    * reach the parquet under their own names (the materialized row-id
+    * column — a physical name with no mapping id, per delta-spark).
+    */
   private def toPhysical(snap: DeltaRead.Snapshot,
-                         df: DataFrame): (DataFrame, Seq[String]) =
+                         df: DataFrame,
+                         extra: Seq[String] = Nil): (DataFrame, Seq[String]) =
     if (snap.colMap.isEmpty) (df, snap.partitionColumns)
     else {
       val idMode = isIdMode(snap.configuration)
       (df.select(snap.schema.fields.map(f =>
-        physAliasCol(idMode, f, snap.colMap(f.name))): _*),
+        physAliasCol(idMode, f, snap.colMap(f.name))) ++
+        extra.filter(df.columns.contains).map(e => col(s"`$e`")): _*),
         snap.partitionColumns.map(p => snap.colMap.getOrElse(p,
           throw new IllegalStateException(
             s"partition column '$p' has no column-mapping physical name"))))
@@ -3268,10 +3276,10 @@ object DeltaWrite {
     // coalesce(materialized, base + index) and see the original ids.
     val matName: Option[String] =
       if (snap.minWriter >= 7 && snap.writerFeatures.contains("rowTracking") &&
-          snap.colMap.isEmpty &&
           subsetSnap.files.keySet.forall(snap.rowIds.contains))
         snap.configuration.get("delta.rowTracking.materializedRowIdColumnName")
-          .filterNot(snap.schema.fieldNames.contains)
+          .filterNot(m => snap.schema.fieldNames.contains(m) ||
+            snap.colMap.values.exists(_ == m))
       else None
     val src = matName match {
       case Some(m) =>
@@ -3283,7 +3291,7 @@ object DeltaWrite {
         graft.operators.ZOrder.cluster(src, effZorder, zorderFiles, within = parts)
       else if (parts.isEmpty) src.repartition(targetFiles)
       else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
-    val (physDf, physParts) = toPhysical(snap, clustered)
+    val (physDf, physParts) = toPhysical(snap, clustered, matName.toSeq)
     val newFiles = withStats(spark, fs, rootP,
       writeDataFiles(spark, physDf, rootP, fs, physParts))
 
@@ -3422,7 +3430,7 @@ object DeltaWrite {
           // — so the cdc rows key the id-surfacing CDF read directly
           def canIds(s: DeltaRead.Snapshot, rels: Set[String]): Boolean =
             s.minWriter >= 7 && s.writerFeatures.contains("rowTracking") &&
-              s.colMap.isEmpty && rels.forall(s.rowIds.contains)
+              rels.forall(s.rowIds.contains)
           def slice(s: DeltaRead.Snapshot, rels: Set[String]): DataFrame = {
             val sub = s.copy(files = s.files.filter(kv => rels.contains(kv._1)))
             if (canIds(s, rels))

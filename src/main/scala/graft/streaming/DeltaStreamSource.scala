@@ -75,13 +75,17 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
         s"$root is not a Delta table (no _delta_log) — the graft-delta stream " +
           "needs a committed table, or an explicit .schema(...)")
       val base = DeltaRead.snapshot(spark, root).schema
-      if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))) {
-        import org.apache.spark.sql.types._
-        StructType(base.fields ++ Seq(
-          StructField("_change_type", StringType, nullable = true),
-          StructField("_commit_version", LongType, nullable = true),
-          StructField("_commit_timestamp", TimestampType, nullable = true)))
-      } else base
+      import org.apache.spark.sql.types._
+      val withCdf =
+        if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true")))
+          StructType(base.fields ++ Seq(
+            StructField("_change_type", StringType, nullable = true),
+            StructField("_commit_version", LongType, nullable = true),
+            StructField("_commit_timestamp", TimestampType, nullable = true)))
+        else base
+      if (parameters.get("withRowIds").exists(_.trim.equalsIgnoreCase("true")))
+        StructType(withCdf.fields :+ StructField("_row_id", LongType, nullable = true))
+      else withCdf
     }
     (shortName(), s)
   }
@@ -117,6 +121,13 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
       n
     }
     val cdf = flag("readChangeFeed")
+    val rowIds = flag("withRowIds")
+    if (rowIds) {
+      val snap0 = DeltaRead.snapshot(spark, root)
+      require(snap0.minWriter >= 7 && snap0.writerFeatures.contains("rowTracking"),
+        s"withRowIds on $root needs the rowTracking writer feature " +
+          "(DeltaWrite.setProperties delta.enableRowTracking=true)")
+    }
     if (cdf) {
       require(!flag("ignoreDeletes") && !flag("ignoreChanges"),
         "readChangeFeed streams every change properly typed — ignoreDeletes/" +
@@ -128,7 +139,7 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
     }
     new DeltaTableSource(spark, root, declared, initialFrom,
       ignoreDeletes = flag("ignoreDeletes"), ignoreChanges = flag("ignoreChanges"),
-      maxFilesPerTrigger = maxFiles, readChangeFeed = cdf)
+      maxFilesPerTrigger = maxFiles, readChangeFeed = cdf, withRowIds = rowIds)
   }
 }
 
@@ -138,7 +149,8 @@ class DeltaTableSource(spark: SparkSession, root: String,
                        ignoreDeletes: Boolean,
                        ignoreChanges: Boolean,
                        maxFilesPerTrigger: Option[Int] = None,
-                       readChangeFeed: Boolean = false) extends Source {
+                       readChangeFeed: Boolean = false,
+                       withRowIds: Boolean = false) extends Source {
 
   // COLUMN-MAPPED tables stream too (round 15): the commit parse
   // yields add.partitionValues in PHYSICAL-name space (the protocol's
@@ -225,8 +237,11 @@ class DeltaTableSource(spark: SparkSession, root: String,
     */
   private def changeBatch(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    def span(lo: Long, hi: Long): DataFrame =
+      if (withRowIds) DeltaRead.readChangesWithRowIds(spark, root, lo, Some(hi))
+      else DeltaRead.readChanges(spark, root, lo, Some(hi))
     if (from >= to && from >= 0L)
-      return DeltaRead.readChanges(spark, root, to, Some(to)).limit(0)
+      return span(to, to).limit(0)
     if (from < 0L) {
       val logP = new org.apache.hadoop.fs.Path(root, "_delta_log")
       val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -234,11 +249,12 @@ class DeltaTableSource(spark: SparkSession, root: String,
         new org.apache.hadoop.fs.Path(logP, f"$to%020d.json")).getModificationTime)
       catch { case scala.util.control.NonFatal(_) =>
         new java.sql.Timestamp(System.currentTimeMillis) }
-      DeltaRead.read(spark, root, Some(to))
+      (if (withRowIds) DeltaRead.readWithRowIds(spark, root, Some(to))
+       else DeltaRead.read(spark, root, Some(to)))
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(to))
         .withColumn("_commit_timestamp", lit(ts))
-    } else DeltaRead.readChanges(spark, root, from + 1, Some(to))
+    } else span(from + 1, to)
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -247,9 +263,12 @@ class DeltaTableSource(spark: SparkSession, root: String,
     val from = start.map(versionOf).getOrElse(initialFrom)
     if (readChangeFeed)
       return StreamingShims.asMicroBatch(conform(changeBatch(from, to)))
+    def fullRead(): DataFrame =
+      if (withRowIds) DeltaRead.readWithRowIds(spark, root, Some(to))
+      else DeltaRead.read(spark, root, Some(to))
     val batch =
-      if (from < 0L) DeltaRead.read(spark, root, Some(to))
-      else if (from >= to) DeltaRead.read(spark, root, Some(to)).limit(0)
+      if (from < 0L) fullRead()
+      else if (from >= to) fullRead().limit(0)
       else {
         val commits = DeltaRead.commitActions(spark, root, from, to)
         commits.filter(_.removes > 0).foreach { c =>
@@ -265,7 +284,7 @@ class DeltaTableSource(spark: SparkSession, root: String,
                   "an append-only table"))
         }
         val adds = commits.flatMap(_.adds)
-        if (adds.isEmpty) DeltaRead.read(spark, root, Some(to)).limit(0)
+        if (adds.isEmpty) fullRead().limit(0)
         else {
           // synthetic span snapshot -> the same log-planned scan as the
           // batch reader (partition literals, sizes, stats skipping)
@@ -277,15 +296,27 @@ class DeltaTableSource(spark: SparkSession, root: String,
           def pvLogical(pv: Map[String, String]): Map[String, String] =
             if (physToLogical.isEmpty || pv == null) pv
             else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
-          val files = adds.map { case (enc, pv, _, _) =>
+          val files = adds.map { case (enc, pv, _, _, _) =>
             decodeRel(enc) -> pvLogical(pv)
           }.toMap
-          val sizes = adds.map { case (enc, _, sz, _) => decodeRel(enc) -> sz }.toMap
-          val stats = adds.collect { case (enc, _, _, st) if st != null =>
+          val sizes = adds.map { case (enc, _, sz, _, _) => decodeRel(enc) -> sz }.toMap
+          val stats = adds.collect { case (enc, _, _, st, _) if st != null =>
             decodeRel(enc) -> st
           }.toMap
-          DeltaRead.readSnapshot(spark, root,
-            meta.copy(files = files, sizes = sizes, stats = stats))
+          val spanSnap = meta.copy(files = files, sizes = sizes, stats = stats)
+          if (withRowIds) {
+            // each add's log-resident baseRowId keys the span's rows —
+            // q139's formula applied per micro-batch, so a streaming
+            // consumer gets the same stable keys the batch read has
+            adds.foreach { case (enc, _, _, _, brid) =>
+              require(brid >= 0L,
+                s"delta stream at $root: commit adds '${decodeRel(enc)}' without " +
+                  "a baseRowId — the span reaches before row tracking was " +
+                  "enabled; restart the stream from a later startingVersion") }
+            DeltaRead.readSnapshotRowIds(spark, root,
+              spanSnap.copy(rowIds = adds.map { case (enc, _, _, _, brid) =>
+                decodeRel(enc) -> (brid, to) }.toMap), "_row_id")
+          } else DeltaRead.readSnapshot(spark, root, spanSnap)
         }
       }
     StreamingShims.asMicroBatch(conform(batch))

@@ -2743,6 +2743,51 @@ class DeltaWriteSuite extends SparkSpec {
     assert(e.getMessage.contains("baseRowId") || e.getMessage.contains("row ids"))
   }
 
+  test("row tracking: column-mapped tables read AND preserve materialized row ids") {
+    val root = tmp()
+    val df = spark.range(25L).select(col("id"), (col("id") % 5).as("k"))
+    DeltaWrite.append(spark, df.coalesce(1), root)                                   // v0
+    DeltaWrite.enableColumnMapping(spark, root)                                      // v1
+    DeltaWrite.renameColumn(spark, root, "k", "cat")                                 // v2
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))                // v3
+    def ids(): Map[Long, Long] = DeltaRead.readWithRowIds(spark, root)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the r17 refusal is LIFTED: the declared name is the hidden
+    // column's physical parquet name, bound identity-mapped
+    val before = ids()
+    assert(before.size == 25 && before.values.toSeq.sorted == (0L until 25L))
+    // a MERGE rewrite on the MAPPED table preserves ids through the
+    // materialized column (written under the hidden physical name)
+    val src = spark.range(5L).select(col("id"), lit(42L).as("cat"))
+    DeltaWrite.merge(spark, src, root, Seq("id"))                                    // v4
+    val after = ids()
+    before.foreach { case (id, rid) =>
+      assert(after(id) == rid, s"mapped MERGE re-keyed id=$id") }
+    // ... and OPTIMIZE preserves them too
+    DeltaWrite.compact(spark, root, targetFiles = 1)                                 // v5
+    assert(ids() == after, "mapped OPTIMIZE re-keyed rows")
+    // the logical read never leaks the hidden column, and the renamed
+    // logical schema still reads through the physical binding
+    val cols = DeltaRead.read(spark, root).columns.toSet
+    assert(cols == Set("id", "cat"))
+    assert(DeltaRead.read(spark, root).where(col("cat") === 42L).count() == 5L)
+    // a declaration clashing with a REAL column's physical name refuses
+    val root2 = tmp()
+    DeltaWrite.append(spark, df.coalesce(1), root2)
+    DeltaWrite.enableColumnMapping(spark, root2)
+    DeltaWrite.renameColumn(spark, root2, "k", "cat") // physical name stays "k"
+    DeltaWrite.setProperties(spark, root2, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "k")) // clashes physically
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readWithRowIds(spark, root2).collect()
+    }
+    assert(e.getMessage.contains("physical name"))
+  }
+
   test("row tracking: a foreign rowTracking table accepts a write continuing its hwm") {
     val root = tmp()
     // data file via a plain append, then REWRITE the log by hand into

@@ -234,6 +234,68 @@ class DeltaStreamSuite extends SparkSpec {
       "enableChangeDataFeed")
   }
 
+  test("withRowIds: batches carry stable _row_id matching the batch read") {
+    val root = tmp("dstream_rid")
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id"), root)                             // v0
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableRowTracking" -> "true"))                                      // v1
+    val name = sinkName()
+    val q = spark.readStream.format("graft-delta")
+      .option("withRowIds", "true").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // bootstrap snapshot carries ids = the batch readWithRowIds view
+      val boot = spark.table(name).select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      val batch0 = DeltaRead.readWithRowIds(spark, root).select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      assert(boot == batch0, s"bootstrap ids $boot != batch ids $batch0")
+      // an append's micro-batch carries the SAME ids the batch read
+      // assigns the new rows (q139's formula applied per span)
+      DeltaWrite.append(spark, Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+        .coalesce(1).sortWithinPartitions("id"), root)                           // v2
+      q.processAllAvailable()
+      val streamed = spark.table(name).select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      val batch1 = DeltaRead.readWithRowIds(spark, root).select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch1, s"streamed ids $streamed != batch ids $batch1")
+    } finally q.stop()
+    // CDF mode: change rows stream WITH ids
+    DeltaWrite.setProperties(spark, root, Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))            // v3
+    val name2 = sinkName()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("withRowIds", "true")
+      .option("startingVersion", "3").load(root)
+      .writeStream.format("memory").queryName(name2).start()
+    try {
+      val preIds = DeltaRead.readWithRowIds(spark, root).select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      DeltaWrite.delete(spark, root, "id = 2")                                   // v4
+      q2.processAllAvailable()
+      val rows = spark.table(name2)
+        .select("id", "_change_type", "_row_id")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(rows == Seq((2L, "delete", preIds(2L))),
+        s"CDF stream rows: $rows, expected delete of id=2 with rid ${preIds(2L)}")
+    } finally q2.stop()
+    // a table without rowTracking refuses the option loudly
+    val root2 = tmp("dstream_norid")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root2)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-delta")
+        .option("withRowIds", "true").load(root2)
+        .writeStream.format("memory").queryName(sinkName()).start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("rowTracking") ||
+      Option(e.getCause).exists(_.getMessage.contains("rowTracking")))
+  }
+
   test("deletion vectors apply to the stream's bootstrap snapshot batch") {
     val root = tmp("dstream_dv")
     DeltaWrite.append(spark,
