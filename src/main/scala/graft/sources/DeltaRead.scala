@@ -1191,7 +1191,7 @@ object DeltaRead {
               rmFiles.foreach { case (rel, _) =>
                 require(prev.rowIds.contains(rel),
                   s"readChanges($path): commit $v removes '$rel', which carries " +
-                    "no baseRowId at version ${v - 1} — the span reaches before " +
+                    s"no baseRowId at version ${v - 1} — the span reaches before " +
                     "row tracking was enabled; raise fromVersion or read " +
                     "without row ids") }
               readSnapshotRowIds(spark, rootP.toString,

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT_VACUUM('/path', KEEP 3, GRACE 0)             -- retire old versions (GRACE ms)
   * GRAFT_CHECKPOINT('/deltaPath'[, PARTS n])          -- fold a Delta log (maintenance)
   * GRAFT_PURGE('/deltaPath', FRACTION 0.05)           -- materialize DV-heavy files (REORG PURGE)
-  * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5])        -- Delta change feed span (table_changes)
+  * GRAFT_CHANGES('/deltaPath', FROM 2[, TO 5][, WITH ROW IDS]) -- Delta change feed span (table_changes)
   * GRAFT_SET_PROPERTIES('/deltaPath', SET 'k'='v'[, ...][, UNSET 'k2'[, ...]]) -- TBLPROPERTIES
   * GRAFT_CONSTRAINT('/deltaPath', ADD name CHECK (expr)) -- ALTER TABLE ADD CONSTRAINT
   * GRAFT_CONSTRAINT('/deltaPath', DROP name)          -- ALTER TABLE DROP CONSTRAINT
@@ -246,13 +246,16 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
       val v = graft.sources.DeltaWrite.checkpoint(session, path,
         Option(parts).map(_.toInt).getOrElse(0))
       Seq(v).toDF("checkpoint_version").queryExecution.logical
-    case ChangesStmt(path, fromV, toV) =>
+    case ChangesStmt(path, fromV, toV, rowIds) =>
       // delta-only: the versioned protocol's keyed CDC is GRAFT_DIFF
       require(graft.sources.DeltaRead.isDeltaTable(session, path),
         s"GRAFT_CHANGES reads a Delta change feed; $path is not a Delta table — " +
           "use GRAFT_DIFF(path, v1, v2, KEY k) for graft versioned tables")
-      graft.sources.DeltaRead.readChanges(session, path, fromV.toLong,
-        Option(toV).map(_.toLong)).queryExecution.logical
+      (if (rowIds != null)
+        graft.sources.DeltaRead.readChangesWithRowIds(session, path, fromV.toLong,
+          Option(toV).map(_.toLong))
+      else graft.sources.DeltaRead.readChanges(session, path, fromV.toLong,
+        Option(toV).map(_.toLong))).queryExecution.logical
     case SetPropsStmt(path, setsRaw, unsetRaw) if setsRaw != null || unsetRaw != null =>
       import session.implicits._
       require(graft.sources.DeltaRead.isDeltaTable(session, path),
@@ -439,7 +442,7 @@ class GraftSqlParser(session: org.apache.spark.sql.classic.SparkSession,
          VacuumStmt(_, _, _) | DeleteStmt(_, _) | UpdateStmt(_, _) |
          AppendStmt(_, _) |
          MergeStmt(_, _, _) | RestoreStmt(_, _, _) | CheckpointStmt(_, _) |
-         PurgeStmt(_, _) | ChangesStmt(_, _, _) | SetPropsStmt(_, _, _) |
+         PurgeStmt(_, _) | ChangesStmt(_, _, _, _) | SetPropsStmt(_, _, _) |
          ConstraintStmt(_, _, _, _) | AlterStmt(_, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
@@ -561,10 +564,12 @@ object GraftSqlParser {
 
   /** Delta CHANGE DATA FEED span read (delta-spark's `table_changes`):
     * table columns + _change_type/_commit_version/_commit_timestamp
-    * over commits FROM..TO (TO defaults to the head).
+    * over commits FROM..TO (TO defaults to the head). WITH ROW IDS
+    * additionally keys every change row with its stable `_row_id`
+    * (rowTracking tables — [[graft.sources.DeltaRead.readChangesWithRowIds]]).
     */
   private val ChangesStmt =
-    """(?is)^\s*GRAFT_CHANGES\s*\(\s*'([^']+)'\s*,\s*FROM\s+(\d{1,18})(?:\s*,\s*TO\s+(\d{1,18}))?\s*\)\s*;?\s*$""".r
+    """(?is)^\s*GRAFT_CHANGES\s*\(\s*'([^']+)'\s*,\s*FROM\s+(\d{1,18})(?:\s*,\s*TO\s+(\d{1,18}))?(?:\s*,\s*(WITH\s+ROW\s+IDS))?\s*\)\s*;?\s*$""".r
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES for Delta roots: one
     * metaData-only commit; enabling CDF upgrades the protocol in the

@@ -210,6 +210,19 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(s2.sql(s"GRAFT_CHANGES('$root', FROM 0, TO 2)")
       .where($"_change_type" === "insert" && $"_commit_version" === 0L)
       .count() == 2L)
+    // WITH ROW IDS keys the feed (rowTracking + id-carrying cdc rows)
+    graft.sources.DeltaWrite.setProperties(s2, root,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))   // v3
+    val ridOf2 = graft.sources.DeltaRead.readWithRowIds(s2, root)
+      .where($"id" === 2L).select($"_row_id").head().getLong(0)
+    graft.sources.DeltaWrite.delete(s2, root, "id = 2")                   // v4
+    val keyed = s2.sql(s"GRAFT_CHANGES('$root', FROM 4, WITH ROW IDS)")
+    assert(keyed.columns.last == "_row_id")
+    val krow = keyed.select($"id", $"_change_type", $"_row_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // the delete row carries the retired id the live read had
+    assert(krow == Seq((2L, "delete", ridOf2)), s"keyed feed: $krow")
     // versioned roots route to GRAFT_DIFF instead
     val vroot = java.nio.file.Files.createTempDirectory("graft_sqlcdf_v").toString + "/t"
     import graft.pipeline.{Append, SinkSpec, Writer}
