@@ -103,8 +103,19 @@ object Bench {
       System.gc()
     }
 
+    // DEV-ONLY subset iteration (SPARK_GRAFT_BENCH_FILTER=q141,...):
+    // runs the named queries with the same warmup/gate/min-of-2
+    // discipline but REFUSES to write artifacts — a filtered run must
+    // never masquerade as the bench (the completeness guard below)
+    val benchFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val toRun = benchFilter match {
+      case Some(f) => SparkEntry.queries.filter(kv => f.contains(kv._1))
+      case None => SparkEntry.queries
+    }
     val wallStart = System.currentTimeMillis()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = toRun.toSeq.map { case (name, fn) =>
       // min of two runs: single-run times on a shared VM carry ±2×
       // scheduler/GC noise; the min is the steady-state compute cost
       // (Spark cache cleared between runs — only the OS page cache
@@ -134,7 +145,7 @@ object Bench {
     // none (it reads as "covered everything"), so refuse to write one.
     val missingQ = SparkEntry.queries.keySet -- results.map(_._1).toSet
     val extraQ = results.map(_._1).toSet -- SparkEntry.queries.keySet
-    require(missingQ.isEmpty && extraQ.isEmpty,
+    require(benchFilter.isDefined || (missingQ.isEmpty && extraQ.isEmpty),
       s"bench artifact would not cover SparkEntry.queries exactly — missing: " +
         s"[${missingQ.toSeq.sorted.mkString(", ")}], extra: " +
         s"[${extraQ.toSeq.sorted.mkString(", ")}]; refusing to write a " +
@@ -178,7 +189,8 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf1") "BENCH_sf1.json"
       else "BENCH_DETAIL.json"
     val detail = java.nio.file.Paths.get(sys.props("user.dir"), detailName)
-    for (p <- Seq(java.nio.file.Paths.get("/tmp/bench.json"), detail))
+    for (p <- Seq(java.nio.file.Paths.get("/tmp/bench.json"), detail)
+         if benchFilter.isEmpty)
       try java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
       catch { case e: java.io.IOException =>
         System.err.println(s"WARN: bench artifact write failed at $p: $e") }

@@ -1117,25 +1117,32 @@ object DeltaRead {
               if (ctColMap.isEmpty) ctColMap else ctColMap + (CdcRowIdCol -> CdcRowIdCol)
             val cdcDf = readSnapshot(spark, rootP.toString,
               cdcSnap.copy(schema = idSchema, colMap = idColMap))
-            val nonIns = cdcDf.where(col("_change_type") =!= "insert")
-            require(nonIns.where(col(CdcRowIdCol).isNull).isEmpty,
+            // ONE validation pass per cdc commit (three separate
+            // isEmpty probes re-scanned the change files three times —
+            // job overhead dominated the whole id-keyed span read)
+            import org.apache.spark.sql.functions.{sum => fsum, when => fwhen}
+            val isIns = col("_change_type") === "insert"
+            val chk = cdcDf.agg(
+              fsum(fwhen(!isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L)),
+              fsum(fwhen(isIns && col(CdcRowIdCol).isNotNull, 1L).otherwise(0L)),
+              fsum(fwhen(isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L))).head()
+            def n(i: Int): Long = if (chk.isNullAt(i)) 0L else chk.getLong(i)
+            require(n(0) == 0L,
               s"readChanges($path): commit $v carries change-data rows without row " +
                 "ids — written before row-id support, or by an UPDATE/MERGE on a " +
                 "table with no materialized row-id column declaration (the " +
                 "rewritten rows' ids are unknowable at cdc-write time); declare " +
                 "delta.rowTracking.materializedRowIdColumnName or read without row ids")
-            frames += stamp(nonIns.withColumnRenamed(CdcRowIdCol, ric))
-            val ins = cdcDf.where(col("_change_type") === "insert")
-            val insKeyed = ins.where(col(CdcRowIdCol).isNotNull)
-            val insNull = ins.where(col(CdcRowIdCol).isNull)
-            val hasKeyed = !insKeyed.isEmpty
-            val hasNull = !insNull.isEmpty
+            frames += stamp(cdcDf.where(!isIns).withColumnRenamed(CdcRowIdCol, ric))
+            val hasKeyed = n(1) > 0L
+            val hasNull = n(2) > 0L
             require(!(hasKeyed && hasNull),
               s"readChanges($path): commit $v mixes keyed and unkeyed insert " +
                 "change rows — cannot re-derive the unkeyed ones without " +
                 "double-counting the keyed ones")
             if (hasKeyed)
-              frames += stamp(insKeyed.withColumnRenamed(CdcRowIdCol, ric))
+              frames += stamp(cdcDf.where(isIns && col(CdcRowIdCol).isNotNull)
+                .withColumnRenamed(CdcRowIdCol, ric))
             if (hasNull) {
               // unkeyed inserts (a preserving MERGE can't know its
               // inserts' ids at cdc-write time): the inserted rows live

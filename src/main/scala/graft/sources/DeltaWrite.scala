@@ -458,6 +458,26 @@ object DeltaWrite {
     val rootP = qualifiedRoot(spark, path)
     if (!DeltaRead.isDeltaTable(spark, rootP.toString))
       return write(spark, source, path, Mode.Append, Nil) // first write: plain create
+    // SOURCE MATERIALIZATION (round 18): one merge statement evaluates
+    // its source in several independent sub-plans — key collection,
+    // the classification range agg, the upsert's joins, the cdc
+    // decomposition's three joins. A self-referential source (MERGE
+    // reading its own target, q141's shape) re-scans the table per
+    // sub-plan, and a NONDETERMINISTIC source could disagree between
+    // the data rewrite and its change rows. Persist once for the
+    // statement (delta-spark materializes its merge source for the
+    // same two reasons), released in finally. MEMORY_AND_DISK: the
+    // source is delta-sized, not table-sized; spill beats rescan.
+    val src0 = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(spark, src0, path, keys, mergeFn, maxCollectedKeys)
+    finally src0.unpersist(false)
+  }
+
+  private def mergeImpl(spark: SparkSession, source: DataFrame, path: String,
+                        keys: Seq[String],
+                        mergeFn: (DataFrame, DataFrame) => DataFrame,
+                        maxCollectedKeys: Int): Long = {
+    val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
     val fn: (DataFrame, DataFrame) => DataFrame =
