@@ -1246,7 +1246,11 @@ object RelationalQueries {
     "q141_delta_cdf_ids" -> ((s, dir) => {
       val root = scratchRoot("graft_q141")
       val orders = t(s, dir, "orders")
-      def slice(r: Int) = orders.where(col("o_orderkey") % 2 === r)
+      // %8 slices (a quarter of orders): the single-file sorted commits
+      // the oracle's id determinism requires serialize every scan to
+      // 2-way parallelism, so the fixture stays small — full-volume DML
+      // cost is q117/q118/q131's job, q141's is id semantics
+      def slice(r: Int) = orders.where(col("o_orderkey") % 8 === r)
         .select(col("o_orderkey"), col("o_custkey"))
         .repartition(1).sortWithinPartitions("o_orderkey")
       graft.sources.DeltaWrite.append(s, slice(0), root)
@@ -2234,17 +2238,17 @@ object RelationalQueries {
     "q141_delta_cdf_ids" ->
       """WITH s0 AS (SELECT o_orderkey, o_custkey,
         |              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
-        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |            FROM orders WHERE o_orderkey % 8 = 0),
         |s1 AS (SELECT o_orderkey, o_custkey,
         |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
-        |       FROM orders WHERE o_orderkey % 2 = 1),
+        |       FROM orders WHERE o_orderkey % 8 = 1),
         |ids AS (SELECT o_orderkey, o_custkey, rid FROM s0
         |        UNION ALL
         |        SELECT o_orderkey, o_custkey,
         |          rid + (SELECT count(*) FROM s0) AS rid FROM s1)
         |SELECT o_orderkey, o_custkey, 'insert' AS _change_type,
         |  CAST(2 AS BIGINT) AS _commit_version, CAST(rid AS BIGINT) AS _row_id
-        |FROM ids WHERE o_orderkey % 2 = 1
+        |FROM ids WHERE o_orderkey % 8 = 1
         |UNION ALL
         |SELECT o_orderkey, o_custkey, 'delete', 3, rid
         |FROM ids WHERE o_orderkey % 7 = 3
