@@ -1272,6 +1272,38 @@ object RelationalQueries {
         .orderBy("o_orderkey", "_commit_version", "_change_type")
     }),
 
+    // q142: VARIANT COLUMNS (round 18 — Spark 4's VariantType + the
+    // Delta `variantType` reader+writer feature): deterministic JSON
+    // documents (nested object) parse into a variant column, land in a
+    // Delta table CREATED straight in the v3/v7 features form
+    // (readerFeatures/writerFeatures carry variantType — a (1,2)
+    // protocol would let feature-unaware readers misparse the
+    // encoding) with the UNSHREDDED struct<metadata, value> parquet
+    // layout the feature licenses (Spark shreds by default; graft's
+    // writer pins shredding off per data write). A DV DELETE keyed on
+    // a variant_get extraction proves DML composes with variant scans,
+    // then the read-back extracts typed paths ($.c bigint, nested
+    // $.n.p string, an absent path as NULL). Oracle: the extractions
+    // invert the JSON construction, so plain columns reconstruct
+    // everything.
+    "q142_delta_variant" -> ((s, dir) => {
+      val root = scratchRoot("graft_q142")
+      val orders = t(s, dir, "orders")
+      val df = orders.selectExpr("o_orderkey",
+        """parse_json(concat('{"k":', o_orderkey, ',"c":', o_custkey,
+           ',"n":{"p":"', o_orderpriority, '"}}')) AS payload""")
+      graft.sources.DeltaWrite.append(s, df, root)
+      graft.sources.DeltaWrite.delete(s, root,
+        "variant_get(payload, '$.k', 'bigint') % 7 = 2")
+      graft.sources.DeltaRead.read(s, root)
+        .where(expr("variant_get(payload, '$.k', 'bigint') % 3 = 0"))
+        .select(col("o_orderkey"),
+          expr("variant_get(payload, '$.c', 'bigint')").as("o_custkey"),
+          expr("variant_get(payload, '$.n.p', 'string')").as("o_orderpriority"),
+          expr("try_variant_get(payload, '$.missing', 'string')").as("absent"))
+        .orderBy("o_orderkey")
+    }),
+
     // q133: ALTER-COLUMN family (round 14) — enable name-mode column
     // mapping on a table THIS engine created (each field's physical
     // name = its current name, so existing files bind unchanged), then
@@ -2265,6 +2297,17 @@ object RelationalQueries {
         |SELECT o_orderkey, o_custkey * 10, 'update_postimage', 5, rid
         |FROM ids WHERE o_orderkey % 7 = 1
         |ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin,
+
+    // the variant round trip from first principles: the JSON document
+    // is built from the row's own columns, so every typed extraction
+    // inverts to the base column; the DV delete and the filter are the
+    // same %7 / %3 predicates on o_orderkey
+    "q142_delta_variant" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  CAST(NULL AS VARCHAR) AS absent
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 2 AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // row-tracking round trip: base ∪ shifted append, then the merge's
     // upsert closed form (source keys take the 'X' image, the rest carry)

@@ -1576,7 +1576,12 @@ object DeltaRead {
     // "VACUUM must validate the protocol first", which DeltaWrite.vacuum
     // does (requireWritable) — so tables carrying it stay readable
     val supported = Set("columnMapping", "timestampNtz", "deletionVectors",
-      "v2Checkpoint", "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
+      "v2Checkpoint", "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
+      // variant: Spark 4's parquet reader consumes both the unshredded
+      // struct<metadata, value> layout (variantType) and shredded files
+      // (variantShredding-preview — spark.sql.variant.allowReadingShredded
+      // is on by default), so tables carrying either stay readable
+      "variantType", "variantType-preview", "variantShredding-preview")
     if (minReader >= 3) {
       val unsupported = features -- supported
       require(unsupported.isEmpty,

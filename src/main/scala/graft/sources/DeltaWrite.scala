@@ -867,6 +867,60 @@ object DeltaWrite {
     6 -> Seq("identityColumns"))
     .filter(_._1 <= minWriter).flatMap(_._2)
 
+  /** Reader+writer table features the TYPES in a schema demand —
+    * the protocol gates these encodings behind features so a reader
+    * unaware of them refuses instead of silently misparsing:
+    * `variant` → `variantType` (parquet physical
+    * struct<metadata: binary, value: binary>; graft writes the
+    * UNSHREDDED form — shredding is the separate variantShredding
+    * feature this writer never produces, see [[writeDataFiles]]) and
+    * `timestamp without time zone` → `timestampNtz`. Recursive: a
+    * variant nested inside a struct/array/map gates the table too.
+    * Neither feature is implied by any legacy protocol version, so a
+    * schema carrying one must commit in the v3/v7 features form.
+    */
+  private[sources] def typeFeatures(
+      dt: org.apache.spark.sql.types.DataType): Set[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => Set("variantType")
+      case TimestampNTZType => Set("timestampNtz")
+      case s: StructType =>
+        s.fields.iterator.map(f => typeFeatures(f.dataType))
+          .foldLeft(Set.empty[String])(_ ++ _)
+      case a: ArrayType => typeFeatures(a.elementType)
+      case m: MapType => typeFeatures(m.keyType) ++ typeFeatures(m.valueType)
+      case _ => Set.empty
+    }
+  }
+
+  /** The protocol line a schema-changing commit must carry when its
+    * NEW schema of record introduces type-gated features the table's
+    * protocol does not yet list ([[typeFeatures]]) — the multi-feature
+    * sibling of [[protocolUpgradeTo]] (two protocol lines in one
+    * commit would drop each other's additions, so the missing
+    * features land in ONE line). None = nothing missing.
+    */
+  private def protocolUpgradeForTypes(snap: DeltaRead.Snapshot,
+                                      features: Set[String]): Option[String] = {
+    val have: Set[String] =
+      if (snap.minReader >= 3) snap.readerFeatures.intersect(snap.writerFeatures)
+      else Set.empty
+    val need = features -- have
+    if (need.isEmpty) return None
+    val legacyWriter = impliedWriterFeatures(snap.minWriter)
+    val legacyReader = if (snap.minReader >= 2) Seq("columnMapping") else Nil
+    val rf = (snap.readerFeatures ++ legacyReader ++ need).toSeq.sorted
+    val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader ++ need).toSeq.sorted
+    val p = mapper.createObjectNode
+    val pb = p.putObject("protocol")
+    pb.put("minReaderVersion", math.max(snap.minReader, 3))
+    pb.put("minWriterVersion", math.max(snap.minWriter, 7))
+    val rfa = pb.putArray("readerFeatures"); rf.foreach(rfa.add)
+    val wfa = pb.putArray("writerFeatures"); wf.foreach(wfa.add)
+    Some(mapper.writeValueAsString(p))
+  }
+
   private def protocolUpgradeTo(snap: DeltaRead.Snapshot, feature: String,
                                 extraWriter: Seq[String] = Nil): Option[String] = {
     if (snap.minReader >= 3 && snap.readerFeatures.contains(feature) &&
@@ -981,6 +1035,17 @@ object DeltaWrite {
         // stamped with a monotonic inCommitTimestamp ([[publishCommit]])
       case "timestampNtz" => () // a TYPE, not a behavior: Spark's parquet
         // writer/reader carry TIMESTAMP_NTZ natively
+      case "variantType" | "variantType-preview" => () // a TYPE, not a
+        // behavior: Spark 4 reads/writes the parquet variant group
+        // natively, and graft's data writes force the UNSHREDDED
+        // struct<metadata, value> layout the feature licenses
+        // ([[writeDataFiles]]); new tables with variant columns are
+        // created straight in the features form ([[commitContent]])
+      case "variantShredding-preview" => () // ALLOWS shredded layouts,
+        // does not mandate them — graft keeps writing the unshredded
+        // form the base variantType feature licenses, which remains a
+        // legal file shape under shredding; Spark 4's reader consumes
+        // both
       case "vacuumProtocolCheck" => () // its contract is "validate the
         // protocol before VACUUM" — [[vacuum]] runs THIS gate, so the
         // check the feature mandates is exactly what's executing
@@ -2171,6 +2236,17 @@ object DeltaWrite {
     }
     parts.foreach(p => require(df.columns.exists(_.equalsIgnoreCase(p)),
       s"partition column '$p' is not in the dataframe (${df.columns.mkString(", ")})"))
+    // partition values are log STRINGS — a variant has no canonical
+    // string form, so a variant partition column cannot round-trip
+    // through partitionValues (delta-spark refuses it too)
+    parts.foreach { p =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(p)).foreach { f =>
+        require(!typeFeatures(f.dataType).contains("variantType"),
+          s"partition column '$p' at $path is (or contains) a variant — variant " +
+            "values have no canonical partition-string form; partition by a " +
+            "derived column (e.g. variant_get(..) cast to a scalar) instead")
+      }
+    }
 
     // generated columns first: a batch omitting one gets it computed,
     // a batch supplying one is validated — BEFORE alignment, which
@@ -2601,6 +2677,16 @@ object DeltaWrite {
     }
     val needIds = carriesFieldIds(df.schema)
     val priorFieldId = if (needIds) spark.conf.getOption(FieldIdKey) else None
+    // variant columns write UNSHREDDED (Spark 4 shreds by default):
+    // the delta variantType feature licenses exactly the
+    // struct<metadata, value> physical layout — a shredded file needs
+    // the separate variantShredding feature, which this writer never
+    // declares, so shredding here would commit files other readers
+    // refuse or misread. Same set/restore discipline as the field-id
+    // flag above.
+    val ShredKey = "spark.sql.variant.writeShredding.enabled"
+    val hasVariant = typeFeatures(df.schema).contains("variantType")
+    val priorShred = if (hasVariant) spark.conf.getOption(ShredKey) else None
     try {
       // restore in finally so a failed write can't leak the flipped
       // flag into the session. The set/restore window is still visible
@@ -2610,12 +2696,19 @@ object DeltaWrite {
       // carry — but a concurrent writer that set it FALSE on purpose
       // should use its own session.
       if (needIds) spark.conf.set(FieldIdKey, "true")
+      if (hasVariant) spark.conf.set(ShredKey, "false")
       try {
         val w = df.write.mode("overwrite")
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
-      } finally if (needIds) priorFieldId match {
-        case Some(v) => spark.conf.set(FieldIdKey, v)
-        case None => spark.conf.unset(FieldIdKey)
+      } finally {
+        if (needIds) priorFieldId match {
+          case Some(v) => spark.conf.set(FieldIdKey, v)
+          case None => spark.conf.unset(FieldIdKey)
+        }
+        if (hasVariant) priorShred match {
+          case Some(v) => spark.conf.set(ShredKey, v)
+          case None => spark.conf.unset(ShredKey)
+        }
       }
       val found = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
       def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
@@ -2758,10 +2851,25 @@ object DeltaWrite {
     }
 
     if (version == 0L) {
+      val tf = typeFeatures(df.schema)
       val pr = mapper.createObjectNode
       val prb = pr.putObject("protocol")
-      prb.put("minReaderVersion", 1)
-      prb.put("minWriterVersion", 2)
+      if (tf.isEmpty) {
+        prb.put("minReaderVersion", 1)
+        prb.put("minWriterVersion", 2)
+      } else {
+        // variant / timestampNtz columns gate the table behind
+        // reader+writer features — a (1,2) protocol would let
+        // feature-unaware readers misparse the encoded values, so the
+        // table is CREATED straight in the features form
+        // (delta-spark's CREATE TABLE posture)
+        prb.put("minReaderVersion", 3)
+        prb.put("minWriterVersion", 7)
+        val rfa = prb.putArray("readerFeatures")
+        tf.toSeq.sorted.foreach(rfa.add)
+        val wfa = prb.putArray("writerFeatures")
+        (tf ++ impliedWriterFeatures(2)).toSeq.sorted.foreach(wfa.add)
+      }
       lines += mapper.writeValueAsString(pr)
     }
 
@@ -2846,6 +2954,17 @@ object DeltaWrite {
       confOut.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       mdb.put("createdTime", now)
       lines += mapper.writeValueAsString(md)
+      // a schema change EVOLVING IN a variant / timestampNtz column
+      // (mergeSchema append, full overwrite redefinition) upgrades the
+      // protocol in the SAME commit — committing the new schema under
+      // the old protocol would hand feature-unaware readers a type
+      // they silently misparse. Plain appends never reach here
+      // (needMeta false), so legacy tables aren't churned.
+      snap.filter(_ => version > 0L).foreach { s =>
+        import org.apache.spark.sql.types.{DataType, StructType}
+        val tf = typeFeatures(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+        protocolUpgradeForTypes(s, tf).foreach(lines += _)
+      }
     }
 
     removes.foreach { p =>

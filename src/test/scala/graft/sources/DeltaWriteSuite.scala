@@ -2960,4 +2960,111 @@ class DeltaWriteSuite extends SparkSpec {
     assert(s3.rowIds == s1.rowIds,
       "restored files are the same physical rows — their ids must carry")
   }
+
+  test("variant: creates in the features form, lands unshredded, and DML composes") {
+    val root = tmp()
+    val df = spark.range(20L).selectExpr("id",
+      """parse_json(concat('{"k":', id, ',"p":"x', id % 3, '"}')) AS v""")
+    assert(DeltaWrite.append(spark, df, root) == 0L)
+    val s = DeltaRead.snapshot(spark, root)
+    assert(s.minReader == 3 && s.minWriter == 7)
+    assert(s.readerFeatures == Set("variantType"))
+    assert(s.writerFeatures == Set("appendOnly", "invariants", "variantType"))
+    // the data file is the UNSHREDDED struct<metadata, value> layout the
+    // feature licenses — no typed_value group (Spark's default shredding)
+    val pq = new java.io.File(root).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(pq.nonEmpty)
+    pq.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val sch = r.getFooter.getFileMetaData.getSchema
+        val v = sch.getType(sch.getFieldIndex("v")).asGroupType()
+        assert(v.getFields.size == 2 &&
+          v.containsField("metadata") && v.containsField("value"),
+          s"expected unshredded variant group, got $v")
+      } finally r.close()
+    }
+    // DV delete keyed on a variant extraction, then in-place update
+    DeltaWrite.delete(spark, root, "variant_get(v, '$.k', 'bigint') % 4 = 0")
+    DeltaWrite.update(spark, root, "id % 4 = 1",
+      Map("v" -> """parse_json(concat('{"k":', id, ',"p":"upd"}'))"""))
+    val got = DeltaRead.read(spark, root)
+      .selectExpr("id", "variant_get(v, '$.p', 'string') AS p")
+      .as[(Long, String)].collect().toMap
+    assert(!got.keySet.exists(_ % 4 == 0), "DV-deleted rows must drop")
+    assert(got.filter(_._1 % 4 == 1).values.toSet == Set("upd"))
+    assert(got(2L) == "x2" && got(3L) == "x0")
+    // merge: source wins, insert mints
+    DeltaWrite.merge(spark,
+      spark.range(100L, 103L).selectExpr("id", "parse_json('{\"p\":\"m\"}') AS v"),
+      root, Seq("id"))
+    val after = DeltaRead.read(spark, root)
+      .selectExpr("id", "variant_get(v, '$.p', 'string') AS p")
+      .as[(Long, String)].collect().toMap
+    assert(after(100L) == "m" && after(101L) == "m" && after(102L) == "m")
+    assert(after(2L) == "x2")
+  }
+
+  test("variant: mergeSchema evolution upgrades the protocol in the same commit") {
+    val root = tmp()
+    DeltaWrite.append(spark, spark.range(3L).toDF("id"), root) // v0 at (1,2)
+    val s0 = DeltaRead.snapshot(spark, root)
+    assert(s0.minReader == 1 && s0.minWriter == 2)
+    DeltaWrite.append(spark,
+      spark.range(3L, 6L).selectExpr("id", "parse_json('{\"a\":7}') AS extra"),
+      root, mergeSchema = true)
+    val s1 = DeltaRead.snapshot(spark, root)
+    assert(s1.readerFeatures.contains("variantType") &&
+      s1.writerFeatures.contains("variantType"))
+    // the upgrade landed IN the evolution commit, not a separate one
+    val v1 = new java.io.File(root, "_delta_log/" + f"${1L}%020d" + ".json")
+    val content = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    assert(content.contains("\"protocol\"") && content.contains("\"metaData\""))
+    val got = DeltaRead.read(spark, root)
+      .selectExpr("id", "variant_get(extra, '$.a', 'int') AS a")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got(0L).isEmpty && got(4L).contains(7), "old files null-fill by name")
+  }
+
+  test("variant: partition-by refuses; timestampNtz tables create in the features form") {
+    val root = tmp()
+    val df = spark.range(4L).selectExpr("id", "parse_json('{}') AS v")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(spark, df, root, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("variant"))
+    // the old gap: an NTZ table used to commit at (1,2) — spec-wrong,
+    // timestampNtz is reader-gated
+    val root2 = tmp()
+    DeltaWrite.append(spark,
+      spark.range(3L).selectExpr("id",
+        "timestamp_ntz'2026-01-02 03:04:05' AS ts"), root2)
+    val s = DeltaRead.snapshot(spark, root2)
+    assert(s.readerFeatures == Set("timestampNtz") &&
+      s.writerFeatures == Set("appendOnly", "invariants", "timestampNtz"))
+    assert(DeltaRead.read(spark, root2).count() == 3L)
+  }
+
+  test("variant: CDF change rows and checkpoint folds carry variant columns") {
+    val root = tmp()
+    val df = spark.range(10L).selectExpr("id",
+      """parse_json(concat('{"k":', id, '}')) AS v""")
+    DeltaWrite.append(spark, df, root)                                        // v0
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                            // v1
+    DeltaWrite.delete(spark, root, "id % 3 = 0")                              // v2 (cdc)
+    val ch = DeltaRead.readChanges(spark, root, 2L)
+      .selectExpr("id", "variant_get(v, '$.k', 'bigint') AS k", "_change_type")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(ch == Seq((0L, 0L, "delete"), (3L, 3L, "delete"),
+      (6L, 6L, "delete"), (9L, 9L, "delete")))
+    DeltaWrite.checkpoint(spark, root)
+    val back = DeltaRead.read(spark, root)
+      .selectExpr("variant_get(v, '$.k', 'bigint') AS k")
+      .as[Long].collect().toSet
+    assert(back == (0L until 10L).filter(_ % 3 != 0).toSet)
+  }
 }
