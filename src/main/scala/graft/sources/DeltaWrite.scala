@@ -333,7 +333,8 @@ object DeltaWrite {
         }
       val (physDf, physParts) = toPhysical(snap, newRows, matName.toSeq)
       val newFiles = withStats(spark, fs, rootP,
-        writeDataFiles(spark, physDf, rootP, fs, physParts))
+        writeDataFiles(spark, physDf, rootP, fs, physParts,
+          shredOk = shredOptIn(snap)))
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
             updateContent(snap, updates, newFiles, condition, cdcFiles),
@@ -676,7 +677,8 @@ object DeltaWrite {
         }
       val (physDf, physParts) = toPhysical(snap, merged, matName.toSeq)
       val newFiles = withStats(spark, fs, rootP,
-        writeDataFiles(spark, physDf, rootP, fs, physParts))
+        writeDataFiles(spark, physDf, rootP, fs, physParts,
+          shredOk = shredOptIn(snap)))
       if (touched.isEmpty && newFiles.isEmpty) return snap.version // empty no-op
 
       // CHANGE DATA FEED: decompose the default upsert into the
@@ -922,14 +924,23 @@ object DeltaWrite {
   }
 
   private def protocolUpgradeTo(snap: DeltaRead.Snapshot, feature: String,
-                                extraWriter: Seq[String] = Nil): Option[String] = {
-    if (snap.minReader >= 3 && snap.readerFeatures.contains(feature) &&
+                                extraWriter: Seq[String] = Nil): Option[String] =
+    protocolUpgradeToAll(snap, Seq(feature), extraWriter)
+
+  /** [[protocolUpgradeTo]] for SEVERAL reader+writer features at once —
+    * a commit carries at most ONE protocol action (two lines would
+    * clobber each other), so an operation needing multiple reader
+    * features folds them into one upgrade line here.
+    */
+  private def protocolUpgradeToAll(snap: DeltaRead.Snapshot, features: Seq[String],
+                                   extraWriter: Seq[String] = Nil): Option[String] = {
+    if (features.forall(f => snap.minReader >= 3 && snap.readerFeatures.contains(f)) &&
         extraWriter.forall(snap.writerFeatures.contains)) return None
     val legacyWriter = impliedWriterFeatures(snap.minWriter)
     val legacyReader = if (snap.minReader >= 2) Seq("columnMapping") else Nil
-    val rf = (snap.readerFeatures ++ legacyReader + feature).toSeq.sorted
+    val rf = (snap.readerFeatures ++ legacyReader ++ features).toSeq.sorted
     val wf = (snap.writerFeatures ++ legacyWriter ++ legacyReader ++ extraWriter
-      + feature).toSeq.sorted
+      ++ features).toSeq.sorted
     val p = mapper.createObjectNode
     val pb = p.putObject("protocol")
     pb.put("minReaderVersion", math.max(snap.minReader, 3))
@@ -1042,10 +1053,11 @@ object DeltaWrite {
         // ([[writeDataFiles]]); new tables with variant columns are
         // created straight in the features form ([[commitContent]])
       case "variantShredding-preview" => () // ALLOWS shredded layouts,
-        // does not mandate them — graft keeps writing the unshredded
-        // form the base variantType feature licenses, which remains a
-        // legal file shape under shredding; Spark 4's reader consumes
-        // both
+        // does not mandate them — graft writes shredded only when the
+        // table also pins delta.enableVariantShredding=true
+        // ([[shredOptIn]]); otherwise the unshredded form stays, which
+        // remains a legal file shape under shredding. Spark 4's reader
+        // consumes both
       case "vacuumProtocolCheck" => () // its contract is "validate the
         // protocol before VACUUM" — [[vacuum]] runs THIS gate, so the
         // check the feature mandates is exactly what's executing
@@ -2446,7 +2458,8 @@ object DeltaWrite {
     // the distributed data job runs ONCE; CAS losers re-commit the
     // same files at a later version
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, physDf, rootP, fs, physParts))
+      writeDataFiles(spark, physDf, rootP, fs, physParts,
+        shredOk = existing.exists(shredOptIn)))
 
     fs.mkdirs(logP) // casPublish stages its tmp inside the log dir
     var snap = existing
@@ -2656,9 +2669,22 @@ object DeltaWrite {
     * metadata op). File names come from Spark's writer
     * (part-NNNNN-&lt;job-uuid&gt;…) so they never collide with live files.
     */
+  /** Does this table OPT IN to shredded variant layouts
+    * (`delta.enableVariantShredding=true` + the
+    * variantShredding-preview reader feature, both set by
+    * [[setProperties]])? Gated on BOTH so a bare property without the
+    * protocol feature can never produce files other readers refuse.
+    */
+  private def shredOptIn(snap: DeltaRead.Snapshot): Boolean =
+    snap.configuration.get("delta.enableVariantShredding")
+      .exists(_.equalsIgnoreCase("true")) &&
+      snap.minReader >= 3 &&
+      snap.readerFeatures.contains("variantShredding-preview")
+
   private def writeDataFiles(spark: SparkSession, df: DataFrame, rootP: Path,
                              fs: FileSystem, parts: Seq[String],
-                             subdir: String = ""): Seq[NewFile] = {
+                             subdir: String = "",
+                             shredOk: Boolean = false): Seq[NewFile] = {
     val staging = new Path(rootP,
       ".graft-delta-staging-" + java.util.UUID.randomUUID.toString.take(12))
     // id-mode frames carry parquet.field.id metadata that MUST reach
@@ -2685,7 +2711,7 @@ object DeltaWrite {
     // refuse or misread. Same set/restore discipline as the field-id
     // flag above.
     val ShredKey = "spark.sql.variant.writeShredding.enabled"
-    val hasVariant = typeFeatures(df.schema).contains("variantType")
+    val hasVariant = !shredOk && typeFeatures(df.schema).contains("variantType")
     val priorShred = if (hasVariant) spark.conf.getOption(ShredKey) else None
     try {
       // restore in finally so a failed write can't leak the flipped
@@ -2759,7 +2785,8 @@ object DeltaWrite {
           physAliasCol(idMode, f, snap.colMap(f.name))) ++ extras: _*)
       }
     val physParts = snap.partitionColumns.map(p => snap.colMap.getOrElse(p, p))
-    writeDataFiles(spark, phys, rootP, fs, physParts, subdir = "_change_data")
+    writeDataFiles(spark, phys, rootP, fs, physParts, subdir = "_change_data",
+      shredOk = shredOptIn(snap))
   }
 
   /** A `cdc` action line: `dataChange=false` per the protocol (cdc
@@ -3094,8 +3121,25 @@ object DeltaWrite {
       // action (two protocol lines would clobber each other)
       val needV2Ckpt = set.get("delta.checkpointPolicy").contains("v2") &&
         !(snap.minReader >= 3 && snap.readerFeatures.contains("v2Checkpoint"))
-      if (needV2Ckpt) {
-        protocolUpgradeTo(snap, "v2Checkpoint", needs.map(_._1)).foreach(lines += _)
+      // VARIANT SHREDDING opt-in (`delta.enableVariantShredding=true`,
+      // delta-spark's preview property): future variant writes keep
+      // Spark's shredded layout ([[writeDataFiles]] stops pinning it
+      // off), which the variantShredding-preview READER feature gates —
+      // and shredded files are still variant files, so the base
+      // variantType feature rides along when missing.
+      val needVarShred = set.get("delta.enableVariantShredding")
+        .exists(_.equalsIgnoreCase("true")) &&
+        !(snap.minReader >= 3 &&
+          snap.readerFeatures.contains("variantShredding-preview"))
+      val readerNeeds =
+        (if (needV2Ckpt) Seq("v2Checkpoint") else Nil) ++
+        (if (needVarShred)
+          Seq("variantShredding-preview") ++
+            (if (snap.minReader >= 3 && snap.readerFeatures.contains("variantType")) Nil
+             else Seq("variantType"))
+         else Nil)
+      if (readerNeeds.nonEmpty) {
+        protocolUpgradeToAll(snap, readerNeeds, needs.map(_._1)).foreach(lines += _)
       } else if (needs.nonEmpty) {
         if (snap.minWriter >= 7) {
           val missing = needs.map(_._1).filterNot(snap.writerFeatures.contains)
@@ -3432,7 +3476,8 @@ object DeltaWrite {
       else src.repartition(math.max(targetFiles, 1), parts.map(col): _*)
     val (physDf, physParts) = toPhysical(snap, clustered, matName.toSeq)
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, physDf, rootP, fs, physParts))
+      writeDataFiles(spark, physDf, rootP, fs, physParts,
+        shredOk = shredOptIn(snap)))
 
     var attempt = 0
     while (true) {
@@ -3738,7 +3783,8 @@ object DeltaWrite {
       snap.copy(files = snap.files.filter(kv => dirtySet.contains(kv._1))))
     val (physDf, physParts) = toPhysical(snap, src)
     val newFiles = withStats(spark, fs, rootP,
-      writeDataFiles(spark, physDf, rootP, fs, physParts))
+      writeDataFiles(spark, physDf, rootP, fs, physParts,
+        shredOk = shredOptIn(snap)))
     // the DV identity each folded file was rewritten AGAINST — a
     // competitor replacing the file or growing its DV makes the
     // staged rewrite stale (committing it would resurrect rows)

@@ -3067,4 +3067,43 @@ class DeltaWriteSuite extends SparkSpec {
       .as[Long].collect().toSet
     assert(back == (0L until 10L).filter(_ % 3 != 0).toSet)
   }
+
+  test("variant: delta.enableVariantShredding opts future writes into shredded files") {
+    val root = tmp()
+    def vdf(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr("id",
+      """parse_json(concat('{"k":', id, ',"p":"x', id % 3, '"}')) AS v""")
+    DeltaWrite.append(spark, vdf(0L, 5L), root)                                // v0
+    DeltaWrite.setProperties(spark, root,
+      Map("delta.enableVariantShredding" -> "true"))                          // v1
+    val s = DeltaRead.snapshot(spark, root)
+    assert(s.readerFeatures.contains("variantShredding-preview") &&
+      s.readerFeatures.contains("variantType"),
+      "the enablement must gate the protocol before any shredded file lands")
+    val before = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    DeltaWrite.append(spark, vdf(5L, 10L), root)                              // v2
+    def isShredded(name: String): Boolean = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(root + "/" + name),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val sch = r.getFooter.getFileMetaData.getSchema
+        sch.getType(sch.getFieldIndex("v")).asGroupType().containsField("typed_value")
+      } finally r.close()
+    }
+    val after = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.forall(!isShredded(_)), "pre-enablement files stay unshredded")
+    val fresh = after -- before
+    assert(fresh.nonEmpty && fresh.forall(isShredded),
+      "post-enablement appends write Spark's shredded layout")
+    // mixed shredded + unshredded files read as one table, DML composes
+    DeltaWrite.delete(spark, root, "variant_get(v, '$.k', 'bigint') % 2 = 0")
+    val got = DeltaRead.read(spark, root)
+      .selectExpr("id", "variant_get(v, '$.p', 'string') AS p")
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 10L).filter(_ % 2 == 1).toSet)
+    assert(got(7L) == "x1")
+  }
 }
