@@ -323,4 +323,26 @@ class DeltaStreamSuite extends SparkSpec {
         Seq(0L, 2L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("variant columns stream: bootstrap + tail appends deliver extractable variants") {
+    val root = tmp("dstream_var")
+    def vdf(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr("id",
+      """parse_json(concat('{"p":"x', id % 3, '"}')) AS v""").coalesce(1)
+    DeltaWrite.append(spark, vdf(0L, 3L), root)
+    val name = sinkName()
+    // extraction INSIDE the streaming query: the variant value crosses
+    // the micro-batch boundary as a first-class column
+    val q = spark.readStream.format("graft-delta").load(root)
+      .selectExpr("id", "variant_get(v, '$.p', 'string') AS p")
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((0L, "x0"), (1L, "x1"), (2L, "x2")))
+      DeltaWrite.append(spark, vdf(3L, 5L), root)
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((0L, "x0"), (1L, "x1"), (2L, "x2"), (3L, "x0"), (4L, "x1")))
+    } finally q.stop()
+  }
 }
