@@ -48,7 +48,7 @@ object BpeTrainer {
     * — every character one symbol.
     */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+    Spread(docs).select(explode(split(col(textCol), "\\s+")).as("w"))
       .where(col("w").rlike("^[a-z]{2,20}$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w").as("seq"), col("cnt"))

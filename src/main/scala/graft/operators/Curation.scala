@@ -33,7 +33,9 @@ object Curation {
       maxTokens: Long = 1000000,
       langs: Seq[String] = defaultLangs): DataFrame = {
     val t = col(textCol)
-    val featured = docs.select(
+    // Spread: tokenCount+langId+md5 are the corpus pass's whole cost —
+    // serial on a single-split scan (opt guide §2.5; see [[Spread]])
+    val featured = Spread(docs).select(
       col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
       TextAnalysis.langId(t).as("lang_pred"),
@@ -116,7 +118,7 @@ object Curation {
     * pair comparison.
     */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("id"),
+    Spread.medium(df).select(col(idCol).as("id"),
       explode(TextAnalysis.wordGramHashArray(
         TextAnalysis.normalize(col(textCol)), n)).as("gh"))
 
@@ -250,7 +252,7 @@ object Curation {
     val chunks = transform(
       sequence(lit(0), ((size(col("_toks")) - 1) / chunkTokens).cast("int")),
       i => concat_ws(" ", slice(col("_toks"), i * chunkTokens + 1, lit(chunkTokens))))
-    docs.select(col(idCol).as("id"),
+    Spread.medium(docs).select(col(idCol).as("id"),
         TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("_toks"))
       .select(col("id"), explode(chunks).as("chunk"))
       .where(col("chunk") =!= "")
@@ -292,7 +294,7 @@ object Curation {
     val segs = transform(
       sequence(lit(0), ((size(col("_toks")) - 1) / chunkTokens).cast("int")),
       i => concat_ws(" ", slice(col("_toks"), i * chunkTokens + 1, lit(chunkTokens))))
-    val exploded = docs
+    val exploded = Spread.medium(docs)
       .select(col(idCol).as("id"),
         TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("_toks"))
       .select(col("id"), posexplode(segs).as(Seq("pos", "seg")))
@@ -453,7 +455,7 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     require(langs.nonEmpty, "languageMix needs at least one language")
     val ls = langs.distinct.sorted // a duplicated entry would double-count in the denominator
-    val stats = docs.where(col(langCol).isin(ls: _*))
+    val stats = Spread.medium(docs).where(col(langCol).isin(ls: _*))
       .groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
@@ -481,7 +483,7 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(idCol)
-    docs.select(col(idCol), col(groupCol),
+    Spread.medium(docs).select(col(idCol), col(groupCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .where(col("cum_tokens") <= budgetPerGroup)
@@ -515,7 +517,7 @@ object Curation {
     require(strideTokens >= 1 && strideTokens <= windowTokens,
       s"strideTokens must be in [1, windowTokens]: $strideTokens")
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
-    docs.select(col(idCol), toks.as("_toks"))
+    Spread.medium(docs).select(col(idCol), toks.as("_toks"))
       .select(col(idCol),
         // ceil((n-W)/S)+1 in pure int math (n>W in that branch, so
         // the truncating cast IS floor) — engine-portable

@@ -30,7 +30,7 @@ object Dedup {
     * the 8-byte xxhash64 key keeps shuffle volume minimal.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    Spread.medium(docs)
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
@@ -60,7 +60,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cols = docs.columns.map(col).toIndexedSeq
-    docs
+    Spread.medium(docs)
       .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
       .groupBy(col("_fp"))
       .agg(
@@ -80,7 +80,15 @@ object Dedup {
     * `checkpoint`/table write would replace the local checkpoint.
     */
   private[operators] def materializeAndRelease(result: DataFrame, temps: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    // REBALANCE before the checkpoint (r18, guide §2.2 "fewer, larger
+    // partitions"): operator results used to checkpoint with whatever
+    // partition count the producing stage had — often the full shuffle
+    // width (or a union of widths) for a few thousand rows — and every
+    // downstream stage then paid that task count per pass. The AQE
+    // rebalance shuffle right-sizes the checkpointed blocks to
+    // advisory-size partitions: one for the typical pair/score set,
+    // advisory-sized chunks at warehouse scale. Row set unchanged.
+    val out = result.hint("rebalance").localCheckpoint(true)
     temps.foreach(_.unpersist(false))
     out
   }
@@ -143,7 +151,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         numHashes: Int = 128, shingleK: Int = 5, seed: Long = 42L): DataFrame =
-    docs.select(col(idCol).as("id"),
+    Spread(docs).select(col(idCol).as("id"),
       graft.functions.VectorFunctions.minhashSig(
         TextAnalysis.normalize(col(textCol)), numHashes, shingleK, seed).as("sig"))
 
@@ -434,7 +442,10 @@ object Dedup {
     val nCand = candIds.count()
     val small = nCand <= maxBroadcastDocs
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
-    val candDocs = docs.join(hint(candIds), Seq(idCol), "left_semi")
+    // Spread BEFORE the set build: the ShingleSet kernel is the verify
+    // stage's dominant per-row cost and a single-split corpus scan
+    // would run it serially (opt guide §2.5 — see [[Spread]]).
+    val candDocs = Spread(docs).join(hint(candIds), Seq(idCol), "left_semi")
     // The set table feeds both verify joins — persist so the projection
     // and semi-join run once (released by caller).
     val sets = candDocs.select(col(idCol).as("id"),
@@ -560,7 +571,7 @@ object Dedup {
     * the equivalence test).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", shingleK: Int = 5): DataFrame =
-    docs.select(col(idCol).as("id"),
+    Spread(docs).select(col(idCol).as("id"),
       graft.functions.VectorFunctions.simhash64(
         TextAnalysis.normalize(col(textCol)), shingleK).as("simhash"))
 
@@ -597,7 +608,7 @@ object Dedup {
   def simhashPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                       shingleK: Int = 5): DataFrame = {
     val t = col("__t")
-    val shingles = docs
+    val shingles = Spread(docs)
       .select(col(idCol).as("id"), TextAnalysis.normalize(col(textCol)).as("__t"))
       .select(col("id"), t,
         explode(sequence(lit(1), greatest(length(t) - (shingleK - 1), lit(1)))).as("__i"))
@@ -753,7 +764,7 @@ object Dedup {
   private[operators] def windowGrams(base: DataFrame, n: Int,
                                      hashed: Boolean): DataFrame = {
     require(n >= 2, s"window length must be >= 2: $n")
-    base
+    Spread(base)
       .select(col("doc_id"), col("__t"),
         explode(when(length(col("__t")) >= n,
           sequence(lit(1), length(col("__t")) - (n - 1)))

@@ -63,7 +63,7 @@ object NgramLm {
     // one (plan-pinned in PlanAuditSuite). The w1 partition is bounded
     // by vocabulary fan-out, never corpus volume.
     val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-    docs.select(words(col(textCol)).as("__ws")) // projection boundary: see bigramsOfWs
+    Spread.medium(docs).select(words(col(textCol)).as("__ws")) // projection boundary: see bigramsOfWs
       .select(explode(bigramsOfWs(col("__ws"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -90,7 +90,7 @@ object NgramLm {
     // total + found + mass in a single per-doc aggregation — the
     // two-aggregation alternative scans the corpus text twice. The id
     // spine re-join only reads the id column (column-pruned scan).
-    val flagged = docs
+    val flagged = Spread.medium(docs)
       .select(col(idCol), words(col(textCol)).as("__ws")) // boundary: see bigramsOfWs
       .select(col(idCol), explode(bigramsOfWs(col("__ws"))).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))

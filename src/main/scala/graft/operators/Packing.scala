@@ -51,7 +51,12 @@ object Packing {
 
     val lenExpr =
       if (lengthCol != null) lengthCol else TextAnalysis.tokenCount(col(textCol))
-    val sized = docs.select(col(idCol).cast("long").as("id"),
+    // Spread: the sizing expression (a learned tokenizer's count in
+    // q130's shape) is the scan's whole cost — dense when the caller
+    // passes a learned-length expression, byte-floored for the default
+    // whitespace count (see [[Spread]])
+    val sized = (if (lengthCol != null) Spread(docs) else Spread.medium(docs))
+      .select(col(idCol).cast("long").as("id"),
       lenExpr.cast("long").as("n_tokens"))
     val ranged = (if (numPartitions > 0) sized.repartitionByRange(numPartitions, col("id"))
                   else sized.repartitionByRange(col("id")))

@@ -38,7 +38,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val c = Spread.medium(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val scored = p.crossJoin(c)
       .where(col("probe_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
@@ -91,7 +91,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(multiProbeBits >= 0 && multiProbeBits <= 2,
       s"multiProbeBits supports hamming distance 0..2, got $multiProbeBits")
-    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+    val bucketed = Spread.medium(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
     // Multi-probe: the probe's own bucket plus every bucket within
     // hamming distance `multiProbeBits` (single-bit flips at 1,
@@ -404,8 +404,8 @@ object Similarity {
       maxBucket: Int = 2000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = corpus.select(col(idCol).as("id"),
+    val vecs = Spread.medium(corpus).select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = Spread.medium(corpus).select(col(idCol).as("id"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
     Dedup.bucketPairs(bucketed, Seq("bucket"), "id", maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))

@@ -198,7 +198,7 @@ object TextAnalysis {
     * shuffle — the count aggregation with map-side partial aggs.
     */
   def wordBigramCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(explode(wordGramArray(normalize(col(textCol)), 2)).as("gram"))
+    Spread.medium(docs).select(explode(wordGramArray(normalize(col(textCol)), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
 
   /** Top-k TF-IDF terms per document: token explode → (doc, token) tf
@@ -209,7 +209,7 @@ object TextAnalysis {
     * rides along as a broadcast one-row cross join (no driver action).
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), explode(tokens(normalize(col(textCol)))).as("tok"))
+    val toks = Spread.medium(docs).select(col(idCol).as("id"), explode(tokens(normalize(col(textCol)))).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -248,7 +248,7 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.distinct.sorted
     def tfCol(i: Int) = s"__tf$i"
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = Spread.medium(docs).select(col(idCol).as("id"),
       explode(tokens(normalize(col(textCol)))).as("tok"))
     val perDoc = toks.groupBy("id").agg(
       count(lit(1)).as("dl"),
@@ -287,7 +287,7 @@ object TextAnalysis {
     * order-independent, so the query hashes identically across engines.
     */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chars = docs.select(col(idCol).as("id"),
+    val chars = Spread.medium(docs).select(col(idCol).as("id"),
         explode(split(normalize(col(textCol)), "")).as("ch"))
       .where(col("ch") =!= "")
     chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
@@ -320,7 +320,7 @@ object TextAnalysis {
       minDocFreq: Long = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs
+    Spread.medium(docs)
       .select(col(idCol).as("_id"),
         explode(tokens(normalize(col(textCol)))).as("tok"))
       .groupBy(col("tok"), col("_id"))
@@ -348,7 +348,8 @@ object TextAnalysis {
     * id only — bigram strings never shuffle corpus-wide, and the
     * former lead-window shuffle is gone).
     */
-  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def repetitionSignals(docs0: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docs = Spread.medium(docs0)
     val toks = tokens(normalize(col(textCol)))
     val proj = docs.select(col(idCol).as("id"),
       size(toks).cast("long").as("n_tokens"),

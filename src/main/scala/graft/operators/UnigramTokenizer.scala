@@ -334,7 +334,7 @@ object UnigramTokenizer {
   def scoreDocs(docs: DataFrame, pieces: Seq[Piece],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val byLen = pieces.map(_.piece).groupBy(_.length)
-    val perDocWord = docs
+    val perDocWord = Spread.medium(docs)
       .select(col(idCol), explode(NgramLm.words(col(textCol))).as("w"))
       .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
     val seg = perDocWord.select("w").distinct()

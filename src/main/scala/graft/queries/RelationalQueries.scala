@@ -1289,7 +1289,11 @@ object RelationalQueries {
     "q142_delta_variant" -> ((s, dir) => {
       val root = scratchRoot("graft_q142")
       val orders = t(s, dir, "orders")
-      val df = orders.selectExpr("o_orderkey",
+      // repartition(4) (r18): the variant encode ran as ONE task on the
+      // single-split bench input — 0.86 s serial in the fixture write
+      // (guide §2.5); 4-way matches the q117/q131 fixture shape. Result
+      // rows are unchanged (the DELETE and read-back key on content).
+      val df = orders.repartition(4).selectExpr("o_orderkey",
         """parse_json(concat('{"k":', o_orderkey, ',"c":', o_custkey,
            ',"n":{"p":"', o_orderpriority, '"}}')) AS payload""")
       graft.sources.DeltaWrite.append(s, df, root)

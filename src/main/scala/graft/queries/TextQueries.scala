@@ -640,7 +640,9 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.BpeTrainer.train(
         s, docs.where(col("doc_id") % 4 === 0), steps = 8)
-      docs.select(col("doc_id"),
+      // Spread (r18): the fused merge-replace chain is the scan's whole
+      // cost — serial on the single-split bench input (guide §2.5)
+      graft.operators.Spread(docs).select(col("doc_id"),
         graft.operators.BpeTrainer.wordCount(col("text")).as("n_words"),
         graft.operators.BpeTrainer.tokenCount(col("text"), merges).as("n_bpe_tokens"))
         .orderBy("doc_id")

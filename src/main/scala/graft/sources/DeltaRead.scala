@@ -540,6 +540,49 @@ object DeltaRead {
     val rootP = qualifiedRoot(spark, path)
     val logP = new Path(rootP, "_delta_log")
     val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // SNAPSHOT CACHE (round 18, guide §1/§5 — the driver is the
+    // bottleneck of small commits): every DML op used to rebuild the
+    // snapshot from scratch — a full log listing plus, past the first
+    // checkpoint, a distributed checkpoint-parquet read (4-5 Spark jobs
+    // PER OPERATION, measured ~0.2-0.4 s each on q109's append chain).
+    // Delta's log is append-only and committed versions are immutable,
+    // so the last-served snapshot advances INCREMENTALLY: verify the
+    // cached version's commit file is byte-identical (len+mtime — a
+    // deleted/recreated table at the same path fails this and rebuilds),
+    // probe the contiguous tail forward (commit versions are dense), and
+    // replay only the new commits' actions driver-side. A metaData
+    // action in the span falls back to the full rebuild (schema /
+    // column-mapping changes re-key partition values). This is
+    // delta-spark's SnapshotManagement shape; it caches METADATA only —
+    // never query results — and every data read still scans parquet.
+    val fromCache: Option[Snapshot] =
+      Option(snapCache.get(logP.toString))
+        .filter(c => version.forall(_ >= c.snap.version)).flatMap { c =>
+        val vFile = new Path(logP, f"${c.snap.version}%020d.json")
+        val ident =
+          try {
+            val st = fs.getFileStatus(vFile)
+            st.getLen == c.len && st.getModificationTime == c.mtime
+          } catch { case _: java.io.IOException => false }
+        if (!ident) None
+        else {
+          var latest = c.snap.version
+          while (version.forall(_ > latest) &&
+              fs.exists(new Path(logP, f"${latest + 1}%020d.json")))
+            latest += 1
+          val target = version.getOrElse(latest)
+          if (target == c.snap.version) Some(c.snap) // validated when cached
+          else if (target > latest) None // asked past the contiguous tail
+          else applyCommitsIncremental(fs, logP, c.snap, target).map { snap =>
+            validateChecksum(fs, logP, path, snap)
+            if (version.isEmpty || target == latest) cachePut(fs, logP, snap)
+            snap
+          }
+        }
+      }
+    if (fromCache.isDefined) return fromCache.get
+
     require(fs.exists(logP), s"$path is not a Delta table (no _delta_log)")
 
     val fast = if (version.isEmpty) fastDiscovery(fs, logP) else None
@@ -860,7 +903,121 @@ object DeltaRead {
       entries.collect { case (p, (_, _, _, _, brid, dcv)) if brid >= 0L =>
         p -> ((brid, dcv)) })
     validateChecksum(fs, logP, path, snap)
+    if (version.isEmpty) cachePut(fs, logP, snap)
     snap
+  }
+
+  /** One cached latest snapshot per table (log path), advanced
+    * incrementally by [[snapshot]]. Identity = the cached version's
+    * commit-file (length, mtime): immutable once published, so a match
+    * proves the cached state is a prefix of the current log.
+    */
+  private final case class CachedSnap(snap: Snapshot, len: Long, mtime: Long)
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+
+  private def cachePut(fs: FileSystem, logP: Path, snap: Snapshot): Unit =
+    try {
+      val st = fs.getFileStatus(new Path(logP, f"${snap.version}%020d.json"))
+      if (snapCache.size > 64) snapCache.clear() // crude bound; entries are small
+      snapCache.put(logP.toString, CachedSnap(snap, st.getLen, st.getModificationTime))
+    } catch { case scala.util.control.NonFatal(_) => () } // log-cleaned head: skip
+
+  /** Test seam / escape hatch: forget every cached snapshot. */
+  private[graft] def invalidateSnapshotCache(): Unit = snapCache.clear()
+
+  /** Replay commits `(base.version, target]` on top of a cached
+    * snapshot, driver-side and action-by-action (the log's sequential
+    * semantics — equivalent to the full replay's last-wins fold on the
+    * (path, dv.uniqueId) file identity). Returns None when the span is
+    * unreadable or carries a `metaData` action (schema / configuration /
+    * column-mapping changes re-key partition values and gates — the
+    * full rebuild handles those).
+    */
+  private def applyCommitsIncremental(fs: FileSystem, logP: Path,
+                                      base: Snapshot, target: Long): Option[Snapshot] = {
+    var files = base.files; var sizes = base.sizes; var stats = base.stats
+    var dvs = base.dvs; var rowIds = base.rowIds
+    var txns = base.txns; var domains = base.domains
+    var minReader = base.minReader; var minWriter = base.minWriter
+    var readerF = base.readerFeatures; var writerF = base.writerFeatures
+    val physToLogical = base.colMap.map(_.swap)
+    def pvKeys(pv: Map[String, String]): Map[String, String] =
+      if (physToLogical.isEmpty) pv
+      else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    var bail = false
+    var v = base.version + 1
+    while (v <= target && !bail) {
+      val p = new Path(logP, f"$v%020d.json")
+      val contentOpt = graft.pipeline.VersionedTable.readSmall(fs, p)
+      if (contentOpt.isEmpty) bail = true
+      val lines = contentOpt.map(_.split("\n").iterator.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Iterator.empty)
+      while (lines.hasNext && !bail) {
+        val line = lines.next()
+        val node = mapper.readTree(line)
+        if (node.has("metaData")) bail = true
+        else {
+        if (node.has("protocol")) {
+          val pr = node.get("protocol")
+          minReader = minReader.max(pr.path("minReaderVersion").asInt(1))
+          minWriter = minWriter.max(pr.path("minWriterVersion").asInt(2))
+          if (pr.has("readerFeatures"))
+            readerF ++= pr.get("readerFeatures").elements().asScala.map(_.asText())
+          if (pr.has("writerFeatures"))
+            writerF ++= pr.get("writerFeatures").elements().asScala.map(_.asText())
+        }
+        if (node.has("add")) {
+          val add = node.get("add")
+          val dec = decodePath(add.get("path").asText())
+          val pv = Option(add.get("partitionValues")).map(n =>
+            n.properties().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          files += dec -> pvKeys(pv)
+          sizes += dec -> Option(add.get("size")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(-1L)
+          val st = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).orNull
+          if (st != null) stats += dec -> st else stats -= dec
+          val dv = parseDv(add.get("deletionVector"))
+          if (dv != null) dvs += dec -> dv else dvs -= dec
+          val brid = if (add.hasNonNull("baseRowId")) add.get("baseRowId").asLong(-1L) else -1L
+          val dcv = if (add.hasNonNull("defaultRowCommitVersion"))
+            add.get("defaultRowCommitVersion").asLong(-1L) else -1L
+          if (brid >= 0L) rowIds += dec -> ((brid, dcv)) else rowIds -= dec
+        }
+        if (node.has("remove")) {
+          val rm = node.get("remove")
+          val dec = decodePath(rm.path("path").asText())
+          val uid = Option(parseDv(rm.get("deletionVector")))
+            .map(_.uniqueId).getOrElse("")
+          val curUid = dvs.get(dec).map(_.uniqueId).getOrElse("")
+          // the protocol's file-action identity is (path, dv.uniqueId):
+          // a remove of the OLD dv must not kill the same path's re-add
+          // under a NEW dv (DV-growing DELETE commits both in one commit)
+          if (files.contains(dec) && curUid == uid) {
+            files -= dec; sizes -= dec; stats -= dec; dvs -= dec; rowIds -= dec
+          }
+        }
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          txns += t.path("appId").asText() -> t.path("version").asLong()
+        }
+        if (node.has("domainMetadata")) {
+          val d = node.get("domainMetadata")
+          val dom = d.path("domain").asText()
+          if (d.path("removed").asBoolean(false)) domains -= dom
+          else domains += dom -> d.path("configuration").asText(null)
+        }
+        }
+      }
+      v += 1
+    }
+    if (bail) return None
+    Some(base.copy(version = target, files = files, sizes = sizes, stats = stats,
+      dvs = dvs, rowIds = rowIds, txns = txns, domains = domains,
+      minReader = minReader, minWriter = minWriter,
+      readerFeatures = readerF, writerFeatures = writerF))
   }
 
   /** Opportunistic `<v>.crc` version-checksum validation (delta-spark
@@ -1024,6 +1181,14 @@ object DeltaRead {
       else endSnap.colMap + ("_change_type" -> "_change_type")
 
     val frames = Seq.newBuilder[DataFrame]
+    // id-keyed cdc validation is DEFERRED and batched: the per-commit
+    // counts all come out of ONE union aggregation after the span parse
+    // (r18, guide §1 — a 3-commit span used to pay three validation
+    // jobs; job count dominates these driver-heavy reads). Each entry:
+    // (version, cdc frame, continuation applying the counts).
+    val deferredCdc =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame,
+        (Long, Long, Long) => Unit)]
     (fromVersion to endV).foreach { v =>
       val p = new Path(logP, f"$v%020d.json")
       val content = graft.pipeline.VersionedTable.readSmall(fs, p).getOrElse(
@@ -1117,44 +1282,37 @@ object DeltaRead {
               if (ctColMap.isEmpty) ctColMap else ctColMap + (CdcRowIdCol -> CdcRowIdCol)
             val cdcDf = readSnapshot(spark, rootP.toString,
               cdcSnap.copy(schema = idSchema, colMap = idColMap))
-            // ONE validation pass per cdc commit (three separate
-            // isEmpty probes re-scanned the change files three times —
-            // job overhead dominated the whole id-keyed span read)
-            import org.apache.spark.sql.functions.{sum => fsum, when => fwhen}
-            val isIns = col("_change_type") === "insert"
-            val chk = cdcDf.agg(
-              fsum(fwhen(!isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L)),
-              fsum(fwhen(isIns && col(CdcRowIdCol).isNotNull, 1L).otherwise(0L)),
-              fsum(fwhen(isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L))).head()
-            def n(i: Int): Long = if (chk.isNullAt(i)) 0L else chk.getLong(i)
-            require(n(0) == 0L,
-              s"readChanges($path): commit $v carries change-data rows without row " +
-                "ids — written before row-id support, or by an UPDATE/MERGE on a " +
-                "table with no materialized row-id column declaration (the " +
-                "rewritten rows' ids are unknowable at cdc-write time); declare " +
-                "delta.rowTracking.materializedRowIdColumnName or read without row ids")
-            frames += stamp(cdcDf.where(!isIns).withColumnRenamed(CdcRowIdCol, ric))
-            val hasKeyed = n(1) > 0L
-            val hasNull = n(2) > 0L
-            require(!(hasKeyed && hasNull),
-              s"readChanges($path): commit $v mixes keyed and unkeyed insert " +
-                "change rows — cannot re-derive the unkeyed ones without " +
-                "double-counting the keyed ones")
-            if (hasKeyed)
-              frames += stamp(cdcDf.where(isIns && col(CdcRowIdCol).isNotNull)
-                .withColumnRenamed(CdcRowIdCol, ric))
-            if (hasNull) {
-              // unkeyed inserts (a preserving MERGE can't know its
-              // inserts' ids at cdc-write time): the inserted rows live
-              // in this commit's NEW files (paths it did not also
-              // remove) as exactly the fresh-id rows
-              val newAdds = addFiles.filterNot(a => rmPaths.contains(a._1))
-              require(newAdds.nonEmpty,
-                s"readChanges($path): commit $v has unkeyed insert change rows " +
-                  "but no new data files to derive their ids from")
-              frames += stamp(readAdds(newAdds, matInsertsOnly = true)
-                .withColumn("_change_type", lit("insert")))
-            }
+            deferredCdc += ((v, cdcDf, (nNonInsNull, nInsKeyed, nInsNull) => {
+              val isIns = col("_change_type") === "insert"
+              require(nNonInsNull == 0L,
+                s"readChanges($path): commit $v carries change-data rows without row " +
+                  "ids — written before row-id support, or by an UPDATE/MERGE on a " +
+                  "table with no materialized row-id column declaration (the " +
+                  "rewritten rows' ids are unknowable at cdc-write time); declare " +
+                  "delta.rowTracking.materializedRowIdColumnName or read without row ids")
+              frames += stamp(cdcDf.where(!isIns).withColumnRenamed(CdcRowIdCol, ric))
+              val hasKeyed = nInsKeyed > 0L
+              val hasNull = nInsNull > 0L
+              require(!(hasKeyed && hasNull),
+                s"readChanges($path): commit $v mixes keyed and unkeyed insert " +
+                  "change rows — cannot re-derive the unkeyed ones without " +
+                  "double-counting the keyed ones")
+              if (hasKeyed)
+                frames += stamp(cdcDf.where(isIns && col(CdcRowIdCol).isNotNull)
+                  .withColumnRenamed(CdcRowIdCol, ric))
+              if (hasNull) {
+                // unkeyed inserts (a preserving MERGE can't know its
+                // inserts' ids at cdc-write time): the inserted rows live
+                // in this commit's NEW files (paths it did not also
+                // remove) as exactly the fresh-id rows
+                val newAdds = addFiles.filterNot(a => rmPaths.contains(a._1))
+                require(newAdds.nonEmpty,
+                  s"readChanges($path): commit $v has unkeyed insert change rows " +
+                    "but no new data files to derive their ids from")
+                frames += stamp(readAdds(newAdds, matInsertsOnly = true)
+                  .withColumn("_change_type", lit("insert")))
+              }
+            }))
         }
       } else {
         // A dataChange remove of a file RE-ADDED in the same commit
@@ -1207,6 +1365,25 @@ object DeltaRead {
           }
           frames += stamp(rmDf.withColumn("_change_type", lit("delete")))
         }
+      }
+    }
+    if (deferredCdc.nonEmpty) {
+      import org.apache.spark.sql.functions.{sum => fsum, when => fwhen}
+      val isIns = col("_change_type") === "insert"
+      val union = deferredCdc.map { case (v, df, _) =>
+        df.select(lit(v).as("__v"), col("_change_type"), col(CdcRowIdCol))
+      }.reduce(_.unionByName(_))
+      val counts = union.groupBy("__v").agg(
+        fsum(fwhen(!isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L)),
+        fsum(fwhen(isIns && col(CdcRowIdCol).isNotNull, 1L).otherwise(0L)),
+        fsum(fwhen(isIns && col(CdcRowIdCol).isNull, 1L).otherwise(0L)))
+        .collect().map { r =>
+          def n(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+          r.getLong(0) -> ((n(1), n(2), n(3)))
+        }.toMap
+      deferredCdc.foreach { case (v, _, apply) =>
+        val (a, b, c) = counts.getOrElse(v, (0L, 0L, 0L))
+        apply(a, b, c)
       }
     }
     val outCols = ((endSnap.schema.fieldNames :+ "_change_type" :+

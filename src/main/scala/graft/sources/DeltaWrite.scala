@@ -488,12 +488,22 @@ object DeltaWrite {
         allowMissingColumns = true)
 
     // source key set: collected ONCE (prices the pruning for every
-    // attempt); the per-file classification reruns per attempt
+    // attempt); the per-file classification reruns per attempt.
+    // ONE aggregation prices BOTH the pruner and — for materialized-
+    // row-id merges — the duplicate-source-key refusal: the per-group
+    // counts ride back with the keys, so the dup probe no longer
+    // re-runs the source as its own Spark job (r18, guide §1: the
+    // merge fixtures' cost is job count, not bytes).
     val keyCol = keys.head
     require(source.columns.exists(_.equalsIgnoreCase(keyCol)),
       s"merge key '$keyCol' is not in the source (${source.columns.mkString(", ")})")
-    val keyRows = source.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val grouped = source.groupBy(keys.map(col): _*).count()
       .limit(maxCollectedKeys + 1).collect()
+    val complete = grouped.length <= maxCollectedKeys
+    // exact when the group set is complete; None degrades to a
+    // dedicated probe on the (rare) oversized source
+    val dupSrcKnown: Option[Boolean] =
+      if (complete) Some(grouped.exists(_.getLong(keys.length) > 1L)) else None
     import graft.pipeline.{FileStats, VersionedTable}
     // keys outside the stats-comparable types (int/long/float/double/
     // string) cannot be range-probed against add.stats — degrade to a
@@ -501,8 +511,9 @@ object DeltaWrite {
     // date/timestamp/decimal/boolean keys instead of throwing
     val pruner: FileStats.ColStat => Boolean =
       try {
-        if (keyRows.length <= maxCollectedKeys) {
-          val sorted = keyRows.map(r => VersionedTable.normalizeKey(r.get(0)))
+        if (complete) {
+          val sorted = grouped.iterator.map(_.get(0)).filter(_ != null).toArray
+            .distinct.map(VersionedTable.normalizeKey)
             .sortWith(FileStats.cmp(_, _) < 0)
           if (sorted.isEmpty) _ => false // null-keyed-only source: nothing matches
           else st => FileStats.rangeHitsKeys(st,
@@ -599,8 +610,9 @@ object DeltaWrite {
           // source key would copy one target id onto several output
           // rows — refuse loudly, delta-spark fails multi-match MERGEs
           // outright (dropDuplicates(keys) first)
-          val dupSrc = source.groupBy(keys.map(col): _*).count()
-            .where(col("count") > 1).limit(1).count() > 0
+          val dupSrc = dupSrcKnown.getOrElse(
+            source.groupBy(keys.map(col): _*).count()
+              .where(col("count") > 1).limit(1).count() > 0)
           require(!dupSrc,
             s"MERGE into Delta table at $path: the table declares a materialized " +
               "row-id column, so source rows inherit their matched target row's " +

@@ -68,13 +68,18 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
   }
 
-  test("q30 signature stage is a shuffle-free projection (minhash_sig in a Project)") {
-    import org.apache.spark.sql.functions._
+  test("q30 signature stage is a pure projection — the only exchange is the input spread") {
     val sigs = graft.operators.Dedup.minhashSignatures(
       Tables.load(spark, sfDir, "documents"))
     val p = sigs.queryExecution.explainString(FormattedMode)
     assert(p.toLowerCase.contains("minhash_sig"), p)
-    assert(!p.contains("Exchange"), p) // projection fuses with the scan
+    // r18: the single-split bench input gains ONE round-robin Spread
+    // repartition so the kernel parallelizes (guide §2.5); the
+    // signature computation itself stays a scan-fused projection with
+    // no keyed shuffle — no hashpartitioning anywhere
+    assert(count(p, "Exchange") <= 1, p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.toLowerCase.contains("roundrobinpartitioning") || count(p, "Exchange") == 0, p)
   }
 
   test("q12: all validation rules evaluate in ONE scan of the table") {
@@ -91,12 +96,16 @@ class PlanAuditSuite extends SparkSpec {
     // never on the gram hash of the training side
     assert(!p.contains("hashpartitioning(gh"), p)
     // the gram stage is the codegen'd word_gram_hashes projection: the
-    // training side reaches the broadcast join with ZERO upstream
-    // exchanges (no lead-window shuffle, no dropDuplicates) — the only
-    // exchanges are the two of the count-distinct expand aggregation
-    // (doc-keyed) and the final orderBy
+    // training side reaches the broadcast join with no KEYED upstream
+    // exchange (no lead-window shuffle, no dropDuplicates) — the
+    // keyed exchanges are the two of the count-distinct expand
+    // aggregation (doc-keyed) and the final orderBy; r18 adds up to
+    // two round-robin Spread repartitions (train + eval input spread,
+    // guide §2.5), which carry no key and cannot co-locate grams
     assert(p.toLowerCase.contains("word_gram_hashes"), p)
-    assert(count(p, "Exchange") <= 3, p)
+    assert(count(p, "Exchange") <= 5, p)
+    assert(count(p, "Exchange") - p.linesIterator
+      .count(_.toLowerCase.contains("roundrobinpartitioning")) <= 3, p)
     assert(!p.contains("Window"), p)
   }
 
@@ -277,10 +286,13 @@ class PlanAuditSuite extends SparkSpec {
     assert(!read.contains("text"), read)
   }
 
-  test("q112: overlap chunking fuses with the scan — no shuffle, no window, no join") {
+  test("q112: overlap chunking is map-side — no keyed shuffle, no window, no join") {
     val p = plan("q112_chunk_overlap")
     assert(!p.contains("Window") && !p.contains("Join"), p)
-    assert(count(p, "Exchange") <= 1, p) // only the presentation orderBy
+    // presentation orderBy + (r18) the input Spread repartition; the
+    // chunking itself never shuffles on a key
+    assert(count(p, "Exchange") <= 2, p)
+    assert(!p.contains("hashpartitioning"), p)
     assert(p.contains("Generate"), p)    // the posexplode, map-side
   }
 
@@ -293,7 +305,9 @@ class PlanAuditSuite extends SparkSpec {
     // the sorts are spillable); one fp exchange + the presentation sort
     assert(count(p, "SortAggregate") == 2, p)
     assert(p.contains("hashpartitioning(_fp"), p)
-    assert(count(p, "Exchange") <= 2, p)
+    // one fp exchange + presentation sort + (r18) the input Spread
+    assert(count(p, "Exchange") <= 3, p)
+    assert(p.linesIterator.count(_.contains("hashpartitioning(_fp")) <= 2, p)
   }
 
   test("q114: vocab top-k plans as TakeOrdered, never a single-partition global sort") {
