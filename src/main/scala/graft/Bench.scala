@@ -204,6 +204,20 @@ object Bench {
       "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","families":$families,"queries":$qs3}""")
+    // Round 19: the driver's tail capture is 2000 chars and its JSON
+    // parse is line-oriented — at 142 queries the 3-dp map line above
+    // (~3 KB) truncates mid-line and the driver's entire per-query and
+    // scaling analysis silently vanishes (PERF_r18: n_common=0,
+    // per_query={}). Emit each query as its OWN small parseable line,
+    // ascending by time so the heaviest queries — the ones drift
+    // adjudication actually needs — land inside even the smallest tail
+    // window, then a compact per-family rollup line. Additive only:
+    // every pre-existing line keeps its place and the total-only line
+    // stays LAST.
+    results.sortBy(_._2).foreach { case (k, v, _, _) =>
+      println(s"""{"metric":"query","name":"$k","sec":${"%.3f".formatLocal(java.util.Locale.ROOT, v)},"sf":"$sfDir"}""")
+    }
+    println(s"""{"metric":"families","unit":"sec","sf":"$sfDir","families":$families}""")
     // The 3-dp map line outgrew a 2000-char tail again at 92 queries
     // (round 9 recovered only 84 of 92 timings). The VERY LAST line is
     // therefore total-only (< 500 chars, no queries map): any tail
