@@ -212,24 +212,25 @@ object UnigramTokenizer {
           .select(col("seq"), col("cnt"),
             viterbiForward(col("seq"), costMap, maxLen).as("fwd"))
           .select(col("cnt"),
-            element_at(col("fwd").getField("costs"),
-              length(col("seq")) + 1).as("cost"),
             viterbiBacktrace(col("seq"), col("fwd")).as("pieces"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // E-step usage: exact integer sums → the deterministic state
-          val usage = seg.select(explode(col("pieces")).as("piece"), col("cnt"))
-            .groupBy("piece").agg(sum("cnt").as("usage"))
-            .orderBy(col("usage").desc, col("piece").asc)
-            .collect().map(r => r.getString(0) -> r.getLong(1))
-          // sum over an EMPTY word table is SQL NULL — a corpus with no
-          // alphabet words trains an empty vocab at loss 0, not an NPE
-          val lossRow = seg.select(sum(col("cost") * col("cnt"))).head()
-          losses += (if (lossRow.isNullAt(0)) 0L else lossRow.getLong(0))
-          pieces = usage.map { case (p, u) => Piece(p, u) }.toSeq
-          // M-step: MLE from usage; zero-usage multi-char pieces prune
-          costs = costsOf(usage.toMap)
-        } finally seg.unpersist(blocking = false)
+        // E-step usage: exact integer sums → the deterministic state.
+        // ONE job per iteration (r19, guide §1.2): the loop used to
+        // persist seg and run a second sum(cost·cnt) job for the loss,
+        // but a word's DP cost IS the sum of its chosen pieces' costs,
+        // so Σ_words cost·cnt = Σ_pieces costs(p)·usage(p) — exact
+        // integer identity, derived on the driver from the usage rows
+        // under THIS iteration's cost map (every chosen piece is a
+        // costMap key by construction of the DP's candidate set).
+        val usage = seg.select(explode(col("pieces")).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum("cnt").as("usage"))
+          .orderBy(col("usage").desc, col("piece").asc)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        // an EMPTY word table sums to 0 over no usage rows — a corpus
+        // with no alphabet words trains an empty vocab at loss 0
+        losses += usage.iterator.map { case (p, u) => costs(p) * u }.sum
+        pieces = usage.map { case (p, u) => Piece(p, u) }.toSeq
+        // M-step: MLE from usage; zero-usage multi-char pieces prune
+        costs = costsOf(usage.toMap)
       }
       EmResult(pieces, losses.result())
     } finally wf.unpersist(blocking = false)

@@ -1600,13 +1600,17 @@ object DeltaRead {
     val scanned = scanSnapshot(spark, path, snap.copy(dvs = Map.empty), withRowMeta = true)
       .where(condition)
       .select(col("__graft_dv_fp"), col("__graft_dv_ri"))
-    val n = scanned.count()
-    require(8L * n <= 8L * DeletionVectors.maxDeletedRows,
-      s"DELETE at $path matches $n rows (${8L * n} bytes of row indexes) — past " +
-        s"the deletion-vector budget (${8L * DeletionVectors.maxDeletedRows} bytes); " +
-        "rewrite the table instead")
+    // ONE scan (r19, guide §1.2/§1.4): the budget used to be guarded by
+    // a dedicated count() — a second full pass over every candidate
+    // file before the collect. The refusal condition is unchanged
+    // (same threshold, same message) but now checks the collected
+    // sizes; the collect itself stays bounded by
+    // spark.driver.maxResultSize (1 GB default ≈ the 800 MB the old
+    // pre-count admitted anyway), so a pathological DELETE still fails
+    // before the driver is at risk — it just fails inside the collect
+    // rather than ahead of it.
     import org.apache.spark.sql.functions.{collect_list, sort_array}
-    scanned.groupBy(col("__graft_dv_fp"))
+    val out = scanned.groupBy(col("__graft_dv_fp"))
       .agg(sort_array(collect_list(col("__graft_dv_ri"))).as("__graft_dv_ris"))
       .collect()
       .map { r =>
@@ -1615,6 +1619,12 @@ object DeltaRead {
             s"DELETE scan surfaced an unknown file ${r.getString(0)}"))
         rel -> r.getSeq[Long](1).toArray
       }.toMap
+    val n = out.valuesIterator.map(_.length.toLong).sum
+    require(8L * n <= 8L * DeletionVectors.maxDeletedRows,
+      s"DELETE at $path matches $n rows (${8L * n} bytes of row indexes) — past " +
+        s"the deletion-vector budget (${8L * DeletionVectors.maxDeletedRows} bytes); " +
+        "rewrite the table instead")
+    out
   }
 
   /** One commit's DATA-CHANGING actions, for the streaming source:

@@ -210,7 +210,12 @@ object DeltaWrite {
             else DeltaRead.readSnapshot(spark, rootP.toString, tSnap))
             .where(condition)
             .withColumn("_change_type", lit("delete"))
-          if (delRows.isEmpty) Nil else writeCdcFiles(spark, snap, delRows, rootP, fs)
+          // `updates` non-empty ⟹ some matched row index is not in its
+          // file's old DV ⟹ at least one LIVE row matches `condition`
+          // ⟹ delRows is non-empty — the old isEmpty probe re-ran the
+          // whole matched scan as its own job to learn that (r19,
+          // guide §1.2)
+          writeCdcFiles(spark, snap, delRows, rootP, fs)
         }
       val next = snap.version + 1
       if (publishCommit(fs, logP, next,
@@ -292,10 +297,19 @@ object DeltaWrite {
               snap.colMap.values.exists(_ == m))
         else None
       val touchedSnap = snap.copy(files = snap.files.filter(kv => touched.contains(kv._1)))
+      // MATCHED-ROW MATERIALIZATION (r19, guide §1.2/§5): the matched
+      // live rows feed THREE sub-plans — the rewritten images' data
+      // write, the cdc preimages and the cdc postimages — and each
+      // used to re-scan the touched parquet files. The matched set is
+      // DV-budget-bounded (delta-sized, never table-sized), so persist
+      // it for the attempt; spill beats a triple rescan. Released in
+      // the finally — a lost CAS recomputes from the winner's snapshot.
       val liveMatched = (matName match {
         case Some(m) => DeltaRead.readSnapshotRowIds(spark, rootP.toString, touchedSnap, m)
         case None => DeltaRead.readSnapshot(spark, rootP.toString, touchedSnap)
       }).where(condition)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val assigned = liveMatched.select((snap.schema.fields.map { f =>
         byLower.get(f.name.toLowerCase)
           .map(e => expr(e).cast(f.dataType).as(f.name))
@@ -342,6 +356,7 @@ object DeltaWrite {
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
+      } finally liveMatched.unpersist(false)
       snap = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(snap, path, removesData = true, cdfHandled = true)
     }
@@ -481,11 +496,6 @@ object DeltaWrite {
     val rootP = qualifiedRoot(spark, path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logP = new Path(rootP, "_delta_log")
-    val fn: (DataFrame, DataFrame) => DataFrame =
-      if (mergeFn != null) mergeFn
-      else (touched, src) => src.unionByName(
-        touched.join(src.select(keys.map(col): _*), keys, "left_anti"),
-        allowMissingColumns = true)
 
     // source key set: collected ONCE (prices the pruning for every
     // attempt); the per-file classification reruns per attempt.
@@ -500,6 +510,38 @@ object DeltaWrite {
     val grouped = source.groupBy(keys.map(col): _*).count()
       .limit(maxCollectedKeys + 1).collect()
     val complete = grouped.length <= maxCollectedKeys
+    // SOURCE-KEY LOCAL RELATION (r19, guide §3.1): the distinct source
+    // keys are ALREADY on the driver (the `grouped` collection), so
+    // every join that only needs the source's KEY SET — the default
+    // upsert's carried-row anti-join and the cdc decomposition's
+    // preimage semi-join — can take them as a broadcast local relation
+    // instead of re-deriving them from the source sub-plan, which made
+    // those joins shuffle the TOUCHED-FILE side by key. Bounded: only
+    // when the collected set is complete and small enough to embed
+    // (1M keys ≈ tens of MB broadcast, delta-sized); past the bound the
+    // plan-side derivation stays.
+    val srcKeysLocal: Option[DataFrame] =
+      if (complete && grouped.length <= (1 << 20)) {
+        import scala.jdk.CollectionConverters._
+        val keyFields = org.apache.spark.sql.types.StructType(
+          grouped.headOption.map(_.schema.fields.take(keys.length).toSeq)
+            .getOrElse(keys.map(k =>
+              source.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+                source.schema.fields.head).copy(name = k))))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          grouped.iterator.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.take(keys.length)))
+            .toSeq.asJava
+        Some(org.apache.spark.sql.functions.broadcast(
+          spark.createDataFrame(rows, keyFields)))
+      } else None
+    def srcKeysOf(src: DataFrame): DataFrame =
+      srcKeysLocal.getOrElse(src.select(keys.map(col): _*))
+    val fn: (DataFrame, DataFrame) => DataFrame =
+      if (mergeFn != null) mergeFn
+      else (touched, src) => src.unionByName(
+        touched.join(srcKeysOf(src), keys, "left_anti"),
+        allowMissingColumns = true)
     // exact when the group set is complete; None degrades to a
     // dedicated probe on the (rare) oversized source
     val dupSrcKnown: Option[Boolean] =
@@ -590,6 +632,19 @@ object DeltaWrite {
       // id-carrying frames for the mergeFn: the hidden column must not
       // leak into the upsert's key joins or the schema checks
       val touchedData = matName.map(touchedBase.drop(_)).getOrElse(touchedBase)
+      // PER-KEY SURVIVOR IDS, COMPUTED ONCE (r19, guide §1.2): the
+      // data rewrite's id inheritance AND the cdc postimage join used
+      // to each run their own identical touchedBase aggregation — two
+      // full passes over the touched files for one tiny keyed frame.
+      // Persist it for the attempt (one row per distinct touched key,
+      // keys + one long — delta-class, never table-wide), released
+      // after the commit decision.
+      val idByKeyOpt: Option[DataFrame] = matName.map { m =>
+        touchedBase.groupBy(keys.map(col): _*)
+          .agg(org.apache.spark.sql.functions.min(col(s"`$m`")).as(m))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      try {
       // merged output must conform to the TABLE schema (realigned by
       // name, loud on drift) — schema evolution is an explicit overwrite
       val merged0 = fn(touchedData, source)
@@ -618,15 +673,13 @@ object DeltaWrite {
               "row-id column, so source rows inherit their matched target row's " +
               "id — a source carrying duplicate key values would mint DUPLICATE " +
               "row ids; dropDuplicates(keys) the source first")
-          val idByKey = touchedBase
-            .groupBy(keys.map(col): _*)
-            .agg(org.apache.spark.sql.functions.min(col(s"`$m`")).as(m))
+          val idByKey = idByKeyOpt.get
           // re-derive the default upsert WITH ids: source rows pull the
           // matched key's id (null = insert, fresh formula applies),
           // carried rows keep the id they were read with
           val srcWithId = source.join(idByKey, keys, "left")
           val carriedWithId = touchedBase.join(
-            source.select(keys.map(col): _*), keys, "left_anti")
+            srcKeysOf(source), keys, "left_anti")
           srcWithId.unionByName(carriedWithId, allowMissingColumns = true)
             .select((snap.schema.fieldNames :+ m).map(col): _*)
         case None => merged0.select(snap.schema.fieldNames.map(col): _*)
@@ -712,7 +765,10 @@ object DeltaWrite {
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
           val tKeys = touchedData.select(tblKeys.map(col): _*)
-          val sKeys = srcT.select(tblKeys.map(col): _*)
+          // source keys from the driver-collected group set when
+          // complete (r19, guide §3.1) — the semi-join below then
+          // broadcasts instead of shuffling the touched-file side
+          val sKeys = srcKeysLocal.getOrElse(srcT.select(tblKeys.map(col): _*))
           val changes = matName match {
             case Some(m) =>
               // id-keyed changes (rowTracking + materialized column):
@@ -722,17 +778,22 @@ object DeltaWrite {
               // multi-row target key's extra preimages surface with
               // their retired ids), inserts stay unkeyed — their fresh
               // ids are assigned at publish, and the id-keyed CDF read
-              // re-derives them from this commit's new files
-              val idByKey = touchedBase.groupBy(tblKeys.map(col): _*)
-                .agg(org.apache.spark.sql.functions.min(col(s"`$m`"))
-                  .as(DeltaRead.CdcRowIdCol))
+              // re-derives them from this commit's new files.
+              // idByKey is the PERSISTED per-key survivor frame the data
+              // rewrite already computed (r19): its key set IS the
+              // distinct touched keys, so one inner join replaces the
+              // old tKeys semi-join + id left-join pair, and the insert
+              // anti-join probes the same tiny frame instead of
+              // re-scanning the touched files for their keys.
+              val idByKey = idByKeyOpt.get
+                .withColumnRenamed(m, DeltaRead.CdcRowIdCol)
               touchedBase.withColumnRenamed(m, DeltaRead.CdcRowIdCol)
                 .join(sKeys, tblKeys, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
-                .unionByName(srcT.join(tKeys, tblKeys, "left_semi")
-                  .join(idByKey, tblKeys, "left")
+                .unionByName(srcT.join(idByKey, tblKeys, "inner")
                   .withColumn("_change_type", lit("update_postimage")))
-                .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
+                .unionByName(srcT.join(idByKey.select(tblKeys.map(col): _*),
+                    tblKeys, "left_anti")
                   .withColumn(DeltaRead.CdcRowIdCol, lit(null).cast("long"))
                   .withColumn("_change_type", lit("insert")))
             case None =>
@@ -743,7 +804,14 @@ object DeltaWrite {
                 .unionByName(srcT.join(tKeys, tblKeys, "left_anti")
                   .withColumn("_change_type", lit("insert")))
           }
-          if (changes.isEmpty) Nil else writeCdcFiles(spark, snap, changes, rootP, fs)
+          // changes is empty ⟺ the source is empty (every source row is
+          // an update_postimage or an insert; every preimage needs a
+          // source key) — and the source's emptiness is already known
+          // from the collected key groups, so the old isEmpty probe
+          // re-ran the three cdc joins as its own job for nothing
+          // (r19, guide §1.2). `grouped` is complete OR past
+          // maxCollectedKeys — both cases non-empty when length > 0.
+          if (grouped.isEmpty) Nil else writeCdcFiles(spark, snap, changes, rootP, fs)
         }
 
       val next = snap.version + 1
@@ -760,6 +828,7 @@ object DeltaWrite {
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
+      } finally idByKeyOpt.foreach(_.unpersist(false))
     }
     throw new IllegalStateException(
       s"Delta merge at $path lost the commit race 5 times — another writer is " +
