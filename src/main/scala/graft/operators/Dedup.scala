@@ -420,7 +420,7 @@ object Dedup {
     * caller releases after materializing. `cached` must be persisted by
     * the caller; the candidate count probe here is its first action.
     */
-  private def jaccardVerifyPlan(
+  private[operators] def jaccardVerifyPlan(
       cached: DataFrame,
       docs: DataFrame,
       idCol: String,

@@ -170,7 +170,9 @@ object IncrementalDedup {
     * the survivor signatures were committed as (-1 when `append` was
     * false; when the batch admitted NOTHING, no version is minted and
     * `version` is the base version the delta was deduped against).
-    * Both frames are materialized (safe after temp release).
+    * `pairs` is materialized; `survivors` is materialized on appending
+    * calls and lazy (but safe — it binds only the caller's delta frame
+    * and the checkpointed pairs) on read-only `append = false` calls.
     */
   final case class DeltaDedup(pairs: DataFrame, survivors: DataFrame, version: Long)
 
@@ -233,9 +235,16 @@ object IncrementalDedup {
     * survivor anti-join — is the PRODUCTION code path, which is the
     * point: it runs under a driver hash for the first time.
     */
+  /** `verify` returns the lazy verified frame plus any temp frames it
+    * persisted — released by the CALLER after materializing the result
+    * (r19: the seam used to route through [[Dedup.jaccardVerify]],
+    * which re-persisted the already-persisted pair set and spent an
+    * extra checkpoint round materializing a frame the caller was about
+    * to checkpoint again).
+    */
   private[graft] final case class ExactSeam(
       constantBand: Boolean,
-      verify: DataFrame => DataFrame)
+      verify: DataFrame => (DataFrame, Seq[DataFrame]))
 
   /** [[dedupeDelta]] in exact mode: all-pairs candidates (constant
     * band key) verified by exact n-gram Jaccard over `docs` (the
@@ -253,12 +262,19 @@ object IncrementalDedup {
       jaccardThreshold: Double = 0.7,
       maxBucket: Int = 1 << 20): DeltaDedup = {
     val seam = ExactSeam(constantBand = true, verify = pairsRaw => {
-      val exact = Dedup.jaccardVerify(docs, pairsRaw.select(col("id_a"), col("id_b")),
-        idCol, textCol, threshold = jaccardThreshold)
-      pairsRaw.join(exact.withColumnRenamed("jaccard", "est_jaccard"),
+      // pairsRaw is already persisted by verifiedDeltaPairs — build the
+      // verify plan directly over it (jaccardVerify would persist the
+      // projection a second time and checkpoint an intermediate the
+      // caller is about to checkpoint again; r19, guide §1.2)
+      val (exact, sets) = Dedup.jaccardVerifyPlan(
+        pairsRaw.select(col("id_a"), col("id_b")), docs,
+        idCol, textCol, shingleK = 5, threshold = jaccardThreshold,
+        maxBroadcastDocs = 100000L)
+      (pairsRaw.join(exact.withColumnRenamed("jaccard", "est_jaccard"),
           Seq("id_a", "id_b"))
         .select(col("id_a"), col("id_b"), col("delta_id"), col("src"),
-          col("est_jaccard"))
+          col("est_jaccard")),
+        Seq(sets))
     })
     dedupeDeltaHooked(spark, delta, root, idCol, textCol, bands = 1,
       threshold = jaccardThreshold, maxBucket = maxBucket,
@@ -306,15 +322,22 @@ object IncrementalDedup {
         delta, idCol, textCol, p.numHashes, p.shingleK, p.seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val (verified, pairsRaw, nPairs) = verifiedDeltaPairs(
+    val (verified, pairsRaw, nPairs, temps) = verifiedDeltaPairs(
       deltaSigs, corpusSigs, p.numHashes, bands, rows, threshold,
       maxBucket, maxBroadcastPairs, includeInternal = true, seam)
-    val verifiedMat = Dedup.materializeAndRelease(verified, pairsRaw)
+    val verifiedMat = Dedup.materializeAndRelease(verified, (pairsRaw +: temps): _*)
 
     val dropped = verifiedMat.select(col("delta_id").as("__drop")).distinct()
     val droppedK = if (nPairs <= maxBroadcastPairs) broadcast(dropped) else dropped
-    var survivors = Dedup.materializeAndRelease(
-      delta.join(droppedK, delta(idCol) === dropped("__drop"), "left_anti"))
+    // append=false is a READ-ONLY dedup: survivors bind only the
+    // caller's delta frame and the checkpointed verified pairs — both
+    // outlive the call — so the eager checkpoint job is skipped (r19,
+    // guide §1.2). The append path keeps the materialization: the
+    // commit loop re-joins survivors per attempt.
+    val survivorsLazy =
+      delta.join(droppedK, delta(idCol) === dropped("__drop"), "left_anti")
+    var survivors =
+      if (append) Dedup.materializeAndRelease(survivorsLazy) else survivorsLazy
     var pairFrames = List(
       verifiedMat.select(col("id_a"), col("id_b"), col("est_jaccard"), col("src")))
 
@@ -354,10 +377,10 @@ object IncrementalDedup {
               val survivorSide = deltaSigs.join(
                 survivors.select(col(idCol).as("__keep")),
                 deltaSigs("id") === col("__keep"), "left_semi")
-              val (vp, praw, nP) = verifiedDeltaPairs(
+              val (vp, praw, nP, ts) = verifiedDeltaPairs(
                 survivorSide, newSigs, p.numHashes, bands, rows, threshold,
                 maxBucket, maxBroadcastPairs, includeInternal = false, seam)
-              val newVerified = Dedup.materializeAndRelease(vp, praw)
+              val newVerified = Dedup.materializeAndRelease(vp, (praw +: ts): _*)
               val newDropped = newVerified.select(col("delta_id").as("__drop")).distinct()
               val newDroppedK =
                 if (nP <= maxBroadcastPairs) broadcast(newDropped) else newDropped
@@ -398,7 +421,7 @@ object IncrementalDedup {
       maxBucket: Int,
       maxBroadcastPairs: Long,
       includeInternal: Boolean,
-      seam: Option[ExactSeam] = None): (DataFrame, DataFrame, Long) = {
+      seam: Option[ExactSeam] = None): (DataFrame, DataFrame, Long, Seq[DataFrame]) = {
     // Exact-mode seam: a constant band key puts every signature in one
     // bucket (all-pairs candidates) — same downstream machinery.
     def explodeBands(sigs: DataFrame): DataFrame =
@@ -446,7 +469,8 @@ object IncrementalDedup {
     // Exact-mode seam: the verifier replaces the signature-agreement
     // check wholesale (pairsRaw in, verified-with-est_jaccard out).
     if (seam.isDefined) {
-      (seam.get.verify(pairsRaw), pairsRaw, nPairs)
+      val (v, temps) = seam.get.verify(pairsRaw)
+      (v, pairsRaw, nPairs, temps)
     } else {
 
     // Verify: delta-internal pairs resolve both sigs from the (small,
@@ -475,7 +499,7 @@ object IncrementalDedup {
             agreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
         crossV.unionByName(internalV).where(col("est_jaccard") >= threshold)
       }
-    (verified, pairsRaw, nPairs)
+    (verified, pairsRaw, nPairs, Nil)
     }
   }
 
