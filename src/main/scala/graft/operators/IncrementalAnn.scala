@@ -59,7 +59,11 @@ object IncrementalAnn {
 
   private def assigned(vecs: DataFrame, cents: Seq[(Int, Array[Float])],
                        idCol: String, vecCol: String): DataFrame =
-    vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+    // Spread the corpus/batch scan feeding the nearest-centroid kernel
+    // (r19, guide §2.5 — the same single-split serial-kernel shape as
+    // the text operators' sites; rows are partitioning-invariant, the
+    // result commits keyed by list_id)
+    Spread.medium(vecs).select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.ivfAssign(col(vecCol), cents).as("list_id"))
 
   /** Create (or overwrite) the index: one quantizer training + one

@@ -94,9 +94,12 @@ object ProductQuantizer {
     var cb = PqCodebook(dim, m, ksub,
       Vector.tabulate(m)(j => Vector.tabulate(ksub)(c =>
         seedRows(c).getSeq[Float](1).slice(j * dsub, (j + 1) * dsub).toArray)))
+    // Spread the per-iteration encode scan (r19, guide §2.5) — same
+    // single-split serial-kernel shape as Similarity.ivfCentroids
+    val corpusSpread = Spread.medium(corpus)
     for (_ <- 0 until iters) {
       val j = (col("pos") / dsub).cast("int")
-      val means = corpus
+      val means = corpusSpread
         // Two selects on purpose: a generator (posexplode) in the SAME
         // projection as encodeExpr makes the analyzer re-resolve the
         // struct under the Generate and strip the field aliases
@@ -220,7 +223,9 @@ object ProductQuantizer {
       cb: PqCodebook,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).as("vec_id"),
+    // Spread the encode scan (r19, guide §2.5): assignment + PQ encode
+    // are the per-row kernels; rows are partitioning-invariant
+    Spread.medium(corpus).select(col(idCol).as("vec_id"),
       Similarity.ivfAssign(col(vecCol), coarse).as("list_id"),
       encodeExpr(col(vecCol), cb).as("codes"))
 

@@ -139,8 +139,14 @@ object Similarity {
       .collect().zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](1).toArray
       }.toSeq
+    // Spread the per-iteration assignment scan (r19, guide §2.5): the
+    // Lloyd mean-update fuses the nearest-centroid kernel with the
+    // corpus scan and ran serially on a single-split input. The seed
+    // collection above stays on the raw frame (orderBy is
+    // partitioning-invariant; no kernel in that path).
+    val corpusSpread = Spread.medium(corpus)
     for (_ <- 0 until iters) {
-      val means = corpus
+      val means = corpusSpread
         .select(ivfAssign(col(vecCol), cents).as("list_id"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("list_id", "pos").agg(avg(col("x").cast("double")).as("m"))

@@ -18,7 +18,9 @@ object KernelPlanDump {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, sfDir, "documents")
-    val outDir = java.nio.file.Paths.get(sys.props("user.dir"), "plans", "r18")
+    // r18 dumps stay in plans/r18; this round's land in plans/r19
+    val round = sys.env.getOrElse("SPARK_GRAFT_PLAN_ROUND", "r19")
+    val outDir = java.nio.file.Paths.get(sys.props("user.dir"), "plans", round)
     java.nio.file.Files.createDirectories(outDir)
     def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val p = df.queryExecution.explainString(FormattedMode)
@@ -30,6 +32,16 @@ object KernelPlanDump {
     dump("kernel_simhash", graft.operators.Dedup.simhash(docs))
     dump("kernel_curate", graft.operators.Curation.curate(docs, minTokens = 20))
     dump("kernel_window_grams", graft.operators.Dedup.duplicatedSpans(docs, n = 50))
+    // r19: the MEDIUM-tier sites (uncompressed-byte floor) — dormant at
+    // sf0.1, round-robin exchange at sf1 (VERDICT item 7's pin)
+    dump("kernel_tfidf", graft.operators.TextAnalysis.tfidfTopTerms(docs))
+    dump("kernel_entropy", graft.operators.TextAnalysis.charEntropy(docs))
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    dump("kernel_pq_encode", graft.operators.ProductQuantizer.encodeCorpus(
+      vecs, Seq(0 -> Array.fill(8)(0f), 1 -> Array.fill(8)(1f)),
+      graft.operators.ProductQuantizer.PqCodebook(8, 2, 2,
+        Vector.tabulate(2)(_ => Vector.tabulate(2)(c =>
+          Array.fill(4)(c.toFloat))))))
     spark.stop()
   }
 }
