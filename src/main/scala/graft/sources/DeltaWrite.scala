@@ -297,18 +297,25 @@ object DeltaWrite {
               snap.colMap.values.exists(_ == m))
         else None
       val touchedSnap = snap.copy(files = snap.files.filter(kv => touched.contains(kv._1)))
-      // MATCHED-ROW MATERIALIZATION (r19, guide §1.2/§5): the matched
-      // live rows feed THREE sub-plans — the rewritten images' data
-      // write, the cdc preimages and the cdc postimages — and each
-      // used to re-scan the touched parquet files. The matched set is
-      // DV-budget-bounded (delta-sized, never table-sized), so persist
-      // it for the attempt; spill beats a triple rescan. Released in
-      // the finally — a lost CAS recomputes from the winner's snapshot.
-      val liveMatched = (matName match {
+      // MATCHED-ROW MATERIALIZATION (r19, guide §1.2/§5): on CDF
+      // tables the matched live rows feed THREE sub-plans — the
+      // rewritten images' data write, the cdc preimages and the cdc
+      // postimages — and each used to re-scan the touched parquet
+      // files. The matched set is DV-budget-bounded (delta-sized,
+      // never table-sized), so persist it for the attempt; spill beats
+      // a triple rescan. Without CDF there is ONE consumer (the data
+      // write) and the persist would be pure overhead — skipped.
+      // Released in the finally — a lost CAS recomputes from the
+      // winner's snapshot.
+      val updCdf = cdfEnabled(snap)
+      val liveMatched0 = (matName match {
         case Some(m) => DeltaRead.readSnapshotRowIds(spark, rootP.toString, touchedSnap, m)
         case None => DeltaRead.readSnapshot(spark, rootP.toString, touchedSnap)
       }).where(condition)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val liveMatched =
+        if (updCdf)
+          liveMatched0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else liveMatched0
       try {
       val assigned = liveMatched.select((snap.schema.fields.map { f =>
         byLower.get(f.name.toLowerCase)
@@ -356,7 +363,7 @@ object DeltaWrite {
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
-      } finally liveMatched.unpersist(false)
+      } finally { if (updCdf) liveMatched.unpersist(false) }
       snap = DeltaRead.snapshot(spark, rootP.toString)
       requireWritable(snap, path, removesData = true, cdfHandled = true)
     }
@@ -633,16 +640,21 @@ object DeltaWrite {
       // leak into the upsert's key joins or the schema checks
       val touchedData = matName.map(touchedBase.drop(_)).getOrElse(touchedBase)
       // PER-KEY SURVIVOR IDS, COMPUTED ONCE (r19, guide §1.2): the
-      // data rewrite's id inheritance AND the cdc postimage join used
-      // to each run their own identical touchedBase aggregation — two
-      // full passes over the touched files for one tiny keyed frame.
-      // Persist it for the attempt (one row per distinct touched key,
-      // keys + one long — delta-class, never table-wide), released
-      // after the commit decision.
+      // data rewrite's id inheritance AND — on CDF tables — the cdc
+      // postimage join used to each run their own identical
+      // touchedBase aggregation: two full passes over the touched
+      // files for one tiny keyed frame. Persisted for the attempt
+      // (one row per distinct touched key, keys + one long —
+      // delta-class, never table-wide) only when the cdc decomposition
+      // will consume it a second time; released after the commit
+      // decision.
+      val mergeCdf = cdfEnabled(snap)
       val idByKeyOpt: Option[DataFrame] = matName.map { m =>
-        touchedBase.groupBy(keys.map(col): _*)
+        val byKey = touchedBase.groupBy(keys.map(col): _*)
           .agg(org.apache.spark.sql.functions.min(col(s"`$m`")).as(m))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (mergeCdf)
+          byKey.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else byKey
       }
       try {
       // merged output must conform to the TABLE schema (realigned by
@@ -828,7 +840,7 @@ object DeltaWrite {
       (newFiles ++ cdcFiles).foreach(f =>
         try fs.delete(new Path(rootP, f.relPath), false)
         catch { case scala.util.control.NonFatal(_) => () })
-      } finally idByKeyOpt.foreach(_.unpersist(false))
+      } finally { if (mergeCdf) idByKeyOpt.foreach(_.unpersist(false)) }
     }
     throw new IllegalStateException(
       s"Delta merge at $path lost the commit race 5 times — another writer is " +

@@ -18,7 +18,8 @@ object PlanDump {
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outDir = java.nio.file.Paths.get(sys.props("user.dir"), "plans", "r18")
+    val outDir = java.nio.file.Paths.get(sys.props("user.dir"), "plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_ROUND", "r19"))
     java.nio.file.Files.createDirectories(outDir)
     args.tail.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
